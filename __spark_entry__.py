@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin adapter over jane_spark: ``entry`` runs the flagship fdsnws-event
+analogue (SURVEY.md §7.2); ``queries``/``oracle_sql`` expose the
+contract registry (SURVEY.md §2 — one entry per implemented operator,
+each with a DuckDB oracle twin where SQL-expressible).
 """
 
 from __future__ import annotations
@@ -12,27 +11,42 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the fdsnws-event search
+    analogue — typed time-range + type-list + value-range predicates
+    compiled from an HTTP-style param dict (jane's front door), ordered
+    by magnitude-analogue desc with id tie-break, limit 100."""
+    from jane_spark.contracts.filters import EVENTS_META
+    from jane_spark.engine.catalog import Catalog
+    from jane_spark.plans.predicates import search
+
+    events = Catalog(spark, "/root/testdata/sf0.001").events
+    params = {
+        "min_ts": "2024-01-05T00:00:00",
+        "max_ts": "2024-01-25T00:00:00",
+        "event_type": "click,view,purchase",
+        "min_value": "10.0",
+    }
+    return (
+        search(events, params, EVENTS_META)
+        .orderBy(F.col("value").desc(), F.col("event_id").asc())
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .limit(100)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from jane_spark.contracts import REGISTRY
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: cq.spark_fn for name, cq in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from jane_spark.contracts import REGISTRY
+
+    return {
+        name: cq.oracle for name, cq in REGISTRY.items() if cq.oracle is not None
+    }

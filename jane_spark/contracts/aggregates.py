@@ -1,0 +1,214 @@
+"""§2.4 D — aggregation contract queries.
+
+jane's summary endpoints, availability extents, version dedup, gap
+detection, preview bucketing [ref: src/jane/documents/views.py + admin;
+src/jane/waveforms/ gap analysis + preview computation, conf=M;
+SURVEY.md §0 caveat]. All hash aggregations — Spark does partial
+(map-side) + final automatically; the expensive rows here are the
+window-based ones (argmax, gaps), each one shuffle on its key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jane_spark.contracts.registry import contract
+from jane_spark.engine.catalog import Catalog
+from jane_spark.operators.sessionize import with_gaps
+from jane_spark.operators.topk import argmax
+
+THIRTY_MIN_US = 30 * 60 * 1_000_000
+
+
+@contract(
+    "q_d1_count_group",
+    oracle="SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    survey_rows="D1",
+)
+def q_d1(spark, sf_dir):
+    ev = Catalog(spark, sf_dir).events
+    return ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@contract(
+    "q_d2_extent",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    survey_rows="D2",
+    doc="availability extent per channel (min/max/sum/avg multi-agg, Q1 shape)",
+)
+def q_d2(spark, sf_dir):
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@contract(
+    "q_d3_distinct",
+    oracle="""
+        SELECT count(DISTINCT user_id) AS n_users,
+               count(DISTINCT event_type) AS n_types
+        FROM events
+    """,
+    survey_rows="D3",
+)
+def q_d3(spark, sf_dir):
+    ev = Catalog(spark, sf_dir).events
+    return ev.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@contract(
+    "q_d3_approx",
+    oracle=None,  # HLL sketch result is engine-specific — rows-only check
+    survey_rows="D3",
+    doc="scalable distinct: approx_count_distinct (HLL), the 100 TB variant",
+)
+def q_d3a(spark, sf_dir):
+    ev = Catalog(spark, sf_dir).events
+    return ev.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+@contract(
+    "q_d4_collect",
+    oracle="""
+        SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
+               count(*) AS n
+        FROM events GROUP BY user_id
+    """,
+    survey_rows="D4",
+    doc="channel-list-per-station set aggregation; sort_array for determinism",
+)
+def q_d4(spark, sf_dir):
+    ev = Catalog(spark, sf_dir).events
+    return ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@contract(
+    "q_d5_argmax",
+    oracle="""
+        SELECT o_custkey, o_orderkey AS last_orderkey,
+               o_orderdate AS last_orderdate
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders)
+        WHERE rn = 1
+    """,
+    survey_rows="D5,E1,K1",
+    doc="latest-version-per-document dedup (argmax via operators.topk)",
+)
+def q_d5(spark, sf_dir):
+    orders = Catalog(spark, sf_dir).orders
+    latest = argmax(
+        orders,
+        ["o_custkey"],
+        [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()],
+    )
+    return latest.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_orderdate").alias("last_orderdate"),
+    )
+
+
+@contract(
+    "q_d6_gaps",
+    oracle=f"""
+        WITH g AS (
+            SELECT user_id,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+            FROM events)
+        SELECT user_id, count(*) AS n_gaps
+        FROM g WHERE gap_us > {THIRTY_MIN_US} GROUP BY user_id
+    """,
+    survey_rows="D6,E2",
+    doc="waveform gap detection: lag deltas over the per-channel timeline "
+    "(µs integers, not intervals — cross-engine hash stability)",
+)
+def q_d6(spark, sf_dir):
+    ev = Catalog(spark, sf_dir).events
+    gaps = with_gaps(ev, "user_id", "ts", "event_id")
+    return (
+        gaps.filter(F.col("gap_us") > THIRTY_MIN_US)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_gaps"))
+    )
+
+
+@contract(
+    "q_d7_bucket",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS bucket, event_type,
+               count(*) AS n, round(sum(value), 3) AS sum_value
+        FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+    survey_rows="D7,H2",
+    doc="preview down-sampling: fixed time-bucket aggregation",
+)
+def q_d7(spark, sf_dir):
+    ev = Catalog(spark, sf_dir).events
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("bucket"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 3).alias("sum_value"))
+
+
+@contract(
+    "q_d8_rollup",
+    oracle="""
+        SELECT r_name, n_name, count(*) AS n,
+               round(sum(c_acctbal), 2) AS sum_bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+    survey_rows="D8",
+    doc="multi-level summaries (per network / station / grand total)",
+)
+def q_d8(spark, sf_dir):
+    cat = Catalog(spark, sf_dir)
+    joined = cat.customer.join(
+        F.broadcast(cat.nation), cat.customer.c_nationkey == cat.nation.n_nationkey
+    ).join(F.broadcast(cat.region), cat.nation.n_regionkey == cat.region.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("c_acctbal"), 2).alias("sum_bal")
+    )
+
+
+@contract(
+    "q_d9_hist",
+    oracle="""
+        SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS n
+        FROM events GROUP BY CAST(floor(value / 50.0) AS BIGINT)
+    """,
+    survey_rows="D9,H11",
+    doc="histogram binning (magnitude-distribution shape)",
+)
+def q_d9(spark, sf_dir):
+    ev = Catalog(spark, sf_dir).events
+    return ev.groupBy(
+        F.expr("CAST(floor(value / 50.0) AS BIGINT)").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("n"))

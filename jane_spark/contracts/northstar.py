@@ -1,0 +1,323 @@
+"""§2.11 K — north-star extensions beyond the reference surface.
+
+Dedup (exact/MinHash/Jaccard/SimHash), similarity search, multimodal
+columns, text analysis — the large-scale training-data-pipeline
+operators required by BASELINE.json's north star. Spark-first designs
+in operators/dedup.py, operators/vector.py, functions/text.py,
+sources/multimodal.py; these contracts pin their semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jane_spark.contracts.registry import contract
+from jane_spark.engine.catalog import Catalog
+
+STOPWORDS = ["data", "table", "row", "value"]
+
+
+# ------------------------------------------------------------- similarity
+
+
+@contract(
+    "q_k3_vector_topk",
+    oracle="""
+        WITH pairs AS (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        r AS (SELECT *, row_number() OVER (
+                  PARTITION BY a_id ORDER BY sim DESC, b_id) AS rn
+              FROM pairs)
+        SELECT a_id, b_id, round(sim, 6) AS sim FROM r WHERE rn <= 5
+    """,
+    survey_rows="K3,C8",
+    doc="exact cosine top-5 per vector — numpy-GEMM block path "
+    "(operators.vector.block_topk); brute-force built-in path and LSH "
+    "scale path unit-tested separately",
+)
+def q_k3(spark, sf_dir):
+    from jane_spark.operators.vector import block_topk
+
+    emb = Catalog(spark, sf_dir).embeddings
+    return block_topk(emb, "vec_id", "embedding", k=5, round_dp=6)
+
+
+@contract(
+    "q_k3_lsh",
+    oracle=None,  # approximate candidate set — rows-only check
+    survey_rows="K3",
+    doc="the 100 TB similarity path: random-hyperplane LSH buckets → "
+    "equi-join candidates → exact re-rank (no cross product)",
+)
+def q_k3_lsh(spark, sf_dir):
+    from jane_spark.operators.vector import lsh_bucketed_topk
+
+    emb = Catalog(spark, sf_dir).embeddings
+    return lsh_bucketed_topk(emb, "vec_id", "embedding", k=5, dim=64)
+
+
+# ------------------------------------------------------------------ dedup
+
+
+@contract(
+    "q_k2_minhash",
+    oracle=None,  # LSH banding candidates — rows-only check
+    survey_rows="K2",
+    doc="near-duplicate text: shingle → MinHash → band → bucket equi-join "
+    "(operators.dedup) — the scalable near-dup shape",
+)
+def q_k2(spark, sf_dir):
+    from jane_spark.operators.dedup import minhash_candidate_pairs, minhash_signatures
+
+    docs = Catalog(spark, sf_dir).documents
+    sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=32, shingle=3)
+    pairs = minhash_candidate_pairs(sigs, "doc_id", n_hashes=32, bands=8)
+    return pairs.agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
+
+
+@contract(
+    "q_k2_jaccard",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, source,
+                   list_distinct(string_split(text, ' ')) AS toks
+            FROM documents),
+        e AS (
+            SELECT doc_id, source, len(toks) AS n_toks, unnest(toks) AS tok
+            FROM t),
+        p AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.n_toks AS na, b.n_toks AS nb, count(*) AS common
+            FROM e a
+            JOIN e b ON a.source = b.source AND a.tok = b.tok
+                    AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4)
+        SELECT id_a, id_b,
+               round(CAST(common AS DOUBLE) / (na + nb - common), 4) AS jaccard
+        FROM p
+        WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.9
+    """,
+    survey_rows="K2",
+    doc="exact n-gram Jaccard near-dup within a source partition — "
+    "token-inverted-index join, never all-pairs",
+)
+def q_k2j(spark, sf_dir):
+    docs = Catalog(spark, sf_dir).documents
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
+    )
+    e = t.select(
+        "doc_id", "source", F.size("toks").cast("long").alias("n_toks"),
+        F.explode("toks").alias("tok"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.n_toks").alias("na"),
+            F.col("b.n_toks").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("common")
+    )
+    return p.filter(jac >= 0.9).select(
+        "id_a", "id_b", F.round(jac, 4).alias("jaccard")
+    )
+
+
+@contract(
+    "q_k2_simhash",
+    oracle=None,  # hash-function-specific — rows-only check
+    survey_rows="K2",
+    doc="SimHash near-dup: 64-bit signature + 4-block pigeonhole banding",
+)
+def q_k2s(spark, sf_dir):
+    from jane_spark.operators.dedup import simhash, simhash_near_pairs
+
+    docs = Catalog(spark, sf_dir).documents
+    sig = simhash(docs, "doc_id", "text")
+    return simhash_near_pairs(sig, "doc_id", max_hamming=3).agg(
+        F.count(F.lit(1)).alias("n_near_pairs")
+    )
+
+
+# ------------------------------------------------------------------- text
+
+
+@contract(
+    "q_k4_tokens",
+    oracle="""
+        SELECT w AS word, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w ORDER BY n DESC, word LIMIT 20
+    """,
+    survey_rows="K4",
+    doc="tokenization + top-N corpus words",
+)
+def q_k4(spark, sf_dir):
+    docs = Catalog(spark, sf_dir).documents
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(20)
+    )
+
+
+@contract(
+    "q_k5_df",
+    oracle="""
+        WITH d AS (SELECT count(*) AS nd FROM documents),
+        w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+              FROM documents),
+        f AS (SELECT term, count(*) AS df FROM w GROUP BY term)
+        SELECT term, df, round(ln(CAST(nd AS DOUBLE) / df), 4) AS idf
+        FROM f, d WHERE df >= 0.6 * nd
+    """,
+    survey_rows="K5",
+    doc="document frequency / IDF (corpus stats for TF-IDF)",
+)
+def q_k5(spark, sf_dir):
+    docs = Catalog(spark, sf_dir).documents
+    nd = docs.agg(F.count(F.lit(1)).alias("nd"))
+    w = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("term"),
+    )
+    f = w.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        f.crossJoin(F.broadcast(nd))
+        .filter(F.col("df") >= 0.6 * F.col("nd"))
+        .select(
+            "term",
+            "df",
+            F.round(F.log(F.col("nd").cast("double") / F.col("df")), 4).alias("idf"),
+        )
+    )
+
+
+@contract(
+    "q_k6_lang",
+    oracle="""
+        SELECT lang, count(*) AS n, round(avg(n_chars), 4) AS avg_chars
+        FROM documents GROUP BY lang
+    """,
+    survey_rows="K6",
+    doc="per-language corpus stats (language filtering stage)",
+)
+def q_k6(spark, sf_dir):
+    docs = Catalog(spark, sf_dir).documents
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("n_chars"), 4).alias("avg_chars")
+    )
+
+
+@contract(
+    "q_t1_quality",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               round(CAST(length(text) - (len(string_split(text, ' ')) - 1)
+                          AS DOUBLE)
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)
+                   AS avg_tok_len,
+               round(CAST(len(list_filter(string_split(text, ' '),
+                                          x -> x IN ('data', 'table', 'row',
+                                                     'value'))) AS DOUBLE)
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)
+                   AS stop_ratio
+        FROM documents
+    """,
+    survey_rows="K4,K6",
+    doc="quality scoring: token/length/stopword features "
+    "(functions.text.quality_features)",
+)
+def q_t1(spark, sf_dir):
+    from jane_spark.functions.text import quality_features
+
+    docs = Catalog(spark, sf_dir).documents
+    q = quality_features(docs, "text", STOPWORDS)
+    return q.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "avg_tok_len",
+        "stop_ratio",
+    )
+
+
+@contract(
+    "q_t2_langid",
+    oracle=None,  # heuristic classifier — rows-only check
+    survey_rows="K6",
+    doc="language-ID heuristic (pandas UDF, functions.text)",
+)
+def q_t2(spark, sf_dir):
+    from jane_spark.functions.text import detect_language_udf
+
+    docs = Catalog(spark, sf_dir).documents
+    detect = detect_language_udf()
+    return (
+        docs.select(detect(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@contract(
+    "q_t3_fingerprint",
+    oracle=None,  # xxhash64 is Spark-specific — rows-only check
+    survey_rows="K1,K4",
+    doc="64-bit document fingerprint over the normalized token stream",
+)
+def q_t3(spark, sf_dir):
+    from jane_spark.functions.text import fingerprint64
+
+    docs = Catalog(spark, sf_dir).documents
+    return docs.select("doc_id", fingerprint64(F.col("text")).alias("fp")).groupBy().agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_distinct_fp"),
+    )
+
+
+@contract(
+    "q_k7_multimodal",
+    oracle=None,  # schema/plumbing smoke — rows-only check
+    survey_rows="K7",
+    doc="multimodal row shape: binary payload + typed metadata + vector; "
+    "feature extraction via Arrow-batched mapInPandas (decode stubbed — "
+    "no media libs in this container; sources/multimodal.py)",
+)
+def q_k7(spark, sf_dir):
+    from jane_spark.sources.multimodal import fake_feature_extract
+
+    cat = Catalog(spark, sf_dir)
+    table = (
+        cat.documents.join(
+            cat.embeddings, cat.documents.doc_id == cat.embeddings.vec_id
+        )
+        .select(
+            F.col("doc_id").alias("item_id"),
+            F.encode(F.col("text"), "UTF-8").alias("payload"),
+            F.lit("text/plain").alias("media_type"),
+            F.col("embedding"),
+        )
+    )
+    feats = fake_feature_extract(table.select("item_id", "payload"), "payload")
+    return feats.select(
+        "item_id", F.size("feat").alias("feat_dim")
+    ).groupBy("feat_dim").agg(F.count(F.lit(1)).alias("n_items"))

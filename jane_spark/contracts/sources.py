@@ -1,0 +1,124 @@
+"""§2.1 A — scans, sources, sinks contract queries.
+
+Reference capabilities: waveform/document ingest scans, sha-dedup blob
+store, FDSN text sink, incremental FS sync
+[ref: src/jane/waveforms/process_waveforms.py — process_file;
+src/jane/documents/models.py — Document;
+src/jane/fdsnws/views/station_1.py — format=text branch, conf=H/M;
+SURVEY.md §0 caveat: /root/reference was empty at survey time].
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jane_spark.contracts.registry import contract
+from jane_spark.engine.catalog import Catalog
+
+
+@contract(
+    "q_a1_scan_count",
+    oracle="SELECT count(*) AS n_rows FROM lineitem",
+    survey_rows="A1",
+    doc="full-scan count — the trace-record scan stand-in",
+)
+def q_a1(spark, sf_dir):
+    return Catalog(spark, sf_dir).lineitem.agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@contract(
+    "q_a2_explode",
+    oracle="""
+        SELECT count(*) AS n_vals, round(sum(v), 2) AS sum_val
+        FROM (SELECT unnest(embedding) AS v FROM embeddings)
+    """,
+    survey_rows="A2,J4",
+    doc="one-file→many-rows expansion (inventory→channels) as array explode",
+)
+def q_a2(spark, sf_dir):
+    emb = Catalog(spark, sf_dir).embeddings
+    return emb.select(F.explode("embedding").alias("v")).agg(
+        F.count(F.lit(1)).alias("n_vals"), F.round(F.sum("v"), 2).alias("sum_val")
+    )
+
+
+@contract(
+    "q_a4_sha_dedup",
+    oracle="""
+        SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    survey_rows="A4,H6,K1",
+    doc="content-hash dedup keeping first id (jane: sha1-unique uploads; "
+    "contract uses md5 — DuckDB 1.0 has no sha1)",
+)
+def q_a4(spark, sf_dir):
+    docs = Catalog(spark, sf_dir).documents
+    return docs.groupBy(F.md5(F.col("text")).alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+@contract(
+    "q_a6_binary_len",
+    oracle="""
+        SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS content_hash
+        FROM documents
+    """,
+    survey_rows="A6",
+    doc="binary payload handling: byte length + content hash per blob",
+)
+def q_a6(spark, sf_dir):
+    docs = Catalog(spark, sf_dir).documents
+    return docs.select(
+        "doc_id",
+        F.length(F.encode(F.col("text"), "UTF-8")).cast("long").alias("n_bytes"),
+        F.md5(F.col("text")).alias("content_hash"),
+    )
+
+
+@contract(
+    "q_a8_text_format",
+    oracle="""
+        SELECT concat_ws('|', n_name, r_name, CAST(n_nationkey AS VARCHAR)) AS line
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+    survey_rows="A8",
+    doc="FDSN text-format sink: pipe-separated rows",
+)
+def q_a8(spark, sf_dir):
+    cat = Catalog(spark, sf_dir)
+    joined = cat.nation.join(
+        F.broadcast(cat.region), cat.nation.n_regionkey == cat.region.r_regionkey
+    )
+    return joined.select(
+        F.concat_ws(
+            "|", "n_name", "r_name", F.col("n_nationkey").cast("string")
+        ).alias("line")
+    )
+
+
+@contract(
+    "q_a9_delta_anti",
+    oracle="""
+        SELECT c_custkey FROM customer
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate < TIMESTAMP '1995-07-01')
+    """,
+    survey_rows="A9,C6",
+    doc="incremental-sync delta: entities with no counterpart in the "
+    "previous snapshot (left anti) — mtime-window scoped so the delta "
+    "is non-empty at every sf",
+)
+def q_a9(spark, sf_dir):
+    cat = Catalog(spark, sf_dir)
+    early = cat.orders.filter(
+        "o_orderdate < TIMESTAMP_NTZ '1995-07-01 00:00:00'"
+    )
+    return cat.customer.join(
+        early, cat.customer.c_custkey == early.o_custkey, "left_anti"
+    ).select("c_custkey")

@@ -1,0 +1,107 @@
+"""§2.10 J — UDF/UDAF/UDTF surface contracts.
+
+jane's per-record Python logic (ObsPy parsing, preview computation) maps
+to Spark's Arrow-batched pandas-UDF family [ref:
+src/jane/waveforms/process_waveforms.py; plugin index(), conf=H;
+SURVEY.md §0 caveat]. Hot relational paths stay UDF-free; these rows
+prove the Python escape hatch works where it is genuinely needed.
+"""
+
+# NOTE: no `from __future__ import annotations` here — pandas_udf infers
+# its eval type from *runtime* type hints; stringified annotations break it.
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jane_spark.contracts.registry import contract
+from jane_spark.engine.catalog import Catalog
+
+
+@contract(
+    "q_j1_parse_files",
+    oracle=None,  # binaryFile + parser plumbing — rows-only check
+    survey_rows="J1,A1",
+    doc="per-file parse: binaryFile scan → mapInPandas parser → index rows "
+    "(sources/ingest.py; parser pluggable, ObsPy absent here)",
+)
+def q_j1(spark, sf_dir):
+    from jane_spark.sources.ingest import parse_files, scan_files
+
+    files = scan_files(spark, f"{sf_dir}/region.parquet")
+    parsed = parse_files(files)
+    return parsed.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_blocks"), F.sum("n_bytes").alias("total_bytes")
+    )
+
+
+@contract(
+    "q_j2_grouped_map",
+    oracle="""
+        SELECT event_id, user_id,
+               round(CASE WHEN stddev_samp(value) OVER w IS NULL
+                           OR stddev_samp(value) OVER w = 0 THEN NULL
+                          ELSE (value - avg(value) OVER w)
+                               / stddev_samp(value) OVER w END, 4)
+                   AS norm_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id)
+    """,
+    survey_rows="J2",
+    doc="grouped-map applyInPandas: per-channel trace ops (z-normalize "
+    "per user) vs the pure-SQL window twin",
+)
+def q_j2(spark, sf_dir):
+    ev = Catalog(spark, sf_dir).events
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("norm_value", T.DoubleType()),
+        ]
+    )
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf["value"].std()  # ddof=1 == stddev_samp
+        if pd.isna(std) or std == 0:
+            norm = pd.Series([None] * len(pdf), dtype="float64")
+        else:
+            norm = (pdf["value"] - pdf["value"].mean()) / std
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "norm_value": norm}
+        )
+
+    normalized = ev.groupBy("user_id").applyInPandas(normalize, out_schema)
+    return normalized.select(
+        "event_id", "user_id", F.round("norm_value", 4).alias("norm_value")
+    )
+
+
+@contract(
+    "q_j3_udaf",
+    oracle="""
+        SELECT event_type, round(avg(value), 4) AS mean_value, count(*) AS n
+        FROM events GROUP BY event_type
+    """,
+    survey_rows="J3",
+    doc="pandas GROUPED_AGG UDAF (custom reducer) vs built-in avg twin",
+)
+def q_j3(spark, sf_dir):
+    ev = Catalog(spark, sf_dir).events
+
+    @F.pandas_udf(T.DoubleType())
+    def pd_mean(v: pd.Series) -> float:
+        return float(v.mean())
+
+    @F.pandas_udf(T.LongType())
+    def pd_count(v: pd.Series) -> int:
+        return int(len(v))
+
+    # grouped-agg pandas UDFs cannot mix with non-pandas aggregates in
+    # one Aggregate — both reducers are pandas UDFs here
+    return ev.groupBy("event_type").agg(
+        F.round(pd_mean("value"), 4).alias("mean_value"),
+        pd_count("value").alias("n"),
+    )

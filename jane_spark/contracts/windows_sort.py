@@ -1,0 +1,135 @@
+"""§2.5 E + §2.6 F — window-function and sort/limit/top-k contracts.
+
+jane's orderby/limit params, paging, longestonly, cumulative coverage
+[ref: src/jane/fdsnws/views/event_1.py orderby/limit;
+dataselect_1.py longestonly, conf=H; SURVEY.md §0 caveat]. Every
+ordering carries an id tie-break — determinism rule (FIXTURES.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from jane_spark.contracts.registry import contract
+from jane_spark.engine.catalog import Catalog
+from jane_spark.operators.sessionize import with_gaps
+from jane_spark.operators.topk import argmax, paged, top_k_per_group
+
+
+@contract(
+    "q_e3_cumsum",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS running_total
+        FROM orders
+    """,
+    survey_rows="E3",
+    doc="running cumulative coverage per channel (explicit frame spec)",
+)
+def q_e3(spark, sf_dir):
+    orders = Catalog(spark, sf_dir).orders
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@contract(
+    "q_f1_order_limit",
+    oracle="""
+        SELECT event_id, event_type, value
+        FROM events ORDER BY value DESC, event_id LIMIT 100
+    """,
+    survey_rows="F1",
+    doc="fdsnws-event orderby=magnitude + limit; id tie-break",
+)
+def q_f1(spark, sf_dir):
+    ev = Catalog(spark, sf_dir).events
+    return (
+        ev.orderBy(F.col("value").desc(), F.col("event_id").asc())
+        .select("event_id", "event_type", "value")
+        .limit(100)
+    )
+
+
+@contract(
+    "q_f2_page",
+    oracle="""
+        SELECT o_orderkey, o_orderdate, o_totalprice
+        FROM (SELECT *, row_number() OVER (
+                  ORDER BY o_orderdate, o_orderkey) AS rn FROM orders)
+        WHERE rn > 100 AND rn <= 200
+    """,
+    survey_rows="F2",
+    doc="stable limit+offset paging (rows 101–200 of a total order)",
+)
+def q_f2(spark, sf_dir):
+    orders = Catalog(spark, sf_dir).orders
+    page = paged(
+        orders, [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()], 100, 100
+    )
+    return page.select("o_orderkey", "o_orderdate", "o_totalprice")
+
+
+@contract(
+    "q_f3_topk_group",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice, rn
+        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (
+                         PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders)
+        WHERE rn <= 3
+    """,
+    survey_rows="F3,E1",
+    doc="top-k per group (largest magnitude per region shape)",
+)
+def q_f3(spark, sf_dir):
+    orders = Catalog(spark, sf_dir).orders
+    top = top_k_per_group(
+        orders,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+    )
+    return top.select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+
+
+@contract(
+    "q_f4_longest",
+    oracle="""
+        WITH g AS (
+            SELECT user_id, event_id,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+            FROM events),
+        f AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY gap_us DESC, event_id) AS rn
+            FROM g WHERE gap_us IS NOT NULL)
+        SELECT user_id, event_id, gap_us FROM f WHERE rn = 1
+    """,
+    survey_rows="F4,D6",
+    doc="longestonly: argmax segment per channel (on a computed delta)",
+)
+def q_f4(spark, sf_dir):
+    ev = Catalog(spark, sf_dir).events
+    gaps = with_gaps(ev, "user_id", "ts", "event_id").filter(
+        F.col("gap_us").isNotNull()
+    )
+    longest = argmax(
+        gaps, ["user_id"], [F.col("gap_us").desc(), F.col("event_id").asc()]
+    )
+    return longest.select("user_id", "event_id", "gap_us")

@@ -1,0 +1,78 @@
+"""Table catalog over the driver's Parquet testdata.
+
+Maps the ten contract tables (TESTDATA.md / FIXTURES.md) to DataFrames with
+normalized types. One special case: ``events.ts`` is INT64 TIMESTAMP(NANOS)
+parquet, which PySpark 4.x cannot read natively — with
+``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as a nanosecond
+LONG which we convert to a microsecond TIMESTAMP_NTZ.
+
+The conversion uses integer division (``ts div 1000``), NOT float division:
+2024 epoch-nanos ≈ 1.7e18 > 2^53, so a double round-trip would corrupt the
+low digits. DuckDB truncates ns→µs on read the same way, which is what
+makes the value-hash comparison stable (SURVEY.md §7.4 risk 1).
+
+All timestamps in the catalog are TIMESTAMP_NTZ (naive/UTC) to match the
+DuckDB oracle exactly; the session timezone is pinned UTC regardless.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jane_spark.engine.session import configure
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+class Catalog:
+    """Lazy accessor for the contract tables under one sf directory.
+
+    ``Catalog(spark, "/root/testdata/sf0.01").events`` returns the
+    normalized events DataFrame. DataFrames are cached per-catalog (plan
+    reuse, not data caching — nothing is persisted).
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        configure(spark)
+        self.spark = spark
+        self.sf_dir = sf_dir.rstrip("/")
+        self._dfs: dict[str, DataFrame] = {}
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._dfs:
+            if name not in TABLES:
+                raise KeyError(f"unknown contract table: {name}")
+            df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
+            if name == "events":
+                df = _normalize_events(df)
+            self._dfs[name] = df
+        return self._dfs[name]
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TABLES:
+            return self.table(name)
+        raise AttributeError(name)
+
+
+def _normalize_events(df: DataFrame) -> DataFrame:
+    """nanosecond LONG (legacy read) -> microsecond TIMESTAMP_NTZ."""
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
+        df = df.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        )
+    elif ts_type.startswith("timestamp"):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    return df

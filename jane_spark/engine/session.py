@@ -1,0 +1,76 @@
+"""SparkSession factory with the engine's pinned configuration.
+
+SURVEY.md §4.3: the configs below are correctness-critical, not tuning:
+
+- ``spark.sql.session.timeZone=UTC`` — the DuckDB oracle runs naive/UTC
+  timestamps; jane's reference types (ObsPy UTCDateTime) are UTC.
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` — ``events.ts`` is INT64
+  TIMESTAMP(NANOS); PySpark 4.x otherwise raises PARQUET_TYPE_ILLEGAL.
+  The catalog converts nanos -> microsecond TIMESTAMP_NTZ on load.
+- Arrow on for every pandas-UDF path.
+- AQE on: runtime coalescing + skew-join handling is part of the
+  100 TB design (SURVEY.md §4.1).
+
+``configure(spark)`` applies the runtime-settable subset to an existing
+session — the driver owns its own SparkSession, so every contract query
+must be robust to a session we did not build.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs (safe to apply to a live session).
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # parquet scan parallelism at local scale; on a real cluster this is
+    # left at default (128 MB) — see bench notes.
+    "spark.sql.parquet.filterPushdown": "true",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply the engine's pinned runtime confs to an existing session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # non-settable on this build — the builder path pins it instead
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "jane_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine configuration.
+
+    Local test posture: ``local[$SPARK_GRAFT_CPUS]`` (default ``local[*]``),
+    shuffle partitions sized to cores — at cluster scale the shuffle
+    partition count is instead sized to data volume (AQE coalesces down).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return configure(builder.getOrCreate())

@@ -1,0 +1,38 @@
+"""Array/vector scalar surface (SURVEY.md §2 H8, K3).
+
+jane stores float arrays (waveform min/max previews); the north-star
+extension adds embedding vectors. Everything here uses Spark's
+higher-order functions (transform/aggregate/zip_with) — JVM-side,
+codegen-friendly, and with *sequential* accumulation order, which is
+what makes double-precision results reproducible against the DuckDB
+oracle's list_aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def array_sum(arr: Column) -> Column:
+    """Sequential left-fold sum of a float array, accumulated in double."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two float arrays, double accumulation."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; denominator as sqrt(na)*sqrt(nb) to mirror the
+    conventional formula (and DuckDB's list_cosine_similarity)."""
+    return dot(a, b) / (norm(a) * norm(b))

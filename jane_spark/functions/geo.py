@@ -1,0 +1,60 @@
+"""Geographic scalar surface (SURVEY.md §2 B8/B9, H5).
+
+jane's PostGIS usage is only ever point-in-bbox and point-in-radius
+(great-circle degrees, fdsnws ``minradius``/``maxradius``). Both are
+expressible with built-in column functions — they stay inside
+whole-stage codegen; no UDFs, no geometry library.
+
+Reference behavior: [ref: src/jane/fdsnws/views/station_1.py /
+event_1.py — radial + bbox params, conf=H; see SURVEY.md §0 for the
+citation caveat — /root/reference was empty at survey time].
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def bbox_predicate(
+    lat: Column,
+    lon: Column,
+    min_lat: float,
+    max_lat: float,
+    min_lon: float,
+    max_lon: float,
+) -> Column:
+    """fdsnws bounding-box filter: two between-predicates; at scale this
+    prunes parquet row groups via min/max stats on the lat/lon doubles."""
+    return lat.between(min_lat, max_lat) & lon.between(min_lon, max_lon)
+
+
+def great_circle_degrees(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Central angle in degrees between two points (haversine form).
+
+    Matches jane's fdsnws radial search semantics (radius in degrees of
+    arc, as the FDSN spec defines). Built-ins only: radians/sin/cos/
+    asin/sqrt/degrees — Catalyst codegens the whole expression.
+    """
+    dlat = F.radians(lat2) - F.radians(lat1)
+    dlon = F.radians(lon2) - F.radians(lon1)
+    h = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlon / 2) * F.sin(dlon / 2)
+    )
+    return F.degrees(2 * F.asin(F.sqrt(h)))
+
+
+def radial_predicate(
+    lat: Column,
+    lon: Column,
+    center_lat: float,
+    center_lon: float,
+    min_radius_deg: float,
+    max_radius_deg: float,
+) -> Column:
+    """fdsnws min/max-radius filter. For scale, callers should combine
+    with a cheap bbox pre-filter (radius r ⇒ lat within ±r) so parquet
+    stats pruning applies before the trig residual."""
+    d = great_circle_degrees(lat, lon, F.lit(float(center_lat)), F.lit(float(center_lon)))
+    return (d >= min_radius_deg) & (d <= max_radius_deg)

@@ -1,0 +1,106 @@
+"""Text-analysis surface (north-star: SURVEY.md §2 K4–K6 + pipeline ops).
+
+Everything here operates on the ``documents`` table shape
+(doc_id, text, lang, source, n_chars). Hot paths are built-in column
+functions (split/explode/higher-order) — JVM-side and codegen-friendly;
+language-ID is the one pandas-UDF (score tables don't vectorize well in
+SQL), batched via Arrow.
+NOTE: no `from __future__ import annotations` — pandas_udf infers its
+eval type from runtime type hints; stringified annotations break it.
+"""
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TOKEN_SPLIT = " "  # contract corpus is space-separated lowercase words
+
+# A BPE-ish fallback splitter for realistic text: words, numbers, or
+# single punctuation — used by token_count_bpe below.
+BPE_ISH_REGEX = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, TOKEN_SPLIT)
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count — the cheap length signal."""
+    return F.size(tokens(text))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """Approximate BPE token count: regexp-extract-all word/number/punct
+    pieces (a standard ~token-per-4-chars heuristic substitute)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_REGEX), 0))
+
+
+def stopword_ratio(text: Column, stopwords: list[str]) -> Column:
+    """Fraction of tokens in a stopword list — quality-scoring feature.
+    Higher-order filter keeps it JVM-side."""
+    toks = tokens(text)
+    arr = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return n_stop.cast("double") / F.size(toks).cast("double")
+
+
+def avg_token_len(text: Column) -> Column:
+    """Mean token length ((chars − separators) / tokens), in double."""
+    n = token_count(text)
+    return (F.length(text) - (n - F.lit(1))).cast("double") / n.cast("double")
+
+
+def quality_features(df: DataFrame, text_col: str, stopwords: "list[str]") -> DataFrame:
+    """Append standard quality-score features (length/stopword/token
+    stats) — the filter basis of an LLM training-data pipeline."""
+    t = F.col(text_col)
+    return (
+        df.withColumn("n_tokens", token_count(t))
+        .withColumn("avg_tok_len", F.round(avg_token_len(t), 4))
+        .withColumn("stop_ratio", F.round(stopword_ratio(t, stopwords), 4))
+    )
+
+
+def fingerprint64(text: Column) -> Column:
+    """64-bit document fingerprint: xxhash64 of the normalized token
+    stream (order-sensitive — a content id, not a similarity hash)."""
+    return F.xxhash64(F.concat_ws(" ", tokens(F.lower(text))))
+
+
+# ------------------------------------------------------------ language ID
+
+# character-frequency profiles for a tiny trigram-free heuristic;
+# deliberately simple and deterministic (the container has no langid lib).
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "de", "la", "los", "que"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "zh": [],  # CJK detected by codepoint range below
+}
+
+
+def detect_language_udf():
+    """pandas UDF: marker-word + codepoint-range language heuristic.
+    Returns 'und' when nothing matches — callers treat that as a filter
+    signal, mirroring a real pipeline's lang-ID stage."""
+    import pandas as pd
+
+    @F.pandas_udf(T.StringType())
+    def detect(texts: pd.Series) -> pd.Series:
+        def one(t: str) -> str:
+            if not t:
+                return "und"
+            if any("一" <= c <= "鿿" for c in t[:200]):
+                return "zh"
+            toks = set(t.lower().split()[:200])
+            best, best_hits = "und", 0
+            for lang, markers in _LANG_MARKERS.items():
+                hits = sum(1 for m in markers if m in toks)
+                if hits > best_hits:
+                    best, best_hits = lang, hits
+            return best
+
+        return texts.map(one)
+
+    return detect

@@ -1,0 +1,67 @@
+"""As-of resolution (SURVEY.md §2 C7): "which row was in effect at time t".
+
+jane resolves channel epochs / latest document versions in effect at a
+query time [ref: fdsnws station epoch matching + Document versioning,
+conf=M; SURVEY.md §0 caveat]. OSS Spark has no native as-of join; the
+naive translation (range join + argmax) shuffles the *pair explosion*.
+
+This implementation is the sort-based union trick — the scalable form:
+
+1. tag both inputs (probe rows and reference rows), union them;
+2. one shuffle: partition by key, sort by (ts, tag) — probes sort
+   *before* reference rows at equal ts, giving strict "prior" semantics;
+3. ``last(ref_value, ignorenulls)`` over rows unbounded-preceding →
+   each probe row sees the most recent earlier reference row;
+4. keep probe rows.
+
+Cost: ONE shuffle of |probe| + |ref| rows — no pair blowup, skew bounded
+by per-key cardinality. This is how you do an as-of join on 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    probe: DataFrame,
+    reference: DataFrame,
+    key: str,
+    ts: str,
+    ref_cols: list[str],
+    strict: bool = True,
+    suffix: str = "_ref",
+) -> DataFrame:
+    """For each probe row, attach the latest reference row with
+    ``ref.ts < probe.ts`` (strict) or ``<=`` (not strict), per key.
+
+    Probe rows with no prior reference row get NULLs (left semantics).
+    """
+    # probe tag 0 sorts first at equal ts when strict (ref not yet seen)
+    probe_tag, ref_tag = (0, 1) if strict else (2, 1)
+    p = probe.withColumn("__tag", F.lit(probe_tag))
+    for c in ref_cols:
+        p = p.withColumn(f"{c}{suffix}", F.lit(None).cast(dict(reference.dtypes)[c]))
+    r = reference.select(
+        F.col(key),
+        F.col(ts),
+        F.lit(ref_tag).alias("__tag"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in ref_cols],
+    )
+    p_cols = [c for c in p.columns if c != "__tag"]
+    unioned = p.select(*p_cols, "__tag").unionByName(
+        r.select(*[c for c in r.columns if c != "__tag"], "__tag"),
+        allowMissingColumns=True,
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned
+    for c in ref_cols:
+        filled = filled.withColumn(
+            f"{c}{suffix}", F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w)
+        )
+    return filled.filter(F.col("__tag") == probe_tag).drop("__tag")

@@ -1,0 +1,188 @@
+"""Deduplication operators (SURVEY.md §2 A4/D5/K1/K2 + north-star).
+
+jane dedups uploads by content sha1 (unique per document type) and
+resolves re-uploads to new versions [ref: src/jane/documents/models.py —
+Document sha1 + upload path, conf=M; SURVEY.md §0 caveat]. The
+north-star pipeline extends this to near-duplicate text detection at
+100 TB: MinHash banding (LSH) and SimHash, both expressed as DataFrame
+transformations whose joins are *equi* joins on bucket keys — never a
+pairwise cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from jane_spark.operators.topk import argmax
+
+
+# ------------------------------------------------------------ exact dedup
+
+
+def exact_dedup(
+    df: DataFrame,
+    content_col: str,
+    keep_order: list[Column],
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Content-hash dedup keeping the first row per hash under
+    ``keep_order`` (jane: sha1 unique + earliest wins; contract uses md5
+    because DuckDB 1.0 lacks sha1 — SURVEY.md §2 H6).
+
+    One shuffle on the hash. At 100 TB the hash groupBy is the cheapest
+    possible dedup: map-side partial aggregation does most of the work.
+    """
+    hashed = df.withColumn("__h", getattr(F, hash_fn)(F.col(content_col)))
+    return argmax(hashed, ["__h"], keep_order).drop("__h")
+
+
+def duplicate_groups(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """All hash groups with >1 member — the audit view of exact dedup."""
+    return (
+        df.groupBy(F.md5(F.col(content_col)).alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dupes"),
+            F.sort_array(F.collect_set(F.col(id_col))).alias("ids"),
+        )
+        .filter(F.col("n_dupes") > 1)
+    )
+
+
+# ------------------------------------------------------- near-dup: MinHash
+
+
+def _minhash_cols(token_array: Column, n_hashes: int) -> list[Column]:
+    """k independent min-hashes of a token array via xxhash64 with per-
+    function seeds. Higher-order functions only — JVM-side, no UDF."""
+    cols = []
+    for seed in range(n_hashes):
+        hashed = F.transform(token_array, lambda t: F.xxhash64(t, F.lit(seed)))
+        cols.append(F.array_min(hashed).alias(f"mh_{seed}"))
+    return cols
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 32, shingle: int = 3
+) -> DataFrame:
+    """Word-shingle MinHash signature per document.
+
+    shingles: k consecutive tokens joined — built with transform over a
+    sequence of start offsets, then min-hashed per hash function.
+    """
+    tokens = F.split(F.col(text_col), " ")
+    n = F.greatest(F.size(tokens) - (shingle - 1), F.lit(1))
+    shingles = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, shingle)),
+    )
+    return df.select(F.col(id_col), *_minhash_cols(shingles, n_hashes))
+
+
+def minhash_candidate_pairs(
+    sigs: DataFrame, id_col: str, n_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """LSH banding: split the signature into bands, hash each band to a
+    bucket, equi-join on (band, bucket) → candidate pairs. This is the
+    100 TB shape: shuffle keyed by band-bucket, never all-pairs."""
+    rows_per_band = n_hashes // bands
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+            f"band_{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(F.col(id_col), *band_cols)
+    melted = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = melted.alias("a")
+    b = melted.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=(
+                (F.col(f"a.band") == F.col(f"b.band"))
+                & (F.col(f"a.bucket") == F.col(f"b.bucket"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            ),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .dropDuplicates()
+    )
+    return pairs
+
+
+# ------------------------------------------------------- near-dup: SimHash
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document from word tokens: sum per-bit ±1 votes
+    of each token's xxhash64, take the sign bit-vector. Expressed with
+    explode + groupBy bit-votes (map-side combinable)."""
+    from functools import reduce
+
+    tokens = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    # bit i of each token hash via unsigned shift (no 1<<63 long literals —
+    # those overflow under ANSI arithmetic)
+    votes = [
+        F.sum(
+            F.when(F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = tokens.groupBy(id_col).agg(*votes)
+    bit_cols = [
+        F.when(
+            F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(bits)
+    ]
+    sig = agg.select(
+        F.col(id_col),
+        reduce(lambda a, b: a.bitwiseOR(b), bit_cols).alias("simhash"),
+    )
+    return sig
+
+
+def simhash_near_pairs(sig: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs within a Hamming radius via 4-block banding
+    (pigeonhole: ≤3 differing bits ⇒ at least one 16-bit block equal) —
+    equi-join per block, exact Hamming residual via bit_count(xor)."""
+    blocks = [
+        F.shiftrightunsigned(F.col("simhash"), 16 * b)
+        .bitwiseAND(F.lit(0xFFFF))
+        .alias(f"blk_{b}")
+        for b in range(4)
+    ]
+    b_df = sig.select(id_col, "simhash", *blocks)
+    out = None
+    for b in range(4):
+        a = b_df.alias("a")
+        c = b_df.alias("b")
+        p = a.join(
+            c,
+            on=(
+                (F.col(f"a.blk_{b}") == F.col(f"b.blk_{b}"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            ),
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        out = p if out is None else out.unionByName(p)
+    return out.filter(F.col("hamming") <= max_hamming).dropDuplicates(["id_a", "id_b"])

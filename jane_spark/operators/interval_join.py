@@ -1,0 +1,80 @@
+"""Interval-overlap join (SURVEY.md §2 C4, §4.2.1).
+
+jane's dataselect matches request windows [s, e) against trace index rows
+[starttime, endtime) with the classic overlap predicate
+``starttime < e AND endtime > s``
+[ref: src/jane/fdsnws/views/dataselect_1.py — index query, conf=H;
+SURVEY.md §0 caveat]. PostgreSQL uses a B-tree; Catalyst given a pure
+non-equi join plans BroadcastNestedLoop — quadratic when neither side is
+small, and OSS Spark has no range-join strategy.
+
+Scale answer (this module): **band bucketing** — a DataFrame-level
+rewrite, no engine surgery:
+
+1. pick a bin width (caller-supplied: the typical interval length);
+2. explode each interval into the sequence of fixed-width time bins it
+   covers (``sequence()`` + ``explode`` — JVM built-ins);
+3. equi-join on the bin id  → shuffle-hash/sort-merge, *linear* in data;
+4. re-apply the exact overlap predicate as a residual filter;
+5. drop duplicate (left, right) pairs that co-occurred in >1 bin.
+
+At 100 TB the bin join partitions by (bin), so each task sees one time
+slice; skewed hot bins are handled by AQE skew-join splitting. Long
+intervals spanning many bins amplify rows — choose bin_width ≥ the P99
+interval length so amplification stays O(1) per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bin_ids(start: Column, end: Column, bin_width_us: int) -> Column:
+    """All bin ids a [start,end) µs-interval touches (inclusive ends)."""
+    return F.sequence(
+        (start / F.lit(bin_width_us)).cast("long"),
+        (end / F.lit(bin_width_us)).cast("long"),
+    )
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_width: str = "1 hour",
+    extra_on: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join rows whose [start, end) timestamp intervals overlap.
+
+    ``extra_on`` adds equi-join keys (e.g. SEED network/station) that
+    co-partition the shuffle further. Column-name collisions must be
+    resolved by the caller (standard Spark join hygiene).
+    """
+    widths = {
+        "1 minute": 60_000_000,
+        "1 hour": 3_600_000_000,
+        "1 day": 86_400_000_000,
+    }
+    bin_us = widths.get(bin_width)
+    if bin_us is None:
+        raise ValueError(f"bin_width must be one of {sorted(widths)}")
+
+    lus_s = F.unix_micros(F.col(left_start).cast("timestamp"))
+    lus_e = F.unix_micros(F.col(left_end).cast("timestamp"))
+    rus_s = F.unix_micros(F.col(right_start).cast("timestamp"))
+    rus_e = F.unix_micros(F.col(right_end).cast("timestamp"))
+
+    lb = left.withColumn("__bin", F.explode(_bin_ids(lus_s, lus_e, bin_us)))
+    rb = right.withColumn("__bin", F.explode(_bin_ids(rus_s, rus_e, bin_us)))
+
+    on = ["__bin"] + (extra_on or [])
+    joined = lb.join(rb, on=on, how=how)
+    residual = (F.col(left_start) < F.col(right_end)) & (
+        F.col(left_end) > F.col(right_start)
+    )
+    return joined.filter(residual).drop("__bin").dropDuplicates()

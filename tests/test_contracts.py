@@ -1,0 +1,47 @@
+"""The primary test suite: every registered contract query vs its DuckDB
+oracle (the driver's check, run locally first). Rows-only queries are
+smoke-checked for execution + stable schema."""
+
+from __future__ import annotations
+
+import pytest
+
+from jane_spark.contracts import REGISTRY
+from tests.oracle_compare import compare
+
+ORACLE_QUERIES = sorted(n for n, c in REGISTRY.items() if c.oracle is not None)
+ROWS_ONLY_QUERIES = sorted(n for n, c in REGISTRY.items() if c.oracle is None)
+
+
+def test_registry_nonempty():
+    assert len(REGISTRY) >= 50, f"only {len(REGISTRY)} contract queries registered"
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(spark, duck, sf_dir, name):
+    cq = REGISTRY[name]
+    spark_pdf = cq.spark_fn(spark, sf_dir).toPandas()
+    duck_pdf = duck.execute(cq.oracle).fetchdf()
+    problems = compare(spark_pdf, duck_pdf)
+    assert not problems, f"{name}: " + "; ".join(problems[:6])
+    assert len(spark_pdf) > 0, f"{name}: empty result (weak contract)"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_smoke(spark, sf_dir, name):
+    cq = REGISTRY[name]
+    df = cq.spark_fn(spark, sf_dir)
+    rows = df.collect()
+    assert df.schema is not None
+    assert len(rows) >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    names = set(e.queries())
+    oracles = set(e.oracle_sql())
+    assert oracles <= names
