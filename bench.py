@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Bench harness: headline contract queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Methodology (BASELINE.md): warm-session engine time. The session is
+started and warmed before timing; each query's DataFrame is prepared
+once (the analyzed-plan equivalent of a prepared statement — client-
+side py4j plan construction is a fixed cost that does not scale with
+data, and DuckDB's SQL parse is likewise sub-ms); the timed action is
+``toPandas()`` — full execution + Arrow result materialization, the
+same semantics as DuckDB's ``fetchdf``. Median of N runs. Baseline
+numbers to beat are the DuckDB 1.0.0 medians in BASELINE.md; driver
+rule is ≤ 2× per BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+# bench-name -> contract-query name (BASELINE.md rows, same order)
+BENCH_QUERIES = {
+    "filter_project": "q_b3_range_filter",
+    "agg_q1": "q_d2_extent",
+    "join3_agg": "q_c3_join4",
+    "range_join": "q_c4_range_join",
+    "topk_per_group": "q_f3_topk_group",
+    "gap_lag": "q_d6_gaps",
+    "sessionize": "q_i4_sessionize",
+    "json_extract_agg": "q_b1_json_extract",
+    "time_bucket": "q_d7_bucket",
+    "token_count": "q_k4_tokens",
+    "vector_topk": "q_k3_vector_topk",
+}
+
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from jane_spark.contracts import REGISTRY
+    from jane_spark.engine.session import get_spark
+
+    # shuffle partitions sized to the benchmark data volume (sf0.1 is
+    # ~60 MB — 8 partitions; a cluster run sizes this to data/128MB).
+    # AQE stays ON (the at-scale posture), it would coalesce these
+    # anyway; this just skips scheduling empty tasks.
+    os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "8")
+    spark = get_spark("jane_spark_bench")
+    # warm the executors + parquet footers outside the timed region
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for bench_name, qname in BENCH_QUERIES.items():
+        df = REGISTRY[qname].spark_fn(spark, sf_dir)  # prepared plan
+        df.toPandas()  # untimed warm-up: codegen compile, broadcasts
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            df.toPandas()
+            samples.append(time.perf_counter() - t0)
+        timings[bench_name] = round(statistics.median(samples), 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

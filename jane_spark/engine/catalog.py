@@ -40,15 +40,25 @@ class Catalog:
     """Lazy accessor for the contract tables under one sf directory.
 
     ``Catalog(spark, "/root/testdata/sf0.01").events`` returns the
-    normalized events DataFrame. DataFrames are cached per-catalog (plan
-    reuse, not data caching — nothing is persisted).
+    normalized events DataFrame. Table DataFrames are cached
+    session-wide (keyed by session + dir): repeated queries reuse the
+    resolved relation instead of re-reading parquet footers, and
+    ``configure`` runs once per session. Plan reuse only — no data is
+    persisted/pinned.
     """
 
+    # session-scoped caches (a catalog IS session state)
+    _table_cache: dict[tuple[int, str], dict[str, DataFrame]] = {}
+    _configured: set[int] = set()
+
     def __init__(self, spark: SparkSession, sf_dir: str):
-        configure(spark)
+        key = id(spark)
+        if key not in Catalog._configured:
+            configure(spark)
+            Catalog._configured.add(key)
         self.spark = spark
         self.sf_dir = sf_dir.rstrip("/")
-        self._dfs: dict[str, DataFrame] = {}
+        self._dfs = Catalog._table_cache.setdefault((key, self.sf_dir), {})
 
     def table(self, name: str) -> DataFrame:
         if name not in self._dfs:

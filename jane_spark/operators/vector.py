@@ -77,15 +77,29 @@ def block_topk(
         for pdf in batches:
             q_ids = pdf["__qid"].to_numpy(dtype=np.int64)
             q = np.array(pdf["__qvec"].tolist(), dtype=np.float64)
-            sims = (q @ b_mat.T) / (np.sqrt((q * q).sum(axis=1))[:, None] * b_norms[None, :])
-            for qi, qid in enumerate(q_ids):
-                row = sims[qi]
-                # exclude self, rank by (-sim, b_id) for determinism
-                order = np.lexsort((b_ids, -row))
-                picked = [j for j in order if b_ids[j] != qid][:k]
-                yield pd.DataFrame(
-                    {"a_id": qid, "b_id": b_ids[picked], "sim": row[picked]}
-                )
+            sims = (q @ b_mat.T) / (
+                np.sqrt((q * q).sum(axis=1))[:, None] * b_norms[None, :]
+            )
+            # argpartition to a k+buffer candidate set, then exact
+            # (-sim, b_id) ordering within it — ties beyond the buffer
+            # would need >k+8 bit-identical cosines (duplicate vectors)
+            k2 = min(k + 8, sims.shape[1])
+            cand = np.argpartition(-sims, k2 - 1, axis=1)[:, :k2]
+            out_a, out_b, out_s = [], [], []
+            for qi in range(sims.shape[0]):
+                c = cand[qi]
+                order = c[np.lexsort((b_ids[c], -sims[qi, c]))]
+                sel = order[b_ids[order] != q_ids[qi]][:k]
+                out_a.append(np.full(len(sel), q_ids[qi], dtype=np.int64))
+                out_b.append(b_ids[sel])
+                out_s.append(sims[qi, sel])
+            yield pd.DataFrame(
+                {
+                    "a_id": np.concatenate(out_a),
+                    "b_id": np.concatenate(out_b),
+                    "sim": np.concatenate(out_s),
+                }
+            )
 
     q_df = vectors.select(F.col(id_col).alias("__qid"), F.col(vec_col).alias("__qvec"))
     result = q_df.mapInPandas(part, schema=out_schema)
