@@ -87,6 +87,8 @@ def parse_params(params: dict[str, str], meta: dict[str, str]) -> list[Triple]:
             raise ValueError(f"unknown meta type {typ!r} for {field}")
         if typ == "str" and op == "eq":
             items = [s for s in str(raw).split(",") if s != ""]
+            if not items:
+                continue  # empty param == no constraint (jane drops blanks)
             triples.append(Triple(field, "eq", items))
         else:
             if op != "eq" and typ == "str":

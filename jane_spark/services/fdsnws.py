@@ -1,0 +1,274 @@
+"""FDSN web-service analogues (SURVEY.md §3.1/§3.2): the three standard
+services jane exposes — station, event, dataselect — re-expressed as
+DataFrame transformations over the typed index tables.
+
+Reference behavior [ref: src/jane/fdsnws/views/station_1.py,
+event_1.py, dataselect_1.py, conf=H on the parameter surface (it is the
+published FDSN web-service spec jane implements); SURVEY.md §0 caveat].
+
+Everything funnels through the predicate compiler for SEED-id/typed
+params; geographic and interval-overlap predicates are added on top.
+No UDFs anywhere — the full filter tree reaches the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from jane_spark.functions.geo import bbox_predicate, radial_predicate
+from jane_spark.operators.topk import argmax, paged
+from jane_spark.plans.predicates import compile_params
+
+SEED_FIELDS = ("network", "station", "location", "channel")
+_SEED_META = {f: "str" for f in SEED_FIELDS}
+
+_GEO_PARAMS = (
+    "minlatitude", "maxlatitude", "minlongitude", "maxlongitude",
+    "latitude", "longitude", "minradius", "maxradius",
+)
+STATION_PARAMS = frozenset(
+    SEED_FIELDS + _GEO_PARAMS + (
+        "starttime", "endtime",
+        "startbefore", "startafter", "endbefore", "endafter",
+        "matchtimeseries", "level", "format",
+    )
+)
+EVENT_PARAMS = frozenset(
+    _GEO_PARAMS + (
+        "starttime", "endtime", "minmagnitude", "maxmagnitude",
+        "mindepth", "maxdepth", "eventtype", "includerestricted",
+        "orderby", "limit", "offset", "format",
+    )
+)
+DATASELECT_PARAMS = frozenset(
+    SEED_FIELDS + (
+        "starttime", "endtime", "quality", "minimumlength", "longestonly",
+    )
+)
+
+
+def _validate(params: dict[str, str], allowed: frozenset, service: str) -> None:
+    """jane/FDSN reject unknown query parameters rather than silently
+    ignoring them — a typo'd constraint must not widen the result."""
+    unknown = sorted(set(params) - allowed)
+    if unknown:
+        raise KeyError(
+            f"unknown {service} parameter(s): {', '.join(unknown)}; "
+            f"supported: {', '.join(sorted(allowed))}"
+        )
+
+
+def _seed_predicate(params: dict[str, str]) -> Column:
+    """SEED-id wildcard-list params (net/sta/loc/cha). FDSN convention:
+    ``--`` (and the empty item) means blank location (H10) — handled as
+    an explicit ``location = ''`` alternative ORed with the rest, since
+    the compiler treats empty list items as absent."""
+    from functools import reduce
+
+    clauses: list[Column] = []
+    for f in SEED_FIELDS:
+        if f in params and params[f] != "":
+            if f == "location":
+                items = ["" if x == "--" else x for x in params[f].split(",")]
+                rest = [x for x in items if x != ""]
+                c: Column | None = None
+                if rest:
+                    c = compile_params({f: ",".join(rest)}, _SEED_META)
+                if len(rest) < len(items):  # at least one blank requested
+                    blank = F.col("location") == ""
+                    c = blank if c is None else (c | blank)
+                if c is not None:
+                    clauses.append(c)
+            else:
+                clauses.append(compile_params({f: params[f]}, _SEED_META))
+    if not clauses:
+        return F.lit(True)
+    return reduce(lambda a, b: a & b, clauses)
+
+
+def _geo_predicate(params: dict[str, str], lat: str, lon: str) -> Column:
+    p = F.lit(True)
+    if any(k in params for k in ("minlatitude", "maxlatitude", "minlongitude", "maxlongitude")):
+        p = p & bbox_predicate(
+            F.col(lat),
+            F.col(lon),
+            float(params.get("minlatitude", -90.0)),
+            float(params.get("maxlatitude", 90.0)),
+            float(params.get("minlongitude", -180.0)),
+            float(params.get("maxlongitude", 180.0)),
+        )
+    if "latitude" in params and "longitude" in params:
+        p = p & radial_predicate(
+            F.col(lat),
+            F.col(lon),
+            float(params["latitude"]),
+            float(params["longitude"]),
+            float(params.get("minradius", 0.0)),
+            float(params.get("maxradius", 180.0)),
+        )
+    return p
+
+
+# ------------------------------------------------------------- station
+
+
+def station_query(
+    channels: DataFrame,
+    params: dict[str, str],
+    traces: DataFrame | None = None,
+) -> DataFrame:
+    """fdsnws-station at channel level over the stationxml index.
+
+    Epoch semantics: starttime/endtime select epochs OVERLAPPING the
+    request window (open end_date = ∞, H10); startbefore/startafter/
+    endbefore/endafter filter the epoch edges. ``matchtimeseries=true``
+    keeps only channels with waveform coverage (left semi join, C5).
+    """
+    _validate(params, STATION_PARAMS, "fdsnws-station")
+    p = _seed_predicate(params) & _geo_predicate(params, "latitude", "longitude")
+    if "starttime" in params:
+        s = F.to_timestamp(F.lit(params["starttime"])).cast("timestamp_ntz")
+        p = p & (F.col("end_date").isNull() | (F.col("end_date") > s))
+    if "endtime" in params:
+        e = F.to_timestamp(F.lit(params["endtime"])).cast("timestamp_ntz")
+        p = p & (F.col("start_date") < e)
+    edges = {
+        "startbefore": ("start_date", "__lt__"),
+        "startafter": ("start_date", "__gt__"),
+        "endbefore": ("end_date", "__lt__"),
+        "endafter": ("end_date", "__gt__"),
+    }
+    for key, (col, op) in edges.items():
+        if key in params:
+            v = F.to_timestamp(F.lit(params[key])).cast("timestamp_ntz")
+            p = p & getattr(F.col(col), op)(v)
+    out = channels.filter(p)
+    if params.get("matchtimeseries", "").lower() == "true" and traces is not None:
+        out = out.join(
+            traces.select(*SEED_FIELDS).dropDuplicates(), on=list(SEED_FIELDS), how="left_semi"
+        )
+    return out.orderBy("network", "station", "location", "channel", "start_date")
+
+
+def station_text(channels: DataFrame) -> DataFrame:
+    """FDSN text format (A8): one pipe-separated line per channel epoch."""
+    return channels.select(
+        F.concat_ws(
+            "|",
+            "network",
+            "station",
+            "location",
+            "channel",
+            F.col("latitude").cast("string"),
+            F.col("longitude").cast("string"),
+            F.col("elevation_in_m").cast("string"),
+            F.col("sensor_type"),
+            F.date_format("start_date", "yyyy-MM-dd'T'HH:mm:ss"),
+            F.coalesce(
+                F.date_format("end_date", "yyyy-MM-dd'T'HH:mm:ss"), F.lit("")
+            ),
+        ).alias("line")
+    )
+
+
+# --------------------------------------------------------------- event
+
+
+_EVENT_RANGE = {
+    "minmagnitude": ("magnitude", "__ge__"),
+    "maxmagnitude": ("magnitude", "__le__"),
+    "mindepth": ("depth_in_m", "__ge__"),
+    "maxdepth": ("depth_in_m", "__le__"),
+}
+
+
+def event_query(events: DataFrame, params: dict[str, str]) -> DataFrame:
+    """fdsnws-event over the quakeml index: time/magnitude/depth/geo
+    filters, visibility, orderby time|time-asc|magnitude|magnitude-asc
+    (id tie-break), limit+offset paging."""
+    _validate(params, EVENT_PARAMS, "fdsnws-event")
+    p = _geo_predicate(params, "latitude", "longitude")
+    if "starttime" in params:
+        p = p & (
+            F.col("origin_time")
+            >= F.to_timestamp(F.lit(params["starttime"])).cast("timestamp_ntz")
+        )
+    if "endtime" in params:
+        p = p & (
+            F.col("origin_time")
+            <= F.to_timestamp(F.lit(params["endtime"])).cast("timestamp_ntz")
+        )
+    for key, (col, op) in _EVENT_RANGE.items():
+        if key in params:
+            p = p & getattr(F.col(col), op)(F.lit(float(params[key])))
+    if "eventtype" in params:
+        p = p & F.col("event_type").isin(params["eventtype"].split(","))
+    if params.get("includerestricted", "false").lower() != "true":
+        p = p & (F.col("public") == True)  # noqa: E712  (B12 visibility)
+    out = events.filter(p)
+
+    orderby = params.get("orderby", "time")
+    order = {
+        "time": [F.col("origin_time").desc(), F.col("quakeml_id").asc()],
+        "time-asc": [F.col("origin_time").asc(), F.col("quakeml_id").asc()],
+        "magnitude": [F.col("magnitude").desc(), F.col("quakeml_id").asc()],
+        "magnitude-asc": [F.col("magnitude").asc(), F.col("quakeml_id").asc()],
+    }[orderby]
+    limit = int(params.get("limit", 0))
+    offset = int(params.get("offset", 0))
+    if limit:
+        return paged(out, order, offset, limit)
+    return out.orderBy(*order)
+
+
+# ----------------------------------------------------------- dataselect
+
+
+def dataselect_query(traces: DataFrame, params: dict[str, str]) -> DataFrame:
+    """fdsnws-dataselect index phase (§3.2 stages 1–2): resolve the
+    trace-index rows to cut, with SEED wildcards, request-window overlap
+    (B7), quality, minimumlength, longestonly (F4). The returned rows
+    carry (file_id, pos) so the cut phase reads only matched files."""
+    _validate(params, DATASELECT_PARAMS, "fdsnws-dataselect")
+    p = _seed_predicate(params)
+    if "quality" in params and params["quality"] not in ("B", "M"):  # B/M = all
+        p = p & (F.col("quality") == params["quality"])
+    s = e = None
+    if "starttime" in params:
+        s = F.to_timestamp(F.lit(params["starttime"])).cast("timestamp_ntz")
+        p = p & (F.col("endtime") > s)
+    if "endtime" in params:
+        e = F.to_timestamp(F.lit(params["endtime"])).cast("timestamp_ntz")
+        p = p & (F.col("starttime") < e)
+    out = traces.filter(p)
+    if "minimumlength" in params:
+        out = out.filter(F.col("duration") >= float(params["minimumlength"]))
+    if params.get("longestonly", "").lower() == "true":
+        out = argmax(
+            out,
+            list(SEED_FIELDS),
+            [F.col("duration").desc(), F.col("starttime").asc()],
+        )
+    # effective cut window per segment (trim bounds for the reader)
+    if s is not None:
+        out = out.withColumn("cut_start", F.greatest(F.col("starttime"), s))
+    else:
+        out = out.withColumn("cut_start", F.col("starttime"))
+    if e is not None:
+        out = out.withColumn("cut_end", F.least(F.col("endtime"), e))
+    else:
+        out = out.withColumn("cut_end", F.col("endtime"))
+    return out.orderBy("network", "station", "location", "channel", "starttime")
+
+
+def availability_extent(traces: DataFrame) -> DataFrame:
+    """Per-channel availability extent (D2): the fdsnws-availability
+    'extent' shape jane surfaces in its UI."""
+    return traces.groupBy(*SEED_FIELDS).agg(
+        F.min("starttime").alias("earliest"),
+        F.max("endtime").alias("latest"),
+        F.sum("npts").alias("total_samples"),
+        F.round(F.sum("duration"), 3).alias("total_seconds"),
+        F.count(F.lit(1)).alias("n_segments"),
+    )

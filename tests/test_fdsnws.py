@@ -1,0 +1,215 @@
+"""Golden tests for the FDSN web-service analogues over the reference-
+shaped fixtures (SURVEY.md §5.2.3 — mirrors jane's golden-XML habit with
+golden row sets / text lines)."""
+
+from __future__ import annotations
+
+import pytest
+
+from jane_spark.services.fdsnws import (
+    availability_extent,
+    dataselect_query,
+    event_query,
+    station_query,
+    station_text,
+)
+from jane_spark.testing.fixtures import channel_index, event_index, trace_index
+
+
+@pytest.fixture(scope="module")
+def channels(spark):
+    return channel_index(spark)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return event_index(spark)
+
+
+@pytest.fixture(scope="module")
+def traces(spark):
+    return trace_index(spark)
+
+
+def _ids(df, *cols):
+    return [tuple(r[c] for c in cols) for r in df.collect()]
+
+
+# --------------------------------------------------------------- station
+
+
+def test_station_wildcards(channels):
+    got = _ids(
+        station_query(channels, {"network": "B*", "channel": "EH?"}),
+        "network", "station", "channel",
+    )
+    assert got == [
+        ("BW", "ALTM", "EHE"),
+        ("BW", "ALTM", "EHN"),
+        ("BW", "ALTM", "EHZ"),
+    ]
+
+
+def test_station_epoch_overlap_open_end(channels):
+    # window starting 2016: the 2010–2015 EHE/EHN epochs must drop,
+    # open-ended epochs stay (end_date NULL = ∞)
+    got = _ids(
+        station_query(
+            channels, {"network": "BW", "starttime": "2016-01-01T00:00:00"}
+        ),
+        "station", "channel",
+    )
+    assert got == [("ALTM", "EHZ"), ("MANZ", "BHZ")]
+
+
+def test_station_edge_filters(channels):
+    got = _ids(
+        station_query(channels, {"startafter": "2009-01-01T00:00:00",
+                                 "startbefore": "2012-01-01T00:00:00"}),
+        "network", "station", "channel",
+    )
+    assert got == [
+        ("BW", "ALTM", "EHE"),
+        ("BW", "ALTM", "EHN"),
+        ("IU", "ANMO", "BHZ"),
+    ]
+
+
+def test_station_bbox_and_radius(channels):
+    boxed = station_query(
+        channels,
+        {"minlatitude": "48", "maxlatitude": "50",
+         "minlongitude": "11", "maxlongitude": "13"},
+    )
+    assert {r["station"] for r in boxed.collect()} == {"ALTM", "MANZ", "FUR"}
+    radial = station_query(
+        channels,
+        {"latitude": "48.0", "longitude": "11.0", "maxradius": "2.0"},
+    )
+    # MANZ is ~2.11° great-circle from (48, 11) — just outside
+    assert {r["station"] for r in radial.collect()} == {"ALTM", "FUR"}
+
+
+def test_station_blank_location_convention(channels):
+    dashes = station_query(channels, {"location": "--"})
+    assert {r["location"] for r in dashes.collect()} == {""}
+    coded = station_query(channels, {"location": "00"})
+    assert {r["location"] for r in coded.collect()} == {"00"}
+    both = station_query(channels, {"location": "--,10"})
+    assert {r["location"] for r in both.collect()} == {"", "10"}
+
+
+def test_station_matchtimeseries(channels, traces):
+    got = station_query(channels, {"matchtimeseries": "true"}, traces=traces)
+    # IU.ANMO has no waveform coverage; BW.ALTM EHN has no traces either
+    assert {(r["network"], r["station"], r["channel"]) for r in got.collect()} == {
+        ("BW", "ALTM", "EHE"),
+        ("BW", "ALTM", "EHZ"),
+        ("BW", "MANZ", "BHZ"),
+        ("GR", "FUR", "BHZ"),
+        ("GR", "FUR", "LHZ"),
+    }
+
+
+def test_station_text_golden(channels):
+    lines = [
+        r["line"]
+        for r in station_text(
+            station_query(channels, {"network": "GR", "channel": "BHZ"})
+        ).collect()
+    ]
+    assert lines == [
+        "GR|FUR||BHZ|48.163|11.275|565.0|Streckeisen STS-2|2001-01-01T00:00:00|"
+    ]
+
+
+# ----------------------------------------------------------------- event
+
+
+def test_event_magnitude_orderby_tie(events):
+    got = _ids(
+        event_query(events, {"minmagnitude": "5.0", "orderby": "magnitude"}),
+        "quakeml_id", "magnitude",
+    )
+    # 6.8 first; the 5.5 tie breaks by id
+    assert got == [
+        ("quakeml:eu/ev005", 6.8),
+        ("quakeml:eu/ev002", 5.5),
+        ("quakeml:eu/ev003", 5.5),
+    ]
+
+
+def test_event_visibility_default(events):
+    got = event_query(events, {})
+    assert all(r["public"] for r in got.collect())
+    everything = event_query(events, {"includerestricted": "true"})
+    assert everything.count() == 6
+
+
+def test_event_time_window_paging(events):
+    got = _ids(
+        event_query(
+            events,
+            {"starttime": "2023-02-01T00:00:00", "endtime": "2023-06-01T00:00:00",
+             "orderby": "time-asc", "limit": "2", "offset": "1",
+             "includerestricted": "true"},
+        ),
+        "quakeml_id",
+    )
+    assert got == [("quakeml:eu/ev003",), ("quakeml:eu/ev004",)]
+
+
+def test_event_type_filter(events):
+    got = event_query(
+        events, {"eventtype": "quarry blast,volcanic eruption",
+                 "includerestricted": "true"}
+    )
+    assert {r["quakeml_id"] for r in got.collect()} == {
+        "quakeml:eu/ev004", "quakeml:eu/ev006",
+    }
+
+
+# ------------------------------------------------------------ dataselect
+
+
+def test_dataselect_window_and_cut_bounds(traces):
+    got = dataselect_query(
+        traces,
+        {"network": "BW", "station": "ALTM", "channel": "EH?",
+         "starttime": "2023-01-01T05:00:00", "endtime": "2023-01-01T09:00:00"},
+    ).collect()
+    by_seg = {(r["channel"], r["pos"]): (r["cut_start"], r["cut_end"]) for r in got}
+    # EHE segment 0 trimmed at the right edge, segment 1 at the left
+    assert str(by_seg[("EHE", 0)][0]) == "2023-01-01 05:00:00"
+    assert str(by_seg[("EHE", 0)][1]) == "2023-01-01 06:00:00"
+    assert str(by_seg[("EHE", 1)][0]) == "2023-01-01 08:00:00"
+    assert str(by_seg[("EHE", 1)][1]) == "2023-01-01 09:00:00"
+    # EHZ continuous segment trimmed both edges
+    assert str(by_seg[("EHZ", 0)][0]) == "2023-01-01 05:00:00"
+    assert str(by_seg[("EHZ", 0)][1]) == "2023-01-01 09:00:00"
+
+
+def test_dataselect_longestonly(traces):
+    got = dataselect_query(
+        traces, {"network": "BW", "station": "MANZ", "longestonly": "true"}
+    ).collect()
+    assert len(got) == 1 and got[0]["file_id"] == 3  # 45000 s segment wins
+
+
+def test_dataselect_quality(traces):
+    got = dataselect_query(traces, {"quality": "R"}).collect()
+    assert {r["file_id"] for r in got} == {4}
+    all_q = dataselect_query(traces, {"quality": "B"}).collect()
+    assert len(all_q) == 7
+
+
+def test_availability_extent(traces):
+    ext = {
+        (r["network"], r["station"], r["channel"]): r
+        for r in availability_extent(traces).collect()
+    }
+    ehe = ext[("BW", "ALTM", "EHE")]
+    assert ehe["n_segments"] == 2
+    assert str(ehe["earliest"]) == "2023-01-01 00:00:00"
+    assert str(ehe["latest"]) == "2023-01-01 23:59:59"
+    assert ehe["total_seconds"] == 79199.0

@@ -1,0 +1,233 @@
+"""Operator unit tests (SURVEY.md §5.2): custom operators vs brute-force
+references on small in-memory data — interval-overlap join, as-of join,
+sessionize, top-k, dedup family, vector search."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _ts(minute: float) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=minute)
+
+
+# ------------------------------------------------------ interval overlap
+
+
+def test_overlap_join_matches_bruteforce(spark):
+    rng = random.Random(7)
+    lefts, rights = [], []
+    for i in range(60):
+        s = rng.uniform(0, 600)
+        lefts.append((i, _ts(s), _ts(s + rng.uniform(1, 240))))
+    for j in range(60):
+        s = rng.uniform(0, 600)
+        rights.append((j, _ts(s), _ts(s + rng.uniform(1, 240))))
+
+    left = spark.createDataFrame(lefts, ["lid", "l_start", "l_end"])
+    right = spark.createDataFrame(rights, ["rid", "r_start", "r_end"])
+
+    from jane_spark.operators.interval_join import overlap_join
+
+    got = {
+        (r["lid"], r["rid"])
+        for r in overlap_join(
+            left, right, "l_start", "l_end", "r_start", "r_end", bin_width="1 hour"
+        ).collect()
+    }
+    want = {
+        (li, rj)
+        for (li, ls, le) in lefts
+        for (rj, rs, re) in rights
+        if ls < re and le > rs
+    }
+    assert got == want
+
+
+def test_overlap_join_extra_keys(spark):
+    left = spark.createDataFrame(
+        [(1, "BW", _ts(0), _ts(100)), (2, "GR", _ts(0), _ts(100))],
+        ["lid", "net", "l_start", "l_end"],
+    )
+    right = spark.createDataFrame(
+        [(10, "BW", _ts(50), _ts(60))], ["rid", "net", "r_start", "r_end"]
+    )
+    from jane_spark.operators.interval_join import overlap_join
+
+    got = overlap_join(
+        left, right, "l_start", "l_end", "r_start", "r_end", extra_on=["net"]
+    ).collect()
+    assert [(r["lid"], r["rid"]) for r in got] == [(1, 10)]
+
+
+# --------------------------------------------------------------- as-of
+
+
+def test_asof_join_matches_bruteforce(spark):
+    rng = random.Random(11)
+    probes = [(i, rng.randrange(3), _ts(rng.uniform(0, 500))) for i in range(40)]
+    refs = [
+        (100 + j, rng.randrange(3), _ts(rng.uniform(0, 500)), rng.random())
+        for j in range(40)
+    ]
+    probe = spark.createDataFrame(probes, ["pid", "key", "ts"])
+    ref = spark.createDataFrame(refs, ["rid", "key", "ts", "val"])
+
+    from jane_spark.operators.asof import asof_join
+
+    got = {
+        r["pid"]: r["val_ref"]
+        for r in asof_join(
+            probe, ref.select("key", "ts", "val"), "key", "ts", ["val"]
+        ).collect()
+    }
+    for pid, key, pts in probes:
+        prior = [(rts, v) for (_, rkey, rts, v) in refs if rkey == key and rts < pts]
+        want = max(prior)[1] if prior else None
+        assert got[pid] == want, f"pid={pid}"
+
+
+def test_asof_strict_vs_nonstrict(spark):
+    t = _ts(10)
+    probe = spark.createDataFrame([(1, "k", t)], ["pid", "key", "ts"])
+    ref = spark.createDataFrame([("k", t, 42.0)], ["key", "ts", "val"])
+    from jane_spark.operators.asof import asof_join
+
+    strict = asof_join(probe, ref, "key", "ts", ["val"], strict=True).collect()
+    loose = asof_join(probe, ref, "key", "ts", ["val"], strict=False).collect()
+    assert strict[0]["val_ref"] is None
+    assert loose[0]["val_ref"] == 42.0
+
+
+# ---------------------------------------------------------- sessionize
+
+
+def test_sessionize_boundaries(spark):
+    rows = [
+        (1, 1, _ts(0)),
+        (2, 1, _ts(10)),
+        (3, 1, _ts(50)),  # 40-min gap -> new session
+        (4, 1, _ts(55)),
+        (5, 2, _ts(0)),
+    ]
+    df = spark.createDataFrame(rows, ["eid", "uid", "ts"])
+    from jane_spark.operators.sessionize import session_summary
+
+    got = {
+        (r["uid"], r["session_id"]): (r["n_events"], r["session_start"], r["session_end"])
+        for r in session_summary(df, "uid", "ts", "eid", 30 * 60 * 1_000_000).collect()
+    }
+    assert got[(1, 1)] == (2, _ts(0), _ts(10))
+    assert got[(1, 2)] == (2, _ts(50), _ts(55))
+    assert got[(2, 1)] == (1, _ts(0), _ts(0))
+
+
+# ------------------------------------------------------------- dedup
+
+
+def test_exact_dedup_keeps_first(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "aaa"), (3, "bbb"), (4, "aaa")], ["id", "body"]
+    )
+    from jane_spark.operators.dedup import duplicate_groups, exact_dedup
+
+    kept = sorted(
+        r["id"] for r in exact_dedup(df, "body", [F.col("id").asc()]).collect()
+    )
+    assert kept == [1, 3]
+    groups = duplicate_groups(df, "body", "id").collect()
+    assert len(groups) == 1 and groups[0]["ids"] == [1, 2, 4]
+
+
+def test_minhash_finds_near_duplicates(spark):
+    # 40 distinct tokens; near-dup differs in ONE trailing token
+    # (3-shingle Jaccard ~0.9 -> ≥1 of 8 band matches w.p. ~0.997)
+    words = [f"tok{i}" for i in range(40)]
+    base = " ".join(words)
+    near = " ".join(words[:-1] + ["changed"])
+    far = " ".join(f"other{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["doc_id", "text"]
+    )
+    from jane_spark.operators.dedup import minhash_candidate_pairs, minhash_signatures
+
+    sigs = minhash_signatures(df, "doc_id", "text", n_hashes=32, shingle=3)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidate_pairs(sigs, "doc_id", 32, bands=8).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_hamming(spark):
+    # exact duplicate -> hamming 0 (deterministic); unrelated text must
+    # not fall within a small hamming radius
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    far = "one two three four five six seven eight nine ten " * 4
+    df = spark.createDataFrame([(1, base), (2, base), (3, far)], ["doc_id", "text"])
+    from jane_spark.operators.dedup import simhash, simhash_near_pairs
+
+    sig = simhash(df, "doc_id", "text")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(sig, "doc_id", max_hamming=3).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+# ------------------------------------------------------------- vectors
+
+
+def test_brute_force_equals_block_topk(spark, sf_dir):
+    from jane_spark.engine.catalog import Catalog
+    from jane_spark.operators.vector import block_topk, brute_force_topk
+
+    emb = Catalog(spark, sf_dir).embeddings.limit(80)
+    bf = {
+        (r["a_id"], r["b_id"], r["sim"])
+        for r in brute_force_topk(emb, "vec_id", "embedding", 3).collect()
+    }
+    bl = {
+        (r["a_id"], r["b_id"], r["sim"])
+        for r in block_topk(emb, "vec_id", "embedding", 3).collect()
+    }
+    assert bf == bl
+
+
+def test_lsh_recall_reasonable(spark, sf_dir):
+    """LSH is approximate: require decent recall of the exact top-3 on
+    the test vectors (clustered data; random-hyperplane buckets)."""
+    from jane_spark.engine.catalog import Catalog
+    from jane_spark.operators.vector import block_topk, lsh_bucketed_topk
+
+    emb = Catalog(spark, sf_dir).embeddings.limit(150)
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in block_topk(emb, "vec_id", "embedding", 3).collect()
+    }
+    approx = {
+        (r["a_id"], r["b_id"])
+        for r in lsh_bucketed_topk(
+            emb, "vec_id", "embedding", 3, n_planes=4, n_tables=8, dim=64
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"LSH recall too low: {recall:.2f}"
+
+
+# ------------------------------------------------------- topk / paging
+
+
+def test_paged_is_stable(spark):
+    df = spark.createDataFrame([(i, i % 7) for i in range(100)], ["id", "grp"])
+    from jane_spark.operators.topk import paged
+
+    p1 = [r["id"] for r in paged(df, [F.col("id").asc()], 20, 10).collect()]
+    p2 = [r["id"] for r in paged(df, [F.col("id").asc()], 20, 10).collect()]
+    assert p1 == p2 == list(range(20, 30))
