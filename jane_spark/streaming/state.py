@@ -1,0 +1,136 @@
+"""Custom stateful streaming operators (SURVEY.md §2.10 J5, §2.9 I4/I5).
+
+jane's waveform monitor keeps an *open segment* per channel and extends
+or closes it as files arrive [ref: src/jane/waveforms/ — monitor +
+ContinuousTrace bookkeeping, conf=M; SURVEY.md §0 caveat]. Here that is
+``applyInPandasWithState``: per-key state holds the open segment; an
+event within the gap tolerance extends it, a jump emits the closed
+segment and opens a new one. Timeouts flush idle keys.
+"""
+
+# NOTE: no `from __future__ import annotations` — pandas-UDF machinery
+# reads runtime type hints.
+from collections.abc import Iterator
+from typing import Any, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.LongType()),
+        T.StructField("segment_start", T.TimestampType()),
+        T.StructField("segment_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("closed", T.BooleanType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("seg_start", T.DoubleType()),  # epoch seconds
+        T.StructField("seg_end", T.DoubleType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def make_segment_tracker(gap_seconds: float, idle_timeout_ms: int | None = None):
+    """Returns the applyInPandasWithState function tracking open
+    segments per key with the given gap tolerance.
+
+    ``idle_timeout_ms`` flushes idle keys on a long-running stream; leave
+    None under availableNow/batch-equivalence harnesses — a pending
+    processing-time timeout keeps scheduling no-data micro-batches, so
+    an availableNow query would never terminate."""
+
+    def track(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            if state.exists:
+                s, e, n = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {
+                        "key": [key[0]],
+                        "segment_start": [pd.Timestamp(s, unit="s")],
+                        "segment_end": [pd.Timestamp(e, unit="s")],
+                        "n_events": [n],
+                        "closed": [True],
+                    }
+                )
+            return
+
+        ts_values = []
+        for pdf in pdfs:
+            ts_values.extend(pdf["ts"].tolist())
+        ts_values.sort()
+        if not ts_values:
+            return
+
+        if state.exists:
+            seg_start, seg_end, n = state.get
+        else:
+            seg_start, seg_end, n = None, None, 0
+
+        closed_rows = []
+        for t in ts_values:
+            epoch = t.timestamp()
+            if seg_start is None:
+                seg_start, seg_end, n = epoch, epoch, 1
+            elif epoch - seg_end <= gap_seconds:
+                seg_end, n = max(seg_end, epoch), n + 1
+            else:
+                closed_rows.append((seg_start, seg_end, n, True))
+                seg_start, seg_end, n = epoch, epoch, 1
+
+        state.update((float(seg_start), float(seg_end), int(n)))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        rows = closed_rows + [(seg_start, seg_end, n, False)]
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * len(rows),
+                "segment_start": [pd.Timestamp(s, unit="s") for s, _, _, _ in rows],
+                "segment_end": [pd.Timestamp(e, unit="s") for _, e, _, _ in rows],
+                "n_events": [n for _, _, n, _ in rows],
+                "closed": [c for _, _, _, c in rows],
+            }
+        )
+
+    return track
+
+
+def open_segments_stream(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    gap_seconds: float,
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """J5 entry point: per-key open-segment tracking over a stream.
+    Emits every touched segment per micro-batch (closed=True when a gap
+    ended it; the final open segment rides along with closed=False).
+    Pass ``idle_timeout_ms`` on continuous streams to flush idle keys."""
+    tracker = make_segment_tracker(gap_seconds, idle_timeout_ms)
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        events.selectExpr(f"{key} AS key", f"cast({ts} as timestamp) AS ts")
+        .groupBy("key")
+        .applyInPandasWithState(
+            tracker,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=timeout,
+        )
+    )

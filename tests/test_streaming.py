@@ -1,0 +1,178 @@
+"""Streaming-surface tests (SURVEY.md §5.2.5): availableNow batch
+equivalence, session-window vs batch sessionize, watermark dedup,
+foreachBatch upsert, stateful segment tracking."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _stage_events(spark, sf_dir, tmp_path):
+    arrival = tmp_path / "arrival"
+    arrival.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", arrival / "events.parquet")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from jane_spark.streaming.ingest import stream_parquet_dir
+
+    return batch, stream_parquet_dir(spark, str(arrival), batch.schema)
+
+
+def _norm_events(df):
+    # the staged stream reads raw nanos (legacy long) — apply the same
+    # normalization the catalog does
+    return df.withColumn(
+        "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+    )
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir, tmp_path):
+    from jane_spark.streaming.ingest import run_available_now
+    from jane_spark.streaming.windows import tumbling_stats
+
+    batch, stream = _stage_events(spark, sf_dir, tmp_path)
+    got = run_available_now(
+        stream,
+        lambda df: tumbling_stats(_norm_events(df), "ts", watermark="1 hour"),
+        "t_tumbling_sink",
+    )
+    want = tumbling_stats(_norm_events(batch), "ts")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_session_window_equals_batch_sessionize(spark):
+    """session_window spans == operators.sessionize spans (away from the
+    exact gap boundary)."""
+    from jane_spark.operators.sessionize import session_summary
+    from jane_spark.streaming.windows import session_spans
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for uid in range(5):
+        t = base + dt.timedelta(minutes=uid * 7)
+        for burst in range(3):
+            t = t + dt.timedelta(minutes=95)  # > 30 min -> new session
+            for i in range(4):
+                t = t + dt.timedelta(minutes=5)  # < 30 min -> same session
+                rows.append((eid, uid, t))
+                eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+
+    stream_shape = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in session_spans(df, "user_id", "ts", gap="30 minutes").collect()
+    }
+    batch_shape = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in session_summary(
+            df, "user_id", "ts", "event_id", 30 * 60 * 1_000_000
+        ).collect()
+    }
+    assert stream_shape == batch_shape
+
+
+def test_dedup_within_watermark_stream(spark, tmp_path):
+    """I6: duplicate sha1 arriving within the watermark is dropped."""
+    import pandas as pd
+
+    from jane_spark.streaming.ingest import run_available_now, stream_parquet_dir
+    from jane_spark.streaming.windows import dedup_within_watermark
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    pdf = pd.DataFrame(
+        {
+            "sha1": ["aaa", "bbb", "aaa", "ccc", "bbb"],
+            "ts": [base + dt.timedelta(minutes=m) for m in (0, 1, 2, 3, 4)],
+            "name": ["f1", "f2", "f1b", "f3", "f2b"],
+        }
+    )
+    # µs precision: ns-unit parquet would read back as raw longs under
+    # the engine's nanosAsLong setting
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(src / "batch1.parquet")
+    batch = spark.read.parquet(str(src))
+    stream = stream_parquet_dir(spark, str(src), batch.schema)
+    got = run_available_now(
+        stream,
+        lambda df: dedup_within_watermark(df, ["sha1"], "ts", "1 hour"),
+        "t_dedup_sink",
+    )
+    assert sorted(r["sha1"] for r in got.collect()) == ["aaa", "bbb", "ccc"]
+
+
+def test_foreach_batch_upsert(spark, tmp_path):
+    """I7: second arrival of a document replaces its index rows."""
+    import pandas as pd
+
+    from jane_spark.sources.index_store import IndexStore
+    from jane_spark.streaming.ingest import stream_parquet_dir
+    from jane_spark.streaming.upsert import start_index_upsert_stream
+
+    src = tmp_path / "parsed"
+    src.mkdir()
+    store = IndexStore(spark, str(tmp_path / "store"))
+    ckpt = str(tmp_path / "ckpt")
+
+    pd.DataFrame(
+        {"doc_id": ["d1", "d1", "d2"], "network": ["BW", "BW", "GR"], "val": [1.0, 2.0, 3.0]}
+    ).to_parquet(src / "b1.parquet")
+    schema = spark.read.parquet(str(src)).schema
+    q = start_index_upsert_stream(
+        stream_parquet_dir(spark, str(src), schema), store, "stationxml", ckpt
+    )
+    q.awaitTermination()
+    assert store.index("stationxml").count() == 3
+
+    # d1 re-parsed with ONE row now — old two must vanish, d2 untouched
+    pd.DataFrame({"doc_id": ["d1"], "network": ["BW"], "val": [9.0]}).to_parquet(
+        src / "b2.parquet"
+    )
+    q = start_index_upsert_stream(
+        stream_parquet_dir(spark, str(src), schema), store, "stationxml", ckpt
+    )
+    q.awaitTermination()
+    got = {(r["doc_id"], r["val"]) for r in store.index("stationxml").collect()}
+    assert got == {("d1", 9.0), ("d2", 3.0)}
+
+
+def test_stateful_segment_tracker(spark, tmp_path):
+    """J5: applyInPandasWithState merges in-tolerance events into open
+    segments and closes them across gaps."""
+    import pandas as pd
+
+    from jane_spark.streaming.ingest import run_available_now, stream_parquet_dir
+    from jane_spark.streaming.state import open_segments_stream
+
+    src = tmp_path / "seg"
+    src.mkdir()
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for uid in (1, 2):
+        for m in (0, 5, 10, 120, 125):  # gap between 10 and 120
+            rows.append((uid, base + dt.timedelta(minutes=m)))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(src / "b1.parquet")
+    schema = spark.read.parquet(str(src)).schema
+    stream = stream_parquet_dir(spark, str(src), schema)
+    got = run_available_now(
+        stream,
+        lambda df: open_segments_stream(df, "user_id", "ts", gap_seconds=1800),
+        "t_state_sink",
+    )
+    rows = got.collect()
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r["key"], []).append(r)
+    for uid in (1, 2):
+        segs = sorted(by_key[uid], key=lambda r: r["segment_start"])
+        assert len(segs) == 2
+        closed, open_seg = segs[0], segs[1]
+        assert closed["closed"] is True and closed["n_events"] == 3
+        assert open_seg["closed"] is False and open_seg["n_events"] == 2
