@@ -119,7 +119,7 @@ def q_d4(spark, sf_dir):
     doc="latest-version-per-document dedup (argmax via operators.topk)",
 )
 def q_d5(spark, sf_dir):
-    orders = Catalog(spark, sf_dir).orders
+    orders = Catalog(spark, sf_dir).clustered("orders", "o_custkey")
     latest = argmax(
         orders,
         ["o_custkey"],
@@ -148,7 +148,7 @@ def q_d5(spark, sf_dir):
     "(µs integers, not intervals — cross-engine hash stability)",
 )
 def q_d6(spark, sf_dir):
-    ev = Catalog(spark, sf_dir).events
+    ev = Catalog(spark, sf_dir).clustered("events", "user_id")
     gaps = with_gaps(ev, "user_id", "ts", "event_id")
     return (
         gaps.filter(F.col("gap_us") > THIRTY_MIN_US)

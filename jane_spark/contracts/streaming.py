@@ -121,5 +121,5 @@ def q_i3(spark, sf_dir):
     "of session_window)",
 )
 def q_i4(spark, sf_dir):
-    ev = Catalog(spark, sf_dir).events
+    ev = Catalog(spark, sf_dir).clustered("events", "user_id")
     return session_summary(ev, "user_id", "ts", "event_id", THIRTY_MIN_US)

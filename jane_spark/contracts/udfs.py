@@ -53,7 +53,7 @@ def q_j1(spark, sf_dir):
     "per user) vs the pure-SQL window twin",
 )
 def q_j2(spark, sf_dir):
-    ev = Catalog(spark, sf_dir).events
+    ev = Catalog(spark, sf_dir).clustered("events", "user_id")
 
     out_schema = T.StructType(
         [

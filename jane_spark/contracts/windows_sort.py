@@ -31,7 +31,7 @@ from jane_spark.operators.topk import argmax, paged, top_k_per_group
     doc="running cumulative coverage per channel (explicit frame spec)",
 )
 def q_e3(spark, sf_dir):
-    orders = Catalog(spark, sf_dir).orders
+    orders = Catalog(spark, sf_dir).clustered("orders", "o_custkey")
     w = (
         Window.partitionBy("o_custkey")
         .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
@@ -96,7 +96,7 @@ def q_f2(spark, sf_dir):
     doc="top-k per group (largest magnitude per region shape)",
 )
 def q_f3(spark, sf_dir):
-    orders = Catalog(spark, sf_dir).orders
+    orders = Catalog(spark, sf_dir).clustered("orders", "o_custkey")
     top = top_k_per_group(
         orders,
         ["o_custkey"],
@@ -125,7 +125,7 @@ def q_f3(spark, sf_dir):
     doc="longestonly: argmax segment per channel (on a computed delta)",
 )
 def q_f4(spark, sf_dir):
-    ev = Catalog(spark, sf_dir).events
+    ev = Catalog(spark, sf_dir).clustered("events", "user_id")
     gaps = with_gaps(ev, "user_id", "ts", "event_id").filter(
         F.col("gap_us").isNotNull()
     )

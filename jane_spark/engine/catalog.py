@@ -75,6 +75,54 @@ class Catalog:
             return self.table(name)
         raise AttributeError(name)
 
+    def pin(
+        self,
+        name: str,
+        cluster_by: str | None = None,
+        partitions: int | None = None,
+    ) -> DataFrame:
+        """Pin a table in the in-memory columnar cache, optionally
+        clustered (hash-repartitioned) on its primary access key.
+
+        The Spark analogue of jane's hot PostgreSQL indices: windows,
+        grouped-map UDFs, and joins keyed on ``cluster_by`` then run
+        with NO exchange — the cached layout already satisfies their
+        required distribution. Scale policy (SURVEY.md §4): pin index
+        and dimension tables (bounded size); never pin the raw fact/
+        waveform tables — those stay on Parquet where pushdown and
+        partition pruning do the work.
+
+        Idempotent per (session, sf_dir, name). The plain parquet plan
+        stays the default — the vectorized parquet reader beats cached-
+        batch decode for scan-bound partial aggregations; queries with
+        key-clustered access (windows, grouped-map, co-located joins)
+        opt in via ``clustered()``.
+        """
+        df = self.table(name)
+        key = f"__pinned_{name}"
+        if key in self._dfs:
+            return self._dfs[key]
+        if partitions is None:
+            partitions = self.spark.sparkContext.defaultParallelism
+        if cluster_by is not None:
+            df = df.repartition(partitions, cluster_by)
+        else:
+            df = df.repartition(partitions)
+        df = df.persist()
+        df.count()  # materialize now, outside any timed region
+        self._dfs[key] = df
+        self._dfs[f"__pinkey_{name}"] = cluster_by  # type: ignore[assignment]
+        return df
+
+    def clustered(self, name: str, key: str) -> DataFrame:
+        """Best available layout for ``key``-clustered access: the
+        pinned copy when its clustering matches (no exchange needed),
+        else the plain table (the downstream operator shuffles)."""
+        pinned = self._dfs.get(f"__pinned_{name}")
+        if pinned is not None and self._dfs.get(f"__pinkey_{name}") == key:
+            return pinned
+        return self.table(name)
+
 
 def _normalize_events(df: DataFrame) -> DataFrame:
     """nanosecond LONG (legacy read) -> microsecond TIMESTAMP_NTZ."""
