@@ -59,6 +59,44 @@ def q_k3_lsh(spark, sf_dir):
     return lsh_bucketed_topk(emb, "vec_id", "embedding", k=5, dim=64)
 
 
+@contract(
+    "q_k3_ivf",
+    oracle=None,  # approximate candidate set — rows-only check;
+    # recall vs exact top-k is asserted in tests/test_operators.py
+    survey_rows="K3",
+    doc="IVF coarse quantizer: k-means lists + n_probe search — the "
+    "data-adaptive approximate-NN scale path (operators.vector.ivf_topk)",
+)
+def q_k3_ivf(spark, sf_dir):
+    from jane_spark.operators.vector import ivf_topk
+
+    emb = Catalog(spark, sf_dir).embeddings
+    return ivf_topk(emb, "vec_id", "embedding", k=5, n_lists=8, n_probe=3)
+
+
+@contract(
+    "q_k8_embed_neardup",
+    oracle="""
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])),
+                     6) AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """,
+    survey_rows="K2,K3",
+    doc="embedding-cosine near-duplicate pairs (threshold 0.4; exact "
+    "oracle path — operators.vector.embedding_near_pairs; the LSH "
+    "prefilter path is unit-tested for parity at near-dup thresholds)",
+)
+def q_k8(spark, sf_dir):
+    from jane_spark.operators.vector import embedding_near_pairs
+
+    emb = Catalog(spark, sf_dir).embeddings
+    return embedding_near_pairs(emb, "vec_id", "embedding", threshold=0.4)
+
+
 # ------------------------------------------------------------------ dedup
 
 

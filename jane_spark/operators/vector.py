@@ -11,6 +11,16 @@ Embedding top-k over an ``array<float>`` column. Three strategies:
 - ``lsh_bucketed_topk``    — approximate, the 100 TB shape: random-
   hyperplane LSH buckets → equi-join per bucket → exact re-rank within
   candidates. Shuffle is keyed by bucket; no cross product anywhere.
+- ``ivf_topk``             — approximate, the other 100 TB shape: a
+  k-means coarse quantizer (IVF) assigns every vector to one of
+  ``n_lists`` inverted lists; queries probe their ``n_probe`` nearest
+  lists only. Centroids are tiny (n_lists × d) and live on the driver /
+  broadcast; assignment is a GEMM per Arrow batch; the candidate join
+  is an equi-join on list id. Higher recall per candidate than LSH on
+  clustered data.
+- ``embedding_near_pairs`` — near-duplicate detection by embedding
+  cosine: all pairs above a threshold. Exact path for the oracle;
+  ``method="lsh"`` routes through hyperplane buckets at scale.
 
 At cluster scale, brute force is a broadcast of the query side against a
 partitioned corpus (still linear per query); LSH/IVF trades recall for a
@@ -129,6 +139,38 @@ def lsh_bucketed_topk(
     sharing a bucket in ANY table; exact cosine re-rank on candidates.
     All joins are equi-joins on (table, bucket) — the scale path.
     """
+    melted = _melted_buckets(vectors, id_col, vec_col, n_planes, n_tables, seed, dim)
+    a = melted.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"), "t", "bkt"
+    )
+    b = melted.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"), "t", "bkt"
+    )
+    cands = (
+        a.join(b, on=["t", "bkt"])
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id", "a_vec", "b_vec")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    scored = cands.select(
+        "a_id", "b_id", F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6).alias("sim")
+    )
+    return top_k_per_group(
+        scored, ["a_id"], [F.col("sim").desc(), F.col("b_id").asc()], k
+    ).drop("rn")
+
+
+def _melted_buckets(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+    dim: int | None,
+) -> DataFrame:
+    """(id, vec, t, bkt): one row per (vector, hash table) with the
+    vector's n_planes-bit hyperplane bucket in that table."""
     if dim is None:
         dim = len(vectors.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
@@ -153,7 +195,7 @@ def lsh_bucketed_topk(
     with_buckets = vectors.select(
         F.col(id_col), F.col(vec_col), *[bucket_col(t) for t in range(n_tables)]
     )
-    melted = with_buckets.select(
+    return with_buckets.select(
         id_col,
         vec_col,
         F.explode(
@@ -165,21 +207,172 @@ def lsh_bucketed_topk(
             )
         ).alias("tb"),
     ).select(id_col, vec_col, "tb.t", "tb.bkt")
-    a = melted.select(
-        F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"), "t", "bkt"
+
+
+def _assign_lists(
+    vectors: DataFrame, id_col: str, vec_col: str, centroids: np.ndarray, n_probe: int
+) -> DataFrame:
+    """(id, vec, list_id) — each vector's n_probe nearest centroids by
+    cosine (n_probe=1 for corpus assignment). GEMM per Arrow batch
+    against the broadcast centroid matrix."""
+    spark = vectors.sparkSession
+    norms = np.sqrt((centroids * centroids).sum(axis=1))
+    norms[norms == 0.0] = 1.0
+    bc = spark.sparkContext.broadcast((centroids, norms))
+    out_schema = f"{id_col} long, {vec_col} array<float>, list_id int"
+
+    def part(batches):
+        cents, cnorms = bc.value
+        for pdf in batches:
+            q = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            qn = np.sqrt((q * q).sum(axis=1))
+            qn[qn == 0.0] = 1.0
+            sims = (q @ cents.T) / (qn[:, None] * cnorms[None, :])
+            # stable: descending sim, centroid index ascending on ties
+            order = np.lexsort(
+                (np.broadcast_to(np.arange(sims.shape[1]), sims.shape), -sims), axis=1
+            )[:, :n_probe]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), n_probe),
+                    vec_col: [v for v in pdf[vec_col] for _ in range(n_probe)],
+                    "list_id": order.astype(np.int32).ravel(),
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(part, schema=out_schema)
+
+
+def train_ivf_centroids(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_lists: int,
+    lloyd_iters: int = 2,
+    dim: int | None = None,
+) -> np.ndarray:
+    """Coarse-quantizer training: deterministic seeding (first n_lists
+    vectors by id) + Lloyd iterations. Assignment runs distributed
+    (GEMM per batch); the centroid update collects only the per-list
+    per-dimension means — n_lists × d doubles, driver-sized at any
+    corpus scale."""
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    seeds = (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(n_lists)
+        .collect()
     )
-    b = melted.select(
-        F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"), "t", "bkt"
+    centroids = np.array([r[1] for r in seeds], dtype=np.float64)
+    for _ in range(lloyd_iters):
+        assigned = _assign_lists(vectors, id_col, vec_col, centroids, n_probe=1)
+        means = (
+            assigned.select(
+                "list_id", F.posexplode(F.col(vec_col)).alias("pos", "x")
+            )
+            .groupBy("list_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = centroids.copy()  # empty lists keep their centroid
+        for r in means:
+            new[r["list_id"], r["pos"]] = r["m"]
+        centroids = new
+    return centroids
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    lloyd_iters: int = 2,
+    round_dp: int | None = 6,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Approximate top-k via an IVF coarse quantizer.
+
+    Corpus vectors live in exactly one inverted list; each query probes
+    its ``n_probe`` nearest lists and exact-re-ranks the candidates.
+    Everything after training is an equi-join on ``list_id`` — the same
+    scale shape as LSH, but data-adaptive: on clustered embeddings the
+    probed lists hold most true neighbors (recall rises with n_probe;
+    n_probe = n_lists degrades gracefully to exact search).
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            vectors, id_col, vec_col, n_lists, lloyd_iters
+        )
+    corpus = _assign_lists(vectors, id_col, vec_col, centroids, n_probe=1).select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"), "list_id"
+    )
+    queries = _assign_lists(vectors, id_col, vec_col, centroids, n_probe=n_probe).select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"), "list_id"
     )
     cands = (
-        a.join(b, on=["t", "bkt"])
+        queries.join(corpus, on="list_id")
         .filter(F.col("a_id") != F.col("b_id"))
         .select("a_id", "b_id", "a_vec", "b_vec")
-        .dropDuplicates(["a_id", "b_id"])
     )
     scored = cands.select(
-        "a_id", "b_id", F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6).alias("sim")
+        "a_id", "b_id", cosine(F.col("a_vec"), F.col("b_vec")).alias("sim")
     )
-    return top_k_per_group(
+    top = top_k_per_group(
         scored, ["a_id"], [F.col("sim").desc(), F.col("b_id").asc()], k
     ).drop("rn")
+    if round_dp is not None:
+        top = top.withColumn("sim", F.round(F.col("sim"), round_dp))
+    return top
+
+
+def embedding_near_pairs(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    method: str = "exact",
+    round_dp: int | None = 6,
+    n_planes: int = 2,
+    n_tables: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine: (a_id < b_id, sim ≥
+    threshold). ``method="exact"`` enumerates all pairs (the oracle
+    path — fine up to ~1e5 vectors); ``method="lsh"`` prefilters
+    candidates through hyperplane buckets so only same-bucket pairs are
+    scored — the 100 TB path (few planes: near-dup pairs have cosine
+    near 1 and almost never split across a hyperplane)."""
+    a = vectors.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
+    b = vectors.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    if method == "exact":
+        pairs = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
+    elif method == "lsh":
+        melted = _melted_buckets(
+            vectors, id_col, vec_col, n_planes, n_tables, seed, dim
+        )
+        am = melted.select(
+            F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"), "t", "bkt"
+        )
+        bm = melted.select(
+            F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"), "t", "bkt"
+        )
+        pairs = (
+            am.join(bm, on=["t", "bkt"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id", "a_vec", "b_vec")
+            .dropDuplicates(["a_id", "b_id"])
+        )
+    else:
+        raise ValueError(f"unknown method: {method!r}")
+    scored = pairs.select(
+        "a_id", "b_id", cosine(F.col("a_vec"), F.col("b_vec")).alias("sim")
+    )
+    out = scored.filter(F.col("sim") >= threshold)
+    if round_dp is not None:
+        out = out.withColumn("sim", F.round(F.col("sim"), round_dp))
+    return out

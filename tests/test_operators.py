@@ -231,3 +231,89 @@ def test_paged_is_stable(spark):
     p1 = [r["id"] for r in paged(df, [F.col("id").asc()], 20, 10).collect()]
     p2 = [r["id"] for r in paged(df, [F.col("id").asc()], 20, 10).collect()]
     assert p1 == p2 == list(range(20, 30))
+
+
+def test_ivf_recall_reasonable(spark, sf_dir):
+    """IVF probing n_probe of n_lists must recover most of the exact
+    top-3; n_probe = n_lists degrades to exact search (recall 1.0)."""
+    from jane_spark.engine.catalog import Catalog
+    from jane_spark.operators.vector import block_topk, ivf_topk
+
+    emb = Catalog(spark, sf_dir).embeddings.limit(150)
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in block_topk(emb, "vec_id", "embedding", 3).collect()
+    }
+    approx = {
+        (r["a_id"], r["b_id"])
+        for r in ivf_topk(emb, "vec_id", "embedding", 3, n_lists=8, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall too low: {recall:.2f}"
+
+    full = {
+        (r["a_id"], r["b_id"])
+        for r in ivf_topk(emb, "vec_id", "embedding", 3, n_lists=8, n_probe=8).collect()
+    }
+    assert full == exact, "n_probe=n_lists must equal exact search"
+
+
+def test_embedding_near_pairs_lsh_parity(spark, sf_dir):
+    """At near-dup thresholds the LSH prefilter must find the same
+    pairs as the exact path (few planes => near-identical vectors land
+    in the same bucket in at least one table)."""
+    from jane_spark.engine.catalog import Catalog
+    from jane_spark.operators.vector import embedding_near_pairs
+
+    emb = Catalog(spark, sf_dir).embeddings.limit(200)
+    exact = {
+        (r["a_id"], r["b_id"], r["sim"])
+        for r in embedding_near_pairs(
+            emb, "vec_id", "embedding", threshold=0.35, method="exact"
+        ).collect()
+    }
+    assert exact, "threshold too high for testdata — no pairs"
+    lsh = {
+        (r["a_id"], r["b_id"], r["sim"])
+        for r in embedding_near_pairs(
+            emb, "vec_id", "embedding", threshold=0.35, method="lsh",
+            n_planes=2, n_tables=8, dim=64,
+        ).collect()
+    }
+    assert lsh <= exact  # candidates only shrink, sims identical
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.8, f"near-dup LSH recall too low: {recall:.2f}"
+
+
+# ------------------------------------------------------- multimodal
+
+
+def test_resize_images_plumbing(spark):
+    from jane_spark.sources.multimodal import resize_images
+
+    rows = [(1, bytes([7, 8, 9]), "image/fake"), (2, bytes(range(100)), "image/fake")]
+    df = spark.createDataFrame(rows, "item_id long, payload binary, media_type string")
+    out = {r["item_id"]: r for r in resize_images(df, "payload", 8, 4).collect()}
+    assert set(out) == {1, 2}
+    for r in out.values():
+        assert len(r["payload"]) == 8 * 4
+        assert (r["width"], r["height"]) == (8, 4)
+    # deterministic: same input -> same bytes
+    again = {r["item_id"]: r for r in resize_images(df, "payload", 8, 4).collect()}
+    assert {k: bytes(v["payload"]) for k, v in out.items()} == {
+        k: bytes(v["payload"]) for k, v in again.items()
+    }
+
+
+def test_sample_frames_fanout(spark):
+    from jane_spark.sources.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, bytes(range(256)) * 10)], "item_id long, payload binary"
+    )
+    frames = sample_frames(df, "payload", every_n_bytes=512, frame_size=32).collect()
+    assert len(frames) == 5  # 2560 bytes / 512 stride
+    assert [r["frame_no"] for r in sorted(frames, key=lambda r: r["frame_no"])] == list(
+        range(5)
+    )
+    assert all(len(r["frame"]) == 32 for r in frames)
