@@ -122,3 +122,48 @@ def q_a9(spark, sf_dir):
     return cat.customer.join(
         early, cat.customer.c_custkey == early.o_custkey, "left_anti"
     ).select("c_custkey")
+
+
+@contract(
+    "q_a7_dataselect_cut",
+    oracle=None,  # byte-stream sink phase — rows-only check (SURVEY A7 ◐)
+    survey_rows="A7,B7,F4",
+    doc="fdsnws-dataselect cut resolution: a synthetic trace index is "
+    "derived from events sessions (one segment per user session), then "
+    "services.fdsnws.dataselect_query resolves the segments a request "
+    "window cuts, with per-segment trim bounds (cut_start/cut_end)",
+)
+def q_a7(spark, sf_dir):
+    from jane_spark.operators.sessionize import session_summary
+    from jane_spark.services.fdsnws import dataselect_query
+
+    ev = Catalog(spark, sf_dir).clustered("events", "user_id")
+    # segments: one per user session (30-min gap rule) — the same shape
+    # as jane's ContinuousTrace rows (SEED id + span + rate + quality)
+    segs = session_summary(ev, "user_id", "ts", "event_id", 30 * 60 * 1_000_000)
+    traces = segs.select(
+        F.lit("BW").alias("network"),
+        F.concat(F.lit("S"), F.col("user_id").cast("string")).alias("station"),
+        F.lit("").alias("location"),
+        F.lit("EHZ").alias("channel"),
+        F.col("session_start").alias("starttime"),
+        F.col("session_end").alias("endtime"),
+        F.lit(100.0).alias("sampling_rate"),
+        (F.col("n_events").cast("long")).alias("npts"),
+        (
+            F.unix_micros(F.col("session_end").cast("timestamp"))
+            - F.unix_micros(F.col("session_start").cast("timestamp"))
+        ).cast("double").alias("duration"),
+        F.lit("D").alias("quality"),
+        F.col("user_id").alias("file_id"),
+        F.lit(0).alias("pos"),
+    )
+    return dataselect_query(
+        traces,
+        {
+            "network": "BW",
+            "channel": "EH?",
+            "starttime": "2024-01-10T00:00:00",
+            "endtime": "2024-01-20T00:00:00",
+        },
+    )

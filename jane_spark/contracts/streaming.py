@@ -123,3 +123,106 @@ def q_i3(spark, sf_dir):
 def q_i4(spark, sf_dir):
     ev = Catalog(spark, sf_dir).clustered("events", "user_id")
     return session_summary(ev, "user_id", "ts", "event_id", THIRTY_MIN_US)
+
+
+@contract(
+    "q_i6_stream_dedup",
+    oracle=None,  # streaming state semantics — rows-only check
+    survey_rows="I6",
+    doc="idempotent re-ingest: dropDuplicatesWithinWatermark over a real "
+    "file stream (streaming/windows.dedup_within_watermark); batch twin "
+    "is q_a4_sha_dedup",
+)
+def q_i6(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from jane_spark.streaming.ingest import run_available_now, stream_parquet_dir
+    from jane_spark.streaming.windows import dedup_within_watermark
+
+    arrival = tempfile.mkdtemp(prefix="jane_i6_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{arrival}/events.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = stream_parquet_dir(spark, arrival, schema)
+
+    def transform(df):
+        df = df.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        )
+        return dedup_within_watermark(
+            df, ["user_id", "event_type"], "ts", "1 hour"
+        ).select("user_id", "event_type")
+
+    try:
+        return run_available_now(stream, transform, "q_i6_sink")
+    finally:
+        shutil.rmtree(arrival, ignore_errors=True)
+
+
+@contract(
+    "q_i7_stream_upsert",
+    oracle=None,  # foreachBatch sink — rows-only check
+    survey_rows="I7",
+    doc="per-document index upsert: foreachBatch + per-doc partition "
+    "overwrite (streaming/upsert.start_index_upsert_stream); the second "
+    "arrival of doc_id replaces its rows, matching jane's reindex "
+    "delete-then-insert transaction",
+)
+def q_i7(spark, sf_dir):
+    import tempfile
+
+    from jane_spark.sources.index_store import IndexStore
+    from jane_spark.streaming.ingest import stream_parquet_dir
+    from jane_spark.streaming.upsert import start_index_upsert_stream
+
+    root = tempfile.mkdtemp(prefix="jane_i7_")
+    src = f"{root}/parsed"
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", F.col("lang").alias("network"), "n_chars"
+    )
+    docs.limit(200).write.parquet(src)
+    store = IndexStore(spark, f"{root}/store")
+    schema = spark.read.parquet(src).schema
+    q = start_index_upsert_stream(
+        stream_parquet_dir(spark, src, schema), store, "doc", f"{root}/ckpt"
+    )
+    q.awaitTermination()
+    # re-arrival of the first docs with updated rows -> upsert replaces
+    docs.limit(50).withColumn("n_chars", F.lit(-1)).write.mode("append").parquet(src)
+    q = start_index_upsert_stream(
+        stream_parquet_dir(spark, src, schema), store, "doc", f"{root}/ckpt"
+    )
+    q.awaitTermination()
+    return store.index("doc").select("doc_id", "network", "n_chars")
+
+
+@contract(
+    "q_j5_stateful_segments",
+    oracle=None,  # custom stateful operator — rows-only check
+    survey_rows="J5,I4",
+    doc="applyInPandasWithState open-segment tracking per key over a "
+    "real stream (streaming/state.open_segments_stream) — jane's "
+    "waveform-monitor open-segment bookkeeping",
+)
+def q_j5(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from jane_spark.streaming.ingest import run_available_now, stream_parquet_dir
+    from jane_spark.streaming.state import open_segments_stream
+
+    arrival = tempfile.mkdtemp(prefix="jane_j5_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{arrival}/events.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = stream_parquet_dir(spark, arrival, schema)
+
+    def transform(df):
+        df = df.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        ).filter(F.col("user_id") % 10 == 0)  # bound state for the smoke
+        return open_segments_stream(df, "user_id", "ts", gap_seconds=1800)
+
+    try:
+        return run_available_now(stream, transform, "q_j5_sink")
+    finally:
+        shutil.rmtree(arrival, ignore_errors=True)

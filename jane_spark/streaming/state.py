@@ -30,10 +30,10 @@ OUTPUT_SCHEMA = T.StructType(
 
 STATE_SCHEMA = T.StructType(
     [
-        T.StructField("seg_start", T.DoubleType()),  # epoch seconds
-        T.StructField("seg_end", T.DoubleType()),
-        T.StructField("n_events", T.LongType()),
-    ]
+        T.StructField("seg_start", T.LongType()),  # epoch microseconds:
+        T.StructField("seg_end", T.LongType()),    # float seconds would
+        T.StructField("n_events", T.LongType()),   # add sub-µs noise that
+    ]                                              # Arrow rejects as unsafe
 )
 
 
@@ -45,6 +45,7 @@ def make_segment_tracker(gap_seconds: float, idle_timeout_ms: int | None = None)
     None under availableNow/batch-equivalence harnesses — a pending
     processing-time timeout keeps scheduling no-data micro-batches, so
     an availableNow query would never terminate."""
+    gap_us = int(gap_seconds * 1_000_000)
 
     def track(
         key: Tuple[Any, ...],
@@ -58,8 +59,8 @@ def make_segment_tracker(gap_seconds: float, idle_timeout_ms: int | None = None)
                 yield pd.DataFrame(
                     {
                         "key": [key[0]],
-                        "segment_start": [pd.Timestamp(s, unit="s")],
-                        "segment_end": [pd.Timestamp(e, unit="s")],
+                        "segment_start": pd.to_datetime([s], unit="us", utc=True),
+                        "segment_end": pd.to_datetime([e], unit="us", utc=True),
                         "n_events": [n],
                         "closed": [True],
                     }
@@ -80,24 +81,28 @@ def make_segment_tracker(gap_seconds: float, idle_timeout_ms: int | None = None)
 
         closed_rows = []
         for t in ts_values:
-            epoch = t.timestamp()
+            epoch = t.value // 1000  # pandas ns -> µs int, no float round-trip
             if seg_start is None:
                 seg_start, seg_end, n = epoch, epoch, 1
-            elif epoch - seg_end <= gap_seconds:
+            elif epoch - seg_end <= gap_us:
                 seg_end, n = max(seg_end, epoch), n + 1
             else:
                 closed_rows.append((seg_start, seg_end, n, True))
                 seg_start, seg_end, n = epoch, epoch, 1
 
-        state.update((float(seg_start), float(seg_end), int(n)))
+        state.update((int(seg_start), int(seg_end), int(n)))
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)
         rows = closed_rows + [(seg_start, seg_end, n, False)]
         yield pd.DataFrame(
             {
                 "key": [key[0]] * len(rows),
-                "segment_start": [pd.Timestamp(s, unit="s") for s, _, _, _ in rows],
-                "segment_end": [pd.Timestamp(e, unit="s") for _, e, _, _ in rows],
+                "segment_start": pd.to_datetime(
+                    [s for s, _, _, _ in rows], unit="us", utc=True
+                ),
+                "segment_end": pd.to_datetime(
+                    [e for _, e, _, _ in rows], unit="us", utc=True
+                ),
                 "n_events": [n for _, _, n, _ in rows],
                 "closed": [c for _, _, _, c in rows],
             }
