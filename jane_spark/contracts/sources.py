@@ -167,3 +167,50 @@ def q_a7(spark, sf_dir):
             "endtime": "2024-01-20T00:00:00",
         },
     )
+
+
+@contract(
+    "q_a1_waveform_source",
+    oracle=None,  # custom data source — rows-only check
+    survey_rows="A1,J1",
+    doc="Spark 4 Python Data Source for waveform files "
+    "(sources/waveform_datasource.py): one InputPartition per file, "
+    "per-trace index rows out — the distributed replacement for jane's "
+    "single-host crawler; synthetic JSW1 fixtures stand in for MiniSEED "
+    "(ObsPy unavailable; codec pluggable)",
+)
+def q_a1_ds(spark, sf_dir):
+    import tempfile
+
+    from jane_spark.sources.waveform_datasource import register
+    from jane_spark.sources.waveform_format import write_record
+
+    root = tempfile.mkdtemp(prefix="jane_wf_")
+    base_us = 1_704_067_200_000_000  # 2024-01-01 UTC
+    for fi in range(4):
+        blobs = [
+            write_record(
+                "BW",
+                f"ST{fi}",
+                "",
+                "EHZ",
+                base_us + (fi * 8 + ti) * 3_600_000_000,
+                100.0,
+                [(fi * 8 + ti + s) % 512 for s in range(100)],
+            )
+            for ti in range(8)
+        ]
+        with open(f"{root}/wf_{fi}.jsw", "wb") as fh:
+            fh.write(b"".join(blobs))
+    register(spark)
+    df = spark.read.format("waveform").load(root)
+    return df.select(
+        "network",
+        "station",
+        "channel",
+        "start_us",
+        "end_us",
+        "sampling_rate",
+        "npts",
+        "quality",
+    )
