@@ -30,6 +30,38 @@ def top_k_per_group(
     return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
 
 
+def top_k_per_group_salted(
+    df: DataFrame,
+    group: list[str],
+    order: list[Column],
+    k: int,
+    n_salts: int = 16,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Skew-resistant top-k: two-stage rank for hot group keys.
+
+    A plain window shuffles every row of a hot key to one task — at
+    100 TB a single viral key (one station with years of data, one
+    document duplicated millions of times) serializes the whole stage.
+    Here each row first gets a deterministic salt (hash of the full
+    order tie-break, NOT random — reruns must agree); stage 1 ranks
+    within (group, salt) and keeps k candidates per salt, shrinking a
+    hot key's row count to at most k·n_salts; stage 2 ranks the
+    survivors per group. Any row in the true global top-k is in the
+    top-k of its own salt bucket, so the result is EXACTLY
+    ``top_k_per_group`` — proven by the equivalence test.
+
+    Use when group-key skew is known/measured; the plain window is
+    cheaper when keys are uniform (one shuffle instead of two).
+    """
+    salt = F.pmod(F.xxhash64(*[c for c in df.columns]), F.lit(n_salts))
+    salted = df.withColumn("__salt", salt)
+    stage1 = top_k_per_group(
+        salted, [*group, "__salt"], order, k, rank_col="__rn1"
+    ).drop("__rn1", "__salt")
+    return top_k_per_group(stage1, group, order, k, rank_col=rank_col)
+
+
 def argmax(df: DataFrame, group: list[str], order: list[Column]) -> DataFrame:
     """Keep exactly the first row per group under the given total order —
     jane's latest-version-per-document / longest-segment pick."""

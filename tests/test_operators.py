@@ -317,3 +317,27 @@ def test_sample_frames_fanout(spark):
         range(5)
     )
     assert all(len(r["frame"]) == 32 for r in frames)
+
+
+def test_salted_topk_equals_plain(spark, sf_dir):
+    """Two-stage salted top-k must equal the single-window rank exactly,
+    including on a deliberately skewed key."""
+    from jane_spark.engine.catalog import Catalog
+    from jane_spark.operators.topk import top_k_per_group, top_k_per_group_salted
+    from pyspark.sql import functions as F
+
+    orders = Catalog(spark, sf_dir).orders
+    # skew: fold 90% of customers into one hot key
+    skewed = orders.withColumn(
+        "grp", F.when(F.col("o_custkey") % 10 != 0, F.lit(0)).otherwise(F.col("o_custkey"))
+    )
+    order = [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()]
+    plain = {
+        (r["grp"], r["o_orderkey"], r["rn"])
+        for r in top_k_per_group(skewed, ["grp"], order, 5).collect()
+    }
+    salted = {
+        (r["grp"], r["o_orderkey"], r["rn"])
+        for r in top_k_per_group_salted(skewed, ["grp"], order, 5, n_salts=8).collect()
+    }
+    assert salted == plain
