@@ -359,3 +359,49 @@ def q_k7(spark, sf_dir):
     return feats.select(
         "item_id", F.size("feat").alias("feat_dim")
     ).groupBy("feat_dim").agg(F.count(F.lit(1)).alias("n_items"))
+
+
+@contract(
+    "q_k5_tfidf",
+    oracle="""
+        WITH nd AS (SELECT count(*) AS n FROM documents),
+        tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   round(tf.tf * ln(CAST(nd.n AS DOUBLE) / dfreq.df), 4) AS tfidf
+            FROM tf JOIN dfreq USING (term), nd),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+            FROM scored)
+        SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 3
+    """,
+    survey_rows="K5,K4",
+    doc="full TF-IDF: top-3 distinguishing terms per document. Ranking "
+    "uses the ROUNDED score (4 dp) so cross-engine float noise cannot "
+    "reorder the top-k — the tie-break is then (rounded score, term)",
+)
+def q_k5_tfidf(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = Catalog(spark, sf_dir).documents
+    nd = docs.count()  # corpus size: a scalar, computed once
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(nd)) / F.col("df")), 4).alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )

@@ -176,3 +176,65 @@ def test_stateful_segment_tracker(spark, tmp_path):
         closed, open_seg = segs[0], segs[1]
         assert closed["closed"] is True and closed["n_events"] == 3
         assert open_seg["closed"] is False and open_seg["n_events"] == 2
+
+
+def test_late_data_beyond_watermark_dropped(spark, tmp_path):
+    """I5: rows older than the watermark do not update state.
+
+    Three availableNow runs over one checkpoint: (A) seed a window and
+    advance the watermark, (B) deliver late rows far behind it plus one
+    on-time row, (C) push the watermark past the seeded window so it
+    finalizes. If the late rows had been accepted, their (much older)
+    window would finalize in run C too — its absence is the proof.
+    """
+    import pandas as pd
+
+    from jane_spark.streaming.ingest import stream_parquet_dir
+    from jane_spark.streaming.windows import tumbling_stats
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(name, rows):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "value"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(src / name)
+
+    sink = str(tmp_path / "sink")
+
+    def run():
+        # file sink: supports checkpoint recovery (memory sink does not)
+        schema = spark.read.parquet(str(src)).schema
+        stream = stream_parquet_dir(spark, str(src), schema)
+        out = tumbling_stats(stream, "ts", width="1 hour", watermark="1 hour")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r["window_start"], r["n"])
+            for r in spark.read.parquet(sink).collect()
+        }
+
+    t = dt.datetime
+    write("a.parquet", [(1, t(2024, 1, 2, 10, 5), 1.0), (2, t(2024, 1, 2, 10, 10), 1.0)])
+    run()  # watermark -> 2024-01-02 09:10
+    write("b.parquet", [
+        (3, t(2024, 1, 1, 0, 10), 1.0),   # late: 33h behind the watermark
+        (4, t(2024, 1, 1, 0, 20), 1.0),   # late
+        (5, t(2024, 1, 2, 12, 0), 1.0),   # on time
+    ])
+    run()  # late rows dropped; watermark -> 11:00
+    write("c.parquet", [(6, t(2024, 1, 5, 0, 0), 1.0)])
+    got = run()  # finalizes every window ending <= 11:00
+
+    assert (t(2024, 1, 2, 10, 0), 2) in got          # seeded window intact
+    assert all(ws != t(2024, 1, 1, 0, 0) for ws, _ in got), (
+        f"late rows created a window: {got}"
+    )
