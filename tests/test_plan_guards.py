@@ -1,0 +1,90 @@
+"""Physical-plan regression guards (docs/SCALE.md §2–§4).
+
+The scale posture is enforced, not aspirational: filters must reach the
+parquet scan, dimensions must broadcast, pinned clustered tables must
+feed windows without an exchange. A refactor that silently loses one of
+these properties fails here long before it shows up at cluster scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted_plan(df) -> str:
+    # toString truncates long expression lists; the formatted explain
+    # prints PushedFilters in full
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filters_reach_parquet_scan(spark, sf_dir):
+    from jane_spark.contracts import REGISTRY
+
+    plan = _formatted_plan(REGISTRY["q_b3_range_filter"].spark_fn(spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # range reached the scan
+    # column pruning: the 16-col table must not be read wholesale
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_comment" not in read and "l_partkey" not in read
+
+
+def test_dimensions_broadcast(spark, sf_dir):
+    from jane_spark.contracts import REGISTRY
+
+    plan = _executed_plan(REGISTRY["q_c3_join4"].spark_fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    from jane_spark.contracts import REGISTRY
+
+    plan = _executed_plan(REGISTRY["q_c5_semi"].spark_fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_no_nested_loop_in_range_join(spark, sf_dir):
+    from jane_spark.contracts import REGISTRY
+
+    plan = _executed_plan(REGISTRY["q_c4_range_join"].spark_fn(spark, sf_dir))
+    assert "BroadcastNestedLoop" not in plan  # equi key + residual, never BNL
+
+
+def test_pinned_cluster_elides_exchange(spark, sf_dir):
+    """A window keyed on the pinned clustering must run exchange-free."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from jane_spark.engine.catalog import Catalog
+
+    cat = Catalog(spark, sf_dir)
+    cat.pin("events", cluster_by="user_id", partitions=4)
+    ev = cat.clustered("events", "user_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    df = ev.withColumn("rn", F.row_number().over(w)).filter("rn <= 2")
+    plan = _executed_plan(df)
+    assert "InMemoryTableScan" in plan
+    # the only acceptable exchange is inside the cached relation itself
+    after_cache = plan.split("InMemoryRelation")[0]
+    assert "Exchange" not in after_cache, after_cache
+
+    # a DIFFERENT key must fall back to the plain table + shuffle
+    other = cat.clustered("events", "event_type")
+    assert other is not ev
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    from jane_spark.contracts import REGISTRY
+
+    plan = _executed_plan(REGISTRY["q_d1_count_group"].spark_fn(spark, sf_dir))
+    assert "partial_count" in plan  # map-side combine present
