@@ -58,3 +58,40 @@ def radial_predicate(
     stats pruning applies before the trig residual."""
     d = great_circle_degrees(lat, lon, F.lit(float(center_lat)), F.lit(float(center_lon)))
     return (d >= min_radius_deg) & (d <= max_radius_deg)
+
+
+def radial_search(
+    df,
+    lat_col: str,
+    lon_col: str,
+    center_lat: float,
+    center_lon: float,
+    min_radius_deg: float,
+    max_radius_deg: float,
+):
+    """Radial filter with the scale-side prune applied automatically.
+
+    The exact great-circle predicate cannot reach parquet stats (trig),
+    so a covering bounding box for the OUTER radius goes first: lat
+    within ±r of the center, lon within ±r/cos(lat) widened to the
+    band's worst case. Both are plain comparisons on double columns —
+    they push down to the scan and prune row groups — and the exact
+    annulus test runs only on survivors. Within ~(90° − r) of a pole
+    the lon window wraps the full circle (cos → 0), which the guard
+    handles by skipping the lon bound. Provably equivalent to the
+    unpruned predicate (the bbox is a superset of the annulus).
+    """
+    import math
+
+    r = float(max_radius_deg)
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    pre = lat.between(center_lat - r, center_lat + r)
+    worst_lat = min(abs(center_lat) + r, 90.0)
+    if worst_lat < 89.0:  # not pole-adjacent: lon bound is meaningful
+        widen = r / math.cos(math.radians(worst_lat))
+        if widen < 180.0:
+            pre = pre & lon.between(center_lon - widen, center_lon + widen)
+    exact = radial_predicate(
+        lat, lon, center_lat, center_lon, min_radius_deg, max_radius_deg
+    )
+    return df.filter(pre & exact)

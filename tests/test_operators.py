@@ -341,3 +341,30 @@ def test_salted_topk_equals_plain(spark, sf_dir):
         for r in top_k_per_group_salted(skewed, ["grp"], order, 5, n_salts=8).collect()
     }
     assert salted == plain
+
+
+def test_radial_search_equals_unpruned(spark, sf_dir):
+    """The bbox pre-prune must not change the result set (superset
+    property), including the pole-adjacent and dateline-free cases."""
+    from jane_spark.engine.catalog import Catalog
+    from jane_spark.functions.geo import radial_predicate, radial_search
+    from pyspark.sql import functions as F
+
+    cust = Catalog(spark, sf_dir).customer.select(
+        "c_custkey",
+        # deterministic synthetic coordinates (same trick as q_b8/q_b9)
+        (F.pmod(F.col("c_custkey") * 7919, F.lit(18000)) / 100 - 90).alias("lat"),
+        (F.pmod(F.col("c_custkey") * 104729, F.lit(36000)) / 100 - 180).alias("lon"),
+    )
+    for clat, clon, rmin, rmax in [(48.0, 11.0, 0.0, 15.0), (85.0, 0.0, 2.0, 10.0)]:
+        plain = {
+            r["c_custkey"]
+            for r in cust.filter(
+                radial_predicate(F.col("lat"), F.col("lon"), clat, clon, rmin, rmax)
+            ).collect()
+        }
+        pruned = {
+            r["c_custkey"]
+            for r in radial_search(cust, "lat", "lon", clat, clon, rmin, rmax).collect()
+        }
+        assert pruned == plain and plain, (clat, len(plain))
