@@ -24,7 +24,7 @@ Embedding top-k over an ``array<float>`` column. Three strategies:
 
 At cluster scale, brute force is a broadcast of the query side against a
 partitioned corpus (still linear per query); LSH/IVF trades recall for a
-bucket-pruned candidate set. See ``docs/`` design notes.
+bucket-pruned candidate set. See docs/SCALE.md §6 for the ladder.
 """
 
 from __future__ import annotations
