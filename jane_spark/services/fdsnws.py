@@ -148,7 +148,53 @@ def station_query(
         out = out.join(
             traces.select(*SEED_FIELDS).dropDuplicates(), on=list(SEED_FIELDS), how="left_semi"
         )
+    level = params.get("level", "channel")
+    if level in ("station", "network"):
+        return station_level(out, level)
+    if level not in ("channel", "response"):
+        raise KeyError(f"unknown level: {level!r}")
+    # level=response: the response payload is the channel epoch's
+    # instrument fields (sensor_type/total_sensitivity) — same rows
     return out.orderBy("network", "station", "location", "channel", "start_date")
+
+
+def station_level(channels: DataFrame, level: str) -> DataFrame:
+    """Roll channel epochs up to station or network granularity
+    (fdsnws-station ``level`` param). Epoch span per group: earliest
+    start; end is NULL (open) if ANY member epoch is open, else the
+    latest end — matching jane's open-ended epoch convention (H10).
+    """
+    open_end = F.max(F.col("end_date").isNull()).alias("__any_open")
+    latest_end = F.max("end_date").alias("__max_end")
+    if level == "station":
+        rolled = channels.groupBy("network", "station").agg(
+            F.min("latitude").alias("latitude"),
+            F.min("longitude").alias("longitude"),
+            F.min("elevation_in_m").alias("elevation_in_m"),
+            F.min("start_date").alias("start_date"),
+            open_end,
+            latest_end,
+            F.countDistinct("location", "channel").alias("n_channels"),
+        )
+        keys = ["network", "station"]
+    elif level == "network":
+        rolled = channels.groupBy("network").agg(
+            F.min("start_date").alias("start_date"),
+            open_end,
+            latest_end,
+            F.countDistinct("station").alias("n_stations"),
+        )
+        keys = ["network"]
+    else:
+        raise KeyError(f"unknown level: {level!r}")
+    return (
+        rolled.withColumn(
+            "end_date",
+            F.when(F.col("__any_open"), F.lit(None)).otherwise(F.col("__max_end")),
+        )
+        .drop("__any_open", "__max_end")
+        .orderBy(*keys)
+    )
 
 
 def station_text(channels: DataFrame) -> DataFrame:

@@ -4,6 +4,8 @@ golden row sets / text lines)."""
 
 from __future__ import annotations
 
+import datetime as dt
+
 import pytest
 
 from jane_spark.services.fdsnws import (
@@ -213,3 +215,51 @@ def test_availability_extent(traces):
     assert str(ehe["earliest"]) == "2023-01-01 00:00:00"
     assert str(ehe["latest"]) == "2023-01-01 23:59:59"
     assert ehe["total_seconds"] == 79199.0
+
+
+def test_station_level_station(channels):
+    from jane_spark.services.fdsnws import station_query
+
+    rows = {
+        (r["network"], r["station"]): r
+    for r in station_query(channels, {"level": "station"}).collect()}
+    assert set(rows) == {("BW", "ALTM"), ("BW", "MANZ"), ("GR", "FUR"), ("IU", "ANMO")}
+    altm = rows[("BW", "ALTM")]
+    assert altm["n_channels"] == 3
+    assert altm["start_date"] == dt.datetime(2010, 1, 1)
+    assert altm["end_date"] is None  # EHZ epoch is open -> station open
+    anmo = rows[("IU", "ANMO")]
+    assert anmo["end_date"] is None  # loc 10 open
+    assert anmo["n_channels"] == 2
+
+
+def test_station_level_network(channels):
+    from jane_spark.services.fdsnws import station_query
+
+    rows = {r["network"]: r for r in station_query(channels, {"level": "network"}).collect()}
+    assert rows["BW"]["n_stations"] == 2
+    assert rows["GR"]["n_stations"] == 1
+    assert rows["BW"]["start_date"] == dt.datetime(2005, 3, 1)
+    assert rows["BW"]["end_date"] is None
+
+
+def test_station_level_composes_with_filters(channels):
+    from jane_spark.services.fdsnws import station_query
+
+    rows = station_query(
+        channels, {"network": "BW", "channel": "EH?", "level": "station"}
+    ).collect()
+    assert [(r["network"], r["station"], r["n_channels"]) for r in rows] == [
+        ("BW", "ALTM", 3)
+    ]
+
+
+def test_station_level_closed_epochs(channels):
+    """All member epochs closed -> station epoch end is the latest end."""
+    from jane_spark.services.fdsnws import station_query
+
+    rows = station_query(
+        channels, {"channel": "EHE,EHN", "level": "station"}
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["end_date"] == dt.datetime(2015, 6, 30)
