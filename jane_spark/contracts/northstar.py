@@ -405,3 +405,32 @@ def q_k5_tfidf(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tfidf")
     )
+
+
+@contract(
+    "q_t4_bpe_tokens",
+    oracle=r"""
+        SELECT lang,
+               CAST(sum(len(regexp_extract_all(
+                   text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT)
+                   AS total_bpe_tokens,
+               round(avg(CAST(len(regexp_extract_all(
+                   text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS DOUBLE)), 4)
+                   AS avg_bpe_tokens
+        FROM documents GROUP BY lang
+    """,
+    survey_rows="K4,K6",
+    doc="BPE-ish token counting (word/number/punct pieces — the "
+    "token-budget signal for training-data pipelines) per language "
+    "(functions.text.token_count_bpe); regex is identical in Java "
+    "and RE2 semantics for this alternation",
+)
+def q_t4(spark, sf_dir):
+    from jane_spark.functions.text import token_count_bpe
+
+    docs = Catalog(spark, sf_dir).documents
+    n = token_count_bpe(F.col("text"))
+    return docs.groupBy("lang").agg(
+        F.sum(n).cast("long").alias("total_bpe_tokens"),
+        F.round(F.avg(n.cast("double")), 4).alias("avg_bpe_tokens"),
+    )

@@ -268,6 +268,27 @@ def event_query(events: DataFrame, params: dict[str, str]) -> DataFrame:
     return out.orderBy(*order)
 
 
+def event_text(events: DataFrame) -> DataFrame:
+    """FDSN text format for fdsnws-event (A8): one pipe-separated line
+    per event — EventID|Time|Latitude|Longitude|Depth/km|Author|...|
+    MagType|Magnitude|EventType, matching the published column order."""
+    return events.select(
+        F.concat_ws(
+            "|",
+            "quakeml_id",
+            F.date_format("origin_time", "yyyy-MM-dd'T'HH:mm:ss.SSS"),
+            F.col("latitude").cast("string"),
+            F.col("longitude").cast("string"),
+            F.round(F.col("depth_in_m") / 1000.0, 3).cast("string"),
+            F.col("author"),
+            F.col("agency"),
+            F.col("magnitude_type"),
+            F.col("magnitude").cast("string"),
+            F.col("event_type"),
+        ).alias("line")
+    )
+
+
 # ----------------------------------------------------------- dataselect
 
 

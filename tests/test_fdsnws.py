@@ -263,3 +263,14 @@ def test_station_level_closed_epochs(channels):
     ).collect()
     assert len(rows) == 1
     assert rows[0]["end_date"] == dt.datetime(2015, 6, 30)
+
+
+def test_event_text_golden(events):
+    from jane_spark.services.fdsnws import event_query, event_text
+
+    rows = event_text(
+        event_query(events, {"minmagnitude": "6", "orderby": "magnitude"})
+    ).collect()
+    assert [r["line"] for r in rows] == [
+        "quakeml:eu/ev005|2023-05-25T13:14:15.000|35.5|139.8|35.0|rev|NIED|Mw|6.8|earthquake"
+    ]
