@@ -214,3 +214,56 @@ def q_a1_ds(spark, sf_dir):
         "npts",
         "quality",
     )
+
+
+@contract(
+    "q_a7_cut_bytes",
+    oracle=None,  # byte-level sink — rows-only check
+    survey_rows="A7,A1,J1",
+    doc="the full dataselect lifecycle on real bytes (SURVEY §3.2): "
+    "waveform files → data-source index → window query resolves "
+    "(file,pos) regions → cut phase trims samples at stored offsets "
+    "and re-encodes (services/waveform_cut.py)",
+)
+def q_a7_bytes(spark, sf_dir):
+    import tempfile
+
+    from jane_spark.services.fdsnws import dataselect_query
+    from jane_spark.services.waveform_cut import cut_waveforms
+    from jane_spark.sources.waveform_datasource import register
+    from jane_spark.sources.waveform_format import write_record
+
+    root = tempfile.mkdtemp(prefix="jane_cut_")
+    base_us = 1_704_067_200_000_000  # 2024-01-01 UTC
+    for fi in range(3):
+        blobs = [
+            write_record(
+                "BW", f"ST{fi}", "", "EHZ",
+                base_us + (fi * 6 + ti) * 3_600_000_000, 100.0,
+                [(fi + ti + s) % 256 for s in range(200)],
+            )
+            for ti in range(6)
+        ]
+        with open(f"{root}/wf_{fi}.jsw", "wb") as fh:
+            fh.write(b"".join(blobs))
+    register(spark)
+    scanned = spark.read.format("waveform").load(root)
+    index = scanned.select(
+        "path", "network", "station", "location", "channel",
+        F.timestamp_micros(F.col("start_us")).cast("timestamp_ntz").alias("starttime"),
+        F.timestamp_micros(F.col("end_us")).cast("timestamp_ntz").alias("endtime"),
+        "sampling_rate", "npts", "quality", "pos",
+        (F.col("end_us") - F.col("start_us")).cast("double").alias("duration"),
+    )
+    plan = dataselect_query(
+        index,
+        {
+            "network": "BW",
+            "channel": "EH?",
+            "starttime": "2024-01-01T01:00:00.500000",
+            "endtime": "2024-01-01T12:00:00",
+        },
+    )
+    return cut_waveforms(plan, reencode=True).select(
+        "network", "station", "channel", "start_us", "npts", "sampling_rate"
+    )

@@ -1,0 +1,98 @@
+"""fdsnws-dataselect cut phase (SURVEY.md §3.2 stages 3–4, row A7).
+
+``dataselect_query`` (services/fdsnws.py) resolves WHICH (file, pos)
+regions a request touches; this module does the byte work: read each
+matched record at its stored offset, trim samples to the cut window,
+and optionally re-encode the trimmed trace — the MiniSEED-response
+assembly of the reference, on the pluggable JSW1 codec.
+
+Distribution: cut rows are repartitioned by file path, so each task
+opens a file once and seeks through its matched records — the
+single-web-worker file loop of the reference becomes a parallel scan
+of exactly the matched byte regions (never whole directories).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CUT_SCHEMA = (
+    "path string, network string, station string, location string, "
+    "channel string, start_us long, npts int, sampling_rate double, "
+    "quality string, samples array<int>, payload binary"
+)
+
+
+def cut_waveforms(cut_rows: DataFrame, reencode: bool = False) -> DataFrame:
+    """Execute the cut plan: one output row per matched segment,
+    trimmed to [cut_start, cut_end].
+
+    ``cut_rows`` must carry ``path``, ``pos``, ``cut_start``,
+    ``cut_end`` (the dataselect_query output joined to file paths).
+    Sample trim follows the reference's trim semantics: keep samples
+    whose timestamp lies inside the closed window; the emitted
+    ``start_us`` is the first kept sample's time. ``reencode=True``
+    adds the serialized record bytes (the A7 byte-stream response).
+    """
+    plan = cut_rows.select(
+        "path",
+        F.col("pos").cast("long").alias("pos"),
+        F.unix_micros(F.col("cut_start").cast("timestamp")).alias("cut_start_us"),
+        F.unix_micros(F.col("cut_end").cast("timestamp")).alias("cut_end_us"),
+    ).repartition("path")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        from jane_spark.sources.waveform_format import read_record_at, write_record
+
+        cache: dict[str, bytes] = {}
+        for pdf in batches:
+            out: list[dict] = []
+            for path, pos, cs, ce in zip(
+                pdf["path"], pdf["pos"], pdf["cut_start_us"], pdf["cut_end_us"]
+            ):
+                if path not in cache:
+                    with open(path, "rb") as fh:
+                        cache[path] = fh.read()
+                rec, _ = read_record_at(cache[path], int(pos))
+                rate, start = rec["sampling_rate"], rec["start_us"]
+                step = 1_000_000.0 / rate
+                # first/last sample indices inside the closed window
+                i0 = 0 if cs <= start else math.ceil((cs - start) / step)
+                i1 = rec["npts"] - 1
+                if ce < rec["end_us"]:
+                    i1 = min(i1, int((ce - start) // step))
+                if i1 < i0:
+                    continue  # window misses every sample
+                samples = rec["samples"][i0 : i1 + 1]
+                new_start = start + int(i0 * step)
+                payload = None
+                if reencode:
+                    payload = write_record(
+                        rec["network"], rec["station"], rec["location"],
+                        rec["channel"], new_start, rate, samples, rec["quality"],
+                    )
+                out.append(
+                    {
+                        "path": path,
+                        "network": rec["network"],
+                        "station": rec["station"],
+                        "location": rec["location"],
+                        "channel": rec["channel"],
+                        "start_us": new_start,
+                        "npts": len(samples),
+                        "sampling_rate": rate,
+                        "quality": rec["quality"],
+                        "samples": samples,
+                        "payload": payload,
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    return plan.mapInPandas(run, CUT_SCHEMA)

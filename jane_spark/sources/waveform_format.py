@@ -50,30 +50,35 @@ def write_record(
     return head + struct.pack(f">{len(samples)}i", *samples)
 
 
-def read_records(data: bytes) -> Iterator[dict]:
-    """Parse every record in a file; raises ValueError on a bad magic
+def read_record_at(data: bytes, off: int) -> tuple[dict, int]:
+    """Parse the single record at byte offset ``off`` (the stored
+    ``pos`` of an index row — dataselect reads only matched regions);
+    returns (record, next_offset). Raises ValueError on a bad magic
     (validator hook — jane's XSD-reject analogue)."""
+    if data[off : off + 4] != MAGIC:
+        raise ValueError(f"bad magic at offset {off}")
+    magic, net, sta, loc, cha, start_us, rate, npts, q = _HEADER.unpack_from(data, off)
+    body = off + _HEADER.size
+    samples = struct.unpack_from(f">{npts}i", data, body)
+    end_us = start_us + int(npts / rate * 1_000_000) if rate > 0 else start_us
+    return {
+        "network": net.decode().strip(),
+        "station": sta.decode().strip(),
+        "location": loc.decode().strip(),
+        "channel": cha.decode().strip(),
+        "start_us": start_us,
+        "end_us": end_us,
+        "sampling_rate": rate,
+        "npts": npts,
+        "quality": q.decode(),
+        "pos": off,
+        "samples": list(samples),
+    }, body + 4 * npts
+
+
+def read_records(data: bytes) -> Iterator[dict]:
+    """Parse every record in a file."""
     off = 0
     while off < len(data):
-        if data[off : off + 4] != MAGIC:
-            raise ValueError(f"bad magic at offset {off}")
-        magic, net, sta, loc, cha, start_us, rate, npts, q = _HEADER.unpack_from(
-            data, off
-        )
-        body = off + _HEADER.size
-        samples = struct.unpack_from(f">{npts}i", data, body)
-        end_us = start_us + int(npts / rate * 1_000_000) if rate > 0 else start_us
-        yield {
-            "network": net.decode().strip(),
-            "station": sta.decode().strip(),
-            "location": loc.decode().strip(),
-            "channel": cha.decode().strip(),
-            "start_us": start_us,
-            "end_us": end_us,
-            "sampling_rate": rate,
-            "npts": npts,
-            "quality": q.decode(),
-            "pos": off,
-            "samples": list(samples),
-        }
-        off = body + 4 * npts
+        rec, off = read_record_at(data, off)
+        yield rec

@@ -64,3 +64,64 @@ def test_waveform_datasource_bad_magic(spark, tmp_path):
     df = spark.read.format("waveform").load(str(tmp_path))
     with pytest.raises(Exception, match="bad magic"):
         df.collect()
+
+
+def test_dataselect_end_to_end_cut(spark, tmp_path):
+    """Full §3.2 lifecycle on real bytes: index files via the data
+    source, resolve a request window via dataselect_query, cut at the
+    stored offsets, round-trip the re-encoded payload."""
+    from pyspark.sql import functions as F
+
+    from jane_spark.services.fdsnws import dataselect_query
+    from jane_spark.services.waveform_cut import cut_waveforms
+    from jane_spark.sources.waveform_datasource import register
+    from jane_spark.sources.waveform_format import read_records
+
+    _write_fixture_files(tmp_path)  # traces start 2024-01-01, hourly, 50 @ 100 Hz
+    register(spark)
+    scanned = spark.read.format("waveform").load(str(tmp_path))
+    index = scanned.select(
+        "path", "network", "station", "location", "channel",
+        F.timestamp_micros(F.col("start_us")).cast("timestamp_ntz").alias("starttime"),
+        F.timestamp_micros(F.col("end_us")).cast("timestamp_ntz").alias("endtime"),
+        "sampling_rate", "npts", "quality", "pos",
+        (F.col("end_us") - F.col("start_us")).cast("double").alias("duration"),
+    )
+    # request: 0.25 s into the first trace of file 0, to its end
+    cut_plan = dataselect_query(
+        index,
+        {
+            "station": "ST0",
+            "starttime": "2024-01-01T00:00:00.250000",
+            "endtime": "2024-01-01T01:00:00",
+        },
+    )
+    got = cut_waveforms(cut_plan, reencode=True).collect()
+    assert len(got) == 1
+    seg = got[0]
+    # 50 samples @100 Hz = 0.49 s span; cutting from 0.25 s keeps
+    # samples 25..49 (ceil(0.25s * 100Hz) = 25)
+    assert seg["npts"] == 25
+    assert seg["start_us"] == 1_704_067_200_000_000 + 250_000
+    # payload round-trips through the codec with identical samples
+    back = list(read_records(bytes(seg["payload"])))
+    assert len(back) == 1 and back[0]["samples"] == list(seg["samples"])
+    assert back[0]["start_us"] == seg["start_us"]
+
+
+def test_cut_window_misses_all_samples(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from jane_spark.services.waveform_cut import cut_waveforms
+    from jane_spark.sources.waveform_datasource import register
+
+    _write_fixture_files(tmp_path)
+    register(spark)
+    scanned = spark.read.format("waveform").load(str(tmp_path))
+    # cut window entirely after every sample of the chosen record
+    plan = scanned.filter("station = 'ST1'").limit(1).select(
+        "path", "pos",
+        F.timestamp_micros(F.col("end_us") + 1_000_000).cast("timestamp_ntz").alias("cut_start"),
+        F.timestamp_micros(F.col("end_us") + 2_000_000).cast("timestamp_ntz").alias("cut_end"),
+    )
+    assert cut_waveforms(plan).count() == 0
