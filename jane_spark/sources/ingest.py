@@ -92,3 +92,33 @@ def delta_files(current_listing: DataFrame, indexed_files: DataFrame) -> DataFra
 def deleted_files(current_listing: DataFrame, indexed_files: DataFrame) -> DataFrame:
     """A9/C6: indexed paths no longer on disk (indices to drop)."""
     return indexed_files.select("path").subtract(current_listing.select("path"))
+
+
+WAVEFORM_INDEX_SCHEMA = (
+    "path string, network string, station string, location string, "
+    "channel string, start_us long, end_us long, sampling_rate double, "
+    "npts int, quality string, pos long"
+)
+
+
+def parse_waveform_files(binary_df: DataFrame) -> DataFrame:
+    """J1 on the real JSW1 codec: binaryFile rows → per-trace index rows
+    (the mapInPandas twin of the ``waveform`` data source — same codec,
+    same output shape minus samples; use whichever fits the pipeline:
+    the data source for ad-hoc reads, this inside ingest streams)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from jane_spark.sources.waveform_format import read_records
+
+        cols = [c.split(" ")[0] for c in WAVEFORM_INDEX_SCHEMA.split(", ")]
+        for pdf in batches:
+            out = []
+            for path, data in zip(pdf["path"], pdf["content"]):
+                for rec in read_records(bytes(data)):
+                    rec["path"] = path
+                    out.append({c: rec[c] for c in cols})
+            yield pd.DataFrame(out, columns=cols)
+
+    return binary_df.select("path", "content").mapInPandas(
+        run, WAVEFORM_INDEX_SCHEMA
+    )

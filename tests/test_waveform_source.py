@@ -125,3 +125,28 @@ def test_cut_window_misses_all_samples(spark, tmp_path):
         F.timestamp_micros(F.col("end_us") + 2_000_000).cast("timestamp_ntz").alias("cut_end"),
     )
     assert cut_waveforms(plan).count() == 0
+
+
+def test_binaryfile_parse_matches_datasource(spark, tmp_path):
+    """The mapInPandas ingest path and the data source produce the same
+    index rows from the same files (minus the samples column)."""
+    from jane_spark.sources.ingest import parse_waveform_files, scan_files
+    from jane_spark.sources.waveform_datasource import register
+
+    _write_fixture_files(tmp_path)
+    register(spark)
+    via_ds = {
+        tuple(r)
+        for r in spark.read.format("waveform")
+        .load(str(tmp_path))
+        .select("path", "network", "station", "start_us", "npts", "pos")
+        .collect()
+    }
+    via_ingest = {
+        # binaryFile paths are file: URIs; the data source uses raw paths
+        (r["path"].removeprefix("file:"), *tuple(r)[1:])
+        for r in parse_waveform_files(scan_files(spark, str(tmp_path)))
+        .select("path", "network", "station", "start_us", "npts", "pos")
+        .collect()
+    }
+    assert via_ds == via_ingest and len(via_ds) == 12
