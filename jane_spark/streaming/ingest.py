@@ -59,3 +59,21 @@ def run_available_now(
 def _has_aggregation(df: DataFrame) -> bool:
     plan = df._jdf.queryExecution().logical().toString()
     return "Aggregate" in plan
+
+
+def stream_waveform_dir(spark: SparkSession, path: str, max_files_per_trigger: int | None = None):
+    """I1+J1+A1 composed: the reference's monitor loop as a stream —
+    waveform files appearing in a directory are parsed into per-trace
+    index rows continuously. Pair with ``start_index_upsert_stream``
+    (keyed by path) for the full §3.3 ingest pipeline."""
+    from jane_spark.sources.ingest import parse_waveform_files
+
+    # binaryFile's schema is fixed but streaming sources require it spelled out
+    schema = (
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    reader = spark.readStream.format("binaryFile").schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    binary = reader.load(path)
+    return parse_waveform_files(binary)

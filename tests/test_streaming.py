@@ -238,3 +238,43 @@ def test_late_data_beyond_watermark_dropped(spark, tmp_path):
     assert all(ws != t(2024, 1, 1, 0, 0) for ws, _ in got), (
         f"late rows created a window: {got}"
     )
+
+
+def test_waveform_stream_ingest_incremental(spark, tmp_path):
+    """§3.3 end-to-end: waveform files arrive → parsed trace index rows
+    land in the store; a second arrival is processed incrementally
+    (checkpoint skips already-ingested files)."""
+    from jane_spark.sources.index_store import IndexStore
+    from jane_spark.sources.waveform_format import write_record
+    from jane_spark.streaming.ingest import stream_waveform_dir
+    from jane_spark.streaming.upsert import start_index_upsert_stream
+
+    arrivals = tmp_path / "arrivals"
+    arrivals.mkdir()
+    store = IndexStore(spark, str(tmp_path / "store"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop_file(name, station, n_traces):
+        blobs = [
+            write_record("BW", station, "", "EHZ",
+                         1_700_000_000_000_000 + t * 10**9, 100.0, [1, 2, 3])
+            for t in range(n_traces)
+        ]
+        (arrivals / name).write_bytes(b"".join(blobs))
+
+    def ingest():
+        q = start_index_upsert_stream(
+            stream_waveform_dir(spark, str(arrivals)),
+            store, "trace", ckpt, doc_id_col="path",
+        )
+        q.awaitTermination()
+
+    drop_file("a.jsw", "ST1", 3)
+    ingest()
+    assert store.index("trace").count() == 3
+
+    drop_file("b.jsw", "ST2", 2)
+    ingest()
+    idx = store.index("trace")
+    assert idx.count() == 5
+    assert {r["station"] for r in idx.collect()} == {"ST1", "ST2"}
