@@ -36,3 +36,18 @@ def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity; denominator as sqrt(na)*sqrt(nb) to mirror the
     conventional formula (and DuckDB's list_cosine_similarity)."""
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def block_minmax(samples: Column, block: int) -> Column:
+    """Per-block (min, max) pairs over a sample array — jane's preview
+    downsampling (SURVEY.md D7: 60 s min/max preview per trace) without
+    a per-sample explode: one output element per block via slice inside
+    transform, all codegen. Block count = ceil(len/block)."""
+    n_blocks = F.ceil(F.size(samples) / F.lit(block)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_blocks - 1),
+        lambda i: F.struct(
+            F.array_min(F.slice(samples, i * block + 1, block)).alias("pmin"),
+            F.array_max(F.slice(samples, i * block + 1, block)).alias("pmax"),
+        ),
+    )

@@ -96,3 +96,51 @@ def cut_waveforms(cut_rows: DataFrame, reencode: bool = False) -> DataFrame:
                 yield pd.DataFrame(out)
 
     return plan.mapInPandas(run, CUT_SCHEMA)
+
+
+def trace_previews(
+    traces: DataFrame,
+    seconds_per_block: float = 60.0,
+    samples_col: str = "samples",
+    rate_col: str = "sampling_rate",
+    start_col: str = "start_us",
+) -> DataFrame:
+    """D7 on real traces: per-block min/max preview rows, one per
+    ``seconds_per_block`` window of each trace — the reference's
+    ``preview_trace`` arrays, computed with array builtins per record
+    (no per-sample explode; the preview is ~1/block the input size
+    before any shuffle). For a fixed-rate corpus the column-API variant
+    is functions.arrays.block_minmax."""
+    out = traces.withColumn(
+        "__block", (F.col(rate_col) * F.lit(seconds_per_block)).cast("int")
+    )
+    # block sizes are per-row; build previews with a SQL expression so
+    # the slice length can reference the row's own __block column
+    prev = F.expr(
+        f"""
+        transform(
+            sequence(0, cast(ceil(size({samples_col}) / __block) as int) - 1),
+            i -> struct(
+                array_min(slice({samples_col}, i * __block + 1, __block)) AS pmin,
+                array_max(slice({samples_col}, i * __block + 1, __block)) AS pmax,
+                i AS block_no))
+        """
+    )
+    return (
+        out.withColumn("__prev", prev)
+        .select(
+            "network", "station", "location", "channel",
+            F.col(start_col),
+            F.col(rate_col),
+            F.explode("__prev").alias("p"),
+        )
+        .select(
+            "network", "station", "location", "channel",
+            (
+                F.col(start_col)
+                + (F.col("p.block_no") * F.lit(seconds_per_block * 1_000_000)).cast("long")
+            ).alias("block_start_us"),
+            F.col("p.pmin").alias("pmin"),
+            F.col("p.pmax").alias("pmax"),
+        )
+    )

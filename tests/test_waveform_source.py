@@ -150,3 +150,38 @@ def test_binaryfile_parse_matches_datasource(spark, tmp_path):
         .collect()
     }
     assert via_ds == via_ingest and len(via_ds) == 12
+
+
+def test_trace_previews_match_numpy(spark, tmp_path):
+    """Preview min/max blocks equal a numpy reference on real traces."""
+    import numpy as np
+
+    from jane_spark.services.waveform_cut import trace_previews
+    from jane_spark.sources.waveform_datasource import register
+
+    _write_fixture_files(tmp_path)  # 50 samples @ 100 Hz per trace
+    register(spark)
+    traces = spark.read.format("waveform").load(str(tmp_path))
+    # 0.1 s blocks -> 10 samples per block, 5 blocks per trace
+    got = trace_previews(traces, seconds_per_block=0.1).collect()
+    assert len(got) == 12 * 5
+    raw = traces.select("station", "start_us", "samples").collect()
+    want = {}
+    for r in raw:
+        s = np.array(r["samples"])
+        for b in range(5):
+            blk = s[b * 10 : (b + 1) * 10]
+            want[(r["station"], r["start_us"] + b * 100_000)] = (blk.min(), blk.max())
+    for r in got:
+        w = want[(r["station"], r["block_start_us"])]
+        assert (r["pmin"], r["pmax"]) == w
+
+
+def test_block_minmax_column_api(spark):
+    from pyspark.sql import functions as F
+
+    from jane_spark.functions.arrays import block_minmax
+
+    df = spark.createDataFrame([(1, list(range(10)))], ["id", "s"])
+    out = df.select(block_minmax(F.col("s"), 4).alias("p")).first()["p"]
+    assert [(b["pmin"], b["pmax"]) for b in out] == [(0, 3), (4, 7), (8, 9)]
