@@ -13,5 +13,6 @@ from jane_spark.contracts import sets_scalars  # noqa: F401  (§2.7 G, §2.8 H)
 from jane_spark.contracts import streaming  # noqa: F401  (§2.9 I)
 from jane_spark.contracts import udfs  # noqa: F401  (§2.10 J)
 from jane_spark.contracts import northstar  # noqa: F401  (§2.11 K)
+from jane_spark.contracts import pipeline  # noqa: F401  (§2.11 K pipeline ops)
 
 __all__ = ["REGISTRY", "ContractQuery", "contract"]

@@ -1,0 +1,344 @@
+"""Training-data pipeline contracts (north-star, beyond SURVEY §2.11 K):
+deterministic splits/sampling/mixing, benchmark decontamination, PII
+redaction, sequence packing, plus oracle-checkable upgrades of the
+language-ID and fingerprint rows (K6/K1 — previously rows-only).
+
+These are the operations a 100 TB pre-training corpus build runs between
+"raw documents" and "tokenizer input". Design rules applied throughout:
+every sampling decision is a salted-hash projection (no RNG, no shuffle,
+partition-layout-independent — functions/sampling.py), the decontam join
+broadcasts the benchmark side, and everything stays in built-in column
+functions (whole-stage codegen; zero Python UDFs in this module).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from jane_spark.contracts.registry import contract
+from jane_spark.engine.catalog import Catalog
+
+# DuckDB fragment mirroring functions.sampling.hash_bucket
+_DUCK_BUCKET = (
+    "CAST(concat('0x', substr(md5(concat('{salt}', CAST({key} AS VARCHAR))),"
+    " 1, 8)) AS BIGINT) % {n}"
+)
+
+
+@contract(
+    "q_p1_hash_split",
+    oracle=f"""
+        WITH b AS (
+            SELECT n_chars,
+                   {_DUCK_BUCKET.format(salt="split:", key="doc_id", n=10000)}
+                       AS bucket
+            FROM documents)
+        SELECT CASE WHEN bucket < 8000 THEN 'train'
+                    WHEN bucket < 9000 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM b GROUP BY split
+    """,
+    survey_rows="K1,K6",
+    doc="deterministic 80/10/10 train/val/test split via salted hash "
+    "bucket (functions.sampling.split_assign) — reproducible across "
+    "runs/cluster sizes, pure projection, no RNG state",
+)
+def q_p1(spark, sf_dir):
+    from jane_spark.functions.sampling import split_assign
+
+    docs = Catalog(spark, sf_dir).documents
+    split = split_assign(
+        F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}, salt="split:"
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@contract(
+    "q_p2_stratified_sample",
+    oracle=f"""
+        WITH b AS (
+            SELECT lang, text,
+                   {_DUCK_BUCKET.format(salt="sample:", key="doc_id", n=10000)}
+                       AS bucket
+            FROM documents)
+        SELECT lang, count(*) AS n_kept,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                   AS tokens_kept
+        FROM b
+        WHERE bucket < (CASE lang WHEN 'en' THEN 5000
+                                  WHEN 'zh' THEN 2500
+                                  ELSE 10000 END)
+        GROUP BY lang
+    """,
+    survey_rows="K6,K1",
+    doc="stratified deterministic downsampling (rebalance the language "
+    "mix: keep 50% en, 25% zh, 100% rest) — the hash filter is a pure "
+    "pushed-down predicate (functions.sampling.stratified_keep)",
+)
+def q_p2(spark, sf_dir):
+    from jane_spark.functions.sampling import stratified_keep
+    from jane_spark.functions.text import token_count
+
+    docs = Catalog(spark, sf_dir).documents
+    keep = stratified_keep(
+        F.col("doc_id"), F.col("lang"), {"en": 0.5, "zh": 0.25}, salt="sample:"
+    )
+    return (
+        docs.filter(keep)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(token_count(F.col("text"))).cast("bigint").alias("tokens_kept"),
+        )
+    )
+
+
+@contract(
+    "q_p3_upsample",
+    oracle="""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM (SELECT lang, doc_id,
+                     unnest(generate_series(1, CASE lang WHEN 'fr' THEN 3
+                                                         WHEN 'de' THEN 2
+                                                         ELSE 1 END)) AS epoch
+              FROM documents)
+        GROUP BY lang
+    """,
+    survey_rows="K6",
+    doc="epoch-weighted upsampling (mixture weights: fr x3, de x2): "
+    "explode(sequence(1, factor)) — a narrow per-row flatMap, no "
+    "shuffle until the final agg (functions.sampling.repeat_factor)",
+)
+def q_p3(spark, sf_dir):
+    from jane_spark.functions.sampling import repeat_factor
+
+    docs = Catalog(spark, sf_dir).documents
+    k = repeat_factor(F.col("lang"), {"fr": 3, "de": 2})
+    return (
+        docs.select(
+            "lang", "doc_id", F.explode(F.sequence(F.lit(1), k)).alias("epoch")
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+@contract(
+    "q_p4_pack",
+    oracle="""
+        WITH t AS (
+            SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok
+            FROM documents),
+        c AS (
+            SELECT lang, n_tok,
+                   sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+            FROM t),
+        blk AS (
+            SELECT lang, n_tok,
+                   CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS block
+            FROM c)
+        SELECT lang,
+               CAST(count(DISTINCT block) AS BIGINT) AS n_blocks,
+               round(CAST(sum(n_tok) AS DOUBLE) / count(DISTINCT block), 4)
+                   AS avg_block_tokens
+        FROM blk GROUP BY lang
+    """,
+    survey_rows="E3,K4",
+    doc="sequence packing: assign docs to fixed 2048-token context "
+    "blocks per language via running token count (window cumsum — the "
+    "standard pre-tokenization packing pass). Deterministic order: "
+    "(lang, doc_id)",
+)
+def q_p4(spark, sf_dir):
+    from jane_spark.functions.text import token_count
+
+    docs = Catalog(spark, sf_dir).documents
+    t = docs.select(
+        "lang", "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    blk = t.select(
+        "lang",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 2048.0).alias("block"),
+    )
+    return blk.groupBy("lang").agg(
+        F.countDistinct("block").alias("n_blocks"),
+        F.round(
+            F.sum("n_tok").cast("double") / F.countDistinct("block"), 4
+        ).alias("avg_block_tokens"),
+    )
+
+
+@contract(
+    "q_t5_decontam",
+    oracle="""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        s AS (SELECT doc_id,
+                     list_distinct(list_transform(
+                         generate_series(1, len(toks) - 2),
+                         i -> array_to_string(toks[i:i+2], ' '))) AS sh
+              FROM t WHERE len(toks) >= 3),
+        bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM s
+                  WHERE doc_id % 37 = 0),
+        cand AS (SELECT doc_id, unnest(sh) AS shingle FROM s
+                 WHERE doc_id % 37 <> 0)
+        SELECT cand.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        FROM cand JOIN bench USING (shingle)
+        GROUP BY cand.doc_id
+    """,
+    survey_rows="K1,K4,B12",
+    doc="benchmark decontamination: flag training docs sharing any word "
+    "3-gram with the held-out set (doc_id%37=0 stands in for the "
+    "benchmark corpus). Shingling is a pure higher-order expression "
+    "(functions.text.shingles); the benchmark shingle set is broadcast "
+    "— at 100 TB the eval corpus stays tiny, so the contaminated-doc "
+    "scan is one shuffle-free broadcast-semi pass + final agg",
+)
+def q_t5(spark, sf_dir):
+    from jane_spark.functions.text import shingles
+
+    docs = Catalog(spark, sf_dir).documents
+    s = docs.filter(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id", F.array_distinct(shingles(F.col("text"), 3)).alias("sh")
+    )
+    bench = (
+        s.filter(F.col("doc_id") % 37 == 0)
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    cand = s.filter(F.col("doc_id") % 37 != 0).select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
+    return (
+        cand.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+@contract(
+    "q_t6_redact",
+    oracle="""
+        WITH aug AS (
+            SELECT doc_id,
+                   concat(text, ' contact ', source,
+                          '@example.com for details') AS raw
+            FROM documents),
+        red AS (
+            SELECT doc_id, raw,
+                   regexp_replace(raw, '[a-z0-9.]+@[a-z0-9.]+',
+                                  '<EMAIL>', 'g') AS clean
+            FROM aug)
+        SELECT doc_id,
+               CAST(length(raw) - length(clean) AS BIGINT) AS chars_removed,
+               md5(clean) AS clean_md5
+        FROM red
+    """,
+    survey_rows="H4,K6",
+    doc="PII redaction: regexp_replace email-shaped spans with a "
+    "placeholder (emails synthesized deterministically — the driver "
+    "corpus contains none). Per-doc md5 of the redacted text makes the "
+    "oracle check byte-exact; the alternation is identical under Java "
+    "regex and RE2",
+)
+def q_t6(spark, sf_dir):
+    docs = Catalog(spark, sf_dir).documents
+    raw = F.concat(
+        F.col("text"), F.lit(" contact "), F.col("source"),
+        F.lit("@example.com for details"),
+    )
+    clean = F.regexp_replace(raw, r"[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>")
+    return docs.select(
+        "doc_id",
+        (F.length(raw) - F.length(clean)).cast("bigint").alias("chars_removed"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+@contract(
+    "q_t2_langid_sql",
+    oracle="""
+        WITH t AS (
+            SELECT text,
+                   list_distinct((string_split(lower(text), ' '))[1:200])
+                       AS toks
+            FROM documents),
+        h AS (
+            SELECT text,
+                   len(list_intersect(toks, ['the','and','of','to','is']))
+                       AS h_en,
+                   len(list_intersect(toks, ['le','la','et','les','des']))
+                       AS h_fr,
+                   len(list_intersect(toks, ['el','de','la','los','que']))
+                       AS h_es,
+                   len(list_intersect(toks, ['der','die','und','das','ist']))
+                       AS h_de
+            FROM t),
+        p AS (
+            SELECT CASE
+                WHEN regexp_matches(substr(text, 1, 200), '[一-鿿]') THEN 'zh'
+                WHEN greatest(h_en, h_fr, h_es, h_de) <= 0 THEN 'und'
+                WHEN h_en = greatest(h_en, h_fr, h_es, h_de) THEN 'en'
+                WHEN h_fr = greatest(h_en, h_fr, h_es, h_de) THEN 'fr'
+                WHEN h_es = greatest(h_en, h_fr, h_es, h_de) THEN 'es'
+                ELSE 'de' END AS lang_pred
+            FROM h)
+        SELECT lang_pred, count(*) AS n FROM p GROUP BY lang_pred
+    """,
+    survey_rows="K6",
+    doc="language-ID as a pure codegen expression (marker-word argmax + "
+    "CJK codepoint scan, functions.text.detect_language_expr) — the "
+    "default scale path; the pandas-UDF variant (q_t2_langid) is "
+    "parity-tested against it in tests/test_operators.py",
+)
+def q_t2_sql(spark, sf_dir):
+    from jane_spark.functions.text import detect_language_expr
+
+    docs = Catalog(spark, sf_dir).documents
+    return (
+        docs.select(detect_language_expr(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@contract(
+    "q_t3_fingerprint_md5",
+    oracle="""
+        SELECT doc_id,
+               md5(array_to_string(string_split(lower(text), ' '), ' '))
+                   AS fp
+        FROM documents
+    """,
+    survey_rows="K1,H6",
+    doc="cross-engine document fingerprint: md5 of the normalized token "
+    "stream, checked per-doc byte-exact (functions.text.fingerprint_hex; "
+    "the xxhash64 variant q_t3_fingerprint stays the 8-byte scale path)",
+)
+def q_t3_md5(spark, sf_dir):
+    from jane_spark.functions.text import fingerprint_hex
+
+    docs = Catalog(spark, sf_dir).documents
+    return docs.select("doc_id", fingerprint_hex(F.col("text")).alias("fp"))

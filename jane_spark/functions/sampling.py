@@ -1,0 +1,92 @@
+"""Deterministic sampling / splitting primitives (north-star pipeline ops).
+
+A training-data pipeline needs *reproducible* row selection: the same
+document must land in the same train/val/test split on every run, on
+every cluster size, with no RNG state. Spark's ``df.sample`` is
+seed-dependent per-partition — repartitioning changes the sample — so
+these helpers derive all randomness from a salted content hash instead:
+
+    bucket = int(md5(salt || key)[:8 hex]) % n_buckets
+
+which is partition-layout-independent, cross-engine reproducible (the
+DuckDB oracle computes the identical expression), and embarrassingly
+parallel — a pure projection, no shuffle, codegen'd end-to-end.
+
+At 100 TB this is the only sane shape: splitting/sampling never moves
+data, never needs a seed broadcast, and composes with predicate
+pushdown (a ``bucket < r`` filter prunes before any join/agg).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column, n_buckets: int, salt: str = "") -> Column:
+    """Uniform deterministic bucket in [0, n_buckets) from a salted md5.
+
+    Uses the first 8 hex chars (32 bits) — unbiased enough for any
+    n_buckets ≤ ~1e6. Distinct salts give independent bucketings, so a
+    sampling decision never correlates with a split decision.
+
+    DuckDB twin fragment::
+
+        CAST(concat('0x', substr(md5(concat('<salt>', CAST(k AS VARCHAR))),
+                    1, 8)) AS BIGINT) % n
+    """
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % n_buckets
+
+
+def split_assign(
+    key: Column,
+    fractions: dict[str, float],
+    salt: str = "split:",
+) -> Column:
+    """Assign each row a named split ('train'/'val'/'test'/…) by hash
+    bucket over cumulative fraction thresholds. ``fractions`` must sum
+    to 1.0; insertion order defines the threshold order."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    b = hash_bucket(key, 10_000, salt)
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        cond = b < int(round(acc * 10_000))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return (expr.otherwise(names[-1])) if expr is not None else F.lit(names[-1])
+
+
+def stratified_keep(
+    key: Column,
+    stratum: Column,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    salt: str = "sample:",
+) -> Column:
+    """Boolean keep-filter for per-stratum downsampling (e.g. rebalance
+    an over-represented language). Pure projection — the filter pushes
+    down to the scan."""
+    b = hash_bucket(key, 10_000, salt)
+    expr = None
+    for name, rate in rates.items():
+        cond = stratum == name
+        thr = b < int(round(rate * 10_000))
+        expr = F.when(cond, thr) if expr is None else expr.when(cond, thr)
+    default = b < int(round(default_rate * 10_000))
+    return expr.otherwise(default) if expr is not None else default
+
+
+def repeat_factor(stratum: Column, factors: dict[str, int]) -> Column:
+    """Per-stratum integer upsampling factor (epoch mixing weights).
+    Use with ``F.explode(F.sequence(F.lit(1), repeat_factor(...)))`` to
+    materialize repeats — a narrow flatMap, no shuffle."""
+    expr = None
+    for name, k in factors.items():
+        cond = stratum == name
+        expr = F.when(cond, k) if expr is None else expr.when(cond, k)
+    return expr.otherwise(1) if expr is not None else F.lit(1)

@@ -67,6 +67,30 @@ def fingerprint64(text: Column) -> Column:
     return F.xxhash64(F.concat_ws(" ", tokens(F.lower(text))))
 
 
+def fingerprint_hex(text: Column) -> Column:
+    """Cross-engine document fingerprint: md5 hex of the normalized
+    token stream. Same normalization as fingerprint64 but oracle-
+    checkable (DuckDB twin: ``md5(array_to_string(string_split(
+    lower(text), ' '), ' '))``). Use fingerprint64 when 8-byte ids
+    matter (join keys at scale); this when auditability does."""
+    return F.md5(F.concat_ws(" ", tokens(F.lower(text))))
+
+
+def shingles(text: Column, n: int) -> Column:
+    """Word n-gram shingle array from the space-token stream — the
+    decontamination / near-dup unit. Pure higher-order expression
+    (sequence + transform + slice): JVM-side, no UDF, no shuffle.
+
+    Guarded for short docs: Spark's ``sequence(1, 0)`` would count
+    DOWN ([1, 0]), so texts with fewer than n tokens yield an empty
+    array explicitly."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    arr = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    empty = F.array().cast("array<string>")
+    return F.when(F.size(toks) >= n, arr).otherwise(empty)
+
+
 # ------------------------------------------------------------ language ID
 
 # character-frequency profiles for a tiny trigram-free heuristic;
@@ -78,6 +102,31 @@ _LANG_MARKERS: dict[str, list[str]] = {
     "de": ["der", "die", "und", "das", "ist"],
     "zh": [],  # CJK detected by codepoint range below
 }
+
+
+def detect_language_expr(text: Column) -> Column:
+    """Pure-Column language ID — same decision function as
+    detect_language_udf (CJK codepoint scan over the first 200 chars,
+    else marker-word argmax over the first 200 tokens, first-listed
+    language wins ties, 'und' on zero hits) but built entirely from
+    array_intersect/greatest/when: whole-stage-codegen'd, no Python
+    worker, and DuckDB-oracle-expressible. This is the default path;
+    the pandas UDF remains as the extensibility example (J-surface)
+    and is parity-tested against this expression."""
+    hits = {}
+    toks = F.array_distinct(F.slice(tokens(F.lower(text)), 1, 200))
+    for lang, markers in _LANG_MARKERS.items():
+        if markers:
+            arr = F.array(*[F.lit(m) for m in markers])
+            hits[lang] = F.size(F.array_intersect(toks, arr))
+    best = F.greatest(*hits.values())
+    decided = F.when(F.substring(text, 1, 200).rlike("[一-鿿]"), F.lit("zh")).when(
+        best <= 0, F.lit("und")
+    )
+    for lang in _LANG_MARKERS:  # dict order == UDF's strict-> tie-break order
+        if lang in hits:
+            decided = decided.when(hits[lang] == best, F.lit(lang))
+    return decided.otherwise(F.lit("und"))
 
 
 def detect_language_udf():

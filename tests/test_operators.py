@@ -368,3 +368,111 @@ def test_radial_search_equals_unpruned(spark, sf_dir):
             for r in radial_search(cust, "lat", "lon", clat, clon, rmin, rmax).collect()
         }
         assert pruned == plain and plain, (clat, len(plain))
+
+
+def test_langid_expr_matches_udf(spark, sf_dir):
+    """The codegen language-ID expression and the pandas-UDF variant
+    implement the same decision function — per-doc parity on the real
+    corpus plus hand-built edge cases (empty, CJK, tie, no-hit)."""
+    from jane_spark.engine.catalog import Catalog
+    from jane_spark.functions.text import detect_language_expr, detect_language_udf
+    from pyspark.sql import functions as F
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [
+            (-1, ""),
+            (-2, "汉字 text with cjk"),
+            (-3, "le of"),  # one hit each: en wins (listed first)
+            (-4, "zzz qqq www"),  # no markers -> und
+            (-5, "der die und das ist"),
+        ],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(edge).select(
+        "doc_id",
+        detect_language_expr(F.col("text")).alias("by_expr"),
+        detect_language_udf()(F.col("text")).alias("by_udf"),
+    )
+    mismatch = both.filter(F.col("by_expr") != F.col("by_udf")).collect()
+    assert not mismatch, mismatch[:5]
+    fixed = {r["doc_id"]: r["by_expr"] for r in both.filter("doc_id < 0").collect()}
+    assert fixed == {-1: "und", -2: "zh", -3: "en", -4: "und", -5: "de"}
+
+
+def test_hash_split_partition_invariant(spark, sf_dir):
+    """Salted-hash splits must not depend on physical layout: the same
+    rows land in the same split after an arbitrary repartition, and
+    distinct salts decorrelate decisions."""
+    from jane_spark.engine.catalog import Catalog
+    from jane_spark.functions.sampling import hash_bucket, split_assign
+    from pyspark.sql import functions as F
+
+    docs = Catalog(spark, sf_dir).documents
+    frac = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+    def assign(df):
+        return {
+            r["doc_id"]: r["s"]
+            for r in df.select(
+                "doc_id", split_assign(F.col("doc_id"), frac).alias("s")
+            ).collect()
+        }
+
+    a = assign(docs)
+    b = assign(docs.repartition(17, "lang"))
+    assert a == b
+    n = len(a)
+    assert 0.7 < sum(1 for v in a.values() if v == "train") / n < 0.9
+    # independent salts: bucket correlation across salts ~ chance
+    pair = docs.select(
+        (hash_bucket(F.col("doc_id"), 2, "s1:") == hash_bucket(F.col("doc_id"), 2, "s2:"))
+        .cast("int")
+        .alias("same")
+    ).agg(F.avg("same").alias("p")).collect()[0]["p"]
+    assert 0.35 < pair < 0.65
+
+
+def test_shingles_short_text_guard(spark):
+    """sequence(1, 0) counts DOWN in Spark — the shingle helper must
+    return an empty array, not garbage, for texts shorter than n."""
+    from jane_spark.functions.text import shingles
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a b",), ("a b c",), ("a b c d",)], "text string"
+    ).select(shingles(F.col("text"), 3).alias("sh"))
+    got = [r["sh"] for r in df.collect()]
+    assert got == [[], ["a b c"], ["a b c", "b c d"]]
+
+
+def test_pack_blocks_respect_budget(spark, sf_dir):
+    """Every packed block except a stratum's last must exceed the token
+    budget only by its final doc (running-sum semantics): the cumsum at
+    block entry is < budget * (block+1)."""
+    from jane_spark.engine.catalog import Catalog
+    from jane_spark.functions.text import token_count
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = Catalog(spark, sf_dir).documents
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = token_count(F.col("text")).cast("bigint")
+    blk = docs.select(
+        "lang",
+        n_tok.alias("n_tok"),
+        F.sum(n_tok).over(w).alias("cum"),
+    ).withColumn("block", F.floor((F.col("cum") - F.col("n_tok")) / 2048.0))
+    bad = blk.filter(
+        (F.col("cum") - F.col("n_tok")) >= 2048 * (F.col("block") + 1)
+    ).count()
+    assert bad == 0
+    # blocks are dense 0..max per lang
+    per = blk.groupBy("lang").agg(
+        F.countDistinct("block").alias("n"), F.max("block").alias("mx")
+    ).collect()
+    assert all(r["n"] == r["mx"] + 1 for r in per)
