@@ -38,6 +38,9 @@ BENCH_QUERIES = {
     "time_bucket": "q_d7_bucket",
     "token_count": "q_k4_tokens",
     "vector_topk": "q_k3_vector_topk",
+    "hash_split": "q_p1_hash_split",
+    "decontam": "q_t5_decontam",
+    "redact": "q_t6_redact",
 }
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
@@ -73,6 +76,10 @@ def main() -> None:
     cat = Catalog(spark, sf_dir)
     cat.pin("events", cluster_by="user_id", partitions=8)
     cat.pin("orders", cluster_by="o_custkey", partitions=8)
+    # documents: per-row-compute queries (regex redaction) parallelize
+    # from the cached 8-partition layout instead of the single-row-group
+    # parquet file's one scan task
+    cat.pin("documents", cluster_by="doc_id", partitions=8)
 
     timings: dict[str, float] = {}
     for bench_name, qname in BENCH_QUERIES.items():

@@ -212,3 +212,42 @@ def q_d9(spark, sf_dir):
     return ev.groupBy(
         F.expr("CAST(floor(value / 50.0) AS BIGINT)").alias("bin")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@contract(
+    "q_d10_percentile",
+    oracle="""
+        SELECT lang,
+               round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+               round(quantile_cont(n_chars, 0.9), 4) AS p90_chars
+        FROM documents GROUP BY lang
+    """,
+    survey_rows="D2,K6",
+    doc="exact percentiles per group (corpus length distribution — the "
+    "quality-threshold calibration stat). Both engines use linear "
+    "interpolation (Spark `percentile` == DuckDB `quantile_cont`). "
+    "Exact percentile buffers each group's values; the 100 TB path is "
+    "q_d10_approx (t-digest sketch, mergeable map-side)",
+)
+def q_d10(spark, sf_dir):
+    docs = Catalog(spark, sf_dir).documents
+    return docs.groupBy("lang").agg(
+        F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("p50_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.9)), 4).alias("p90_chars"),
+    )
+
+
+@contract(
+    "q_d10_approx",
+    oracle=None,  # sketch-based — rows-only check (accuracy asserted vs
+    # the exact path in tests/test_operators.py)
+    survey_rows="D2,K6",
+    doc="approx_percentile: the scale path for q_d10_percentile — "
+    "constant-memory mergeable sketch, no per-group value buffering",
+)
+def q_d10a(spark, sf_dir):
+    docs = Catalog(spark, sf_dir).documents
+    return docs.groupBy("lang").agg(
+        F.percentile_approx("n_chars", F.lit(0.5), F.lit(10000)).alias("p50_chars"),
+        F.percentile_approx("n_chars", F.lit(0.9), F.lit(10000)).alias("p90_chars"),
+    )

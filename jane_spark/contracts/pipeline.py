@@ -264,7 +264,10 @@ def q_t5(spark, sf_dir):
     "regex and RE2",
 )
 def q_t6(spark, sf_dir):
-    docs = Catalog(spark, sf_dir).documents
+    # per-row regex+md5 is the cost: prefer the pinned clustered layout
+    # (bench pins documents; unpinned falls back to the parquet scan,
+    # where a single-row-group file would serialize into one task)
+    docs = Catalog(spark, sf_dir).clustered("documents", "doc_id")
     raw = F.concat(
         F.col("text"), F.lit(" contact "), F.col("source"),
         F.lit("@example.com for details"),

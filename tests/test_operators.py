@@ -476,3 +476,24 @@ def test_pack_blocks_respect_budget(spark, sf_dir):
         F.countDistinct("block").alias("n"), F.max("block").alias("mx")
     ).collect()
     assert all(r["n"] == r["mx"] + 1 for r in per)
+
+
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    """The sketch path must stay within 5% relative error of the exact
+    percentiles on the real corpus (it is the 100 TB substitute; the
+    bound absorbs small-group discretization — approx returns a member
+    value, exact interpolates)."""
+    from jane_spark.contracts import REGISTRY
+
+    exact = {
+        r["lang"]: (r["p50_chars"], r["p90_chars"])
+        for r in REGISTRY["q_d10_percentile"].spark_fn(spark, sf_dir).collect()
+    }
+    approx = {
+        r["lang"]: (r["p50_chars"], r["p90_chars"])
+        for r in REGISTRY["q_d10_approx"].spark_fn(spark, sf_dir).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for lang in exact:
+        for e, a in zip(exact[lang], approx[lang]):
+            assert abs(a - e) / e < 0.05, (lang, e, a)

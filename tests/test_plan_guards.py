@@ -88,3 +88,37 @@ def test_partial_aggregation_before_shuffle(spark, sf_dir):
 
     plan = _executed_plan(REGISTRY["q_d1_count_group"].spark_fn(spark, sf_dir))
     assert "partial_count" in plan  # map-side combine present
+
+
+def test_decontam_broadcasts_benchmark(spark, sf_dir):
+    """The eval-set shingle join must broadcast (the benchmark corpus is
+    tiny at any scale) — a sort-merge here would shuffle the full
+    training corpus's exploded shingles."""
+    from jane_spark.contracts import REGISTRY
+
+    plan = _executed_plan(REGISTRY["q_t5_decontam"].spark_fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hash_sample_filter_pushes_down(spark, sf_dir):
+    """Stratified sampling is a pure projection-derived predicate: the
+    plan must be scan->filter->agg with no exchange before the partial
+    aggregate and no Python worker."""
+    from jane_spark.contracts import REGISTRY
+
+    df = REGISTRY["q_p2_stratified_sample"].spark_fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # exactly the one hash-agg exchange, nothing upstream of it
+    scan_to_first_exchange = plan.split("Exchange")[-1]
+    assert "Filter" in scan_to_first_exchange, plan
+
+
+def test_split_assign_is_exchange_free(spark, sf_dir):
+    """split_assign is a projection: counting per split needs exactly
+    one shuffle (the final 3-group agg), nothing else."""
+    from jane_spark.contracts import REGISTRY
+
+    plan = _executed_plan(REGISTRY["q_p1_hash_split"].spark_fn(spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
