@@ -434,3 +434,72 @@ def q_t4(spark, sf_dir):
         F.sum(n).cast("long").alias("total_bpe_tokens"),
         F.round(F.avg(n.cast("double")), 4).alias("avg_bpe_tokens"),
     )
+
+
+# ---------------------- portable-hash near-dup signatures (cross-engine)
+
+_DUCK_H32 = "CAST(concat('0x', substr(md5({s}), 1, 8)) AS BIGINT)"
+
+_MINHASH_ORACLE = (
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),\n"
+    "s AS (SELECT doc_id, list_transform(\n"
+    "        generate_series(0, greatest(len(toks) - 2, 1) - 1),\n"
+    "        i -> array_to_string(toks[i+1:i+3], ' ')) AS sh FROM t)\n"
+    "SELECT doc_id,\n"
+    + ",\n".join(
+        "  list_min(list_transform(sh, x -> "
+        + _DUCK_H32.format(s=f"concat('{seed}:', x)")
+        + f")) AS mh_{seed}"
+        for seed in range(16)
+    )
+    + "\nFROM s"
+)
+
+_SIMHASH_ORACLE = (
+    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok\n"
+    "             FROM documents),\n"
+    "h AS (SELECT doc_id, " + _DUCK_H32.format(s="tok") + " AS h FROM tok),\n"
+    "v AS (SELECT doc_id,\n"
+    + ",\n".join(
+        f"  sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(32)
+    )
+    + "\n  FROM h GROUP BY doc_id)\n"
+    "SELECT doc_id,\n  "
+    + "\n  + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32)
+    )
+    + " AS simhash32\nFROM v"
+)
+
+
+@contract(
+    "q_k2_minhash_portable",
+    oracle=_MINHASH_ORACLE,
+    survey_rows="K2",
+    doc="MinHash signatures in portable-hash mode (seed-salted md5 -> "
+    "32-bit ints): the full 16-hash signature matrix is checked "
+    "byte-exact against DuckDB — certifies the MinHash computation "
+    "itself cross-engine; the xxhash64 path (q_k2_minhash) remains the "
+    "production fast path and the banding join is unit-tested",
+)
+def q_k2_portable(spark, sf_dir):
+    from jane_spark.operators.dedup import minhash_signatures_portable
+
+    docs = Catalog(spark, sf_dir).documents
+    return minhash_signatures_portable(docs, "doc_id", "text", n_hashes=16, shingle=3)
+
+
+@contract(
+    "q_k2_simhash_portable",
+    oracle=_SIMHASH_ORACLE,
+    survey_rows="K2",
+    doc="32-bit SimHash signatures in portable-hash mode: per-bit "
+    "±1 votes over md5-derived token hashes, sign bit-vector checked "
+    "byte-exact against DuckDB (operators.dedup.simhash32_portable)",
+)
+def q_k2s_portable(spark, sf_dir):
+    from jane_spark.operators.dedup import simhash32_portable
+
+    docs = Catalog(spark, sf_dir).documents
+    return simhash32_portable(docs, "doc_id", "text")

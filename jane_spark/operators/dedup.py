@@ -186,3 +186,74 @@ def simhash_near_pairs(sig: DataFrame, id_col: str, max_hamming: int = 3) -> Dat
         )
         out = p if out is None else out.unionByName(p)
     return out.filter(F.col("hamming") <= max_hamming).dropDuplicates(["id_a", "id_b"])
+
+
+# ------------------------------- portable-hash variants (oracle-checkable)
+#
+# xxhash64 is Spark-only; these variants derive every hash from md5 hex
+# (the one digest Spark and DuckDB share), so MinHash and SimHash
+# signatures are bit-for-bit reproducible outside Spark — the audit path
+# for cross-engine pipelines. ~2-3x the hash cost of xxhash64: keep the
+# xxhash64 paths for production scale, use portable mode to certify.
+
+
+def portable_hash32(s: Column) -> Column:
+    """32-bit integer hash from the first 8 md5 hex chars.
+
+    DuckDB twin: ``CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)``.
+    """
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+
+
+def minhash_signatures_portable(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 16, shingle: int = 3
+) -> DataFrame:
+    """MinHash signature from salted portable hashes (seed-salted md5
+    instead of seeded xxhash64); shingling identical to
+    minhash_signatures."""
+    tokens = F.split(F.col(text_col), " ")
+    n = F.greatest(F.size(tokens) - (shingle - 1), F.lit(1))
+    shingles = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, shingle)),
+    )
+    def salted(seed: int):
+        # NB: must stay a ONE-arg lambda — F.transform hands a second
+        # positional arg (the element index) to two-arg callables, so a
+        # `s=seed` default would silently receive the index instead
+        return lambda t: portable_hash32(F.concat(F.lit(f"{seed}:"), t))
+
+    cols = [
+        F.array_min(F.transform(shingles, salted(seed))).alias(f"mh_{seed}")
+        for seed in range(n_hashes)
+    ]
+    return df.select(F.col(id_col), *cols)
+
+
+def simhash32_portable(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash from portable token hashes — same vote/sign
+    construction as simhash(); cross-engine reproducible."""
+    from functools import reduce
+
+    bits = 32
+    tokens = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).withColumn("h", portable_hash32(F.col("tok")))
+    votes = [
+        F.sum(
+            F.when(F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = tokens.groupBy(id_col).agg(*votes)
+    bit_cols = [
+        F.when(
+            F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(bits)
+    ]
+    return agg.select(
+        F.col(id_col),
+        reduce(lambda a, b: a.bitwiseOR(b), bit_cols).alias("simhash32"),
+    )

@@ -497,3 +497,26 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
     for lang in exact:
         for e, a in zip(exact[lang], approx[lang]):
             assert abs(a - e) / e < 0.05, (lang, e, a)
+
+
+def test_portable_minhash_banding_parity(spark):
+    """Portable-hash MinHash signatures must drive the LSH banding to
+    the same near-dup verdicts as the xxhash64 fast path on the
+    synthetic corpus (same shape as test_minhash_finds_near_duplicates)."""
+    from jane_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_signatures_portable,
+    )
+
+    words = [f"tok{i}" for i in range(40)]
+    base = " ".join(words)
+    near = " ".join(words[:-1] + ["changed"])
+    far = " ".join(f"other{i}" for i in range(40))
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], ["doc_id", "text"])
+    sigs = minhash_signatures_portable(df, "doc_id", "text", n_hashes=16, shingle=3)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidate_pairs(sigs, "doc_id", 16, bands=4).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
