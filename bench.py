@@ -41,6 +41,7 @@ BENCH_QUERIES = {
     "hash_split": "q_p1_hash_split",
     "decontam": "q_t5_decontam",
     "redact": "q_t6_redact",
+    "repetition": "q_t7_repetition",
 }
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))

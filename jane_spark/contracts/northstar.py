@@ -473,6 +473,51 @@ _SIMHASH_ORACLE = (
 )
 
 
+_REPETITION_ORACLE = """
+WITH t AS (SELECT doc_id, length(text) AS nc, string_split(text, ' ') AS toks
+           FROM documents),
+g2 AS (SELECT doc_id, nc,
+              unnest(list_transform(generate_series(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1])) AS gram
+       FROM t WHERE len(toks) >= 2),
+c2 AS (SELECT doc_id, any_value(nc) AS nc, gram, count(*) AS cnt
+       FROM g2 GROUP BY doc_id, gram),
+top AS (SELECT doc_id, nc, gram, cnt,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, gram DESC) AS rn
+        FROM c2),
+g3 AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(toks) - 2),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+       FROM t WHERE len(toks) >= 3),
+d3 AS (SELECT doc_id, count(*) AS total3, count(DISTINCT gram) AS distinct3
+       FROM g3 GROUP BY doc_id)
+SELECT top.doc_id AS doc_id,
+       top.gram AS top2_gram,
+       top.cnt AS top2_count,
+       round(top.cnt * length(top.gram) / top.nc, 4) AS top2_char_frac,
+       round((d3.total3 - d3.distinct3) / CAST(d3.total3 AS DOUBLE), 4) AS dup3_frac
+FROM top JOIN d3 USING (doc_id)
+WHERE top.rn = 1
+"""
+
+
+@contract(
+    "q_t7_repetition",
+    oracle=_REPETITION_ORACLE,
+    survey_rows="K9",
+    doc="Gopher-style repetition quality filters per document: most-"
+    "frequent-2-gram character fraction + duplicate-3-gram occurrence "
+    "fraction (functions.text.repetition_features) — the standard "
+    "MassiveText repetition rules for corpus filtering",
+)
+def q_t7(spark, sf_dir):
+    from jane_spark.functions.text import repetition_features
+
+    docs = Catalog(spark, sf_dir).documents
+    return repetition_features(docs, "doc_id", "text")
+
+
 @contract(
     "q_k2_minhash_portable",
     oracle=_MINHASH_ORACLE,

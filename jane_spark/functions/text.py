@@ -91,6 +91,66 @@ def shingles(text: Column, n: int) -> Column:
     return F.when(F.size(toks) >= n, arr).otherwise(empty)
 
 
+def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition quality signals, per document:
+
+    - ``top2_gram`` / ``top2_count`` — the most frequent word 2-gram
+      (ties broken by lexicographically greatest gram, deterministic)
+    - ``top2_char_frac`` — chars covered by that 2-gram's occurrences
+      over total chars (the "fraction of characters in the most common
+      n-gram" filter from the Gopher/MassiveText quality rules)
+    - ``dup3_frac`` — fraction of 3-gram occurrences that are repeats
+      (1 − distinct/total), the duplicate-n-gram filter
+
+    Distributed shape: shingling is row-local (higher-order exprs, no
+    UDF); counting shuffles on (doc, gram) then doc — high-cardinality,
+    skew-free keys with map-side partial aggregation, so the plan is
+    linear in corpus size and survives a 100× scale-up. The struct-max
+    arg-max avoids a window sort over every gram.
+    """
+    t = F.col(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.length(t).alias("nc"),
+        shingles(t, 2).alias("g2"),
+        shingles(t, 3).alias("g3"),
+    )
+    c2 = (
+        base.select(id_col, "nc", F.explode("g2").alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("cnt"), F.first("nc").alias("nc"))
+    )
+    top = (
+        c2.groupBy(id_col)
+        .agg(
+            F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("top"),
+            F.first("nc").alias("nc"),
+        )
+        .select(
+            id_col,
+            F.col("top.gram").alias("top2_gram"),
+            F.col("top.cnt").alias("top2_count"),
+            F.round(
+                F.col("top.cnt") * F.length("top.gram") / F.col("nc"), 4
+            ).alias("top2_char_frac"),
+        )
+    )
+    d3 = (
+        base.select(id_col, F.explode("g3").alias("gram"))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("total3"), F.countDistinct("gram").alias("distinct3"))
+        .select(
+            id_col,
+            F.round(
+                (F.col("total3") - F.col("distinct3"))
+                / F.col("total3").cast("double"),
+                4,
+            ).alias("dup3_frac"),
+        )
+    )
+    return top.join(d3, id_col)
+
+
 # ------------------------------------------------------------ language ID
 
 # character-frequency profiles for a tiny trigram-free heuristic;

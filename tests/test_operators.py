@@ -520,3 +520,16 @@ def test_portable_minhash_banding_parity(spark):
     }
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_repetition_features_hand_computed(spark):
+    """'a b a b a b c d': 2-grams {a b:3, b a:2, b c:1, c d:1} -> top
+    'a b' covers 3*3/15 chars; 3-grams 6 total, 4 distinct -> dup 2/6."""
+    from jane_spark.functions.text import repetition_features
+
+    df = spark.createDataFrame([(1, "a b a b a b c d")], ["doc_id", "text"])
+    row = repetition_features(df, "doc_id", "text").collect()[0]
+    assert row["top2_gram"] == "a b"
+    assert row["top2_count"] == 3
+    assert abs(row["top2_char_frac"] - 0.6) < 1e-9
+    assert abs(row["dup3_frac"] - 0.3333) < 1e-9
