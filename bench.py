@@ -42,6 +42,7 @@ BENCH_QUERIES = {
     "decontam": "q_t5_decontam",
     "redact": "q_t6_redact",
     "repetition": "q_t7_repetition",
+    "pipeline_e2e": "q_p5_pipeline",
 }
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))

@@ -191,6 +191,80 @@ def q_p4(spark, sf_dir):
 
 
 @contract(
+    "q_p5_pipeline",
+    oracle=f"""
+        WITH f AS (
+            SELECT doc_id, text,
+                   len(string_split(text, ' ')) AS n_tok,
+                   len(list_filter(string_split(text, ' '),
+                       t -> list_contains(['data','table','row','value'], t)))
+                       / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                       AS stop_ratio
+            FROM documents),
+        q AS (SELECT * FROM f WHERE n_tok >= 30 AND stop_ratio <= 0.25),
+        d AS (SELECT md5(array_to_string(string_split(lower(text), ' '), ' '))
+                         AS fp,
+                     min(doc_id) AS doc_id,
+                     min(n_tok) AS n_tok
+              FROM q GROUP BY fp),
+        s AS (SELECT n_tok,
+                     {_DUCK_BUCKET.format(salt="split:", key="doc_id", n=10000)}
+                         AS bucket
+              FROM d)
+        SELECT CASE WHEN bucket < 8000 THEN 'train'
+                    WHEN bucket < 9000 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens
+        FROM s GROUP BY split
+    """,
+    survey_rows="K1,K6,P1",
+    doc="END-TO-END training-data pipeline in ONE composed plan: quality "
+    "filter (token count + stopword ratio) -> exact dedup on the "
+    "normalized md5 fingerprint (argmin doc_id via struct-min, no "
+    "join-back) -> deterministic 80/10/10 hash split -> per-split "
+    "corpus stats. Physical shape: pushed-down projection/filter, then "
+    "exactly two shuffles (fingerprint agg, split agg) — the minimum "
+    "for a dedup pipeline at any scale; every sampling decision is a "
+    "salted-hash projection",
+)
+def q_p5(spark, sf_dir):
+    from jane_spark.functions.sampling import split_assign
+    from jane_spark.functions.text import (
+        fingerprint_hex,
+        stopword_ratio,
+        token_count,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    stops = ["data", "table", "row", "value"]
+    f = docs.select(
+        "doc_id",
+        "text",
+        token_count(F.col("text")).alias("n_tok"),
+        stopword_ratio(F.col("text"), stops).alias("stop_ratio"),
+    )
+    q = f.filter((F.col("n_tok") >= 30) & (F.col("stop_ratio") <= 0.25))
+    d = (
+        q.select(fingerprint_hex(F.col("text")).alias("fp"), "doc_id", "n_tok")
+        .groupBy("fp")
+        .agg(F.min(F.struct("doc_id", "n_tok")).alias("keep"))
+        .select(F.col("keep.doc_id").alias("doc_id"), F.col("keep.n_tok").alias("n_tok"))
+    )
+    split = split_assign(
+        F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}, salt="split:"
+    )
+    return (
+        d.select(split.alias("split"), "n_tok")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+@contract(
     "q_t5_decontam",
     oracle="""
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks

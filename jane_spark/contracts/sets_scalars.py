@@ -169,9 +169,20 @@ def q_h8(spark, sf_dir):
 
 @contract(
     "q_h9_tojson",
-    oracle=None,  # JSON text formatting differs across engines — rows-only
+    # int/string struct fields serialize byte-identically in both
+    # engines (compact, insertion-ordered keys). The one divergence is
+    # NULL fields — Spark's to_json omits them, DuckDB emits
+    # "k":null — and this corpus has none; floats/timestamps would
+    # also format differently and are deliberately excluded here.
+    oracle="""
+        SELECT doc_id,
+               to_json(struct_pack(lang := lang, n_chars := n_chars,
+                                   source := source)) AS js
+        FROM documents
+    """,
     survey_rows="H9",
-    doc="serializer output shape: struct construction → JSON",
+    doc="serializer output shape: struct construction → JSON text, "
+    "byte-exact cross-engine on non-null int/string fields",
 )
 def q_h9(spark, sf_dir):
     docs = Catalog(spark, sf_dir).documents
