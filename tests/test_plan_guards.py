@@ -122,3 +122,30 @@ def test_split_assign_is_exchange_free(spark, sf_dir):
 
     plan = _executed_plan(REGISTRY["q_p1_hash_split"].spark_fn(spark, sf_dir))
     assert plan.count("Exchange") == 1, plan
+
+
+def test_pipeline_e2e_two_shuffles_pruned_scan(spark, sf_dir):
+    """The composed pipeline (filter -> dedup -> split -> stats) must
+    land at exactly two exchanges (fingerprint agg + split agg), with
+    the quality filter evaluated before the first one and the scan
+    pruned to (doc_id, text)."""
+    from jane_spark.contracts import REGISTRY
+
+    df = REGISTRY["q_p5_pipeline"].spark_fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert plan.count("Exchange") == 2, plan
+    scan_side = plan.split("Exchange")[-1]
+    assert "Filter" in scan_side, plan
+    read = [l for l in _formatted_plan(df).splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read and "text" in read and "lang" not in read
+
+
+def test_repetition_partial_agg_no_python(spark, sf_dir):
+    """Repetition filters: shingling stays a JVM higher-order expression
+    (no Python worker) and every exchange is fed by a partial
+    aggregate (map-side combine on (doc, gram))."""
+    from jane_spark.contracts import REGISTRY
+
+    plan = _executed_plan(REGISTRY["q_t7_repetition"].spark_fn(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan, plan
