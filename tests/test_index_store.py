@@ -82,3 +82,38 @@ def test_index_partition_pruning(spark, store):
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "network" in plan.split("PartitionFilters")[1][:200]
     assert scan.collect()[0]["station"] == "ALTM"
+
+
+def test_export_corpus_layout_and_counts(spark, sf_dir, tmp_path):
+    """Export writes hive partitions split=*/lang=*, at most `shards`
+    files per partition, read-back totals equal input, and a re-export
+    (overwrite) is byte-stable on counts."""
+    from pyspark.sql import functions as F
+
+    from jane_spark.engine.catalog import Catalog
+    from jane_spark.functions.sampling import split_assign
+    from jane_spark.sources.corpus_export import export_corpus, export_manifest
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id",
+        "text",
+        "lang",
+        split_assign(
+            F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}, salt="split:"
+        ).alias("split"),
+    )
+    out = str(tmp_path / "corpus")
+    export_corpus(docs, out, ("split", "lang"), shards=2, shard_key="doc_id")
+
+    m = export_manifest(spark, out, ("split", "lang")).collect()
+    assert sum(r["n_rows"] for r in m) == docs.count()
+    assert all(r["n_files"] <= 2 for r in m)
+    assert {r["split"] for r in m} <= {"train", "val", "test"}
+
+    back = spark.read.parquet(out)
+    assert set(back.columns) == {"doc_id", "text", "lang", "split"}
+    assert back.select("doc_id").distinct().count() == docs.count()
+
+    export_corpus(docs, out, ("split", "lang"), shards=2, shard_key="doc_id")
+    m2 = export_manifest(spark, out, ("split", "lang")).collect()
+    assert sorted(map(tuple, m)) == sorted(map(tuple, m2))
