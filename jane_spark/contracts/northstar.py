@@ -548,3 +548,47 @@ def q_k2s_portable(spark, sf_dir):
 
     docs = Catalog(spark, sf_dir).documents
     return simhash32_portable(docs, "doc_id", "text")
+
+
+_COMPONENTS_ORACLE = """
+WITH RECURSIVE
+t AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents),
+e AS (SELECT doc_id, source, len(toks) AS n_toks, unnest(toks) AS tok FROM t),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.n_toks AS na, b.n_toks AS nb, count(*) AS common
+      FROM e a
+      JOIN e b ON a.source = b.source AND a.tok = b.tok
+              AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4),
+pr AS (SELECT id_a, id_b FROM p
+       WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.9),
+ed AS (SELECT id_a AS a, id_b AS b FROM pr
+       UNION SELECT id_b, id_a FROM pr),
+reach AS (
+    SELECT doc_id AS node, doc_id AS comp FROM documents
+    UNION
+    SELECT ed.b AS node, reach.comp FROM reach JOIN ed ON reach.node = ed.a)
+SELECT node AS doc_id, CAST(min(comp) AS BIGINT) AS comp
+FROM reach GROUP BY node
+"""
+
+
+@contract(
+    "q_k10_components",
+    oracle=_COMPONENTS_ORACLE,
+    survey_rows="K2,K10",
+    doc="duplicate-CLUSTER resolution: exact-Jaccard near-dup pairs "
+    "(q_k2_jaccard, >= 0.9) -> connected components via min-label "
+    "propagation (operators.components) -> per-doc canonical id (the "
+    "smallest doc_id reachable). Oracle = DuckDB recursive-CTE "
+    "transitive closure over the same pair set; singleton docs keep "
+    "their own component",
+)
+def q_k10(spark, sf_dir):
+    from jane_spark.operators.components import connected_components
+
+    pairs = q_k2j(spark, sf_dir)
+    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+    labels = connected_components(pairs, "id_a", "id_b", nodes=docs)
+    return labels.select(F.col("id").alias("doc_id"), "comp")

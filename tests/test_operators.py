@@ -533,3 +533,39 @@ def test_repetition_features_hand_computed(spark):
     assert row["top2_count"] == 3
     assert abs(row["top2_char_frac"] - 0.6) < 1e-9
     assert abs(row["dup3_frac"] - 0.3333) < 1e-9
+
+
+def test_connected_components_known_graph(spark):
+    """Edges 1-2, 2-3, 5-6 over nodes 1..7: components {1,2,3}->1,
+    {5,6}->5, singletons 4 and 7 keep themselves."""
+    from jane_spark.operators.components import (
+        cluster_canonical,
+        connected_components,
+    )
+
+    edges = spark.createDataFrame([(2, 1), (2, 3), (5, 6)], ["id_a", "id_b"])
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], ["doc_id"])
+    got = {
+        r["id"]: r["comp"]
+        for r in connected_components(edges, nodes=nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+    sizes = {
+        r["comp"]: r["n_members"]
+        for r in cluster_canonical(
+            connected_components(edges, nodes=nodes)
+        ).collect()
+    }
+    assert sizes == {1: 3, 4: 1, 5: 2, 7: 1}
+
+
+def test_connected_components_chain_converges(spark):
+    """A 12-node chain (worst-case diameter) must still converge to a
+    single component within the iteration cap."""
+    from jane_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], ["id_a", "id_b"]
+    )
+    comps = {r["comp"] for r in connected_components(edges).collect()}
+    assert comps == {1}
