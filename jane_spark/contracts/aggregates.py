@@ -251,3 +251,34 @@ def q_d10a(spark, sf_dir):
         F.percentile_approx("n_chars", F.lit(0.5), F.lit(10000)).alias("p50_chars"),
         F.percentile_approx("n_chars", F.lit(0.9), F.lit(10000)).alias("p90_chars"),
     )
+
+
+@contract(
+    "q_d11_pivot",
+    oracle="""
+        SELECT source,
+               CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+               CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+               CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+               CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+        FROM documents GROUP BY source
+    """,
+    survey_rows="D8,K6",
+    doc="wide pivot (language-mix matrix per source): groupBy().pivot() "
+    "with an EXPLICIT value list — skipping the value-discovery pass "
+    "and keeping the output schema static, which is the only sane "
+    "pivot at scale (pivot folds to one hash-agg over composite keys; "
+    "missing cells are 0 via coalesce)",
+)
+def q_d11(spark, sf_dir):
+    docs = Catalog(spark, sf_dir).documents
+    langs = ["de", "en", "es", "fr", "zh"]
+    wide = (
+        docs.groupBy("source")
+        .pivot("lang", langs)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "source", *[F.coalesce(F.col(lg), F.lit(0)).alias(lg) for lg in langs]
+    )
