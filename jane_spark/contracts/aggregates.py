@@ -282,3 +282,31 @@ def q_d11(spark, sf_dir):
     return wide.select(
         "source", *[F.coalesce(F.col(lg), F.lit(0)).alias(lg) for lg in langs]
     )
+
+
+@contract(
+    "q_d12_unpivot",
+    oracle="""
+        SELECT doc_id, 'n_chars' AS metric, CAST(n_chars AS BIGINT) AS value
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 'n_tokens' AS metric,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS value
+        FROM documents
+    """,
+    survey_rows="D8,H9",
+    doc="unpivot/melt (wide metrics -> long key/value rows, the "
+    "serializer-friendly shape): df.unpivot is a narrow per-row "
+    "transform — no shuffle, no UNION-ALL double scan (the oracle's "
+    "UNION ALL reads the table twice; Spark's unpivot reads it once)",
+)
+def q_d12(spark, sf_dir):
+    from jane_spark.functions.text import token_count
+
+    docs = Catalog(spark, sf_dir).documents
+    wide = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    return wide.unpivot("doc_id", ["n_chars", "n_tokens"], "metric", "value")
