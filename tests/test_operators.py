@@ -569,3 +569,44 @@ def test_connected_components_chain_converges(spark):
     )
     comps = {r["comp"] for r in connected_components(edges).collect()}
     assert comps == {1}
+
+
+def test_connected_components_vs_union_find(spark):
+    """Five seeded random graphs, Spark label propagation vs a plain
+    union-find: identical component partitions (canonical = min id)."""
+    import random
+
+    from jane_spark.operators.components import connected_components
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        n = rng.randint(5, 30)
+        edges = [
+            (rng.randint(1, n), rng.randint(1, n))
+            for _ in range(rng.randint(0, n * 2))
+        ] or [(1, 1)]
+
+        parent = list(range(n + 1))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        # canonical label = min node id in each union-find component
+        comp_min = {}
+        for v in range(1, n + 1):
+            r = find(v)
+            comp_min[r] = min(comp_min.get(r, v), v)
+        expect = {v: comp_min[find(v)] for v in range(1, n + 1)}
+
+        e = spark.createDataFrame(edges, ["id_a", "id_b"])
+        nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)], ["id"])
+        got = {
+            r["id"]: r["comp"]
+            for r in connected_components(e, nodes=nodes).collect()
+        }
+        assert got == expect, (seed, n, edges)
