@@ -226,3 +226,50 @@ def q_j5(spark, sf_dir):
         return run_available_now(stream, transform, "q_j5_sink")
     finally:
         shutil.rmtree(arrival, ignore_errors=True)
+
+
+@contract(
+    "q_i8_stream_quality_gate",
+    oracle=None,  # streaming execution — batch equivalence asserted in
+    # tests/test_streaming.py (the batch twin shares q_p5's oracle logic)
+    survey_rows="I1,P1,K6",
+    doc="the training-pipeline quality gate as a STREAM: file-arrival "
+    "ingest -> row-local quality features + deterministic hash split "
+    "(pure projections, stateless until the final agg) -> per-split "
+    "survivor counts under an availableNow trigger",
+)
+def q_i8(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from jane_spark.streaming.ingest import run_available_now, stream_parquet_dir
+
+    arrival = tempfile.mkdtemp(prefix="jane_stream_")
+    shutil.copy(f"{sf_dir}/documents.parquet", f"{arrival}/documents.parquet")
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    try:
+        return run_available_now(
+            stream_parquet_dir(spark, arrival, batch.schema),
+            _quality_gate,
+            "q_i8_sink",
+        )
+    finally:
+        shutil.rmtree(arrival, ignore_errors=True)
+
+
+def _quality_gate(df):
+    """Shared stream/batch transform for the quality gate (the batch-
+    equivalence test runs the SAME function on a static DataFrame)."""
+    from jane_spark.functions.sampling import split_assign
+    from jane_spark.functions.text import stopword_ratio, token_count
+
+    stops = ["data", "table", "row", "value"]
+    f = df.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tok"),
+        stopword_ratio(F.col("text"), stops).alias("stop_ratio"),
+        split_assign(
+            F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}, salt="split:"
+        ).alias("split"),
+    ).filter((F.col("n_tok") >= 30) & (F.col("stop_ratio") <= 0.25))
+    return f.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))

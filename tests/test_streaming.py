@@ -278,3 +278,22 @@ def test_waveform_stream_ingest_incremental(spark, tmp_path):
     idx = store.index("trace")
     assert idx.count() == 5
     assert {r["station"] for r in idx.collect()} == {"ST1", "ST2"}
+
+
+def test_stream_quality_gate_equals_batch(spark, sf_dir):
+    """q_i8's streamed quality gate must produce exactly the batch
+    result of the same transform on the same parquet input."""
+    from jane_spark.contracts import REGISTRY
+    from jane_spark.contracts.streaming import _quality_gate
+
+    streamed = {
+        (r["split"], r["n_docs"])
+        for r in REGISTRY["q_i8_stream_quality_gate"].spark_fn(spark, sf_dir).collect()
+    }
+    batch = {
+        (r["split"], r["n_docs"])
+        for r in _quality_gate(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ).collect()
+    }
+    assert streamed == batch and len(batch) == 3
