@@ -592,3 +592,31 @@ def q_k10(spark, sf_dir):
     docs = Catalog(spark, sf_dir).documents.select("doc_id")
     labels = connected_components(pairs, "id_a", "id_b", nodes=docs)
     return labels.select(F.col("id").alias("doc_id"), "comp")
+
+
+@contract(
+    "q_t8_entropy",
+    oracle="""
+        WITH c AS (
+            SELECT doc_id, tok, count(*) AS cnt
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            GROUP BY doc_id, tok),
+        a AS (
+            SELECT doc_id, sum(cnt) AS n, sum(cnt * log2(cnt)) AS clog
+            FROM c GROUP BY doc_id)
+        SELECT doc_id,
+               round(log2(CAST(n AS DOUBLE)) - clog / n, 4) AS token_entropy
+        FROM a
+    """,
+    survey_rows="K9,K6",
+    doc="token-distribution Shannon entropy per doc (low-entropy filter "
+    "for templated/gibberish text — functions.text.token_entropy); "
+    "formulated as log2(n) - sum(c*log2 c)/n so the wide shuffle "
+    "carries only combinable counts",
+)
+def q_t8(spark, sf_dir):
+    from jane_spark.functions.text import token_entropy
+
+    docs = Catalog(spark, sf_dir).documents
+    return token_entropy(docs, "doc_id", "text")

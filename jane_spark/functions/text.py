@@ -151,6 +151,24 @@ def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return top.join(d3, id_col)
 
 
+def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Shannon entropy (bits) of each document's token distribution —
+    the low-entropy filter for templated/repetitive text. Computed as
+    ``log2(n) - sum(c*log2(c))/n`` so the per-token shuffle aggregates
+    plain counts (map-side combinable) and the entropy math happens on
+    one row per document."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), TOKEN_SPLIT)).alias("tok")
+    )
+    counts = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    agg = counts.groupBy(id_col).agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("cnt") * F.log2("cnt")).alias("clog"),
+    )
+    ent = F.log2(F.col("n")) - F.col("clog") / F.col("n")
+    return agg.select(F.col(id_col), F.round(ent, 4).alias("token_entropy"))
+
+
 # ------------------------------------------------------------ language ID
 
 # character-frequency profiles for a tiny trigram-free heuristic;

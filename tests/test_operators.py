@@ -610,3 +610,15 @@ def test_connected_components_vs_union_find(spark):
             for r in connected_components(e, nodes=nodes).collect()
         }
         assert got == expect, (seed, n, edges)
+
+
+def test_token_entropy_hand_computed(spark):
+    """'a a b b' -> uniform over 2 tokens = 1 bit; 'a a a a' -> 0."""
+    from jane_spark.functions.text import token_entropy
+
+    df = spark.createDataFrame(
+        [(1, "a a b b"), (2, "a a a a")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r["token_entropy"] for r in
+           token_entropy(df, "doc_id", "text").collect()}
+    assert abs(got[1] - 1.0) < 1e-9 and abs(got[2] - 0.0) < 1e-9
