@@ -33,6 +33,9 @@ RUNTIME_CONFS: dict[str, str] = {
     # parquet scan parallelism at local scale; on a real cluster this is
     # left at default (128 MB) — see bench notes.
     "spark.sql.parquet.filterPushdown": "true",
+    # NOT pinned: spark.sql.parquet.aggregatePushdown — inert on the
+    # default V1 parquet path (verified: no PushedAggregation in plans);
+    # runtime bloom-filter join pruning + DPP are default-on in Spark 4.
 }
 
 
