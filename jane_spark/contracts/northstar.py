@@ -620,3 +620,93 @@ def q_t8(spark, sf_dir):
 
     docs = Catalog(spark, sf_dir).documents
     return token_entropy(docs, "doc_id", "text")
+
+
+_SCORECARD_ORACLE = """
+WITH t AS (SELECT doc_id, length(text) AS nc, string_split(text, ' ') AS toks
+           FROM documents),
+base AS (SELECT doc_id, len(toks) AS n_tok,
+                round(len(list_filter(toks,
+                      x -> list_contains(['data','table','row','value'], x)))
+                      / CAST(len(toks) AS DOUBLE), 4) AS stop_ratio
+         FROM t),
+g2 AS (SELECT doc_id, nc,
+              unnest(list_transform(generate_series(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1])) AS gram
+       FROM t WHERE len(toks) >= 2),
+c2 AS (SELECT doc_id, any_value(nc) AS nc, gram, count(*) AS cnt
+       FROM g2 GROUP BY doc_id, gram),
+top AS (SELECT doc_id,
+               round(cnt * length(gram) / nc, 4) AS top2_char_frac,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, gram DESC) AS rn
+        FROM c2),
+g3 AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(toks) - 2),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+       FROM t WHERE len(toks) >= 3),
+d3 AS (SELECT doc_id,
+              round((count(*) - count(DISTINCT gram))
+                    / CAST(count(*) AS DOUBLE), 4) AS dup3_frac
+       FROM g3 GROUP BY doc_id),
+tc AS (SELECT doc_id, tok, count(*) AS cnt
+       FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+       GROUP BY doc_id, tok),
+ent AS (SELECT doc_id,
+               round(log2(CAST(sum(cnt) AS DOUBLE))
+                     - sum(cnt * log2(cnt)) / sum(cnt), 4) AS token_entropy
+        FROM tc GROUP BY doc_id)
+SELECT base.doc_id AS doc_id, base.n_tok AS n_tok, base.stop_ratio,
+       top.top2_char_frac, d3.dup3_frac, ent.token_entropy,
+       (base.n_tok >= 30 AND base.stop_ratio <= 0.25
+        AND top.top2_char_frac <= 0.12 AND d3.dup3_frac <= 0.2
+        AND ent.token_entropy >= 4.0) AS keep
+FROM base
+JOIN top ON base.doc_id = top.doc_id AND top.rn = 1
+JOIN d3 ON base.doc_id = d3.doc_id
+JOIN ent ON base.doc_id = ent.doc_id
+"""
+
+
+@contract(
+    "q_t9_scorecard",
+    oracle=_SCORECARD_ORACLE,
+    survey_rows="K6,K9,K11",
+    doc="the full quality scorecard per document: length, stopword "
+    "ratio, Gopher repetition fractions, token entropy, and the final "
+    "keep/drop verdict in one wide row. Every threshold compares the "
+    "4dp-ROUNDED value in both engines, so boundary docs cannot flip "
+    "between Spark and the oracle. One scan feeds four count-style "
+    "aggregates joined back on doc_id",
+)
+def q_t9(spark, sf_dir):
+    from jane_spark.functions.text import (
+        repetition_features,
+        stopword_ratio,
+        token_count,
+        token_entropy,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    stops = ["data", "table", "row", "value"]
+    base = docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("bigint").alias("n_tok"),
+        F.round(stopword_ratio(F.col("text"), stops), 4).alias("stop_ratio"),
+    )
+    rep = repetition_features(docs, "doc_id", "text").select(
+        "doc_id", "top2_char_frac", "dup3_frac"
+    )
+    ent = token_entropy(docs, "doc_id", "text")
+    wide = base.join(rep, "doc_id").join(ent, "doc_id")
+    keep = (
+        (F.col("n_tok") >= 30)
+        & (F.col("stop_ratio") <= 0.25)
+        & (F.col("top2_char_frac") <= 0.12)
+        & (F.col("dup3_frac") <= 0.2)
+        & (F.col("token_entropy") >= 4.0)
+    )
+    return wide.select(
+        "doc_id", "n_tok", "stop_ratio", "top2_char_frac", "dup3_frac",
+        "token_entropy", keep.alias("keep"),
+    )
