@@ -43,6 +43,7 @@ BENCH_QUERIES = {
     "redact": "q_t6_redact",
     "repetition": "q_t7_repetition",
     "pipeline_e2e": "q_p5_pipeline",
+    "scorecard": "q_t9_scorecard",
 }
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
