@@ -310,3 +310,42 @@ def q_d12(spark, sf_dir):
         token_count(F.col("text")).cast("bigint").alias("n_tokens"),
     )
     return wide.unpivot("doc_id", ["n_chars", "n_tokens"], "metric", "value")
+
+
+@contract(
+    "q_d13_gapfill",
+    oracle="""
+        WITH b AS (
+            SELECT event_type,
+                   date_trunc('hour', min(ts)) AS h_min,
+                   date_trunc('hour', max(ts)) AS h_max
+            FROM events GROUP BY event_type),
+        spine AS (
+            SELECT event_type,
+                   unnest(generate_series(h_min, h_max, INTERVAL 1 HOUR))
+                       AS window_start
+            FROM b),
+        agg AS (
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   count(*) AS n, round(sum(value), 3) AS s
+            FROM events GROUP BY 1, 2)
+        SELECT spine.event_type AS event_type, spine.window_start,
+               CAST(coalesce(agg.n, 0) AS BIGINT) AS n,
+               last_value(agg.s IGNORE NULLS) OVER (
+                   PARTITION BY spine.event_type ORDER BY spine.window_start
+                   ROWS UNBOUNDED PRECEDING) AS locf_sum
+        FROM spine LEFT JOIN agg
+          ON spine.event_type = agg.event_type
+         AND spine.window_start = agg.window_start
+    """,
+    survey_rows="D13,I2",
+    doc="time-spine gap-fill (hypertable/time_bucket_gapfill shape): "
+    "per-type hourly grid from a tiny (min,max) agg + sequence/explode "
+    "(never a fact-table shuffle), empty buckets as n=0, LOCF "
+    "fill-forward of the hourly sum (operators.gapfill.time_spine_fill)",
+)
+def q_d13(spark, sf_dir):
+    from jane_spark.operators.gapfill import time_spine_fill
+
+    ev = Catalog(spark, sf_dir).events
+    return time_spine_fill(ev, "event_type", "ts", "value")

@@ -622,3 +622,24 @@ def test_token_entropy_hand_computed(spark):
     got = {r["doc_id"]: r["token_entropy"] for r in
            token_entropy(df, "doc_id", "text").collect()}
     assert abs(got[1] - 1.0) < 1e-9 and abs(got[2] - 0.0) < 1e-9
+
+
+def test_time_spine_fill_semantics(spark):
+    """Key 'a' with events in hours 0 and 3: spine has 4 rows, gap
+    hours carry n=0 and the last observed sum forward."""
+    import datetime as dt
+
+    from jane_spark.operators.gapfill import time_spine_fill
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        ("a", t0, 10.0),
+        ("a", t0.replace(minute=45), 5.0),
+        ("a", t0.replace(hour=3), 2.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "value"])
+    out = sorted(
+        (r["window_start"].hour, r["n"], r["locf_sum"])
+        for r in time_spine_fill(df, "k", "ts", "value").collect()
+    )
+    assert out == [(0, 2, 15.0), (1, 0, 15.0), (2, 0, 15.0), (3, 1, 2.0)]
