@@ -149,3 +149,30 @@ def test_repetition_partial_agg_no_python(spark, sf_dir):
     plan = _executed_plan(REGISTRY["q_t7_repetition"].spark_fn(spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_count" in plan, plan
+
+
+def test_bucketed_join_elides_exchange(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the same (key, n): their equi-join must
+    run with ZERO exchanges — the write-time shuffle is the only one
+    that ever happens for this key. Broadcast is disabled so the plan
+    can't hide the co-location behind a broadcast join."""
+    from jane_spark.sources.bucketed import drop_table, write_bucketed
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    write_bucketed(orders, "b_orders", "o_orderkey", 8,
+                   str(tmp_path / "b_orders"))
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem", "o_orderkey", 8, str(tmp_path / "b_lineitem"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        plan = _executed_plan(j)
+        assert "Exchange" not in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        drop_table(spark, "b_orders")
+        drop_table(spark, "b_lineitem")
