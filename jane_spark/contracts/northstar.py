@@ -710,3 +710,41 @@ def q_t9(spark, sf_dir):
         "doc_id", "n_tok", "stop_ratio", "top2_char_frac", "dup3_frac",
         "token_entropy", keep.alias("keep"),
     )
+
+
+_WINNOW_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                            i -> array_to_string(toks[i:i+2], ' ')) AS sh
+      FROM t),
+h AS (SELECT doc_id,
+             list_transform(sh, x ->
+                 CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT)) AS hs
+      FROM s),
+w AS (SELECT doc_id,
+             CASE WHEN len(hs) >= 4 THEN
+                 list_transform(generate_series(1, len(hs) - 3),
+                                j -> list_min(hs[j:j+3]))
+             WHEN len(hs) > 0 THEN [list_min(hs)]
+             ELSE [] END AS wins
+      FROM h)
+SELECT doc_id, unnest(list_distinct(wins)) AS fp FROM w
+"""
+
+
+@contract(
+    "q_t10_winnow",
+    oracle=_WINNOW_ORACLE,
+    survey_rows="K1,K2",
+    doc="winnowing document fingerprints (MOSS): word 3-gram portable "
+    "hashes, sliding window-4 minima, distinct per doc "
+    "(functions.text.winnow_fingerprints) — entirely row-local "
+    "higher-order expressions, zero shuffles; cross-doc matching is a "
+    "plain equi-join on fp",
+)
+def q_t10(spark, sf_dir):
+    from jane_spark.functions.text import winnow_fingerprints
+
+    docs = Catalog(spark, sf_dir).documents
+    return winnow_fingerprints(docs, "doc_id", "text", k=3, w=4)

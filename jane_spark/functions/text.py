@@ -151,6 +151,41 @@ def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return top.join(d3, id_col)
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm): hash every
+    word k-gram, slide a w-position window, keep each window's minimum
+    — the guaranteed-coverage fingerprint set for local similarity.
+
+    Entirely row-local (k-gram hashing, sliding-window min, and distinct
+    all run as higher-order array expressions) — a pure projection +
+    explode, no shuffle anywhere; matching fingerprints across docs is
+    then a plain equi-join on ``fp``. Uses the portable md5-derived
+    32-bit hash so the fingerprint set reproduces outside Spark."""
+    from jane_spark.operators.dedup import portable_hash32
+
+    sh = shingles(F.col(text_col), k)
+    hashes = F.transform(sh, lambda g: portable_hash32(g))
+    m = F.size(hashes)
+    wins = F.when(
+        m >= w,
+        F.transform(
+            F.sequence(F.lit(1), m - F.lit(w - 1)),
+            lambda j: F.array_min(F.slice(hashes, j, w)),
+        ),
+    ).otherwise(F.when(m > 0, F.array(F.array_min(hashes))).otherwise(
+        F.array().cast("array<bigint>")
+    ))
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(wins)).alias("fp")
+    )
+
+
 def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Shannon entropy (bits) of each document's token distribution —
     the low-entropy filter for templated/repetitive text. Computed as

@@ -643,3 +643,24 @@ def test_time_spine_fill_semantics(spark):
         for r in time_spine_fill(df, "k", "ts", "value").collect()
     )
     assert out == [(0, 2, 15.0), (1, 0, 15.0), (2, 0, 15.0), (3, 1, 2.0)]
+
+
+def test_winnow_guarantee_and_disjointness(spark):
+    """Winnowing guarantee (k=3, w=4): docs sharing a run of >= k+w-1
+    consecutive 3-grams (10 tokens) must share a fingerprint; docs with
+    disjoint vocabularies share none."""
+    from jane_spark.functions.text import winnow_fingerprints
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    rows = [
+        (1, "x1 x2 x3 " + shared + " x4 x5"),
+        (2, "y1 y2 " + shared + " y3 y4 y5"),
+        (3, " ".join(f"z{i}" for i in range(15))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fp = winnow_fingerprints(df, "doc_id", "text", k=3, w=4).collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared run must produce a shared fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
