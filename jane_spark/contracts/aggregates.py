@@ -89,17 +89,21 @@ def q_d3a(spark, sf_dir):
 @contract(
     "q_d4_collect",
     oracle="""
-        SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
+        SELECT user_id,
+               array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
                count(*) AS n
         FROM events GROUP BY user_id
     """,
     survey_rows="D4",
-    doc="channel-list-per-station set aggregation; sort_array for determinism",
+    doc="channel-list-per-station set aggregation; sort_array for determinism. "
+    "Projected as a comma-joined string: the driver's comparator "
+    "canonicalizes via a pandas sort, which cannot hash array cells "
+    "(round-1 'unhashable numpy.ndarray' failure).",
 )
 def q_d4(spark, sf_dir):
     ev = Catalog(spark, sf_dir).events
     return ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("types"),
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types"),
         F.count(F.lit(1)).alias("n"),
     )
 

@@ -47,12 +47,33 @@ class Catalog:
     persisted/pinned.
     """
 
-    # session-scoped caches (a catalog IS session state)
-    _table_cache: dict[tuple[int, str], dict[str, DataFrame]] = {}
-    _configured: set[int] = set()
+    # session-scoped caches (a catalog IS session state). Keyed by
+    # (applicationId, id(session)) — id() alone can be reused by a new
+    # SparkSession after the old one is stopped and collected, which
+    # would serve stale DataFrames bound to a dead session and skip
+    # configure(); the applicationId changes with every new
+    # SparkContext, making the composite key stable.
+    _table_cache: dict[tuple[tuple[str, int], str], dict[str, DataFrame]] = {}
+    _configured: set[tuple[str, int]] = set()
+
+    @staticmethod
+    def _session_key(spark: SparkSession) -> tuple[str, int]:
+        try:
+            app_id = spark.sparkContext.applicationId
+        except Exception:  # stopped/degenerate session: never cache-hit
+            app_id = f"dead-{id(spark)}"
+        return (app_id, id(spark))
 
     def __init__(self, spark: SparkSession, sf_dir: str):
-        key = id(spark)
+        key = Catalog._session_key(spark)
+        # PySpark local mode runs one SparkContext per process: entries
+        # under another applicationId belong to a stopped context —
+        # evict them so dead sessions (and their JVM handles) can be
+        # collected instead of accumulating for the process lifetime.
+        stale = [k for k in Catalog._table_cache if k[0][0] != key[0]]
+        for k in stale:
+            del Catalog._table_cache[k]
+        Catalog._configured = {c for c in Catalog._configured if c[0] == key[0]}
         if key not in Catalog._configured:
             configure(spark)
             Catalog._configured.add(key)

@@ -78,8 +78,11 @@ def radial_search(
     they push down to the scan and prune row groups — and the exact
     annulus test runs only on survivors. Within ~(90° − r) of a pole
     the lon window wraps the full circle (cos → 0), which the guard
-    handles by skipping the lon bound. Provably equivalent to the
-    unpruned predicate (the bbox is a superset of the annulus).
+    handles by skipping the lon bound. When the lon window crosses the
+    antimeridian (center near ±180) it is emitted as the wrapped OR of
+    two in-range windows, so far-side points survive the prune. The
+    bbox is a superset of the annulus for lon values normalized to
+    [-180, 180] — equivalent to the unpruned predicate there.
     """
     import math
 
@@ -90,7 +93,18 @@ def radial_search(
     if worst_lat < 89.0:  # not pole-adjacent: lon bound is meaningful
         widen = r / math.cos(math.radians(worst_lat))
         if widen < 180.0:
-            pre = pre & lon.between(center_lon - widen, center_lon + widen)
+            # Normalize the center into [-180, 180) so the window math is
+            # well-defined even for callers passing e.g. 185.0.
+            clon = ((center_lon + 180.0) % 360.0) - 180.0
+            lo, hi = clon - widen, clon + widen
+            if lo < -180.0:
+                # window wraps westward across the antimeridian
+                pre = pre & (lon.between(lo + 360.0, 180.0) | lon.between(-180.0, hi))
+            elif hi > 180.0:
+                # window wraps eastward across the antimeridian
+                pre = pre & (lon.between(lo, 180.0) | lon.between(-180.0, hi - 360.0))
+            else:
+                pre = pre & lon.between(lo, hi)
     exact = radial_predicate(
         lat, lon, center_lat, center_lon, min_radius_deg, max_radius_deg
     )

@@ -32,11 +32,18 @@ def asof_join(
     ref_cols: list[str],
     strict: bool = True,
     suffix: str = "_ref",
+    ref_tiebreak: str | None = None,
 ) -> DataFrame:
     """For each probe row, attach the latest reference row with
     ``ref.ts < probe.ts`` (strict) or ``<=`` (not strict), per key.
 
     Probe rows with no prior reference row get NULLs (left semantics).
+
+    Determinism at equal (key, ts) among reference rows: the window
+    orders by ``ref_tiebreak`` (ascending — the max tiebreak wins) when
+    given, else by the ``ref_cols`` values themselves, so the chosen row
+    never depends on partition order (repo total-order rule, cf.
+    topk.py).
     """
     # probe tag 0 sorts first at equal ts when strict (ref not yet seen)
     probe_tag, ref_tag = (0, 1) if strict else (2, 1)
@@ -54,9 +61,15 @@ def asof_join(
         r.select(*[c for c in r.columns if c != "__tag"], "__tag"),
         allowMissingColumns=True,
     )
+    if ref_tiebreak is not None:
+        if ref_tiebreak not in ref_cols:
+            raise ValueError("ref_tiebreak must be one of ref_cols")
+        tie_order = [F.col(f"{ref_tiebreak}{suffix}").asc()]
+    else:
+        tie_order = [F.col(f"{c}{suffix}").asc() for c in ref_cols]
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts).asc(), F.col("__tag").asc())
+        .orderBy(F.col(ts).asc(), F.col("__tag").asc(), *tie_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned

@@ -29,8 +29,24 @@ def time_spine_fill(
 ) -> DataFrame:
     """Per-key regular grid from min to max bucket: ``n`` (0 on empty
     buckets) and ``locf_sum`` (per-bucket sum of ``value_col``, rounded,
-    carried forward across empty buckets)."""
-    h = F.date_trunc("hour", F.col(ts_col))
+    carried forward across empty buckets).
+
+    ``bucket`` drives BOTH the spine step and the aggregate truncation,
+    so grid and aggregate stay aligned; only single-unit calendar
+    buckets are supported (a '15 minutes' grid needs anchored bucketing,
+    not date_trunc — refuse rather than emit a misaligned spine).
+    """
+    trunc_unit = {
+        "1 minute": "minute",
+        "1 hour": "hour",
+        "1 day": "day",
+        "1 week": "week",
+    }.get(bucket)
+    if trunc_unit is None:
+        raise ValueError(
+            "bucket must be one of '1 minute', '1 hour', '1 day', '1 week'"
+        )
+    h = F.date_trunc(trunc_unit, F.col(ts_col))
     bounds = events.groupBy(key_col).agg(
         F.min(h).alias("h_min"), F.max(h).alias("h_max")
     )

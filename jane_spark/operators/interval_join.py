@@ -54,7 +54,18 @@ def overlap_join(
     ``extra_on`` adds equi-join keys (e.g. SEED network/station) that
     co-partition the shuffle further. Column-name collisions must be
     resolved by the caller (standard Spark join hygiene).
+
+    Only ``how='inner'`` is supported: the bin rewrite's residual filter
+    would silently drop null-extended rows of an outer join (NULL
+    residual ⇒ filtered), degrading it to inner — refuse rather than
+    mis-answer. Outer overlap semantics need a different rewrite
+    (residual inside the join condition), not this one.
     """
+    if how != "inner":
+        raise ValueError(
+            "overlap_join supports how='inner' only; outer variants would "
+            "silently drop null-extended rows through the residual filter"
+        )
     widths = {
         "1 minute": 60_000_000,
         "1 hour": 3_600_000_000,
@@ -69,12 +80,24 @@ def overlap_join(
     rus_s = F.unix_micros(F.col(right_start).cast("timestamp"))
     rus_e = F.unix_micros(F.col(right_end).cast("timestamp"))
 
-    lb = left.withColumn("__bin", F.explode(_bin_ids(lus_s, lus_e, bin_us)))
-    rb = right.withColumn("__bin", F.explode(_bin_ids(rus_s, rus_e, bin_us)))
+    # Per-row ids taken BEFORE the bin explode: a (left, right) pair that
+    # co-occurs in >1 bin collapses to one output row, while genuinely
+    # duplicate input rows keep their multiplicity (dropDuplicates over
+    # all data columns would merge those too).
+    lb = left.withColumn("__lid", F.monotonically_increasing_id()).withColumn(
+        "__bin", F.explode(_bin_ids(lus_s, lus_e, bin_us))
+    )
+    rb = right.withColumn("__rid", F.monotonically_increasing_id()).withColumn(
+        "__bin", F.explode(_bin_ids(rus_s, rus_e, bin_us))
+    )
 
     on = ["__bin"] + (extra_on or [])
-    joined = lb.join(rb, on=on, how=how)
+    joined = lb.join(rb, on=on, how="inner")
     residual = (F.col(left_start) < F.col(right_end)) & (
         F.col(left_end) > F.col(right_start)
     )
-    return joined.filter(residual).drop("__bin").dropDuplicates()
+    return (
+        joined.filter(residual)
+        .dropDuplicates(["__lid", "__rid"])
+        .drop("__bin", "__lid", "__rid")
+    )

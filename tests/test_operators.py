@@ -664,3 +664,105 @@ def test_winnow_guarantee_and_disjointness(spark):
         by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
     assert by_doc[1] & by_doc[2], "shared run must produce a shared fingerprint"
     assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+
+# ------------------------------------------- round-2 ADVICE regressions
+
+
+def test_radial_search_antimeridian(spark):
+    """Center near the dateline (clon=175, r=15): far-side points
+    (lon≈-178) are inside the annulus and must survive the lon
+    pre-prune (ADVICE r1: the single between-window dropped them)."""
+    from jane_spark.functions.geo import radial_predicate, radial_search
+
+    rows = [
+        (1, 0.0, 178.0),    # near side
+        (2, 0.0, -178.0),   # far side of the dateline, ~7 deg away
+        (3, 0.0, -170.0),   # far side, ~15 deg away (edge)
+        (4, 0.0, 150.0),    # outside
+        (5, 0.0, -150.0),   # outside (far side)
+    ]
+    df = spark.createDataFrame(rows, ["pid", "lat", "lon"])
+    for clat, clon, rmin, rmax in [(0.0, 175.0, 0.0, 15.0), (0.0, -175.0, 0.0, 15.0)]:
+        plain = {
+            r["pid"]
+            for r in df.filter(
+                radial_predicate(F.col("lat"), F.col("lon"), clat, clon, rmin, rmax)
+            ).collect()
+        }
+        pruned = {
+            r["pid"]
+            for r in radial_search(df, "lat", "lon", clat, clon, rmin, rmax).collect()
+        }
+        assert pruned == plain and 2 in plain, (clon, plain, pruned)
+
+
+def test_overlap_join_rejects_outer_and_keeps_multiplicity(spark):
+    """ADVICE r1: outer modes silently degraded to inner (refuse now);
+    duplicate input rows must keep their multiplicity (dedupe is on row
+    ids, not all columns)."""
+    from jane_spark.operators.interval_join import overlap_join
+
+    left = spark.createDataFrame(
+        [(1, _ts(0), _ts(100)), (1, _ts(0), _ts(100))],  # duplicate row
+        ["lid", "l_start", "l_end"],
+    )
+    right = spark.createDataFrame([(10, _ts(50), _ts(60))], ["rid", "r_start", "r_end"])
+
+    with pytest.raises(ValueError, match="inner"):
+        overlap_join(left, right, "l_start", "l_end", "r_start", "r_end", how="left")
+
+    got = overlap_join(left, right, "l_start", "l_end", "r_start", "r_end").collect()
+    assert len(got) == 2, "duplicate left rows must each pair with the right row"
+
+
+def test_time_spine_fill_daily_bucket(spark):
+    """ADVICE r1: the bucket parameter must drive the aggregate
+    truncation too — a '1 day' grid aligns, no spurious n=0 rows."""
+    import datetime as dt
+
+    from jane_spark.operators.gapfill import time_spine_fill
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, 5), 1.0),
+        ("a", dt.datetime(2024, 1, 3, 7), 2.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "value"])
+    out = sorted(
+        (r["window_start"].day, r["n"], r["locf_sum"])
+        for r in time_spine_fill(df, "k", "ts", "value", bucket="1 day").collect()
+    )
+    assert out == [(1, 1, 1.0), (2, 0, 1.0), (3, 1, 2.0)]
+
+    with pytest.raises(ValueError, match="bucket"):
+        time_spine_fill(df, "k", "ts", "value", bucket="15 minutes")
+
+
+def test_asof_join_deterministic_tiebreak(spark):
+    """ADVICE r1: equal-(key, ts) reference rows must resolve
+    deterministically — max tiebreak wins, independent of partition
+    layout."""
+    from jane_spark.operators.asof import asof_join
+
+    ref_rows = [("k", _ts(10), i) for i in range(20)]  # 20 ties at ts=10
+    probe = spark.createDataFrame([("k", _ts(50))], ["key", "ts"])
+    for nparts in (1, 7):
+        ref = spark.createDataFrame(ref_rows, ["key", "ts", "val"]).repartition(nparts)
+        got = asof_join(probe, ref, "key", "ts", ["val"], ref_tiebreak="val").collect()
+        assert [r["val_ref"] for r in got] == [19], nparts
+    # default (no explicit tiebreak): orders by ref_cols — same answer
+    got = asof_join(probe, ref, "key", "ts", ["val"]).collect()
+    assert [r["val_ref"] for r in got] == [19]
+    with pytest.raises(ValueError, match="ref_tiebreak"):
+        asof_join(probe, ref, "key", "ts", ["val"], ref_tiebreak="nope")
+
+
+def test_catalog_cache_key_includes_application_id(spark, sf_dir):
+    """ADVICE r1: id(spark) alone can be reused by a new session after
+    GC; the cache key must pair it with the SparkContext applicationId."""
+    from jane_spark.engine.catalog import Catalog
+
+    key = Catalog._session_key(spark)
+    assert key == (spark.sparkContext.applicationId, id(spark))
+    Catalog(spark, sf_dir).region.count()
+    assert any(k[0] == key for k in Catalog._table_cache)
