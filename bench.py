@@ -44,6 +44,8 @@ BENCH_QUERIES = {
     "repetition": "q_t7_repetition",
     "pipeline_e2e": "q_p5_pipeline",
     "scorecard": "q_t9_scorecard",
+    "rolling_1h": "q_e5_rolling",
+    "scd2": "q_d15_scd2",
 }
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))

@@ -28,6 +28,16 @@ from jane_spark.contracts import pipeline  # noqa: F401  (§2.11 K pipeline ops)
 VERIFY_FIRST: list[str] = [
     # changed this round → re-verify
     "q_d4_collect",
+    # new in round 2 → verify now
+    "q_d8_cube",
+    "q_d14_stats",
+    "q_f5_ntile",
+    "q_e5_rolling",
+    "q_d15_scd2",
+    "q_g4_intersect_all",
+    "q_k14_fuzzy",
+    "q_c4_overlap",
+    "q_k15_incr_dedup",
     # oracle-backed, never run by the driver (round-1 positions 50-98)
     "q_h1_ts_parse",
     "q_h3_seedid",
@@ -65,15 +75,13 @@ VERIFY_FIRST: list[str] = [
     "q_t6_redact",
     "q_t2_langid_sql",
     "q_t3_fingerprint_md5",
-    # rows-only, never run (weaker check is still better than none)
+    # rows-only, never run (weaker check is still better than none).
+    # q_j5_stateful_segments / q_k7_multimodal rotate in next round —
+    # the front list is held to exactly 50 names (the checked window).
     "q_k3_lsh",
     "q_k3_ivf",
     "q_k2_minhash",
     "q_k2_simhash",
-    "q_i6_stream_dedup",
-    "q_i8_stream_quality_gate",
-    "q_j5_stateful_segments",
-    "q_k7_multimodal",
 ]
 
 

@@ -353,3 +353,49 @@ def q_d13(spark, sf_dir):
 
     ev = Catalog(spark, sf_dir).events
     return time_spine_fill(ev, "event_type", "ts", "value")
+
+
+@contract(
+    "q_d8_cube",
+    oracle="""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    survey_rows="D8",
+    doc="full cube over (returnflag, linestatus) — all 2^2 grouping "
+    "sets in one pass; same partial-agg mass as plain groupBy, the "
+    "grouping-set expansion happens map-side (round 2)",
+)
+def q_d8c(spark, sf_dir):
+    li = Catalog(spark, sf_dir).lineitem
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@contract(
+    "q_d14_stats",
+    oracle="""
+        SELECT l_returnflag,
+               round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+               round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+               round(stddev_samp(l_discount), 6) AS sd_disc,
+               round(var_pop(l_quantity), 4) AS var_qty
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    survey_rows="D14",
+    doc="statistical aggregate surface (corr/covar/stddev/variance) — "
+    "corpus-calibration statistics; all are single-pass partial+final "
+    "hash aggregates, no second scan (round 2)",
+)
+def q_d14(spark, sf_dir):
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qp"),
+        F.round(F.stddev_samp("l_discount"), 6).alias("sd_disc"),
+        F.round(F.var_pop("l_quantity"), 4).alias("var_qty"),
+    )

@@ -187,3 +187,49 @@ def q_c8(spark, sf_dir):
     cat = Catalog(spark, sf_dir)
     statuses = cat.orders.select("o_orderstatus").distinct()
     return cat.region.crossJoin(statuses).select("r_name", "o_orderstatus")
+
+
+@contract(
+    "q_c4_overlap",
+    oracle="""
+        WITH r AS (
+            SELECT event_id,
+                   date_trunc('microseconds', ts) AS e_start,
+                   date_trunc('microseconds', ts) + INTERVAL 10 MINUTE AS e_end
+            FROM events),
+        w AS (
+            SELECT event_id AS w_id,
+                   date_trunc('microseconds', ts) - INTERVAL 30 MINUTE AS w_start,
+                   date_trunc('microseconds', ts) + INTERVAL 30 MINUTE AS w_end
+            FROM events WHERE event_id % 200 = 0)
+        SELECT w_id, count(*) AS n, min(event_id) AS first_event
+        FROM w JOIN r ON w_start < e_end AND w_end > e_start
+        GROUP BY w_id
+    """,
+    survey_rows="C4,B7",
+    doc="KEY-LESS interval-overlap join (dataselect request windows x "
+    "trace index): operators.interval_join.overlap_join band-bucketing "
+    "rewrite — explode to covering hour bins, equi-join on bin, exact "
+    "residual, row-id dedupe; the oracle is the brute-force non-equi "
+    "join Catalyst would BNL (round 2)",
+)
+def q_c4o(spark, sf_dir):
+    from jane_spark.operators.interval_join import overlap_join
+
+    ev = Catalog(spark, sf_dir).events
+    right = ev.select(
+        "event_id",
+        F.col("ts").alias("e_start"),
+        F.expr("ts + INTERVAL 10 MINUTES").alias("e_end"),
+    )
+    left = ev.filter(F.col("event_id") % 200 == 0).select(
+        F.col("event_id").alias("w_id"),
+        F.expr("ts - INTERVAL 30 MINUTES").alias("w_start"),
+        F.expr("ts + INTERVAL 30 MINUTES").alias("w_end"),
+    )
+    pairs = overlap_join(
+        left, right, "w_start", "w_end", "e_start", "e_end", bin_width="1 hour"
+    )
+    return pairs.groupBy("w_id").agg(
+        F.count(F.lit(1)).alias("n"), F.min("event_id").alias("first_event")
+    )

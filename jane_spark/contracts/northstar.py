@@ -748,3 +748,67 @@ def q_t10(spark, sf_dir):
 
     docs = Catalog(spark, sf_dir).documents
     return winnow_fingerprints(docs, "doc_id", "text", k=3, w=4)
+
+
+@contract(
+    "q_k14_fuzzy",
+    oracle="""
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               levenshtein(a.c_name, b.c_name) AS dist
+        FROM customer a JOIN customer b
+          ON length(a.c_name) = length(b.c_name)
+         AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    survey_rows="K14,K2",
+    doc="fuzzy near-duplicate pairs (equal-length Levenshtein <= 1) via "
+    "lossless pigeonhole chunk blocking — equi-join on (len, chunk), "
+    "never a cross product; the oracle is the brute-force quadratic "
+    "self-join, proving the blocked plan loses no pair "
+    "(operators.dedup.fuzzy_pairs) (round 2)",
+)
+def q_k14(spark, sf_dir):
+    from jane_spark.operators.dedup import fuzzy_pairs
+
+    cust = Catalog(spark, sf_dir).customer
+    return fuzzy_pairs(cust, "c_custkey", "c_name", max_dist=1)
+
+
+@contract(
+    "q_k15_incr_dedup",
+    oracle="""
+        WITH old AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+             new AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+             survivors AS (
+                 SELECT n.doc_id, md5(n.text) AS fp
+                 FROM new n
+                 WHERE NOT EXISTS (SELECT 1 FROM old o
+                                   WHERE md5(o.text) = md5(n.text))),
+             ranked AS (
+                 SELECT doc_id, fp,
+                        row_number() OVER (PARTITION BY fp
+                                           ORDER BY doc_id) AS rn
+                 FROM survivors)
+        SELECT doc_id, fp FROM ranked WHERE rn = 1
+    """,
+    survey_rows="K15,K1,A9",
+    doc="incremental-ingest dedup: a new batch is deduped against the "
+    "EXISTING corpus fingerprint store (left anti join on content "
+    "hash) and then within itself (argmin per fingerprint) — the "
+    "batch form of dropDuplicatesWithinWatermark; at scale the store "
+    "keeps only (fp, doc_id), a ~50 B/doc table, never the corpus "
+    "(round 2)",
+)
+def q_k15(spark, sf_dir):
+    from jane_spark.operators.topk import argmax
+
+    docs = Catalog(spark, sf_dir).documents
+    old = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.md5("text").alias("fp")
+    ).distinct()
+    new = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    survivors = new.join(old, on="fp", how="left_anti")
+    kept = argmax(survivors, ["fp"], [F.col("doc_id").asc()])
+    return kept.select("doc_id", "fp")

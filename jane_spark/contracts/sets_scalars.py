@@ -231,3 +231,28 @@ def q_h10(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(F.col("end_date").isNull(), 1).otherwise(0)).alias("n_open"),
     )
+
+
+@contract(
+    "q_g4_intersect_all",
+    oracle="""
+        SELECT user_id, count(*) AS n
+        FROM (SELECT user_id FROM events WHERE event_type = 'click'
+              INTERSECT ALL
+              SELECT user_id FROM events WHERE event_type = 'view')
+        GROUP BY user_id
+    """,
+    survey_rows="G2",
+    doc="bag-semantics intersection (INTERSECT ALL): per-user overlap "
+    "multiplicity between two activity slices — min(count_a, count_b) "
+    "per key, one shuffle (round 2)",
+)
+def q_g4(spark, sf_dir):
+    ev = Catalog(spark, sf_dir).events
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    return (
+        clicks.intersectAll(views)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

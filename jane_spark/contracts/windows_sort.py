@@ -133,3 +133,92 @@ def q_f4(spark, sf_dir):
         gaps, ["user_id"], [F.col("gap_us").desc(), F.col("event_id").asc()]
     )
     return longest.select("user_id", "event_id", "gap_us")
+
+
+@contract(
+    "q_f5_ntile",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority,
+               ntile(4) OVER w AS quartile,
+               round(percent_rank() OVER w, 6) AS pr
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey)
+    """,
+    survey_rows="F5,E1",
+    doc="distribution ranks (ntile quartiles + percent_rank) per "
+    "priority class — quality-threshold calibration shape; total order "
+    "via id tie-break keeps both engines bit-identical (round 2)",
+)
+def q_f5(spark, sf_dir):
+    orders = Catalog(spark, sf_dir).clustered("orders", "o_orderpriority")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
+
+
+@contract(
+    "q_e5_rolling",
+    oracle="""
+        SELECT event_id, user_id,
+               count(*) OVER w AS n_1h,
+               round(sum(value) OVER w, 3) AS sum_1h
+        FROM (SELECT event_id, user_id, value,
+                     date_trunc('microseconds', ts) AS ts
+              FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                               AND CURRENT ROW)
+    """,
+    survey_rows="E5",
+    doc="trailing-interval rolling aggregate (RANGE frame over time, "
+    "not rows): events + value sum in each row's trailing hour per "
+    "user — operators.rolling.trailing_window_agg; Spark expresses the "
+    "interval frame over unix_micros (round 2)",
+)
+def q_e5(spark, sf_dir):
+    from jane_spark.operators.rolling import trailing_window_agg
+
+    ev = Catalog(spark, sf_dir).clustered("events", "user_id")
+    out = trailing_window_agg(
+        ev,
+        ["user_id"],
+        "ts",
+        {"n_1h": F.count(F.lit(1)), "sum_1h": F.sum("value")},
+        interval="1 hour",
+    )
+    return out.select(
+        "event_id", "user_id", "n_1h", F.round("sum_1h", 3).alias("sum_1h")
+    )
+
+
+@contract(
+    "q_d15_scd2",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               o_orderdate AS valid_from,
+               lead(o_orderdate) OVER w AS valid_to,
+               lead(o_orderdate) OVER w IS NULL AS is_current
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+    """,
+    survey_rows="D15,D5",
+    doc="SCD2 version history: valid_from/valid_to intervals from "
+    "lead() — jane's document-version timeline as a warehouse table; "
+    "one shuffle, no self-join (operators.scd2.scd2_history) (round 2)",
+)
+def q_d15(spark, sf_dir):
+    from jane_spark.operators.scd2 import scd2_history
+
+    orders = Catalog(spark, sf_dir).clustered("orders", "o_custkey")
+    hist = scd2_history(orders, ["o_custkey"], "o_orderdate", "o_orderkey")
+    return hist.select(
+        "o_custkey", "o_orderkey", "valid_from", "valid_to", "is_current"
+    )

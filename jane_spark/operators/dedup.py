@@ -257,3 +257,89 @@ def simhash32_portable(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         reduce(lambda a, b: a.bitwiseOR(b), bit_cols).alias("simhash32"),
     )
+
+
+# ---------------------------------------- near-dup: fuzzy string matching
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Equal-length string pairs within Levenshtein distance 1, via
+    lossless pigeonhole blocking — the record-linkage primitive
+    (near-identical names/titles/urls differing in one character).
+
+    Why the blocking is exact, not approximate: two EQUAL-LENGTH
+    strings with Levenshtein ≤ 1 are identical or differ in exactly one
+    substitution (any single indel would change the length), so
+    splitting both into two halves guarantees one half is identical
+    (pigeonhole). Equi-joining on (length, half index, half value)
+    therefore finds EVERY qualifying pair; the exact
+    ``levenshtein() <= 1`` residual discards false candidates.
+    Same-length-only semantics are part of the operator contract.
+
+    ``max_dist`` must be 1: for d ≥ 2 an insertion+deletion pair keeps
+    the length but SHIFTS every chunk, so positional chunk blocking is
+    no longer lossless (unit-test-demonstrated). Radius ≥ 2 needs
+    substring-seed blocking with a position-shift window (PassJoin /
+    Ed-Join family) — out of scope here; use minhash/simhash for larger
+    radii.
+
+    Scale shape: the join is an equi-join on (length, chunk index,
+    chunk text) — shuffle-partitioned by block, never a cross product.
+    The residual runs on the COMPLEMENTARY half only: with one half
+    equal and lengths equal, lev(full) ≤ 1 ⇔ lev(other half) ≤ 1 and
+    the distances coincide in that range — half-length levenshtein is
+    ~4× cheaper (O(L²) DP), which matters in hot blocks. Block skew (a
+    chunk value shared by a huge cluster, e.g. a common name prefix) is
+    the classic LSH hot-bucket problem: AQE skew-join splitting handles
+    moderate skew; adversarial corpora should pre-salt hot blocks.
+    """
+    if max_dist != 1:
+        raise ValueError(
+            "fuzzy_pairs supports max_dist=1 only: positional chunk "
+            "blocking is not lossless for Levenshtein >= 2 (indel pairs "
+            "shift chunks); use minhash/simhash for larger radii"
+        )
+    n_chunks = max_dist + 1
+    length = F.length(F.col(text_col))
+    half = F.floor(length / n_chunks).cast("int")
+    # chunk 0 = first half, chunk 1 = second half (1-based substr);
+    # each row carries its block half (cv) AND the complement (ov) so
+    # the residual never touches the full string.
+    first = F.substring(F.col(text_col), F.lit(1), half)
+    second = F.substring(F.col(text_col), half + 1, length.cast("int"))
+    chunks = F.array(
+        F.struct(F.lit(0).alias("ci"), first.alias("cv"), second.alias("ov")),
+        F.struct(F.lit(1).alias("ci"), second.alias("cv"), first.alias("ov")),
+    )
+    blocked = df.select(
+        F.col(id_col), length.alias("__len"), F.explode(chunks).alias("__c")
+    ).select(
+        id_col,
+        "__len",
+        F.col("__c.ci").alias("__ci"),
+        F.col("__c.cv").alias("__cv"),
+        F.col("__c.ov").alias("__ov"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = a.join(
+        b,
+        on=(
+            (F.col("a.__len") == F.col("b.__len"))
+            & (F.col("a.__ci") == F.col("b.__ci"))
+            & (F.col("a.__cv") == F.col("b.__cv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        ),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        # one half equal + equal length ⇒ lev(full) == lev(complement)
+        # whenever either is <= 1 (a single substitution lives entirely
+        # in the complementary half)
+        F.levenshtein(F.col("a.__ov"), F.col("b.__ov")).alias("dist"),
+    )
+    return cand.filter(F.col("dist") <= max_dist).dropDuplicates(["id_a", "id_b"])

@@ -766,3 +766,103 @@ def test_catalog_cache_key_includes_application_id(spark, sf_dir):
     assert key == (spark.sparkContext.applicationId, id(spark))
     Catalog(spark, sf_dir).region.count()
     assert any(k[0] == key for k in Catalog._table_cache)
+
+
+# ------------------------------------------------- round-2 new operators
+
+
+def test_fuzzy_pairs_matches_bruteforce(spark):
+    """Pigeonhole-blocked fuzzy join vs brute force: every equal-length
+    pair with levenshtein <= d must be found (lossless blocking)."""
+    import itertools
+
+    from jane_spark.operators.dedup import fuzzy_pairs
+
+    rng = random.Random(11)
+    alphabet = "ab"
+    words = ["".join(rng.choice(alphabet) for _ in range(rng.randint(3, 6)))
+             for _ in range(80)]
+    rows = [(i, w) for i, w in enumerate(words)]
+    df = spark.createDataFrame(rows, ["id", "txt"])
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fuzzy_pairs(df, "id", "txt", max_dist=1).collect()
+    }
+
+    def lev(a, b):
+        m = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(len(a) + 1):
+            for j in range(len(b) + 1):
+                if i == 0 or j == 0:
+                    m[i][j] = i + j
+                else:
+                    m[i][j] = min(m[i - 1][j] + 1, m[i][j - 1] + 1,
+                                  m[i - 1][j - 1] + (a[i - 1] != b[j - 1]))
+        return m[len(a)][len(b)]
+
+    want = {
+        (i, j, lev(words[i], words[j]))
+        for i, j in itertools.combinations(range(len(words)), 2)
+        if len(words[i]) == len(words[j]) and lev(words[i], words[j]) <= 1
+    }
+    assert got == want and want, len(want)
+
+    # d >= 2 is NOT lossless under positional chunk blocking (an
+    # indel pair keeps length but shifts chunks) — must refuse.
+    with pytest.raises(ValueError, match="max_dist=1"):
+        fuzzy_pairs(df, "id", "txt", max_dist=2)
+
+
+def test_scd2_history_semantics(spark):
+    """Each version's valid_to equals the next version's valid_from;
+    exactly one current row per key; equal-ts versions ordered by the
+    tiebreak."""
+    import datetime as dt
+
+    from jane_spark.operators.scd2 import scd2_history
+
+    d0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("doc", d0, 1),
+        ("doc", d0 + dt.timedelta(days=2), 3),
+        ("doc", d0 + dt.timedelta(days=2), 2),  # same ts as version 3
+        ("other", d0, 9),
+    ]
+    df = spark.createDataFrame(rows, ["key", "ts", "ver"])
+    out = {
+        r["ver"]: (r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_history(df, ["key"], "ts", "ver").collect()
+    }
+    assert out[1][1] == d0 + dt.timedelta(days=2) and not out[1][2]
+    assert out[2][1] == d0 + dt.timedelta(days=2) and not out[2][2]  # tiebreak 2 < 3
+    assert out[3][1] is None and out[3][2]
+    assert out[9][1] is None and out[9][2]
+
+
+def test_trailing_window_agg_matches_bruteforce(spark):
+    """RANGE-frame rolling agg vs an O(n^2) python reference, including
+    equal-timestamp peers (ANSI: all peers join the frame)."""
+    from jane_spark.operators.rolling import trailing_window_agg
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(120):
+        rows.append((i, rng.randint(1, 3), _ts(rng.randint(0, 600)), float(i)))
+    rows.append((900, 1, rows[0][2], 0.5))  # duplicate timestamp peer
+    df = spark.createDataFrame(rows, ["eid", "uid", "ts", "v"])
+    got = {
+        r["eid"]: (r["n_1h"], round(r["s_1h"], 6))
+        for r in trailing_window_agg(
+            df, ["uid"], "ts", {"n_1h": F.count(F.lit(1)), "s_1h": F.sum("v")},
+            interval="1 hour",
+        ).collect()
+    }
+    import datetime as dt
+
+    for eid, uid, ts, v in rows:
+        peers = [(e, u, t, x) for (e, u, t, x) in rows
+                 if u == uid and ts - dt.timedelta(hours=1) <= t <= ts]
+        assert got[eid] == (len(peers), round(sum(x for *_, x in peers), 6)), eid
+
+    with pytest.raises(ValueError, match="interval"):
+        trailing_window_agg(df, ["uid"], "ts", {}, interval="1 fortnight")

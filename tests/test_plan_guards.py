@@ -176,3 +176,27 @@ def test_bucketed_join_elides_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         drop_table(spark, "b_orders")
         drop_table(spark, "b_lineitem")
+
+
+def test_fuzzy_pairs_is_equi_join(spark, sf_dir):
+    """The pigeonhole-blocked fuzzy join must plan as an equi-join on
+    the (length, chunk) block keys — never nested-loop/cartesian (the
+    brute-force O(n^2) shape its oracle uses)."""
+    from jane_spark.contracts import REGISTRY
+
+    plan = _executed_plan(REGISTRY["q_k14_fuzzy"].spark_fn(spark, sf_dir))
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_rolling_and_scd2_single_shuffle(spark, sf_dir):
+    """Window-based rolling/scd2 contracts shuffle once on their key;
+    no joins, no extra exchanges beyond the window partitioning."""
+    from jane_spark.contracts import REGISTRY
+
+    for name in ("q_e5_rolling", "q_d15_scd2"):
+        plan = _executed_plan(REGISTRY[name].spark_fn(spark, sf_dir))
+        # a pinned source's one-time repartition lives inside the
+        # materialized InMemoryRelation — not a per-query shuffle
+        live = plan.split("InMemoryRelation")[0]
+        n_exchanges = live.count("Exchange hashpartitioning")
+        assert n_exchanges <= 1, (name, n_exchanges, plan[:500])
