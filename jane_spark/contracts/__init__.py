@@ -38,6 +38,7 @@ VERIFY_FIRST: list[str] = [
     "q_k14_fuzzy",
     "q_c4_overlap",
     "q_k15_incr_dedup",
+    "q_b9_radial_wrap",
     # oracle-backed, never run by the driver (round-1 positions 50-98)
     "q_h1_ts_parse",
     "q_h3_seedid",
@@ -81,7 +82,6 @@ VERIFY_FIRST: list[str] = [
     "q_k3_lsh",
     "q_k3_ivf",
     "q_k2_minhash",
-    "q_k2_simhash",
 ]
 
 

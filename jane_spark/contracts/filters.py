@@ -287,3 +287,46 @@ def q_b12(spark, sf_dir):
         acl, cat.orders.o_custkey == acl.c_custkey, "left_semi"
     )
     return visible.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+@contract(
+    "q_b9_radial_wrap",
+    oracle=f"""
+        WITH pts AS (
+            SELECT c_custkey, {LAT_EXPR} AS lat, {LON_EXPR} AS lon FROM customer),
+        d AS (
+            SELECT c_custkey, lat, lon,
+                   degrees(2 * asin(sqrt(
+                       sin((radians(5.0) - radians(lat)) / 2)
+                         * sin((radians(5.0) - radians(lat)) / 2)
+                       + cos(radians(lat)) * cos(radians(5.0))
+                         * sin((radians(178.5) - radians(lon)) / 2)
+                         * sin((radians(178.5) - radians(lon)) / 2)))) AS dist_deg
+            FROM pts)
+        SELECT c_custkey, round(dist_deg, 6) AS dist_deg
+        FROM d WHERE dist_deg >= 0.0 AND dist_deg <= 12.0
+    """,
+    survey_rows="B9,H5",
+    doc="radial search with the annulus CROSSING the antimeridian "
+    "(center lon 178.5, r 12): exercises functions.geo.radial_search's "
+    "wrapped lon pre-prune (ADVICE r1 fix) against a prune-free DuckDB "
+    "haversine — any far-side point dropped by the bbox would "
+    "hash-mismatch (round 2)",
+)
+def q_b9w(spark, sf_dir):
+    from jane_spark.functions.geo import great_circle_degrees, radial_search
+
+    cust = Catalog(spark, sf_dir).customer
+    pts = cust.select(
+        "c_custkey", F.expr(LAT_EXPR).alias("lat"), F.expr(LON_EXPR).alias("lon")
+    )
+    hits = radial_search(pts, "lat", "lon", 5.0, 178.5, 0.0, 12.0)
+    return hits.select(
+        "c_custkey",
+        F.round(
+            great_circle_degrees(
+                F.col("lat"), F.col("lon"), F.lit(5.0), F.lit(178.5)
+            ),
+            6,
+        ).alias("dist_deg"),
+    )
