@@ -45,3 +45,20 @@ def test_entry_smoke(spark):
     names = set(e.queries())
     oracles = set(e.oracle_sql())
     assert oracles <= names
+
+
+def test_verify_first_window_invariants():
+    """The driver checks only the first 50 queries() entries: the front
+    list must be exactly 50 known names, dense in oracle-backed queries,
+    and ordered_registry must put them first."""
+    from jane_spark.contracts import REGISTRY, VERIFY_FIRST, ordered_registry
+
+    assert len(VERIFY_FIRST) == 50
+    assert len(set(VERIFY_FIRST)) == 50
+    missing = [n for n in VERIFY_FIRST if n not in REGISTRY]
+    assert not missing, missing
+    ordered = list(ordered_registry())
+    assert ordered[:50] == VERIFY_FIRST
+    assert set(ordered) == set(REGISTRY)
+    n_oracle = sum(1 for n in VERIFY_FIRST if REGISTRY[n].oracle is not None)
+    assert n_oracle >= 40, f"only {n_oracle}/50 window slots oracle-backed"
