@@ -5,9 +5,11 @@ Embedding top-k over an ``array<float>`` column. Three strategies:
 - ``brute_force_topk``     — exact, pure built-ins (zip_with/aggregate),
   sequential double accumulation ⇒ bit-reproducible vs the DuckDB
   oracle. O(n²·d) — the correctness baseline.
-- ``block_topk``           — exact, numpy-blocked: broadcast the (n×d)
-  matrix, mapInPandas computes a GEMM per batch + partial top-k. Same
-  answers, ~100× faster; the single-node fast path (bench uses this).
+- ``block_topk``           — exact, numpy-blocked: rows hash into a
+  (query block × corpus block) grid; one applyInPandas GEMM per grid
+  cell, cell-local top-k, then a per-query merge. Same answers, ~100×
+  faster, and nothing touches the driver — block counts bound task
+  memory, so the same plan runs at any corpus size (bench uses this).
 - ``lsh_bucketed_topk``    — approximate, the 100 TB shape: random-
   hyperplane LSH buckets → equi-join per bucket → exact re-rank within
   candidates. Shuffle is keyed by bucket; no cross product anywhere.
@@ -61,58 +63,112 @@ def brute_force_topk(
 
 
 def block_topk(
-    vectors: DataFrame, id_col: str, vec_col: str, k: int, round_dp: int | None = 6
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    round_dp: int | None = 6,
+    n_query_blocks: int = 4,
+    n_corpus_blocks: int = 4,
 ) -> DataFrame:
-    """Exact cosine top-k via numpy GEMM against a broadcast matrix.
+    """Exact cosine top-k via distributed grid GEMM — no driver-side
+    materialization, no corpus broadcast.
 
-    Local/bench fast path: the corpus matrix (n×d float64) is broadcast
-    to executors; each Arrow batch of query vectors does one matrix
-    multiply + argpartition. Exact same ranking as brute_force_topk
-    (float64 dot products; ties broken by neighbor id).
+    Rows hash deterministically into ``n_query_blocks`` query blocks
+    and ``n_corpus_blocks`` corpus blocks; every (query block, corpus
+    block) grid cell is one ``applyInPandas`` group doing a float64
+    GEMM of that cell's query batch against that cell's corpus batch,
+    emitting the cell-local top-k per query under the total order
+    (sim desc, b_id asc). A final ``top_k_per_group`` on ``a_id``
+    merges cells. Because (sim desc, b_id asc) is a TOTAL order
+    (b_id unique), any global top-k row is in the top-k of its own
+    cell, so the merge is exact — same ranking as brute_force_topk.
 
-    At 100 TB the same shape holds per *partition* of the corpus with a
-    final per-query merge (map-side top-k then reduce top-k).
+    Scale shape: query rows are replicated across corpus blocks and
+    corpus rows across query blocks (one shuffle each, keyed by grid
+    cell); peak task memory is one query block + one corpus block, so
+    block counts — not driver or broadcast limits — bound the corpus
+    size. Total FLOPs equal the single-GEMM path (each (a, b) dot
+    product is computed in exactly one cell).
     """
-    spark = vectors.sparkSession
-    rows = vectors.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
-
+    n_q, n_c = int(n_query_blocks), int(n_corpus_blocks)
+    if n_q < 1 or n_c < 1:
+        raise ValueError("block counts must be >= 1")
+    base = vectors.select(
+        F.col(id_col).cast("long").alias("__id"), F.col(vec_col).alias("__vec")
+    )
+    qb = F.pmod(F.xxhash64(F.col("__id")), F.lit(n_q)).cast("int")
+    cb = F.pmod(F.xxhash64(F.col("__id")), F.lit(n_c)).cast("int")
+    queries = base.select(
+        "__id",
+        "__vec",
+        qb.alias("__qb"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_c - 1))).alias("__cb"),
+        F.lit(True).alias("__is_q"),
+    )
+    corpus = base.select(
+        "__id",
+        "__vec",
+        F.explode(F.sequence(F.lit(0), F.lit(n_q - 1))).alias("__qb"),
+        cb.alias("__cb"),
+        F.lit(False).alias("__is_q"),
+    )
     out_schema = "a_id long, b_id long, sim double"
+    empty = pd.DataFrame(
+        {
+            "a_id": pd.Series(dtype="int64"),
+            "b_id": pd.Series(dtype="int64"),
+            "sim": pd.Series(dtype="float64"),
+        }
+    )
 
-    def part(batches):
-        b_ids, b_mat, b_norms = bc.value
-        for pdf in batches:
-            q_ids = pdf["__qid"].to_numpy(dtype=np.int64)
-            q = np.array(pdf["__qvec"].tolist(), dtype=np.float64)
-            sims = (q @ b_mat.T) / (
-                np.sqrt((q * q).sum(axis=1))[:, None] * b_norms[None, :]
-            )
-            # argpartition to a k+buffer candidate set, then exact
-            # (-sim, b_id) ordering within it — ties beyond the buffer
-            # would need >k+8 bit-identical cosines (duplicate vectors)
-            k2 = min(k + 8, sims.shape[1])
+    def cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = pdf[pdf["__is_q"]]
+        c = pdf[~pdf["__is_q"]]
+        if q.empty or c.empty:
+            return empty
+        q_ids = q["__id"].to_numpy(dtype=np.int64)
+        qm = np.array(q["__vec"].tolist(), dtype=np.float64)
+        b_ids = c["__id"].to_numpy(dtype=np.int64)
+        bm = np.array(c["__vec"].tolist(), dtype=np.float64)
+        sims = (qm @ bm.T) / (
+            np.sqrt((qm * qm).sum(axis=1))[:, None]
+            * np.sqrt((bm * bm).sum(axis=1))[None, :]
+        )
+        # argpartition to a k+buffer candidate set, then exact
+        # (-sim, b_id) ordering within it — ties beyond the buffer
+        # would need >k+8 bit-identical cosines (duplicate vectors)
+        k2 = min(k + 8, sims.shape[1])
+        if k2 < sims.shape[1]:
             cand = np.argpartition(-sims, k2 - 1, axis=1)[:, :k2]
-            out_a, out_b, out_s = [], [], []
-            for qi in range(sims.shape[0]):
-                c = cand[qi]
-                order = c[np.lexsort((b_ids[c], -sims[qi, c]))]
-                sel = order[b_ids[order] != q_ids[qi]][:k]
-                out_a.append(np.full(len(sel), q_ids[qi], dtype=np.int64))
-                out_b.append(b_ids[sel])
-                out_s.append(sims[qi, sel])
-            yield pd.DataFrame(
-                {
-                    "a_id": np.concatenate(out_a),
-                    "b_id": np.concatenate(out_b),
-                    "sim": np.concatenate(out_s),
-                }
+        else:
+            cand = np.broadcast_to(
+                np.arange(sims.shape[1]), sims.shape
             )
+        out_a, out_b, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            c_idx = cand[qi]
+            order = c_idx[np.lexsort((b_ids[c_idx], -sims[qi, c_idx]))]
+            sel = order[b_ids[order] != q_ids[qi]][:k]
+            out_a.append(np.full(len(sel), q_ids[qi], dtype=np.int64))
+            out_b.append(b_ids[sel])
+            out_s.append(sims[qi, sel])
+        return pd.DataFrame(
+            {
+                "a_id": np.concatenate(out_a),
+                "b_id": np.concatenate(out_b),
+                "sim": np.concatenate(out_s),
+            }
+        )
 
-    q_df = vectors.select(F.col(id_col).alias("__qid"), F.col(vec_col).alias("__qvec"))
-    result = q_df.mapInPandas(part, schema=out_schema)
+    partials = (
+        queries.unionByName(corpus)
+        .groupBy("__qb", "__cb")
+        .applyInPandas(cell, schema=out_schema)
+    )
+    result = top_k_per_group(
+        partials, ["a_id"], [F.col("sim").desc(), F.col("b_id").asc()], k
+    ).drop("rn")
     if round_dp is not None:
         result = result.withColumn("sim", F.round(F.col("sim"), round_dp))
     return result

@@ -200,6 +200,56 @@ def test_brute_force_equals_block_topk(spark, sf_dir):
     assert bf == bl
 
 
+def test_block_topk_no_driver_materialization(spark, sf_dir, monkeypatch):
+    """block_topk must never pull the corpus to the driver: no
+    collect/toPandas/toLocalIterator and no sc.broadcast while the plan
+    is built (any driver-side materialization in the operator body would
+    fire during the call). Execution stays lazy until we collect the
+    RESULT — which is k rows per vector, not the corpus."""
+    import pyspark.sql
+    from pyspark.core.context import SparkContext
+
+    from jane_spark.engine.catalog import Catalog
+    from jane_spark.operators.vector import block_topk
+
+    emb = Catalog(spark, sf_dir).embeddings.limit(60)
+
+    def boom(*a, **k):
+        raise AssertionError("driver-side materialization inside block_topk")
+
+    monkeypatch.setattr(pyspark.sql.DataFrame, "collect", boom)
+    monkeypatch.setattr(pyspark.sql.DataFrame, "toPandas", boom)
+    monkeypatch.setattr(pyspark.sql.DataFrame, "toLocalIterator", boom)
+    monkeypatch.setattr(SparkContext, "broadcast", boom)
+    plan = block_topk(emb, "vec_id", "embedding", 3)
+    monkeypatch.undo()
+    assert len(plan.collect()) > 0
+
+
+def test_block_topk_grid_blocking_invariant(spark, sf_dir):
+    """Result is identical for any grid shape (each (a,b) dot product is
+    computed in exactly one cell; the (sim desc, b_id) total order makes
+    the cell-local top-k merge exact)."""
+    from jane_spark.engine.catalog import Catalog
+    from jane_spark.operators.vector import block_topk
+
+    emb = Catalog(spark, sf_dir).embeddings.limit(60)
+    base = {
+        (r["a_id"], r["b_id"], r["sim"])
+        for r in block_topk(
+            emb, "vec_id", "embedding", 3, n_query_blocks=1, n_corpus_blocks=1
+        ).collect()
+    }
+    for n_q, n_c in [(3, 1), (1, 3), (4, 4)]:
+        got = {
+            (r["a_id"], r["b_id"], r["sim"])
+            for r in block_topk(
+                emb, "vec_id", "embedding", 3, n_query_blocks=n_q, n_corpus_blocks=n_c
+            ).collect()
+        }
+        assert got == base, f"grid {n_q}x{n_c} diverged"
+
+
 def test_lsh_recall_reasonable(spark, sf_dir):
     """LSH is approximate: require decent recall of the exact top-3 on
     the test vectors (clustered data; random-hyperplane buckets)."""
