@@ -267,6 +267,8 @@ def fuzzy_pairs(
     id_col: str,
     text_col: str,
     max_dist: int = 1,
+    hot_block_threshold: int = 128,
+    max_salts: int = 256,
 ) -> DataFrame:
     """Equal-length string pairs within Levenshtein distance 1, via
     lossless pigeonhole blocking — the record-linkage primitive
@@ -293,10 +295,22 @@ def fuzzy_pairs(
     The residual runs on the COMPLEMENTARY half only: with one half
     equal and lengths equal, lev(full) ≤ 1 ⇔ lev(other half) ≤ 1 and
     the distances coincide in that range — half-length levenshtein is
-    ~4× cheaper (O(L²) DP), which matters in hot blocks. Block skew (a
-    chunk value shared by a huge cluster, e.g. a common name prefix) is
-    the classic LSH hot-bucket problem: AQE skew-join splitting handles
-    moderate skew; adversarial corpora should pre-salt hot blocks.
+    ~4× cheaper (O(L²) DP), which matters in hot blocks.
+
+    Hot-block salting: a chunk value shared by a huge cluster (a common
+    name prefix — the classic LSH hot-bucket problem) funnels m² pair
+    candidates through ONE join key, serializing the stage. Blocks
+    larger than ``hot_block_threshold`` are split into
+    ``s = ceil(size / threshold)`` salt groups (deterministic hash of
+    the complement half + id, capped at ``max_salts``), and the m²
+    candidate grid is tiled into s·(s+1)/2 triangle cells — row with
+    salt g joins as the LEFT side of cells (g, j≥g) and the RIGHT side
+    of cells (i≤g, g), so every unordered salt pair lands in exactly
+    one cell and the pair set is EXACTLY the unsalted one (equivalence
+    proven in tests against the brute-force oracle). Quadratic WORK is
+    inherent to the pair semantics; salting distributes it across the
+    cluster instead of one task. Cold blocks get s = 1 — a single cell,
+    zero row inflation.
     """
     if max_dist != 1:
         raise ValueError(
@@ -325,18 +339,58 @@ def fuzzy_pairs(
         F.col("__c.cv").alias("__cv"),
         F.col("__c.ov").alias("__ov"),
     )
-    a, b = blocked.alias("a"), blocked.alias("b")
+    # per-block salt count: 1 for cold blocks (no inflation), size/N
+    # salt groups for hot ones. The count is one shuffle of m ROWS per
+    # block (not m² pairs) on the same key the join uses.
+    block_w = Window.partitionBy("__len", "__ci", "__cv")
+    salted = (
+        blocked.withColumn("__bs", F.count(F.lit(1)).over(block_w))
+        .withColumn(
+            "__s",
+            F.least(
+                F.ceil(F.col("__bs") / F.lit(hot_block_threshold)),
+                F.lit(max_salts),
+            ).cast("int"),
+        )
+        .withColumn(
+            "__g",
+            F.pmod(F.xxhash64(F.col("__ov"), F.col(id_col)), F.col("__s")).cast(
+                "int"
+            ),
+        )
+        .drop("__bs")
+    )
+    # triangle tiling: left covers cells (g, j >= g), right covers
+    # cells (i <= g, g); an unordered salt pair {ga, gb} meets in
+    # exactly the cell (min, max).
+    a = salted.withColumn(
+        "__j", F.explode(F.sequence(F.col("__g"), F.col("__s") - 1))
+    ).withColumnRenamed("__g", "__i").alias("a")
+    b = salted.withColumn(
+        "__i", F.explode(F.sequence(F.lit(0), F.col("__g")))
+    ).withColumnRenamed("__g", "__j").alias("b")
+    # A pair meets in cell (min salt, max salt) with SIDES FIXED by
+    # salt (left = smaller salt), so ids can arrive in either order:
+    # canonicalize with least/greatest. Diagonal cells (i == j) hold
+    # both orientations — keep id< there to halve candidates and drop
+    # self-pairs; off-diagonal sides are disjoint salt groups, so no
+    # self-pairs exist and every pair appears exactly once.
+    diag = F.col("a.__i") == F.col("a.__j")
     cand = a.join(
         b,
         on=(
             (F.col("a.__len") == F.col("b.__len"))
             & (F.col("a.__ci") == F.col("b.__ci"))
             & (F.col("a.__cv") == F.col("b.__cv"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col("a.__i") == F.col("b.__i"))
+            & (F.col("a.__j") == F.col("b.__j"))
+            & F.when(
+                diag, F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+            ).otherwise(F.lit(True))
         ),
     ).select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
+        F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+        F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
         # one half equal + equal length ⇒ lev(full) == lev(complement)
         # whenever either is <= 1 (a single substitution lives entirely
         # in the complementary half)

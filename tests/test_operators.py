@@ -862,6 +862,40 @@ def test_fuzzy_pairs_matches_bruteforce(spark):
     with pytest.raises(ValueError, match="max_dist=1"):
         fuzzy_pairs(df, "id", "txt", max_dist=2)
 
+    # hot-block salting (forced by a tiny threshold) must produce the
+    # EXACT same pair set — triangle cells cover every salt pair once.
+    for thr, cap in [(4, 256), (2, 3)]:  # cap=3 exercises the max_salts clamp
+        salted = {
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in fuzzy_pairs(
+                df, "id", "txt", max_dist=1,
+                hot_block_threshold=thr, max_salts=cap,
+            ).collect()
+        }
+        assert salted == want, (thr, cap)
+
+
+def test_fuzzy_pairs_hot_prefix_block_salted(spark):
+    """Adversarial shared-prefix corpus (the q_k14 'Customer#' shape):
+    every string shares its first half, so one block holds all rows.
+    Salting must agree with the unsalted path exactly."""
+    from jane_spark.operators.dedup import fuzzy_pairs
+
+    rng = random.Random(7)
+    rows = [(i, f"Customer#{rng.randint(0, 499):09d}") for i in range(400)]
+    df = spark.createDataFrame(rows, ["id", "txt"])
+    unsalted = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fuzzy_pairs(
+            df, "id", "txt", hot_block_threshold=10**9
+        ).collect()
+    }
+    salted = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fuzzy_pairs(df, "id", "txt", hot_block_threshold=32).collect()
+    }
+    assert salted == unsalted and unsalted  # dup ids → dist-0 pairs exist
+
 
 def test_scd2_history_semantics(spark):
     """Each version's valid_to equals the next version's valid_from;
