@@ -389,7 +389,10 @@ def q_d8c(spark, sf_dir):
     survey_rows="D14",
     doc="statistical aggregate surface (corr/covar/stddev/variance) — "
     "corpus-calibration statistics; all are single-pass partial+final "
-    "hash aggregates, no second scan (round 2)",
+    "hash aggregates, no second scan (round 2). Rounded-value hash "
+    "compare is boundary-safe on this data: every stat sits >=1e-4 "
+    "rounded-units from its .5 rounding boundary (guarded by tests/"
+    "test_contracts.py::test_float_boundary_margins)",
 )
 def q_d14(spark, sf_dir):
     li = Catalog(spark, sf_dir).lineitem

@@ -311,7 +311,10 @@ def q_b12(spark, sf_dir):
     "(center lon 178.5, r 12): exercises functions.geo.radial_search's "
     "wrapped lon pre-prune (ADVICE r1 fix) against a prune-free DuckDB "
     "haversine — any far-side point dropped by the bbox would "
-    "hash-mismatch (round 2)",
+    "hash-mismatch (round 2). The 12.0 cut sits >=0.12 deg from any "
+    "data point (boundary-margin guard: tests/test_contracts.py::"
+    "test_float_boundary_margins), so cross-engine ulp drift cannot "
+    "flip membership",
 )
 def q_b9w(spark, sf_dir):
     from jane_spark.functions.geo import great_circle_degrees, radial_search

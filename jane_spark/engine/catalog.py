@@ -17,6 +17,8 @@ DuckDB oracle exactly; the session timezone is pinned UTC regardless.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -48,24 +50,40 @@ class Catalog:
     """
 
     # session-scoped caches (a catalog IS session state). Keyed by
-    # (applicationId, id(session)) — id() alone can be reused by a new
-    # SparkSession after the old one is stopped and collected, which
-    # would serve stale DataFrames bound to a dead session and skip
-    # configure(); the applicationId changes with every new
+    # (applicationId, session token) — the token is a counter value
+    # attached to the SparkSession's __dict__ on first touch, so it
+    # dies with the session object and (unlike id()) can never be
+    # reused by a new sibling session of the same SparkContext
+    # (ADVICE r2); the applicationId changes with every new
     # SparkContext, making the composite key stable.
     _table_cache: dict[tuple[tuple[str, int], str], dict[str, DataFrame]] = {}
     _configured: set[tuple[str, int]] = set()
+    _token_counter = itertools.count()
 
     @staticmethod
     def _session_key(spark: SparkSession) -> tuple[str, int]:
         try:
             app_id = spark.sparkContext.applicationId
         except Exception:  # stopped/degenerate session: never cache-hit
-            app_id = f"dead-{id(spark)}"
-        return (app_id, id(spark))
+            return ("dead", id(spark))
+        tok = spark.__dict__.get("_jane_catalog_token")
+        if tok is None:
+            tok = next(Catalog._token_counter)
+            spark.__dict__["_jane_catalog_token"] = tok
+        return (app_id, tok)
 
     def __init__(self, spark: SparkSession, sf_dir: str):
         key = Catalog._session_key(spark)
+        if key[0] == "dead":
+            # Degenerate/stopped session: do NOT run the eviction sweep
+            # (a dead sentinel must not wipe live applications' cache —
+            # ADVICE r2) and do not cache under the sentinel; configure
+            # is still attempted so failures surface naturally.
+            configure(spark)
+            self.spark = spark
+            self.sf_dir = sf_dir.rstrip("/")
+            self._dfs = {}
+            return
         # PySpark local mode runs one SparkContext per process: entries
         # under another applicationId belong to a stopped context —
         # evict them so dead sessions (and their JVM handles) can be

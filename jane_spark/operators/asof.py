@@ -43,38 +43,40 @@ def asof_join(
     orders by ``ref_tiebreak`` (ascending — the max tiebreak wins) when
     given, else by the ``ref_cols`` values themselves, so the chosen row
     never depends on partition order (repo total-order rule, cf.
-    topk.py).
+    topk.py). All ``ref_cols`` are filled from ONE packed struct —
+    the winner is a single reference ROW, never a per-column mix of
+    tied rows with NULLs in different columns (ADVICE r2 chimera case).
     """
     # probe tag 0 sorts first at equal ts when strict (ref not yet seen)
     probe_tag, ref_tag = (0, 1) if strict else (2, 1)
-    p = probe.withColumn("__tag", F.lit(probe_tag))
-    for c in ref_cols:
-        p = p.withColumn(f"{c}{suffix}", F.lit(None).cast(dict(reference.dtypes)[c]))
+    dtypes = dict(reference.dtypes)
+    struct_ddl = "struct<" + ",".join(f"{c}:{dtypes[c]}" for c in ref_cols) + ">"
+    p = probe.withColumn("__tag", F.lit(probe_tag)).withColumn(
+        "__ref", F.lit(None).cast(struct_ddl)
+    )
     r = reference.select(
         F.col(key),
         F.col(ts),
         F.lit(ref_tag).alias("__tag"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in ref_cols],
+        F.struct(*[F.col(c) for c in ref_cols]).alias("__ref"),
     )
-    p_cols = [c for c in p.columns if c != "__tag"]
-    unioned = p.select(*p_cols, "__tag").unionByName(
-        r.select(*[c for c in r.columns if c != "__tag"], "__tag"),
-        allowMissingColumns=True,
-    )
+    unioned = p.unionByName(r, allowMissingColumns=True)
     if ref_tiebreak is not None:
         if ref_tiebreak not in ref_cols:
             raise ValueError("ref_tiebreak must be one of ref_cols")
-        tie_order = [F.col(f"{ref_tiebreak}{suffix}").asc()]
+        tie_order = [F.col("__ref").getField(ref_tiebreak).asc()]
     else:
-        tie_order = [F.col(f"{c}{suffix}").asc() for c in ref_cols]
+        # struct ordering = field-wise lexicographic over ref_cols
+        tie_order = [F.col("__ref").asc()]
     w = (
         Window.partitionBy(key)
         .orderBy(F.col(ts).asc(), F.col("__tag").asc(), *tie_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned
+    filled = unioned.withColumn(
+        "__ref", F.last(F.col("__ref"), ignorenulls=True).over(w)
+    )
+    out = filled.filter(F.col("__tag") == probe_tag)
     for c in ref_cols:
-        filled = filled.withColumn(
-            f"{c}{suffix}", F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w)
-        )
-    return filled.filter(F.col("__tag") == probe_tag).drop("__tag")
+        out = out.withColumn(f"{c}{suffix}", F.col("__ref").getField(c))
+    return out.drop("__tag", "__ref")

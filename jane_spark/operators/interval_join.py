@@ -16,7 +16,9 @@ rewrite, no engine surgery:
    covers (``sequence()`` + ``explode`` — JVM built-ins);
 3. equi-join on the bin id  → shuffle-hash/sort-merge, *linear* in data;
 4. re-apply the exact overlap predicate as a residual filter;
-5. drop duplicate (left, right) pairs that co-occurred in >1 bin.
+5. keep each pair only in its canonical bin (max of the two start
+   bins — the first bin the intervals share), so pairs spanning >1 bin
+   emit exactly once with no row-id bookkeeping and no dedup shuffle.
 
 At 100 TB the bin join partitions by (bin), so each task sees one time
 slice; skewed hot bins are handled by AQE skew-join splitting. Long
@@ -80,24 +82,23 @@ def overlap_join(
     rus_s = F.unix_micros(F.col(right_start).cast("timestamp"))
     rus_e = F.unix_micros(F.col(right_end).cast("timestamp"))
 
-    # Per-row ids taken BEFORE the bin explode: a (left, right) pair that
-    # co-occurs in >1 bin collapses to one output row, while genuinely
-    # duplicate input rows keep their multiplicity (dropDuplicates over
-    # all data columns would merge those too).
-    lb = left.withColumn("__lid", F.monotonically_increasing_id()).withColumn(
-        "__bin", F.explode(_bin_ids(lus_s, lus_e, bin_us))
-    )
-    rb = right.withColumn("__rid", F.monotonically_increasing_id()).withColumn(
-        "__bin", F.explode(_bin_ids(rus_s, rus_e, bin_us))
-    )
+    lb = left.withColumn("__bin", F.explode(_bin_ids(lus_s, lus_e, bin_us)))
+    rb = right.withColumn("__bin", F.explode(_bin_ids(rus_s, rus_e, bin_us)))
 
     on = ["__bin"] + (extra_on or [])
     joined = lb.join(rb, on=on, how="inner")
     residual = (F.col(left_start) < F.col(right_end)) & (
         F.col(left_end) > F.col(right_start)
     )
-    return (
-        joined.filter(residual)
-        .dropDuplicates(["__lid", "__rid"])
-        .drop("__bin", "__lid", "__rid")
+    # A pair that co-occurs in >1 bin must be emitted once per input
+    # row pair. Rather than row-id dedup (nondeterministic ids under
+    # task retry — ADVICE r2) keep ONLY the canonical bin: the first
+    # bin both intervals share, i.e. the max of their start bins. A
+    # pure function of the row values — deterministic under any
+    # recomputation — and it drops the dropDuplicates shuffle while
+    # preserving duplicate-row multiplicity exactly.
+    canonical_bin = F.greatest(
+        (lus_s / F.lit(bin_us)).cast("long"),
+        (rus_s / F.lit(bin_us)).cast("long"),
     )
+    return joined.filter(residual & (F.col("__bin") == canonical_bin)).drop("__bin")

@@ -62,3 +62,41 @@ def test_verify_first_window_invariants():
     assert set(ordered) == set(REGISTRY)
     n_oracle = sum(1 for n in VERIFY_FIRST if REGISTRY[n].oracle is not None)
     assert n_oracle >= 40, f"only {n_oracle}/50 window slots oracle-backed"
+
+
+def test_float_boundary_margins(duck):
+    """ADVICE r2: q_b9_radial_wrap cuts unrounded dist_deg at exactly
+    12.0 and q_d14_stats hash-compares round(stat, dp) across two
+    engines — a value within an ulp of a cut/rounding boundary would
+    flip the hash nondeterministically. Pin that the synthetic data
+    keeps wide margins at the driver's check scale (any margin above
+    ~1e-9 dwarfs cross-engine ulp differences; observed: b9 >= 0.12,
+    d14 >= 1e-4)."""
+    from jane_spark.contracts.filters import LAT_EXPR, LON_EXPR
+
+    dmin = duck.execute(
+        f"""
+        WITH pts AS (SELECT {LAT_EXPR} AS lat, {LON_EXPR} AS lon FROM customer),
+        d AS (SELECT degrees(2*asin(sqrt(
+            sin((radians(5.0)-radians(lat))/2)*sin((radians(5.0)-radians(lat))/2)
+            + cos(radians(lat))*cos(radians(5.0))
+              * sin((radians(178.5)-radians(lon))/2)
+              * sin((radians(178.5)-radians(lon))/2)))) AS dd FROM pts)
+        SELECT min(abs(dd - 12.0)) FROM d
+        """
+    ).fetchone()[0]
+    assert dmin > 1e-6, f"b9 radius cut margin too thin: {dmin}"
+
+    stats = duck.execute(
+        """
+        SELECT corr(l_quantity, l_extendedprice) AS c,
+               covar_samp(l_quantity, l_extendedprice) AS cv,
+               stddev_samp(l_discount) AS sd,
+               var_pop(l_quantity) AS vp
+        FROM lineitem GROUP BY l_returnflag
+        """
+    ).fetchall()
+    for row in stats:
+        for v, dp in zip(row, (4, 2, 6, 4)):
+            margin = abs((v * 10**dp) % 1 - 0.5)
+            assert margin > 1e-6, f"d14 rounding margin too thin: {v} @ {dp}dp"

@@ -807,15 +807,65 @@ def test_asof_join_deterministic_tiebreak(spark):
         asof_join(probe, ref, "key", "ts", ["val"], ref_tiebreak="nope")
 
 
+def test_asof_join_no_chimera_rows(spark):
+    """ADVICE r2: tied reference rows with NULLs in different columns
+    must resolve to ONE row's values (struct-packed fill), never a
+    per-column mix of two rows."""
+    from jane_spark.operators.asof import asof_join
+
+    ref = spark.createDataFrame(
+        [("k", _ts(10), 1, None), ("k", _ts(10), None, 2)],
+        "key string, ts timestamp, x int, y int",
+    )
+    probe = spark.createDataFrame([("k", _ts(50))], ["key", "ts"])
+    for nparts in (1, 5):
+        got = asof_join(
+            probe, ref.repartition(nparts), "key", "ts", ["x", "y"]
+        ).collect()
+        # winner under struct order (nulls first, so (1,NULL) sorts last
+        # and the fill takes it): one ROW's values — a (1, 2) result
+        # would be a chimera of both rows
+        assert [(r["x_ref"], r["y_ref"]) for r in got] == [(1, None)], nparts
+
+
 def test_catalog_cache_key_includes_application_id(spark, sf_dir):
-    """ADVICE r1: id(spark) alone can be reused by a new session after
-    GC; the cache key must pair it with the SparkContext applicationId."""
+    """ADVICE r1/r2: the key pairs applicationId with a session-attached
+    token (not id(), which a GC'd sibling session's successor can reuse);
+    the token is stable across calls for the same session object."""
     from jane_spark.engine.catalog import Catalog
 
     key = Catalog._session_key(spark)
-    assert key == (spark.sparkContext.applicationId, id(spark))
+    assert key[0] == spark.sparkContext.applicationId
+    assert Catalog._session_key(spark) == key  # stable per session
     Catalog(spark, sf_dir).region.count()
     assert any(k[0] == key for k in Catalog._table_cache)
+
+
+def test_catalog_dead_session_does_not_evict_live_cache(spark, sf_dir):
+    """ADVICE r2: a stopped/degenerate session must not trigger the
+    stale-eviction sweep that would wipe every live application's
+    cached tables and configure marks."""
+    from jane_spark.engine.catalog import Catalog
+
+    live_key = Catalog._session_key(spark)
+    Catalog(spark, sf_dir).region.count()
+    assert any(k[0] == live_key for k in Catalog._table_cache)
+    assert live_key in Catalog._configured
+
+    class DeadSession:
+        @property
+        def sparkContext(self):
+            raise RuntimeError("stopped")
+
+    dead = DeadSession()
+    assert Catalog._session_key(dead)[0] == "dead"
+    cat = Catalog(dead, sf_dir)  # constructs; failures surface on use
+    # the live session's cache and configured mark survive, and nothing
+    # was cached under the dead sentinel
+    assert any(k[0] == live_key for k in Catalog._table_cache)
+    assert live_key in Catalog._configured
+    assert not any(k[0][0] == "dead" for k in Catalog._table_cache)
+    assert cat._dfs == {}
 
 
 # ------------------------------------------------- round-2 new operators
