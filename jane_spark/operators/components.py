@@ -13,10 +13,14 @@ on uniformly-hashed ids — and the round count is the largest cluster
 DIAMETER, not the corpus size. Near-dup clusters are dense and shallow
 (diameter ≲ 3 in practice), so this converges in a handful of rounds.
 ``localCheckpoint(eager=True)`` truncates lineage each round, keeping
-plans O(1) instead of O(rounds). For adversarial chain-shaped graphs at
-extreme scale, the two-phase large-star/small-star variant (Kiveris et
-al., "Connected Components in MapReduce") halves diameter per round;
-not needed for dedup workloads.
+plans O(1) instead of O(rounds). For adversarial chain-shaped graphs
+(diameter > ``max_iter``) the solver falls back to the two-phase
+large-star/small-star alternation (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14 — public algorithm),
+which contracts the graph toward star forests in O(log²) rounds
+independent of diameter; label propagation stays the default because
+near-dup clusters are dense and shallow (diameter ≲ 3) and one
+propagation round is cheaper than a star round.
 """
 
 from __future__ import annotations
@@ -39,6 +43,10 @@ def connected_components(
     Convergence check: labels only ever decrease, so an unchanged
     ``sum(comp)`` means a fixed point; each round costs one extra
     scalar aggregate, which is noise next to the join.
+
+    If propagation has not converged after ``max_iter`` rounds (long
+    chains: diameter > max_iter), the large-star/small-star fallback
+    finishes the job in O(log² n) rounds regardless of diameter.
     """
     e = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -53,6 +61,7 @@ def connected_components(
     )
     total = labels.agg(F.sum("comp")).first()[0]
 
+    converged = False
     for _ in range(max_iter):
         msgs = e.join(labels, e.src == labels.id).select(
             F.col("dst").alias("id"), "comp"
@@ -66,9 +75,83 @@ def connected_components(
         new_total = new.agg(F.sum("comp")).first()[0]
         labels = new
         if new_total == total:
+            converged = True
             break
         total = new_total
+    if not converged:
+        return _star_components(e, labels.select("id"))
     return labels
+
+
+def _symmetrize(pairs: DataFrame) -> DataFrame:
+    """Undirected edge set as both directions, self-loops removed."""
+    fwd = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    return (
+        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _star_components(e: DataFrame, node_ids: DataFrame) -> DataFrame:
+    """Large-star/small-star alternation (Kiveris et al., SoCC'14).
+
+    large-star: every node's strictly-larger neighbors re-attach to the
+    minimum of its closed neighborhood; small-star: every node and its
+    smaller neighbors attach to that minimum. Alternating the two
+    preserves connectivity and reaches a fixed point where every edge
+    is (member, component-min) — a star forest — in O(log²) rounds.
+    Each half-round is one groupBy + one equi-join on node id: the same
+    two-shuffle shape as a propagation round, but diameter-independent.
+    """
+    s = e  # symmetric, distinct, no self-loops (built by caller)
+
+    def checksum(df: DataFrame) -> tuple:
+        canon = df.filter(F.col("src") < F.col("dst"))
+        row = canon.agg(
+            F.count(F.lit(1)).alias("n"),
+            # xor-fold (not sum): order-free and cannot overflow ANSI longs
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev = checksum(s)
+    for _ in range(100):  # safety cap >> the proven O(log^2) bound
+        # large-star
+        mins = s.groupBy("src").agg(F.min("dst").alias("mn"))
+        mm = mins.select("src", F.least(F.col("src"), F.col("mn")).alias("m"))
+        large = (
+            s.join(mm, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("a"), F.col("m").alias("b"))
+        )
+        s = _symmetrize(large).localCheckpoint(eager=True)
+        # small-star (directed larger -> smaller)
+        d = s.filter(F.col("dst") < F.col("src"))
+        dmins = d.groupBy("src").agg(F.min("dst").alias("m"))
+        small = (
+            d.join(dmins, "src")
+            .select(F.col("dst").alias("a"), F.col("m").alias("b"))
+            .unionByName(
+                dmins.select(F.col("src").alias("a"), F.col("m").alias("b"))
+            )
+        )
+        s = _symmetrize(small).localCheckpoint(eager=True)
+        cur = checksum(s)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError("star alternation failed to converge in 100 rounds")
+    # fixed point: edges are (member, root) stars — comp = min over the
+    # closed neighborhood; isolated nodes keep their own id
+    lbl = s.groupBy("src").agg(F.min("dst").alias("mn"))
+    lbl = lbl.select(
+        F.col("src").alias("id"), F.least(F.col("src"), F.col("mn")).alias("comp")
+    )
+    return node_ids.join(lbl, "id", "left").select(
+        "id", F.coalesce(F.col("comp"), F.col("id")).alias("comp")
+    )
 
 
 def cluster_canonical(labels: DataFrame) -> DataFrame:

@@ -621,6 +621,55 @@ def test_connected_components_chain_converges(spark):
     assert comps == {1}
 
 
+def test_connected_components_star_fallback_deep_chain(spark):
+    """A chain deeper than max_iter forces the large-star/small-star
+    fallback, which must converge diameter-independently and agree with
+    plain propagation (single component rooted at the min id), keeping
+    isolated nodes intact."""
+    from jane_spark.operators.components import connected_components
+
+    depth = 40
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(depth)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(depth + 3)], ["doc_id"]  # +2 isolated nodes
+    )
+    got = {
+        r["id"]: r["comp"]
+        for r in connected_components(
+            edges, nodes=nodes, max_iter=5
+        ).collect()
+    }
+    expect = {i: 0 for i in range(depth + 1)}
+    expect[depth + 1] = depth + 1
+    expect[depth + 2] = depth + 2
+    assert got == expect
+
+
+def test_star_fallback_matches_propagation_random(spark):
+    """Forcing the fallback (max_iter=1) on random graphs must produce
+    the exact labeling propagation converges to."""
+    import random
+
+    from jane_spark.operators.components import connected_components
+
+    rng = random.Random(3)
+    n = 25
+    edges = [(rng.randint(1, n), rng.randint(1, n)) for _ in range(30)]
+    e = spark.createDataFrame(edges, ["id_a", "id_b"])
+    nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)], ["id"])
+    full = {
+        r["id"]: r["comp"]
+        for r in connected_components(e, nodes=nodes, max_iter=50).collect()
+    }
+    forced = {
+        r["id"]: r["comp"]
+        for r in connected_components(e, nodes=nodes, max_iter=1).collect()
+    }
+    assert forced == full
+
+
 def test_connected_components_vs_union_find(spark):
     """Five seeded random graphs, Spark label propagation vs a plain
     union-find: identical component partitions (canonical = min id)."""
