@@ -126,6 +126,75 @@ def q_i4(spark, sf_dir):
 
 
 @contract(
+    "q_i5_late_drop",
+    oracle=None,  # watermark drop semantics exist only on a stream —
+    # rows-only here; the drop-vs-keep assertion lives in
+    # tests/test_streaming.py::test_i5_late_rows_dropped (batch twin
+    # keeps the late rows, stream discards them)
+    survey_rows="I5,I2",
+    doc="late-data watermark contract: three micro-batches "
+    "(maxFilesPerTrigger=1); batch 0 is the full history, batch 1 an "
+    "on-time filler, batch 2 re-delivers clones of the EARLIEST rows — "
+    "days beyond the watermark — which the stream must drop. The filler "
+    "batch matters: since SPARK-40925 (3.4) late-record FILTERING uses "
+    "the previous micro-batch's watermark while state eviction uses the "
+    "current one, so a late row arriving exactly one batch after the "
+    "history is still accepted; one batch later it is dropped. Append "
+    "mode: each finalized window is emitted exactly once with its "
+    "on-time count (jane's mtime-based late-reindex with an explicit "
+    "lateness bound, SURVEY.md §2.9 I5)",
+)
+def q_i5(spark, sf_dir):
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from jane_spark.streaming.ingest import run_available_now, stream_parquet_dir
+    from jane_spark.streaming.windows import tumbling_stats
+
+    arrival = tempfile.mkdtemp(prefix="jane_i5_")
+    stage = tempfile.mkdtemp(prefix="jane_i5_stage_")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    try:
+        # batch 0: full on-time history
+        shutil.copy(f"{sf_dir}/events.parquet", f"{arrival}/batch0.parquet")
+
+        def stage_file(df, name):
+            df.coalesce(1).write.mode("overwrite").parquet(stage)
+            shutil.copy(glob.glob(f"{stage}/part-*.parquet")[0], f"{arrival}/{name}")
+
+        # batch 1: on-time filler (clone of the latest row; its tail
+        # window is never finalized, so it cannot skew emitted counts) —
+        # commits batch 0's watermark into the late-record filter
+        stage_file(raw.orderBy(F.desc("ts"), F.desc("event_id")).limit(1),
+                   "batch1_filler.parquet")
+        # batch 2: clones of the 10 earliest rows — far older than the
+        # watermark batch 0 established (the events table spans days)
+        stage_file(raw.orderBy("ts", "event_id").limit(10), "batch2_late.parquet")
+        # deterministic micro-batch order: the file source orders by
+        # modification time — pin it explicitly
+        now = os.path.getmtime(f"{arrival}/batch2_late.parquet")
+        os.utime(f"{arrival}/batch0.parquet", (now - 200, now - 200))
+        os.utime(f"{arrival}/batch1_filler.parquet", (now - 100, now - 100))
+
+        stream = stream_parquet_dir(spark, arrival, raw.schema, max_files_per_trigger=1)
+
+        def transform(df):
+            df = df.withColumn(
+                "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+            )
+            return tumbling_stats(df, "ts", "1 hour", watermark="1 hour")
+
+        return run_available_now(
+            stream, transform, "q_i5_sink", output_mode="append"
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(arrival, ignore_errors=True)
+
+
+@contract(
     "q_i6_stream_dedup",
     oracle=None,  # streaming state semantics — rows-only check
     survey_rows="I6",

@@ -32,17 +32,21 @@ def stream_parquet_dir(
 
 
 def run_available_now(
-    stream_df: DataFrame, transform, query_name: str = "jane_stream"
+    stream_df: DataFrame, transform, query_name: str = "jane_stream",
+    output_mode: str | None = None,
 ) -> DataFrame:
     """Run ``transform(stream_df)`` to completion with the availableNow
     trigger into an in-memory sink; return the materialized result.
 
     This is the batch-equivalence harness: stream result == batch result
-    on the same input (SURVEY.md §5.2.5).
+    on the same input (SURVEY.md §5.2.5). ``output_mode`` overrides the
+    default (complete for aggregations, else append) — watermark-drop
+    contracts (I5) need append so finalized windows are emitted once and
+    late rows can actually be discarded (complete mode never drops).
     """
     spark = stream_df.sparkSession
     out = transform(stream_df)
-    mode = "complete" if _has_aggregation(out) else "append"
+    mode = output_mode or ("complete" if _has_aggregation(out) else "append")
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
             out.writeStream.format("memory")

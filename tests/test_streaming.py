@@ -240,6 +240,34 @@ def test_late_data_beyond_watermark_dropped(spark, tmp_path):
     )
 
 
+def test_q_i5_contract_drops_late_clones(spark, sf_dir):
+    """q_i5_late_drop: every finalized window the stream emits carries
+    the ON-TIME count — the 10 late clones batch 1 re-delivers must not
+    inflate any window (the batch twin without a watermark would show
+    +10 across the earliest windows)."""
+    from jane_spark.contracts import REGISTRY
+    from jane_spark.engine.catalog import Catalog
+
+    got = {
+        (r["window_start"], r["n"])
+        for r in REGISTRY["q_i5_late_drop"].spark_fn(spark, sf_dir).collect()
+    }
+    assert got, "stream emitted no finalized windows"
+    ev = Catalog(spark, sf_dir).events
+    want = {
+        (r["window_start"], r["n"])
+        for r in ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("timestamp_ntz").alias("window_start"), "n")
+        .collect()
+    }
+    # emitted ⊆ on-time batch counts (append mode holds back the tail
+    # windows the final watermark has not passed)
+    assert got <= want, f"stream windows diverge from on-time counts: {got - want}"
+    first_ws = min(ws for ws, _ in want)
+    assert first_ws in {ws for ws, _ in got}, "earliest window never finalized"
+
+
 def test_waveform_stream_ingest_incremental(spark, tmp_path):
     """§3.3 end-to-end: waveform files arrive → parsed trace index rows
     land in the store; a second arrival is processed incrementally
