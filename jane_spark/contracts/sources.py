@@ -100,6 +100,103 @@ def q_a8(spark, sf_dir):
     )
 
 
+_DUCK_ESC = (
+    "replace(replace(replace(replace({col}, '&', '&amp;'), "
+    "'<', '&lt;'), '>', '&gt;'), '\"', '&quot;')"
+)
+
+
+@contract(
+    "q_a8_station_xml",
+    oracle=f"""
+        WITH e AS (
+            SELECT {_DUCK_ESC.format(col="r_name")} AS r_esc, r_name,
+                   {_DUCK_ESC.format(col="n_name")} AS n_esc, n_name,
+                   CAST(n_nationkey AS VARCHAR) AS code
+            FROM nation JOIN region ON n_regionkey = r_regionkey)
+        SELECT r_name AS region,
+               concat('<Region name="', r_esc, '">',
+                      string_agg(concat('<Nation code="', code, '">',
+                                        n_esc, '</Nation>'),
+                                 '' ORDER BY n_name),
+                      '</Region>') AS xml
+        FROM e GROUP BY r_name, r_esc
+    """,
+    survey_rows="A8",
+    doc="StationXML-style hierarchical serialization (functions/xml): "
+    "escaped row-local child elements rolled up per parent in "
+    "deterministic order — the Network>Station>Channel nesting shape "
+    "of services.fdsnws.station_xml, oracle-checked via string_agg",
+)
+def q_a8_xml(spark, sf_dir):
+    from jane_spark.functions.xml import xml_attr, xml_element, xml_escape, xml_rollup
+
+    cat = Catalog(spark, sf_dir)
+    j = cat.nation.join(
+        F.broadcast(cat.region), cat.nation.n_regionkey == cat.region.r_regionkey
+    )
+    nation_el = xml_element(
+        "Nation", xml_escape(F.col("n_name")), xml_attr("code", F.col("n_nationkey"))
+    )
+    rolled = xml_rollup(
+        j.withColumn("__x", nation_el),
+        ["r_name"],
+        F.col("n_name"),
+        F.col("__x"),
+        out_name="__inner",
+    )
+    return rolled.select(
+        F.col("r_name").alias("region"),
+        F.concat(
+            F.lit("<Region"),
+            xml_attr("name", F.col("r_name")),
+            F.lit(">"),
+            F.col("__inner"),
+            F.lit("</Region>"),
+        ).alias("xml"),
+    )
+
+
+@contract(
+    "q_a8_event_xml",
+    oracle=f"""
+        SELECT event_id,
+               concat('<event publicID="evt:', CAST(event_id AS VARCHAR), '">',
+                      '<time><value>',
+                      strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'),
+                      '</value></time>',
+                      '<type>', {_DUCK_ESC.format(col="event_type")}, '</type>',
+                      '<value>',
+                      CAST(CAST(round(value, 3) AS DECIMAL(18,3)) AS VARCHAR),
+                      '</value></event>') AS xml
+        FROM events
+    """,
+    survey_rows="A8,H1",
+    doc="QuakeML-style row-local event serialization (the <event> block "
+    "shape of services.fdsnws.event_xml): ISO-µs timestamp, escaped "
+    "text, fixed-point decimal — pure projection, no shuffle",
+)
+def q_a8_event_xml(spark, sf_dir):
+    from jane_spark.functions.xml import xml_attr, xml_element, xml_escape
+
+    ev = Catalog(spark, sf_dir).events
+    iso = F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    block = F.concat(
+        F.lit("<event"),
+        xml_attr(
+            "publicID", F.concat(F.lit("evt:"), F.col("event_id").cast("string"))
+        ),
+        F.lit(">"),
+        xml_element("time", xml_element("value", iso)),
+        xml_element("type", xml_escape(F.col("event_type"))),
+        xml_element(
+            "value", F.round(F.col("value"), 3).cast("decimal(18,3)").cast("string")
+        ),
+        F.lit("</event>"),
+    )
+    return ev.select("event_id", block.alias("xml"))
+
+
 @contract(
     "q_a9_delta_anti",
     oracle="""

@@ -218,6 +218,112 @@ def station_text(channels: DataFrame) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- station (XML)
+
+
+_ISO = "yyyy-MM-dd'T'HH:mm:ss"
+
+
+def _iso(col) -> Column:
+    return F.date_format(col, _ISO)
+
+
+def station_xml(channels: DataFrame) -> DataFrame:
+    """StationXML-shaped per-network blocks: one row per network with a
+    `<Network code=..>` element nesting `<Station>` and `<Channel>`
+    epochs, children ordered by SEED id + epoch start. ObsPy-level
+    schema validation is out of scope (no xmlns declarations beyond the
+    document wrapper); the element/attribute shape follows FDSN
+    StationXML 1.1 [ref: src/jane/fdsnws/views/station_1.py — XML
+    serializer, conf=M].
+    """
+    from jane_spark.functions.xml import xml_attr, xml_element, xml_rollup
+
+    num = lambda c: F.col(c).cast("string")  # noqa: E731
+    channel_el = F.concat(
+        F.lit("<Channel"),
+        xml_attr("code", F.col("channel")),
+        xml_attr("locationCode", F.col("location")),
+        xml_attr("startDate", _iso(F.col("start_date"))),
+        xml_attr("endDate", _iso(F.col("end_date"))),  # omitted when open
+        F.lit(">"),
+        xml_element("Latitude", num("latitude")),
+        xml_element("Longitude", num("longitude")),
+        xml_element("Elevation", num("elevation_in_m")),
+        xml_element("Depth", num("depth_in_m")),
+        xml_element("SampleRate", num("sample_rate")),
+        xml_element(
+            "Sensor", xml_element("Description", F.col("sensor_type"))
+        ),
+        xml_element(
+            "Response",
+            F.concat(
+                xml_element(
+                    "InstrumentSensitivity",
+                    F.concat(
+                        xml_element("Value", num("total_sensitivity")),
+                        xml_element("Frequency", num("sensitivity_frequency")),
+                        xml_element(
+                            "InputUnits",
+                            xml_element("Name", F.col("units_after_sensitivity")),
+                        ),
+                    ),
+                )
+            ),
+        ),
+        F.lit("</Channel>"),
+    )
+    with_channel = channels.withColumn("__channel_xml", channel_el)
+    stations = xml_rollup(
+        with_channel,
+        ["network", "station", "latitude", "longitude", "elevation_in_m"],
+        F.concat_ws("|", "location", "channel", _iso(F.col("start_date"))),
+        F.col("__channel_xml"),
+        out_name="__channels_xml",
+    )
+    station_el = F.concat(
+        F.lit("<Station"),
+        xml_attr("code", F.col("station")),
+        F.lit(">"),
+        xml_element("Latitude", F.col("latitude").cast("string")),
+        xml_element("Longitude", F.col("longitude").cast("string")),
+        xml_element("Elevation", F.col("elevation_in_m").cast("string")),
+        F.col("__channels_xml"),
+        F.lit("</Station>"),
+    )
+    networks = xml_rollup(
+        stations.withColumn("__station_xml", station_el),
+        ["network"],
+        F.col("station"),
+        F.col("__station_xml"),
+        out_name="__stations_xml",
+    )
+    return networks.select(
+        "network",
+        F.concat(
+            F.lit("<Network"),
+            xml_attr("code", F.col("network")),
+            F.lit(">"),
+            F.col("__stations_xml"),
+            F.lit("</Network>"),
+        ).alias("xml"),
+    ).orderBy("network")
+
+
+def stationxml_document(channels: DataFrame, source: str = "jane_spark") -> str:
+    """Assemble the full FDSNStationXML document string (driver-side
+    join of the per-network blocks — the response document is one HTTP
+    payload, inherently driver-sized; the heavy lifting stays
+    distributed in station_xml)."""
+    nets = station_xml(channels).collect()
+    body = "".join(r["xml"] for r in nets)
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<FDSNStationXML xmlns="http://www.fdsn.org/xml/station/1" '
+        f'schemaVersion="1.1"><Source>{source}</Source>{body}</FDSNStationXML>'
+    )
+
+
 # --------------------------------------------------------------- event
 
 
@@ -286,6 +392,66 @@ def event_text(events: DataFrame) -> DataFrame:
             F.col("magnitude").cast("string"),
             F.col("event_type"),
         ).alias("line")
+    )
+
+
+def event_xml(events: DataFrame) -> DataFrame:
+    """QuakeML-shaped `<event>` blocks, one row per event — publicID
+    attribute, nested origin (time/latitude/longitude/depth) and
+    magnitude (mag/type) with creationInfo, matching QuakeML 1.2's
+    element nesting [ref: src/jane/fdsnws/views/event_1.py — XML
+    serializer, conf=M]. Pure row-local projection: no shuffle at all;
+    document assembly (quakeml_document) is the only rollup.
+    """
+    from jane_spark.functions.xml import xml_attr, xml_element
+
+    num = lambda c: F.col(c).cast("string")  # noqa: E731
+    ev_time = F.date_format(F.col("origin_time"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    block = F.concat(
+        F.lit("<event"),
+        xml_attr("publicID", F.col("quakeml_id")),
+        F.lit(">"),
+        xml_element(
+            "origin",
+            F.concat(
+                xml_element("time", xml_element("value", ev_time)),
+                xml_element("latitude", xml_element("value", num("latitude"))),
+                xml_element("longitude", xml_element("value", num("longitude"))),
+                xml_element("depth", xml_element("value", num("depth_in_m"))),
+                xml_element("evaluationMode", F.col("evaluation_mode")),
+            ),
+        ),
+        xml_element(
+            "magnitude",
+            F.concat(
+                xml_element("mag", xml_element("value", num("magnitude"))),
+                xml_element("type", F.col("magnitude_type")),
+                xml_element(
+                    "creationInfo",
+                    F.concat(
+                        xml_element("agencyID", F.col("agency")),
+                        xml_element("author", F.col("author")),
+                    ),
+                ),
+            ),
+        ),
+        xml_element("type", F.col("event_type")),
+        F.lit("</event>"),
+    )
+    return events.select(
+        F.col("quakeml_id"), block.alias("xml")
+    ).orderBy("quakeml_id")
+
+
+def quakeml_document(events: DataFrame, agency: str = "jane_spark") -> str:
+    """Full QuakeML document string around the per-event blocks."""
+    body = "".join(r["xml"] for r in event_xml(events).collect())
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<q:quakeml xmlns:q="http://quakeml.org/xmlns/quakeml/1.2" '
+        'xmlns="http://quakeml.org/xmlns/bed/1.2">'
+        f'<eventParameters publicID="quakeml:{agency}/catalog">'
+        f"{body}</eventParameters></q:quakeml>"
     )
 
 

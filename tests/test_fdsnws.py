@@ -274,3 +274,109 @@ def test_event_text_golden(events):
     assert [r["line"] for r in rows] == [
         "quakeml:eu/ev005|2023-05-25T13:14:15.000|35.5|139.8|35.0|rev|NIED|Mw|6.8|earthquake"
     ]
+
+
+# ----------------------------------------------------------- xml output
+
+
+def test_station_xml_golden(channels):
+    from jane_spark.services.fdsnws import station_xml
+
+    got = {r["network"]: r["xml"] for r in station_xml(channels).collect()}
+    bhz = (
+        '<Channel code="BHZ" locationCode="" startDate="2001-01-01T00:00:00">'
+        "<Latitude>48.163</Latitude><Longitude>11.275</Longitude>"
+        "<Elevation>565.0</Elevation><Depth>3.0</Depth>"
+        "<SampleRate>20.0</SampleRate>"
+        "<Sensor><Description>Streckeisen STS-2</Description></Sensor>"
+        "<Response><InstrumentSensitivity><Value>5.9E8</Value>"
+        "<Frequency>0.02</Frequency><InputUnits><Name>M/S</Name></InputUnits>"
+        "</InstrumentSensitivity></Response></Channel>"
+    )
+    lhz = bhz.replace('code="BHZ"', 'code="LHZ"').replace(
+        "<SampleRate>20.0</SampleRate>", "<SampleRate>1.0</SampleRate>"
+    )
+    assert got["GR"] == (
+        '<Network code="GR"><Station code="FUR">'
+        "<Latitude>48.163</Latitude><Longitude>11.275</Longitude>"
+        f"<Elevation>565.0</Elevation>{bhz}{lhz}</Station></Network>"
+    )
+    # closed epochs carry endDate; open ones omit the attribute
+    assert 'endDate="2015-06-30T00:00:00"' in got["BW"]
+    assert got["BW"].count("<Station ") == 2
+    # two ANMO location epochs roll into ONE station element
+    assert got["IU"].count("<Station ") == 1
+    assert got["IU"].count("<Channel ") == 2
+
+
+def test_stationxml_document_golden(channels):
+    from jane_spark.services.fdsnws import station_query, stationxml_document
+
+    doc = stationxml_document(
+        station_query(channels, {"network": "GR", "channel": "LHZ"})
+    )
+    assert doc == (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<FDSNStationXML xmlns="http://www.fdsn.org/xml/station/1" '
+        'schemaVersion="1.1"><Source>jane_spark</Source>'
+        '<Network code="GR"><Station code="FUR">'
+        "<Latitude>48.163</Latitude><Longitude>11.275</Longitude>"
+        "<Elevation>565.0</Elevation>"
+        '<Channel code="LHZ" locationCode="" startDate="2001-01-01T00:00:00">'
+        "<Latitude>48.163</Latitude><Longitude>11.275</Longitude>"
+        "<Elevation>565.0</Elevation><Depth>3.0</Depth>"
+        "<SampleRate>1.0</SampleRate>"
+        "<Sensor><Description>Streckeisen STS-2</Description></Sensor>"
+        "<Response><InstrumentSensitivity><Value>5.9E8</Value>"
+        "<Frequency>0.02</Frequency><InputUnits><Name>M/S</Name></InputUnits>"
+        "</InstrumentSensitivity></Response></Channel>"
+        "</Station></Network></FDSNStationXML>"
+    )
+
+
+def test_event_xml_golden(events):
+    from jane_spark.services.fdsnws import event_xml
+
+    got = {r["quakeml_id"]: r["xml"] for r in event_xml(events).collect()}
+    assert got["quakeml:eu/ev001"] == (
+        '<event publicID="quakeml:eu/ev001">'
+        "<origin><time><value>2023-01-05T01:02:03.500000</value></time>"
+        "<latitude><value>46.3</value></latitude>"
+        "<longitude><value>13.6</value></longitude>"
+        "<depth><value>11000.0</value></depth>"
+        "<evaluationMode>automatic</evaluationMode></origin>"
+        "<magnitude><mag><value>4.1</value></mag><type>ML</type>"
+        "<creationInfo><agencyID>EMSC</agencyID><author>auto</author>"
+        "</creationInfo></magnitude>"
+        "<type>earthquake</type></event>"
+    )
+
+
+def test_quakeml_document_wraps_filtered_catalog(events):
+    from jane_spark.services.fdsnws import event_query, quakeml_document
+
+    doc = quakeml_document(event_query(events, {"minmagnitude": "6"}))
+    assert doc.startswith(
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<q:quakeml xmlns:q="http://quakeml.org/xmlns/quakeml/1.2" '
+        'xmlns="http://quakeml.org/xmlns/bed/1.2">'
+        '<eventParameters publicID="quakeml:jane_spark/catalog">'
+    )
+    assert doc.count("<event ") == 1 and 'publicID="quakeml:eu/ev005"' in doc
+    assert doc.endswith("</event></eventParameters></q:quakeml>")
+
+
+def test_xml_escaping(spark):
+    from jane_spark.functions.xml import xml_attr, xml_element, xml_escape
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [('R&D <"west">', "a&b")], ["name", "code"]
+    ).select(
+        xml_element(
+            "Station", xml_escape(F.col("name")), xml_attr("code", F.col("code"))
+        ).alias("xml")
+    )
+    assert df.collect()[0]["xml"] == (
+        '<Station code="a&amp;b">R&amp;D &lt;&quot;west&quot;&gt;</Station>'
+    )
