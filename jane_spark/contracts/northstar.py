@@ -775,6 +775,30 @@ def q_k14(spark, sf_dir):
 
 
 @contract(
+    "q_k14_passjoin",
+    oracle="""
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               levenshtein(a.c_name, b.c_name) AS dist
+        FROM customer a JOIN customer b
+          ON a.c_custkey < b.c_custkey
+         AND abs(length(a.c_name) - length(b.c_name)) <= 2
+        WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+    survey_rows="K14,K2",
+    doc="fuzzy pairs at Levenshtein distance <= 2, any lengths (indels "
+    "included) via PassJoin segment blocking with hot-block salting "
+    "(operators.dedup.passjoin_pairs) — the d>=2 radius fuzzy_pairs "
+    "refuses; the oracle is the brute-force length-banded self-join, "
+    "proving the blocked plan loses no pair (round 3)",
+)
+def q_k14_passjoin(spark, sf_dir):
+    from jane_spark.operators.dedup import passjoin_pairs
+
+    cust = Catalog(spark, sf_dir).customer
+    return passjoin_pairs(cust, "c_custkey", "c_name", max_dist=2)
+
+
+@contract(
     "q_k15_incr_dedup",
     oracle="""
         WITH old AS (SELECT * FROM documents WHERE doc_id % 2 = 0),

@@ -262,6 +262,159 @@ def simhash32_portable(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ---------------------------------------- near-dup: fuzzy string matching
 
 
+def passjoin_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 2,
+    hot_block_threshold: int = 256,
+    max_salts: int = 256,
+) -> DataFrame:
+    """All pairs within Levenshtein distance ``max_dist`` (any lengths),
+    via PassJoin-style segment blocking (Li, Deng, Feng: "PassJoin: a
+    partition-based method for similarity joins", PVLDB 2011) — the
+    d >= 2 answer that ``fuzzy_pairs`` (equal-length d=1 pigeonhole)
+    explicitly refuses.
+
+    Losslessness: partition the SHORTER string r of a pair into
+    k = max_dist+1 segments. With ed(s, r) <= max_dist, at most
+    max_dist edits touch r, so by pigeonhole one segment survives
+    UNEDITED and appears in s as an exact substring; each edit shifts
+    alignment by at most one position, so that substring starts within
+    ±max_dist of the segment's own position. The probe side therefore
+    enumerates, per string s, every substring that could be segment i
+    of a partner of length l_r ∈ [len(s)-max_dist, len(s)] at start
+    positions p_i ± max_dist — a CONSTANT fan-out per row (≤ (τ+1)²·
+    (2τ+1) probe rows; 45 for τ=2), not a cross product. Equi-join on
+    (partner length, segment index, segment text), then an exact
+    thresholded levenshtein residual.
+
+    Scale shape: one equi-join keyed by (l_r, i, seg). Degenerate
+    shared prefixes (every TPC-H customer name starts "Customer#0")
+    produce hot segment blocks; blocks whose INDEX side exceeds
+    ``hot_block_threshold`` are split into s salt groups (small
+    broadcast list of hot keys — bounded by n/threshold entries) and
+    the probe side replicates across the s groups, distributing the
+    inherent m·m' residual work across the cluster. The residual uses
+    the thresholded ``levenshtein(a, b, τ)`` form: O(τ·len) per
+    candidate with early exit, not the full O(len²) DP.
+    """
+    k = max_dist + 1
+    tau = max_dist
+    length = F.length(F.col(text_col))
+
+    def seg_len(l, i):  # noqa: E741
+        base, rem = (l / k).cast("int"), F.pmod(l, k)
+        return base + F.when(i >= (k - rem), 1).otherwise(0)
+
+    def seg_start(l, i):  # 1-based  # noqa: E741
+        base, rem = (l / k).cast("int"), F.pmod(l, k)
+        return 1 + i * base + F.greatest(i - (k - rem), F.lit(0))
+
+    idx = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__t"),
+        length.alias("__lr"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda i: F.struct(
+                    i.alias("i"),
+                    F.substring(
+                        F.col(text_col), seg_start(length, i), seg_len(length, i)
+                    ).alias("seg"),
+                ),
+            )
+        ).alias("__s"),
+    ).select(id_col, "__t", "__lr", F.col("__s.i").alias("__i"), F.col("__s.seg").alias("__seg"))
+
+    # probe: partner (indexed) lengths l_r <= len(s) only — the pair is
+    # found with the SHORTER string as the partitioned side; the final
+    # least/greatest canonicalization restores unordered pairs.
+    def probe_structs(text, l):  # noqa: E741
+        def per_len(lr):
+            def per_seg(i):
+                sl, sp = seg_len(lr, i), seg_start(lr, i)
+                lo = F.greatest(sp - tau, F.lit(1))
+                hi = F.least(sp + tau, l - sl + 1)
+                return F.when(
+                    hi >= lo,
+                    F.transform(
+                        F.sequence(lo, hi),
+                        lambda q: F.struct(
+                            lr.alias("lr"),
+                            i.alias("i"),
+                            F.substring(text, q, sl).alias("seg"),
+                        ),
+                    ),
+                ).otherwise(F.array())
+
+            return F.flatten(F.transform(F.sequence(F.lit(0), F.lit(k - 1)), per_seg))
+
+        return F.flatten(
+            F.transform(F.sequence(F.greatest(l - tau, F.lit(0)), l), per_len)
+        )
+
+    prb = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__t"),
+        F.explode(probe_structs(F.col(text_col), length)).alias("__p"),
+    ).select(
+        id_col,
+        "__t",
+        F.col("__p.lr").alias("__lr"),
+        F.col("__p.i").alias("__i"),
+        F.col("__p.seg").alias("__seg"),
+    ).dropDuplicates([id_col, "__lr", "__i", "__seg"])
+
+    # hot-block handling: salt the index side of any (l_r, i, seg) block
+    # bigger than the threshold; replicate probe rows across the salts.
+    # The hot list is tiny (≤ n_index_rows/threshold) → broadcast join.
+    hot = (
+        idx.groupBy("__lr", "__i", "__seg")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > hot_block_threshold)
+        .select(
+            "__lr",
+            "__i",
+            "__seg",
+            F.least(
+                F.ceil(F.col("__n") / hot_block_threshold), F.lit(max_salts)
+            ).cast("int").alias("__ns"),
+        )
+    )
+    keys = ["__lr", "__i", "__seg"]
+    idx_s = (
+        idx.join(F.broadcast(hot), on=keys, how="left")
+        .withColumn("__ns", F.coalesce(F.col("__ns"), F.lit(1)))
+        .withColumn("__g", F.pmod(F.xxhash64(F.col(id_col)), F.col("__ns")).cast("int"))
+    )
+    prb_s = (
+        prb.join(F.broadcast(hot), on=keys, how="left")
+        .withColumn("__ns", F.coalesce(F.col("__ns"), F.lit(1)))
+        .withColumn("__g", F.explode(F.sequence(F.lit(0), F.col("__ns") - 1)))
+    )
+    a, b = idx_s.alias("a"), prb_s.alias("b")
+    cand = a.join(
+        b,
+        on=(
+            (F.col("a.__lr") == F.col("b.__lr"))
+            & (F.col("a.__i") == F.col("b.__i"))
+            & (F.col("a.__seg") == F.col("b.__seg"))
+            & (F.col("a.__g") == F.col("b.__g"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        ),
+    ).select(
+        F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+        F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+        # thresholded form: -1 when the distance exceeds tau (early exit)
+        F.levenshtein(F.col("a.__t"), F.col("b.__t"), tau).alias("dist"),
+    )
+    return (
+        cand.filter(F.col("dist") >= 0).dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def fuzzy_pairs(
     df: DataFrame,
     id_col: str,
@@ -286,9 +439,9 @@ def fuzzy_pairs(
     ``max_dist`` must be 1: for d ≥ 2 an insertion+deletion pair keeps
     the length but SHIFTS every chunk, so positional chunk blocking is
     no longer lossless (unit-test-demonstrated). Radius ≥ 2 needs
-    substring-seed blocking with a position-shift window (PassJoin /
-    Ed-Join family) — out of scope here; use minhash/simhash for larger
-    radii.
+    substring-seed blocking with a position-shift window — that is
+    ``passjoin_pairs`` above (PassJoin family), which also handles
+    unequal lengths; use minhash/simhash for still-larger radii.
 
     Scale shape: the join is an equi-join on (length, chunk index,
     chunk text) — shuffle-partitioned by block, never a cross product.
@@ -316,7 +469,7 @@ def fuzzy_pairs(
         raise ValueError(
             "fuzzy_pairs supports max_dist=1 only: positional chunk "
             "blocking is not lossless for Levenshtein >= 2 (indel pairs "
-            "shift chunks); use minhash/simhash for larger radii"
+            "shift chunks); use passjoin_pairs for d >= 2"
         )
     n_chunks = max_dist + 1
     length = F.length(F.col(text_col))

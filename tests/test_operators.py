@@ -1049,3 +1049,64 @@ def test_trailing_window_agg_matches_bruteforce(spark):
 
     with pytest.raises(ValueError, match="interval"):
         trailing_window_agg(df, ["uid"], "ts", {}, interval="1 fortnight")
+
+
+def test_passjoin_pairs_matches_bruteforce(spark):
+    """PassJoin segment blocking vs brute force: every pair within
+    Levenshtein distance 2 — ANY length combination, indels included —
+    must be found (lossless), at d=1 too."""
+    import itertools
+
+    from jane_spark.operators.dedup import passjoin_pairs
+
+    rng = random.Random(13)
+    words = ["".join(rng.choice("ab") for _ in range(rng.randint(1, 8)))
+             for _ in range(70)]
+    rows = [(i, w) for i, w in enumerate(words)]
+    df = spark.createDataFrame(rows, ["id", "txt"])
+
+    def lev(a, b):
+        m = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(len(a) + 1):
+            for j in range(len(b) + 1):
+                if i == 0 or j == 0:
+                    m[i][j] = i + j
+                else:
+                    m[i][j] = min(m[i - 1][j] + 1, m[i][j - 1] + 1,
+                                  m[i - 1][j - 1] + (a[i - 1] != b[j - 1]))
+        return m[len(a)][len(b)]
+
+    for d in (1, 2):
+        got = {
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in passjoin_pairs(df, "id", "txt", max_dist=d).collect()
+        }
+        want = {
+            (i, j, lev(words[i], words[j]))
+            for i, j in itertools.combinations(range(len(words)), 2)
+            if lev(words[i], words[j]) <= d
+        }
+        assert got == want and want, (d, len(want))
+
+
+def test_passjoin_hot_block_salted(spark):
+    """Shared-prefix corpus (all strings share segments 0 and 1): index-
+    side salting + probe replication must reproduce the unsalted pair
+    set exactly, including the max_salts clamp."""
+    from jane_spark.operators.dedup import passjoin_pairs
+
+    rng = random.Random(17)
+    rows = [(i, f"Customer#{rng.randint(0, 299):06d}") for i in range(300)]
+    df = spark.createDataFrame(rows, ["id", "txt"])
+    unsalted = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in passjoin_pairs(df, "id", "txt", hot_block_threshold=10**9).collect()
+    }
+    for thr, cap in [(16, 256), (8, 3)]:
+        salted = {
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in passjoin_pairs(
+                df, "id", "txt", hot_block_threshold=thr, max_salts=cap
+            ).collect()
+        }
+        assert salted == unsalted and unsalted, (thr, cap)
