@@ -87,6 +87,8 @@ def main() -> None:
     cat.pin("documents", cluster_by="doc_id", partitions=8)
 
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for bench_name, qname in BENCH_QUERIES.items():
         df = REGISTRY[qname].spark_fn(spark, sf_dir)  # prepared plan
         df.toPandas()  # untimed warm-up: codegen compile, broadcasts
@@ -95,7 +97,12 @@ def main() -> None:
             t0 = time.perf_counter()
             df.toPandas()
             samples.append(time.perf_counter() - t0)
-        timings[bench_name] = round(min(samples), 4)
+        samples.sort()
+        timings[bench_name] = round(samples[0], 4)
+        medians[bench_name] = round(samples[len(samples) // 2], 4)
+        # min→max spread: how much ambient noise this row carries —
+        # a delta between rounds smaller than the spread is unreadable
+        spreads[bench_name] = round(samples[-1] - samples[0], 4)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -105,6 +112,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "queries_spread": spreads,
+                "runs": RUNS,
                 "sf": sf,
             }
         )

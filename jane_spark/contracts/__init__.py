@@ -26,62 +26,65 @@ from jane_spark.contracts import pipeline  # noqa: F401  (§2.11 K pipeline ops)
 # REGISTRY — guarded below.
 
 VERIFY_FIRST: list[str] = [
-    # changed this round → re-verify
-    "q_d4_collect",
-    # new in round 2 → verify now
-    "q_d8_cube",
-    "q_d14_stats",
-    "q_f5_ntile",
-    "q_e5_rolling",
-    "q_d15_scd2",
-    "q_g4_intersect_all",
-    "q_k14_fuzzy",
-    "q_c4_overlap",
-    "q_k15_incr_dedup",
-    "q_b9_radial_wrap",
-    # oracle-backed, never run by the driver (round-1 positions 50-98)
-    "q_h1_ts_parse",
-    "q_h3_seedid",
-    "q_h4_regex",
-    "q_h8_array",
-    "q_h9_tojson",
-    "q_h10_null_epoch",
-    "q_i2_tumbling",
-    "q_i3_sliding",
-    "q_i4_sessionize",
-    "q_j2_grouped_map",
-    "q_j3_udaf",
-    "q_k3_vector_topk",
-    "q_k8_embed_neardup",
-    "q_k2_jaccard",
-    "q_k4_tokens",
-    "q_k5_df",
-    "q_k6_lang",
-    "q_t1_quality",
-    "q_k5_tfidf",
-    "q_t4_bpe_tokens",
-    "q_t7_repetition",
-    "q_k2_minhash_portable",
-    "q_k2_simhash_portable",
-    "q_k10_components",
-    "q_t8_entropy",
-    "q_t9_scorecard",
-    "q_t10_winnow",
-    "q_p1_hash_split",
-    "q_p2_stratified_sample",
-    "q_p3_upsample",
-    "q_p4_pack",
-    "q_p5_pipeline",
-    "q_t5_decontam",
-    "q_t6_redact",
-    "q_t2_langid_sql",
-    "q_t3_fingerprint_md5",
-    # rows-only, never run (weaker check is still better than none).
-    # q_j5_stateful_segments / q_k7_multimodal rotate in next round —
-    # the front list is held to exactly 50 names (the checked window).
+    # --- never driver-run in any round (VERDICT r2 #1): the streaming/
+    # UDF/multimodal surface — rows-only evidence is still evidence
+    "q_i1_stream_ingest",
+    "q_i6_stream_dedup",
+    "q_i7_stream_upsert",
+    "q_i8_stream_quality_gate",
+    "q_j1_parse_files",
+    "q_j5_stateful_segments",
+    "q_k7_multimodal",
+    "q_k2_simhash",
+    "q_t2_langid",
+    "q_t3_fingerprint",
+    # --- new in round 3 → verify now
+    "q_i5_late_drop",
+    "q_a8_station_xml",
+    "q_a8_event_xml",
+    "q_k14_passjoin",
+    # --- operators changed since their last driver check → re-verify
+    # (ADVICE r2: 'semantics changed' is transitive through operators)
+    "q_k3_vector_topk",   # vector.py grid-GEMM rewrite
     "q_k3_lsh",
     "q_k3_ivf",
-    "q_k2_minhash",
+    "q_k8_embed_neardup",
+    "q_k14_fuzzy",        # dedup.py triangle-tiling salting
+    "q_k10_components",   # components.py large-star/small-star
+    "q_c7_asof",          # asof.py struct-packed fill
+    "q_c4_range_join",    # interval_join.py deterministic bins
+    "q_c4_overlap",
+    "q_d14_stats",        # boundary guards (r2 review)
+    "q_b9_radial_wrap",
+    "q_d13_gapfill",      # r1-fix regression canary (ADVICE r2)
+    # --- longest out of the window: verified r1, not seen since —
+    # regression re-check, catalog-sensitive scans first
+    "q_a1_scan_count",
+    "q_a2_explode",
+    "q_a4_sha_dedup",
+    "q_a6_binary_len",
+    "q_a8_text_format",
+    "q_a9_delta_anti",
+    "q_b1_json_extract",
+    "q_b2_eq_filter",
+    "q_b3_range_filter",
+    "q_b4_wildcard",
+    "q_b5_isin",
+    "q_b6_not_in",
+    "q_b7_overlap",
+    "q_b8_bbox",
+    "q_b9_radial",
+    "q_b10_edges",
+    "q_b12_semi_acl",
+    "q_c1_join2",
+    "q_c2_left_join",
+    "q_c3_join4",
+    "q_c5_semi",
+    "q_c8_cross",
+    "q_d1_count_group",
+    "q_d2_extent",
+    # remaining r1 veterans (q_d3..q_g3) rotate back next round; the
+    # front list is held to exactly 50 names (the checked window).
 ]
 
 

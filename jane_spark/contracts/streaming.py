@@ -17,6 +17,16 @@ from jane_spark.operators.sessionize import session_summary
 THIRTY_MIN_US = 30 * 60 * 1_000_000
 
 
+def _self_configure(spark, sf_dir):
+    """These contracts read the nanosecond-timestamp events parquet
+    directly (file-stream schema inference bypasses Catalog), so on a
+    bare driver session the defensive runtime confs
+    (engine.session.configure — nanosAsLong et al.) must be applied
+    first; Catalog construction is the configure-on-first-touch hook."""
+    Catalog(spark, sf_dir)
+
+
+
 @contract(
     "q_i1_stream_ingest",
     oracle=None,  # streaming execution — rows-only smoke via memory sink
@@ -25,6 +35,7 @@ THIRTY_MIN_US = 30 * 60 * 1_000_000
     "trigger + memory sink (streaming/ingest.py)",
 )
 def q_i1(spark, sf_dir):
+    _self_configure(spark, sf_dir)
     import shutil
     import tempfile
 
@@ -145,6 +156,7 @@ def q_i4(spark, sf_dir):
     "lateness bound, SURVEY.md §2.9 I5)",
 )
 def q_i5(spark, sf_dir):
+    _self_configure(spark, sf_dir)
     import glob
     import os
     import shutil
@@ -206,6 +218,7 @@ def q_i6(spark, sf_dir):
     import shutil
     import tempfile
 
+    _self_configure(spark, sf_dir)
     from jane_spark.streaming.ingest import run_available_now, stream_parquet_dir
     from jane_spark.streaming.windows import dedup_within_watermark
 
@@ -277,6 +290,7 @@ def q_j5(spark, sf_dir):
     import shutil
     import tempfile
 
+    _self_configure(spark, sf_dir)
     from jane_spark.streaming.ingest import run_available_now, stream_parquet_dir
     from jane_spark.streaming.state import open_segments_stream
 
@@ -311,6 +325,7 @@ def q_i8(spark, sf_dir):
     import shutil
     import tempfile
 
+    _self_configure(spark, sf_dir)
     from jane_spark.streaming.ingest import run_available_now, stream_parquet_dir
 
     arrival = tempfile.mkdtemp(prefix="jane_stream_")
