@@ -43,6 +43,7 @@ VERIFY_FIRST: list[str] = [
     "q_a8_station_xml",
     "q_a8_event_xml",
     "q_k14_passjoin",
+    "q_a1_seismic_formats",
     # --- operators changed since their last driver check → re-verify
     # (ADVICE r2: 'semantics changed' is transitive through operators)
     "q_k3_vector_topk",   # vector.py grid-GEMM rewrite
@@ -82,8 +83,7 @@ VERIFY_FIRST: list[str] = [
     "q_c5_semi",
     "q_c8_cross",
     "q_d1_count_group",
-    "q_d2_extent",
-    # remaining r1 veterans (q_d3..q_g3) rotate back next round; the
+    # remaining r1 veterans (q_d2..q_g3) rotate back next round; the
     # front list is held to exactly 50 names (the checked window).
 ]
 

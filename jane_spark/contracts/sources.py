@@ -222,6 +222,55 @@ def q_a9(spark, sf_dir):
 
 
 @contract(
+    "q_a1_seismic_formats",
+    oracle=None,  # binary codec parsing — rows-only check; round-trip
+    # equivalence is pinned in tests/test_seismic_formats.py
+    survey_rows="A1,J1",
+    doc="real waveform-format ingest without ObsPy: deterministic SAC, "
+    "MiniSEED (Steim-1) and JSW1 files are staged, binaryFile-scanned, "
+    "format-sniffed per file and parsed to one uniform trace index "
+    "(sources.seismic_formats.read_auto via ingest.parse_waveform_files)",
+)
+def q_a1_seismic(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from jane_spark.sources.ingest import parse_waveform_files, scan_files
+    from jane_spark.sources.seismic_formats import write_mseed, write_sac
+    from jane_spark.sources.waveform_format import write_record
+
+    t0 = 1_700_000_000 * 1_000_000
+    stage = tempfile.mkdtemp(prefix="jane_seis_")
+    try:
+        series = [(i * i) % 997 - 498 for i in range(400)]  # deterministic
+        with open(f"{stage}/a.sac", "wb") as f:
+            f.write(write_sac("BW", "ALTM", "", "EHZ", t0, 100.0,
+                              [float(v) for v in series[:100]]))
+        with open(f"{stage}/b.mseed", "wb") as f:
+            f.write(write_mseed("GR", "FUR", "", "BHZ", t0, 20.0, series,
+                                quality="R", encoding=10))
+        with open(f"{stage}/c.jsw", "wb") as f:
+            f.write(write_record("IU", "ANMO", "00", "BHZ", t0, 40.0,
+                                 series[:50]))
+        idx = parse_waveform_files(scan_files(spark, stage))
+        out = (
+            idx.groupBy("network", "station", "quality")
+            .agg(
+                F.count(F.lit(1)).alias("n_segments"),
+                F.sum("npts").alias("total_npts"),
+                F.min("start_us").alias("first_start_us"),
+                F.max("end_us").alias("last_end_us"),
+                F.round(F.sum("sampling_rate"), 3).alias("sum_rate"),
+            )
+            .orderBy("network")
+        )
+        # materialize before the staging dir vanishes
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+@contract(
     "q_a7_dataselect_cut",
     oracle=None,  # byte-stream sink phase — rows-only check (SURVEY A7 ◐)
     survey_rows="A7,B7,F4",

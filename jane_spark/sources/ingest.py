@@ -102,19 +102,21 @@ WAVEFORM_INDEX_SCHEMA = (
 
 
 def parse_waveform_files(binary_df: DataFrame) -> DataFrame:
-    """J1 on the real JSW1 codec: binaryFile rows → per-trace index rows
-    (the mapInPandas twin of the ``waveform`` data source — same codec,
-    same output shape minus samples; use whichever fits the pipeline:
-    the data source for ad-hoc reads, this inside ingest streams)."""
+    """J1 on the real codecs: binaryFile rows → per-trace index rows.
+    Format is sniffed per file (JSW1 magic / SAC NVHDR / MiniSEED ASCII
+    header — sources.seismic_formats.read_auto), so one ingest stream
+    handles a mixed archive, matching jane's ObsPy-autodetect ingest.
+    (The mapInPandas twin of the ``waveform`` data source — same
+    codecs, same output shape minus samples.)"""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from jane_spark.sources.waveform_format import read_records
+        from jane_spark.sources.seismic_formats import read_auto
 
         cols = [c.split(" ")[0] for c in WAVEFORM_INDEX_SCHEMA.split(", ")]
         for pdf in batches:
             out = []
             for path, data in zip(pdf["path"], pdf["content"]):
-                for rec in read_records(bytes(data)):
+                for rec in read_auto(bytes(data)):
                     rec["path"] = path
                     out.append({c: rec[c] for c in cols})
             yield pd.DataFrame(out, columns=cols)

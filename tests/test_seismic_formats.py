@@ -1,0 +1,198 @@
+"""SAC + MiniSEED codec tests (SURVEY.md §2 A1 — real waveform formats
+without ObsPy): writer↔reader round trips, Steim-1/2 decompression, a
+hand-built Steim-2 frame covering every packing density, format
+sniffing, and the mixed-archive Spark ingest path."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from jane_spark.sources.seismic_formats import (
+    _steim_decode,
+    read_auto,
+    read_mseed,
+    read_sac,
+    sniff_format,
+    write_mseed,
+    write_sac,
+)
+
+US = 1_000_000
+T0 = 1_700_000_000 * US
+
+
+def test_sac_round_trip_both_endians():
+    samples = [1.5, -2.25, 3.0, 4.5, 0.0]
+    for be in (True, False):
+        blob = write_sac("BW", "ALTM", "", "EHZ", T0 + 123_000, 100.0, samples,
+                         big_endian=be)
+        rec = next(read_sac(blob))
+        assert (rec["network"], rec["station"], rec["location"], rec["channel"]) == (
+            "BW", "ALTM", "", "EHZ")
+        assert rec["start_us"] == T0 + 123_000
+        assert rec["sampling_rate"] == 100.0 and rec["npts"] == 5
+        assert rec["samples"] == samples
+        assert rec["end_us"] == rec["start_us"] + 40_000  # 4 intervals @100 Hz
+
+
+def test_sac_rejects_garbage():
+    with pytest.raises(ValueError, match="truncated"):
+        next(read_sac(b"short"))
+    with pytest.raises(ValueError, match="NVHDR"):
+        next(read_sac(b"\x00" * 700))
+
+
+@pytest.mark.parametrize("enc,name", [(1, "int16"), (3, "int32"), (4, "float32"),
+                                      (5, "float64"), (10, "steim1")])
+def test_mseed_round_trip(enc, name):
+    rng = np.random.RandomState(7)
+    if enc == 1:
+        s = rng.randint(-30000, 30000, 300).tolist()
+    elif enc in (3, 10):
+        s = np.cumsum(rng.randint(-100000, 100000, 500)).tolist()
+    else:
+        s = [float(x) for x in rng.randn(150).round(4)]
+    blob = write_mseed("GR", "FUR", "", "BHZ", T0, 20.0, s, encoding=enc)
+    assert len(blob) % 512 == 0
+    recs = list(read_mseed(blob))
+    got = [x for r in recs for x in r["samples"]]
+    if enc in (4, 5):
+        assert np.allclose(got, s)
+    else:
+        assert got == [int(x) for x in s]
+    assert recs[0]["start_us"] == T0
+    assert all(r["sampling_rate"] == 20.0 and r["quality"] == "D" for r in recs)
+    # record boundaries stay time-contiguous
+    for prev, nxt in zip(recs, recs[1:]):
+        assert nxt["start_us"] == prev["start_us"] + round(prev["npts"] / 20.0 * US)
+
+
+def test_mseed_steim1_wide_differences():
+    s = [0, 2**30, -(2**30), 5, 6, 7]  # forces the 32-bit diff path
+    got = [x for r in read_mseed(write_mseed("XX", "TEST", "", "BHZ", 0, 1.0, s,
+                                             encoding=10))
+           for x in r["samples"]]
+    assert got == s
+
+
+def test_mseed_quality_and_location_codes():
+    blob = write_mseed("BW", "MANZ", "00", "EHE", T0, 50.0, [1, 2, 3],
+                       quality="Q", encoding=3)
+    rec = next(read_mseed(blob))
+    assert rec["quality"] == "Q" and rec["location"] == "00"
+
+
+def _frame(nibbles, words):
+    nib = 0
+    for c in nibbles:
+        nib = (nib << 2) | c
+    return struct.pack(">I", nib << (2 * (16 - len(nibbles)))) + b"".join(
+        struct.pack(">I", w & 0xFFFFFFFF) for w in words
+    ) + b"\x00" * (64 - 4 - 4 * len(words))
+
+
+def test_steim2_hand_built_all_densities():
+    """One frame exercising every Steim-2 packing: 4x8, 1x30, 2x15,
+    3x10, 5x6, 6x5, 7x4 — decoded against the independently-computed
+    sample series."""
+    diffs = [
+        [0, 1, -1, 2],                      # ck=1: four 8-bit (first ignored)
+        [-(2**29)],                          # ck=2 dnib=1: one 30-bit
+        [16000, -16000],                    # ck=2 dnib=2: two 15-bit
+        [500, -500, 120],                   # ck=2 dnib=3: three 10-bit
+        [31, -31, 20, -20, 10],             # ck=3 dnib=0: five 6-bit
+        [15, -15, 8, -8, 4, -4],            # ck=3 dnib=1: six 5-bit
+        [7, -7, 3, -3, 1, -1, 2],           # ck=3 dnib=2: seven 4-bit
+    ]
+
+    def pack8(ds):
+        w = 0
+        for d in ds:
+            w = (w << 8) | (d & 0xFF)
+        return w
+
+    def sub(ds, bits, dnib):
+        w = 0
+        for d in ds:
+            w = (w << bits) | (d & ((1 << bits) - 1))
+        return (dnib << 30) | w
+
+    flat = [d for chunk in diffs for d in chunk]
+    samples = [0]
+    for d in flat[1:]:
+        samples.append(samples[-1] + d)
+    words = [
+        samples[0],                  # x0
+        samples[-1],                 # xn
+        pack8(diffs[0]),
+        sub(diffs[1], 30, 1),
+        sub(diffs[2], 15, 2),
+        sub(diffs[3], 10, 3),
+        sub(diffs[4], 6, 0),
+        sub(diffs[5], 5, 1),
+        sub(diffs[6], 4, 2),
+    ]
+    nibbles = [0, 0, 0, 1, 2, 2, 2, 3, 3, 3]  # word0 + x0 + xn + payloads
+    frames = _frame(nibbles, words)
+    out = _steim_decode(frames, len(samples), ">", steim2=True)
+    assert out.tolist() == samples
+
+
+def test_steim_reverse_constant_guard():
+    s = [1, 2, 3, 4]
+    blob = bytearray(write_mseed("XX", "T", "", "BHZ", 0, 1.0, s, encoding=10))
+    # corrupt xn (frame 0 word 2 lives at data offset 64 + 8)
+    struct.pack_into(">I", blob, 64 + 8, 999)
+    with pytest.raises(ValueError, match="reverse constant"):
+        list(read_mseed(bytes(blob)))
+
+
+def test_sniff_format():
+    from jane_spark.sources.waveform_format import write_record
+
+    assert sniff_format(write_sac("N", "S", "", "C", 0, 1.0, [0.0] * 3)) == "sac"
+    assert sniff_format(write_mseed("N", "S", "", "C", 0, 1.0, [1])) == "mseed"
+    assert sniff_format(write_record("N", "S", "", "C", 0, 1.0, [1])) == "jsw1"
+    with pytest.raises(ValueError, match="unrecognized"):
+        sniff_format(b"\x00" * 700)
+
+
+def test_mixed_archive_spark_ingest(spark, tmp_path):
+    """binaryFile scan over a directory mixing all three formats →
+    parse_waveform_files sniffs per file and emits one uniform trace
+    index (the jane multi-format ingest path, A1+J1)."""
+    from jane_spark.sources.ingest import parse_waveform_files, scan_files
+    from jane_spark.sources.waveform_format import write_record
+
+    (tmp_path / "a.sac").write_bytes(
+        write_sac("BW", "ALTM", "", "EHZ", T0, 100.0, [1.0, 2.0, 3.0]))
+    (tmp_path / "b.mseed").write_bytes(
+        write_mseed("GR", "FUR", "", "BHZ", T0, 20.0,
+                    np.cumsum(np.arange(200)).tolist(), quality="R", encoding=10))
+    (tmp_path / "c.jsw").write_bytes(
+        write_record("IU", "ANMO", "00", "BHZ", T0, 40.0, [5, 6, 7]))
+
+    idx = parse_waveform_files(scan_files(spark, str(tmp_path))).collect()
+    by_net = {}
+    for r in idx:
+        by_net.setdefault(r["network"], []).append(r)
+    assert {r["station"] for r in by_net["BW"]} == {"ALTM"}
+    assert by_net["BW"][0]["sampling_rate"] == 100.0
+    assert sum(r["npts"] for r in by_net["GR"]) == 200
+    assert all(r["quality"] == "R" for r in by_net["GR"])
+    assert by_net["IU"][0]["location"] == "00"
+
+
+def test_read_auto_samples_agree_across_formats():
+    """The same series written as SAC and as MiniSEED int32 decodes to
+    identical samples and identical index metadata through read_auto."""
+    s = [float(v) for v in np.cumsum(np.arange(50)) % 997]
+    sac = next(read_auto(write_sac("BW", "X", "", "HHZ", T0, 10.0, s)))
+    ms = next(read_auto(write_mseed("BW", "X", "", "HHZ", T0, 10.0,
+                                    [int(v) for v in s], encoding=3)))
+    assert sac["samples"] == [float(v) for v in ms["samples"]]
+    for key in ("network", "station", "channel", "start_us", "sampling_rate", "npts"):
+        assert sac[key] == ms[key], key
