@@ -337,8 +337,8 @@ def q_t3(spark, sf_dir):
     oracle=None,  # schema/plumbing smoke — rows-only check
     survey_rows="K7",
     doc="multimodal row shape: binary payload + typed metadata + vector; "
-    "feature extraction via Arrow-batched mapInPandas (decode stubbed — "
-    "no media libs in this container; sources/multimodal.py)",
+    "feature extraction via Arrow-batched mapInPandas "
+    "(sources/multimodal.py)",
 )
 def q_k7(spark, sf_dir):
     from jane_spark.sources.multimodal import fake_feature_extract
@@ -359,6 +359,68 @@ def q_k7(spark, sf_dir):
     return feats.select(
         "item_id", F.size("feat").alias("feat_dim")
     ).groupBy("feat_dim").agg(F.count(F.lit(1)).alias("n_items"))
+
+
+@contract(
+    "q_k7_resize",
+    oracle=None,  # binary image payloads — rows-only check
+    survey_rows="K7",
+    doc="REAL image decode→resize→re-encode: documents rendered as 16x16 "
+    "grayscale PGM, nearest-resized to 8x8 through the registered netpbm "
+    "codec pair, outputs re-decoded and pixel-checksummed "
+    "(sources/media_codecs.py, sources/multimodal.py)",
+)
+def q_k7_resize(spark, sf_dir):
+    import pandas as pd
+
+    from jane_spark.sources.multimodal import resize_images
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+
+    def to_pgm(batches):
+        import numpy as np
+
+        from jane_spark.sources.media_codecs import encode_ppm
+
+        for pdf in batches:
+            payloads = [
+                encode_ppm(
+                    np.frombuffer(
+                        text.encode("utf-8", "replace")[:256].ljust(256, b"\x00"),
+                        np.uint8,
+                    ).reshape(16, 16)
+                )
+                for text in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": "image/x-portable-graymap",
+                }
+            )
+
+    imgs = docs.mapInPandas(
+        to_pgm, "item_id long, payload binary, media_type string"
+    )
+    resized = resize_images(imgs, "payload", 8, 8)
+
+    def checksum(batches):
+        from jane_spark.sources.media_codecs import decode_ppm
+
+        for pdf in batches:
+            sums = []
+            for p in pdf["payload"]:
+                img = decode_ppm(bytes(p))
+                assert img.shape == (8, 8), img.shape
+                sums.append(int(img.sum()))
+            yield pd.DataFrame({"item_id": pdf["item_id"], "pix_sum": sums})
+
+    sums = resized.mapInPandas(checksum, "item_id long, pix_sum long")
+    return sums.groupBy().agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("pix_sum").alias("total_pixel_sum"),
+    )
 
 
 @contract(

@@ -14,9 +14,12 @@ with zero external fixtures. ``nearest_resize`` is a pure-numpy
 index-map resize — the deterministic choice for dedup/fingerprint
 pipelines (bilinear would vary with float rounding across platforms).
 
-These register into ``multimodal.CODECS`` / ``ENCODERS`` at import, so
-``resize_images`` executes the REAL decode→resize→re-encode path for
-these media types and falls back to the documented stand-in otherwise.
+``multimodal`` registers these into its ``CODECS`` / ``ENCODERS`` /
+``AUDIO_CODECS`` registries at import (see
+``multimodal._register_builtin_codecs``), so ``resize_images`` executes
+the REAL decode→resize→re-encode path for these media types and falls
+back to the documented stand-in otherwise. This module stays free of
+Spark/multimodal imports so UDF workers can unpickle it cheaply.
 """
 
 from __future__ import annotations

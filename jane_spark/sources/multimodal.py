@@ -5,11 +5,15 @@ metadata beside them — the standard Spark shape for a 100 TB multimodal
 training-data table (payloads inline under a size cap, else
 path-references into object storage; Parquet stores both fine).
 
-The decode/feature steps are STUBS in this container (no image/audio
-libraries available): ``decode_image`` raises NotImplementedError
-unless a codec is registered; ``fake_feature_extract`` is the
-deterministic stand-in proving the Spark-side plumbing — schema,
-batching, and UDF signature are real and unit-tested.
+Decoding is registry-driven: ``CODECS``/``ENCODERS`` map media types to
+decode/encode callables. The built-in pure-numpy codecs from
+``media_codecs`` (netpbm P5/P6, 24-bit BMP, PCM WAV) register at import,
+so ``resize_images`` runs a REAL decode→resize→re-encode path for those
+types with zero third-party libraries. Types with no registered codec
+(JPEG/PNG/MP4 — their codec libs are absent from this container) fall
+back to a deterministic stand-in that exercises identical Spark plumbing
+— schema, Arrow batching, and UDF signature; register a PIL/av decoder
+pair in a real deployment and the same plan runs unchanged.
 """
 
 from __future__ import annotations
@@ -26,9 +30,15 @@ MULTIMODAL_SCHEMA = (
     "width int, height int, embedding array<float>"
 )
 
-# codec registry: media_type -> bytes -> np.ndarray. Real deployments
-# register PIL/librosa/av decoders here; this container has none.
+# codec registries: media_type -> (bytes -> np.ndarray) for decode and
+# (np.ndarray -> bytes) for encode. Pure-numpy built-ins (PPM/BMP) are
+# registered at the bottom of this module; real deployments add
+# PIL/av decoders for JPEG/PNG/video. AUDIO_CODECS decode to
+# ((n, channels) float array, sample_rate) instead of pixels.
 CODECS: dict = {}
+ENCODERS: dict = {}
+AUDIO_CODECS: dict = {}
+AUDIO_ENCODERS: dict = {}
 
 
 def decode_image(data: bytes, media_type: str) -> "np.ndarray":
@@ -74,25 +84,26 @@ def resize_images(
 ) -> DataFrame:
     """decode → resize → re-encode over mapInPandas (north-star K7).
 
-    The pixel work needs a registered codec (CODECS); without one the
-    deterministic fallback emits a payload of exactly target_w*target_h
-    bytes derived from the source bytes — the schema, batch shape, and
-    partition behavior are identical to the real path, so the Spark
-    plumbing is fully exercised in this environment.
+    Media types with a registered CODECS/ENCODERS pair (PPM/PGM/BMP
+    built-in) run the real pixel path: decode to a numpy array,
+    deterministic nearest-neighbor resize, re-encode in the same format.
+    Types without a codec fall back to a deterministic byte-tiling
+    stand-in with identical schema, batch shape, and partition behavior,
+    so the Spark plumbing is exercised either way.
     """
     out_schema = "item_id long, payload binary, width int, height int"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from jane_spark.sources.media_codecs import nearest_resize
+
         for pdf in batches:
             out = []
             for data, mt in zip(pdf[payload_col], pdf[media_type_col]):
                 b = bytes(data)
-                if mt in CODECS:
-                    img = CODECS[mt](b)  # real decode path
-                    raise NotImplementedError(
-                        "re-encode after resize requires an encoder codec; "
-                        f"decoded shape={getattr(img, 'shape', None)}"
-                    )
+                if mt in CODECS and mt in ENCODERS:
+                    img = CODECS[mt](b)
+                    out.append(ENCODERS[mt](nearest_resize(img, target_w, target_h)))
+                    continue
                 # deterministic fake: tile source bytes to the target size
                 need = target_w * target_h
                 rep = (b * (need // max(len(b), 1) + 1))[:need]
@@ -134,3 +145,44 @@ def sample_frames(
             yield pd.DataFrame({"item_id": ids, "frame_no": nos, "frame": frames})
 
     return df.mapInPandas(run, out_schema)
+
+
+def decode_audio(data: bytes, media_type: str) -> tuple["np.ndarray", int]:
+    """Registry-driven audio decode → ((n, channels) float64 in [-1,1],
+    sample_rate). PCM WAV is built-in; other types need a registered
+    decoder."""
+    if media_type not in AUDIO_CODECS:
+        raise NotImplementedError(
+            f"no audio codec registered for {media_type!r}; register one in "
+            "jane_spark.sources.multimodal.AUDIO_CODECS"
+        )
+    return AUDIO_CODECS[media_type](data)
+
+
+def _register_builtin_codecs() -> None:
+    """Wire the pure-numpy codecs from media_codecs into the registries.
+
+    Runs at import — including inside Python UDF workers, which import
+    this module when unpickling mapInPandas closures, so executors see
+    the same registry as the driver."""
+    from jane_spark.sources import media_codecs as mc
+
+    CODECS.update(
+        {
+            "image/x-portable-pixmap": mc.decode_ppm,
+            "image/x-portable-graymap": mc.decode_ppm,
+            "image/bmp": mc.decode_bmp,
+        }
+    )
+    ENCODERS.update(
+        {
+            "image/x-portable-pixmap": mc.encode_ppm,
+            "image/x-portable-graymap": mc.encode_ppm,
+            "image/bmp": mc.encode_bmp,
+        }
+    )
+    AUDIO_CODECS["audio/wav"] = mc.decode_wav
+    AUDIO_ENCODERS["audio/wav"] = mc.encode_wav
+
+
+_register_builtin_codecs()

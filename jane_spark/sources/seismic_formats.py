@@ -74,12 +74,21 @@ def read_sac(data: bytes) -> Iterator[dict]:
     ints = struct.unpack_from(f"{order}40i", data, 280)
     if ints[_IFTYPE_W] not in (_SAC_UNDEF_I, 1):  # ITIME
         raise ValueError("SAC: not a time-series file (IFTYPE != ITIME)")
+    if ints[_LEVEN_W] == _SAC_UNDEF_I:
+        raise ValueError("SAC: LEVEN undefined (-12345)")
     if ints[_LEVEN_W] == 0:
         raise ValueError("SAC: unevenly-sampled data unsupported")
     delta, b = floats[0], floats[5]
     if delta == _SAC_UNDEF_F or delta <= 0:
         raise ValueError("SAC: DELTA undefined")
+    if b == _SAC_UNDEF_F:
+        raise ValueError("SAC: B (begin offset) undefined")
     npts = ints[_NPTS_W]
+    if npts == _SAC_UNDEF_I or npts < 1:
+        raise ValueError(f"SAC: NPTS undefined or invalid ({npts})")
+    if any(ints[w] == _SAC_UNDEF_I for w in
+           (_NZYEAR, _NZJDAY, _NZHOUR, _NZMIN, _NZSEC, _NZMSEC)):
+        raise ValueError("SAC: reference time undefined (NZ* field is -12345)")
 
     def k(name: str, width: int = 8) -> str:
         raw = data[_K_OFF[name] : _K_OFF[name] + width].decode("ascii", "replace")
@@ -297,6 +306,7 @@ def read_mseed(data: bytes) -> Iterator[dict]:
         order = ">" if 1900 <= year_be <= 2100 else "<"
         start_us = _parse_btime(data, off + 20, order)
         npts, rf, rm = struct.unpack_from(f"{order}Hhh", data, off + 30)
+        act_flags = data[off + 36]
         nblk = data[off + 39]
         tcorr = struct.unpack_from(f"{order}i", data, off + 40)[0]
         data_off, first_blk = struct.unpack_from(f"{order}HH", data, off + 44)
@@ -327,7 +337,13 @@ def read_mseed(data: bytes) -> Iterator[dict]:
         else:
             raise ValueError(f"MiniSEED: unsupported encoding {enc}")
         rate = _sample_rate(rf, rm)
-        start_us += tcorr * 100  # time correction unit is 0.0001 s
+        # SEED 2.4 fixed header: the 0.0001 s time correction (field 16)
+        # applies only while activity-flag bit 1 ("time correction
+        # applied") is CLEAR — records whose writer already folded the
+        # correction into BTIME set the bit, and adding again would
+        # double-shift the start time.
+        if (act_flags & 0x02) == 0:
+            start_us += tcorr * 100
         yield {
             "network": net,
             "station": sta,
@@ -408,6 +424,34 @@ def _steim_frames(
     return bytes(frames), n_samples
 
 
+def _rate_factor_mult(rate_hz: float) -> tuple[int, int]:
+    """Encode a sampling rate as the SEED fixed-header int16
+    (factor, multiplier) pair. Integer rates → (rate, 1); exact sub-1 Hz
+    reciprocals (0.1 Hz VHZ/LHZ-band channels) → the negative-factor
+    form (-1/rate, 1); other exact rationals p/q → (p, -q). Raises
+    ValueError when the pair cannot represent the rate exactly —
+    silently rounding (the old behavior) corrupted 0.1 Hz to factor 0,
+    which readers decode as rate 0.0."""
+    if not rate_hz > 0:
+        raise ValueError(f"MiniSEED: non-positive sampling rate {rate_hz}")
+    r = round(rate_hz)
+    if r and abs(rate_hz - r) <= 1e-9 * rate_hz and r <= 32767:
+        return int(r), 1
+    inv = 1.0 / rate_hz
+    ri = round(inv)
+    if ri and abs(inv - ri) <= 1e-9 * inv and ri <= 32767:
+        return -int(ri), 1
+    from fractions import Fraction
+
+    fr = Fraction(rate_hz).limit_denominator(32767)
+    if 0 < fr.numerator <= 32767 and abs(float(fr) - rate_hz) <= 1e-9 * rate_hz:
+        return fr.numerator, -fr.denominator
+    raise ValueError(
+        f"MiniSEED: sampling rate {rate_hz} is not representable as an "
+        "int16 (factor, multiplier) pair"
+    )
+
+
 def write_mseed(
     network: str,
     station: str,
@@ -426,6 +470,7 @@ def write_mseed(
     import calendar
     import datetime as dt
 
+    rf, rm = _rate_factor_mult(rate_hz)
     out = b""
     pos = 0
     while pos < len(samples):
@@ -453,7 +498,7 @@ def write_mseed(
             + channel.ljust(3)[:3].encode()
             + network.ljust(2)[:2].encode()
             + struct.pack(">HHBBBBH", t.year, jday, t.hour, t.minute, t.second, 0, fract)
-            + struct.pack(">Hhh", n, int(round(rate_hz)), 1)
+            + struct.pack(">Hhh", n, rf, rm)
             + bytes([0, 0, 0, 1])  # flags ×3, one blockette
             + struct.pack(">i", 0)  # time correction
             + struct.pack(">HH", 64, 48)  # data offset, first blockette

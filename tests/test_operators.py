@@ -355,6 +355,68 @@ def test_resize_images_plumbing(spark):
     }
 
 
+def test_media_codec_round_trips():
+    import numpy as np
+
+    from jane_spark.sources.media_codecs import (
+        decode_bmp, decode_ppm, decode_wav, encode_bmp, encode_ppm, encode_wav,
+        nearest_resize,
+    )
+
+    rng = np.random.RandomState(3)
+    rgb = rng.randint(0, 256, (5, 7, 3), dtype=np.uint8)
+    gray = rng.randint(0, 256, (4, 6), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(rgb)) == rgb).all()
+    assert (decode_ppm(encode_ppm(gray)) == gray).all()
+    assert (decode_bmp(encode_bmp(rgb)) == rgb).all()
+    audio = rng.randn(100, 2).clip(-1, 1)
+    dec, rate = decode_wav(encode_wav(audio, 8000))
+    assert rate == 8000 and dec.shape == (100, 2)
+    # 16-bit quantization: encode scales by 32767, decode by 32768
+    assert np.abs(dec - audio).max() < 2.0 / 32767
+    small = nearest_resize(rgb, 3, 2)
+    assert small.shape == (2, 3, 3)
+    assert (nearest_resize(rgb, 3, 2) == small).all()  # deterministic
+
+
+def test_codecs_registered_in_multimodal():
+    """media_codecs built-ins must be wired into the registries at
+    import (ADVICE r3: the registration used to be a docstring claim)."""
+    from jane_spark.sources import multimodal as mm
+
+    for mt in ("image/x-portable-pixmap", "image/x-portable-graymap", "image/bmp"):
+        assert mt in mm.CODECS and mt in mm.ENCODERS, mt
+    assert "audio/wav" in mm.AUDIO_CODECS
+    samples, rate = mm.decode_audio(
+        mm.AUDIO_ENCODERS["audio/wav"]([0.0, 0.5, -0.5], 4000), "audio/wav"
+    )
+    assert rate == 4000 and samples.shape == (3, 1)
+
+
+def test_resize_images_real_decode_path(spark):
+    """PPM/BMP payloads run decode→nearest-resize→re-encode for real;
+    the output payload is a valid image of the target size."""
+    import numpy as np
+
+    from jane_spark.sources.media_codecs import decode_bmp, decode_ppm, encode_bmp, encode_ppm
+    from jane_spark.sources.multimodal import resize_images
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (16, 12, 3), dtype=np.uint8)
+    rows = [
+        (1, encode_ppm(img), "image/x-portable-pixmap"),
+        (2, encode_bmp(img), "image/bmp"),
+        (3, b"not an image", "image/fake"),  # fallback path in same batch
+    ]
+    df = spark.createDataFrame(rows, "item_id long, payload binary, media_type string")
+    out = {r["item_id"]: r for r in resize_images(df, "payload", 6, 4).collect()}
+    ppm = decode_ppm(bytes(out[1]["payload"]))
+    bmp = decode_bmp(bytes(out[2]["payload"]))
+    assert ppm.shape == (4, 6, 3) and bmp.shape == (4, 6, 3)
+    assert (ppm == bmp).all()  # same pixels whichever container format
+    assert len(out[3]["payload"]) == 6 * 4  # stand-in keeps its contract
+
+
 def test_sample_frames_fanout(spark):
     from jane_spark.sources.multimodal import sample_frames
 

@@ -150,6 +150,53 @@ def test_steim_reverse_constant_guard():
         list(read_mseed(bytes(blob)))
 
 
+def test_mseed_time_correction_respects_activity_flag():
+    """SEED 2.4 field 16: the 0.0001 s time correction is added only
+    while activity-flag bit 1 ('time correction applied') is clear;
+    records that already folded it into BTIME must not double-shift."""
+    blob = bytearray(write_mseed("BW", "ALTM", "", "EHZ", T0, 20.0, [1, 2, 3],
+                                 encoding=3))
+    struct.pack_into(">i", blob, 40, 50_000)  # +5 s correction (0.0001 s units)
+    assert next(read_mseed(bytes(blob)))["start_us"] == T0 + 5 * US
+    blob[36] |= 0x02  # correction already applied → reader must NOT re-add
+    assert next(read_mseed(bytes(blob)))["start_us"] == T0
+
+
+def test_mseed_sub_1hz_rate_round_trip():
+    """0.1 Hz (VHZ/LHZ band) must use the negative-factor encoding, not
+    silently round to factor 0 / rate 0.0."""
+    for rate, n in ((0.1, 4), (0.4, 5), (2.5, 5)):
+        blob = write_mseed("GR", "WET", "", "VHZ", T0, rate, [1, 2, 3, 4][:n],
+                           encoding=3)
+        rec = next(read_mseed(blob))
+        assert rec["sampling_rate"] == pytest.approx(rate, rel=1e-9)
+        assert rec["end_us"] > rec["start_us"]
+
+
+def test_mseed_unrepresentable_rate_raises():
+    import math
+
+    with pytest.raises(ValueError, match="not representable"):
+        write_mseed("XX", "T", "", "BHZ", 0, math.pi, [1, 2], encoding=3)
+    with pytest.raises(ValueError, match="non-positive"):
+        write_mseed("XX", "T", "", "BHZ", 0, 0.0, [1, 2], encoding=3)
+
+
+@pytest.mark.parametrize("word,val,msg", [
+    (0, -12345, "reference time"),    # NZYEAR
+    (9, -12345, "NPTS"),              # NPTS sentinel
+    (9, 0, "NPTS"),                   # zero samples
+    (35, -12345, "LEVEN"),            # LEVEN sentinel
+])
+def test_sac_undefined_header_sentinels(word, val, msg):
+    """Undefined (-12345) NZ*/NPTS/LEVEN headers must raise clear
+    ValueErrors, not surface as datetime/numpy internals (ADVICE r3)."""
+    blob = bytearray(write_sac("BW", "ALTM", "", "EHZ", T0, 100.0, [1.0, 2.0]))
+    struct.pack_into(">i", blob, 280 + 4 * word, val)
+    with pytest.raises(ValueError, match=msg):
+        next(read_sac(bytes(blob)))
+
+
 def test_sniff_format():
     from jane_spark.sources.waveform_format import write_record
 
