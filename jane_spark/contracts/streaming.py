@@ -17,6 +17,19 @@ from jane_spark.operators.sessionize import session_summary
 THIRTY_MIN_US = 30 * 60 * 1_000_000
 
 
+def _ts_ntz(df):
+    """Mirror Catalog._normalize_events for streaming reads: legacy
+    nanosecond-LONG ``ts`` -> microsecond TIMESTAMP_NTZ; native
+    timestamp parquet (current testdata) just casts to NTZ. The stream
+    schema comes straight from the parquet file, so both layouts occur."""
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
+        return df.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        )
+    return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+
 def _self_configure(spark, sf_dir):
     """These contracts read the nanosecond-timestamp events parquet
     directly (file-stream schema inference bypasses Catalog), so on a
@@ -193,10 +206,7 @@ def q_i5(spark, sf_dir):
         stream = stream_parquet_dir(spark, arrival, raw.schema, max_files_per_trigger=1)
 
         def transform(df):
-            df = df.withColumn(
-                "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
-            )
-            return tumbling_stats(df, "ts", "1 hour", watermark="1 hour")
+            return tumbling_stats(_ts_ntz(df), "ts", "1 hour", watermark="1 hour")
 
         return run_available_now(
             stream, transform, "q_i5_sink", output_mode="append"
@@ -228,9 +238,7 @@ def q_i6(spark, sf_dir):
     stream = stream_parquet_dir(spark, arrival, schema)
 
     def transform(df):
-        df = df.withColumn(
-            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
-        )
+        df = _ts_ntz(df)
         return dedup_within_watermark(
             df, ["user_id", "event_type"], "ts", "1 hour"
         ).select("user_id", "event_type")
@@ -300,9 +308,7 @@ def q_j5(spark, sf_dir):
     stream = stream_parquet_dir(spark, arrival, schema)
 
     def transform(df):
-        df = df.withColumn(
-            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
-        ).filter(F.col("user_id") % 10 == 0)  # bound state for the smoke
+        df = _ts_ntz(df).filter(F.col("user_id") % 10 == 0)  # bound state for the smoke
         return open_segments_stream(df, "user_id", "ts", gap_seconds=1800)
 
     try:

@@ -28,6 +28,14 @@ def xml_escape(c: Column) -> Column:
     return c
 
 
+def xml_escape_str(s: str) -> str:
+    """Driver-side twin of xml_escape for document-envelope strings
+    (Source/agency) that are interpolated outside any DataFrame."""
+    for raw, ent in _ESCAPES:
+        s = s.replace(raw, ent)
+    return s
+
+
 def xml_attr(name: str, value: Column) -> Column:
     """` name="escaped-value"` — empty string when value is NULL (the
     attribute is omitted entirely, matching optional XML attributes

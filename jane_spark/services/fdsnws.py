@@ -315,12 +315,15 @@ def stationxml_document(channels: DataFrame, source: str = "jane_spark") -> str:
     join of the per-network blocks — the response document is one HTTP
     payload, inherently driver-sized; the heavy lifting stays
     distributed in station_xml)."""
+    from jane_spark.functions.xml import xml_escape_str
+
     nets = station_xml(channels).collect()
     body = "".join(r["xml"] for r in nets)
     return (
         '<?xml version="1.0" encoding="UTF-8"?>'
         '<FDSNStationXML xmlns="http://www.fdsn.org/xml/station/1" '
-        f'schemaVersion="1.1"><Source>{source}</Source>{body}</FDSNStationXML>'
+        f'schemaVersion="1.1"><Source>{xml_escape_str(source)}</Source>'
+        f"{body}</FDSNStationXML>"
     )
 
 
@@ -445,12 +448,14 @@ def event_xml(events: DataFrame) -> DataFrame:
 
 def quakeml_document(events: DataFrame, agency: str = "jane_spark") -> str:
     """Full QuakeML document string around the per-event blocks."""
+    from jane_spark.functions.xml import xml_escape_str
+
     body = "".join(r["xml"] for r in event_xml(events).collect())
     return (
         '<?xml version="1.0" encoding="UTF-8"?>'
         '<q:quakeml xmlns:q="http://quakeml.org/xmlns/quakeml/1.2" '
         'xmlns="http://quakeml.org/xmlns/bed/1.2">'
-        f'<eventParameters publicID="quakeml:{agency}/catalog">'
+        f'<eventParameters publicID="quakeml:{xml_escape_str(agency)}/catalog">'
         f"{body}</eventParameters></q:quakeml>"
     )
 

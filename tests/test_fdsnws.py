@@ -352,6 +352,24 @@ def test_event_xml_golden(events):
     )
 
 
+def test_document_envelope_escapes_source_and_agency(channels, events):
+    from jane_spark.services.fdsnws import (
+        event_query,
+        quakeml_document,
+        station_query,
+        stationxml_document,
+    )
+
+    doc = stationxml_document(
+        station_query(channels, {"network": "GR"}), source="A&B <ops>"
+    )
+    assert "<Source>A&amp;B &lt;ops&gt;</Source>" in doc
+    qdoc = quakeml_document(
+        event_query(events, {"minmagnitude": "6"}), agency='a"&b'
+    )
+    assert 'publicID="quakeml:a&quot;&amp;b/catalog"' in qdoc
+
+
 def test_quakeml_document_wraps_filtered_catalog(events):
     from jane_spark.services.fdsnws import event_query, quakeml_document
 

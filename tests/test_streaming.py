@@ -22,11 +22,11 @@ def _stage_events(spark, sf_dir, tmp_path):
 
 
 def _norm_events(df):
-    # the staged stream reads raw nanos (legacy long) — apply the same
-    # normalization the catalog does
-    return df.withColumn(
-        "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
-    )
+    # the staged stream reads the parquet schema verbatim — apply the
+    # same legacy-long / native-timestamp normalization the catalog does
+    from jane_spark.contracts.streaming import _ts_ntz
+
+    return _ts_ntz(df)
 
 
 def test_tumbling_stream_equals_batch(spark, sf_dir, tmp_path):
