@@ -424,6 +424,65 @@ def q_k7_resize(spark, sf_dir):
 
 
 @contract(
+    "q_k7_audio",
+    oracle=None,  # binary audio payloads — rows-only check
+    survey_rows="K7",
+    doc="REAL audio decode→feature path: per-doc PCM WAV synthesized "
+    "(deterministic sine keyed on doc_id), decoded through the "
+    "registered audio/wav codec, per-clip duration/RMS/peak/zero-"
+    "crossing features via Arrow-batched mapInPandas, then a corpus "
+    "rollup (sources/multimodal.audio_features, media_codecs.decode_wav)",
+)
+def q_k7_audio(spark, sf_dir):
+    import pandas as pd
+
+    from jane_spark.sources.multimodal import audio_features
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "n_chars")
+
+    def to_wav(batches):
+        import numpy as np
+
+        from jane_spark.sources.media_codecs import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                rate = 8000
+                n = 400 + int(n_chars) % 200          # 50–75 ms clips
+                freq = 100.0 + (int(doc_id) % 40) * 10.0
+                t = np.arange(n, dtype=np.float64) / rate
+                payloads.append(
+                    encode_wav(0.5 * np.sin(2 * np.pi * freq * t), rate)
+                )
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": "audio/wav",
+                }
+            )
+
+    clips = docs.mapInPandas(
+        to_wav, "item_id long, payload binary, media_type string"
+    )
+    feats = audio_features(clips)
+    # corpus rollup keyed on clip length bucket — stable, small output
+    return (
+        feats.groupBy(
+            (F.col("n_samples") - 400).alias("extra_samples"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.round(F.avg("duration_s"), 6).alias("avg_duration_s"),
+            F.round(F.min("rms"), 4).alias("min_rms"),
+            F.round(F.max("peak"), 4).alias("max_peak"),
+        )
+        .orderBy("extra_samples")
+    )
+
+
+@contract(
     "q_k5_tfidf",
     oracle="""
         WITH nd AS (SELECT count(*) AS n FROM documents),

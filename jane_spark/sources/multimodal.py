@@ -159,6 +159,60 @@ def decode_audio(data: bytes, media_type: str) -> tuple["np.ndarray", int]:
     return AUDIO_CODECS[media_type](data)
 
 
+def audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    media_type_col: str = "media_type",
+) -> DataFrame:
+    """Per-clip audio features over Arrow-batched mapInPandas (K7):
+    decode via AUDIO_CODECS (PCM WAV built-in), then duration / RMS /
+    peak / zero-crossing rate — the row-local metadata a 100 TB audio
+    corpus filter keys on (silence, clipping, length gates). One input
+    row → one output row; no shuffle, decode stays inside the task.
+    Clips whose media type has no registered decoder yield NULL features
+    (kept, so a later pass with more codecs can re-score them)."""
+    out_schema = (
+        "item_id long, n_samples long, n_channels int, sample_rate int, "
+        "duration_s double, rms double, peak double, zcr double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for item_id, data, mt in zip(
+                pdf["item_id"], pdf[payload_col], pdf[media_type_col]
+            ):
+                if mt not in AUDIO_CODECS:
+                    rows.append((item_id,) + (None,) * 7)
+                    continue
+                s, rate = AUDIO_CODECS[mt](bytes(data))
+                mono = s.mean(axis=1)
+                flips = np.signbit(mono[1:]) != np.signbit(mono[:-1])
+                rows.append(
+                    (
+                        item_id,
+                        s.shape[0],
+                        s.shape[1],
+                        rate,
+                        s.shape[0] / rate,
+                        float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0,
+                        float(np.abs(s).max()) if s.size else 0.0,
+                        float(flips.mean()) if len(mono) > 1 else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "item_id", "n_samples", "n_channels", "sample_rate",
+                    "duration_s", "rms", "peak", "zcr",
+                ],
+            )
+
+    return df.mapInPandas(run, out_schema)
+
+
 def _register_builtin_codecs() -> None:
     """Wire the pure-numpy codecs from media_codecs into the registries.
 

@@ -281,84 +281,92 @@ def _sample_rate(factor: int, mult: int) -> float:
     return rate
 
 
+def read_mseed_record_at(data: bytes, off: int) -> tuple[dict, int]:
+    """Parse the single MiniSEED v2 record at byte offset ``off`` (the
+    stored ``pos`` of an index row — the dataselect cut phase reads
+    only matched regions); returns (record, next_offset). Record length
+    and encoding come from blockette 1000; header endianness is
+    auto-detected from the BTIME year. Supported encodings:
+    int16/int32/float32/float64/Steim-1/Steim-2."""
+    if off + 48 > len(data):
+        raise ValueError(f"MiniSEED: truncated header at {off}")
+    # sequence number + quality sanity
+    seq = data[off : off + 6]
+    qual = chr(data[off + 6])
+    if not seq.isdigit() or qual not in "DRQM":
+        raise ValueError(f"MiniSEED: bad fixed header at {off}")
+    sta = data[off + 8 : off + 13].decode().strip()
+    loc = data[off + 13 : off + 15].decode().strip()
+    cha = data[off + 15 : off + 18].decode().strip()
+    net = data[off + 18 : off + 20].decode().strip()
+    # endianness: BTIME year must be plausible big-endian, else LE
+    year_be = struct.unpack_from(">H", data, off + 20)[0]
+    order = ">" if 1900 <= year_be <= 2100 else "<"
+    start_us = _parse_btime(data, off + 20, order)
+    npts, rf, rm = struct.unpack_from(f"{order}Hhh", data, off + 30)
+    act_flags = data[off + 36]
+    nblk = data[off + 39]
+    tcorr = struct.unpack_from(f"{order}i", data, off + 40)[0]
+    data_off, first_blk = struct.unpack_from(f"{order}HH", data, off + 44)
+    # walk blockettes for 1000 (required for length/encoding)
+    enc = rec_len = None
+    boff = first_blk
+    for _ in range(nblk):
+        btype, bnext = struct.unpack_from(f"{order}HH", data, off + boff)
+        if btype == 1000:
+            enc = data[off + boff + 4]
+            rec_len = 1 << data[off + boff + 6]
+        if bnext == 0:
+            break
+        boff = bnext
+    if enc is None or rec_len is None:
+        raise ValueError(f"MiniSEED: no blockette 1000 in record at {off}")
+    payload = data[off + data_off : off + rec_len]
+    if enc == _ENC_INT16:
+        samples = np.frombuffer(payload, f"{order}i2", count=npts).astype(np.int32)
+    elif enc == _ENC_INT32:
+        samples = np.frombuffer(payload, f"{order}i4", count=npts)
+    elif enc == _ENC_F32:
+        samples = np.frombuffer(payload, f"{order}f4", count=npts)
+    elif enc == _ENC_F64:
+        samples = np.frombuffer(payload, f"{order}f8", count=npts)
+    elif enc in (_ENC_STEIM1, _ENC_STEIM2):
+        samples = _steim_decode(payload, npts, order, enc == _ENC_STEIM2)
+    else:
+        raise ValueError(f"MiniSEED: unsupported encoding {enc}")
+    rate = _sample_rate(rf, rm)
+    # SEED 2.4 fixed header: the 0.0001 s time correction (field 16)
+    # applies only while activity-flag bit 1 ("time correction
+    # applied") is CLEAR — records whose writer already folded the
+    # correction into BTIME set the bit, and adding again would
+    # double-shift the start time.
+    if (act_flags & 0x02) == 0:
+        start_us += tcorr * 100
+    return {
+        "network": net,
+        "station": sta,
+        "location": loc,
+        "channel": cha,
+        "start_us": start_us,
+        "end_us": start_us
+        + (int(round((npts - 1) / rate * 1_000_000)) if rate > 0 else 0),
+        "sampling_rate": rate,
+        "npts": int(npts),
+        "quality": qual,
+        "pos": off,
+        "samples": samples.tolist(),
+        "encoding": enc,
+    }, off + rec_len
+
+
 def read_mseed(data: bytes) -> Iterator[dict]:
-    """Parse MiniSEED v2 records (one index row per record — the same
-    granularity as jane's ContinuousTrace rows before gap-merge).
-    Record length and encoding come from blockette 1000; header
-    endianness is auto-detected from the BTIME year. Supported
-    encodings: int16/int32/float32/float64/Steim-1/Steim-2.
-    """
+    """Parse every MiniSEED v2 record in a buffer (one index row per
+    record — the same granularity as jane's ContinuousTrace rows
+    before gap-merge)."""
     off = 0
     while off < len(data):
-        if off + 48 > len(data):
-            raise ValueError(f"MiniSEED: truncated header at {off}")
-        # sequence number + quality sanity
-        seq = data[off : off + 6]
-        qual = chr(data[off + 6])
-        if not seq.isdigit() or qual not in "DRQM":
-            raise ValueError(f"MiniSEED: bad fixed header at {off}")
-        sta = data[off + 8 : off + 13].decode().strip()
-        loc = data[off + 13 : off + 15].decode().strip()
-        cha = data[off + 15 : off + 18].decode().strip()
-        net = data[off + 18 : off + 20].decode().strip()
-        # endianness: BTIME year must be plausible big-endian, else LE
-        year_be = struct.unpack_from(">H", data, off + 20)[0]
-        order = ">" if 1900 <= year_be <= 2100 else "<"
-        start_us = _parse_btime(data, off + 20, order)
-        npts, rf, rm = struct.unpack_from(f"{order}Hhh", data, off + 30)
-        act_flags = data[off + 36]
-        nblk = data[off + 39]
-        tcorr = struct.unpack_from(f"{order}i", data, off + 40)[0]
-        data_off, first_blk = struct.unpack_from(f"{order}HH", data, off + 44)
-        # walk blockettes for 1000 (required for length/encoding)
-        enc = rec_len = None
-        boff = first_blk
-        for _ in range(nblk):
-            btype, bnext = struct.unpack_from(f"{order}HH", data, off + boff)
-            if btype == 1000:
-                enc = data[off + boff + 4]
-                rec_len = 1 << data[off + boff + 6]
-            if bnext == 0:
-                break
-            boff = bnext
-        if enc is None or rec_len is None:
-            raise ValueError(f"MiniSEED: no blockette 1000 in record at {off}")
-        payload = data[off + data_off : off + rec_len]
-        if enc == _ENC_INT16:
-            samples = np.frombuffer(payload, f"{order}i2", count=npts).astype(np.int32)
-        elif enc == _ENC_INT32:
-            samples = np.frombuffer(payload, f"{order}i4", count=npts)
-        elif enc == _ENC_F32:
-            samples = np.frombuffer(payload, f"{order}f4", count=npts)
-        elif enc == _ENC_F64:
-            samples = np.frombuffer(payload, f"{order}f8", count=npts)
-        elif enc in (_ENC_STEIM1, _ENC_STEIM2):
-            samples = _steim_decode(payload, npts, order, enc == _ENC_STEIM2)
-        else:
-            raise ValueError(f"MiniSEED: unsupported encoding {enc}")
-        rate = _sample_rate(rf, rm)
-        # SEED 2.4 fixed header: the 0.0001 s time correction (field 16)
-        # applies only while activity-flag bit 1 ("time correction
-        # applied") is CLEAR — records whose writer already folded the
-        # correction into BTIME set the bit, and adding again would
-        # double-shift the start time.
-        if (act_flags & 0x02) == 0:
-            start_us += tcorr * 100
-        yield {
-            "network": net,
-            "station": sta,
-            "location": loc,
-            "channel": cha,
-            "start_us": start_us,
-            "end_us": start_us
-            + (int(round((npts - 1) / rate * 1_000_000)) if rate > 0 else 0),
-            "sampling_rate": rate,
-            "npts": int(npts),
-            "quality": qual,
-            "pos": off,
-            "samples": samples.tolist(),
-        }
-        off += rec_len
+        rec, off = read_mseed_record_at(data, off)
+        yield rec
 
 
 def _steim1_encode(samples: list[int]) -> tuple[bytes, int]:

@@ -417,6 +417,39 @@ def test_resize_images_real_decode_path(spark):
     assert len(out[3]["payload"]) == 6 * 4  # stand-in keeps its contract
 
 
+def test_audio_features_real_wav_decode(spark):
+    """WAV payloads decode through the registered codec; features match
+    closed-form values for a synthetic sine; unknown types yield NULLs."""
+    import numpy as np
+
+    from jane_spark.sources.media_codecs import encode_wav
+    from jane_spark.sources.multimodal import audio_features
+
+    rate, n = 8000, 800
+    t = np.arange(n) / rate
+    sine = 0.5 * np.sin(2 * np.pi * 200.0 * t)  # 200 Hz → 20 full cycles
+    stereo = np.stack([sine, sine], axis=1)
+    rows = [
+        (1, encode_wav(sine, rate), "audio/wav"),
+        (2, encode_wav(stereo, rate), "audio/wav"),
+        (3, b"\x00" * 16, "audio/opus"),  # no codec registered
+    ]
+    df = spark.createDataFrame(rows, "item_id long, payload binary, media_type string")
+    out = {r["item_id"]: r for r in audio_features(df).collect()}
+    mono = out[1]
+    assert mono["n_samples"] == n and mono["sample_rate"] == rate
+    assert abs(mono["duration_s"] - 0.1) < 1e-9
+    # RMS of a 0.5-amplitude sine = 0.5/sqrt(2); 16-bit quantization noise
+    assert abs(mono["rms"] - 0.5 / np.sqrt(2)) < 1e-3
+    assert abs(mono["peak"] - 0.5) < 1e-3
+    # 200 Hz over 0.1 s → ~40 sign flips / 799 transitions (±2: the
+    # t=0 sample is exactly 0.0 and signbit(0.0) is False)
+    assert abs(mono["zcr"] - 40 / 799) <= 2 / 799
+    assert out[2]["n_channels"] == 2
+    assert abs(out[2]["rms"] - mono["rms"]) < 1e-6  # identical channels
+    assert out[3]["n_samples"] is None and out[3]["rms"] is None
+
+
 def test_sample_frames_fanout(spark):
     from jane_spark.sources.multimodal import sample_frames
 
