@@ -26,65 +26,69 @@ from jane_spark.contracts import pipeline  # noqa: F401  (§2.11 K pipeline ops)
 # REGISTRY — guarded below.
 
 VERIFY_FIRST: list[str] = [
-    # --- never driver-run in any round (VERDICT r2 #1): the streaming/
-    # UDF/multimodal surface — rows-only evidence is still evidence
-    "q_i1_stream_ingest",
-    "q_i6_stream_dedup",
-    "q_i7_stream_upsert",
-    "q_i8_stream_quality_gate",
-    "q_j1_parse_files",
-    "q_j5_stateful_segments",
-    "q_k7_multimodal",
-    "q_k2_simhash",
-    "q_t2_langid",
-    "q_t3_fingerprint",
-    # --- new in round 3 → verify now
-    "q_i5_late_drop",
+    # --- round 5 rotation (VERDICT r4 next-steps #1): the ONLY two
+    # queries never in any round's check window come first
+    "q_k7_resize",
+    "q_k7_audio",
+    # --- code paths changed this round → re-verify (fdsnws document
+    # assembly now streams via toLocalIterator; seismic dispatch gains
+    # GSE2; both q_a8 XML queries exercise the new assembly)
     "q_a8_station_xml",
     "q_a8_event_xml",
-    "q_k14_passjoin",
-    "q_a1_seismic_formats",
-    # --- operators changed since their last driver check → re-verify
-    # (ADVICE r2: 'semantics changed' is transitive through operators)
-    "q_k3_vector_topk",   # vector.py grid-GEMM rewrite
-    "q_k3_lsh",
-    "q_k3_ivf",
-    "q_k8_embed_neardup",
-    "q_k14_fuzzy",        # dedup.py triangle-tiling salting
-    "q_k10_components",   # components.py large-star/small-star
-    "q_c7_asof",          # asof.py struct-packed fill
-    "q_c4_range_join",    # interval_join.py deterministic bins
-    "q_c4_overlap",
-    "q_d14_stats",        # boundary guards (r2 review)
-    "q_b9_radial_wrap",
-    "q_d13_gapfill",      # r1-fix regression canary (ADVICE r2)
-    # --- longest out of the window: verified r1, not seen since —
-    # regression re-check, catalog-sensitive scans first
-    "q_a1_scan_count",
-    "q_a2_explode",
-    "q_a4_sha_dedup",
-    "q_a6_binary_len",
     "q_a8_text_format",
-    "q_a9_delta_anti",
-    "q_b1_json_extract",
-    "q_b2_eq_filter",
-    "q_b3_range_filter",
-    "q_b4_wildcard",
-    "q_b5_isin",
-    "q_b6_not_in",
-    "q_b7_overlap",
-    "q_b8_bbox",
-    "q_b9_radial",
-    "q_b10_edges",
-    "q_b12_semi_acl",
-    "q_c1_join2",
-    "q_c2_left_join",
-    "q_c3_join4",
-    "q_c5_semi",
-    "q_c8_cross",
-    "q_d1_count_group",
-    # remaining r1 veterans (q_d2..q_g3) rotate back next round; the
-    # front list is held to exactly 50 names (the checked window).
+    "q_a1_seismic_formats",
+    # --- veteran re-check block: last hash-verified r1/r2, out of the
+    # window for 3 rounds of code motion (VERDICT r4 next-steps #1 /
+    # "What's missing" #2). Oldest first by (last-seen round, §2 order).
+    "q_a7_dataselect_cut",
+    "q_a1_waveform_source",
+    "q_a7_cut_bytes",
+    "q_d2_extent",
+    "q_d3_distinct",
+    "q_d3_approx",
+    "q_d5_argmax",
+    "q_d6_gaps",
+    "q_d7_bucket",
+    "q_d8_rollup",
+    "q_d9_hist",
+    "q_d10_percentile",
+    "q_d10_approx",
+    "q_d11_pivot",
+    "q_d12_unpivot",
+    "q_e3_cumsum",
+    "q_f1_order_limit",
+    "q_f2_page",
+    "q_f3_topk_group",
+    "q_f4_longest",
+    "q_g1_union",
+    "q_g2_intersect",
+    "q_g3_except",
+    "q_d4_collect",
+    "q_d8_cube",
+    "q_f5_ntile",
+    "q_e5_rolling",
+    "q_d15_scd2",
+    "q_h1_ts_parse",
+    "q_h3_seedid",
+    "q_h4_regex",
+    "q_h8_array",
+    "q_h9_tojson",
+    "q_h10_null_epoch",
+    "q_g4_intersect_all",
+    "q_i2_tumbling",     # also: _ts_ntz parity fix this round
+    "q_i3_sliding",
+    "q_i4_sessionize",
+    "q_j2_grouped_map",
+    "q_j3_udaf",
+    "q_k2_minhash",
+    "q_k2_jaccard",
+    "q_k4_tokens",
+    "q_k5_df",
+    # remaining r2 veterans (q_k6_lang, q_t1_quality, q_k5_tfidf,
+    # q_t4_bpe_tokens, q_t7_repetition, portable minhash/simhash,
+    # entropy/scorecard/winnow, K15, P1–P5, T5/T6, langid_sql,
+    # fingerprint_md5) rotate back next round; the front list is held
+    # to exactly 50 names (the checked window).
 ]
 
 
