@@ -27,7 +27,13 @@ def _ts_ntz(df):
         return df.withColumn(
             "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
         )
-    return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    if ts_type.startswith("timestamp"):
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    raise TypeError(
+        f"events.ts has unexpected type {ts_type!r}; expected bigint "
+        "(legacy nanosecond LONG) or a timestamp type — mirror of "
+        "Catalog._normalize_events"
+    )
 
 
 def _self_configure(spark, sf_dir):

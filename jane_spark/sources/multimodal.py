@@ -177,6 +177,8 @@ def audio_features(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
         import numpy as np
 
         for pdf in batches:
@@ -187,21 +189,34 @@ def audio_features(
                 if mt not in AUDIO_CODECS:
                     rows.append((item_id,) + (None,) * 7)
                     continue
-                s, rate = AUDIO_CODECS[mt](bytes(data))
-                mono = s.mean(axis=1)
-                flips = np.signbit(mono[1:]) != np.signbit(mono[:-1])
-                rows.append(
-                    (
-                        item_id,
-                        s.shape[0],
-                        s.shape[1],
-                        rate,
-                        s.shape[0] / rate,
-                        float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0,
-                        float(np.abs(s).max()) if s.size else 0.0,
-                        float(flips.mean()) if len(mono) > 1 else 0.0,
+                # a corrupt payload (decoder raises) or a degenerate
+                # header (rate=0 → ZeroDivisionError) must not fail the
+                # whole 100 TB corpus-scan stage — emit the same NULL
+                # row as an unregistered type, per the "kept, so a later
+                # pass can re-score" policy
+                try:
+                    s, rate = AUDIO_CODECS[mt](bytes(data))
+                    # codec contract is (n, channels), but a 1-D mono
+                    # array is a natural third-party-decoder shape —
+                    # normalize instead of crashing on axis=1
+                    s = np.asarray(s, dtype=np.float64)
+                    s = s.reshape(len(s), -1) if s.ndim != 2 else s
+                    mono = s.mean(axis=1)
+                    flips = np.signbit(mono[1:]) != np.signbit(mono[:-1])
+                    rows.append(
+                        (
+                            item_id,
+                            s.shape[0],
+                            s.shape[1],
+                            rate,
+                            s.shape[0] / rate,
+                            float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0,
+                            float(np.abs(s).max()) if s.size else 0.0,
+                            float(flips.mean()) if len(mono) > 1 else 0.0,
+                        )
                     )
-                )
+                except (ValueError, ZeroDivisionError, struct.error):
+                    rows.append((item_id,) + (None,) * 7)
             yield pd.DataFrame(
                 rows,
                 columns=[

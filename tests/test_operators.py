@@ -450,6 +450,41 @@ def test_audio_features_real_wav_decode(spark):
     assert out[3]["n_samples"] is None and out[3]["rms"] is None
 
 
+def test_audio_features_corrupt_and_degenerate_payloads(spark):
+    """ADVICE r4: a corrupt payload for a REGISTERED type, a WAV header
+    declaring sample_rate=0, and a third-party codec returning a 1-D
+    mono array must not fail the stage — corrupt/degenerate rows yield
+    the same NULL-feature row as unregistered types; 1-D decoders are
+    normalized to (n, 1)."""
+    import numpy as np
+
+    from jane_spark.sources import multimodal as mm
+    from jane_spark.sources.media_codecs import encode_wav
+
+    good = encode_wav([0.0, 0.5, -0.5, 0.25], 4000)
+    zero_rate = bytearray(encode_wav([0.0, 0.5], 4000))
+    zero_rate[24:28] = (0).to_bytes(4, "little")  # fmt-chunk sample rate
+    rows = [
+        (1, good, "audio/wav"),
+        (2, good[:10], "audio/wav"),          # truncated mid-header
+        (3, bytes(zero_rate), "audio/wav"),   # rate=0 → duration div-by-0
+        (4, good, "audio/mono1d"),            # 1-D decoder, see below
+    ]
+    mm.AUDIO_CODECS["audio/mono1d"] = lambda b: (np.array([0.1, -0.1, 0.3]), 1000)
+    try:
+        df = spark.createDataFrame(
+            rows, "item_id long, payload binary, media_type string"
+        )
+        out = {r["item_id"]: r for r in mm.audio_features(df).collect()}
+    finally:
+        del mm.AUDIO_CODECS["audio/mono1d"]
+    assert out[1]["n_samples"] == 4 and out[1]["sample_rate"] == 4000
+    assert out[2]["n_samples"] is None and out[2]["rms"] is None
+    assert out[3]["n_samples"] is None and out[3]["duration_s"] is None
+    assert out[4]["n_samples"] == 3 and out[4]["n_channels"] == 1
+    assert abs(out[4]["peak"] - 0.3) < 1e-12
+
+
 def test_sample_frames_fanout(spark):
     from jane_spark.sources.multimodal import sample_frames
 
