@@ -50,6 +50,46 @@ BENCH_QUERIES = {
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
+# Ambient-drift calibration (VERDICT r4 "bench hygiene"): re-measure a
+# few DuckDB baseline rows in the SAME session, interleaved with the
+# Spark timings, so a uniform slowdown can be attributed — if the
+# baseline re-measure moves with the suite it's ambient box load, if
+# the baseline holds flat while Spark regresses it's a real plan
+# regression. Rows chosen = the three biggest r4 median drifts.
+# baseline_ref = the BASELINE.md medians the driver's 2× rule uses.
+CALIBRATION = {
+    "sessionize": 0.253,
+    "topk_per_group": 0.056,
+    "gap_lag": 0.015,
+}
+
+
+def _duckdb_connect(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _time_duckdb(con, sql: str, runs: int = 3) -> float:
+    import statistics
+
+    con.execute(sql).fetchdf()  # warm (page cache, plan)
+    samples = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        con.execute(sql).fetchdf()
+        samples.append(time.perf_counter() - t0)
+    return round(statistics.median(samples), 4)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -86,9 +126,14 @@ def main() -> None:
     # parquet file's one scan task
     cat.pin("documents", cluster_by="doc_id", partitions=8)
 
+    con = _duckdb_connect(sf_dir)
+    load_start = os.getloadavg()
+
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    loadavgs: dict[str, float] = {}
+    baseline_recheck: dict[str, float] = {}
     for bench_name, qname in BENCH_QUERIES.items():
         df = REGISTRY[qname].spark_fn(spark, sf_dir)  # prepared plan
         df.toPandas()  # untimed warm-up: codegen compile, broadcasts
@@ -97,12 +142,17 @@ def main() -> None:
             t0 = time.perf_counter()
             df.toPandas()
             samples.append(time.perf_counter() - t0)
+        loadavgs[bench_name] = round(os.getloadavg()[0], 2)
         samples.sort()
         timings[bench_name] = round(samples[0], 4)
         medians[bench_name] = round(samples[len(samples) // 2], 4)
         # min→max spread: how much ambient noise this row carries —
         # a delta between rounds smaller than the spread is unreadable
         spreads[bench_name] = round(samples[-1] - samples[0], 4)
+        # interleaved A/B: time the DuckDB oracle for this row NOW, on
+        # this box, so drift vs BASELINE.md is attributable
+        if bench_name in CALIBRATION and REGISTRY[qname].oracle:
+            baseline_recheck[bench_name] = _time_duckdb(con, REGISTRY[qname].oracle)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -114,6 +164,13 @@ def main() -> None:
                 "queries": timings,
                 "queries_median": medians,
                 "queries_spread": spreads,
+                "queries_loadavg1m": loadavgs,
+                "baseline_recheck_duckdb_sec": baseline_recheck,
+                "baseline_ref_sec": {
+                    k: v for k, v in CALIBRATION.items() if k in baseline_recheck
+                },
+                "loadavg_start": [round(x, 2) for x in load_start],
+                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
                 "runs": RUNS,
                 "sf": sf,
             }
