@@ -14,12 +14,33 @@ from __future__ import annotations
 
 from pyspark.sql import types as T
 
+# One instrument-response stage (FDSN StationXML 1.1 <Stage>): gain +
+# units always; PolesZeros/Coefficients stages carry their transfer
+# function as compact string payloads ("re:im;re:im" complex lists) —
+# typed enough for columnar pruning, cheap enough to carry on every
+# channel-epoch row at 100 TB (stages are a small bounded array).
+RESPONSE_STAGE_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("number", T.IntegerType(), nullable=True),
+            T.StructField("stage_type", T.StringType(), nullable=True),
+            T.StructField("gain", T.DoubleType(), nullable=True),
+            T.StructField("gain_frequency", T.DoubleType(), nullable=True),
+            T.StructField("input_units", T.StringType(), nullable=True),
+            T.StructField("output_units", T.StringType(), nullable=True),
+            T.StructField("poles", T.StringType(), nullable=True),
+            T.StructField("zeros", T.StringType(), nullable=True),
+        ]
+    )
+)
+
 _TYPE_MAP = {
     "str": T.StringType(),
     "int": T.LongType(),
     "float": T.DoubleType(),
     "bool": T.BooleanType(),
     "UTCDateTime": T.TimestampNTZType(),
+    "response_stages": RESPONSE_STAGE_TYPE,
 }
 
 
@@ -68,6 +89,9 @@ STATIONXML_META: dict[str, str] = {
     "total_sensitivity": "float",
     "sensitivity_frequency": "float",
     "units_after_sensitivity": "str",
+    # full per-stage response detail (level=response); NULL when the
+    # source document carried only total sensitivity
+    "response_stages": "response_stages",
 }
 
 QUAKEML_META: dict[str, str] = {

@@ -153,8 +153,14 @@ def station_query(
         return station_level(out, level)
     if level not in ("channel", "response"):
         raise KeyError(f"unknown level: {level!r}")
-    # level=response: the response payload is the channel epoch's
-    # instrument fields (sensor_type/total_sensitivity) — same rows
+    # FDSN semantics: level=channel carries channel epochs WITHOUT the
+    # per-stage response detail (total sensitivity only); level=response
+    # keeps the full response_stages payload for the XML serializer
+    if level == "channel" and "response_stages" in out.columns:
+        out = out.withColumn(
+            "response_stages",
+            F.lit(None).cast(out.schema["response_stages"].dataType),
+        )
     return out.orderBy("network", "station", "location", "channel", "start_date")
 
 
@@ -228,10 +234,75 @@ def _iso(col) -> Column:
     return F.date_format(col, _ISO)
 
 
+def _pz_items(tag: str, payload: Column) -> Column:
+    """``"re:im;re:im"`` complex-list payload → a run of
+    ``<Pole number="i"><Real>re</Real><Imaginary>im</Imaginary></Pole>``
+    (or ``<Zero>``) elements. Pure higher-order string exprs — the
+    transfer function stays inside whole-stage codegen."""
+    items = F.transform(
+        F.split(payload, ";"),
+        lambda it, i: F.concat(
+            F.lit(f'<{tag} number="'),
+            i.cast("string"),
+            F.lit('">'),
+            F.concat(
+                F.lit("<Real>"),
+                F.element_at(F.split(it, ":"), 1),
+                F.lit("</Real><Imaginary>"),
+                F.element_at(F.split(it, ":"), 2),
+                F.lit("</Imaginary>"),
+            ),
+            F.lit(f"</{tag}>"),
+        ),
+    )
+    return F.when(payload.isNull() | (payload == ""), F.lit("")).otherwise(
+        F.array_join(items, "")
+    )
+
+
+def _stage_element(s: Column) -> Column:
+    """One response stage struct → FDSN StationXML 1.1 ``<Stage>``:
+    PolesZeros/Coefficients transfer block (units + poles/zeros) when
+    the stage carries one, then the StageGain."""
+    from jane_spark.functions.xml import xml_element
+
+    units = F.concat(
+        xml_element("InputUnits", xml_element("Name", s["input_units"])),
+        xml_element("OutputUnits", xml_element("Name", s["output_units"])),
+    )
+    transfer = F.when(
+        s["stage_type"].isin("PolesZeros", "Coefficients"),
+        F.concat(
+            F.lit("<"), s["stage_type"], F.lit(">"),
+            units,
+            _pz_items("Pole", s["poles"]),
+            _pz_items("Zero", s["zeros"]),
+            F.lit("</"), s["stage_type"], F.lit(">"),
+        ),
+    ).otherwise(F.lit(""))
+    gain = xml_element(
+        "StageGain",
+        F.concat(
+            xml_element("Value", s["gain"].cast("string")),
+            xml_element("Frequency", s["gain_frequency"].cast("string")),
+        ),
+    )
+    return F.concat(
+        F.lit('<Stage number="'),
+        s["number"].cast("string"),
+        F.lit('">'),
+        transfer,
+        gain,
+        F.lit("</Stage>"),
+    )
+
+
 def station_xml(channels: DataFrame) -> DataFrame:
     """StationXML-shaped per-network blocks: one row per network with a
     `<Network code=..>` element nesting `<Station>` and `<Channel>`
-    epochs, children ordered by SEED id + epoch start. ObsPy-level
+    epochs, children ordered by SEED id + epoch start. Channels whose
+    rows carry a non-NULL ``response_stages`` array additionally nest
+    full per-stage response detail (``level=response``). ObsPy-level
     schema validation is out of scope (no xmlns declarations beyond the
     document wrapper); the element/attribute shape follows FDSN
     StationXML 1.1 [ref: src/jane/fdsnws/views/station_1.py — XML
@@ -240,6 +311,15 @@ def station_xml(channels: DataFrame) -> DataFrame:
     from jane_spark.functions.xml import xml_attr, xml_element, xml_rollup
 
     num = lambda c: F.col(c).cast("string")  # noqa: E731
+    if "response_stages" in channels.columns:
+        stages_xml = F.coalesce(
+            F.array_join(
+                F.transform(F.col("response_stages"), _stage_element), ""
+            ),
+            F.lit(""),
+        )
+    else:
+        stages_xml = F.lit("")
     channel_el = F.concat(
         F.lit("<Channel"),
         xml_attr("code", F.col("channel")),
@@ -268,7 +348,8 @@ def station_xml(channels: DataFrame) -> DataFrame:
                             xml_element("Name", F.col("units_after_sensitivity")),
                         ),
                     ),
-                )
+                ),
+                stages_xml,
             ),
         ),
         F.lit("</Channel>"),

@@ -27,33 +27,47 @@ def channel_index(spark: SparkSession) -> DataFrame:
     """One row per channel epoch. doc 1 and doc 2 both carry the BW.ALTM
     epochs (duplicate epochs across two source documents — union-dedup
     G1); GR.FUR has an open end_date; IU.ANMO has no waveform coverage
-    (C5 semi-join must drop it)."""
+    (C5 semi-join must drop it). IU.ANMO.10.BHZ carries a full 3-stage
+    instrument response (PolesZeros → Coefficients → gain-only);
+    IU.ANMO.00.BHZ a single PolesZeros stage; the rest total-sensitivity
+    only (NULL stages)."""
+    anmo10_stages = [
+        (1, "PolesZeros", 1500.0, 0.05, "M/S", "V",
+         "-0.037:0.037;-0.037:-0.037;-502.65:0.0", "0.0:0.0;0.0:0.0"),
+        (2, "Coefficients", 419430.0, 0.0, "V", "COUNTS", "", ""),
+        (3, "Gain", 1.0, 0.0, "COUNTS", "COUNTS", None, None),
+    ]
+    anmo00_stages = [
+        (1, "PolesZeros", 2000.0, 0.05, "M/S", "V",
+         "-0.0123:0.0123;-0.0123:-0.0123", "0.0:0.0"),
+    ]
     rows = [
-        # net, sta, loc, cha, lat, lon, elev, depth, start, end, rate, sensor, sens, sensfreq, units, lon2?, extra
+        # net, sta, loc, cha, lat, lon, elev, depth, start, end, rate,
+        # sensor, sens, sensfreq, units, response_stages
         ("BW", "ALTM", "", "EHE", 48.995, 12.207, 430.0, 0.0,
          _t("2010-01-01T00:00:00"), _t("2015-06-30T00:00:00"), 200.0,
-         "Streckeisen STS-2", 6.0e8, 1.0, "M/S"),
+         "Streckeisen STS-2", 6.0e8, 1.0, "M/S", None),
         ("BW", "ALTM", "", "EHN", 48.995, 12.207, 430.0, 0.0,
          _t("2010-01-01T00:00:00"), _t("2015-06-30T00:00:00"), 200.0,
-         "Streckeisen STS-2", 6.0e8, 1.0, "M/S"),
+         "Streckeisen STS-2", 6.0e8, 1.0, "M/S", None),
         ("BW", "ALTM", "", "EHZ", 48.995, 12.207, 430.0, 0.0,
          _t("2015-06-30T00:00:00"), None, 200.0,
-         "Streckeisen STS-2", 6.1e8, 1.0, "M/S"),
+         "Streckeisen STS-2", 6.1e8, 1.0, "M/S", None),
         ("BW", "MANZ", "", "BHZ", 49.986, 12.108, 635.0, 0.0,
          _t("2005-03-01T00:00:00"), None, 20.0,
-         "Lennartz LE-3D", 4.0e8, 1.0, "M/S"),
+         "Lennartz LE-3D", 4.0e8, 1.0, "M/S", None),
         ("GR", "FUR", "", "BHZ", 48.163, 11.275, 565.0, 3.0,
          _t("2001-01-01T00:00:00"), None, 20.0,
-         "Streckeisen STS-2", 5.9e8, 0.02, "M/S"),
+         "Streckeisen STS-2", 5.9e8, 0.02, "M/S", None),
         ("GR", "FUR", "", "LHZ", 48.163, 11.275, 565.0, 3.0,
          _t("2001-01-01T00:00:00"), None, 1.0,
-         "Streckeisen STS-2", 5.9e8, 0.02, "M/S"),
+         "Streckeisen STS-2", 5.9e8, 0.02, "M/S", None),
         ("IU", "ANMO", "00", "BHZ", 34.946, -106.457, 1850.0, 100.0,
          _t("1998-07-01T00:00:00"), _t("2010-01-01T00:00:00"), 20.0,
-         "Geotech KS-54000", 8.6e8, 0.05, "M/S"),
+         "Geotech KS-54000", 8.6e8, 0.05, "M/S", anmo00_stages),
         ("IU", "ANMO", "10", "BHZ", 34.946, -106.457, 1850.0, 5.0,
          _t("2010-01-01T00:00:00"), None, 40.0,
-         "Nanometrics T-240", 1.2e9, 0.05, "M/S"),
+         "Nanometrics T-240", 1.2e9, 0.05, "M/S", anmo10_stages),
     ]
     schema = meta_to_schema(STATIONXML_META, include_geometry=False, include_extra=False)
     return spark.createDataFrame(rows, schema)
