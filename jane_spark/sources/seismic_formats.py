@@ -1,13 +1,15 @@
-"""Real seismic file-format codecs: SAC binary and MiniSEED v2.
+"""Real seismic file-format codecs: SAC binary, MiniSEED v2, GSE2/CM6.
 
 jane parses these with ObsPy [ref: src/jane/waveforms/
 process_waveforms.py — process_file, conf=H; SURVEY.md §0 caveat];
 ObsPy is absent from this environment, so the formats are implemented
 directly from their PUBLIC specifications — the SAC file reference
 (IRIS/SAC manual: 632-byte header of 70 float words, 40 int words,
-192 bytes of 8/16-char strings, then float32 samples) and the SEED
+192 bytes of 8/16-char strings, then float32 samples), the SEED
 manual chapter 8 (fixed 48-byte data header, blockette 1000, Steim-1/2
-compression). Pure struct/numpy — no third-party codec libraries.
+compression), and the GSETT-3 GSE2.x message spec (WID2/DAT2/CHK2
+ASCII container, CM6 6-bit second-difference compression). Pure
+struct/numpy — no third-party codec libraries.
 
 Both parsers emit the engine's ContinuousTrace index-row contract
 (same dict shape as sources.waveform_format.read_records), so they
@@ -519,16 +521,250 @@ def write_mseed(
     return out
 
 
+# ----------------------------------------------------------- GSE2/CM6
+
+# The GSE2.x waveform message format (public spec: GSETT-3 "Provisional
+# GSE2.1 Message Formats & Protocols", operations annex; also served as
+# the IMS1.0 waveform section). ASCII container: a WID2 header line,
+# DAT2, data lines, CHK2 checksum. CM6 = 6-bit ASCII compression of
+# second differences; INT = plain integer columns.
+
+_CM6 = "+-0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+_CM6_IDX = {c: i for i, c in enumerate(_CM6)}
+_GSE2_MODULO = 100_000_000
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """C-style integer division (truncate toward zero) — the reference
+    checksum algorithm is specified in C."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def gse2_checksum(samples) -> int:
+    """CHK2 checksum: running integer sum, folded into ±1e8 via
+    truncating division (per sample when the sample itself exceeds the
+    modulo, and after every addition), absolute value at the end."""
+    s = 0
+    for v in samples:
+        v = int(v)
+        if abs(v) >= _GSE2_MODULO:
+            v -= _trunc_div(v, _GSE2_MODULO) * _GSE2_MODULO
+        s += v
+        if abs(s) >= _GSE2_MODULO:
+            s -= _trunc_div(s, _GSE2_MODULO) * _GSE2_MODULO
+    return abs(s)
+
+
+def encode_cm6(values) -> str:
+    """CM6-compress an integer sequence (callers pass 2nd differences).
+    Per value: the leading character carries continuation(32) +
+    sign(16) + the top 4 magnitude bits; each continuation character
+    carries the next 5 bits, most-significant first; bit 32 clear marks
+    the final character of a value."""
+    out: list[str] = []
+    for v in values:
+        v = int(v)
+        neg, m = v < 0, abs(v)
+        k = 0
+        while m >> (4 + 5 * k):
+            k += 1
+        out.append(_CM6[(32 if k else 0) | (16 if neg else 0) | ((m >> (5 * k)) & 15)])
+        for j in range(k - 1, -1, -1):
+            out.append(_CM6[(32 if j else 0) | ((m >> (5 * j)) & 31)])
+    return "".join(out)
+
+
+def decode_cm6(text: str) -> list[int]:
+    """Inverse of encode_cm6; whitespace/newlines (the 80-column line
+    wrap) are ignored."""
+    vals: list[int] = []
+    value: int | None = None
+    sign = 1
+    for ch in text:
+        if ch.isspace():
+            continue
+        try:
+            i = _CM6_IDX[ch]
+        except KeyError:
+            raise ValueError(f"CM6: invalid character {ch!r}") from None
+        if value is None:
+            sign = -1 if i & 16 else 1
+            value = i & 15
+        else:
+            value = (value << 5) | (i & 31)
+        if not (i & 32):
+            vals.append(sign * value)
+            value = None
+    if value is not None:
+        raise ValueError("CM6: dangling continuation at end of data")
+    return vals
+
+
+def _second_diff(x: np.ndarray) -> np.ndarray:
+    d1 = np.diff(x, prepend=0)
+    return np.diff(d1, prepend=0)
+
+
+# WID2 fixed-column layout (GSE2.1 spec, 0-based slice offsets)
+_WID2_DATE = slice(5, 15)
+_WID2_TIME = slice(16, 28)
+_WID2_STA = slice(29, 34)
+_WID2_CHA = slice(35, 38)
+_WID2_AUX = slice(39, 43)
+_WID2_TYPE = slice(44, 47)
+_WID2_NPTS = slice(48, 56)
+_WID2_RATE = slice(57, 68)
+
+
+def _gse2_start_us(date: str, time: str) -> int:
+    import calendar
+    import datetime as dt
+
+    y, mo, d = (int(p) for p in date.split("/"))
+    hh, mm, rest = time.split(":")
+    sec = float(rest)
+    base = calendar.timegm(dt.datetime(y, mo, d).timetuple())
+    return (
+        base * 1_000_000
+        + (int(hh) * 3600 + int(mm) * 60) * 1_000_000
+        + int(round(sec * 1_000_000))
+    )
+
+
+def read_gse2(data: bytes) -> Iterator[dict]:
+    """Parse every WID2 trace block in a GSE2.x ASCII buffer into the
+    ContinuousTrace index-row contract. Supports CM6 (2nd-difference
+    6-bit) and INT (plain integer) datatypes; verifies the CHK2
+    checksum when present. GSE2 carries no network or location code —
+    the auxid field holds the network by this engine's write convention
+    (blank auxid → network ''), location is always ''."""
+    text = data.decode("ascii", "replace")
+    lines = text.splitlines()
+    offsets: list[int] = []
+    off = 0
+    for ln in lines:
+        offsets.append(off)
+        off += len(ln) + 1
+    i = 0
+    found = False
+    while i < len(lines):
+        if not lines[i].startswith("WID2 "):
+            i += 1
+            continue
+        found = True
+        hdr, pos = lines[i], offsets[i]
+        station = hdr[_WID2_STA].strip()
+        channel = hdr[_WID2_CHA].strip()
+        auxid = hdr[_WID2_AUX].strip()
+        datatype = hdr[_WID2_TYPE].strip().upper()
+        npts = int(hdr[_WID2_NPTS])
+        rate = float(hdr[_WID2_RATE])
+        if rate <= 0:
+            raise ValueError(f"GSE2: non-positive sample rate {rate}")
+        start_us = _gse2_start_us(hdr[_WID2_DATE].strip(), hdr[_WID2_TIME].strip())
+        i += 1
+        while i < len(lines) and not lines[i].startswith("DAT2"):
+            i += 1  # STA2 / EID2 / other optional sub-headers
+        if i >= len(lines):
+            raise ValueError("GSE2: WID2 without DAT2 section")
+        i += 1
+        body: list[str] = []
+        chk: int | None = None
+        while i < len(lines):
+            if lines[i].startswith("CHK2"):
+                chk = int(lines[i].split()[1])
+                i += 1
+                break
+            if lines[i].startswith("WID2 "):
+                break
+            body.append(lines[i])
+            i += 1
+        blob = "\n".join(body)
+        if datatype == "CM6":
+            d2 = decode_cm6(blob)
+            samples = np.cumsum(np.cumsum(np.asarray(d2, dtype=np.int64)))
+        elif datatype == "INT":
+            samples = np.asarray([int(t) for t in blob.split()], dtype=np.int64)
+        else:
+            raise ValueError(f"GSE2: unsupported datatype {datatype!r}")
+        if len(samples) != npts:
+            raise ValueError(
+                f"GSE2: {len(samples)} samples decoded, WID2 says {npts}"
+            )
+        if chk is not None and gse2_checksum(samples) != chk:
+            raise ValueError(
+                f"GSE2: checksum mismatch (CHK2 {chk} != "
+                f"{gse2_checksum(samples)})"
+            )
+        yield {
+            "network": auxid,
+            "station": station,
+            "location": "",
+            "channel": channel,
+            "start_us": start_us,
+            "end_us": start_us + int(round((npts - 1) / rate * 1_000_000)),
+            "sampling_rate": rate,
+            "npts": int(npts),
+            "quality": "D",  # GSE2 carries no quality flag
+            "pos": pos,
+            "samples": samples.astype(np.int64).tolist(),
+        }
+    if not found:
+        raise ValueError("GSE2: no WID2 line in buffer")
+
+
+def write_gse2(
+    network: str,
+    station: str,
+    location: str,  # noqa: ARG001 — GSE2 has no location field
+    channel: str,
+    start_us: int,
+    rate_hz: float,
+    samples: list,
+    datatype: str = "CM6",
+) -> bytes:
+    """GSE2.1 writer (WID2 / DAT2 / CHK2), round-trip twin of read_gse2.
+    Integer sample data only (CM6 is an integer code). The network
+    rides in the 4-char auxid column (GSE2 has no network field);
+    location is dropped."""
+    import datetime as dt
+
+    x = np.asarray([int(s) for s in samples], dtype=np.int64)
+    t = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=start_us)
+    wid2 = (
+        f"WID2 {t:%Y/%m/%d} {t:%H:%M:%S}.{t.microsecond // 1000:03d} "
+        f"{station:<5.5s} {channel:<3.3s} {network:<4.4s} "
+        f"{datatype.upper():<3.3s} {len(x):8d} {rate_hz:11.6f} "
+        f"{1.0:10.2e} {1.0:7.3f} {'':<6s} {-1.0:5.1f} {-1.0:6.1f}"
+    )
+    if datatype.upper() == "CM6":
+        enc = encode_cm6(_second_diff(x))
+        body = [enc[i : i + 80] for i in range(0, len(enc), 80)] or [""]
+    elif datatype.upper() == "INT":
+        body = [
+            " ".join(str(int(v)) for v in x[i : i + 10])
+            for i in range(0, len(x), 10)
+        ] or [""]
+    else:
+        raise ValueError(f"GSE2: unsupported datatype {datatype!r}")
+    chk = f"CHK2 {gse2_checksum(x):8d}"
+    return ("\n".join([wid2, "DAT2", *body, chk]) + "\n").encode("ascii")
+
+
 # ------------------------------------------------------ format dispatch
 
 
 def sniff_format(data: bytes) -> str:
-    """Detect JSW1 / SAC / MiniSEED from leading bytes. MiniSEED has no
+    """Detect JSW1 / GSE2 / SAC / MiniSEED from leading bytes. GSE2 is
+    ASCII with a WID2 (or BEGIN GSE message) lead; MiniSEED has no
     magic: sniff the ASCII sequence number + quality code; SAC has none
     either: sniff NVHDR == 6 in either byte order (the same checks the
     readers enforce)."""
     if data[:4] == b"JSW1":
         return "jsw1"
+    if data[:5] == b"WID2 " or data[:9] == b"BEGIN GSE":
+        return "gse2"
     if len(data) >= 48 and data[:6].isdigit() and chr(data[6]) in "DRQM":
         return "mseed"
     if len(data) >= 632:
@@ -546,6 +782,8 @@ def read_auto(data: bytes) -> Iterator[dict]:
         from jane_spark.sources.waveform_format import read_records
 
         yield from read_records(data)
+    elif fmt == "gse2":
+        yield from read_gse2(data)
     elif fmt == "sac":
         yield from read_sac(data)
     else:

@@ -11,11 +11,17 @@ import numpy as np
 import pytest
 
 from jane_spark.sources.seismic_formats import (
+    _CM6 as _ALPHA,
     _steim_decode,
+    decode_cm6,
+    encode_cm6,
+    gse2_checksum,
     read_auto,
+    read_gse2,
     read_mseed,
     read_sac,
     sniff_format,
+    write_gse2,
     write_mseed,
     write_sac,
 )
@@ -203,8 +209,111 @@ def test_sniff_format():
     assert sniff_format(write_sac("N", "S", "", "C", 0, 1.0, [0.0] * 3)) == "sac"
     assert sniff_format(write_mseed("N", "S", "", "C", 0, 1.0, [1])) == "mseed"
     assert sniff_format(write_record("N", "S", "", "C", 0, 1.0, [1])) == "jsw1"
+    assert sniff_format(write_gse2("N", "S", "", "C", 0, 1.0, [1])) == "gse2"
+    assert sniff_format(b"BEGIN GSE2.1\nMSG_TYPE DATA\n") == "gse2"
     with pytest.raises(ValueError, match="unrecognized"):
         sniff_format(b"\x00" * 700)
+
+
+# ----------------------------------------------------------- GSE2/CM6
+
+
+def test_cm6_codec_vectors():
+    """Known-value vectors for the 6-bit scheme: 0 → '+', small values
+    single-char, sign bit, 5-bit continuation groups (big-endian)."""
+    assert encode_cm6([0]) == "+"
+    assert encode_cm6([1]) == "-"
+    assert encode_cm6([15]) == "D"
+    assert encode_cm6([-1]) == "F"  # 16|1 = 17 → alphabet[17]
+    # 16 needs a continuation char: first carries 16>>5 = 0 with the
+    # continuation flag, the second carries 16 & 31
+    assert encode_cm6([16]) == _ALPHA[32] + _ALPHA[16]
+    assert decode_cm6(_ALPHA[32] + _ALPHA[16]) == [16]
+    for vals in ([0, 1, -1, 15, 16, -16, 511, -512], [123456789, -987654321]):
+        assert decode_cm6(encode_cm6(vals)) == vals
+    # whitespace from 80-column wrapping is transparent
+    enc = encode_cm6([100, -200, 300])
+    assert decode_cm6(enc[:3] + "\n" + enc[3:]) == [100, -200, 300]
+    with pytest.raises(ValueError, match="dangling"):
+        decode_cm6(_ALPHA[32 | 1])  # continuation flag with no successor
+
+
+def test_gse2_checksum_reference_values():
+    """The CHK2 algorithm: plain sum for small data; per-sample and
+    running-sum modulo folds (C-truncating division) for large; final
+    abs. Both arithmetic variants: positive-sum and negative-sum data
+    must agree with their mirrored series (abs at the end)."""
+    assert gse2_checksum([1, 2, 3]) == 6
+    assert gse2_checksum([-1, -2, -3]) == 6  # abs of -6
+    # per-sample fold: 150_000_000 → 50_000_000
+    assert gse2_checksum([150_000_000]) == 50_000_000
+    # running-sum fold: 60M + 60M = 120M → 20M
+    assert gse2_checksum([60_000_000, 60_000_000]) == 20_000_000
+    # negative running sum folds toward zero (trunc, not floor)
+    assert gse2_checksum([-60_000_000, -60_000_000]) == 20_000_000
+
+
+def test_gse2_round_trip_cm6_and_int():
+    rng = np.random.RandomState(7)
+    series = np.cumsum(rng.randint(-5000, 5000, 300)).tolist()
+    for datatype in ("CM6", "INT"):
+        blob = write_gse2("BW", "MANZ", "", "BHZ", T0 + 250_000, 20.0,
+                          series, datatype=datatype)
+        rec = next(read_gse2(blob))
+        assert rec["samples"] == series
+        assert (rec["network"], rec["station"], rec["channel"]) == ("BW", "MANZ", "BHZ")
+        assert rec["start_us"] == T0 + 250_000
+        assert rec["sampling_rate"] == 20.0
+        assert rec["npts"] == 300
+        assert rec["quality"] == "D" and rec["location"] == ""
+
+
+def test_gse2_round_trip_checksum_variants():
+    """Round-trip both checksum arithmetic variants: data whose running
+    sum stays positive, and data dominated by large negatives where the
+    modulo fold goes through truncating (not flooring) division."""
+    positive = list(range(0, 3000, 7))
+    negative = [-90_000_000, -90_000_000, -90_000_000, 5, -7]
+    for series in (positive, negative):
+        blob = write_gse2("GR", "FUR", "", "LHZ", T0, 1.0, series)
+        rec = next(read_gse2(blob))
+        assert rec["samples"] == series
+
+
+def test_gse2_checksum_mismatch_raises():
+    blob = write_gse2("BW", "MANZ", "", "BHZ", T0, 20.0, [1, 2, 3, 4])
+    # corrupt one data character; either the checksum or (if the damage
+    # changes the value count) the npts guard must fire
+    txt = blob.decode().splitlines()
+    assert txt[2] and not txt[2].startswith("CHK2")
+    txt[2] = txt[2][:-1] + ("5" if txt[2][-1] != "5" else "6")
+    with pytest.raises(ValueError, match="checksum mismatch|samples decoded"):
+        next(read_gse2(("\n".join(txt) + "\n").encode()))
+
+
+def test_gse2_multi_trace_and_skipped_subheaders():
+    """Two WID2 blocks in one buffer (+ an STA2 sub-header line, which
+    the reader must skip) parse to two index rows with correct pos
+    offsets pointing at their WID2 lines."""
+    b1 = write_gse2("BW", "ALTM", "", "EHE", T0, 100.0, [1, 2, 3]).decode()
+    lines = b1.splitlines()
+    lines.insert(1, "STA2 BAYERN    48.99500   12.20700 WGS-84     0.430 0.000")
+    b2 = write_gse2("GR", "FUR", "", "BHZ", T0 + US, 20.0, [-4, -5, -6]).decode()
+    blob = ("\n".join(lines) + "\n" + b2).encode()
+    recs = list(read_gse2(blob))
+    assert [(r["station"], r["samples"]) for r in recs] == [
+        ("ALTM", [1, 2, 3]), ("FUR", [-4, -5, -6]),
+    ]
+    assert recs[0]["pos"] == 0
+    assert blob[recs[1]["pos"] : recs[1]["pos"] + 5] == b"WID2 "
+
+
+def test_gse2_rejects_garbage():
+    with pytest.raises(ValueError, match="no WID2"):
+        next(read_gse2(b"BEGIN GSE2.1\nno waveform here\n"))
+    blob = write_gse2("BW", "X", "", "C", T0, 1.0, [1, 2])
+    with pytest.raises(ValueError, match="unsupported datatype"):
+        next(read_gse2(blob.replace(b" CM6 ", b" CM8 ")))
 
 
 def test_mixed_archive_spark_ingest(spark, tmp_path):
@@ -221,6 +330,8 @@ def test_mixed_archive_spark_ingest(spark, tmp_path):
                     np.cumsum(np.arange(200)).tolist(), quality="R", encoding=10))
     (tmp_path / "c.jsw").write_bytes(
         write_record("IU", "ANMO", "00", "BHZ", T0, 40.0, [5, 6, 7]))
+    (tmp_path / "d.gse").write_bytes(
+        write_gse2("NO", "KONO", "", "LHZ", T0, 1.0, [10, 20, 30, 40]))
 
     idx = parse_waveform_files(scan_files(spark, str(tmp_path))).collect()
     by_net = {}
@@ -231,6 +342,8 @@ def test_mixed_archive_spark_ingest(spark, tmp_path):
     assert sum(r["npts"] for r in by_net["GR"]) == 200
     assert all(r["quality"] == "R" for r in by_net["GR"])
     assert by_net["IU"][0]["location"] == "00"
+    assert by_net["NO"][0]["station"] == "KONO"
+    assert by_net["NO"][0]["npts"] == 4
 
 
 def test_read_auto_samples_agree_across_formats():
