@@ -92,6 +92,9 @@ STATIONXML_META: dict[str, str] = {
     # full per-stage response detail (level=response); NULL when the
     # source document carried only total sensitivity
     "response_stages": "response_stages",
+    # jane's restricted-data flag (B12): TRUE = visible only to users
+    # whose ACL grants this SEED id; NULL/FALSE = open
+    "restricted": "bool",
 }
 
 QUAKEML_META: dict[str, str] = {
@@ -126,4 +129,5 @@ TRACE_META: dict[str, str] = {
     "quality": "str",
     "file_id": "int",
     "pos": "int",
+    "restricted": "bool",  # B12: see STATIONXML_META.restricted
 }

@@ -110,6 +110,32 @@ def _geo_predicate(params: dict[str, str], lat: str, lon: str) -> Column:
     return p
 
 
+def _apply_acl(df: DataFrame, acl: DataFrame | None) -> DataFrame:
+    """B12 at the service front door (jane's restricted-data model):
+    index rows flagged ``restricted`` are visible only when the
+    caller's ACL — a small per-user grant set of SEED ids, broadcast —
+    contains their (network, station, location, channel). ``acl=None``
+    means authorization is not in play (trusted/internal callers);
+    pass an EMPTY grants DataFrame for an anonymous user. Indexes
+    without a ``restricted`` column are fully open. One broadcast left
+    join + filter — no second scan of the index, the 100 TB shape."""
+    if acl is None or "restricted" not in df.columns:
+        return df
+    grants = (
+        acl.select(*SEED_FIELDS)
+        .dropDuplicates()
+        .withColumn("__granted", F.lit(True))
+    )
+    return (
+        df.join(F.broadcast(grants), on=list(SEED_FIELDS), how="left")
+        .filter(
+            ~F.coalesce(F.col("restricted"), F.lit(False))
+            | F.coalesce(F.col("__granted"), F.lit(False))
+        )
+        .drop("__granted")
+    )
+
+
 # ------------------------------------------------------------- station
 
 
@@ -117,6 +143,7 @@ def station_query(
     channels: DataFrame,
     params: dict[str, str],
     traces: DataFrame | None = None,
+    acl: DataFrame | None = None,
 ) -> DataFrame:
     """fdsnws-station at channel level over the stationxml index.
 
@@ -124,6 +151,7 @@ def station_query(
     request window (open end_date = ∞, H10); startbefore/startafter/
     endbefore/endafter filter the epoch edges. ``matchtimeseries=true``
     keeps only channels with waveform coverage (left semi join, C5).
+    ``acl`` gates restricted channels per user (see _apply_acl).
     """
     _validate(params, STATION_PARAMS, "fdsnws-station")
     p = _seed_predicate(params) & _geo_predicate(params, "latitude", "longitude")
@@ -143,7 +171,7 @@ def station_query(
         if key in params:
             v = F.to_timestamp(F.lit(params[key])).cast("timestamp_ntz")
             p = p & getattr(F.col(col), op)(v)
-    out = channels.filter(p)
+    out = _apply_acl(channels.filter(p), acl)
     if params.get("matchtimeseries", "").lower() == "true" and traces is not None:
         out = out.join(
             traces.select(*SEED_FIELDS).dropDuplicates(), on=list(SEED_FIELDS), how="left_semi"
@@ -320,12 +348,21 @@ def station_xml(channels: DataFrame) -> DataFrame:
         )
     else:
         stages_xml = F.lit("")
+    if "restricted" in channels.columns:
+        # StationXML restrictedStatus: only emitted for closed channels
+        restricted_attr = xml_attr(
+            "restrictedStatus",
+            F.when(F.col("restricted"), F.lit("closed")),
+        )
+    else:
+        restricted_attr = F.lit("")
     channel_el = F.concat(
         F.lit("<Channel"),
         xml_attr("code", F.col("channel")),
         xml_attr("locationCode", F.col("location")),
         xml_attr("startDate", _iso(F.col("start_date"))),
         xml_attr("endDate", _iso(F.col("end_date"))),  # omitted when open
+        restricted_attr,
         F.lit(">"),
         xml_element("Latitude", num("latitude")),
         xml_element("Longitude", num("longitude")),
@@ -566,11 +603,18 @@ def quakeml_document(events: DataFrame, agency: str = "jane_spark") -> str:
 # ----------------------------------------------------------- dataselect
 
 
-def dataselect_query(traces: DataFrame, params: dict[str, str]) -> DataFrame:
+def dataselect_query(
+    traces: DataFrame,
+    params: dict[str, str],
+    acl: DataFrame | None = None,
+) -> DataFrame:
     """fdsnws-dataselect index phase (§3.2 stages 1–2): resolve the
     trace-index rows to cut, with SEED wildcards, request-window overlap
     (B7), quality, minimumlength, longestonly (F4). The returned rows
-    carry (file_id, pos) so the cut phase reads only matched files."""
+    carry (file_id, pos) so the cut phase reads only matched files.
+    ``acl`` gates restricted segments per user (see _apply_acl) — the
+    gate runs BEFORE longestonly/minimumlength so a restricted segment
+    can never shadow an open one in the argmax."""
     _validate(params, DATASELECT_PARAMS, "fdsnws-dataselect")
     p = _seed_predicate(params)
     if "quality" in params and params["quality"] not in ("B", "M"):  # B/M = all
@@ -582,7 +626,7 @@ def dataselect_query(traces: DataFrame, params: dict[str, str]) -> DataFrame:
     if "endtime" in params:
         e = F.to_timestamp(F.lit(params["endtime"])).cast("timestamp_ntz")
         p = p & (F.col("starttime") < e)
-    out = traces.filter(p)
+    out = _apply_acl(traces.filter(p), acl)
     if "minimumlength" in params:
         out = out.filter(F.col("duration") >= float(params["minimumlength"]))
     if params.get("longestonly", "").lower() == "true":

