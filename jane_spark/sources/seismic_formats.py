@@ -399,6 +399,57 @@ def _steim1_encode(samples: list[int]) -> tuple[bytes, int]:
     return _steim_frames(words, consumed, samples)
 
 
+# Steim-2 packing densities, densest first: (n_diffs, bits, ck, dnib).
+# ck=01 is the shared four-8-bit word (no dnib); ck=10/11 embed the
+# decode nibble in the word's top 2 bits (SEED manual appendix B).
+_STEIM2_PACKINGS = (
+    (7, 4, 3, 2),
+    (6, 5, 3, 1),
+    (5, 6, 3, 0),
+    (4, 8, 1, None),
+    (3, 10, 2, 3),
+    (2, 15, 2, 2),
+    (1, 30, 2, 1),
+)
+
+
+def _steim2_encode(samples: list[int]) -> tuple[bytes, int]:
+    """Greedy Steim-2 frame packer: at each position take the densest
+    packing whose next-n differences all fit its bit width. The first
+    difference is clamped into 30 bits if needed — decoders ignore its
+    value (x0 is authoritative for sample 0), it only has to parse."""
+    diffs = [samples[0]] + [
+        samples[i] - samples[i - 1] for i in range(1, len(samples))
+    ]
+    lo30, hi30 = -(1 << 29), (1 << 29) - 1
+    if diffs and not lo30 <= diffs[0] <= hi30:
+        diffs[0] = 0
+    words: list[tuple[int, int]] = []
+    consumed = [0]
+    i = 0
+    while i < len(diffs):
+        for n, bits, ck, dnib in _STEIM2_PACKINGS:
+            chunk = diffs[i : i + n]
+            if len(chunk) < n:
+                continue  # a packing consumes exactly n differences
+            lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+            if all(lo <= d <= hi for d in chunk):
+                w = 0
+                for d in chunk:
+                    w = (w << bits) | (d & ((1 << bits) - 1))
+                if dnib is not None:
+                    w |= dnib << 30
+                words.append((ck, w))
+                i += n
+                consumed.append(i)
+                break
+        else:
+            raise ValueError(
+                f"Steim2: difference {diffs[i]} exceeds 30 bits"
+            )
+    return _steim_frames(words, consumed, samples)
+
+
 def _steim_frames(
     words: list[tuple[int, int]], consumed: list[int], samples: list[int]
 ) -> tuple[bytes, int]:
@@ -475,8 +526,8 @@ def write_mseed(
     seq: int = 1,
 ) -> bytes:
     """MiniSEED v2 writer (512-byte records, blockette 1000, big-endian).
-    Supports int16/int32/float32/float64/Steim-1; splits long series
-    across consecutive records."""
+    Supports int16/int32/float32/float64/Steim-1/Steim-2; splits long
+    series across consecutive records."""
     import calendar
     import datetime as dt
 
@@ -489,6 +540,8 @@ def write_mseed(
         cap = {_ENC_INT16: 224, _ENC_INT32: 112, _ENC_F32: 112, _ENC_F64: 56}
         if encoding == _ENC_STEIM1:
             payload, n = _steim1_encode([int(s) for s in chunk])
+        elif encoding == _ENC_STEIM2:
+            payload, n = _steim2_encode([int(s) for s in chunk])
         else:
             n = min(len(chunk), cap[encoding])
             fmt = {_ENC_INT16: "h", _ENC_INT32: "i", _ENC_F32: "f", _ENC_F64: "d"}[

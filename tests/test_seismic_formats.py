@@ -215,6 +215,45 @@ def test_sniff_format():
         sniff_format(b"\x00" * 700)
 
 
+def test_steim2_encoder_round_trip_all_densities():
+    """Encode→decode identity through the Steim-2 writer across all
+    seven packing densities (the hand-built-frame decoder test is the
+    spec; this drives the same decoder from the new encoder)."""
+    rng = np.random.RandomState(17)
+    pieces = []
+    for bound in (7, 15, 31, 127, 511, 16383, (1 << 29) - 1):
+        pieces.append(rng.randint(-bound - 1, bound + 1, 40))
+    series = np.cumsum(np.concatenate(pieces)).astype(np.int64)
+    # clip into int32 so the stream is Steim-representable
+    series = np.clip(series, -(1 << 30), (1 << 30) - 1).tolist()
+    blob = write_mseed("BW", "MANZ", "", "BHZ", T0, 20.0, series, encoding=11)
+    recs = list(read_mseed(blob))
+    assert all(r["encoding"] == 11 for r in recs)
+    got = [s for r in recs for s in r["samples"]]
+    assert got == series
+    # Steim-2 packs markedly tighter than Steim-1 on small-diff data
+    small = np.cumsum(rng.randint(-3, 4, 2000)).tolist()
+    s2 = write_mseed("BW", "X", "", "C", T0, 20.0, small, encoding=11)
+    s1 = write_mseed("BW", "X", "", "C", T0, 20.0, small, encoding=10)
+    assert len(s2) < len(s1)
+    assert [s for r in read_mseed(s2) for s in r["samples"]] == small
+
+
+def test_steim2_encoder_unrepresentable_diff_raises():
+    with pytest.raises(ValueError, match="exceeds 30 bits"):
+        write_mseed("N", "S", "", "C", T0, 1.0,
+                    [0, (1 << 30), -(1 << 30)], encoding=11)
+
+
+def test_steim2_encoder_first_diff_clamp():
+    """A first sample outside 30 bits is representable: x0 is stored in
+    the frame header and the first difference's value is ignored by
+    decoders, so the encoder clamps it rather than failing."""
+    series = [(1 << 30) + 5, (1 << 30) + 6, (1 << 30) + 4]
+    blob = write_mseed("N", "S", "", "C", T0, 1.0, series, encoding=11)
+    assert next(read_mseed(blob))["samples"] == series
+
+
 # ----------------------------------------------------------- GSE2/CM6
 
 
