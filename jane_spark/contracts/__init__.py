@@ -37,6 +37,8 @@ VERIFY_FIRST: list[str] = [
     "q_a8_event_xml",
     "q_a8_text_format",
     "q_a1_seismic_formats",
+    # --- new this round → must see the driver at least once
+    "q_a6_beachball",
     # --- veteran re-check block: last hash-verified r1/r2, out of the
     # window for 3 rounds of code motion (VERDICT r4 next-steps #1 /
     # "What's missing" #2). Oldest first by (last-seen round, §2 order).
@@ -83,8 +85,7 @@ VERIFY_FIRST: list[str] = [
     "q_k2_minhash",
     "q_k2_jaccard",
     "q_k4_tokens",
-    "q_k5_df",
-    # remaining r2 veterans (q_k6_lang, q_t1_quality, q_k5_tfidf,
+    # remaining r2 veterans (q_k5_df, q_k6_lang, q_t1_quality, q_k5_tfidf,
     # q_t4_bpe_tokens, q_t7_repetition, portable minhash/simhash,
     # entropy/scorecard/winnow, K15, P1–P5, T5/T6, langid_sql,
     # fingerprint_md5) rotate back next round; the front list is held

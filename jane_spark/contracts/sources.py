@@ -80,6 +80,41 @@ def q_a6(spark, sf_dir):
 
 
 @contract(
+    "q_a6_beachball",
+    oracle=None,  # SVG payload generation — rows-only check
+    survey_rows="A6",
+    doc="focal-mechanism attachment generation (services/beachball): "
+    "deterministic strike/dip/rake per event id, double-couple math + "
+    "equal-area projection rendered to SVG inside Arrow-batched "
+    "mapInPandas, rolled up to stable corpus counts (every double "
+    "couple yields exactly 2 compressional fill paths)",
+)
+def q_a6_beachball(spark, sf_dir):
+    from jane_spark.services.beachball import event_beachballs
+
+    ev = Catalog(spark, sf_dir).events.select(
+        F.concat(F.lit("evt:"), F.col("event_id").cast("string")).alias(
+            "quakeml_id"
+        ),
+        (F.col("event_id") % 3 == 0).alias("has_focal_mechanism"),
+    )
+    balls = event_beachballs(ev, size=120)
+    return balls.select(
+        F.count(F.lit(1)).alias("n_attachments"),
+        F.count_distinct("quakeml_id").alias("n_events"),
+        F.sum(F.length("payload")).alias("total_svg_bytes"),
+        F.sum(
+            (
+                F.length("payload")
+                - F.length(F.replace(F.col("payload").cast("string"),
+                                     F.lit('fill="#333333"'), F.lit("")))
+            )
+            / F.length(F.lit('fill="#333333"'))
+        ).cast("long").alias("total_fill_paths"),
+    )
+
+
+@contract(
     "q_a8_text_format",
     oracle="""
         SELECT concat_ws('|', n_name, r_name, CAST(n_nationkey AS VARCHAR)) AS line

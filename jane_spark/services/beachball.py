@@ -142,23 +142,34 @@ def beachball_svg(
         px, py = _schmidt(v)
         return cx + px * rad, cy - py * rad  # SVG y grows downward
 
+    # Region polarity: each of the four regions is a fixed sign-pair of
+    # (v·n, v·u), so polarity is constant inside a region and ADJACENT
+    # regions alternate. A single sample point can still land on the
+    # wrong side of a shallow-dipping trace, so instead of trusting one
+    # sample per region, score both alternating fill patterns with the
+    # spherical-centroid polarity of every region and take the
+    # consistent pattern with the larger total weight — exactly two
+    # regions fill for every double couple by construction.
+    centroid_pol = []
+    for k in range(4):
+        pts = halves[k] + halves[(k + 1) % 4]
+        c = np.sum(pts, axis=0)
+        norm = np.linalg.norm(c)
+        centroid_pol.append(
+            _polarity(c / norm, n, u) if norm > 1e-9 else 0.0
+        )
+    evens_score = (
+        centroid_pol[0] - centroid_pol[1] + centroid_pol[2] - centroid_pol[3]
+    )
+    filled = {0, 2} if evens_score > 0 else {1, 3}
     paths = []
     for k in range(4):
+        if k not in filled:
+            continue
         h_out = halves[k]  # B → rim
         h_back = halves[(k + 1) % 4]  # rim → B (reversed below)
         az0, az1 = rim_az(h_out), rim_az(h_back)
         arc = (az1 - az0) % (2 * math.pi)
-        # sample polarity just inside the rim at the arc midpoint
-        mid_az = az0 + arc / 2.0
-        v_mid = np.array(
-            [
-                math.cos(mid_az) * math.sin(math.radians(80.0)),
-                math.sin(mid_az) * math.sin(math.radians(80.0)),
-                math.cos(math.radians(80.0)),
-            ]
-        )
-        if _polarity(v_mid, n, u) <= 0:
-            continue
         pts_out = [xy(v) for v in h_out]
         pts_back = [xy(v) for v in reversed(h_back)]
         x0, y0 = pts_out[0]
