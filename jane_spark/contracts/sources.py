@@ -262,9 +262,9 @@ def q_a9(spark, sf_dir):
     # equivalence is pinned in tests/test_seismic_formats.py
     survey_rows="A1,J1",
     doc="real waveform-format ingest without ObsPy: deterministic SAC, "
-    "MiniSEED (Steim-1), GSE2 (CM6) and JSW1 files are staged, "
-    "binaryFile-scanned, format-sniffed per file and parsed to one "
-    "uniform trace index "
+    "MiniSEED v2 (Steim-1), MiniSEED v3 (Steim-2 + CRC-32C), GSE2 "
+    "(CM6) and JSW1 files are staged, binaryFile-scanned, format-"
+    "sniffed per file and parsed to one uniform trace index "
     "(sources.seismic_formats.read_auto via ingest.parse_waveform_files)",
 )
 def q_a1_seismic(spark, sf_dir):
@@ -272,7 +272,12 @@ def q_a1_seismic(spark, sf_dir):
     import tempfile
 
     from jane_spark.sources.ingest import parse_waveform_files, scan_files
-    from jane_spark.sources.seismic_formats import write_gse2, write_mseed, write_sac
+    from jane_spark.sources.seismic_formats import (
+        write_gse2,
+        write_mseed,
+        write_mseed3,
+        write_sac,
+    )
     from jane_spark.sources.waveform_format import write_record
 
     t0 = 1_700_000_000 * 1_000_000
@@ -291,6 +296,9 @@ def q_a1_seismic(spark, sf_dir):
         with open(f"{stage}/d.gse", "wb") as f:
             f.write(write_gse2("NO", "KONO", "", "LHZ", t0, 1.0,
                                series[:60]))
+        with open(f"{stage}/e.ms3", "wb") as f:
+            f.write(write_mseed3("II", "AAK", "10", "BHZ", t0, 40.0,
+                                 series))
         idx = parse_waveform_files(scan_files(spark, stage))
         out = (
             idx.groupBy("network", "station", "quality")

@@ -1,4 +1,4 @@
-"""Real seismic file-format codecs: SAC binary, MiniSEED v2, GSE2/CM6.
+"""Real seismic file-format codecs: SAC, MiniSEED v2 + v3, GSE2/CM6.
 
 jane parses these with ObsPy [ref: src/jane/waveforms/
 process_waveforms.py — process_file, conf=H; SURVEY.md §0 caveat];
@@ -7,9 +7,10 @@ directly from their PUBLIC specifications — the SAC file reference
 (IRIS/SAC manual: 632-byte header of 70 float words, 40 int words,
 192 bytes of 8/16-char strings, then float32 samples), the SEED
 manual chapter 8 (fixed 48-byte data header, blockette 1000, Steim-1/2
-compression), and the GSETT-3 GSE2.x message spec (WID2/DAT2/CHK2
-ASCII container, CM6 6-bit second-difference compression). Pure
-struct/numpy — no third-party codec libraries.
+compression), the FDSN miniSEED 3.0 spec (little-endian fixed header,
+FDSN source-identifier URI, CRC-32C), and the GSETT-3 GSE2.x message
+spec (WID2/DAT2/CHK2 ASCII container, CM6 6-bit second-difference
+compression). Pure struct/numpy — no third-party codec libraries.
 
 Both parsers emit the engine's ContinuousTrace index-row contract
 (same dict shape as sources.waveform_format.read_records), so they
@@ -371,9 +372,13 @@ def read_mseed(data: bytes) -> Iterator[dict]:
         yield rec
 
 
-def _steim1_encode(samples: list[int]) -> tuple[bytes, int]:
+def _steim1_encode(
+    samples: list[int], max_frames: int | None = 7, pad: bool = True
+) -> tuple[bytes, int]:
     """Greedy Steim-1 frame packer. Returns (frames, n_encoded) — the
-    writer splits into more records when a record's frames fill up."""
+    v2 writer splits into more records when a record's frames fill up;
+    the v3 writer passes max_frames=None/pad=False for one unpadded
+    frame run holding the whole series."""
     diffs = [samples[0]] + [
         samples[i] - samples[i - 1] for i in range(1, len(samples))
     ]
@@ -396,7 +401,7 @@ def _steim1_encode(samples: list[int]) -> tuple[bytes, int]:
             words.append((3, chunk[0] & 0xFFFFFFFF))
             i += 1
         consumed.append(i)
-    return _steim_frames(words, consumed, samples)
+    return _steim_frames(words, consumed, samples, max_frames, pad)
 
 
 # Steim-2 packing densities, densest first: (n_diffs, bits, ck, dnib).
@@ -413,7 +418,9 @@ _STEIM2_PACKINGS = (
 )
 
 
-def _steim2_encode(samples: list[int]) -> tuple[bytes, int]:
+def _steim2_encode(
+    samples: list[int], max_frames: int | None = 7, pad: bool = True
+) -> tuple[bytes, int]:
     """Greedy Steim-2 frame packer: at each position take the densest
     packing whose next-n differences all fit its bit width. The first
     difference is clamped into 30 bits if needed — decoders ignore its
@@ -447,15 +454,22 @@ def _steim2_encode(samples: list[int]) -> tuple[bytes, int]:
             raise ValueError(
                 f"Steim2: difference {diffs[i]} exceeds 30 bits"
             )
-    return _steim_frames(words, consumed, samples)
+    return _steim_frames(words, consumed, samples, max_frames, pad)
 
 
 def _steim_frames(
-    words: list[tuple[int, int]], consumed: list[int], samples: list[int]
+    words: list[tuple[int, int]],
+    consumed: list[int],
+    samples: list[int],
+    max_frames: int | None = 7,
+    pad: bool = True,
 ) -> tuple[bytes, int]:
-    """Lay packed words into 64-byte frames (max 7 frames per 512-byte
-    record: 448 bytes of frames after the 64-byte header area)."""
-    max_frames = (_MSEED_RECLEN - 64) // 64
+    """Lay packed words into 64-byte frames (v2: max 7 frames per
+    512-byte record — 448 bytes after the 64-byte header area — zero-
+    padded; v3: max_frames=None packs every word, pad=False emits only
+    the frames used)."""
+    if max_frames is None:
+        max_frames = (len(words) + 2 + 14) // 15  # +2: frame-0 x0/xn slots
     slots: list[list[tuple[int, int]]] = []
     payload_cap = [13] + [15] * (max_frames - 1)  # frame 0 loses x0/xn slots
     wi = 0
@@ -481,7 +495,8 @@ def _steim_frames(
             body += struct.pack(">I", val)
         # nibble word covers 15 payload words; shift for word-0 slot
         frames += struct.pack(">I", nib) + body
-    frames += b"\x00" * (_MSEED_RECLEN - 64 - len(frames))
+    if pad:
+        frames += b"\x00" * (_MSEED_RECLEN - 64 - len(frames))
     return bytes(frames), n_samples
 
 
@@ -572,6 +587,179 @@ def write_mseed(
         pos += n
         seq += 1
     return out
+
+
+# ---------------------------------------------------------- MiniSEED 3
+
+# FDSN miniSEED 3.0 (public spec, docs.fdsn.org/projects/miniseed3):
+# little-endian 40-byte fixed header, variable-length source identifier
+# URI ("FDSN:NET_STA_LOC_BAND_SOURCE_SUBSOURCE"), optional JSON extra
+# headers, explicit payload length, CRC-32C over the whole record with
+# the CRC field zeroed. Steim payloads keep their big-endian word
+# format from v2, so the v2 frame codecs are reused as-is.
+
+_MS3_FIXED = "<2sBBIHHBBBBdIIBBHI"  # through payload length (40 bytes)
+
+
+def _crc32c_table() -> list[int]:
+    table = []
+    for n in range(256):
+        c = n
+        for _ in range(8):
+            c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+        table.append(c)
+    return table
+
+
+_CRC32C = _crc32c_table()
+
+
+def crc32c(data: bytes, crc: int = 0) -> int:
+    """CRC-32C (Castagnoli, reflected poly 0x82F63B78) — the miniSEED 3
+    record checksum."""
+    crc ^= 0xFFFFFFFF
+    for b in data:
+        crc = (crc >> 8) ^ _CRC32C[(crc ^ b) & 0xFF]
+    return crc ^ 0xFFFFFFFF
+
+
+def _sid_build(network: str, station: str, location: str, channel: str) -> str:
+    if len(channel) == 3:
+        band, source, sub = channel[0], channel[1], channel[2]
+    else:  # non-SEED channel codes ride in the source segment
+        band, source, sub = "", channel, ""
+    return f"FDSN:{network}_{station}_{location}_{band}_{source}_{sub}"
+
+
+def _sid_parse(sid: str) -> tuple[str, str, str, str]:
+    if not sid.startswith("FDSN:"):
+        raise ValueError(f"miniSEED3: non-FDSN source identifier {sid!r}")
+    parts = sid[5:].split("_")
+    if len(parts) != 6:
+        raise ValueError(f"miniSEED3: malformed source identifier {sid!r}")
+    net, sta, loc, band, source, sub = parts
+    return net, sta, loc, band + source + sub
+
+
+def read_mseed3_record_at(data: bytes, off: int) -> tuple[dict, int]:
+    """Parse the miniSEED 3 record at byte offset ``off``; returns
+    (record, next_offset). Verifies the CRC-32C before trusting any
+    length field beyond the fixed header."""
+    if off + 40 > len(data):
+        raise ValueError(f"miniSEED3: truncated header at {off}")
+    (
+        magic, ver, _flags, nanos, year, doy, hour, minute, sec,
+        enc, rate, npts, crc, pubver, sid_len, extra_len, data_len,
+    ) = struct.unpack_from(_MS3_FIXED, data, off)
+    if magic != b"MS" or ver != 3:
+        raise ValueError(f"miniSEED3: bad magic/version at {off}")
+    end = off + 40 + sid_len + extra_len + data_len
+    if end > len(data):
+        raise ValueError(f"miniSEED3: truncated record at {off}")
+    record = bytearray(data[off:end])
+    struct.pack_into("<I", record, 28, 0)
+    if crc32c(bytes(record)) != crc:
+        raise ValueError(f"miniSEED3: CRC-32C mismatch at {off}")
+    sid = data[off + 40 : off + 40 + sid_len].decode("ascii")
+    net, sta, loc, cha = _sid_parse(sid)
+    import calendar
+    import datetime as dt
+
+    d = dt.datetime(year, 1, 1) + dt.timedelta(days=doy - 1)
+    start_us = (
+        calendar.timegm(d.timetuple()) * 1_000_000
+        + (hour * 3600 + minute * 60 + sec) * 1_000_000
+        + nanos // 1000
+    )
+    payload = data[off + 40 + sid_len + extra_len : end]
+    if rate < 0:
+        rate = -1.0 / rate  # negative = sampling period in seconds
+    if enc == _ENC_INT16:
+        samples = np.frombuffer(payload, "<i2", count=npts).astype(np.int32)
+    elif enc == _ENC_INT32:
+        samples = np.frombuffer(payload, "<i4", count=npts)
+    elif enc == _ENC_F32:
+        samples = np.frombuffer(payload, "<f4", count=npts)
+    elif enc == _ENC_F64:
+        samples = np.frombuffer(payload, "<f8", count=npts)
+    elif enc in (_ENC_STEIM1, _ENC_STEIM2):
+        samples = _steim_decode(payload, npts, ">", enc == _ENC_STEIM2)
+    else:
+        raise ValueError(f"miniSEED3: unsupported encoding {enc}")
+    return {
+        "network": net,
+        "station": sta,
+        "location": loc,
+        "channel": cha,
+        "start_us": start_us,
+        "end_us": start_us
+        + (int(round((npts - 1) / rate * 1_000_000)) if rate > 0 else 0),
+        "sampling_rate": float(rate),
+        "npts": int(npts),
+        "quality": "D",  # v3 has no quality code (publication version instead)
+        "pos": off,
+        "samples": samples.tolist(),
+        "encoding": enc,
+        "pubversion": pubver,
+    }, end
+
+
+def read_mseed3(data: bytes) -> Iterator[dict]:
+    off = 0
+    while off < len(data):
+        rec, off = read_mseed3_record_at(data, off)
+        yield rec
+
+
+def write_mseed3(
+    network: str,
+    station: str,
+    location: str,
+    channel: str,
+    start_us: int,
+    rate_hz: float,
+    samples: list,
+    encoding: int = _ENC_STEIM2,
+    pubver: int = 1,
+    extra_json: str = "",
+) -> bytes:
+    """miniSEED 3 writer: ONE variable-length record holding the whole
+    series (v3 has no fixed record length — Steim frame runs grow as
+    needed), CRC-32C stamped last."""
+    import datetime as dt
+
+    if not samples:
+        raise ValueError("miniSEED3: empty sample series")
+    if encoding == _ENC_STEIM1:
+        payload, n = _steim1_encode(
+            [int(s) for s in samples], max_frames=None, pad=False
+        )
+    elif encoding == _ENC_STEIM2:
+        payload, n = _steim2_encode(
+            [int(s) for s in samples], max_frames=None, pad=False
+        )
+    else:
+        fmt = {_ENC_INT16: "h", _ENC_INT32: "i", _ENC_F32: "f", _ENC_F64: "d"}[
+            encoding
+        ]
+        payload = struct.pack(f"<{len(samples)}{fmt}", *samples)
+        n = len(samples)
+    if n != len(samples):
+        raise ValueError("miniSEED3: frame packing under-consumed samples")
+    sid = _sid_build(network, station, location, channel).encode("ascii")
+    extra = extra_json.encode("ascii")
+    t = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=start_us)
+    head = struct.pack(
+        _MS3_FIXED,
+        b"MS", 3, 0,
+        t.microsecond * 1000,
+        t.year, t.timetuple().tm_yday, t.hour, t.minute, t.second,
+        encoding, float(rate_hz), len(samples), 0, pubver,
+        len(sid), len(extra), len(payload),
+    )
+    record = bytearray(head + sid + extra + payload)
+    struct.pack_into("<I", record, 28, crc32c(bytes(record)))
+    return bytes(record)
 
 
 # ----------------------------------------------------------- GSE2/CM6
@@ -816,6 +1004,8 @@ def sniff_format(data: bytes) -> str:
     readers enforce)."""
     if data[:4] == b"JSW1":
         return "jsw1"
+    if data[:3] == b"MS\x03":
+        return "mseed3"
     if data[:5] == b"WID2 " or data[:9] == b"BEGIN GSE":
         return "gse2"
     if len(data) >= 48 and data[:6].isdigit() and chr(data[6]) in "DRQM":
@@ -835,6 +1025,8 @@ def read_auto(data: bytes) -> Iterator[dict]:
         from jane_spark.sources.waveform_format import read_records
 
         yield from read_records(data)
+    elif fmt == "mseed3":
+        yield from read_mseed3(data)
     elif fmt == "gse2":
         yield from read_gse2(data)
     elif fmt == "sac":

@@ -13,16 +13,19 @@ import pytest
 from jane_spark.sources.seismic_formats import (
     _CM6 as _ALPHA,
     _steim_decode,
+    crc32c,
     decode_cm6,
     encode_cm6,
     gse2_checksum,
     read_auto,
     read_gse2,
     read_mseed,
+    read_mseed3,
     read_sac,
     sniff_format,
     write_gse2,
     write_mseed,
+    write_mseed3,
     write_sac,
 )
 
@@ -211,6 +214,7 @@ def test_sniff_format():
     assert sniff_format(write_record("N", "S", "", "C", 0, 1.0, [1])) == "jsw1"
     assert sniff_format(write_gse2("N", "S", "", "C", 0, 1.0, [1])) == "gse2"
     assert sniff_format(b"BEGIN GSE2.1\nMSG_TYPE DATA\n") == "gse2"
+    assert sniff_format(write_mseed3("N", "S", "", "C", 0, 1.0, [1])) == "mseed3"
     with pytest.raises(ValueError, match="unrecognized"):
         sniff_format(b"\x00" * 700)
 
@@ -252,6 +256,82 @@ def test_steim2_encoder_first_diff_clamp():
     series = [(1 << 30) + 5, (1 << 30) + 6, (1 << 30) + 4]
     blob = write_mseed("N", "S", "", "C", T0, 1.0, series, encoding=11)
     assert next(read_mseed(blob))["samples"] == series
+
+
+# ---------------------------------------------------------- MiniSEED 3
+
+
+def test_crc32c_check_value():
+    """The standard CRC-32C check vector (RFC 3720 appendix): the CRC
+    of ASCII '123456789' is 0xE3069283."""
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0
+
+
+@pytest.mark.parametrize(
+    "enc,series",
+    [
+        (1, [100, -200, 300, -400]),
+        (3, [2**28, -(2**28), 7, 0]),
+        (4, [1.5, -2.25, 3.0]),
+        (5, [1e-12, 3.141592653589793, -2.5]),
+        (10, list(np.cumsum(np.arange(100)) % 5000)),
+        (11, list(np.cumsum(np.arange(100)) % 5000)),
+    ],
+)
+def test_mseed3_round_trip(enc, series):
+    series = [int(v) for v in series] if enc not in (4, 5) else series
+    blob = write_mseed3("BW", "ALTM", "", "EHZ", T0 + 123_456, 200.0,
+                        series, encoding=enc)
+    rec = next(read_mseed3(blob))
+    got = rec["samples"] if enc not in (4, 5) else [float(v) for v in rec["samples"]]
+    if enc == 4:
+        assert got == [float(np.float32(v)) for v in series]
+    else:
+        assert got == series
+    assert (rec["network"], rec["station"], rec["channel"]) == ("BW", "ALTM", "EHZ")
+    assert rec["start_us"] == T0 + 123_456
+    assert rec["sampling_rate"] == 200.0
+    assert rec["encoding"] == enc and rec["pubversion"] == 1
+
+
+def test_mseed3_single_record_unlimited_frames():
+    """v3 has no record-length cap: a series far beyond the v2 7-frame
+    capacity round-trips through ONE record (the whole point of the
+    max_frames=None frame packer)."""
+    rng = np.random.RandomState(5)
+    series = np.cumsum(rng.randint(-100, 100, 5000)).tolist()
+    blob = write_mseed3("II", "AAK", "10", "BHZ", T0, 40.0, series)
+    recs = list(read_mseed3(blob))
+    assert len(recs) == 1
+    assert recs[0]["npts"] == 5000
+    assert recs[0]["samples"] == series
+    assert recs[0]["location"] == "10"
+
+
+def test_mseed3_crc_corruption_raises():
+    blob = bytearray(write_mseed3("BW", "X", "", "HHZ", T0, 100.0, [1, 2, 3]))
+    blob[-1] ^= 0x01
+    with pytest.raises(ValueError, match="CRC-32C mismatch"):
+        next(read_mseed3(bytes(blob)))
+
+
+def test_mseed3_multi_record_buffer_and_auto():
+    b1 = write_mseed3("BW", "A", "", "EHZ", T0, 100.0, [1, 2, 3])
+    b2 = write_mseed3("GR", "B", "00", "LHZ", T0 + US, 1.0, [9, 8],
+                      encoding=3, pubver=2)
+    recs = list(read_auto(b1 + b2))
+    assert [(r["network"], r["station"], r["pubversion"]) for r in recs] == [
+        ("BW", "A", 1), ("GR", "B", 2),
+    ]
+    assert recs[1]["pos"] == len(b1)
+
+
+def test_mseed3_sid_non_seed_channel():
+    """Channels that are not 3-char SEED codes ride whole in the source
+    segment of the FDSN SID and round-trip unchanged."""
+    blob = write_mseed3("XX", "TEST", "", "temperature", T0, 1.0, [4, 5])
+    assert next(read_mseed3(blob))["channel"] == "temperature"
 
 
 # ----------------------------------------------------------- GSE2/CM6
@@ -371,6 +451,8 @@ def test_mixed_archive_spark_ingest(spark, tmp_path):
         write_record("IU", "ANMO", "00", "BHZ", T0, 40.0, [5, 6, 7]))
     (tmp_path / "d.gse").write_bytes(
         write_gse2("NO", "KONO", "", "LHZ", T0, 1.0, [10, 20, 30, 40]))
+    (tmp_path / "e.ms3").write_bytes(
+        write_mseed3("II", "AAK", "10", "BHZ", T0, 40.0, list(range(600))))
 
     idx = parse_waveform_files(scan_files(spark, str(tmp_path))).collect()
     by_net = {}
@@ -383,6 +465,7 @@ def test_mixed_archive_spark_ingest(spark, tmp_path):
     assert by_net["IU"][0]["location"] == "00"
     assert by_net["NO"][0]["station"] == "KONO"
     assert by_net["NO"][0]["npts"] == 4
+    assert by_net["II"][0]["npts"] == 600  # one v3 record, unlimited frames
 
 
 def test_read_auto_samples_agree_across_formats():
