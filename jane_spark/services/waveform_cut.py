@@ -2,9 +2,11 @@
 
 ``dataselect_query`` (services/fdsnws.py) resolves WHICH (file, pos)
 regions a request touches; this module does the byte work: read each
-matched record at its stored offset, trim samples to the cut window,
-and optionally re-encode the trimmed trace — the MiniSEED-response
-assembly of the reference, on the pluggable JSW1 codec.
+matched record at its stored offset (format-sniffed per file — JSW1,
+SAC, MiniSEED v2/v3, GSE2 all cut through the same path), trim samples
+to the cut window, and optionally re-encode the trimmed trace — the
+MiniSEED-response assembly of the reference, in the source format by
+default or any writable format via ``out_format``.
 
 Distribution: cut rows are repartitioned by file path, so each task
 opens a file once and seeks through its matched records — the
@@ -23,11 +25,13 @@ from pyspark.sql import functions as F
 CUT_SCHEMA = (
     "path string, network string, station string, location string, "
     "channel string, start_us long, npts int, sampling_rate double, "
-    "quality string, samples array<int>, payload binary"
+    "quality string, samples array<double>, payload binary"
 )
 
 
-def cut_waveforms(cut_rows: DataFrame, reencode: bool = False) -> DataFrame:
+def cut_waveforms(
+    cut_rows: DataFrame, reencode: bool = False, out_format: str = "same"
+) -> DataFrame:
     """Execute the cut plan: one output row per matched segment,
     trimmed to [cut_start, cut_end].
 
@@ -36,7 +40,10 @@ def cut_waveforms(cut_rows: DataFrame, reencode: bool = False) -> DataFrame:
     Sample trim follows the reference's trim semantics: keep samples
     whose timestamp lies inside the closed window; the emitted
     ``start_us`` is the first kept sample's time. ``reencode=True``
-    adds the serialized record bytes (the A7 byte-stream response).
+    adds the serialized record bytes (the A7 byte-stream response);
+    ``out_format`` picks the response codec — ``"same"`` re-encodes in
+    each source file's own format, or name one of ``jsw1``/``mseed``/
+    ``mseed3``/``sac``/``gse2`` (jane serves MiniSEED).
     """
     plan = cut_rows.select(
         "path",
@@ -48,7 +55,10 @@ def cut_waveforms(cut_rows: DataFrame, reencode: bool = False) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import math
 
-        from jane_spark.sources.waveform_format import read_record_at, write_record
+        from jane_spark.sources.seismic_formats import (
+            read_record_at_auto,
+            write_trace,
+        )
 
         cache: dict[str, bytes] = {}
         for pdf in batches:
@@ -57,9 +67,16 @@ def cut_waveforms(cut_rows: DataFrame, reencode: bool = False) -> DataFrame:
                 pdf["path"], pdf["pos"], pdf["cut_start_us"], pdf["cut_end_us"]
             ):
                 if path not in cache:
-                    with open(path, "rb") as fh:
+                    # binaryFile-scanned indexes store file: URIs; the
+                    # JSW1 data source stores bare paths — accept both
+                    local = path
+                    if local.startswith("file:"):
+                        local = local[5:]
+                        while local.startswith("//"):
+                            local = local[1:]
+                    with open(local, "rb") as fh:
                         cache[path] = fh.read()
-                rec, _ = read_record_at(cache[path], int(pos))
+                rec, src_fmt = read_record_at_auto(cache[path], int(pos))
                 rate, start = rec["sampling_rate"], rec["start_us"]
                 step = 1_000_000.0 / rate
                 # first/last sample indices inside the closed window
@@ -73,9 +90,11 @@ def cut_waveforms(cut_rows: DataFrame, reencode: bool = False) -> DataFrame:
                 new_start = start + int(i0 * step)
                 payload = None
                 if reencode:
-                    payload = write_record(
+                    payload = write_trace(
+                        src_fmt if out_format == "same" else out_format,
                         rec["network"], rec["station"], rec["location"],
-                        rec["channel"], new_start, rate, samples, rec["quality"],
+                        rec["channel"], new_start, rate, samples,
+                        rec["quality"],
                     )
                 out.append(
                     {

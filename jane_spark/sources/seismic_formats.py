@@ -1033,3 +1033,79 @@ def read_auto(data: bytes) -> Iterator[dict]:
         yield from read_sac(data)
     else:
         yield from read_mseed(data)
+
+
+def read_record_at_auto(data: bytes, off: int) -> tuple[dict, str]:
+    """Single-record read at a stored index offset, format-sniffed —
+    the dataselect cut phase's entry point for ANY supported archive
+    format. Returns (record, format_name)."""
+    fmt = sniff_format(data)
+    if fmt == "jsw1":
+        from jane_spark.sources.waveform_format import read_record_at
+
+        return read_record_at(data, off)[0], fmt
+    if fmt == "mseed":
+        return read_mseed_record_at(data, off)[0], fmt
+    if fmt == "mseed3":
+        return read_mseed3_record_at(data, off)[0], fmt
+    if fmt == "sac":
+        return next(read_sac(data)), fmt  # one trace per file, pos 0
+    for rec in read_gse2(data):  # gse2: blocks carry their line offset
+        if rec["pos"] == off:
+            return rec, fmt
+    raise ValueError(f"GSE2: no WID2 block at offset {off}")
+
+
+def write_trace(
+    fmt: str,
+    network: str,
+    station: str,
+    location: str,
+    channel: str,
+    start_us: int,
+    rate_hz: float,
+    samples: list,
+    quality: str = "D",
+) -> bytes:
+    """Serialize one trimmed trace in the named format (the cut-phase
+    response encoder). Integer series use Steim compression in the
+    MiniSEED containers; non-integral series fall back to float64 (v2
+    encoding 5) — SAC is float32 by definition, GSE2/CM6 integer."""
+    is_int = all(float(s).is_integer() for s in samples)
+    if fmt == "jsw1":
+        from jane_spark.sources.waveform_format import write_record
+
+        return write_record(
+            network, station, location, channel, start_us, rate_hz,
+            [int(s) for s in samples] if is_int else samples, quality,
+        )
+    if fmt == "mseed":
+        if is_int:
+            return write_mseed(
+                network, station, location, channel, start_us, rate_hz,
+                [int(s) for s in samples], quality, encoding=_ENC_STEIM1,
+            )
+        return write_mseed(
+            network, station, location, channel, start_us, rate_hz,
+            [float(s) for s in samples], quality, encoding=_ENC_F64,
+        )
+    if fmt == "mseed3":
+        enc = _ENC_STEIM2 if is_int else _ENC_F64
+        vals = [int(s) for s in samples] if is_int else [float(s) for s in samples]
+        return write_mseed3(
+            network, station, location, channel, start_us, rate_hz, vals,
+            encoding=enc,
+        )
+    if fmt == "sac":
+        return write_sac(
+            network, station, location, channel, start_us, rate_hz,
+            [float(s) for s in samples],
+        )
+    if fmt == "gse2":
+        if not is_int:
+            raise ValueError("GSE2/CM6 is an integer code; samples are not integral")
+        return write_gse2(
+            network, station, location, channel, start_us, rate_hz,
+            [int(s) for s in samples],
+        )
+    raise ValueError(f"unsupported output format {fmt!r}")

@@ -109,6 +109,46 @@ def test_dataselect_end_to_end_cut(spark, tmp_path):
     assert back[0]["start_us"] == seg["start_us"]
 
 
+def test_cut_multiformat_sources_and_output_codec(spark, tmp_path):
+    """The cut phase is format-sniffing on the read side (a MiniSEED v2
+    archive cuts through the same path as JSW1) and format-dispatched
+    on the write side: out_format='same' re-encodes MiniSEED from a
+    MiniSEED source; out_format='mseed3' serves v3 from the v2 source."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from jane_spark.services.waveform_cut import cut_waveforms
+    from jane_spark.sources.ingest import parse_waveform_files, scan_files
+    from jane_spark.sources.seismic_formats import (
+        read_mseed, read_mseed3, write_mseed,
+    )
+
+    t0 = 1_704_067_200_000_000  # 2024-01-01 UTC
+    series = np.cumsum(np.arange(200) % 17).tolist()
+    (tmp_path / "a.mseed").write_bytes(
+        write_mseed("BW", "MANZ", "", "BHZ", t0, 100.0, series, quality="R")
+    )
+    idx = parse_waveform_files(scan_files(spark, str(tmp_path)))
+    first = idx.orderBy("start_us").limit(1).select(
+        "path", "pos",
+        F.timestamp_micros(F.col("start_us") + 250_000)
+        .cast("timestamp_ntz").alias("cut_start"),
+        F.timestamp_micros(F.col("end_us")).cast("timestamp_ntz").alias("cut_end"),
+    )
+    seg = cut_waveforms(first, reencode=True).collect()[0]
+    rec0 = next(read_mseed(write_mseed("BW", "MANZ", "", "BHZ", t0, 100.0, series)))
+    want = rec0["samples"][25:]  # cut 0.25 s into a 100 Hz record
+    assert [int(v) for v in seg["samples"]] == want
+    assert seg["start_us"] == t0 + 250_000 and seg["quality"] == "R"
+    back = next(read_mseed(bytes(seg["payload"])))  # same-format response
+    assert back["samples"] == want and back["quality"] == "R"
+    # cross-format response: v3 out of the v2 archive
+    seg3 = cut_waveforms(first, reencode=True, out_format="mseed3").collect()[0]
+    back3 = next(read_mseed3(bytes(seg3["payload"])))
+    assert back3["samples"] == want
+    assert back3["start_us"] == t0 + 250_000
+
+
 def test_cut_window_misses_all_samples(spark, tmp_path):
     from pyspark.sql import functions as F
 
