@@ -468,6 +468,75 @@ def test_mixed_archive_spark_ingest(spark, tmp_path):
     assert by_net["II"][0]["npts"] == 600  # one v3 record, unlimited frames
 
 
+# ------------------------------------------------------ property tests
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**29), max_value=2**29 - 1), max_size=50))
+def test_cm6_codec_property_round_trip(values):
+    from jane_spark.sources.seismic_formats import decode_cm6, encode_cm6
+
+    assert decode_cm6(encode_cm6(values)) == values
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**28), max_value=2**28 - 1),
+        min_size=1,
+        max_size=400,
+    )
+)
+def test_steim2_property_round_trip(diffs):
+    """Any int series whose successive differences fit 30 bits encodes
+    and decodes identically through Steim-2 v2 records."""
+    from jane_spark.sources.seismic_formats import read_mseed, write_mseed
+
+    series = np.cumsum(np.asarray(diffs, dtype=np.int64))
+    series = np.clip(series, -(2**30), 2**30 - 1).tolist()
+    blob = write_mseed("XX", "PROP", "", "HHZ", T0, 100.0, series, encoding=11)
+    assert [s for r in read_mseed(blob) for s in r["samples"]] == series
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**28), max_value=2**28 - 1),
+        min_size=1,
+        max_size=400,
+    ),
+    st.sampled_from([1_000_000, 333_333, 987_654_321]),
+)
+def test_mseed3_property_round_trip(diffs, offset_us):
+    from jane_spark.sources.seismic_formats import read_mseed3, write_mseed3
+
+    series = np.clip(
+        np.cumsum(np.asarray(diffs, dtype=np.int64)), -(2**30), 2**30 - 1
+    ).tolist()
+    rec = next(read_mseed3(
+        write_mseed3("XX", "PROP", "", "HHZ", T0 + offset_us, 100.0, series)
+    ))
+    assert rec["samples"] == series
+    assert rec["start_us"] == T0 + offset_us
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**40), max_value=2**40), max_size=30))
+def test_gse2_checksum_property(samples):
+    """CHK2 is order-sensitive but sign-symmetric: |checksum| of the
+    negated series equals the original's, and the value is always in
+    [0, 1e8)."""
+    from jane_spark.sources.seismic_formats import gse2_checksum
+
+    c = gse2_checksum(samples)
+    assert 0 <= c < 100_000_000
+    assert gse2_checksum([-s for s in samples]) == c
+
+
 def test_read_auto_samples_agree_across_formats():
     """The same series written as SAC and as MiniSEED int32 decodes to
     identical samples and identical index metadata through read_auto."""
