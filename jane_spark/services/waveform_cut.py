@@ -117,6 +117,30 @@ def cut_waveforms(
     return plan.mapInPandas(run, CUT_SCHEMA)
 
 
+def dataselect_response(
+    index: DataFrame,
+    params: dict[str, str],
+    acl: DataFrame | None = None,
+    out_format: str = "mseed",
+):
+    """Full fdsnws-dataselect response: resolve the request against the
+    trace index (``dataselect_query`` — SEED wildcards, window overlap,
+    quality, longestonly, ACL), cut the matched byte regions, and yield
+    the re-encoded records in SEED-id + time order as a stream of bytes
+    chunks — the concatenated-MiniSEED HTTP body jane serves. Same
+    bounded-driver contract as the XML document assembly: records are
+    fetched via ``toLocalIterator()``, one partition at a time."""
+    from jane_spark.services.fdsnws import dataselect_query
+
+    plan = dataselect_query(index, params, acl=acl)
+    cut = cut_waveforms(plan, reencode=True, out_format=out_format)
+    ordered = cut.select(
+        "network", "station", "location", "channel", "start_us", "payload"
+    ).orderBy("network", "station", "location", "channel", "start_us")
+    for row in ordered.toLocalIterator():
+        yield bytes(row["payload"])
+
+
 def trace_previews(
     traces: DataFrame,
     seconds_per_block: float = 60.0,

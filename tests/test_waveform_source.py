@@ -149,6 +149,46 @@ def test_cut_multiformat_sources_and_output_codec(spark, tmp_path):
     assert back3["start_us"] == t0 + 250_000
 
 
+def test_dataselect_response_stream(spark, tmp_path):
+    """End-to-end service response: mixed-format archive in, one
+    ordered concatenated-MiniSEED byte stream out, assembled without
+    collect() (toLocalIterator), ACL-gated."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from jane_spark.services.waveform_cut import dataselect_response
+    from jane_spark.sources.ingest import parse_waveform_files, scan_files
+    from jane_spark.sources.seismic_formats import read_mseed, write_mseed
+
+    t0 = 1_704_067_200_000_000
+    s1 = np.cumsum(np.arange(100) % 7).tolist()
+    s2 = [v + 1 for v in s1]
+    (tmp_path / "a.mseed").write_bytes(
+        write_mseed("BW", "ALTM", "", "EHZ", t0, 100.0, s1)
+    )
+    (tmp_path / "b.mseed").write_bytes(
+        write_mseed("BW", "MANZ", "", "BHZ", t0, 100.0, s2)
+    )
+    idx = parse_waveform_files(scan_files(spark, str(tmp_path))).select(
+        "*",
+        F.timestamp_micros(F.col("start_us")).cast("timestamp_ntz").alias("starttime"),
+        F.timestamp_micros(F.col("end_us")).cast("timestamp_ntz").alias("endtime"),
+        ((F.col("end_us") - F.col("start_us")) / 1e6).alias("duration"),
+    )
+    chunks = list(dataselect_response(idx, {"network": "BW"}))
+    recs = list(read_mseed(b"".join(chunks)))
+    assert [(r["station"], r["samples"]) for r in recs] == [
+        ("ALTM", s1), ("MANZ", s2),
+    ]
+    # ACL: restrict MANZ, anonymous user gets only ALTM
+    gated = idx.withColumn("restricted", F.col("station") == "MANZ")
+    acl = spark.createDataFrame(
+        [], "network string, station string, location string, channel string"
+    )
+    got = list(read_mseed(b"".join(dataselect_response(gated, {"network": "BW"}, acl=acl))))
+    assert [r["station"] for r in got] == ["ALTM"]
+
+
 def test_cut_window_misses_all_samples(spark, tmp_path):
     from pyspark.sql import functions as F
 
