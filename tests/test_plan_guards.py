@@ -53,6 +53,25 @@ def test_semi_join_stays_semi(spark, sf_dir):
     assert "LeftSemi" in plan
 
 
+def test_acl_gate_broadcasts_grants(spark):
+    """SCALE.md §7c: the restricted-data gate must be ONE broadcast
+    left-outer join of the per-user grant set — no shuffle of the index
+    side, no second scan branch (union) in the plan."""
+    from pyspark.sql import functions as F
+
+    from jane_spark.services.fdsnws import _apply_acl
+    from jane_spark.testing.fixtures import trace_index
+
+    acl = spark.createDataFrame(
+        [("BW", "MANZ", "", "BHZ")],
+        "network string, station string, location string, channel string",
+    )
+    gated = _apply_acl(trace_index(spark).filter(F.col("network") == "BW"), acl)
+    plan = _executed_plan(gated)
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "SortMergeJoin" not in plan and "Union" not in plan
+
+
 def test_no_nested_loop_in_range_join(spark, sf_dir):
     from jane_spark.contracts import REGISTRY
 
