@@ -657,3 +657,46 @@ def availability_extent(traces: DataFrame) -> DataFrame:
         F.round(F.sum("duration"), 3).alias("total_seconds"),
         F.count(F.lit(1)).alias("n_segments"),
     )
+
+
+def availability_spans(
+    traces: DataFrame, merge_tolerance_s: float = 0.0
+) -> DataFrame:
+    """fdsnws-availability 'query' mode: continuous spans per channel,
+    merging adjacent/overlapping segments whose gap is ≤ the tolerance
+    (FDSN ``mergegaps``). The D6/E4 pattern: one window shuffle keyed
+    on SEED id — lag the running max end, flag gap starts, cumulative-
+    sum into span ids, aggregate. No self-join, no explode; at 100 TB
+    the shuffle carries index rows only, partitioned by channel."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*SEED_FIELDS).orderBy("starttime", "endtime")
+    # running max guards against contained segments (B inside A) where
+    # a plain lag(endtime) would reopen an already-covered span
+    prev_cover = F.max("endtime").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tol = F.lit(float(merge_tolerance_s))
+    flagged = traces.withColumn(
+        "__new_span",
+        F.when(prev_cover.isNull(), F.lit(1))
+        .when(
+            (F.unix_micros(F.col("starttime").cast("timestamp"))
+             - F.unix_micros(prev_cover.cast("timestamp"))) / 1e6 > tol,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0)),
+    ).withColumn(
+        "__span", F.sum("__new_span").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        flagged.groupBy(*SEED_FIELDS, "__span")
+        .agg(
+            F.min("starttime").alias("span_start"),
+            F.max("endtime").alias("span_end"),
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("npts").alias("total_samples"),
+        )
+        .drop("__span")
+        .orderBy(*SEED_FIELDS, "span_start")
+    )

@@ -280,6 +280,56 @@ def test_availability_extent(traces):
     assert ehe["total_seconds"] == 79199.0
 
 
+def test_availability_spans_merge_tolerance(traces):
+    """fdsnws-availability query mode: ALTM.EHE has a 2 h mid-day gap —
+    two spans at tolerance 0, one span once the tolerance swallows the
+    gap; MANZ's overlapping segments always merge to one span."""
+    from jane_spark.services.fdsnws import availability_spans
+
+    strict = availability_spans(traces, 0.0).collect()
+    by_chan = {}
+    for r in strict:
+        by_chan.setdefault((r["station"], r["channel"]), []).append(r)
+    ehe = by_chan[("ALTM", "EHE")]
+    assert len(ehe) == 2
+    assert ehe[0]["span_end"] == dt.datetime(2023, 1, 1, 6, 0, 0)
+    assert ehe[1]["span_start"] == dt.datetime(2023, 1, 1, 8, 0, 0)
+    assert [r["n_segments"] for r in ehe] == [1, 1]
+    # the two overlapping MANZ segments merge at zero tolerance
+    manz = by_chan[("MANZ", "BHZ")]
+    assert len(manz) == 1 and manz[0]["n_segments"] == 2
+    assert manz[0]["span_end"] == dt.datetime(2023, 1, 1, 23, 59, 59)
+    # a 2-hour tolerance swallows the EHE gap
+    merged = availability_spans(traces, 2 * 3600.0).collect()
+    ehe_m = [r for r in merged if (r["station"], r["channel"]) == ("ALTM", "EHE")]
+    assert len(ehe_m) == 1 and ehe_m[0]["n_segments"] == 2
+    assert ehe_m[0]["total_samples"] == 4320000 + 11519800
+
+
+def test_availability_spans_contained_segment(spark):
+    """A segment fully inside an earlier one must not reopen a span
+    (the running-max guard): A covers B, C starts after A ends."""
+    from jane_spark.services.fdsnws import availability_spans
+
+    rows = [
+        ("N", "S", "", "C", dt.datetime(2023, 1, 1, 0), dt.datetime(2023, 1, 1, 10),
+         1.0, 36000, 36000.0, "D", 1, 0, False),
+        ("N", "S", "", "C", dt.datetime(2023, 1, 1, 2), dt.datetime(2023, 1, 1, 3),
+         1.0, 3600, 3600.0, "D", 1, 1, False),
+        ("N", "S", "", "C", dt.datetime(2023, 1, 1, 12), dt.datetime(2023, 1, 1, 13),
+         1.0, 3600, 3600.0, "D", 1, 2, False),
+    ]
+    from jane_spark.plans.schema import TRACE_META, meta_to_schema
+
+    df = spark.createDataFrame(
+        rows, meta_to_schema(TRACE_META, include_geometry=False, include_extra=False)
+    )
+    got = availability_spans(df, 0.0).collect()
+    assert [(r["span_start"].hour, r["span_end"].hour, r["n_segments"]) for r in got] == [
+        (0, 10, 2), (12, 13, 1),
+    ]
+
+
 def test_station_level_station(channels):
     from jane_spark.services.fdsnws import station_query
 
