@@ -3,9 +3,10 @@
 ``spark.read.format("waveform").load(dir)`` — the long-term home for
 jane's waveform-file scan (the `binaryFile`+mapInPandas path in
 ``sources/ingest.py`` is the interim). One InputPartition per file:
-Spark schedules files across executors; each partition parses its file
-into per-trace index rows — exactly the distribution jane's
-single-host crawler lacks. Column pruning of the heavyweight
+Spark schedules files across executors; each partition format-sniffs
+its file (JSW1, SAC, MiniSEED v2/v3, GSE2 — seismic_formats.read_auto)
+and parses it into per-trace index rows — exactly the distribution
+jane's single-host crawler lacks. Column pruning of the heavyweight
 ``samples`` array is honored at parse time (the only expensive field).
 
 Register once per session::
@@ -43,7 +44,9 @@ SCHEMA = StructType(
         StructField("npts", IntegerType()),
         StructField("quality", StringType()),
         StructField("pos", LongType()),
-        StructField("samples", ArrayType(IntegerType())),
+        # double: integer codecs (JSW1/Steim/CM6) widen losslessly;
+        # SAC / MiniSEED float encodings need the float range
+        StructField("samples", ArrayType(DoubleType())),
     ]
 )
 
@@ -73,14 +76,16 @@ class WaveformReader(DataSourceReader):
         return [_FilePartition(p) for p in files]
 
     def read(self, partition: _FilePartition):
-        from jane_spark.sources.waveform_format import read_records
+        from jane_spark.sources.seismic_formats import read_auto
 
         cols = [f.name for f in self._schema.fields]
         with open(partition.path, "rb") as fh:
             data = fh.read()
-        for rec in read_records(data):
+        for rec in read_auto(data):
             rec["path"] = partition.path
-            if not self._want_samples:
+            if self._want_samples:
+                rec["samples"] = [float(s) for s in rec["samples"]]
+            else:
                 rec["samples"] = None  # pruned: skip shipping the array
             yield tuple(rec[c] for c in cols)
 

@@ -54,15 +54,46 @@ def test_waveform_datasource_reads_directory(spark, tmp_path):
     assert len(small) == 12
 
 
+def test_waveform_datasource_mixed_formats(spark, tmp_path):
+    """The Data Source sniffs per file: one directory mixing JSW1, SAC,
+    MiniSEED v2/v3 and GSE2 scans into one uniform index with float
+    samples widened losslessly from the integer codecs."""
+    from jane_spark.sources.seismic_formats import (
+        write_gse2, write_mseed, write_mseed3, write_sac,
+    )
+    from jane_spark.sources.waveform_datasource import register
+    from jane_spark.sources.waveform_format import write_record
+
+    t0 = 1_704_067_200_000_000
+    (tmp_path / "a.jsw").write_bytes(
+        write_record("BW", "ALTM", "", "EHZ", t0, 100.0, [1, 2, 3]))
+    (tmp_path / "b.sac").write_bytes(
+        write_sac("GR", "FUR", "", "BHZ", t0, 20.0, [1.5, -2.5]))
+    (tmp_path / "c.mseed").write_bytes(
+        write_mseed("IU", "ANMO", "00", "BHZ", t0, 20.0, [7, 8, 9]))
+    (tmp_path / "d.ms3").write_bytes(
+        write_mseed3("II", "AAK", "10", "BHZ", t0, 40.0, [4, 5]))
+    (tmp_path / "e.gse").write_bytes(
+        write_gse2("NO", "KONO", "", "LHZ", t0, 1.0, [10, 20]))
+    register(spark)
+    rows = spark.read.format("waveform").load(str(tmp_path)).collect()
+    by_net = {r["network"]: r for r in rows}
+    assert set(by_net) == {"BW", "GR", "IU", "II", "NO"}
+    assert list(by_net["BW"]["samples"]) == [1.0, 2.0, 3.0]
+    assert list(by_net["GR"]["samples"]) == [1.5, -2.5]
+    assert list(by_net["NO"]["samples"]) == [10.0, 20.0]
+    assert by_net["II"]["location"] == "10"
+
+
 def test_waveform_datasource_bad_magic(spark, tmp_path):
     import pytest
 
     from jane_spark.sources.waveform_datasource import register
 
-    (tmp_path / "junk.jsw").write_bytes(b"NOPE" + bytes(64))
+    (tmp_path / "junk.jsw").write_bytes(b"NOPE" + bytes(700))
     register(spark)
     df = spark.read.format("waveform").load(str(tmp_path))
-    with pytest.raises(Exception, match="bad magic"):
+    with pytest.raises(Exception, match="unrecognized waveform format"):
         df.collect()
 
 
