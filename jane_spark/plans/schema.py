@@ -113,6 +113,12 @@ QUAKEML_META: dict[str, str] = {
     "event_type": "str",
     "has_focal_mechanism": "bool",
     "has_moment_tensor": "bool",
+    # preferred focal-mechanism nodal plane 1 (degrees); NULL when the
+    # source document carries no mechanism (or only a moment tensor
+    # without derived planes)
+    "fm_strike": "float",
+    "fm_dip": "float",
+    "fm_rake": "float",
 }
 
 TRACE_META: dict[str, str] = {

@@ -230,18 +230,28 @@ def event_beachballs(events, size: int = 200):
     one SVG beachball per event, rendered inside Arrow-batched
     mapInPandas. Events without ``has_focal_mechanism`` are filtered
     out before any Python runs, so the scan prunes to the relevant
-    partition subset."""
+    partition subset.
+
+    Mechanism angles come from the index's ``fm_strike``/``fm_dip``/
+    ``fm_rake`` columns (QUAKEML_META) when present; rows flagged as
+    having a mechanism but missing derived planes — or indexes without
+    the columns at all — fall back to a deterministic id-hash stand-in
+    so the attachment pipeline stays total."""
     import pandas as pd
     from pyspark.sql import functions as F
 
-    # deterministic strike/dip/rake derived from the event id hash —
-    # the quakeml index schema carries no mechanism angles; a real
-    # catalog would join them in from the moment-tensor table
+    hash_strike = (F.abs(F.hash("quakeml_id")) % 360).cast("double")
+    hash_dip = (F.abs(F.hash("quakeml_id", F.lit(1))) % 89 + 1).cast("double")
+    hash_rake = ((F.abs(F.hash("quakeml_id", F.lit(2))) % 360) - 180).cast("double")
+    have_cols = {"fm_strike", "fm_dip", "fm_rake"} <= set(events.columns)
     with_mech = events.filter(F.col("has_focal_mechanism")).select(
         "quakeml_id",
-        (F.abs(F.hash("quakeml_id")) % 360).cast("double").alias("strike"),
-        (F.abs(F.hash("quakeml_id", F.lit(1))) % 89 + 1).cast("double").alias("dip"),
-        ((F.abs(F.hash("quakeml_id", F.lit(2))) % 360) - 180).cast("double").alias("rake"),
+        (F.coalesce(F.col("fm_strike").cast("double"), hash_strike)
+         if have_cols else hash_strike).alias("strike"),
+        (F.coalesce(F.col("fm_dip").cast("double"), hash_dip)
+         if have_cols else hash_dip).alias("dip"),
+        (F.coalesce(F.col("fm_rake").cast("double"), hash_rake)
+         if have_cols else hash_rake).alias("rake"),
     )
 
     def run(batches):

@@ -82,3 +82,12 @@ def test_event_beachballs_attachment_rows(spark):
         payload = bytes(r["payload"])
         assert payload.startswith(b"<svg ") and payload.endswith(b"</svg>")
         assert payload.count(b'fill="#333333"') == 2
+    by_id = {r["quakeml_id"]: bytes(r["payload"]) for r in rows}
+    # cataloged nodal-plane angles drive the rendering when present...
+    assert by_id["quakeml:eu/ev002"] == beachball_svg(235.0, 40.0, 95.0).encode()
+    assert by_id["quakeml:eu/ev003"] == beachball_svg(10.0, 88.0, -5.0).encode()
+    # ...and a mechanism flagged without derived planes still renders
+    # (deterministic id-hash fallback), so the pipeline stays total
+    assert by_id["quakeml:eu/ev005"] not in (
+        by_id["quakeml:eu/ev002"], by_id["quakeml:eu/ev003"]
+    )
