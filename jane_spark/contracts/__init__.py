@@ -26,70 +26,67 @@ from jane_spark.contracts import pipeline  # noqa: F401  (§2.11 K pipeline ops)
 # REGISTRY — guarded below.
 
 VERIFY_FIRST: list[str] = [
-    # --- round 5 rotation (VERDICT r4 next-steps #1): the ONLY two
-    # queries never in any round's check window come first
-    "q_k7_resize",
-    "q_k7_audio",
-    # --- code paths changed this round → re-verify (fdsnws document
-    # assembly now streams via toLocalIterator; seismic dispatch gains
-    # GSE2; both q_a8 XML queries exercise the new assembly)
+    # --- round 6 rotation (VERDICT r5 next-steps #1): all 21 queries
+    # last hash-verified in round 2 — the oldest evidence in the repo —
+    # come first. After this round no oracle-backed query is older than
+    # two rounds.
+    "q_k5_df",
+    "q_k5_tfidf",
+    "q_k6_lang",
+    "q_k15_incr_dedup",
+    "q_k2_minhash_portable",
+    "q_k2_simhash_portable",
+    "q_p1_hash_split",
+    "q_p2_stratified_sample",
+    "q_p3_upsample",
+    "q_p4_pack",
+    "q_p5_pipeline",
+    "q_t1_quality",
+    "q_t2_langid_sql",
+    "q_t3_fingerprint_md5",
+    "q_t4_bpe_tokens",
+    "q_t5_decontam",
+    "q_t6_redact",
+    "q_t7_repetition",
+    "q_t8_entropy",
+    "q_t9_scorecard",
+    "q_t10_winnow",
+    # --- code paths changing this round (fdsnws event params +
+    # per-level station text + availability NTZ fix; beachball
+    # no-fabrication fix; seismic-format Steim-2 fallback + GSE2 sniff;
+    # media_codecs PNG) → re-verify everything that exercises them
     "q_a8_station_xml",
     "q_a8_event_xml",
     "q_a8_text_format",
-    "q_a1_seismic_formats",
-    # --- new this round → must see the driver at least once
     "q_a6_beachball",
-    # --- veteran re-check block: last hash-verified r1/r2, out of the
-    # window for 3 rounds of code motion (VERDICT r4 next-steps #1 /
-    # "What's missing" #2). Oldest first by (last-seen round, §2 order).
     "q_a7_dataselect_cut",
-    "q_a1_waveform_source",
     "q_a7_cut_bytes",
-    "q_d2_extent",
-    "q_d3_distinct",
-    "q_d3_approx",
-    "q_d5_argmax",
+    "q_a1_seismic_formats",
+    "q_a1_waveform_source",
+    "q_b12_semi_acl",
+    "q_k7_resize",
+    "q_k7_audio",
+    "q_k7_multimodal",
     "q_d6_gaps",
-    "q_d7_bucket",
-    "q_d8_rollup",
-    "q_d9_hist",
-    "q_d10_percentile",
-    "q_d10_approx",
-    "q_d11_pivot",
-    "q_d12_unpivot",
-    "q_e3_cumsum",
-    "q_f1_order_limit",
-    "q_f2_page",
-    "q_f3_topk_group",
-    "q_f4_longest",
-    "q_g1_union",
-    "q_g2_intersect",
-    "q_g3_except",
-    "q_d4_collect",
-    "q_d8_cube",
-    "q_f5_ntile",
-    "q_e5_rolling",
-    "q_d15_scd2",
-    "q_h1_ts_parse",
-    "q_h3_seedid",
-    "q_h4_regex",
-    "q_h8_array",
-    "q_h9_tojson",
-    "q_h10_null_epoch",
-    "q_g4_intersect_all",
-    "q_i2_tumbling",     # also: _ts_ntz parity fix this round
-    "q_i3_sliding",
-    "q_i4_sessionize",
-    "q_j2_grouped_map",
-    "q_j3_udaf",
-    "q_k2_minhash",
-    "q_k2_jaccard",
-    "q_k4_tokens",
-    # remaining r2 veterans (q_k5_df, q_k6_lang, q_t1_quality, q_k5_tfidf,
-    # q_t4_bpe_tokens, q_t7_repetition, portable minhash/simhash,
-    # entropy/scorecard/winnow, K15, P1–P5, T5/T6, langid_sql,
-    # fingerprint_md5) rotate back next round; the front list is held
-    # to exactly 50 names (the checked window).
+    # --- longest-stale r4 veterans fill the window to exactly 50;
+    # new round-6 queries (bulk dataselect, availability oracle, FM
+    # XML) replace tail entries as they are registered.
+    "q_a1_scan_count",
+    "q_a2_explode",
+    "q_a4_sha_dedup",
+    "q_a6_binary_len",
+    "q_a9_delta_anti",
+    "q_b2_eq_filter",
+    "q_b4_wildcard",
+    "q_b7_overlap",
+    "q_b8_bbox",
+    "q_b9_radial_wrap",
+    "q_c3_join4",
+    "q_c4_range_join",
+    "q_c7_asof",
+    "q_d1_count_group",
+    "q_d13_gapfill",
+    "q_d14_stats",
 ]
 
 
