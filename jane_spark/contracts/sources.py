@@ -84,24 +84,35 @@ def q_a6(spark, sf_dir):
     oracle=None,  # SVG payload generation — rows-only check
     survey_rows="A6",
     doc="focal-mechanism attachment generation (services/beachball): "
-    "deterministic strike/dip/rake per event id, double-couple math + "
-    "equal-area projection rendered to SVG inside Arrow-batched "
-    "mapInPandas, rolled up to stable corpus counts (every double "
-    "couple yields exactly 2 compressional fill paths)",
+    "cataloged strike/dip/rake (deterministic per event id in this "
+    "fixture), double-couple math + equal-area projection rendered to "
+    "SVG inside Arrow-batched mapInPandas; flagged events WITHOUT "
+    "cataloged angles get a clearly-marked placeholder row, never an "
+    "invented mechanism. Rolled up to stable corpus counts (every "
+    "rendered double couple yields exactly 2 compressional fill paths; "
+    "placeholders yield 0)",
 )
 def q_a6_beachball(spark, sf_dir):
-    from jane_spark.services.beachball import event_beachballs
+    from jane_spark.services.beachball import PLACEHOLDER_CATEGORY, event_beachballs
 
+    eid = F.col("event_id")
+    # fixture catalog: every 3rd event carries a mechanism; of those,
+    # every 2nd (event_id % 6 == 0) lacks derived nodal planes
+    has_angles = eid % 6 == 3
     ev = Catalog(spark, sf_dir).events.select(
-        F.concat(F.lit("evt:"), F.col("event_id").cast("string")).alias(
-            "quakeml_id"
-        ),
-        (F.col("event_id") % 3 == 0).alias("has_focal_mechanism"),
+        F.concat(F.lit("evt:"), eid.cast("string")).alias("quakeml_id"),
+        (eid % 3 == 0).alias("has_focal_mechanism"),
+        F.when(has_angles, (eid * 37 % 360).cast("double")).alias("fm_strike"),
+        F.when(has_angles, (eid % 89 + 1).cast("double")).alias("fm_dip"),
+        F.when(has_angles, (eid * 13 % 360 - 180).cast("double")).alias("fm_rake"),
     )
     balls = event_beachballs(ev, size=120)
     return balls.select(
         F.count(F.lit(1)).alias("n_attachments"),
         F.count_distinct("quakeml_id").alias("n_events"),
+        F.sum((F.col("category") == PLACEHOLDER_CATEGORY).cast("long")).alias(
+            "n_placeholders"
+        ),
         F.sum(F.length("payload")).alias("total_svg_bytes"),
         F.sum(
             (

@@ -224,6 +224,28 @@ BEACHBALL_SCHEMA = (
     "quakeml_id string, category string, content_type string, payload binary"
 )
 
+PLACEHOLDER_CATEGORY = "focal_mechanism_placeholder"
+
+
+def placeholder_svg(size: int = 200) -> str:
+    """Clearly-marked stand-in for an event whose focal mechanism is
+    flagged but has no cataloged nodal-plane angles: an empty disc with
+    a question mark — never mistakable for a rendered mechanism (no
+    filled quadrants, no nodal traces)."""
+    cx = cy = size / 2.0
+    rad = size * 0.45
+    return (
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{size}" '
+        f'height="{size}" viewBox="0 0 {size} {size}">'
+        f'<circle cx="{_fmt(cx)}" cy="{_fmt(cy)}" r="{_fmt(rad)}" '
+        f'fill="#ffffff" stroke="#999999" stroke-width="1.5" '
+        f'stroke-dasharray="4 3"/>'
+        f'<text x="{_fmt(cx)}" y="{_fmt(cy + size * 0.12)}" '
+        f'text-anchor="middle" font-size="{_fmt(size * 0.38)}" '
+        f'fill="#999999">?</text>'
+        f"</svg>"
+    )
+
 
 def event_beachballs(events, size: int = 200):
     """Attachment rows (A6) for every event with a focal mechanism:
@@ -232,38 +254,41 @@ def event_beachballs(events, size: int = 200):
     out before any Python runs, so the scan prunes to the relevant
     partition subset.
 
-    Mechanism angles come from the index's ``fm_strike``/``fm_dip``/
-    ``fm_rake`` columns (QUAKEML_META) when present; rows flagged as
-    having a mechanism but missing derived planes — or indexes without
-    the columns at all — fall back to a deterministic id-hash stand-in
-    so the attachment pipeline stays total."""
+    Mechanism angles come ONLY from the index's cataloged
+    ``fm_strike``/``fm_dip``/``fm_rake`` columns (QUAKEML_META). A row
+    flagged as having a mechanism but missing any nodal-plane angle —
+    or an index without the columns at all — is never rendered as a
+    mechanism: it yields a clearly-marked placeholder row
+    (``category = 'focal_mechanism_placeholder'``, a dashed empty disc)
+    so the attachment pipeline stays total without publishing invented
+    data for a real event."""
     import pandas as pd
     from pyspark.sql import functions as F
 
-    hash_strike = (F.abs(F.hash("quakeml_id")) % 360).cast("double")
-    hash_dip = (F.abs(F.hash("quakeml_id", F.lit(1))) % 89 + 1).cast("double")
-    hash_rake = ((F.abs(F.hash("quakeml_id", F.lit(2))) % 360) - 180).cast("double")
     have_cols = {"fm_strike", "fm_dip", "fm_rake"} <= set(events.columns)
+    null_d = F.lit(None).cast("double")
     with_mech = events.filter(F.col("has_focal_mechanism")).select(
         "quakeml_id",
-        (F.coalesce(F.col("fm_strike").cast("double"), hash_strike)
-         if have_cols else hash_strike).alias("strike"),
-        (F.coalesce(F.col("fm_dip").cast("double"), hash_dip)
-         if have_cols else hash_dip).alias("dip"),
-        (F.coalesce(F.col("fm_rake").cast("double"), hash_rake)
-         if have_cols else hash_rake).alias("rake"),
+        (F.col("fm_strike").cast("double") if have_cols else null_d).alias("strike"),
+        (F.col("fm_dip").cast("double") if have_cols else null_d).alias("dip"),
+        (F.col("fm_rake").cast("double") if have_cols else null_d).alias("rake"),
     )
+    stub = placeholder_svg(size=size).encode()
 
     def run(batches):
         for pdf in batches:
-            payloads = [
-                beachball_svg(s, d, r, size=size).encode()
-                for s, d, r in zip(pdf["strike"], pdf["dip"], pdf["rake"])
-            ]
+            cats, payloads = [], []
+            for s, d, r in zip(pdf["strike"], pdf["dip"], pdf["rake"]):
+                if pd.isna(s) or pd.isna(d) or pd.isna(r):
+                    cats.append(PLACEHOLDER_CATEGORY)
+                    payloads.append(stub)
+                else:
+                    cats.append("focal_mechanism")
+                    payloads.append(beachball_svg(s, d, r, size=size).encode())
             yield pd.DataFrame(
                 {
                     "quakeml_id": pdf["quakeml_id"],
-                    "category": "focal_mechanism",
+                    "category": cats,
                     "content_type": "image/svg+xml",
                     "payload": payloads,
                 }

@@ -266,7 +266,11 @@ def _pz_items(tag: str, payload: Column) -> Column:
     """``"re:im;re:im"`` complex-list payload → a run of
     ``<Pole number="i"><Real>re</Real><Imaginary>im</Imaginary></Pole>``
     (or ``<Zero>``) elements. Pure higher-order string exprs — the
-    transfer function stays inside whole-stage codegen."""
+    transfer function stays inside whole-stage codegen. Tokens are
+    index-derived free text, so they pass through xml_escape like every
+    other content position."""
+    from jane_spark.functions.xml import xml_escape
+
     items = F.transform(
         F.split(payload, ";"),
         lambda it, i: F.concat(
@@ -275,9 +279,9 @@ def _pz_items(tag: str, payload: Column) -> Column:
             F.lit('">'),
             F.concat(
                 F.lit("<Real>"),
-                F.element_at(F.split(it, ":"), 1),
+                xml_escape(F.element_at(F.split(it, ":"), 1)),
                 F.lit("</Real><Imaginary>"),
-                F.element_at(F.split(it, ":"), 2),
+                xml_escape(F.element_at(F.split(it, ":"), 2)),
                 F.lit("</Imaginary>"),
             ),
             F.lit(f"</{tag}>"),
@@ -292,11 +296,11 @@ def _stage_element(s: Column) -> Column:
     """One response stage struct → FDSN StationXML 1.1 ``<Stage>``:
     PolesZeros/Coefficients transfer block (units + poles/zeros) when
     the stage carries one, then the StageGain."""
-    from jane_spark.functions.xml import xml_element
+    from jane_spark.functions.xml import xml_element, xml_escape
 
     units = F.concat(
-        xml_element("InputUnits", xml_element("Name", s["input_units"])),
-        xml_element("OutputUnits", xml_element("Name", s["output_units"])),
+        xml_element("InputUnits", xml_element("Name", xml_escape(s["input_units"]))),
+        xml_element("OutputUnits", xml_element("Name", xml_escape(s["output_units"]))),
     )
     transfer = F.when(
         s["stage_type"].isin("PolesZeros", "Coefficients"),
@@ -676,15 +680,15 @@ def availability_spans(
     prev_cover = F.max("endtime").over(
         w.rowsBetween(Window.unboundedPreceding, -1)
     )
-    tol = F.lit(float(merge_tolerance_s))
+    # NTZ-safe gap test: add the tolerance as a day-time interval and
+    # compare NTZ-to-NTZ. A timestamp_ntz→timestamp cast would apply
+    # spark.sql.session.timeZone, mis-measuring gaps that span a DST
+    # transition by up to an hour.
+    tol = F.make_dt_interval(secs=F.lit(float(merge_tolerance_s)))
     flagged = traces.withColumn(
         "__new_span",
         F.when(prev_cover.isNull(), F.lit(1))
-        .when(
-            (F.unix_micros(F.col("starttime").cast("timestamp"))
-             - F.unix_micros(prev_cover.cast("timestamp"))) / 1e6 > tol,
-            F.lit(1),
-        )
+        .when(F.col("starttime") > prev_cover + tol, F.lit(1))
         .otherwise(F.lit(0)),
     ).withColumn(
         "__span", F.sum("__new_span").over(w.rowsBetween(Window.unboundedPreceding, 0))

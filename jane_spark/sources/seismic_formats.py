@@ -372,6 +372,14 @@ def read_mseed(data: bytes) -> Iterator[dict]:
         yield rec
 
 
+class SteimOverflowError(ValueError):
+    """An adjacent-sample difference exceeds the packing's widest word
+    (30 bits for Steim-2, 32 for Steim-1). Writers catch this and fall
+    back to a wider per-record encoding instead of failing the task —
+    one clipped ±2^30 spike in a 100 TB cut job must not kill the
+    mapInPandas stage."""
+
+
 def _steim1_encode(
     samples: list[int], max_frames: int | None = 7, pad: bool = True
 ) -> tuple[bytes, int]:
@@ -398,6 +406,13 @@ def _steim1_encode(
             words.append((2, ((chunk[0] & 0xFFFF) << 16) | (chunk[1] & 0xFFFF)))
             i += 2
         else:
+            # the 32-bit escape word holds signed-32 differences only;
+            # a wider swing would wrap and fail the decoder's reverse-
+            # integration check — surface it for the writer's fallback
+            if i > 0 and not -(1 << 31) <= chunk[0] < (1 << 31):
+                raise SteimOverflowError(
+                    f"Steim1: difference {chunk[0]} exceeds 32 bits"
+                )
             words.append((3, chunk[0] & 0xFFFFFFFF))
             i += 1
         consumed.append(i)
@@ -451,7 +466,7 @@ def _steim2_encode(
                 consumed.append(i)
                 break
         else:
-            raise ValueError(
+            raise SteimOverflowError(
                 f"Steim2: difference {diffs[i]} exceeds 30 bits"
             )
     return _steim_frames(words, consumed, samples, max_frames, pad)
@@ -551,16 +566,31 @@ def write_mseed(
     pos = 0
     while pos < len(samples):
         t_us = start_us + int(round(pos / rate_hz * 1_000_000))
-        chunk = samples[pos:]
+        # a 512-byte record consumes ≤721 Steim-2 (103 words × 7 diffs)
+        # / ≤448 raw samples — bound the encoder's view so per-record
+        # work is O(record), not O(remaining series), and an overflow
+        # far downstream never demotes this record's encoding
+        chunk = samples[pos : pos + 1024]
         cap = {_ENC_INT16: 224, _ENC_INT32: 112, _ENC_F32: 112, _ENC_F64: 56}
-        if encoding == _ENC_STEIM1:
-            payload, n = _steim1_encode([int(s) for s in chunk])
-        elif encoding == _ENC_STEIM2:
-            payload, n = _steim2_encode([int(s) for s in chunk])
-        else:
-            n = min(len(chunk), cap[encoding])
+        # per-record encoding with overflow fallback Steim-2 → Steim-1
+        # → int32: blockette 1000 is per-record, so a mixed-encoding
+        # file is legal MiniSEED and one extreme record never fails
+        # the whole serialization
+        rec_enc, payload, n = encoding, None, 0
+        if rec_enc == _ENC_STEIM2:
+            try:
+                payload, n = _steim2_encode([int(s) for s in chunk])
+            except SteimOverflowError:
+                rec_enc = _ENC_STEIM1
+        if rec_enc == _ENC_STEIM1:
+            try:
+                payload, n = _steim1_encode([int(s) for s in chunk])
+            except SteimOverflowError:
+                rec_enc = _ENC_INT32
+        if payload is None:
+            n = min(len(chunk), cap[rec_enc])
             fmt = {_ENC_INT16: "h", _ENC_INT32: "i", _ENC_F32: "f", _ENC_F64: "d"}[
-                encoding
+                rec_enc
             ]
             payload = struct.pack(f">{n}{fmt}", *chunk[:n])
             payload += b"\x00" * (_MSEED_RECLEN - 64 - len(payload))
@@ -581,7 +611,7 @@ def write_mseed(
             + struct.pack(">i", 0)  # time correction
             + struct.pack(">HH", 64, 48)  # data offset, first blockette
         )
-        blk1000 = struct.pack(">HHBBBB", 1000, 0, encoding, 1, 9, 0)  # 2^9 = 512
+        blk1000 = struct.pack(">HHBBBB", 1000, 0, rec_enc, 1, 9, 0)  # 2^9 = 512
         head = head + blk1000 + b"\x00" * (64 - len(head) - len(blk1000))
         out += head + payload
         pos += n
@@ -730,15 +760,25 @@ def write_mseed3(
 
     if not samples:
         raise ValueError("miniSEED3: empty sample series")
+    # overflow fallback Steim-2 → Steim-1 → int32 (the v3 header's
+    # encoding field is per-record): one extreme-but-valid swing must
+    # not fail the record
+    payload, n = None, 0
+    if encoding == _ENC_STEIM2:
+        try:
+            payload, n = _steim2_encode(
+                [int(s) for s in samples], max_frames=None, pad=False
+            )
+        except SteimOverflowError:
+            encoding = _ENC_STEIM1
     if encoding == _ENC_STEIM1:
-        payload, n = _steim1_encode(
-            [int(s) for s in samples], max_frames=None, pad=False
-        )
-    elif encoding == _ENC_STEIM2:
-        payload, n = _steim2_encode(
-            [int(s) for s in samples], max_frames=None, pad=False
-        )
-    else:
+        try:
+            payload, n = _steim1_encode(
+                [int(s) for s in samples], max_frames=None, pad=False
+            )
+        except SteimOverflowError:
+            encoding = _ENC_INT32
+    if payload is None:
         fmt = {_ENC_INT16: "h", _ENC_INT32: "i", _ENC_F32: "f", _ENC_F64: "d"}[
             encoding
         ]
@@ -1008,6 +1048,16 @@ def sniff_format(data: bytes) -> str:
         return "mseed3"
     if data[:5] == b"WID2 " or data[:9] == b"BEGIN GSE":
         return "gse2"
+    # GSE/IMS messages often open with MSG_TYPE/MSG_ID or blank lines
+    # before the waveform section — when the head is printable ASCII
+    # (which no binary format here is), scan its lines for a WID2/BEGIN
+    # GSE lead instead of anchoring at byte 0 (read_gse2 itself scans
+    # for WID2 anywhere in the buffer)
+    head = data[:512]
+    if head and all(32 <= b < 127 or b in (9, 10, 13) for b in head):
+        for line in head.splitlines():
+            if line.lstrip().startswith((b"WID2 ", b"BEGIN GSE")):
+                return "gse2"
     if len(data) >= 48 and data[:6].isdigit() and chr(data[6]) in "DRQM":
         return "mseed"
     if len(data) >= 632:

@@ -9,11 +9,13 @@ import math
 import numpy as np
 
 from jane_spark.services.beachball import (
+    PLACEHOLDER_CATEGORY,
     _fault_vectors,
     _plane_of_normal,
     _polarity,
     beachball_svg,
     event_beachballs,
+    placeholder_svg,
 )
 from jane_spark.testing.fixtures import event_index
 
@@ -76,18 +78,35 @@ def test_event_beachballs_attachment_rows(spark):
     rows = event_beachballs(event_index(spark)).collect()
     ids = sorted(r["quakeml_id"] for r in rows)
     assert ids == ["quakeml:eu/ev002", "quakeml:eu/ev003", "quakeml:eu/ev005"]
+    by_id = {r["quakeml_id"]: r for r in rows}
     for r in rows:
-        assert r["category"] == "focal_mechanism"
         assert r["content_type"] == "image/svg+xml"
         payload = bytes(r["payload"])
         assert payload.startswith(b"<svg ") and payload.endswith(b"</svg>")
-        assert payload.count(b'fill="#333333"') == 2
-    by_id = {r["quakeml_id"]: bytes(r["payload"]) for r in rows}
     # cataloged nodal-plane angles drive the rendering when present...
-    assert by_id["quakeml:eu/ev002"] == beachball_svg(235.0, 40.0, 95.0).encode()
-    assert by_id["quakeml:eu/ev003"] == beachball_svg(10.0, 88.0, -5.0).encode()
-    # ...and a mechanism flagged without derived planes still renders
-    # (deterministic id-hash fallback), so the pipeline stays total
-    assert by_id["quakeml:eu/ev005"] not in (
-        by_id["quakeml:eu/ev002"], by_id["quakeml:eu/ev003"]
-    )
+    for eid, mech in (
+        ("quakeml:eu/ev002", (235.0, 40.0, 95.0)),
+        ("quakeml:eu/ev003", (10.0, 88.0, -5.0)),
+    ):
+        assert by_id[eid]["category"] == "focal_mechanism"
+        payload = bytes(by_id[eid]["payload"])
+        assert payload == beachball_svg(*mech).encode()
+        assert payload.count(b'fill="#333333"') == 2
+    # ...but a mechanism flagged WITHOUT derived planes must never be
+    # rendered as one: it becomes a clearly-marked placeholder row
+    # (empty dashed disc, zero fill paths), not an invented mechanism
+    ev005 = by_id["quakeml:eu/ev005"]
+    assert ev005["category"] == PLACEHOLDER_CATEGORY
+    assert bytes(ev005["payload"]) == placeholder_svg().encode()
+    assert bytes(ev005["payload"]).count(b'fill="#333333"') == 0
+
+
+def test_event_beachballs_index_without_fm_columns(spark):
+    """An index lacking fm_* columns entirely yields only placeholder
+    rows — the service never invents mechanism angles."""
+    from pyspark.sql import functions as F
+
+    ev = event_index(spark).drop("fm_strike", "fm_dip", "fm_rake")
+    rows = event_beachballs(ev).collect()
+    assert len(rows) == 3
+    assert {r["category"] for r in rows} == {PLACEHOLDER_CATEGORY}

@@ -330,6 +330,37 @@ def test_availability_spans_contained_segment(spark):
     ]
 
 
+def test_availability_spans_dst_session_zone(spark):
+    """Gap measurement must be tz-cast-free: in a DST-observing session
+    zone, a timestamp_ntz→timestamp cast is non-linear across the
+    spring-forward hour. Two segments around the US 2023-03-12
+    transition with a true 30-min gap must stay two spans at
+    tolerance 0 and merge at 1800 s — regardless of session zone."""
+    from jane_spark.plans.schema import TRACE_META, meta_to_schema
+    from jane_spark.services.fdsnws import availability_spans
+
+    rows = [
+        # ends 06:50 UTC (01:50 EST); next starts 07:20 UTC (03:20 EDT)
+        ("N", "S", "", "C", dt.datetime(2023, 3, 12, 5, 0),
+         dt.datetime(2023, 3, 12, 6, 50), 1.0, 6600, 6600.0, "D", 1, 0, False),
+        ("N", "S", "", "C", dt.datetime(2023, 3, 12, 7, 20),
+         dt.datetime(2023, 3, 12, 9, 0), 1.0, 6000, 6000.0, "D", 1, 1, False),
+    ]
+    df = spark.createDataFrame(
+        rows, meta_to_schema(TRACE_META, include_geometry=False, include_extra=False)
+    )
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        assert len(availability_spans(df, 0.0).collect()) == 2
+        # 30-min gap: a naive tz cast would measure it as 90 min and
+        # refuse to merge at a 1800 s tolerance
+        assert len(availability_spans(df, 1800.0).collect()) == 1
+        assert len(availability_spans(df, 1799.0).collect()) == 2
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
 def test_station_level_station(channels):
     from jane_spark.services.fdsnws import station_query
 
@@ -461,6 +492,37 @@ def test_station_xml_response_stages_golden(channels):
     ) in xml
     # the InstrumentSensitivity summary still precedes the stages
     assert xml.index("<InstrumentSensitivity>") < xml.index('<Stage number="1">')
+
+
+def test_station_xml_escapes_stage_free_text(channels):
+    """Unit names and pole/zero tokens are index-derived free text —
+    a '&' or '<' in them must reach the document as an entity, keeping
+    the StationXML well-formed."""
+    from pyspark.sql import functions as F
+
+    from jane_spark.services.fdsnws import station_query, station_xml
+
+    hostile = F.array(
+        F.struct(
+            F.lit(1).alias("number"),
+            F.lit("PolesZeros").alias("stage_type"),
+            F.lit(1500.0).alias("gain"),
+            F.lit(0.05).alias("gain_frequency"),
+            F.lit("M/S & <fast>").alias("input_units"),
+            F.lit("V").alias("output_units"),
+            F.lit("-0.037:<nan>").alias("poles"),
+            F.lit("").alias("zeros"),
+        )
+    )
+    resp = station_query(
+        channels, {"network": "IU", "location": "10", "level": "response"}
+    ).withColumn("response_stages", hostile)
+    xml = station_xml(resp).collect()[0]["xml"]
+    assert "<Name>M/S &amp; &lt;fast&gt;</Name>" in xml
+    assert "<Imaginary>&lt;nan&gt;</Imaginary>" in xml
+    import xml.etree.ElementTree as ET
+
+    ET.fromstring(xml)  # must parse
 
 
 def test_station_level_channel_omits_response_stages(channels):

@@ -215,8 +215,15 @@ def test_sniff_format():
     assert sniff_format(write_gse2("N", "S", "", "C", 0, 1.0, [1])) == "gse2"
     assert sniff_format(b"BEGIN GSE2.1\nMSG_TYPE DATA\n") == "gse2"
     assert sniff_format(write_mseed3("N", "S", "", "C", 0, 1.0, [1])) == "mseed3"
+    # real GSE/IMS messages open with MSG_TYPE/MSG_ID or blank lines
+    # before the waveform section — the sniff must not anchor at byte 0
+    gse_body = write_gse2("N", "S", "", "C", 0, 1.0, [1, 2, 3])
+    assert sniff_format(b"MSG_TYPE DATA\nMSG_ID 2023/042 ANY_NDC\n\n" + gse_body) == "gse2"
+    assert sniff_format(b"\r\n\r\n" + gse_body) == "gse2"
     with pytest.raises(ValueError, match="unrecognized"):
         sniff_format(b"\x00" * 700)
+    with pytest.raises(ValueError, match="unrecognized"):
+        sniff_format(b"MSG_TYPE DATA\nno waveform section here\n")
 
 
 def test_steim2_encoder_round_trip_all_densities():
@@ -243,10 +250,48 @@ def test_steim2_encoder_round_trip_all_densities():
     assert [s for r in read_mseed(s2) for s in r["samples"]] == small
 
 
-def test_steim2_encoder_unrepresentable_diff_raises():
-    with pytest.raises(ValueError, match="exceeds 30 bits"):
-        write_mseed("N", "S", "", "C", T0, 1.0,
-                    [0, (1 << 30), -(1 << 30)], encoding=11)
+def test_steim2_overflow_falls_back_to_steim1():
+    """A clipped ±2^30 spike overflows Steim-2's 30-bit widest word but
+    fits Steim-1's 32-bit escape: the record demotes itself (blockette
+    1000 reflects it) instead of failing the cut task."""
+    s = [0, (1 << 30), -(1 << 30), 5, 6, 7]
+    blob = write_mseed("N", "S", "", "C", T0, 1.0, s, encoding=11)
+    recs = list(read_mseed(blob))
+    assert [x for r in recs for x in r["samples"]] == s
+    assert all(r["encoding"] == 10 for r in recs)
+
+
+def test_steim_overflow_falls_back_to_int32():
+    """A full int32 swing (diff ~2^32) overflows even Steim-1's escape
+    word — the record lands uncompressed int32, still byte-exact."""
+    lo, hi = -(1 << 31), (1 << 31) - 1
+    s = [0, hi, lo, hi, 0]
+    blob = write_mseed("N", "S", "", "C", T0, 1.0, s, encoding=11)
+    recs = list(read_mseed(blob))
+    assert [x for r in recs for x in r["samples"]] == s
+    assert all(r["encoding"] == 3 for r in recs)
+
+
+def test_steim_fallback_is_per_record():
+    """Records before a late spike keep the requested Steim-2 encoding;
+    only the record containing the overflow demotes."""
+    smooth = np.cumsum(np.random.RandomState(3).randint(-5, 6, 2000)).tolist()
+    s = smooth + [(1 << 30), -(1 << 30)] + smooth[:10]
+    blob = write_mseed("N", "S", "", "C", T0, 100.0, s, encoding=11)
+    recs = list(read_mseed(blob))
+    assert [x for r in recs for x in r["samples"]] == s
+    encs = [r["encoding"] for r in recs]
+    assert encs[0] == 11 and 10 in encs
+
+
+def test_mseed3_steim_overflow_fallback():
+    s = [0, (1 << 30), -(1 << 30), 5, 6, 7]
+    rec = next(read_mseed3(write_mseed3("N", "S", "", "C", T0, 1.0, s, encoding=11)))
+    assert rec["samples"] == s and rec["encoding"] == 10
+    lo, hi = -(1 << 31), (1 << 31) - 1
+    wide = [0, hi, lo, hi, 0]
+    rec = next(read_mseed3(write_mseed3("N", "S", "", "C", T0, 1.0, wide, encoding=11)))
+    assert rec["samples"] == wide and rec["encoding"] == 3
 
 
 def test_steim2_encoder_first_diff_clamp():
