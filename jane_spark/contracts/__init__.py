@@ -88,6 +88,10 @@ VERIFY_FIRST: list[str] = [
     "q_d13_gapfill",
     "q_d14_stats",
 ]
+# round-6 additions displace the newest tail fills to keep the window
+# at exactly 50 names
+_R6_NEW = ["q_a7_bulk_select"]
+VERIFY_FIRST = _R6_NEW + VERIFY_FIRST[: 50 - len(_R6_NEW)]
 
 
 def ordered_registry() -> dict[str, ContractQuery]:

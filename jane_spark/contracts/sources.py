@@ -374,6 +374,49 @@ def q_a7(spark, sf_dir):
 
 
 @contract(
+    "q_a7_bulk_select",
+    oracle=None,  # interval-join resolve phase — rows-only check (A7 ◐)
+    survey_rows="A7,C4",
+    doc="POST-bulk fdsnws-dataselect (services/fdsnws.dataselect_bulk): "
+    "many request lines (SEED wildcards + window each) resolved in ONE "
+    "band-bucketed interval join (C4, operators/interval_join) with "
+    "residual LIKE wildcard matching, deduplicated on trace identity + "
+    "cut window — bulk ≡ distinct union of the single-window queries, "
+    "with no BroadcastNestedLoop in the plan",
+)
+def q_a7_bulk(spark, sf_dir):
+    from jane_spark.operators.sessionize import session_summary
+    from jane_spark.services.fdsnws import dataselect_bulk_body
+
+    ev = Catalog(spark, sf_dir).clustered("events", "user_id")
+    segs = session_summary(ev, "user_id", "ts", "event_id", 30 * 60 * 1_000_000)
+    traces = segs.select(
+        F.lit("BW").alias("network"),
+        F.concat(F.lit("S"), F.col("user_id").cast("string")).alias("station"),
+        F.lit("").alias("location"),
+        F.lit("EHZ").alias("channel"),
+        F.col("session_start").alias("starttime"),
+        F.col("session_end").alias("endtime"),
+        F.lit(100.0).alias("sampling_rate"),
+        (F.col("n_events").cast("long")).alias("npts"),
+        (
+            F.unix_micros(F.col("session_end").cast("timestamp"))
+            - F.unix_micros(F.col("session_start").cast("timestamp"))
+        ).cast("double").alias("duration"),
+        F.lit("D").alias("quality"),
+        F.col("user_id").alias("file_id"),
+        F.lit(0).alias("pos"),
+    )
+    body = (
+        "quality=D\n"
+        "BW S1* -- EHZ 2024-01-10T00:00:00 2024-01-14T00:00:00\n"
+        "BW S* -- EH? 2024-01-12T00:00:00 2024-01-13T00:00:00\n"
+        "BW S2 -- E?Z 2024-01-05T00:00:00 2024-01-25T00:00:00\n"
+    )
+    return dataselect_bulk_body(spark, traces, body)
+
+
+@contract(
     "q_a1_waveform_source",
     oracle=None,  # custom data source — rows-only check
     survey_rows="A1,J1",

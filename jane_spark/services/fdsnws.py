@@ -651,6 +651,134 @@ def dataselect_query(
     return out.orderBy("network", "station", "location", "channel", "starttime")
 
 
+_BULK_KEYS = frozenset({"quality", "minimumlength", "longestonly"})
+
+
+def parse_bulk_body(body: str) -> tuple[dict[str, str], list[tuple]]:
+    """FDSN POST-bulk request body → (global params, request rows).
+    Leading ``key=value`` lines carry global constraints; every other
+    non-empty, non-comment line is ``NET STA LOC CHA START END`` with
+    SEED ``*``/``?`` wildcards and ``--`` for the blank location code
+    [ref: src/jane/fdsnws/views/dataselect_1.py — POST body parsing,
+    conf=M; SURVEY.md §0 caveat]."""
+    params: dict[str, str] = {}
+    rows: list[tuple] = []
+    for raw in body.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        if "=" in line and len(line.split()) == 1:
+            key, value = line.split("=", 1)
+            if key not in _BULK_KEYS:
+                raise KeyError(
+                    f"unknown fdsnws-dataselect POST parameter: {key}; "
+                    f"supported: {', '.join(sorted(_BULK_KEYS))}"
+                )
+            params[key] = value
+            continue
+        parts = line.split()
+        if len(parts) != 6:
+            raise ValueError(f"malformed bulk request line: {raw!r}")
+        net, sta, loc, cha, start, end = parts
+        rows.append((net, sta, "" if loc == "--" else loc, cha, start, end))
+    return params, rows
+
+
+def _seed_like(field: str) -> Column:
+    """SEED wildcard pattern column → SQL LIKE pattern (* → %, ? → _).
+    SEED codes are alphanumeric, so % and _ never appear as literals."""
+    return F.translate(F.col(field), "*?", "%_")
+
+
+def dataselect_bulk(
+    traces: DataFrame,
+    requests: DataFrame,
+    params: dict[str, str] | None = None,
+    acl: DataFrame | None = None,
+    bin_width: str = "1 day",
+) -> DataFrame:
+    """POST-bulk fdsnws-dataselect: resolve MANY request rows (SEED
+    wildcards + a time window each) against the trace index in ONE
+    band-bucketed interval join (C4, operators/interval_join.py) —
+    never a per-line predicate loop and never a BroadcastNestedLoop.
+
+    ``requests`` columns: network/station/location/channel (wildcard
+    patterns) + starttime/endtime (timestamp_ntz). The join equi-keys
+    on the time bin (the request side is small → broadcast hash join;
+    at catalog scale it still shuffles linearly, partitioned by time
+    slice); SEED wildcards apply as a residual LIKE filter on the
+    matched pairs. Hits are deduplicated on trace identity + cut
+    window, so overlapping request lines yield each segment once —
+    bulk ≡ distinct-union of the single-window queries. ACL gating
+    runs before longestonly/minimumlength, mirroring
+    ``dataselect_query``."""
+    from jane_spark.operators.interval_join import overlap_join
+
+    params = dict(params or {})
+    _validate(params, _BULK_KEYS, "fdsnws-dataselect POST")
+    pats = requests.select(
+        _seed_like("network").alias("__req_net"),
+        _seed_like("station").alias("__req_sta"),
+        _seed_like("location").alias("__req_loc"),
+        _seed_like("channel").alias("__req_cha"),
+        F.col("starttime").alias("__req_start"),
+        F.col("endtime").alias("__req_end"),
+    )
+    base = traces
+    if "quality" in params and params["quality"] not in ("B", "M"):
+        base = base.filter(F.col("quality") == params["quality"])
+    hits = overlap_join(
+        base, pats, "starttime", "endtime", "__req_start", "__req_end",
+        bin_width=bin_width,
+    ).filter(
+        F.like(F.col("network"), F.col("__req_net"))
+        & F.like(F.col("station"), F.col("__req_sta"))
+        & F.like(F.col("location"), F.col("__req_loc"))
+        & F.like(F.col("channel"), F.col("__req_cha"))
+    )
+    out = (
+        hits.withColumn(
+            "cut_start", F.greatest(F.col("starttime"), F.col("__req_start"))
+        )
+        .withColumn("cut_end", F.least(F.col("endtime"), F.col("__req_end")))
+        .select(*traces.columns, "cut_start", "cut_end")
+        .distinct()
+    )
+    out = _apply_acl(out, acl)
+    if "minimumlength" in params:
+        out = out.filter(F.col("duration") >= float(params["minimumlength"]))
+    if params.get("longestonly", "").lower() == "true":
+        out = argmax(
+            out,
+            list(SEED_FIELDS),
+            [F.col("duration").desc(), F.col("starttime").asc()],
+        )
+    return out.orderBy("network", "station", "location", "channel", "starttime")
+
+
+def dataselect_bulk_body(
+    spark,
+    traces: DataFrame,
+    body: str,
+    acl: DataFrame | None = None,
+    bin_width: str = "1 day",
+) -> DataFrame:
+    """Parse a POST body and resolve it — the service front door."""
+    params, rows = parse_bulk_body(body)
+    if not rows:
+        raise ValueError("bulk request body contains no request lines")
+    req = spark.createDataFrame(
+        rows,
+        "network string, station string, location string, channel string, "
+        "starttime string, endtime string",
+    ).select(
+        "network", "station", "location", "channel",
+        F.to_timestamp("starttime").cast("timestamp_ntz").alias("starttime"),
+        F.to_timestamp("endtime").cast("timestamp_ntz").alias("endtime"),
+    )
+    return dataselect_bulk(traces, req, params, acl, bin_width)
+
+
 def availability_extent(traces: DataFrame) -> DataFrame:
     """Per-channel availability extent (D2): the fdsnws-availability
     'extent' shape jane surfaces in its UI."""

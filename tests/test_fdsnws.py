@@ -330,6 +330,84 @@ def test_availability_spans_contained_segment(spark):
     ]
 
 
+def test_dataselect_bulk_matches_union_of_single_queries(spark, traces):
+    """POST-bulk resolution ≡ the deduplicated union of the equivalent
+    single-window dataselect queries (VERDICT r5 #2) — including SEED
+    wildcards, blank-location '--', an overlapping window pair, and a
+    global quality constraint."""
+    from jane_spark.services.fdsnws import dataselect_bulk_body, dataselect_query
+
+    lines = [
+        ("BW", "ALTM", "--", "EH?", "2023-01-01T02:00:00", "2023-01-01T10:00:00"),
+        ("BW", "*", "--", "EHZ", "2023-01-01T04:00:00", "2023-01-01T12:00:00"),
+        ("GR", "FUR", "--", "?HZ", "2023-01-01T00:30:00", "2023-01-01T03:30:00"),
+        ("BW", "MANZ", "--", "BHZ", "2023-01-01T11:00:00", "2023-01-01T13:00:00"),
+    ]
+    body = "quality=D\n" + "\n".join(" ".join(ln) for ln in lines)
+    bulk = dataselect_bulk_body(spark, traces, body)
+    cols = list(bulk.columns)
+    got = {tuple(r) for r in bulk.select(*cols).collect()}
+    want = set()
+    for net, sta, loc, cha, s, e in lines:
+        single = dataselect_query(
+            traces,
+            {"network": net, "station": sta, "location": loc, "channel": cha,
+             "starttime": s, "endtime": e, "quality": "D"},
+        )
+        want |= {tuple(r) for r in single.select(*cols).collect()}
+    assert got == want and got
+
+
+def test_dataselect_bulk_longestonly_and_acl(spark, traces):
+    """Global longestonly applies per channel across ALL matched lines;
+    ACL gating removes restricted hits before the argmax."""
+    from jane_spark.services.fdsnws import dataselect_bulk_body
+
+    body = (
+        "longestonly=true\n"
+        "BW ALTM -- EHE 2023-01-01T00:00:00 2023-01-02T00:00:00\n"
+        "BW MANZ -- BHZ 2023-01-01T00:00:00 2023-01-02T00:00:00\n"
+    )
+    rows = dataselect_bulk_body(spark, traces, body).collect()
+    by_chan = {(r["station"], r["channel"]): r for r in rows}
+    assert len(rows) == 2
+    # ALTM EHE: the longer 08:00–24:00 segment wins
+    assert by_chan[("ALTM", "EHE")]["file_id"] == 1
+    assert by_chan[("ALTM", "EHE")]["pos"] == 1
+    # MANZ BHZ restricted=True on both segments: empty grants hides them
+    grants = spark.createDataFrame([], "network string, station string, "
+                                   "location string, channel string")
+    gated = dataselect_bulk_body(spark, traces, body, acl=grants).collect()
+    assert {(r["station"], r["channel"]) for r in gated} == {("ALTM", "EHE")}
+
+
+def test_dataselect_bulk_plan_has_no_nested_loop(spark, traces):
+    """The bulk resolve must plan as an equi-join on the time bin —
+    broadcast/shuffled HASH join, never BroadcastNestedLoop (the
+    quadratic plan the band-bucket rewrite exists to avoid)."""
+    from jane_spark.services.fdsnws import dataselect_bulk_body
+
+    body = "BW * -- * 2023-01-01T00:00:00 2023-01-02T00:00:00\n"
+    df = dataselect_bulk_body(spark, traces, body)
+    explained = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in explained
+    assert "HashJoin" in explained or "SortMergeJoin" in explained
+
+
+def test_parse_bulk_body_rejects_unknown_key_and_malformed_line():
+    from jane_spark.services.fdsnws import parse_bulk_body
+
+    with pytest.raises(KeyError, match="unknown fdsnws-dataselect POST"):
+        parse_bulk_body("nodata=404\nBW ALTM -- EHE 2023-01-01 2023-01-02")
+    with pytest.raises(ValueError, match="malformed bulk request line"):
+        parse_bulk_body("BW ALTM EHE 2023-01-01 2023-01-02")
+    params, rows = parse_bulk_body(
+        "# comment\nquality=D\n\nBW ALTM -- EHE 2023-01-01 2023-01-02\n"
+    )
+    assert params == {"quality": "D"}
+    assert rows == [("BW", "ALTM", "", "EHE", "2023-01-01", "2023-01-02")]
+
+
 def test_availability_spans_dst_session_zone(spark):
     """Gap measurement must be tz-cast-free: in a DST-observing session
     zone, a timestamp_ntz→timestamp cast is non-linear across the
