@@ -162,6 +162,64 @@ def q_d6(spark, sf_dir):
 
 
 @contract(
+    "q_d6_availability",
+    oracle="""
+        WITH seg AS (
+            SELECT 'S' || CAST(user_id % 50 AS VARCHAR) AS station,
+                   ts AS st, ts + INTERVAL 10 MINUTE AS en,
+                   event_id % 1000 + 1 AS npts
+            FROM events),
+        g AS (
+            SELECT station, st, en, npts,
+                   CASE WHEN max(epoch_us(en)) OVER (
+                            PARTITION BY station ORDER BY st, en
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                            IS NULL
+                         OR epoch_us(st) - max(epoch_us(en)) OVER (
+                            PARTITION BY station ORDER BY st, en
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                            > 600000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM seg),
+        s AS (
+            SELECT station, st, en, npts,
+                   CAST(sum(new_s) OVER (
+                       PARTITION BY station ORDER BY st, en
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS span
+            FROM g)
+        SELECT station, min(st) AS span_start, max(en) AS span_end,
+               CAST(count(*) AS BIGINT) AS n_segments,
+               CAST(sum(npts) AS BIGINT) AS total_samples
+        FROM s GROUP BY station, span
+    """,
+    survey_rows="D6,E3",
+    doc="fdsnws-availability 'query' spans (services/fdsnws."
+    "availability_spans) on a deterministic events-derived segment set: "
+    "10-min segments per event, running-max merge with a 600 s "
+    "tolerance; DuckDB twin is the same lag/running-max/cumsum shape "
+    "(VERDICT r5 #3). NTZ-safe interval comparison (no tz casts)",
+)
+def q_d6_avail(spark, sf_dir):
+    from jane_spark.services.fdsnws import availability_spans
+
+    ev = Catalog(spark, sf_dir).clustered("events", "user_id")
+    traces = ev.select(
+        F.lit("BW").alias("network"),
+        F.concat(F.lit("S"), (F.col("user_id") % 50).cast("string")).alias(
+            "station"
+        ),
+        F.lit("").alias("location"),
+        F.lit("EHZ").alias("channel"),
+        F.col("ts").alias("starttime"),
+        (F.col("ts") + F.make_dt_interval(mins=F.lit(10))).alias("endtime"),
+        (F.col("event_id") % 1000 + 1).alias("npts"),
+    )
+    return availability_spans(traces, merge_tolerance_s=600.0).select(
+        "station", "span_start", "span_end", "n_segments", "total_samples"
+    )
+
+
+@contract(
     "q_d7_bucket",
     oracle="""
         SELECT date_trunc('hour', ts) AS bucket, event_type,
