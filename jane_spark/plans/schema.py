@@ -119,6 +119,8 @@ QUAKEML_META: dict[str, str] = {
     "fm_strike": "float",
     "fm_dip": "float",
     "fm_rake": "float",
+    # last catalog modification time (FDSN event `updatedafter`)
+    "updated": "UTCDateTime",
 }
 
 TRACE_META: dict[str, str] = {

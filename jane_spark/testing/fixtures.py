@@ -80,22 +80,22 @@ def event_index(spark: SparkSession) -> DataFrame:
     rows = [
         ("quakeml:eu/ev001", 46.3, 13.6, 11000.0, _t("2023-01-05T01:02:03.500000"),
          4.1, "ML", "EMSC", "auto", True, "automatic", "earthquake", False, False,
-         None, None, None),
+         None, None, None, _t("2023-01-06T00:00:00")),
         ("quakeml:eu/ev002", 45.9, 26.6, 140000.0, _t("2023-02-10T04:05:06"),
          5.5, "Mw", "EMSC", "rev", True, "manual", "earthquake", True, True,
-         235.0, 40.0, 95.0),   # thrust
+         235.0, 40.0, 95.0, _t("2023-02-20T12:00:00")),   # thrust
         ("quakeml:eu/ev003", 38.1, 15.0, 9000.0, _t("2023-03-15T07:08:09"),
          5.5, "Mw", "INGV", "rev", True, "manual", "earthquake", True, False,
-         10.0, 88.0, -5.0),    # strike-slip
+         10.0, 88.0, -5.0, _t("2023-03-16T00:00:00")),    # strike-slip
         ("quakeml:eu/ev004", 63.6, -19.6, 2000.0, _t("2023-04-20T10:11:12"),
          3.2, "ML", "IMO", "auto", False, "automatic", "volcanic eruption", False, False,
-         None, None, None),
+         None, None, None, _t("2023-04-21T00:00:00")),
         ("quakeml:eu/ev005", 35.5, 139.8, 35000.0, _t("2023-05-25T13:14:15"),
          6.8, "Mw", "NIED", "rev", True, "manual", "earthquake", True, True,
-         None, None, None),    # mechanism flagged but no derived planes
+         None, None, None, _t("2023-07-01T09:00:00")),    # mechanism flagged but no derived planes; late re-review
         ("quakeml:eu/ev006", -21.2, -68.9, 110000.0, _t("2023-06-30T16:17:18"),
          2.9, "ML", "CSN", "auto", False, "automatic", "quarry blast", False, False,
-         None, None, None),
+         None, None, None, _t("2023-06-30T17:00:00")),
     ]
     schema = meta_to_schema(QUAKEML_META, include_geometry=False, include_extra=False)
     return spark.createDataFrame(rows, schema)

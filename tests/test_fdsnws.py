@@ -188,6 +188,32 @@ def test_station_text_golden(channels):
     ]
 
 
+def test_station_text_per_level_golden(channels):
+    """FDSN text layouts differ per level (VERDICT r5 #6): station and
+    network lines carry fewer columns than channel lines."""
+    sta = [
+        r["line"]
+        for r in station_text(
+            station_query(channels, {"network": "GR", "level": "station"}),
+            level="station",
+        ).collect()
+    ]
+    assert sta == ["GR|FUR|48.163|11.275|565.0|2001-01-01T00:00:00||2"]
+    net = [
+        r["line"]
+        for r in station_text(
+            station_query(channels, {"level": "network"}), level="network"
+        ).collect()
+    ]
+    assert net == [
+        "BW|2005-03-01T00:00:00||2",
+        "GR|2001-01-01T00:00:00||1",
+        "IU|1998-07-01T00:00:00||1",
+    ]
+    with pytest.raises(KeyError, match="unknown level"):
+        station_text(station_query(channels, {}), level="bogus")
+
+
 # ----------------------------------------------------------------- event
 
 
@@ -222,6 +248,46 @@ def test_event_time_window_paging(events):
         "quakeml_id",
     )
     assert got == [("quakeml:eu/ev003",), ("quakeml:eu/ev004",)]
+
+
+def test_event_magnitudetype_filter(events):
+    """Case-insensitive magnitude-type match, comma lists allowed."""
+    got = event_query(events, {"magnitudetype": "mw"})
+    assert {r["quakeml_id"] for r in got.collect()} == {
+        "quakeml:eu/ev002", "quakeml:eu/ev003", "quakeml:eu/ev005",
+    }
+    both = event_query(
+        events, {"magnitudetype": "ML,Mw", "includerestricted": "true"}
+    )
+    assert both.count() == 6
+
+
+def test_event_catalog_contributor_filters(events):
+    got = event_query(events, {"catalog": "EMSC"})
+    assert {r["quakeml_id"] for r in got.collect()} == {
+        "quakeml:eu/ev001", "quakeml:eu/ev002",
+    }
+    got = event_query(events, {"contributor": "rev"})
+    assert {r["quakeml_id"] for r in got.collect()} == {
+        "quakeml:eu/ev002", "quakeml:eu/ev003", "quakeml:eu/ev005",
+    }
+    assert event_query(events, {"catalog": "EMSC", "contributor": "auto"}).count() == 1
+
+
+def test_event_updatedafter_filter(events):
+    """updatedafter keys on catalog modification time, not origin time:
+    ev005 (origin May, re-reviewed July) survives a late cutoff that
+    drops June's ev006."""
+    got = event_query(
+        events, {"updatedafter": "2023-06-30T18:00:00",
+                 "includerestricted": "true"}
+    )
+    assert {r["quakeml_id"] for r in got.collect()} == {"quakeml:eu/ev005"}
+
+
+def test_event_rejects_unknown_param(events):
+    with pytest.raises(KeyError, match="unknown fdsnws-event parameter"):
+        event_query(events, {"magtype": "Mw"})
 
 
 def test_event_type_filter(events):
