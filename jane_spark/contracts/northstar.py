@@ -366,8 +366,9 @@ def q_k7(spark, sf_dir):
     oracle=None,  # binary image payloads — rows-only check
     survey_rows="K7",
     doc="REAL image decode→resize→re-encode: documents rendered as 16x16 "
-    "grayscale PGM, nearest-resized to 8x8 through the registered netpbm "
-    "codec pair, outputs re-decoded and pixel-checksummed "
+    "grayscale PGM (or, every 3rd doc, zlib-deflated 8-bit PNG — the "
+    "pure-stdlib codec), nearest-resized to 8x8 through the registered "
+    "codec pairs, outputs re-decoded per format and pixel-checksummed "
     "(sources/media_codecs.py, sources/multimodal.py)",
 )
 def q_k7_resize(spark, sf_dir):
@@ -377,41 +378,45 @@ def q_k7_resize(spark, sf_dir):
 
     docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
 
-    def to_pgm(batches):
+    def to_img(batches):
         import numpy as np
 
-        from jane_spark.sources.media_codecs import encode_ppm
+        from jane_spark.sources.media_codecs import encode_png, encode_ppm
 
         for pdf in batches:
-            payloads = [
-                encode_ppm(
-                    np.frombuffer(
-                        text.encode("utf-8", "replace")[:256].ljust(256, b"\x00"),
-                        np.uint8,
-                    ).reshape(16, 16)
-                )
-                for text in pdf["text"]
-            ]
+            payloads, types = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                arr = np.frombuffer(
+                    text.encode("utf-8", "replace")[:256].ljust(256, b"\x00"),
+                    np.uint8,
+                ).reshape(16, 16)
+                if doc_id % 3 == 0:
+                    payloads.append(encode_png(arr))
+                    types.append("image/png")
+                else:
+                    payloads.append(encode_ppm(arr))
+                    types.append("image/x-portable-graymap")
             yield pd.DataFrame(
                 {
                     "item_id": pdf["doc_id"],
                     "payload": payloads,
-                    "media_type": "image/x-portable-graymap",
+                    "media_type": types,
                 }
             )
 
     imgs = docs.mapInPandas(
-        to_pgm, "item_id long, payload binary, media_type string"
+        to_img, "item_id long, payload binary, media_type string"
     )
     resized = resize_images(imgs, "payload", 8, 8)
 
     def checksum(batches):
-        from jane_spark.sources.media_codecs import decode_ppm
+        from jane_spark.sources.media_codecs import decode_png, decode_ppm
 
         for pdf in batches:
             sums = []
-            for p in pdf["payload"]:
-                img = decode_ppm(bytes(p))
+            for item_id, p in zip(pdf["item_id"], pdf["payload"]):
+                dec = decode_png if item_id % 3 == 0 else decode_ppm
+                img = dec(bytes(p))
                 assert img.shape == (8, 8), img.shape
                 sums.append(int(img.sum()))
             yield pd.DataFrame({"item_id": pdf["item_id"], "pix_sum": sums})

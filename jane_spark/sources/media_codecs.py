@@ -7,6 +7,8 @@ turns the multimodal decode path from a stub into a real one:
 - **PPM/PGM** (netpbm P5/P6): ASCII header + raw samples,
 - **BMP** (Windows BITMAPINFOHEADER, 24-bit uncompressed BI_RGB,
   bottom-up rows padded to 4 bytes),
+- **PNG** (ISO/IEC 15948: zlib-deflated scanlines, filters 0-4, 8-bit
+  grey/RGB/RGBA, non-interlaced — stdlib zlib + struct only),
 - **WAV** (RIFF, PCM 8/16/32-bit integer + IEEE float32).
 
 Each has an encoder twin so resize/re-encode and round-trip tests run
@@ -109,6 +111,117 @@ def encode_bmp(arr: np.ndarray) -> bytes:
         + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
     )
     return header + pix
+
+
+# -------------------------------------------------------------- PNG
+# Pure-stdlib PNG (ISO/IEC 15948 / RFC 2083): zlib inflate/deflate +
+# struct chunk framing. Decode supports 8-bit greyscale/RGB/RGBA,
+# filters 0-4, non-interlaced; encode emits filter-0 rows.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(payload))
+        + ctype
+        + payload
+        + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG → uint8 array (H,W) grey / (H,W,3) RGB / (H,W,4) RGBA.
+    8-bit, non-interlaced; all five row filters reconstructed."""
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("PNG: bad signature")
+    pos, ihdr, idat = 8, None, b""
+    while pos + 12 <= len(data):
+        length, ctype = struct.unpack_from(">I4s", data, pos)
+        payload = data[pos + 8 : pos + 8 + length]
+        crc = struct.unpack_from(">I", data, pos + 8 + length)[0]
+        if zlib.crc32(ctype + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG: {ctype.decode('latin1')} chunk CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = payload
+        elif ctype == b"IDAT":
+            idat += payload
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG: missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or color not in (0, 2, 6) or comp or filt or interlace:
+        raise ValueError(
+            "PNG: only 8-bit grey/RGB/RGBA, non-interlaced supported "
+            f"(depth={depth}, color={color}, interlace={interlace})"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[color]
+    stride = w * ch
+    raw = zlib.decompress(idat)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG: IDAT size mismatch")
+    raw = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for r in range(h):
+        ftype, line = raw[r, 0], raw[r, 1:].copy()
+        if ftype == 0:
+            rec = line
+        elif ftype == 1:  # Sub: per-channel prefix sum wraps mod 256
+            rec = np.cumsum(line.reshape(w, ch), axis=0, dtype=np.uint8).reshape(
+                stride
+            )
+        elif ftype == 2:  # Up
+            rec = line + prev
+        elif ftype in (3, 4):  # Average / Paeth: sequential recurrence
+            rec = np.zeros(stride, np.uint8)
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                if ftype == 3:
+                    rec[x] = (int(line[x]) + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    rec[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG: unknown row filter {ftype}")
+        out[r] = rec
+        prev = out[r]
+    return out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch)
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """uint8 (H,W)/(H,W,3)/(H,W,4) → PNG (filter 0, one IDAT)."""
+    import zlib
+
+    arr = np.asarray(arr, np.uint8)
+    if arr.ndim == 2:
+        color, ch = 0, 1
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        color, ch = 2, 3
+    elif arr.ndim == 3 and arr.shape[2] == 4:
+        color, ch = 6, 4
+    else:
+        raise ValueError(f"PNG: unsupported shape {arr.shape}")
+    h, w = arr.shape[:2]
+    body = arr.reshape(h, w * ch)
+    scanlines = np.zeros((h, w * ch + 1), np.uint8)
+    scanlines[:, 1:] = body
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scanlines.tobytes(), 9))
+        + _png_chunk(b"IEND", b"")
+    )
 
 
 # -------------------------------------------------------------- WAV

@@ -7,10 +7,10 @@ path-references into object storage; Parquet stores both fine).
 
 Decoding is registry-driven: ``CODECS``/``ENCODERS`` map media types to
 decode/encode callables. The built-in pure-numpy codecs from
-``media_codecs`` (netpbm P5/P6, 24-bit BMP, PCM WAV) register at import,
-so ``resize_images`` runs a REAL decode→resize→re-encode path for those
-types with zero third-party libraries. Types with no registered codec
-(JPEG/PNG/MP4 — their codec libs are absent from this container) fall
+``media_codecs`` (netpbm P5/P6, 24-bit BMP, PNG, PCM WAV) register at
+import, so ``resize_images`` runs a REAL decode→resize→re-encode path
+for those types with zero third-party libraries. Types with no
+registered codec (JPEG/MP4 — their codec libs are absent here) fall
 back to a deterministic stand-in that exercises identical Spark plumbing
 — schema, Arrow batching, and UDF signature; register a PIL/av decoder
 pair in a real deployment and the same plan runs unchanged.
@@ -31,9 +31,9 @@ MULTIMODAL_SCHEMA = (
 )
 
 # codec registries: media_type -> (bytes -> np.ndarray) for decode and
-# (np.ndarray -> bytes) for encode. Pure-numpy built-ins (PPM/BMP) are
-# registered at the bottom of this module; real deployments add
-# PIL/av decoders for JPEG/PNG/video. AUDIO_CODECS decode to
+# (np.ndarray -> bytes) for encode. Pure-numpy built-ins (PPM/BMP/PNG)
+# are registered at the bottom of this module; real deployments add
+# PIL/av decoders for JPEG/video. AUDIO_CODECS decode to
 # ((n, channels) float array, sample_rate) instead of pixels.
 CODECS: dict = {}
 ENCODERS: dict = {}
@@ -241,6 +241,7 @@ def _register_builtin_codecs() -> None:
             "image/x-portable-pixmap": mc.decode_ppm,
             "image/x-portable-graymap": mc.decode_ppm,
             "image/bmp": mc.decode_bmp,
+            "image/png": mc.decode_png,
         }
     )
     ENCODERS.update(
@@ -248,6 +249,7 @@ def _register_builtin_codecs() -> None:
             "image/x-portable-pixmap": mc.encode_ppm,
             "image/x-portable-graymap": mc.encode_ppm,
             "image/bmp": mc.encode_bmp,
+            "image/png": mc.encode_png,
         }
     )
     AUDIO_CODECS["audio/wav"] = mc.decode_wav
