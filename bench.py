@@ -46,6 +46,12 @@ BENCH_QUERIES = {
     "scorecard": "q_t9_scorecard",
     "rolling_1h": "q_e5_rolling",
     "scd2": "q_d15_scd2",
+    # serving layer (round 6): availability span assembly + the
+    # dataselect resolve paths (single-window cut + POST-bulk through
+    # the band-bucketed interval join)
+    "availability_spans": "q_d6_availability",
+    "dataselect_cut": "q_a7_dataselect_cut",
+    "bulk_select": "q_a7_bulk_select",
 }
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
@@ -61,6 +67,7 @@ CALIBRATION = {
     "sessionize": 0.253,
     "topk_per_group": 0.056,
     "gap_lag": 0.015,
+    "availability_spans": 0.048,
 }
 
 

@@ -583,17 +583,51 @@ def event_xml(events: DataFrame) -> DataFrame:
     attribute, nested origin (time/latitude/longitude/depth) and
     magnitude (mag/type) with creationInfo, matching QuakeML 1.2's
     element nesting [ref: src/jane/fdsnws/views/event_1.py — XML
-    serializer, conf=M]. Pure row-local projection: no shuffle at all;
+    serializer, conf=M]. Events whose index row carries cataloged
+    nodal-plane angles additionally nest a ``<focalMechanism>`` block
+    (nodalPlane1 strike/dip/rake) — the document-body twin of the
+    beachball attachment, and like it NEVER emitted for rows without
+    real angles. Pure row-local projection: no shuffle at all;
     document assembly (quakeml_document) is the only rollup.
     """
     from jane_spark.functions.xml import xml_attr, xml_element
 
     num = lambda c: F.col(c).cast("string")  # noqa: E731
     ev_time = F.date_format(F.col("origin_time"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    have_fm = {"fm_strike", "fm_dip", "fm_rake"} <= set(events.columns)
+    if have_fm:
+        angle = lambda name, col: xml_element(  # noqa: E731
+            name, xml_element("value", num(col))
+        )
+        fm_block = F.when(
+            F.col("fm_strike").isNotNull()
+            & F.col("fm_dip").isNotNull()
+            & F.col("fm_rake").isNotNull(),
+            F.concat(
+                F.lit("<focalMechanism"),
+                xml_attr("publicID", F.concat(F.col("quakeml_id"), F.lit("#fm"))),
+                F.lit(">"),
+                xml_element(
+                    "nodalPlanes",
+                    xml_element(
+                        "nodalPlane1",
+                        F.concat(
+                            angle("strike", "fm_strike"),
+                            angle("dip", "fm_dip"),
+                            angle("rake", "fm_rake"),
+                        ),
+                    ),
+                ),
+                F.lit("</focalMechanism>"),
+            ),
+        ).otherwise(F.lit(""))
+    else:
+        fm_block = F.lit("")
     block = F.concat(
         F.lit("<event"),
         xml_attr("publicID", F.col("quakeml_id")),
         F.lit(">"),
+        fm_block,
         xml_element(
             "origin",
             F.concat(

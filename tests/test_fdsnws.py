@@ -726,6 +726,40 @@ def test_event_xml_golden(events):
     )
 
 
+def test_event_xml_focal_mechanism_golden(events):
+    """Events with cataloged nodal-plane angles nest a <focalMechanism>
+    block (QuakeML 1.2 sequence puts it before <origin>); events whose
+    mechanism is flagged but angle-less (ev005) get NONE — the
+    document-body twin of the beachball no-fabrication rule."""
+    from jane_spark.services.fdsnws import event_xml
+
+    got = {r["quakeml_id"]: r["xml"] for r in event_xml(events).collect()}
+    assert got["quakeml:eu/ev002"].startswith(
+        '<event publicID="quakeml:eu/ev002">'
+        '<focalMechanism publicID="quakeml:eu/ev002#fm">'
+        "<nodalPlanes><nodalPlane1>"
+        "<strike><value>235.0</value></strike>"
+        "<dip><value>40.0</value></dip>"
+        "<rake><value>95.0</value></rake>"
+        "</nodalPlane1></nodalPlanes></focalMechanism>"
+        "<origin>"
+    )
+    assert "<focalMechanism" not in got["quakeml:eu/ev005"]
+    assert "<focalMechanism" not in got["quakeml:eu/ev001"]
+    # an index without the fm_* columns serializes exactly as before
+    bare = events.drop("fm_strike", "fm_dip", "fm_rake")
+    bare_xml = {r["quakeml_id"]: r["xml"] for r in event_xml(bare).collect()}
+    assert bare_xml["quakeml:eu/ev002"] == got["quakeml:eu/ev002"].replace(
+        '<focalMechanism publicID="quakeml:eu/ev002#fm">'
+        "<nodalPlanes><nodalPlane1>"
+        "<strike><value>235.0</value></strike>"
+        "<dip><value>40.0</value></dip>"
+        "<rake><value>95.0</value></rake>"
+        "</nodalPlane1></nodalPlanes></focalMechanism>",
+        "",
+    )
+
+
 def test_document_envelope_escapes_source_and_agency(channels, events):
     from jane_spark.services.fdsnws import (
         event_query,
