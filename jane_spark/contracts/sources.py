@@ -417,6 +417,39 @@ def q_a7_bulk(spark, sf_dir):
 
 
 @contract(
+    "q_a8_station_bulk",
+    oracle=None,  # interval-join resolve over epochs — rows-only (A8 ◐)
+    survey_rows="A8,C4",
+    doc="POST-bulk fdsnws-station (services/fdsnws.station_bulk): many "
+    "request lines resolved against a synthetic channel-epoch index "
+    "(events sessions; every 5th epoch open-ended) in one coarse-bin "
+    "interval join with the open epochs clamped to a finite horizon — "
+    "the station twin of q_a7_bulk_select",
+)
+def q_a8_station_bulk(spark, sf_dir):
+    from jane_spark.operators.sessionize import session_summary
+    from jane_spark.services.fdsnws import station_bulk_body
+
+    ev = Catalog(spark, sf_dir).clustered("events", "user_id")
+    segs = session_summary(ev, "user_id", "ts", "event_id", 30 * 60 * 1_000_000)
+    channels = segs.select(
+        F.lit("BW").alias("network"),
+        F.concat(F.lit("S"), F.col("user_id").cast("string")).alias("station"),
+        F.lit("").alias("location"),
+        F.lit("EHZ").alias("channel"),
+        F.col("session_start").alias("start_date"),
+        F.when(F.col("session_id") % 5 != 0, F.col("session_end")).alias(
+            "end_date"
+        ),
+    )
+    body = (
+        "BW S1* -- EHZ 2024-01-10T00:00:00 2024-01-14T00:00:00\n"
+        "BW S* -- EH? 2024-01-12T00:00:00 2024-01-13T00:00:00\n"
+    )
+    return station_bulk_body(spark, channels, body)
+
+
+@contract(
     "q_a1_waveform_source",
     oracle=None,  # custom data source — rows-only check
     survey_rows="A1,J1",

@@ -72,6 +72,10 @@ def overlap_join(
         "1 minute": 60_000_000,
         "1 hour": 3_600_000_000,
         "1 day": 86_400_000_000,
+        # coarse bins for long-lived intervals (station epochs span
+        # years — day bins would explode thousands of rows per epoch)
+        "30 days": 30 * 86_400_000_000,
+        "365 days": 365 * 86_400_000_000,
     }
     bin_us = widths.get(bin_width)
     if bin_us is None:

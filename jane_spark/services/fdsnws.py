@@ -734,7 +734,9 @@ def dataselect_query(
 _BULK_KEYS = frozenset({"quality", "minimumlength", "longestonly"})
 
 
-def parse_bulk_body(body: str) -> tuple[dict[str, str], list[tuple]]:
+def parse_bulk_body(
+    body: str, allowed: frozenset = _BULK_KEYS, service: str = "fdsnws-dataselect"
+) -> tuple[dict[str, str], list[tuple]]:
     """FDSN POST-bulk request body → (global params, request rows).
     Leading ``key=value`` lines carry global constraints; every other
     non-empty, non-comment line is ``NET STA LOC CHA START END`` with
@@ -749,10 +751,10 @@ def parse_bulk_body(body: str) -> tuple[dict[str, str], list[tuple]]:
             continue
         if "=" in line and len(line.split()) == 1:
             key, value = line.split("=", 1)
-            if key not in _BULK_KEYS:
+            if key not in allowed:
                 raise KeyError(
-                    f"unknown fdsnws-dataselect POST parameter: {key}; "
-                    f"supported: {', '.join(sorted(_BULK_KEYS))}"
+                    f"unknown {service} POST parameter: {key}; "
+                    f"supported: {', '.join(sorted(allowed))}"
                 )
             params[key] = value
             continue
@@ -857,6 +859,98 @@ def dataselect_bulk_body(
         F.to_timestamp("endtime").cast("timestamp_ntz").alias("endtime"),
     )
     return dataselect_bulk(traces, req, params, acl, bin_width)
+
+
+_STATION_BULK_KEYS = frozenset({"level", "format"})
+
+
+def station_bulk(
+    channels: DataFrame,
+    requests: DataFrame,
+    horizon,
+    params: dict[str, str] | None = None,
+    acl: DataFrame | None = None,
+    bin_width: str = "365 days",
+) -> DataFrame:
+    """POST-bulk fdsnws-station: resolve many request rows against the
+    channel-epoch index in one band-bucketed interval join — the
+    station twin of ``dataselect_bulk``. Epoch intervals span years, so
+    the bins are coarse (365 days → a 20-year epoch explodes into ~20
+    bin rows, not thousands); open epochs (``end_date IS NULL``) are
+    clamped to ``horizon`` (any instant past every request window) so
+    they join finitely while still overlapping every later request.
+    ``level`` applies AFTER the epoch resolve, exactly as in
+    ``station_query`` (station/network rollup, channel strips
+    response_stages, response keeps them)."""
+    from jane_spark.operators.interval_join import overlap_join
+
+    params = dict(params or {})
+    _validate(params, _STATION_BULK_KEYS, "fdsnws-station POST")
+    pats = requests.select(
+        _seed_like("network").alias("__req_net"),
+        _seed_like("station").alias("__req_sta"),
+        _seed_like("location").alias("__req_loc"),
+        _seed_like("channel").alias("__req_cha"),
+        F.col("starttime").alias("__req_start"),
+        F.col("endtime").alias("__req_end"),
+    )
+    base = channels.withColumn(
+        "__eff_end",
+        F.coalesce(F.col("end_date"), F.lit(horizon).cast("timestamp_ntz")),
+    )
+    hits = overlap_join(
+        base, pats, "start_date", "__eff_end", "__req_start", "__req_end",
+        bin_width=bin_width,
+    ).filter(
+        F.like(F.col("network"), F.col("__req_net"))
+        & F.like(F.col("station"), F.col("__req_sta"))
+        & F.like(F.col("location"), F.col("__req_loc"))
+        & F.like(F.col("channel"), F.col("__req_cha"))
+    )
+    out = _apply_acl(hits.select(*channels.columns).distinct(), acl)
+    level = params.get("level", "channel")
+    if level in ("station", "network"):
+        return station_level(out, level)
+    if level not in ("channel", "response"):
+        raise KeyError(f"unknown level: {level!r}")
+    if level == "channel" and "response_stages" in out.columns:
+        out = out.withColumn(
+            "response_stages",
+            F.lit(None).cast(out.schema["response_stages"].dataType),
+        )
+    return out.orderBy("network", "station", "location", "channel", "start_date")
+
+
+def station_bulk_body(
+    spark,
+    channels: DataFrame,
+    body: str,
+    acl: DataFrame | None = None,
+    bin_width: str = "365 days",
+) -> DataFrame:
+    """Parse a station POST body and resolve it. The open-epoch clamp
+    horizon is one day past the latest request end — known exactly here
+    because the request lines live driver-side."""
+    import datetime as _dt
+
+    params, rows = parse_bulk_body(
+        body, allowed=_STATION_BULK_KEYS, service="fdsnws-station"
+    )
+    if not rows:
+        raise ValueError("bulk request body contains no request lines")
+    horizon = max(
+        _dt.datetime.fromisoformat(r[5]) for r in rows
+    ) + _dt.timedelta(days=1)
+    req = spark.createDataFrame(
+        rows,
+        "network string, station string, location string, channel string, "
+        "starttime string, endtime string",
+    ).select(
+        "network", "station", "location", "channel",
+        F.to_timestamp("starttime").cast("timestamp_ntz").alias("starttime"),
+        F.to_timestamp("endtime").cast("timestamp_ntz").alias("endtime"),
+    )
+    return station_bulk(channels, req, horizon, params, acl, bin_width)
 
 
 def availability_extent(traces: DataFrame) -> DataFrame:

@@ -447,6 +447,48 @@ def test_dataselect_bulk_longestonly_and_acl(spark, traces):
     assert {(r["station"], r["channel"]) for r in gated} == {("ALTM", "EHE")}
 
 
+def test_station_bulk_matches_union_of_single_queries(spark, channels):
+    """fdsnws-station POST-bulk ≡ deduplicated union of the equivalent
+    single-window station queries, wildcards and open epochs included."""
+    from jane_spark.services.fdsnws import station_bulk_body, station_query
+
+    lines = [
+        ("BW", "ALTM", "--", "EH?", "2012-01-01T00:00:00", "2013-01-01T00:00:00"),
+        ("*", "*", "--", "BHZ", "2020-01-01T00:00:00", "2021-01-01T00:00:00"),
+        ("IU", "ANMO", "?0", "*", "2000-01-01T00:00:00", "2030-01-01T00:00:00"),
+    ]
+    body = "\n".join(" ".join(ln) for ln in lines)
+    bulk = station_bulk_body(spark, channels, body)
+    cols = [c for c in bulk.columns if c != "response_stages"]
+    got = {tuple(r) for r in bulk.select(*cols).collect()}
+    want = set()
+    for net, sta, loc, cha, s, e in lines:
+        single = station_query(
+            channels,
+            {"network": net, "station": sta, "location": loc, "channel": cha,
+             "starttime": s, "endtime": e},
+        )
+        want |= {tuple(r) for r in single.select(*cols).collect()}
+    assert got == want and got
+    # open-ended epochs (end_date NULL) must match late windows
+    assert any(r[cols.index("end_date")] is None for r in got)
+
+
+def test_station_bulk_level_rollup_and_reject(spark, channels):
+    from jane_spark.services.fdsnws import station_bulk_body
+
+    body = "level=station\nBW * -- * 2012-01-01T00:00:00 2013-01-01T00:00:00\n"
+    rows = station_bulk_body(spark, channels, body).collect()
+    assert {(r["network"], r["station"]) for r in rows} == {
+        ("BW", "ALTM"), ("BW", "MANZ"),
+    }
+    with pytest.raises(KeyError, match="unknown fdsnws-station POST"):
+        station_bulk_body(
+            spark, channels,
+            "quality=D\nBW * -- * 2012-01-01T00:00:00 2013-01-01T00:00:00\n",
+        )
+
+
 def test_dataselect_bulk_plan_has_no_nested_loop(spark, traces):
     """The bulk resolve must plan as an equi-join on the time bin —
     broadcast/shuffled HASH join, never BroadcastNestedLoop (the
