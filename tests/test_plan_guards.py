@@ -219,3 +219,34 @@ def test_rolling_and_scd2_single_shuffle(spark, sf_dir):
         live = plan.split("InMemoryRelation")[0]
         n_exchanges = live.count("Exchange hashpartitioning")
         assert n_exchanges <= 1, (name, n_exchanges, plan[:500])
+
+
+def test_availability_spans_single_hash_shuffle(spark, sf_dir):
+    """availability_spans shuffles ONCE on the channel key: the span
+    aggregation's (SEED, __span) clustering is satisfied by the
+    window's hashpartitioning(SEED) — partial+final HashAggregate with
+    no intermediate exchange. Only the presentation orderBy adds a
+    range exchange."""
+    from jane_spark.contracts import REGISTRY
+
+    plan = _executed_plan(
+        REGISTRY["q_d6_availability"].spark_fn(spark, sf_dir)
+    )
+    # a pinned source's one-time repartition lives inside the
+    # materialized InMemoryRelation — not a per-query shuffle
+    live = plan.split("InMemoryRelation")[0]
+    assert live.count("Exchange hashpartitioning") == 1, live[:800]
+    assert live.count("Exchange rangepartitioning") == 1, live[:800]
+
+
+def test_bulk_selects_plan_as_bin_equi_joins(spark, sf_dir):
+    """Both POST-bulk resolves (dataselect + station) must join on the
+    time bin as a hash join with the small request side broadcast —
+    never BroadcastNestedLoop or CartesianProduct."""
+    from jane_spark.contracts import REGISTRY
+
+    for name in ("q_a7_bulk_select", "q_a8_station_bulk"):
+        plan = _executed_plan(REGISTRY[name].spark_fn(spark, sf_dir))
+        assert "BroadcastNestedLoop" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, name
