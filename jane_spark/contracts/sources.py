@@ -244,6 +244,87 @@ def q_a8_event_xml(spark, sf_dir):
 
 
 @contract(
+    "q_a8_fm_xml",
+    oracle=f"""
+        WITH ev AS (
+            SELECT 'evt:' || CAST(event_id AS VARCHAR) AS qid,
+                   ts,
+                   CAST(event_id % 180 - 90 AS DOUBLE) AS lat,
+                   CAST(event_id % 360 - 180 AS DOUBLE) AS lon,
+                   CAST(event_id % 700 * 1000 AS DOUBLE) AS dep,
+                   CAST(event_id % 90 AS DOUBLE) AS mag,
+                   {_DUCK_ESC.format(col="event_type")} AS etype,
+                   CASE WHEN event_id % 3 = 0
+                        THEN CAST(event_id * 37 % 360 AS DOUBLE) END AS fs,
+                   CASE WHEN event_id % 3 = 0
+                        THEN CAST(event_id % 89 + 1 AS DOUBLE) END AS fd,
+                   CASE WHEN event_id % 3 = 0
+                        THEN CAST(event_id * 13 % 360 - 180 AS DOUBLE) END AS fr
+            FROM events)
+        SELECT qid AS quakeml_id,
+               concat('<event publicID="', qid, '">',
+                      CASE WHEN fs IS NOT NULL THEN
+                        concat('<focalMechanism publicID="', qid, '#fm">',
+                               '<nodalPlanes><nodalPlane1>',
+                               '<strike><value>', CAST(fs AS VARCHAR),
+                               '</value></strike>',
+                               '<dip><value>', CAST(fd AS VARCHAR),
+                               '</value></dip>',
+                               '<rake><value>', CAST(fr AS VARCHAR),
+                               '</value></rake>',
+                               '</nodalPlane1></nodalPlanes></focalMechanism>')
+                      ELSE '' END,
+                      '<origin><time><value>',
+                      strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'),
+                      '</value></time>',
+                      '<latitude><value>', CAST(lat AS VARCHAR),
+                      '</value></latitude>',
+                      '<longitude><value>', CAST(lon AS VARCHAR),
+                      '</value></longitude>',
+                      '<depth><value>', CAST(dep AS VARCHAR),
+                      '</value></depth>',
+                      '<evaluationMode>manual</evaluationMode></origin>',
+                      '<magnitude><mag><value>', CAST(mag AS VARCHAR),
+                      '</value></mag><type>Mw</type>',
+                      '<creationInfo><agencyID>EMSC</agencyID>',
+                      '<author>auto</author></creationInfo></magnitude>',
+                      '<type>', etype, '</type></event>') AS xml
+        FROM ev
+    """,
+    survey_rows="A8",
+    doc="QuakeML <event> serialization incl. the round-6 "
+    "<focalMechanism> nodal-plane block (services/fdsnws.event_xml) on "
+    "a synthetic quakeml index derived from events: every 3rd event "
+    "carries cataloged angles and serializes them; the rest emit no "
+    "mechanism element at all. Whole-number doubles keep the "
+    "double→string rendering engine-portable; oracle is the same "
+    "concat/CASE shape in DuckDB",
+)
+def q_a8_fm(spark, sf_dir):
+    from jane_spark.services.fdsnws import event_xml
+
+    eid = F.col("event_id")
+    has_fm = eid % 3 == 0
+    ev = Catalog(spark, sf_dir).events.select(
+        F.concat(F.lit("evt:"), eid.cast("string")).alias("quakeml_id"),
+        F.col("ts").alias("origin_time"),
+        (eid % 180 - 90).cast("double").alias("latitude"),
+        (eid % 360 - 180).cast("double").alias("longitude"),
+        (eid % 700 * 1000).cast("double").alias("depth_in_m"),
+        (eid % 90).cast("double").alias("magnitude"),
+        F.lit("Mw").alias("magnitude_type"),
+        F.lit("EMSC").alias("agency"),
+        F.lit("auto").alias("author"),
+        F.lit("manual").alias("evaluation_mode"),
+        F.col("event_type"),
+        F.when(has_fm, (eid * 37 % 360).cast("double")).alias("fm_strike"),
+        F.when(has_fm, (eid % 89 + 1).cast("double")).alias("fm_dip"),
+        F.when(has_fm, (eid * 13 % 360 - 180).cast("double")).alias("fm_rake"),
+    )
+    return event_xml(ev)
+
+
+@contract(
     "q_a9_delta_anti",
     oracle="""
         SELECT c_custkey FROM customer

@@ -966,17 +966,30 @@ def availability_extent(traces: DataFrame) -> DataFrame:
 
 
 def availability_spans(
-    traces: DataFrame, merge_tolerance_s: float = 0.0
+    traces: DataFrame,
+    merge_tolerance_s: float = 0.0,
+    merge: tuple = (),
 ) -> DataFrame:
     """fdsnws-availability 'query' mode: continuous spans per channel,
     merging adjacent/overlapping segments whose gap is ≤ the tolerance
-    (FDSN ``mergegaps``). The D6/E4 pattern: one window shuffle keyed
-    on SEED id — lag the running max end, flag gap starts, cumulative-
-    sum into span ids, aggregate. No self-join, no explode; at 100 TB
-    the shuffle carries index rows only, partitioned by channel."""
+    (FDSN ``mergegaps``). The FDSN ``merge`` option controls whether a
+    quality or sample-rate change breaks a span: by default spans are
+    per (SEED id, quality, sample rate) as the spec requires; pass
+    ``merge=("quality",)`` / ``("samplerate",)`` / both to collapse
+    across those changes. Columns absent from the index are skipped.
+    The D6/E4 pattern: one window shuffle keyed on the span key — lag
+    the running max end, flag gap starts, cumulative-sum into span ids,
+    aggregate (the aggregation reuses the window's partitioning — plan-
+    guarded single shuffle). No self-join, no explode; at 100 TB the
+    shuffle carries index rows only, partitioned by channel."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*SEED_FIELDS).orderBy("starttime", "endtime")
+    keys = list(SEED_FIELDS)
+    if "quality" not in merge and "quality" in traces.columns:
+        keys.append("quality")
+    if "samplerate" not in merge and "sampling_rate" in traces.columns:
+        keys.append("sampling_rate")
+    w = Window.partitionBy(*keys).orderBy("starttime", "endtime")
     # running max guards against contained segments (B inside A) where
     # a plain lag(endtime) would reopen an already-covered span
     prev_cover = F.max("endtime").over(
@@ -996,7 +1009,7 @@ def availability_spans(
         "__span", F.sum("__new_span").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
     return (
-        flagged.groupBy(*SEED_FIELDS, "__span")
+        flagged.groupBy(*keys, "__span")
         .agg(
             F.min("starttime").alias("span_start"),
             F.max("endtime").alias("span_end"),
@@ -1004,5 +1017,5 @@ def availability_spans(
             F.sum("npts").alias("total_samples"),
         )
         .drop("__span")
-        .orderBy(*SEED_FIELDS, "span_start")
+        .orderBy(*keys, "span_start")
     )

@@ -349,7 +349,9 @@ def test_availability_extent(traces):
 def test_availability_spans_merge_tolerance(traces):
     """fdsnws-availability query mode: ALTM.EHE has a 2 h mid-day gap —
     two spans at tolerance 0, one span once the tolerance swallows the
-    gap; MANZ's overlapping segments always merge to one span."""
+    gap. MANZ's overlapping segments differ in QUALITY (D/R): the FDSN
+    default reports them as separate spans; merge=('quality',)
+    collapses them into one."""
     from jane_spark.services.fdsnws import availability_spans
 
     strict = availability_spans(traces, 0.0).collect()
@@ -361,11 +363,20 @@ def test_availability_spans_merge_tolerance(traces):
     assert ehe[0]["span_end"] == dt.datetime(2023, 1, 1, 6, 0, 0)
     assert ehe[1]["span_start"] == dt.datetime(2023, 1, 1, 8, 0, 0)
     assert [r["n_segments"] for r in ehe] == [1, 1]
-    # the two overlapping MANZ segments merge at zero tolerance
+    # overlapping MANZ segments carry different quality codes → the
+    # spec default keeps them apart, one span each
     manz = by_chan[("MANZ", "BHZ")]
-    assert len(manz) == 1 and manz[0]["n_segments"] == 2
-    assert manz[0]["span_end"] == dt.datetime(2023, 1, 1, 23, 59, 59)
-    # a 2-hour tolerance swallows the EHE gap
+    assert len(manz) == 2 and {r["quality"] for r in manz} == {"D", "R"}
+    # merge=quality collapses the quality change into one span
+    manz_m = [
+        r
+        for r in availability_spans(traces, 0.0, merge=("quality",)).collect()
+        if r["station"] == "MANZ"
+    ]
+    assert len(manz_m) == 1 and manz_m[0]["n_segments"] == 2
+    assert manz_m[0]["span_end"] == dt.datetime(2023, 1, 1, 23, 59, 59)
+    assert "quality" not in manz_m[0].asDict()
+    # a 2-hour tolerance swallows the EHE gap (same-quality segments)
     merged = availability_spans(traces, 2 * 3600.0).collect()
     ehe_m = [r for r in merged if (r["station"], r["channel"]) == ("ALTM", "EHE")]
     assert len(ehe_m) == 1 and ehe_m[0]["n_segments"] == 2
