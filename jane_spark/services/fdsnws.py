@@ -861,6 +861,59 @@ def dataselect_bulk_body(
     return dataselect_bulk(traces, req, params, acl, bin_width)
 
 
+AVAILABILITY_PARAMS = frozenset(
+    SEED_FIELDS + (
+        "starttime", "endtime", "quality", "merge", "mergegaps",
+        "limit", "format",
+    )
+)
+
+
+def availability_query(
+    traces: DataFrame,
+    params: dict[str, str],
+    acl: DataFrame | None = None,
+    mode: str = "query",
+) -> DataFrame:
+    """fdsnws-availability front door (§3 service surface): SEED
+    wildcard-list + window + quality filters over the trace index, then
+    either per-channel extents (``mode='extent'``) or tolerance-merged
+    continuous spans (``mode='query'``) with the FDSN ``merge`` /
+    ``mergegaps`` options. Reported spans are trimmed to the request
+    window. ACL gating (B12) runs before any aggregation, as in the
+    other front doors."""
+    _validate(params, AVAILABILITY_PARAMS, "fdsnws-availability")
+    p = _seed_predicate(params)
+    if "quality" in params:
+        p = p & F.col("quality").isin(params["quality"].split(","))
+    s = e = None
+    if "starttime" in params:
+        s = F.to_timestamp(F.lit(params["starttime"])).cast("timestamp_ntz")
+        p = p & (F.col("endtime") > s)
+    if "endtime" in params:
+        e = F.to_timestamp(F.lit(params["endtime"])).cast("timestamp_ntz")
+        p = p & (F.col("starttime") < e)
+    out = _apply_acl(traces.filter(p), acl)
+    if mode == "extent":
+        return availability_extent(out)
+    if mode != "query":
+        raise KeyError(f"unknown availability mode: {mode!r}")
+    merge = tuple(x for x in params.get("merge", "").split(",") if x)
+    unknown_merge = set(merge) - {"quality", "samplerate", "overlap"}
+    if unknown_merge:
+        raise KeyError(f"unknown merge option(s): {sorted(unknown_merge)}")
+    spans = availability_spans(
+        out, float(params.get("mergegaps", 0.0)), merge
+    )
+    if s is not None:
+        spans = spans.withColumn("span_start", F.greatest(F.col("span_start"), s))
+    if e is not None:
+        spans = spans.withColumn("span_end", F.least(F.col("span_end"), e))
+    if "limit" in params:
+        spans = spans.limit(int(params["limit"]))
+    return spans
+
+
 _STATION_BULK_KEYS = frozenset({"level", "format"})
 
 

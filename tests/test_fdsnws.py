@@ -383,6 +383,51 @@ def test_availability_spans_merge_tolerance(traces):
     assert ehe_m[0]["total_samples"] == 4320000 + 11519800
 
 
+def test_availability_query_front_door(traces):
+    """GET-param surface: wildcards + quality list + window trim +
+    mergegaps + extent mode + reject-unknown."""
+    from jane_spark.services.fdsnws import availability_query
+
+    spans = availability_query(
+        traces,
+        {"network": "BW", "station": "ALTM", "channel": "EH?",
+         "quality": "D",
+         "starttime": "2023-01-01T05:00:00", "endtime": "2023-01-01T09:00:00"},
+    ).collect()
+    # EHE's two segments (gap 06–08) + EHZ's one, all trimmed to window
+    by_chan = {}
+    for r in spans:
+        by_chan.setdefault(r["channel"], []).append(r)
+    assert len(by_chan["EHE"]) == 2 and len(by_chan["EHZ"]) == 1
+    assert by_chan["EHE"][0]["span_start"] == dt.datetime(2023, 1, 1, 5, 0, 0)
+    assert by_chan["EHE"][0]["span_end"] == dt.datetime(2023, 1, 1, 6, 0, 0)
+    assert by_chan["EHE"][1]["span_start"] == dt.datetime(2023, 1, 1, 8, 0, 0)
+    assert by_chan["EHE"][1]["span_end"] == dt.datetime(2023, 1, 1, 9, 0, 0)
+    # mergegaps swallows the 2 h gap into one trimmed span
+    merged = availability_query(
+        traces,
+        {"network": "BW", "station": "ALTM", "channel": "EHE",
+         "mergegaps": "7200",
+         "starttime": "2023-01-01T05:00:00", "endtime": "2023-01-01T09:00:00"},
+    ).collect()
+    assert len(merged) == 1 and merged[0]["n_segments"] == 2
+    # extent mode delegates to availability_extent
+    ext = availability_query(
+        traces, {"network": "GR"}, mode="extent"
+    ).collect()
+    assert {r["channel"] for r in ext} == {"BHZ", "LHZ"}
+    # restricted MANZ hidden from an empty-grant caller
+    spark = traces.sparkSession
+    grants = spark.createDataFrame([], "network string, station string, "
+                                   "location string, channel string")
+    gated = availability_query(traces, {"network": "BW"}, acl=grants).collect()
+    assert {r["station"] for r in gated} == {"ALTM"}
+    with pytest.raises(KeyError, match="unknown fdsnws-availability"):
+        availability_query(traces, {"longestonly": "true"})
+    with pytest.raises(KeyError, match="unknown merge option"):
+        availability_query(traces, {"merge": "bogus"})
+
+
 def test_availability_spans_contained_segment(spark):
     """A segment fully inside an earlier one must not reopen a span
     (the running-max guard): A covers B, C starts after A ends."""
