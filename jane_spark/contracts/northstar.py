@@ -250,6 +250,44 @@ def q_k5(spark, sf_dir):
 
 
 @contract(
+    "q_k5_bm25",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               WHERE term IN ('hash', 'shuffle', 'window')
+               GROUP BY doc_id, term),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term)
+        SELECT t.doc_id,
+               round(sum(
+                   ln((n - df + 0.5) / (df + 0.5) + 1)
+                   * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               ), 6) AS score
+        FROM tf t
+        JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        GROUP BY t.doc_id
+        ORDER BY score DESC, t.doc_id
+        LIMIT 20
+    """,
+    survey_rows="K5,F3",
+    doc="BM25 top-k lexical retrieval (operators/retrieval.bm25_topk): "
+    "Okapi scoring from tf/df/doc-length aggregates, query-term-pruned "
+    "explode, broadcast df + corpus scalars, TakeOrdered top-k — the "
+    "ranked document-search twin of the K5 TF-IDF stats. Scores "
+    "rounded to 6 decimals with id tie-break for cross-engine "
+    "determinism",
+)
+def q_k5_bm25(spark, sf_dir):
+    from jane_spark.operators.retrieval import bm25_topk
+
+    docs = Catalog(spark, sf_dir).documents
+    return bm25_topk(docs, "doc_id", "text", ["hash", "shuffle", "window"], k=20)
+
+
+@contract(
     "q_k6_lang",
     oracle="""
         SELECT lang, count(*) AS n, round(avg(n_chars), 4) AS avg_chars

@@ -1,0 +1,96 @@
+"""Lexical top-k retrieval (BM25) over the documents table (SURVEY.md
+§2.11 K5 family — the reference's document search surface re-expressed
+as ranked retrieval; also the decontamination/quality-curation lookup a
+training-data pipeline runs against a reference corpus).
+
+BM25 (Robertson & Spärck Jones probabilistic model, the Okapi BM25
+formulation — public literature) computed entirely in DataFrame ops:
+
+    score(d, Q) = Σ_{t∈Q} idf(t) · tf(t,d)·(k1+1)
+                           / (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+    idf(t) = ln( (N − df(t) + 0.5) / (df(t) + 0.5) + 1 )
+
+Scale shape: the token explode is row-local; ``tf`` aggregates only the
+query terms (an ``isin`` filter prunes the explode before any shuffle),
+``df`` reduces that to one row per query term (broadcast back), and the
+only corpus-wide aggregates are the per-doc length and the global
+(N, avgdl) scalars — all partial-aggregated map-side. The final top-k
+is an orderBy+limit, which Spark executes as TakeOrdered (per-partition
+heap + driver merge of k rows), never a full sort-shuffle. No
+``collect()``; N/avgdl travel as a broadcast one-row cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents for a bag-of-words query, scored with BM25.
+
+    Tokenization is lowercase whitespace split (the engine's K4/K5
+    convention — oracle-portable). Returns (id, score) with the score
+    rounded to 6 decimals and ties broken by id, so the ranking is
+    deterministic across engines and summation orders.
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk: empty query")
+    terms = sorted({t.lower() for t in query_terms})
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("__term"),
+    )
+    dl = toks.groupBy("__id").agg(F.count(F.lit(1)).alias("__dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("__n"), F.avg("__dl").alias("__avgdl")
+    )
+    tf = (
+        toks.filter(F.col("__term").isin(terms))
+        .groupBy("__id", "__term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    df_ = tf.groupBy("__term").agg(
+        F.count_distinct("__id").alias("__df")
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "__term")
+        .join(dl, "__id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__idf",
+            F.log(
+                (F.col("__n") - F.col("__df") + F.lit(0.5))
+                / (F.col("__df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+        )
+        .withColumn(
+            "__s",
+            F.col("__idf")
+            * (F.col("__tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("__tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("__dl") / F.col("__avgdl")
+                )
+            ),
+        )
+        .groupBy("__id")
+        .agg(F.round(F.sum("__s"), 6).alias("score"))
+    )
+    return (
+        scored.select(F.col("__id").alias(id_col), "score")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -1312,3 +1312,67 @@ def test_passjoin_hot_block_salted(spark):
             ).collect()
         }
         assert salted == unsalted and unsalted, (thr, cap)
+
+
+def test_bm25_topk_matches_bruteforce(spark):
+    """BM25 ranking vs an independent closed-form reference on a tiny
+    corpus with known tf/df/length structure."""
+    import math
+
+    from jane_spark.operators.retrieval import bm25_topk
+
+    corpus = [
+        (1, "spark shuffle join shuffle hash"),
+        (2, "window window window sort"),
+        (3, "hash hash hash hash hash hash"),
+        (4, "totally unrelated words here"),
+        (5, "shuffle hash window"),
+    ]
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    query = ["hash", "window"]
+    got = [(r["doc_id"], r["score"])
+           for r in bm25_topk(df, "doc_id", "text", query, k=3).collect()]
+
+    toks = {i: t.split(" ") for i, t in corpus}
+    n = len(corpus)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfreq = {
+        q: sum(1 for v in toks.values() if q in v) for q in query
+    }
+    k1, b = 1.2, 0.75
+
+    def score(i):
+        s = 0.0
+        for q in query:
+            tf = toks[i].count(q)
+            if not tf:
+                continue
+            idf = math.log((n - dfreq[q] + 0.5) / (dfreq[q] + 0.5) + 1)
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(toks[i]) / avgdl))
+        return round(s, 6)
+
+    want = sorted(
+        ((i, score(i)) for i in toks if score(i) > 0),
+        key=lambda x: (-x[1], x[0]),
+    )[:3]
+    assert got == want
+    # doc 4 shares no query terms → never retrieved even with big k
+    all_ids = {r["doc_id"]
+               for r in bm25_topk(df, "doc_id", "text", query, k=10).collect()}
+    assert 4 not in all_ids
+    with pytest.raises(ValueError, match="empty query"):
+        bm25_topk(df, "doc_id", "text", [])
+
+
+def test_bm25_plan_is_take_ordered_without_collect(spark, sf_dir):
+    """The top-k must plan as TakeOrderedAndProject (per-partition heap,
+    k rows to the driver) — not a global sort — and the corpus scalars
+    must travel as broadcast joins, not driver collects."""
+    from jane_spark.engine.catalog import Catalog
+    from jane_spark.operators.retrieval import bm25_topk
+
+    docs = Catalog(spark, sf_dir).documents
+    df = bm25_topk(docs, "doc_id", "text", ["hash", "shuffle"], k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
