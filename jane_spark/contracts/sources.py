@@ -325,6 +325,51 @@ def q_a8_fm(spark, sf_dir):
 
 
 @contract(
+    "q_a8_geojson",
+    oracle="""
+        SELECT 'evt:' || CAST(event_id AS VARCHAR) AS quakeml_id,
+               CAST(to_json(struct_pack(
+                   type := 'Feature',
+                   id := 'evt:' || CAST(event_id AS VARCHAR),
+                   geometry := struct_pack(
+                       type := 'Point',
+                       coordinates := [CAST(event_id % 360 - 180 AS DOUBLE),
+                                       CAST(event_id % 180 - 90 AS DOUBLE),
+                                       CAST(event_id % 700 AS DOUBLE)]),
+                   properties := struct_pack(
+                       "time" := strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'),
+                       mag := round(value, 3),
+                       magtype := 'Mw',
+                       type := event_type,
+                       agency := 'EMSC')
+               )) AS VARCHAR) AS feature
+        FROM events
+    """,
+    survey_rows="A8,H7",
+    doc="GeoJSON event sink (services/fdsnws.event_geojson): one "
+    "Feature per event via JVM-side to_json(struct) — Point geometry "
+    "+ typed properties, byte-stable vs DuckDB's "
+    "to_json(struct_pack) twin (both shortest-round-trip doubles)",
+)
+def q_a8_geojson(spark, sf_dir):
+    from jane_spark.services.fdsnws import event_geojson
+
+    eid = F.col("event_id")
+    ev = Catalog(spark, sf_dir).events.select(
+        F.concat(F.lit("evt:"), eid.cast("string")).alias("quakeml_id"),
+        F.col("ts").alias("origin_time"),
+        (eid % 180 - 90).cast("double").alias("latitude"),
+        (eid % 360 - 180).cast("double").alias("longitude"),
+        (eid % 700).cast("double").alias("depth_in_m"),
+        F.round(F.col("value"), 3).alias("magnitude"),
+        F.lit("Mw").alias("magnitude_type"),
+        F.lit("EMSC").alias("agency"),
+        F.col("event_type"),
+    )
+    return event_geojson(ev)
+
+
+@contract(
     "q_a9_delta_anti",
     oracle="""
         SELECT c_custkey FROM customer

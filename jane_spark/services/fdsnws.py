@@ -660,6 +660,52 @@ def event_xml(events: DataFrame) -> DataFrame:
     ).orderBy("quakeml_id")
 
 
+def event_geojson(events: DataFrame) -> DataFrame:
+    """GeoJSON Feature rows for fdsnws-event ``format=geojson`` (the
+    map-UI output): one Feature per event — Point geometry
+    [lon, lat, depth], properties carrying time/magnitude/type/agency.
+    Serialized JVM-side with ``to_json(struct(...))`` — row-local, no
+    UDF, and byte-stable against DuckDB's ``to_json(struct_pack(...))``
+    (both emit shortest-round-trip doubles), so the sink is
+    oracle-checkable like the XML/text formats."""
+    feature = F.to_json(
+        F.struct(
+            F.lit("Feature").alias("type"),
+            F.col("quakeml_id").alias("id"),
+            F.struct(
+                F.lit("Point").alias("type"),
+                F.array(
+                    F.col("longitude"), F.col("latitude"), F.col("depth_in_m")
+                ).alias("coordinates"),
+            ).alias("geometry"),
+            F.struct(
+                F.date_format(
+                    "origin_time", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+                ).alias("time"),
+                F.col("magnitude").alias("mag"),
+                F.col("magnitude_type").alias("magtype"),
+                F.col("event_type").alias("type"),
+                F.col("agency").alias("agency"),
+            ).alias("properties"),
+        )
+    )
+    return events.select(
+        F.col("quakeml_id"), feature.alias("feature")
+    ).orderBy("quakeml_id")
+
+
+def geojson_document(events: DataFrame) -> str:
+    """Full FeatureCollection string, streamed feature-by-feature via
+    ``toLocalIterator`` — same bounded-driver-memory contract as the
+    XML document builders."""
+    parts = []
+    for row in event_geojson(events).toLocalIterator():
+        parts.append(row["feature"])
+    return (
+        '{"type":"FeatureCollection","features":[' + ",".join(parts) + "]}"
+    )
+
+
 def quakeml_fragments(events: DataFrame, agency: str = "jane_spark"):
     """Stream the QuakeML document as string chunks (envelope head,
     one chunk per ``<event>`` block via ``toLocalIterator()``, tail) —

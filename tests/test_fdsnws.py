@@ -939,3 +939,26 @@ def test_xml_escaping(spark):
     assert df.collect()[0]["xml"] == (
         '<Station code="a&amp;b">R&amp;D &lt;&quot;west&quot;&gt;</Station>'
     )
+
+
+def test_event_geojson_document(events):
+    """format=geojson: valid FeatureCollection, one Feature per event,
+    geometry [lon, lat, depth], no collect() in the assembly."""
+    import json as _json
+
+    from jane_spark.services.fdsnws import event_query, geojson_document
+
+    doc = geojson_document(event_query(events, {"minmagnitude": "5.0"}))
+    parsed = _json.loads(doc)
+    assert parsed["type"] == "FeatureCollection"
+    feats = {f["id"]: f for f in parsed["features"]}
+    assert set(feats) == {
+        "quakeml:eu/ev002", "quakeml:eu/ev003", "quakeml:eu/ev005",
+    }
+    ev2 = feats["quakeml:eu/ev002"]
+    assert ev2["geometry"] == {
+        "type": "Point", "coordinates": [26.6, 45.9, 140000.0]
+    }
+    assert ev2["properties"]["mag"] == 5.5
+    assert ev2["properties"]["magtype"] == "Mw"
+    assert ev2["properties"]["time"].startswith("2023-02-10T04:05:06")
