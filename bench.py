@@ -52,6 +52,7 @@ BENCH_QUERIES = {
     "availability_spans": "q_d6_availability",
     "dataselect_cut": "q_a7_dataselect_cut",
     "bulk_select": "q_a7_bulk_select",
+    "bm25_topk": "q_k5_bm25",
 }
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
@@ -68,6 +69,7 @@ CALIBRATION = {
     "topk_per_group": 0.056,
     "gap_lag": 0.015,
     "availability_spans": 0.048,
+    "bm25_topk": 0.053,
 }
 
 
