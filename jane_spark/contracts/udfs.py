@@ -105,3 +105,48 @@ def q_j3(spark, sf_dir):
         F.round(pd_mean("value"), 4).alias("mean_value"),
         pd_count("value").alias("n"),
     )
+
+
+@contract(
+    "q_j4_udtf",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS term,
+                   unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+            FROM documents)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(pos) AS BIGINT) AS sum_pos,
+               min_by(term, pos) AS first_term,
+               max_by(term, pos) AS last_term
+        FROM t GROUP BY doc_id
+    """,
+    survey_rows="J4",
+    doc="a REAL Python UDTF (PySpark @udtf + SQL LATERAL): one document "
+    "row fans out to (pos, term) rows, re-aggregated per doc so the "
+    "oracle (zipped unnest + range ordinality in DuckDB) hash-checks "
+    "position fidelity. Covers the UDTF API row itself — production "
+    "explodes stay on the built-in JVM path (A2), this is the "
+    "escape-hatch shape for logic explode() cannot express",
+)
+def q_j4(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, term string")
+    class _Tokenize:
+        def eval(self, text: str):
+            for i, t in enumerate((text or "").split(" "), 1):
+                yield i, t
+
+    spark.udtf.register("jane_tokenize_udtf", _Tokenize)
+    Catalog(spark, sf_dir).documents.createOrReplaceTempView("__j4_docs")
+    rows = spark.sql(
+        "SELECT d.doc_id, t.pos, t.term "
+        "FROM __j4_docs d, LATERAL jane_tokenize_udtf(d.text) t"
+    )
+    return rows.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("pos").alias("sum_pos"),
+        F.min_by("term", "pos").alias("first_term"),
+        F.max_by("term", "pos").alias("last_term"),
+    )
