@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from jane_spark.contracts.registry import contract
 from jane_spark.engine.catalog import Catalog
+from jane_spark.functions.time import ntz_epoch_us
 
 
 @contract(
@@ -481,8 +482,8 @@ def q_a7(spark, sf_dir):
         F.lit(100.0).alias("sampling_rate"),
         (F.col("n_events").cast("long")).alias("npts"),
         (
-            F.unix_micros(F.col("session_end").cast("timestamp"))
-            - F.unix_micros(F.col("session_start").cast("timestamp"))
+            ntz_epoch_us(F.col("session_end"))
+            - ntz_epoch_us(F.col("session_start"))
         ).cast("double").alias("duration"),
         F.lit("D").alias("quality"),
         F.col("user_id").alias("file_id"),
@@ -526,8 +527,8 @@ def q_a7_bulk(spark, sf_dir):
         F.lit(100.0).alias("sampling_rate"),
         (F.col("n_events").cast("long")).alias("npts"),
         (
-            F.unix_micros(F.col("session_end").cast("timestamp"))
-            - F.unix_micros(F.col("session_start").cast("timestamp"))
+            ntz_epoch_us(F.col("session_end"))
+            - ntz_epoch_us(F.col("session_start"))
         ).cast("double").alias("duration"),
         F.lit("D").alias("quality"),
         F.col("user_id").alias("file_id"),

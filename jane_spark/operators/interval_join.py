@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from jane_spark.functions.time import ntz_epoch_us
+
 
 def _bin_ids(start: Column, end: Column, bin_width_us: int) -> Column:
     """All bin ids a [start,end) µs-interval touches (inclusive ends)."""
@@ -81,10 +83,14 @@ def overlap_join(
     if bin_us is None:
         raise ValueError(f"bin_width must be one of {sorted(widths)}")
 
-    lus_s = F.unix_micros(F.col(left_start).cast("timestamp"))
-    lus_e = F.unix_micros(F.col(left_end).cast("timestamp"))
-    rus_s = F.unix_micros(F.col(right_start).cast("timestamp"))
-    rus_e = F.unix_micros(F.col(right_end).cast("timestamp"))
+    # tz-free epoch µs (functions/time.py): keeps time bins uniform in
+    # any session zone (a DST-shifted cast still joins correctly — the
+    # mapping is applied identically to both sides — but uniform bins
+    # keep the documented amplification bound exact)
+    lus_s = ntz_epoch_us(F.col(left_start))
+    lus_e = ntz_epoch_us(F.col(left_end))
+    rus_s = ntz_epoch_us(F.col(right_start))
+    rus_e = ntz_epoch_us(F.col(right_end))
 
     lb = left.withColumn("__bin", F.explode(_bin_ids(lus_s, lus_e, bin_us)))
     rb = right.withColumn("__bin", F.explode(_bin_ids(rus_s, rus_e, bin_us)))

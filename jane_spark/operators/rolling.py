@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from jane_spark.functions.time import ntz_epoch_us
+
 _UNITS_US = {
     "second": 1_000_000,
     "minute": 60_000_000,
@@ -55,7 +57,7 @@ def trailing_window_agg(
     us = interval_micros(interval)
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy(F.unix_micros(F.col(ts_col).cast("timestamp")))
+        .orderBy(ntz_epoch_us(F.col(ts_col)))  # tz-free (functions/time.py)
         .rangeBetween(-us, 0)
     )
     out = df

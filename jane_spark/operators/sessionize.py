@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from jane_spark.functions.time import ntz_epoch_us
+
 
 def with_gaps(
     df: DataFrame,
@@ -27,7 +29,9 @@ def with_gaps(
     engines, interval types do not (SURVEY.md §7.4 risk 4).
     """
     w = Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col(tie_break).asc())
-    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    # tz-free epoch µs: a session-timezone cast would mis-measure gaps
+    # across DST transitions by up to an hour (functions/time.py)
+    us = ntz_epoch_us(F.col(ts))
     return df.withColumn(gap_col, us - F.lag(us).over(w))
 
 

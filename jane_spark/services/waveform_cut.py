@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from jane_spark.functions.time import ntz_epoch_us
+
 CUT_SCHEMA = (
     "path string, network string, station string, location string, "
     "channel string, start_us long, npts int, sampling_rate double, "
@@ -48,8 +50,11 @@ def cut_waveforms(
     plan = cut_rows.select(
         "path",
         F.col("pos").cast("long").alias("pos"),
-        F.unix_micros(F.col("cut_start").cast("timestamp")).alias("cut_start_us"),
-        F.unix_micros(F.col("cut_end").cast("timestamp")).alias("cut_end_us"),
+        # tz-free: cut bounds are UTC wall times compared against the
+        # files' true UTC epoch offsets — a session-timezone cast would
+        # shift every cut by the zone offset (functions/time.py)
+        ntz_epoch_us(F.col("cut_start")).alias("cut_start_us"),
+        ntz_epoch_us(F.col("cut_end")).alias("cut_end_us"),
     ).repartition("path")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -1376,3 +1376,25 @@ def test_bm25_plan_is_take_ordered_without_collect(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_sessionize_gap_is_dst_proof(spark):
+    """Gap measurement must not pass through the session timezone: a
+    35-min true gap spanning the US spring-forward instant is one
+    session at a 40-min tolerance and two at 30 — in ANY session zone."""
+    rows = [
+        (1, 1, dt.datetime(2023, 3, 12, 6, 45)),   # 06:45 UTC (01:45 EST)
+        (2, 1, dt.datetime(2023, 3, 12, 7, 20)),   # 07:20 UTC (03:20 EDT)
+    ]
+    df = spark.createDataFrame(rows, "eid long, uid long, ts timestamp_ntz")
+    from jane_spark.operators.sessionize import session_summary
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        two = session_summary(df, "uid", "ts", "eid", 30 * 60 * 1_000_000)
+        assert two.count() == 2
+        one = session_summary(df, "uid", "ts", "eid", 40 * 60 * 1_000_000)
+        assert one.count() == 1
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
