@@ -220,6 +220,75 @@ def q_d6_avail(spark, sf_dir):
 
 
 @contract(
+    "q_d6_percent",
+    oracle="""
+        WITH seg AS (
+            SELECT 'S' || CAST(user_id % 50 AS VARCHAR) AS station,
+                   ts AS st, ts + INTERVAL 10 MINUTE AS en
+            FROM events),
+        g AS (
+            SELECT station, st, en,
+                   CASE WHEN max(epoch_us(en)) OVER (
+                            PARTITION BY station ORDER BY st, en
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                            IS NULL
+                         OR epoch_us(st) - max(epoch_us(en)) OVER (
+                            PARTITION BY station ORDER BY st, en
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                            > 600000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM seg),
+        s AS (
+            SELECT station, st, en,
+                   CAST(sum(new_s) OVER (
+                       PARTITION BY station ORDER BY st, en
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS span
+            FROM g),
+        spans AS (
+            SELECT station, epoch_us(min(st)) AS s_us, epoch_us(max(en)) AS e_us
+            FROM s GROUP BY station, span),
+        d AS (
+            SELECT station, s_us, e_us,
+                   unnest(generate_series(
+                       s_us // 86400000000,
+                       (e_us - 1) // 86400000000)) AS day_id
+            FROM spans)
+        SELECT station,
+               DATE '1970-01-01' + CAST(day_id AS INT) AS day,
+               CAST((sum(least(e_us, (day_id + 1) * 86400000000)
+                         - greatest(s_us, day_id * 86400000000))
+                     * 100000000 // 86400000000) AS BIGINT) / 1000000.0
+                   AS coverage_pct
+        FROM d GROUP BY station, day_id
+    """,
+    survey_rows="D6,D7",
+    doc="per-channel per-UTC-day coverage percentage (services/fdsnws."
+    "availability_percent — jane's availability plot): disjoint merged "
+    "spans exploded into day bins, clamped overlap summed per day. "
+    "Same derived segment set as q_d6_availability; DuckDB twin uses "
+    "generate_series day bins over the identical span CTE",
+)
+def q_d6_percent(spark, sf_dir):
+    from jane_spark.services.fdsnws import availability_percent
+
+    ev = Catalog(spark, sf_dir).clustered("events", "user_id")
+    traces = ev.select(
+        F.lit("BW").alias("network"),
+        F.concat(F.lit("S"), (F.col("user_id") % 50).cast("string")).alias(
+            "station"
+        ),
+        F.lit("").alias("location"),
+        F.lit("EHZ").alias("channel"),
+        F.col("ts").alias("starttime"),
+        (F.col("ts") + F.make_dt_interval(mins=F.lit(10))).alias("endtime"),
+        F.lit(1).alias("npts"),
+    )
+    return availability_percent(traces, merge_tolerance_s=600.0).select(
+        "station", "day", "coverage_pct"
+    )
+
+
+@contract(
     "q_d7_bucket",
     oracle="""
         SELECT date_trunc('hour', ts) AS bucket, event_type,

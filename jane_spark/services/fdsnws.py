@@ -907,6 +907,57 @@ def dataselect_bulk_body(
     return dataselect_bulk(traces, req, params, acl, bin_width)
 
 
+def availability_percent(
+    traces: DataFrame, merge_tolerance_s: float = 0.0
+) -> DataFrame:
+    """Per-channel per-UTC-day coverage percentage — jane's availability
+    plot. Segments first merge into disjoint spans (so overlaps never
+    double-count), then each span explodes into the day bins it touches
+    (``sequence`` — same rewrite as the C4 interval join) and the
+    clamped per-day overlap aggregates to a percentage. One window
+    shuffle for the spans + one aggregation keyed (channel, day); the
+    explode amplification is bounded by span length in days."""
+    from jane_spark.functions.time import ntz_epoch_us
+
+    day_us = 86_400_000_000
+    spans = availability_spans(
+        traces, merge_tolerance_s, merge=("quality", "samplerate")
+    )
+    s_us = ntz_epoch_us(F.col("span_start"))
+    e_us = ntz_epoch_us(F.col("span_end"))
+    days = spans.withColumn(
+        "day_id",
+        F.explode(
+            F.sequence(
+                (s_us / day_us).cast("long"),
+                ((e_us - 1) / day_us).cast("long"),
+            )
+        ),
+    )
+    ov = F.least(
+        ntz_epoch_us(F.col("span_end")), (F.col("day_id") + 1) * day_us
+    ) - F.greatest(ntz_epoch_us(F.col("span_start")), F.col("day_id") * day_us)
+    # exact-integer percentage: micro-percent = covered_us*1e8 div day_us
+    # (fits a long: ≤ 8.64e10 µs/day × 1e8 < 2^63), then ONE double
+    # division by 1e6 — bit-identical across engines, no float-sum
+    # rounding ties at the 6th decimal
+    return (
+        days.withColumn("__ov_us", ov)
+        .groupBy(*SEED_FIELDS, "day_id")
+        .agg(F.sum("__ov_us").alias("__sum_us"))
+        .withColumn(
+            "coverage_pct",
+            F.expr(f"(__sum_us * 100000000L div {day_us}L) / 1e6"),
+        )
+        .drop("__sum_us")
+        .withColumn(
+            "day", F.date_add(F.lit("1970-01-01").cast("date"), F.col("day_id").cast("int"))
+        )
+        .drop("day_id")
+        .orderBy(*SEED_FIELDS, "day")
+    )
+
+
 AVAILABILITY_PARAMS = frozenset(
     SEED_FIELDS + (
         "starttime", "endtime", "quality", "merge", "mergegaps",

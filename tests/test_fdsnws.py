@@ -962,3 +962,27 @@ def test_event_geojson_document(events):
     assert ev2["properties"]["mag"] == 5.5
     assert ev2["properties"]["magtype"] == "Mw"
     assert ev2["properties"]["time"].startswith("2023-02-10T04:05:06")
+
+
+def test_availability_percent_day_math(spark):
+    """Coverage percentage clamps spans to UTC-day boundaries and never
+    double-counts overlapping segments (they merge first)."""
+    from jane_spark.plans.schema import TRACE_META, meta_to_schema
+    from jane_spark.services.fdsnws import availability_percent
+
+    rows = [
+        # 18:00 day1 → 06:00 day2 (25% of each day), plus a fully
+        # contained overlap that must not double-count
+        ("N", "S", "", "C", dt.datetime(2023, 1, 1, 18), dt.datetime(2023, 1, 2, 6),
+         1.0, 1, 43200.0, "D", 1, 0, False),
+        ("N", "S", "", "C", dt.datetime(2023, 1, 1, 20), dt.datetime(2023, 1, 1, 22),
+         1.0, 1, 7200.0, "D", 1, 1, False),
+    ]
+    df = spark.createDataFrame(
+        rows, meta_to_schema(TRACE_META, include_geometry=False, include_extra=False)
+    )
+    got = {
+        (r["day"].isoformat()): r["coverage_pct"]
+        for r in availability_percent(df).collect()
+    }
+    assert got == {"2023-01-01": 25.0, "2023-01-02": 25.0}
