@@ -90,7 +90,7 @@ VERIFY_FIRST: list[str] = [
 ]
 # round-6 additions displace the newest tail fills to keep the window
 # at exactly 50 names
-_R6_NEW = ["q_a7_bulk_select", "q_d6_availability", "q_a8_station_bulk", "q_a8_fm_xml", "q_k5_bm25", "q_a8_geojson", "q_j4_udtf", "q_d6_percent"]
+_R6_NEW = ["q_a7_bulk_select", "q_d6_availability", "q_a8_station_bulk", "q_a8_fm_xml", "q_k5_bm25", "q_a8_geojson", "q_j4_udtf", "q_d6_percent", "q_k14_ssjoin"]
 VERIFY_FIRST = _R6_NEW + VERIFY_FIRST[: 50 - len(_R6_NEW)]
 
 

@@ -288,6 +288,39 @@ def q_k5_bm25(spark, sf_dir):
 
 
 @contract(
+    "q_k14_ssjoin",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id,
+                   list_distinct(string_split(lower(text), ' ')) AS toks
+            FROM documents WHERE doc_id < 400),
+        p AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.toks, b.toks)) AS ni,
+                   len(a.toks) + len(b.toks)
+                       - len(list_intersect(a.toks, b.toks)) AS nu
+            FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        SELECT id_a, id_b,
+               CAST(ni AS BIGINT) AS n_intersect,
+               CAST(nu AS BIGINT) AS n_union
+        FROM p WHERE ni * 10 >= nu * 9
+    """,
+    survey_rows="K2,K14",
+    doc="EXACT Jaccard set-similarity self-join via prefix filtering "
+    "(operators/ssjoin — PPJoin-style rarest-first prefixes + length "
+    "filter + integer-arithmetic threshold; no false negatives, no "
+    "all-pairs scan). Oracle is the brute-force O(n^2) pair join on a "
+    "400-doc subset — the exactness proof the approximate MinHash path "
+    "cannot give",
+)
+def q_k14_ssjoin(spark, sf_dir):
+    from jane_spark.operators.ssjoin import jaccard_similarity_join
+
+    docs = Catalog(spark, sf_dir).documents.filter("doc_id < 400")
+    return jaccard_similarity_join(docs, "doc_id", "text", 0.9)
+
+
+@contract(
     "q_k6_lang",
     oracle="""
         SELECT lang, count(*) AS n, round(avg(n_chars), 4) AS avg_chars

@@ -1398,3 +1398,55 @@ def test_sessionize_gap_is_dst_proof(spark):
         assert one.count() == 1
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_jaccard_similarity_join_matches_bruteforce(spark):
+    """Prefix-filtered exact Jaccard join ≡ brute-force all-pairs on a
+    corpus with known structure, including a pair at exactly the
+    threshold (integer arithmetic must keep it)."""
+    corpus = [
+        (1, "a b c d e"),
+        (2, "a b c d f"),        # J(1,2) = 4/6 = 0.667
+        (3, "a b c d e"),        # J(1,3) = 1.0
+        (4, "x y z"),
+        (5, "a b c"),            # J(1,5) = 3/5 = 0.6 — exactly t
+        (6, "q r s t u v w"),
+    ]
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    from jane_spark.operators.ssjoin import jaccard_similarity_join
+
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_intersect"], r["n_union"])
+        for r in jaccard_similarity_join(df, "doc_id", "text", 0.6).collect()
+    }
+    toks = {i: set(t.split()) for i, t in corpus}
+    want = {}
+    for a in toks:
+        for b in toks:
+            if a < b:
+                ni = len(toks[a] & toks[b])
+                nu = len(toks[a] | toks[b])
+                if ni * 10 >= nu * 6:
+                    want[(a, b)] = (ni, nu)
+    assert got == want
+    assert (1, 5) in got  # the exactly-at-threshold pair survives
+    assert (1, 2) in got and (1, 3) in got
+    # higher threshold drops the 0.667 pair but keeps the exact dup
+    strict = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_similarity_join(df, "doc_id", "text", 1.0).collect()
+    }
+    assert strict == {(1, 3)}
+    with pytest.raises(ValueError, match="threshold"):
+        jaccard_similarity_join(df, "doc_id", "text", 0.0)
+
+
+def test_jaccard_join_plan_has_no_cartesian(spark, sf_dir):
+    from jane_spark.engine.catalog import Catalog
+    from jane_spark.operators.ssjoin import jaccard_similarity_join
+
+    docs = Catalog(spark, sf_dir).documents.limit(100)
+    df = jaccard_similarity_join(docs, "doc_id", "text", 0.8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
