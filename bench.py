@@ -53,6 +53,7 @@ BENCH_QUERIES = {
     "dataselect_cut": "q_a7_dataselect_cut",
     "bulk_select": "q_a7_bulk_select",
     "bm25_topk": "q_k5_bm25",
+    "ssjoin_exact": "q_k14_ssjoin",
 }
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
@@ -70,6 +71,7 @@ CALIBRATION = {
     "gap_lag": 0.015,
     "availability_spans": 0.048,
     "bm25_topk": 0.053,
+    "ssjoin_exact": 1.125,
 }
 
 
