@@ -254,7 +254,7 @@ def q_d6_avail(spark, sf_dir):
                        (e_us - 1) // 86400000000)) AS day_id
             FROM spans)
         SELECT station,
-               DATE '1970-01-01' + CAST(day_id AS INT) AS day,
+               CAST(DATE '1970-01-01' + CAST(day_id AS INT) AS VARCHAR) AS day,
                CAST((sum(least(e_us, (day_id + 1) * 86400000000)
                          - greatest(s_us, day_id * 86400000000))
                      * 100000000 // 86400000000) AS BIGINT) / 1000000.0
@@ -284,7 +284,7 @@ def q_d6_percent(spark, sf_dir):
         F.lit(1).alias("npts"),
     )
     return availability_percent(traces, merge_tolerance_s=600.0).select(
-        "station", "day", "coverage_pct"
+        "station", F.col("day").cast("string").alias("day"), "coverage_pct"
     )
 
 
