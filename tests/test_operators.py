@@ -1450,3 +1450,31 @@ def test_jaccard_join_plan_has_no_cartesian(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_jaccard_join_randomized_equivalence(spark):
+    """Randomized exactness check: prefix filtering must equal brute
+    force on corpora drawn from a small vocabulary (the hostile case —
+    every token is frequent, prefixes are short)."""
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(12)]
+    from jane_spark.operators.ssjoin import jaccard_similarity_join
+
+    for trial, t in ((0, 0.5), (1, 0.75)):
+        corpus = [
+            (i, " ".join(rng.sample(vocab, rng.randint(2, 9))))
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(corpus, ["doc_id", "text"])
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in jaccard_similarity_join(df, "doc_id", "text", t).collect()
+        }
+        toks = {i: set(s.split()) for i, s in corpus}
+        frac_n, frac_d = (1, 2) if t == 0.5 else (3, 4)
+        want = {
+            (a, b)
+            for a in toks for b in toks if a < b
+            and len(toks[a] & toks[b]) * frac_d >= len(toks[a] | toks[b]) * frac_n
+        }
+        assert got == want, (trial, t, got ^ want)
