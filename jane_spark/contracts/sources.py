@@ -500,16 +500,71 @@ def q_a7(spark, sf_dir):
     )
 
 
+_SESSION_TRACES_SQL = """
+        g AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                            IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                            > 1800000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events),
+        s AS (
+            SELECT user_id, ts,
+                   CAST(sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM g),
+        segs AS (
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(ts) AS s_start, max(ts) AS s_end
+            FROM s GROUP BY user_id, session_id),
+        traces AS (
+            SELECT 'BW' AS network,
+                   'S' || CAST(user_id AS VARCHAR) AS station,
+                   '' AS location, 'EHZ' AS channel,
+                   s_start AS starttime, s_end AS endtime,
+                   CAST(100.0 AS DOUBLE) AS sampling_rate,
+                   CAST(n_events AS BIGINT) AS npts,
+                   CAST(epoch_us(s_end) - epoch_us(s_start) AS DOUBLE)
+                       AS duration,
+                   'D' AS quality, user_id AS file_id,
+                   CAST(0 AS INTEGER) AS pos, session_id
+            FROM segs)
+"""
+
+
 @contract(
     "q_a7_bulk_select",
-    oracle=None,  # interval-join resolve phase — rows-only check (A7 ◐)
+    oracle=f"""
+        WITH {_SESSION_TRACES_SQL},
+        req(net_like, sta_like, loc_like, cha_like, rs, re) AS (VALUES
+            ('BW', 'S1%', '', 'EHZ',
+             TIMESTAMP '2024-01-10', TIMESTAMP '2024-01-14'),
+            ('BW', 'S%', '', 'EH_',
+             TIMESTAMP '2024-01-12', TIMESTAMP '2024-01-13'),
+            ('BW', 'S2', '', 'E_Z',
+             TIMESTAMP '2024-01-05', TIMESTAMP '2024-01-25'))
+        SELECT DISTINCT network, station, location, channel,
+               starttime, endtime, sampling_rate, npts, duration,
+               quality, file_id, pos,
+               greatest(t.starttime, r.rs) AS cut_start,
+               least(t.endtime, r.re) AS cut_end
+        FROM traces t JOIN req r
+          ON t.network LIKE r.net_like AND t.station LIKE r.sta_like
+         AND t.location LIKE r.loc_like AND t.channel LIKE r.cha_like
+         AND t.starttime < r.re AND t.endtime > r.rs
+    """,
     survey_rows="A7,C4",
     doc="POST-bulk fdsnws-dataselect (services/fdsnws.dataselect_bulk): "
     "many request lines (SEED wildcards + window each) resolved in ONE "
     "band-bucketed interval join (C4, operators/interval_join) with "
     "residual LIKE wildcard matching, deduplicated on trace identity + "
-    "cut window — bulk ≡ distinct union of the single-window queries, "
-    "with no BroadcastNestedLoop in the plan",
+    "cut window — hash-checked against the DuckDB per-line-predicate "
+    "DISTINCT-union twin (the plan the bulk rewrite replaces), with no "
+    "BroadcastNestedLoop in the plan",
 )
 def q_a7_bulk(spark, sf_dir):
     from jane_spark.operators.sessionize import session_summary
@@ -545,13 +600,33 @@ def q_a7_bulk(spark, sf_dir):
 
 @contract(
     "q_a8_station_bulk",
-    oracle=None,  # interval-join resolve over epochs — rows-only (A8 ◐)
+    oracle=f"""
+        WITH {_SESSION_TRACES_SQL},
+        channels AS (
+            SELECT network, station, location, channel,
+                   starttime AS start_date,
+                   CASE WHEN session_id % 5 != 0 THEN endtime END AS end_date
+            FROM traces),
+        req(net_like, sta_like, loc_like, cha_like, rs, re) AS (VALUES
+            ('BW', 'S1%', '', 'EHZ',
+             TIMESTAMP '2024-01-10', TIMESTAMP '2024-01-14'),
+            ('BW', 'S%', '', 'EH_',
+             TIMESTAMP '2024-01-12', TIMESTAMP '2024-01-13'))
+        SELECT DISTINCT network, station, location, channel,
+               start_date, end_date
+        FROM channels c JOIN req r
+          ON c.network LIKE r.net_like AND c.station LIKE r.sta_like
+         AND c.location LIKE r.loc_like AND c.channel LIKE r.cha_like
+         AND c.start_date < r.re
+         AND (c.end_date IS NULL OR c.end_date > r.rs)
+    """,
     survey_rows="A8,C4",
     doc="POST-bulk fdsnws-station (services/fdsnws.station_bulk): many "
     "request lines resolved against a synthetic channel-epoch index "
     "(events sessions; every 5th epoch open-ended) in one coarse-bin "
     "interval join with the open epochs clamped to a finite horizon — "
-    "the station twin of q_a7_bulk_select",
+    "hash-checked against the DuckDB per-line-predicate DISTINCT-union "
+    "twin, open epochs included",
 )
 def q_a8_station_bulk(spark, sf_dir):
     from jane_spark.operators.sessionize import session_summary
