@@ -14,6 +14,7 @@ from jane_spark.contracts import streaming  # noqa: F401  (§2.9 I)
 from jane_spark.contracts import udfs  # noqa: F401  (§2.10 J)
 from jane_spark.contracts import northstar  # noqa: F401  (§2.11 K)
 from jane_spark.contracts import pipeline  # noqa: F401  (§2.11 K pipeline ops)
+from jane_spark.contracts import curation  # noqa: F401  (§2.11 K curation ops, r6)
 
 # --------------------------------------------------------------------
 # Driver-facing ordering. Empirical driver behavior (round 1,
@@ -90,7 +91,23 @@ VERIFY_FIRST: list[str] = [
 ]
 # round-6 additions displace the newest tail fills to keep the window
 # at exactly 50 names
-_R6_NEW = ["q_a7_bulk_select", "q_d6_availability", "q_a8_station_bulk", "q_a8_fm_xml", "q_k5_bm25", "q_a8_geojson", "q_j4_udtf", "q_d6_percent", "q_k14_ssjoin"]
+_R6_NEW = [
+    "q_a7_bulk_select",
+    "q_d6_availability",
+    "q_a8_station_bulk",
+    "q_a8_fm_xml",
+    "q_k5_bm25",
+    "q_a8_geojson",
+    "q_j4_udtf",
+    "q_d6_percent",
+    "q_k14_ssjoin",
+    # curation operators (CCNet/Lee-et-al/SemDeDup shapes, round 6)
+    "q_t11_linededup",
+    "q_t12_dupspan",
+    "q_t13_lm_score",
+    "q_k16_semdedup",
+    "q_k16_kmeans",
+]
 VERIFY_FIRST = _R6_NEW + VERIFY_FIRST[: 50 - len(_R6_NEW)]
 
 

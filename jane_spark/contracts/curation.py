@@ -1,0 +1,211 @@
+"""Contract queries for the round-6 corpus-curation operators
+(SURVEY.md §2 K north-star): line-level boilerplate dedup,
+duplicated-substring coverage, n-gram LM quality scoring, and
+SemDeDup-style semantic dedup.
+
+The documents fixture is single-line text, so the line-dedup contract
+first derives a deterministic multi-line form (8-token lines joined by
+newline) IDENTICALLY in both engines — the operator under test is the
+dedup, not the synthesis.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jane_spark.contracts.registry import contract
+from jane_spark.engine.catalog import Catalog
+
+_LINEDEDUP_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+lined AS (SELECT doc_id,
+                 list_transform(generate_series(1, CAST(ceil(len(toks) / 8.0) AS INT)),
+                                i -> array_to_string(toks[(i-1)*8+1:(i-1)*8+8], ' '))
+                     AS lines
+          FROM t),
+ex AS (SELECT doc_id, unnest(lines) AS line FROM lined),
+bp AS (SELECT line FROM ex GROUP BY line HAVING count(DISTINCT doc_id) > 1),
+bpl AS (SELECT coalesce(list(line), CAST([] AS VARCHAR[])) AS bl FROM bp),
+out AS (SELECT l.doc_id AS doc_id, l.lines AS lines,
+               list_filter(l.lines, x -> NOT list_contains(b.bl, x)) AS keptl
+        FROM lined l CROSS JOIN bpl b)
+SELECT doc_id,
+       coalesce(array_to_string(keptl, chr(10)), '') AS clean_text,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(keptl) AS BIGINT) AS n_kept,
+       round((len(lines) - len(keptl)) / CAST(len(lines) AS DOUBLE), 4)
+           AS removed_frac
+FROM out
+"""
+
+
+@contract(
+    "q_t11_linededup",
+    oracle=_LINEDEDUP_ORACLE,
+    survey_rows="K1,K2",
+    doc="CCNet-style line-level boilerplate removal: lines shared by "
+    ">1 distinct documents are dropped everywhere and documents "
+    "reassembled in original line order (operators.curation.line_dedup). "
+    "One df-count shuffle on the line text + a broadcastable anti-join; "
+    "reassembly order comes from the carried position, never from "
+    "shuffle order. The multi-line form is derived (8-token lines) "
+    "identically in both engines",
+)
+def q_t11(spark, sf_dir):
+    from jane_spark.operators.curation import line_dedup
+
+    docs = Catalog(spark, sf_dir).documents
+    toks = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    lined = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i * 8 + 1, 8)),
+            ),
+        ).alias("text"),
+    )
+    return line_dedup(lined, "doc_id", "text", sep="\n", max_df=1)
+
+
+_DUPSPAN_ORACLE = """
+WITH t AS (SELECT doc_id, length(text) AS n_chars, text FROM documents),
+g0 AS (SELECT doc_id, n_chars,
+              unnest(list_transform(generate_series(1, greatest(n_chars - 29, 0)),
+                     i -> {'pos': i,
+                           'gk': CAST('0x' || substr(md5(substr(text, i, 30)), 1, 15)
+                                      AS BIGINT)})) AS s
+       FROM t),
+g AS (SELECT doc_id, s.pos AS pos, s.gk AS gk FROM g0),
+d AS (SELECT gk FROM g GROUP BY gk HAVING count(*) >= 2),
+p AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gk)),
+m AS (SELECT doc_id, pos, pos + 29 AS e,
+             max(pos + 29) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS prev_cover
+      FROM p),
+c AS (SELECT doc_id,
+             sum(CASE WHEN prev_cover IS NULL THEN e - pos + 1
+                      ELSE greatest(e - prev_cover, 0) END) AS covered
+      FROM m GROUP BY doc_id)
+SELECT t.doc_id AS doc_id,
+       CAST(t.n_chars AS BIGINT) AS n_chars,
+       CAST(coalesce(c.covered, 0) AS BIGINT) AS covered_chars,
+       round(coalesce(c.covered, 0) / CAST(t.n_chars AS DOUBLE), 4) AS dup_frac
+FROM t LEFT JOIN c USING (doc_id)
+"""
+
+
+@contract(
+    "q_t12_dupspan",
+    oracle=_DUPSPAN_ORACLE,
+    survey_rows="K1,K2",
+    doc="duplicated-substring coverage per document (the n-gram "
+    "approximation of Lee et al. 2022 exact-substring dedup): char "
+    "30-grams keyed by a portable 60-bit md5-prefix hash, corpus-wide "
+    "count >= 2 marks duplication, spans merged by the D6 running-max "
+    "interval coalescer (operators.curation.dup_span_coverage). One "
+    "gram-key groupBy + one semi-join + one window — no suffix array, "
+    "no quadratic stage",
+)
+def q_t12(spark, sf_dir):
+    from jane_spark.operators.curation import dup_span_coverage
+
+    docs = Catalog(spark, sf_dir).documents
+    return dup_span_coverage(docs, "doc_id", "text", k=30)
+
+
+_LM_ORACLE = """
+WITH ref AS (SELECT lower(text) AS t FROM documents WHERE source = 'src0'),
+rg AS (SELECT unnest(list_transform(generate_series(1, greatest(length(t) - 2, 0)),
+              i -> substr(t, i, 3))) AS gram
+       FROM ref),
+cnt AS (SELECT gram, count(*) AS c FROM rg GROUP BY gram),
+tot AS (SELECT sum(c) AS N, count(*) AS V FROM cnt),
+model AS (SELECT gram, ln((c + 1) / CAST(N + V AS DOUBLE)) AS logp
+          FROM cnt CROSS JOIN tot),
+oov AS (SELECT ln(1.0 / CAST(N + V AS DOUBLE)) AS logp_oov FROM tot),
+dg0 AS (SELECT doc_id, lower(text) AS t FROM documents),
+dg AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, greatest(length(t) - 2, 0)),
+                     i -> substr(t, i, 3))) AS gram
+       FROM dg0),
+sc AS (SELECT dg.doc_id AS doc_id, coalesce(m.logp, o.logp_oov) AS lp
+       FROM dg LEFT JOIN model m USING (gram) CROSS JOIN oov o)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, round(-avg(lp), 4) AS nll
+FROM sc GROUP BY doc_id
+"""
+
+
+@contract(
+    "q_t13_lm_score",
+    oracle=_LM_ORACLE,
+    survey_rows="K5,K6",
+    doc="character-trigram LM quality score (the CCNet/KenLM perplexity "
+    "bucket signal as public count math): model trained on the "
+    "source='src0' reference slice with add-one smoothing, every "
+    "document ranked by mean negative log-likelihood; OOV grams get the "
+    "smoothing floor (operators.curation.train_char_lm / lm_score). The "
+    "model table is charset-bounded, so scoring broadcasts it; the only "
+    "corpus-keyed shuffle is the per-doc average",
+)
+def q_t13(spark, sf_dir):
+    from jane_spark.operators.curation import lm_score, train_char_lm
+
+    docs = Catalog(spark, sf_dir).documents
+    model = train_char_lm(docs.filter(F.col("source") == "src0"), "text", n=3)
+    return lm_score(docs, "doc_id", "text", model, n=3)
+
+
+_SEMDEDUP_ORACLE = """
+WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+p AS (SELECT DISTINCT b.vec_id AS dup_id
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 6)
+            >= 0.4)
+SELECT e.vec_id AS vec_id, CAST(e.label AS INT) AS cluster,
+       coalesce(p.dup_id IS NOT NULL, FALSE) AS is_dup
+FROM e LEFT JOIN p ON e.vec_id = p.dup_id
+"""
+
+
+@contract(
+    "q_k16_semdedup",
+    oracle=_SEMDEDUP_ORACLE,
+    survey_rows="K3,K8",
+    doc="SemDeDup-style within-cluster semantic dedup (Abbas et al. "
+    "2023): pairs are searched ONLY inside a cluster (here the fixture "
+    "label column stands in for the k-means assignment, making the "
+    "stage oracle-expressible); a vector is a duplicate iff a "
+    "smaller-id cluster-mate has round(cosine,6) >= 0.4 "
+    "(operators.semdedup.semantic_dedup). Equi-join on the cluster id "
+    "with an id-order band — never a corpus cross product",
+)
+def q_k16(spark, sf_dir):
+    from jane_spark.operators.semdedup import semantic_dedup
+
+    emb = Catalog(spark, sf_dir).embeddings
+    return semantic_dedup(emb, "vec_id", "embedding", "label", threshold=0.4)
+
+
+@contract(
+    "q_k16_kmeans",
+    oracle=None,  # 5 Lloyd's iterations are not one-shot-SQL-expressible;
+    # pinned against a NumPy reference implementation in tests
+    survey_rows="K3,K8",
+    doc="deterministic distributed k-means assignment over the "
+    "embedding column (operators.semdedup.kmeans_assign): centroids "
+    "seeded from the k smallest ids, 5 fixed Lloyd's iterations, "
+    "ties toward the smaller centroid id — broadcast k-by-d centroid "
+    "table per iteration, one k-by-d-keyed shuffle for the update; "
+    "byte-identical across runs and partitionings (pytest pins the "
+    "assignment against a NumPy twin)",
+)
+def q_k16_kmeans(spark, sf_dir):
+    from jane_spark.operators.semdedup import kmeans_assign
+
+    emb = Catalog(spark, sf_dir).embeddings
+    return kmeans_assign(emb, "vec_id", "embedding", k=8, iters=5)

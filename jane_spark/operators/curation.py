@@ -1,0 +1,270 @@
+"""Corpus-curation operators beyond n-gram near-dup: line-level
+boilerplate removal, duplicated-substring coverage, and n-gram LM
+quality scoring (SURVEY.md §2 K north-star, round 6).
+
+These are the remaining standard stages of a public LLM training-data
+pipeline (CCNet, Gopher/MassiveText, RedPajama/Dolma, Lee et al. 2022
+"Deduplicating Training Data Makes Language Models Better"):
+
+- ``line_dedup``        — drop lines shared by many documents
+  (headers, nav bars, license banners). CCNet deduplicates at the
+  paragraph/line level before anything else.
+- ``dup_span_coverage`` — per-document fraction of characters covered
+  by a character k-gram that occurs more than once in the corpus: the
+  scalable n-gram approximation of Lee et al.'s suffix-array
+  EXACT-SUBSTRING dedup signal (the suffix array itself does not
+  distribute; fixed-width rolling grams shard perfectly).
+- ``train_char_lm`` / ``lm_score`` — a character-trigram language
+  model trained on a reference slice of the corpus, then used to rank
+  every document by mean negative log-likelihood — the CCNet/KenLM
+  perplexity-bucket quality signal, reduced to public pure-SQL math.
+
+Every stage is built-in-function DataFrame code (higher-order
+expressions for the row-local gram/line explode, hash groupBys for the
+corpus-wide counts): no UDFs, no driver collects, no cross joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------- line-level dedup
+
+
+def lines_of(text: Column, sep: str = "\n") -> Column:
+    """Split a document into its dedup units (lines/paragraphs)."""
+    return F.split(text, sep)
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    max_df: int = 3,
+) -> DataFrame:
+    """CCNet-style line-level boilerplate removal.
+
+    A line appearing in more than ``max_df`` DISTINCT documents is
+    boilerplate (site chrome, banners, headers); every occurrence is
+    dropped and the surviving lines are reassembled in original order.
+    Documents are kept total — a fully-boilerplate document survives
+    with empty ``clean_text`` (filtering is the caller's policy call).
+
+    Returns one row per input document:
+    ``(id, clean_text, n_lines, n_kept, removed_frac)``.
+
+    Distributed shape (the 100 TB plan):
+      1. row-local split + posexplode — narrow;
+      2. line document-frequency: groupBy(line) with map-side partial
+         ``count(distinct id)`` — one shuffle keyed on the line text
+         (heavy-hitter lines are exactly what partial aggregation
+         collapses best);
+      3. boilerplate set is the df > max_df tail — small by
+         construction, so the anti-join back to the exploded stream is
+         broadcastable (AQE picks it up at runtime);
+      4. reassembly: groupBy(id) + ``array_sort(collect_list(
+         struct(pos, line)))`` — order restored from the carried
+         position, never from shuffle order.
+    """
+    lined = df.select(
+        F.col(id_col),
+        F.posexplode(lines_of(F.col(text_col), sep)).alias("__pos", "__line"),
+    )
+    boiler = (
+        lined.groupBy("__line")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select("__line")
+    )
+    kept = lined.join(boiler, "__line", "left_anti")
+    totals = lined.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.col("n_lines"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            F.round(
+                (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+                / F.col("n_lines").cast("double"),
+                4,
+            ).alias("removed_frac"),
+        )
+    )
+
+
+# ------------------------------------------- duplicated-substring coverage
+
+
+def _gram_key(gram: Column) -> Column:
+    """Portable 60-bit gram key: identical math in Spark and DuckDB
+    (``CAST('0x' || substr(md5(g),1,15) AS BIGINT)``), so the oracle
+    reproduces the exact shuffle key. 60 bits keeps birthday collisions
+    negligible at billions of grams while halving shuffle width vs the
+    raw k-char string; swap in ``xxhash64`` when cross-engine
+    portability stops mattering."""
+    return F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("bigint")
+
+
+def dup_span_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 30,
+) -> DataFrame:
+    """Per-document duplicated-substring coverage — the n-gram
+    approximation of Lee et al. 2022's exact-substring dedup signal.
+
+    Every character position starts a k-gram; a gram whose corpus-wide
+    occurrence count is >= 2 (anywhere, including the same document) is
+    *duplicated*; the duplicated spans ``[pos, pos+k)`` are merged per
+    document (classic running-max interval coalescing — the same shape
+    as the D6 gap detector) and the covered-character fraction
+    returned: ``(id, n_chars, covered_chars, dup_frac)``.
+
+    Distributed shape: gram extraction is a row-local higher-order
+    expression (sequence + transform + substr); the corpus count is ONE
+    groupBy on a 60-bit gram key (map-side partials carry (key, count)
+    only); the semi-join back is key-equi; the interval merge is one
+    window per document. Linear in corpus size, no quadratic stage —
+    which is precisely why this replaces a suffix array at 100 TB.
+    """
+    t = F.col(text_col)
+    n_pos = F.greatest(F.length(t) - F.lit(k - 1), F.lit(0))
+    grams = df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n_pos),
+                lambda i: F.struct(
+                    i.alias("pos"), _gram_key(F.substr(t, i, F.lit(k))).alias("gk")
+                ),
+            )
+        ).alias("g"),
+    ).select(id_col, "n_chars", F.col("g.pos").alias("pos"), F.col("g.gk").alias("gk"))
+    dup_keys = (
+        grams.groupBy("gk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("gk")
+    )
+    dup_pos = grams.join(dup_keys, "gk", "left_semi")
+    # interval coalescing: a position opens a new span iff it starts
+    # beyond everything covered so far (running max of span ends).
+    w = Window.partitionBy(id_col).orderBy("pos")
+    spans = (
+        dup_pos.withColumn("end", F.col("pos") + F.lit(k - 1))
+        .withColumn(
+            "prev_cover",
+            F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .withColumn(
+            "covered_new",
+            F.when(
+                F.col("prev_cover").isNull(), F.col("end") - F.col("pos") + 1
+            ).otherwise(
+                F.greatest(F.col("end") - F.col("prev_cover"), F.lit(0))
+            ),
+        )
+    )
+    per_doc = spans.groupBy(id_col, "n_chars").agg(
+        F.sum("covered_new").cast("bigint").alias("covered_chars")
+    )
+    base = df.select(F.col(id_col), F.length(t).alias("n_chars"))
+    return (
+        base.join(per_doc.drop("n_chars"), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.coalesce(F.col("covered_chars"), F.lit(0))
+            .cast("bigint")
+            .alias("covered_chars"),
+            F.round(
+                F.coalesce(F.col("covered_chars"), F.lit(0))
+                / F.col("n_chars").cast("double"),
+                4,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+# -------------------------------------------------- char-trigram LM score
+
+
+def _char_grams(text: Column, n: int) -> Column:
+    """Array of all character n-grams of ``lower(text)`` — row-local."""
+    t = F.lower(text)
+    n_pos = F.greatest(F.length(t) - F.lit(n - 1), F.lit(0))
+    return F.transform(F.sequence(F.lit(1), n_pos), lambda i: F.substr(t, i, F.lit(n)))
+
+
+def train_char_lm(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
+    """Train a character n-gram language model on a reference corpus
+    slice: one groupBy producing ``(gram, logp)`` under add-one
+    (Laplace) smoothing over the observed vocabulary,
+
+        logp(g) = ln((c_g + 1) / (N + V)).
+
+    This is the public CCNet/KenLM quality-model recipe reduced to
+    count math: at 100 TB the model table is bounded by |charset|^n
+    (thousands of rows for n=3), so scoring broadcasts it.
+    """
+    counts = (
+        df.select(F.explode(_char_grams(F.col(text_col), n)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = counts.agg(
+        F.sum("c").alias("N"), F.count(F.lit(1)).alias("V")
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "gram",
+        F.log((F.col("c") + F.lit(1)) / (F.col("N") + F.col("V")).cast("double")).alias(
+            "logp"
+        ),
+        (F.lit(1.0) / (F.col("N") + F.col("V")).cast("double")).alias("p_oov"),
+    )
+
+
+def lm_score(
+    df: DataFrame, id_col: str, text_col: str, model: DataFrame, n: int = 3
+) -> DataFrame:
+    """Score every document by mean negative log-likelihood under a
+    ``train_char_lm`` model: ``(id, n_grams, nll)`` — lower is more
+    reference-like; bucket on ``nll`` for CCNet head/middle/tail splits.
+
+    Out-of-vocabulary grams get the smoothing floor ln(1/(N+V)). The
+    model join is an explicit broadcast (model cardinality is bounded
+    by the charset, not the corpus); the only shuffle is the final
+    per-document average, keyed on the document id.
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(_char_grams(F.col(text_col), n)).alias("gram")
+    )
+    oov = model.agg(F.log(F.min("p_oov")).alias("logp_oov"))
+    scored = (
+        grams.join(F.broadcast(model.select("gram", "logp")), "gram", "left")
+        .crossJoin(F.broadcast(oov))
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("logp"), F.col("logp_oov")).alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.round(-F.avg("lp"), 4).alias("nll"),
+    )

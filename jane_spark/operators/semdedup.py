@@ -1,0 +1,162 @@
+"""SemDeDup-style semantic deduplication over embedding columns
+(SURVEY.md §2 K north-star, round 6).
+
+Public recipe (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+web-scale through semantic deduplication"): k-means-cluster the corpus
+embeddings, then look for near-duplicate pairs ONLY within a cluster —
+the cluster bound turns the quadratic pair search into a sum of small
+quadratics, which is what makes semantic dedup feasible at 100 TB.
+
+Two pieces, composable:
+
+- ``kmeans_assign`` — a deterministic distributed Lloyd's iteration
+  built from DataFrame aggregations (no MLlib dependency, no RNG:
+  centroids initialize from the k smallest-id vectors and ties break
+  toward the smaller centroid id, so the assignment is reproducible
+  across runs and cluster sizes).
+- ``semantic_dedup`` — within given clusters, a document is a
+  duplicate iff some SMALLER-id member of its cluster has cosine
+  similarity >= threshold (greedy keep-first in id order — the
+  deterministic analogue of SemDeDup's keep-one-per-ball). Returns
+  every id with its verdict, so callers can filter or audit.
+
+Cluster assignment can come from ``kmeans_assign`` or from any
+existing label column — the dedup stage is agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jane_spark.functions.arrays import cosine
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 5,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over an ``array<float>`` column;
+    returns ``(id, cluster)``.
+
+    Distributed shape per iteration: assignment is a broadcast of the
+    k×d centroid table (tiny) against every row — a narrow map; the
+    update is posexplode → groupBy(cluster, dim) mean → rebuild, i.e.
+    ONE shuffle whose key cardinality is k×d, independent of corpus
+    size. ``iters`` is fixed (no convergence test) so the plan depth is
+    static and the result reproducible.
+
+    Driver memory holds only the k×d centroid matrix between
+    iterations — the same bounded footprint as IVF training
+    (operators/vector.py train_ivf_centroids).
+    """
+    vecs = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    # deterministic seeding: the k smallest ids' vectors
+    seed_rows = (
+        vecs.orderBy("__id").limit(k).select("__id", "__v").collect()
+    )
+    centroids = [(i, list(r["__v"])) for i, r in enumerate(seed_rows)]
+
+    def assign(cdf: list[tuple[int, list[float]]]) -> DataFrame:
+        carr = F.array(
+            *[
+                F.struct(
+                    F.lit(cid).alias("cid"),
+                    F.array(*[F.lit(x) for x in cv]).alias("cv"),
+                )
+                for cid, cv in cdf
+            ]
+        )
+        # argmin squared-L2 with ties toward the smaller centroid id:
+        # array_min over (dist, cid) structs compares lexicographically.
+        dists = F.transform(
+            carr,
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(F.col("__v"), c["cv"], lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                c["cid"].alias("cid"),
+            ),
+        )
+        return vecs.withColumn("cluster", F.array_min(dists)["cid"])
+
+    for _ in range(iters):
+        assigned = assign(centroids)
+        # round the mean to 9 dp: double addition is order-dependent
+        # under shuffle, and an unrounded ulp wobble in a centroid could
+        # flip a near-tie assignment between runs/partitionings.
+        means = (
+            assigned.select("cluster", F.posexplode("__v").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.round(F.avg("val"), 9).alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+            .collect()
+        )
+        new = {r["cluster"]: list(r["cv"]) for r in means}
+        # empty clusters keep their previous centroid (deterministic)
+        centroids = [(cid, new.get(cid, cv)) for cid, cv in centroids]
+
+    return assign(centroids).select(
+        F.col("__id").alias(id_col), F.col("cluster").cast("int").alias("cluster")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cluster_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Within-cluster near-duplicate verdicts: ``(id, cluster,
+    is_dup)`` where ``is_dup`` means some smaller-id same-cluster
+    member has ``round(cosine, 6) >= threshold`` (rounding BEFORE the
+    compare keeps boundary pairs engine-stable).
+
+    The pair join is an equi-join on the cluster id with an id-order
+    band — never a corpus cross product; per-cluster work is bounded
+    by the cluster size SemDeDup's k controls. Skewed giant clusters
+    are the known failure mode; mitigate upstream with larger k (the
+    paper uses k ~ sqrt(n)) before reaching for pair-level salting.
+    """
+    a = df.select(
+        F.col(cluster_col).alias("__c"),
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("a_vec"),
+    )
+    b = df.select(
+        F.col(cluster_col).alias("__c"),
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("b_vec"),
+    )
+    dup_ids = (
+        a.join(b, "__c")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6) >= F.lit(threshold)
+        )
+        .select(F.col("b_id").alias("__dup_id"))
+        .distinct()
+    )
+    return (
+        df.join(dup_ids, F.col(id_col) == F.col("__dup_id"), "left")
+        .select(
+            F.col(id_col),
+            F.col(cluster_col).cast("int").alias("cluster"),
+            F.col("__dup_id").isNotNull().alias("is_dup"),
+        )
+    )

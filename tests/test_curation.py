@@ -1,0 +1,232 @@
+"""Unit tests for the round-6 curation operators: line-level
+boilerplate dedup, duplicated-substring coverage, trigram LM scoring,
+and SemDeDup (k-means + within-cluster dedup) — each pinned against a
+brute-force in-memory reference."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------ line dedup
+
+
+def test_line_dedup_drops_shared_lines_keeps_order(spark):
+    docs = [
+        (1, "nav bar\nunique one\nfooter"),
+        (2, "nav bar\nunique two\nfooter"),
+        (3, "nav bar\nonly here\nalso only here"),
+        (4, "totally original"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    from jane_spark.operators.curation import line_dedup
+
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(df, "doc_id", "text", max_df=1).collect()
+    }
+    # 'nav bar' (3 docs) and 'footer' (2 docs) are boilerplate at max_df=1
+    assert out[1]["clean_text"] == "unique one"
+    assert out[2]["clean_text"] == "unique two"
+    assert out[3]["clean_text"] == "only here\nalso only here"
+    assert out[4]["clean_text"] == "totally original"
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 1
+    assert out[4]["removed_frac"] == 0.0
+
+
+def test_line_dedup_keeps_fully_boilerplate_doc_total(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "same")], ["doc_id", "text"]
+    )
+    from jane_spark.operators.curation import line_dedup
+
+    rows = line_dedup(df, "doc_id", "text", max_df=1).collect()
+    assert len(rows) == 3  # total: nothing silently dropped
+    assert all(r["clean_text"] == "" and r["n_kept"] == 0 for r in rows)
+    assert all(r["removed_frac"] == 1.0 for r in rows)
+
+
+def test_line_dedup_within_doc_repeat_not_boilerplate(spark):
+    # a line repeated INSIDE one doc has document-frequency 1
+    df = spark.createDataFrame([(1, "echo\necho\nend")], ["doc_id", "text"])
+    from jane_spark.operators.curation import line_dedup
+
+    r = line_dedup(df, "doc_id", "text", max_df=1).collect()[0]
+    assert r["clean_text"] == "echo\necho\nend"
+
+
+# ------------------------------------------------------ dup-span coverage
+
+
+def test_dup_span_coverage_brute_force(spark):
+    rng = random.Random(11)
+    alph = "abcdefgh"
+    shared = "".join(rng.choice(alph) for _ in range(40))
+    docs = []
+    for i in range(12):
+        pre = "".join(rng.choice(alph) for _ in range(rng.randint(30, 80)))
+        post = "".join(rng.choice(alph) for _ in range(rng.randint(30, 80)))
+        body = pre + (shared if i % 3 == 0 else "") + post
+        docs.append((i, body))
+    k = 12
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    from jane_spark.operators.curation import dup_span_coverage
+
+    got = {r["doc_id"]: r for r in dup_span_coverage(df, "doc_id", "text", k=k).collect()}
+
+    # brute force: count positions whose k-gram occurs >= 2 times corpus-wide
+    from collections import Counter
+
+    cnt = Counter()
+    for _, t in docs:
+        for i in range(len(t) - k + 1):
+            cnt[t[i : i + k]] += 1
+    for doc_id, t in docs:
+        covered = set()
+        for i in range(len(t) - k + 1):
+            if cnt[t[i : i + k]] >= 2:
+                covered.update(range(i, i + k))
+        r = got[doc_id]
+        assert r["covered_chars"] == len(covered), doc_id
+        assert r["n_chars"] == len(t)
+        assert r["dup_frac"] == round(len(covered) / len(t), 4)
+
+
+def test_dup_span_no_duplicates_is_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefghijklmnopqrstuvwxyz0123456789")], ["doc_id", "text"]
+    )
+    from jane_spark.operators.curation import dup_span_coverage
+
+    r = dup_span_coverage(df, "doc_id", "text", k=10).collect()[0]
+    assert r["covered_chars"] == 0 and r["dup_frac"] == 0.0
+
+
+# ---------------------------------------------------------- trigram LM
+
+
+def test_lm_score_brute_force(spark):
+    docs = [
+        (1, "the cat sat"),
+        (2, "the cat sat on the mat"),
+        (3, "zq zq zq"),  # mostly OOV vs the doc-1 model
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    from jane_spark.operators.curation import lm_score, train_char_lm
+
+    model = train_char_lm(df.filter(F.col("doc_id") == 1), "text", n=3)
+    got = {r["doc_id"]: r for r in lm_score(df, "doc_id", "text", model, n=3).collect()}
+
+    from collections import Counter
+
+    ref = "the cat sat".lower()
+    cnt = Counter(ref[i : i + 3] for i in range(len(ref) - 2))
+    N, V = sum(cnt.values()), len(cnt)
+    for doc_id, t in docs:
+        t = t.lower()
+        lps = []
+        for i in range(len(t) - 2):
+            g = t[i : i + 3]
+            c = cnt.get(g)
+            lps.append(
+                math.log((c + 1) / (N + V)) if c else math.log(1.0 / (N + V))
+            )
+        assert got[doc_id]["n_grams"] == len(lps)
+        assert got[doc_id]["nll"] == pytest.approx(round(-sum(lps) / len(lps), 4))
+    # the in-model doc scores better (lower NLL) than the OOV doc
+    assert got[1]["nll"] < got[3]["nll"]
+
+
+# ------------------------------------------------------------- SemDeDup
+
+
+def _numpy_kmeans(vecs: np.ndarray, ids: list[int], k: int, iters: int):
+    """The reference twin of operators.semdedup.kmeans_assign."""
+    order = np.argsort(ids)
+    cents = vecs[order[:k]].astype(np.float64).copy()
+    v = vecs.astype(np.float64)
+    assign = None
+    for _ in range(iters):
+        d = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # numpy argmin takes the first min = min cid
+        for c in range(k):
+            m = v[assign == c]
+            if len(m):
+                cents[c] = np.round(m.mean(axis=0), 9)
+    d = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return d.argmin(axis=1)
+
+
+def test_kmeans_assign_matches_numpy(spark):
+    rng = np.random.RandomState(3)
+    n, dim, k = 80, 6, 5
+    vecs = rng.randn(n, dim).astype(np.float32)
+    ids = list(range(n))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in ids], ["vec_id", "embedding"]
+    )
+    from jane_spark.operators.semdedup import kmeans_assign
+
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(df, "vec_id", "embedding", k=k, iters=5).collect()
+    }
+    want = _numpy_kmeans(vecs, ids, k, 5)
+    mismatch = [i for i in ids if got[i] != want[i]]
+    assert not mismatch, mismatch[:10]
+
+
+def test_kmeans_assign_partitioning_invariant(spark):
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(40, 4).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    from jane_spark.operators.semdedup import kmeans_assign
+
+    a = kmeans_assign(
+        spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(1),
+        "vec_id", "embedding", k=4, iters=3,
+    ).collect()
+    b = kmeans_assign(
+        spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(13),
+        "vec_id", "embedding", k=4, iters=3,
+    ).collect()
+    assert {(r["vec_id"], r["cluster"]) for r in a} == {
+        (r["vec_id"], r["cluster"]) for r in b
+    }
+
+
+def test_semantic_dedup_greedy_by_id(spark):
+    # cluster 0: 1 ~ 2 ~ 3 (all mutually similar) -> keep 1, dup 2 and 3
+    # cluster 1: 4 vs 5 dissimilar -> both kept
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.999, 0.01, 0.0], 0),
+        (3, [0.998, 0.02, 0.0], 0),
+        (4, [0.0, 1.0, 0.0], 1),
+        (5, [0.0, 0.0, 1.0], 1),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    from jane_spark.operators.semdedup import semantic_dedup
+
+    got = {
+        r["vec_id"]: r["is_dup"]
+        for r in semantic_dedup(df, "vec_id", "embedding", "label", 0.95).collect()
+    }
+    assert got == {1: False, 2: True, 3: True, 4: False, 5: False}
+
+
+def test_semantic_dedup_respects_cluster_boundary(spark):
+    # identical vectors in DIFFERENT clusters are not compared
+    rows = [(1, [1.0, 0.0], 0), (2, [1.0, 0.0], 1)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    from jane_spark.operators.semdedup import semantic_dedup
+
+    got = {
+        r["vec_id"]: r["is_dup"]
+        for r in semantic_dedup(df, "vec_id", "embedding", "label", 0.9).collect()
+    }
+    assert got == {1: False, 2: False}

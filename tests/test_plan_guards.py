@@ -250,3 +250,28 @@ def test_bulk_selects_plan_as_bin_equi_joins(spark, sf_dir):
         assert "BroadcastNestedLoop" not in plan, name
         assert "CartesianProduct" not in plan, name
         assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, name
+
+
+def test_curation_operators_no_cartesian(spark, sf_dir):
+    """The round-6 curation stages must keep their scale shapes: line
+    dedup and dup-span are hash-keyed groupBys + (anti/semi) equi-joins;
+    semantic dedup is an equi-join on the cluster id. None may plan a
+    nested-loop/cartesian pair stage (the shape their oracles use)."""
+    from jane_spark.contracts import REGISTRY
+
+    for name in ("q_t11_linededup", "q_t12_dupspan", "q_k16_semdedup"):
+        plan = _executed_plan(REGISTRY[name].spark_fn(spark, sf_dir))
+        assert "BroadcastNestedLoop" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_lm_score_broadcasts_model(spark, sf_dir):
+    """The LM scoring join must broadcast the charset-bounded model
+    table — the corpus side never shuffles for the join; the one
+    corpus-keyed exchange is the per-document average."""
+    from jane_spark.contracts import REGISTRY
+
+    plan = _executed_plan(REGISTRY["q_t13_lm_score"].spark_fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:600]
+    live = plan.split("InMemoryRelation")[0]
+    assert "SortMergeJoin" not in live, live[:600]
