@@ -54,6 +54,12 @@ BENCH_QUERIES = {
     "bulk_select": "q_a7_bulk_select",
     "bm25_topk": "q_k5_bm25",
     "ssjoin_exact": "q_k14_ssjoin",
+    # curation stages (round 6): line boilerplate dedup, duplicated-
+    # substring coverage, trigram-LM scoring, semantic dedup
+    "line_dedup": "q_t11_linededup",
+    "dup_span": "q_t12_dupspan",
+    "lm_score": "q_t13_lm_score",
+    "semdedup": "q_k16_semdedup",
 }
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
@@ -72,6 +78,12 @@ CALIBRATION = {
     "availability_spans": 0.048,
     "bm25_topk": 0.053,
     "ssjoin_exact": 1.125,
+    # round-6 curation rows: DuckDB 1.x medians measured on this box at
+    # sf0.1 (same session methodology as BASELINE.md)
+    "line_dedup": 0.178,
+    "dup_span": 1.561,
+    "lm_score": 0.437,
+    "semdedup": 0.102,
 }
 
 
