@@ -107,6 +107,8 @@ _R6_NEW = [
     "q_t13_lm_score",
     "q_k16_semdedup",
     "q_k16_kmeans",
+    "q_t14_embed_decontam",
+    "q_p6_shuffle",
 ]
 VERIFY_FIRST = _R6_NEW + VERIFY_FIRST[: 50 - len(_R6_NEW)]
 

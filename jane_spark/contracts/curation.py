@@ -191,6 +191,71 @@ def q_k16(spark, sf_dir):
     return semantic_dedup(emb, "vec_id", "embedding", "label", threshold=0.4)
 
 
+_EMBED_DECONTAM_ORACLE = """
+WITH train AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+mx AS (SELECT t.vec_id AS vec_id,
+              max(round(list_cosine_similarity(CAST(t.embedding AS DOUBLE[]),
+                                               CAST(e.embedding AS DOUBLE[])),
+                        6)) AS max_eval_sim
+       FROM train t CROSS JOIN ev e GROUP BY t.vec_id)
+SELECT vec_id, max_eval_sim, max_eval_sim >= 0.4 AS contaminated FROM mx
+"""
+
+
+@contract(
+    "q_t14_embed_decontam",
+    oracle=_EMBED_DECONTAM_ORACLE,
+    survey_rows="T5,K3,K8",
+    doc="semantic benchmark decontamination: max cosine of every train "
+    "vector (even vec_ids) against the full eval set (odd vec_ids), "
+    "contaminated at round(max,6) >= 0.4 — the embedding analogue of "
+    "the T5 shingle decontaminator, catching paraphrased leakage "
+    "(operators.vector.embed_decontam). Exact via the block_topk grid "
+    "GEMM shape with a max-merge (order-insensitive, so grid "
+    "parallelism never changes the answer); the oracle is the "
+    "quadratic cross join",
+)
+def q_t14(spark, sf_dir):
+    from jane_spark.operators.vector import embed_decontam
+
+    emb = Catalog(spark, sf_dir).embeddings
+    train = emb.filter(F.col("vec_id") % 2 == 0)
+    ev = emb.filter(F.col("vec_id") % 2 == 1)
+    return embed_decontam(train, ev, "vec_id", "embedding", threshold=0.4)
+
+
+_SHUFFLE_ORACLE = """
+WITH h AS (SELECT doc_id,
+                  md5(concat('epoch0:', CAST(doc_id AS VARCHAR))) AS hh,
+                  CAST(concat('0x', substr(md5(concat('epoch0:',
+                       CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 8 AS shard
+           FROM documents)
+SELECT doc_id, CAST(shard AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) - 1
+            AS BIGINT) AS pos
+FROM h
+"""
+
+
+@contract(
+    "q_p6_shuffle",
+    oracle=_SHUFFLE_ORACLE,
+    survey_rows="P1,P4",
+    doc="deterministic global training-order permutation "
+    "(functions.sampling.corpus_shuffle): salted-md5 hash assigns each "
+    "doc a shard and a rank within it — reproducible across runs, "
+    "cluster sizes, and partition layouts (orderBy(rand()) is none of "
+    "these); a new salt is a new epoch permutation. NO global sort: "
+    "one window per shard, shard count bounds the per-task sort",
+)
+def q_p6(spark, sf_dir):
+    from jane_spark.functions.sampling import corpus_shuffle
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+    return corpus_shuffle(docs, "doc_id", n_shards=8, salt="epoch0:")
+
+
 @contract(
     "q_k16_kmeans",
     oracle=None,  # 5 Lloyd's iterations are not one-shot-SQL-expressible;

@@ -90,3 +90,34 @@ def repeat_factor(stratum: Column, factors: dict[str, int]) -> Column:
         cond = stratum == name
         expr = F.when(cond, k) if expr is None else expr.when(cond, k)
     return expr.otherwise(1) if expr is not None else F.lit(1)
+
+
+def corpus_shuffle(
+    df, id_col: str, n_shards: int, salt: str = "shuffle:"
+):
+    """Deterministic global training-order permutation: every row gets
+    ``(shard, pos)`` — its output shard and 0-based rank within that
+    shard — derived entirely from a salted content hash. The order is
+    reproducible across runs, cluster sizes, and partition layouts
+    (unlike ``orderBy(rand())``), and changing the salt gives an
+    independent epoch permutation.
+
+    Scale shape: NO global sort. The hash assigns shards uniformly
+    (pure projection), then ONE window per shard ranks rows by the full
+    128-bit hash (id tie-break for identical hashes) — shard count
+    bounds the per-task sort, so the permutation costs one shuffle
+    regardless of corpus size. A tokenizer fleet consumes shard files
+    in (shard, pos) order for an unbiased stream.
+    """
+    from pyspark.sql import Window
+
+    key = F.col(id_col)
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    shard = hash_bucket(key, n_shards, salt)
+    w = Window.partitionBy("shard").orderBy(F.col("__h"), key)
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", shard.cast("int"))
+        .withColumn("pos", (F.row_number().over(w) - F.lit(1)).cast("bigint"))
+        .drop("__h")
+    )

@@ -432,3 +432,87 @@ def embedding_near_pairs(
     if round_dp is not None:
         out = out.withColumn("sim", F.round(F.col("sim"), round_dp))
     return out
+
+
+def embed_decontam(
+    train: DataFrame,
+    evalset: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    round_dp: int = 6,
+    n_train_blocks: int = 4,
+    n_eval_blocks: int = 1,
+) -> DataFrame:
+    """Semantic benchmark decontamination: for every training vector,
+    the maximum cosine similarity against the ENTIRE eval set, and a
+    contamination verdict — the embedding analogue of the T5 n-gram
+    decontaminator (catches paraphrased eval leakage that shingle
+    overlap misses; cf. the GPT-3/PaLM appendix dedup methodology).
+
+    Returns ``(id, max_eval_sim, contaminated)`` — one row per train
+    vector, ``contaminated = round(max_sim, dp) >= threshold`` (rounded
+    BEFORE the compare, engine-stable).
+
+    Exact, via the block_topk grid shape: train rows hash into
+    ``n_train_blocks``, eval rows into ``n_eval_blocks``; each grid
+    cell is one applyInPandas float64 GEMM emitting the cell-local max
+    per train row; a final groupBy(id).max merges cells (max is
+    order-insensitive, so the merge is exact and deterministic). Eval
+    sets are typically thousands of rows — ``n_eval_blocks=1`` keeps
+    one GEMM per train block; raise it if the eval side ever outgrows
+    task memory. No broadcast limit, no driver materialization, no
+    cross join in the plan.
+    """
+    n_t, n_e = int(n_train_blocks), int(n_eval_blocks)
+    if n_t < 1 or n_e < 1:
+        raise ValueError("block counts must be >= 1")
+    t = train.select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(n_t)).cast("int").alias("__tb"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_e - 1))).alias("__eb"),
+        F.lit(True).alias("__is_t"),
+    )
+    e = evalset.select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_t - 1))).alias("__tb"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(n_e)).cast("int").alias("__eb"),
+        F.lit(False).alias("__is_t"),
+    )
+    empty = pd.DataFrame(
+        {"id": pd.Series(dtype="int64"), "mx": pd.Series(dtype="float64")}
+    )
+
+    def cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        tr = pdf[pdf["__is_t"]]
+        ev = pdf[~pdf["__is_t"]]
+        if tr.empty or ev.empty:
+            return empty
+        tm = np.array(tr["__vec"].tolist(), dtype=np.float64)
+        em = np.array(ev["__vec"].tolist(), dtype=np.float64)
+        sims = (tm @ em.T) / (
+            np.sqrt((tm * tm).sum(axis=1))[:, None]
+            * np.sqrt((em * em).sum(axis=1))[None, :]
+        )
+        return pd.DataFrame(
+            {
+                "id": tr["__id"].to_numpy(dtype=np.int64),
+                "mx": sims.max(axis=1),
+            }
+        )
+
+    partials = (
+        t.unionByName(e)
+        .groupBy("__tb", "__eb")
+        .applyInPandas(cell, schema="id long, mx double")
+    )
+    merged = partials.groupBy("id").agg(
+        F.round(F.max("mx"), round_dp).alias("max_eval_sim")
+    )
+    return merged.select(
+        F.col("id").alias(id_col),
+        "max_eval_sim",
+        (F.col("max_eval_sim") >= F.lit(threshold)).alias("contaminated"),
+    )

@@ -230,3 +230,98 @@ def test_semantic_dedup_respects_cluster_boundary(spark):
         for r in semantic_dedup(df, "vec_id", "embedding", "label", 0.9).collect()
     }
     assert got == {1: False, 2: False}
+
+
+# ------------------------------------------------------- corpus shuffle
+
+
+def test_corpus_shuffle_is_dense_permutation(spark):
+    from jane_spark.functions.sampling import corpus_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    rows = corpus_shuffle(df, "doc_id", n_shards=8, salt="e0:").collect()
+    assert len(rows) == 200
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), shard  # dense 0..n-1
+
+
+def test_corpus_shuffle_partitioning_and_salt(spark):
+    from jane_spark.functions.sampling import corpus_shuffle
+
+    rows = [(i,) for i in range(150)]
+    a = corpus_shuffle(
+        spark.createDataFrame(rows, ["doc_id"]).repartition(1),
+        "doc_id", n_shards=4, salt="e0:",
+    ).collect()
+    b = corpus_shuffle(
+        spark.createDataFrame(rows, ["doc_id"]).repartition(17),
+        "doc_id", n_shards=4, salt="e0:",
+    ).collect()
+    key = lambda rs: sorted((r["doc_id"], r["shard"], r["pos"]) for r in rs)
+    assert key(a) == key(b)  # layout-independent
+    c = corpus_shuffle(
+        spark.createDataFrame(rows, ["doc_id"]), "doc_id", n_shards=4, salt="e1:"
+    ).collect()
+    assert key(a) != key(c)  # a new salt is a new permutation
+
+
+# --------------------------------------------------- embed decontam
+
+
+def test_embed_decontam_matches_numpy(spark):
+    rng = np.random.RandomState(9)
+    tr = rng.randn(60, 8).astype(np.float32)
+    ev = rng.randn(25, 8).astype(np.float32)
+    train = spark.createDataFrame(
+        [(i, [float(x) for x in tr[i]]) for i in range(60)], ["vec_id", "embedding"]
+    )
+    evdf = spark.createDataFrame(
+        [(100 + i, [float(x) for x in ev[i]]) for i in range(25)],
+        ["vec_id", "embedding"],
+    )
+    from jane_spark.operators.vector import embed_decontam
+
+    got = {
+        r["vec_id"]: (r["max_eval_sim"], r["contaminated"])
+        for r in embed_decontam(
+            train, evdf, "vec_id", "embedding", threshold=0.5,
+            n_train_blocks=3, n_eval_blocks=2,
+        ).collect()
+    }
+    t64, e64 = tr.astype(np.float64), ev.astype(np.float64)
+    sims = (t64 @ e64.T) / (
+        np.linalg.norm(t64, axis=1)[:, None] * np.linalg.norm(e64, axis=1)[None, :]
+    )
+    for i in range(60):
+        mx = round(float(sims[i].max()), 6)
+        assert got[i] == (pytest.approx(mx), mx >= 0.5), i
+
+
+def test_embed_decontam_block_invariant(spark):
+    rng = np.random.RandomState(13)
+    tr = rng.randn(40, 5).astype(np.float32)
+    ev = rng.randn(10, 5).astype(np.float32)
+    train = spark.createDataFrame(
+        [(i, [float(x) for x in tr[i]]) for i in range(40)], ["vec_id", "embedding"]
+    )
+    evdf = spark.createDataFrame(
+        [(200 + i, [float(x) for x in ev[i]]) for i in range(10)],
+        ["vec_id", "embedding"],
+    )
+    from jane_spark.operators.vector import embed_decontam
+
+    outs = []
+    for nt, ne in ((1, 1), (4, 1), (2, 3)):
+        outs.append(
+            sorted(
+                tuple(r)
+                for r in embed_decontam(
+                    train, evdf, "vec_id", "embedding", 0.4,
+                    n_train_blocks=nt, n_eval_blocks=ne,
+                ).collect()
+            )
+        )
+    assert outs[0] == outs[1] == outs[2]
