@@ -143,18 +143,21 @@ def dup_span_coverage(
     which is precisely why this replaces a suffix array at 100 TB.
     """
     t = F.col(text_col)
-    n_pos = F.greatest(F.length(t) - F.lit(k - 1), F.lit(0))
+    # sequence(1, 0) counts DOWN in Spark (same guard as text.shingles):
+    # docs shorter than k contribute no grams, explicitly.
+    arr = F.when(
+        F.length(t) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - F.lit(k - 1)),
+            lambda i: F.struct(
+                i.alias("pos"), _gram_key(F.substr(t, i, F.lit(k))).alias("gk")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,gk:bigint>>"))
     grams = df.select(
         F.col(id_col),
         F.length(t).alias("n_chars"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), n_pos),
-                lambda i: F.struct(
-                    i.alias("pos"), _gram_key(F.substr(t, i, F.lit(k))).alias("gk")
-                ),
-            )
-        ).alias("g"),
+        F.explode(arr).alias("g"),
     ).select(id_col, "n_chars", F.col("g.pos").alias("pos"), F.col("g.gk").alias("gk"))
     dup_keys = (
         grams.groupBy("gk")
@@ -206,10 +209,15 @@ def dup_span_coverage(
 
 
 def _char_grams(text: Column, n: int) -> Column:
-    """Array of all character n-grams of ``lower(text)`` — row-local."""
+    """Array of all character n-grams of ``lower(text)`` — row-local.
+    Guarded for texts shorter than n: Spark's ``sequence(1, 0)`` counts
+    DOWN (same guard as text.shingles), so they yield an empty array."""
     t = F.lower(text)
-    n_pos = F.greatest(F.length(t) - F.lit(n - 1), F.lit(0))
-    return F.transform(F.sequence(F.lit(1), n_pos), lambda i: F.substr(t, i, F.lit(n)))
+    arr = F.transform(
+        F.sequence(F.lit(1), F.length(t) - F.lit(n - 1)),
+        lambda i: F.substr(t, i, F.lit(n)),
+    )
+    return F.when(F.length(t) >= n, arr).otherwise(F.array().cast("array<string>"))
 
 
 def train_char_lm(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:

@@ -325,3 +325,29 @@ def test_embed_decontam_block_invariant(spark):
             )
         )
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_dup_span_short_docs_no_phantom_grams(spark):
+    # docs shorter than k must contribute NO grams (sequence(1,0)
+    # counts down in Spark — the guard keeps them out), even when two
+    # short docs are identical
+    df = spark.createDataFrame(
+        [(1, "tiny"), (2, "tiny"), (3, "0123456789abcdef0123456789abcdef")],
+        ["doc_id", "text"],
+    )
+    from jane_spark.operators.curation import dup_span_coverage
+
+    got = {r["doc_id"]: r for r in dup_span_coverage(df, "doc_id", "text", k=10).collect()}
+    assert got[1]["covered_chars"] == 0 and got[2]["covered_chars"] == 0
+    # doc 3 self-repeats its 16-char block -> some coverage
+    assert got[3]["covered_chars"] > 0
+
+
+def test_char_lm_short_text_empty_grams(spark):
+    from jane_spark.operators.curation import lm_score, train_char_lm
+
+    df = spark.createDataFrame([(1, "abcdef"), (2, "ab")], ["doc_id", "text"])
+    model = train_char_lm(df, "text", n=3)
+    rows = {r["doc_id"]: r for r in lm_score(df, "doc_id", "text", model, n=3).collect()}
+    assert 1 in rows and rows[1]["n_grams"] == 4
+    assert 2 not in rows  # no trigrams -> no score row (both engines agree)
