@@ -275,3 +275,25 @@ def test_lm_score_broadcasts_model(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan[:600]
     live = plan.split("InMemoryRelation")[0]
     assert "SortMergeJoin" not in live, live[:600]
+
+
+def test_corpus_shuffle_no_global_sort(spark, sf_dir):
+    """The epoch permutation must never plan a global (range) sort —
+    one hash exchange on the shard key feeds per-shard window sorts."""
+    from jane_spark.contracts import REGISTRY
+
+    plan = _executed_plan(REGISTRY["q_p6_shuffle"].spark_fn(spark, sf_dir))
+    live = plan.split("InMemoryRelation")[0]
+    assert "Exchange rangepartitioning" not in live, live[:600]
+    assert live.count("Exchange hashpartitioning") == 1, live[:600]
+
+
+def test_embed_decontam_no_cross_join(spark, sf_dir):
+    """The train-vs-eval max-sim must stay the grid applyInPandas shape
+    — never BroadcastNestedLoop/CartesianProduct (the oracle's plan)."""
+    from jane_spark.contracts import REGISTRY
+
+    plan = _executed_plan(REGISTRY["q_t14_embed_decontam"].spark_fn(spark, sf_dir))
+    assert "BroadcastNestedLoop" not in plan, plan[:600]
+    assert "CartesianProduct" not in plan, plan[:600]
+    assert "FlatMapGroupsInPandas" in plan or "ArrowEvalPython" in plan, plan[:600]
