@@ -256,6 +256,39 @@ def q_p6(spark, sf_dir):
     return corpus_shuffle(docs, "doc_id", n_shards=8, salt="epoch0:")
 
 
+_HEAVYHITTERS_ORACLE = """
+WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+g AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1])) AS gram
+      FROM t WHERE len(toks) >= 2)
+SELECT gram AS item, CAST(count(*) AS BIGINT) AS est_count,
+       CAST(0 AS BIGINT) AS err_bound
+FROM g GROUP BY gram
+ORDER BY est_count DESC, item ASC
+LIMIT 50
+"""
+
+
+@contract(
+    "q_k17_heavyhitters",
+    oracle=_HEAVYHITTERS_ORACLE,
+    survey_rows="K5,K4",
+    doc="top-50 word 2-grams via the mergeable Misra-Gries sketch "
+    "(operators.sketch.frequent_ngrams): per-partition summaries are "
+    "capacity-bounded regardless of vocabulary size, the merge shuffles "
+    "partitions*capacity rows, top-k is TakeOrdered. At contract "
+    "capacity (65536 > distinct 2-grams) nothing is subtracted, so "
+    "est_count is exact and err_bound 0 — which is exactly what the "
+    "plain-groupBy oracle pins; the approximate small-capacity regime "
+    "is bound-tested in pytest",
+)
+def q_k17(spark, sf_dir):
+    from jane_spark.operators.sketch import frequent_ngrams
+
+    docs = Catalog(spark, sf_dir).documents
+    return frequent_ngrams(docs, "text", n=2, k=50, capacity=65536)
+
+
 @contract(
     "q_k16_kmeans",
     oracle=None,  # 5 Lloyd's iterations are not one-shot-SQL-expressible;

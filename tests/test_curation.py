@@ -351,3 +351,49 @@ def test_char_lm_short_text_empty_grams(spark):
     rows = {r["doc_id"]: r for r in lm_score(df, "doc_id", "text", model, n=3).collect()}
     assert 1 in rows and rows[1]["n_grams"] == 4
     assert 2 not in rows  # no trigrams -> no score row (both engines agree)
+
+
+# ------------------------------------------------------- heavy hitters
+
+
+def test_frequent_items_exact_when_capacity_suffices(spark):
+    rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 20 + [("d",)] * 5
+    df = spark.createDataFrame(rows, ["w"])
+    from jane_spark.operators.sketch import frequent_items
+
+    out = frequent_items(df, "w", k=3, capacity=100).collect()
+    assert [(r["item"], r["est_count"], r["err_bound"]) for r in out] == [
+        ("a", 50, 0), ("b", 30, 0), ("c", 20, 0)
+    ]
+
+
+def test_frequent_items_bounds_hold_under_pressure(spark):
+    # skewed stream, capacity far below distinct count: the heavy item
+    # must survive with est <= true <= est + err_bound
+    import random
+
+    rng = random.Random(42)
+    rows = [("heavy",)] * 400 + [(f"tail{rng.randrange(500)}",) for _ in range(600)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, ["w"]).repartition(4)
+    from jane_spark.operators.sketch import frequent_items
+
+    out = frequent_items(df, "w", k=5, capacity=20).collect()
+    by_item = {r["item"]: r for r in out}
+    assert "heavy" in by_item  # freq > N/capacity => guaranteed present
+    r = by_item["heavy"]
+    assert r["est_count"] <= 400 <= r["est_count"] + r["err_bound"]
+
+
+def test_frequent_items_partitioning_changes_only_error(spark):
+    # exact regime: result identical across partitionings
+    rows = [(f"w{i % 7}",) for i in range(210)]
+    from jane_spark.operators.sketch import frequent_items
+
+    a = frequent_items(
+        spark.createDataFrame(rows, ["w"]).repartition(1), "w", k=7, capacity=50
+    ).collect()
+    b = frequent_items(
+        spark.createDataFrame(rows, ["w"]).repartition(11), "w", k=7, capacity=50
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
