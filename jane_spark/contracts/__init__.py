@@ -110,6 +110,7 @@ _R6_NEW = [
     "q_t14_embed_decontam",
     "q_p6_shuffle",
     "q_k17_heavyhitters",
+    "q_k7_frames",
 ]
 VERIFY_FIRST = _R6_NEW + VERIFY_FIRST[: 50 - len(_R6_NEW)]
 

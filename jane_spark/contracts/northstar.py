@@ -437,9 +437,10 @@ def q_k7(spark, sf_dir):
     oracle=None,  # binary image payloads — rows-only check
     survey_rows="K7",
     doc="REAL image decode→resize→re-encode: documents rendered as 16x16 "
-    "grayscale PGM (or, every 3rd doc, zlib-deflated 8-bit PNG — the "
-    "pure-stdlib codec), nearest-resized to 8x8 through the registered "
-    "codec pairs, outputs re-decoded per format and pixel-checksummed "
+    "grayscale PGM (every 3rd doc a zlib-deflated 8-bit PNG, every "
+    "3rd+1 an LZW-compressed GIF — both pure-stdlib codecs), "
+    "nearest-resized to 8x8 through the registered codec pairs, "
+    "outputs re-decoded per format and pixel-checksummed "
     "(sources/media_codecs.py, sources/multimodal.py)",
 )
 def q_k7_resize(spark, sf_dir):
@@ -452,7 +453,11 @@ def q_k7_resize(spark, sf_dir):
     def to_img(batches):
         import numpy as np
 
-        from jane_spark.sources.media_codecs import encode_png, encode_ppm
+        from jane_spark.sources.media_codecs import (
+            encode_gif,
+            encode_png,
+            encode_ppm,
+        )
 
         for pdf in batches:
             payloads, types = [], []
@@ -464,6 +469,9 @@ def q_k7_resize(spark, sf_dir):
                 if doc_id % 3 == 0:
                     payloads.append(encode_png(arr))
                     types.append("image/png")
+                elif doc_id % 3 == 1:
+                    payloads.append(encode_gif(arr))
+                    types.append("image/gif")
                 else:
                     payloads.append(encode_ppm(arr))
                     types.append("image/x-portable-graymap")
@@ -481,15 +489,20 @@ def q_k7_resize(spark, sf_dir):
     resized = resize_images(imgs, "payload", 8, 8)
 
     def checksum(batches):
-        from jane_spark.sources.media_codecs import decode_png, decode_ppm
+        from jane_spark.sources.media_codecs import (
+            decode_gif,
+            decode_png,
+            decode_ppm,
+        )
 
         for pdf in batches:
             sums = []
             for item_id, p in zip(pdf["item_id"], pdf["payload"]):
-                dec = decode_png if item_id % 3 == 0 else decode_ppm
+                dec = {0: decode_png, 1: decode_gif, 2: decode_ppm}[item_id % 3]
                 img = dec(bytes(p))
-                assert img.shape == (8, 8), img.shape
-                sums.append(int(img.sum()))
+                # GIF decodes to RGB (8,8,3); grey formats to (8,8)
+                assert img.shape[:2] == (8, 8), img.shape
+                sums.append(int(img.sum()) // (3 if item_id % 3 == 1 else 1))
             yield pd.DataFrame({"item_id": pdf["item_id"], "pix_sum": sums})
 
     sums = resized.mapInPandas(checksum, "item_id long, pix_sum long")
@@ -555,6 +568,86 @@ def q_k7_audio(spark, sf_dir):
             F.round(F.max("peak"), 4).alias("max_peak"),
         )
         .orderBy("extra_samples")
+    )
+
+
+@contract(
+    "q_k7_frames",
+    oracle=None,  # binary animation payloads — rows-only check
+    survey_rows="K7",
+    doc="REAL animation frame sampling: per-doc 4-frame animated GIF "
+    "synthesized (deterministic gradient keyed on doc_id), every 2nd "
+    "frame decoded through the registered image/gif multi-frame "
+    "decoder, re-encoded, re-decoded, and pixel-checksummed into a "
+    "corpus rollup (sources/multimodal.sample_frames, "
+    "media_codecs.decode_gif_frames/encode_gif_frames)",
+)
+def q_k7_frames(spark, sf_dir):
+    import pandas as pd
+
+    from jane_spark.sources.multimodal import sample_frames
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+
+    def to_gif(batches):
+        import numpy as np
+
+        from jane_spark.sources.media_codecs import encode_gif_frames
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                base = np.arange(64, dtype=np.uint8).reshape(8, 8)
+                # multiplicative mix: per-frame pixel sums DIFFER, so a
+                # frame-order mix-up changes the rollup checksum
+                frames = np.stack(
+                    [((base + (doc_id % 7)) * (f + 1)) % 31 for f in range(4)]
+                ).astype(np.uint8)
+                payloads.append(
+                    encode_gif_frames(np.repeat(frames[..., None], 3, axis=-1))
+                )
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": ["image/gif"] * len(pdf),
+                }
+            )
+
+    clips = docs.mapInPandas(
+        to_gif, "item_id long, payload binary, media_type string"
+    )
+    sampled = sample_frames(
+        clips, "payload", media_type_col="media_type", every_n_frames=2
+    )
+
+    def checksum(batches):
+        from jane_spark.sources.media_codecs import decode_gif
+
+        for pdf in batches:
+            sums = []
+            for p in pdf["frame"]:
+                img = decode_gif(bytes(p))
+                assert img.shape == (8, 8, 3), img.shape
+                sums.append(int(img.sum()) // 3)
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "frame_no": pdf["frame_no"],
+                    "pix_sum": sums,
+                }
+            )
+
+    sums = sampled.mapInPandas(
+        checksum, "item_id long, frame_no int, pix_sum long"
+    )
+    return (
+        sums.groupBy("frame_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("pix_sum").alias("total_pixel_sum"),
+        )
+        .orderBy("frame_no")
     )
 
 

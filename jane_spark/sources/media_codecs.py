@@ -9,6 +9,9 @@ turns the multimodal decode path from a stub into a real one:
   bottom-up rows padded to 4 bytes),
 - **PNG** (ISO/IEC 15948: zlib-deflated scanlines, filters 0-4, 8-bit
   grey/RGB/RGBA, non-interlaced — stdlib zlib + struct only),
+- **GIF** (GIF87a/89a: variable-width LZW, interlacing, 89a
+  transparency/disposal compositing, multi-frame animations — the
+  frame-sampling path's real decoder),
 - **WAV** (RIFF, PCM 8/16/32-bit integer + IEEE float32).
 
 Each has an encoder twin so resize/re-encode and round-trip tests run
@@ -286,3 +289,268 @@ def nearest_resize(arr: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
     yi = (np.arange(target_h) * h) // target_h
     xi = (np.arange(target_w) * w) // target_w
     return arr[yi][:, xi]
+
+
+# -------------------------------------------------------------- GIF
+# GIF87a/89a per the public spec (CompuServe/W3C GIF89a specification):
+# LZW-compressed palette indices in LSB-first variable-width codes,
+# optional interlacing, 89a graphic-control extensions for per-frame
+# transparency/disposal. Pure stdlib+numpy; the LZW inner loops are
+# Python — acceptable for the Arrow-batched decode path (payloads are
+# thumbnails/clips), and the per-row cost is documented in SCALE.md.
+
+
+def _lzw_decode_gif(min_code_size: int, data: bytes) -> list:
+    """GIF-flavor LZW: LSB-first bitstream, clear/end codes, code width
+    grows when the table fills, capped at 12 bits."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    bits = int.from_bytes(data, "little")
+    nbits = len(data) * 8
+    pos = 0
+    code_size = min_code_size + 1
+    table: list = [(i,) for i in range(clear)] + [None, None]
+    prev = None
+    out: list = []
+    while pos + code_size <= nbits:
+        code = (bits >> pos) & ((1 << code_size) - 1)
+        pos += code_size
+        if code == clear:
+            code_size = min_code_size + 1
+            table = [(i,) for i in range(clear)] + [None, None]
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + (entry[0],))
+        elif code == len(table):
+            entry = prev + (prev[0],)
+            table.append(entry)
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        if prev is not None and len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+        out.extend(entry)
+        prev = entry
+    return out
+
+
+def _lzw_encode_gif(min_code_size: int, indices) -> bytes:
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    acc = 0
+    acc_bits = 0
+    chunks = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, acc_bits
+        acc |= code << acc_bits
+        acc_bits += code_size
+        while acc_bits >= 8:
+            chunks.append(acc & 0xFF)
+            acc >>= 8
+            acc_bits -= 8
+
+    def reset() -> dict:
+        return {(i,): i for i in range(clear)}
+
+    emit(clear)
+    table = reset()
+    next_code = end + 1
+    w: tuple = ()
+    for k in indices:
+        k = int(k)
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        table[wk] = next_code
+        next_code += 1
+        if next_code == (1 << code_size) + 1 and code_size < 12:
+            code_size += 1
+        if next_code == 4096:
+            emit(clear)
+            table = reset()
+            next_code = end + 1
+            code_size = min_code_size + 1
+        w = (k,)
+    if w:
+        emit(table[w])
+    emit(end)
+    if acc_bits:
+        chunks.append(acc & 0xFF)
+    return bytes(chunks)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _deinterlace(rows: np.ndarray) -> np.ndarray:
+    h = rows.shape[0]
+    out = np.empty_like(rows)
+    src = 0
+    for start, step in _GIF_INTERLACE_PASSES:
+        for y in range(start, h, step):
+            out[y] = rows[src]
+            src += 1
+    return out
+
+
+def _gif_subblocks(data: bytes, off: int) -> tuple[bytes, int]:
+    """Concatenate a sub-block chain starting at ``off``; return
+    (payload, offset past the terminator)."""
+    parts = []
+    while True:
+        n = data[off]
+        off += 1
+        if n == 0:
+            return b"".join(parts), off
+        parts.append(data[off : off + n])
+        off += n
+
+
+def decode_gif_frames(data: bytes) -> np.ndarray:
+    """All frames of a GIF as uint8 RGB (n, h, w, 3), composited on the
+    logical screen per the 89a disposal rules (1/3 treated as
+    draw-on-top, 2 restores the frame rect to background)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, packed, bg_idx, _ = struct.unpack("<HHBBB", data[6:13])
+    off = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data[off : off + 3 * n], dtype=np.uint8).reshape(n, 3)
+        off += 3 * n
+    bg_rgb = gct[bg_idx] if gct is not None and bg_idx < len(gct) else np.zeros(3, np.uint8)
+    canvas = np.broadcast_to(bg_rgb, (h, w, 3)).astype(np.uint8).copy()
+    frames = []
+    transparent = None
+    disposal = 0
+    while off < len(data):
+        block = data[off]
+        off += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = data[off]
+            off += 1
+            payload, off = _gif_subblocks(data, off)
+            if label == 0xF9 and len(payload) >= 4:  # graphic control
+                flags = payload[0]
+                disposal = (flags >> 2) & 0x07
+                transparent = payload[3] if flags & 0x01 else None
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        fx, fy, fw, fh, fpacked = struct.unpack("<HHHHB", data[off : off + 9])
+        off += 9
+        ct = gct
+        if fpacked & 0x80:
+            n = 2 << (fpacked & 0x07)
+            ct = np.frombuffer(data[off : off + 3 * n], dtype=np.uint8).reshape(n, 3)
+            off += 3 * n
+        if ct is None:
+            raise ValueError("GIF frame without any color table")
+        min_code = data[off]
+        off += 1
+        lzw, off = _gif_subblocks(data, off)
+        idx = np.array(
+            _lzw_decode_gif(min_code, lzw)[: fw * fh], dtype=np.int32
+        ).reshape(fh, fw)
+        if fpacked & 0x40:
+            idx = _deinterlace(idx)
+        rgb = ct[np.clip(idx, 0, len(ct) - 1)]
+        region = canvas[fy : fy + fh, fx : fx + fw]
+        if transparent is not None:
+            mask = idx != transparent
+            region[mask] = rgb[mask]
+        else:
+            region[:, :] = rgb
+        frames.append(canvas.copy())
+        if disposal == 2:
+            canvas[fy : fy + fh, fx : fx + fw] = bg_rgb
+        transparent = None
+        disposal = 0
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return np.stack(frames)
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """First frame as uint8 RGB (h, w, 3)."""
+    return decode_gif_frames(data)[0]
+
+
+def encode_gif(arr: np.ndarray) -> bytes:
+    """Single-frame GIF89a from uint8 RGB (h, w, 3) or grayscale
+    (h, w). Builds an exact palette — payloads with more than 256
+    distinct colors raise (quantization is a modeling decision the
+    pipeline owner makes upstream)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = np.stack([a, a, a], axis=-1)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("encode_gif expects (h, w, 3) or (h, w)")
+    h, w = a.shape[:2]
+    flat = a.reshape(-1, 3)
+    palette, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"{len(palette)} distinct colors exceed GIF's 256")
+    depth = max(1, int(np.ceil(np.log2(max(len(palette), 2)))))
+    table = np.zeros((1 << depth, 3), dtype=np.uint8)
+    table[: len(palette)] = palette
+    min_code = max(2, depth)
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) & 0x07), 0, 0)
+    out += table.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0) + bytes([min_code])
+    lzw = _lzw_encode_gif(min_code, idx)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00"  # sub-block terminator
+    out += b"\x3b"  # trailer
+    return bytes(out)
+
+
+def encode_gif_frames(frames: np.ndarray) -> bytes:
+    """Animated GIF89a from uint8 RGB (n, h, w, 3): one global palette
+    over all frames (>256 distinct colors raise, as in ``encode_gif``),
+    draw-on-top disposal, no timing metadata (the frame-sampling path
+    reads frames, not delays)."""
+    f = np.asarray(frames, dtype=np.uint8)
+    if f.ndim != 4 or f.shape[3] != 3:
+        raise ValueError("encode_gif_frames expects (n, h, w, 3)")
+    n, h, w = f.shape[:3]
+    flat = f.reshape(-1, 3)
+    palette, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"{len(palette)} distinct colors exceed GIF's 256")
+    depth = max(1, int(np.ceil(np.log2(max(len(palette), 2)))))
+    table = np.zeros((1 << depth, 3), dtype=np.uint8)
+    table[: len(palette)] = palette
+    min_code = max(2, depth)
+    idx = idx.reshape(n, h * w)
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) & 0x07), 0, 0)
+    out += table.tobytes()
+    for i in range(n):
+        # graphic control: disposal 1 (leave in place), no transparency
+        out += b"\x21\xf9\x04" + bytes([1 << 2, 0, 0, 0]) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0) + bytes([min_code])
+        lzw = _lzw_encode_gif(min_code, idx[i])
+        for j in range(0, len(lzw), 255):
+            chunk = lzw[j : j + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)

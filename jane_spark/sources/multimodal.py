@@ -39,6 +39,7 @@ CODECS: dict = {}
 ENCODERS: dict = {}
 AUDIO_CODECS: dict = {}
 AUDIO_ENCODERS: dict = {}
+FRAME_DECODERS: dict = {}  # media_type -> bytes -> (n, h, w, 3) frames
 
 
 def decode_image(data: bytes, media_type: str) -> "np.ndarray":
@@ -125,19 +126,40 @@ def sample_frames(
     payload_col: str,
     every_n_bytes: int = 1024,
     frame_size: int = 64,
+    media_type_col: str | None = None,
+    every_n_frames: int = 1,
 ) -> DataFrame:
-    """Video frame sampling shape: one input row → many frame rows
-    (item_id, frame_no, frame binary). Without an av codec the frames
-    are deterministic byte slices at a fixed stride — the real decoder
-    drops in without touching the Spark side (same fan-out schema, same
-    Arrow batching)."""
+    """Video/animation frame sampling: one input row → many frame rows
+    (item_id, frame_no, frame binary).
+
+    When ``media_type_col`` names a column and the row's media type has
+    a registered multi-frame decoder (``FRAME_DECODERS`` — animated GIF
+    is built in), the REAL frames are decoded, every ``every_n_frames``
+    kept, and each re-encoded through the type's still-image encoder.
+    Rows without a frame decoder keep the deterministic byte-slice
+    stand-in (stride ``every_n_bytes``, width ``frame_size``) — an av
+    decoder drops into the registry without touching the Spark side
+    (same fan-out schema, same Arrow batching)."""
     out_schema = "item_id long, frame_no int, frame binary"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, nos, frames = [], [], []
-            for item_id, data in zip(pdf["item_id"], pdf[payload_col]):
+            mtypes = (
+                pdf[media_type_col]
+                if media_type_col is not None
+                else [None] * len(pdf)
+            )
+            for item_id, data, mt in zip(pdf["item_id"], pdf[payload_col], mtypes):
                 b = bytes(data)
+                if mt in FRAME_DECODERS:
+                    encode = ENCODERS[mt]
+                    all_frames = FRAME_DECODERS[mt](b)
+                    for fn in range(0, len(all_frames), every_n_frames):
+                        ids.append(item_id)
+                        nos.append(fn)
+                        frames.append(encode(all_frames[fn]))
+                    continue
                 for fn, off in enumerate(range(0, len(b), every_n_bytes)):
                     ids.append(item_id)
                     nos.append(fn)
@@ -242,6 +264,7 @@ def _register_builtin_codecs() -> None:
             "image/x-portable-graymap": mc.decode_ppm,
             "image/bmp": mc.decode_bmp,
             "image/png": mc.decode_png,
+            "image/gif": mc.decode_gif,
         }
     )
     ENCODERS.update(
@@ -250,10 +273,12 @@ def _register_builtin_codecs() -> None:
             "image/x-portable-graymap": mc.encode_ppm,
             "image/bmp": mc.encode_bmp,
             "image/png": mc.encode_png,
+            "image/gif": mc.encode_gif,
         }
     )
     AUDIO_CODECS["audio/wav"] = mc.decode_wav
     AUDIO_ENCODERS["audio/wav"] = mc.encode_wav
+    FRAME_DECODERS["image/gif"] = mc.decode_gif_frames
 
 
 _register_builtin_codecs()
