@@ -111,8 +111,13 @@ _R6_NEW = [
     "q_p6_shuffle",
     "q_k17_heavyhitters",
     "q_k7_frames",
+    "q_t15_pii",
+    # q_k7_resize re-fronted: its fixture gained GIF clips this round
+    "q_k7_resize",
 ]
-VERIFY_FIRST = _R6_NEW + VERIFY_FIRST[: 50 - len(_R6_NEW)]
+VERIFY_FIRST = _R6_NEW + [
+    n for n in VERIFY_FIRST if n not in _R6_NEW
+][: 50 - len(_R6_NEW)]
 
 
 def ordered_registry() -> dict[str, ContractQuery]:

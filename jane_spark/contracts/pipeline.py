@@ -419,3 +419,90 @@ def q_t3_md5(spark, sf_dir):
 
     docs = Catalog(spark, sf_dir).documents
     return docs.select("doc_id", fingerprint_hex(F.col("text")).alias("fp"))
+
+
+_PII_ORACLE = r"""
+WITH aug AS (
+    SELECT doc_id,
+           concat(text, ' call 555-',
+                  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                  ' from 10.0.', CAST(doc_id % 256 AS VARCHAR), '.1 card ',
+                  CASE WHEN doc_id % 2 = 0 THEN '4111111111111111'
+                       ELSE '4111111111111112' END,
+                  ' mail ', source, '@example.com') AS raw
+    FROM documents),
+c AS (SELECT doc_id, raw,
+             regexp_extract_all(raw, '[0-9]{16}') AS cards
+      FROM aug),
+v AS (SELECT doc_id, raw, cards,
+             list_filter(cards, x ->
+                 list_sum(list_transform(generate_series(1, length(x)), i ->
+                     CASE WHEN i % 2 = 0 THEN
+                         CASE WHEN CAST(substr(reverse(x), i, 1) AS INT) * 2 > 9
+                              THEN CAST(substr(reverse(x), i, 1) AS INT) * 2 - 9
+                              ELSE CAST(substr(reverse(x), i, 1) AS INT) * 2 END
+                     ELSE CAST(substr(reverse(x), i, 1) AS INT) END)) % 10 = 0
+             ) AS valid
+      FROM c),
+r AS (SELECT doc_id, raw, cards, valid,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   CASE WHEN len(valid) > 0
+                        THEN replace(raw, valid[1], '<CARD>') ELSE raw END,
+                   '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+                 '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+               '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')
+                 AS clean
+      FROM v)
+SELECT doc_id,
+       CAST(len(cards) AS BIGINT) AS n_cards_found,
+       CAST(len(valid) AS BIGINT) AS n_cards_valid,
+       CAST(length(raw) - length(clean) AS BIGINT) AS chars_removed,
+       md5(clean) AS clean_md5
+FROM r
+"""
+
+
+@contract(
+    "q_t15_pii",
+    oracle=_PII_ORACLE,
+    survey_rows="T6,H4,H8",
+    doc="multi-class PII redaction with Luhn gating "
+    "(functions.text.pii_redact): cards (16-digit, mod-10-checked via "
+    "higher-order aggregate — regex alone cannot express the checksum), "
+    "then emails, phones, IPv4, in a fixed order; synthesized "
+    "deterministically per doc with the Luhn check FAILING on odd "
+    "doc_ids, so the gate provably fires. Per-doc md5 of the redacted "
+    "text makes the check byte-exact in both engines",
+)
+def q_t15(spark, sf_dir):
+    from jane_spark.functions.text import pii_counts, pii_redact
+
+    docs = Catalog(spark, sf_dir).documents
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1 card "),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("4111111111111111")).otherwise(
+            F.lit("4111111111111112")
+        ),
+        F.lit(" mail "),
+        F.col("source"),
+        F.lit("@example.com"),
+    )
+    aug = docs.select("doc_id", raw.alias("raw"))
+    clean = pii_redact(F.col("raw"))
+    cnt = pii_counts(F.col("raw"))
+    return aug.select(
+        "doc_id",
+        cnt["n_cards_found"].cast("bigint").alias("n_cards_found"),
+        cnt["n_cards_valid"].cast("bigint").alias("n_cards_valid"),
+        (F.length(F.col("raw")) - F.length(clean)).cast("bigint").alias(
+            "chars_removed"
+        ),
+        F.md5(clean).alias("clean_md5"),
+    )

@@ -266,3 +266,65 @@ def detect_language_udf():
         return texts.map(one)
 
     return detect
+
+
+# ------------------------------------------------------------------ PII
+# Multi-class PII redaction (T6 extension, round 6). Regex classes stay
+# conservative so Java regex (Spark) and RE2 (DuckDB) agree byte-exactly;
+# card numbers add a Luhn checksum gate — a higher-order-expression
+# validation pure regex cannot express, so digit strings that merely
+# LOOK like cards survive redaction.
+
+PII_EMAIL = r"[a-z0-9.]+@[a-z0-9.]+"
+PII_PHONE = r"[0-9]{3}-[0-9]{4}"
+PII_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+PII_CARD = r"[0-9]{16}"  # contiguous PAN; separator variants upstream
+
+
+def luhn_valid(num: Column) -> Column:
+    """Luhn (mod-10) checksum over a digit string — pure higher-order
+    expression (sequence + transform + aggregate), JVM-side."""
+    ds = F.reverse(num)
+    digit = lambda i: F.substr(ds, i, F.lit(1)).cast("int")  # noqa: E731
+    term = lambda i: F.when(  # noqa: E731
+        i % 2 == 0,
+        F.when(digit(i) * 2 > 9, digit(i) * 2 - 9).otherwise(digit(i) * 2),
+    ).otherwise(digit(i))
+    total = F.aggregate(
+        F.sequence(F.lit(1), F.length(ds)), F.lit(0), lambda acc, i: acc + term(i)
+    )
+    return total % 10 == 0
+
+
+def valid_cards(text: Column) -> Column:
+    """Luhn-passing 16-digit candidates in a text, in match order."""
+    return F.filter(
+        F.regexp_extract_all(text, F.lit(PII_CARD), 0), luhn_valid
+    )
+
+
+def pii_redact(text: Column) -> Column:
+    """Redact card numbers (Luhn-gated), then emails, phones, IPv4 —
+    in that fixed order, so the result is engine-reproducible. Card
+    replacement folds the validated candidates over the text with a
+    literal replace (no regex re-scan per candidate)."""
+    t = F.aggregate(
+        valid_cards(text),
+        text,
+        lambda acc, c: F.replace(acc, c, F.lit("<CARD>")),
+    )
+    t = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    t = F.regexp_replace(t, PII_PHONE, "<PHONE>")
+    return F.regexp_replace(t, PII_IPV4, "<IP>")
+
+
+def pii_counts(text: Column) -> Column:
+    """Struct of per-class PII hit counts (cards split into found vs
+    Luhn-valid) — the audit view a redaction pass reports."""
+    return F.struct(
+        F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_PHONE), 0)).alias("n_phones"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_IPV4), 0)).alias("n_ips"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_CARD), 0)).alias("n_cards_found"),
+        F.size(valid_cards(text)).alias("n_cards_valid"),
+    )

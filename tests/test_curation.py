@@ -397,3 +397,45 @@ def test_frequent_items_partitioning_changes_only_error(spark):
         spark.createDataFrame(rows, ["w"]).repartition(11), "w", k=7, capacity=50
     ).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+# ------------------------------------------------------------------ PII
+
+
+def test_pii_redact_classes_and_luhn_gate(spark):
+    from jane_spark.functions.text import pii_counts, pii_redact
+
+    rows = [
+        (1, "reach me at jane.doe@corp.example or 555-0173 from 192.168.1.17"),
+        (2, "pan 4111111111111111 ok but 1234567890123456 fails luhn"),
+        (3, "two cards 4111111111111111 and 5500005555555559 both valid"),
+        (4, "plain text with digits 12345 and dots a.b.c untouched"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    out = {
+        r["id"]: (r["clean"], r["c"].asDict())
+        for r in df.select(
+            "id",
+            pii_redact(F.col("t")).alias("clean"),
+            pii_counts(F.col("t")).alias("c"),
+        ).collect()
+    }
+    assert out[1][0] == "reach me at <EMAIL> or <PHONE> from <IP>"
+    assert out[2][0] == "pan <CARD> ok but 1234567890123456 fails luhn"
+    assert out[2][1]["n_cards_found"] == 2 and out[2][1]["n_cards_valid"] == 1
+    assert out[3][0] == "two cards <CARD> and <CARD> both valid"
+    assert out[4][0] == rows[3][1]  # nothing PII-shaped -> unchanged
+
+
+def test_luhn_valid_reference_numbers(spark):
+    from jane_spark.functions.text import luhn_valid
+
+    cases = [
+        ("4111111111111111", True),   # Visa test number
+        ("5500005555555559", True),   # Mastercard test number
+        ("4111111111111112", False),
+        ("0000000000000000", True),   # degenerate but mod-10 = 0
+    ]
+    df = spark.createDataFrame([(c,) for c, _ in cases], ["n"])
+    got = [r["v"] for r in df.select(luhn_valid(F.col("n")).alias("v")).collect()]
+    assert got == [want for _, want in cases]
