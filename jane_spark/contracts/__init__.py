@@ -112,6 +112,7 @@ _R6_NEW = [
     "q_k17_heavyhitters",
     "q_k7_frames",
     "q_t15_pii",
+    "q_k7_spectral",
     # q_k7_resize re-fronted: its fixture gained GIF clips this round
     "q_k7_resize",
 ]

@@ -572,6 +572,62 @@ def q_k7_audio(spark, sf_dir):
 
 
 @contract(
+    "q_k7_spectral",
+    oracle=None,  # binary audio payloads — rows-only check
+    survey_rows="K7",
+    doc="REAL audio resample->spectral path: per-doc PCM WAV sines "
+    "(frequency keyed on doc_id), linear-interp resampled 8k->4k "
+    "through the registered codec pair, then FFT spectral "
+    "centroid/bandwidth/rolloff on the resampled clips, bucketed "
+    "rollup (sources/multimodal.resample_audio/spectral_features)",
+)
+def q_k7_spectral(spark, sf_dir):
+    import pandas as pd
+
+    from jane_spark.sources.multimodal import resample_audio, spectral_features
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+
+    def to_wav(batches):
+        import numpy as np
+
+        from jane_spark.sources.media_codecs import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                freq = 200.0 + 100.0 * (doc_id % 8)
+                t = np.arange(1024) / 8000.0
+                payloads.append(
+                    encode_wav(0.7 * np.sin(2 * np.pi * freq * t), 8000)
+                )
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": ["audio/wav"] * len(pdf),
+                }
+            )
+
+    clips = docs.mapInPandas(
+        to_wav, "item_id long, payload binary, media_type string"
+    )
+    res = resample_audio(clips, 4000)
+    feats = spectral_features(res, n_fft=512)
+    # bucket by the synthesized frequency class: centroid must track it
+    return (
+        feats.withColumn("freq_class", (F.col("item_id") % 8).cast("int"))
+        .groupBy("freq_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.round(F.avg("centroid_hz"), 1).alias("avg_centroid_hz"),
+            F.round(F.avg("rolloff_hz"), 1).alias("avg_rolloff_hz"),
+        )
+        .orderBy("freq_class")
+    )
+
+
+@contract(
     "q_k7_frames",
     oracle=None,  # binary animation payloads — rows-only check
     survey_rows="K7",

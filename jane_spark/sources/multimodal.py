@@ -250,6 +250,150 @@ def audio_features(
     return df.mapInPandas(run, out_schema)
 
 
+def spectral_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    media_type_col: str = "media_type",
+    n_fft: int = 512,
+) -> DataFrame:
+    """Per-clip FFT spectral features (K7): magnitude spectrum of the
+    first ``n_fft`` mono samples (rectangular window — deterministic,
+    no windowing-coefficient drift across platforms), reduced to the
+    three standard spectral quality signals audio corpus filters key
+    on:
+
+    - ``centroid_hz``  — magnitude-weighted mean frequency,
+    - ``bandwidth_hz`` — magnitude-weighted std around the centroid,
+    - ``rolloff_hz``   — frequency below which 85% of magnitude sits.
+
+    Same distributed posture as ``audio_features``: one row in, one row
+    out, decode + rFFT stay inside the Arrow-batched task, no shuffle.
+    Undecodable/degenerate clips yield NULL features (kept, re-scorable
+    later). Silence (all-zero spectrum) reports 0.0 for all three
+    rather than NULL — silence is a value, not a decode failure."""
+    out_schema = (
+        "item_id long, sample_rate int, centroid_hz double, "
+        "bandwidth_hz double, rolloff_hz double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for item_id, data, mt in zip(
+                pdf["item_id"], pdf[payload_col], pdf[media_type_col]
+            ):
+                if mt not in AUDIO_CODECS:
+                    rows.append((item_id, None, None, None, None))
+                    continue
+                try:
+                    s, rate = AUDIO_CODECS[mt](bytes(data))
+                    s = np.asarray(s, dtype=np.float64)
+                    s = s.reshape(len(s), -1) if s.ndim != 2 else s
+                    mono = s.mean(axis=1)[:n_fft]
+                    if rate <= 0 or len(mono) == 0:
+                        raise ValueError("degenerate clip")
+                    mag = np.abs(np.fft.rfft(mono))
+                    freqs = np.fft.rfftfreq(len(mono), d=1.0 / rate)
+                    total = mag.sum()
+                    if total == 0.0:
+                        rows.append((item_id, rate, 0.0, 0.0, 0.0))
+                        continue
+                    centroid = float((freqs * mag).sum() / total)
+                    bandwidth = float(
+                        np.sqrt(((freqs - centroid) ** 2 * mag).sum() / total)
+                    )
+                    cum = np.cumsum(mag)
+                    rolloff = float(freqs[np.searchsorted(cum, 0.85 * total)])
+                    rows.append((item_id, rate, centroid, bandwidth, rolloff))
+                except (ValueError, ZeroDivisionError, struct.error):
+                    rows.append((item_id, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "item_id", "sample_rate", "centroid_hz",
+                    "bandwidth_hz", "rolloff_hz",
+                ],
+            )
+
+    return df.mapInPandas(run, out_schema)
+
+
+def resample_audio(
+    df: DataFrame,
+    target_rate: int,
+    payload_col: str = "payload",
+    media_type_col: str = "media_type",
+) -> DataFrame:
+    """Decode → linear-interpolation resample → re-encode, the audio
+    twin of ``resize_images`` (K7). Output sample count is
+    ``round(n * target/source)`` per channel; clips already at the
+    target rate pass through byte-identical. Types without a registered
+    codec/encoder pair keep their original payload with ``resampled``
+    false — kept total, like every decode-failure policy here."""
+    out_schema = (
+        "item_id long, payload binary, media_type string, "
+        "sample_rate int, resampled boolean"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for item_id, data, mt in zip(
+                pdf["item_id"], pdf[payload_col], pdf[media_type_col]
+            ):
+                raw = bytes(data)
+                if mt not in AUDIO_CODECS or mt not in AUDIO_ENCODERS:
+                    rows.append((item_id, raw, mt, None, False))
+                    continue
+                try:
+                    s, rate = AUDIO_CODECS[mt](raw)
+                    s = np.asarray(s, dtype=np.float64)
+                    s = s.reshape(len(s), -1) if s.ndim != 2 else s
+                    if rate <= 0 or s.shape[0] == 0:
+                        raise ValueError("degenerate clip")
+                    if rate == target_rate:
+                        rows.append((item_id, raw, mt, rate, False))
+                        continue
+                    n_out = max(1, int(round(s.shape[0] * target_rate / rate)))
+                    x_new = np.arange(n_out) * (rate / target_rate)
+                    x_old = np.arange(s.shape[0])
+                    res = np.stack(
+                        [
+                            np.interp(x_new, x_old, s[:, c])
+                            for c in range(s.shape[1])
+                        ],
+                        axis=1,
+                    )
+                    rows.append(
+                        (
+                            item_id,
+                            AUDIO_ENCODERS[mt](res, target_rate),
+                            mt,
+                            target_rate,
+                            True,
+                        )
+                    )
+                except (ValueError, ZeroDivisionError, struct.error):
+                    rows.append((item_id, raw, mt, None, False))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "item_id", "payload", "media_type",
+                    "sample_rate", "resampled",
+                ],
+            )
+
+    return df.mapInPandas(run, out_schema)
+
+
 def _register_builtin_codecs() -> None:
     """Wire the pure-numpy codecs from media_codecs into the registries.
 

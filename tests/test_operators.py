@@ -1613,3 +1613,62 @@ def test_sample_frames_decodes_gif_animations(spark):
         assert (decode_gif(bytes(r["frame"])) == anim[r["frame_no"]]).all()
     mp4_rows = [r for r in out if r["item_id"] == 2]
     assert len(mp4_rows) == 2  # 2048 bytes / 1024 stride
+
+
+def test_spectral_features_sine_peaks(spark):
+    """A pure sine's spectral centroid sits at its frequency (±1 bin);
+    silence reports zeros; unregistered media types yield NULLs."""
+    import numpy as np
+
+    from jane_spark.sources.media_codecs import encode_wav
+    from jane_spark.sources.multimodal import spectral_features
+
+    rate = 8000
+    t = np.arange(1024) / rate
+    rows = [
+        (1, bytearray(encode_wav(0.8 * np.sin(2 * np.pi * 1000 * t), rate)),
+         "audio/wav"),
+        (2, bytearray(encode_wav(np.zeros(512), rate)), "audio/wav"),
+        (3, bytearray(b"\x00" * 64), "audio/flac"),
+    ]
+    df = spark.createDataFrame(
+        rows, "item_id long, payload binary, media_type string"
+    )
+    got = {r["item_id"]: r for r in spectral_features(df, n_fft=512).collect()}
+    bin_hz = rate / 512
+    assert abs(got[1]["centroid_hz"] - 1000) < 2 * bin_hz, got[1]
+    assert got[1]["rolloff_hz"] >= 1000 - bin_hz
+    assert got[2]["centroid_hz"] == 0.0 and got[2]["rolloff_hz"] == 0.0
+    assert got[3]["centroid_hz"] is None
+
+
+def test_resample_audio_round_trip(spark):
+    """Resampling halves/doubles sample counts with linear interp; a
+    clip already at the target rate passes through byte-identical;
+    types without codecs keep their payload with resampled=false."""
+    import numpy as np
+
+    from jane_spark.sources.media_codecs import decode_wav, encode_wav
+    from jane_spark.sources.multimodal import resample_audio
+
+    t = np.arange(800) / 8000
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    wav8k = encode_wav(sig, 8000)
+    wav4k = encode_wav(sig[::2], 4000)  # the same sine sampled at 4 kHz
+    rows = [
+        (1, bytearray(wav8k), "audio/wav"),
+        (2, bytearray(wav4k), "audio/wav"),
+        (3, bytearray(b"OggS" + b"\x00" * 100), "audio/ogg"),
+    ]
+    df = spark.createDataFrame(
+        rows, "item_id long, payload binary, media_type string"
+    )
+    got = {r["item_id"]: r for r in resample_audio(df, 4000).collect()}
+    s1, r1 = decode_wav(bytes(got[1]["payload"]))
+    assert r1 == 4000 and s1.shape[0] == 400 and got[1]["resampled"]
+    assert bytes(got[2]["payload"]) == wav4k and not got[2]["resampled"]
+    # downsampled sine still correlates with the directly-sampled one
+    direct, _ = decode_wav(wav4k)
+    c = np.corrcoef(s1[:, 0], direct[: len(s1), 0])[0, 1]
+    assert c > 0.99, c
+    assert bytes(got[3]["payload"]).startswith(b"OggS") and not got[3]["resampled"]
