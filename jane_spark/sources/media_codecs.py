@@ -554,3 +554,49 @@ def encode_gif_frames(frames: np.ndarray) -> bytes:
         out += b"\x00"
     out += b"\x3b"
     return bytes(out)
+
+
+def median_cut_palette(arr: np.ndarray, n_colors: int = 256) -> np.ndarray:
+    """Deterministic median-cut color quantization (Heckbert 1982):
+    recursively split the color box with the widest channel range at
+    its median until ``n_colors`` boxes remain; each box's mean color
+    is a palette entry. Ties and orderings are all resolved by fixed
+    rules (widest-range channel, lowest index first), so the palette is
+    reproducible across runs and platforms — the property that matters
+    for dedup/fingerprint pipelines."""
+    a = np.asarray(arr, dtype=np.uint8).reshape(-1, 3)
+    boxes = [a]
+    while len(boxes) < n_colors:
+        # split the box with the widest single-channel range
+        widths = [
+            (int(b.max(axis=0)[c]) - int(b.min(axis=0)[c]), -i, c)
+            for i, b in enumerate(boxes)
+            for c in range(3)
+        ]
+        width, neg_i, c = max(widths)
+        if width == 0:
+            break  # every box is a single color
+        i = -neg_i
+        b = boxes.pop(i)
+        order = np.argsort(b[:, c], kind="stable")
+        half = len(order) // 2
+        boxes.insert(i, b[order[half:]])
+        boxes.insert(i, b[order[:half]])
+    pal = np.array(
+        sorted(
+            tuple(np.round(b.mean(axis=0)).astype(int)) for b in boxes if len(b)
+        ),
+        dtype=np.uint8,
+    )
+    return pal
+
+
+def quantize_to_palette(arr: np.ndarray, palette: np.ndarray) -> np.ndarray:
+    """Map every pixel to its nearest palette color (squared-L2,
+    ties to the lower palette index) — returns a palettized RGB image
+    ready for ``encode_gif``."""
+    a = np.asarray(arr, dtype=np.int32).reshape(-1, 3)
+    p = np.asarray(palette, dtype=np.int32)
+    d = ((a[:, None, :] - p[None, :, :]) ** 2).sum(axis=2)
+    idx = d.argmin(axis=1)
+    return palette[idx].reshape(np.asarray(arr).shape).astype(np.uint8)

@@ -1672,3 +1672,47 @@ def test_resample_audio_round_trip(spark):
     c = np.corrcoef(s1[:, 0], direct[: len(s1), 0])[0, 1]
     assert c > 0.99, c
     assert bytes(got[3]["payload"]).startswith(b"OggS") and not got[3]["resampled"]
+
+
+def test_median_cut_quantize_enables_gif_encode():
+    """>256-color images quantize deterministically to a 256-color
+    palette and then round-trip through the GIF codec exactly."""
+    import numpy as np
+
+    from jane_spark.sources.media_codecs import (
+        decode_gif,
+        encode_gif,
+        median_cut_palette,
+        quantize_to_palette,
+    )
+
+    rng = np.random.RandomState(21)
+    img = rng.randint(0, 256, (48, 40, 3)).astype(np.uint8)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        encode_gif(img)  # raw image exceeds 256 colors
+    pal = median_cut_palette(img, 256)
+    assert len(pal) <= 256
+    q = quantize_to_palette(img, pal)
+    assert (decode_gif(encode_gif(q)) == q).all()
+    # determinism across calls
+    assert (median_cut_palette(img, 256) == pal).all()
+    # quantization error stays bounded (mean abs error < 32/channel)
+    err = np.abs(img.astype(int) - q.astype(int)).mean()
+    assert err < 32, err
+
+
+def test_frequent_items_plans_take_ordered(spark, sf_dir):
+    """The sketch's top-k must plan as TakeOrderedAndProject — never a
+    global sort of the merged summaries."""
+    from jane_spark.contracts import REGISTRY
+
+    plan = (
+        REGISTRY["q_k17_heavyhitters"]
+        .spark_fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan[:500]
