@@ -60,6 +60,7 @@ BENCH_QUERIES = {
     "dup_span": "q_t12_dupspan",
     "lm_score": "q_t13_lm_score",
     "semdedup": "q_k16_semdedup",
+    "heavyhitters": "q_k17_heavyhitters",
 }
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
@@ -84,6 +85,7 @@ CALIBRATION = {
     "dup_span": 1.561,
     "lm_score": 0.437,
     "semdedup": 0.102,
+    "heavyhitters": 0.050,
 }
 
 
