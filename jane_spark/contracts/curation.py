@@ -289,6 +289,253 @@ def q_k17(spark, sf_dir):
     return frequent_ngrams(docs, "text", n=2, k=50, capacity=65536)
 
 
+_C4FILTER_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+lined AS (SELECT doc_id,
+                 list_transform(generate_series(1, CAST(ceil(len(toks) / 8.0) AS INT)),
+                                i -> array_to_string(toks[(i-1)*8+1:(i-1)*8+8], ' '))
+                     AS lines
+          FROM t),
+f AS (SELECT doc_id, lines,
+             list_filter(lines,
+                         x -> len(string_split(x, ' ')) >= 8
+                              AND length(x) <= 200
+                              AND NOT list_has_any(string_split(x, ' '),
+                                                   ['slow'])) AS keptl
+      FROM lined)
+SELECT doc_id,
+       coalesce(array_to_string(keptl, chr(10)), '') AS clean_text,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(keptl) AS BIGINT) AS n_kept,
+       round(len(keptl) / CAST(len(lines) AS DOUBLE), 4) AS kept_frac,
+       len(keptl) >= 3 AS doc_keep
+FROM f
+"""
+
+
+@contract(
+    "q_t16_c4filter",
+    oracle=_C4FILTER_ORACLE,
+    survey_rows="K9,K12",
+    doc="C4-style per-line policy filtering (Raffel et al. 2020 §2.2): "
+    "lines kept iff >= 8 words, <= 200 chars, and no blocklisted word; "
+    "document flag at >= 3 surviving lines "
+    "(operators.curation.policy_line_filter). Every rule is line-local, "
+    "so the stage is pure higher-order expressions — ZERO shuffles, "
+    "scales with the scan (contrast line_dedup, whose signal is "
+    "corpus-wide). The multi-line form is derived (8-token lines) "
+    "identically in both engines",
+)
+def q_t16(spark, sf_dir):
+    from jane_spark.operators.curation import policy_line_filter
+
+    docs = Catalog(spark, sf_dir).documents
+    toks = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    lined = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i * 8 + 1, 8)),
+            ),
+        ).alias("text"),
+    )
+    return policy_line_filter(
+        lined,
+        "doc_id",
+        "text",
+        sep="\n",
+        min_words=8,
+        max_line_chars=200,
+        blocklist=["slow"],
+        min_kept_lines=3,
+    )
+
+
+_MIXTURE_ORACLE = """
+WITH d AS (SELECT doc_id, source,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+a AS (SELECT source, sum(n_tokens) AS avail FROM d GROUP BY source),
+f AS (SELECT source,
+             least(1.0,
+                   ((10000.0 * CAST((CAST(substr(source, 4) AS INT) % 4) + 1
+                               AS DOUBLE)) / 50.0)
+                   / CAST(avail AS DOUBLE)) AS frac
+      FROM a)
+SELECT d.source AS source, d.doc_id AS doc_id, d.n_tokens AS n_tokens
+FROM d JOIN f USING (source)
+WHERE CAST(CAST(concat('0x', substr(md5(concat('mix:',
+           CAST(d.doc_id AS VARCHAR))), 1, 8)) AS BIGINT) AS DOUBLE)
+      < frac * 4294967296.0
+"""
+
+
+@contract(
+    "q_p7_mixture",
+    oracle=_MIXTURE_ORACLE,
+    survey_rows="P1,P2,K5",
+    doc="token-budget mixture sampling (the GPT-3/LLaMA/DoReMi data-"
+    "mixture stage): per-source weight w_i = (i %% 4) + 1 over a "
+    "10k-token budget gives each source frac = min(1, budget*w/sum(w) "
+    "/ available_tokens), realized by the salted-md5 content hash "
+    "(functions.sampling.mixture_sample) — reproducible across runs, "
+    "cluster sizes, and partition layouts. ONE tiny per-source "
+    "aggregate broadcast back; the corpus never shuffles; identical "
+    "IEEE double arithmetic order on both engines makes the keep set "
+    "bit-reproducible",
+)
+def q_p7(spark, sf_dir):
+    from jane_spark.functions.sampling import mixture_sample
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    weights = {f"src{i}": float(i % 4 + 1) for i in range(20)}
+    return mixture_sample(
+        docs, "doc_id", "source", "n_tokens", weights, 10000.0, salt="mix:"
+    )
+
+
+_HTML_PRE = (
+    '<html><body><h1>Doc</h1><script type="text/javascript">var x = 1 < 2;'
+    "</script><p>"
+)
+_HTML_POST = (
+    '</p><style>.nav { color: red }</style><div class="nav">menu item</div>'
+    "</body></html>"
+)
+
+_HTMLSTRIP_ORACLE = f"""
+WITH h AS (SELECT doc_id,
+                  '{_HTML_PRE.replace("'", "''")}'
+                  || replace(text, ' the ', ' &amp; ')
+                  || '{_HTML_POST.replace("'", "''")}' AS html
+           FROM documents),
+s1 AS (SELECT doc_id,
+              regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g') AS t
+       FROM h),
+s2 AS (SELECT doc_id,
+              regexp_replace(t, '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS t
+       FROM s1),
+s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s2),
+s4 AS (SELECT doc_id,
+              replace(replace(replace(replace(replace(replace(t,
+                  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                  '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t
+       FROM s3),
+s5 AS (SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS clean_text
+       FROM s4)
+SELECT doc_id, clean_text,
+       CAST(length(clean_text) AS BIGINT) AS n_chars_clean
+FROM s5
+"""
+
+
+@contract(
+    "q_t17_htmlstrip",
+    oracle=_HTMLSTRIP_ORACLE,
+    survey_rows="K9,K12",
+    doc="HTML-to-text extraction (the CommonCrawl WET step): drop "
+    "script/style blocks with their contents, strip remaining tags "
+    "keeping element text, decode the common entities (&amp; last, so "
+    "double-escaped forms never re-become markup), collapse whitespace "
+    "(functions.text.strip_html). Pure regexp_replace/replace "
+    "projection — RE2-safe patterns so Java regex and RE2 agree "
+    "byte-exactly; zero shuffles. The HTML wrapper is derived "
+    "identically in both engines; the script body deliberately "
+    "contains a bare '<'",
+)
+def q_t17(spark, sf_dir):
+    from jane_spark.functions.text import strip_html
+
+    docs = Catalog(spark, sf_dir).documents
+    html = F.concat(
+        F.lit(_HTML_PRE),
+        F.replace(F.col("text"), F.lit(" the "), F.lit(" &amp; ")),
+        F.lit(_HTML_POST),
+    )
+    clean = strip_html(html)
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length(clean).cast("bigint").alias("n_chars_clean"),
+    )
+
+
+@contract(
+    "q_k7_phash",
+    oracle=None,  # binary image payloads — rows-only check
+    survey_rows="K7,K2",
+    doc="image near-duplicate detection: documents rendered 16x16 "
+    "grayscale (even ids PGM, odd ids zlib PNG), each paired with a "
+    "one-pixel-perturbed copy at id+100000; 64-bit DCT pHash per image "
+    "(operators.imagehash.phash_images, Arrow-batched mapInPandas over "
+    "the pure-stdlib codecs), then 8-block pigeonhole Hamming join "
+    "(phash_near_pairs) — candidates from equi-joins on 8-bit blocks, "
+    "never all-pairs. Output pins signature count, candidate pairs, "
+    "and how many recovered perturbed twins at Hamming <= 6",
+)
+def q_k7_phash(spark, sf_dir):
+    import pandas as pd
+
+    from jane_spark.operators.imagehash import phash_images, phash_near_pairs
+
+    docs = (
+        Catalog(spark, sf_dir)
+        .documents.select("doc_id", "text")
+        .filter(F.col("doc_id") < 40)
+    )
+
+    def to_img(batches):
+        import numpy as np
+
+        from jane_spark.sources.media_codecs import encode_png, encode_ppm
+
+        for pdf in batches:
+            ids, payloads, types = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                arr = np.frombuffer(
+                    text.encode("utf-8", "replace")[:256].ljust(256, b"\x00"),
+                    np.uint8,
+                ).reshape(16, 16)
+                twin = arr.copy()
+                twin[0, 0] ^= 1  # one-pixel perturbation
+                enc = encode_ppm if doc_id % 2 == 0 else encode_png
+                mt = (
+                    "image/x-portable-graymap"
+                    if doc_id % 2 == 0
+                    else "image/png"
+                )
+                for item_id, a in ((doc_id, arr), (doc_id + 100000, twin)):
+                    ids.append(item_id)
+                    payloads.append(enc(a))
+                    types.append(mt)
+            yield pd.DataFrame(
+                {"item_id": ids, "payload": payloads, "media_type": types}
+            )
+
+    imgs = docs.mapInPandas(
+        to_img, "item_id long, payload binary, media_type string"
+    )
+    sig = phash_images(imgs, "item_id", "payload")
+    pairs = phash_near_pairs(sig, "item_id", max_hamming=6)
+    return sig.agg(F.count(F.lit(1)).alias("n_sigs")).crossJoin(
+        pairs.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.when(F.col("id_b") - F.col("id_a") == 100000, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_twin_pairs"),
+        )
+    )
+
+
 @contract(
     "q_k16_kmeans",
     oracle=None,  # 5 Lloyd's iterations are not one-shot-SQL-expressible;

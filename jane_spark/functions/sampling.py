@@ -92,6 +92,61 @@ def repeat_factor(stratum: Column, factors: dict[str, int]) -> Column:
     return expr.otherwise(1) if expr is not None else F.lit(1)
 
 
+def mixture_sample(
+    df,
+    id_col: str,
+    source_col: str,
+    tokens_col: str,
+    weights: dict[str, float],
+    token_budget: float,
+    salt: str = "mix:",
+):
+    """Token-budget mixture sampling — the "data mixture" stage of a
+    training run (public recipe in GPT-3/LLaMA/DoReMi reports): given a
+    per-source weight table and a global token budget, each source s
+    gets a target of ``budget * w_s / sum(w)`` tokens, realized as a
+    deterministic per-source keep-fraction
+
+        frac_s = min(1, target_s / available_tokens_s)
+
+    applied by the salted content hash (same scheme as ``hash_bucket``,
+    so the sample is stable across runs, cluster sizes, and partition
+    layouts; a new salt draws an independent sample). Sources absent
+    from ``weights`` are excluded (weight 0).
+
+    Returns the kept rows of ``df`` unchanged (minus nothing): a pure
+    filter. Scale shape: ONE tiny per-source aggregate (rows = number
+    of sources) broadcast back onto the corpus — the corpus itself
+    never shuffles, and the hash filter pushes down to the scan on
+    re-read. ``tokens_col`` is the caller's token-count column (cheap
+    whitespace count or a real tokenizer count).
+    """
+    wsum = float(sum(weights.values()))
+    wmap = F.create_map(
+        *[x for k, v in weights.items() for x in (F.lit(k), F.lit(float(v)))]
+    )
+    avail = df.groupBy(source_col).agg(F.sum(tokens_col).alias("__avail"))
+    w = wmap[F.col(source_col)]
+    raw = (F.lit(float(token_budget)) * w / F.lit(wsum)) / F.col(
+        "__avail"
+    ).cast("double")
+    # least() SKIPS nulls in Spark, so an absent-weight source would get
+    # frac 1.0 instead of exclusion — gate on the weight lookup explicitly
+    frac = F.when(w.isNotNull(), F.least(F.lit(1.0), raw))
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        df.join(F.broadcast(avail), source_col)
+        .filter(u.cast("double") < frac * F.lit(4294967296.0))
+        .drop("__avail")
+    )
+
+
 def corpus_shuffle(
     df, id_col: str, n_shards: int, salt: str = "shuffle:"
 ):

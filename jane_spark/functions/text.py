@@ -328,3 +328,40 @@ def pii_counts(text: Column) -> Column:
         F.size(F.regexp_extract_all(text, F.lit(PII_CARD), 0)).alias("n_cards_found"),
         F.size(valid_cards(text)).alias("n_cards_valid"),
     )
+
+
+# ------------------------------------------------------------ HTML strip
+# The WET step of a CommonCrawl-style pipeline: markup out, text kept.
+# Patterns are deliberately RE2-safe (no backreferences, no lookaround)
+# so Java regex (Spark) and RE2 (DuckDB) agree byte-exactly; entity
+# decode is literal-replace, not regex.
+
+_HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),  # last: decodes doubly-escaped forms conservatively
+]
+
+
+def strip_html(text: Column) -> Column:
+    """Strip HTML to visible text — the extraction stage CommonCrawl
+    calls WET: drop ``<script>``/``<style>`` blocks INCLUDING their
+    contents (code is never training text), strip every remaining tag
+    (keeping element text), decode the common entities, and collapse
+    runs of whitespace to single spaces.
+
+    Pure projection (regexp_replace + replace chain): whole-stage
+    codegen'd, no shuffle, scales with the scan. Entity order matters
+    and is fixed: ``&amp;`` decodes last so ``&amp;lt;`` becomes the
+    literal ``&lt;``, never ``<`` — decoding must not re-introduce
+    markup that tag stripping already passed."""
+    t = F.regexp_replace(text, r"(?s)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?s)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"<[^>]+>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)

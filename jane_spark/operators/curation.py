@@ -106,6 +106,68 @@ def line_dedup(
     )
 
 
+# ---------------------------------------------------- C4-style line policy
+
+
+def policy_line_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    min_words: int = 3,
+    max_line_chars: int = 2000,
+    blocklist: list[str] | None = None,
+    terminal_chars: str | None = None,
+    min_kept_lines: int = 1,
+) -> DataFrame:
+    """C4-style per-line policy filtering (Raffel et al. 2020 §2.2).
+
+    Unlike ``line_dedup`` (a corpus-wide signal), every C4 rule is a
+    function of the line alone, so the whole stage is row-local
+    higher-order expressions — ZERO shuffles, a pure projection that
+    scales with the scan. A line is kept iff ALL of:
+
+    - it has at least ``min_words`` whitespace words;
+    - it is at most ``max_line_chars`` characters;
+    - none of its words is in ``blocklist`` (C4's "bad words" /
+      "javascript" / lorem-ipsum rules);
+    - if ``terminal_chars`` is given, its last character is one of them
+      (C4's terminal-punctuation rule; None disables — corpora without
+      sentence punctuation would drop everything).
+
+    Returns one row per document, total:
+    ``(id, clean_text, n_lines, n_kept, kept_frac, doc_keep)`` where
+    ``doc_keep`` applies the document-level rule
+    ``n_kept >= min_kept_lines`` (C4 keeps only docs with >= 3
+    sentences) — a flag, not a filter, so the caller owns the policy.
+    """
+    block = F.array(*[F.lit(w) for w in (blocklist or [])])
+    lines = lines_of(F.col(text_col), sep)
+
+    def keep(line: Column) -> Column:
+        words = F.split(line, " ")
+        cond = (F.size(words) >= F.lit(min_words)) & (
+            F.length(line) <= F.lit(max_line_chars)
+        )
+        if blocklist:
+            cond = cond & ~F.arrays_overlap(words, block)
+        if terminal_chars is not None:
+            cond = cond & F.substring(line, -1, 1).isin(list(terminal_chars))
+        return cond
+
+    kept = F.filter(lines, keep)
+    n_lines = F.size(lines)
+    n_kept = F.size(kept)
+    return df.select(
+        F.col(id_col),
+        F.concat_ws(sep, kept).alias("clean_text"),
+        n_lines.cast("bigint").alias("n_lines"),
+        n_kept.cast("bigint").alias("n_kept"),
+        F.round(n_kept / n_lines.cast("double"), 4).alias("kept_frac"),
+        (n_kept >= F.lit(min_kept_lines)).alias("doc_keep"),
+    )
+
+
 # ------------------------------------------- duplicated-substring coverage
 
 

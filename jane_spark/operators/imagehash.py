@@ -1,0 +1,149 @@
+"""Perceptual image hashing and image near-duplicate detection — the
+multimodal analogue of the K2 text near-dup family (SURVEY.md §2 K7).
+
+A LAION-scale image corpus is deduplicated the same way a text corpus
+is: per-item signature, then a bucketed candidate join — never an
+all-pairs scan. The signature here is the public 64-bit DCT pHash
+(pHash.org; the `imagehash` library's `phash`): resize to 32x32
+grayscale, 2-D DCT-II, keep the 8x8 low-frequency block, threshold at
+its median. Visually-identical-up-to-noise images land within a small
+Hamming radius; unrelated images are ~32 bits apart in expectation.
+
+Distributed shape:
+- ``phash_images``      — Arrow-batched ``mapInPandas`` over the binary
+  payload column (decode via the registered pure-stdlib codecs —
+  PGM/PPM/BMP/PNG/GIF); undecodable rows yield NULL, keeping the
+  operator total (same policy as sources/multimodal.py).
+- ``phash_near_pairs``  — 8-block pigeonhole banding on the 64-bit
+  hash: Hamming <= 7 guarantees at least one 8-bit block equal, so
+  candidates come from 8 equi-joins on (block index, block value) and
+  the exact ``bit_count(xor)`` residual filters them. Per-bucket
+  cardinality bounds the join, exactly like simhash_near_pairs
+  (operators/dedup.py) — the 100 TB shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 32x32 orthonormal DCT-II basis, built once: M[k, n] = c_k cos(pi (2n+1) k / 64)
+_N = 32
+
+
+def _dct_matrix(n: int = _N) -> np.ndarray:
+    k = np.arange(n, dtype=np.float64).reshape(-1, 1)
+    x = np.arange(n, dtype=np.float64).reshape(1, -1)
+    m = np.cos(np.pi * (2 * x + 1) * k / (2 * n))
+    m[0, :] *= 1.0 / np.sqrt(2.0)
+    return m * np.sqrt(2.0 / n)
+
+
+_DCT = _dct_matrix()
+
+
+def phash64(img: np.ndarray) -> int:
+    """64-bit DCT perceptual hash of a decoded image array (H, W) or
+    (H, W, C) uint8 — the NumPy reference implementation shared by the
+    Spark path and the tests. Returns a SIGNED 64-bit value (two's
+    complement) so it stores in a Spark ``long`` unchanged."""
+    from jane_spark.sources.media_codecs import nearest_resize
+
+    a = np.asarray(img)
+    if a.ndim == 3:  # channel mean as grayscale — deterministic, lib-free
+        a = a.astype(np.float64).mean(axis=2)
+    a = nearest_resize(a.astype(np.uint8), _N, _N).astype(np.float64)
+    t = _DCT @ a @ _DCT.T
+    low = t[:8, :8].ravel()
+    med = np.median(low)
+    bits = low > med
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def phash_images(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    media_type_col: str = "media_type",
+) -> DataFrame:
+    """``(id, phash)`` per image row via Arrow-batched ``mapInPandas``.
+
+    Decode goes through the registered image codecs
+    (sources/multimodal.py CODECS); rows whose media type has no codec
+    or whose payload fails to decode come back with NULL ``phash`` —
+    the operator is total and a corrupt object never kills the stage.
+    """
+    import pandas as pd
+
+    out_schema = f"{id_col} long, phash long"
+
+    def run(batches):
+        from jane_spark.sources.multimodal import CODECS
+
+        for pdf in batches:
+            hashes = []
+            for data, mt in zip(pdf[payload_col], pdf[media_type_col]):
+                if mt not in CODECS:
+                    hashes.append(None)
+                    continue
+                try:
+                    hashes.append(phash64(CODECS[mt](bytes(data))))
+                except Exception:
+                    hashes.append(None)
+            yield pd.DataFrame({id_col: pdf[id_col], "phash": hashes})
+
+    return df.mapInPandas(run, out_schema)
+
+
+def phash_near_pairs(
+    sig: DataFrame,
+    id_col: str,
+    hash_col: str = "phash",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Image near-dup candidate pairs within a Hamming radius via
+    8-block pigeonhole banding: ``<= 7`` differing bits guarantee at
+    least one equal 8-bit block, so candidates are 8 equi-joins on
+    (block, value) and ``bit_count(xor)`` is the exact residual.
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``, distinct.
+    """
+    if not 0 <= max_hamming <= 7:
+        raise ValueError(
+            f"8-block pigeonhole guarantees max_hamming <= 7, got {max_hamming}"
+        )
+    sig = sig.filter(F.col(hash_col).isNotNull())
+    blocks = [
+        F.shiftrightunsigned(F.col(hash_col), 8 * b)
+        .bitwiseAND(F.lit(0xFF))
+        .alias(f"blk_{b}")
+        for b in range(8)
+    ]
+    b_df = sig.select(id_col, hash_col, *blocks)
+    out = None
+    for b in range(8):
+        a = b_df.alias("a")
+        c = b_df.alias("b")
+        p = a.join(
+            c,
+            on=(
+                (F.col(f"a.blk_{b}") == F.col(f"b.blk_{b}"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            ),
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
+            ).alias("hamming"),
+        )
+        out = p if out is None else out.unionByName(p)
+    return out.filter(F.col("hamming") <= max_hamming).dropDuplicates(
+        ["id_a", "id_b"]
+    )

@@ -439,3 +439,186 @@ def test_luhn_valid_reference_numbers(spark):
     df = spark.createDataFrame([(c,) for c, _ in cases], ["n"])
     got = [r["v"] for r in df.select(luhn_valid(F.col("n")).alias("v")).collect()]
     assert got == [want for _, want in cases]
+
+
+# ------------------------------------------------- C4 policy line filter
+
+
+def test_policy_line_filter_rules(spark):
+    from jane_spark.operators.curation import policy_line_filter
+
+    rows = [
+        # doc 1: one good line, one too-short, one blocklisted
+        (1, "alpha beta gamma.\nshort\nclick to subscribe now."),
+        # doc 2: terminal-punctuation rule drops the bare line
+        (2, "a fine sentence ends well.\nno terminal punct here"),
+        # doc 3: over-long line dropped
+        (3, "x " * 60 + "tail.\nkeep this one please."),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    out = {
+        r["id"]: r.asDict()
+        for r in policy_line_filter(
+            df,
+            "id",
+            "t",
+            min_words=3,
+            max_line_chars=80,
+            blocklist=["subscribe"],
+            terminal_chars=".!?",
+            min_kept_lines=2,
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "alpha beta gamma."
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 1
+    assert out[1]["doc_keep"] is False
+    assert out[2]["clean_text"] == "a fine sentence ends well."
+    assert out[3]["clean_text"] == "keep this one please."
+    assert out[3]["n_kept"] == 1
+
+
+def test_policy_line_filter_total_on_empty(spark):
+    from jane_spark.operators.curation import policy_line_filter
+
+    df = spark.createDataFrame([(1, "bad"), (2, "good line here.")], ["id", "t"])
+    out = {
+        r["id"]: r.asDict()
+        for r in policy_line_filter(
+            df, "id", "t", min_words=3, terminal_chars="."
+        ).collect()
+    }
+    # fully-filtered doc survives with empty clean_text (caller's policy)
+    assert out[1]["clean_text"] == "" and out[1]["n_kept"] == 0
+    assert out[2]["n_kept"] == 1 and out[2]["doc_keep"] is True
+
+
+# ------------------------------------------------------------ HTML strip
+
+
+def test_strip_html_cases(spark):
+    from jane_spark.functions.text import strip_html
+
+    rows = [
+        (1, '<p>Hello <b>world</b></p><script>if (a < b) { x(); }</script>ok'),
+        (2, "<style>.c { color: red }</style><div>kept   text</div>"),
+        (3, "a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39; &nbsp;end"),
+        (4, "a &amp;lt; b"),  # double-escaped: must NOT become '<'
+        (5, "no markup at all"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    out = {
+        r["id"]: r["c"]
+        for r in df.select("id", strip_html(F.col("t")).alias("c")).collect()
+    }
+    assert out[1] == "Hello world ok"  # script content (with bare <) gone
+    assert out[2] == "kept text"  # style block gone, whitespace collapsed
+    assert out[3] == 'a & b <tag> "q" \'s\' end'
+    assert out[4] == "a &lt; b"
+    assert out[5] == "no markup at all"
+
+
+# ------------------------------------------------------- mixture sampling
+
+
+def test_mixture_sample_budget_and_determinism(spark):
+    from jane_spark.functions.sampling import mixture_sample
+
+    rows = [
+        (i, "over" if i < 800 else ("under" if i < 900 else "off"), 100)
+        for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, ["id", "src", "n_tok"])
+    # budget 30000 tokens, weights 2:1 -> over target 20000/80000 avail
+    # (frac .25), under target 10000/10000 (frac 1.0), 'off' excluded
+    kept = mixture_sample(
+        df, "id", "src", "n_tok", {"over": 2.0, "under": 1.0}, 30000.0
+    ).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r["src"], set()).add(r["id"])
+    assert "off" not in by_src  # weight-absent source excluded
+    assert by_src["under"] == set(range(800, 900))  # frac 1.0 keeps all
+    n_over = len(by_src["over"])
+    assert 140 <= n_over <= 260  # hash-uniform around 200 of 800
+    # partition-layout independence: same keep set after repartition
+    kept2 = mixture_sample(
+        df.repartition(7, "id"),
+        "id",
+        "src",
+        "n_tok",
+        {"over": 2.0, "under": 1.0},
+        30000.0,
+    ).collect()
+    assert {r["id"] for r in kept2} == {r["id"] for r in kept}
+    # a different salt draws a different (same-sized-ish) sample
+    kept3 = mixture_sample(
+        df, "id", "src", "n_tok", {"over": 2.0, "under": 1.0}, 30000.0,
+        salt="mix2:",
+    ).collect()
+    assert {r["id"] for r in kept3} != {r["id"] for r in kept}
+
+
+# ----------------------------------------------------- image perceptual hash
+
+
+def _text_img(seed_text: str) -> "np.ndarray":
+    return np.frombuffer(
+        seed_text.encode()[:256].ljust(256, b"\x00"), np.uint8
+    ).reshape(16, 16)
+
+
+def test_phash64_noise_tolerance_and_separation():
+    from jane_spark.operators.imagehash import phash64
+
+    a = _text_img("the quick brown fox jumps over the lazy dog " * 6)
+    noisy = a.copy()
+    noisy[3, 7] ^= 1
+    different = 255 - a  # inversion flips every DCT sign bit pattern
+    h_a, h_n, h_d = phash64(a), phash64(noisy), phash64(different)
+    ham = lambda x, y: bin((x ^ y) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert ham(h_a, h_n) <= 6
+    assert ham(h_a, h_d) > 10
+    # grayscale of an RGB stack of the same plane equals the plane's hash
+    rgb = np.stack([a, a, a], axis=2)
+    assert phash64(rgb) == h_a
+
+
+def test_phash_images_null_policy_and_parity(spark):
+    from jane_spark.operators.imagehash import phash64, phash_images
+    from jane_spark.sources.media_codecs import encode_png, encode_ppm
+
+    a = _text_img("alpha " * 60)
+    b = _text_img("omega " * 60)
+    rows = [
+        (1, bytearray(encode_ppm(a)), "image/x-portable-graymap"),
+        (2, bytearray(encode_png(b)), "image/png"),
+        (3, bytearray(b"\x00\x01"), "video/unknown"),  # no codec -> NULL
+        (4, bytearray(b"P5 garbage"), "image/x-portable-graymap"),  # corrupt
+    ]
+    df = spark.createDataFrame(rows, ["item_id", "payload", "media_type"])
+    got = {
+        r["item_id"]: r["phash"]
+        for r in phash_images(df, "item_id", "payload").collect()
+    }
+    assert got[1] == phash64(a) and got[2] == phash64(b)
+    assert got[3] is None and got[4] is None  # total: no task failure
+
+
+def test_phash_near_pairs_pigeonhole(spark):
+    from jane_spark.operators.imagehash import phash_near_pairs
+
+    base = 0x0123456789ABCDEF
+    ham6 = base ^ 0x3F  # 6 low bits differ
+    ham8 = base ^ 0xFF  # 8 bits differ -> outside radius
+    df = spark.createDataFrame(
+        [(1, base), (2, ham6), (3, ham8), (4, None)],
+        "item_id long, phash long",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_pairs(df, "item_id", max_hamming=6).collect()
+    }
+    # (1,3) at hamming 8 excluded; (2,3) differ by 0xC0 = 2 bits; NULL dropped
+    assert pairs == {(1, 2): 6, (2, 3): 2}
+    with pytest.raises(ValueError):
+        phash_near_pairs(df, "item_id", max_hamming=8)

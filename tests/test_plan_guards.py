@@ -297,3 +297,40 @@ def test_embed_decontam_no_cross_join(spark, sf_dir):
     assert "BroadcastNestedLoop" not in plan, plan[:600]
     assert "CartesianProduct" not in plan, plan[:600]
     assert "FlatMapGroupsInPandas" in plan or "ArrowEvalPython" in plan, plan[:600]
+
+
+def test_c4_filter_and_htmlstrip_are_pure_projections(spark, sf_dir):
+    """SCALE.md: every C4 line rule and the HTML strip are line-local, so
+    neither stage may introduce an exchange — they must scale with the
+    scan, shuffling nothing."""
+    from jane_spark.contracts import REGISTRY
+
+    for name in ("q_t16_c4filter", "q_t17_htmlstrip"):
+        plan = _executed_plan(REGISTRY[name].spark_fn(spark, sf_dir))
+        assert "Exchange" not in plan, f"{name} shuffles: {plan}"
+
+
+def test_mixture_sample_single_tiny_shuffle(spark, sf_dir):
+    """Mixture sampling may shuffle ONLY the per-source token totals
+    (rows = #sources); the corpus side must come back via broadcast."""
+    from jane_spark.contracts import REGISTRY
+
+    plan = _executed_plan(REGISTRY["q_p7_mixture"].spark_fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_phash_near_pairs_no_cartesian(spark):
+    """The image near-dup join must be 8 block equi-joins, never a
+    cartesian/BNL product."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from jane_spark.operators.imagehash import phash_near_pairs
+
+    sig = spark.range(64).select(
+        F.col("id").alias("item_id"), (F.col("id") * 1234567).alias("phash")
+    )
+    plan = _executed_plan(phash_near_pairs(sig, "item_id", max_hamming=6))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
