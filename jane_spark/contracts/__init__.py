@@ -113,13 +113,16 @@ _R6_NEW = [
     "q_k7_frames",
     "q_t15_pii",
     "q_k7_spectral",
-    # q_k7_resize re-fronted: its fixture gained GIF clips this round
-    "q_k7_resize",
     # second wave of round-6 curation/multimodal additions
     "q_t16_c4filter",
     "q_t17_htmlstrip",
     "q_p7_mixture",
     "q_k7_phash",
+    # third wave: CCNet buckets, normalization, hybrid retrieval, audio fp
+    "q_t18_ccnet_buckets",
+    "q_t19_normalize",
+    "q_k19_hybrid",
+    "q_k7_audiofp",
 ]
 VERIFY_FIRST = _R6_NEW + [
     n for n in VERIFY_FIRST if n not in _R6_NEW

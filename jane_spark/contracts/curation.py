@@ -467,6 +467,118 @@ def q_t17(spark, sf_dir):
     )
 
 
+_CCNET_ORACLE = """
+WITH ref AS (SELECT lower(text) AS t FROM documents WHERE source = 'src0'),
+rg AS (SELECT unnest(list_transform(generate_series(1, greatest(length(t) - 2, 0)),
+              i -> substr(t, i, 3))) AS gram
+       FROM ref),
+cnt AS (SELECT gram, count(*) AS c FROM rg GROUP BY gram),
+tot AS (SELECT sum(c) AS N, count(*) AS V FROM cnt),
+model AS (SELECT gram, ln((c + 1) / CAST(N + V AS DOUBLE)) AS logp
+          FROM cnt CROSS JOIN tot),
+oov AS (SELECT ln(1.0 / CAST(N + V AS DOUBLE)) AS logp_oov FROM tot),
+dg0 AS (SELECT doc_id, lower(text) AS t FROM documents),
+dg AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, greatest(length(t) - 2, 0)),
+                     i -> substr(t, i, 3))) AS gram
+       FROM dg0),
+sc AS (SELECT dg.doc_id AS doc_id, coalesce(m.logp, o.logp_oov) AS lp
+       FROM dg LEFT JOIN model m USING (gram) CROSS JOIN oov o),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               round(-avg(lp), 4) AS nll
+        FROM sc GROUP BY doc_id),
+b AS (SELECT doc_id, n_grams, nll,
+             ntile(3) OVER (ORDER BY nll ASC, doc_id ASC) AS nt
+      FROM agg)
+SELECT doc_id, n_grams, nll,
+       CASE WHEN nt = 1 THEN 'head' WHEN nt = 2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM b
+"""
+
+
+@contract(
+    "q_t18_ccnet_buckets",
+    oracle=_CCNET_ORACLE,
+    survey_rows="K5,K6,K12",
+    doc="CCNet head/middle/tail corpus split: trigram-LM NLL per "
+    "document (T13), then equal-size quality buckets via ntile ordered "
+    "by (nll, doc_id) (operators.curation.perplexity_buckets) — the "
+    "curation decision CCNet feeds its filter with. The ntile sorts "
+    "only the (id, score) table (~16 B/doc); the deterministic "
+    "tie-break makes bucket edges engine-reproducible where percentile "
+    "interpolation would not be",
+)
+def q_t18(spark, sf_dir):
+    from jane_spark.operators.curation import (
+        lm_score,
+        perplexity_buckets,
+        train_char_lm,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    model = train_char_lm(docs.filter(F.col("source") == "src0"), "text", n=3)
+    scored = lm_score(docs, "doc_id", "text", model, n=3)
+    return perplexity_buckets(scored, "doc_id", "nll")
+
+
+_DIRTY_PRE = "“Q” – "
+_DIRTY_POST = " …​ end"
+
+_NORMALIZE_ORACLE = f"""
+WITH h AS (SELECT doc_id,
+                  '{_DIRTY_PRE}' || replace(text, ' a ', '   ')
+                  || '{_DIRTY_POST}' || chr(7) AS dirty
+           FROM documents),
+m AS (SELECT doc_id,
+             replace(replace(replace(replace(replace(replace(replace(
+             replace(replace(replace(replace(replace(dirty,
+                 ' ', ' '), '‘', ''''), '’', ''''),
+                 '“', '"'), '”', '"'), '–', '-'),
+                 '—', '-'), '…', '...'), '​', ''),
+                 '‌', ''), '‍', ''), '﻿', '') AS t
+      FROM h),
+c AS (SELECT doc_id,
+             regexp_replace(t, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]',
+                            ' ', 'g') AS t
+      FROM m),
+w AS (SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS clean_text
+      FROM c)
+SELECT doc_id, clean_text,
+       CAST(length(clean_text) AS BIGINT) AS n_chars_clean
+FROM w
+"""
+
+
+@contract(
+    "q_t19_normalize",
+    oracle=_NORMALIZE_ORACLE,
+    survey_rows="K9,K12",
+    doc="typographic/control-character normalization (the ftfy-lite "
+    "cleanup every web corpus runs after extraction): NBSP, curly "
+    "quotes, en/em dashes, ellipsis, zero-width characters, C0/DEL "
+    "controls, whitespace runs (functions.text.normalize_text). Pure "
+    "literal-replace + one RE2-safe regex class — zero shuffles. The "
+    "dirty wrapper (curly quotes, NBSP, zero-width space, BEL control) "
+    "is derived identically in both engines",
+)
+def q_t19(spark, sf_dir):
+    from jane_spark.functions.text import normalize_text
+
+    docs = Catalog(spark, sf_dir).documents
+    dirty = F.concat(
+        F.lit(_DIRTY_PRE),
+        F.replace(F.col("text"), F.lit(" a "), F.lit("   ")),
+        F.lit(_DIRTY_POST + "\x07"),
+    )
+    clean = normalize_text(dirty)
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length(clean).cast("bigint").alias("n_chars_clean"),
+    )
+
+
 @contract(
     "q_k7_phash",
     oracle=None,  # binary image payloads — rows-only check

@@ -287,6 +287,155 @@ def q_k5_bm25(spark, sf_dir):
     return bm25_topk(docs, "doc_id", "text", ["hash", "shuffle", "window"], k=20)
 
 
+_HYBRID_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+    FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('hash', 'shuffle', 'window')
+       GROUP BY doc_id, term),
+dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+bm AS (SELECT t.doc_id,
+              round(sum(
+                  ln((n - df + 0.5) / (df + 0.5) + 1)
+                  * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+              ), 6) AS score
+       FROM tf t
+       JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+       GROUP BY t.doc_id
+       ORDER BY score DESC, t.doc_id LIMIT 50),
+bmr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+        FROM bm),
+qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+cs AS (SELECT e.vec_id AS doc_id,
+              round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           CAST(q.embedding AS DOUBLE[])),
+                    6) AS score
+       FROM embeddings e CROSS JOIN qv q),
+cst AS (SELECT doc_id, score FROM cs ORDER BY score DESC, doc_id LIMIT 50),
+csr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+        FROM cst),
+u AS (SELECT doc_id, r FROM bmr UNION ALL SELECT doc_id, r FROM csr)
+SELECT doc_id, round(sum(1.0 / (60 + r)), 6) AS rrf_score,
+       CAST(count(*) AS BIGINT) AS n_lists
+FROM u GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id LIMIT 20
+"""
+
+
+@contract(
+    "q_k19_hybrid",
+    oracle=_HYBRID_ORACLE,
+    survey_rows="K3,K5,F3",
+    doc="hybrid lexical+dense retrieval with reciprocal-rank fusion "
+    "(Cormack et al. 2009): BM25 top-50 (operators/retrieval.bm25_topk) "
+    "fused with cosine top-50 against the vec_id=0 query embedding "
+    "(brute dense path, broadcast single-row query — the IVF/LSH "
+    "variants are the scale path), ranks by (score desc, id), "
+    "rrf = sum(1/(60+rank)) (operators/retrieval.rrf_fuse). Fusion "
+    "windows touch only the top-k-bounded candidate lists, never the "
+    "corpus; each doc appears in <= 2 lists so the double sum is "
+    "order-safe cross-engine",
+)
+def q_k19(spark, sf_dir):
+    from jane_spark.functions.arrays import cosine
+    from jane_spark.operators.retrieval import bm25_topk, rrf_fuse
+
+    cat = Catalog(spark, sf_dir)
+    lex = bm25_topk(
+        cat.documents, "doc_id", "text", ["hash", "shuffle", "window"], k=50
+    )
+    qv = cat.embeddings.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    dense = (
+        cat.embeddings.crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+    return rrf_fuse([lex, dense], "doc_id", k=60, topk=20)
+
+
+@contract(
+    "q_k7_audiofp",
+    oracle=None,  # binary audio payloads — rows-only check
+    survey_rows="K7,K2",
+    doc="audio near-duplicate detection (the sound twin of q_k7_phash): "
+    "per-doc PCM WAV synthesized (two-tone sine keyed on doc_id), each "
+    "paired with a faint-noise twin at id+100000; 64-bit band-energy "
+    "fingerprint (Haitsma-Kalker shape, operators/imagehash."
+    "audio_fingerprints) over the registered audio/wav codec, then the "
+    "SAME 8-block pigeonhole Hamming join as images "
+    "(phash_near_pairs(hash_col='afp')) — one banding operator serves "
+    "every 64-bit perceptual signature. Output pins signature count, "
+    "candidate pairs, twin recovery",
+)
+def q_k7_audiofp(spark, sf_dir):
+    import pandas as pd
+
+    from jane_spark.operators.imagehash import (
+        audio_fingerprints,
+        phash_near_pairs,
+    )
+
+    docs = (
+        Catalog(spark, sf_dir)
+        .documents.select("doc_id", "n_chars")
+        .filter(F.col("doc_id") < 40)
+    )
+
+    def to_wav(batches):
+        import numpy as np
+
+        from jane_spark.sources.media_codecs import encode_wav
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                rate = 8000
+                n = 1600 + int(n_chars) % 400  # 200-250 ms clips
+                f1 = 150.0 + (int(doc_id) % 20) * 37.0
+                f2 = 900.0 + (int(doc_id) % 7) * 130.0
+                t = np.arange(n, dtype=np.float64) / rate
+                base = 0.4 * np.sin(2 * np.pi * f1 * t) + 0.2 * np.sin(
+                    2 * np.pi * f2 * t
+                )
+                # faint deterministic perturbation, -46 dB vs the tones
+                twin = base + 0.002 * np.sin(2 * np.pi * 55.0 * t)
+                for item_id, s in ((doc_id, base), (doc_id + 100000, twin)):
+                    ids.append(item_id)
+                    payloads.append(encode_wav(s, rate))
+            yield pd.DataFrame(
+                {
+                    "item_id": ids,
+                    "payload": payloads,
+                    "media_type": "audio/wav",
+                }
+            )
+
+    clips = docs.mapInPandas(
+        to_wav, "item_id long, payload binary, media_type string"
+    )
+    sig = audio_fingerprints(clips, "item_id", "payload")
+    pairs = phash_near_pairs(sig, "item_id", hash_col="afp", max_hamming=6)
+    return sig.agg(F.count(F.lit(1)).alias("n_sigs")).crossJoin(
+        pairs.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.when(F.col("id_b") - F.col("id_a") == 100000, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_twin_pairs"),
+        )
+    )
+
+
 @contract(
     "q_k14_ssjoin",
     oracle="""

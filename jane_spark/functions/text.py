@@ -365,3 +365,39 @@ def strip_html(text: Column) -> Column:
         t = F.replace(t, F.lit(ent), F.lit(rep))
     t = F.regexp_replace(t, r"\s+", " ")
     return F.trim(t)
+
+
+# ------------------------------------------------------- text normalization
+# Typographic / control-character cleanup (the ftfy-lite step every web
+# corpus runs after extraction). Pure replace/regexp_replace chain with
+# RE2-safe classes — zero shuffles, byte-reproducible cross-engine.
+
+_NORMALIZE_MAP: list[tuple[str, str]] = [
+    (" ", " "),  # no-break space
+    ("‘", "'"),
+    ("’", "'"),
+    ("“", '"'),
+    ("”", '"'),
+    ("–", "-"),  # en dash
+    ("—", "-"),  # em dash
+    ("…", "..."),
+    ("​", ""),  # zero-width space
+    ("‌", ""),  # zero-width non-joiner
+    ("‍", ""),  # zero-width joiner
+    ("﻿", ""),  # BOM / zero-width no-break
+]
+
+
+def normalize_text(text: Column) -> Column:
+    """Normalize typographic noise to plain ASCII forms: NBSP to space,
+    curly quotes to straight, en/em dashes to hyphen, ellipsis to three
+    dots, zero-width characters removed, C0/DEL control characters to
+    space, whitespace runs collapsed, ends trimmed. Literal-replace for
+    the mapped characters (fixed order), one regex class for controls —
+    no lookaround, no backreferences, so Java regex and RE2 agree."""
+    t = text
+    for src, dst in _NORMALIZE_MAP:
+        t = F.replace(t, F.lit(src), F.lit(dst))
+    t = F.regexp_replace(t, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", " ")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)

@@ -338,3 +338,32 @@ def lm_score(
         F.count(F.lit(1)).alias("n_grams"),
         F.round(-F.avg("lp"), 4).alias("nll"),
     )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    id_col: str,
+    score_col: str = "nll",
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet's head/middle/tail split: equal-size buckets of the corpus
+    by LM score (lowest NLL = most reference-like = ``head``). Appends a
+    ``bucket`` label column via ``ntile(len(labels))`` ordered by
+    ``(score, id)`` — the id tie-break makes bucket edges deterministic
+    across engines and runs.
+
+    Scale note: the global ntile sorts only the (id, score) table —
+    ~16 bytes/doc, thousands of times smaller than the corpus — as one
+    range-partitioned sort. If even that is unwanted, the standard
+    approximation is two fixed thresholds from ``approx_percentile``
+    (one scalar agg, then a map-side ``when``); ntile is used here
+    because its rank arithmetic is exactly reproducible, while
+    percentile interpolation differs subtly between engines.
+    """
+    n = len(labels)
+    w = Window.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+    nt = F.ntile(n).over(w)
+    expr = F.when(nt == 1, labels[0])
+    for i in range(1, n):
+        expr = expr.when(nt == i + 1, labels[i])
+    return scored.withColumn("bucket", expr)

@@ -94,3 +94,50 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def rrf_fuse(
+    ranked: "list[DataFrame]",
+    id_col: str,
+    k: int = 60,
+    topk: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of candidate lists —
+    the standard way to combine lexical (BM25) and dense (embedding)
+    retrieval without score calibration:
+
+        rrf(d) = Σ_lists 1 / (k + rank_list(d))
+
+    Each input DataFrame carries ``(id, score)``; ranks are assigned by
+    ``(score desc, id asc)`` so fusion is deterministic across engines.
+    Returns ``(id, rrf_score, n_lists)`` — the fused top-``topk``.
+
+    Scale shape: RRF operates on CANDIDATE LISTS, which are top-k-bounded
+    by construction (each retriever already did its TakeOrdered), so the
+    single-partition rank windows here touch ≤ k rows per list — the
+    corpus itself was reduced before fusion ever runs. The fuse is one
+    tiny union + groupBy.
+    """
+    if not ranked:
+        raise ValueError("rrf_fuse: no candidate lists")
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    parts = [
+        df.select(F.col(id_col), F.row_number().over(w).alias("__r"))
+        for df in ranked
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy(id_col)
+        .agg(
+            F.round(F.sum(F.lit(1.0) / (F.lit(k) + F.col("__r"))), 6).alias(
+                "rrf_score"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(topk)
+    )

@@ -622,3 +622,122 @@ def test_phash_near_pairs_pigeonhole(spark):
     assert pairs == {(1, 2): 6, (2, 3): 2}
     with pytest.raises(ValueError):
         phash_near_pairs(df, "item_id", max_hamming=8)
+
+
+# ------------------------------------------------------------ RRF fusion
+
+
+def test_rrf_fuse_known_values(spark):
+    from jane_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(10, 5.0), (20, 4.0), (30, 3.0)], ["id", "score"]
+    )
+    dense = spark.createDataFrame(
+        [(20, 0.9), (40, 0.8), (10, 0.7)], ["id", "score"]
+    )
+    got = {
+        r["id"]: (r["rrf_score"], r["n_lists"])
+        for r in rrf_fuse([lex, dense], "id", k=60, topk=10).collect()
+    }
+    # doc 20: rank 2 lexical + rank 1 dense; doc 10: rank 1 + rank 3
+    assert got[20] == (round(1 / 62 + 1 / 61, 6), 2)
+    assert got[10] == (round(1 / 61 + 1 / 63, 6), 2)
+    assert got[30] == (round(1 / 63, 6), 1)
+    assert got[40] == (round(1 / 62, 6), 1)
+    with pytest.raises(ValueError):
+        rrf_fuse([], "id")
+
+
+def test_rrf_fuse_rank_ties_break_by_id(spark):
+    from jane_spark.operators.retrieval import rrf_fuse
+
+    tied = spark.createDataFrame([(2, 1.0), (1, 1.0)], ["id", "score"])
+    got = {
+        r["id"]: r["rrf_score"]
+        for r in rrf_fuse([tied], "id", k=60, topk=2).collect()
+    }
+    assert got[1] == round(1 / 61, 6) and got[2] == round(1 / 62, 6)
+
+
+# ----------------------------------------------------- perplexity buckets
+
+
+def test_perplexity_buckets_equal_sizes_and_order(spark):
+    from jane_spark.operators.curation import perplexity_buckets
+
+    df = spark.createDataFrame(
+        [(i, float(100 - i)) for i in range(9)], ["id", "nll"]
+    )
+    out = {r["id"]: r["bucket"] for r in
+           perplexity_buckets(df, "id", "nll").collect()}
+    # lowest nll (highest id here) = head
+    assert [out[i] for i in (8, 7, 6)] == ["head"] * 3
+    assert [out[i] for i in (5, 4, 3)] == ["middle"] * 3
+    assert [out[i] for i in (2, 1, 0)] == ["tail"] * 3
+
+
+# ------------------------------------------------------ text normalization
+
+
+def test_normalize_text_cases(spark):
+    from jane_spark.functions.text import normalize_text
+
+    rows = [
+        (1, "“Hi” – it’s … fine"),
+        (2, "a b​c"),  # NBSP collapses, zero-width vanishes
+        (3, "ctrl\x07here\x00now"),
+        (4, "  spaced\t\tout  "),
+        (5, "plain ascii stays"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    out = {
+        r["id"]: r["c"]
+        for r in df.select("id", normalize_text(F.col("t")).alias("c")).collect()
+    }
+    assert out[1] == "\"Hi\" - it's ... fine"
+    assert out[2] == "a bc"
+    assert out[3] == "ctrl here now"
+    assert out[4] == "spaced out"
+    assert out[5] == "plain ascii stays"
+
+
+# ------------------------------------------------------ audio fingerprint
+
+
+def test_audio_fp64_noise_tolerance_and_separation():
+    from jane_spark.operators.imagehash import audio_fp64
+
+    rate = 8000
+    t = np.arange(2000, dtype=np.float64) / rate
+    base = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    twin = base + 0.002 * np.sin(2 * np.pi * 55.0 * t)
+    other = 0.5 * np.sin(2 * np.pi * 1700.0 * t)
+    ham = lambda x, y: bin((x ^ y) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert audio_fp64(base, rate) == audio_fp64(base.copy(), rate)
+    assert ham(audio_fp64(base, rate), audio_fp64(twin, rate)) <= 6
+    assert ham(audio_fp64(base, rate), audio_fp64(other, rate)) > 10
+    # stereo mono-mix of identical channels equals the mono fingerprint
+    stereo = np.stack([base, base], axis=1)
+    assert audio_fp64(stereo, rate) == audio_fp64(base, rate)
+
+
+def test_audio_fingerprints_null_policy(spark):
+    from jane_spark.operators.imagehash import audio_fingerprints, audio_fp64
+    from jane_spark.sources.media_codecs import encode_wav
+
+    rate = 8000
+    t = np.arange(1600, dtype=np.float64) / rate
+    s = 0.4 * np.sin(2 * np.pi * 330.0 * t)
+    rows = [
+        (1, bytearray(encode_wav(s, rate)), "audio/wav"),
+        (2, bytearray(b"RIFFgarbage"), "audio/wav"),  # corrupt
+        (3, bytearray(b"\x00"), "audio/flac"),  # no codec
+    ]
+    df = spark.createDataFrame(rows, ["item_id", "payload", "media_type"])
+    got = {
+        r["item_id"]: r["afp"]
+        for r in audio_fingerprints(df, "item_id", "payload").collect()
+    }
+    assert got[1] == audio_fp64(s, rate)
+    assert got[2] is None and got[3] is None
