@@ -61,6 +61,14 @@ BENCH_QUERIES = {
     "lm_score": "q_t13_lm_score",
     "semdedup": "q_k16_semdedup",
     "heavyhitters": "q_k17_heavyhitters",
+    # round-6 second/third wave: C4 rules, WET extraction, mixture
+    # sampling, CCNet buckets, normalization, hybrid retrieval
+    "c4_filter": "q_t16_c4filter",
+    "html_strip": "q_t17_htmlstrip",
+    "mixture": "q_p7_mixture",
+    "ccnet_buckets": "q_t18_ccnet_buckets",
+    "normalize": "q_t19_normalize",
+    "hybrid_rrf": "q_k19_hybrid",
 }
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
@@ -86,6 +94,14 @@ CALIBRATION = {
     "lm_score": 0.437,
     "semdedup": 0.102,
     "heavyhitters": 0.050,
+    # second/third-wave rows: DuckDB 1.x medians measured on this box
+    # at sf0.1 (same session methodology as BASELINE.md)
+    "c4_filter": 0.195,
+    "html_strip": 0.168,
+    "mixture": 0.028,
+    "ccnet_buckets": 0.531,
+    "normalize": 0.145,
+    "hybrid_rrf": 0.096,
 }
 
 

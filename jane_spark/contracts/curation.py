@@ -329,7 +329,11 @@ FROM f
 def q_t16(spark, sf_dir):
     from jane_spark.operators.curation import policy_line_filter
 
-    docs = Catalog(spark, sf_dir).documents
+    # clustered(): heavy per-row string compute parallelizes from the
+    # pinned multi-partition layout when one exists (single-row-group
+    # testdata parquet scans as ONE task otherwise); plain scan in
+    # unpinned sessions, so the zero-shuffle plan guard still holds
+    docs = Catalog(spark, sf_dir).clustered("documents", "doc_id")
     toks = F.split(F.col("text"), " ")
     n_lines = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
     lined = docs.select(
@@ -453,7 +457,7 @@ FROM s5
 def q_t17(spark, sf_dir):
     from jane_spark.functions.text import strip_html
 
-    docs = Catalog(spark, sf_dir).documents
+    docs = Catalog(spark, sf_dir).clustered("documents", "doc_id")
     html = F.concat(
         F.lit(_HTML_PRE),
         F.replace(F.col("text"), F.lit(" the "), F.lit(" &amp; ")),
@@ -565,7 +569,7 @@ FROM w
 def q_t19(spark, sf_dir):
     from jane_spark.functions.text import normalize_text
 
-    docs = Catalog(spark, sf_dir).documents
+    docs = Catalog(spark, sf_dir).clustered("documents", "doc_id")
     dirty = F.concat(
         F.lit(_DIRTY_PRE),
         F.replace(F.col("text"), F.lit(" a "), F.lit("   ")),
