@@ -583,6 +583,85 @@ def q_t19(spark, sf_dir):
     )
 
 
+_CLF_SCORE_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+           FROM documents),
+e AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM t),
+f AS (SELECT doc_id,
+             CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 256
+                 AS bucket,
+             count(*) / CAST(min(n) AS DOUBLE) AS x
+      FROM e GROUP BY doc_id, bucket),
+s AS (SELECT doc_id,
+             -0.5 + sum((((bucket * 37) % 21) - 10) / 10.0 * x) AS z
+      FROM f GROUP BY doc_id)
+SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS prob FROM s
+"""
+
+
+@contract(
+    "q_t20_clf_score",
+    oracle=_CLF_SCORE_ORACLE,
+    survey_rows="K12,K5",
+    doc="model-based quality scoring (the GPT-3/DCLM fastText-filter "
+    "shape): hashed bag-of-words (md5-portable bucket % 256, "
+    "length-normalized counts) -> broadcast weight table -> sigmoid "
+    "(operators.classifier.score_logreg). The contract fixes an "
+    "arithmetic weight vector w_b = ((b*37)%21 - 10)/10 so the "
+    "cross-engine scoring path is oracle-checkable; training is the "
+    "rows-only q_k21 chain. Corpus shuffles once on (doc, bucket); "
+    "the dim-bounded weights broadcast",
+)
+def q_t20(spark, sf_dir):
+    from jane_spark.operators.classifier import score_logreg
+
+    docs = Catalog(spark, sf_dir).documents
+    weights = {b: (((b * 37) % 21) - 10) / 10.0 for b in range(256)}
+    return score_logreg(docs, "doc_id", "text", weights, -0.5, dim=256)
+
+
+@contract(
+    "q_k21_quality_clf",
+    oracle=None,  # iterative GD training — NumPy-twin-pinned in pytest
+    survey_rows="K12,K5,K6",
+    doc="END-TO-END model-based quality filter: hashed-feature logistic "
+    "regression TRAINED in-plan (full-batch GD, 10 steps; positives = "
+    "documents containing the token 'hash', a text-derived concept the "
+    "model can provably learn) then scoring the whole corpus "
+    "(operators.classifier.train_logreg/score_logreg). Per GD step: "
+    "one doc-keyed margin aggregate + one bucket-keyed gradient "
+    "aggregate, collecting only the dim-bounded gradient (the IVF "
+    "bounded-collect pattern). Output = doc counts + mean probability "
+    "per true class; the positive class must score far above the "
+    "negative (pytest-pinned vs the pure-Python twin)",
+)
+def q_k21(spark, sf_dir):
+    from jane_spark.operators.classifier import (
+        hashed_features,
+        score_logreg,
+        train_logreg,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    label = F.array_contains(F.split(F.lower(F.col("text")), " "), "hash")
+    labels = docs.select("doc_id", label.cast("int").alias("label"))
+    # binary presence features: unit scale, so the one bucket that
+    # carries the label concept separates within a few GD steps
+    feats = hashed_features(docs, "doc_id", "text", dim=256, binary=True)
+    w, b = train_logreg(
+        feats, labels, "doc_id", "label", dim=256, iters=10, lr=2.0
+    )
+    scored = score_logreg(docs, "doc_id", "text", w, b, dim=256, binary=True)
+    return (
+        labels.join(scored, "doc_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("prob"), 4).alias("avg_prob"),
+        )
+    )
+
+
 @contract(
     "q_k7_phash",
     oracle=None,  # binary image payloads — rows-only check

@@ -741,3 +741,77 @@ def test_audio_fingerprints_null_policy(spark):
     }
     assert got[1] == audio_fp64(s, rate)
     assert got[2] is None and got[3] is None
+
+
+# ------------------------------------------------- logistic-regression QC
+
+
+def _clf_corpus():
+    # balanced, separable: positives speak of quality, negatives of spam
+    pos = [(i, f"good clean prose document number {i} quality text", 1)
+           for i in range(10)]
+    neg = [(i + 10, f"buy cheap spam now offer {i} click winner", 0)
+           for i in range(10)]
+    return pos + neg
+
+
+def test_train_logreg_matches_reference_and_separates(spark):
+    from jane_spark.operators.classifier import (
+        hashed_features,
+        logreg_reference,
+        score_logreg,
+        train_logreg,
+    )
+
+    corpus = _clf_corpus()
+    df = spark.createDataFrame(corpus, ["id", "t", "y"])
+    feats = hashed_features(df, "id", "t", dim=128, binary=True)
+    w, b = train_logreg(
+        feats, df.select("id", "y"), "id", "y", dim=128, iters=15, lr=2.0
+    )
+    w_ref, b_ref = logreg_reference(
+        corpus, dim=128, iters=15, lr=2.0, binary=True
+    )
+    assert b == pytest.approx(b_ref, abs=1e-6)
+    for k in set(w) | set(w_ref):
+        assert w.get(k, 0.0) == pytest.approx(w_ref.get(k, 0.0), abs=1e-6), k
+    # the trained model must actually separate the classes
+    probs = {
+        r["id"]: r["prob"]
+        for r in score_logreg(df, "id", "t", w, b, dim=128, binary=True).collect()
+    }
+    pos = [probs[i] for i in range(10)]
+    neg = [probs[i + 10] for i in range(10)]
+    assert min(pos) > 0.8 and max(neg) < 0.2
+
+
+def test_train_logreg_partitioning_invariant(spark):
+    from jane_spark.operators.classifier import hashed_features, train_logreg
+
+    corpus = _clf_corpus()
+    res = []
+    for parts in (1, 7):
+        df = spark.createDataFrame(corpus, ["id", "t", "y"]).repartition(parts)
+        feats = hashed_features(df, "id", "t", dim=64, binary=True)
+        res.append(
+            train_logreg(feats, df.select("id", "y"), "id", "y",
+                         dim=64, iters=5, lr=2.0)
+        )
+    (w1, b1), (w2, b2) = res
+    assert b1 == b2 and w1 == w2  # 9-dp rounding absorbs shuffle-order noise
+
+
+def test_score_logreg_fixed_weights_manual(spark):
+    import hashlib
+
+    from jane_spark.operators.classifier import score_logreg
+
+    df = spark.createDataFrame([(1, "alpha beta alpha")], ["id", "t"])
+    dim = 32
+    bucket = lambda t: int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % dim  # noqa: E731
+    weights = {bucket("alpha"): 1.5, bucket("beta"): -0.5}
+    # count features: x_alpha = 2/3, x_beta = 1/3
+    z = -0.25 + 1.5 * (2 / 3) - 0.5 * (1 / 3)
+    want = round(1.0 / (1.0 + math.exp(-z)), 6)
+    got = score_logreg(df, "id", "t", weights, -0.25, dim=dim).collect()[0]
+    assert got["prob"] == pytest.approx(want, abs=1e-9)
