@@ -124,8 +124,8 @@ _R6_NEW = [
     "q_k19_hybrid",
     "q_k7_audiofp",
     # NOT fronted (window full: 29 new + the 21 round-2-stale veterans):
-    # q_t20_clf_score, q_k21_quality_clf — pytest- and locally-verified
-    # this round; rotate them into round 7's window first.
+    # q_t20_clf_score, q_k21_quality_clf, q_t21_dupremove — pytest- and
+    # locally-verified this round; rotate into round 7's window first.
 ]
 VERIFY_FIRST = _R6_NEW + [
     n for n in VERIFY_FIRST if n not in _R6_NEW

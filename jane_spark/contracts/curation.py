@@ -117,6 +117,65 @@ def q_t12(spark, sf_dir):
     return dup_span_coverage(docs, "doc_id", "text", k=30)
 
 
+_DUPREMOVE_ORACLE = """
+WITH t AS (SELECT doc_id, text, length(text) AS n_chars FROM documents),
+g0 AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, greatest(n_chars - 29, 0)),
+                     i -> {'pos': i,
+                           'gk': CAST('0x' || substr(md5(substr(text, i, 30)), 1, 15)
+                                      AS BIGINT)})) AS s
+       FROM t),
+g AS (SELECT doc_id, s.pos AS pos, s.gk AS gk FROM g0),
+d AS (SELECT gk FROM g GROUP BY gk HAVING count(*) >= 2),
+p AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gk)),
+cov AS (SELECT DISTINCT doc_id, i
+        FROM (SELECT doc_id, unnest(generate_series(pos, pos + 29)) AS i
+              FROM p)),
+ap AS (SELECT doc_id, text, unnest(generate_series(1, n_chars)) AS i FROM t),
+keptc AS (SELECT ap.doc_id AS doc_id, ap.i AS i, substr(ap.text, ap.i, 1) AS ch
+          FROM ap LEFT JOIN cov ON ap.doc_id = cov.doc_id AND ap.i = cov.i
+          WHERE cov.i IS NULL),
+r AS (SELECT doc_id, string_agg(ch, '' ORDER BY i) AS clean_text
+      FROM keptc GROUP BY doc_id),
+m AS (SELECT doc_id, pos,
+             max(pos + 29) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS prev_cover
+      FROM p),
+ns AS (SELECT doc_id,
+              sum(CASE WHEN prev_cover IS NULL OR pos > prev_cover + 1
+                       THEN 1 ELSE 0 END) AS n_spans
+       FROM m GROUP BY doc_id)
+SELECT t.doc_id AS doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       CAST(length(coalesce(r.clean_text, '')) AS BIGINT) AS n_chars_clean,
+       CAST(t.n_chars - length(coalesce(r.clean_text, '')) AS BIGINT)
+           AS removed_chars,
+       CAST(coalesce(ns.n_spans, 0) AS BIGINT) AS n_spans
+FROM t LEFT JOIN r USING (doc_id) LEFT JOIN ns USING (doc_id)
+"""
+
+
+@contract(
+    "q_t21_dupremove",
+    oracle=_DUPREMOVE_ORACLE,
+    survey_rows="K1,K2",
+    doc="duplicated-substring REMOVAL (the edit step of Lee et al. 2022 "
+    "— q_t12 measures, this cuts): every corpus-duplicated char 30-gram "
+    "span is excised and the document reassembled from the text between "
+    "its merged covered runs (operators.curation.dup_span_removal). "
+    "Spark stitches row-locally by folding the bounded spans array; "
+    "the oracle reconstructs per character position — two independent "
+    "formulations agreeing byte-exactly. removed_chars == q_t12's "
+    "covered_chars by construction (pytest-pinned)",
+)
+def q_t21(spark, sf_dir):
+    from jane_spark.operators.curation import dup_span_removal
+
+    docs = Catalog(spark, sf_dir).documents
+    return dup_span_removal(docs, "doc_id", "text", k=30)
+
+
 _LM_ORACLE = """
 WITH ref AS (SELECT lower(text) AS t FROM documents WHERE source = 'src0'),
 rg AS (SELECT unnest(list_transform(generate_series(1, greatest(length(t) - 2, 0)),

@@ -267,6 +267,106 @@ def dup_span_coverage(
     )
 
 
+def dup_span_removal(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 30,
+) -> DataFrame:
+    """CUT every duplicated span from every document — the removal step
+    of Lee et al. 2022 exact-substring dedup (``dup_span_coverage``
+    measures; this edits). A character position is duplicated when its
+    k-gram occurs >= 2 times corpus-wide; duplicated positions merge
+    into maximal covered runs (adjacent runs coalesce) and each
+    document is reassembled from the text BETWEEN its runs.
+
+    Returns one row per input document, total:
+    ``(id, clean_text, n_chars_clean, removed_chars, n_spans)`` with
+    ``removed_chars`` equal by construction to ``dup_span_coverage``'s
+    ``covered_chars`` (pytest-pinned).
+
+    Distributed shape: identical to the coverage pass (row-local gram
+    extraction, ONE 60-bit-key groupBy, a semi-join, one window) plus a
+    per-document span fold — the spans array is bounded by
+    n_chars/k, and the reassembly is a row-local ``aggregate`` over
+    it (sequential substring stitching, no explode of the text).
+    """
+    t = F.col(text_col)
+    arr = F.when(
+        F.length(t) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - F.lit(k - 1)),
+            lambda i: F.struct(
+                i.alias("pos"), _gram_key(F.substr(t, i, F.lit(k))).alias("gk")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,gk:bigint>>"))
+    grams = df.select(F.col(id_col), F.explode(arr).alias("g")).select(
+        id_col, F.col("g.pos").alias("pos"), F.col("g.gk").alias("gk")
+    )
+    dup_keys = (
+        grams.groupBy("gk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("gk")
+    )
+    dup_pos = grams.join(dup_keys, "gk", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    marked = (
+        dup_pos.withColumn("end", F.col("pos") + F.lit(k - 1))
+        .withColumn(
+            "prev_cover",
+            F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        # adjacent covered runs coalesce: a new span starts only past
+        # prev_cover + 1 (strictly disjoint, non-touching)
+        .withColumn(
+            "new_span",
+            (
+                F.col("prev_cover").isNull()
+                | (F.col("pos") > F.col("prev_cover") + 1)
+            ).cast("int"),
+        )
+        .withColumn("span_id", F.sum("new_span").over(w))
+    )
+    spans = marked.groupBy(id_col, "span_id").agg(
+        F.min("pos").alias("s"), F.max("end").alias("e")
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("sp"),
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+    )
+    joined = df.select(F.col(id_col), t.alias("__t")).join(
+        per_doc, id_col, "left"
+    )
+    txt = F.col("__t")
+    stitched = F.aggregate(
+        F.col("sp"),
+        F.struct(F.lit("").alias("o"), F.lit(1).alias("c")),
+        lambda a, x: F.struct(
+            F.concat(a["o"], F.substr(txt, a["c"], x["s"] - a["c"])).alias(
+                "o"
+            ),
+            (x["e"] + F.lit(1)).alias("c"),
+        ),
+        lambda a: F.concat(
+            a["o"], F.substr(txt, a["c"], F.length(txt) - a["c"] + 1)
+        ),
+    )
+    clean = F.when(F.col("sp").isNull(), txt).otherwise(stitched)
+    return joined.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.length(clean).cast("bigint").alias("n_chars_clean"),
+        (F.length(txt) - F.length(clean)).cast("bigint").alias(
+            "removed_chars"
+        ),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias(
+            "n_spans"
+        ),
+    )
+
+
 # -------------------------------------------------- char-trigram LM score
 
 

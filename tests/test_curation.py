@@ -815,3 +815,81 @@ def test_score_logreg_fixed_weights_manual(spark):
     want = round(1.0 / (1.0 + math.exp(-z)), 6)
     got = score_logreg(df, "id", "t", weights, -0.25, dim=dim).collect()[0]
     assert got["prob"] == pytest.approx(want, abs=1e-9)
+
+
+# ------------------------------------------------------ dup-span removal
+
+
+def test_dup_span_removal_brute_force(spark):
+    from jane_spark.operators.curation import dup_span_removal
+
+    rng = random.Random(23)
+    alph = "abcdefgh"
+    shared = "".join(rng.choice(alph) for _ in range(30))
+    docs = []
+    for i in range(10):
+        pre = "".join(rng.choice(alph) for _ in range(rng.randint(25, 60)))
+        post = "".join(rng.choice(alph) for _ in range(rng.randint(25, 60)))
+        docs.append((i, pre + (shared if i % 2 == 0 else "") + post))
+    k = 12
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r
+        for r in dup_span_removal(df, "doc_id", "text", k=k).collect()
+    }
+    from collections import Counter
+
+    cnt = Counter()
+    for _, t in docs:
+        for i in range(len(t) - k + 1):
+            cnt[t[i : i + k]] += 1
+    for doc_id, t in docs:
+        covered = set()
+        for i in range(len(t) - k + 1):
+            if cnt[t[i : i + k]] >= 2:
+                covered.update(range(i, i + k))
+        want = "".join(c for j, c in enumerate(t) if j not in covered)
+        r = got[doc_id]
+        assert r["clean_text"] == want, doc_id
+        assert r["removed_chars"] == len(covered)
+        # n_spans = maximal runs of covered positions
+        runs = 0
+        prev = -2
+        for j in sorted(covered):
+            if j > prev + 1:
+                runs += 1
+            prev = j
+        assert r["n_spans"] == runs, doc_id
+
+
+def test_dup_span_removal_consistent_with_coverage(spark, sf_dir):
+    from jane_spark.engine.catalog import Catalog
+    from jane_spark.operators.curation import (
+        dup_span_coverage,
+        dup_span_removal,
+    )
+
+    docs = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") < 60)
+    cov = {
+        r["doc_id"]: r["covered_chars"]
+        for r in dup_span_coverage(docs, "doc_id", "text", k=30).collect()
+    }
+    rem = {
+        r["doc_id"]: r["removed_chars"]
+        for r in dup_span_removal(docs, "doc_id", "text", k=30).collect()
+    }
+    assert cov == rem  # the measurement IS the edit's size
+
+
+def test_dup_span_removal_short_and_unique_docs_unchanged(spark):
+    from jane_spark.operators.curation import dup_span_removal
+
+    df = spark.createDataFrame(
+        [(1, "tiny"), (2, "abcdefghijklmnopqrstuvwxyz0123456789")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           dup_span_removal(df, "doc_id", "text", k=10).collect()}
+    for i, t in ((1, "tiny"), (2, "abcdefghijklmnopqrstuvwxyz0123456789")):
+        assert out[i]["clean_text"] == t
+        assert out[i]["removed_chars"] == 0 and out[i]["n_spans"] == 0
