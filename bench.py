@@ -69,6 +69,8 @@ BENCH_QUERIES = {
     "ccnet_buckets": "q_t18_ccnet_buckets",
     "normalize": "q_t19_normalize",
     "hybrid_rrf": "q_k19_hybrid",
+    "clf_score": "q_t20_clf_score",
+    "dup_remove": "q_t21_dupremove",
 }
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
@@ -102,6 +104,8 @@ CALIBRATION = {
     "ccnet_buckets": 0.531,
     "normalize": 0.145,
     "hybrid_rrf": 0.096,
+    "clf_score": 0.279,
+    "dup_remove": 3.109,
 }
 
 

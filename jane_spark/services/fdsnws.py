@@ -1169,3 +1169,70 @@ def availability_spans(
         .drop("__span")
         .orderBy(*keys, "span_start")
     )
+
+
+# ------------------------------------------------------------------
+# service metadata documents (FDSN-WS spec: every service exposes
+# /version — plain-text "major.minor.patch" — and /application.wadl.
+# The WADL is GENERATED from the same allowed-parameter frozensets
+# _validate() enforces, so the advertised surface can never drift from
+# the accepted one.
+
+FDSNWS_VERSION = "1.1.2"
+
+_SERVICE_PARAMS = {
+    "station": lambda: STATION_PARAMS,
+    "event": lambda: EVENT_PARAMS,
+    "dataselect": lambda: DATASELECT_PARAMS,
+    "availability": lambda: AVAILABILITY_PARAMS,
+}
+
+_SERVICE_MEDIA = {
+    "station": "application/xml",
+    "event": "application/xml",
+    "dataselect": "application/vnd.fdsn.mseed",
+    "availability": "text/plain",
+}
+
+
+def service_version() -> str:
+    """The /version document: bare version string, text/plain."""
+    return FDSNWS_VERSION
+
+
+def service_wadl(service: str) -> str:
+    """The /application.wadl document for a service, generated from the
+    exact parameter set the query door validates against (sorted for a
+    byte-stable document)."""
+    from jane_spark.functions.xml import xml_escape_str
+    if service not in _SERVICE_PARAMS:
+        raise ValueError(f"unknown fdsnws service: {service!r}")
+    params = "\n".join(
+        f'          <param name="{xml_escape_str(p)}" style="query"/>'
+        for p in sorted(_SERVICE_PARAMS[service]())
+    )
+    media = _SERVICE_MEDIA[service]
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<application xmlns="http://wadl.dev.java.net/2009/02">\n'
+        f'  <resources base="/fdsnws/{service}/1/">\n'
+        '    <resource path="query">\n'
+        '      <method name="GET">\n'
+        "        <request>\n"
+        f"{params}\n"
+        "        </request>\n"
+        '        <response status="200">\n'
+        f'          <representation mediaType="{media}"/>\n'
+        "        </response>\n"
+        "      </method>\n"
+        "    </resource>\n"
+        '    <resource path="version">\n'
+        '      <method name="GET">\n'
+        '        <response status="200">\n'
+        '          <representation mediaType="text/plain"/>\n'
+        "        </response>\n"
+        "      </method>\n"
+        "    </resource>\n"
+        "  </resources>\n"
+        "</application>\n"
+    )

@@ -986,3 +986,39 @@ def test_availability_percent_day_math(spark):
         for r in availability_percent(df).collect()
     }
     assert got == {"2023-01-01": 25.0, "2023-01-02": 25.0}
+
+
+# ------------------------------------------------- service metadata docs
+
+
+def test_service_version_and_wadl_documents():
+    import xml.etree.ElementTree as ET
+
+    from jane_spark.services.fdsnws import (
+        DATASELECT_PARAMS,
+        service_version,
+        service_wadl,
+    )
+
+    assert service_version() == "1.1.2"
+    ns = "{http://wadl.dev.java.net/2009/02}"
+    for svc in ("station", "event", "dataselect", "availability"):
+        root = ET.fromstring(service_wadl(svc))
+        names = {
+            p.get("name")
+            for p in root.iter(f"{ns}param")
+        }
+        if svc == "dataselect":
+            # the WADL advertises exactly what _validate accepts
+            assert names == set(DATASELECT_PARAMS)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        service_wadl("nosuch")
+
+
+def test_wadl_is_byte_stable():
+    from jane_spark.services.fdsnws import service_wadl
+
+    assert service_wadl("event") == service_wadl("event")
+    assert '<resource path="query">' in service_wadl("station")
