@@ -358,8 +358,8 @@ def strip_html(text: Column) -> Column:
     and is fixed: ``&amp;`` decodes last so ``&amp;lt;`` becomes the
     literal ``&lt;``, never ``<`` — decoding must not re-introduce
     markup that tag stripping already passed."""
-    t = F.regexp_replace(text, r"(?s)<script[^>]*>.*?</script>", " ")
-    t = F.regexp_replace(t, r"(?s)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(text, r"(?is)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
     t = F.regexp_replace(t, r"<[^>]+>", " ")
     for ent, rep in _HTML_ENTITIES:
         t = F.replace(t, F.lit(ent), F.lit(rep))

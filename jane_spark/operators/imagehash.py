@@ -51,8 +51,9 @@ def phash64(img: np.ndarray) -> int:
     from jane_spark.sources.media_codecs import nearest_resize
 
     a = np.asarray(img)
-    if a.ndim == 3:  # channel mean as grayscale — deterministic, lib-free
-        a = a.astype(np.float64).mean(axis=2)
+    if a.ndim == 3:  # color-channel mean as grayscale (alpha excluded so
+        # an RGBA decode hashes identically to its RGB twin)
+        a = a[..., :3].astype(np.float64).mean(axis=2)
     a = nearest_resize(a.astype(np.uint8), _N, _N).astype(np.float64)
     t = _DCT @ a @ _DCT.T
     low = t[:8, :8].ravel()

@@ -504,6 +504,7 @@ def test_strip_html_cases(spark):
         (3, "a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39; &nbsp;end"),
         (4, "a &amp;lt; b"),  # double-escaped: must NOT become '<'
         (5, "no markup at all"),
+        (6, '<SCRIPT TYPE="x">var y;</SCRIPT><P>upper kept</P>'),
     ]
     df = spark.createDataFrame(rows, ["id", "t"])
     out = {
@@ -511,6 +512,7 @@ def test_strip_html_cases(spark):
         for r in df.select("id", strip_html(F.col("t")).alias("c")).collect()
     }
     assert out[1] == "Hello world ok"  # script content (with bare <) gone
+    assert out[6] == "upper kept"  # tag matching is case-insensitive
     assert out[2] == "kept text"  # style block gone, whitespace collapsed
     assert out[3] == 'a & b <tag> "q" \'s\' end'
     assert out[4] == "a &lt; b"
@@ -581,6 +583,9 @@ def test_phash64_noise_tolerance_and_separation():
     # grayscale of an RGB stack of the same plane equals the plane's hash
     rgb = np.stack([a, a, a], axis=2)
     assert phash64(rgb) == h_a
+    # alpha channel is excluded: RGBA hashes identically to its RGB twin
+    rgba = np.concatenate([rgb, np.full_like(a, 255)[..., None]], axis=2)
+    assert phash64(rgba) == h_a
 
 
 def test_phash_images_null_policy_and_parity(spark):
