@@ -49,15 +49,17 @@ def hashed_features(
         F.size(F.split(F.lower(F.col(text_col)), " ")).alias("__n"),
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("__tok"),
     )
-    x = F.lit(1.0) if binary else (F.count(F.lit(1)) / F.first("__n"))
-    agg = (
-        toks.withColumn("__b", portable_hash32(F.col("__tok")) % dim)
-        .groupBy(id_col, "__b")
+    agg = toks.withColumn(
+        "__b", portable_hash32(F.col("__tok")) % dim
+    ).groupBy(id_col, "__b")
+    x = (
+        F.min(F.lit(1.0))
+        if binary
+        else (F.count(F.lit(1)) / F.first("__n"))
     )
-    out = agg.agg(F.first("__n").alias("__n")) if binary else agg.agg(x.alias("x"))
-    if binary:
-        out = out.withColumn("x", F.lit(1.0))
-    return out.select(F.col(id_col), F.col("__b").alias("bucket"), "x")
+    return agg.agg(x.alias("x")).select(
+        F.col(id_col), F.col("__b").alias("bucket"), "x"
+    )
 
 
 def train_logreg(
@@ -77,39 +79,51 @@ def train_logreg(
     partitioning determinism. Each step runs two shuffles and collects
     only the dim-bounded gradient — never the corpus.
     """
-    fl = feats.join(labels.select(id_col, label_col), id_col)
+    # the feature-label table feeds every GD step twice — materialize
+    # it once instead of re-running tokenize/hash/join per action
+    fl = feats.join(labels.select(id_col, label_col), id_col).persist()
     n = fl.select(id_col).distinct().count()
     w: dict[int, float] = {}
     b = 0.0
     spark = feats.sparkSession
-    for _ in range(iters):
-        if w:
-            wdf = spark.createDataFrame(
-                [(k, v) for k, v in w.items()], ["bucket", "w"]
+    try:
+        for _ in range(iters):
+            if w:
+                wdf = spark.createDataFrame(
+                    [(k, v) for k, v in w.items()], "bucket long, w double"
+                )
+                j = fl.join(F.broadcast(wdf), "bucket", "left").withColumn(
+                    "w", F.coalesce(F.col("w"), F.lit(0.0))
+                )
+            else:
+                j = fl.withColumn("w", F.lit(0.0))
+            margins = j.groupBy(id_col).agg(
+                (F.lit(b) + F.sum(F.col("w") * F.col("x"))).alias("z"),
+                F.first(label_col).alias("y"),
             )
-            j = fl.join(F.broadcast(wdf), "bucket", "left").withColumn(
-                "w", F.coalesce(F.col("w"), F.lit(0.0))
-            )
-        else:
-            j = fl.withColumn("w", F.lit(0.0))
-        margins = j.groupBy(id_col).agg(
-            (F.lit(b) + F.sum(F.col("w") * F.col("x"))).alias("z"),
-            F.first(label_col).alias("y"),
-        )
-        p = margins.withColumn(
-            "r", F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))) - F.col("y")
-        )
-        grad = (
-            fl.join(p.select(id_col, "r"), id_col)
-            .groupBy("bucket")
-            .agg(F.sum(F.col("r") * F.col("x")).alias("g"))
-            .collect()
-        )
-        gb = p.agg(F.sum("r").alias("gb")).collect()[0]["gb"]
-        for row in grad:
-            k = row["bucket"]
-            w[k] = round(w.get(k, 0.0) - lr * row["g"] / n, 9)
-        b = round(b - lr * gb / n, 9)
+            # per-step residual table cached: the margin aggregate runs
+            # ONCE, then both the bucket gradient and the bias gradient
+            # read it from cache (no lineage re-execution)
+            p = margins.withColumn(
+                "r",
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))) - F.col("y"),
+            ).persist()
+            try:
+                grad = (
+                    fl.join(p.select(id_col, "r"), id_col)
+                    .groupBy("bucket")
+                    .agg(F.sum(F.col("r") * F.col("x")).alias("g"))
+                    .collect()
+                )
+                gb = p.agg(F.sum("r").alias("gb")).collect()[0]["gb"]
+            finally:
+                p.unpersist()
+            for row in grad:
+                k = row["bucket"]
+                w[k] = round(w.get(k, 0.0) - lr * row["g"] / n, 9)
+            b = round(b - lr * gb / n, 9)
+    finally:
+        fl.unpersist()
     return w, b
 
 
@@ -129,7 +143,9 @@ def score_logreg(
     rounded to 6 decimals (contract convention)."""
     spark = df.sparkSession
     wdf = spark.createDataFrame(
-        [(int(k), float(v)) for k, v in weights.items()], ["bucket", "w"]
+        [(int(k), float(v)) for k, v in weights.items()],
+        "bucket long, w double",  # explicit: an empty dict (bias-only
+        # model) must not fail schema inference
     )
     feats = hashed_features(df, id_col, text_col, dim, binary=binary)
     z = (

@@ -145,7 +145,11 @@ def policy_line_filter(
     lines = lines_of(F.col(text_col), sep)
 
     def keep(line: Column) -> Column:
-        words = F.split(line, " ")
+        # \s+ split: runs of spaces/tabs count as ONE separator, so
+        # "a    b" is 2 words (a single-space split would count 5)
+        words = F.filter(
+            F.split(line, r"\s+"), lambda wrd: wrd != F.lit("")
+        )
         cond = (F.size(words) >= F.lit(min_words)) & (
             F.length(line) <= F.lit(max_line_chars)
         )

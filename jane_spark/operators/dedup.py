@@ -156,19 +156,37 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     return sig
 
 
-def simhash_near_pairs(sig: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:
-    """Candidate pairs within a Hamming radius via 4-block banding
-    (pigeonhole: ≤3 differing bits ⇒ at least one 16-bit block equal) —
-    equi-join per block, exact Hamming residual via bit_count(xor)."""
+def banded_hamming_pairs(
+    sig: DataFrame,
+    id_col: str,
+    hash_col: str,
+    n_blocks: int,
+    block_bits: int,
+    max_hamming: int,
+) -> DataFrame:
+    """Generic pigeonhole-banded Hamming join over any 64-bit signature
+    column: ``<= n_blocks - 1`` differing bits guarantee at least one
+    equal block, so candidates come from ``n_blocks`` equi-joins on
+    (block index, block value) and ``bit_count(xor)`` is the exact
+    residual. Serves SimHash (4x16), image pHash and audio fingerprints
+    (8x8). NULL signatures (undecodable items) are dropped; returns
+    ``(id_a, id_b, hamming)`` with ``id_a < id_b``, distinct."""
+    if not 0 <= max_hamming <= n_blocks - 1:
+        raise ValueError(
+            f"{n_blocks}-block pigeonhole guarantees max_hamming <= "
+            f"{n_blocks - 1}, got {max_hamming}"
+        )
+    sig = sig.filter(F.col(hash_col).isNotNull())
+    mask = (1 << block_bits) - 1
     blocks = [
-        F.shiftrightunsigned(F.col("simhash"), 16 * b)
-        .bitwiseAND(F.lit(0xFFFF))
+        F.shiftrightunsigned(F.col(hash_col), block_bits * b)
+        .bitwiseAND(F.lit(mask))
         .alias(f"blk_{b}")
-        for b in range(4)
+        for b in range(n_blocks)
     ]
-    b_df = sig.select(id_col, "simhash", *blocks)
+    b_df = sig.select(id_col, hash_col, *blocks)
     out = None
-    for b in range(4):
+    for b in range(n_blocks):
         a = b_df.alias("a")
         c = b_df.alias("b")
         p = a.join(
@@ -181,11 +199,23 @@ def simhash_near_pairs(sig: DataFrame, id_col: str, max_hamming: int = 3) -> Dat
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
             ).alias("hamming"),
         )
         out = p if out is None else out.unionByName(p)
-    return out.filter(F.col("hamming") <= max_hamming).dropDuplicates(["id_a", "id_b"])
+    return out.filter(F.col("hamming") <= max_hamming).dropDuplicates(
+        ["id_a", "id_b"]
+    )
+
+
+def simhash_near_pairs(sig: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs within a Hamming radius via 4-block banding
+    (pigeonhole: ≤3 differing bits ⇒ at least one 16-bit block equal) —
+    equi-join per block, exact Hamming residual via bit_count(xor)."""
+    return banded_hamming_pairs(
+        sig, id_col, "simhash", n_blocks=4, block_bits=16,
+        max_hamming=max_hamming,
+    )
 
 
 # ------------------------------- portable-hash variants (oracle-checkable)

@@ -109,44 +109,18 @@ def phash_near_pairs(
     hash_col: str = "phash",
     max_hamming: int = 6,
 ) -> DataFrame:
-    """Image near-dup candidate pairs within a Hamming radius via
-    8-block pigeonhole banding: ``<= 7`` differing bits guarantee at
-    least one equal 8-bit block, so candidates are 8 equi-joins on
-    (block, value) and ``bit_count(xor)`` is the exact residual.
+    """Perceptual near-dup candidate pairs within a Hamming radius via
+    8-block pigeonhole banding (``<= 7`` differing bits guarantee at
+    least one equal 8-bit block) — delegates to the shared
+    ``banded_hamming_pairs`` join that also powers SimHash. Works on
+    any 64-bit signature column (image ``phash``, audio ``afp``).
     Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``, distinct.
     """
-    if not 0 <= max_hamming <= 7:
-        raise ValueError(
-            f"8-block pigeonhole guarantees max_hamming <= 7, got {max_hamming}"
-        )
-    sig = sig.filter(F.col(hash_col).isNotNull())
-    blocks = [
-        F.shiftrightunsigned(F.col(hash_col), 8 * b)
-        .bitwiseAND(F.lit(0xFF))
-        .alias(f"blk_{b}")
-        for b in range(8)
-    ]
-    b_df = sig.select(id_col, hash_col, *blocks)
-    out = None
-    for b in range(8):
-        a = b_df.alias("a")
-        c = b_df.alias("b")
-        p = a.join(
-            c,
-            on=(
-                (F.col(f"a.blk_{b}") == F.col(f"b.blk_{b}"))
-                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            ),
-        ).select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(
-                F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
-            ).alias("hamming"),
-        )
-        out = p if out is None else out.unionByName(p)
-    return out.filter(F.col("hamming") <= max_hamming).dropDuplicates(
-        ["id_a", "id_b"]
+    from jane_spark.operators.dedup import banded_hamming_pairs
+
+    return banded_hamming_pairs(
+        sig, id_col, hash_col, n_blocks=8, block_bits=8,
+        max_hamming=max_hamming,
     )
 
 
@@ -172,7 +146,10 @@ def audio_fp64(samples: np.ndarray, rate: int) -> int:
         s = s.mean(axis=1)
     n = len(s)
     seg_len = max(n // _N_SEG, 1)
-    lo, hi = 200.0, rate / 2.0
+    # clamp the low edge below Nyquist so low-rate audio (< 400 Hz)
+    # still gets a valid increasing band layout instead of an all-zero
+    # grid that would fingerprint every clip identically
+    lo, hi = min(200.0, rate / 4.0), rate / 2.0
     edges = lo * (hi / lo) ** (np.arange(_N_BAND + 1) / _N_BAND)
     grid = np.zeros((_N_SEG, _N_BAND))
     for i in range(_N_SEG):
