@@ -71,6 +71,10 @@ BENCH_QUERIES = {
     "hybrid_rrf": "q_k19_hybrid",
     "clf_score": "q_t20_clf_score",
     "dup_remove": "q_t21_dupremove",
+    # rows-only multimodal hash paths (no DuckDB twin — timed for
+    # round-over-round visibility like the serving layer)
+    "image_phash": "q_k7_phash",
+    "audio_fp": "q_k7_audiofp",
 }
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
