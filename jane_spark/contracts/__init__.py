@@ -15,6 +15,7 @@ from jane_spark.contracts import udfs  # noqa: F401  (§2.10 J)
 from jane_spark.contracts import northstar  # noqa: F401  (§2.11 K)
 from jane_spark.contracts import pipeline  # noqa: F401  (§2.11 K pipeline ops)
 from jane_spark.contracts import curation  # noqa: F401  (§2.11 K curation ops, r6)
+from jane_spark.contracts import rest  # noqa: F401  (§2.12 R REST front door, r6)
 
 # --------------------------------------------------------------------
 # Driver-facing ordering. Empirical driver behavior (round 1,
