@@ -75,6 +75,11 @@ BENCH_QUERIES = {
     # round-over-round visibility like the serving layer)
     "image_phash": "q_k7_phash",
     "audio_fp": "q_k7_audiofp",
+    # REST front door + URL curation (round 6, late wave)
+    "rest_search": "q_r1_rest_search",
+    "rest_serialize": "q_r3_rest_serialize",
+    "urlnorm": "q_t22_urlnorm",
+    "domain_cap": "q_t23_domaincap",
 }
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
@@ -110,6 +115,12 @@ CALIBRATION = {
     "hybrid_rrf": 0.096,
     "clf_score": 0.279,
     "dup_remove": 3.109,
+    # REST/URL rows: DuckDB 1.x medians measured on this box at sf0.1
+    # (same session methodology as BASELINE.md)
+    "rest_search": 0.0245,
+    "rest_serialize": 0.134,
+    "urlnorm": 0.0051,
+    "domain_cap": 0.0113,
 }
 
 

@@ -808,3 +808,124 @@ def q_k16_kmeans(spark, sf_dir):
 
     emb = Catalog(spark, sf_dir).embeddings
     return kmeans_assign(emb, "vec_id", "embedding", k=8, iters=5)
+
+
+# ---------------------------------------------------------- URL curation
+
+# Deterministic URL synthesis shared by the two URL contracts: the
+# Spark side builds ONE raw url string per document and pushes it
+# through the real parse/normalize chain (functions/urls.py); the
+# ORACLE side never parses — it computes the expected outputs directly
+# from the same arithmetic parts, so the two derivations are
+# independent (construction vs parse), the strongest twin available.
+_URL_PARTS_SQL = """
+    SELECT doc_id, n_chars,
+           concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'HtTPs' END,
+                  '://',
+                  CASE WHEN doc_id % 5 = 0 THEN 'bob@' ELSE 'WWW.' END,
+                  'Site', CAST(doc_id % 20 AS VARCHAR), '.',
+                  CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+                                  WHEN 2 THEN 'org' ELSE 'com.au' END,
+                  CASE doc_id % 3 WHEN 0 THEN ':80' WHEN 1 THEN ':8080'
+                                  ELSE '' END,
+                  CASE WHEN doc_id % 7 = 0 THEN ''
+                       ELSE concat('/p/', CAST(doc_id AS VARCHAR)) END,
+                  '?utm_source=x&b=', CAST(doc_id % 3 AS VARCHAR), '&a=1',
+                  '#sec', CAST(doc_id % 2 AS VARCHAR)) AS url,
+           concat(CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END,
+                  '://',
+                  CASE WHEN doc_id % 5 = 0 THEN '' ELSE 'www.' END,
+                  'site', CAST(doc_id % 20 AS VARCHAR), '.',
+                  CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+                                  WHEN 2 THEN 'org' ELSE 'com.au' END,
+                  CASE WHEN doc_id % 3 = 1 THEN ':8080'
+                       WHEN doc_id % 3 = 0 AND doc_id % 2 = 1 THEN ':80'
+                       ELSE '' END,
+                  CASE WHEN doc_id % 7 = 0 THEN '/'
+                       ELSE concat('/p/', CAST(doc_id AS VARCHAR)) END,
+                  '?a=1&b=', CAST(doc_id % 3 AS VARCHAR)) AS expect_norm,
+           concat('site', CAST(doc_id % 20 AS VARCHAR), '.',
+                  CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+                                  WHEN 2 THEN 'org' ELSE 'com.au' END)
+               AS expect_domain
+    FROM documents
+"""
+
+
+def _synth_urls(spark, sf_dir):
+    docs = Catalog(spark, sf_dir).documents
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("HTTP")).otherwise(F.lit("HtTPs")),
+        F.lit("://"),
+        F.when(did % 5 == 0, F.lit("bob@")).otherwise(F.lit("WWW.")),
+        F.lit("Site"), (did % 20).cast("string"), F.lit("."),
+        F.when(did % 4 == 0, F.lit("com"))
+        .when(did % 4 == 1, F.lit("co.uk"))
+        .when(did % 4 == 2, F.lit("org"))
+        .otherwise(F.lit("com.au")),
+        F.when(did % 3 == 0, F.lit(":80"))
+        .when(did % 3 == 1, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("/p/"), did.cast("string"))
+        ),
+        F.lit("?utm_source=x&b="), (did % 3).cast("string"), F.lit("&a=1"),
+        F.lit("#sec"), (did % 2).cast("string"),
+    )
+    return docs.select("doc_id", "n_chars", url.alias("url"))
+
+
+@contract(
+    "q_t22_urlnorm",
+    oracle=f"WITH parts AS ({_URL_PARTS_SQL}) "
+    "SELECT doc_id, expect_norm AS norm, expect_domain AS domain "
+    "FROM parts",
+    survey_rows="T22",
+    doc="URL normalization for web-corpus dedup keys "
+    "(functions/urls.url_normalize): lowercase scheme/host, userinfo "
+    "and fragment dropped, default ports dropped (https:80 kept!), "
+    "empty path -> '/', tracking params stripped + query sorted, and "
+    "registrable domain via the 2-level-suffix heuristic. The oracle "
+    "CONSTRUCTS the expected canonical form arithmetically — the "
+    "Spark side must PARSE its way to the same bytes",
+)
+def q_t22(spark, sf_dir):
+    from jane_spark.functions.urls import url_domain, url_normalize
+
+    u = _synth_urls(spark, sf_dir)
+    return u.select(
+        "doc_id",
+        url_normalize(F.col("url")).alias("norm"),
+        url_domain(F.col("url")).alias("domain"),
+    )
+
+
+@contract(
+    "q_t23_domaincap",
+    oracle=f"WITH parts AS ({_URL_PARTS_SQL}), "
+    "unblocked AS (SELECT * FROM parts "
+    "              WHERE expect_domain NOT IN ('site0.com', 'site1.co.uk')), "
+    "ranked AS (SELECT doc_id, expect_domain AS domain, "
+    "                  row_number() OVER (PARTITION BY expect_domain "
+    "                      ORDER BY n_chars DESC, doc_id ASC) AS rn "
+    "           FROM unblocked) "
+    "SELECT doc_id, domain FROM ranked WHERE rn <= 3",
+    survey_rows="T23,F3",
+    doc="per-domain document cap + domain blocklist (the RefinedWeb "
+    "anti-viral-domain stage): blocklist filter, then keep the best 3 "
+    "docs per registrable domain (longest first, id tie-break) — one "
+    "shuffle on the domain key; salted top-k is the skew path",
+)
+def q_t23(spark, sf_dir):
+    from jane_spark.functions.urls import domain_blocklist_filter, domain_cap
+
+    u = _synth_urls(spark, sf_dir)
+    kept = domain_blocklist_filter(u, "url", ["site0.com", "site1.co.uk"])
+    capped = domain_cap(
+        kept.drop("domain"),
+        "url",
+        3,
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+    )
+    return capped.select("doc_id", "domain")

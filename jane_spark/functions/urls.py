@@ -1,0 +1,168 @@
+"""URL curation surface (north-star extension: web-corpus pipelines).
+
+Web-scale training corpora key three standard curation stages on URLs
+(RefinedWeb / CCNet / C4 practice): URL normalization (so the same page
+fetched via tracking-parameter variants dedups exactly), registrable-
+domain extraction (so caps and blocklists apply per site, not per
+page), and per-domain document caps + blocklists (so one viral domain
+cannot dominate the mixture).
+
+Everything here is built-in Column expressions — regexp_extract /
+higher-order array ops, RE2-safe, zero UDFs, zero shuffles — so the
+whole normalization chain stays inside whole-stage codegen and the
+derived columns are available as pushdown-visible predicates. At
+100 TB this is a pure projection over the corpus scan; the only
+shuffle in the module is the per-domain cap's window (one shuffle on
+the registrable domain, skew-handled by the salted top-k variant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# RFC 3986-shaped splitter (scheme://authority path ?query #fragment).
+# One regex, three extracts — Spark and DuckDB run the same RE2.
+_URL_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+#: Tracking parameters stripped by normalization: the industry-standard
+#: analytics/click identifiers that vary per visit without changing the
+#: resource (utm_* campaign tags, Facebook/Google/Microsoft click ids,
+#: Mailchimp email id, generic ref).
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|ref)(=|$)"
+
+#: Two-level public suffixes for the registrable-domain heuristic. A
+#: full Public Suffix List is a runtime data file at deployment; this
+#: built-in set covers the dominant ccTLD families and keeps the
+#: function a pure literal expression. Hosts under an unlisted 2-level
+#: suffix resolve one label short — documented approximation.
+SECOND_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "com.tr", "com.ar",
+    "co.in", "co.kr", "co.za", "co.nz",
+)
+
+
+def url_scheme(url: Column) -> Column:
+    return F.lower(F.regexp_extract(url, _URL_RE, 1))
+
+
+def url_authority(url: Column) -> Column:
+    return F.regexp_extract(url, _URL_RE, 2)
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host with any :port and any userinfo@ stripped."""
+    auth = url_authority(url)
+    no_user = F.regexp_replace(auth, r"^[^@]*@", "")
+    return F.lower(F.regexp_replace(no_user, r":[0-9]*$", ""))
+
+
+def url_port(url: Column) -> Column:
+    """Explicit port as a string, '' when absent."""
+    return F.regexp_extract(url_authority(url), r":([0-9]+)$", 1)
+
+
+def url_path(url: Column) -> Column:
+    path = F.regexp_extract(url, _URL_RE, 3)
+    return F.when(path == "", F.lit("/")).otherwise(path)
+
+
+def url_query(url: Column) -> Column:
+    return F.regexp_extract(url, _QUERY_RE, 1)
+
+
+def normalized_query(url: Column) -> Column:
+    """Query string with tracking params dropped and the survivors
+    sorted — parameter order never distinguishes two fetches of the
+    same resource. '' when nothing survives."""
+    params = F.split(url_query(url), "&")
+    kept = F.filter(
+        params,
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    return F.array_join(F.array_sort(kept), "&")
+
+
+def url_normalize(url: Column) -> Column:
+    """Canonical URL: lowercase scheme+host, userinfo dropped, default
+    ports (http:80 / https:443) dropped, empty path → '/', tracking
+    params dropped + query sorted, fragment dropped. Malformed inputs
+    (no scheme://) normalize to NULL rather than a half-parsed string —
+    downstream dedup must not merge garbage."""
+    scheme = url_scheme(url)
+    host = url_host(url)
+    port = url_port(url)
+    keep_port = (
+        (port != "")
+        & ~((scheme == F.lit("http")) & (port == "80"))
+        & ~((scheme == F.lit("https")) & (port == "443"))
+    )
+    q = normalized_query(url)
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        url_path(url),
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+    return F.when((scheme != "") & (host != ""), rebuilt)
+
+
+def registrable_domain(host: Column) -> Column:
+    """Site-level key: last two host labels, or last three when the
+    last two are a known second-level public suffix (``co.uk`` etc.).
+    A bare suffix (host == 'co.uk') falls back to itself."""
+    last2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    last3 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    return F.when(
+        last2.isin(*SECOND_LEVEL_SUFFIXES),
+        F.coalesce(F.nullif(last3, F.lit("")), host),
+    ).otherwise(F.coalesce(F.nullif(last2, F.lit("")), host))
+
+
+def url_domain(url: Column) -> Column:
+    """Registrable domain straight from a raw URL ('' host → NULL)."""
+    return registrable_domain(F.nullif(url_host(url), F.lit("")))
+
+
+# ------------------------------------------------------------ operators
+
+
+def domain_cap(
+    df: DataFrame,
+    url_col: str,
+    cap: int,
+    order: list[Column],
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Keep at most ``cap`` documents per registrable domain, best
+    first under the caller's total order (quality score, length, …; a
+    deterministic tie-break column is the caller's contract, as
+    everywhere). ONE shuffle on the domain key; for corpora with viral
+    domains use operators.topk.top_k_per_group_salted with the same
+    arguments."""
+    from jane_spark.operators.topk import top_k_per_group
+
+    with_dom = df.withColumn(domain_col, url_domain(F.col(url_col)))
+    return top_k_per_group(with_dom, [domain_col], order, cap).drop("rn")
+
+
+def domain_blocklist_filter(
+    df: DataFrame,
+    url_col: str,
+    blocked_domains: list[str],
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Drop documents whose registrable domain is on a blocklist.
+    A literal list compiles to an isin predicate (pushdown-visible);
+    for blocklists too large to inline, join a broadcast DataFrame
+    instead (B12 ACL shape)."""
+    with_dom = df.withColumn(domain_col, url_domain(F.col(url_col)))
+    return with_dom.filter(
+        ~F.coalesce(F.col(domain_col).isin(*blocked_domains), F.lit(False))
+    )

@@ -1,0 +1,122 @@
+"""Unit tests for URL curation (functions/urls): normalization
+table-driven cases, registrable-domain heuristic, cap/blocklist
+operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jane_spark.functions.urls import (
+    domain_blocklist_filter,
+    domain_cap,
+    registrable_domain,
+    url_domain,
+    url_normalize,
+)
+
+NORM_CASES = [
+    # lowercase scheme + host, fragment dropped
+    ("HTTP://WWW.Example.COM/Path#frag", "http://www.example.com/Path"),
+    # default ports dropped, per scheme
+    ("http://a.com:80/x", "http://a.com/x"),
+    ("https://a.com:443/x", "https://a.com/x"),
+    # non-default ports kept — https:80 is NOT a default
+    ("https://a.com:80/x", "https://a.com:80/x"),
+    ("http://a.com:8080/x", "http://a.com:8080/x"),
+    # empty path becomes /
+    ("http://a.com", "http://a.com/"),
+    ("http://a.com?z=1", "http://a.com/?z=1"),
+    # tracking params stripped; survivors sorted; empty query dropped
+    ("http://a.com/p?utm_source=t&b=2&a=1", "http://a.com/p?a=1&b=2"),
+    ("http://a.com/p?utm_campaign=x&fbclid=y&gclid", "http://a.com/p"),
+    ("http://a.com/p?ref=hn&refresh=1", "http://a.com/p?refresh=1"),
+    # userinfo stripped
+    ("http://bob:pw@a.com/p", "http://a.com/p"),
+    # path case preserved, query value case preserved
+    ("https://A.com/CaseD?Q=Vv", "https://a.com/CaseD?Q=Vv"),
+    # malformed: no scheme -> NULL
+    ("not a url", None),
+    ("/relative/path", None),
+]
+
+
+def test_url_normalize_cases(spark):
+    df = spark.createDataFrame([(u,) for u, _ in NORM_CASES], "url string")
+    got = [r.norm for r in df.select(url_normalize(F.col("url")).alias("norm")).collect()]
+    for (url, want), g in zip(NORM_CASES, got):
+        assert g == want, f"{url!r}: {g!r} != {want!r}"
+
+
+DOMAIN_CASES = [
+    ("www.example.com", "example.com"),
+    ("a.b.c.example.org", "example.org"),
+    ("news.bbc.co.uk", "bbc.co.uk"),
+    ("shop.something.com.au", "something.com.au"),
+    ("example.com", "example.com"),
+    ("bbc.co.uk", "bbc.co.uk"),
+    # bare 2-level suffix falls back to itself
+    ("co.uk", "co.uk"),
+    ("localhost", "localhost"),
+]
+
+
+def test_registrable_domain_cases(spark):
+    df = spark.createDataFrame([(h,) for h, _ in DOMAIN_CASES], "host string")
+    got = [r.d for r in df.select(registrable_domain(F.col("host")).alias("d")).collect()]
+    for (host, want), g in zip(DOMAIN_CASES, got):
+        assert g == want, f"{host!r}: {g!r} != {want!r}"
+
+
+def test_url_domain_from_raw(spark):
+    df = spark.createDataFrame(
+        [("HTTPS://User@News.BBC.CO.UK:8443/x?a=1",), ("garbage",)],
+        "url string",
+    )
+    got = [r.d for r in df.select(url_domain(F.col("url")).alias("d")).collect()]
+    assert got == ["bbc.co.uk", None]
+
+
+def _corpus(spark):
+    rows = [
+        (i, f"http://site{i % 3}.com/p/{i}", 100 - i)  # 3 domains, 10 docs each
+        for i in range(30)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, url string, score long")
+
+
+def test_domain_cap_keeps_best(spark):
+    out = domain_cap(
+        _corpus(spark), "url", 2, [F.col("score").desc(), F.col("doc_id").asc()]
+    ).collect()
+    assert len(out) == 6  # 3 domains x cap 2
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r.domain, []).append(r.doc_id)
+    # highest score == lowest doc_id in this fixture
+    assert sorted(by_dom["site0.com"]) == [0, 3]
+    assert sorted(by_dom["site1.com"]) == [1, 4]
+
+
+def test_domain_blocklist(spark):
+    out = domain_blocklist_filter(_corpus(spark), "url", ["site1.com"]).collect()
+    assert len(out) == 20
+    assert all(r.domain != "site1.com" for r in out)
+
+
+def test_blocklist_keeps_null_domain_rows(spark):
+    df = spark.createDataFrame([(1, "junk")], "doc_id long, url string")
+    out = domain_blocklist_filter(df, "url", ["x.com"]).collect()
+    assert len(out) == 1 and out[0].domain is None
+
+
+def test_urlnorm_plan_stays_codegen(spark):
+    """The normalization chain must compile to pure projection — no
+    UDFs, no exchanges (scale posture: projection over the corpus
+    scan)."""
+    df = spark.createDataFrame([("http://a.com/x?b=1",)], "url string")
+    plan = df.select(
+        url_normalize(F.col("url")).alias("n"), url_domain(F.col("url")).alias("d")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
