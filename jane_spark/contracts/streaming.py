@@ -369,3 +369,47 @@ def _quality_gate(df):
         ).alias("split"),
     ).filter((F.col("n_tok") >= 30) & (F.col("stop_ratio") <= 0.25))
     return f.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@contract(
+    "q_i9_stream_join",
+    oracle="""
+        WITH e AS (SELECT event_id, user_id, event_type,
+                          date_trunc('microseconds', ts) AS ts
+                   FROM events)
+        SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+               p.user_id AS user_id
+        FROM e p JOIN e c
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase' AND c.event_type = 'click'
+         AND c.ts >= p.ts - INTERVAL 72 HOUR
+         AND c.ts <= p.ts
+    """,
+    survey_rows="I9,C4",
+    doc="stream-stream interval join, batch path (streaming/joins."
+    "correlate_within): each purchase matched to same-user clicks in "
+    "the trailing 72 h — the notification-to-coverage correlation; "
+    "the real two-stream execution is proven stream≡batch in "
+    "tests/test_streaming.py under availableNow",
+)
+def q_i9(spark, sf_dir):
+    from jane_spark.streaming.joins import correlate_within
+
+    ev = Catalog(spark, sf_dir).events
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = correlate_within(
+        purchases, clicks, "p_user", "c_user", "p_ts", "c_ts",
+        lookback="72 hours",
+    )
+    return joined.select(
+        "purchase_id", "click_id", F.col("p_user").alias("user_id")
+    )

@@ -325,3 +325,60 @@ def test_stream_quality_gate_equals_batch(spark, sf_dir):
         ).collect()
     }
     assert streamed == batch and len(batch) == 3
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir, tmp_path):
+    """I9: the real two-stream watermarked interval join under an
+    availableNow trigger must emit exactly the batch join's rows."""
+    import shutil
+
+    from jane_spark.contracts.streaming import _ts_ntz
+    from jane_spark.streaming.ingest import run_available_now, stream_parquet_dir
+    from jane_spark.streaming.joins import correlate_within
+
+    src = f"{sf_dir}/events.parquet"
+    p_dir, c_dir = tmp_path / "purchases", tmp_path / "clicks"
+    p_dir.mkdir(), c_dir.mkdir()
+    shutil.copy(src, p_dir / "events.parquet")
+    shutil.copy(src, c_dir / "events.parquet")
+
+    raw_schema = spark.read.parquet(src).schema
+
+    def purchases(df):
+        return _ts_ntz(df).filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+
+    def clicks(df):
+        return _ts_ntz(df).filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+
+    c_stream = clicks(stream_parquet_dir(spark, str(c_dir), raw_schema))
+
+    def transform(p_stream_raw):
+        return correlate_within(
+            purchases(p_stream_raw), c_stream,
+            "p_user", "c_user", "p_ts", "c_ts",
+            lookback="72 hours", watermark="1 hour",
+        ).select("purchase_id", "click_id", "p_ts", "c_ts")
+
+    streamed = run_available_now(
+        stream_parquet_dir(spark, str(p_dir), raw_schema),
+        transform,
+        "q_i9_sink",
+    )
+    ev = _ts_ntz(spark.read.parquet(src))
+    batch = correlate_within(
+        purchases(ev), clicks(ev),
+        "p_user", "c_user", "p_ts", "c_ts", lookback="72 hours",
+    ).select("purchase_id", "click_id", "p_ts", "c_ts")
+
+    s_rows = {tuple(r) for r in streamed.collect()}
+    b_rows = {tuple(r) for r in batch.collect()}
+    assert s_rows == b_rows
+    assert len(b_rows) > 0
