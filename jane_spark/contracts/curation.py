@@ -929,3 +929,91 @@ def q_t23(spark, sf_dir):
         [F.col("n_chars").desc(), F.col("doc_id").asc()],
     )
     return capped.select("doc_id", "domain")
+
+
+# ------------------------------------------------------------ BPE (K22)
+
+
+@contract(
+    "q_k22_bpe_pairs",
+    oracle="""
+        WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+                   FROM documents),
+        wc AS (SELECT word, count(*) AS n FROM w
+               WHERE word <> '' GROUP BY word),
+        sy AS (SELECT n,
+                      list_concat(ch[1:len(ch)-1],
+                                  [ch[-1] || '</w>']) AS syms
+               FROM (SELECT n, string_split(word, '') AS ch FROM wc)),
+        pr AS (SELECT n, unnest(list_transform(
+                   generate_series(1, len(syms) - 1),
+                   i -> struct_pack(l := syms[i], r := syms[i+1]))) AS p
+               FROM sy)
+        SELECT p.l AS left_sym, p.r AS right_sym, sum(n) AS cnt
+        FROM pr GROUP BY p.l, p.r
+        ORDER BY cnt DESC, left_sym ASC, right_sym ASC
+        LIMIT 50
+    """,
+    survey_rows="K22",
+    doc="BPE training statistics, iteration 1: adjacent-symbol pair "
+    "counts over the word-TYPE table (chars + </w> marker) — the "
+    "corpus is touched once (one explode + one groupBy), every merge "
+    "iteration then runs on the vocabulary-sized table "
+    "(operators/bpe.py); top-50 pairs, (count, pair) tie-broken",
+)
+def q_k22_pairs(spark, sf_dir):
+    from jane_spark.operators.bpe import (
+        _adjacent_pairs,
+        _initial_symbols,
+        word_counts,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    vocab = word_counts(docs).select(
+        _initial_symbols(F.col("word")).alias("syms"), "n"
+    )
+    return (
+        vocab.select(F.explode(_adjacent_pairs(F.col("syms"))).alias("p"), "n")
+        .groupBy(
+            F.col("p.left").alias("left_sym"), F.col("p.right").alias("right_sym")
+        )
+        .agg(F.sum("n").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("left_sym").asc(), F.col("right_sym").asc())
+        .limit(50)
+    )
+
+
+@contract(
+    "q_k22_bpe_train",
+    oracle=None,  # n_merges argmax+merge iterations are not one-shot-SQL-
+    # expressible; pinned against a pure-Python twin in tests
+    survey_rows="K22",
+    doc="full BPE training loop (operators/bpe.train_bpe): 8 merges, "
+    "each iteration = one vocabulary-sized pair-count shuffle + ONE "
+    "row collected (the argmax pair, IVF-centroid precedent), "
+    "lineage cut per iteration; (count desc, pair asc) ties make the "
+    "merge table byte-deterministic across partitionings",
+)
+def q_k22_train(spark, sf_dir):
+    from jane_spark.operators.bpe import merges_df, train_bpe
+
+    docs = Catalog(spark, sf_dir).documents
+    return merges_df(spark, train_bpe(docs, n_merges=8))
+
+
+@contract(
+    "q_k22_bpe_encode",
+    oracle=None,  # encode replays the trained (non-SQL-expressible) merge
+    # table; per-doc counts pinned against the Python twin in tests
+    survey_rows="K22,K4",
+    doc="train->encode chain: 8 learned merges replayed as row-local "
+    "folds over the word-TYPE table, equi-joined back to the exploded "
+    "corpus (repeated words never re-encode), summed per document — "
+    "two shuffles beyond training (operators/bpe.bpe_token_stats)",
+)
+def q_k22_encode(spark, sf_dir):
+    from jane_spark.operators.bpe import bpe_token_stats, train_bpe
+
+    docs = Catalog(spark, sf_dir).documents
+    merges = train_bpe(docs, n_merges=8)
+    return bpe_token_stats(docs, merges)

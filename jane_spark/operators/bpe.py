@@ -1,0 +1,187 @@
+"""BPE tokenizer training and application (north-star: the tokenizer
+stage of an LLM data pipeline, Sennrich et al. 2016).
+
+Training corpora don't just get *counted* by a tokenizer — the
+tokenizer itself is trained on the corpus. The byte-pair-encoding loop
+is: split words into symbol sequences (chars + an end-of-word marker),
+repeatedly find the most frequent adjacent symbol pair and merge it,
+record the merge ranks; encoding replays the ranked merges.
+
+Spark-first shape — the key scale decision is what the loop iterates
+over. The corpus is touched EXACTLY ONCE (one explode + one groupBy →
+the word-type frequency table, the standard trick); every merge
+iteration then runs on that vocabulary-sized table: one pair-count
+shuffle (combinable partial aggregates, carries counts only) and ONE
+row collected to the driver (the argmax pair — bounded like the IVF
+centroid precedent). Symbol merging is a row-local higher-order fold —
+no UDFs anywhere in the loop. Lineage is cut with localCheckpoint per
+iteration (components.py precedent) so n_merges doesn't build an
+n_merges-deep plan.
+
+Greedy left-to-right merge semantics match the reference algorithm
+(non-overlapping scan: 'aaa' + (a,a) → ['aa','a']), pinned against a
+pure-Python twin in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+END_OF_WORD = "</w>"
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus → (word, n) word-type table. The only corpus-sized
+    shuffle in BPE training."""
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _initial_symbols(word: Column) -> Column:
+    """Characters with END_OF_WORD glued to the last one:
+    'low' → ['l', 'o', 'w</w>']."""
+    # Spark's split keeps the trailing empty string a zero-width match
+    # at end-of-input produces (unlike Java's default trim) — drop it,
+    # or the marker would glue onto '' instead of the last character
+    chars = F.filter(F.split(word, "(?!^)"), lambda c: c != "")
+    n = F.size(chars)
+    return F.concat(
+        F.slice(chars, 1, n - 1),
+        F.array(F.concat(F.element_at(chars, -1), F.lit(END_OF_WORD))),
+    )
+
+
+def _adjacent_pairs(syms: Column) -> Column:
+    """[(s_i, s_i+1)] structs; [] for single-symbol words (explicit
+    guard — Spark's sequence(1, 0) is a DESCENDING sequence)."""
+    return F.when(
+        F.size(syms) > 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.struct(
+                F.element_at(syms, i).alias("left"),
+                F.element_at(syms, i + 1).alias("right"),
+            ),
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<left:string,right:string>>"))
+
+
+def _merge_pair(syms: Column, a: str, b: str) -> Column:
+    """Row-local greedy left-to-right merge of adjacent (a, b) → ab.
+    Fold with a (out, pend) accumulator: pend is the one-symbol
+    lookbehind; a merge consumes it, anything else flushes it."""
+    merged = a + b
+
+    def step(acc, x):
+        flush = F.struct(
+            F.concat(acc["out"], F.array(acc["pend"])).alias("out"),
+            x.alias("pend"),
+        )
+        merge = F.struct(
+            F.concat(acc["out"], F.array(F.lit(merged))).alias("out"),
+            F.lit(None).cast("string").alias("pend"),
+        )
+        take = F.struct(acc["out"].alias("out"), x.alias("pend"))
+        return F.when(acc["pend"].isNull(), take).otherwise(
+            F.when((acc["pend"] == a) & (x == b), merge).otherwise(flush)
+        )
+
+    return F.aggregate(
+        syms,
+        F.struct(
+            F.expr("array()").cast("array<string>").alias("out"),
+            F.lit(None).cast("string").alias("pend"),
+        ),
+        step,
+        lambda acc: F.when(acc["pend"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["pend"]))
+        ),
+    )
+
+
+def train_bpe(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    checkpoint_every: int = 3,
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` ranked merges; returns
+    [(left, right, pair_count), ...] in rank order. Ties break by
+    (count desc, left asc, right asc) — byte-deterministic across
+    partitionings. Only n_merges single-row collects reach the driver.
+
+    ``checkpoint_every`` balances lineage depth against checkpoint
+    jobs: between cuts each argmax re-runs up to that many row-local
+    merge folds over the vocabulary table — cheaper than materializing
+    it every iteration (measured ~2× on the bench corpus)."""
+    vocab = word_counts(docs, text_col).select(
+        _initial_symbols(F.col("word")).alias("syms"), "n"
+    )
+    vocab = vocab.localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int]] = []
+    since_checkpoint = 0
+    for _ in range(n_merges):
+        best = (
+            vocab.select(F.explode(_adjacent_pairs(F.col("syms"))).alias("p"), "n")
+            .groupBy("p.left", "p.right")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("left").asc(), F.col("right").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < 2:
+            break  # nothing left worth merging
+        a, b, cnt = best[0]["left"], best[0]["right"], int(best[0]["cnt"])
+        merges.append((a, b, cnt))
+        vocab = vocab.select(_merge_pair(F.col("syms"), a, b).alias("syms"), "n")
+        since_checkpoint += 1
+        if since_checkpoint >= checkpoint_every:
+            vocab = vocab.localCheckpoint(eager=True)
+            since_checkpoint = 0
+    return merges
+
+
+def merges_df(spark, merges: list[tuple[str, str, int]]) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "rank int, left string, right string, pair_count long",
+    )
+
+
+def encode_words(words: DataFrame, merges: list[tuple[str, str, int]]) -> DataFrame:
+    """(word, …) table → + tokens array<string>: replay the ranked
+    merges as a chain of row-local folds (n_merges nested expressions —
+    fine for the tens-of-merges contract scale; a production-sized
+    merge table would move this one step to a dict-driven pandas UDF,
+    same semantics)."""
+    syms = _initial_symbols(F.col("word"))
+    for a, b, _ in merges:
+        syms = _merge_pair(syms, a, b)
+    return words.withColumn("tokens", syms)
+
+
+def bpe_token_stats(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document BPE token counts: encode the word-TYPE table once,
+    equi-join it back to the exploded corpus (never re-encode repeated
+    words), sum per document. Two shuffles total (word join + doc agg)."""
+    exploded = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    encoded = encode_words(
+        exploded.select("word").distinct(), merges
+    ).select("word", F.size("tokens").alias("n_word_tokens"))
+    return (
+        exploded.join(encoded, on="word")
+        .groupBy(id_col)
+        .agg(F.sum("n_word_tokens").alias("n_bpe_tokens"))
+    )

@@ -1,0 +1,145 @@
+"""BPE training/encoding pinned against a pure-Python reference
+implementation (Sennrich et al. 2016 semantics: word-type counts,
+greedy non-overlapping left-to-right merges, (count desc, pair asc)
+tie-break)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from jane_spark.operators.bpe import (
+    END_OF_WORD,
+    bpe_token_stats,
+    encode_words,
+    merges_df,
+    train_bpe,
+)
+
+
+def py_train_bpe(texts: list[str], n_merges: int):
+    wc = Counter(w for t in texts for w in t.split(" ") if w)
+    vocab: dict[tuple, int] = {}
+    for w, n in wc.items():
+        syms = list(w)
+        syms[-1] += END_OF_WORD
+        vocab[tuple(syms)] = vocab.get(tuple(syms), 0) + n
+    merges = []
+    for _ in range(n_merges):
+        pc: Counter = Counter()
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += n
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if cnt < 2:
+            break
+        merges.append((a, b, cnt))
+        vocab = _py_apply_merge(vocab, a, b)
+    return merges
+
+
+def _py_apply_merge(vocab, a, b):
+    out_vocab: dict[tuple, int] = {}
+    for syms, n in vocab.items():
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        t = tuple(out)
+        out_vocab[t] = out_vocab.get(t, 0) + n
+    return out_vocab
+
+
+def py_encode(word: str, merges) -> list[str]:
+    syms = list(word)
+    syms[-1] += END_OF_WORD
+    for a, b, _ in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+CORPUS = [
+    "low low low lower lower newest newest newest newest widest widest",
+    "the newest gadget is the widest gadget",
+    "a lone z",
+]
+
+
+def test_train_matches_python_twin(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    )
+    assert train_bpe(docs, 10) == py_train_bpe(CORPUS, 10)
+
+
+def test_train_on_driver_corpus_matches_twin(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    texts = [r.text for r in docs.select("text").collect()]
+    assert train_bpe(docs, 6) == py_train_bpe(texts, 6)
+
+
+def test_greedy_overlap_semantics(spark):
+    # 'aaa' + merge (a,a): non-overlapping left-to-right -> ['aa','a</w>']
+    docs = spark.createDataFrame([(0, "aaa aaa")], "doc_id long, text string")
+    merges = train_bpe(docs, 1)
+    assert merges[0][:2] == ("a", "a")
+    words = spark.createDataFrame([("aaa",), ("aaaa",)], "word string")
+    enc = {r.word: r.tokens for r in encode_words(words, merges).collect()}
+    assert enc["aaa"] == ["aa", "a" + END_OF_WORD]
+    assert enc["aaaa"] == py_encode("aaaa", merges)
+
+
+def test_encode_matches_python_twin(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    )
+    merges = train_bpe(docs, 8)
+    words = sorted({w for t in CORPUS for w in t.split(" ") if w})
+    wdf = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {r.word: r.tokens for r in encode_words(wdf, merges).collect()}
+    for w in words:
+        assert got[w] == py_encode(w, merges), w
+        # round trip: concatenating tokens reproduces the word + marker
+        assert "".join(got[w]) == w + END_OF_WORD
+
+
+def test_token_stats_matches_python_twin(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    )
+    merges = train_bpe(docs, 8)
+    got = {r.doc_id: r.n_bpe_tokens for r in bpe_token_stats(docs, merges).collect()}
+    want = {
+        i: sum(len(py_encode(w, merges)) for w in t.split(" ") if w)
+        for i, t in enumerate(CORPUS)
+    }
+    assert got == want
+
+
+def test_merges_df_shape(spark):
+    docs = spark.createDataFrame([(0, "ab ab ab")], "doc_id long, text string")
+    df = merges_df(spark, train_bpe(docs, 3))
+    rows = df.collect()
+    assert [r.rank for r in rows] == list(range(len(rows)))
+    assert rows[0].pair_count >= rows[-1].pair_count
+
+
+def test_train_stops_when_dry(spark):
+    # every word unique single char: no pair reaches count 2
+    docs = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    assert train_bpe(docs, 5) == []
