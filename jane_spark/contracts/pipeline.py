@@ -506,3 +506,34 @@ def q_t15(spark, sf_dir):
         ),
         F.md5(clean).alias("clean_md5"),
     )
+
+
+@contract(
+    "q_p10_wds_shards",
+    oracle=None,  # shard assignment is xxhash64 (no DuckDB twin); the
+    # archive layout/determinism guarantees are pytest-pinned
+    survey_rows="P10,K7",
+    doc="WebDataset tar-shard packing (sources/corpus_export."
+    "webdataset_shards): samples → hash-assigned shards, key-sorted "
+    "within shard, zeroed tar metadata ⇒ byte-identical re-runs "
+    "(md5 column witnesses it); ONE shuffle, each archive built in "
+    "one task's memory — the real multimodal loader format",
+)
+def q_p10(spark, sf_dir):
+    docs = Catalog(spark, sf_dir).documents
+    src = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("key"),
+        "text",
+        F.to_json(F.struct("lang", "source", "n_chars")).alias("meta"),
+    )
+    from jane_spark.sources.corpus_export import webdataset_shards
+
+    shards = webdataset_shards(
+        src, "key", {"txt": "text", "json": "meta"}, n_shards=8
+    )
+    return shards.select(
+        "shard_id",
+        "n_samples",
+        F.length("tar").alias("tar_bytes"),
+        F.md5("tar").alias("tar_md5"),
+    )
