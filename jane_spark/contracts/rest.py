@@ -192,3 +192,71 @@ def q_r3(spark, sf_dir):
         doc_type="orders",
         doc_id_col="o_custkey",
     )
+
+
+_ESC = (
+    "replace(replace(replace(replace({c}, '&', '&amp;'), "
+    "'<', '&lt;'), '>', '&gt;'), '\"', '&quot;')"
+)
+
+
+@contract(
+    "q_r4_rest_xml",
+    oracle=f"""
+        WITH page AS (
+            SELECT * FROM (
+                SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+                       row_number() OVER (
+                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                FROM orders
+                WHERE o_totalprice >= 100000.0)
+            WHERE rn <= 200),
+        counts AS (
+            SELECT l_orderkey, count(*) AS n
+            FROM lineitem GROUP BY l_orderkey)
+        SELECT p.o_orderkey AS id,
+               concat('<index id="', CAST(p.o_orderkey AS VARCHAR),
+                      '" type="orders" document="', {_ESC.format(c="c.c_name")},
+                      '" attachments="',
+                      CAST(COALESCE(ct.n, 0) AS VARCHAR), '">',
+                      '<status>', {_ESC.format(c="p.o_orderstatus")},
+                      '</status><priority>',
+                      {_ESC.format(c="p.o_orderpriority")},
+                      '</priority></index>') AS xml
+        FROM page p
+        LEFT JOIN customer c ON p.o_custkey = c.c_custkey
+        LEFT JOIN counts ct ON p.o_orderkey = ct.l_orderkey
+    """,
+    survey_rows="R3,A8",
+    doc="REST format=xml renderer: same search→page→join shape as the "
+    "JSON serializer, payload fields as ESCAPED child elements and "
+    "metadata as escaped attributes — the DRF XML renderer over pure "
+    "string expressions, byte-checked against a replace-chain oracle",
+)
+def q_r4(spark, sf_dir):
+    from jane_spark.services.rest_api import serialize_indices_xml
+
+    cat = Catalog(spark, sf_dir)
+    documents = cat.customer.select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_name").alias("name"),
+    )
+    attachments = cat.lineitem.select(F.col("l_orderkey").alias("index_id"))
+    params = {
+        "min_o_totalprice": "100000.0",
+        "ordering": "-o_totalprice",
+        "limit": "200",
+    }
+    page = index_search(cat.orders, _ORDER_META, params, id_col="o_orderkey")
+    return serialize_indices_xml(
+        page,
+        documents,
+        attachments,
+        payload_fields=[
+            ("status", F.col("o_orderstatus")),
+            ("priority", F.col("o_orderpriority")),
+        ],
+        id_col="o_orderkey",
+        doc_type="orders",
+        doc_id_col="o_custkey",
+    )

@@ -182,3 +182,55 @@ def document_list(
     if limit is not None:
         latest = paged(latest, order, offset, limit)
     return latest.orderBy(*order)
+
+
+def serialize_indices_xml(
+    indices: DataFrame,
+    documents: DataFrame,
+    attachments: DataFrame | None,
+    payload_fields: list[tuple[str, Column]],
+    id_col: str,
+    doc_type: str,
+    doc_id_col: str = "doc_id",
+    attachment_fk: str = "index_id",
+) -> DataFrame:
+    """``format=xml`` twin of ``serialize_indices`` (jane's DRF
+    renderer set serves both): one ``<index>`` element per row, payload
+    fields as escaped child elements, document metadata and attachment
+    count as attributes. Same join shape as the JSON path — pure
+    row-local string construction on top (functions/xml)."""
+    from jane_spark.functions.xml import xml_attr, xml_element, xml_escape
+
+    doc_meta = documents.select(
+        F.col(doc_id_col),
+        F.col("name").alias("__doc_name"),
+    )
+    out = indices.join(doc_meta, on=doc_id_col, how="left")
+    if attachments is not None:
+        counts = attachments.groupBy(
+            F.col(attachment_fk).alias("__att_fk")
+        ).agg(F.count(F.lit(1)).alias("__att_n"))
+        out = out.join(
+            counts, on=out[id_col] == counts["__att_fk"], how="left"
+        ).drop("__att_fk")
+    else:
+        out = out.withColumn("__att_n", F.lit(None).cast("long"))
+    # index payloads are free text — escaped in content position, the
+    # same discipline xml_attr applies to attributes
+    children = F.concat(
+        *[
+            xml_element(name, xml_escape(col.cast("string")))
+            for name, col in payload_fields
+        ]
+    )
+    return out.select(
+        F.col(id_col).alias("id"),
+        xml_element(
+            "index",
+            children,
+            xml_attr("id", F.col(id_col)),
+            xml_attr("type", F.lit(doc_type)),
+            xml_attr("document", F.col("__doc_name")),
+            xml_attr("attachments", F.coalesce(F.col("__att_n"), F.lit(0))),
+        ).alias("xml"),
+    )

@@ -170,3 +170,49 @@ def write_webdataset(
 
     shards.foreachPartition(save)
     return shards.count()
+
+
+def read_webdataset(
+    spark: SparkSession,
+    path: str,
+    members: dict[str, str],
+) -> DataFrame:
+    """Source twin of ``webdataset_shards``: scan ``shard-*.tar`` files
+    (binaryFile — distributed, one task per shard) and un-tar each into
+    sample rows: ``key`` + one binary column per requested extension
+    (NULL when a sample lacks that member; unrequested extensions are
+    ignored). Samples group by the member filename's stem, exactly the
+    WebDataset convention, so archives produced by any writer load."""
+    import io
+    import tarfile
+
+    import pandas as pd
+
+    ext_to_col = dict(members)
+    out_cols = list(ext_to_col.values())
+    schema = "key string, " + ", ".join(f"{c} binary" for c in out_cols)
+
+    def untar(batches):
+        for pdf in batches:
+            keys: list[str] = []
+            data: dict[str, list] = {c: [] for c in out_cols}
+            for payload in pdf["content"]:
+                samples: dict[str, dict[str, bytes]] = {}
+                with tarfile.open(fileobj=io.BytesIO(bytes(payload))) as tf:
+                    for info in tf:
+                        if not info.isfile() or "." not in info.name:
+                            continue
+                        key, ext = info.name.rsplit(".", 1)
+                        if ext not in ext_to_col:
+                            continue
+                        samples.setdefault(key, {})[ext] = tf.extractfile(
+                            info
+                        ).read()
+                for key in sorted(samples):
+                    keys.append(key)
+                    for ext, col in ext_to_col.items():
+                        data[col].append(samples[key].get(ext))
+            yield pd.DataFrame({"key": keys, **data})
+
+    binary = spark.read.format("binaryFile").load(path)
+    return binary.select("content").mapInPandas(untar, schema)

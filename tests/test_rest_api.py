@@ -146,3 +146,23 @@ def test_serialize_indices_no_attachment_table(spark):
         indices, documents, None, [F.col("s")], "iid", "t"
     ).collect()[0]
     assert row.attachments_count == 0
+
+
+def test_serialize_indices_xml_escapes_content(spark):
+    from jane_spark.services.rest_api import serialize_indices_xml
+
+    indices = spark.createDataFrame(
+        [(1, 10, 'a<b&"c')], "iid long, doc_id long, status string"
+    )
+    documents = spark.createDataFrame(
+        [(10, 'Doc<&>"', "ct")], "doc_id long, name string, content_type string"
+    )
+    row = serialize_indices_xml(
+        indices, documents, None,
+        [("status", F.col("status"))], "iid", "t",
+    ).collect()[0]
+    assert row.xml == (
+        '<index id="1" type="t" document="Doc&lt;&amp;&gt;&quot;"'
+        ' attachments="0">'
+        "<status>a&lt;b&amp;&quot;c</status></index>"
+    )
