@@ -127,13 +127,16 @@ _R6_NEW = [
     # NOT fronted — the 50-slot window holds exactly the 29 never-
     # driver-verified round-6 queries above plus the 21 round-2-stale
     # veterans below, which displaces (a) the late-round additions
-    # q_t20_clf_score / q_k21_quality_clf / q_t21_dupremove and (b) the
+    # q_t20_clf_score / q_k21_quality_clf / q_t21_dupremove, (b) the
     # "code changed this round, re-verify" block (q_a8_station_xml …
-    # q_d6_gaps, q_k7_resize with its new GIF fixture). (b) was last
-    # hash-verified r5 and every one of those paths is covered by the
-    # full sf0.01 oracle-parity pytest run this round; never-verified
-    # evidence outranks re-verification when slots run out. Both sets
-    # are the FIRST names to rotate into round 7's window.
+    # q_d6_gaps, q_k7_resize with its new GIF fixture), and (c) the
+    # round-6 LATE-wave additions (q_r1–q_r4 REST door, q_t22/q_t23
+    # URL curation, q_i9 stream-stream join, q_k22_* BPE,
+    # q_p10_wds_shards). (b) was last hash-verified r5; (a) and (c)
+    # are covered by the full sf0.01 oracle-parity pytest run this
+    # round; never-verified evidence outranks re-verification when
+    # slots run out. (a) then (c) then (b) are the FIRST names to
+    # rotate into round 7's window.
 ]
 VERIFY_FIRST = _R6_NEW + [
     n for n in VERIFY_FIRST if n not in _R6_NEW

@@ -334,3 +334,51 @@ def test_phash_near_pairs_no_cartesian(spark):
     plan = _executed_plan(phash_near_pairs(sig, "item_id", max_hamming=6))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rest_serializer_preaggregates_attachments(spark, sf_dir):
+    """The REST serializer must aggregate attachment counts BELOW the
+    join (index rows never join raw attachment rows) and must not plan
+    a nested-loop join anywhere."""
+    from jane_spark.contracts import REGISTRY
+
+    plan = _executed_plan(REGISTRY["q_r3_rest_serialize"].spark_fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # partial+final hash agg of the lineitem counts feeds the join
+    assert "HashAggregate" in plan
+
+
+def test_domain_cap_single_domain_shuffle(spark, sf_dir):
+    """T23: the per-domain cap is ONE shuffle keyed on the registrable
+    domain (the window's hashpartitioning) — no joins, no extra
+    exchanges beyond the window + the scan-side AQE reads."""
+    from jane_spark.contracts import REGISTRY
+
+    plan = _executed_plan(REGISTRY["q_t23_domaincap"].spark_fn(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "domain" in plan
+
+
+def test_bpe_pair_count_partial_aggregates(spark, sf_dir):
+    """K22: the pair-count shuffle must carry combined counts (partial
+    + final HashAggregate), and the top-1/top-50 must plan as
+    TakeOrdered, never a global sort of all pairs."""
+    from jane_spark.contracts import REGISTRY
+
+    plan = _executed_plan(REGISTRY["q_k22_bpe_pairs"].spark_fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalSort" not in plan
+
+
+def test_stream_join_batch_plan_shape(spark, sf_dir):
+    """I9 batch path: equi-join on the user key with the time bound as
+    a join-level residual — SortMergeJoin or ShuffledHashJoin on the
+    key, never a nested loop over the range condition."""
+    from jane_spark.contracts import REGISTRY
+
+    plan = _executed_plan(REGISTRY["q_i9_stream_join"].spark_fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
