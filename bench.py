@@ -89,6 +89,7 @@ BENCH_QUERIES = {
     # shuffle-bound on the vocab table, which is the designed shape
     "bpe_pairs": "q_k22_bpe_pairs",
     "bpe_train": "q_k22_bpe_train",
+    "stupid_backoff": "q_t24_stupid_backoff",
 }
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
@@ -137,6 +138,7 @@ CALIBRATION = {
     "urlnorm": 0.0051,
     "domain_cap": 0.0113,
     "bpe_pairs": 0.0468,
+    "stupid_backoff": 0.2239,
 }
 
 

@@ -1017,3 +1017,64 @@ def q_k22_encode(spark, sf_dir):
     docs = Catalog(spark, sf_dir).documents
     merges = train_bpe(docs, n_merges=8)
     return bpe_token_stats(docs, merges)
+
+
+_SB_ORACLE = """
+WITH base AS (SELECT doc_id, source,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents),
+pos AS (SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks)),
+                   i -> struct_pack(prev := CASE WHEN i > 1 THEN toks[i-1] END,
+                                    cur := toks[i]))) AS p
+        FROM base),
+flat AS (SELECT doc_id, p.prev AS prev, p.cur AS cur FROM pos),
+train AS (SELECT toks FROM base WHERE source = 'src0'),
+unic AS (SELECT w, count(*) AS c
+         FROM (SELECT unnest(toks) AS w FROM train) GROUP BY w),
+bic AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c
+        FROM (SELECT unnest(list_transform(generate_series(2, len(toks)),
+                  i -> struct_pack(w1 := toks[i-1], w2 := toks[i]))) AS p
+              FROM train)
+        GROUP BY p.w1, p.w2),
+nt AS (SELECT CAST(sum(c) AS DOUBLE) AS N FROM unic),
+sc AS (SELECT f.doc_id,
+              CASE WHEN f.prev IS NULL
+                       THEN coalesce(CAST(uc.c AS DOUBLE), 1.0) / nt.N
+                   WHEN bc.c IS NOT NULL
+                       THEN CAST(bc.c AS DOUBLE) / CAST(up.c AS DOUBLE)
+                   ELSE 0.4 * (coalesce(CAST(uc.c AS DOUBLE), 1.0) / nt.N)
+              END AS s
+       FROM flat f
+       LEFT JOIN unic uc ON f.cur = uc.w
+       LEFT JOIN unic up ON f.prev = up.w
+       LEFT JOIN bic bc ON f.prev = bc.w1 AND f.cur = bc.w2
+       CROSS JOIN nt)
+SELECT doc_id, count(*) AS n_tokens, round(-avg(ln(s)), 4) AS nll
+FROM sc GROUP BY doc_id
+"""
+
+
+@contract(
+    "q_t24_stupid_backoff",
+    oracle=_SB_ORACLE,
+    survey_rows="K5,T13",
+    doc="word-bigram Stupid Backoff LM score (Brants et al. 2007 — the "
+    "backoff scheme built FOR distributed count tables: raw counts, "
+    "fixed alpha=0.4, no normalization pass): counts trained on the "
+    "source='src0' slice, every document scored by mean negative log "
+    "score; first position scores as unigram MLE, unseen bigrams back "
+    "off, OOV words take pseudo-count 1. Count tables broadcast "
+    "(vocabulary-bounded); the only corpus-keyed shuffle is the "
+    "per-doc average (operators.curation.train_bigram_lm / "
+    "stupid_backoff_score)",
+)
+def q_t24(spark, sf_dir):
+    from jane_spark.operators.curation import (
+        stupid_backoff_score,
+        train_bigram_lm,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    uni, bi = train_bigram_lm(docs.filter(F.col("source") == "src0"), "text")
+    return stupid_backoff_score(docs, "doc_id", "text", uni, bi)

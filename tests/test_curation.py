@@ -898,3 +898,41 @@ def test_dup_span_removal_short_and_unique_docs_unchanged(spark):
     for i, t in ((1, "tiny"), (2, "abcdefghijklmnopqrstuvwxyz0123456789")):
         assert out[i]["clean_text"] == t
         assert out[i]["removed_chars"] == 0 and out[i]["n_spans"] == 0
+
+
+def test_stupid_backoff_hand_computed(spark):
+    import math
+
+    from jane_spark.operators.curation import (
+        stupid_backoff_score,
+        train_bigram_lm,
+    )
+
+    # train corpus: "a b a b" -> uni: a:2 b:2 (N=4); bi: ab:2, ba:1
+    train = spark.createDataFrame([(0, "a b a b")], "doc_id long, text string")
+    uni, bi = train_bigram_lm(train, "text")
+    assert {(r.w, r.c) for r in uni.collect()} == {("a", 2), ("b", 2)}
+    assert {(r.w1, r.w2, r.c) for r in bi.collect()} == {("a", "b", 2), ("b", "a", 1)}
+
+    # score "a b z": S(a)=2/4; S(b|a)=c(ab)/c(a)=2/2=1; S(z|b)=0.4*(1/4) OOV
+    docs = spark.createDataFrame([(1, "a b z")], "doc_id long, text string")
+    row = stupid_backoff_score(docs, "doc_id", "text", uni, bi).collect()[0]
+    want = -(math.log(0.5) + math.log(1.0) + math.log(0.4 * 0.25)) / 3
+    assert row.n_tokens == 3
+    assert abs(row.nll - round(want, 4)) < 1e-9
+
+
+def test_stupid_backoff_single_and_empty_token_docs(spark):
+    from jane_spark.operators.curation import (
+        stupid_backoff_score,
+        train_bigram_lm,
+    )
+
+    train = spark.createDataFrame([(0, "x y")], "doc_id long, text string")
+    uni, bi = train_bigram_lm(train, "text")
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in stupid_backoff_score(docs, "doc_id", "text", uni, bi).collect()}
+    assert rows[1].n_tokens == 1  # unigram-only doc scores
+    assert 2 not in rows  # empty doc yields no positions, no row
