@@ -24,7 +24,10 @@ from pyspark.sql import functions as F
 # RFC 3986-shaped splitter (scheme://authority path ?query #fragment).
 # One regex, three extracts — Spark and DuckDB run the same RE2.
 _URL_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)"
-_QUERY_RE = r"\?([^#]*)"
+# the query starts at the first '?' BEFORE any '#' — a '?' inside the
+# fragment is fragment text, not a query (caught by the randomized
+# component test: '...#a?b=1' must not yield query 'b=1')
+_QUERY_RE = r"^[^#?]*\?([^#]*)"
 
 #: Tracking parameters stripped by normalization: the industry-standard
 #: analytics/click identifiers that vary per visit without changing the

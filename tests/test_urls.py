@@ -120,3 +120,69 @@ def test_urlnorm_plan_stays_codegen(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ------------------------------------------------- randomized batch test
+
+import random
+import re
+
+_TRACK_RE = re.compile(r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|ref)(=|$)")
+
+
+def _ref_normalize(scheme, user, host, port, path, params, frag):
+    """Pure-Python spec twin built from COMPONENTS (never parses), the
+    randomized analogue of the q_t22 construct-vs-parse oracle."""
+    s, h = scheme.lower(), host.lower()
+    keep_port = port not in ("",) and not (
+        (s == "http" and port == "80") or (s == "https" and port == "443")
+    )
+    kept = sorted(p for p in params if p != "" and not _TRACK_RE.match(p))
+    return (
+        s + "://" + h
+        + (":" + port if keep_port else "")
+        + (path if path else "/")
+        + ("?" + "&".join(kept) if kept else "")
+    )
+
+
+def test_url_normalize_randomized_components(spark):
+    rng = random.Random(42)
+    schemes = ["http", "HTTP", "https", "HtTpS", "Ftp"]
+    tlds = ["com", "org", "co.uk", "com.au", "io"]
+    param_pool = [
+        "a=1", "b=2", "Z=z", "k", "k=", "refresh=1", "ref=hn", "ref",
+        "utm_source=x", "utm_campaign", "fbclid=abc", "gclid", "msclkid=1",
+        "mc_eid=7", "x=%41", "dup=1", "dup=2",
+    ]
+    cases = []
+    for i in range(400):
+        scheme = rng.choice(schemes)
+        user = rng.choice(["", "", "bob@", "a:pw@"])
+        host = (
+            rng.choice(["", "WWW.", "Sub.DOM."])
+            + f"Host{i % 37}."
+            + rng.choice(tlds)
+        )
+        port = rng.choice(["", "", "80", "443", "8080", "1"])
+        n_seg = rng.randint(0, 3)
+        path = "".join(f"/Seg{rng.randint(0, 9)}" for _ in range(n_seg))
+        params = rng.sample(param_pool, rng.randint(0, 5))
+        frag = rng.choice(["", "#frag", "#a?b=1"])
+        url = (
+            scheme + "://" + user + host
+            + (":" + port if port else "")
+            + path
+            + ("?" + "&".join(params) if params else "")
+            + frag
+        )
+        cases.append((url, _ref_normalize(scheme, user, host, port, path, params, frag)))
+
+    from jane_spark.functions.urls import url_normalize
+
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r.norm for r in df.select(url_normalize(F.col("url")).alias("norm")).collect()
+    ]
+    for (url, want), g in zip(cases, got):
+        assert g == want, f"{url!r}: {g!r} != {want!r}"
