@@ -131,8 +131,9 @@ _R6_NEW = [
     # "code changed this round, re-verify" block (q_a8_station_xml …
     # q_d6_gaps, q_k7_resize with its new GIF fixture), and (c) the
     # round-6 LATE-wave additions (q_r1–q_r4 REST door, q_t22/q_t23
-    # URL curation, q_i9 stream-stream join, q_k22_* BPE,
-    # q_p10_wds_shards). (b) was last hash-verified r5; (a) and (c)
+    # URL curation, q_t24_stupid_backoff, q_i9 stream-stream join,
+    # q_k22_* BPE, q_p10_wds_shards). (b) was last hash-verified r5;
+    # (a) and (c)
     # are covered by the full sf0.01 oracle-parity pytest run this
     # round; never-verified evidence outranks re-verification when
     # slots run out. (a) then (c) then (b) are the FIRST names to

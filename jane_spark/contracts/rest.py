@@ -216,8 +216,15 @@ _ESC = (
             FROM lineitem GROUP BY l_orderkey)
         SELECT p.o_orderkey AS id,
                concat('<index id="', CAST(p.o_orderkey AS VARCHAR),
-                      '" type="orders" document="', {_ESC.format(c="c.c_name")},
-                      '" attachments="',
+                      '" type="orders"',
+                      -- xml_attr omits the WHOLE attribute for NULL
+                      -- (DuckDB concat would skip only the NULL piece,
+                      -- leaving document="" — semantics must match)
+                      CASE WHEN c.c_name IS NULL THEN ''
+                           ELSE concat(' document="',
+                                       {_ESC.format(c="c.c_name")}, '"')
+                      END,
+                      ' attachments="',
                       CAST(COALESCE(ct.n, 0) AS VARCHAR), '">',
                       '<status>', {_ESC.format(c="p.o_orderstatus")},
                       '</status><priority>',

@@ -95,20 +95,54 @@ def index_search(
     search, ordering, limit, offset, _fmt = parse_rest_params(params, meta)
     out = indices.filter(compile_params(search, meta))
     order = ordering_columns(ordering, id_col)
+    return _apply_paging(out, order, limit, offset).orderBy(*order)
+
+
+def _apply_paging(
+    df: DataFrame, order: list[Column], limit: int | None, offset: int
+) -> DataFrame:
+    """Shared paging tail for both endpoints: limit+offset is the F2
+    window; offset WITHOUT limit = "the rest" (DRF allows it) as a
+    one-sided row_number cut rather than a bogus huge limit."""
     if limit is not None:
-        out = paged(out, order, offset, limit)
-    elif offset:
-        # offset without limit = "the rest" (DRF allows it); express as
-        # a one-sided row_number cut rather than a bogus huge limit.
+        return paged(df, order, offset, limit)
+    if offset:
         from pyspark.sql import Window
 
         w = Window.orderBy(*order)
-        out = (
-            out.withColumn("__rn", F.row_number().over(w))
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") > offset)
             .drop("__rn")
         )
-    return out.orderBy(*order)
+    return df
+
+
+def _join_document_and_counts(
+    indices: DataFrame,
+    documents: DataFrame,
+    attachments: DataFrame | None,
+    id_col: str,
+    doc_id_col: str,
+    attachment_fk: str,
+    doc_cols: list[Column],
+    count_alias: str,
+) -> DataFrame:
+    """Shared serializer prelude (both renderers): left-join parent-
+    document metadata (C1) and PRE-AGGREGATED attachment counts (C2 —
+    the index never meets raw attachment rows; plan-guarded)."""
+    doc_meta = documents.select(F.col(doc_id_col), *doc_cols)
+    out = indices.join(doc_meta, on=doc_id_col, how="left")
+    if attachments is not None:
+        counts = attachments.groupBy(
+            F.col(attachment_fk).alias("__att_fk")
+        ).agg(F.count(F.lit(1)).alias(count_alias))
+        out = out.join(
+            counts, on=out[id_col] == counts["__att_fk"], how="left"
+        ).drop("__att_fk")
+    else:
+        out = out.withColumn(count_alias, F.lit(None).cast("long"))
+    return out
 
 
 def serialize_indices(
@@ -130,21 +164,19 @@ def serialize_indices(
     document (C1), ``attachments_count`` (C2, zero for none), and the
     resource ``url`` path. Attachment counts are aggregated before the
     join — the index never joins against raw attachment rows."""
-    doc_meta = documents.select(
-        F.col(doc_id_col),
-        F.col("name").alias("document_name"),
-        F.col("content_type").alias("document_content_type"),
+    out = _join_document_and_counts(
+        indices,
+        documents,
+        attachments,
+        id_col,
+        doc_id_col,
+        attachment_fk,
+        doc_cols=[
+            F.col("name").alias("document_name"),
+            F.col("content_type").alias("document_content_type"),
+        ],
+        count_alias="attachments_count",
     )
-    out = indices.join(doc_meta, on=doc_id_col, how="left")
-    if attachments is not None:
-        counts = attachments.groupBy(
-            F.col(attachment_fk).alias("__att_fk")
-        ).agg(F.count(F.lit(1)).alias("attachments_count"))
-        out = out.join(
-            counts, on=out[id_col] == counts["__att_fk"], how="left"
-        ).drop("__att_fk")
-    else:
-        out = out.withColumn("attachments_count", F.lit(None).cast("long"))
     return out.select(
         F.col(id_col).alias("id"),
         F.to_json(F.struct(*payload_fields)).alias("payload"),
@@ -179,9 +211,7 @@ def document_list(
         hits, [name_col], [F.col(version_col).desc(), F.col(id_col).desc()]
     )
     order = ordering_columns(ordering, id_col)
-    if limit is not None:
-        latest = paged(latest, order, offset, limit)
-    return latest.orderBy(*order)
+    return _apply_paging(latest, order, limit, offset).orderBy(*order)
 
 
 def serialize_indices_xml(
@@ -201,20 +231,16 @@ def serialize_indices_xml(
     row-local string construction on top (functions/xml)."""
     from jane_spark.functions.xml import xml_attr, xml_element, xml_escape
 
-    doc_meta = documents.select(
-        F.col(doc_id_col),
-        F.col("name").alias("__doc_name"),
+    out = _join_document_and_counts(
+        indices,
+        documents,
+        attachments,
+        id_col,
+        doc_id_col,
+        attachment_fk,
+        doc_cols=[F.col("name").alias("__doc_name")],
+        count_alias="__att_n",
     )
-    out = indices.join(doc_meta, on=doc_id_col, how="left")
-    if attachments is not None:
-        counts = attachments.groupBy(
-            F.col(attachment_fk).alias("__att_fk")
-        ).agg(F.count(F.lit(1)).alias("__att_n"))
-        out = out.join(
-            counts, on=out[id_col] == counts["__att_fk"], how="left"
-        ).drop("__att_fk")
-    else:
-        out = out.withColumn("__att_n", F.lit(None).cast("long"))
     # index payloads are free text — escaped in content position, the
     # same discipline xml_attr applies to attributes
     children = F.concat(

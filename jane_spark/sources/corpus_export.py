@@ -168,21 +168,31 @@ def write_webdataset(
             ) as f:
                 f.write(bytes(r["tar"]))
 
-    shards.foreachPartition(save)
-    return shards.count()
+    # persist across the two actions: without it, count() re-runs the
+    # whole shuffle + tar packing a second time (applyInPandas cannot
+    # be pruned to a count)
+    shards = shards.persist()
+    try:
+        shards.foreachPartition(save)
+        return shards.count()
+    finally:
+        shards.unpersist()
 
 
 def read_webdataset(
     spark: SparkSession,
     path: str,
     members: dict[str, str],
+    glob: str = "*.tar",
 ) -> DataFrame:
     """Source twin of ``webdataset_shards``: scan ``shard-*.tar`` files
     (binaryFile — distributed, one task per shard) and un-tar each into
     sample rows: ``key`` + one binary column per requested extension
     (NULL when a sample lacks that member; unrequested extensions are
     ignored). Samples group by the member filename's stem, exactly the
-    WebDataset convention, so archives produced by any writer load."""
+    WebDataset convention, so archives produced by any writer load.
+    ``glob`` guards against manifests/_SUCCESS markers sitting next to
+    the shards on shared storage — only matching files are scanned."""
     import io
     import tarfile
 
@@ -214,5 +224,9 @@ def read_webdataset(
                         data[col].append(samples[key].get(ext))
             yield pd.DataFrame({"key": keys, **data})
 
-    binary = spark.read.format("binaryFile").load(path)
+    binary = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
     return binary.select("content").mapInPandas(untar, schema)

@@ -237,3 +237,19 @@ def test_webdataset_reader_missing_member_null(spark, tmp_path):
     back = {r.key: r for r in read_webdataset(spark, out, {"txt": "t", "json": "j"}).collect()}
     assert back["a"].j is None
     assert bytes(back["b"].j) == b"m"
+
+
+def test_webdataset_reader_ignores_non_tar_files(spark, tmp_path):
+    from jane_spark.sources.corpus_export import (
+        read_webdataset,
+        webdataset_shards,
+        write_webdataset,
+    )
+
+    df = spark.createDataFrame([("k", "v")], "key string, text string")
+    out = str(tmp_path / "mixed")
+    write_webdataset(webdataset_shards(df, "key", {"txt": "text"}, 1), out)
+    (tmp_path / "mixed" / "_SUCCESS").write_text("")
+    (tmp_path / "mixed" / "manifest.json").write_text("{}")
+    back = read_webdataset(spark, out, {"txt": "t"}).collect()
+    assert len(back) == 1 and bytes(back[0].t) == b"v"

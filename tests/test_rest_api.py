@@ -166,3 +166,29 @@ def test_serialize_indices_xml_escapes_content(spark):
         ' attachments="0">'
         "<status>a&lt;b&amp;&quot;c</status></index>"
     )
+
+
+def test_document_list_offset_without_limit(spark):
+    docs = spark.createDataFrame(
+        [(i, f"n{i}", 0) for i in range(10)],
+        "doc_id long, name string, version long",
+    )
+    meta = {"name": "str", "version": "int"}
+    base = document_list(docs, {"ordering": "name"}, meta).collect()
+    rest = document_list(docs, {"ordering": "name", "offset": "7"}, meta).collect()
+    assert [r.name for r in rest] == [r.name for r in base][7:]
+
+
+def test_serialize_xml_null_document_omits_attribute(spark):
+    from jane_spark.services.rest_api import serialize_indices_xml
+
+    indices = spark.createDataFrame([(1, 99, "A")], "iid long, doc_id long, s string")
+    documents = spark.createDataFrame(
+        [(10, "d", "ct")], "doc_id long, name string, content_type string"
+    )
+    row = serialize_indices_xml(
+        indices, documents, None, [("s", F.col("s"))], "iid", "t"
+    ).collect()[0]
+    # orphan index row: the document attribute is OMITTED, not empty
+    assert 'document=' not in row.xml
+    assert row.xml.startswith('<index id="1" type="t" attachments="0">')
