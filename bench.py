@@ -90,6 +90,7 @@ BENCH_QUERIES = {
     "bpe_pairs": "q_k22_bpe_pairs",
     "bpe_train": "q_k22_bpe_train",
     "stupid_backoff": "q_t24_stupid_backoff",
+    "web_pipeline": "q_p11_webpipeline",
 }
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
@@ -139,6 +140,7 @@ CALIBRATION = {
     "domain_cap": 0.0113,
     "bpe_pairs": 0.0468,
     "stupid_backoff": 0.2239,
+    "web_pipeline": 0.0304,
 }
 
 

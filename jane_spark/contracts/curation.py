@@ -819,7 +819,7 @@ def q_k16_kmeans(spark, sf_dir):
 # from the same arithmetic parts, so the two derivations are
 # independent (construction vs parse), the strongest twin available.
 _URL_PARTS_SQL = """
-    SELECT doc_id, n_chars,
+    SELECT doc_id, n_chars, text,
            concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'HtTPs' END,
                   '://',
                   CASE WHEN doc_id % 5 = 0 THEN 'bob@' ELSE 'WWW.' END,
@@ -873,7 +873,7 @@ def _synth_urls(spark, sf_dir):
         F.lit("?utm_source=x&b="), (did % 3).cast("string"), F.lit("&a=1"),
         F.lit("#sec"), (did % 2).cast("string"),
     )
-    return docs.select("doc_id", "n_chars", url.alias("url"))
+    return docs.select("doc_id", "n_chars", "text", url.alias("url"))
 
 
 @contract(

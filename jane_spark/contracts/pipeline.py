@@ -537,3 +537,82 @@ def q_p10(spark, sf_dir):
         F.length("tar").alias("tar_bytes"),
         F.md5("tar").alias("tar_md5"),
     )
+
+
+@contract(
+    "q_p11_webpipeline",
+    oracle=None,  # assembled below after the curation module defines the
+    # shared URL-parts SQL (set post-definition to avoid import-order
+    # coupling) — see _P11_ORACLE injection at the bottom of this module
+    survey_rows="P5,T22,T23,K1,P1",
+    doc="end-to-end WEB corpus pipeline in one plan: URL normalize -> "
+    "domain blocklist -> per-domain cap (best-3 by length) -> exact "
+    "text dedup (min doc_id per md5) -> deterministic 80/10/10 split "
+    "-> per-split stats. Shuffle inventory: ONE domain-keyed window, "
+    "ONE fingerprint-keyed window, ONE split aggregate — everything "
+    "else is pushdown-visible projection",
+)
+def q_p11(spark, sf_dir):
+    from jane_spark.contracts.curation import _synth_urls
+    from jane_spark.functions.sampling import split_assign
+    from jane_spark.functions.urls import domain_blocklist_filter, domain_cap
+    from jane_spark.operators.topk import argmax
+
+    u = _synth_urls(spark, sf_dir)
+    kept = domain_blocklist_filter(u, "url", ["site0.com", "site1.co.uk"])
+    capped = domain_cap(
+        kept.drop("domain"), "url", 3,
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+    )
+    deduped = argmax(
+        capped.withColumn("fp", F.md5(F.col("text"))),
+        ["fp"],
+        [F.col("doc_id").asc()],
+    )
+    split = split_assign(
+        F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}, salt="split:"
+    )
+    return (
+        deduped.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("domain").alias("n_domains"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def _install_p11_oracle() -> None:
+    from jane_spark.contracts.curation import _URL_PARTS_SQL
+    from jane_spark.contracts.registry import REGISTRY
+
+    bucket = _DUCK_BUCKET.format(salt="split:", key="doc_id", n=10000)
+    REGISTRY["q_p11_webpipeline"].oracle = f"""
+        WITH parts AS ({_URL_PARTS_SQL}),
+        unblocked AS (SELECT * FROM parts
+                      WHERE expect_domain NOT IN ('site0.com', 'site1.co.uk')),
+        capped AS (SELECT * FROM (
+                       SELECT *, row_number() OVER (
+                           PARTITION BY expect_domain
+                           ORDER BY n_chars DESC, doc_id ASC) AS rn
+                       FROM unblocked)
+                   WHERE rn <= 3),
+        dedup AS (SELECT * FROM (
+                      SELECT *, row_number() OVER (
+                          PARTITION BY md5(text)
+                          ORDER BY doc_id ASC) AS dn
+                      FROM capped)
+                  WHERE dn = 1),
+        b AS (SELECT *, {bucket} AS bucket FROM dedup)
+        SELECT CASE WHEN bucket < 8000 THEN 'train'
+                    WHEN bucket < 9000 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               count(DISTINCT expect_domain) AS n_domains,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM b GROUP BY split
+    """
+
+
+_install_p11_oracle()
