@@ -616,3 +616,26 @@ def _install_p11_oracle() -> None:
 
 
 _install_p11_oracle()
+
+
+@contract(
+    "q_p12_ffd_pack",
+    oracle=None,  # FFD is greedy-sequential; partition-local exactness
+    # is pinned against a Python twin + invariant pytests
+    survey_rows="P4",
+    doc="best-fit-decreasing sequence packing (operators/packing.py): "
+    "documents hash to packer partitions, each runs exact FFD "
+    "(length desc, id tie-break) in one Arrow batch, bins globalized "
+    "as partition/local — ONE (id,length)-pair shuffle; utilization "
+    "and bin-budget invariants pytest-enforced, vs P4's simpler "
+    "cumsum packing",
+)
+def q_p12(spark, sf_dir):
+    from jane_spark.functions.text import token_count
+    from jane_spark.operators.packing import pack_best_fit, packing_stats
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", token_count(F.col("text")).alias("n_tok")
+    )
+    packed = pack_best_fit(docs, "doc_id", "n_tok", budget=512, n_packers=8)
+    return packing_stats(packed, budget=512)

@@ -1,0 +1,108 @@
+"""Best-fit-decreasing sequence packing (north-star: the quality
+packing pass of LLM pre-training prep).
+
+P4's window-cumsum packing fills context blocks in document order —
+simple, one shuffle, but a long document landing mid-block wastes the
+tail (~75–85% utilization in practice). Training stacks that care
+about token efficiency pack with first-fit-decreasing (FFD): sort
+documents longest-first and place each into the first bin with room —
+classically ≤ 11/9·OPT + 1 bins, ≥90% utilization on natural length
+distributions.
+
+FFD is inherently sequential, so the distributed shape is the standard
+partition-local approximation: documents hash to a packer partition
+(deterministic, layout-independent — the sampling.py discipline), each
+partition runs exact FFD over its own documents in one Arrow batch,
+and bin ids are globalized as (partition, local_bin). Utilization
+converges to single-machine FFD as partitions hold thousands of
+documents each (the law-of-large-numbers argument: every partition
+sees the same length distribution); the packer never shuffles anything
+but (id, length) pairs. Oversized documents (> budget) get a solo bin
+and an ``oversize`` flag — policy (truncate/split) belongs upstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pack_best_fit(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    budget: int,
+    n_packers: int = 64,
+    salt: str = "pack:",
+) -> DataFrame:
+    """Assign each document a global bin id under FFD-within-partition.
+
+    Returns (id, length, bin_id string, oversize boolean). ONE shuffle
+    of (id, length) pairs to the packer partitions; the FFD itself is
+    a row-local pandas pass per partition. Deterministic: partition
+    assignment is a salted md5 of the id, and FFD processes (length
+    desc, id asc) — reruns and different input layouts give identical
+    bins."""
+    import pandas as pd
+
+    from jane_spark.functions.sampling import hash_bucket
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive: {budget}")
+
+    part = hash_bucket(F.col(id_col), n_packers, salt).cast("int")
+    src = df.select(
+        part.alias("__packer"),
+        F.col(id_col).alias("__id"),
+        F.col(len_col).cast("long").alias("__len"),
+    )
+
+    def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        packer = int(pdf["__packer"].iloc[0])
+        rows = sorted(
+            zip(pdf["__id"], pdf["__len"]), key=lambda r: (-r[1], r[0])
+        )
+        bins: list[int] = []  # remaining capacity per bin
+        out_id, out_len, out_bin, out_over = [], [], [], []
+        for rid, rlen in rows:
+            if rlen > budget:
+                bins.append(0)  # solo bin, full
+                b = len(bins) - 1
+                over = True
+            else:
+                # first fit: lowest-index bin with room
+                b = next((i for i, cap in enumerate(bins) if cap >= rlen), -1)
+                if b < 0:
+                    bins.append(budget)
+                    b = len(bins) - 1
+                bins[b] -= rlen
+                over = False
+            out_id.append(rid)
+            out_len.append(rlen)
+            out_bin.append(f"{packer}/{b}")
+            out_over.append(over)
+        return pd.DataFrame(
+            {"id": out_id, "length": out_len, "bin_id": out_bin, "oversize": out_over}
+        )
+
+    return src.groupBy("__packer").applyInPandas(
+        ffd, "id long, length long, bin_id string, oversize boolean"
+    )
+
+
+def packing_stats(packed: DataFrame, budget: int) -> DataFrame:
+    """One-row audit of a packing: bins, docs, utilization (packed
+    tokens / bin capacity over non-oversize bins), oversize count."""
+    per_bin = packed.groupBy("bin_id").agg(
+        F.sum("length").alias("fill"),
+        F.max(F.col("oversize").cast("int")).alias("solo"),
+    )
+    return per_bin.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("solo").cast("long").alias("n_oversize_bins"),
+        F.round(
+            F.sum(F.when(F.col("solo") == 0, F.col("fill")))
+            / (F.sum(F.lit(1) - F.col("solo")) * F.lit(float(budget))),
+            4,
+        ).alias("utilization"),
+    )

@@ -1716,3 +1716,78 @@ def test_frequent_items_plans_take_ordered(spark, sf_dir):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan, plan[:500]
+
+
+
+def test_ffd_matches_python_twin_and_invariants(spark):
+    from jane_spark.operators.packing import pack_best_fit, packing_stats
+
+    rows = [(i, 30 + (i * 37) % 400) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    packed = pack_best_fit(df, "doc_id", "n", budget=512, n_packers=4).collect()
+    assert len(packed) == 200
+    assert sorted(r.id for r in packed) == [i for i, _ in rows]
+    # no bin over budget; oversize only for singletons over budget
+    fills = {}
+    for r in packed:
+        assert not r.oversize  # all lengths <= 430 < 512
+        fills[r.bin_id] = fills.get(r.bin_id, 0) + r.length
+    assert all(f <= 512 for f in fills.values())
+
+    # python twin, per packer partition
+    from jane_spark.functions.sampling import hash_bucket
+    import pandas as pd
+
+    part_of = {
+        r.doc_id: r.p
+        for r in df.select(
+            "doc_id", hash_bucket(F.col("doc_id"), 4, "pack:").alias("p")
+        ).collect()
+    }
+    want = {}
+    lens = dict(rows)
+    for packer in range(4):
+        mine = sorted(
+            (i for i in lens if part_of[i] == packer),
+            key=lambda i: (-lens[i], i),
+        )
+        bins = []
+        for i in mine:
+            b = next((k for k, cap in enumerate(bins) if cap >= lens[i]), -1)
+            if b < 0:
+                bins.append(512)
+                b = len(bins) - 1
+            bins[b] -= lens[i]
+            want[i] = f"{packer}/{b}"
+    got = {r.id: r.bin_id for r in packed}
+    assert got == want
+
+    stats = packing_stats(
+        pack_best_fit(df, "doc_id", "n", budget=512, n_packers=4), 512
+    ).collect()[0]
+    assert stats.n_oversize_bins == 0
+    assert stats.utilization > 0.8  # FFD quality on this distribution
+
+
+def test_ffd_oversize_and_layout_invariance(spark):
+    from jane_spark.operators.packing import pack_best_fit
+
+    rows = [(1, 600), (2, 100), (3, 100)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = {r.id: r for r in pack_best_fit(df, "doc_id", "n", 512, 2).collect()}
+    assert out[1].oversize and not out[2].oversize
+    # the oversize doc sits alone in its bin
+    assert sum(1 for r in out.values() if r.bin_id == out[1].bin_id) == 1
+
+    big = spark.createDataFrame(
+        [(i, 30 + (i * 37) % 400) for i in range(100)], "doc_id long, n long"
+    )
+    a = {r.id: r.bin_id for r in pack_best_fit(big, "doc_id", "n", 512, 4).collect()}
+    b = {
+        r.id: r.bin_id
+        for r in pack_best_fit(
+            big.repartition(7).sortWithinPartitions(F.desc("doc_id")),
+            "doc_id", "n", 512, 4,
+        ).collect()
+    }
+    assert a == b
