@@ -901,16 +901,25 @@ def q_t22(spark, sf_dir):
     )
 
 
+# blocklist + best-3-per-domain fragment, shared with the q_p11
+# composed-pipeline oracle (expects a `parts` CTE in scope; one edit
+# point for the cap semantics)
+_URL_UNBLOCKED_CAPPED_SQL = """
+    unblocked AS (SELECT * FROM parts
+                  WHERE expect_domain NOT IN ('site0.com', 'site1.co.uk')),
+    capped AS (SELECT * FROM (
+                   SELECT *, row_number() OVER (
+                       PARTITION BY expect_domain
+                       ORDER BY n_chars DESC, doc_id ASC) AS rn
+                   FROM unblocked)
+               WHERE rn <= 3)
+"""
+
+
 @contract(
     "q_t23_domaincap",
-    oracle=f"WITH parts AS ({_URL_PARTS_SQL}), "
-    "unblocked AS (SELECT * FROM parts "
-    "              WHERE expect_domain NOT IN ('site0.com', 'site1.co.uk')), "
-    "ranked AS (SELECT doc_id, expect_domain AS domain, "
-    "                  row_number() OVER (PARTITION BY expect_domain "
-    "                      ORDER BY n_chars DESC, doc_id ASC) AS rn "
-    "           FROM unblocked) "
-    "SELECT doc_id, domain FROM ranked WHERE rn <= 3",
+    oracle=f"WITH parts AS ({_URL_PARTS_SQL}), {_URL_UNBLOCKED_CAPPED_SQL} "
+    "SELECT doc_id, expect_domain AS domain FROM capped",
     survey_rows="T23,F3",
     doc="per-domain document cap + domain blocklist (the RefinedWeb "
     "anti-viral-domain stage): blocklist filter, then keep the best 3 "

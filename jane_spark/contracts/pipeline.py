@@ -543,7 +543,7 @@ def q_p10(spark, sf_dir):
     "q_p11_webpipeline",
     oracle=None,  # assembled below after the curation module defines the
     # shared URL-parts SQL (set post-definition to avoid import-order
-    # coupling) — see _P11_ORACLE injection at the bottom of this module
+    # coupling) — see _install_p11_oracle() at the bottom of this module
     survey_rows="P5,T22,T23,K1,P1",
     doc="end-to-end WEB corpus pipeline in one plan: URL normalize -> "
     "domain blocklist -> per-domain cap (best-3 by length) -> exact "
@@ -584,20 +584,16 @@ def q_p11(spark, sf_dir):
 
 
 def _install_p11_oracle() -> None:
-    from jane_spark.contracts.curation import _URL_PARTS_SQL
+    from jane_spark.contracts.curation import (
+        _URL_PARTS_SQL,
+        _URL_UNBLOCKED_CAPPED_SQL,
+    )
     from jane_spark.contracts.registry import REGISTRY
 
     bucket = _DUCK_BUCKET.format(salt="split:", key="doc_id", n=10000)
     REGISTRY["q_p11_webpipeline"].oracle = f"""
         WITH parts AS ({_URL_PARTS_SQL}),
-        unblocked AS (SELECT * FROM parts
-                      WHERE expect_domain NOT IN ('site0.com', 'site1.co.uk')),
-        capped AS (SELECT * FROM (
-                       SELECT *, row_number() OVER (
-                           PARTITION BY expect_domain
-                           ORDER BY n_chars DESC, doc_id ASC) AS rn
-                       FROM unblocked)
-                   WHERE rn <= 3),
+        {_URL_UNBLOCKED_CAPPED_SQL},
         dedup AS (SELECT * FROM (
                       SELECT *, row_number() OVER (
                           PARTITION BY md5(text)
@@ -632,10 +628,10 @@ _install_p11_oracle()
 )
 def q_p12(spark, sf_dir):
     from jane_spark.functions.text import token_count
-    from jane_spark.operators.packing import pack_best_fit, packing_stats
+    from jane_spark.operators.packing import pack_ffd, packing_stats
 
     docs = Catalog(spark, sf_dir).documents.select(
         "doc_id", token_count(F.col("text")).alias("n_tok")
     )
-    packed = pack_best_fit(docs, "doc_id", "n_tok", budget=512, n_packers=8)
+    packed = pack_ffd(docs, "doc_id", "n_tok", budget=512, n_packers=8)
     return packing_stats(packed, budget=512)

@@ -1,4 +1,4 @@
-"""Best-fit-decreasing sequence packing (north-star: the quality
+"""First-fit-decreasing sequence packing (north-star: the quality
 packing pass of LLM pre-training prep).
 
 P4's window-cumsum packing fills context blocks in document order —
@@ -26,8 +26,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: solo (oversize) bins carry this capacity sentinel: no first-fit scan
+#: can place anything there — not even a zero-length document
+_SOLO = -1
 
-def pack_best_fit(
+
+def pack_ffd(
     df: DataFrame,
     id_col: str,
     len_col: str,
@@ -35,14 +39,17 @@ def pack_best_fit(
     n_packers: int = 64,
     salt: str = "pack:",
 ) -> DataFrame:
-    """Assign each document a global bin id under FFD-within-partition.
+    """Assign each document a global bin id under FFD-within-partition
+    (first fit: lowest-index bin with room — NOT best-fit's
+    tightest-bin rule; FFD is the standard packing-quality baseline).
 
     Returns (id, length, bin_id string, oversize boolean). ONE shuffle
     of (id, length) pairs to the packer partitions; the FFD itself is
     a row-local pandas pass per partition. Deterministic: partition
     assignment is a salted md5 of the id, and FFD processes (length
     desc, id asc) — reruns and different input layouts give identical
-    bins."""
+    bins. NULL or negative lengths are rejected with a clear error
+    (silent NaN placement corrupts bins)."""
     import pandas as pd
 
     from jane_spark.functions.sampling import hash_bucket
@@ -58,19 +65,26 @@ def pack_best_fit(
     )
 
     def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf["__len"].isna().any():
+            bad = pdf.loc[pdf["__len"].isna(), "__id"].iloc[0]
+            raise ValueError(f"NULL length for id {bad!r}: lengths must be set")
+        if (pdf["__len"] < 0).any():
+            bad = pdf.loc[pdf["__len"] < 0, "__id"].iloc[0]
+            raise ValueError(f"negative length for id {bad!r}")
         packer = int(pdf["__packer"].iloc[0])
         rows = sorted(
             zip(pdf["__id"], pdf["__len"]), key=lambda r: (-r[1], r[0])
         )
-        bins: list[int] = []  # remaining capacity per bin
+        bins: list[int] = []  # remaining capacity per bin; _SOLO = sealed
         out_id, out_len, out_bin, out_over = [], [], [], []
         for rid, rlen in rows:
             if rlen > budget:
-                bins.append(0)  # solo bin, full
+                bins.append(_SOLO)  # sealed: nothing else may join
                 b = len(bins) - 1
                 over = True
             else:
-                # first fit: lowest-index bin with room
+                # first fit: lowest-index open bin with room (rlen >= 0,
+                # so sealed bins at _SOLO never match)
                 b = next((i for i, cap in enumerate(bins) if cap >= rlen), -1)
                 if b < 0:
                     bins.append(budget)
@@ -92,7 +106,8 @@ def pack_best_fit(
 
 def packing_stats(packed: DataFrame, budget: int) -> DataFrame:
     """One-row audit of a packing: bins, docs, utilization (packed
-    tokens / bin capacity over non-oversize bins), oversize count."""
+    tokens / bin capacity over non-oversize bins; 0.0 when every bin
+    is oversize — a defined value, not NULL), oversize count."""
     per_bin = packed.groupBy("bin_id").agg(
         F.sum("length").alias("fill"),
         F.max(F.col("oversize").cast("int")).alias("solo"),
@@ -100,9 +115,12 @@ def packing_stats(packed: DataFrame, budget: int) -> DataFrame:
     return per_bin.agg(
         F.count(F.lit(1)).alias("n_bins"),
         F.sum("solo").cast("long").alias("n_oversize_bins"),
-        F.round(
-            F.sum(F.when(F.col("solo") == 0, F.col("fill")))
-            / (F.sum(F.lit(1) - F.col("solo")) * F.lit(float(budget))),
-            4,
+        F.coalesce(
+            F.round(
+                F.sum(F.when(F.col("solo") == 0, F.col("fill")))
+                / (F.sum(F.lit(1) - F.col("solo")) * F.lit(float(budget))),
+                4,
+            ),
+            F.lit(0.0),
         ).alias("utilization"),
     )

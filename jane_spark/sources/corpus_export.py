@@ -170,8 +170,11 @@ def write_webdataset(
 
     # persist across the two actions: without it, count() re-runs the
     # whole shuffle + tar packing a second time (applyInPandas cannot
-    # be pruned to a count)
-    shards = shards.persist()
+    # be pruned to a count). DISK_ONLY: shard rows are ~100 MB–1 GB
+    # archives — holding them in executor heap would evict real caches
+    from pyspark import StorageLevel
+
+    shards = shards.persist(StorageLevel.DISK_ONLY)
     try:
         shards.foreachPartition(save)
         return shards.count()

@@ -1720,11 +1720,11 @@ def test_frequent_items_plans_take_ordered(spark, sf_dir):
 
 
 def test_ffd_matches_python_twin_and_invariants(spark):
-    from jane_spark.operators.packing import pack_best_fit, packing_stats
+    from jane_spark.operators.packing import pack_ffd, packing_stats
 
     rows = [(i, 30 + (i * 37) % 400) for i in range(200)]
     df = spark.createDataFrame(rows, "doc_id long, n long")
-    packed = pack_best_fit(df, "doc_id", "n", budget=512, n_packers=4).collect()
+    packed = pack_ffd(df, "doc_id", "n", budget=512, n_packers=4).collect()
     assert len(packed) == 200
     assert sorted(r.id for r in packed) == [i for i, _ in rows]
     # no bin over budget; oversize only for singletons over budget
@@ -1763,18 +1763,18 @@ def test_ffd_matches_python_twin_and_invariants(spark):
     assert got == want
 
     stats = packing_stats(
-        pack_best_fit(df, "doc_id", "n", budget=512, n_packers=4), 512
+        pack_ffd(df, "doc_id", "n", budget=512, n_packers=4), 512
     ).collect()[0]
     assert stats.n_oversize_bins == 0
     assert stats.utilization > 0.8  # FFD quality on this distribution
 
 
 def test_ffd_oversize_and_layout_invariance(spark):
-    from jane_spark.operators.packing import pack_best_fit
+    from jane_spark.operators.packing import pack_ffd
 
     rows = [(1, 600), (2, 100), (3, 100)]
     df = spark.createDataFrame(rows, "doc_id long, n long")
-    out = {r.id: r for r in pack_best_fit(df, "doc_id", "n", 512, 2).collect()}
+    out = {r.id: r for r in pack_ffd(df, "doc_id", "n", 512, 2).collect()}
     assert out[1].oversize and not out[2].oversize
     # the oversize doc sits alone in its bin
     assert sum(1 for r in out.values() if r.bin_id == out[1].bin_id) == 1
@@ -1782,10 +1782,10 @@ def test_ffd_oversize_and_layout_invariance(spark):
     big = spark.createDataFrame(
         [(i, 30 + (i * 37) % 400) for i in range(100)], "doc_id long, n long"
     )
-    a = {r.id: r.bin_id for r in pack_best_fit(big, "doc_id", "n", 512, 4).collect()}
+    a = {r.id: r.bin_id for r in pack_ffd(big, "doc_id", "n", 512, 4).collect()}
     b = {
         r.id: r.bin_id
-        for r in pack_best_fit(
+        for r in pack_ffd(
             big.repartition(7).sortWithinPartitions(F.desc("doc_id")),
             "doc_id", "n", 512, 4,
         ).collect()
