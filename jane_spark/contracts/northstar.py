@@ -1331,3 +1331,94 @@ def q_k15(spark, sf_dir):
     survivors = new.join(old, on="fp", how="left_anti")
     kept = argmax(survivors, ["fp"], [F.col("doc_id").asc()])
     return kept.select("doc_id", "fp")
+
+
+@contract(
+    "q_k23_quantize",
+    oracle="""
+        WITH v AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE))
+                              AS e
+                   FROM embeddings),
+        s AS (SELECT vec_id, e,
+                     list_aggregate(list_transform(e, x -> abs(x)), 'max')
+                         / 127.0 AS scale
+              FROM v),
+        q AS (SELECT vec_id, scale,
+                     CASE WHEN scale > 0
+                          THEN list_transform(e,
+                               x -> CAST(floor(x / scale + 0.5) AS INT))
+                          ELSE list_transform(e, x -> 0) END AS qv
+              FROM s)
+        SELECT vec_id,
+               round(scale, 9) AS scale_r,
+               CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+               CAST(list_aggregate(list_transform(qv, x -> x * x), 'sum')
+                    AS BIGINT) AS q_energy
+        FROM q
+    """,
+    survey_rows="K23,K3",
+    doc="symmetric per-vector int8 embedding quantization "
+    "(operators/vector.quantize_int8): scale = max|v|/127, "
+    "round-half-up via floor(x/s + 0.5) so the arithmetic is "
+    "byte-identical cross-engine; witnessed by scale + component sum "
+    "+ energy per vector — pure projection, zero shuffles",
+)
+def q_k23_quant(spark, sf_dir):
+    from jane_spark.operators.vector import quantize_int8
+
+    emb = Catalog(spark, sf_dir).embeddings
+    quant = emb.select("vec_id", quantize_int8(F.col("embedding")).alias("z"))
+    return quant.select(
+        "vec_id",
+        F.round(F.col("z.scale"), 9).alias("scale_r"),
+        F.aggregate(
+            F.col("z.q"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("q_sum"),
+        F.aggregate(
+            F.col("z.q"), F.lit(0).cast("long"), lambda a, x: a + x * x
+        ).alias("q_energy"),
+    )
+
+
+@contract(
+    "q_k23_matryoshka",
+    oracle="""
+        WITH h AS (SELECT vec_id, label,
+                          list_transform(embedding[1:16],
+                                         x -> CAST(x AS DOUBLE)) AS head
+                   FROM embeddings),
+        n AS (SELECT vec_id, label, head,
+                     sqrt(list_aggregate(list_transform(head, x -> x * x),
+                                         'sum')) AS nrm
+              FROM h),
+        r AS (SELECT vec_id, label,
+                     CASE WHEN nrm > 0
+                          THEN list_transform(head, x -> x / nrm)
+                          ELSE head END AS t
+              FROM n)
+        SELECT CAST(label AS INT) AS label,
+               count(*) AS n_vecs,
+               round(avg(list_aggregate(t, 'sum')), 6) AS avg_component_sum
+        FROM r GROUP BY label
+    """,
+    survey_rows="K23,K3",
+    doc="Matryoshka truncation (operators/vector.truncate_renorm): "
+    "first-16-dims prefix renormalized to unit L2 (ANN cost cut d/D "
+    "for MRL-trained embeddings); per-label mean component sum "
+    "witnesses every renormalized value — index-order sequential "
+    "sums keep the doubles byte-identical cross-engine",
+)
+def q_k23_mat(spark, sf_dir):
+    from jane_spark.operators.vector import truncate_renorm
+
+    emb = Catalog(spark, sf_dir).embeddings
+    t = emb.select(
+        "label", truncate_renorm(F.col("embedding"), 16).alias("t")
+    )
+    return t.groupBy(F.col("label").cast("int").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.avg(F.aggregate(F.col("t"), F.lit(0.0), lambda a, x: a + x)), 6
+        ).alias("avg_component_sum"),
+    )

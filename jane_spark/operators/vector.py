@@ -516,3 +516,47 @@ def embed_decontam(
         "max_eval_sim",
         (F.col("max_eval_sim") >= F.lit(threshold)).alias("contaminated"),
     )
+
+
+# -------------------------------------------- embedding storage codecs
+
+
+def quantize_int8(emb: "F.Column") -> "F.Column":
+    """Symmetric per-vector int8 quantization — the standard 4× storage
+    cut for embedding tables before ANN indexing (scale = max|v|/127;
+    q_i = floor(v_i/scale + 0.5), round-half-up so the arithmetic has
+    an exact SQL twin — Spark's round() and DuckDB's differ on .5).
+
+    Returns struct(scale double, q array<int>). All-zero vectors get
+    scale 0.0 and an all-zero q (no division). Pure row-local
+    higher-order expressions — a projection over the corpus scan."""
+    v = F.transform(emb, lambda x: x.cast("double"))
+    maxabs = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    scale = maxabs / F.lit(127.0)
+    q = F.when(
+        maxabs > 0.0,
+        F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def dequantize(quant: "F.Column") -> "F.Column":
+    """Inverse of quantize_int8: q_i * scale as array<double>."""
+    return F.transform(
+        quant["q"], lambda x: x.cast("double") * quant["scale"]
+    )
+
+
+def truncate_renorm(emb: "F.Column", d: int) -> "F.Column":
+    """Matryoshka truncation: keep the first ``d`` dimensions and
+    renormalize to unit L2 — MRL-trained embeddings stay usable at the
+    shorter length, cutting ANN cost d/D. Zero-norm prefixes return
+    the zero vector (no division). Row-local, exact-SQL-twinned
+    (index-order sequential sums in both engines)."""
+    head = F.slice(F.transform(emb, lambda x: x.cast("double")), 1, d)
+    norm = F.sqrt(F.aggregate(head, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.when(
+        norm > 0.0, F.transform(head, lambda x: x / norm)
+    ).otherwise(head)

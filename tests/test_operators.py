@@ -1791,3 +1791,54 @@ def test_ffd_oversize_and_layout_invariance(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_quantize_int8_round_trip_error_bound(spark):
+    import numpy as np
+
+    from jane_spark.operators.vector import dequantize, quantize_int8
+
+    rows = [
+        (1, [0.5, -1.25, 3.75, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector
+        (3, [-127.0, 127.0, 1.0, -1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r.vec_id: r
+        for r in df.select(
+            "vec_id",
+            quantize_int8(F.col("embedding")).alias("z"),
+        )
+        .select("vec_id", "z", dequantize(F.col("z")).alias("back"))
+        .collect()
+    }
+    for vec_id, emb in rows:
+        z, back = out[vec_id].z, out[vec_id].back
+        assert all(-127 <= q <= 127 for q in z.q)
+        scale = z.scale
+        if max(abs(x) for x in emb) == 0:
+            assert scale == 0.0 and all(b == 0.0 for b in back)
+            continue
+        # reconstruction error bounded by half a quantization step
+        for orig, rec in zip(emb, back):
+            assert abs(orig - rec) <= scale / 2 + 1e-12, (vec_id, orig, rec)
+        assert np.isclose(scale, max(abs(x) for x in emb) / 127.0)
+
+
+def test_truncate_renorm_unit_norm(spark):
+    import math
+
+    from jane_spark.operators.vector import truncate_renorm
+
+    rows = [(1, [3.0, 4.0, 100.0, 100.0]), (2, [0.0, 0.0, 5.0, 5.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r.vec_id: r.t
+        for r in df.select(
+            "vec_id", truncate_renorm(F.col("embedding"), 2).alias("t")
+        ).collect()
+    }
+    assert out[1] == [0.6, 0.8]  # 3-4-5 triangle, tail dims dropped
+    assert out[2] == [0.0, 0.0]  # zero-norm prefix stays zero
+    assert math.isclose(sum(x * x for x in out[1]), 1.0)
