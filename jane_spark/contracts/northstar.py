@@ -1422,3 +1422,56 @@ def q_k23_mat(spark, sf_dir):
             F.avg(F.aggregate(F.col("t"), F.lit(0.0), lambda a, x: a + x)), 6
         ).alias("avg_component_sum"),
     )
+
+
+@contract(
+    "q_k24_two_stage",
+    oracle="""
+        WITH t AS (SELECT vec_id,
+                          list_transform(embedding[1:16],
+                                         x -> CAST(x AS DOUBLE)) AS head
+                   FROM embeddings),
+        n AS (SELECT vec_id,
+                     CASE WHEN nrm > 0
+                          THEN list_transform(head, x -> x / nrm)
+                          ELSE head END AS tv
+              FROM (SELECT vec_id, head,
+                           sqrt(list_aggregate(
+                               list_transform(head, x -> x * x), 'sum'))
+                               AS nrm
+                    FROM t)),
+        c AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                     list_cosine_similarity(a.tv, b.tv) AS s1
+              FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+        r1 AS (SELECT a_id, b_id FROM (
+                   SELECT *, row_number() OVER (
+                       PARTITION BY a_id ORDER BY s1 DESC, b_id) AS rn
+                   FROM c)
+               WHERE rn <= 50),
+        ex AS (SELECT r1.a_id, r1.b_id,
+                      list_cosine_similarity(
+                          CAST(ea.embedding AS DOUBLE[]),
+                          CAST(eb.embedding AS DOUBLE[])) AS sim
+               FROM r1
+               JOIN embeddings ea ON r1.a_id = ea.vec_id
+               JOIN embeddings eb ON r1.b_id = eb.vec_id),
+        r2 AS (SELECT *, row_number() OVER (
+                   PARTITION BY a_id ORDER BY sim DESC, b_id) AS rn
+               FROM ex)
+        SELECT a_id, b_id, round(sim, 6) AS sim FROM r2 WHERE rn <= 5
+    """,
+    survey_rows="K24,K3,K23",
+    doc="coarse-to-fine retrieval (operators/vector.two_stage_topk): "
+    "Matryoshka-16 prefix ranks 50 candidates per query (grid GEMM, "
+    "16/64 of the FLOPs), full-dim cosine re-scores ONLY those pairs "
+    "via an id equi-join, exact top-5 of the candidate set — the "
+    "production ANN shape, both stages (sim desc, id) totally ordered "
+    "and hash-checked end to end",
+)
+def q_k24(spark, sf_dir):
+    from jane_spark.operators.vector import two_stage_topk
+
+    emb = Catalog(spark, sf_dir).embeddings
+    return two_stage_topk(
+        emb, "vec_id", "embedding", k=5, candidates=50, prefix_d=16
+    )

@@ -560,3 +560,67 @@ def truncate_renorm(emb: "F.Column", d: int) -> "F.Column":
     return F.when(
         norm > 0.0, F.transform(head, lambda x: x / norm)
     ).otherwise(head)
+
+
+def two_stage_topk(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    candidates: int = 50,
+    prefix_d: int = 16,
+    round_dp: int | None = 6,
+    n_query_blocks: int = 4,
+    n_corpus_blocks: int = 4,
+) -> DataFrame:
+    """Coarse-to-fine retrieval — the standard production ANN shape:
+    stage 1 ranks on Matryoshka-truncated prefixes (prefix_d/D of the
+    FLOPs and bytes) keeping ``candidates`` per query via the exact
+    grid-GEMM path; stage 2 re-scores ONLY those candidate pairs with
+    full-dimension cosine (an equi-join on ids — never a second
+    all-pairs pass) and keeps the exact top-k of the candidate set.
+
+    Semantics are pinned as written (top-k OF the stage-1 candidates,
+    both stages totally ordered by (sim desc, id asc)) — recall vs
+    exhaustive search is a quality property of prefix_d/candidates,
+    measured in tests, not part of the contract."""
+    from jane_spark.functions.arrays import cosine
+
+    trunc = vectors.select(
+        F.col(id_col).alias("__tid"),
+        truncate_renorm(F.col(vec_col), prefix_d).alias("__t"),
+    )
+    cand = block_topk(
+        trunc,
+        "__tid",
+        "__t",
+        k=candidates,
+        round_dp=None,
+        n_query_blocks=n_query_blocks,
+        n_corpus_blocks=n_corpus_blocks,
+    ).select("a_id", "b_id")
+    full_a = vectors.select(
+        F.col(id_col).cast("long").alias("a_id"), F.col(vec_col).alias("__va")
+    )
+    full_b = vectors.select(
+        F.col(id_col).cast("long").alias("b_id"), F.col(vec_col).alias("__vb")
+    )
+
+    def to_d(c):
+        return F.transform(c, lambda x: x.cast("double"))
+
+    exact = (
+        cand.join(full_a, "a_id")
+        .join(full_b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            cosine(to_d(F.col("__va")), to_d(F.col("__vb"))).alias("sim"),
+        )
+    )
+    out = top_k_per_group(
+        exact, ["a_id"], [F.col("sim").desc(), F.col("b_id").asc()], k
+    ).drop("rn")
+    if round_dp is not None:
+        out = out.withColumn("sim", F.round(F.col("sim"), round_dp))
+    return out

@@ -1236,3 +1236,52 @@ def service_wadl(service: str) -> str:
         "  </resources>\n"
         "</application>\n"
     )
+
+
+def event_catalogs(events: DataFrame, catalog_col: str = "agency") -> DataFrame:
+    """``/fdsnws/event/1/catalogs`` source rows: the distinct catalog
+    codes the service can filter on [ref: fdsnws-event spec §catalogs
+    endpoint, conf=H — jane serves the same tiny document]. One
+    distinct over a single column — broadcast-sized by construction."""
+    return (
+        events.select(F.col(catalog_col).alias("catalog"))
+        .filter(F.col("catalog").isNotNull())
+        .distinct()
+    )
+
+
+def event_contributors(events: DataFrame, contributor_col: str = "author") -> DataFrame:
+    """``/fdsnws/event/1/contributors`` source rows (spec twin of
+    ``event_catalogs`` on the contributor/author column)."""
+    return (
+        events.select(F.col(contributor_col).alias("contributor"))
+        .filter(F.col("contributor").isNotNull())
+        .distinct()
+    )
+
+
+def _values_document(tag: str, item_tag: str, values: list[str]) -> str:
+    from jane_spark.functions.xml import xml_escape_str
+
+    body = "".join(
+        f"  <{item_tag}>{xml_escape_str(v)}</{item_tag}>\n" for v in values
+    )
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        f"<{tag}>\n{body}</{tag}>\n"
+    )
+
+
+def catalogs_document(events: DataFrame, catalog_col: str = "agency") -> str:
+    """The complete /catalogs XML document (sorted for byte
+    stability; the distinct set collects — it is vocabulary-sized)."""
+    vals = sorted(r["catalog"] for r in event_catalogs(events, catalog_col).collect())
+    return _values_document("Catalogs", "Catalog", vals)
+
+
+def contributors_document(events: DataFrame, contributor_col: str = "author") -> str:
+    vals = sorted(
+        r["contributor"]
+        for r in event_contributors(events, contributor_col).collect()
+    )
+    return _values_document("Contributors", "Contributor", vals)

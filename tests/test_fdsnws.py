@@ -1022,3 +1022,29 @@ def test_wadl_is_byte_stable():
 
     assert service_wadl("event") == service_wadl("event")
     assert '<resource path="query">' in service_wadl("station")
+
+
+def test_event_catalogs_and_contributors_documents(spark):
+    from jane_spark.services.fdsnws import (
+        catalogs_document,
+        contributors_document,
+        event_catalogs,
+    )
+
+    ev = spark.createDataFrame(
+        [("e1", "EMSC", "auto"), ("e2", "ISC", "bob&co"), ("e3", "EMSC", None)],
+        "quakeml_id string, agency string, author string",
+    )
+    assert {r.catalog for r in event_catalogs(ev).collect()} == {"EMSC", "ISC"}
+    doc = catalogs_document(ev)
+    assert doc == (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        "<Catalogs>\n"
+        "  <Catalog>EMSC</Catalog>\n"
+        "  <Catalog>ISC</Catalog>\n"
+        "</Catalogs>\n"
+    )
+    cdoc = contributors_document(ev)
+    # escaped content, NULL contributor dropped
+    assert "<Contributor>bob&amp;co</Contributor>" in cdoc
+    assert cdoc.count("<Contributor>") == 2

@@ -1842,3 +1842,39 @@ def test_truncate_renorm_unit_norm(spark):
     assert out[1] == [0.6, 0.8]  # 3-4-5 triangle, tail dims dropped
     assert out[2] == [0.0, 0.0]  # zero-norm prefix stays zero
     assert math.isclose(sum(x * x for x in out[1]), 1.0)
+
+
+def test_two_stage_recall_vs_exact(spark, sf_dir):
+    """Quality property (not the contract): the two-stage path recovers
+    most exact full-dim top-5 neighbors. The synthetic fixture vectors
+    are NOT MRL-trained — energy spreads uniformly, so a d-dim prefix
+    carries only d/D of the signal (measured: prefix 16/cand 50 →
+    0.52 recall; 32/100 → 0.92). Real Matryoshka embeddings
+    concentrate variance in the prefix; parameters here reflect the
+    fixture, and the measured ladder itself is the regression check."""
+    from jane_spark.operators.vector import block_topk, two_stage_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r.a_id, r.b_id)
+        for r in block_topk(emb, "vec_id", "embedding", k=5).collect()
+    }
+
+    def recall(candidates, prefix_d):
+        staged = {
+            (r.a_id, r.b_id)
+            for r in two_stage_topk(
+                emb, "vec_id", "embedding",
+                k=5, candidates=candidates, prefix_d=prefix_d,
+            ).collect()
+        }
+        return len(exact & staged) / len(exact)
+
+    r_cheap = recall(50, 16)
+    r_good = recall(100, 32)
+    assert r_good >= 0.9, f"two-stage recall {r_good:.3f} at 100/32"
+    # widening either knob must not make recall worse
+    assert r_good >= r_cheap
+    # full-width prefix with enough candidates IS the exact result
+    n = emb.count()
+    assert recall(n, 64) == 1.0
