@@ -222,3 +222,70 @@ def q_d15(spark, sf_dir):
     return hist.select(
         "o_custkey", "o_orderkey", "valid_from", "valid_to", "is_current"
     )
+
+
+@contract(
+    "q_e6_transitions",
+    oracle="""
+        WITH e AS (SELECT user_id, event_type,
+                          date_trunc('microseconds', ts) AS t, event_id
+                   FROM events),
+        p AS (SELECT event_type AS from_state,
+                     lead(event_type) OVER (
+                         PARTITION BY user_id ORDER BY t, event_id)
+                         AS to_state
+              FROM e)
+        SELECT from_state, to_state, count(*) AS n
+        FROM p WHERE to_state IS NOT NULL
+        GROUP BY from_state, to_state
+    """,
+    survey_rows="E6,E2",
+    doc="Markov transition matrix over per-user event sequences "
+    "(operators.sessionize.transition_counts): lead() per key ordered "
+    "by (ts, id), counted per (from, to) pair — one key shuffle, the "
+    "post-window shuffle carries two state columns only",
+)
+def q_e6(spark, sf_dir):
+    from jane_spark.operators.sessionize import transition_counts
+
+    ev = Catalog(spark, sf_dir).clustered("events", "user_id")
+    return transition_counts(ev, "user_id", "ts", "event_type", "event_id")
+
+
+@contract(
+    "q_e7_funnel",
+    oracle="""
+        WITH e AS (SELECT user_id, event_type,
+                          concat(lpad(CAST(epoch_us(date_trunc('microseconds',
+                                                               ts))
+                                           AS VARCHAR), 20, '0'),
+                                 lpad(CAST(event_id AS VARCHAR), 12, '0'))
+                              AS k
+                   FROM events),
+        s1 AS (SELECT user_id, min(k) AS k1 FROM e
+               WHERE event_type = 'click' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, min(e.k) AS k2 FROM e
+               JOIN s1 ON e.user_id = s1.user_id AND e.k > s1.k1
+               WHERE e.event_type = 'view' GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, min(e.k) AS k3 FROM e
+               JOIN s2 ON e.user_id = s2.user_id AND e.k > s2.k2
+               WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        SELECT 1 AS stage_idx, 'click' AS stage, count(*) AS n_keys FROM s1
+        UNION ALL SELECT 2, 'view', count(*) FROM s2
+        UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+    """,
+    survey_rows="E7,E4,I4",
+    doc="ordered funnel over the event stream (operators.sessionize."
+    "funnel_counts): keys reaching click->view->purchase as a strictly "
+    "(ts,id)-increasing subsequence — one collect+fold pass per key "
+    "(greedy earliest match, provably equivalent to the oracle's "
+    "min-key cascade), no joins on the fact table",
+)
+def q_e7(spark, sf_dir):
+    from jane_spark.operators.sessionize import funnel_counts
+
+    ev = Catalog(spark, sf_dir).clustered("events", "user_id")
+    return funnel_counts(
+        ev, "user_id", "ts", "event_type", "event_id",
+        ["click", "view", "purchase"],
+    )

@@ -74,3 +74,87 @@ def session_summary(
         F.min(ts).alias("session_start"),
         F.max(ts).alias("session_end"),
     )
+
+
+def transition_counts(
+    df: "DataFrame",
+    key: str,
+    ts: str,
+    state: str,
+    id_col: str,
+) -> "DataFrame":
+    """Markov transition matrix over per-key event sequences: counts of
+    (state -> next state) for consecutive events ordered by (ts, id).
+    ONE window shuffle on the key + one count aggregate over
+    (from, to) pairs — the shuffle after the window carries only the
+    two state columns."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col(id_col).asc())
+    pairs = df.select(
+        F.col(state).alias("from_state"),
+        F.lead(state).over(w).alias("to_state"),
+    ).filter(F.col("to_state").isNotNull())
+    return pairs.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def funnel_counts(
+    df: "DataFrame",
+    key: str,
+    ts: str,
+    state: str,
+    id_col: str,
+    stages: "list[str]",
+) -> "DataFrame":
+    """Ordered funnel: how many keys reached stage i — meaning there
+    exist events s_1 < s_2 < … < s_i (strictly increasing (ts, id))
+    matching the stage sequence. Classic product-analytics shape over
+    the event stream.
+
+    Implementation is one aggregation pass per key: events sort
+    row-locally (collect_list of (ts, id, state) structs per key —
+    bounded by a key's own event count, the sessionize state argument),
+    then a linear scan advances a stage cursor. Output: stage,
+    stage_idx, n_keys reached. No joins, ONE key-keyed shuffle."""
+    from pyspark.sql import functions as F
+
+    seq = df.groupBy(key).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(ts).alias("t"),
+                    F.col(id_col).alias("i"),
+                    F.col(state).alias("s"),
+                )
+            )
+        ).alias("ev")
+    )
+    # fold: cursor = number of stages matched so far; an event matching
+    # stages[cursor] advances it (strict order comes free: the array is
+    # (t, i)-sorted and the cursor only moves forward)
+    stage_arr = F.array(*[F.lit(s) for s in stages])
+    reached = F.aggregate(
+        F.col("ev"),
+        F.lit(0),
+        lambda acc, e: F.when(
+            (acc < F.size(stage_arr))
+            & (e["s"] == F.element_at(stage_arr, acc + 1)),
+            acc + 1,
+        ).otherwise(acc),
+    )
+    per_key = seq.select(reached.alias("reached"))
+    counts = per_key.groupBy("reached").agg(F.count(F.lit(1)).alias("n"))
+    # stage i row = keys whose cursor reached >= i
+    stage_rows = per_key.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(stages)], "stage_idx int, stage string"
+    )
+    return (
+        stage_rows.join(
+            counts, on=counts["reached"] >= stage_rows["stage_idx"], how="left"
+        )
+        .groupBy("stage_idx", "stage")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_keys"))
+    )

@@ -1878,3 +1878,49 @@ def test_two_stage_recall_vs_exact(spark, sf_dir):
     # full-width prefix with enough candidates IS the exact result
     n = emb.count()
     assert recall(n, 64) == 1.0
+
+
+def test_funnel_order_sensitivity(spark):
+    import datetime as dt
+
+    from jane_spark.operators.sessionize import funnel_counts, transition_counts
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(uid, i, kind):
+        return (uid, t0 + dt.timedelta(minutes=i), i, kind)
+
+    rows = [
+        # u1: full ordered funnel
+        ev(1, 1, "click"), ev(1, 2, "view"), ev(1, 3, "purchase"),
+        # u2: purchase BEFORE click/view -> reaches only stage 2
+        ev(2, 1, "purchase"), ev(2, 2, "click"), ev(2, 3, "view"),
+        # u3: click only
+        ev(3, 1, "click"),
+        # u4: no funnel stages at all
+        ev(4, 1, "error"),
+        # u5: decoy events between stages still count
+        ev(5, 1, "click"), ev(5, 2, "error"), ev(5, 3, "view"),
+        ev(5, 4, "error"), ev(5, 5, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_id long, event_type string"
+    )
+    out = {
+        r.stage: r.n_keys
+        for r in funnel_counts(
+            df, "user_id", "ts", "event_type", "event_id",
+            ["click", "view", "purchase"],
+        ).collect()
+    }
+    assert out == {"click": 4, "view": 3, "purchase": 2}
+
+    trans = {
+        (r.from_state, r.to_state): r.n
+        for r in transition_counts(
+            df, "user_id", "ts", "event_type", "event_id"
+        ).collect()
+    }
+    assert trans[("click", "view")] == 2  # u1, u2... u2 is click->view too
+    assert trans[("purchase", "click")] == 1  # u2
+    assert ("error", "view") in trans  # u5 decoy chain
