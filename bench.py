@@ -136,7 +136,12 @@ CALIBRATION = {
     # (same session methodology as BASELINE.md)
     "rest_search": 0.0245,
     "rest_serialize": 0.134,
-    "urlnorm": 0.0051,
+    # urlnorm's CORRECTNESS oracle constructs the canonical form
+    # arithmetically (never parses) — as a perf baseline that would be
+    # apples-to-oranges. This number is a DuckDB twin doing the SAME
+    # parse work (regexp extracts + host/port split + param
+    # filter/sort), measured 5-run median on this box at sf0.1.
+    "urlnorm": 0.0315,
     "domain_cap": 0.0113,
     "bpe_pairs": 0.0468,
     "stupid_backoff": 0.2239,
