@@ -71,10 +71,18 @@ def argmax(df: DataFrame, group: list[str], order: list[Column]) -> DataFrame:
 def paged(df: DataFrame, order: list[Column], offset: int, limit: int) -> DataFrame:
     """Stable limit+offset paging: row_number over a total order. Spark's
     bare OFFSET on an unordered plan is not stable across runs, so jane's
-    REST paging maps to an explicit window (SURVEY.md §2 F2)."""
+    REST paging maps to an explicit window (SURVEY.md §2 F2).
+
+    The input is first pruned to the top ``offset+limit`` rows via
+    orderBy+limit — Spark plans that as TakeOrderedAndProject, a
+    PARALLEL per-partition top-k merge — so the single-partition
+    row_number window only ever sees one page's worth of rows instead
+    of every filtered row (identical results: both steps use the same
+    total order)."""
+    pruned = df.orderBy(*order).limit(offset + limit)
     w = Window.orderBy(*order)
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        pruned.withColumn("__rn", F.row_number().over(w))
         .filter((F.col("__rn") > offset) & (F.col("__rn") <= offset + limit))
         .drop("__rn")
     )
