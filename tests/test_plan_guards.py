@@ -382,3 +382,45 @@ def test_stream_join_batch_plan_shape(spark, sf_dir):
     plan = _executed_plan(REGISTRY["q_i9_stream_join"].spark_fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# Contracts whose PHYSICAL plan is allowed to contain a Python/Arrow
+# evaluation node: multimodal codecs, GEMM/sketch kernels, packers,
+# UDTF/grouped-map/UDAF rows — each an intentional, Arrow-batched
+# design (SURVEY §2 marks them). Everything else must stay JVM-side.
+_PANDAS_ALLOWED = {
+    # the Spark 4 Python Data Source scan (A1's waveform format) IS a
+    # Python-implemented source — that row exists to exercise it
+    "q_a1_waveform_source",
+    "q_a6_beachball", "q_a7_cut_bytes", "q_j1_parse_files",
+    "q_j2_grouped_map", "q_j3_udaf", "q_j4_udtf", "q_k17_heavyhitters",
+    "q_k24_two_stage", "q_k3_ivf", "q_k3_vector_topk", "q_k7_audio",
+    "q_k7_audiofp", "q_k7_frames", "q_k7_multimodal", "q_k7_phash",
+    "q_k7_resize", "q_k7_spectral", "q_p10_wds_shards", "q_p12_ffd_pack",
+    "q_t14_embed_decontam", "q_t2_langid",
+}
+# "Python" catches every Arrow*/Batch* Python node (EvalPython,
+# ArrowAggregatePython, PythonUDF…); "InPandas" the map/grouped forms
+_PY_MARKERS = ("Python", "InPandas")
+
+
+def test_no_python_eval_outside_allowlist(spark, sf_dir):
+    """Repo-wide invariant: no contract silently grows a row-at-a-time
+    Python UDF or an unplanned pandas fallback. Streaming contracts
+    (q_i*, q_j5) execute at build time and are separately exercised —
+    skipped here to keep the sweep cheap."""
+    from jane_spark.contracts import REGISTRY
+
+    offenders, missing = [], []
+    for name, cq in REGISTRY.items():
+        if name.startswith("q_i") or name == "q_j5_stateful_segments":
+            continue
+        plan = _executed_plan(cq.spark_fn(spark, sf_dir))
+        has_py = any(m in plan for m in _PY_MARKERS)
+        if has_py and name not in _PANDAS_ALLOWED:
+            offenders.append(name)
+        if not has_py and name in _PANDAS_ALLOWED:
+            missing.append(name)
+    assert not offenders, f"unexpected Python eval in: {offenders}"
+    # the allowlist must not rot into a stale superset
+    assert not missing, f"allowlisted but JVM-only now: {missing}"
