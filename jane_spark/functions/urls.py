@@ -72,6 +72,9 @@ def _split_host_port(auth: Column) -> tuple[Column, Column]:
         is_port,
         F.substring(no_user, 1, F.length(no_user) - F.length(tail) - 1),
     ).otherwise(no_user)
+    # DNS FQDN root dot: 'example.com.' ≡ 'example.com' — strip it so
+    # dedup keys and domain caps never split on the dot variant
+    host = F.regexp_replace(host, r"\.+$", "")
     return F.lower(host), F.when(is_port, tail).otherwise(F.lit(""))
 
 

@@ -382,3 +382,50 @@ def test_stream_stream_join_equals_batch(spark, sf_dir, tmp_path):
     b_rows = {tuple(r) for r in batch.collect()}
     assert s_rows == b_rows
     assert len(b_rows) > 0
+
+
+def test_stream_stream_left_outer_null_emission(spark, tmp_path):
+    """I9 outer semantics: an unmatched LEFT row emits its null match
+    only once the watermark proves no future right row can join it —
+    a recent unmatched row is withheld (state still open). This is the
+    documented stream/batch divergence for outer joins; the inner join
+    is the stream≡batch contract."""
+    import datetime as dt
+
+    from jane_spark.streaming.ingest import run_available_now, stream_parquet_dir
+    from jane_spark.streaming.joins import correlate_within
+
+    base = dt.datetime(2024, 1, 1)
+    p_dir, c_dir = tmp_path / "p", tmp_path / "c"
+    purchases = spark.createDataFrame(
+        [
+            (101, 1, base + dt.timedelta(hours=1)),    # old, unmatched
+            (102, 2, base + dt.timedelta(hours=23, minutes=59)),  # recent
+        ],
+        "purchase_id long, p_user long, p_ts timestamp_ntz",
+    )
+    clicks = spark.createDataFrame(
+        [(201, 99, base + dt.timedelta(hours=24))],  # drives the watermark
+        "click_id long, c_user long, c_ts timestamp_ntz",
+    )
+    purchases.write.parquet(str(p_dir))
+    clicks.write.parquet(str(c_dir))
+
+    c_stream = stream_parquet_dir(spark, str(c_dir), clicks.schema)
+
+    def transform(p_stream):
+        return correlate_within(
+            p_stream, c_stream, "p_user", "c_user", "p_ts", "c_ts",
+            lookback="1 hour", watermark="30 minutes", how="left",
+        ).select("purchase_id", "click_id")
+
+    out = run_available_now(
+        stream_parquet_dir(spark, str(p_dir), purchases.schema),
+        transform,
+        "q_i9_outer_sink",
+    ).collect()
+    got = {r.purchase_id: r.click_id for r in out}
+    # the old unmatched purchase is finalized: emitted with NULL match
+    assert got.get(101, "absent") is None
+    # the recent one is still inside the watermark horizon: withheld
+    assert 102 not in got

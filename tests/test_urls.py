@@ -186,3 +186,17 @@ def test_url_normalize_randomized_components(spark):
     ]
     for (url, want), g in zip(cases, got):
         assert g == want, f"{url!r}: {g!r} != {want!r}"
+
+
+def test_trailing_dot_host_normalizes(spark):
+    df = spark.createDataFrame(
+        [("http://Example.COM./x",), ("https://news.bbc.co.uk.:8443/y",)],
+        "url string",
+    )
+    rows = df.select(
+        url_normalize(F.col("url")).alias("n"), url_domain(F.col("url")).alias("d")
+    ).collect()
+    assert rows[0].n == "http://example.com/x"
+    assert rows[0].d == "example.com"
+    assert rows[1].n == "https://news.bbc.co.uk:8443/y"
+    assert rows[1].d == "bbc.co.uk"
