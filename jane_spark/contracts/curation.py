@@ -1087,3 +1087,49 @@ def q_t24(spark, sf_dir):
     docs = Catalog(spark, sf_dir).documents
     uni, bi = train_bigram_lm(docs.filter(F.col("source") == "src0"), "text")
     return stupid_backoff_score(docs, "doc_id", "text", uni, bi)
+
+
+@contract(
+    "q_t25_chunking",
+    oracle="""
+        WITH t AS (SELECT doc_id,
+                          list_filter(string_split(text, ' '),
+                                      x -> x <> '') AS toks
+                   FROM documents),
+        c AS (SELECT doc_id,
+                     unnest(list_transform(
+                         generate_series(1, greatest(CAST(ceil((len(toks) - 16)
+                                                         / 48.0) AS INT), 1)),
+                         i -> struct_pack(
+                             chunk_idx := CAST(i - 1 AS INT),
+                             chunk := array_to_string(
+                                 toks[(i-1)*48+1:(i-1)*48+64], ' '),
+                             n_tokens := CAST(least(64,
+                                 len(toks) - (i-1)*48) AS INT)))) AS ch
+              FROM t
+              WHERE len(toks) > 0)
+        SELECT doc_id, ch.chunk_idx AS chunk_idx,
+               md5(ch.chunk) AS chunk_md5, ch.n_tokens AS n_tokens
+        FROM c
+    """,
+    survey_rows="T25,K4",
+    doc="RAG/embedding chunking (functions/text.chunk_tokens): 64-token "
+    "chunks, 16-token overlap (step 48), last partial chunk kept, "
+    "empty docs chunk to [] — row-local higher-order slicing, the "
+    "corpus explodes AFTER chunking; per-chunk md5 witnesses every "
+    "byte of every chunk",
+)
+def q_t25(spark, sf_dir):
+    from jane_spark.functions.text import chunk_tokens
+
+    docs = Catalog(spark, sf_dir).documents
+    ch = docs.select(
+        "doc_id",
+        F.explode(chunk_tokens(F.col("text"), 64, overlap=16)).alias("c"),
+    )
+    return ch.select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.md5(F.col("c.chunk")).alias("chunk_md5"),
+        F.col("c.n_tokens").alias("n_tokens"),
+    )

@@ -401,3 +401,51 @@ def normalize_text(text: Column) -> Column:
     t = F.regexp_replace(t, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", " ")
     t = F.regexp_replace(t, r"\s+", " ")
     return F.trim(t)
+
+
+def chunk_tokens(
+    text: Column, chunk_size: int, overlap: int = 0
+) -> Column:
+    """Split a document into fixed-token-budget chunks with optional
+    overlap — the retrieval/embedding chunking pass (every RAG and
+    embedding pipeline runs one). Returns array<struct<chunk_idx int,
+    chunk string, n_tokens int>>; chunks step by ``chunk_size -
+    overlap`` and the last partial chunk is kept. Row-local higher-
+    order expressions only — the corpus explodes AFTER chunking, so
+    the shuffle (if any downstream) carries chunk rows, never
+    re-splits text."""
+    if chunk_size <= 0:
+        raise ValueError(f"chunk_size must be positive: {chunk_size}")
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(f"overlap must be in [0, chunk_size): {overlap}")
+    step = chunk_size - overlap
+    toks = F.filter(F.split(text, TOKEN_SPLIT), lambda t: t != "")
+    n = F.size(toks)
+    # greatest(…, 1) guards 0 < n <= overlap: a tiny doc is ONE chunk,
+    # not zero (the raw formula floors to 0 there); the outer n_chunks
+    # > 0 branch below still maps truly empty docs to []
+    n_chunks = F.when(
+        n > 0,
+        F.greatest(
+            F.ceil((n - F.lit(overlap)) / F.lit(step)).cast("int"), F.lit(1)
+        ),
+    ).otherwise(F.lit(0))
+    chunks = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.struct(
+            (i - 1).cast("int").alias("chunk_idx"),
+            F.array_join(
+                F.slice(toks, (i - 1) * step + 1, chunk_size), TOKEN_SPLIT
+            ).alias("chunk"),
+            F.least(
+                F.lit(chunk_size), n - (i - 1) * step
+            ).cast("int").alias("n_tokens"),
+        ),
+    )
+    # empty documents chunk to [] (and the guard keeps sequence() from
+    # going descending — the d3978c3 footgun)
+    return F.when(n_chunks > 0, chunks).otherwise(
+        F.expr("array()").cast(
+            "array<struct<chunk_idx:int,chunk:string,n_tokens:int>>"
+        )
+    )

@@ -936,3 +936,36 @@ def test_stupid_backoff_single_and_empty_token_docs(spark):
     rows = {r.doc_id: r for r in stupid_backoff_score(docs, "doc_id", "text", uni, bi).collect()}
     assert rows[1].n_tokens == 1  # unigram-only doc scores
     assert 2 not in rows  # empty doc yields no positions, no row
+
+
+def test_chunk_tokens_properties(spark):
+    from jane_spark.functions.text import chunk_tokens
+
+    text = " ".join(f"w{i}" for i in range(11))  # 11 tokens
+    df = spark.createDataFrame([(1, text), (2, ""), (3, "only")],
+                               "doc_id long, text string")
+    rows = {
+        r.doc_id: r.ch
+        for r in df.select(
+            "doc_id", chunk_tokens(F.col("text"), 4, overlap=1).alias("ch")
+        ).collect()
+    }
+    ch1 = rows[1]
+    # starts step by 3: tokens 0-3, 3-6, 6-9, 9-10
+    assert [c.chunk_idx for c in ch1] == [0, 1, 2, 3]
+    assert ch1[0].chunk.split(" ") == ["w0", "w1", "w2", "w3"]
+    assert ch1[1].chunk.split(" ") == ["w3", "w4", "w5", "w6"]
+    assert ch1[3].chunk.split(" ") == ["w9", "w10"]  # last partial kept
+    assert [c.n_tokens for c in ch1] == [4, 4, 4, 2]
+    # every token covered; consecutive chunks share exactly `overlap`
+    for a, b in zip(ch1, ch1[1:]):
+        assert a.chunk.split(" ")[-1:] == b.chunk.split(" ")[:1]
+    assert rows[2] == []  # empty doc -> no chunks
+    assert [c.chunk for c in rows[3]] == ["only"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_tokens(F.col("text"), 4, overlap=4)
+    with _pytest.raises(ValueError):
+        chunk_tokens(F.col("text"), 0)
