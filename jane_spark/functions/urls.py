@@ -32,8 +32,10 @@ _QUERY_RE = r"^[^#?]*\?([^#]*)"
 #: Tracking parameters stripped by normalization: the industry-standard
 #: analytics/click identifiers that vary per visit without changing the
 #: resource (utm_* campaign tags, Facebook/Google/Microsoft click ids,
-#: Mailchimp email id, generic ref).
-TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|ref)(=|$)"
+#: Mailchimp email id, generic ref). ONE definition: the regex form
+#: (used by docs/tests as the spec) derives from the executed name set.
+_TRACKING_NAMES = ("fbclid", "gclid", "msclkid", "mc_eid", "ref")
+TRACKING_PARAM_RE = r"^(utm_[^=]*|" + "|".join(_TRACKING_NAMES) + r")(=|$)"
 
 #: Two-level public suffixes for the registrable-domain heuristic. A
 #: full Public Suffix List is a runtime data file at deployment; this
@@ -59,9 +61,10 @@ def url_authority(url: Column) -> Column:
 
 def _split_host_port(auth: Column) -> tuple[Column, Column]:
     """(lowercased host, port-or-'') from an authority, via string ops
-    only — regex here costs ~10× in the per-row hot path (measured at
-    bench). Userinfo strips at the LAST '@' (RFC: a host cannot
-    contain '@'); a trailing ':[digits]' (possibly empty) is the port."""
+    plus one cheap end-anchored regex (the FQDN-dot strip) — the
+    unanchored/per-element regexes that cost ~10× at bench are gone.
+    Userinfo strips at the LAST '@' (RFC: a host cannot contain '@');
+    a trailing ':[digits]' (possibly empty) is the port."""
     no_user = F.substring_index(auth, "@", -1)
     tail = F.substring_index(no_user, ":", -1)
     is_port = (
@@ -95,9 +98,6 @@ def url_path(url: Column) -> Column:
 
 def url_query(url: Column) -> Column:
     return F.regexp_extract(url, _QUERY_RE, 1)
-
-
-_TRACKING_NAMES = ("fbclid", "gclid", "msclkid", "mc_eid", "ref")
 
 
 def normalized_query(url: Column) -> Column:
@@ -150,15 +150,20 @@ def url_normalize(url: Column) -> Column:
 def registrable_domain(host: Column) -> Column:
     """Site-level key: last two host labels, or last three when the
     last two are a known second-level public suffix (``co.uk`` etc.).
-    A bare suffix (host == 'co.uk') falls back to itself."""
+    A bare suffix (host == 'co.uk') falls back to itself. Hosts with
+    EMPTY labels ('a..com', a stray trailing dot) return unchanged —
+    collapsing every '*..com' to a shared '.com' key would merge
+    unrelated sites under one domain cap (review r6)."""
     parts = F.split(host, r"\.")
     n = F.size(parts)
+    malformed = F.exists(parts, lambda p: p == "")
     last2 = F.when(n >= 2, F.concat_ws(".", F.slice(parts, n - 1, 2)))
     last3 = F.when(n >= 3, F.concat_ws(".", F.slice(parts, n - 2, 3)))
-    return F.when(
+    derived = F.when(
         F.coalesce(last2, host).isin(*SECOND_LEVEL_SUFFIXES),
         F.coalesce(last3, host),
     ).otherwise(F.coalesce(last2, host))
+    return F.when(malformed, host).otherwise(derived)
 
 
 def url_domain(url: Column) -> Column:

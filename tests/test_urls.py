@@ -200,3 +200,14 @@ def test_trailing_dot_host_normalizes(spark):
     assert rows[0].d == "example.com"
     assert rows[1].n == "https://news.bbc.co.uk:8443/y"
     assert rows[1].d == "bbc.co.uk"
+
+
+def test_malformed_empty_label_hosts_stay_distinct(spark):
+    """Review r6: 'a..com'-style hosts must NOT collapse to a shared
+    '.com' domain key — malformed hosts fall back to themselves."""
+    df = spark.createDataFrame(
+        [("a..com",), ("b..com",), ("example.com.",), (".leading.com",)],
+        "host string",
+    )
+    got = [r.d for r in df.select(registrable_domain(F.col("host")).alias("d")).collect()]
+    assert got == ["a..com", "b..com", "example.com.", ".leading.com"]
