@@ -204,10 +204,13 @@ def test_trailing_dot_host_normalizes(spark):
 
 def test_malformed_empty_label_hosts_stay_distinct(spark):
     """Review r6: 'a..com'-style hosts must NOT collapse to a shared
-    '.com' domain key — malformed hosts fall back to themselves."""
+    '.com' domain key — an empty label in the suffix position makes
+    the extraction fall back to the full host. A LEADING empty label
+    is harmless: '.x.leading.com' keys to 'leading.com' exactly like
+    its well-formed subdomain variants (desired grouping)."""
     df = spark.createDataFrame(
         [("a..com",), ("b..com",), ("example.com.",), (".leading.com",)],
         "host string",
     )
     got = [r.d for r in df.select(registrable_domain(F.col("host")).alias("d")).collect()]
-    assert got == ["a..com", "b..com", "example.com.", ".leading.com"]
+    assert got == ["a..com", "b..com", "example.com.", "leading.com"]
