@@ -1133,3 +1133,46 @@ def q_t25(spark, sf_dir):
         F.md5(F.col("c.chunk")).alias("chunk_md5"),
         F.col("c.n_tokens").alias("n_tokens"),
     )
+
+
+@contract(
+    "q_p13_corpus_diff",
+    oracle="""
+        WITH old AS (SELECT doc_id, md5(text) AS fp FROM documents
+                     WHERE doc_id % 3 <> 0),
+        new AS (SELECT doc_id,
+                       md5(CASE WHEN doc_id % 5 = 0
+                                THEN concat(text, ' edited')
+                                ELSE text END) AS fp
+                FROM documents WHERE doc_id % 4 <> 0)
+        SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.fp = n.fp THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               count(*) AS n_docs
+        FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+        GROUP BY status
+    """,
+    survey_rows="P13,C2",
+    doc="corpus release diff (operators/curation.corpus_diff): FULL "
+    "OUTER join of two corpus versions on doc id comparing content "
+    "fingerprints -> added/removed/changed/unchanged counts — the "
+    "rebuild-audit every corpus pipeline runs; the join carries "
+    "(id, fp) pairs only, one id-keyed shuffle",
+)
+def q_p13(spark, sf_dir):
+    from jane_spark.operators.curation import corpus_diff_summary
+
+    docs = Catalog(spark, sf_dir).documents
+    old = docs.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    new = docs.filter(F.col("doc_id") % 4 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" edited"))
+            ).otherwise(F.col("text"))
+        ).alias("fp"),
+    )
+    return corpus_diff_summary(old, new, "doc_id", "fp")

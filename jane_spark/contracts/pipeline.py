@@ -635,3 +635,49 @@ def q_p12(spark, sf_dir):
     )
     packed = pack_ffd(docs, "doc_id", "n_tok", budget=512, n_packers=8)
     return packing_stats(packed, budget=512)
+
+
+@contract(
+    "q_t26_contam_report",
+    oracle="""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        s AS (SELECT doc_id,
+                     list_distinct(list_transform(
+                         generate_series(1, len(toks) - 2),
+                         i -> array_to_string(toks[i:i+2], ' '))) AS sh
+              FROM t WHERE len(toks) >= 3),
+        bench AS (SELECT doc_id AS eval_id, unnest(sh) AS shingle FROM s
+                  WHERE doc_id % 37 = 0),
+        cand AS (SELECT doc_id AS train_id, unnest(sh) AS shingle FROM s
+                 WHERE doc_id % 37 <> 0)
+        SELECT train_id, eval_id, CAST(count(*) AS BIGINT) AS n_shared
+        FROM cand JOIN bench USING (shingle)
+        GROUP BY train_id, eval_id
+    """,
+    survey_rows="T26,T5,K4",
+    doc="contamination ATTRIBUTION (the debug twin of T5's drop): "
+    "which eval item leaked into which training doc, with the shared "
+    "distinct-3-gram count per (train, eval) pair — T5 says THAT a "
+    "doc is contaminated, this says BY WHAT. Same broadcast shape: "
+    "the eval shingle table stays benchmark-sized, the pair agg keys "
+    "on (train, eval) ids only",
+)
+def q_t26(spark, sf_dir):
+    from jane_spark.functions.text import shingles
+
+    docs = Catalog(spark, sf_dir).documents
+    s = docs.filter(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id", F.array_distinct(shingles(F.col("text"), 3)).alias("sh")
+    )
+    bench = s.filter(F.col("doc_id") % 37 == 0).select(
+        F.col("doc_id").alias("eval_id"), F.explode("sh").alias("shingle")
+    )
+    cand = s.filter(F.col("doc_id") % 37 != 0).select(
+        F.col("doc_id").alias("train_id"), F.explode("sh").alias("shingle")
+    )
+    return (
+        cand.join(F.broadcast(bench), "shingle")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

@@ -573,3 +573,43 @@ def stupid_backoff_score(
             F.round(-F.avg("lp"), 4).alias("nll"),
         )
     )
+
+
+# ------------------------------------------------ corpus version diff
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    fp_col: str,
+) -> DataFrame:
+    """Release-to-release corpus diff: FULL OUTER join on the document
+    id comparing content fingerprints → per-doc status in
+    {added, removed, changed, unchanged}. The ops surface every corpus
+    rebuild needs ("what did this pipeline change?") and the one join
+    type nothing else in the engine uses — one shuffle on the id, the
+    join carries (id, fp) pairs only, never document bodies."""
+    o = old.select(F.col(id_col).alias("__id"), F.col(fp_col).alias("__old_fp"))
+    n = new.select(F.col(id_col).alias("__id"), F.col(fp_col).alias("__new_fp"))
+    joined = o.join(n, on="__id", how="full_outer")
+    status = (
+        F.when(F.col("__old_fp").isNull(), F.lit("added"))
+        .when(F.col("__new_fp").isNull(), F.lit("removed"))
+        .when(F.col("__old_fp") == F.col("__new_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        F.col("__id").alias(id_col),
+        status.alias("status"),
+    )
+
+
+def corpus_diff_summary(
+    old: DataFrame, new: DataFrame, id_col: str, fp_col: str
+) -> DataFrame:
+    return (
+        corpus_diff(old, new, id_col, fp_col)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
