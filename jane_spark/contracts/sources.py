@@ -275,7 +275,12 @@ def q_a8_event_xml(spark, sf_dir):
                                '</value></rake>',
                                '</nodalPlane1></nodalPlanes></focalMechanism>')
                       ELSE '' END,
-                      '<origin><time><value>',
+                      '<preferredOriginID>', qid,
+                      '#origin</preferredOriginID>',
+                      '<preferredMagnitudeID>', qid,
+                      '#mag</preferredMagnitudeID>',
+                      '<origin publicID="', qid, '#origin">',
+                      '<time><value>',
                       strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'),
                       '</value></time>',
                       '<latitude><value>', CAST(lat AS VARCHAR),
@@ -285,7 +290,8 @@ def q_a8_event_xml(spark, sf_dir):
                       '<depth><value>', CAST(dep AS VARCHAR),
                       '</value></depth>',
                       '<evaluationMode>manual</evaluationMode></origin>',
-                      '<magnitude><mag><value>', CAST(mag AS VARCHAR),
+                      '<magnitude publicID="', qid, '#mag">',
+                      '<mag><value>', CAST(mag AS VARCHAR),
                       '</value></mag><type>Mw</type>',
                       '<creationInfo><agencyID>EMSC</agencyID>',
                       '<author>auto</author></creationInfo></magnitude>',

@@ -590,10 +590,12 @@ def event_xml(events: DataFrame) -> DataFrame:
     real angles. Pure row-local projection: no shuffle at all;
     document assembly (quakeml_document) is the only rollup.
     """
-    from jane_spark.functions.xml import xml_attr, xml_element
+    from jane_spark.functions.xml import xml_attr, xml_element, xml_escape
 
     num = lambda c: F.col(c).cast("string")  # noqa: E731
     ev_time = F.date_format(F.col("origin_time"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    origin_id = F.concat(F.col("quakeml_id"), F.lit("#origin"))
+    mag_id = F.concat(F.col("quakeml_id"), F.lit("#mag"))
     have_fm = {"fm_strike", "fm_dip", "fm_rake"} <= set(events.columns)
     if have_fm:
         angle = lambda name, col: xml_element(  # noqa: E731
@@ -628,6 +630,12 @@ def event_xml(events: DataFrame) -> DataFrame:
         xml_attr("publicID", F.col("quakeml_id")),
         F.lit(">"),
         fm_block,
+        # QuakeML events reference their preferred origin/magnitude by
+        # publicID — with one cataloged origin per index row these are
+        # self-references, but consumers (ObsPy) resolve them, so the
+        # ids and the referenced publicID attributes must both exist
+        xml_element("preferredOriginID", xml_escape(origin_id)),
+        xml_element("preferredMagnitudeID", xml_escape(mag_id)),
         xml_element(
             "origin",
             F.concat(
@@ -637,6 +645,7 @@ def event_xml(events: DataFrame) -> DataFrame:
                 xml_element("depth", xml_element("value", num("depth_in_m"))),
                 xml_element("evaluationMode", F.col("evaluation_mode")),
             ),
+            xml_attr("publicID", origin_id),
         ),
         xml_element(
             "magnitude",
@@ -651,6 +660,7 @@ def event_xml(events: DataFrame) -> DataFrame:
                     ),
                 ),
             ),
+            xml_attr("publicID", mag_id),
         ),
         xml_element("type", F.col("event_type")),
         F.lit("</event>"),

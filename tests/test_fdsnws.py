@@ -812,12 +812,16 @@ def test_event_xml_golden(events):
     got = {r["quakeml_id"]: r["xml"] for r in event_xml(events).collect()}
     assert got["quakeml:eu/ev001"] == (
         '<event publicID="quakeml:eu/ev001">'
-        "<origin><time><value>2023-01-05T01:02:03.500000</value></time>"
+        "<preferredOriginID>quakeml:eu/ev001#origin</preferredOriginID>"
+        "<preferredMagnitudeID>quakeml:eu/ev001#mag</preferredMagnitudeID>"
+        '<origin publicID="quakeml:eu/ev001#origin">'
+        "<time><value>2023-01-05T01:02:03.500000</value></time>"
         "<latitude><value>46.3</value></latitude>"
         "<longitude><value>13.6</value></longitude>"
         "<depth><value>11000.0</value></depth>"
         "<evaluationMode>automatic</evaluationMode></origin>"
-        "<magnitude><mag><value>4.1</value></mag><type>ML</type>"
+        '<magnitude publicID="quakeml:eu/ev001#mag">'
+        "<mag><value>4.1</value></mag><type>ML</type>"
         "<creationInfo><agencyID>EMSC</agencyID><author>auto</author>"
         "</creationInfo></magnitude>"
         "<type>earthquake</type></event>"
@@ -840,7 +844,7 @@ def test_event_xml_focal_mechanism_golden(events):
         "<dip><value>40.0</value></dip>"
         "<rake><value>95.0</value></rake>"
         "</nodalPlane1></nodalPlanes></focalMechanism>"
-        "<origin>"
+        "<preferredOriginID>"
     )
     assert "<focalMechanism" not in got["quakeml:eu/ev005"]
     assert "<focalMechanism" not in got["quakeml:eu/ev001"]
