@@ -256,3 +256,43 @@ def q_g4(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@contract(
+    "q_s1_sql_door",
+    oracle="""
+        SELECT e.event_type AS event_type,
+               count(*) AS n,
+               round(avg(e.value), 4) AS avg_value,
+               round(max(e.value), 3) AS max_value
+        FROM events e
+        WHERE e.ts >= TIMESTAMP '2024-01-03 00:00:00'
+          AND e.ts <  TIMESTAMP '2024-01-20 00:00:00'
+          AND e.event_type IN ('click', 'view', 'purchase')
+        GROUP BY e.event_type
+    """,
+    survey_rows="S1,B3,B5,D1",
+    doc="the SQL front door (engine/sql.register_views): the catalog "
+    "tables published as temp views and the fdsnws-event-search shape "
+    "run as PURE spark.sql text — identical Catalyst plan to the "
+    "DataFrame path (pushdown, AQE), proving the whole surface is "
+    "SQL-reachable with zero extra machinery",
+)
+def q_s1(spark, sf_dir):
+    from jane_spark.engine.sql import sql
+
+    return sql(
+        spark,
+        sf_dir,
+        """
+        SELECT e.event_type AS event_type,
+               count(*) AS n,
+               round(avg(e.value), 4) AS avg_value,
+               round(max(e.value), 3) AS max_value
+        FROM events e
+        WHERE e.ts >= TIMESTAMP '2024-01-03 00:00:00'
+          AND e.ts <  TIMESTAMP '2024-01-20 00:00:00'
+          AND e.event_type IN ('click', 'view', 'purchase')
+        GROUP BY e.event_type
+        """,
+    )
