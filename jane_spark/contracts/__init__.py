@@ -131,9 +131,12 @@ _R6_NEW = [
     # "code changed this round, re-verify" block (q_a8_station_xml …
     # q_d6_gaps, q_k7_resize with its new GIF fixture), and (c) the
     # round-6 LATE-wave additions (q_r1–q_r4 REST door, q_t22/q_t23
-    # URL curation, q_t24_stupid_backoff, q_i9 stream-stream join,
-    # q_k22_* BPE, q_p10_wds_shards). (b) was last hash-verified r5;
-    # (a) and (c)
+    # URL curation, q_t24_stupid_backoff, q_t25_chunking,
+    # q_t26_contam_report, q_i9 stream-stream join, q_k22_* BPE,
+    # q_k23_* embedding codecs, q_k24_two_stage, q_e6/q_e7
+    # transitions/funnel, q_p10_wds_shards, q_p11_webpipeline,
+    # q_p12_ffd_pack, q_p13_corpus_diff, q_s1_sql_door).
+    # (b) was last hash-verified r5; (a) and (c)
     # are covered by the full sf0.01 oracle-parity pytest run this
     # round; never-verified evidence outranks re-verification when
     # slots run out. (a) then (c) then (b) are the FIRST names to

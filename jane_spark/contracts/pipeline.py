@@ -264,16 +264,33 @@ def q_p5(spark, sf_dir):
     )
 
 
-@contract(
-    "q_t5_decontam",
-    oracle="""
-        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+# word-3-gram shingle prep shared by the decontamination contracts
+# (q_t5 drop + q_t26 attribution): ONE definition each side so the
+# shingle unit can never silently diverge between the two
+_SHINGLE_CTE = """
+        t AS (SELECT doc_id, string_split(text, ' ') AS toks
                    FROM documents),
         s AS (SELECT doc_id,
                      list_distinct(list_transform(
                          generate_series(1, len(toks) - 2),
                          i -> array_to_string(toks[i:i+2], ' '))) AS sh
-              FROM t WHERE len(toks) >= 3),
+              FROM t WHERE len(toks) >= 3)
+"""
+
+
+def _shingled_docs(spark, sf_dir):
+    from jane_spark.functions.text import shingles
+
+    docs = Catalog(spark, sf_dir).documents
+    return docs.filter(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id", F.array_distinct(shingles(F.col("text"), 3)).alias("sh")
+    )
+
+
+@contract(
+    "q_t5_decontam",
+    oracle=f"""
+        WITH {_SHINGLE_CTE},
         bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM s
                   WHERE doc_id % 37 = 0),
         cand AS (SELECT doc_id, unnest(sh) AS shingle FROM s
@@ -291,12 +308,7 @@ def q_p5(spark, sf_dir):
     "scan is one shuffle-free broadcast-semi pass + final agg",
 )
 def q_t5(spark, sf_dir):
-    from jane_spark.functions.text import shingles
-
-    docs = Catalog(spark, sf_dir).documents
-    s = docs.filter(F.size(F.split("text", " ")) >= 3).select(
-        "doc_id", F.array_distinct(shingles(F.col("text"), 3)).alias("sh")
-    )
+    s = _shingled_docs(spark, sf_dir)
     bench = (
         s.filter(F.col("doc_id") % 37 == 0)
         .select(F.explode("sh").alias("shingle"))
@@ -639,14 +651,8 @@ def q_p12(spark, sf_dir):
 
 @contract(
     "q_t26_contam_report",
-    oracle="""
-        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-                   FROM documents),
-        s AS (SELECT doc_id,
-                     list_distinct(list_transform(
-                         generate_series(1, len(toks) - 2),
-                         i -> array_to_string(toks[i:i+2], ' '))) AS sh
-              FROM t WHERE len(toks) >= 3),
+    oracle=f"""
+        WITH {_SHINGLE_CTE},
         bench AS (SELECT doc_id AS eval_id, unnest(sh) AS shingle FROM s
                   WHERE doc_id % 37 = 0),
         cand AS (SELECT doc_id AS train_id, unnest(sh) AS shingle FROM s
@@ -664,12 +670,7 @@ def q_p12(spark, sf_dir):
     "on (train, eval) ids only",
 )
 def q_t26(spark, sf_dir):
-    from jane_spark.functions.text import shingles
-
-    docs = Catalog(spark, sf_dir).documents
-    s = docs.filter(F.size(F.split("text", " ")) >= 3).select(
-        "doc_id", F.array_distinct(shingles(F.col("text"), 3)).alias("sh")
-    )
+    s = _shingled_docs(spark, sf_dir)
     bench = s.filter(F.col("doc_id") % 37 == 0).select(
         F.col("doc_id").alias("eval_id"), F.explode("sh").alias("shingle")
     )

@@ -279,6 +279,10 @@ def q_a8_event_xml(spark, sf_dir):
                       '#origin</preferredOriginID>',
                       '<preferredMagnitudeID>', qid,
                       '#mag</preferredMagnitudeID>',
+                      CASE WHEN fs IS NOT NULL THEN
+                        concat('<preferredFocalMechanismID>', qid,
+                               '#fm</preferredFocalMechanismID>')
+                      ELSE '' END,
                       '<origin publicID="', qid, '#origin">',
                       '<time><value>',
                       strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'),

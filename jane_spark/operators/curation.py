@@ -590,13 +590,25 @@ def corpus_diff(
     rebuild needs ("what did this pipeline change?") and the one join
     type nothing else in the engine uses — one shuffle on the id, the
     join carries (id, fp) pairs only, never document bodies."""
-    o = old.select(F.col(id_col).alias("__id"), F.col(fp_col).alias("__old_fp"))
-    n = new.select(F.col(id_col).alias("__id"), F.col(fp_col).alias("__new_fp"))
+    # explicit presence markers: a NULL FINGERPRINT (md5 of a NULL
+    # body) must read as "present with unknown content", never as
+    # "absent" — inferring presence from fp nullness would misclassify
+    # such docs as added/removed (review r6)
+    o = old.select(
+        F.col(id_col).alias("__id"),
+        F.col(fp_col).alias("__old_fp"),
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        F.col(id_col).alias("__id"),
+        F.col(fp_col).alias("__new_fp"),
+        F.lit(True).alias("__in_new"),
+    )
     joined = o.join(n, on="__id", how="full_outer")
     status = (
-        F.when(F.col("__old_fp").isNull(), F.lit("added"))
-        .when(F.col("__new_fp").isNull(), F.lit("removed"))
-        .when(F.col("__old_fp") == F.col("__new_fp"), F.lit("unchanged"))
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(F.col("__old_fp").eqNullSafe(F.col("__new_fp")), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
     return joined.select(

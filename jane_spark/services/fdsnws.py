@@ -598,6 +598,25 @@ def event_xml(events: DataFrame) -> DataFrame:
     mag_id = F.concat(F.col("quakeml_id"), F.lit("#mag"))
     have_fm = {"fm_strike", "fm_dip", "fm_rake"} <= set(events.columns)
     if have_fm:
+        fm_present = (
+            F.col("fm_strike").isNotNull()
+            & F.col("fm_dip").isNotNull()
+            & F.col("fm_rake").isNotNull()
+        )
+        # every element with a publicID gets its preferred reference —
+        # a consumer resolving preferred_focal_mechanism() must find
+        # the #fm block this same document carries (and never a
+        # dangling reference when it doesn't)
+        pref_fm = F.when(
+            fm_present,
+            xml_element(
+                "preferredFocalMechanismID",
+                xml_escape(F.concat(F.col("quakeml_id"), F.lit("#fm"))),
+            ),
+        ).otherwise(F.lit(""))
+    else:
+        pref_fm = F.lit("")
+    if have_fm:
         angle = lambda name, col: xml_element(  # noqa: E731
             name, xml_element("value", num(col))
         )
@@ -636,6 +655,7 @@ def event_xml(events: DataFrame) -> DataFrame:
         # ids and the referenced publicID attributes must both exist
         xml_element("preferredOriginID", xml_escape(origin_id)),
         xml_element("preferredMagnitudeID", xml_escape(mag_id)),
+        pref_fm,
         xml_element(
             "origin",
             F.concat(

@@ -969,3 +969,26 @@ def test_chunk_tokens_properties(spark):
         chunk_tokens(F.col("text"), 4, overlap=4)
     with _pytest.raises(ValueError):
         chunk_tokens(F.col("text"), 0)
+
+
+def test_corpus_diff_per_doc_and_null_fingerprints(spark):
+    from jane_spark.operators.curation import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], "doc_id long, fp string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, "c"), (5, "e")], "doc_id long, fp string"
+    )
+    got = {r.doc_id: r.status for r in corpus_diff(old, new, "doc_id", "fp").collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "changed",   # present both sides; NULL fp != 'c', NOT 'added'
+        4: "removed",
+        5: "added",
+    }
+    # NULL on both sides is unchanged under null-safe equality
+    old2 = spark.createDataFrame([(9, None)], "doc_id long, fp string")
+    new2 = spark.createDataFrame([(9, None)], "doc_id long, fp string")
+    assert corpus_diff(old2, new2, "doc_id", "fp").collect()[0].status == "unchanged"

@@ -848,6 +848,12 @@ def test_event_xml_focal_mechanism_golden(events):
     )
     assert "<focalMechanism" not in got["quakeml:eu/ev005"]
     assert "<focalMechanism" not in got["quakeml:eu/ev001"]
+    # with angles, the preferred reference resolves to the emitted block
+    assert (
+        "<preferredFocalMechanismID>quakeml:eu/ev002#fm"
+        "</preferredFocalMechanismID>" in got["quakeml:eu/ev002"]
+    )
+    assert "preferredFocalMechanismID" not in got["quakeml:eu/ev001"]
     # an index without the fm_* columns serializes exactly as before
     bare = events.drop("fm_strike", "fm_dip", "fm_rake")
     bare_xml = {r["quakeml_id"]: r["xml"] for r in event_xml(bare).collect()}
@@ -858,6 +864,10 @@ def test_event_xml_focal_mechanism_golden(events):
         "<dip><value>40.0</value></dip>"
         "<rake><value>95.0</value></rake>"
         "</nodalPlane1></nodalPlanes></focalMechanism>",
+        "",
+    ).replace(
+        "<preferredFocalMechanismID>quakeml:eu/ev002#fm"
+        "</preferredFocalMechanismID>",
         "",
     )
 
