@@ -992,3 +992,44 @@ def test_corpus_diff_per_doc_and_null_fingerprints(spark):
     old2 = spark.createDataFrame([(9, None)], "doc_id long, fp string")
     new2 = spark.createDataFrame([(9, None)], "doc_id long, fp string")
     assert corpus_diff(old2, new2, "doc_id", "fp").collect()[0].status == "unchanged"
+
+
+def test_chunk_tokens_randomized_vs_python_twin(spark):
+    """Randomized params × corpus shapes vs an independent Python
+    reference: chunk starts step by (size-overlap), every token is
+    covered, last partial kept, tiny docs one chunk."""
+    import random
+
+    from jane_spark.functions.text import chunk_tokens
+
+    rng = random.Random(7)
+
+    def py_chunks(text, size, overlap):
+        toks = [t for t in text.split(" ") if t]
+        if not toks:
+            return []
+        step = size - overlap
+        n_chunks = max(1, -(-(len(toks) - overlap) // step))  # ceil
+        out = []
+        for i in range(n_chunks):
+            window = toks[i * step : i * step + size]
+            out.append((i, " ".join(window), len(window)))
+        return out
+
+    texts = []
+    for i in range(120):
+        n = rng.choice([0, 1, 2, 3, 5, 8, 13, 21, 55, 89])
+        texts.append((i, " ".join(f"t{j}" for j in range(n))))
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+
+    for size, overlap in [(4, 0), (4, 1), (4, 3), (7, 2), (16, 8), (3, 0)]:
+        got = {
+            r.doc_id: [(c.chunk_idx, c.chunk, c.n_tokens) for c in r.ch]
+            for r in df.select(
+                "doc_id", chunk_tokens(F.col("text"), size, overlap).alias("ch")
+            ).collect()
+        }
+        for doc_id, text in texts:
+            assert got[doc_id] == py_chunks(text, size, overlap), (
+                doc_id, size, overlap,
+            )
