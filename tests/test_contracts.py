@@ -104,3 +104,21 @@ def test_float_boundary_margins(duck):
         for v, dp in zip(row, (4, 2, 6, 4)):
             margin = abs((v * 10**dp) % 1 - 0.5)
             assert margin > 1e-6, f"d14 rounding margin too thin: {v} @ {dp}dp"
+
+
+def test_sql_views_idempotent_and_complete(spark, sf_dir):
+    """engine/sql.register_views publishes all ten catalog tables and
+    re-registration replaces cleanly (same session, repeated calls)."""
+    from jane_spark.engine.catalog import TABLES
+    from jane_spark.engine.sql import register_views
+
+    names = register_views(spark, sf_dir)
+    assert names == list(TABLES)
+    again = register_views(spark, sf_dir)  # idempotent
+    assert again == names
+    n = spark.sql("SELECT count(*) AS n FROM documents").collect()[0].n
+    assert n > 0
+    joined = spark.sql(
+        "SELECT count(*) AS n FROM nation JOIN region ON n_regionkey = r_regionkey"
+    ).collect()[0].n
+    assert joined == 25
