@@ -28,35 +28,52 @@ from jane_spark.contracts import rest  # noqa: F401  (§2.12 R REST front door, 
 # REGISTRY — guarded below.
 
 VERIFY_FIRST: list[str] = [
-    # --- round 6 rotation (VERDICT r5 next-steps #1): all 21 queries
-    # last hash-verified in round 2 — the oldest evidence in the repo —
-    # come first. After this round no oracle-backed query is older than
-    # two rounds.
-    "q_k5_df",
-    "q_k5_tfidf",
-    "q_k6_lang",
-    "q_k15_incr_dedup",
-    "q_k2_minhash_portable",
-    "q_k2_simhash_portable",
-    "q_p1_hash_split",
-    "q_p2_stratified_sample",
-    "q_p3_upsample",
-    "q_p4_pack",
-    "q_p5_pipeline",
-    "q_t1_quality",
-    "q_t2_langid_sql",
-    "q_t3_fingerprint_md5",
-    "q_t4_bpe_tokens",
-    "q_t5_decontam",
-    "q_t6_redact",
-    "q_t7_repetition",
-    "q_t8_entropy",
-    "q_t9_scorecard",
-    "q_t10_winnow",
-    # --- code paths changing this round (fdsnws event params +
-    # per-level station text + availability NTZ fix; beachball
-    # no-fabrication fix; seismic-format Steim-2 fallback + GSE2 sniff;
-    # media_codecs PNG) → re-verify everything that exercises them
+    # =================================================================
+    # ROUND 7 ROTATION (VERDICT r6 next-steps #1 + staleness audit).
+    # The driver hash-checks only the FIRST 50 queries() entries; this
+    # window holds, in priority order:
+    #   (a) the 3 late-round-6 additions never driver-verified;
+    #   (c) the 23-name round-6 late wave, also never driver-verified
+    #       (judge-verified r6, but the driver record is the contract);
+    #   (b) the 13-name "code changed in r6, last driver-checked r5"
+    #       re-verify block (q_a8_station_xml ... q_d6_gaps);
+    #   (d) 2 queries whose code changes THIS round (r7): q_a8_fm_xml
+    #       (multi-origin event XML) and q_k7_phash (JPEG codec);
+    #   (e) 9 stalest veterans (last driver-checked r4) to start
+    #       draining the 46-name r4 block.
+    # After r7, never-driver-verified = 0 and the only stale evidence
+    # is the remaining 37 r4-era veterans (rotate in r8+) plus the
+    # r5/r6 blocks as they age.
+    # =================================================================
+    # (a) late round-6 additions, never driver-verified
+    "q_t20_clf_score",
+    "q_k21_quality_clf",
+    "q_t21_dupremove",
+    # (c) round-6 late wave, never driver-verified (26 total with (a))
+    "q_r1_rest_search",
+    "q_r2_rest_doc_list",
+    "q_r3_rest_serialize",
+    "q_r4_rest_xml",
+    "q_t22_urlnorm",
+    "q_t23_domaincap",
+    "q_t24_stupid_backoff",
+    "q_t25_chunking",
+    "q_t26_contam_report",
+    "q_i9_stream_join",
+    "q_k22_bpe_pairs",
+    "q_k22_bpe_train",
+    "q_k22_bpe_encode",
+    "q_k23_quantize",
+    "q_k23_matryoshka",
+    "q_k24_two_stage",
+    "q_e6_transitions",
+    "q_e7_funnel",
+    "q_p10_wds_shards",
+    "q_p11_webpipeline",
+    "q_p12_ffd_pack",
+    "q_p13_corpus_diff",
+    "q_s1_sql_door",
+    # (b) code changed in r6, last driver-verified r5
     "q_a8_station_xml",
     "q_a8_event_xml",
     "q_a8_text_format",
@@ -70,81 +87,21 @@ VERIFY_FIRST: list[str] = [
     "q_k7_audio",
     "q_k7_multimodal",
     "q_d6_gaps",
-    # --- longest-stale r4 veterans fill the window to exactly 50;
-    # new round-6 queries (bulk dataselect, availability oracle, FM
-    # XML) replace tail entries as they are registered.
+    # (d) code changes in r7: multi-origin QuakeML + JPEG baseline codec
+    "q_a8_fm_xml",
+    "q_k7_phash",
+    # (e) stalest veterans (last driver-verified r4)
     "q_a1_scan_count",
     "q_a2_explode",
     "q_a4_sha_dedup",
     "q_a6_binary_len",
     "q_a9_delta_anti",
+    "q_b1_json_extract",
     "q_b2_eq_filter",
+    "q_b3_range_filter",
     "q_b4_wildcard",
-    "q_b7_overlap",
-    "q_b8_bbox",
-    "q_b9_radial_wrap",
-    "q_c3_join4",
-    "q_c4_range_join",
-    "q_c7_asof",
-    "q_d1_count_group",
-    "q_d13_gapfill",
-    "q_d14_stats",
 ]
-# round-6 additions displace the newest tail fills to keep the window
-# at exactly 50 names
-_R6_NEW = [
-    "q_a7_bulk_select",
-    "q_d6_availability",
-    "q_a8_station_bulk",
-    "q_a8_fm_xml",
-    "q_k5_bm25",
-    "q_a8_geojson",
-    "q_j4_udtf",
-    "q_d6_percent",
-    "q_k14_ssjoin",
-    # curation operators (CCNet/Lee-et-al/SemDeDup shapes, round 6)
-    "q_t11_linededup",
-    "q_t12_dupspan",
-    "q_t13_lm_score",
-    "q_k16_semdedup",
-    "q_k16_kmeans",
-    "q_t14_embed_decontam",
-    "q_p6_shuffle",
-    "q_k17_heavyhitters",
-    "q_k7_frames",
-    "q_t15_pii",
-    "q_k7_spectral",
-    # second wave of round-6 curation/multimodal additions
-    "q_t16_c4filter",
-    "q_t17_htmlstrip",
-    "q_p7_mixture",
-    "q_k7_phash",
-    # third wave: CCNet buckets, normalization, hybrid retrieval, audio fp
-    "q_t18_ccnet_buckets",
-    "q_t19_normalize",
-    "q_k19_hybrid",
-    "q_k7_audiofp",
-    # NOT fronted — the 50-slot window holds exactly the 29 never-
-    # driver-verified round-6 queries above plus the 21 round-2-stale
-    # veterans below, which displaces (a) the late-round additions
-    # q_t20_clf_score / q_k21_quality_clf / q_t21_dupremove, (b) the
-    # "code changed this round, re-verify" block (q_a8_station_xml …
-    # q_d6_gaps, q_k7_resize with its new GIF fixture), and (c) the
-    # round-6 LATE-wave additions (q_r1–q_r4 REST door, q_t22/q_t23
-    # URL curation, q_t24_stupid_backoff, q_t25_chunking,
-    # q_t26_contam_report, q_i9 stream-stream join, q_k22_* BPE,
-    # q_k23_* embedding codecs, q_k24_two_stage, q_e6/q_e7
-    # transitions/funnel, q_p10_wds_shards, q_p11_webpipeline,
-    # q_p12_ffd_pack, q_p13_corpus_diff, q_s1_sql_door).
-    # (b) was last hash-verified r5; (a) and (c)
-    # are covered by the full sf0.01 oracle-parity pytest run this
-    # round; never-verified evidence outranks re-verification when
-    # slots run out. (a) then (c) then (b) are the FIRST names to
-    # rotate into round 7's window.
-]
-VERIFY_FIRST = _R6_NEW + [
-    n for n in VERIFY_FIRST if n not in _R6_NEW
-][: 50 - len(_R6_NEW)]
+assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 
 
 def ordered_registry() -> dict[str, ContractQuery]:
