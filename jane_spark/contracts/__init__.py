@@ -90,6 +90,8 @@ VERIFY_FIRST: list[str] = [
     # (d) code changes in r7: multi-origin QuakeML + JPEG baseline codec
     "q_a8_fm_xml",
     "q_k7_phash",
+    # (f) NEW in r7, never verified — displace (e) tail fills 1:1
+    "q_t27_psl_domain",
     # (e) stalest veterans (last driver-verified r4)
     "q_a1_scan_count",
     "q_a2_explode",
@@ -99,7 +101,6 @@ VERIFY_FIRST: list[str] = [
     "q_b1_json_extract",
     "q_b2_eq_filter",
     "q_b3_range_filter",
-    "q_b4_wildcard",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

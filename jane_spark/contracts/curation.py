@@ -940,6 +940,88 @@ def q_t23(spark, sf_dir):
     return capped.select("doc_id", "domain")
 
 
+# PSL fixture for q_t27: a publicsuffix.org-format data file covering
+# every rule kind — plain rules at 1/2/3 labels, a wildcard, an
+# exception — so the full matching algorithm is oracle-exercised.
+PSL_FIXTURE = """
+// q_t27 fixture — publicsuffix.org/list format
+// ===BEGIN ICANN DOMAINS===
+com
+uk
+co.uk
+gov.uk
+us
+ma.us
+k12.ma.us
+ck
+*.ck
+!www.ck
+// ===END ICANN DOMAINS===
+"""
+
+
+@contract(
+    "q_t27_psl_domain",
+    oracle="""
+        SELECT doc_id,
+               concat(CASE doc_id % 8
+                      WHEN 0 THEN concat('www.site', CAST(doc_id AS VARCHAR), '.com')
+                      WHEN 1 THEN concat('a.b.site', CAST(doc_id AS VARCHAR), '.gov.uk')
+                      WHEN 2 THEN concat('x', CAST(doc_id AS VARCHAR), '.k12.ma.us')
+                      WHEN 3 THEN concat('a', CAST(doc_id AS VARCHAR), '.b.ck')
+                      WHEN 4 THEN 'www.ck'
+                      WHEN 5 THEN 'co.uk'
+                      WHEN 6 THEN concat('deep.sub.site', CAST(doc_id AS VARCHAR), '.co.uk')
+                      ELSE concat('site', CAST(doc_id AS VARCHAR), '.unknowntld')
+                      END, '') AS host,
+               concat(CASE doc_id % 8
+                      WHEN 0 THEN concat('site', CAST(doc_id AS VARCHAR), '.com')
+                      WHEN 1 THEN concat('site', CAST(doc_id AS VARCHAR), '.gov.uk')
+                      WHEN 2 THEN concat('x', CAST(doc_id AS VARCHAR), '.k12.ma.us')
+                      WHEN 3 THEN concat('a', CAST(doc_id AS VARCHAR), '.b.ck')
+                      WHEN 4 THEN 'www.ck'
+                      WHEN 5 THEN 'co.uk'
+                      WHEN 6 THEN concat('site', CAST(doc_id AS VARCHAR), '.co.uk')
+                      ELSE concat('site', CAST(doc_id AS VARCHAR), '.unknowntld')
+                      END, '') AS domain
+        FROM documents
+    """,
+    survey_rows="T22,T23",
+    doc="registrable domain under a Public Suffix List DATA FILE "
+    "(functions/urls.parse_psl + registrable_domain_psl) — the exact "
+    "publicsuffix.org algorithm: exception rules prevail, else the "
+    "most-label rule, '*' matches one label, implicit '*' default; "
+    "suffix-only hosts return unchanged. The rule set partitions into "
+    "per-depth InSet probes, so the full ~10k-rule PSL is still a "
+    "zero-shuffle codegen projection. The oracle CONSTRUCTS the "
+    "expected domain per case; the Spark side must MATCH its way "
+    "there through the rule table",
+)
+def q_t27(spark, sf_dir):
+    from jane_spark.functions.urls import parse_psl, registrable_domain_psl
+
+    docs = Catalog(spark, sf_dir).documents
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    m = did % 8
+    host = (
+        F.when(m == 0, F.concat(F.lit("www.site"), ds, F.lit(".com")))
+        .when(m == 1, F.concat(F.lit("a.b.site"), ds, F.lit(".gov.uk")))
+        .when(m == 2, F.concat(F.lit("x"), ds, F.lit(".k12.ma.us")))
+        .when(m == 3, F.concat(F.lit("a"), ds, F.lit(".b.ck")))
+        .when(m == 4, F.lit("www.ck"))
+        .when(m == 5, F.lit("co.uk"))
+        .when(m == 6, F.concat(F.lit("deep.sub.site"), ds, F.lit(".co.uk")))
+        .otherwise(F.concat(F.lit("site"), ds, F.lit(".unknowntld")))
+    )
+    rules = parse_psl(PSL_FIXTURE)
+    return docs.select(
+        "doc_id",
+        host.alias("host"),
+        registrable_domain_psl(host, rules).alias("domain"),
+    )
+
+
 # ------------------------------------------------------------ BPE (K22)
 
 

@@ -172,6 +172,98 @@ def url_domain(url: Column) -> Column:
     return registrable_domain(F.nullif(url_host(url), F.lit("")))
 
 
+# ------------------------------------------- Public Suffix List support
+
+
+def parse_psl(text: str) -> list[str]:
+    """Parse Public Suffix List text (publicsuffix.org/list format)
+    into its rule strings: one rule per non-comment line ('//' starts a
+    comment), whitespace-trimmed, everything after the first whitespace
+    ignored (the spec: 'the rule is the part before the first
+    whitespace'). Markers are preserved: '!' exception prefix, '*'
+    wildcard labels. Section markers (===BEGIN ICANN DOMAINS===) live
+    inside comments and need no handling."""
+    rules: list[str] = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("//"):
+            continue
+        rules.append(line.split()[0])
+    return rules
+
+
+def registrable_domain_psl(host: Column, rules: list[str]) -> Column:
+    """Registrable domain under an explicit Public Suffix List — the
+    exact publicsuffix.org algorithm: among matching rules an exception
+    rule ('!' prefix) prevails, else the rule with the most labels; a
+    '*' label matches exactly one host label; no match falls back to
+    the implicit '*' rule (public suffix = last label). The registrable
+    domain is the public suffix plus one label; a host that IS a public
+    suffix, or carries empty labels ('a..com'), returns unchanged —
+    same guard as the heuristic (collapsing '*..com' to '.com' would
+    merge unrelated sites under one cap key).
+
+    Scale shape: the rule set partitions by label depth into plain
+    Python frozensets that compile to Catalyst ``InSet`` (O(1) hash
+    probe inside whole-stage codegen) — the full ~10k-rule PSL stays a
+    ZERO-shuffle, zero-join, zero-UDF projection, exactly like the
+    built-in heuristic. Rules ship with the plan; for rule sets far
+    beyond the real PSL use a broadcast join on the depth keys instead
+    (the B12 ACL shape, sketched in domain_blocklist_filter)."""
+    exact: dict[int, set] = {}
+    wild: dict[int, set] = {}
+    exc: dict[int, set] = {}
+    for r in rules:
+        is_exc = r.startswith("!")
+        body = r[1:] if is_exc else r
+        k = body.count(".") + 1
+        if is_exc:
+            exc.setdefault(k, set()).add(body)
+        elif body.startswith("*."):
+            # keyed by the (k-1)-label tail the wildcard must precede
+            wild.setdefault(k, set()).add(body[2:])
+        elif body == "*":
+            wild.setdefault(1, set()).add("")
+        else:
+            exact.setdefault(k, set()).add(body)
+
+    nlabels = F.length(host) - F.length(F.translate(host, ".", "")) + 1
+    malformed = (
+        host.isNull()
+        | (host == "")
+        | host.startswith(".")
+        | (F.instr(host, "..") > 0)
+    )
+
+    def last(k: int) -> Column:
+        return F.substring_index(host, ".", -k)
+
+    # public-suffix label count: exceptions first (longest wins, ps is
+    # the rule minus its leftmost label), then plain/wildcard matches
+    # (longest wins), then the implicit '*' default
+    branches: list[Column] = []
+    for k in sorted(exc, reverse=True):
+        branches.append(
+            F.when((nlabels >= k) & last(k).isin(*sorted(exc[k])), k - 1)
+        )
+    depths = sorted(set(exact) | set(wild), reverse=True)
+    for k in depths:
+        hit = F.lit(False)
+        if k in exact:
+            hit = hit | last(k).isin(*sorted(exact[k]))
+        if k in wild:
+            if k == 1:
+                hit = hit | F.lit("" in wild[1])
+            else:
+                hit = hit | last(k - 1).isin(*sorted(wild[k]))
+        branches.append(F.when((nlabels >= k) & hit, k))
+    ps = F.coalesce(*branches, F.lit(1)) if branches else F.lit(1)
+
+    n = ps + F.lit(1)
+    reg = F.array_join(F.slice(F.split(host, r"\."), -n, n), ".")
+    return F.when(malformed | (nlabels <= ps), host).otherwise(reg)
+
+
 # ------------------------------------------------------------ operators
 
 

@@ -214,3 +214,109 @@ def test_malformed_empty_label_hosts_stay_distinct(spark):
     )
     got = [r.d for r in df.select(registrable_domain(F.col("host")).alias("d")).collect()]
     assert got == ["a..com", "b..com", "example.com.", "leading.com"]
+
+
+# ------------------------------------------- Public Suffix List loader
+
+
+_PSL_TEXT = """
+// fixture: every rule kind the publicsuffix.org format defines
+com
+uk
+co.uk
+gov.uk
+us
+ma.us
+k12.ma.us
+ck
+*.ck
+!www.ck
+com.au trailing-garbage-after-whitespace-is-ignored
+"""
+
+
+def test_parse_psl():
+    from jane_spark.functions.urls import parse_psl
+
+    rules = parse_psl(_PSL_TEXT)
+    assert "com" in rules and "*.ck" in rules and "!www.ck" in rules
+    assert "com.au" in rules  # whitespace-tail stripped per the spec
+    assert not any(r.startswith("//") for r in rules)
+    assert all(r == r.strip() and r for r in rules)
+
+
+def test_registrable_domain_psl_algorithm(spark):
+    """The publicsuffix.org matching algorithm end-to-end: longest
+    rule wins, '*' consumes one label, '!' exceptions prevail, the
+    implicit '*' default applies to unknown TLDs, suffix-only and
+    empty-label hosts return unchanged."""
+    from jane_spark.functions.urls import parse_psl, registrable_domain_psl
+
+    rules = parse_psl(_PSL_TEXT)
+    cases = [
+        ("www.site1.com", "site1.com"),          # plain 1-label rule
+        ("a.b.site2.gov.uk", "site2.gov.uk"),    # 2-label rule, deep host
+        ("x3.k12.ma.us", "x3.k12.ma.us"),        # 3-label rule
+        ("school.x.k12.ma.us", "x.k12.ma.us"),   # 3-label rule, deeper
+        ("a4.b.ck", "a4.b.ck"),                  # wildcard *.ck
+        ("www.ck", "www.ck"),                    # exception !www.ck
+        ("co.uk", "co.uk"),                      # host IS a suffix
+        ("ck", "ck"),                            # 1-label suffix host
+        ("site7.unknowntld", "site7.unknowntld"),  # implicit '*' rule
+        ("deep.q.site8.unknowntld", "site8.unknowntld"),
+        ("a..com", "a..com"),                    # empty-label guard
+        (".com", ".com"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    got = [
+        r.d
+        for r in df.select(
+            registrable_domain_psl(F.col("host"), rules).alias("d")
+        ).collect()
+    ]
+    assert got == [want for _, want in cases]
+
+
+def test_psl_agrees_with_heuristic_where_overlapping(spark):
+    """On hosts whose suffixes both paths know (com/org + the built-in
+    2-level set), the PSL matcher and the heuristic must agree — the
+    heuristic is the PSL restricted to SECOND_LEVEL_SUFFIXES."""
+    from jane_spark.functions.urls import (
+        SECOND_LEVEL_SUFFIXES,
+        parse_psl,
+        registrable_domain,
+        registrable_domain_psl,
+    )
+
+    rules = parse_psl("\n".join(("com", "org") + SECOND_LEVEL_SUFFIXES))
+    hosts = [
+        ("www.example.com",), ("a.b.example.org",), ("x.gov.uk",),
+        ("sub.site.co.uk",), ("news.co.jp",), ("shop.com.au",),
+        ("one.two.three.com.br",), ("plain.com",),
+    ]
+    df = spark.createDataFrame(hosts, "host string")
+    rows = df.select(
+        registrable_domain(F.col("host")).alias("heur"),
+        registrable_domain_psl(F.col("host"), rules).alias("psl"),
+    ).collect()
+    for r in rows:
+        assert r.heur == r.psl, (r.heur, r.psl)
+
+
+def test_psl_plan_stays_codegen(spark):
+    """A big rule set must stay a zero-shuffle projection: the depth
+    sets compile to InSet probes, no Exchange, no join, no UDF."""
+    from jane_spark.functions.urls import registrable_domain_psl
+
+    rules = ["com", "co.uk", "*.ck", "!www.ck"] + [
+        f"suffix{i}.zz" for i in range(2000)
+    ]
+    df = spark.range(10).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".example.com")).alias("host")
+    )
+    out = df.select(registrable_domain_psl(F.col("host"), rules).alias("d"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert [r.d for r in out.collect()] == ["example.com"] * 10
