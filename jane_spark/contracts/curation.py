@@ -726,13 +726,15 @@ def q_k21(spark, sf_dir):
     oracle=None,  # binary image payloads — rows-only check
     survey_rows="K7,K2",
     doc="image near-duplicate detection: documents rendered 16x16 "
-    "grayscale (even ids PGM, odd ids zlib PNG), each paired with a "
-    "one-pixel-perturbed copy at id+100000; 64-bit DCT pHash per image "
-    "(operators.imagehash.phash_images, Arrow-batched mapInPandas over "
-    "the pure-stdlib codecs), then 8-block pigeonhole Hamming join "
-    "(phash_near_pairs) — candidates from equi-joins on 8-bit blocks, "
-    "never all-pairs. Output pins signature count, candidate pairs, "
-    "and how many recovered perturbed twins at Hamming <= 6",
+    "grayscale (ids mod 3: PGM / zlib PNG / baseline JPEG q97 — the "
+    "JPEG leg runs the real lossy T.81 decode, which pHash must "
+    "absorb), each paired with a one-pixel-perturbed copy at "
+    "id+100000; 64-bit DCT pHash per image (operators.imagehash."
+    "phash_images, Arrow-batched mapInPandas over the pure-stdlib "
+    "codecs), then 8-block pigeonhole Hamming join (phash_near_pairs) "
+    "— candidates from equi-joins on 8-bit blocks, never all-pairs. "
+    "Output pins signature count, candidate pairs, and how many "
+    "recovered perturbed twins at Hamming <= 6",
 )
 def q_k7_phash(spark, sf_dir):
     import pandas as pd
@@ -748,8 +750,17 @@ def q_k7_phash(spark, sf_dir):
     def to_img(batches):
         import numpy as np
 
-        from jane_spark.sources.media_codecs import encode_png, encode_ppm
+        from jane_spark.sources.media_codecs import (
+            encode_jpeg,
+            encode_png,
+            encode_ppm,
+        )
 
+        codecs = [
+            (encode_ppm, "image/x-portable-graymap"),
+            (encode_png, "image/png"),
+            (lambda a: encode_jpeg(a, quality=97), "image/jpeg"),
+        ]
         for pdf in batches:
             ids, payloads, types = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
@@ -759,12 +770,7 @@ def q_k7_phash(spark, sf_dir):
                 ).reshape(16, 16)
                 twin = arr.copy()
                 twin[0, 0] ^= 1  # one-pixel perturbation
-                enc = encode_ppm if doc_id % 2 == 0 else encode_png
-                mt = (
-                    "image/x-portable-graymap"
-                    if doc_id % 2 == 0
-                    else "image/png"
-                )
+                enc, mt = codecs[doc_id % 3]
                 for item_id, a in ((doc_id, arr), (doc_id + 100000, twin)):
                     ids.append(item_id)
                     payloads.append(enc(a))

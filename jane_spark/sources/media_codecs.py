@@ -600,3 +600,526 @@ def quantize_to_palette(arr: np.ndarray, palette: np.ndarray) -> np.ndarray:
     d = ((a[:, None, :] - p[None, :, :]) ** 2).sum(axis=2)
     idx = d.argmin(axis=1)
     return palette[idx].reshape(np.asarray(arr).shape).astype(np.uint8)
+
+
+# ----------------------------------------------------------- JPEG
+# Baseline sequential DCT (ITU-T T.81): the dominant web image format,
+# so the K18 pHash/near-dup path can exercise what LAION-scale dedup
+# actually sees. Pure struct+numpy: 8x8 DCT via a matrix product,
+# canonical Huffman coding with the public Annex K example tables on
+# the encode side; the decoder reads DQT/DHT from the stream, handles
+# component sampling factors 1-2 (4:4:4 / 4:2:2 / 4:2:0) and restart
+# markers. Huffman bit I/O is per-symbol Python — fine for the Pandas
+# UDF batch path where decode cost is the documented tradeoff, and for
+# zero-fixture round-trip tests against the encoder twin.
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int32)
+
+# ITU-T T.81 Annex K.1 example quantization tables (public spec)
+_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
+# Annex K.3 example Huffman specs: (BITS counts per code length 1..16,
+# HUFFVAL symbol list)
+_DC_LUMA_SPEC = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROMA_SPEC = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUMA_SPEC = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA_SPEC = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    x = np.arange(8)
+    a = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    a[0, :] = 1.0
+    return a * np.where(x[:, None] == 0, np.sqrt(1 / 8), 0.5)
+
+
+_DCT_M = _dct_matrix()
+
+
+def _huff_codes(bits: list, vals: list) -> dict:
+    """Canonical Huffman per T.81 C.2: symbol -> (code, length)."""
+    out, code = {}, 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:  # byte stuffing (B.1.1.5)
+                self.buf.append(0x00)
+
+    def pad(self) -> None:
+        """Pad to a byte boundary with 1-bits (B.1.1.5)."""
+        r = self.n % 8
+        if r:
+            self.put((1 << (8 - r)) - 1, 8 - r)
+
+    def marker(self, m: int) -> None:
+        """Byte-align and emit a marker (restart) into the stream."""
+        self.pad()
+        self.buf += bytes((0xFF, m))
+
+    def flush(self) -> bytes:
+        self.pad()
+        return bytes(self.buf)
+
+
+def _magnitude(v: int) -> tuple:
+    """(SSSS category, value bits) per T.81 F.1.2.1."""
+    ssss = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    return ssss, (v if v >= 0 else v + (1 << ssss) - 1)
+
+
+def _encode_blocks(
+    writer: _BitWriter, blocks: np.ndarray, dc_tbl: dict, ac_tbl: dict, pred: int
+) -> int:
+    """Huffman-encode zigzagged quantized blocks (n,64); returns the
+    updated DC predictor."""
+    for blk in blocks:
+        ssss, bits_v = _magnitude(int(blk[0]) - pred)
+        pred = int(blk[0])
+        c, ln = dc_tbl[ssss]
+        writer.put(c, ln)
+        if ssss:
+            writer.put(bits_v, ssss)
+        run = 0
+        nz = np.nonzero(blk[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_tbl[0xF0]  # ZRL
+                writer.put(c, ln)
+                run -= 16
+            ssss, bits_v = _magnitude(v)
+            c, ln = ac_tbl[run * 16 + ssss]
+            writer.put(c, ln)
+            writer.put(bits_v, ssss)
+            run = 0
+        if last < 63:
+            c, ln = ac_tbl[0x00]  # EOB
+            writer.put(c, ln)
+    return pred
+
+
+def _plane_blocks(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """Level-shift, pad to 8x8 multiples (edge replicate), forward DCT,
+    quantize, zigzag → (grid_h, grid_w, 64) int32 block grid."""
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    p = np.pad(plane.astype(np.float64) - 128.0,
+               ((0, ph - h), (0, pw - w)), mode="edge")
+    b = p.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ij,abjk,lk->abil", _DCT_M, b, _DCT_M)
+    q = np.round(coef / qt.reshape(8, 8)).astype(np.int32)
+    return q.reshape(ph // 8, pw // 8, 64)[:, :, _ZIGZAG]
+
+
+def _scale_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg quality scaling (public ijg formula): 1..100."""
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 90,
+    sampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline sequential JFIF: 8-bit grey (H,W) or RGB (H,W,3),
+    Annex K tables at the given quality. ``sampling`` is '4:4:4' (no
+    chroma subsampling) or '4:2:0' (2x2 box-mean chroma, the dominant
+    web configuration); ``restart_interval`` > 0 emits DRI + RSTn every
+    N MCUs (error-resilience markers — and the decoder's restart path
+    twin). Lossy: round-trips are close, not byte-exact."""
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    if sampling not in ("4:4:4", "4:2:0"):
+        raise ValueError("sampling must be '4:4:4' or '4:2:0'")
+    sub = 2 if (sampling == "4:2:0" and not gray) else 1
+    if gray:
+        planes = [a.astype(np.float64)]
+    else:
+        r, g, b = (a[..., i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        if sub == 2:
+            # pad to even dims (edge), then 2x2 box-mean the chroma
+            ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+            for ci in (1, 2):
+                p = np.pad(planes[ci], ((0, ph - h), (0, pw - w)), mode="edge")
+                planes[ci] = p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    qts = [_scale_qt(_QT_LUMA, quality)] + (
+        [] if gray else [_scale_qt(_QT_CHROMA, quality)]
+    )
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, qt in enumerate(qts):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
+        out += bytes(int(v) for v in qt[_ZIGZAG])
+    ncomp = 1 if gray else 3
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for cid in range(ncomp):
+        hv = (sub * 16 + sub) if cid == 0 else 0x11
+        out += struct.pack("BBB", cid + 1, hv, 0 if cid == 0 else 1)
+    specs = [(0x00, _DC_LUMA_SPEC), (0x10, _AC_LUMA_SPEC)] + (
+        [] if gray else [(0x01, _DC_CHROMA_SPEC), (0x11, _AC_CHROMA_SPEC)]
+    )
+    for tc_th, (bits, vals) in specs:
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), tc_th)
+        out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for cid in range(ncomp):
+        out += struct.pack("BB", cid + 1, 0x00 if cid == 0 else 0x11)
+    out += b"\x00\x3f\x00"  # Ss/Se/AhAl
+
+    dc_l = _huff_codes(*_DC_LUMA_SPEC)
+    ac_l = _huff_codes(*_AC_LUMA_SPEC)
+    dc_c = _huff_codes(*_DC_CHROMA_SPEC)
+    ac_c = _huff_codes(*_AC_CHROMA_SPEC)
+    grids = [
+        _plane_blocks(pl, qts[0] if ci == 0 else qts[1])
+        for ci, pl in enumerate(planes)
+    ]
+    if sub == 2:
+        # luma grid must cover whole MCUs (2x2 luma blocks per MCU)
+        gh, gw = grids[0].shape[:2]
+        grids[0] = np.pad(
+            grids[0], ((0, gh % 2), (0, gw % 2), (0, 0)), mode="edge"
+        )
+    mcuy, mcux = grids[0].shape[0] // sub, grids[0].shape[1] // sub
+    writer = _BitWriter()
+    preds = [0] * ncomp
+    mcu = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.marker(0xD0 + rst)
+                rst = (rst + 1) % 8
+                preds = [0] * ncomp
+            mcu += 1
+            for ci in range(ncomp):
+                dc, ac = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
+                f = sub if ci == 0 else 1
+                for by in range(f):
+                    for bx in range(f):
+                        blk = grids[ci][my * f + by, mx * f + bx]
+                        preds[ci] = _encode_blocks(
+                            writer, blk[None, :], dc, ac, preds[ci]
+                        )
+    out += writer.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """Entropy-coded-segment reader: unstuffs FF00, stops at markers
+    (leaving them for the caller), byte-aligns on restart."""
+
+    def __init__(self, data: bytes, off: int) -> None:
+        self.d = data
+        self.off = off
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        b = self.d[self.off]
+        if b == 0xFF:
+            nxt = self.d[self.off + 1]
+            if nxt == 0x00:
+                self.off += 2
+            elif 0xD0 <= nxt <= 0xD7:  # RSTn consumed by caller
+                raise _RestartMarker()
+            else:
+                raise _SegmentEnd()
+        else:
+            self.off += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bits(self, k: int) -> int:
+        while self.n < k:
+            self._fill()
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        return v
+
+    def align_restart(self) -> None:
+        """Consume a restart marker and byte-align."""
+        self.acc = 0
+        self.n = 0
+        while self.d[self.off] == 0xFF and 0xD0 <= self.d[self.off + 1] <= 0xD7:
+            self.off += 2
+            return
+        raise ValueError("expected restart marker")
+
+
+class _RestartMarker(Exception):
+    pass
+
+
+class _SegmentEnd(Exception):
+    pass
+
+
+def _huff_decode_tables(bits: list, vals: list) -> tuple:
+    """(mincode, maxcode, valptr per length) for canonical decode
+    (T.81 F.2.2.3)."""
+    mincode, maxcode, valptr = [0] * 17, [-1] * 17, [0] * 17
+    code, i = 0, 0
+    for length in range(1, 17):
+        if bits[length - 1]:
+            valptr[length] = i
+            mincode[length] = code
+            code += bits[length - 1]
+            i += bits[length - 1]
+            maxcode[length] = code - 1
+        code <<= 1
+    return mincode, maxcode, valptr, vals
+
+
+def _huff_read(r: "_BitReader", tbl: tuple) -> int:
+    mincode, maxcode, valptr, vals = tbl
+    code = r.bits(1)
+    for length in range(1, 17):
+        if maxcode[length] >= code:
+            return vals[valptr[length] + code - mincode[length]]
+        code = (code << 1) | r.bits(1)
+    raise ValueError("bad Huffman code")
+
+
+def _extend(v: int, ssss: int) -> int:
+    return v if v >= (1 << (ssss - 1)) else v - (1 << ssss) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline sequential JPEG → uint8 (H,W) grey or (H,W,3) RGB.
+    Reads DQT/DHT/DRI from the stream; component sampling factors 1-2
+    (4:4:4 / 4:2:2 / 4:2:0, nearest-neighbor chroma upsample);
+    progressive (SOF2) and arithmetic coding are rejected."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    off = 2
+    qt: dict = {}
+    huff_dc: dict = {}
+    huff_ac: dict = {}
+    frame = None
+    restart = 0
+    while True:
+        if data[off] != 0xFF:
+            raise ValueError("marker expected")
+        m = data[off + 1]
+        off += 2
+        if m == 0xD9:  # EOI
+            raise ValueError("no scan data")
+        ln = struct.unpack(">H", data[off : off + 2])[0]
+        seg = data[off + 2 : off + ln]
+        if m == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                n = 64 * (2 if pq else 1)
+                raw = seg[p : p + n]
+                tbl = (
+                    np.frombuffer(raw, dtype=">u2").astype(np.int32)
+                    if pq
+                    else np.frombuffer(raw, dtype=np.uint8).astype(np.int32)
+                )
+                out = np.zeros(64, dtype=np.int32)
+                out[_ZIGZAG] = tbl
+                qt[tq] = out
+                p += n
+        elif m == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nv])
+                (huff_dc if tc == 0 else huff_ac)[th] = _huff_decode_tables(
+                    bits, vals
+                )
+                p += 17 + nv
+        elif m == 0xC0 or m == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (h, w, comps)
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential JPEG supported")
+        elif m == 0xDD:  # DRI
+            restart = struct.unpack(">H", seg[:2])[0]
+        elif m == 0xDA:  # SOS
+            ns = seg[0]
+            scan = []
+            for ci in range(ns):
+                cs, tt = seg[1 + 2 * ci], seg[2 + 2 * ci]
+                scan.append((cs, tt >> 4, tt & 0x0F))
+            off += ln
+            break
+        off += ln
+    if frame is None:
+        raise ValueError("missing SOF0")
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = {}
+    coef = {}
+    for cid, ch, cv, tq in comps:
+        coef[cid] = np.zeros((mcuy * cv, mcux * ch, 64), dtype=np.int32)
+    r = _BitReader(data, off)
+    preds = {cid: 0 for cid, *_ in comps}
+    comp_by_id = {cid: (ch, cv, tq) for cid, ch, cv, tq in comps}
+    mcu = 0
+    try:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart and mcu and mcu % restart == 0:
+                    r.align_restart()
+                    preds = {cid: 0 for cid in preds}
+                mcu += 1
+                for cs, td, ta in scan:
+                    ch, cv, tq = comp_by_id[cs]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            blk = np.zeros(64, dtype=np.int32)
+                            t = _huff_read(r, huff_dc[td])
+                            diff = _extend(r.bits(t), t) if t else 0
+                            preds[cs] += diff
+                            blk[0] = preds[cs]
+                            k = 1
+                            while k < 64:
+                                rs = _huff_read(r, huff_ac[ta])
+                                rr, ss = rs >> 4, rs & 0x0F
+                                if ss == 0:
+                                    if rr == 15:
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += rr
+                                blk[k] = _extend(r.bits(ss), ss)
+                                k += 1
+                            coef[cs][my * cv + by, mx * ch + bx] = blk
+    except _SegmentEnd:
+        pass  # truncated-but-decodable streams: keep what we have
+    for cid, ch, cv, tq in comps:
+        c = coef[cid]
+        dq = np.zeros_like(c, dtype=np.float64)
+        dq.reshape(-1, 64)[:, _ZIGZAG] = (
+            c.reshape(-1, 64) * qt[tq][None, :]
+        ).astype(np.float64)
+        by, bx = c.shape[:2]
+        b = dq.reshape(by, bx, 8, 8)
+        pix = np.einsum("ji,abjk,kl->abil", _DCT_M, b, _DCT_M)
+        plane = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8) + 128.0
+        # upsample to full MCU grid (nearest), then crop to the image
+        ry, rx = vmax // cv, hmax // ch
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes[cid] = plane[:h, :w]
+    order = [c[0] for c in comps]
+    if len(order) == 1:
+        return np.clip(np.round(planes[order[0]]), 0, 255).astype(np.uint8)
+    y, cb, cr = (planes[c] for c in order)
+    r_ = y + 1.402 * (cr - 128.0)
+    g_ = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b_ = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r_, g_, b_], axis=-1)), 0, 255).astype(
+        np.uint8
+    )

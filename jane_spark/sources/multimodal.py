@@ -7,13 +7,14 @@ path-references into object storage; Parquet stores both fine).
 
 Decoding is registry-driven: ``CODECS``/``ENCODERS`` map media types to
 decode/encode callables. The built-in pure-numpy codecs from
-``media_codecs`` (netpbm P5/P6, 24-bit BMP, PNG, PCM WAV) register at
-import, so ``resize_images`` runs a REAL decode→resize→re-encode path
-for those types with zero third-party libraries. Types with no
-registered codec (JPEG/MP4 — their codec libs are absent here) fall
-back to a deterministic stand-in that exercises identical Spark plumbing
-— schema, Arrow batching, and UDF signature; register a PIL/av decoder
-pair in a real deployment and the same plan runs unchanged.
+``media_codecs`` (netpbm P5/P6, 24-bit BMP, PNG, GIF, baseline JPEG,
+PCM WAV) register at import, so ``resize_images`` runs a REAL
+decode→resize→re-encode path for those types with zero third-party
+libraries. Types with no registered codec (MP4/progressive JPEG — their
+codec libs are absent here) fall back to a deterministic stand-in that
+exercises identical Spark plumbing — schema, Arrow batching, and UDF
+signature; register a PIL/av decoder pair in a real deployment and the
+same plan runs unchanged.
 """
 
 from __future__ import annotations
@@ -31,10 +32,11 @@ MULTIMODAL_SCHEMA = (
 )
 
 # codec registries: media_type -> (bytes -> np.ndarray) for decode and
-# (np.ndarray -> bytes) for encode. Pure-numpy built-ins (PPM/BMP/PNG)
-# are registered at the bottom of this module; real deployments add
-# PIL/av decoders for JPEG/video. AUDIO_CODECS decode to
-# ((n, channels) float array, sample_rate) instead of pixels.
+# (np.ndarray -> bytes) for encode. Pure-numpy built-ins
+# (PPM/BMP/PNG/GIF/baseline-JPEG) are registered at the bottom of this
+# module; real deployments add PIL/av decoders for video/exotic
+# formats. AUDIO_CODECS decode to ((n, channels) float array,
+# sample_rate) instead of pixels.
 CODECS: dict = {}
 ENCODERS: dict = {}
 AUDIO_CODECS: dict = {}
@@ -409,6 +411,7 @@ def _register_builtin_codecs() -> None:
             "image/bmp": mc.decode_bmp,
             "image/png": mc.decode_png,
             "image/gif": mc.decode_gif,
+            "image/jpeg": mc.decode_jpeg,
         }
     )
     ENCODERS.update(
@@ -418,6 +421,7 @@ def _register_builtin_codecs() -> None:
             "image/bmp": mc.encode_bmp,
             "image/png": mc.encode_png,
             "image/gif": mc.encode_gif,
+            "image/jpeg": mc.encode_jpeg,
         }
     )
     AUDIO_CODECS["audio/wav"] = mc.decode_wav

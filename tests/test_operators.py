@@ -1924,3 +1924,84 @@ def test_funnel_order_sensitivity(spark):
     assert trans[("click", "view")] == 2  # u1, u2... u2 is click->view too
     assert trans[("purchase", "click")] == 1  # u2
     assert ("error", "view") in trans  # u5 decoy chain
+
+
+def test_jpeg_round_trips():
+    """Baseline JPEG (ITU T.81): encoder/decoder twins stay within a
+    small error band (lossy, never byte-exact) across gray/RGB,
+    4:4:4/4:2:0, restart intervals, and odd dimensions."""
+    import numpy as np
+
+    from jane_spark.sources.media_codecs import decode_jpeg, encode_jpeg
+
+    # smooth ramps (no % wraps): a sawtooth discontinuity would ring
+    # legitimately and swamp the closeness bound
+    grad = (np.add.outer(np.arange(24) * 3, np.arange(40) * 2) + 20).astype(
+        np.uint8
+    )
+    y, x = np.mgrid[0:17, 0:19]
+    rgb = np.stack(
+        [(y * 7) % 200, (x * 9) % 200, ((x + y) * 5) % 200], axis=-1
+    ).astype(np.uint8)
+    for img, kw in [
+        (grad, {}),
+        (grad, {"restart_interval": 5}),
+        (rgb, {}),
+        (rgb, {"sampling": "4:2:0"}),
+        (rgb, {"sampling": "4:2:0", "restart_interval": 1}),
+    ]:
+        dec = decode_jpeg(encode_jpeg(img, quality=97, **kw))
+        assert dec.shape == img.shape, kw
+        err = np.abs(dec.astype(int) - img.astype(int))
+        assert err.max() <= 25 and err.mean() <= 6.0, (kw, err.max(), err.mean())
+    # q100 luma tables are all-ones: gray round-trip within DCT rounding
+    dec = decode_jpeg(encode_jpeg(grad, quality=100))
+    assert np.abs(dec.astype(int) - grad.astype(int)).max() <= 2
+
+
+def test_jpeg_rejects_unsupported():
+    import numpy as np
+    import pytest as _pytest
+
+    from jane_spark.sources.media_codecs import decode_jpeg, encode_jpeg
+
+    with _pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG\r\n\x1a\n")
+    # flip SOF0 -> SOF2 (progressive): must be rejected, not mis-decoded
+    img = np.zeros((8, 8), dtype=np.uint8)
+    enc = bytearray(encode_jpeg(img))
+    idx = bytes(enc).find(b"\xff\xc0")
+    enc[idx + 1] = 0xC2
+    with _pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(enc))
+    with _pytest.raises(ValueError, match="sampling"):
+        encode_jpeg(img, sampling="4:1:1")
+
+
+def test_jpeg_through_multimodal_registry(spark):
+    """image/jpeg is a first-class registered codec: resize_images runs
+    the real decode->resize->re-encode path, and a re-run is
+    byte-identical (deterministic encoder)."""
+    import numpy as np
+
+    from jane_spark.sources.media_codecs import decode_jpeg, encode_jpeg
+    from jane_spark.sources.multimodal import CODECS, ENCODERS, resize_images
+
+    assert "image/jpeg" in CODECS and "image/jpeg" in ENCODERS
+    imgs = [
+        (i, encode_jpeg(
+            ((np.add.outer(np.arange(16) * (i + 2), np.arange(16)) % 256)
+             ).astype(np.uint8),
+            quality=95,
+        ), "image/jpeg")
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(imgs, "item_id long, payload binary, media_type string")
+    out = {r["item_id"]: bytes(r["payload"]) for r in
+           resize_images(df, "payload", 8, 8).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    for b in out.values():
+        assert b[:2] == b"\xff\xd8" and decode_jpeg(b).shape == (8, 8)
+    again = {r["item_id"]: bytes(r["payload"]) for r in
+             resize_images(df, "payload", 8, 8).collect()}
+    assert out == again
