@@ -122,3 +122,65 @@ def test_sql_views_idempotent_and_complete(spark, sf_dir):
         "SELECT count(*) AS n FROM nation JOIN region ON n_regionkey = r_regionkey"
     ).collect()[0].n
     assert joined == 25
+
+
+def test_sql_views_persistent_catalog(spark, sf_dir):
+    """register_views(persistent=True): external parquet tables (no
+    data copy) + catalog views under the same names, the q_s1 SQL text
+    unchanged, physical plan identical to the temp-view path (modulo
+    expression ids), and re-registration idempotent."""
+    import re
+
+    from jane_spark.engine.catalog import TABLES
+    from jane_spark.engine.sql import register_views
+
+    q = """
+        SELECT e.event_type AS event_type,
+               count(*) AS n,
+               round(avg(e.value), 4) AS avg_value,
+               round(max(e.value), 3) AS max_value
+        FROM events e
+        WHERE e.ts >= TIMESTAMP '2024-01-03 00:00:00'
+          AND e.ts <  TIMESTAMP '2024-01-20 00:00:00'
+          AND e.event_type IN ('click', 'view', 'purchase')
+        GROUP BY e.event_type
+    """
+
+    def normalized_plan(df):
+        p = df._jdf.queryExecution().executedPlan().toString()
+        p = re.sub(r"#\d+L?", "#x", p)
+        p = re.sub(r"plan_id=\d+", "plan_id=x", p)
+        # the catalog path labels its scan `spark_catalog.default.X_src`
+        # — cosmetic, but it also shifts the point where Spark
+        # truncates the DataFilters string, so normalize both
+        p = re.sub(r"FileScan parquet \S*\[", "FileScan parquet [", p)
+        return re.sub(r"DataFilters: .*?, Format:", "DataFilters: <n>, Format:", p)
+
+    # temp-view baseline FIRST (temp views shadow catalog views, so
+    # drop them before the persistent run)
+    register_views(spark, sf_dir)
+    temp_rows = sorted(tuple(r) for r in spark.sql(q).collect())
+    temp_plan = normalized_plan(spark.sql(q))
+    for t in TABLES:
+        spark.catalog.dropTempView(t)
+
+    names = register_views(spark, sf_dir, persistent=True)
+    assert names == list(TABLES)
+    assert spark.catalog.tableExists("events_src")
+    pers_rows = sorted(tuple(r) for r in spark.sql(q).collect())
+    pers_plan = normalized_plan(spark.sql(q))
+    assert pers_rows == temp_rows and len(pers_rows) > 0
+    assert pers_plan == temp_plan
+
+    # events view carries the ns->us normalization as SQL text
+    assert dict(spark.table("events").dtypes)["ts"] == "timestamp_ntz"
+
+    # idempotent re-register; external semantics: the parquet survives
+    again = register_views(spark, sf_dir, persistent=True)
+    assert again == names
+    assert spark.sql("SELECT count(*) AS n FROM documents").collect()[0].n > 0
+    for t in TABLES:  # leave no catalog state behind for other tests
+        spark.sql(f"DROP VIEW IF EXISTS `{t}`")
+        spark.sql(f"DROP TABLE IF EXISTS `{t}_src`")
+    import os
+    assert os.path.exists(f"{sf_dir}/events.parquet")
