@@ -273,16 +273,24 @@ def domain_cap(
     cap: int,
     order: list[Column],
     domain_col: str = "domain",
+    salted: bool = False,
+    n_salts: int = 16,
 ) -> DataFrame:
     """Keep at most ``cap`` documents per registrable domain, best
     first under the caller's total order (quality score, length, …; a
     deterministic tie-break column is the caller's contract, as
-    everywhere). ONE shuffle on the domain key; for corpora with viral
-    domains use operators.topk.top_k_per_group_salted with the same
-    arguments."""
-    from jane_spark.operators.topk import top_k_per_group
+    everywhere). ONE shuffle on the domain key; ``salted=True``
+    switches to the two-stage skew-resistant rank
+    (operators.topk.top_k_per_group_salted) for corpora where one
+    viral domain would serialize the window stage — identical results
+    (pytest-pinned), one extra (group, salt)-keyed shuffle."""
+    from jane_spark.operators.topk import top_k_per_group, top_k_per_group_salted
 
     with_dom = df.withColumn(domain_col, url_domain(F.col(url_col)))
+    if salted:
+        return top_k_per_group_salted(
+            with_dom, [domain_col], order, cap, n_salts=n_salts
+        ).drop("rn")
     return top_k_per_group(with_dom, [domain_col], order, cap).drop("rn")
 
 

@@ -320,3 +320,47 @@ def test_psl_plan_stays_codegen(spark):
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert [r.d for r in out.collect()] == ["example.com"] * 10
+
+
+def test_domain_cap_salted_viral_domain(spark):
+    """VERDICT r6 #5: the documented-but-unexercised skew path. One
+    viral domain carries >=10x the median domain's rows; the salted
+    two-stage cap must return EXACTLY the unsalted result, and its
+    plan must show the two-stage shape (two window sort+exchange
+    rounds instead of one)."""
+    from jane_spark.functions.urls import domain_cap
+
+    rows = []
+    # viral.com: 200 docs; 20 long-tail domains: 5 docs each (median 5)
+    for i in range(200):
+        rows.append((1000 + i, f"https://viral.com/p/{i}", (i * 37) % 100))
+    for d in range(20):
+        for i in range(5):
+            rows.append((5000 + d * 10 + i, f"https://tail{d}.org/p/{i}", i))
+    df = spark.createDataFrame(rows, "doc_id long, url string, score long")
+    order = [F.col("score").desc(), F.col("doc_id").asc()]
+
+    plain = domain_cap(df, "url", 3, order)
+    salted = domain_cap(df, "url", 3, order, salted=True, n_salts=8)
+    key = lambda r: (r["domain"], r["doc_id"], r["score"])  # noqa: E731
+    p = sorted(map(key, plain.collect()))
+    s = sorted(map(key, salted.collect()))
+    assert p == s and len(p) == 3 + 20 * 3
+
+    # plan guard: stage-1 (domain, salt) rank + stage-2 domain rank
+    import re as _re
+
+    def n_windows(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]  # AQE prints both
+        return len(_re.findall(r"\bWindow \[", final)), final
+
+    nw_s, sp = n_windows(salted)
+    nw_p, pp = n_windows(plain)
+    assert nw_s == 2, sp
+    assert nw_p == 1, pp
+    assert "__salt" in sp and "__salt" not in pp
+
+    # a different salt count is still exact (bucket-count independence)
+    s4 = sorted(map(key, domain_cap(df, "url", 3, order, salted=True, n_salts=4).collect()))
+    assert s4 == p
