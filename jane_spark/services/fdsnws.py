@@ -589,6 +589,16 @@ def event_xml(events: DataFrame) -> DataFrame:
     beachball attachment, and like it NEVER emitted for rows without
     real angles. Pure row-local projection: no shuffle at all;
     document assembly (quakeml_document) is the only rollup.
+
+    Full-catalog container shape: when the index carries
+    ``extra_origins`` / ``extra_magnitudes`` ARRAY columns (relocated
+    solutions, agency re-estimates), every element is serialized as an
+    additional ``<origin>``/``<magnitude>`` child with publicID
+    ``#origin2``/``#mag2``… — QuakeML's one-event-many-solutions
+    container, with the preferred*ID references still naming the
+    primary. Serialized with ``transform`` + ``array_join``
+    higher-order expressions, so the multi-origin path stays
+    row-local too.
     """
     from jane_spark.functions.xml import xml_attr, xml_element, xml_escape
 
@@ -644,6 +654,57 @@ def event_xml(events: DataFrame) -> DataFrame:
         ).otherwise(F.lit(""))
     else:
         fm_block = F.lit("")
+
+    def _join_extra(col_name: str, render) -> F.Column:
+        """array<struct> → concatenated XML children (row-local HOF);
+        '' when the column is absent, NULL, or empty."""
+        if col_name not in events.columns:
+            return F.lit("")
+        rendered = F.transform(
+            F.col(col_name), lambda x, i: render(x, i + F.lit(2))
+        )
+        return F.coalesce(F.array_join(rendered, ""), F.lit(""))
+
+    def _extra_origin(o, n):
+        pid = F.concat(F.col("quakeml_id"), F.lit("#origin"), n.cast("string"))
+        t = F.date_format(o["origin_time"], "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        val = lambda tag, c: xml_element(  # noqa: E731
+            tag, xml_element("value", c.cast("string"))
+        )
+        return xml_element(
+            "origin",
+            F.concat(
+                xml_element("time", xml_element("value", t)),
+                val("latitude", o["latitude"]),
+                val("longitude", o["longitude"]),
+                val("depth", o["depth_in_m"]),
+                xml_element("evaluationMode", o["evaluation_mode"]),
+            ),
+            xml_attr("publicID", pid),
+        )
+
+    def _extra_mag(m, n):
+        pid = F.concat(F.col("quakeml_id"), F.lit("#mag"), n.cast("string"))
+        return xml_element(
+            "magnitude",
+            F.concat(
+                xml_element(
+                    "mag", xml_element("value", m["magnitude"].cast("string"))
+                ),
+                xml_element("type", m["magnitude_type"]),
+                xml_element(
+                    "creationInfo",
+                    F.concat(
+                        xml_element("agencyID", m["agency"]),
+                        xml_element("author", m["author"]),
+                    ),
+                ),
+            ),
+            xml_attr("publicID", pid),
+        )
+
+    extra_origins = _join_extra("extra_origins", _extra_origin)
+    extra_mags = _join_extra("extra_magnitudes", _extra_mag)
     block = F.concat(
         F.lit("<event"),
         xml_attr("publicID", F.col("quakeml_id")),
@@ -667,6 +728,7 @@ def event_xml(events: DataFrame) -> DataFrame:
             ),
             xml_attr("publicID", origin_id),
         ),
+        extra_origins,
         xml_element(
             "magnitude",
             F.concat(
@@ -682,6 +744,7 @@ def event_xml(events: DataFrame) -> DataFrame:
             ),
             xml_attr("publicID", mag_id),
         ),
+        extra_mags,
         xml_element("type", F.col("event_type")),
         F.lit("</event>"),
     )

@@ -1062,3 +1062,85 @@ def test_event_catalogs_and_contributors_documents(spark):
     # escaped content, NULL contributor dropped
     assert "<Contributor>bob&amp;co</Contributor>" in cdoc
     assert cdoc.count("<Contributor>") == 2
+
+
+def test_event_xml_multi_origin_golden(spark):
+    """VERDICT r6 #6: QuakeML one-event-many-solutions container. An
+    index row carrying extra_origins/extra_magnitudes arrays serializes
+    every solution as an additional <origin>/<magnitude> child
+    (#origin2, #mag2, ...) while the preferred*ID references still name
+    the primary; rows with empty/NULL arrays emit the single-solution
+    block byte-identically to before."""
+    import datetime as dt
+
+    from jane_spark.services.fdsnws import event_xml
+
+    t0 = dt.datetime(2023, 1, 2, 3, 4, 5, 250000)
+    t1 = dt.datetime(2023, 1, 2, 3, 4, 6, 500000)
+    schema = (
+        "quakeml_id string, origin_time timestamp_ntz, latitude double, "
+        "longitude double, depth_in_m double, evaluation_mode string, "
+        "magnitude double, magnitude_type string, agency string, "
+        "author string, event_type string, "
+        "extra_origins array<struct<origin_time:timestamp_ntz,"
+        "latitude:double,longitude:double,depth_in_m:double,"
+        "evaluation_mode:string>>, "
+        "extra_magnitudes array<struct<magnitude:double,"
+        "magnitude_type:string,agency:string,author:string>>"
+    )
+    rows = [
+        (
+            "quakeml:eu/multi1", t0, 47.5, 12.25, 8000.0, "manual",
+            5.5, "Mw", "GFZ", "alice", "earthquake",
+            [(t1, 47.6, 12.3, 9500.0, "automatic")],
+            [(5.4, "mb", "EMSC", "bob")],
+        ),
+        (
+            "quakeml:eu/single1", t0, 10.0, 20.0, 1000.0, "manual",
+            4.0, "ML", "GFZ", "carol", "earthquake", [], None,
+        ),
+    ]
+    out = {r["quakeml_id"]: r["xml"]
+           for r in event_xml(spark.createDataFrame(rows, schema)).collect()}
+
+    assert out["quakeml:eu/multi1"] == (
+        '<event publicID="quakeml:eu/multi1">'
+        "<preferredOriginID>quakeml:eu/multi1#origin</preferredOriginID>"
+        "<preferredMagnitudeID>quakeml:eu/multi1#mag</preferredMagnitudeID>"
+        '<origin publicID="quakeml:eu/multi1#origin">'
+        "<time><value>2023-01-02T03:04:05.250000</value></time>"
+        "<latitude><value>47.5</value></latitude>"
+        "<longitude><value>12.25</value></longitude>"
+        "<depth><value>8000.0</value></depth>"
+        "<evaluationMode>manual</evaluationMode>"
+        "</origin>"
+        '<origin publicID="quakeml:eu/multi1#origin2">'
+        "<time><value>2023-01-02T03:04:06.500000</value></time>"
+        "<latitude><value>47.6</value></latitude>"
+        "<longitude><value>12.3</value></longitude>"
+        "<depth><value>9500.0</value></depth>"
+        "<evaluationMode>automatic</evaluationMode>"
+        "</origin>"
+        '<magnitude publicID="quakeml:eu/multi1#mag">'
+        "<mag><value>5.5</value></mag>"
+        "<type>Mw</type>"
+        "<creationInfo><agencyID>GFZ</agencyID><author>alice</author></creationInfo>"
+        "</magnitude>"
+        '<magnitude publicID="quakeml:eu/multi1#mag2">'
+        "<mag><value>5.4</value></mag>"
+        "<type>mb</type>"
+        "<creationInfo><agencyID>EMSC</agencyID><author>bob</author></creationInfo>"
+        "</magnitude>"
+        "<type>earthquake</type>"
+        "</event>"
+    )
+    # empty array and NULL array both collapse to the single-solution
+    # form — identical to a frame with no extra_* columns at all
+    no_extra = event_xml(
+        spark.createDataFrame(rows, schema).drop(
+            "extra_origins", "extra_magnitudes"
+        )
+    )
+    plain = {r["quakeml_id"]: r["xml"] for r in no_extra.collect()}
+    assert out["quakeml:eu/single1"] == plain["quakeml:eu/single1"]
+    assert "#origin2" not in out["quakeml:eu/single1"]
