@@ -1441,7 +1441,7 @@ def q_k23_mat(spark, sf_dir):
                                AS nrm
                     FROM t)),
         c AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-                     list_cosine_similarity(a.tv, b.tv) AS s1
+                     round(list_cosine_similarity(a.tv, b.tv), 6) AS s1
               FROM n a JOIN n b ON a.vec_id <> b.vec_id),
         r1 AS (SELECT a_id, b_id FROM (
                    SELECT *, row_number() OVER (

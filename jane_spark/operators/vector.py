@@ -70,6 +70,7 @@ def block_topk(
     round_dp: int | None = 6,
     n_query_blocks: int = 4,
     n_corpus_blocks: int = 4,
+    rank_round_dp: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k via distributed grid GEMM — no driver-side
     materialization, no corpus broadcast.
@@ -90,6 +91,15 @@ def block_topk(
     block counts — not driver or broadcast limits — bound the corpus
     size. Total FLOPs equal the single-GEMM path (each (a, b) dot
     product is computed in exactly one cell).
+
+    ``rank_round_dp`` rounds sims (half away from zero — the
+    Spark/DuckDB round() convention) BEFORE selection and ordering, so
+    the RANKING itself is platform-independent: raw BLAS cosines can
+    differ in the last ulp from another engine's sequential sum, and an
+    ulp at the rank-k boundary silently changes the selected set
+    (ADVICE r6). With rounding first, boundary candidates become exact
+    ties broken by b_id — the same set on every platform. ``round_dp``
+    only formats the emitted sim after ranking, as before.
     """
     n_q, n_c = int(n_query_blocks), int(n_corpus_blocks)
     if n_q < 1 or n_c < 1:
@@ -135,10 +145,17 @@ def block_topk(
             np.sqrt((qm * qm).sum(axis=1))[:, None]
             * np.sqrt((bm * bm).sum(axis=1))[None, :]
         )
+        if rank_round_dp is not None:
+            # half away from zero, matching Spark/DuckDB round() —
+            # np.round's half-even would disagree on exact halves
+            p = 10.0 ** rank_round_dp
+            sims = np.sign(sims) * np.floor(np.abs(sims) * p + 0.5) / p
         # argpartition to a k+buffer candidate set, then exact
         # (-sim, b_id) ordering within it — ties beyond the buffer
-        # would need >k+8 bit-identical cosines (duplicate vectors)
-        k2 = min(k + 8, sims.shape[1])
+        # would need >buffer bit-identical cosines (rounding makes
+        # ties likelier, hence the wider buffer when it's on)
+        buf = 8 if rank_round_dp is None else 32
+        k2 = min(k + buf, sims.shape[1])
         if k2 < sims.shape[1]:
             cand = np.argpartition(-sims, k2 - 1, axis=1)[:, :k2]
         else:
@@ -572,6 +589,7 @@ def two_stage_topk(
     round_dp: int | None = 6,
     n_query_blocks: int = 4,
     n_corpus_blocks: int = 4,
+    stage1_round_dp: int | None = 6,
 ) -> DataFrame:
     """Coarse-to-fine retrieval — the standard production ANN shape:
     stage 1 ranks on Matryoshka-truncated prefixes (prefix_d/D of the
@@ -583,7 +601,15 @@ def two_stage_topk(
     Semantics are pinned as written (top-k OF the stage-1 candidates,
     both stages totally ordered by (sim desc, id asc)) — recall vs
     exhaustive search is a quality property of prefix_d/candidates,
-    measured in tests, not part of the contract."""
+    measured in tests, not part of the contract.
+
+    ``stage1_round_dp`` rounds the prefix cosines before the candidate
+    rank (block_topk's rank_round_dp): the rank-``candidates`` cut is
+    then made on values every engine agrees on, instead of depending
+    on the last ulp of a BLAS-vs-sequential float64 sum at the
+    boundary (ADVICE r6 — an ulp there changes the candidate set and
+    can change the final top-k). Boundary ties resolve by b_id on both
+    sides."""
     from jane_spark.functions.arrays import cosine
 
     trunc = vectors.select(
@@ -598,6 +624,7 @@ def two_stage_topk(
         round_dp=None,
         n_query_blocks=n_query_blocks,
         n_corpus_blocks=n_corpus_blocks,
+        rank_round_dp=stage1_round_dp,
     ).select("a_id", "b_id")
     full_a = vectors.select(
         F.col(id_col).cast("long").alias("a_id"), F.col(vec_col).alias("__va")

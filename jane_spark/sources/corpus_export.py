@@ -117,6 +117,18 @@ def webdataset_shards(
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("__key", kind="mergesort")
+        # duplicate sample keys would write colliding '<key>.<ext>'
+        # members, and a reader's last-wins grouping silently drops all
+        # but one sample (ADVICE r6) — refuse loudly instead; dedup or
+        # re-key upstream
+        dup = pdf["__key"].duplicated()
+        if dup.any():
+            raise ValueError(
+                "webdataset_shards: duplicate sample keys in shard "
+                f"{int(pdf['shard_id'].iloc[0])}: "
+                f"{sorted(pdf['__key'][dup].unique())[:5]} — sample keys "
+                "must be unique (dedup or re-key before export)"
+            )
         buf = io.BytesIO()
         with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
             for _, row in pdf.iterrows():

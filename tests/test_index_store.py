@@ -293,3 +293,24 @@ def test_chunk_to_webdataset_rag_chain(spark, tmp_path):
     # chunk text round-trips
     sample = next(r for r in back if r.key == "0/0000")
     assert bytes(sample.chunk).decode() == " ".join(f"d0w{j}" for j in range(8))
+
+
+def test_webdataset_duplicate_keys_raise(spark):
+    """ADVICE r6: duplicate sample keys would collide on '<key>.<ext>'
+    tar member names and vanish under a reader's last-wins grouping —
+    the writer must refuse loudly, naming the offending keys."""
+    import pytest as _pytest
+
+    from jane_spark.sources.corpus_export import webdataset_shards
+
+    df = spark.createDataFrame(
+        [("a", "one"), ("b", "two"), ("a", "three")], "k string, txt string"
+    )
+    shards = webdataset_shards(df, "k", {"txt": "txt"}, n_shards=1)
+    with _pytest.raises(Exception, match="duplicate sample keys"):
+        shards.collect()
+    # unique keys still pack fine
+    ok = webdataset_shards(
+        df.filter(F.col("txt") != "three"), "k", {"txt": "txt"}, n_shards=1
+    ).collect()
+    assert sum(r["n_samples"] for r in ok) == 2

@@ -2005,3 +2005,59 @@ def test_jpeg_through_multimodal_registry(spark):
     again = {r["item_id"]: bytes(r["payload"]) for r in
              resize_images(df, "payload", 8, 8).collect()}
     assert out == again
+
+
+def test_two_stage_boundary_ties_platform_stable(spark):
+    """ADVICE r6: the stage-1 cut at rank `candidates` must not depend
+    on last-ulp float differences. Vectors sharing one 16-dim prefix
+    direction make EVERY stage-1 sim an exact tie at 1.0, so the
+    candidate set is decided purely by the (rounded sim, b_id) order;
+    the result must match a pure-NumPy twin implementing the same
+    rounded-rank semantics and be invariant across grid shapes."""
+    import numpy as np
+
+    from jane_spark.operators.vector import two_stage_topk
+
+    rng = np.random.default_rng(11)
+    n, d, pref, k, cands = 24, 32, 16, 3, 5
+    base = np.zeros(d)
+    base[:pref] = rng.normal(size=pref)
+    vecs = []
+    for i in range(n):
+        v = np.zeros(d)
+        v[:pref] = base[:pref] * (0.5 + i * 0.1)  # same prefix direction
+        v[pref:] = rng.normal(size=d - pref)  # distinct tails
+        vecs.append(v)
+    V = np.array(vecs)
+
+    # NumPy twin of the pinned semantics: rounded prefix rank (ties by
+    # b_id), cut `cands`, full-dim rerank, top-k
+    def twin():
+        P = V[:, :pref] / np.linalg.norm(V[:, :pref], axis=1, keepdims=True)
+        s1 = np.floor(np.abs(P @ P.T) * 1e6 + 0.5) / 1e6 * np.sign(P @ P.T)
+        out = []
+        for a in range(n):
+            order = sorted(
+                (b for b in range(n) if b != a),
+                key=lambda b: (-s1[a, b], b),
+            )[:cands]
+            full = V / np.linalg.norm(V, axis=1, keepdims=True)
+            rer = sorted(order, key=lambda b: (-(full[a] @ full[b]), b))[:k]
+            for b in rer:
+                out.append((a, b, round(float(full[a] @ full[b]), 6)))
+        return sorted(out)
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    expect = twin()
+    for nq, nc in [(1, 1), (3, 4)]:
+        got = sorted(
+            (r["a_id"], r["b_id"], r["sim"])
+            for r in two_stage_topk(
+                df, "vec_id", "embedding", k=k, candidates=cands,
+                prefix_d=pref, n_query_blocks=nq, n_corpus_blocks=nc,
+            ).collect()
+        )
+        assert got == expect, (nq, nc)
