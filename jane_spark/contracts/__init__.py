@@ -92,6 +92,7 @@ VERIFY_FIRST: list[str] = [
     "q_k7_phash",
     # (f) NEW in r7, never verified — displace (e) tail fills 1:1
     "q_t27_psl_domain",
+    "q_t28_trigram_backoff",
     # (e) stalest veterans (last driver-verified r4)
     "q_a1_scan_count",
     "q_a2_explode",
@@ -100,7 +101,6 @@ VERIFY_FIRST: list[str] = [
     "q_a9_delta_anti",
     "q_b1_json_extract",
     "q_b2_eq_filter",
-    "q_b3_range_filter",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

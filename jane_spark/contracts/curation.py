@@ -1177,6 +1177,93 @@ def q_t24(spark, sf_dir):
     return stupid_backoff_score(docs, "doc_id", "text", uni, bi)
 
 
+_SB3_ORACLE = """
+WITH base AS (SELECT doc_id, source,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents),
+pos AS (SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks)),
+                   i -> struct_pack(
+                       prev2 := CASE WHEN i > 2 THEN toks[i-2] END,
+                       prev := CASE WHEN i > 1 THEN toks[i-1] END,
+                       cur := toks[i]))) AS p
+        FROM base),
+flat AS (SELECT doc_id, p.prev2 AS prev2, p.prev AS prev, p.cur AS cur
+         FROM pos),
+train AS (SELECT toks FROM base WHERE source = 'src0'),
+unic AS (SELECT w, count(*) AS c
+         FROM (SELECT unnest(toks) AS w FROM train) GROUP BY w),
+bic AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c
+        FROM (SELECT unnest(list_transform(generate_series(2, len(toks)),
+                  i -> struct_pack(w1 := toks[i-1], w2 := toks[i]))) AS p
+              FROM train)
+        GROUP BY p.w1, p.w2),
+tric AS (SELECT p.w1 AS w1, p.w2 AS w2, p.w3 AS w3, count(*) AS c
+         FROM (SELECT unnest(list_transform(generate_series(3, len(toks)),
+                   i -> struct_pack(w1 := toks[i-2], w2 := toks[i-1],
+                                    w3 := toks[i]))) AS p
+               FROM train)
+         GROUP BY p.w1, p.w2, p.w3),
+nt AS (SELECT CAST(sum(c) AS DOUBLE) AS N FROM unic),
+sc AS (SELECT f.doc_id,
+              CASE WHEN f.prev IS NULL
+                       THEN coalesce(CAST(uc.c AS DOUBLE), 1.0) / nt.N
+                   WHEN f.prev2 IS NULL THEN
+                       CASE WHEN bc.c IS NOT NULL
+                                THEN CAST(bc.c AS DOUBLE) / CAST(up.c AS DOUBLE)
+                            ELSE 0.4 * (coalesce(CAST(uc.c AS DOUBLE), 1.0) / nt.N)
+                       END
+                   WHEN tc.c IS NOT NULL
+                       THEN CAST(tc.c AS DOUBLE) / CAST(cx.c AS DOUBLE)
+                   ELSE 0.4 * (
+                       CASE WHEN bc.c IS NOT NULL
+                                THEN CAST(bc.c AS DOUBLE) / CAST(up.c AS DOUBLE)
+                            ELSE 0.4 * (coalesce(CAST(uc.c AS DOUBLE), 1.0) / nt.N)
+                       END)
+              END AS s
+       FROM flat f
+       LEFT JOIN unic uc ON f.cur = uc.w
+       LEFT JOIN unic up ON f.prev = up.w
+       LEFT JOIN bic bc ON f.prev = bc.w1 AND f.cur = bc.w2
+       LEFT JOIN bic cx ON f.prev2 = cx.w1 AND f.prev = cx.w2
+       LEFT JOIN tric tc ON f.prev2 = tc.w1 AND f.prev = tc.w2
+                        AND f.cur = tc.w3
+       CROSS JOIN nt)
+SELECT doc_id, count(*) AS n_tokens, round(-avg(ln(s)), 4) AS nll
+FROM sc GROUP BY doc_id
+"""
+
+
+@contract(
+    "q_t28_trigram_backoff",
+    oracle=_SB3_ORACLE,
+    survey_rows="K5,T13",
+    doc="word-TRIGRAM Stupid Backoff LM score — the Brants et al. 2007 "
+    "setup proper (their distributed LMs are 3-gram+; q_t24's bigram "
+    "was the simplification): S(w|u,v) = c(uvw)/c(uv) when the trigram "
+    "is known, else alpha times the bigram score, which itself backs "
+    "off to alpha*unigram; positions 1 and 2 score at their maximal "
+    "available order. Same shapes as q_t24 — vocabulary-bounded count "
+    "tables broadcast (now three of them), row-local gram assembly, "
+    "one corpus-keyed shuffle for the per-doc average "
+    "(operators.curation.train_trigram_lm / stupid_backoff_score with "
+    "trigrams=)",
+)
+def q_t28(spark, sf_dir):
+    from jane_spark.operators.curation import (
+        stupid_backoff_score,
+        train_trigram_lm,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    uni, bi, tri = train_trigram_lm(
+        docs.filter(F.col("source") == "src0"), "text"
+    )
+    return stupid_backoff_score(
+        docs, "doc_id", "text", uni, bi, trigrams=tri
+    )
+
+
 @contract(
     "q_t25_chunking",
     oracle="""

@@ -509,6 +509,41 @@ def train_bigram_lm(df: DataFrame, text_col: str) -> tuple[DataFrame, DataFrame]
     return uni, bi
 
 
+def train_trigram_lm(
+    df: DataFrame, text_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(unigrams, bigrams, trigrams) count tables — ``train_bigram_lm``
+    plus a ``(w1, w2, w3, c)`` table, same row-local gram assembly and
+    one shuffle per order (the Brants et al. 2007 setup proper: their
+    distributed LMs are 3-gram and up, bigram-only was the r6
+    simplification)."""
+    uni, bi = train_bigram_lm(df, text_col)
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    triples = F.when(
+        F.size(toks) > 2,
+        F.transform(
+            F.sequence(F.lit(3), F.size(toks)),
+            lambda i: F.struct(
+                F.element_at(toks, i - 2).alias("w1"),
+                F.element_at(toks, i - 1).alias("w2"),
+                F.element_at(toks, i).alias("w3"),
+            ),
+        ),
+    ).otherwise(
+        F.expr("array()").cast("array<struct<w1:string,w2:string,w3:string>>")
+    )
+    tri = (
+        df.select(F.explode(triples).alias("p"))
+        .groupBy(
+            F.col("p.w1").alias("w1"),
+            F.col("p.w2").alias("w2"),
+            F.col("p.w3").alias("w3"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return uni, bi, tri
+
+
 def stupid_backoff_score(
     df: DataFrame,
     id_col: str,
@@ -516,6 +551,7 @@ def stupid_backoff_score(
     unigrams: DataFrame,
     bigrams: DataFrame,
     alpha: float = 0.4,
+    trigrams: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document mean negative log Stupid Backoff score:
 
@@ -523,11 +559,16 @@ def stupid_backoff_score(
         S(w_i | w_i-1)  = c(w_i-1 w_i)/c(w_i-1)   when the bigram is known
                           α · S_unigram(w_i)       otherwise
 
-    Positions are assembled row-locally as (prev, cur) structs, then
-    exploded; the count tables join as explicit broadcasts (vocabulary-
-    bounded, the lm_score precedent); the only corpus-keyed shuffle is
-    the final per-document average. Output (id, n_tokens, nll), nll
-    rounded 4 dp — lower is more reference-like."""
+    With ``trigrams`` (train_trigram_lm), positions i >= 3 score at
+    order 3 first — S(w_i | w_i-2 w_i-1) = c(tri)/c(context bigram)
+    when the trigram is known, else α times the bigram score above
+    (which itself backs off) — the full Brants et al. recursion.
+
+    Positions are assembled row-locally as (prev2, prev, cur) structs,
+    then exploded; the count tables join as explicit broadcasts
+    (vocabulary-bounded, the lm_score precedent); the only corpus-keyed
+    shuffle is the final per-document average. Output (id, n_tokens,
+    nll), nll rounded 4 dp — lower is more reference-like."""
     toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
     # size guard: sequence(1, 0) is DESCENDING in Spark (the d3978c3
     # footgun) — an empty document must yield no positions, not a crash
@@ -536,13 +577,21 @@ def stupid_backoff_score(
         F.transform(
             F.sequence(F.lit(1), F.size(toks)),
             lambda i: F.struct(
+                F.when(i > 2, F.element_at(toks, i - 2)).alias("prev2"),
                 F.when(i > 1, F.element_at(toks, i - 1)).alias("prev"),
                 F.element_at(toks, i).alias("cur"),
             ),
         ),
-    ).otherwise(F.expr("array()").cast("array<struct<prev:string,cur:string>>"))
+    ).otherwise(
+        F.expr("array()").cast(
+            "array<struct<prev2:string,prev:string,cur:string>>"
+        )
+    )
     pos = df.select(F.col(id_col), F.explode(positions).alias("p")).select(
-        id_col, F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")
+        id_col,
+        F.col("p.prev2").alias("prev2"),
+        F.col("p.prev").alias("prev"),
+        F.col("p.cur").alias("cur"),
     )
     n_total = unigrams.agg(F.sum("c").cast("double").alias("N"))
     uni_cur = unigrams.select(F.col("w").alias("cur"), F.col("c").alias("c_cur"))
@@ -557,14 +606,36 @@ def stupid_backoff_score(
         .crossJoin(F.broadcast(n_total))
     )
     s_uni = F.coalesce(F.col("c_cur").cast("double"), F.lit(1.0)) / F.col("N")
-    s = (
-        F.when(F.col("prev").isNull(), s_uni)
-        .when(
-            F.col("c_bi").isNotNull(),
-            F.col("c_bi").cast("double") / F.col("c_prev").cast("double"),
+    s_bi = F.when(
+        F.col("c_bi").isNotNull(),
+        F.col("c_bi").cast("double") / F.col("c_prev").cast("double"),
+    ).otherwise(F.lit(alpha) * s_uni)
+    if trigrams is not None:
+        ctx = bigrams.select(
+            F.col("w1").alias("prev2"),
+            F.col("w2").alias("prev"),
+            F.col("c").alias("c_ctx"),
         )
-        .otherwise(F.lit(alpha) * s_uni)
-    )
+        tri = trigrams.select(
+            F.col("w1").alias("prev2"),
+            F.col("w2").alias("prev"),
+            F.col("w3").alias("cur"),
+            F.col("c").alias("c_tri"),
+        )
+        joined = joined.join(
+            F.broadcast(ctx), ["prev2", "prev"], "left"
+        ).join(F.broadcast(tri), ["prev2", "prev", "cur"], "left")
+        s_tri = F.when(
+            F.col("c_tri").isNotNull(),
+            F.col("c_tri").cast("double") / F.col("c_ctx").cast("double"),
+        ).otherwise(F.lit(alpha) * s_bi)
+        s = (
+            F.when(F.col("prev").isNull(), s_uni)
+            .when(F.col("prev2").isNull(), s_bi)
+            .otherwise(s_tri)
+        )
+    else:
+        s = F.when(F.col("prev").isNull(), s_uni).otherwise(s_bi)
     return (
         joined.select(F.col(id_col), F.log(s).alias("lp"))
         .groupBy(id_col)
