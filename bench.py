@@ -91,6 +91,13 @@ BENCH_QUERIES = {
     "bpe_train": "q_k22_bpe_train",
     "stupid_backoff": "q_t24_stupid_backoff",
     "web_pipeline": "q_p11_webpipeline",
+    # round 7: PSL registrable domains (InSet projection) + trigram LM
+    # + the WARC ingest round-trip (encode/parse/payload-split per doc;
+    # timed rows-only-style — its oracle constructs md5s and does no
+    # archive work, so a baseline compare would be apples-to-oranges)
+    "psl_domain": "q_t27_psl_domain",
+    "trigram_backoff": "q_t28_trigram_backoff",
+    "warc_roundtrip": "q_a10_warc",
 }
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
@@ -146,6 +153,10 @@ CALIBRATION = {
     "bpe_pairs": 0.0468,
     "stupid_backoff": 0.2239,
     "web_pipeline": 0.0304,
+    # round-7 rows: DuckDB 1.x medians measured on this box at sf0.1
+    # (same session methodology as BASELINE.md)
+    "psl_domain": 0.0084,
+    "trigram_backoff": 0.3073,
 }
 
 

@@ -759,3 +759,84 @@ def q_a7_bytes(spark, sf_dir):
     return cut_waveforms(plan, reencode=True).select(
         "network", "station", "channel", "start_us", "npts", "sampling_rate"
     )
+
+
+@contract(
+    "q_a10_warc",
+    oracle="""
+        SELECT doc_id,
+               concat('https://corpus.example/doc/',
+                      CAST(doc_id AS VARCHAR)) AS uri,
+               'response' AS wtype,
+               200 AS status,
+               octet_length(encode(text)) AS body_bytes,
+               md5(text) AS body_md5
+        FROM documents
+    """,
+    survey_rows="A10,J1,T17",
+    doc="WARC web-archive source (sources/warc.py — ISO 28500, the "
+    "CommonCrawl container): each document is wrapped as an HTTP "
+    "response record, encoded through the writer twin (per-record "
+    "gzip members, the standard .warc.gz layout), then the DISTRIBUTED "
+    "parse path recovers records and splits the HTTP payload; the "
+    "oracle constructs uri/status/byte-count/md5 arithmetically, so "
+    "framing or payload-split errors of even one byte hash-mismatch. "
+    "Round-trips through real archive BYTES — the same parse_warc the "
+    "binaryFile source runs per archive task",
+)
+def q_a10(spark, sf_dir):
+    import hashlib
+
+    import pandas as pd
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+
+    def roundtrip(batches):
+        from jane_spark.sources.warc import (
+            encode_warc,
+            http_payload,
+            parse_warc,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                body = text.encode("utf-8")
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+                    + body
+                )
+                blob = encode_warc(
+                    [
+                        {
+                            "warc_type": "response",
+                            "target_uri": (
+                                f"https://corpus.example/doc/{doc_id}"
+                            ),
+                            "content_type": (
+                                "application/http;msgtype=response"
+                            ),
+                            "content": http,
+                        }
+                    ],
+                    gzip_members=True,
+                )
+                (rec,) = parse_warc(blob)
+                status, payload = http_payload(rec["content"])
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "uri": rec["target_uri"],
+                        "wtype": rec["warc_type"],
+                        "status": status,
+                        "body_bytes": len(payload),
+                        "body_md5": hashlib.md5(payload).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        roundtrip,
+        "doc_id long, uri string, wtype string, status int, "
+        "body_bytes long, body_md5 string",
+    )

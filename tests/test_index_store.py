@@ -314,3 +314,72 @@ def test_webdataset_duplicate_keys_raise(spark):
         df.filter(F.col("txt") != "three"), "k", {"txt": "txt"}, n_shards=1
     ).collect()
     assert sum(r["n_samples"] for r in ok) == 2
+
+
+# ------------------------------------------------------------- WARC
+
+
+def test_warc_file_source_round_trip(spark, tmp_path):
+    """read_warc over real archive files: plain + member-gzip archives
+    side by side, one row per record, glob filtering, CDX byte ranges
+    that re-fetch standalone."""
+    from jane_spark.sources.warc import encode_warc, parse_warc, read_warc
+
+    recs_a = [
+        {"warc_type": "warcinfo", "content": "software: jane_spark\r\n"},
+        {"warc_type": "response", "target_uri": "https://a.example/1",
+         "content": b"HTTP/1.1 200 OK\r\n\r\nbody-a1"},
+    ]
+    recs_b = [
+        {"warc_type": "response", "target_uri": "https://b.example/1",
+         "content": b"HTTP/1.1 404 Not Found\r\n\r\nmissing"},
+        {"warc_type": "resource", "target_uri": "https://b.example/2",
+         "content": b"\x00\x01\x02raw"},
+    ]
+    (tmp_path / "a.warc").write_bytes(encode_warc(recs_a))
+    (tmp_path / "b.warc.gz").write_bytes(encode_warc(recs_b, gzip_members=True))
+    (tmp_path / "_SUCCESS").write_bytes(b"")  # must be ignored by glob
+
+    df = read_warc(spark, str(tmp_path))
+    rows = sorted(df.collect(), key=lambda r: (r["archive"], r["offset"]))
+    assert len(rows) == 4
+    by_uri = {r["target_uri"]: r for r in rows if r["target_uri"]}
+    assert by_uri["https://b.example/2"]["content_length"] == 6
+    assert bytes(by_uri["https://b.example/2"]["content"]) == b"\x00\x01\x02raw"
+    assert {r["warc_type"] for r in rows} == {"warcinfo", "response", "resource"}
+
+    # CDX contract: (archive, offset, length) byte-range re-parses
+    gz = (tmp_path / "b.warc.gz").read_bytes()
+    r = by_uri["https://b.example/1"]
+    (sub,) = parse_warc(gz[r["offset"] : r["offset"] + r["length"]])
+    assert sub["target_uri"] == "https://b.example/1"
+
+
+def test_warc_torn_archive_raises(spark):
+    """Framing errors fail loudly — a shifted parse would yield garbage
+    records silently attributed to real URIs."""
+    import pytest as _pytest
+
+    from jane_spark.sources.warc import encode_warc, parse_warc
+
+    good = encode_warc(
+        [{"warc_type": "resource", "target_uri": "u", "content": b"xyz"}]
+    )
+    with _pytest.raises(ValueError, match="trailer|truncated"):
+        parse_warc(good[:-3])
+    with _pytest.raises(ValueError, match="WARC version"):
+        parse_warc(b"HTTP/1.1 200 OK\r\n\r\n")
+    # header continuation lines fold per the spec
+    folded = good.replace(
+        b"WARC-Target-URI: u\r\n", b"WARC-Target-URI: u\r\n\t folded\r\n"
+    )
+    (rec,) = parse_warc(folded)
+    assert rec["target_uri"] == "u folded"
+
+
+def test_warc_http_payload_total():
+    from jane_spark.sources.warc import http_payload
+
+    assert http_payload(b"not http at all") == (None, b"not http at all")
+    assert http_payload(b"HTTP/1.1 200 OK\r\nX: 1\r\n\r\nBB") == (200, b"BB")
+    assert http_payload(b"HTTP/1.1 nope\r\n\r\nB") == (None, b"HTTP/1.1 nope\r\n\r\nB")
