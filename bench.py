@@ -98,6 +98,11 @@ BENCH_QUERIES = {
     "psl_domain": "q_t27_psl_domain",
     "trigram_backoff": "q_t28_trigram_backoff",
     "warc_roundtrip": "q_a10_warc",
+    # main-content extraction: its oracle CONSTRUCTS the expected text
+    # (never parses), so like warc_roundtrip it's timed without a
+    # baseline compare — a construct-only baseline would be
+    # apples-to-oranges (the urlnorm precedent, docs/SCALE.md §9)
+    "content_extract": "q_t29_extract",
 }
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))

@@ -1177,6 +1177,62 @@ def q_t24(spark, sf_dir):
     return stupid_backoff_score(docs, "doc_id", "text", uni, bi)
 
 
+@contract(
+    "q_t29_extract",
+    oracle="""
+        WITH c AS (SELECT doc_id,
+                          trim(regexp_replace(text, '\\s+', ' ', 'g')) AS body
+                   FROM documents)
+        SELECT doc_id,
+               CASE WHEN length(body) >= 25
+                    THEN body || chr(10) || 'Validation paragraph for document '
+                         || CAST(doc_id AS VARCHAR)
+                         || ' keeps enough characters to stay.'
+                    ELSE 'Validation paragraph for document '
+                         || CAST(doc_id AS VARCHAR)
+                         || ' keeps enough characters to stay.'
+               END AS main_text
+        FROM c
+    """,
+    survey_rows="T29,K9",
+    doc="main-content extraction / boilerplate removal (the justext-"
+    "readability block model RefinedWeb/FineWeb run between WET "
+    "extraction and quality filtering): block segmentation at block-"
+    "tag boundaries, per-block visible-length + LINK-DENSITY scoring "
+    "(functions.text.extract_main_content) — nav/footer/related-links "
+    "blocks drop (short or link-saturated), article blocks keep, "
+    "inline link text survives. The synthesized page wraps each doc "
+    "in nav + article + tiny block + link-saturated footer; the "
+    "oracle CONSTRUCTS the surviving text arithmetically, the Spark "
+    "side must parse/segment/score its way to the same bytes. All "
+    "regexes run once per row at full-string scope; the block lambda "
+    "is translate/length/substring_index only (the urlnorm lesson)",
+)
+def q_t29(spark, sf_dir):
+    from jane_spark.functions.text import extract_main_content
+
+    docs = Catalog(spark, sf_dir).documents
+    html = F.concat(
+        F.lit(
+            '<html><head><title>t</title><style>p{margin:0}</style></head>'
+            '<body><nav><a href="/">Home</a> <a href="/a">About</a> '
+            '<a href="/c">Contact</a></nav><!-- boilerplate --><article><p>'
+        ),
+        F.col("text"),
+        F.lit("</p><p>Validation paragraph for document "),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            " keeps enough characters to stay.</p></article><p>Tiny.</p>"
+            '<footer><a href="/x">A very long related-articles caption '
+            "that is pure link text and must drop</a></footer></body></html>"
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        extract_main_content(html).alias("main_text"),
+    )
+
+
 _SB3_ORACLE = """
 WITH base AS (SELECT doc_id, source,
                      list_filter(string_split(text, ' '), x -> x <> '') AS toks

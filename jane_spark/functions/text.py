@@ -367,6 +367,79 @@ def strip_html(text: Column) -> Column:
     return F.trim(t)
 
 
+#: Block-level tags whose boundaries segment a page into candidate
+#: content blocks (the justext/readability block model). <br> counts:
+#: boilerplate is often <br>-separated.
+_BLOCK_TAG_RE = (
+    r"(?i)</?(p|div|section|article|main|h[1-6]|li|ul|ol|table|tr|td|"
+    r"blockquote|header|footer|nav|aside|br)[^>]*>"
+)
+
+
+def extract_main_content(
+    html: Column,
+    min_chars: int = 25,
+    max_link_density: float = 0.33,
+) -> Column:
+    """Main-content extraction — the boilerplate-removal stage
+    (justext / readability / trafilatura shape, the step RefinedWeb
+    and FineWeb run between WET extraction and quality filtering):
+    segment the page into blocks at block-level tag boundaries, score
+    each block by visible-text length and LINK DENSITY (chars inside
+    ``<a>`` / total chars), and keep only long, low-link-density
+    blocks — navigation bars, footers, and related-links boxes are
+    short or link-saturated, article bodies are neither. Kept blocks
+    join with newlines in document order.
+
+    Execution shape: every regex (script/style drop, link-content
+    sentinel wrap, block segmentation, tag strip, whitespace collapse)
+    runs ONCE per row at full-string scope inside whole-stage codegen;
+    the per-block lambda uses only translate/length/substring_index —
+    no per-element regex, the measured urlnorm lesson (docs/SCALE.md
+    §9). Link contents are delimited with \\x01/\\x02 sentinels before
+    tags are stripped, so per-block link mass survives as plain
+    substring arithmetic. Zero shuffles; scales with the scan. A link
+    spanning a block boundary attributes its text to the block where
+    it opens (documented approximation)."""
+    t = F.regexp_replace(html, r"(?is)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    # sentinel-wrap anchor CONTENTS, then segment blocks, then strip
+    # the remaining tags — order matters: the <a> tags themselves must
+    # still exist when the wrap runs
+    t = F.regexp_replace(t, r"(?is)<a(\s[^>]*)?>(.*?)</a>", "\x01$2\x02")
+    t = F.regexp_replace(t, _BLOCK_TAG_RE, "\x00")
+    t = F.regexp_replace(t, r"<[^>]+>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    t = F.regexp_replace(t, r"\s+", " ")
+
+    blocks = F.split(t, "\x00")
+
+    def clean(b: Column) -> Column:
+        return F.trim(F.translate(b, "\x01\x02", ""))
+
+    def link_chars(b: Column) -> Column:
+        # sum of lengths between each \x01 and its \x02: split on
+        # \x01; for every later part, chars before the first \x02
+        parts = F.split(b, "\x01")
+        return F.aggregate(
+            F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))),
+            F.lit(0),
+            lambda acc, p: acc + F.length(F.substring_index(p, "\x02", 1)),
+        )
+
+    kept = F.filter(
+        blocks,
+        lambda b: (F.length(clean(b)) >= min_chars)
+        & (
+            link_chars(b).cast("double")
+            <= F.lit(max_link_density) * F.length(clean(b)).cast("double")
+        ),
+    )
+    return F.array_join(F.transform(kept, clean), "\n")
+
+
 # ------------------------------------------------------- text normalization
 # Typographic / control-character cleanup (the ftfy-lite step every web
 # corpus runs after extraction). Pure replace/regexp_replace chain with

@@ -1033,3 +1033,69 @@ def test_chunk_tokens_randomized_vs_python_twin(spark):
             assert got[doc_id] == py_chunks(text, size, overlap), (
                 doc_id, size, overlap,
             )
+
+
+def test_extract_main_content_block_model(spark):
+    """justext/readability block model: nav (short + link-dense) and
+    footer (long but pure link) drop; article paragraphs keep with
+    inline link text; <br><br>-separated boilerplate segments; entities
+    decode; comments and script/style vanish."""
+    from jane_spark.functions.text import extract_main_content
+
+    html = (
+        "<html><head><style>p{x}</style><script>var a = '<p>';</script>"
+        "</head><body>"
+        '<nav><a href="/">Home</a> <a href="/a">About</a></nav>'
+        "<!-- tracking pixel markup -->"
+        "<p>First real paragraph, long enough to clear the floor easily.</p>"
+        "<div>Copyright line<br><br>"
+        "Second real paragraph mentions Fish &amp; Chips and keeps going on.</div>"
+        "<p>Tiny.</p>"
+        '<footer><a href="/more">Long pure-link caption that must drop '
+        "despite its considerable length</a></footer>"
+        "</body></html>"
+    )
+    out = (
+        spark.createDataFrame([(html,)], "h string")
+        .select(extract_main_content(F.col("h")).alias("m"))
+        .collect()[0]
+        .m
+    )
+    assert out == (
+        "First real paragraph, long enough to clear the floor easily.\n"
+        "Second real paragraph mentions Fish & Chips and keeps going on."
+    )
+
+
+def test_extract_main_content_link_density_boundary(spark):
+    """A long block whose link mass sits just above/below the 0.33
+    threshold flips keep/drop on the density rule, not the length
+    rule; empty/NULL input is total."""
+    from jane_spark.functions.text import extract_main_content
+
+    pad = "x" * 60
+    low = f"<p>{pad} <a href='#'>{'y' * 10}</a></p>"  # 10/71 kept
+    high = f"<p>{pad} <a href='#'>{'y' * 40}</a></p>"  # 40/101 dropped
+    rows = spark.createDataFrame(
+        [(1, low), (2, high), (3, ""), (4, None)], "i long, h string"
+    ).select("i", extract_main_content(F.col("h")).alias("m")).collect()
+    got = {r["i"]: r["m"] for r in rows}
+    assert "y" * 10 in got[1]
+    assert got[2] == ""
+    assert got[3] is None or got[3] == ""
+    assert got[4] is None or got[4] == ""
+    assert "y" * 40 not in got[2] and got[2] == ""
+
+
+def test_extract_main_content_plan_zero_shuffle(spark):
+    """The whole extraction is a projection: no Exchange, no UDF eval
+    nodes — every regex runs at full-string scope in codegen."""
+    from jane_spark.functions.text import extract_main_content
+
+    df = spark.range(10).select(
+        F.concat(F.lit("<p>some body text that is long enough here "),
+                 F.col("id").cast("string"), F.lit("</p>")).alias("h")
+    ).select(extract_main_content(F.col("h")).alias("m"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
