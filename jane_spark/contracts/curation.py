@@ -1178,6 +1178,61 @@ def q_t24(spark, sf_dir):
 
 
 @contract(
+    "q_t30_sentences",
+    oracle="""
+        WITH p AS (SELECT doc_id,
+                          replace(replace(text, ' the ', '. The '),
+                                  ' and ', '! And ') AS t0
+                   FROM documents),
+        m AS (SELECT doc_id,
+                     regexp_replace(t0, '([.!?]+)\\s+',
+                                    '\\1' || chr(30), 'g') AS t
+              FROM p),
+        s AS (SELECT doc_id,
+                     unnest(list_filter(
+                         list_transform(string_split(t, chr(30)),
+                                        x -> trim(x)),
+                         x -> x <> '')) AS sent,
+                     generate_subscripts(list_filter(
+                         list_transform(string_split(t, chr(30)),
+                                        x -> trim(x)),
+                         x -> x <> ''), 1) AS idx
+              FROM m)
+        SELECT doc_id, CAST(idx - 1 AS INT) AS sent_idx,
+               md5(sent) AS sent_md5,
+               length(sent) AS n_chars
+        FROM s
+    """,
+    survey_rows="T30,K4",
+    doc="rule-based sentence segmentation (functions.text."
+    "split_sentences — the primitive sentence-level dedup and chunk "
+    "alignment build on): a sentence ends at a terminal-punctuation "
+    "run followed by whitespace; separator-insert + split, NO "
+    "lookarounds so the identical rule derives in RE2/DuckDB; empty "
+    "sentences drop. Per-sentence md5 witnesses every byte and every "
+    "boundary decision",
+)
+def q_t30(spark, sf_dir):
+    from jane_spark.functions.text import split_sentences
+
+    docs = Catalog(spark, sf_dir).documents
+    # punctuate deterministically (same derivation both engines) so
+    # real multi-sentence splitting is what gets hash-checked
+    punct = F.replace(
+        F.replace(F.col("text"), F.lit(" the "), F.lit(". The ")),
+        F.lit(" and "),
+        F.lit("! And "),
+    )
+    sent = docs.select("doc_id", F.posexplode(split_sentences(punct)))
+    return sent.select(
+        "doc_id",
+        F.col("pos").cast("int").alias("sent_idx"),
+        F.md5(F.col("col")).alias("sent_md5"),
+        F.length(F.col("col")).cast("bigint").alias("n_chars"),
+    )
+
+
+@contract(
     "q_t29_extract",
     oracle="""
         WITH c AS (SELECT doc_id,

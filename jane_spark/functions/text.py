@@ -476,6 +476,24 @@ def normalize_text(text: Column) -> Column:
     return F.trim(t)
 
 
+def split_sentences(text: Column) -> Column:
+    """Deterministic rule-based sentence segmentation (the primitive
+    sentence-level dedup and chunk-boundary alignment build on): a
+    sentence ends at a run of terminal punctuation ``[.!?]`` followed
+    by whitespace. Implemented by inserting a \\x1e separator after
+    each terminal run and splitting — NO lookarounds, because RE2
+    (DuckDB, and the 100 TB-safe regex subset this repo sticks to)
+    has none, so the exact same rule is twin-derivable. Abbreviation
+    handling ("Dr. Who") is out of scope and documented: a rule split
+    is deterministic and cross-engine byte-stable, which the dedup
+    keys care about more than linguistic perfection. Empty/whitespace
+    sentences are dropped; '' and NULL input yield an empty array.
+    Row-local projection — zero shuffles."""
+    marked = F.regexp_replace(text, r"([.!?]+)\s+", "$1\x1e")
+    parts = F.transform(F.split(marked, "\x1e"), F.trim)
+    return F.filter(parts, lambda x: x != "")
+
+
 def chunk_tokens(
     text: Column, chunk_size: int, overlap: int = 0
 ) -> Column:

@@ -213,3 +213,68 @@ def http_payload(content: bytes) -> tuple[int | None, bytes]:
     except (IndexError, ValueError):
         return None, content
     return status, content[sep + 4 :]
+
+
+def fetch_warc_ranges(cdx: DataFrame) -> DataFrame:
+    """The random-access half of the CDX story: given rows carrying
+    ``(archive, offset, length)`` — exactly what ``read_warc`` emits —
+    re-fetch ONLY those byte ranges and parse the records they hold.
+    At 100 TB this is how a pipeline revisits 0.1% of a crawl (the
+    docs a classifier flagged, the URLs a dedup pass kept) without
+    re-scanning archives: the CDX table prunes, each task seeks.
+
+    Executor-side ``seek``+``read`` per row over shared storage (the
+    same locality contract as every file source here); input rows that
+    fail (missing file, torn range) surface as records with NULL
+    record_id and the error in ``target_uri`` — total, like the codec
+    registry. No shuffle: fetches run where the CDX rows already are."""
+    import pandas as pd
+
+    cols = ["archive"] + [c.split(" ")[0] for c in WARC_SCHEMA.split(", ")]
+
+    def fetch(batches):
+        for pdf in batches:
+            rows = []
+            for archive, off, length in zip(
+                pdf["archive"], pdf["offset"], pdf["length"]
+            ):
+                path = archive
+                if path.startswith("file:"):
+                    path = path[5:]
+                    while path.startswith("//"):
+                        path = path[1:]
+                try:
+                    with open(path, "rb") as fh:
+                        fh.seek(int(off))
+                        data = fh.read(int(length))
+                    for rec in parse_warc(data):
+                        rows.append(
+                            {
+                                "archive": archive,
+                                **rec,
+                                # range-relative offsets rebase to the
+                                # archive so a re-fetch of a re-fetch
+                                # still addresses the same bytes
+                                "offset": int(off) + rec["offset"],
+                            }
+                        )
+                except (OSError, ValueError) as exc:
+                    rows.append(
+                        {
+                            "archive": archive,
+                            "record_id": None,
+                            "warc_type": "error",
+                            "target_uri": f"{type(exc).__name__}: {exc}",
+                            "warc_date": "",
+                            "content_type": None,
+                            "content": None,
+                            "content_length": 0,
+                            "offset": int(off),
+                            "length": int(length),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return cdx.select("archive", "offset", "length").mapInPandas(
+        fetch, "archive string, " + WARC_SCHEMA
+    )

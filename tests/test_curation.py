@@ -1099,3 +1099,28 @@ def test_extract_main_content_plan_zero_shuffle(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_split_sentences_rule(spark):
+    from jane_spark.functions.text import split_sentences
+
+    rows = spark.createDataFrame(
+        [
+            (1, "First sentence. Second one! A question? yes... tail"),
+            (2, "No terminal punct"),
+            (3, ""),
+            (4, None),
+            (5, "Multi.  Space.   Runs."),
+            (6, "Trailing dot ends."),
+        ],
+        "i long, t string",
+    ).select("i", split_sentences(F.col("t")).alias("s")).collect()
+    got = {r["i"]: r["s"] for r in rows}
+    assert got[1] == [
+        "First sentence.", "Second one!", "A question?", "yes...", "tail",
+    ]
+    assert got[2] == ["No terminal punct"]
+    assert got[3] == []
+    assert got[4] is None or got[4] == []
+    assert got[5] == ["Multi.", "Space.", "Runs."]
+    assert got[6] == ["Trailing dot ends."]

@@ -383,3 +383,37 @@ def test_warc_http_payload_total():
     assert http_payload(b"not http at all") == (None, b"not http at all")
     assert http_payload(b"HTTP/1.1 200 OK\r\nX: 1\r\n\r\nBB") == (200, b"BB")
     assert http_payload(b"HTTP/1.1 nope\r\n\r\nB") == (None, b"HTTP/1.1 nope\r\n\r\nB")
+
+
+def test_warc_cdx_range_fetch(spark, tmp_path):
+    """The CDX random-access path: read_warc's (archive, offset,
+    length) rows re-fetch exactly their records by byte range — same
+    content as the full scan — and a missing archive degrades to an
+    error row instead of killing the stage."""
+    from jane_spark.sources.warc import encode_warc, fetch_warc_ranges, read_warc
+
+    recs = [
+        {"warc_type": "response", "target_uri": f"https://e.example/{i}",
+         "content": f"HTTP/1.1 200 OK\r\n\r\nbody-{i}".encode()}
+        for i in range(6)
+    ]
+    (tmp_path / "a.warc.gz").write_bytes(encode_warc(recs[:3], gzip_members=True))
+    (tmp_path / "b.warc.gz").write_bytes(encode_warc(recs[3:], gzip_members=True))
+
+    full = read_warc(spark, str(tmp_path))
+    want = full.filter(F.col("target_uri").endswith("2") | F.col("target_uri").endswith("4"))
+    fetched = fetch_warc_ranges(want.select("archive", "offset", "length"))
+    got = sorted(
+        (r["target_uri"], bytes(r["content"])) for r in fetched.collect()
+    )
+    exp = sorted(
+        (r["target_uri"], bytes(r["content"])) for r in want.collect()
+    )
+    assert got == exp and len(got) == 2
+
+    bad = spark.createDataFrame(
+        [(str(tmp_path / "missing.warc.gz"), 0, 10)],
+        "archive string, offset long, length long",
+    )
+    (err,) = fetch_warc_ranges(bad).collect()
+    assert err["warc_type"] == "error" and "FileNotFoundError" in err["target_uri"]
