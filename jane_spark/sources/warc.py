@@ -80,11 +80,18 @@ def _parse_one(data: bytes, off: int) -> tuple[dict, bytes, int]:
 
 def _gzip_members(data: bytes):
     """Yield (member_bytes_decompressed, offset, compressed_length) for
-    each gzip member of a concatenated-member archive."""
+    each gzip member of a concatenated-member archive. Corrupt/
+    truncated members raise ValueError like every other framing error
+    (zlib.error would slip past callers' error contracts)."""
     off = 0
     while off < len(data):
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
-        out = d.decompress(data[off:])
+        try:
+            out = d.decompress(data[off:])
+        except zlib.error as exc:
+            raise ValueError(f"corrupt gzip member at {off}: {exc}") from None
+        if not d.eof:
+            raise ValueError(f"truncated gzip member at offset {off}")
         consumed = len(data) - off - len(d.unused_data)
         yield out, off, consumed
         off += consumed

@@ -417,3 +417,18 @@ def test_warc_cdx_range_fetch(spark, tmp_path):
     )
     (err,) = fetch_warc_ranges(bad).collect()
     assert err["warc_type"] == "error" and "FileNotFoundError" in err["target_uri"]
+
+
+def test_warc_truncated_gzip_member_raises():
+    """zlib.error must never escape parse_warc — framing errors are
+    ValueError everywhere (the fetch_warc_ranges error-row contract
+    catches exactly OSError/ValueError)."""
+    import pytest as _pytest
+
+    from jane_spark.sources.warc import encode_warc, parse_warc
+
+    data = encode_warc(
+        [{"warc_type": "resource", "content": b"x" * 100}], gzip_members=True
+    )
+    with _pytest.raises(ValueError, match="gzip member"):
+        parse_warc(data[:-5])
