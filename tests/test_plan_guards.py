@@ -398,6 +398,9 @@ _PANDAS_ALLOWED = {
     "q_k7_audiofp", "q_k7_frames", "q_k7_multimodal", "q_k7_phash",
     "q_k7_resize", "q_k7_spectral", "q_p10_wds_shards", "q_p12_ffd_pack",
     "q_t14_embed_decontam", "q_t2_langid",
+    # WARC ingest round-trips real archive bytes through the encode/
+    # parse twins — that Python path IS the row's subject (r7)
+    "q_a10_warc",
 }
 # "Python" catches every Arrow*/Batch* Python node (EvalPython,
 # ArrowAggregatePython, PythonUDF…); "InPandas" the map/grouped forms
