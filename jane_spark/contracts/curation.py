@@ -1178,6 +1178,37 @@ def q_t24(spark, sf_dir):
 
 
 @contract(
+    "q_t31_compress",
+    oracle=None,  # zlib has no DuckDB twin — pytest pins the Python twin
+    survey_rows="T31,K9",
+    doc="DEFLATE compression-ratio quality signal "
+    "(functions.text.compression_ratio — the Gopher/MassiveText "
+    "redundancy filter): compressed/raw bytes at fixed level 6, "
+    "near-0 flags templated/repeated text. Arrow-batched Series->"
+    "Series pandas UDF, pure projection (no shuffle); output buckets "
+    "the corpus by ratio decile so the driver check witnesses the "
+    "whole distribution, not one number",
+)
+def q_t31(spark, sf_dir):
+    from jane_spark.functions.text import compression_ratio
+
+    docs = Catalog(spark, sf_dir).documents
+    cr = compression_ratio(docs, "doc_id", "text")
+    return (
+        cr.groupBy(
+            F.floor(F.col("compression_ratio") * 10).cast("int").alias("decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("compression_ratio"), 4).alias("avg_ratio"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.sum("zlib_bytes").alias("zlib_bytes"),
+        )
+        .orderBy("decile")
+    )
+
+
+@contract(
     "q_t30_sentences",
     oracle="""
         WITH p AS (SELECT doc_id,

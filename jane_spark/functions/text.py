@@ -204,6 +204,52 @@ def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agg.select(F.col(id_col), F.round(ent, 4).alias("token_entropy"))
 
 
+def compression_ratio(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """DEFLATE compression ratio per document (compressed/raw bytes) —
+    the Gopher/MassiveText-family redundancy signal token_entropy
+    approximates from the token distribution: near-1 means high-entropy
+    text, near-0 means templated/repeated content a dictionary coder
+    collapses. Fixed level 6 and a raw-byte floor of 1 keep the value
+    deterministic and total ('' → ratio 0.0 convention? no — empty
+    text compresses to the 8-byte zlib envelope; the raw floor avoids
+    the division, and NULL text yields NULL row-for-row).
+
+    Arrow-batched Series→Series pandas UDF — zlib is the one thing the
+    JVM expression library can't do; the projection shape (no shuffle,
+    no grouping) is identical to the built-in feature columns, so this
+    composes into quality_features-style scorecards for free."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<raw_bytes:long,zlib_bytes:long,ratio:double>")
+    def _cr(texts: pd.Series) -> pd.DataFrame:
+        import zlib as _z
+
+        raw, comp, ratio = [], [], []
+        for t in texts:
+            if t is None:
+                raw.append(None)
+                comp.append(None)
+                ratio.append(None)
+                continue
+            b = t.encode("utf-8")
+            c = _z.compress(b, 6)
+            raw.append(len(b))
+            comp.append(len(c))
+            ratio.append(round(len(c) / max(len(b), 1), 4))
+        return pd.DataFrame(
+            {"raw_bytes": raw, "zlib_bytes": comp, "ratio": ratio}
+        )
+
+    out = df.select(F.col(id_col), _cr(F.col(text_col)).alias("c"))
+    return out.select(
+        id_col,
+        F.col("c.raw_bytes").alias("raw_bytes"),
+        F.col("c.zlib_bytes").alias("zlib_bytes"),
+        F.col("c.ratio").alias("compression_ratio"),
+    )
+
+
 # ------------------------------------------------------------ language ID
 
 # character-frequency profiles for a tiny trigram-free heuristic;

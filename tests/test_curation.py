@@ -1124,3 +1124,35 @@ def test_split_sentences_rule(spark):
     assert got[4] is None or got[4] == []
     assert got[5] == ["Multi.", "Space.", "Runs."]
     assert got[6] == ["Trailing dot ends."]
+
+
+def test_compression_ratio_python_twin(spark):
+    """compression_ratio vs a direct zlib twin, including NULL
+    totality and the templated-vs-random separation the filter is
+    for."""
+    import zlib
+
+    from jane_spark.functions.text import compression_ratio
+
+    rows = [
+        (1, "abc " * 200),                      # templated: low ratio
+        (2, __import__("hashlib").sha256(b"seed").hexdigest() * 1
+            + "".join(
+                __import__("hashlib").sha256(str(i).encode()).hexdigest()
+                for i in range(12)
+            )),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in compression_ratio(df, "doc_id", "text").collect()}
+    for i, t in rows:
+        if t is None:
+            assert got[i]["compression_ratio"] is None
+            continue
+        b = t.encode(); c = zlib.compress(b, 6)
+        assert got[i]["raw_bytes"] == len(b)
+        assert got[i]["zlib_bytes"] == len(c)
+        assert got[i]["compression_ratio"] == round(len(c) / max(len(b), 1), 4)
+    assert got[1]["compression_ratio"] < 0.1 < got[2]["compression_ratio"]
+    assert got[2]["compression_ratio"] > 0.5

@@ -401,6 +401,8 @@ _PANDAS_ALLOWED = {
     # WARC ingest round-trips real archive bytes through the encode/
     # parse twins — that Python path IS the row's subject (r7)
     "q_a10_warc",
+    # zlib has no JVM expression — the pandas UDF is the operator (r7)
+    "q_t31_compress",
 }
 # "Python" catches every Arrow*/Batch* Python node (EvalPython,
 # ArrowAggregatePython, PythonUDF…); "InPandas" the map/grouped forms
