@@ -39,15 +39,15 @@ VERIFY_FIRST: list[str] = [
     #       re-verify block (q_a8_station_xml ... q_d6_gaps);
     #   (d) 2 queries whose code changes THIS round (r7): q_a8_fm_xml
     #       (multi-origin event XML) and q_k7_phash (JPEG codec);
-    #   (f) 6 NEW r7 contracts (PSL domains, trigram backoff, WARC,
+    #   (f) 7 NEW r7 contracts (PSL domains, trigram backoff, WARC,
     #       main-content extraction, sentence segmentation,
-    #       compression-ratio signal),
+    #       compression-ratio signal, WARC end-to-end pipeline),
     #       each displacing one (e) tail fill 1:1;
-    #   (e) 3 stalest veterans (last driver-checked r4) to start
+    #   (e) 2 stalest veterans (last driver-checked r4) to start
     #       draining the 46-name r4 block.
     # After r7, never-driver-verified = 0 and the only stale evidence
-    # is the remaining 43 r4-era veterans (rotate in r8+ — next up:
-    # q_a6_binary_len, q_a9_delta_anti, q_b1_json_extract and the rest of
+    # is the remaining 44 r4-era veterans (rotate in r8+ — next up:
+    # q_a4_sha_dedup, q_a6_binary_len, q_a9_delta_anti and the rest of
     # the r4 block in registration order) plus the r5/r6 blocks as
     # they age.
     # =================================================================
@@ -103,10 +103,10 @@ VERIFY_FIRST: list[str] = [
     "q_t29_extract",
     "q_t30_sentences",
     "q_t31_compress",
+    "q_p14_warc_pipeline",
     # (e) stalest veterans (last driver-verified r4)
     "q_a1_scan_count",
     "q_a2_explode",
-    "q_a4_sha_dedup",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

@@ -1263,23 +1263,30 @@ def q_t30(spark, sf_dir):
     )
 
 
+# expected survivor text of the q_t29 synthesized page — shared with
+# the q_p14 WARC end-to-end oracle (one edit point for the wrapper's
+# keep/drop semantics)
+_T29_MAIN_CTE = """
+    t29c AS (SELECT doc_id,
+                    trim(regexp_replace(text, '\\s+', ' ', 'g')) AS body
+             FROM documents),
+    t29m AS (SELECT doc_id,
+                    CASE WHEN length(body) >= 25
+                         THEN body || chr(10)
+                              || 'Validation paragraph for document '
+                              || CAST(doc_id AS VARCHAR)
+                              || ' keeps enough characters to stay.'
+                         ELSE 'Validation paragraph for document '
+                              || CAST(doc_id AS VARCHAR)
+                              || ' keeps enough characters to stay.'
+                    END AS main_text
+             FROM t29c)
+"""
+
+
 @contract(
     "q_t29_extract",
-    oracle="""
-        WITH c AS (SELECT doc_id,
-                          trim(regexp_replace(text, '\\s+', ' ', 'g')) AS body
-                   FROM documents)
-        SELECT doc_id,
-               CASE WHEN length(body) >= 25
-                    THEN body || chr(10) || 'Validation paragraph for document '
-                         || CAST(doc_id AS VARCHAR)
-                         || ' keeps enough characters to stay.'
-                    ELSE 'Validation paragraph for document '
-                         || CAST(doc_id AS VARCHAR)
-                         || ' keeps enough characters to stay.'
-               END AS main_text
-        FROM c
-    """,
+    oracle=f"WITH {_T29_MAIN_CTE} SELECT doc_id, main_text FROM t29m",
     survey_rows="T29,K9",
     doc="main-content extraction / boilerplate removal (the justext-"
     "readability block model RefinedWeb/FineWeb run between WET "

@@ -682,3 +682,120 @@ def q_t26(spark, sf_dir):
         .groupBy("train_id", "eval_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+@contract(
+    "q_p14_warc_pipeline",
+    oracle=None,  # assembled below from curation's shared T29 fragment
+    # (post-definition install, the q_p11 precedent)
+    survey_rows="P14,A10,T29,K1,P1",
+    doc="the FineWeb-shaped ingest chain END TO END in one job: per-doc "
+    "WARC response archives (writer twin, gzip members) -> distributed "
+    "parse_warc -> HTTP payload split -> main-content extraction "
+    "(block + link-density) -> exact dedup on the extracted text "
+    "(min doc_id per md5) -> deterministic 80/10/10 split -> per-split "
+    "stats. The Python stage is ONE mapInPandas (archive bytes in, "
+    "html out); everything downstream is JVM expression + one "
+    "fingerprint window + one split aggregate. The oracle never "
+    "touches WARC or HTML — it constructs the surviving text "
+    "arithmetically (shared T29 fragment), so a one-byte error "
+    "anywhere in the archive/extract chain hash-mismatches",
+)
+def q_p14(spark, sf_dir):
+    import pandas as pd
+
+    from jane_spark.engine.catalog import Catalog
+    from jane_spark.functions.sampling import split_assign
+    from jane_spark.functions.text import extract_main_content
+    from jane_spark.operators.topk import argmax
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+
+    def to_html(batches):
+        from jane_spark.sources.warc import (
+            encode_warc,
+            http_payload,
+            parse_warc,
+        )
+
+        for pdf in batches:
+            ids, pages = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                page = (
+                    "<html><head><title>t</title><style>p{margin:0}</style>"
+                    '</head><body><nav><a href="/">Home</a> '
+                    '<a href="/a">About</a> <a href="/c">Contact</a></nav>'
+                    "<!-- boilerplate --><article><p>"
+                    + text
+                    + "</p><p>Validation paragraph for document "
+                    + str(doc_id)
+                    + " keeps enough characters to stay.</p></article>"
+                    '<p>Tiny.</p><footer><a href="/x">A very long '
+                    "related-articles caption that is pure link text and "
+                    "must drop</a></footer></body></html>"
+                )
+                blob = encode_warc(
+                    [
+                        {
+                            "warc_type": "response",
+                            "target_uri": f"https://corpus.example/doc/{doc_id}",
+                            "content_type": "application/http;msgtype=response",
+                            "content": b"HTTP/1.1 200 OK\r\n"
+                            b"Content-Type: text/html\r\n\r\n"
+                            + page.encode("utf-8"),
+                        }
+                    ],
+                    gzip_members=True,
+                )
+                (rec,) = parse_warc(blob)
+                _status, body = http_payload(rec["content"])
+                ids.append(doc_id)
+                pages.append(body.decode("utf-8"))
+            yield pd.DataFrame({"doc_id": ids, "html": pages})
+
+    pages = docs.mapInPandas(to_html, "doc_id long, html string")
+    extracted = pages.select(
+        "doc_id", extract_main_content(F.col("html")).alias("main_text")
+    )
+    deduped = argmax(
+        extracted.withColumn("fp", F.md5(F.col("main_text"))),
+        ["fp"],
+        [F.col("doc_id").asc()],
+    )
+    split = split_assign(
+        F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}, salt="warc:"
+    )
+    return (
+        deduped.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("main_text")).alias("total_chars"),
+        )
+    )
+
+
+def _install_p14_oracle() -> None:
+    from jane_spark.contracts.curation import _T29_MAIN_CTE
+    from jane_spark.contracts.registry import REGISTRY
+
+    bucket = _DUCK_BUCKET.format(salt="warc:", key="doc_id", n=10000)
+    REGISTRY["q_p14_warc_pipeline"].oracle = f"""
+        WITH {_T29_MAIN_CTE},
+        dedup AS (SELECT * FROM (
+                      SELECT *, row_number() OVER (
+                          PARTITION BY md5(main_text)
+                          ORDER BY doc_id ASC) AS dn
+                      FROM t29m)
+                  WHERE dn = 1),
+        b AS (SELECT *, {bucket} AS bucket FROM dedup)
+        SELECT CASE WHEN bucket < 8000 THEN 'train'
+                    WHEN bucket < 9000 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               CAST(sum(length(main_text)) AS BIGINT) AS total_chars
+        FROM b GROUP BY split
+    """
+
+
+_install_p14_oracle()

@@ -403,6 +403,8 @@ _PANDAS_ALLOWED = {
     "q_a10_warc",
     # zlib has no JVM expression — the pandas UDF is the operator (r7)
     "q_t31_compress",
+    # the WARC end-to-end pipeline's one Python stage is its subject
+    "q_p14_warc_pipeline",
 }
 # "Python" catches every Arrow*/Batch* Python node (EvalPython,
 # ArrowAggregatePython, PythonUDF…); "InPandas" the map/grouped forms
