@@ -432,3 +432,38 @@ def test_warc_truncated_gzip_member_raises():
     )
     with _pytest.raises(ValueError, match="gzip member"):
         parse_warc(data[:-5])
+
+
+def test_warc_property_round_trip():
+    """Hypothesis: arbitrary record lists (binary bodies incl. CRLF,
+    0xFF, gzip magic; unicode URIs) survive encode->parse byte-exactly
+    in both layouts, with CDX spans tiling the gz archive."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from jane_spark.sources.warc import encode_warc, parse_warc
+
+    body = st.binary(min_size=0, max_size=200)
+    uri = st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=0x2FF),
+        min_size=1, max_size=30,
+    )
+    rec = st.fixed_dictionaries(
+        {"warc_type": st.sampled_from(["response", "resource", "metadata"]),
+         "target_uri": uri, "content": body}
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(recs=st.lists(rec, min_size=1, max_size=6), gz=st.booleans())
+    def run(recs, gz):
+        data = encode_warc(recs, gzip_members=gz)
+        out = parse_warc(data)
+        assert [bytes(r["content"]) for r in out] == [r["content"] for r in recs]
+        assert [r["warc_type"] for r in out] == [r["warc_type"] for r in recs]
+        if gz:
+            spans = [(r["offset"], r["length"]) for r in out]
+            assert spans[0][0] == 0
+            assert all(o1 + l1 == o2 for (o1, l1), (o2, _) in zip(spans, spans[1:]))
+            assert spans[-1][0] + spans[-1][1] == len(data)
+
+    run()

@@ -2061,3 +2061,24 @@ def test_two_stage_boundary_ties_platform_stable(spark):
             ).collect()
         )
         assert got == expect, (nq, nc)
+
+
+def test_jpeg_decode_never_hangs_on_truncation():
+    """Robustness: every truncation of a valid stream either decodes
+    (partial data) or raises ValueError/IndexError promptly — the
+    operator layer's catch-all turns that into a NULL hash; nothing
+    may loop forever or return garbage shapes."""
+    from struct import error as struct_error
+
+    import numpy as np
+
+    from jane_spark.sources.media_codecs import decode_jpeg, encode_jpeg
+
+    img = (np.add.outer(np.arange(16), np.arange(16)) * 3 + 10).astype(np.uint8)
+    data = encode_jpeg(img, quality=90)
+    for cut in range(2, len(data), 7):
+        try:
+            out = decode_jpeg(data[:cut])
+            assert out.shape == (16, 16)
+        except (ValueError, IndexError, KeyError, struct_error):
+            pass

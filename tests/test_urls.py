@@ -364,3 +364,60 @@ def test_domain_cap_salted_viral_domain(spark):
     # a different salt count is still exact (bucket-count independence)
     s4 = sorted(map(key, domain_cap(df, "url", 3, order, salted=True, n_salts=4).collect()))
     assert s4 == p
+
+
+# ------------------------------- PSL property tests (pure-Python twin)
+
+
+def _psl_twin(host: str, rules: list) -> str:
+    """Reference implementation of the publicsuffix.org algorithm,
+    written independently of the Column expression: label-list walk,
+    exceptions prevail, longest rule wins, '*' matches one label,
+    implicit '*' default; suffix-only and empty-label hosts return
+    unchanged."""
+    if not host or host.startswith(".") or ".." in host:
+        return host
+    labels = host.split(".")
+    n = len(labels)
+    best, best_exc = 0, None
+    for r in rules:
+        exc = r.startswith("!")
+        body = r[1:] if exc else r
+        rl = body.split(".")
+        if len(rl) > n:
+            continue
+        tail = labels[n - len(rl):]
+        if all(a == "*" or a == b for a, b in zip(rl, tail)):
+            if exc:
+                if best_exc is None or len(rl) > best_exc:
+                    best_exc = len(rl)
+            else:
+                best = max(best, len(rl))
+    ps = (best_exc - 1) if best_exc is not None else max(best, 1)
+    return host if n <= ps else ".".join(labels[n - ps - 1:])
+
+
+def test_psl_property_vs_twin(spark):
+    """Randomized rule sets x hosts: the per-depth InSet expression must
+    agree with the independent label-walk twin on every combination."""
+    import itertools
+    import random
+
+    from jane_spark.functions.urls import registrable_domain_psl
+
+    rng = random.Random(77)
+    labels = ["a", "b", "co", "gov", "uk", "jp", "com", "x1", "site"]
+    rules = ["com", "uk", "co.uk", "gov.uk", "jp", "*.jp", "!pref.jp",
+             "k12.ma.us", "ma.us", "us", "*.ck", "!www.ck", "ck"]
+    hosts = []
+    for _ in range(300):
+        k = rng.randint(1, 5)
+        hosts.append(".".join(rng.choice(labels) for _ in range(k)))
+    hosts += ["pref.jp", "x.pref.jp", "q.www.ck", "www.ck", "gov.uk",
+              "deep.a.b.co.uk", "a..uk", ".uk", "uk"]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = [r.d for r in df.select(
+        registrable_domain_psl(F.col("host"), rules).alias("d")).collect()]
+    want = [_psl_twin(h, rules) for h in hosts]
+    bad = [(h, g, w) for h, g, w in zip(hosts, got, want) if g != w]
+    assert not bad, bad[:5]
