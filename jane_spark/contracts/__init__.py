@@ -43,11 +43,11 @@ VERIFY_FIRST: list[str] = [
     #       main-content extraction, sentence segmentation,
     #       compression-ratio signal, WARC end-to-end pipeline),
     #       each displacing one (e) tail fill 1:1;
-    #   (e) 2 stalest veterans (last driver-checked r4) to start
+    #   (e) 1 stalest veteran (last driver-checked r4) to start
     #       draining the 46-name r4 block.
     # After r7, never-driver-verified = 0 and the only stale evidence
-    # is the remaining 44 r4-era veterans (rotate in r8+ — next up:
-    # q_a4_sha_dedup, q_a6_binary_len, q_a9_delta_anti and the rest of
+    # is the remaining 45 r4-era veterans (rotate in r8+ — next up:
+    # q_a2_explode, q_a4_sha_dedup, q_a6_binary_len and the rest of
     # the r4 block in registration order) plus the r5/r6 blocks as
     # they age.
     # =================================================================
@@ -104,9 +104,11 @@ VERIFY_FIRST: list[str] = [
     "q_t30_sentences",
     "q_t31_compress",
     "q_p14_warc_pipeline",
-    # (e) stalest veterans (last driver-verified r4)
+    # k-means converted rows-only -> oracle-backed in r7 (unrolled-
+    # Lloyd SQL twin): re-enters for its first hash-checked evidence
+    "q_k16_kmeans",
+    # (e) stalest veteran (last driver-verified r4)
     "q_a1_scan_count",
-    "q_a2_explode",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

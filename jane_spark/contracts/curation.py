@@ -796,16 +796,64 @@ def q_k7_phash(spark, sf_dir):
     )
 
 
+def _kmeans_oracle_sql(k: int = 8, iters: int = 5) -> str:
+    """Unrolled-Lloyd DuckDB twin of kmeans_assign (r7: converts the
+    contract from rows-only to oracle-backed). The iteration count is
+    FIXED, so the loop unrolls into `iters` chained CTE pairs
+    (assign_i, centroids_i) — seeding, squared-L2 argmin with ties to
+    the smaller centroid id, per-dim mean rounded 9 dp (the same
+    stabilisation the Spark side applies), empty clusters carrying
+    the previous centroid."""
+    dist = (
+        "list_sum(list_transform(generate_series(1, len(v.v)), "
+        "j -> (v.v[j] - c.cv[j]) * (v.v[j] - c.cv[j])))"
+    )
+    ctes = [
+        "v AS (SELECT vec_id AS id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+        "FROM embeddings)",
+        f"c0 AS (SELECT (row_number() OVER (ORDER BY id)) - 1 AS cid, "
+        f"v AS cv FROM v ORDER BY id LIMIT {k})",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"a{i} AS (SELECT id, v, cid FROM ("
+            f"SELECT v.id, v.v, c.cid, row_number() OVER ("
+            f"PARTITION BY v.id ORDER BY {dist}, c.cid) AS rn "
+            f"FROM v CROSS JOIN c{i} c) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"m{i} AS (SELECT cid, list(m ORDER BY dim) AS cv FROM ("
+            f"SELECT cid, dim, round(avg(val), 9) AS m FROM ("
+            f"SELECT cid, generate_subscripts(v, 1) AS dim, "
+            f"unnest(v) AS val FROM a{i}) GROUP BY cid, dim) "
+            f"GROUP BY cid)"
+        )
+        ctes.append(
+            f"c{i + 1} AS (SELECT c.cid, coalesce(m.cv, c.cv) AS cv "
+            f"FROM c{i} c LEFT JOIN m{i} m ON c.cid = m.cid)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT id AS vec_id, CAST(cid AS INT) AS cluster FROM (
+            SELECT v.id, c.cid, row_number() OVER (
+                PARTITION BY v.id ORDER BY {dist}, c.cid) AS rn
+            FROM v CROSS JOIN c{iters} c) WHERE rn = 1
+    """
+    )
+
+
 @contract(
     "q_k16_kmeans",
-    oracle=None,  # 5 Lloyd's iterations are not one-shot-SQL-expressible;
-    # pinned against a NumPy reference implementation in tests
+    oracle=_kmeans_oracle_sql(),
     survey_rows="K3,K8",
     doc="deterministic distributed k-means assignment over the "
     "embedding column (operators.semdedup.kmeans_assign): centroids "
     "seeded from the k smallest ids, 5 fixed Lloyd's iterations, "
     "ties toward the smaller centroid id — broadcast k-by-d centroid "
     "table per iteration, one k-by-d-keyed shuffle for the update; "
+    "oracle = the Lloyd loop UNROLLED into chained SQL CTEs (fixed "
+    "iteration count makes it one-shot-expressible after all, r7); "
     "byte-identical across runs and partitionings (pytest pins the "
     "assignment against a NumPy twin)",
 )
