@@ -679,9 +679,77 @@ def q_t20(spark, sf_dir):
     return score_logreg(docs, "doc_id", "text", weights, -0.5, dim=256)
 
 
+def _k21_oracle_sql(dim: int = 256, iters: int = 10, lr: float = 2.0) -> str:
+    """Unrolled full-batch-GD DuckDB twin of train_logreg +
+    score_logreg on binary hashed features (r7: converts q_k21 from
+    rows-only to oracle-backed, the q_k16_kmeans precedent). The fixed
+    step count unrolls into chained (z, r, w, b) CTEs; weights/bias
+    round 9 dp per step exactly like the Spark side, scoring rounds
+    6 dp, class averages 4 dp."""
+    # AS MATERIALIZED everywhere: the chained (w_i -> w_{i+1})
+    # references would otherwise INLINE exponentially (DuckDB CTEs
+    # default to inlining), re-scanning the parquet per mention
+    ctes = [
+        "t AS MATERIALIZED (SELECT doc_id, string_split(lower(text), ' ') "
+        "AS toks FROM documents)",
+        "lab AS MATERIALIZED (SELECT doc_id, "
+        "CAST(list_contains(toks, 'hash') AS INT) AS y FROM t)",
+        "e AS MATERIALIZED (SELECT doc_id, unnest(toks) AS tok FROM t)",
+        f"f AS MATERIALIZED (SELECT DISTINCT doc_id, "
+        f"CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % {dim} "
+        f"AS bucket FROM e)",
+        "nn AS MATERIALIZED (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) "
+        "AS n FROM f)",
+        "fy AS MATERIALIZED (SELECT f.doc_id, f.bucket, lab.y FROM f "
+        "JOIN lab USING (doc_id))",
+        "d0 AS MATERIALIZED (SELECT DISTINCT doc_id, y FROM fy)",
+        "r0 AS MATERIALIZED (SELECT doc_id, y, 0.5 - y AS r FROM d0)",
+        f"w1 AS MATERIALIZED (SELECT fy.bucket, "
+        f"round(0.0 - {lr} * sum(r0.r) / any_value(nn.n), 9) AS w "
+        f"FROM fy JOIN r0 USING (doc_id) CROSS JOIN nn GROUP BY fy.bucket)",
+        f"b1 AS MATERIALIZED (SELECT round(0.0 - {lr} * sum(r) / "
+        f"any_value(nn.n), 9) AS b FROM r0 CROSS JOIN nn)",
+    ]
+    for i in range(1, iters):
+        ctes.append(
+            f"z{i} AS MATERIALIZED (SELECT fy.doc_id, min(fy.y) AS y, "
+            f"(SELECT b FROM b{i}) + sum(coalesce(w{i}.w, 0.0)) AS z "
+            f"FROM fy LEFT JOIN w{i} USING (bucket) GROUP BY fy.doc_id)"
+        )
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT doc_id, y, "
+            f"1.0 / (1.0 + exp(-z)) - y AS r FROM z{i})"
+        )
+        ctes.append(
+            f"w{i + 1} AS MATERIALIZED (SELECT w.bucket, "
+            f"round(w.w - {lr} * g.g / any_value(nn.n), 9) AS w "
+            f"FROM w{i} w JOIN (SELECT bucket, sum(r) AS g FROM fy "
+            f"JOIN r{i} USING (doc_id) GROUP BY bucket) g "
+            f"ON w.bucket = g.bucket CROSS JOIN nn GROUP BY w.bucket, w.w, g.g)"
+        )
+        ctes.append(
+            f"b{i + 1} AS MATERIALIZED (SELECT round((SELECT b FROM b{i}) "
+            f"- {lr} * (SELECT sum(r) FROM r{i}) / any_value(n), 9) "
+            f"AS b FROM nn)"
+        )
+    ctes.append(
+        f"sc AS MATERIALIZED (SELECT f.doc_id, round(1.0 / (1.0 + exp(-("
+        f"(SELECT b FROM b{iters}) + sum(coalesce(w.w, 0.0))))), 6) "
+        f"AS prob FROM f LEFT JOIN w{iters} w USING (bucket) "
+        f"GROUP BY f.doc_id)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + """
+        SELECT lab.y AS label, count(*) AS n_docs,
+               round(avg(sc.prob), 4) AS avg_prob
+        FROM sc JOIN lab USING (doc_id) GROUP BY lab.y
+    """
+    )
+
+
 @contract(
     "q_k21_quality_clf",
-    oracle=None,  # iterative GD training — NumPy-twin-pinned in pytest
+    oracle=_k21_oracle_sql(),
     survey_rows="K12,K5,K6",
     doc="END-TO-END model-based quality filter: hashed-feature logistic "
     "regression TRAINED in-plan (full-batch GD, 10 steps; positives = "
@@ -692,7 +760,10 @@ def q_t20(spark, sf_dir):
     "aggregate, collecting only the dim-bounded gradient (the IVF "
     "bounded-collect pattern). Output = doc counts + mean probability "
     "per true class; the positive class must score far above the "
-    "negative (pytest-pinned vs the pure-Python twin)",
+    "negative (pytest-pinned vs the pure-Python twin). Oracle-backed "
+    "since r7: the fixed step count unrolls the GD loop into chained "
+    "MATERIALIZED CTEs (the q_k16_kmeans precedent), 9 dp per-step "
+    "weight rounding matching the Spark side exactly",
 )
 def q_k21(spark, sf_dir):
     from jane_spark.operators.classifier import (
