@@ -1199,16 +1199,104 @@ def q_k22_pairs(spark, sf_dir):
     )
 
 
+def _bpe_oracle_ctes(n_merges: int = 8) -> list[str]:
+    """Shared CTE chain for the unrolled BPE-training DuckDB twin (r7,
+    the q_k16_kmeans/q_k21 precedent). The greedy left-to-right merge
+    fold has a CLOSED FORM the oracle derives independently of the
+    Spark fold: for a merge (a, b) with a != b two adjacent positions
+    can never both match, so every match merges; for a == b matches
+    come in runs and greedy picks alternate positions from each run's
+    start — `(j - last_non_match) % 2 = 1` selects exactly those.
+    MATERIALIZED throughout (the v_i -> v_{i+1} chain would inline
+    exponentially)."""
+    merge_select = """
+  SELECT word, n, CASE WHEN len(syms) < 2 THEN syms ELSE
+    flatten(list_transform(generate_series(1, len(syms)), j ->
+      CASE
+        WHEN j > 1 AND mm[j - 1] THEN []
+        WHEN j < len(syms) AND mm[j] THEN [a || b]
+        ELSE [syms[j]]
+      END))
+  END AS syms
+  FROM (
+    SELECT word, n, syms, a, b,
+      list_transform(generate_series(1, greatest(len(syms) - 1, 0)), j ->
+        syms[j] = a AND syms[j + 1] = b AND
+        ((j - coalesce(list_max(list_filter(generate_series(1, j - 1),
+             i2 -> NOT (syms[i2] = a AND syms[i2 + 1] = b))), 0)) % 2 = 1)
+      ) AS mm
+    FROM v{i} CROSS JOIN (SELECT l AS a, r AS b FROM m{i})
+  )"""
+    ctes = [
+        "bwc AS MATERIALIZED (SELECT word, count(*) AS n FROM ("
+        "SELECT unnest(string_split(text, ' ')) AS word FROM documents) "
+        "WHERE word <> '' GROUP BY word)",
+        "v0 AS MATERIALIZED (SELECT word, n, "
+        "list_concat(ch[1:len(ch) - 1], [ch[-1] || '</w>']) AS syms "
+        "FROM (SELECT word, n, string_split(word, '') AS ch FROM bwc))",
+    ]
+    for i in range(n_merges):
+        ctes.append(
+            f"m{i} AS MATERIALIZED (SELECT p.l AS l, p.r AS r, "
+            f"sum(n) AS cnt FROM ("
+            f"SELECT n, unnest(list_transform("
+            f"generate_series(1, len(syms) - 1), "
+            f"j -> struct_pack(l := syms[j], r := syms[j + 1]))) AS p "
+            f"FROM v{i}) GROUP BY p.l, p.r "
+            f"ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"v{i + 1} AS MATERIALIZED ("
+            + merge_select.format(i=i)
+            + ")"
+        )
+    return ctes
+
+
+def _bpe_train_oracle(n_merges: int = 8) -> str:
+    ranks = " UNION ALL ".join(
+        f"SELECT {i} AS rank, l AS left, r AS right, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM m{i}"
+        for i in range(n_merges)
+    )
+    return (
+        "WITH "
+        + ",\n".join(_bpe_oracle_ctes(n_merges))
+        + f" SELECT CAST(rank AS INT) AS rank, \"left\", \"right\", "
+        f"pair_count FROM ({ranks})"
+    )
+
+
+def _bpe_encode_oracle(n_merges: int = 8) -> str:
+    return (
+        "WITH "
+        + ",\n".join(_bpe_oracle_ctes(n_merges))
+        + f""",
+        enc AS MATERIALIZED (SELECT word, len(syms) AS n_word_tokens
+                             FROM v{n_merges}),
+        ew AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM documents)
+        SELECT ew.doc_id, CAST(sum(enc.n_word_tokens) AS BIGINT)
+               AS n_bpe_tokens
+        FROM ew JOIN enc USING (word)
+        WHERE ew.word <> ''
+        GROUP BY ew.doc_id
+    """
+    )
+
+
 @contract(
     "q_k22_bpe_train",
-    oracle=None,  # n_merges argmax+merge iterations are not one-shot-SQL-
-    # expressible; pinned against a pure-Python twin in tests
+    oracle=_bpe_train_oracle(),
     survey_rows="K22",
     doc="full BPE training loop (operators/bpe.train_bpe): 8 merges, "
     "each iteration = one vocabulary-sized pair-count shuffle + ONE "
     "row collected (the argmax pair, IVF-centroid precedent), "
     "lineage cut per iteration; (count desc, pair asc) ties make the "
-    "merge table byte-deterministic across partitionings",
+    "merge table byte-deterministic across partitionings. Oracle-"
+    "backed since r7: the greedy merge fold has a CLOSED FORM "
+    "(a!=b merges every match; a==b picks alternate positions per "
+    "run) the unrolled SQL twin derives INDEPENDENTLY of the fold",
 )
 def q_k22_train(spark, sf_dir):
     from jane_spark.operators.bpe import merges_df, train_bpe
@@ -1219,13 +1307,13 @@ def q_k22_train(spark, sf_dir):
 
 @contract(
     "q_k22_bpe_encode",
-    oracle=None,  # encode replays the trained (non-SQL-expressible) merge
-    # table; per-doc counts pinned against the Python twin in tests
+    oracle=_bpe_encode_oracle(),
     survey_rows="K22,K4",
     doc="train->encode chain: 8 learned merges replayed as row-local "
     "folds over the word-TYPE table, equi-joined back to the exploded "
     "corpus (repeated words never re-encode), summed per document — "
-    "two shuffles beyond training (operators/bpe.bpe_token_stats)",
+    "two shuffles beyond training (operators/bpe.bpe_token_stats). "
+    "Oracle-backed since r7 via the same closed-form unrolled twin",
 )
 def q_k22_encode(spark, sf_dir):
     from jane_spark.operators.bpe import bpe_token_stats, train_bpe

@@ -143,3 +143,36 @@ def test_train_stops_when_dry(spark):
     # every word unique single char: no pair reaches count 2
     docs = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
     assert train_bpe(docs, 5) == []
+
+
+def test_bpe_train_oracle_agrees_on_aa_runs(spark):
+    """The unrolled SQL twin derives greedy merging from a CLOSED FORM
+    (alternate positions within a==b runs) instead of the Spark fold —
+    pin the two derivations against each other on the adversarial
+    input family: long single-character runs where overlap handling
+    decides the answer."""
+    import duckdb
+
+    from jane_spark.contracts import REGISTRY
+    from jane_spark.operators.bpe import merges_df, train_bpe
+
+    rows = [
+        (1, "aaaa aaaaa aa"),
+        (2, "aaa aaa baab"),
+        (3, "abab ababab aabb"),
+        (4, "aaaa aaaa aaaa"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sp = sorted(
+        tuple(r)
+        for r in merges_df(spark, train_bpe(docs, n_merges=4)).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    # reuse the registered 8-merge oracle text, re-generated at 4
+    from jane_spark.contracts.curation import _bpe_train_oracle
+
+    dk = sorted(tuple(r) for r in con.execute(_bpe_train_oracle(4)).fetchall())
+    assert sp == dk, (sp, dk)
