@@ -626,17 +626,79 @@ def _install_p11_oracle() -> None:
 _install_p11_oracle()
 
 
+def _ffd_oracle_sql(budget: int = 512, n_packers: int = 8) -> str:
+    """Recursive-CTE DuckDB twin of pack_ffd + packing_stats (r7, the
+    closed-form-oracle family): each recursion step places the next
+    item of its packer's (length desc, id asc) order, carrying the
+    bins' remaining capacities as a LIST column — first fit = lowest
+    index with room, oversize items seal a -1 bin exactly like the
+    Spark pass. Sequential-by-construction, so it derives the greedy
+    state machine independently of the pandas implementation."""
+    pos = (
+        "coalesce(list_filter(generate_series(1, len(r.bins)), "
+        "x -> r.bins[x] >= i.l)[1], 0)"
+    )
+    return f"""
+        WITH RECURSIVE
+        src AS MATERIALIZED (
+            SELECT CAST(concat('0x', substr(md5(concat('pack:',
+                       CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                       % {n_packers} AS packer,
+                   doc_id AS id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS l
+            FROM documents),
+        items AS MATERIALIZED (
+            SELECT packer, id, l, row_number() OVER (
+                PARTITION BY packer ORDER BY l DESC, id ASC) AS rn
+            FROM src),
+        r(packer, rn, bins, bin_idx, over, l) AS (
+            SELECT packer, CAST(0 AS BIGINT), CAST([] AS BIGINT[]),
+                   NULL, NULL, NULL
+            FROM (SELECT DISTINCT packer FROM items)
+            UNION ALL
+            SELECT i.packer, i.rn,
+                   CASE WHEN i.l > {budget}
+                            THEN list_append(r.bins, CAST(-1 AS BIGINT))
+                        WHEN {pos} = 0
+                            THEN list_append(r.bins, {budget} - i.l)
+                        ELSE list_transform(
+                            generate_series(1, len(r.bins)),
+                            x -> CASE WHEN x = {pos}
+                                      THEN r.bins[x] - i.l
+                                      ELSE r.bins[x] END)
+                   END,
+                   CASE WHEN i.l > {budget} THEN len(r.bins)
+                        WHEN {pos} = 0 THEN len(r.bins)
+                        ELSE {pos} - 1 END,
+                   i.l > {budget},
+                   i.l
+            FROM r JOIN items i
+              ON i.packer = r.packer AND i.rn = r.rn + 1),
+        fills AS (
+            SELECT packer, bin_idx, sum(l) AS fill,
+                   max(CASE WHEN over THEN 1 ELSE 0 END) AS solo
+            FROM r WHERE rn >= 1 GROUP BY packer, bin_idx)
+        SELECT count(*) AS n_bins,
+               CAST(sum(solo) AS BIGINT) AS n_oversize_bins,
+               coalesce(round(sum(CASE WHEN solo = 0 THEN fill END)
+                        / (sum(1 - solo) * {budget}.0), 4), 0.0)
+                   AS utilization
+        FROM fills
+    """
+
+
 @contract(
     "q_p12_ffd_pack",
-    oracle=None,  # FFD is greedy-sequential; partition-local exactness
-    # is pinned against a Python twin + invariant pytests
+    oracle=_ffd_oracle_sql(),
     survey_rows="P4",
     doc="best-fit-decreasing sequence packing (operators/packing.py): "
     "documents hash to packer partitions, each runs exact FFD "
     "(length desc, id tie-break) in one Arrow batch, bins globalized "
     "as partition/local — ONE (id,length)-pair shuffle; utilization "
     "and bin-budget invariants pytest-enforced, vs P4's simpler "
-    "cumsum packing",
+    "cumsum packing. Oracle-backed since r7: a recursive-CTE twin "
+    "replays the greedy state machine (bins as a LIST column, one "
+    "item per recursion step) independently of the pandas pass",
 )
 def q_p12(spark, sf_dir):
     from jane_spark.functions.text import token_count

@@ -2082,3 +2082,36 @@ def test_jpeg_decode_never_hangs_on_truncation():
             assert out.shape == (16, 16)
         except (ValueError, IndexError, KeyError, struct_error):
             pass
+
+
+def test_ffd_oracle_agrees_on_oversize_and_ties(spark):
+    """The recursive-CTE FFD twin vs the pandas pass on an input the
+    contract corpus lacks: oversize items (sealed solo bins), exact
+    budget fits, and length ties broken by id."""
+    import duckdb
+
+    from jane_spark.contracts.pipeline import _ffd_oracle_sql
+    from jane_spark.operators.packing import pack_ffd, packing_stats
+
+    rows = [(i, "w " * n) for i, n in enumerate(
+        [600, 512, 511, 300, 300, 212, 200, 200, 100, 12, 1, 700]
+    )]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from jane_spark.functions.text import token_count
+    from pyspark.sql import functions as F  # noqa: F811
+
+    items = docs.select("doc_id", token_count(F.col("text")).alias("n_tok"))
+    packed = pack_ffd(items, "doc_id", "n_tok", budget=512, n_packers=2)
+    sp = sorted(
+        tuple(r)
+        for r in packing_stats(packed, budget=512).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    dk = sorted(
+        tuple(r)
+        for r in con.execute(_ffd_oracle_sql(budget=512, n_packers=2)).fetchall()
+    )
+    assert sp == dk, (sp, dk)
+    assert sp[0][1] >= 2  # the oversize branch actually fired
