@@ -39,15 +39,17 @@ VERIFY_FIRST: list[str] = [
     #       re-verify block (q_a8_station_xml ... q_d6_gaps);
     #   (d) 2 queries whose code changes THIS round (r7): q_a8_fm_xml
     #       (multi-origin event XML) and q_k7_phash (JPEG codec);
-    #   (f) 7 NEW r7 contracts (PSL domains, trigram backoff, WARC,
+    #   (f) 8 NEW r7 contracts (PSL domains, trigram backoff, WARC,
     #       main-content extraction, sentence segmentation,
-    #       compression-ratio signal, WARC end-to-end pipeline),
+    #       compression-ratio signal, WARC end-to-end pipeline,
+    #       Gopher quality preset),
     #       each displacing one (e) tail fill 1:1;
-    #   (e) 1 stalest veteran (last driver-checked r4) to start
-    #       draining the 46-name r4 block.
+    #   (e) zero veteran slots remain — the r7 additions and the
+    #       k-means re-entry consumed them; the whole 46-name r4 block
+    #       rotates from round 8.
     # After r7, never-driver-verified = 0 and the only stale evidence
-    # is the remaining 45 r4-era veterans (rotate in r8+ — next up:
-    # q_a2_explode, q_a4_sha_dedup, q_a6_binary_len and the rest of
+    # is the full 46-name r4-era veteran block (rotate in r8+ — next:
+    # q_a1_scan_count, q_a2_explode, q_a4_sha_dedup and the rest of
     # the r4 block in registration order) plus the r5/r6 blocks as
     # they age.
     # =================================================================
@@ -107,8 +109,8 @@ VERIFY_FIRST: list[str] = [
     # k-means converted rows-only -> oracle-backed in r7 (unrolled-
     # Lloyd SQL twin): re-enters for its first hash-checked evidence
     "q_k16_kmeans",
-    # (e) stalest veteran (last driver-verified r4)
-    "q_a1_scan_count",
+    # Gopher quality preset (new r7)
+    "q_t32_gopher",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

@@ -1385,6 +1385,100 @@ def q_t24(spark, sf_dir):
 
 
 @contract(
+    "q_t32_gopher",
+    oracle="""
+        WITH p AS (SELECT doc_id,
+                          CASE WHEN doc_id % 11 = 0
+                               THEN concat('- b1', chr(10), '- b2', chr(10),
+                                           '- b3', chr(10), '- b4', chr(10),
+                                           '- b5', chr(10), '- b6', chr(10),
+                                           '- b7', chr(10), '- b8', chr(10),
+                                           '- b9', chr(10), '- b10')
+                               ELSE concat(text,
+                                 CASE WHEN doc_id % 3 = 0
+                                      THEN ' the of and that' ELSE '' END,
+                                 CASE WHEN doc_id % 5 = 0
+                                      THEN concat(chr(10), '- bullet one',
+                                                  chr(10), '- bullet two',
+                                                  chr(10), 'tail line...')
+                                      ELSE '' END,
+                                 CASE WHEN doc_id % 7 = 0
+                                      THEN ' ### ... ### ...' ELSE '' END)
+                          END AS t
+                   FROM documents),
+        f AS (SELECT doc_id, t,
+                     list_filter(string_split(t, ' '), x -> x <> '') AS toks,
+                     string_split(t, chr(10)) AS lines
+              FROM p)
+        SELECT doc_id,
+               len(toks) BETWEEN 50 AND 100000 AS words_ok,
+               (list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                   / CAST(greatest(len(toks), 1) AS DOUBLE))
+                   BETWEEN 3.0 AND 10.0 AS word_len_ok,
+               ((length(t) - length(replace(t, '#', ''))
+                 + (length(t) - length(replace(t, '...', ''))) / 3)
+                   / CAST(greatest(len(toks), 1) AS DOUBLE)) < 0.1
+                   AS symbol_ok,
+               (len(list_filter(lines, l -> left(l, 1) IN ('-', '*', '•')))
+                   / CAST(greatest(len(lines), 1) AS DOUBLE)) < 0.9
+                   AS bullet_ok,
+               (len(list_filter(lines, l -> right(l, 3) = '...'))
+                   / CAST(greatest(len(lines), 1) AS DOUBLE)) < 0.3
+                   AS ellipsis_ok,
+               (len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                   / CAST(greatest(len(toks), 1) AS DOUBLE)) >= 0.8
+                   AS alpha_ok,
+               len(list_intersect(
+                   list_distinct(list_filter(
+                       string_split(lower(t), ' '), x -> x <> '')),
+                   ['the', 'be', 'to', 'of', 'and', 'that', 'have',
+                    'with'])) >= 2 AS stop_ok
+        FROM f
+    """,
+    survey_rows="T32,K12,T16",
+    doc="the Gopher/MassiveText document-quality preset (Rae et al. "
+    "2021 A1.1) as one struct projection "
+    "(functions.text.gopher_quality_flags): word-count bounds, mean "
+    "word length, symbol-to-word ratio (#/ellipsis), bullet-line and "
+    "ellipsis-line fractions, alphabetic-word fraction, >=2 Gopher "
+    "stop words. The fixture appends stopword/bullet/ellipsis/symbol "
+    "noise to deterministic doc slices (and makes %11 docs pure bullet "
+    "lists) so every rule fires both ways; zero "
+    "shuffles, all ratios derived from one token/line split",
+)
+def q_t32(spark, sf_dir):
+    from jane_spark.functions.text import gopher_quality_flags
+
+    docs = Catalog(spark, sf_dir).documents
+    noisy = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.lit("\n".join(f"- b{i}" for i in range(1, 11))),
+    ).otherwise(
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit(" the of and that")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit("\n- bullet one\n- bullet two\ntail line..."),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit(" ### ... ### ...")
+            ).otherwise(F.lit("")),
+        )
+    )
+    g = gopher_quality_flags(noisy)
+    return docs.select(
+        "doc_id",
+        *[g[f].alias(f) for f in (
+            "words_ok", "word_len_ok", "symbol_ok", "bullet_ok",
+            "ellipsis_ok", "alpha_ok", "stop_ok",
+        )],
+    )
+
+
+@contract(
     "q_t31_compress",
     oracle=None,  # zlib has no DuckDB twin — pytest pins the Python twin
     survey_rows="T31,K9",

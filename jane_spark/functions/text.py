@@ -61,6 +61,81 @@ def quality_features(df: DataFrame, text_col: str, stopwords: "list[str]") -> Da
     )
 
 
+#: The Gopher stop-word list (Rae et al. 2021, MassiveText A1.1): a
+#: document must contain at least 2 of these to pass the rule.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(text: Column) -> Column:
+    """The Gopher/MassiveText document-quality rules (Rae et al. 2021
+    Appendix A1.1) as ONE struct column of per-rule booleans plus the
+    conjunction — the published preset every web pipeline starts from,
+    beside the C4 line rules (T16) and the generic scorecard (T9):
+
+    - ``words_ok``       50 <= word count <= 100,000
+    - ``word_len_ok``    3 <= mean word length <= 10
+    - ``symbol_ok``      (# of '#' or '...') / words < 0.1
+    - ``bullet_ok``      < 90% of lines start with a bullet
+    - ``ellipsis_ok``    < 30% of lines end with '...'
+    - ``alpha_ok``       >= 80% of words contain a letter
+    - ``stop_ok``        contains >= 2 Gopher stop words
+    - ``keep``           all of the above
+
+    Pure row-local higher-order expressions — zero shuffles, zero
+    UDFs; every sub-ratio derives from the same token/line arrays so
+    the struct costs one projection."""
+    toks = F.filter(F.split(text, " "), lambda t: t != "")
+    n_words = F.size(toks)
+    mean_len = F.aggregate(
+        toks, F.lit(0), lambda a, t: a + F.length(t)
+    ).cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
+    n_hash_in = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = F.size(
+        F.split(F.concat(F.lit(" "), text, F.lit(" ")), r"\.\.\.")
+    ) - F.lit(1)
+    symbol_ratio = (n_hash_in + n_ellipsis).cast("double") / F.greatest(
+        n_words, F.lit(1)
+    ).cast("double")
+    lines = F.split(text, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("-")
+            | l.startswith("*")
+            | l.startswith("•"),
+        )
+    ).cast("double") / n_lines.cast("double")
+    ellipsis_line_frac = F.size(
+        F.filter(lines, lambda l: l.endswith("..."))
+    ).cast("double") / n_lines.cast("double")
+    alpha_frac = F.size(
+        F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+    ).cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
+    lower_toks = F.filter(F.split(F.lower(text), " "), lambda t: t != "")
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(lower_toks),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    flags = {
+        "words_ok": (n_words >= 50) & (n_words <= 100000),
+        "word_len_ok": (mean_len >= 3.0) & (mean_len <= 10.0),
+        "symbol_ok": symbol_ratio < 0.1,
+        "bullet_ok": bullet_frac < 0.9,
+        "ellipsis_ok": ellipsis_line_frac < 0.3,
+        "alpha_ok": alpha_frac >= 0.8,
+        "stop_ok": n_stop >= 2,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return F.struct(
+        *[v.alias(k) for k, v in flags.items()], keep.alias("keep")
+    )
+
+
 def fingerprint64(text: Column) -> Column:
     """64-bit document fingerprint: xxhash64 of the normalized token
     stream (order-sensitive — a content id, not a similarity hash)."""
