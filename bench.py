@@ -98,6 +98,7 @@ BENCH_QUERIES = {
     "psl_domain": "q_t27_psl_domain",
     "trigram_backoff": "q_t28_trigram_backoff",
     "warc_roundtrip": "q_a10_warc",
+    "gopher_rules": "q_t32_gopher",
     # main-content extraction: its oracle CONSTRUCTS the expected text
     # (never parses), so like warc_roundtrip it's timed without a
     # baseline compare — a construct-only baseline would be
@@ -162,6 +163,7 @@ CALIBRATION = {
     # (same session methodology as BASELINE.md)
     "psl_domain": 0.0084,
     "trigram_backoff": 0.3073,
+    "gopher_rules": 0.4287,
 }
 
 
