@@ -35,23 +35,25 @@ VERIFY_FIRST: list[str] = [
     #   (a) the 3 late-round-6 additions never driver-verified;
     #   (c) the 23-name round-6 late wave, also never driver-verified
     #       (judge-verified r6, but the driver record is the contract);
-    #   (b) the 13-name "code changed in r6, last driver-checked r5"
-    #       re-verify block (q_a8_station_xml ... q_d6_gaps);
+    #   (b) the "code changed in r6, last driver-checked r5" re-verify
+    #       block (q_a8_station_xml ...; q_d6_gaps displaced to r8 by a
+    #       never-verified r7 contract — new evidence outranks
+    #       re-verification, the documented principle);
     #   (d) 2 queries whose code changes THIS round (r7): q_a8_fm_xml
     #       (multi-origin event XML) and q_k7_phash (JPEG codec);
-    #   (f) 8 NEW r7 contracts (PSL domains, trigram backoff, WARC,
+    #   (f) 9 NEW r7 contracts (PSL domains, trigram backoff, WARC,
     #       main-content extraction, sentence segmentation,
     #       compression-ratio signal, WARC end-to-end pipeline,
-    #       Gopher quality preset),
+    #       Gopher quality preset, Kneser-Ney LM),
     #       each displacing one (e) tail fill 1:1;
     #   (e) zero veteran slots remain — the r7 additions and the
     #       k-means re-entry consumed them; the whole 46-name r4 block
     #       rotates from round 8.
     # After r7, never-driver-verified = 0 and the only stale evidence
-    # is the full 46-name r4-era veteran block (rotate in r8+ — next:
-    # q_a1_scan_count, q_a2_explode, q_a4_sha_dedup and the rest of
-    # the r4 block in registration order) plus the r5/r6 blocks as
-    # they age.
+    # is q_d6_gaps (displaced block-(b) member — FIRST into r8) plus
+    # the full 46-name r4-era veteran block (q_a1_scan_count,
+    # q_a2_explode, q_a4_sha_dedup ... in registration order), then
+    # the r5/r6 blocks as they age.
     # =================================================================
     # (a) late round-6 additions, never driver-verified
     "q_t20_clf_score",
@@ -94,7 +96,6 @@ VERIFY_FIRST: list[str] = [
     "q_k7_resize",
     "q_k7_audio",
     "q_k7_multimodal",
-    "q_d6_gaps",
     # (d) code changes in r7: multi-origin QuakeML + JPEG baseline codec
     "q_a8_fm_xml",
     "q_k7_phash",
@@ -109,8 +110,9 @@ VERIFY_FIRST: list[str] = [
     # k-means converted rows-only -> oracle-backed in r7 (unrolled-
     # Lloyd SQL twin): re-enters for its first hash-checked evidence
     "q_k16_kmeans",
-    # Gopher quality preset (new r7)
+    # Gopher quality preset + Kneser-Ney LM (new r7)
     "q_t32_gopher",
+    "q_t33_kneser_ney",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

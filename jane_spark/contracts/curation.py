@@ -1385,6 +1385,71 @@ def q_t24(spark, sf_dir):
 
 
 @contract(
+    "q_t33_kneser_ney",
+    oracle="""
+WITH base AS (SELECT doc_id, source,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents),
+pos AS (SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks)),
+                   i -> struct_pack(prev := CASE WHEN i > 1 THEN toks[i-1] END,
+                                    cur := toks[i]))) AS p
+        FROM base),
+flat AS (SELECT doc_id, p.prev AS prev, p.cur AS cur FROM pos),
+train AS (SELECT toks FROM base WHERE source = 'src0'),
+unic AS (SELECT w, count(*) AS c
+         FROM (SELECT unnest(toks) AS w FROM train) GROUP BY w),
+bic AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c
+        FROM (SELECT unnest(list_transform(generate_series(2, len(toks)),
+                  i -> struct_pack(w1 := toks[i-1], w2 := toks[i]))) AS p
+              FROM train)
+        GROUP BY p.w1, p.w2),
+ctx AS (SELECT w1, sum(c) AS c_ctx, count(*) AS n1p_fwd FROM bic GROUP BY w1),
+cont AS (SELECT w2, count(*) AS n1p_back FROM bic GROUP BY w2),
+tot AS (SELECT (SELECT count(*) FROM bic) AS n_bi_types,
+               (SELECT count(*) FROM unic) AS v),
+sc AS (SELECT f.doc_id,
+              CASE WHEN f.prev IS NULL OR ctx.c_ctx IS NULL
+                   THEN (coalesce(CAST(cont.n1p_back AS DOUBLE), 0.0) + 1.0)
+                        / CAST(tot.n_bi_types + tot.v + 1 AS DOUBLE)
+                   ELSE greatest(coalesce(CAST(bic.c AS DOUBLE), 0.0) - 0.75,
+                                 0.0) / CAST(ctx.c_ctx AS DOUBLE)
+                        + 0.75 * CAST(ctx.n1p_fwd AS DOUBLE)
+                          / CAST(ctx.c_ctx AS DOUBLE)
+                          * ((coalesce(CAST(cont.n1p_back AS DOUBLE), 0.0)
+                              + 1.0)
+                             / CAST(tot.n_bi_types + tot.v + 1 AS DOUBLE))
+              END AS s
+       FROM flat f
+       LEFT JOIN bic ON f.prev = bic.w1 AND f.cur = bic.w2
+       LEFT JOIN ctx ON f.prev = ctx.w1
+       LEFT JOIN cont ON f.cur = cont.w2
+       CROSS JOIN tot)
+SELECT doc_id, count(*) AS n_tokens, round(-avg(ln(s)), 4) AS nll
+FROM sc GROUP BY doc_id
+    """,
+    survey_rows="T33,K5,T13",
+    doc="interpolated KNESER-NEY bigram LM scoring (Kneser & Ney 1995; "
+    "Chen & Goodman 1999 eq. 4.25) — the canonical count-based quality "
+    "LM the Stupid Backoff family approximates: absolute discounting "
+    "plus the continuation-probability backoff, with a documented "
+    "+1/(types+V+1) smoothing on Pcont for OOV totality. Counts from "
+    "the source='src0' slice via train_bigram_lm; vocabulary-bounded "
+    "broadcast joins, one doc-keyed average shuffle "
+    "(operators.curation.kneser_ney_score)",
+)
+def q_t33(spark, sf_dir):
+    from jane_spark.operators.curation import (
+        kneser_ney_score,
+        train_bigram_lm,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    uni, bi = train_bigram_lm(docs.filter(F.col("source") == "src0"), "text")
+    return kneser_ney_score(docs, "doc_id", "text", uni, bi)
+
+
+@contract(
     "q_t32_gopher",
     oracle="""
         WITH p AS (SELECT doc_id,

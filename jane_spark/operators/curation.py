@@ -646,6 +646,90 @@ def stupid_backoff_score(
     )
 
 
+def kneser_ney_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document mean negative log INTERPOLATED KNESER-NEY bigram
+    probability (Kneser & Ney 1995; Chen & Goodman 1999 eq. 4.25) —
+    the canonical count-based quality LM the Stupid Backoff family
+    approximates:
+
+        P(w | v) = max(c(vw) - d, 0) / c(v·)
+                   + d · N1+(v·) / c(v·) · Pcont(w)
+        Pcont(w) = (N1+(·w) + 1) / (N1+(··) + V + 1)
+
+    where c(v·) is the bigram-context total, N1+(v·) the distinct
+    continuations of v, N1+(·w) the distinct left contexts of w,
+    N1+(··) the bigram type count, and V the unigram vocabulary. The
+    +1/+V+1 smoothing on the continuation distribution is this
+    engine's documented totality choice: OOV words and the first
+    position score as smoothed Pcont instead of log(0). Unseen
+    contexts back off to Pcont(w) entirely.
+
+    Same distributed shape as stupid_backoff_score: every count table
+    derives from ``train_bigram_lm``'s outputs with vocabulary-bounded
+    aggregates, all scoring joins broadcast, and the only corpus-keyed
+    shuffle is the per-document average. Output (id, n_tokens, nll)
+    rounded 4 dp."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    positions = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks)),
+            lambda i: F.struct(
+                F.when(i > 1, F.element_at(toks, i - 1)).alias("prev"),
+                F.element_at(toks, i).alias("cur"),
+            ),
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<prev:string,cur:string>>"))
+    pos = df.select(F.col(id_col), F.explode(positions).alias("p")).select(
+        id_col, F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")
+    )
+    ctx = bigrams.groupBy("w1").agg(
+        F.sum("c").alias("c_ctx"), F.count(F.lit(1)).alias("n1p_fwd")
+    ).select(F.col("w1").alias("prev"), "c_ctx", "n1p_fwd")
+    cont = bigrams.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_back")).select(
+        F.col("w2").alias("cur"), "n1p_back"
+    )
+    totals = bigrams.agg(F.count(F.lit(1)).alias("n_bi_types")).crossJoin(
+        unigrams.agg(F.count(F.lit(1)).alias("v"))
+    )
+    bi = bigrams.select(
+        F.col("w1").alias("prev"), F.col("w2").alias("cur"), F.col("c").alias("c_bi")
+    )
+    joined = (
+        pos.join(F.broadcast(bi), ["prev", "cur"], "left")
+        .join(F.broadcast(ctx), "prev", "left")
+        .join(F.broadcast(cont), "cur", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    d = F.lit(discount)
+    p_cont = (
+        F.coalesce(F.col("n1p_back").cast("double"), F.lit(0.0)) + F.lit(1.0)
+    ) / (F.col("n_bi_types") + F.col("v") + F.lit(1)).cast("double")
+    p_kn = (
+        F.greatest(F.coalesce(F.col("c_bi").cast("double"), F.lit(0.0)) - d, F.lit(0.0))
+        / F.col("c_ctx").cast("double")
+        + d * F.col("n1p_fwd").cast("double") / F.col("c_ctx").cast("double") * p_cont
+    )
+    p = F.when(
+        F.col("prev").isNull() | F.col("c_ctx").isNull(), p_cont
+    ).otherwise(p_kn)
+    return (
+        joined.select(F.col(id_col), F.log(p).alias("lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(-F.avg("lp"), 4).alias("nll"),
+        )
+    )
+
+
 # ------------------------------------------------ corpus version diff
 
 

@@ -1156,3 +1156,53 @@ def test_compression_ratio_python_twin(spark):
         assert got[i]["compression_ratio"] == round(len(c) / max(len(b), 1), 4)
     assert got[1]["compression_ratio"] < 0.1 < got[2]["compression_ratio"]
     assert got[2]["compression_ratio"] > 0.5
+
+
+def test_kneser_ney_python_twin(spark):
+    """KN formula pinned against a direct Python computation on a tiny
+    corpus where every quantity (discounted bigram mass, continuation
+    counts, OOV smoothing, first-position backoff) is hand-checkable."""
+    import math
+
+    from jane_spark.operators.curation import kneser_ney_score, train_bigram_lm
+
+    train_rows = [(1, "a b a c a b"), (2, "b c")]
+    score_rows = [(10, "a b"), (11, "z a"), (12, "c")]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    score = spark.createDataFrame(score_rows, "doc_id long, text string")
+    uni, bi = train_bigram_lm(train, "text")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["nll"])
+        for r in kneser_ney_score(score, "doc_id", "text", uni, bi).collect()
+    }
+
+    # python twin
+    toks = [t.split() for _, t in train_rows]
+    from collections import Counter
+
+    bic = Counter()
+    for ts in toks:
+        for a, b in zip(ts, ts[1:]):
+            bic[(a, b)] += 1
+    unic = Counter(w for ts in toks for w in ts)
+    ctx_tot = Counter(); ctx_types = Counter(); cont = Counter()
+    for (a, b), c in bic.items():
+        ctx_tot[a] += c; ctx_types[a] += 1; cont[b] += 1
+    n_bi, v, d = len(bic), len(unic), 0.75
+
+    def p_cont(w):
+        return (cont.get(w, 0) + 1.0) / (n_bi + v + 1.0)
+
+    def p(w, prev):
+        if prev is None or prev not in ctx_tot:
+            return p_cont(w)
+        return (
+            max(bic.get((prev, w), 0) - d, 0.0) / ctx_tot[prev]
+            + d * ctx_types[prev] / ctx_tot[prev] * p_cont(w)
+        )
+
+    for doc_id, text in score_rows:
+        ts = text.split()
+        lps = [math.log(p(w, ts[i - 1] if i else None)) for i, w in enumerate(ts)]
+        want = (len(ts), round(-sum(lps) / len(lps), 4))
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)
