@@ -99,6 +99,7 @@ BENCH_QUERIES = {
     "trigram_backoff": "q_t28_trigram_backoff",
     "warc_roundtrip": "q_a10_warc",
     "gopher_rules": "q_t32_gopher",
+    "kneser_ney": "q_t33_kneser_ney",
     # main-content extraction: its oracle CONSTRUCTS the expected text
     # (never parses), so like warc_roundtrip it's timed without a
     # baseline compare — a construct-only baseline would be
@@ -164,6 +165,7 @@ CALIBRATION = {
     "psl_domain": 0.0084,
     "trigram_backoff": 0.3073,
     "gopher_rules": 0.4287,
+    "kneser_ney": 0.3389,
 }
 
 
