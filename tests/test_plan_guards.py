@@ -431,3 +431,22 @@ def test_no_python_eval_outside_allowlist(spark, sf_dir):
     assert not offenders, f"unexpected Python eval in: {offenders}"
     # the allowlist must not rot into a stale superset
     assert not missing, f"allowlisted but JVM-only now: {missing}"
+
+
+def test_lm_scoring_joins_broadcast(spark, sf_dir):
+    """T28/T33: every count-table scoring join must broadcast (the
+    tables are vocabulary-bounded) — a sort-merge here would shuffle
+    the exploded corpus positions per table. T32 must stay a pure
+    zero-exchange projection."""
+    from jane_spark.contracts import REGISTRY
+
+    for name, min_bhj in [("q_t33_kneser_ney", 3), ("q_t28_trigram_backoff", 5)]:
+        plan = _executed_plan(
+            REGISTRY[name].spark_fn(spark, sf_dir)
+        ).split("== Initial Plan ==")[0]
+        assert plan.count("BroadcastHashJoin") >= min_bhj, (name, plan)
+        assert "SortMergeJoin" not in plan, name
+    gopher = _executed_plan(
+        REGISTRY["q_t32_gopher"].spark_fn(spark, sf_dir)
+    ).split("== Initial Plan ==")[0]
+    assert "Exchange" not in gopher and "Join" not in gopher
