@@ -60,6 +60,63 @@ def q_k3_lsh(spark, sf_dir):
 
 
 @contract(
+    "q_k3_lsh_portable",
+    oracle="""
+        WITH v AS (SELECT vec_id AS id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE))
+                              AS v
+                   FROM embeddings),
+        pl AS (SELECT t.t, p.p, d.d,
+                      (CAST(concat('0x', substr(md5(
+                           'lshplane:' || CAST(t.t AS VARCHAR) || ':'
+                           || CAST(p.p AS VARCHAR) || ':'
+                           || CAST(d.d AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 2001 - 1000) / 1000.0 AS w
+               FROM generate_series(0, 1) t(t),
+                    generate_series(0, 3) p(p),
+                    generate_series(0, 63) d(d)),
+        dot AS (SELECT e.id, pl.t, pl.p,
+                       round(sum(e.v[pl.d + 1] * pl.w), 9) AS dt
+                FROM v e CROSS JOIN pl GROUP BY e.id, pl.t, pl.p),
+        bkt AS (SELECT id, t,
+                       sum(CASE WHEN dt >= 0
+                                THEN CAST(1 AS BIGINT) << p ELSE 0 END)
+                           AS bkt
+                FROM dot GROUP BY id, t),
+        cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id
+                 FROM bkt a JOIN bkt b USING (t, bkt)
+                 WHERE a.id <> b.id),
+        sc AS (SELECT c.a_id, c.b_id,
+                      round(list_cosine_similarity(va.v, vb.v), 6) AS sim
+               FROM cand c
+               JOIN v va ON va.id = c.a_id
+               JOIN v vb ON vb.id = c.b_id)
+        SELECT a_id, b_id, sim FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY a_id ORDER BY sim DESC, b_id ASC) AS rn
+            FROM sc) WHERE rn <= 5
+    """,
+    survey_rows="K3,K2",
+    doc="random-hyperplane LSH with PORTABLE md5-derived planes "
+    "(operators.vector.lsh_bucketed_topk(planes='portable') — the "
+    "minhash/simhash *_portable precedent applied to ANN): every "
+    "plane weight derives from md5 of its (table, plane, dim) "
+    "coordinates, sign decisions round the dot to 9 dp first, so the "
+    "ENTIRE bucketing + candidate join + re-rank chain hash-checks "
+    "against an engine that shares no code with Spark. 4 planes x 2 "
+    "tables, exact top-5 of the candidate set",
+)
+def q_k3_lsh_portable(spark, sf_dir):
+    from jane_spark.operators.vector import lsh_bucketed_topk
+
+    emb = Catalog(spark, sf_dir).embeddings
+    return lsh_bucketed_topk(
+        emb, "vec_id", "embedding", k=5, n_planes=4, n_tables=2,
+        dim=64, planes="portable",
+    )
+
+
+@contract(
     "q_k3_ivf",
     oracle=None,  # approximate candidate set — rows-only check;
     # recall vs exact top-k is asserted in tests/test_operators.py

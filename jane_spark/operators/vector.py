@@ -200,6 +200,7 @@ def lsh_bucketed_topk(
     n_tables: int = 8,
     seed: int = 42,
     dim: int | None = None,
+    planes: str = "rng",
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH.
 
@@ -211,8 +212,17 @@ def lsh_bucketed_topk(
     dot with a random plane, deterministic seed). Candidates = pairs
     sharing a bucket in ANY table; exact cosine re-rank on candidates.
     All joins are equi-joins on (table, bucket) — the scale path.
+
+    ``planes="portable"`` derives every plane weight from an md5 of
+    its (table, plane, dim) coordinates instead of the numpy RNG —
+    bit-reproducible outside Spark, which makes the whole LSH path
+    oracle-checkable (the minhash/simhash *_portable precedent); sign
+    decisions round the dot to 9 dp first so a cross-engine ulp at
+    the hyperplane cannot flip a bucket bit.
     """
-    melted = _melted_buckets(vectors, id_col, vec_col, n_planes, n_tables, seed, dim)
+    melted = _melted_buckets(
+        vectors, id_col, vec_col, n_planes, n_tables, seed, dim, planes
+    )
     a = melted.select(
         F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"), "t", "bkt"
     )
@@ -233,6 +243,18 @@ def lsh_bucketed_topk(
     ).drop("rn")
 
 
+def portable_plane_weight(t: int, p: int, d: int) -> float:
+    """Deterministic LSH plane weight in [-1, 1]: md5 of the
+    coordinates, first 8 hex chars, % 2001 → the same value any
+    engine derives (DuckDB twin: the _DUCK_BUCKET md5-parse idiom)."""
+    import hashlib
+
+    h = int(
+        hashlib.md5(f"lshplane:{t}:{p}:{d}".encode()).hexdigest()[:8], 16
+    )
+    return (h % 2001 - 1000) / 1000.0
+
+
 def _melted_buckets(
     vectors: DataFrame,
     id_col: str,
@@ -241,13 +263,27 @@ def _melted_buckets(
     n_tables: int,
     seed: int,
     dim: int | None,
+    planes_source: str = "rng",
 ) -> DataFrame:
     """(id, vec, t, bkt): one row per (vector, hash table) with the
     vector's n_planes-bit hyperplane bucket in that table."""
     if dim is None:
         dim = len(vectors.select(vec_col).first()[0])
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_tables, n_planes, dim))
+    if planes_source == "portable":
+        planes = np.array(
+            [
+                [
+                    [portable_plane_weight(t, p, d) for d in range(dim)]
+                    for p in range(n_planes)
+                ]
+                for t in range(n_tables)
+            ]
+        )
+    elif planes_source == "rng":
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((n_tables, n_planes, dim))
+    else:
+        raise ValueError(f"planes must be 'rng' or 'portable': {planes_source}")
 
     def bucket_col(t: int):
         bits = []
@@ -262,6 +298,8 @@ def _melted_buckets(
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
+            if planes_source == "portable":
+                d = F.round(d, 9)
             bits.append(F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
         return sum(bits[1:], bits[0]).alias(f"bucket_{t}")
 
