@@ -875,6 +875,21 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 5) -> str:
     the smaller centroid id, per-dim mean rounded 9 dp (the same
     stabilisation the Spark side applies), empty clusters carrying
     the previous centroid."""
+    ctes, dist = _kmeans_ctes(k, iters)
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT id AS vec_id, CAST(cid AS INT) AS cluster FROM (
+            SELECT v.id, c.cid, row_number() OVER (
+                PARTITION BY v.id ORDER BY {dist}, c.cid) AS rn
+            FROM v CROSS JOIN c{iters} c) WHERE rn = 1
+    """
+    )
+
+
+def _kmeans_ctes(k: int, iters: int) -> tuple[list[str], str]:
+    """(CTE list, distance expression) for the unrolled Lloyd chain —
+    shared by the k-means oracle and the portable-IVF oracle (which
+    consumes the fitted ``c{iters}`` centroid table)."""
     dist = (
         "list_sum(list_transform(generate_series(1, len(v.v)), "
         "j -> (v.v[j] - c.cv[j]) * (v.v[j] - c.cv[j])))"
@@ -904,14 +919,7 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 5) -> str:
             f"c{i + 1} AS (SELECT c.cid, coalesce(m.cv, c.cv) AS cv "
             f"FROM c{i} c LEFT JOIN m{i} m ON c.cid = m.cid)"
         )
-    return (
-        "WITH " + ",\n".join(ctes) + f"""
-        SELECT id AS vec_id, CAST(cid AS INT) AS cluster FROM (
-            SELECT v.id, c.cid, row_number() OVER (
-                PARTITION BY v.id ORDER BY {dist}, c.cid) AS rn
-            FROM v CROSS JOIN c{iters} c) WHERE rn = 1
-    """
-    )
+    return ctes, dist
 
 
 @contract(
@@ -1382,6 +1390,70 @@ def q_t24(spark, sf_dir):
     docs = Catalog(spark, sf_dir).documents
     uni, bi = train_bigram_lm(docs.filter(F.col("source") == "src0"), "text")
     return stupid_backoff_score(docs, "doc_id", "text", uni, bi)
+
+
+def _ivf_portable_oracle(
+    k: int = 5, n_lists: int = 8, iters: int = 5, n_probe: int = 3
+) -> str:
+    """Portable-IVF twin: the fitted Lloyd centroids (shared k-means
+    CTE chain) quantize corpus AND queries by 9-dp-rounded cosine
+    (ties to the smaller list id — exactly _assign_lists'
+    probe_round_dp path), candidates equi-join on the list id, exact
+    top-k re-rank at 6 dp."""
+    ctes, _ = _kmeans_ctes(n_lists, iters)
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+        sims AS (SELECT vv.id, c.cid,
+                        round(list_cosine_similarity(vv.v, c.cv), 9) AS s
+                 FROM v vv CROSS JOIN c{iters} c),
+        ranked AS (SELECT id, cid, row_number() OVER (
+                       PARTITION BY id ORDER BY s DESC, cid ASC) AS rn
+                   FROM sims),
+        corpus AS (SELECT id, cid AS list_id FROM ranked WHERE rn = 1),
+        probes AS (SELECT id, cid AS list_id FROM ranked
+                   WHERE rn <= {n_probe}),
+        cand AS (SELECT p.id AS a_id, c.id AS b_id
+                 FROM probes p JOIN corpus c USING (list_id)
+                 WHERE p.id <> c.id),
+        sc AS (SELECT cand.a_id, cand.b_id,
+                      round(list_cosine_similarity(va.v, vb.v), 6) AS sim
+               FROM cand
+               JOIN v va ON va.id = cand.a_id
+               JOIN v vb ON vb.id = cand.b_id)
+        SELECT a_id, b_id, sim FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY a_id ORDER BY sim DESC, b_id ASC) AS rn
+            FROM sc) WHERE rn <= {k}
+    """
+    )
+
+
+@contract(
+    "q_k3_ivf_portable",
+    oracle=_ivf_portable_oracle(),
+    survey_rows="K3,K8",
+    doc="IVF coarse-quantizer search with PORTABLE training "
+    "(operators.semdedup.kmeans_fit feeding operators.vector.ivf_topk "
+    "with probe_round_dp=9): the coarse quantizer is the distributed "
+    "Lloyd loop whose every step is SQL-derivable (the q_k16_kmeans "
+    "chain), list assignment and probe selection round cosines to "
+    "9 dp before ranking (ties to the smaller list id), so TRAINING, "
+    "quantization, candidate join, and exact re-rank all hash-check "
+    "end to end — the full data-adaptive ANN path audited against an "
+    "engine sharing no code with Spark. 8 lists, 3 probes, top-5",
+)
+def q_k3_ivf_portable(spark, sf_dir):
+    import numpy as np
+
+    from jane_spark.operators.semdedup import kmeans_fit
+    from jane_spark.operators.vector import ivf_topk
+
+    emb = Catalog(spark, sf_dir).embeddings
+    _assign, cents = kmeans_fit(emb, "vec_id", "embedding", k=8, iters=5)
+    return ivf_topk(
+        emb, "vec_id", "embedding", k=5, n_lists=8, n_probe=3,
+        centroids=np.array(cents, dtype=np.float64), probe_round_dp=9,
+    )
 
 
 @contract(

@@ -32,13 +32,29 @@ from pyspark.sql import functions as F
 from jane_spark.functions.arrays import cosine
 
 
-def kmeans_assign(
+def kmeans_fit(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     k: int = 8,
     iters: int = 5,
-) -> DataFrame:
+) -> tuple[DataFrame, list[list[float]]]:
+    """``kmeans_assign`` plus the FITTED centroid matrix (rank-ordered
+    by cluster id, each coordinate already rounded 9 dp by the update
+    step) — the coarse-quantizer training surface IVF builds on
+    (r7: the centroids are the same ones the final assignment used,
+    so downstream list assignment is self-consistent)."""
+    assign_df, cents = _kmeans_loop(df, id_col, vec_col, k, iters)
+    return assign_df, cents
+
+
+def _kmeans_loop(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int,
+) -> "tuple[DataFrame, list[list[float]]]":
     """Deterministic Lloyd's k-means over an ``array<float>`` column;
     returns ``(id, cluster)``.
 
@@ -110,9 +126,22 @@ def kmeans_assign(
         # empty clusters keep their previous centroid (deterministic)
         centroids = [(cid, new.get(cid, cv)) for cid, cv in centroids]
 
-    return assign(centroids).select(
+    assigned = assign(centroids).select(
         F.col("__id").alias(id_col), F.col("cluster").cast("int").alias("cluster")
     )
+    return assigned, [cv for _, cv in centroids]
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 5,
+) -> DataFrame:
+    """Backwards-compatible assignment-only view of ``_kmeans_loop``
+    (docstring above on the loop)."""
+    return _kmeans_loop(df, id_col, vec_col, k, iters)[0]
 
 
 def semantic_dedup(

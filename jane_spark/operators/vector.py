@@ -321,11 +321,18 @@ def _melted_buckets(
 
 
 def _assign_lists(
-    vectors: DataFrame, id_col: str, vec_col: str, centroids: np.ndarray, n_probe: int
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: np.ndarray,
+    n_probe: int,
+    probe_round_dp: int | None = None,
 ) -> DataFrame:
     """(id, vec, list_id) — each vector's n_probe nearest centroids by
     cosine (n_probe=1 for corpus assignment). GEMM per Arrow batch
-    against the broadcast centroid matrix."""
+    against the broadcast centroid matrix. ``probe_round_dp`` rounds
+    sims (half away from zero) BEFORE the probe rank — the
+    rank_round_dp treatment, so list choice is platform-independent."""
     spark = vectors.sparkSession
     norms = np.sqrt((centroids * centroids).sum(axis=1))
     norms[norms == 0.0] = 1.0
@@ -339,6 +346,9 @@ def _assign_lists(
             qn = np.sqrt((q * q).sum(axis=1))
             qn[qn == 0.0] = 1.0
             sims = (q @ cents.T) / (qn[:, None] * cnorms[None, :])
+            if probe_round_dp is not None:
+                pw = 10.0 ** probe_round_dp
+                sims = np.sign(sims) * np.floor(np.abs(sims) * pw + 0.5) / pw
             # stable: descending sim, centroid index ascending on ties
             order = np.lexsort(
                 (np.broadcast_to(np.arange(sims.shape[1]), sims.shape), -sims), axis=1
@@ -404,6 +414,7 @@ def ivf_topk(
     lloyd_iters: int = 2,
     round_dp: int | None = 6,
     centroids: np.ndarray | None = None,
+    probe_round_dp: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF coarse quantizer.
 
@@ -418,10 +429,16 @@ def ivf_topk(
         centroids = train_ivf_centroids(
             vectors, id_col, vec_col, n_lists, lloyd_iters
         )
-    corpus = _assign_lists(vectors, id_col, vec_col, centroids, n_probe=1).select(
+    corpus = _assign_lists(
+        vectors, id_col, vec_col, centroids, n_probe=1,
+        probe_round_dp=probe_round_dp,
+    ).select(
         F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"), "list_id"
     )
-    queries = _assign_lists(vectors, id_col, vec_col, centroids, n_probe=n_probe).select(
+    queries = _assign_lists(
+        vectors, id_col, vec_col, centroids, n_probe=n_probe,
+        probe_round_dp=probe_round_dp,
+    ).select(
         F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"), "list_id"
     )
     cands = (
