@@ -405,6 +405,8 @@ _PANDAS_ALLOWED = {
     "q_t31_compress",
     # the WARC end-to-end pipeline's one Python stage is its subject
     "q_p14_warc_pipeline",
+    # portable IVF quantizes via the same Arrow GEMM stage as q_k3_ivf
+    "q_k3_ivf_portable",
 }
 # "Python" catches every Arrow*/Batch* Python node (EvalPython,
 # ArrowAggregatePython, PythonUDF…); "InPandas" the map/grouped forms
