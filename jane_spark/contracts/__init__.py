@@ -36,23 +36,24 @@ VERIFY_FIRST: list[str] = [
     #   (c) the 23-name round-6 late wave, also never driver-verified
     #       (judge-verified r6, but the driver record is the contract);
     #   (b) the "code changed in r6, last driver-checked r5" re-verify
-    #       block (q_a8_station_xml ...; q_d6_gaps, q_k7_multimodal
-    #       and q_k7_audio displaced to r8 by never-verified r7
-    #       contracts — new evidence outranks re-verification, the
-    #       documented principle);
+    #       block (q_a8_station_xml ...; q_d6_gaps, q_k7_multimodal,
+    #       q_k7_audio and q_k7_resize displaced to r8 by never-
+    #       verified r7 contracts — new evidence outranks
+    #       re-verification, the documented principle);
     #   (d) 2 queries whose code changes THIS round (r7): q_a8_fm_xml
     #       (multi-origin event XML) and q_k7_phash (JPEG codec);
-    #   (f) 11 NEW r7 contracts (PSL domains, trigram backoff, WARC,
+    #   (f) 12 NEW r7 contracts (PSL domains, trigram backoff, WARC,
     #       main-content extraction, sentence segmentation,
     #       compression-ratio signal, WARC end-to-end pipeline,
-    #       Gopher quality preset, Kneser-Ney LM, portable LSH+IVF),
+    #       Gopher quality preset, Kneser-Ney LM, portable LSH+IVF,
+    #       WordPiece),
     #       each displacing one (e) tail fill 1:1;
     #   (e) zero veteran slots remain — the r7 additions and the
     #       k-means re-entry consumed them; the whole 46-name r4 block
     #       rotates from round 8.
     # After r7, never-driver-verified = 0 and the only stale evidence
-    # is q_d6_gaps + q_k7_multimodal + q_k7_audio (displaced block-(b)
-    # members — FIRST into r8) plus
+    # is q_d6_gaps/q_k7_multimodal/q_k7_audio/q_k7_resize (displaced
+    # block-(b) members — FIRST into r8) plus
     # the full 46-name r4-era veteran block (q_a1_scan_count,
     # q_a2_explode, q_a4_sha_dedup ... in registration order), then
     # the r5/r6 blocks as they age.
@@ -95,7 +96,6 @@ VERIFY_FIRST: list[str] = [
     "q_a1_seismic_formats",
     "q_a1_waveform_source",
     "q_b12_semi_acl",
-    "q_k7_resize",
     # (d) code changes in r7: multi-origin QuakeML + JPEG baseline codec
     "q_a8_fm_xml",
     "q_k7_phash",
@@ -115,6 +115,7 @@ VERIFY_FIRST: list[str] = [
     "q_t33_kneser_ney",
     "q_k3_lsh_portable",
     "q_k3_ivf_portable",
+    "q_k25_wordpiece",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

@@ -1293,6 +1293,98 @@ def _bpe_encode_oracle(n_merges: int = 8) -> str:
     )
 
 
+#: Fixed WordPiece vocabulary for q_k25: the corpus alphabet as both
+#: word-initial and '##' continuation pieces (every word tokenizes —
+#: UNKs would hide greedy-match bugs behind a constant) plus
+#: multi-char pieces that exercise longest-match-first.
+WORDPIECE_VOCAB = tuple(
+    [c for c in "abcdefghijklmnopqrstuvwxyz0123456789"]
+    + ["##" + c for c in "abcdefghijklmnopqrstuvwxyz0123456789"]
+    + ["th", "##he", "##er", "##ing", "##ed", "an", "##nd", "re",
+       "##es", "on", "##on", "##at", "in", "##in"]
+)
+
+
+def _wordpiece_oracle(vocab: tuple) -> str:
+    """Recursive-CTE twin of operators.bpe.wordpiece_encode (the FFD
+    state-machine precedent): each recursion step consumes the longest
+    matching piece; words whose recursion dies mid-way count as one
+    [UNK] token. Independent derivation: the Spark side folds with an
+    expression chain, the oracle walks a recursion."""
+    max_l = max(len(t) - 2 if t.startswith("##") else len(t) for t in vocab)
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(vocab))
+    chain = "CASE "
+    for l in range(max_l, 0, -1):
+        chain += (
+            f"WHEN pos + {l} - 1 <= length(word) AND "
+            f"(CASE WHEN pos = 1 THEN substr(word, pos, {l}) "
+            f"ELSE '##' || substr(word, pos, {l}) END) IN ({inlist}) "
+            f"THEN (CASE WHEN pos = 1 THEN substr(word, pos, {l}) "
+            f"ELSE '##' || substr(word, pos, {l}) END) "
+        )
+    chain += "END"
+    return f"""
+        WITH RECURSIVE
+        wc AS MATERIALIZED (SELECT DISTINCT word FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            WHERE word <> ''),
+        r(word, pos, n_toks) AS (
+            SELECT word, 1, 0 FROM wc
+            UNION ALL
+            SELECT word,
+                   pos + length(tok)
+                       - CASE WHEN pos > 1 THEN 2 ELSE 0 END,
+                   n_toks + 1
+            FROM (SELECT word, pos, n_toks, {chain} AS tok
+                  FROM r WHERE pos <= length(word))
+            WHERE tok IS NOT NULL),
+        fin AS (SELECT word, max(pos) AS max_pos,
+                       max_by(n_toks, pos) AS n_toks
+                FROM r GROUP BY word),
+        enc AS (SELECT word,
+                       CASE WHEN max_pos > length(word) THEN n_toks
+                            ELSE 1 END AS n_wp
+                FROM fin),
+        ew AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM documents)
+        SELECT ew.doc_id, CAST(sum(enc.n_wp) AS BIGINT) AS n_wp_tokens
+        FROM ew JOIN enc USING (word)
+        WHERE ew.word <> ''
+        GROUP BY ew.doc_id
+    """
+
+
+@contract(
+    "q_k25_wordpiece",
+    oracle=_wordpiece_oracle(WORDPIECE_VOCAB),
+    survey_rows="K25,K22,K4",
+    doc="WordPiece encoding (BERT's greedy longest-match-first, "
+    "Devlin et al. 2019 — the other dominant subword scheme beside "
+    "BPE): per-document piece counts under a fixed vocabulary of "
+    "alphabet + continuation pieces + multi-char pieces that exercise "
+    "longest-match greediness (operators.bpe.wordpiece_encode over "
+    "the word-TYPE table, equi-joined back — repeated words never "
+    "re-encode). The Spark side is ONE zero-shuffle fold whose "
+    "expression is O(max piece length); the oracle walks a recursive "
+    "CTE — two independent derivations of the same greedy automaton",
+)
+def q_k25(spark, sf_dir):
+    docs = Catalog(spark, sf_dir).documents
+    from jane_spark.operators.bpe import wordpiece_encode
+
+    exploded = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    enc = wordpiece_encode(
+        exploded.select("word").distinct(), list(WORDPIECE_VOCAB)
+    ).select("word", F.size("tokens").alias("n_wp"))
+    return (
+        exploded.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_wp").alias("n_wp_tokens"))
+    )
+
+
 @contract(
     "q_k22_bpe_train",
     oracle=_bpe_train_oracle(),

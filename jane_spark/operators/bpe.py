@@ -185,3 +185,76 @@ def bpe_token_stats(
         .groupBy(id_col)
         .agg(F.sum("n_word_tokens").alias("n_bpe_tokens"))
     )
+
+
+def wordpiece_encode(
+    words: DataFrame,
+    vocab: list[str],
+    word_col: str = "word",
+    unk: str = "[UNK]",
+) -> DataFrame:
+    """BERT's WordPiece encoding (greedy longest-match-first; Devlin
+    et al. 2019 / the public BertTokenizer algorithm): at each
+    position take the LONGEST vocab token matching the remaining
+    word — continuation pieces carry the '##' prefix — and emit
+    ``[UNK]`` for the whole word when no piece matches. The other
+    dominant subword scheme beside BPE (encode_words), completing the
+    tokenizer family.
+
+    Row-local: ONE ``aggregate`` fold over at most ``len(word)``
+    steps whose lambda tries piece lengths L..1 via vocabulary
+    ``isin`` probes (Catalyst InSet — the PSL shape), so the
+    expression size is O(max piece length), independent of word
+    length, and the whole encode is a zero-shuffle projection.
+    Word-TYPE tables feed it (the BPE precedent: repeated words never
+    re-encode)."""
+    vocab_set = set(vocab)
+    if not vocab_set:
+        raise ValueError("empty vocabulary")
+    max_l = max(
+        len(t) - 2 if t.startswith("##") else len(t) for t in vocab_set
+    )
+    w = F.col(word_col)
+    n = F.length(w)
+    empty = F.expr("array()").cast("array<string>")
+    varr = F.array(*[F.lit(t) for t in sorted(vocab_set)])
+
+    def step(acc, _i):
+        pos = acc["pos"]
+        done = acc["fail"] | (pos > n)
+        # longest-match chain: first non-null wins (l = max_l .. 1)
+        cand = None
+        for l in range(max_l, 0, -1):
+            sub = F.substring(w, pos, l)
+            tok = F.when(pos == 1, sub).otherwise(F.concat(F.lit("##"), sub))
+            hit = F.when(
+                (pos + l - 1 <= n) & F.array_contains(varr, tok), tok
+            )
+            cand = hit if cand is None else F.coalesce(cand, hit)
+        advance = F.length(cand) - F.when(pos > 1, 2).otherwise(0)
+        matched = F.struct(
+            (pos + advance).alias("pos"),
+            F.concat(acc["toks"], F.array(cand)).alias("toks"),
+            F.lit(False).alias("fail"),
+        )
+        failed = F.struct(
+            (n + F.lit(1)).alias("pos"),
+            F.array(F.lit(unk)).alias("toks"),
+            F.lit(True).alias("fail"),
+        )
+        return F.when(done, acc).otherwise(
+            F.when(cand.isNull(), failed).otherwise(matched)
+        )
+
+    init = F.struct(
+        F.lit(1).alias("pos"), empty.alias("toks"), F.lit(False).alias("fail")
+    )
+    out = F.aggregate(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        init,
+        step,
+        lambda acc: acc["toks"],
+    )
+    return words.withColumn(
+        "tokens", F.when(n > 0, out).otherwise(empty)
+    )

@@ -176,3 +176,43 @@ def test_bpe_train_oracle_agrees_on_aa_runs(spark):
 
     dk = sorted(tuple(r) for r in con.execute(_bpe_train_oracle(4)).fetchall())
     assert sp == dk, (sp, dk)
+
+
+def test_wordpiece_greedy_and_unk_vs_oracle(spark):
+    """WordPiece: the Spark fold vs the recursive-CTE twin on the
+    adversarial inputs the contract corpus lacks — UNK words (the
+    contract vocab covers its whole alphabet) and greedy-vs-optimal
+    splits — plus hand-computed expectations."""
+    import duckdb
+
+    from jane_spark.contracts.curation import _wordpiece_oracle
+    from jane_spark.operators.bpe import wordpiece_encode
+
+    vocab = ("a", "b", "c", "##a", "##b", "##c", "ab", "##bc", "abc")
+    rows = [(1, "abc ab a"), (2, "abcb cab"), (3, "xyz abq"), (4, "b")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exploded = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    enc = wordpiece_encode(
+        exploded.select("word").distinct(), list(vocab)
+    )
+    toks = {r["word"]: r["tokens"] for r in enc.collect()}
+    assert toks["abc"] == ["abc"]                  # longest piece wins
+    assert toks["abcb"] == ["abc", "##b"]
+    assert toks["cab"] == ["c", "##a", "##b"]
+    assert toks["xyz"] == ["[UNK]"]
+    assert toks["abq"] == ["[UNK]"]                # dies mid-word -> UNK
+
+    sp = sorted(
+        (r["doc_id"], r["n_wp_tokens"])
+        for r in exploded.join(
+            enc.select("word", F.size("tokens").alias("n_wp")), "word"
+        ).groupBy("doc_id").agg(F.sum("n_wp").alias("n_wp_tokens")).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    dk = sorted(tuple(r) for r in con.execute(_wordpiece_oracle(vocab)).fetchall())
+    assert sp == dk, (sp, dk)
