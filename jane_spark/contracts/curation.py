@@ -1173,7 +1173,8 @@ def q_t27(spark, sf_dir):
                    generate_series(1, len(syms) - 1),
                    i -> struct_pack(l := syms[i], r := syms[i+1]))) AS p
                FROM sy)
-        SELECT p.l AS left_sym, p.r AS right_sym, sum(n) AS cnt
+        SELECT p.l AS left_sym, p.r AS right_sym,
+               CAST(sum(n) AS BIGINT) AS cnt
         FROM pr GROUP BY p.l, p.r
         ORDER BY cnt DESC, left_sym ASC, right_sym ASC
         LIMIT 50

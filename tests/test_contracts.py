@@ -47,6 +47,32 @@ def test_entry_smoke(spark):
     assert oracles <= names
 
 
+def test_oracle_no_hugeint_columns(duck):
+    """Registry-wide lint for the r7 q_k22_bpe_pairs failure class: the
+    driver's value-hash is type-tagged, and DuckDB's sum(BIGINT) returns
+    HUGEINT (int128) where Spark emits int64 — identical values still
+    hash-mismatch. Every oracle's final projection must cast integer
+    aggregates (CAST(... AS BIGINT)). Enforced structurally: bind each
+    oracle as a relation (no execution) and assert no HUGEINT/UHUGEINT
+    survives to the result schema."""
+    bad = {}
+    for name, cq in REGISTRY.items():
+        if cq.oracle is None:
+            continue
+        rel = duck.sql(cq.oracle)
+        hug = [
+            c
+            for c, t in zip(rel.columns, rel.types)
+            if "HUGEINT" in str(t).upper()
+        ]
+        if hug:
+            bad[name] = hug
+    assert not bad, (
+        "oracles returning int128 columns (type-tagged driver hash "
+        f"mismatches Spark int64): {bad}"
+    )
+
+
 def test_verify_first_window_invariants():
     """The driver checks only the first 50 queries() entries: the front
     list must be exactly 50 known names, dense in oracle-backed queries,
