@@ -1311,8 +1311,11 @@ def _wordpiece_oracle(vocab: tuple) -> str:
     state-machine precedent): each recursion step consumes the longest
     matching piece; words whose recursion dies mid-way count as one
     [UNK] token. Independent derivation: the Spark side folds with an
-    expression chain, the oracle walks a recursion."""
-    max_l = max(len(t) - 2 if t.startswith("##") else len(t) for t in vocab)
+    expression chain, the oracle walks a recursion. Raw max piece
+    length (not len-2 for '##' pieces) so the pos=1 probe reaches a
+    full '##xyz' literal — BERT's start=0 semantics, shared with
+    wordpiece_encode."""
+    max_l = max(len(t) for t in vocab)
     inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(vocab))
     chain = "CASE "
     for l in range(max_l, 0, -1):

@@ -207,13 +207,23 @@ def wordpiece_encode(
     expression size is O(max piece length), independent of word
     length, and the whole encode is a zero-shuffle projection.
     Word-TYPE tables feed it (the BPE precedent: repeated words never
-    re-encode)."""
+    re-encode).
+
+    Corner case, deliberate: a word that literally starts with "##"
+    may match a '##'-prefixed (continuation) vocab piece at position
+    1, because the word-initial probe tests the raw substring against
+    the FULL vocabulary — up to the longest RAW piece length. This
+    mirrors the public BERT WordpieceTokenizer exactly
+    (google-research/bert tokenization.py: ``if start > 0: substr =
+    "##" + substr`` — no prefix added at start, membership tested
+    against the whole vocab), and the DuckDB oracle twin shares it."""
     vocab_set = set(vocab)
     if not vocab_set:
         raise ValueError("empty vocabulary")
-    max_l = max(
-        len(t) - 2 if t.startswith("##") else len(t) for t in vocab_set
-    )
+    # raw lengths: the pos=1 probe must reach a full '##xyz' literal
+    # (BERT start=0 semantics); pos>1 probes beyond the longest
+    # continuation stem simply never match
+    max_l = max(len(t) for t in vocab_set)
     w = F.col(word_col)
     n = F.length(w)
     empty = F.expr("array()").cast("array<string>")

@@ -449,12 +449,15 @@ def ivf_topk(
     scored = cands.select(
         "a_id", "b_id", cosine(F.col("a_vec"), F.col("b_vec")).alias("sim")
     )
-    top = top_k_per_group(
+    # round BEFORE ranking (lsh_bucketed_topk / block_topk rank_round_dp
+    # treatment): raw sims that tie at round_dp could otherwise pick
+    # different top-k rows than an oracle that ranks rounded values —
+    # the ulp-at-the-rank-boundary class
+    if round_dp is not None:
+        scored = scored.withColumn("sim", F.round(F.col("sim"), round_dp))
+    return top_k_per_group(
         scored, ["a_id"], [F.col("sim").desc(), F.col("b_id").asc()], k
     ).drop("rn")
-    if round_dp is not None:
-        top = top.withColumn("sim", F.round(F.col("sim"), round_dp))
-    return top
 
 
 def embedding_near_pairs(

@@ -912,8 +912,15 @@ class _BitReader:
         self.n = 0
 
     def _fill(self) -> None:
+        if self.off >= len(self.d):
+            # stream truncated mid-entropy-data: surface as segment end so
+            # decode_jpeg keeps the blocks decoded so far (same contract
+            # as hitting a marker), never a bare IndexError
+            raise _SegmentEnd()
         b = self.d[self.off]
         if b == 0xFF:
+            if self.off + 1 >= len(self.d):
+                raise _SegmentEnd()
             nxt = self.d[self.off + 1]
             if nxt == 0x00:
                 self.off += 2
@@ -1101,8 +1108,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     for cid, ch, cv, tq in comps:
         c = coef[cid]
         dq = np.zeros_like(c, dtype=np.float64)
+        # blk coefficients are in zigzag scan order while qt[tq] is
+        # natural-ordered (DQT parse scatters via out[_ZIGZAG] = tbl):
+        # gather the table back into zigzag order before multiplying.
         dq.reshape(-1, 64)[:, _ZIGZAG] = (
-            c.reshape(-1, 64) * qt[tq][None, :]
+            c.reshape(-1, 64) * qt[tq][_ZIGZAG][None, :]
         ).astype(np.float64)
         by, bx = c.shape[:2]
         b = dq.reshape(by, bx, 8, 8)

@@ -216,3 +216,22 @@ def test_wordpiece_greedy_and_unk_vs_oracle(spark):
     con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
     dk = sorted(tuple(r) for r in con.execute(_wordpiece_oracle(vocab)).fetchall())
     assert sp == dk, (sp, dk)
+
+
+def test_wordpiece_literal_hash_prefix_word(spark):
+    """A word literally starting with '##' may consume a continuation
+    vocab piece at word start — the documented corner mirroring public
+    BERT (tokenization.py adds '##' only when start > 0, probing the
+    raw substring against the FULL vocab at position 0). Pinned so a
+    future 'fix' can't silently diverge from both BERT and the oracle."""
+    from jane_spark.operators.bpe import wordpiece_encode
+
+    words = spark.createDataFrame([("##ab",), ("#a",)], "word string")
+    toks = {
+        r["word"]: r["tokens"]
+        for r in wordpiece_encode(words, ["a", "##a", "##b", "#", "##ab"]).collect()
+    }
+    # start=0 raw probe: '##ab' matches the continuation piece '##ab'
+    assert toks["##ab"] == ["##ab"]
+    # '#a' -> '#' (initial), then continuation '##a' for the 'a'
+    assert toks["#a"] == ["#", "##a"]

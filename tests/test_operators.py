@@ -1959,6 +1959,48 @@ def test_jpeg_round_trips():
     assert np.abs(dec.astype(int) - grad.astype(int)).max() <= 2
 
 
+def test_jpeg_high_frequency_round_trips():
+    """Dequantization must gather the natural-ordered quant table back
+    into zigzag order before scaling the zigzag-ordered coefficients:
+    smooth gradients (and q100's all-ones table) can't see a mis-scaled
+    AC band, but period-2 stripes/checkerboards are pure high-frequency
+    and round-trip with max error ~69 under the ordering bug vs <=4
+    when correct."""
+    import numpy as np
+
+    from jane_spark.sources.media_codecs import decode_jpeg, encode_jpeg
+
+    stripe = np.tile(np.array([40, 200], dtype=np.uint8), (16, 8))
+    checker = (
+        (np.add.outer(np.arange(16), np.arange(16)) % 2) * 160 + 40
+    ).astype(np.uint8)
+    for img in (stripe, checker):
+        dec = decode_jpeg(encode_jpeg(img, quality=97))
+        err = np.abs(dec.astype(int) - img.astype(int))
+        assert err.max() <= 4, err.max()
+    # 4:4:4 RGB with stripes on every channel (4:2:0 would legitimately
+    # average away per-pixel chroma alternation — not tested here)
+    rgb = np.stack([stripe, stripe, checker], axis=-1).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(rgb, quality=97))
+    err = np.abs(dec.astype(int) - rgb.astype(int))
+    assert err.max() <= 8, err.max()
+
+
+def test_jpeg_mid_entropy_truncation_partial_decode():
+    """A stream cut inside the entropy-coded segment (not at a marker)
+    must surface as _SegmentEnd -> partial decode with the full declared
+    shape, never a bare IndexError from _BitReader._fill."""
+    import numpy as np
+
+    from jane_spark.sources.media_codecs import decode_jpeg, encode_jpeg
+
+    img = np.tile(np.array([40, 200], dtype=np.uint8), (16, 8))
+    data = encode_jpeg(img, quality=90)
+    for cut in (1, 2, 3, 5, 9):
+        out = decode_jpeg(data[: len(data) - 2 - cut])  # strip EOI + tail
+        assert out.shape == (16, 16)
+
+
 def test_jpeg_rejects_unsupported():
     import numpy as np
     import pytest as _pytest
