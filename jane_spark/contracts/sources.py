@@ -661,6 +661,331 @@ def q_a8_station_bulk(spark, sf_dir):
     return station_bulk_body(spark, channels, body)
 
 
+def _synthetic_quakeml_index(spark, sf_dir):
+    """Deterministic quakeml-index frame derived from events (the
+    q_a8_fm_xml fixture shape, plus the visibility flag event_query's
+    includerestricted filter reads): whole-number doubles keep
+    double→string rendering engine-portable."""
+    eid = F.col("event_id")
+    return Catalog(spark, sf_dir).events.select(
+        F.concat(F.lit("evt:"), eid.cast("string")).alias("quakeml_id"),
+        F.col("ts").alias("origin_time"),
+        (eid % 180 - 90).cast("double").alias("latitude"),
+        (eid % 360 - 180).cast("double").alias("longitude"),
+        (eid % 700 * 1000).cast("double").alias("depth_in_m"),
+        (eid % 90).cast("double").alias("magnitude"),
+        F.lit("Mw").alias("magnitude_type"),
+        F.lit("EMSC").alias("agency"),
+        F.lit("auto").alias("author"),
+        F.lit("manual").alias("evaluation_mode"),
+        F.col("event_type"),
+        F.lit(True).alias("public"),
+        eid.alias("event_id"),
+    )
+
+
+_EVT_CORE_XML = """'<preferredOriginID>', qid, '#origin</preferredOriginID>',
+                      '<preferredMagnitudeID>', qid,
+                      '#mag</preferredMagnitudeID>',
+                      '<origin publicID="', qid, '#origin">',
+                      '<time><value>',
+                      strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'),
+                      '</value></time>',
+                      '<latitude><value>', CAST(lat AS VARCHAR),
+                      '</value></latitude>',
+                      '<longitude><value>', CAST(lon AS VARCHAR),
+                      '</value></longitude>',
+                      '<depth><value>', CAST(dep AS VARCHAR),
+                      '</value></depth>',
+                      '<evaluationMode>manual</evaluationMode>'"""
+
+_EVT_MAG_XML = """'</origin>',
+                      '<magnitude publicID="', qid, '#mag">',
+                      '<mag><value>', CAST(mag AS VARCHAR),
+                      '</value></mag><type>Mw</type>',
+                      '<creationInfo><agencyID>EMSC</agencyID>',
+                      '<author>auto</author></creationInfo></magnitude>'"""
+
+_EVT_INDEX_SQL = f"""
+        ev AS (
+            SELECT 'evt:' || CAST(event_id AS VARCHAR) AS qid,
+                   event_id, ts,
+                   CAST(event_id % 180 - 90 AS DOUBLE) AS lat,
+                   CAST(event_id % 360 - 180 AS DOUBLE) AS lon,
+                   CAST(event_id % 700 * 1000 AS DOUBLE) AS dep,
+                   CAST(event_id % 90 AS DOUBLE) AS mag,
+                   {_DUCK_ESC.format(col="event_type")} AS etype
+            FROM events)"""
+
+
+@contract(
+    "q_a8_eventid",
+    oracle=f"""
+        WITH {_EVT_INDEX_SQL}
+        SELECT qid AS quakeml_id,
+               concat('<event publicID="', qid, '">',
+                      {_EVT_CORE_XML},
+                      {_EVT_MAG_XML},
+                      '<type>', etype, '</type></event>') AS xml
+        FROM ev WHERE qid = 'evt:42'
+    """,
+    survey_rows="A8",
+    doc="fdsnws-event eventid param — the canonical single-event "
+    "request [ref: src/jane/fdsnws/views/event_1.py — event_id "
+    "resolution, conf=H]: the full service path (event_query eventid "
+    "equality predicate + visibility filter, then "
+    "event_xml_for_params with the spec's include*=false defaults) "
+    "resolves exactly one QuakeML <event> document body; predicate "
+    "reaches the scan (equality pushdown), serialization row-local",
+)
+def q_a8_eventid(spark, sf_dir):
+    from jane_spark.services.fdsnws import event_query, event_xml_for_params
+
+    params = {"eventid": "evt:42"}
+    ev = _synthetic_quakeml_index(spark, sf_dir).drop("event_id")
+    return event_xml_for_params(event_query(ev, params), params)
+
+
+@contract(
+    "q_a8_event_includeall",
+    oracle=f"""
+        WITH {_EVT_INDEX_SQL},
+        ev2 AS (
+            SELECT *,
+                   CAST(event_id % 178 - 88 AS DOUBLE) AS lat2,
+                   CAST(event_id % 358 - 178 AS DOUBLE) AS lon2,
+                   CAST(event_id % 700 * 1000 + 500 AS DOUBLE) AS dep2,
+                   CAST(event_id % 89 AS DOUBLE) AS mag2
+            FROM ev)
+        SELECT qid AS quakeml_id,
+               concat('<event publicID="', qid, '">',
+                      {_EVT_CORE_XML},
+                      CASE WHEN event_id % 2 = 0 THEN
+                        concat('</origin>',
+                               '<origin publicID="', qid, '#origin2">',
+                               '<time><value>',
+                               strftime(ts + INTERVAL 1 SECOND,
+                                        '%Y-%m-%dT%H:%M:%S.%f'),
+                               '</value></time>',
+                               '<latitude><value>', CAST(lat2 AS VARCHAR),
+                               '</value></latitude>',
+                               '<longitude><value>', CAST(lon2 AS VARCHAR),
+                               '</value></longitude>',
+                               '<depth><value>', CAST(dep2 AS VARCHAR),
+                               '</value></depth>',
+                               '<evaluationMode>automatic</evaluationMode>',
+                               '</origin>',
+                               '<magnitude publicID="', qid, '#mag">',
+                               '<mag><value>', CAST(mag AS VARCHAR),
+                               '</value></mag><type>Mw</type>',
+                               '<creationInfo><agencyID>EMSC</agencyID>',
+                               '<author>auto</author></creationInfo>',
+                               '</magnitude>',
+                               '<magnitude publicID="', qid, '#mag2">',
+                               '<mag><value>', CAST(mag2 AS VARCHAR),
+                               '</value></mag><type>mb</type>',
+                               '<creationInfo><agencyID>GFZ</agencyID>',
+                               '<author>bob</author></creationInfo>',
+                               '</magnitude>')
+                      ELSE concat({_EVT_MAG_XML}) END,
+                      '<type>', etype, '</type></event>') AS xml
+        FROM ev2
+    """,
+    survey_rows="A8",
+    doc="fdsnws-event includeallorigins/includeallmagnitudes=true "
+    "[ref: src/jane/fdsnws/views/event_1.py — include* flags, "
+    "conf=H]: every 2nd event carries one relocated solution "
+    "(extra_origins/extra_magnitudes arrays) which the r7 "
+    "multi-origin serializer emits as #origin2/#mag2 children; odd "
+    "events serialize the single-solution block byte-identically. "
+    "event_xml_for_params maps the request params to serializer "
+    "flags — with the spec's FALSE defaults the same frame emits no "
+    "#origin2 anywhere (pytest-pinned contrast). Row-local "
+    "transform/array_join HOFs, zero shuffle",
+)
+def q_a8_event_includeall(spark, sf_dir):
+    from jane_spark.services.fdsnws import event_xml_for_params
+
+    eid = F.col("event_id")
+    has_extra = eid % 2 == 0
+    ev = _synthetic_quakeml_index(spark, sf_dir).withColumns(
+        {
+            "extra_origins": F.when(
+                has_extra,
+                F.array(
+                    F.struct(
+                        (
+                            F.col("origin_time") + F.expr("INTERVAL 1 SECOND")
+                        ).alias("origin_time"),
+                        (eid % 178 - 88).cast("double").alias("latitude"),
+                        (eid % 358 - 178).cast("double").alias("longitude"),
+                        (eid % 700 * 1000 + 500)
+                        .cast("double")
+                        .alias("depth_in_m"),
+                        F.lit("automatic").alias("evaluation_mode"),
+                    )
+                ),
+            ),
+            "extra_magnitudes": F.when(
+                has_extra,
+                F.array(
+                    F.struct(
+                        (eid % 89).cast("double").alias("magnitude"),
+                        F.lit("mb").alias("magnitude_type"),
+                        F.lit("GFZ").alias("agency"),
+                        F.lit("bob").alias("author"),
+                    )
+                ),
+            ),
+        }
+    ).drop("event_id")
+    params = {"includeallorigins": "true", "includeallmagnitudes": "true"}
+    return event_xml_for_params(ev, params)
+
+
+@contract(
+    "q_a8_event_arrivals",
+    oracle=f"""
+        WITH {_EVT_INDEX_SQL},
+        ev2 AS (
+            SELECT *,
+                   CAST(event_id % 360 AS DOUBLE) AS az1,
+                   CAST(event_id % 180 AS DOUBLE) AS di1,
+                   CAST(event_id % 10 - 5 AS DOUBLE) AS tr1,
+                   CAST(event_id * 7 % 360 AS DOUBLE) AS az2,
+                   CAST(event_id % 90 AS DOUBLE) AS di2,
+                   CAST(event_id % 7 - 3 AS DOUBLE) AS tr2
+            FROM ev)
+        SELECT qid AS quakeml_id,
+               concat('<event publicID="', qid, '">',
+                      {_EVT_CORE_XML},
+                      '<arrival publicID="', qid, '#arr1">',
+                      '<pickID>', qid, '#pick1</pickID>',
+                      '<phase>Pg</phase>',
+                      '<azimuth>', CAST(az1 AS VARCHAR), '</azimuth>',
+                      '<distance>', CAST(di1 AS VARCHAR), '</distance>',
+                      '<timeResidual>', CAST(tr1 AS VARCHAR),
+                      '</timeResidual></arrival>',
+                      '<arrival publicID="', qid, '#arr2">',
+                      '<pickID>', qid, '#pick2</pickID>',
+                      '<phase>Sg</phase>',
+                      '<azimuth>', CAST(az2 AS VARCHAR), '</azimuth>',
+                      '<distance>', CAST(di2 AS VARCHAR), '</distance>',
+                      '<timeResidual>', CAST(tr2 AS VARCHAR),
+                      '</timeResidual></arrival>',
+                      {_EVT_MAG_XML},
+                      '<type>', etype, '</type></event>') AS xml
+        FROM ev2
+    """,
+    survey_rows="A8",
+    doc="fdsnws-event includearrivals=true [ref: "
+    "src/jane/fdsnws/views/event_1.py — includearrivals, conf=H; "
+    "QuakeML 1.2 nests <arrival> inside <origin>]: each event's "
+    "arrivals array (pick reference, phase, azimuth/distance/"
+    "timeResidual) serializes as #arr1/#arr2 children of the "
+    "preferred origin. An index without pick data refuses loudly "
+    "(ValueError — pytest-pinned) instead of silently emitting "
+    "nothing. Row-local HOF serialization, zero shuffle",
+)
+def q_a8_event_arrivals(spark, sf_dir):
+    from jane_spark.services.fdsnws import event_xml_for_params
+
+    eid = F.col("event_id")
+    qid = F.col("quakeml_id")
+
+    def _arr(n, phase, az, di, tr):
+        return F.struct(
+            F.concat(qid, F.lit(f"#pick{n}")).alias("pick_id"),
+            F.lit(phase).alias("phase"),
+            az.cast("double").alias("azimuth"),
+            di.cast("double").alias("distance"),
+            tr.cast("double").alias("time_residual"),
+        )
+
+    ev = _synthetic_quakeml_index(spark, sf_dir).withColumn(
+        "arrivals",
+        F.array(
+            _arr(1, "Pg", eid % 360, eid % 180, eid % 10 - 5),
+            _arr(2, "Sg", eid * 7 % 360, eid % 90, eid % 7 - 3),
+        ),
+    ).drop("event_id")
+    return event_xml_for_params(ev, {"includearrivals": "true"})
+
+
+@contract(
+    "q_a8_station_params",
+    oracle=f"""
+        WITH {_SESSION_TRACES_SQL},
+        channels AS (
+            SELECT network, station, location, channel,
+                   starttime AS start_date,
+                   CASE WHEN session_id % 5 != 0 THEN endtime END AS end_date,
+                   starttime AS updated,
+                   (file_id % 4 = 0) AS restricted
+            FROM traces),
+        ext AS (
+            SELECT network, station, location, channel,
+                   min(starttime) AS avail_earliest,
+                   max(endtime) AS avail_latest,
+                   CAST(count(*) AS BIGINT) AS avail_n_traces
+            FROM traces
+            GROUP BY network, station, location, channel)
+        SELECT c.network, c.station, c.location, c.channel,
+               c.start_date, c.end_date,
+               e.avail_earliest, e.avail_latest, e.avail_n_traces
+        FROM channels c
+        LEFT JOIN ext e USING (network, station, location, channel)
+        WHERE c.updated > TIMESTAMP '2024-01-15T00:00:00'
+          AND NOT c.restricted
+    """,
+    survey_rows="A8,B10,D6,B12",
+    doc="fdsnws-station updatedafter + includerestricted=false + "
+    "includeavailability=true in one request [ref: "
+    "src/jane/fdsnws/views/station_1.py — harvesting/visibility/"
+    "availability params, conf=H]: epochs indexed after the cutoff, "
+    "restricted epochs dropped regardless of ACL, and the "
+    "continuous-trace extent (earliest/latest/count — the D6 "
+    "machinery) left-joined per channel. One keyed aggregation + one "
+    "broadcast-sized left join; every filter reaches the scan",
+)
+def q_a8_station_params(spark, sf_dir):
+    from jane_spark.operators.sessionize import session_summary
+    from jane_spark.services.fdsnws import station_query
+
+    ev = Catalog(spark, sf_dir).clustered("events", "user_id")
+    segs = session_summary(ev, "user_id", "ts", "event_id", 30 * 60 * 1_000_000)
+    seed = [
+        F.lit("BW").alias("network"),
+        F.concat(F.lit("S"), F.col("user_id").cast("string")).alias("station"),
+        F.lit("").alias("location"),
+        F.lit("EHZ").alias("channel"),
+    ]
+    channels = segs.select(
+        *seed,
+        F.col("session_start").alias("start_date"),
+        F.when(F.col("session_id") % 5 != 0, F.col("session_end")).alias(
+            "end_date"
+        ),
+        F.col("session_start").alias("updated"),
+        (F.col("user_id") % 4 == 0).alias("restricted"),
+    )
+    traces = segs.select(
+        *seed,
+        F.col("session_start").alias("starttime"),
+        F.col("session_end").alias("endtime"),
+    )
+    params = {
+        "updatedafter": "2024-01-15T00:00:00",
+        "includerestricted": "false",
+        "includeavailability": "true",
+    }
+    return station_query(channels, params, traces=traces).select(
+        "network", "station", "location", "channel",
+        "start_date", "end_date",
+        "avail_earliest", "avail_latest", "avail_n_traces",
+    )
+
+
 @contract(
     "q_a1_waveform_source",
     oracle=None,  # custom data source — rows-only check

@@ -32,6 +32,8 @@ STATION_PARAMS = frozenset(
         "starttime", "endtime",
         "startbefore", "startafter", "endbefore", "endafter",
         "matchtimeseries", "level", "format",
+        "updatedafter", "includerestricted", "includeavailability",
+        "nodata",
     )
 )
 EVENT_PARAMS = frozenset(
@@ -40,11 +42,14 @@ EVENT_PARAMS = frozenset(
         "mindepth", "maxdepth", "eventtype", "includerestricted",
         "magnitudetype", "updatedafter", "catalog", "contributor",
         "orderby", "limit", "offset", "format",
+        "eventid", "includeallorigins", "includeallmagnitudes",
+        "includearrivals", "nodata",
     )
 )
 DATASELECT_PARAMS = frozenset(
     SEED_FIELDS + (
         "starttime", "endtime", "quality", "minimumlength", "longestonly",
+        "nodata",
     )
 )
 
@@ -58,6 +63,33 @@ def _validate(params: dict[str, str], allowed: frozenset, service: str) -> None:
             f"unknown {service} parameter(s): {', '.join(unknown)}; "
             f"supported: {', '.join(sorted(allowed))}"
         )
+
+
+def _bool_param(params: dict[str, str], key: str, default: bool) -> bool:
+    """FDSN boolean query parameter: exactly 'true' or 'false'
+    (case-insensitive) — anything else is a client error, never
+    silently coerced."""
+    raw = params.get(key)
+    if raw is None:
+        return default
+    v = raw.lower()
+    if v not in ("true", "false"):
+        raise ValueError(
+            f"{key} must be 'true' or 'false', got {raw!r}"
+        )
+    return v == "true"
+
+
+def nodata_status(n_rows: int, params: dict[str, str]) -> int:
+    """FDSN ``nodata`` response semantics shared by all three services:
+    an empty result maps to HTTP 204 (spec default) or 404 when the
+    client asked ``nodata=404``; any other value is a client error.
+    Non-empty results are 200 regardless [ref: FDSN web-service spec
+    §common query parameters; src/jane/fdsnws/views/*, conf=H]."""
+    raw = params.get("nodata", "204")
+    if raw not in ("204", "404"):
+        raise ValueError(f"nodata must be 204 or 404, got {raw!r}")
+    return 200 if n_rows > 0 else int(raw)
 
 
 def _seed_predicate(params: dict[str, str]) -> Column:
@@ -153,9 +185,33 @@ def station_query(
     endbefore/endafter filter the epoch edges. ``matchtimeseries=true``
     keeps only channels with waveform coverage (left semi join, C5).
     ``acl`` gates restricted channels per user (see _apply_acl).
+
+    ``updatedafter`` keeps epochs whose index document changed after
+    the given instant (the harvesting/mirroring parameter — requires
+    the index's ``updated`` ingest timestamp); ``includerestricted``
+    defaults TRUE per the FDSN station spec and when ``false`` drops
+    restricted epochs regardless of ACL grants; ``includeavailability``
+    left-joins the continuous-trace extent per channel
+    (``avail_earliest``/``avail_latest``/``avail_n_traces`` — the D6
+    machinery at the station door) [ref:
+    src/jane/fdsnws/views/station_1.py — updatedafter/include* params,
+    conf=H].
     """
     _validate(params, STATION_PARAMS, "fdsnws-station")
     p = _seed_predicate(params) & _geo_predicate(params, "latitude", "longitude")
+    if "updatedafter" in params:
+        if "updated" not in channels.columns:
+            raise ValueError(
+                "updatedafter requested but the station index carries no "
+                "'updated' ingest timestamp column"
+            )
+        p = p & (
+            F.col("updated")
+            > F.to_timestamp(F.lit(params["updatedafter"])).cast("timestamp_ntz")
+        )
+    if not _bool_param(params, "includerestricted", True):
+        if "restricted" in channels.columns:
+            p = p & ~F.coalesce(F.col("restricted"), F.lit(False))
     if "starttime" in params:
         s = F.to_timestamp(F.lit(params["starttime"])).cast("timestamp_ntz")
         p = p & (F.col("end_date").isNull() | (F.col("end_date") > s))
@@ -177,6 +233,21 @@ def station_query(
         out = out.join(
             traces.select(*SEED_FIELDS).dropDuplicates(), on=list(SEED_FIELDS), how="left_semi"
         )
+    if _bool_param(params, "includeavailability", False):
+        if traces is None:
+            raise ValueError(
+                "includeavailability requested but no continuous-trace "
+                "index was provided to station_query"
+            )
+        # channel-granularity extent (station/network rollups aggregate
+        # it away — DataAvailability is a channel-epoch property here);
+        # one small keyed aggregation + broadcast-sized left join
+        ext = traces.groupBy(*SEED_FIELDS).agg(
+            F.min("starttime").alias("avail_earliest"),
+            F.max("endtime").alias("avail_latest"),
+            F.count(F.lit(1)).alias("avail_n_traces"),
+        )
+        out = out.join(ext, on=list(SEED_FIELDS), how="left")
     level = params.get("level", "channel")
     if level in ("station", "network"):
         return station_level(out, level)
@@ -393,6 +464,21 @@ def station_xml(channels: DataFrame) -> DataFrame:
         )
     else:
         restricted_attr = F.lit("")
+    if "avail_earliest" in channels.columns:
+        # includeavailability: StationXML 1.1 <DataAvailability><Extent>
+        # from the joined continuous-trace extent; channels with no
+        # waveform coverage emit no element at all
+        avail_el = F.when(
+            F.col("avail_earliest").isNotNull(),
+            F.concat(
+                F.lit("<DataAvailability><Extent"),
+                xml_attr("start", _iso(F.col("avail_earliest"))),
+                xml_attr("end", _iso(F.col("avail_latest"))),
+                F.lit("/></DataAvailability>"),
+            ),
+        ).otherwise(F.lit(""))
+    else:
+        avail_el = F.lit("")
     channel_el = F.concat(
         F.lit("<Channel"),
         xml_attr("code", F.col("channel")),
@@ -406,6 +492,7 @@ def station_xml(channels: DataFrame) -> DataFrame:
         xml_element("Elevation", num("elevation_in_m")),
         xml_element("Depth", num("depth_in_m")),
         xml_element("SampleRate", num("sample_rate")),
+        avail_el,
         xml_element(
             "Sensor", xml_element("Description", F.col("sensor_type"))
         ),
@@ -508,9 +595,23 @@ _EVENT_RANGE = {
 def event_query(events: DataFrame, params: dict[str, str]) -> DataFrame:
     """fdsnws-event over the quakeml index: time/magnitude/depth/geo
     filters, visibility, orderby time|time-asc|magnitude|magnitude-asc
-    (id tie-break), limit+offset paging."""
+    (id tie-break), limit+offset paging.
+
+    ``eventid`` selects one event by its QuakeML resource id — the
+    canonical "give me that earthquake" request [ref:
+    src/jane/fdsnws/views/event_1.py — event_id resolution, conf=H].
+    It composes with the other filters as a plain equality predicate
+    (a restricted event stays invisible without includerestricted).
+    ``includeallorigins``/``includeallmagnitudes``/``includearrivals``
+    are serialization-side flags (see event_xml_for_params) — they are
+    validated here so a typo'd value fails at the query door, but do
+    not change which rows match."""
     _validate(params, EVENT_PARAMS, "fdsnws-event")
+    for flag in ("includeallorigins", "includeallmagnitudes", "includearrivals"):
+        _bool_param(params, flag, False)
     p = _geo_predicate(params, "latitude", "longitude")
+    if "eventid" in params:
+        p = p & (F.col("quakeml_id") == params["eventid"])
     if "starttime" in params:
         p = p & (
             F.col("origin_time")
@@ -578,7 +679,30 @@ def event_text(events: DataFrame) -> DataFrame:
     )
 
 
-def event_xml(events: DataFrame) -> DataFrame:
+def event_xml_for_params(events: DataFrame, params: dict[str, str]) -> DataFrame:
+    """fdsnws-event XML with the FDSN include* request flags applied:
+    ``includeallorigins``/``includeallmagnitudes`` default FALSE (the
+    spec default — only the preferred solution is serialized unless
+    asked), ``includearrivals`` defaults FALSE [ref:
+    src/jane/fdsnws/views/event_1.py — include* flags, conf=H]. The
+    bare event_xml keeps its include-everything defaults for callers
+    serializing full-catalog documents."""
+    return event_xml(
+        events,
+        include_all_origins=_bool_param(params, "includeallorigins", False),
+        include_all_magnitudes=_bool_param(
+            params, "includeallmagnitudes", False
+        ),
+        include_arrivals=_bool_param(params, "includearrivals", False),
+    )
+
+
+def event_xml(
+    events: DataFrame,
+    include_all_origins: bool = True,
+    include_all_magnitudes: bool = True,
+    include_arrivals: bool = False,
+) -> DataFrame:
     """QuakeML-shaped `<event>` blocks, one row per event — publicID
     attribute, nested origin (time/latitude/longitude/depth) and
     magnitude (mag/type) with creationInfo, matching QuakeML 1.2's
@@ -598,8 +722,24 @@ def event_xml(events: DataFrame) -> DataFrame:
     container, with the preferred*ID references still naming the
     primary. Serialized with ``transform`` + ``array_join``
     higher-order expressions, so the multi-origin path stays
-    row-local too.
+    row-local too. ``include_all_origins``/``include_all_magnitudes``
+    gate those extra children (the fdsnws-event include* flags —
+    event_xml_for_params maps request params to them with the spec's
+    FALSE defaults).
+
+    ``include_arrivals`` serializes an ``arrivals`` ARRAY column
+    (pick_id/phase/azimuth/distance/time_residual structs) as
+    ``<arrival>`` children of the preferred origin — QuakeML nests
+    arrivals inside origin [ref: QuakeML 1.2 §Origin]. Requesting
+    arrivals from an index without pick data refuses loudly rather
+    than emitting an empty pretence of coverage.
     """
+    if include_arrivals and "arrivals" not in events.columns:
+        raise ValueError(
+            "includearrivals requested but the event index carries no "
+            "'arrivals' column (pick/arrival data was not extracted at "
+            "ingest) — re-index with arrival extraction enabled"
+        )
     from jane_spark.functions.xml import xml_attr, xml_element, xml_escape
 
     num = lambda c: F.col(c).cast("string")  # noqa: E731
@@ -703,8 +843,43 @@ def event_xml(events: DataFrame) -> DataFrame:
             xml_attr("publicID", pid),
         )
 
-    extra_origins = _join_extra("extra_origins", _extra_origin)
-    extra_mags = _join_extra("extra_magnitudes", _extra_mag)
+    extra_origins = (
+        _join_extra("extra_origins", _extra_origin)
+        if include_all_origins
+        else F.lit("")
+    )
+    extra_mags = (
+        _join_extra("extra_magnitudes", _extra_mag)
+        if include_all_magnitudes
+        else F.lit("")
+    )
+    if include_arrivals:
+        def _arrival(a, n):
+            pid = F.concat(F.col("quakeml_id"), F.lit("#arr"), n.cast("string"))
+            val = lambda tag, c: xml_element(tag, c.cast("string"))  # noqa: E731
+            return xml_element(
+                "arrival",
+                F.concat(
+                    xml_element("pickID", xml_escape(a["pick_id"])),
+                    xml_element("phase", xml_escape(a["phase"])),
+                    val("azimuth", a["azimuth"]),
+                    val("distance", a["distance"]),
+                    val("timeResidual", a["time_residual"]),
+                ),
+                xml_attr("publicID", pid),
+            )
+
+        arrivals_xml = F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.col("arrivals"), lambda a, i: _arrival(a, i + F.lit(1))
+                ),
+                "",
+            ),
+            F.lit(""),
+        )
+    else:
+        arrivals_xml = F.lit("")
     block = F.concat(
         F.lit("<event"),
         xml_attr("publicID", F.col("quakeml_id")),
@@ -725,6 +900,7 @@ def event_xml(events: DataFrame) -> DataFrame:
                 xml_element("longitude", xml_element("value", num("longitude"))),
                 xml_element("depth", xml_element("value", num("depth_in_m"))),
                 xml_element("evaluationMode", F.col("evaluation_mode")),
+                arrivals_xml,
             ),
             xml_attr("publicID", origin_id),
         ),

@@ -8,6 +8,8 @@ import datetime as dt
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from jane_spark.services.fdsnws import (
     availability_extent,
     dataselect_query,
@@ -1144,3 +1146,180 @@ def test_event_xml_multi_origin_golden(spark):
     plain = {r["quakeml_id"]: r["xml"] for r in no_extra.collect()}
     assert out["quakeml:eu/single1"] == plain["quakeml:eu/single1"]
     assert "#origin2" not in out["quakeml:eu/single1"]
+
+
+# ------------------------------------------------- r8: event/station params
+
+
+def test_nodata_status_semantics():
+    """FDSN nodata: empty -> 204 (default) or 404 on request; non-empty
+    -> 200; any other value is a client error."""
+    import pytest as _pytest
+
+    from jane_spark.services.fdsnws import nodata_status
+
+    assert nodata_status(5, {}) == 200
+    assert nodata_status(0, {}) == 204
+    assert nodata_status(0, {"nodata": "404"}) == 404
+    assert nodata_status(3, {"nodata": "404"}) == 200
+    for bad in ("500", "200", "true", ""):
+        with _pytest.raises(ValueError, match="nodata"):
+            nodata_status(0, {"nodata": bad})
+
+
+def test_event_param_validation(spark):
+    """eventid/include* are accepted; junk booleans and unknown params
+    fail at the query door."""
+    import pytest as _pytest
+
+    from jane_spark.services.fdsnws import EVENT_PARAMS, event_query
+
+    for p in ("eventid", "includeallorigins", "includeallmagnitudes",
+              "includearrivals", "nodata"):
+        assert p in EVENT_PARAMS
+    ev = spark.createDataFrame(
+        [("evt:1", True), ("evt:2", False)],
+        "quakeml_id string, public boolean",
+    ).withColumn("origin_time", F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"))
+    got = [r["quakeml_id"] for r in event_query(ev, {"eventid": "evt:1"}).collect()]
+    assert got == ["evt:1"]
+    # eventid composes with visibility: restricted evt:2 stays hidden
+    assert event_query(ev, {"eventid": "evt:2"}).count() == 0
+    assert event_query(
+        ev, {"eventid": "evt:2", "includerestricted": "true"}
+    ).count() == 1
+    with _pytest.raises(ValueError, match="includeallorigins"):
+        event_query(ev, {"includeallorigins": "yes"})
+    with _pytest.raises(KeyError, match="unknown fdsnws-event"):
+        event_query(ev, {"evntid": "evt:1"})
+
+
+def test_event_include_flags_contrast(spark):
+    """The same multi-solution frame serializes extra children ONLY
+    when the include* flags ask for them (FDSN FALSE defaults)."""
+    import datetime as dt
+
+    from jane_spark.services.fdsnws import event_xml_for_params
+
+    t0 = dt.datetime(2023, 1, 2, 3, 4, 5, 250000)
+    schema = (
+        "quakeml_id string, origin_time timestamp_ntz, latitude double, "
+        "longitude double, depth_in_m double, evaluation_mode string, "
+        "magnitude double, magnitude_type string, agency string, "
+        "author string, event_type string, "
+        "extra_origins array<struct<origin_time:timestamp_ntz,"
+        "latitude:double,longitude:double,depth_in_m:double,"
+        "evaluation_mode:string>>, "
+        "extra_magnitudes array<struct<magnitude:double,"
+        "magnitude_type:string,agency:string,author:string>>"
+    )
+    rows = [(
+        "quakeml:eu/m1", t0, 47.5, 12.25, 8000.0, "manual",
+        5.5, "Mw", "GFZ", "alice", "earthquake",
+        [(t0, 47.6, 12.3, 9500.0, "automatic")],
+        [(5.4, "mb", "EMSC", "bob")],
+    )]
+    ev = spark.createDataFrame(rows, schema)
+    dflt = event_xml_for_params(ev, {}).collect()[0]["xml"]
+    assert "#origin2" not in dflt and "#mag2" not in dflt
+    both = event_xml_for_params(
+        ev, {"includeallorigins": "true", "includeallmagnitudes": "true"}
+    ).collect()[0]["xml"]
+    assert "#origin2" in both and "#mag2" in both
+    only_o = event_xml_for_params(
+        ev, {"includeallorigins": "true"}
+    ).collect()[0]["xml"]
+    assert "#origin2" in only_o and "#mag2" not in only_o
+
+
+def test_event_arrivals_refuses_without_pick_data(spark):
+    """includearrivals on an index without an arrivals column must
+    refuse loudly, not emit an empty pretence of coverage."""
+    import pytest as _pytest
+
+    from jane_spark.services.fdsnws import event_xml
+
+    ev = spark.createDataFrame(
+        [("evt:1",)], "quakeml_id string"
+    ).withColumns({
+        "origin_time": F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"),
+        "latitude": F.lit(1.0), "longitude": F.lit(2.0),
+        "depth_in_m": F.lit(3.0), "evaluation_mode": F.lit("manual"),
+        "magnitude": F.lit(4.0), "magnitude_type": F.lit("Mw"),
+        "agency": F.lit("A"), "author": F.lit("b"),
+        "event_type": F.lit("earthquake"),
+    })
+    with _pytest.raises(ValueError, match="arrivals"):
+        event_xml(ev, include_arrivals=True)
+
+
+def test_station_params_refusals_and_wadl(spark):
+    """updatedafter without an 'updated' column and includeavailability
+    without a trace index refuse loudly; the WADL advertises every new
+    parameter (generated from the same frozenset _validate enforces)."""
+    import pytest as _pytest
+
+    from jane_spark.services.fdsnws import (
+        STATION_PARAMS,
+        service_wadl,
+        station_query,
+    )
+
+    for p in ("updatedafter", "includerestricted", "includeavailability",
+              "nodata"):
+        assert p in STATION_PARAMS
+        assert f'name="{p}"' in service_wadl("station")
+    for p in ("eventid", "includeallorigins", "includeallmagnitudes",
+              "includearrivals"):
+        assert f'name="{p}"' in service_wadl("event")
+    channels = spark.createDataFrame(
+        [("BW", "S1", "", "EHZ")],
+        "network string, station string, location string, channel string",
+    ).withColumns({
+        "start_date": F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"),
+        "end_date": F.lit(None).cast("timestamp_ntz"),
+    })
+    with _pytest.raises(ValueError, match="updated"):
+        station_query(channels, {"updatedafter": "2024-01-01T00:00:00"})
+    with _pytest.raises(ValueError, match="includeavailability"):
+        station_query(channels, {"includeavailability": "true"})
+    with _pytest.raises(ValueError, match="includerestricted"):
+        station_query(channels, {"includerestricted": "maybe"})
+
+
+def test_station_xml_data_availability_extent(spark):
+    """includeavailability end-to-end: avail columns joined by
+    station_query render as <DataAvailability><Extent start end/>;
+    channels without coverage emit no element."""
+    import datetime as dt
+
+    from jane_spark.services.fdsnws import station_query, station_xml
+
+    mk = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    base = (1.0, 2.0, 3.0, 0.0, 100.0, "STS-2", 1.0, 1.0, "M/S")
+    ch_schema = (
+        "network string, station string, location string, channel string, "
+        "start_date timestamp_ntz, end_date timestamp_ntz, "
+        "latitude double, longitude double, elevation_in_m double, "
+        "depth_in_m double, sample_rate double, sensor_type string, "
+        "total_sensitivity double, sensitivity_frequency double, "
+        "units_after_sensitivity string"
+    )
+    channels = spark.createDataFrame(
+        [
+            ("BW", "S1", "", "EHZ", mk("2024-01-01T00:00:00"), None, *base),
+            ("BW", "S2", "", "EHZ", mk("2024-01-01T00:00:00"), None, *base),
+        ],
+        ch_schema,
+    )
+    traces = spark.createDataFrame(
+        [("BW", "S1", "", "EHZ", mk("2024-01-03T00:00:00"),
+          mk("2024-01-05T12:00:00"))],
+        "network string, station string, location string, channel string, "
+        "starttime timestamp_ntz, endtime timestamp_ntz",
+    )
+    out = station_query(channels, {"includeavailability": "true"}, traces=traces)
+    xml = station_xml(out).collect()[0]["xml"]
+    assert ('<DataAvailability><Extent start="2024-01-03T00:00:00" '
+            'end="2024-01-05T12:00:00"/></DataAvailability>') in xml
+    assert xml.count("<DataAvailability>") == 1  # S2 has no coverage
