@@ -44,6 +44,62 @@ def q_a2(spark, sf_dir):
 
 
 @contract(
+    "q_a3_validation_gate",
+    oracle="""
+        SELECT CASE event_id % 5
+                 WHEN 0 THEN 'malformed-xml'
+                 WHEN 1 THEN 'wrong-root-element'
+                 WHEN 2 THEN 'missing-eventParameters'
+                 WHEN 3 THEN 'event-missing-publicID'
+                 ELSE 'accepted' END AS outcome,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY 1
+    """,
+    survey_rows="A2,A3,J1",
+    doc="upload-validation gate (sources/validation.py — jane's "
+    "ValidatorPluginPoint analogue [ref: src/jane/documents/plugins.py, "
+    "conf=H]): a corpus of synthetic QuakeML payloads whose validity "
+    "class is fixed BY CONSTRUCTION (event_id mod 5: truncated / wrong "
+    "root / no eventParameters / event without publicID / valid) runs "
+    "through the real ElementTree validator stage; the oracle derives "
+    "each document's expected outcome from the generative rule, so the "
+    "classifier's decisions are hash-checked without DuckDB parsing "
+    "XML. One Arrow-batched row-local pass + one small groupBy",
+)
+def q_a3_validation_gate(spark, sf_dir):
+    from jane_spark.sources.validation import validate_documents
+
+    ev = Catalog(spark, sf_dir).events
+    m = F.col("event_id") % 5
+    ns = '<q:quakeml xmlns:q="http://quakeml.org/xmlns/quakeml/1.2">'
+    valid_doc = F.concat(
+        F.lit(ns + '<eventParameters publicID="p"><event publicID="evt:'),
+        F.col("event_id").cast("string"),
+        F.lit('"><type>earthquake</type></event></eventParameters>'
+              "</q:quakeml>"),
+    )
+    payload = (
+        F.when(m == 0, F.substring(valid_doc, 1, 40))
+        .when(m == 1, F.lit("<foo><eventParameters/></foo>"))
+        .when(m == 2, F.lit(ns + "</q:quakeml>"))
+        .when(
+            m == 3,
+            F.lit(ns + '<eventParameters publicID="p"><event>'
+                  "<type>earthquake</type></event></eventParameters>"
+                  "</q:quakeml>"),
+        )
+        .otherwise(valid_doc)
+    )
+    checked = validate_documents(
+        ev.select("event_id", payload.alias("data")), "quakeml", "data"
+    )
+    return checked.groupBy(
+        F.coalesce("reject_reason", F.lit("accepted")).alias("outcome")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@contract(
     "q_a4_sha_dedup",
     oracle="""
         SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,

@@ -467,3 +467,80 @@ def test_warc_property_round_trip():
             assert spans[-1][0] + spans[-1][1] == len(data)
 
     run()
+
+
+# ------------------------------------------------------ r8 validation gate
+
+
+_VALID_QML = (
+    b'<q:quakeml xmlns:q="http://quakeml.org/xmlns/quakeml/1.2">'
+    b'<eventParameters publicID="p">'
+    b'<event publicID="evt:1"><type>earthquake</type></event>'
+    b"</eventParameters></q:quakeml>"
+)
+_VALID_SXML = (
+    b'<FDSNStationXML xmlns="http://www.fdsn.org/xml/station/1" '
+    b'schemaVersion="1.1"><Network code="BW"/></FDSNStationXML>'
+)
+
+
+def test_validation_gate_rejects_never_index(spark, store):
+    """jane's ValidatorPluginPoint behavior: a malformed/ill-typed
+    document is rejected with a reason and NEVER becomes a stored
+    document; the quarantine lane is a DataFrame, not a log line."""
+    from jane_spark.sources.validation import write_documents_validated
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "quakeml", "ok.xml", "text/xml", _VALID_QML,
+             _t("2023-01-01T00:00:00"), 1),
+            ("d2", "quakeml", "trunc.xml", "text/xml", _VALID_QML[:30],
+             _t("2023-01-01T00:00:00"), 1),
+            ("d3", "quakeml", "station.xml", "text/xml", _VALID_SXML,
+             _t("2023-01-01T00:00:00"), 1),  # wrong type for the lane
+            ("d4", "quakeml", "noid.xml", "text/xml",
+             b'<q:quakeml xmlns:q="http://quakeml.org/xmlns/quakeml/1.2">'
+             b'<eventParameters publicID="p"><event/>'
+             b"</eventParameters></q:quakeml>",
+             _t("2023-01-01T00:00:00"), 1),
+            ("d5", "quakeml", "latin1.xml", "text/xml",
+             "<a>\xe9</a>".encode("latin-1"), _t("2023-01-01T00:00:00"), 1),
+        ],
+        DOC_COLS,
+    )
+    quarantine = write_documents_validated(store, docs, "quakeml")
+    reasons = {r["doc_id"]: r["reject_reason"] for r in quarantine.collect()}
+    assert reasons == {
+        "d2": "malformed-xml",
+        "d3": "wrong-root-element",
+        "d4": "event-missing-publicID",
+        "d5": "not-utf8",
+    }
+    stored = [r["doc_id"] for r in store.documents("quakeml").collect()]
+    assert stored == ["d1"]  # the reject lane never reached the store
+
+
+def test_validation_gate_stationxml_and_unknown_type(spark):
+    import pytest as _pytest
+
+    from jane_spark.sources.validation import validate_documents
+
+    rows = [
+        ("s1", _VALID_SXML),
+        ("s2", b'<FDSNStationXML xmlns="x"></FDSNStationXML>'),
+        ("s3", b'<FDSNStationXML xmlns="x"><Network/></FDSNStationXML>'),
+        ("s4", b""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, data binary")
+    got = {
+        r["doc_id"]: r["reject_reason"]
+        for r in validate_documents(df, "stationxml").collect()
+    }
+    assert got == {
+        "s1": None,
+        "s2": "missing-Network",
+        "s3": "network-missing-code",
+        "s4": "empty-document",
+    }
+    with _pytest.raises(ValueError, match="no validator"):
+        validate_documents(df, "seiscomp")

@@ -407,6 +407,9 @@ _PANDAS_ALLOWED = {
     "q_p14_warc_pipeline",
     # portable IVF quantizes via the same Arrow GEMM stage as q_k3_ivf
     "q_k3_ivf_portable",
+    # XML validation has no JVM expression — the ElementTree pandas
+    # UDF IS the operator under test (r8 ingest gate)
+    "q_a3_validation_gate",
 }
 # "Python" catches every Arrow*/Batch* Python node (EvalPython,
 # ArrowAggregatePython, PythonUDF…); "InPandas" the map/grouped forms
