@@ -1024,14 +1024,10 @@ def _synth_urls(spark, sf_dir):
     "Spark side must PARSE its way to the same bytes",
 )
 def q_t22(spark, sf_dir):
-    from jane_spark.functions.urls import url_domain, url_normalize
+    from jane_spark.functions.urls import with_normalized_url
 
     u = _synth_urls(spark, sf_dir)
-    return u.select(
-        "doc_id",
-        url_normalize(F.col("url")).alias("norm"),
-        url_domain(F.col("url")).alias("domain"),
-    )
+    return with_normalized_url(u, "url").select("doc_id", "norm", "domain")
 
 
 # blocklist + best-3-per-domain fragment, shared with the q_p11
