@@ -105,6 +105,14 @@ BENCH_QUERIES = {
     # baseline compare — a construct-only baseline would be
     # apples-to-oranges (the urlnorm precedent, docs/SCALE.md §9)
     "content_extract": "q_t29_extract",
+    # round 8: fdsnws request-parameter surface (multi-solution QuakeML
+    # serialization; station harvesting/visibility/availability params)
+    # + the XML upload-validation gate (ElementTree pandas UDF — its
+    # oracle derives outcomes from the generative rule and parses no
+    # XML, so it's timed without a baseline compare)
+    "event_includeall": "q_a8_event_includeall",
+    "station_params": "q_a8_station_params",
+    "validation_gate": "q_a3_validation_gate",
 }
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
@@ -166,6 +174,11 @@ CALIBRATION = {
     "trigram_backoff": 0.3073,
     "gopher_rules": 0.4287,
     "kneser_ney": 0.3389,
+    # round-8 rows: DuckDB 1.x medians measured on this box at sf0.1
+    # (same session methodology as BASELINE.md); the oracles do the
+    # same serialization/join work as the Spark side
+    "event_includeall": 0.3528,
+    "station_params": 0.0854,
 }
 
 

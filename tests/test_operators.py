@@ -283,6 +283,61 @@ def test_paged_is_stable(spark):
     assert p1 == p2 == list(range(20, 30))
 
 
+def test_ann_recall_ladder_at_2x_scale(spark, sf_dir):
+    """VERDICT r7 #9: the portable oracle twins prove the RNG paths'
+    machinery; this pins the KNOBS at 2× the corpus the single-point
+    recall tests use (300 vectors). Recall must climb strictly along
+    each ladder and clear per-rung floors (measured values 0.29/0.48/
+    0.69/0.91 for LSH tables 2→16 and 0.32/0.52/0.78/1.0 for IVF
+    probes 1→8; seeded RNG makes them reproducible), and probing every
+    IVF list must degrade to exact search — recall exactly 1.0."""
+    from jane_spark.engine.catalog import Catalog
+    from jane_spark.operators.vector import (
+        block_topk,
+        ivf_topk,
+        lsh_bucketed_topk,
+    )
+
+    emb = Catalog(spark, sf_dir).embeddings.limit(300)
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in block_topk(emb, "vec_id", "embedding", 3).collect()
+    }
+
+    def recall(approx):
+        return len(exact & approx) / len(exact)
+
+    lsh_ladder = []
+    for n_tables, floor in [(2, 0.15), (4, 0.33), (8, 0.55), (16, 0.80)]:
+        r = recall({
+            (r["a_id"], r["b_id"])
+            for r in lsh_bucketed_topk(
+                emb, "vec_id", "embedding", 3,
+                n_planes=4, n_tables=n_tables, dim=64,
+            ).collect()
+        })
+        assert r >= floor, f"LSH n_tables={n_tables}: recall {r:.2f}"
+        lsh_ladder.append(r)
+    assert lsh_ladder == sorted(lsh_ladder) and len(set(lsh_ladder)) == 4, (
+        f"LSH recall not strictly climbing with tables: {lsh_ladder}"
+    )
+
+    ivf_ladder = []
+    for n_probe, floor in [(1, 0.20), (2, 0.40), (4, 0.60), (8, 1.0)]:
+        r = recall({
+            (r["a_id"], r["b_id"])
+            for r in ivf_topk(
+                emb, "vec_id", "embedding", 3, n_lists=8, n_probe=n_probe
+            ).collect()
+        })
+        assert r >= floor, f"IVF n_probe={n_probe}: recall {r:.2f}"
+        ivf_ladder.append(r)
+    assert ivf_ladder == sorted(ivf_ladder) and len(set(ivf_ladder)) == 4, (
+        f"IVF recall not strictly climbing with probes: {ivf_ladder}"
+    )
+    assert ivf_ladder[-1] == 1.0  # n_probe == n_lists ≡ exact search
+
+
 def test_ivf_recall_reasonable(spark, sf_dir):
     """IVF probing n_probe of n_lists must recover most of the exact
     top-3; n_probe = n_lists degrades to exact search (recall 1.0)."""
