@@ -113,6 +113,9 @@ BENCH_QUERIES = {
     "event_includeall": "q_a8_event_includeall",
     "station_params": "q_a8_station_params",
     "validation_gate": "q_a3_validation_gate",
+    # Unigram-LM tokenizer: the oracle runs the SAME Viterbi DP as a
+    # recursive CTE — a genuine perf twin
+    "unigram": "q_k26_unigram",
 }
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
@@ -179,6 +182,7 @@ CALIBRATION = {
     # same serialization/join work as the Spark side
     "event_includeall": 0.3528,
     "station_params": 0.0854,
+    "unigram": 0.2783,
 }
 
 

@@ -1385,6 +1385,125 @@ def q_k25(spark, sf_dir):
     )
 
 
+#: Fixed Unigram-LM vocabulary for q_k26: every letter (so the DP is
+#: total over the corpus alphabet) + multi-char pieces whose INTEGER
+#: scores (centi-nat log-probs) force non-greedy Viterbi choices —
+#: e.g. 'batch' → ba+tch (-150) beats the greedy longest-first bat+ch
+#: (-165), while 'order' keeps the whole-word piece (-160 vs -165).
+UNIGRAM_VOCAB: dict[str, int] = {
+    **{c: -60 for c in "abcdefghijklmnopqrstuvwxyz"},
+    "me": -80, "mer": -100, "merge": -150,
+    "ta": -80, "ble": -90, "table": -140,
+    "an": -70, "sc": -85, "scan": -130,
+    "spark": -160, "park": -120,
+    "er": -65, "ge": -70, "or": -70, "der": -95, "order": -160,
+    "ba": -70, "tch": -80, "bat": -90, "ch": -75,
+    "win": -90, "dow": -95, "row": -110,
+    "que": -100, "ry": -75, "data": -120, "val": -95, "ue": -70,
+    "fil": -90, "ter": -85, "cus": -95, "tom": -90,
+    "lin": -85, "ne": -65, "so": -70, "rt": -70,
+    "key": -110, "hash": -140, "join": -145, "agg": -115,
+    "the": -95, "fast": -140, "slow": -135, "small": -155, "big": -105,
+    "str": -90, "eam": -95, "dup": -110, "gro": -95, "up": -70,
+    "vec": -95, "tor": -90, "col": -90, "umn": -95, "part": -125,
+}
+
+
+def _unigram_oracle(vocab: dict[str, int], unk: int = -1000) -> str:
+    """Recursive-CTE Viterbi twin of operators.bpe.unigram_encode: the
+    DP state is (scores, cnts) lists grown one position per recursion
+    step; each step's argmax over piece lengths packs (score, tie) into
+    ONE integer key — key = (prev + piece_score) * 64 + (L - l) — so
+    list_aggregate 'max' reproduces Spark's (score desc, len asc)
+    tie-break exactly in integer arithmetic (no float anywhere)."""
+    max_l = max(len(p) for p in vocab)
+    case = (
+        "CASE substr(word, pos + 2 - l, CAST(l AS INTEGER)) "
+        + " ".join(
+            f"WHEN '{p}' THEN {s}" for p, s in sorted(vocab.items())
+        )
+        + " END"
+    )
+    sc = f"CASE WHEN l = 1 THEN coalesce({case}, {unk}) ELSE {case} END"
+    cand = (
+        f"CASE WHEN pos + 1 >= l AND ({sc}) IS NOT NULL THEN "
+        f"(scores[CAST(pos + 2 - l AS INTEGER)] + ({sc})) * 64 "
+        f"+ ({max_l} - l) END"
+    )
+    return f"""
+        WITH RECURSIVE
+        wc AS MATERIALIZED (SELECT DISTINCT word FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            WHERE word <> ''),
+        r(word, pos, scores, cnts) AS (
+            SELECT word, 0, [CAST(0 AS BIGINT)], [0] FROM wc
+            UNION ALL
+            SELECT word, pos + 1,
+                   list_append(scores, (best - pm) // 64),
+                   list_append(
+                       cnts,
+                       cnts[CAST(pos + 2 - ({max_l} - pm) AS INTEGER)] + 1)
+            FROM (
+                SELECT word, pos, scores, cnts, best,
+                       (best % 64 + 64) % 64 AS pm
+                FROM (
+                    SELECT word, pos, scores, cnts,
+                           list_aggregate(
+                               list_filter(
+                                   list_transform(range(1, {max_l + 1}),
+                                                  l -> {cand}),
+                                   x -> x IS NOT NULL),
+                               'max') AS best
+                    FROM r WHERE pos < length(word)))),
+        fin AS (SELECT word,
+                       scores[length(word) + 1] AS wscore,
+                       cnts[length(word) + 1] AS wtok
+                FROM r WHERE pos = length(word)),
+        ew AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM documents)
+        SELECT ew.doc_id,
+               CAST(sum(fin.wtok) AS BIGINT) AS n_tokens,
+               CAST(sum(fin.wscore) AS BIGINT) AS total_score
+        FROM ew JOIN fin USING (word)
+        WHERE ew.word <> ''
+        GROUP BY ew.doc_id
+    """
+
+
+@contract(
+    "q_k26_unigram",
+    oracle=_unigram_oracle(UNIGRAM_VOCAB),
+    survey_rows="K26,K22,K4",
+    doc="Unigram-LM tokenization (Kudo 2018 — the SentencePiece "
+    "default, completing the subword family beside BPE and WordPiece): "
+    "Viterbi-optimal segmentation under integer piece scores "
+    "(operators/bpe.unigram_encode — one zero-shuffle DP fold per "
+    "word, O(max piece length) expression; word-TYPE table equi-joined "
+    "back so repeated words never re-encode). Per-doc token counts + "
+    "total scores; the oracle walks the same DP as a recursive CTE "
+    "with (score, tie) packed into one integer key — two independent "
+    "derivations of the same argmax, no float boundary anywhere",
+)
+def q_k26(spark, sf_dir):
+    from jane_spark.operators.bpe import unigram_encode
+
+    docs = Catalog(spark, sf_dir).documents
+    exploded = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    enc = unigram_encode(
+        exploded.select("word").distinct(), UNIGRAM_VOCAB
+    ).select("word", "n_tokens", "score")
+    return (
+        exploded.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("score").alias("total_score"),
+        )
+    )
+
+
 @contract(
     "q_k22_bpe_train",
     oracle=_bpe_train_oracle(),

@@ -268,3 +268,117 @@ def wordpiece_encode(
     return words.withColumn(
         "tokens", F.when(n > 0, out).otherwise(empty)
     )
+
+
+# ---------------------------------------------------------------- Unigram
+
+
+def unigram_encode(
+    words: DataFrame,
+    vocab: dict[str, int],
+    word_col: str = "word",
+    unk_score: int = -1000,
+) -> DataFrame:
+    """Unigram-LM tokenization (Kudo 2018; the SentencePiece default —
+    the third dominant subword scheme beside BPE and WordPiece): each
+    word segments into the vocabulary pieces whose TOTAL score is
+    maximal (Viterbi over piece log-probs), not greedy longest-match.
+
+    ``vocab`` maps piece → INTEGER score (log-probs scaled to
+    centi-nats): integer DP arithmetic makes every max/tie decision
+    engine-portable — no float boundary can flip a segmentation
+    between Spark and a SQL twin. Characters outside the vocabulary
+    fall back to ``unk_score`` per char (SentencePiece's UNK), so the
+    DP is total. Ties prefer the SHORTER final piece (max over
+    (score, -len) — mirrored exactly by the oracle's integer key
+    packing).
+
+    Row-local: one ``aggregate`` fold builds score/count/backpointer
+    arrays position by position (lambda tries piece lengths 1..L via a
+    literal map lookup — expression size O(L), independent of word
+    length), a second fold walks the backpointers into the token
+    array. Zero shuffles; word-TYPE tables feed it (the BPE/WordPiece
+    precedent: repeated words never re-encode).
+    """
+    if not vocab:
+        raise ValueError("empty vocabulary")
+    max_l = max(len(p) for p in vocab)
+    w = F.col(word_col)
+    n = F.length(w)
+    kv = [
+        x
+        for piece, score in sorted(vocab.items())
+        for x in (F.lit(piece), F.lit(int(score)).cast("long"))
+    ]
+    vmap = F.create_map(*kv)
+
+    def step(acc, i):
+        scores, cnts, bps = acc["scores"], acc["cnts"], acc["bps"]
+        cands = []
+        for l in range(1, max_l + 1):
+            piece = F.substring(w, i - l + 1, l)
+            sc = F.element_at(vmap, piece)
+            if l == 1:
+                sc = F.coalesce(sc, F.lit(int(unk_score)).cast("long"))
+            prev = F.get(scores, i - l)
+            cands.append(
+                F.when(
+                    (i >= F.lit(l)) & sc.isNotNull(),
+                    F.struct(
+                        (prev + sc).alias("s"),
+                        F.lit(-l).alias("negl"),
+                    ),
+                )
+            )
+        best = F.array_max(
+            F.filter(F.array(*cands), lambda c: c.isNotNull())
+        )
+        grown = F.struct(
+            F.concat(scores, F.array(best["s"])).alias("scores"),
+            F.concat(
+                cnts, F.array(F.get(cnts, i + best["negl"]) + F.lit(1))
+            ).alias("cnts"),
+            F.concat(bps, F.array(-best["negl"])).alias("bps"),
+        )
+        return F.when(i > n, acc).otherwise(grown)
+
+    init = F.struct(
+        F.array(F.lit(0).cast("long")).alias("scores"),
+        F.array(F.lit(0)).alias("cnts"),
+        F.array(F.lit(0)).alias("bps"),
+    )
+    dp = F.aggregate(F.sequence(F.lit(1), F.greatest(n, F.lit(1))), init, step)
+    # materialize the DP ONCE: the walk + outputs reference it several
+    # times, and re-inlining the fold would re-run the whole DP per
+    # reference (the with_normalized_url lesson)
+    out = words.withColumn("__dp", dp)
+    bps = F.col("__dp")["bps"]
+
+    def walk(acc, _j):
+        pos = acc["pos"]
+        l = F.get(bps, pos)
+        piece = F.substring(w, pos - l + 1, l)
+        stepped = F.struct(
+            (pos - l).alias("pos"),
+            F.concat(F.array(piece), acc["toks"]).alias("toks"),
+        )
+        return F.when(pos <= 0, acc).otherwise(stepped)
+
+    empty = F.expr("array()").cast("array<string>")
+    walk_init = F.struct(n.alias("pos"), empty.alias("toks"))
+    toks = F.aggregate(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        walk_init,
+        walk,
+        lambda acc: acc["toks"],
+    )
+    return out.select(
+        "*",
+        F.when(n > 0, F.get(F.col("__dp")["cnts"], n)).otherwise(
+            F.lit(0)
+        ).alias("n_tokens"),
+        F.when(n > 0, F.get(F.col("__dp")["scores"], n)).otherwise(
+            F.lit(0).cast("long")
+        ).alias("score"),
+        F.when(n > 0, toks).otherwise(empty).alias("tokens"),
+    ).drop("__dp")

@@ -235,3 +235,83 @@ def test_wordpiece_literal_hash_prefix_word(spark):
     assert toks["##ab"] == ["##ab"]
     # '#a' -> '#' (initial), then continuation '##a' for the 'a'
     assert toks["#a"] == ["#", "##a"]
+
+
+def _py_viterbi(word, vocab, unk=-1000):
+    """Independent Python reference: max (score, -len) DP."""
+    L = max(len(p) for p in vocab)
+    n = len(word)
+    best = [(0, 0)] + [None] * n  # (score, ntok)
+    bp = [0] * (n + 1)
+    for i in range(1, n + 1):
+        cands = []
+        for l in range(1, min(L, i) + 1):
+            piece = word[i - l: i]
+            s = vocab.get(piece)
+            if s is None and l == 1:
+                s = unk
+            if s is None:
+                continue
+            cands.append((best[i - l][0] + s, -l))
+        sc, negl = max(cands)
+        bp[i] = -negl
+        best[i] = (sc, best[i + negl][1] + 1)
+    toks = []
+    pos = n
+    while pos > 0:
+        toks.append(word[pos - bp[pos]: pos])
+        pos -= bp[pos]
+    return best[n][0], best[n][1], list(reversed(toks))
+
+
+def test_unigram_viterbi_hand_cases(spark):
+    """Viterbi beats greedy: 'batch' must segment ba+tch (-150), not
+    the longest-first bat+ch (-165); whole-word pieces win when their
+    score says so; unknown chars take the UNK score; ties prefer the
+    shorter final piece (a+b over the equal-scoring 'ab')."""
+    from jane_spark.operators.bpe import unigram_encode
+
+    vocab = {
+        **{c: -60 for c in "abcdefghijklmnopqrstuvwxyz"},
+        "ba": -70, "tch": -80, "bat": -90, "ch": -75,
+        "merge": -150, "order": -160, "or": -70, "der": -95,
+        "ab": -120,  # exact tie with a+b (-60 + -60)
+    }
+    words = ["batch", "order", "merge", "ab", "z7z", "x"]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: (r["score"], r["n_tokens"], r["tokens"])
+        for r in unigram_encode(df, vocab).collect()
+    }
+    assert got["batch"] == (-150, 2, ["ba", "tch"])
+    assert got["order"] == (-160, 1, ["order"])
+    assert got["merge"] == (-150, 1, ["merge"])
+    # tie: 'ab'(-120) == a+b(-120) -> shorter final piece wins
+    assert got["ab"] == (-120, 2, ["a", "b"])
+    assert got["z7z"] == (-1120, 3, ["z", "7", "z"])
+    assert got["x"] == (-60, 1, ["x"])
+    for w in words:
+        assert got[w] == _py_viterbi(w, vocab), w
+
+
+def test_unigram_matches_python_reference_on_corpus_vocab(spark):
+    """The Spark DP vs the independent Python reference over every
+    distinct corpus word under the contract vocabulary."""
+    from jane_spark.contracts.curation import UNIGRAM_VOCAB
+    from jane_spark.operators.bpe import unigram_encode
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    words = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "").distinct()
+    got = {
+        r["word"]: (r["score"], r["n_tokens"], r["tokens"])
+        for r in unigram_encode(words, UNIGRAM_VOCAB).collect()
+    }
+    assert len(got) >= 25
+    for w, triple in got.items():
+        assert triple == _py_viterbi(w, UNIGRAM_VOCAB), w
+    # the vocabulary exercises non-greedy segmentation on real corpus
+    # words: at least one word's token count differs from WordPiece-
+    # style greedy longest-match under the same pieces
+    assert got["batch"][2] == ["ba", "tch"]
