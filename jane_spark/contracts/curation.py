@@ -1409,11 +1409,11 @@ UNIGRAM_VOCAB: dict[str, int] = {
 }
 
 
-def _unigram_oracle(vocab: dict[str, int], unk: int = -1000) -> str:
-    """Recursive-CTE Viterbi twin of operators.bpe.unigram_encode: the
-    DP state is (scores, cnts) lists grown one position per recursion
-    step; each step's argmax over piece lengths packs (score, tie) into
-    ONE integer key — key = (prev + piece_score) * 64 + (L - l) — so
+def _unigram_dp_cte(vocab: dict[str, int], unk: int = -1000) -> str:
+    """Shared recursive-CTE Viterbi body (wc + r): the DP state is
+    (scores, cnts, bps) lists grown one position per recursion step;
+    each step's argmax over piece lengths packs (score, tie) into ONE
+    integer key — key = (prev + piece_score) * 64 + (L - l) — so
     list_aggregate 'max' reproduces Spark's (score desc, len asc)
     tie-break exactly in integer arithmetic (no float anywhere)."""
     max_l = max(len(p) for p in vocab)
@@ -1431,30 +1431,38 @@ def _unigram_oracle(vocab: dict[str, int], unk: int = -1000) -> str:
         f"+ ({max_l} - l) END"
     )
     return f"""
-        WITH RECURSIVE
         wc AS MATERIALIZED (SELECT DISTINCT word FROM (
             SELECT unnest(string_split(text, ' ')) AS word FROM documents)
             WHERE word <> ''),
-        r(word, pos, scores, cnts) AS (
-            SELECT word, 0, [CAST(0 AS BIGINT)], [0] FROM wc
+        r(word, pos, scores, cnts, bps) AS (
+            SELECT word, 0, [CAST(0 AS BIGINT)], [0], [0] FROM wc
             UNION ALL
             SELECT word, pos + 1,
                    list_append(scores, (best - pm) // 64),
                    list_append(
                        cnts,
-                       cnts[CAST(pos + 2 - ({max_l} - pm) AS INTEGER)] + 1)
+                       cnts[CAST(pos + 2 - ({max_l} - pm) AS INTEGER)] + 1),
+                   list_append(bps, CAST({max_l} - pm AS INTEGER))
             FROM (
-                SELECT word, pos, scores, cnts, best,
+                SELECT word, pos, scores, cnts, bps, best,
                        (best % 64 + 64) % 64 AS pm
                 FROM (
-                    SELECT word, pos, scores, cnts,
+                    SELECT word, pos, scores, cnts, bps,
                            list_aggregate(
                                list_filter(
                                    list_transform(range(1, {max_l + 1}),
                                                   l -> {cand}),
                                    x -> x IS NOT NULL),
                                'max') AS best
-                    FROM r WHERE pos < length(word)))),
+                    FROM r WHERE pos < length(word))))"""
+
+
+def _unigram_oracle(vocab: dict[str, int], unk: int = -1000) -> str:
+    """Per-doc Viterbi token counts + total scores over the shared DP
+    CTE (_unigram_dp_cte)."""
+    return f"""
+        WITH RECURSIVE
+        {_unigram_dp_cte(vocab, unk)},
         fin AS (SELECT word,
                        scores[length(word) + 1] AS wscore,
                        cnts[length(word) + 1] AS wtok
@@ -1467,6 +1475,38 @@ def _unigram_oracle(vocab: dict[str, int], unk: int = -1000) -> str:
         FROM ew JOIN fin USING (word)
         WHERE ew.word <> ''
         GROUP BY ew.doc_id
+    """
+
+
+def _unigram_estep_oracle(vocab: dict[str, int], unk: int = -1000) -> str:
+    """Unigram hard-EM E-step twin: walk the DP backpointers into the
+    token list per word (second recursion — the wordpiece-walk
+    precedent), then sum corpus piece counts weighted by word
+    frequency. All integers end to end."""
+    return f"""
+        WITH RECURSIVE
+        {_unigram_dp_cte(vocab, unk)},
+        fin AS (SELECT word, bps FROM r WHERE pos = length(word)),
+        walk(word, pos, bps, toks) AS (
+            SELECT word, length(word), bps, CAST([] AS VARCHAR[])
+            FROM fin
+            UNION ALL
+            SELECT word, pos - l, bps,
+                   list_prepend(
+                       substr(word, pos - l + 1, CAST(l AS INTEGER)), toks)
+            FROM (SELECT word, pos, bps, toks,
+                         bps[CAST(pos + 1 AS INTEGER)] AS l
+                  FROM walk WHERE pos > 0)),
+        tok AS (SELECT word, unnest(toks) AS piece
+                FROM walk WHERE pos = 0),
+        wn AS (SELECT word, count(*) AS n FROM (
+                   SELECT unnest(string_split(text, ' ')) AS word
+                   FROM documents)
+               WHERE word <> '' GROUP BY word)
+        SELECT tok.piece,
+               CAST(sum(wn.n) AS BIGINT) AS cnt
+        FROM tok JOIN wn USING (word)
+        GROUP BY tok.piece
     """
 
 
@@ -1502,6 +1542,26 @@ def q_k26(spark, sf_dir):
             F.sum("score").alias("total_score"),
         )
     )
+
+
+@contract(
+    "q_k26_unigram_estep",
+    oracle=_unigram_estep_oracle(UNIGRAM_VOCAB),
+    survey_rows="K26,K22",
+    doc="Unigram-LM training E-step (Kudo 2018, hard-EM/Viterbi "
+    "counts): per-piece corpus usage counts under the optimal "
+    "segmentation — the statistic the M-step renormalizes and pruning "
+    "ranks by (operators/bpe.unigram_piece_counts: ONE corpus shuffle "
+    "for word types, DP per word TYPE, frequency-weighted piece "
+    "explosion). Oracle = the same DP as a recursive CTE plus a "
+    "backpointer-walk recursion emitting the token lists — integers "
+    "end to end, so the E-step statistics are hash-checked exactly",
+)
+def q_k26_estep(spark, sf_dir):
+    from jane_spark.operators.bpe import unigram_piece_counts
+
+    docs = Catalog(spark, sf_dir).documents
+    return unigram_piece_counts(docs, UNIGRAM_VOCAB)
 
 
 @contract(

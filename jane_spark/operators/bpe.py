@@ -382,3 +382,26 @@ def unigram_encode(
         ).alias("score"),
         F.when(n > 0, toks).otherwise(empty).alias("tokens"),
     ).drop("__dp")
+
+
+def unigram_piece_counts(
+    docs: DataFrame,
+    vocab: dict[str, int],
+    text_col: str = "text",
+    unk_score: int = -1000,
+) -> DataFrame:
+    """Unigram-LM hard-EM E-step (Kudo 2018 §3.2, Viterbi counts): how
+    often each vocabulary piece is USED when the corpus is segmented
+    optimally under the current scores — the statistic the M-step
+    renormalizes into new piece log-probs, and the contribution signal
+    vocabulary pruning ranks by. The corpus is touched ONCE (the BPE
+    word_counts shuffle); the Viterbi DP runs per word TYPE and the
+    piece explosion carries the word frequency — one more
+    vocabulary-sized shuffle, nothing corpus-sized."""
+    wc = word_counts(docs, text_col)
+    enc = unigram_encode(wc, vocab, unk_score=unk_score)
+    return (
+        enc.select(F.explode("tokens").alias("piece"), "n")
+        .groupBy("piece")
+        .agg(F.sum("n").alias("cnt"))
+    )

@@ -315,3 +315,31 @@ def test_unigram_matches_python_reference_on_corpus_vocab(spark):
     # words: at least one word's token count differs from WordPiece-
     # style greedy longest-match under the same pieces
     assert got["batch"][2] == ["ba", "tch"]
+
+
+def test_unigram_estep_counts_match_python(spark):
+    """E-step piece counts vs the Python reference, plus the mass
+    invariant: summed piece-length × count reconstructs the corpus
+    character count exactly (every char belongs to exactly one piece)."""
+    from collections import Counter
+
+    from jane_spark.contracts.curation import UNIGRAM_VOCAB
+    from jane_spark.operators.bpe import unigram_piece_counts
+
+    texts = ["batch order merge batch", "spark table scan batch", "z7 order"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["piece"]: r["cnt"]
+        for r in unigram_piece_counts(docs, UNIGRAM_VOCAB).collect()
+    }
+    want: Counter = Counter()
+    words = [w for t in texts for w in t.split(" ") if w]
+    for w in words:
+        for p in _py_viterbi(w, UNIGRAM_VOCAB)[2]:
+            want[p] += 1
+    assert got == dict(want)
+    assert sum(len(p) * c for p, c in got.items()) == sum(
+        len(w) for w in words
+    )
