@@ -25,6 +25,8 @@ pure-Python twin in tests.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -405,3 +407,46 @@ def unigram_piece_counts(
         .groupBy("piece")
         .agg(F.sum("n").alias("cnt"))
     )
+
+
+def encode_words_udf(
+    words: DataFrame,
+    merges: list[tuple[str, str, int]],
+    word_col: str = "word",
+) -> DataFrame:
+    """Production-scale BPE encode (the documented scale path for
+    encode_words, docs/SCALE.md): the fold chain nests one expression
+    per merge, and past ~8 merges the generated sorter crosses the
+    JVM's 64 KB method limit into interpreted evaluation. This path
+    replays the SAME ranked merges in ONE Arrow-batched stage — plan
+    size O(1) in the merge count, per-row work identical — for
+    production-sized merge tables (32k merges is a normal tokenizer).
+    Greedy non-overlapping left-to-right semantics are byte-identical
+    to encode_words; pinned by parity pytest and the Python twin."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    ranked = [(a, b) for a, b, _ in merges]
+
+    def _encode_one(word: str) -> list[str]:
+        syms = list(word)
+        if not syms:
+            return []
+        syms[-1] += END_OF_WORD
+        for a, b in ranked:
+            out, i = [], 0
+            n = len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _enc(col: pd.Series) -> pd.Series:
+        return col.map(_encode_one)
+
+    return words.withColumn("tokens", _enc(F.col(word_col)))

@@ -343,3 +343,34 @@ def test_unigram_estep_counts_match_python(spark):
     assert sum(len(p) * c for p, c in got.items()) == sum(
         len(w) for w in words
     )
+
+
+def test_encode_words_udf_parity_and_scale(spark):
+    """The Arrow-batched scale path must reproduce the fold chain
+    byte-for-byte at contract scale (8 merges), and stay correct at a
+    merge count the fold chain cannot codegen (60 merges — where only
+    the Python twin can arbitrate)."""
+    from jane_spark.operators.bpe import encode_words, encode_words_udf
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    )
+    merges = train_bpe(docs, 8)
+    words = sorted({w for t in CORPUS for w in t.split(" ") if w})
+    wdf = spark.createDataFrame([(w,) for w in words], "word string")
+    fold = {r.word: r.tokens for r in encode_words(wdf, merges).collect()}
+    udf = {r.word: r.tokens for r in encode_words_udf(wdf, merges).collect()}
+    assert fold == udf
+
+    # 60 merges over a run-heavy corpus: plan stays O(1), results match
+    # the Python reference
+    big_corpus = ["ab" * 8 + " " + "ba" * 6, "abab abba baab " * 4, "a b ab"]
+    bdocs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(big_corpus)], "doc_id long, text string"
+    )
+    big_merges = train_bpe(bdocs, 60)
+    bwords = sorted({w for t in big_corpus for w in t.split(" ") if w})
+    bdf = spark.createDataFrame([(w,) for w in bwords], "word string")
+    got = {r.word: r.tokens for r in encode_words_udf(bdf, big_merges).collect()}
+    for w in bwords:
+        assert got[w] == py_encode(w, big_merges), w
