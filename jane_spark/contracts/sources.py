@@ -791,8 +791,10 @@ _EVT_INDEX_SQL = f"""
     "resolution, conf=H]: the full service path (event_query eventid "
     "equality predicate + visibility filter, then "
     "event_xml_for_params with the spec's include*=false defaults) "
-    "resolves exactly one QuakeML <event> document body; predicate "
-    "reaches the scan (equality pushdown), serialization row-local",
+    "resolves exactly one QuakeML <event> document body; the equality "
+    "predicate is pushdown-visible when quakeml_id is a physical index "
+    "column (the synthetic fixture derives it, so this plan filters "
+    "post-scan); serialization row-local",
 )
 def q_a8_eventid(spark, sf_dir):
     from jane_spark.services.fdsnws import event_query, event_xml_for_params

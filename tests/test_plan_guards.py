@@ -455,3 +455,22 @@ def test_lm_scoring_joins_broadcast(spark, sf_dir):
         REGISTRY["q_t32_gopher"].spark_fn(spark, sf_dir)
     ).split("== Initial Plan ==")[0]
     assert "Exchange" not in gopher and "Join" not in gopher
+
+
+def test_station_params_and_unigram_joins_broadcast(spark, sf_dir):
+    """r8 additions: the availability-extent join (bounded per-channel
+    aggregate) and the word-TYPE encode joins (vocabulary-bounded) must
+    broadcast — a sort-merge would shuffle the big side per join — and
+    nothing may go cartesian."""
+    from jane_spark.contracts import REGISTRY
+
+    for name, min_bhj in [
+        ("q_a8_station_params", 2),
+        ("q_k26_unigram", 1),
+    ]:
+        df = REGISTRY[name].spark_fn(spark, sf_dir)
+        df.collect()  # let AQE finalize the join strategies
+        plan = _executed_plan(df).split("== Initial Plan ==")[0]
+        assert plan.count("BroadcastHashJoin") >= min_bhj, name
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
