@@ -464,8 +464,11 @@ def test_station_params_and_unigram_joins_broadcast(spark, sf_dir):
     nothing may go cartesian."""
     from jane_spark.contracts import REGISTRY
 
+    # one join each in the final plan: the extent/encode join (seed-id
+    # equality on constant network/location/channel folds away, leaving
+    # the station/word key)
     for name, min_bhj in [
-        ("q_a8_station_params", 2),
+        ("q_a8_station_params", 1),
         ("q_k26_unigram", 1),
     ]:
         df = REGISTRY[name].spark_fn(spark, sf_dir)
