@@ -29,93 +29,92 @@ from jane_spark.contracts import rest  # noqa: F401  (§2.12 R REST front door, 
 
 VERIFY_FIRST: list[str] = [
     # =================================================================
-    # ROUND 7 ROTATION (VERDICT r6 next-steps #1 + staleness audit).
-    # The driver hash-checks only the FIRST 50 queries() entries; this
-    # window holds, in priority order:
-    #   (a) the 3 late-round-6 additions never driver-verified;
-    #   (c) the 23-name round-6 late wave, also never driver-verified
-    #       (judge-verified r6, but the driver record is the contract);
-    #   (b) the "code changed in r6, last driver-checked r5" re-verify
-    #       block (q_a8_station_xml ...; q_d6_gaps, q_k7_multimodal,
-    #       q_k7_audio and q_k7_resize displaced to r8 by never-
-    #       verified r7 contracts — new evidence outranks
-    #       re-verification, the documented principle);
-    #   (d) 2 queries whose code changes THIS round (r7): q_a8_fm_xml
-    #       (multi-origin event XML) and q_k7_phash (JPEG codec);
-    #   (f) 12 NEW r7 contracts (PSL domains, trigram backoff, WARC,
-    #       main-content extraction, sentence segmentation,
-    #       compression-ratio signal, WARC end-to-end pipeline,
-    #       Gopher quality preset, Kneser-Ney LM, portable LSH+IVF,
-    #       WordPiece),
-    #       each displacing one (e) tail fill 1:1;
-    #   (e) zero veteran slots remain — the r7 additions and the
-    #       k-means re-entry consumed them; the whole 46-name r4 block
-    #       rotates from round 8.
-    # After r7, never-driver-verified = 0 and the only stale evidence
-    # is q_d6_gaps/q_k7_multimodal/q_k7_audio/q_k7_resize (displaced
-    # block-(b) members — FIRST into r8) plus
-    # the full 46-name r4-era veteran block (q_a1_scan_count,
-    # q_a2_explode, q_a4_sha_dedup ... in registration order), then
-    # the r5/r6 blocks as they age.
+    # ROUND 8 ROTATION (VERDICT r7 next-steps #1/#2 + staleness audit).
+    # Window contents, in priority order:
+    #   (a) q_k22_bpe_pairs FIRST — r7's one red row; the oracle's
+    #       missing CAST(sum(n) AS BIGINT) is fixed this round
+    #       (DuckDB HUGEINT vs Spark int64 under the type-tagged
+    #       driver hash) and a registry-wide lint pytest now forbids
+    #       the class;
+    #   (b) 7 NEW r8 contracts, never driver-verified: the XML
+    #       upload-validation gate, the fdsnws-event eventid /
+    #       includeall* / includearrivals params, the fdsnws-station
+    #       updatedafter/includerestricted/includeavailability params,
+    #       and the Unigram-LM tokenizer encode + E-step;
+    #   (c) 6 whose code changed in r8: q_k7_phash (JPEG zigzag
+    #       dequant fix), q_a8_fm_xml + q_a8_station_xml (serializer
+    #       include-flag/DataAvailability edits), q_k3_ivf_portable
+    #       (pre-round ranking), q_k25_wordpiece (raw-length pos=1
+    #       probe), q_t22_urlnorm (single-pass parse);
+    #   (d) the 4 block-(b) members displaced from r7 (q_d6_gaps,
+    #       q_k7_multimodal, q_k7_audio, q_k7_resize — the k7 rows
+    #       doubly due after the JPEG codec fix);
+    #   (e) 32 slots of the 45-name r4 veteran block in registration
+    #       order, with q_k3_ivf promoted over q_j5_stateful_segments
+    #       (ivf_topk's ranking changed this round; j5's code did not).
+    # After r8 the only stale evidence is the 12-name r4 remainder
+    # (q_i8_stream_quality_gate, q_j1_parse_files, q_j5_stateful_
+    # segments, q_k3_vector_topk, q_k3_lsh, q_k8_embed_neardup,
+    # q_k2_simhash, q_t2_langid, q_t3_fingerprint, q_k10_components,
+    # q_k14_fuzzy, q_k14_passjoin — FIRST into r9), then the r5 block
+    # (42 names, q_d2_extent … in registration order) as it ages.
     # =================================================================
-    # (a) late round-6 additions, never driver-verified
-    "q_t20_clf_score",
-    "q_k21_quality_clf",
-    "q_t21_dupremove",
-    # (c) round-6 late wave, never driver-verified (26 total with (a))
-    "q_r1_rest_search",
-    "q_r2_rest_doc_list",
-    "q_r3_rest_serialize",
-    "q_r4_rest_xml",
-    "q_t22_urlnorm",
-    "q_t23_domaincap",
-    "q_t24_stupid_backoff",
-    "q_t25_chunking",
-    "q_t26_contam_report",
-    "q_i9_stream_join",
+    # (a) the r7 red row, oracle-side cast fixed this round
     "q_k22_bpe_pairs",
-    "q_k22_bpe_train",
-    "q_k22_bpe_encode",
-    "q_k23_quantize",
-    "q_k23_matryoshka",
-    "q_k24_two_stage",
-    "q_e6_transitions",
-    "q_e7_funnel",
-    "q_p10_wds_shards",
-    "q_p11_webpipeline",
-    "q_p12_ffd_pack",
-    "q_p13_corpus_diff",
-    "q_s1_sql_door",
-    # (b) code changed in r6, last driver-verified r5
-    "q_a8_station_xml",
-    "q_a8_event_xml",
-    "q_a8_text_format",
-    "q_a6_beachball",
-    "q_a7_dataselect_cut",
-    "q_a7_cut_bytes",
-    "q_a1_seismic_formats",
-    "q_a1_waveform_source",
-    "q_b12_semi_acl",
-    # (d) code changes in r7: multi-origin QuakeML + JPEG baseline codec
-    "q_a8_fm_xml",
+    # (b) new r8 contracts, never driver-verified
+    "q_a3_validation_gate",
+    "q_a8_eventid",
+    "q_a8_event_includeall",
+    "q_a8_event_arrivals",
+    "q_a8_station_params",
+    "q_k26_unigram",
+    "q_k26_unigram_estep",
+    # (c) code changed in r8
     "q_k7_phash",
-    # (f) NEW in r7, never verified — displace (e) tail fills 1:1
-    "q_t27_psl_domain",
-    "q_t28_trigram_backoff",
-    "q_a10_warc",
-    "q_t29_extract",
-    "q_t30_sentences",
-    "q_t31_compress",
-    "q_p14_warc_pipeline",
-    # k-means converted rows-only -> oracle-backed in r7 (unrolled-
-    # Lloyd SQL twin): re-enters for its first hash-checked evidence
-    "q_k16_kmeans",
-    # Gopher quality preset + Kneser-Ney LM + portable ANN (new r7)
-    "q_t32_gopher",
-    "q_t33_kneser_ney",
-    "q_k3_lsh_portable",
+    "q_a8_fm_xml",
+    "q_a8_station_xml",
     "q_k3_ivf_portable",
     "q_k25_wordpiece",
+    "q_t22_urlnorm",
+    # (d) displaced block-(b) members from r7
+    "q_d6_gaps",
+    "q_k7_multimodal",
+    "q_k7_audio",
+    "q_k7_resize",
+    # (e) r4 veteran block, registration order (q_k3_ivf promoted —
+    # its ranking code changed this round)
+    "q_a1_scan_count",
+    "q_a2_explode",
+    "q_a4_sha_dedup",
+    "q_a6_binary_len",
+    "q_a9_delta_anti",
+    "q_b1_json_extract",
+    "q_b2_eq_filter",
+    "q_b3_range_filter",
+    "q_b4_wildcard",
+    "q_b5_isin",
+    "q_b6_not_in",
+    "q_b7_overlap",
+    "q_b8_bbox",
+    "q_b9_radial",
+    "q_b10_edges",
+    "q_b9_radial_wrap",
+    "q_c1_join2",
+    "q_c2_left_join",
+    "q_c3_join4",
+    "q_c4_range_join",
+    "q_c5_semi",
+    "q_c7_asof",
+    "q_c8_cross",
+    "q_c4_overlap",
+    "q_d1_count_group",
+    "q_d13_gapfill",
+    "q_d14_stats",
+    "q_i1_stream_ingest",
+    "q_i5_late_drop",
+    "q_i6_stream_dedup",
+    "q_i7_stream_upsert",
+    "q_k3_ivf",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 
