@@ -36,11 +36,12 @@ VERIFY_FIRST: list[str] = [
     #       (DuckDB HUGEINT vs Spark int64 under the type-tagged
     #       driver hash) and a registry-wide lint pytest now forbids
     #       the class;
-    #   (b) 7 NEW r8 contracts, never driver-verified: the XML
+    #   (b) 8 NEW r8 contracts, never driver-verified: the XML
     #       upload-validation gate, the fdsnws-event eventid /
     #       includeall* / includearrivals params, the fdsnws-station
     #       updatedafter/includerestricted/includeavailability params,
-    #       and the Unigram-LM tokenizer encode + E-step;
+    #       the fdsnws-availability orderby/includerestricted/limit
+    #       params, and the Unigram-LM tokenizer encode + E-step;
     #   (c) 6 whose code changed in r8: q_k7_phash (JPEG zigzag
     #       dequant fix), q_a8_fm_xml + q_a8_station_xml (serializer
     #       include-flag/DataAvailability edits), q_k3_ivf_portable
@@ -49,14 +50,15 @@ VERIFY_FIRST: list[str] = [
     #   (d) the 4 block-(b) members displaced from r7 (q_d6_gaps,
     #       q_k7_multimodal, q_k7_audio, q_k7_resize — the k7 rows
     #       doubly due after the JPEG codec fix);
-    #   (e) 32 slots of the 45-name r4 veteran block in registration
+    #   (e) 31 slots of the 45-name r4 veteran block in registration
     #       order, with q_k3_ivf promoted over q_j5_stateful_segments
     #       (ivf_topk's ranking changed this round; j5's code did not).
-    # After r8 the only stale evidence is the 12-name r4 remainder
-    # (q_i8_stream_quality_gate, q_j1_parse_files, q_j5_stateful_
-    # segments, q_k3_vector_topk, q_k3_lsh, q_k8_embed_neardup,
-    # q_k2_simhash, q_t2_langid, q_t3_fingerprint, q_k10_components,
-    # q_k14_fuzzy, q_k14_passjoin — FIRST into r9), then the r5 block
+    # After r8 the only stale evidence is the 13-name r4 remainder
+    # (q_i7_stream_upsert, q_i8_stream_quality_gate, q_j1_parse_files,
+    # q_j5_stateful_segments, q_k3_vector_topk, q_k3_lsh,
+    # q_k8_embed_neardup, q_k2_simhash, q_t2_langid, q_t3_fingerprint,
+    # q_k10_components, q_k14_fuzzy, q_k14_passjoin — FIRST into r9),
+    # then the r5 block
     # (42 names, q_d2_extent … in registration order) as it ages.
     # =================================================================
     # (a) the r7 red row, oracle-side cast fixed this round
@@ -69,6 +71,7 @@ VERIFY_FIRST: list[str] = [
     "q_a8_station_params",
     "q_k26_unigram",
     "q_k26_unigram_estep",
+    "q_a8_availability_params",
     # (c) code changed in r8
     "q_k7_phash",
     "q_a8_fm_xml",
@@ -113,7 +116,6 @@ VERIFY_FIRST: list[str] = [
     "q_i1_stream_ingest",
     "q_i5_late_drop",
     "q_i6_stream_dedup",
-    "q_i7_stream_upsert",
     "q_k3_ivf",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)

@@ -1045,6 +1045,81 @@ def q_a8_station_params(spark, sf_dir):
 
 
 @contract(
+    "q_a8_availability_params",
+    oracle="""
+        WITH seg AS (
+            SELECT 'S' || CAST(user_id % 50 AS VARCHAR) AS station,
+                   ts AS st, ts + INTERVAL 10 MINUTE AS en,
+                   event_id % 1000 + 1 AS npts
+            FROM events WHERE user_id % 5 != 0),
+        g AS (
+            SELECT station, st, en, npts,
+                   CASE WHEN max(epoch_us(en)) OVER (
+                            PARTITION BY station ORDER BY st, en
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                            IS NULL
+                         OR epoch_us(st) - max(epoch_us(en)) OVER (
+                            PARTITION BY station ORDER BY st, en
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                            > 600000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM seg),
+        s AS (
+            SELECT station, st, en, npts,
+                   CAST(sum(new_s) OVER (
+                       PARTITION BY station ORDER BY st, en
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS span
+            FROM g)
+        SELECT station, span_start, span_end, n_segments, total_samples
+        FROM (
+            SELECT station, min(st) AS span_start, max(en) AS span_end,
+                   CAST(count(*) AS BIGINT) AS n_segments,
+                   CAST(sum(npts) AS BIGINT) AS total_samples,
+                   max(max(st)) OVER (PARTITION BY station) AS lat
+            FROM s GROUP BY station, span)
+        ORDER BY lat DESC, station ASC, span_start ASC
+        LIMIT 150
+    """,
+    survey_rows="A8,D6,B12",
+    doc="fdsnws-availability request-parameter surface in one call "
+    "[ref: FDSN availability spec §query parameters; "
+    "src/jane/fdsnws — availability analogue, conf=M]: "
+    "includerestricted=false drops restricted traces before any "
+    "aggregation, orderby=latestupdate ranks channels by most recent "
+    "index update (harvesting view; loud refusal without an 'updated' "
+    "column), and limit cuts the fully tie-broken ordering so the "
+    "surviving row SET is deterministic — which is exactly what the "
+    "hash checks. Same single window shuffle as q_d6_availability",
+)
+def q_a8_availability_params(spark, sf_dir):
+    from jane_spark.services.fdsnws import availability_query
+
+    ev = Catalog(spark, sf_dir).clustered("events", "user_id")
+    traces = ev.select(
+        F.lit("BW").alias("network"),
+        F.concat(F.lit("S"), (F.col("user_id") % 50).cast("string")).alias(
+            "station"
+        ),
+        F.lit("").alias("location"),
+        F.lit("EHZ").alias("channel"),
+        F.col("ts").alias("starttime"),
+        (F.col("ts") + F.make_dt_interval(mins=F.lit(10))).alias("endtime"),
+        (F.col("event_id") % 1000 + 1).alias("npts"),
+        F.col("ts").alias("updated"),
+        (F.col("user_id") % 5 == 0).alias("restricted"),
+    )
+    params = {
+        "mergegaps": "600",
+        "includerestricted": "false",
+        "orderby": "latestupdate",
+        "limit": "150",
+    }
+    return availability_query(traces, params).select(
+        "station", "span_start", "span_end", "n_segments", "total_samples"
+    )
+
+
+@contract(
     "q_a1_waveform_source",
     oracle=None,  # custom data source — rows-only check
     survey_rows="A1,J1",

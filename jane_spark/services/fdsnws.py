@@ -1231,6 +1231,7 @@ AVAILABILITY_PARAMS = frozenset(
     SEED_FIELDS + (
         "starttime", "endtime", "quality", "merge", "mergegaps",
         "limit", "format",
+        "orderby", "includerestricted", "nodata",
     )
 )
 
@@ -1252,6 +1253,17 @@ def availability_query(
     p = _seed_predicate(params)
     if "quality" in params:
         p = p & F.col("quality").isin(params["quality"].split(","))
+    if not _bool_param(params, "includerestricted", True):
+        if "restricted" in traces.columns:
+            p = p & ~F.coalesce(F.col("restricted"), F.lit(False))
+    orderby = params.get("orderby", "nslc_time_quality_samplerate")
+    if orderby == "latestupdate" and "updated" not in traces.columns:
+        raise ValueError(
+            "orderby=latestupdate requested but the trace index carries "
+            "no 'updated' ingest timestamp column"
+        )
+    if orderby not in ("nslc_time_quality_samplerate", "latestupdate"):
+        raise KeyError(f"unknown orderby: {orderby!r}")
     s = e = None
     if "starttime" in params:
         s = F.to_timestamp(F.lit(params["starttime"])).cast("timestamp_ntz")
@@ -1275,9 +1287,27 @@ def availability_query(
         spans = spans.withColumn("span_start", F.greatest(F.col("span_start"), s))
     if e is not None:
         spans = spans.withColumn("span_end", F.least(F.col("span_end"), e))
+    # explicit total order before any limit: FDSN default
+    # nslc_time_quality_samplerate, or latestupdate (most recently
+    # re-indexed channels first — the harvesting view), fully
+    # tie-broken so limit keeps a deterministic row set
+    extra = [c for c in ("quality", "sampling_rate") if c in spans.columns]
+    default_order = (
+        [F.col(f) for f in SEED_FIELDS]
+        + [F.col(c) for c in extra]
+        + [F.col("span_start")]
+    )
+    if orderby == "latestupdate":
+        upd = out.groupBy(*SEED_FIELDS).agg(F.max("updated").alias("__latest"))
+        spans = (
+            spans.join(upd, on=list(SEED_FIELDS), how="left")
+            .orderBy(F.col("__latest").desc_nulls_last(), *default_order)
+        )
+    else:
+        spans = spans.orderBy(*default_order)
     if "limit" in params:
         spans = spans.limit(int(params["limit"]))
-    return spans
+    return spans.drop("__latest")
 
 
 _STATION_BULK_KEYS = frozenset({"level", "format"})

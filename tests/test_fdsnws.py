@@ -1323,3 +1323,36 @@ def test_station_xml_data_availability_extent(spark):
     assert ('<DataAvailability><Extent start="2024-01-03T00:00:00" '
             'end="2024-01-05T12:00:00"/></DataAvailability>') in xml
     assert xml.count("<DataAvailability>") == 1  # S2 has no coverage
+
+
+def test_availability_params_validation(spark):
+    """orderby=latestupdate refuses loudly without an 'updated' column;
+    unknown orderby and junk includerestricted fail at the door; the
+    WADL advertises the new availability params."""
+    import pytest as _pytest
+
+    from jane_spark.services.fdsnws import (
+        AVAILABILITY_PARAMS,
+        availability_query,
+        service_wadl,
+    )
+
+    for p in ("orderby", "includerestricted", "nodata"):
+        assert p in AVAILABILITY_PARAMS
+        assert f'name="{p}"' in service_wadl("availability")
+    traces = spark.createDataFrame(
+        [("BW", "S1", "", "EHZ", dt.datetime(2024, 1, 1),
+          dt.datetime(2024, 1, 2), 100)],
+        "network string, station string, location string, channel string, "
+        "starttime timestamp_ntz, endtime timestamp_ntz, npts long",
+    )
+    with _pytest.raises(ValueError, match="latestupdate"):
+        availability_query(traces, {"orderby": "latestupdate"})
+    with _pytest.raises(KeyError, match="orderby"):
+        availability_query(traces, {"orderby": "sideways"})
+    with _pytest.raises(ValueError, match="includerestricted"):
+        availability_query(traces, {"includerestricted": "maybe"})
+    # restricted rows drop only when asked
+    t2 = traces.withColumn("restricted", F.lit(True))
+    assert availability_query(t2, {}).count() == 1
+    assert availability_query(t2, {"includerestricted": "false"}).count() == 0
