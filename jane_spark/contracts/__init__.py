@@ -42,7 +42,10 @@ VERIFY_FIRST: list[str] = [
     #       updatedafter/includerestricted/includeavailability params,
     #       the fdsnws-availability orderby/includerestricted/limit
     #       params, and the Unigram-LM tokenizer encode + E-step;
-    #   (c) 6 whose code changed in r8: q_k7_phash (JPEG zigzag
+    #   (c) 7 whose checks strengthened or code changed in r8:
+    #       q_a7_dataselect_cut (rows-only → oracle-backed — the cut
+    #       resolution is pure relational algebra), q_k7_phash (JPEG
+    #       zigzag
     #       dequant fix), q_a8_fm_xml + q_a8_station_xml (serializer
     #       include-flag/DataAvailability edits), q_k3_ivf_portable
     #       (pre-round ranking), q_k25_wordpiece (raw-length pos=1
@@ -53,8 +56,9 @@ VERIFY_FIRST: list[str] = [
     #   (e) 31 slots of the 45-name r4 veteran block in registration
     #       order, with q_k3_ivf promoted over q_j5_stateful_segments
     #       (ivf_topk's ranking changed this round; j5's code did not).
-    # After r8 the only stale evidence is the 13-name r4 remainder
-    # (q_i7_stream_upsert, q_i8_stream_quality_gate, q_j1_parse_files,
+    # After r8 the only stale evidence is the 15-name r4 remainder
+    # (q_i5_late_drop, q_i6_stream_dedup, q_i7_stream_upsert,
+    # q_i8_stream_quality_gate, q_j1_parse_files,
     # q_j5_stateful_segments, q_k3_vector_topk, q_k3_lsh,
     # q_k8_embed_neardup, q_k2_simhash, q_t2_langid, q_t3_fingerprint,
     # q_k10_components, q_k14_fuzzy, q_k14_passjoin — FIRST into r9),
@@ -72,8 +76,10 @@ VERIFY_FIRST: list[str] = [
     "q_k26_unigram",
     "q_k26_unigram_estep",
     "q_a8_availability_params",
+    "q_a7_longest_only",
     # (c) code changed in r8
     "q_k7_phash",
+    "q_a7_dataselect_cut",
     "q_a8_fm_xml",
     "q_a8_station_xml",
     "q_k3_ivf_portable",
@@ -114,8 +120,6 @@ VERIFY_FIRST: list[str] = [
     "q_d13_gapfill",
     "q_d14_stats",
     "q_i1_stream_ingest",
-    "q_i5_late_drop",
-    "q_i6_stream_dedup",
     "q_k3_ivf",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)

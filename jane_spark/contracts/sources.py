@@ -521,9 +521,76 @@ def q_a1_seismic(spark, sf_dir):
         shutil.rmtree(stage, ignore_errors=True)
 
 
+_A7_LONGEST_ORACLE_TAIL = """
+        f AS (SELECT * FROM traces
+              WHERE network = 'BW' AND channel LIKE 'EH_'
+                AND quality = 'D'
+                AND endtime > TIMESTAMP '2024-01-05'
+                AND starttime < TIMESTAMP '2024-01-25'
+                AND duration >= 600000000),
+        l AS (SELECT *, row_number() OVER (
+                  PARTITION BY network, station, location, channel
+                  ORDER BY duration DESC, starttime ASC) AS rn
+              FROM f)
+        SELECT network, station, location, channel, starttime, endtime,
+               sampling_rate, npts, duration, quality, file_id, pos,
+               greatest(starttime, TIMESTAMP '2024-01-05') AS cut_start,
+               least(endtime, TIMESTAMP '2024-01-25') AS cut_end
+        FROM l WHERE rn = 1
+"""
+
+_SESSION_TRACES_SQL = """
+        g AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                            IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                            > 1800000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events),
+        s AS (
+            SELECT user_id, ts,
+                   CAST(sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM g),
+        segs AS (
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(ts) AS s_start, max(ts) AS s_end
+            FROM s GROUP BY user_id, session_id),
+        traces AS (
+            SELECT 'BW' AS network,
+                   'S' || CAST(user_id AS VARCHAR) AS station,
+                   '' AS location, 'EHZ' AS channel,
+                   s_start AS starttime, s_end AS endtime,
+                   CAST(100.0 AS DOUBLE) AS sampling_rate,
+                   CAST(n_events AS BIGINT) AS npts,
+                   CAST(epoch_us(s_end) - epoch_us(s_start) AS DOUBLE)
+                       AS duration,
+                   'D' AS quality, user_id AS file_id,
+                   CAST(0 AS INTEGER) AS pos, session_id
+            FROM segs)
+"""
+
+
 @contract(
     "q_a7_dataselect_cut",
-    oracle=None,  # byte-stream sink phase — rows-only check (SURVEY A7 ◐)
+    # oracle-converted r8 (the make-weak-checks-strong direction): the
+    # cut RESOLUTION phase is pure relational algebra — only the byte
+    # sink (q_a7_cut_bytes) stays rows-only
+    oracle=f"""
+        WITH {_SESSION_TRACES_SQL}
+        SELECT network, station, location, channel, starttime, endtime,
+               sampling_rate, npts, duration, quality, file_id, pos,
+               greatest(starttime, TIMESTAMP '2024-01-10') AS cut_start,
+               least(endtime, TIMESTAMP '2024-01-20') AS cut_end
+        FROM traces
+        WHERE network = 'BW' AND channel LIKE 'EH_'
+          AND endtime > TIMESTAMP '2024-01-10'
+          AND starttime < TIMESTAMP '2024-01-20'
+    """,
     survey_rows="A7,B7,F4",
     doc="fdsnws-dataselect cut resolution: a synthetic trace index is "
     "derived from events sessions (one segment per user session), then "
@@ -566,40 +633,55 @@ def q_a7(spark, sf_dir):
     )
 
 
-_SESSION_TRACES_SQL = """
-        g AS (
-            SELECT user_id, ts, event_id,
-                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
-                            PARTITION BY user_id ORDER BY ts, event_id)
-                            IS NULL
-                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER (
-                            PARTITION BY user_id ORDER BY ts, event_id)
-                            > 1800000000
-                        THEN 1 ELSE 0 END AS new_s
-            FROM events),
-        s AS (
-            SELECT user_id, ts,
-                   CAST(sum(new_s) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-            FROM g),
-        segs AS (
-            SELECT user_id, session_id, count(*) AS n_events,
-                   min(ts) AS s_start, max(ts) AS s_end
-            FROM s GROUP BY user_id, session_id),
-        traces AS (
-            SELECT 'BW' AS network,
-                   'S' || CAST(user_id AS VARCHAR) AS station,
-                   '' AS location, 'EHZ' AS channel,
-                   s_start AS starttime, s_end AS endtime,
-                   CAST(100.0 AS DOUBLE) AS sampling_rate,
-                   CAST(n_events AS BIGINT) AS npts,
-                   CAST(epoch_us(s_end) - epoch_us(s_start) AS DOUBLE)
-                       AS duration,
-                   'D' AS quality, user_id AS file_id,
-                   CAST(0 AS INTEGER) AS pos, session_id
-            FROM segs)
-"""
+@contract(
+    "q_a7_longest_only",
+    oracle=f"WITH {_SESSION_TRACES_SQL}, {_A7_LONGEST_ORACLE_TAIL}",
+    survey_rows="A7,F4,B7",
+    doc="fdsnws-dataselect minimumlength + longestonly in one request "
+    "(oracle-backed r8 — the previously rows-only resolution phase is "
+    "pure relational algebra): quality filter, 10-minute minimum "
+    "duration, then the LONGEST qualifying segment per SEED id "
+    "(duration desc, starttime asc argmax — D5), trim bounds last. "
+    "The DuckDB twin is a row_number window over the same session-"
+    "derived index",
+)
+def q_a7_longest(spark, sf_dir):
+    from jane_spark.operators.sessionize import session_summary
+    from jane_spark.services.fdsnws import dataselect_query
+
+    ev = Catalog(spark, sf_dir).clustered("events", "user_id")
+    segs = session_summary(ev, "user_id", "ts", "event_id", 30 * 60 * 1_000_000)
+    traces = segs.select(
+        F.lit("BW").alias("network"),
+        F.concat(F.lit("S"), F.col("user_id").cast("string")).alias("station"),
+        F.lit("").alias("location"),
+        F.lit("EHZ").alias("channel"),
+        F.col("session_start").alias("starttime"),
+        F.col("session_end").alias("endtime"),
+        F.lit(100.0).alias("sampling_rate"),
+        (F.col("n_events").cast("long")).alias("npts"),
+        (
+            ntz_epoch_us(F.col("session_end"))
+            - ntz_epoch_us(F.col("session_start"))
+        ).cast("double").alias("duration"),
+        F.lit("D").alias("quality"),
+        F.col("user_id").alias("file_id"),
+        F.lit(0).alias("pos"),
+    )
+    return dataselect_query(
+        traces,
+        {
+            "network": "BW",
+            "channel": "EH?",
+            "quality": "D",
+            "starttime": "2024-01-05T00:00:00",
+            "endtime": "2024-01-25T00:00:00",
+            "minimumlength": "600000000",
+            "longestonly": "true",
+        },
+    )
+
+
 
 
 @contract(
