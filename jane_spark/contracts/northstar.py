@@ -1146,6 +1146,64 @@ def q_k10(spark, sf_dir):
     return labels.select(F.col("id").alias("doc_id"), "comp")
 
 
+_KEEP_BEST_ORACLE = (
+    _COMPONENTS_ORACLE.rsplit("SELECT node AS doc_id", 1)[0]
+    + """, lab AS (SELECT node AS doc_id, CAST(min(comp) AS BIGINT) AS comp
+       FROM reach GROUP BY node),
+tk AS (SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       FROM documents),
+j AS (SELECT lab.comp, lab.doc_id, tk.n_tok,
+             row_number() OVER (PARTITION BY lab.comp
+                                ORDER BY tk.n_tok DESC, lab.doc_id ASC)
+                 AS rn,
+             count(*) OVER (PARTITION BY lab.comp) AS n_members
+      FROM lab JOIN tk USING (doc_id))
+SELECT comp, doc_id AS keep_id, n_tok AS kept_n_tok,
+       CAST(n_members AS BIGINT) AS n_members
+FROM j WHERE rn = 1
+"""
+)
+
+
+@contract(
+    "q_k10_keep_best",
+    oracle=_KEEP_BEST_ORACLE,
+    survey_rows="K10,K12,D5,K1",
+    doc="canonical-document selection over duplicate clusters (the "
+    "keep-best step every near-dup pipeline ends with): exact-Jaccard "
+    "pairs -> connected components (q_k10) -> per-cluster argmax by a "
+    "deterministic quality key (longest token stream, doc_id "
+    "tie-break) + member count. INTEGER quality key on both engines — "
+    "no float boundary can flip a survivor. One components fixpoint + "
+    "one window shuffle on comp",
+)
+def q_k10_keep_best(spark, sf_dir):
+    from jane_spark.operators.components import connected_components
+    from jane_spark.operators.topk import argmax
+
+    pairs = q_k2j(spark, sf_dir)
+    docs = Catalog(spark, sf_dir).documents
+    labels = connected_components(
+        pairs, "id_a", "id_b", nodes=docs.select("doc_id")
+    ).select(F.col("id").alias("doc_id"), "comp")
+    stats = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    j = labels.join(stats, "doc_id")
+    best = argmax(j, ["comp"], [F.col("n_tok").desc(), F.col("doc_id").asc()])
+    members = j.groupBy("comp").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        best.select(
+            "comp",
+            F.col("doc_id").alias("keep_id"),
+            F.col("n_tok").alias("kept_n_tok"),
+        )
+        .join(members, "comp")
+    )
+
+
 @contract(
     "q_t8_entropy",
     oracle="""
