@@ -369,7 +369,7 @@ def domain_cap(
     (pytest-pinned), one extra (group, salt)-keyed shuffle."""
     from jane_spark.operators.topk import top_k_per_group, top_k_per_group_salted
 
-    with_dom = df.withColumn(domain_col, url_domain(F.col(url_col)))
+    with_dom = _with_domain(df, url_col, domain_col)
     if salted:
         return top_k_per_group_salted(
             with_dom, [domain_col], order, cap, n_salts=n_salts
@@ -387,7 +387,22 @@ def domain_blocklist_filter(
     A literal list compiles to an isin predicate (pushdown-visible);
     for blocklists too large to inline, join a broadcast DataFrame
     instead (B12 ACL shape)."""
-    with_dom = df.withColumn(domain_col, url_domain(F.col(url_col)))
+    with_dom = _with_domain(df, url_col, domain_col)
     return with_dom.filter(
         ~F.coalesce(F.col(domain_col).isin(*blocked_domains), F.lit(False))
     )
+
+
+def _with_domain(df: DataFrame, url_col: str, domain_col: str) -> DataFrame:
+    """Attach the registrable domain with the URL parse materialized
+    ONCE (the with_normalized_url barrier): url_domain as a bare
+    expression re-inlines the parse per host reference —
+    registrable_domain's fallbacks reference it 4× and CaseWhen
+    branches sit outside codegen subexpression elimination (measured
+    ~2× on the domain_cap bench row)."""
+    step = df.withColumn(
+        "__url_host", F.nullif(url_host(F.col(url_col)), F.lit(""))
+    )
+    return step.withColumn(
+        domain_col, registrable_domain(F.col("__url_host"))
+    ).drop("__url_host")
