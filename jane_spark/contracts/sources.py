@@ -100,6 +100,151 @@ def q_a3_validation_gate(spark, sf_dir):
 
 
 @contract(
+    "q_a3_quakeml_parse",
+    oracle="""
+        SELECT 'evt:' || CAST(event_id AS VARCHAR) AS quakeml_id,
+               ts AS origin_time,
+               CAST(event_id % 180 - 90 AS DOUBLE) AS latitude,
+               CAST(event_id % 360 - 180 AS DOUBLE) AS longitude,
+               CAST(event_id % 700 * 1000 AS DOUBLE) AS depth_in_m,
+               CAST(event_id % 90 AS DOUBLE) AS magnitude,
+               'Mw' AS magnitude_type,
+               event_type
+        FROM events
+    """,
+    survey_rows="A3,A2,J4,J1",
+    doc="REAL QuakeML ingest round-trip (sources/xml_ingest."
+    "parse_quakeml_events — jane's quakeml plugin index() analogue): "
+    "multi-event catalog documents are ASSEMBLED in-plan (3 events "
+    "per document, values derived from the generative rule, content "
+    "XML-escaped), then the ElementTree mapInPandas parser explodes "
+    "each document back to one typed row per <event> — the "
+    "one-file→many-rows expansion done for real. The oracle derives "
+    "the expected row set from the same rule (parse/serialize must "
+    "invert exactly, unescaping included); timestamps round-trip at "
+    "µs precision. Zero shuffles except the document groupBy",
+)
+def q_a3_quakeml_parse(spark, sf_dir):
+    from jane_spark.functions.xml import xml_attr, xml_element, xml_escape
+    from jane_spark.sources.xml_ingest import parse_quakeml_events
+
+    eid = F.col("event_id")
+    iso = F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    val = lambda tag, c: xml_element(tag, xml_element("value", c))  # noqa: E731
+    ev_xml = F.concat(
+        F.lit("<event"),
+        xml_attr("publicID", F.concat(F.lit("evt:"), eid.cast("string"))),
+        F.lit(">"),
+        xml_element(
+            "origin",
+            F.concat(
+                val("time", iso),
+                val("latitude", (eid % 180 - 90).cast("double").cast("string")),
+                val("longitude", (eid % 360 - 180).cast("double").cast("string")),
+                val("depth", (eid % 700 * 1000).cast("double").cast("string")),
+            ),
+        ),
+        xml_element(
+            "magnitude",
+            F.concat(
+                val("mag", (eid % 90).cast("double").cast("string")),
+                xml_element("type", F.lit("Mw")),
+            ),
+        ),
+        xml_element("type", xml_escape(F.col("event_type"))),
+        F.lit("</event>"),
+    )
+    docs = (
+        Catalog(spark, sf_dir).events
+        .select((eid / 3).cast("long").alias("gid"), ev_xml.alias("x"))
+        .groupBy("gid")
+        .agg(
+            F.concat(
+                F.lit(
+                    '<q:quakeml xmlns:q="http://quakeml.org/xmlns/'
+                    'quakeml/1.2"><eventParameters publicID="cat">'
+                ),
+                F.array_join(F.collect_list("x"), ""),
+                F.lit("</eventParameters></q:quakeml>"),
+            ).alias("data")
+        )
+    )
+    return parse_quakeml_events(docs)
+
+
+@contract(
+    "q_a2_stationxml_parse",
+    oracle="""
+        SELECT r_name AS network,
+               'N' || CAST(n_nationkey AS VARCHAR) AS station,
+               CAST(n_nationkey * 3 - 36 AS DOUBLE) AS latitude,
+               CAST(n_nationkey * 7 - 84 AS DOUBLE) AS longitude,
+               CAST(n_nationkey * 10 AS DOUBLE) AS elevation_in_m,
+               c.location, c.channel,
+               c.start_date
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        CROSS JOIN (VALUES
+            ('', 'EHZ', TIMESTAMP '2020-01-01 00:00:00'),
+            ('00', 'EHN', TIMESTAMP '2021-06-15 12:30:00')
+        ) AS c(location, channel, start_date)
+    """,
+    survey_rows="A2,A3,J4,J1",
+    doc="REAL StationXML ingest round-trip (sources/xml_ingest."
+    "parse_stationxml_channels — jane's stationxml plugin index() "
+    "analogue): one FDSNStationXML inventory document per region, "
+    "nesting one <Station> per member nation with two <Channel> "
+    "epochs each, assembled in-plan from the generative rule; the "
+    "ElementTree mapInPandas parser explodes each inventory back to "
+    "one row per channel epoch. Oracle = the nation⋈region join the "
+    "documents encode — serialization and parse must invert exactly",
+)
+def q_a2_stationxml_parse(spark, sf_dir):
+    from jane_spark.functions.xml import xml_attr, xml_element
+    from jane_spark.sources.xml_ingest import parse_stationxml_channels
+
+    cat = Catalog(spark, sf_dir)
+    nk = F.col("n_nationkey")
+    chan = (
+        '<Channel code="EHZ" locationCode="" '
+        'startDate="2020-01-01T00:00:00"/>'
+        '<Channel code="EHN" locationCode="00" '
+        'startDate="2021-06-15T12:30:00"/>'
+    )
+    sta_xml = F.concat(
+        F.lit("<Station"),
+        xml_attr("code", F.concat(F.lit("N"), nk.cast("string"))),
+        F.lit(">"),
+        xml_element("Latitude", (nk * 3 - 36).cast("double").cast("string")),
+        xml_element("Longitude", (nk * 7 - 84).cast("double").cast("string")),
+        xml_element("Elevation", (nk * 10).cast("double").cast("string")),
+        F.lit(chan),
+        F.lit("</Station>"),
+    )
+    joined = cat.nation.join(
+        F.broadcast(cat.region),
+        cat.nation.n_regionkey == cat.region.r_regionkey,
+    )
+    docs = (
+        joined.select(F.col("r_name"), sta_xml.alias("x"))
+        .groupBy("r_name")
+        .agg(
+            F.concat(
+                F.lit(
+                    '<FDSNStationXML xmlns="http://www.fdsn.org/xml/'
+                    'station/1" schemaVersion="1.1"><Network'
+                ),
+                F.lit(' code="'),
+                F.col("r_name"),
+                F.lit('">'),
+                F.array_join(F.collect_list("x"), ""),
+                F.lit("</Network></FDSNStationXML>"),
+            ).alias("data")
+        )
+    )
+    return parse_stationxml_channels(docs)
+
+
+@contract(
     "q_a4_sha_dedup",
     oracle="""
         SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,

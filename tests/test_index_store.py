@@ -544,3 +544,44 @@ def test_validation_gate_stationxml_and_unknown_type(spark):
     }
     with _pytest.raises(ValueError, match="no validator"):
         validate_documents(df, "seiscomp")
+
+
+def test_xml_ingest_parsers_robustness(spark):
+    """Parser edge cases the contract corpus lacks: an empty catalog
+    yields 0 rows (not an error), entity unescaping round-trips, and a
+    malformed document raises (the validation gate's job is to keep it
+    out of this lane — composition pinned here)."""
+    import pytest as _pytest
+
+    from jane_spark.sources.validation import partition_documents
+    from jane_spark.sources.xml_ingest import parse_quakeml_events
+
+    ns = '<q:quakeml xmlns:q="http://quakeml.org/xmlns/quakeml/1.2">'
+    ok = (
+        ns + '<eventParameters publicID="c">'
+        '<event publicID="e1"><origin>'
+        "<time><value>2024-02-03T04:05:06.123456</value></time>"
+        "<latitude><value>1.0</value></latitude>"
+        "<longitude><value>2.0</value></longitude>"
+        "<depth><value>3.0</value></depth></origin>"
+        "<magnitude><mag><value>4.5</value></mag><type>Mw</type></magnitude>"
+        "<type>a &amp; b</type></event>"
+        "</eventParameters></q:quakeml>"
+    )
+    empty_cat = ns + '<eventParameters publicID="c"/></q:quakeml>'
+    bad = ok[:60]
+    df = spark.createDataFrame(
+        [("d1", ok), ("d2", empty_cat), ("d3", bad)],
+        "doc_id string, data string",
+    )
+    accepted, rejected = partition_documents(df, "quakeml")
+    assert {r["doc_id"] for r in rejected.collect()} == {"d3"}
+    rows = parse_quakeml_events(accepted).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["event_type"] == "a & b"          # unescaped
+    assert r["magnitude"] == 4.5 and r["depth_in_m"] == 3.0
+    assert str(r["origin_time"]) == "2024-02-03 04:05:06.123456"
+    # an unvalidated malformed doc raises in the parser (loudly)
+    with _pytest.raises(Exception):
+        parse_quakeml_events(df.filter("doc_id = 'd3'")).collect()

@@ -410,6 +410,10 @@ _PANDAS_ALLOWED = {
     # XML validation has no JVM expression — the ElementTree pandas
     # UDF IS the operator under test (r8 ingest gate)
     "q_a3_validation_gate",
+    # real XML->rows ingest parsers: the ElementTree mapInPandas stage
+    # IS the operator (r8)
+    "q_a3_quakeml_parse",
+    "q_a2_stationxml_parse",
 }
 # "Python" catches every Arrow*/Batch* Python node (EvalPython,
 # ArrowAggregatePython, PythonUDF…); "InPandas" the map/grouped forms
