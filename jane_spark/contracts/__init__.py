@@ -56,8 +56,9 @@ VERIFY_FIRST: list[str] = [
     #   (e) 31 slots of the 45-name r4 veteran block in registration
     #       order, with q_k3_ivf promoted over q_j5_stateful_segments
     #       (ivf_topk's ranking changed this round; j5's code did not).
-    # After r8 the only stale evidence is the 18-name r4 remainder
-    # (q_d13_gapfill, q_d14_stats, q_i1_stream_ingest, q_i5_late_drop,
+    # After r8 the only stale evidence is the 19-name r4 remainder
+    # (q_d1_count_group, q_d13_gapfill, q_d14_stats,
+    # q_i1_stream_ingest, q_i5_late_drop,
     # q_i6_stream_dedup, q_i7_stream_upsert,
     # q_i8_stream_quality_gate, q_j1_parse_files,
     # q_j5_stateful_segments, q_k3_vector_topk, q_k3_lsh,
@@ -81,6 +82,7 @@ VERIFY_FIRST: list[str] = [
     "q_k10_keep_best",
     "q_a3_quakeml_parse",
     "q_a2_stationxml_parse",
+    "q_k26_unigram_train",
     # (c) code changed in r8
     "q_k7_phash",
     "q_a7_dataselect_cut",
@@ -120,7 +122,6 @@ VERIFY_FIRST: list[str] = [
     "q_c7_asof",
     "q_c8_cross",
     "q_c4_overlap",
-    "q_d1_count_group",
     "q_k3_ivf",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)

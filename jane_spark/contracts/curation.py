@@ -1565,6 +1565,33 @@ def q_k26_estep(spark, sf_dir):
 
 
 @contract(
+    "q_k26_unigram_train",
+    oracle=None,  # iterative (driver loop over ln-rescored vocab):
+    # the E-step it runs each round IS oracle-backed
+    # (q_k26_unigram_estep); the full loop is pinned against an
+    # independent pure-Python twin (tests/test_bpe.py)
+    survey_rows="K26,K22",
+    doc="full Unigram-LM tokenizer training (Kudo 2018, hard-EM): "
+    "substring-frequency seed vocabulary (top-N multi-char pieces + "
+    "the whole alphabet), then per round Viterbi-segment the word-TYPE "
+    "table under integer centi-nat scores, count piece usage "
+    "(operators/bpe.unigram_piece_counts — the oracle-backed E-step), "
+    "prune the weakest fraction, and re-score (M-step, 9 dp "
+    "pre-rounded ln — the float-boundary playbook). Corpus touched "
+    "once; every iteration is vocabulary-sized with a bounded collect "
+    "(the train_bpe loop contract)",
+)
+def q_k26_train(spark, sf_dir):
+    from jane_spark.operators.bpe import train_unigram
+
+    docs = Catalog(spark, sf_dir).documents
+    vocab = train_unigram(docs, n_iters=2, seed_size=40)
+    return spark.createDataFrame(
+        vocab, "piece string, score int, cnt long"
+    )
+
+
+@contract(
     "q_k22_bpe_train",
     oracle=_bpe_train_oracle(),
     survey_rows="K22",

@@ -450,3 +450,122 @@ def encode_words_udf(
         return col.map(_encode_one)
 
     return words.withColumn("tokens", _enc(F.col(word_col)))
+
+
+def seed_unigram_vocab(
+    docs: DataFrame,
+    max_piece_len: int = 4,
+    seed_size: int = 64,
+    text_col: str = "text",
+) -> list[tuple[str, int]]:
+    """Unigram training seed (Kudo 2018 §3.2 setup): all word
+    substrings up to ``max_piece_len`` ranked by corpus frequency; the
+    top ``seed_size`` multi-char pieces plus EVERY single character
+    (the alphabet can never be pruned, or the model loses totality).
+    One corpus shuffle (word types) + one vocabulary-sized substring
+    shuffle; the returned list is vocabulary-bounded (driver-safe
+    collect, the train_bpe/IVF-centroid precedent)."""
+    wc = word_counts(docs, text_col).localCheckpoint(eager=True)
+    w = F.col("word")
+    pieces = wc.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(w)),
+                    lambda i: F.filter(
+                        F.transform(
+                            F.sequence(
+                                F.lit(1), F.lit(int(max_piece_len))
+                            ),
+                            lambda l: F.when(
+                                i + l - 1 <= F.length(w),
+                                F.substring(w, i, l),
+                            ),
+                        ),
+                        lambda x: x.isNotNull(),
+                    ),
+                )
+            )
+        ).alias("piece"),
+        "n",
+    )
+    counts = (
+        pieces.groupBy("piece")
+        .agg(F.sum("n").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("piece").asc())
+    )
+    rows = [(r["piece"], int(r["cnt"])) for r in counts.collect()]
+    singles = [(p, c) for p, c in rows if len(p) == 1]
+    multis = [(p, c) for p, c in rows if len(p) > 1][:seed_size]
+    return singles + multis
+
+
+def _integer_scores(counts: list[tuple[str, int]]) -> dict[str, int]:
+    """Piece counts → centi-nat integer log-prob scores:
+    round(100 * ln(cnt/total)) with a 9 dp pre-round (the float-
+    boundary playbook) so any engine computing the same formula lands
+    on the same integer."""
+    import math
+
+    total = sum(c for _, c in counts)
+    return {
+        p: int(round(round(100.0 * math.log(c / total), 9)))
+        for p, c in counts
+    }
+
+
+def train_unigram(
+    docs: DataFrame,
+    n_iters: int = 2,
+    max_piece_len: int = 4,
+    seed_size: int = 64,
+    prune_frac: float = 0.2,
+    text_col: str = "text",
+) -> list[tuple[str, int, int]]:
+    """Unigram-LM tokenizer training (Kudo 2018, hard-EM/Viterbi
+    variant): seed vocabulary from substring frequencies, then
+    ``n_iters`` rounds of (E) Viterbi-segment the corpus under the
+    current integer scores and count piece usage — the oracle-backed
+    unigram_piece_counts — and (M) re-score from the counts, pruning
+    the lowest-count ``prune_frac`` of multi-char pieces each round
+    (single characters are never pruned; pieces with zero Viterbi use
+    drop first). Returns [(piece, score, count), ...] sorted by
+    (count desc, piece asc).
+
+    Scale shape: the corpus is touched ONCE (word types); every
+    iteration is one vocabulary-sized DP + piece-count shuffle with a
+    vocabulary-BOUNDED collect (train_bpe's loop contract: driver
+    iteration is fine when each round's driver data is dimension-
+    bounded). Pinned against a pure-Python twin in tests."""
+    wc = word_counts(docs, text_col).localCheckpoint(eager=True)
+    seed = seed_unigram_vocab(docs, max_piece_len, seed_size, text_col)
+    scores = _integer_scores(seed)
+    counts: dict[str, int] = dict(seed)
+    for _ in range(n_iters):
+        enc = unigram_encode(wc, scores)
+        used = (
+            enc.select(F.explode("tokens").alias("piece"), "n")
+            .groupBy("piece")
+            .agg(F.sum("n").alias("cnt"))
+        )
+        counts = {r["piece"]: int(r["cnt"]) for r in used.collect()}
+        # pieces never chosen by any Viterbi path vanish implicitly;
+        # prune the weakest used multi-char pieces explicitly
+        # prune order fully deterministic: (count asc, piece asc)
+        multis = sorted(
+            (c, p) for p, c in counts.items() if len(p) > 1
+        )
+        n_prune = int(len(multis) * prune_frac)
+        for _, p in multis[:n_prune]:
+            del counts[p]
+        # the alphabet survives even with zero standalone use
+        for p, c in seed:
+            if len(p) == 1 and p not in counts:
+                counts[p] = 0
+        scores = _integer_scores(
+            [(p, max(c, 1)) for p, c in counts.items()]
+        )
+    return sorted(
+        ((p, scores[p], c) for p, c in counts.items()),
+        key=lambda t: (-t[2], t[0]),
+    )

@@ -374,3 +374,75 @@ def test_encode_words_udf_parity_and_scale(spark):
     got = {r.word: r.tokens for r in encode_words_udf(bdf, big_merges).collect()}
     for w in bwords:
         assert got[w] == py_encode(w, big_merges), w
+
+
+def _py_train_unigram(texts, n_iters=2, max_piece_len=4, seed_size=64,
+                      prune_frac=0.2):
+    """Independent Python twin of operators.bpe.train_unigram."""
+    import math
+    from collections import Counter
+
+    def iscores(counts):
+        total = sum(counts.values())
+        return {
+            p: int(round(round(100.0 * math.log(c / total), 9)))
+            for p, c in counts.items()
+        }
+
+    wc = Counter(w for t in texts for w in t.split(" ") if w)
+    sub = Counter()
+    for w, n in wc.items():
+        for i in range(len(w)):
+            for l in range(1, max_piece_len + 1):
+                if i + l <= len(w):
+                    sub[w[i:i + l]] += n
+    ranked = sorted(sub.items(), key=lambda kv: (-kv[1], kv[0]))
+    singles = {p: c for p, c in ranked if len(p) == 1}
+    multis = dict([(p, c) for p, c in ranked if len(p) > 1][:seed_size])
+    seed = {**singles, **multis}
+    scores = iscores(seed)
+    counts = dict(seed)
+    for _ in range(n_iters):
+        used = Counter()
+        for w, n in wc.items():
+            for piece in _py_viterbi(w, scores)[2]:
+                used[piece] += n
+        counts = dict(used)
+        ml = sorted((c, p) for p, c in counts.items() if len(p) > 1)
+        for _, p in ml[: int(len(ml) * prune_frac)]:
+            del counts[p]
+        for p in singles:
+            counts.setdefault(p, 0)
+        scores = iscores({p: max(c, 1) for p, c in counts.items()})
+    return sorted(((p, scores[p], c) for p, c in counts.items()),
+                  key=lambda t: (-t[2], t[0]))
+
+
+def test_train_unigram_matches_python_twin(spark):
+    from jane_spark.operators.bpe import train_unigram
+
+    texts = [
+        "low lower lowest batch batch merge merge merge",
+        "the batch stream stream lower low low",
+        "merge order order scan",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = train_unigram(docs, n_iters=2, seed_size=24)
+    want = _py_train_unigram(texts, n_iters=2, seed_size=24)
+    assert got == want
+    pieces = {p for p, _, _ in got}
+    # the alphabet always survives; some multi-char piece must have won
+    assert {c for t in texts for c in t if c != " "} <= pieces
+    assert any(len(p) > 1 for p in pieces)
+
+
+def test_train_unigram_on_fixture_corpus(spark, sf_dir):
+    from jane_spark.operators.bpe import train_unigram
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    got = train_unigram(docs, n_iters=2, seed_size=40)
+    want = _py_train_unigram(texts, n_iters=2, seed_size=40)
+    assert got == want
