@@ -711,6 +711,62 @@ def q_p12(spark, sf_dir):
     return packing_stats(packed, budget=512)
 
 
+def _pack_sequences_oracle(budget: int = 512, n_packers: int = 8) -> str:
+    """Packed-example twin: reuse the FFD recursive state machine
+    (everything up to CTE r), join item ids back by (packer, rn), and
+    aggregate per bin with ORDER BY (length desc, id asc) — placement
+    order — building doc-id lists and cumulative token boundaries with
+    window sums. Integers end to end."""
+    base = _ffd_oracle_sql(budget, n_packers).rsplit("fills AS (", 1)[0]
+    return (
+        base
+        + """a AS (
+            SELECT concat(CAST(r.packer AS VARCHAR), '/',
+                          CAST(r.bin_idx AS VARCHAR)) AS bin_id,
+                   i.id, r.l,
+                   CAST(sum(r.l) OVER (
+                       PARTITION BY r.packer, r.bin_idx
+                       ORDER BY r.l DESC, i.id ASC
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS bound
+            FROM r JOIN items i
+              ON i.packer = r.packer AND i.rn = r.rn
+            WHERE r.rn >= 1)
+        SELECT bin_id,
+               string_agg(CAST(id AS VARCHAR), '|'
+                          ORDER BY l DESC, id ASC) AS doc_ids,
+               string_agg(CAST(bound AS VARCHAR), '|'
+                          ORDER BY l DESC, id ASC) AS boundaries,
+               CAST(sum(l) AS BIGINT) AS total_tokens,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM a GROUP BY bin_id
+    """
+    )
+
+
+@contract(
+    "q_p15_pack_boundaries",
+    oracle=_pack_sequences_oracle(),
+    survey_rows="P4,P12,K4",
+    doc="packed-example materialization with attention-mask boundaries "
+    "(operators/packing.pack_sequences): per FFD bin, member documents "
+    "in placement order + the cumulative token offsets a trainer masks "
+    "attention across — the step between bin ASSIGNMENT (q_p12) and "
+    "writing training shards. One bin-keyed shuffle; the boundary fold "
+    "is row-local over a budget-bounded member list. Oracle reuses the "
+    "FFD recursive state machine and rebuilds the same strings with "
+    "ordered window sums — integers end to end",
+)
+def q_p15(spark, sf_dir):
+    from jane_spark.functions.text import token_count
+    from jane_spark.operators.packing import pack_ffd, pack_sequences
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", token_count(F.col("text")).alias("n_tok")
+    )
+    packed = pack_ffd(docs, "doc_id", "n_tok", budget=512, n_packers=8)
+    return pack_sequences(packed)
+
+
 @contract(
     "q_t26_contam_report",
     oracle=f"""

@@ -124,3 +124,61 @@ def packing_stats(packed: DataFrame, budget: int) -> DataFrame:
             F.lit(0.0),
         ).alias("utilization"),
     )
+
+
+def pack_sequences(
+    packed: DataFrame,
+    id_col: str = "id",
+    len_col: str = "length",
+    bin_col: str = "bin_id",
+) -> DataFrame:
+    """Materialize packed training examples from a bin assignment
+    (pack_ffd output): per bin, the member documents in placement
+    order (length desc, id asc — FFD's scan order restricted to the
+    bin) plus the cumulative token BOUNDARIES the example carries so a
+    trainer can mask attention across document joins. '|'-joined
+    strings rather than arrays keep the row trivially hashable and
+    line-protocol friendly.
+
+    One shuffle on the bin key; collect_list is per-bin (bounded by
+    budget/min-doc-length members) and the boundary fold is row-local.
+    """
+    srt = F.array_sort(
+        F.collect_list(
+            F.struct(
+                (F.lit(0) - F.col(len_col)).alias("nl"),
+                F.col(id_col).alias("id"),
+                F.col(len_col).alias("l"),
+            )
+        )
+    )
+    per_bin = packed.groupBy(F.col(bin_col).alias("bin_id")).agg(
+        srt.alias("__m"),
+        F.sum(len_col).alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    m = F.col("__m")
+    doc_ids = F.array_join(
+        F.transform(m, lambda s: s["id"].cast("string")), "|"
+    )
+    bounds = F.aggregate(
+        m,
+        F.struct(
+            F.lit(0).cast("long").alias("at"),
+            F.expr("array()").cast("array<string>").alias("parts"),
+        ),
+        lambda acc, s: F.struct(
+            (acc["at"] + s["l"]).alias("at"),
+            F.concat(
+                acc["parts"], F.array((acc["at"] + s["l"]).cast("string"))
+            ).alias("parts"),
+        ),
+        lambda acc: F.array_join(acc["parts"], "|"),
+    )
+    return per_bin.select(
+        "bin_id",
+        doc_ids.alias("doc_ids"),
+        bounds.alias("boundaries"),
+        "total_tokens",
+        "n_docs",
+    )

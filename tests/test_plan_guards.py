@@ -414,6 +414,9 @@ _PANDAS_ALLOWED = {
     # IS the operator (r8)
     "q_a3_quakeml_parse",
     "q_a2_stationxml_parse",
+    # packed-example materialization runs on pack_ffd's grouped-map
+    # assignment (same justification as q_p12)
+    "q_p15_pack_boundaries",
 }
 # "Python" catches every Arrow*/Batch* Python node (EvalPython,
 # ArrowAggregatePython, PythonUDF…); "InPandas" the map/grouped forms
