@@ -421,3 +421,63 @@ def test_psl_property_vs_twin(spark):
     want = [_psl_twin(h, rules) for h in hosts]
     bad = [(h, g, w) for h, g, w in zip(hosts, got, want) if g != w]
     assert not bad, bad[:5]
+
+
+def test_url_normalize_is_idempotent(spark):
+    """Canonicalization must be a FIXPOINT: normalizing an already-
+    normalized URL returns it unchanged (dedup keys would otherwise
+    drift across re-ingestion passes). Exercised over the synthetic
+    corpus plus adversarial hand cases."""
+    from jane_spark.contracts.curation import _synth_urls
+    from jane_spark.functions.urls import url_normalize
+
+    u = _synth_urls(spark, "/root/testdata/sf0.001").select("url")
+    extra = spark.createDataFrame(
+        [
+            ("HTTPS://User:pw@Ex.COM.:443/a/b?utm_x=1&b=2&a=1#frag",),
+            ("http://h:80",),
+            ("http://h:8080/p?z=1&y=2",),
+            ("ftp://x.y/path",),
+            ("not a url",),
+        ],
+        "url string",
+    )
+    for df in (u, extra):
+        once = df.select(url_normalize(F.col("url")).alias("n1")).filter(
+            F.col("n1").isNotNull()
+        )
+        twice = once.select(
+            "n1", url_normalize(F.col("n1")).alias("n2")
+        )
+        bad = twice.filter(
+            F.col("n2").isNull() | (F.col("n1") != F.col("n2"))
+        ).collect()
+        assert not bad, bad[:3]
+
+
+def test_with_normalized_url_equals_inline_pair(spark):
+    """The materialized helper is a pure performance shape: its (norm,
+    domain) must be row-identical to the inline expression pair."""
+    from jane_spark.contracts.curation import _synth_urls
+    from jane_spark.functions.urls import (
+        url_domain,
+        url_normalize,
+        with_normalized_url,
+    )
+
+    u = _synth_urls(spark, "/root/testdata/sf0.001")
+    a = sorted(
+        (r["doc_id"], r["norm"], r["domain"])
+        for r in with_normalized_url(u, "url")
+        .select("doc_id", "norm", "domain")
+        .collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["norm"], r["domain"])
+        for r in u.select(
+            "doc_id",
+            url_normalize(F.col("url")).alias("norm"),
+            url_domain(F.col("url")).alias("domain"),
+        ).collect()
+    )
+    assert a == b
