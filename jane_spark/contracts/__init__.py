@@ -56,8 +56,9 @@ VERIFY_FIRST: list[str] = [
     #   (e) 31 slots of the 45-name r4 veteran block in registration
     #       order, with q_k3_ivf promoted over q_j5_stateful_segments
     #       (ivf_topk's ranking changed this round; j5's code did not).
-    # After r8 the only stale evidence is the 20-name r4 remainder
-    # (q_c8_cross, q_d1_count_group, q_d13_gapfill, q_d14_stats,
+    # After r8 the only stale evidence is the 21-name r4 remainder
+    # (q_c7_asof, q_c8_cross, q_d1_count_group, q_d13_gapfill,
+    # q_d14_stats,
     # q_i1_stream_ingest, q_i5_late_drop,
     # q_i6_stream_dedup, q_i7_stream_upsert,
     # q_i8_stream_quality_gate, q_j1_parse_files,
@@ -84,6 +85,7 @@ VERIFY_FIRST: list[str] = [
     "q_a2_stationxml_parse",
     "q_k26_unigram_train",
     "q_p15_pack_boundaries",
+    "q_k23_pq_codes",
     # (c) code changed in r8
     "q_k7_phash",
     "q_a7_dataselect_cut",
@@ -120,7 +122,6 @@ VERIFY_FIRST: list[str] = [
     "q_c3_join4",
     "q_c4_range_join",
     "q_c5_semi",
-    "q_c7_asof",
     "q_c4_overlap",
     "q_k3_ivf",
 ]

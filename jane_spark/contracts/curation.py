@@ -886,40 +886,101 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 5) -> str:
     )
 
 
-def _kmeans_ctes(k: int, iters: int) -> tuple[list[str], str]:
+def _kmeans_ctes(
+    k: int,
+    iters: int,
+    suffix: str = "",
+    vec_expr: str = "list_transform(embedding, x -> CAST(x AS DOUBLE))",
+) -> tuple[list[str], str]:
     """(CTE list, distance expression) for the unrolled Lloyd chain —
-    shared by the k-means oracle and the portable-IVF oracle (which
-    consumes the fitted ``c{iters}`` centroid table)."""
+    shared by the k-means oracle, the portable-IVF oracle (which
+    consumes the fitted ``c{iters}`` centroid table) and the PQ oracle
+    (one suffixed chain per subvector over a sliced ``vec_expr``)."""
     dist = (
         "list_sum(list_transform(generate_series(1, len(v.v)), "
         "j -> (v.v[j] - c.cv[j]) * (v.v[j] - c.cv[j])))"
     )
+    S = suffix
     ctes = [
-        "v AS (SELECT vec_id AS id, "
-        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
-        "FROM embeddings)",
-        f"c0 AS (SELECT (row_number() OVER (ORDER BY id)) - 1 AS cid, "
-        f"v AS cv FROM v ORDER BY id LIMIT {k})",
+        f"v{S} AS (SELECT vec_id AS id, {vec_expr} AS v FROM embeddings)",
+        f"c0{S} AS (SELECT (row_number() OVER (ORDER BY id)) - 1 AS cid, "
+        f"v AS cv FROM v{S} ORDER BY id LIMIT {k})",
     ]
     for i in range(iters):
         ctes.append(
-            f"a{i} AS (SELECT id, v, cid FROM ("
+            f"a{i}{S} AS (SELECT id, v, cid FROM ("
             f"SELECT v.id, v.v, c.cid, row_number() OVER ("
             f"PARTITION BY v.id ORDER BY {dist}, c.cid) AS rn "
-            f"FROM v CROSS JOIN c{i} c) WHERE rn = 1)"
+            f"FROM v{S} v CROSS JOIN c{i}{S} c) WHERE rn = 1)"
         )
         ctes.append(
-            f"m{i} AS (SELECT cid, list(m ORDER BY dim) AS cv FROM ("
+            f"m{i}{S} AS (SELECT cid, list(m ORDER BY dim) AS cv FROM ("
             f"SELECT cid, dim, round(avg(val), 9) AS m FROM ("
             f"SELECT cid, generate_subscripts(v, 1) AS dim, "
-            f"unnest(v) AS val FROM a{i}) GROUP BY cid, dim) "
+            f"unnest(v) AS val FROM a{i}{S}) GROUP BY cid, dim) "
             f"GROUP BY cid)"
         )
         ctes.append(
-            f"c{i + 1} AS (SELECT c.cid, coalesce(m.cv, c.cv) AS cv "
-            f"FROM c{i} c LEFT JOIN m{i} m ON c.cid = m.cid)"
+            f"c{i + 1}{S} AS (SELECT c.cid, coalesce(m.cv, c.cv) AS cv "
+            f"FROM c{i}{S} c LEFT JOIN m{i}{S} m ON c.cid = m.cid)"
         )
     return ctes, dist
+
+
+def _pq_oracle_sql(
+    dim: int = 64, m: int = 4, k: int = 4, iters: int = 2
+) -> str:
+    """PQ twin: one suffixed unrolled-Lloyd chain per subvector over
+    the sliced embedding, final select joins the m per-subvector
+    assignments into the code tuple."""
+    sub_d = dim // m
+    all_ctes: list[str] = []
+    for s in range(m):
+        lo, hi = s * sub_d + 1, (s + 1) * sub_d
+        vexpr = (
+            f"list_transform(embedding[{lo}:{hi}], "
+            "x -> CAST(x AS DOUBLE))"
+        )
+        ctes, dist = _kmeans_ctes(k, iters, suffix=f"_s{s}", vec_expr=vexpr)
+        all_ctes.extend(ctes)
+        all_ctes.append(
+            f"code_s{s} AS (SELECT id, CAST(cid AS INT) AS code FROM ("
+            f"SELECT v.id, c.cid, row_number() OVER ("
+            f"PARTITION BY v.id ORDER BY {dist}, c.cid) AS rn "
+            f"FROM v_s{s} v CROSS JOIN c{iters}_s{s} c) WHERE rn = 1)"
+        )
+    joins = " ".join(
+        f"JOIN code_s{s} USING (id)" for s in range(1, m)
+    )
+    cols = ", ".join(f"code_s{s}.code AS code_{s}" for s in range(m))
+    return (
+        "WITH " + ",\n".join(all_ctes) + f"""
+        SELECT id AS vec_id, {cols}
+        FROM code_s0 {joins}
+    """
+    )
+
+
+@contract(
+    "q_k23_pq_codes",
+    oracle=_pq_oracle_sql(),
+    survey_rows="K23,K3,K16",
+    doc="product-quantization encoding (Jégou et al. 2011 — the "
+    "IVF-PQ memory path completing the quantization family beside "
+    "int8/binary/Matryoshka): 64-dim embeddings split into 4 "
+    "subvectors, an independent deterministic Lloyd codebook per "
+    "subvector (k-smallest-id seeding, 2 fixed iterations, ties to "
+    "the smaller centroid — operators/vector.pq_encode over "
+    "semdedup's kmeans), each vector emitted as its 4-code tuple. "
+    "Oracle = four suffixed unrolled-Lloyd CTE chains over sliced "
+    "embeddings joined into the tuple; codes are integers end to "
+    "end, so the hash check is exact",
+)
+def q_k23_pq(spark, sf_dir):
+    from jane_spark.operators.vector import pq_encode
+
+    emb = Catalog(spark, sf_dir).embeddings
+    return pq_encode(emb, "vec_id", "embedding", dim=64, m=4, k=4, iters=2)
 
 
 @contract(

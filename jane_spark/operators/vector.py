@@ -709,3 +709,46 @@ def two_stage_topk(
     if round_dp is not None:
         out = out.withColumn("sim", F.round(F.col("sim"), round_dp))
     return out
+
+
+def pq_encode(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """Product-quantization codes (Jégou, Douze & Schmid 2011 — the
+    IVF-PQ memory path): split each vector into ``m`` subvectors,
+    train an independent k-means codebook per subvector (the
+    deterministic Lloyd loop SemDeDup/IVF already use: k-smallest-id
+    seeding, fixed iterations, ties to the smaller centroid), and
+    emit each vector's code tuple — ``m`` small integers replacing
+    ``dim`` floats (here 64 floats → 4 codes; a production 16×256
+    config stores 16 bytes per vector, a 32× memory cut for the
+    re-rank working set).
+
+    Contract shape: one Lloyd loop per subvector (broadcast k×(d/m)
+    centroids, one keyed shuffle per iteration) + ``m-1`` id-equi
+    joins to assemble the tuple. At scale the joins disappear: train
+    the m codebooks, then ONE projection computes every code against
+    the broadcast codebook literals. Codes are integers end to end —
+    no float boundary can flip a hash comparison."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub_d = dim // m
+    from jane_spark.operators.semdedup import kmeans_assign
+
+    out = None
+    for s in range(m):
+        sub = vectors.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * sub_d + 1, sub_d).alias("__sub"),
+        )
+        a = kmeans_assign(sub, id_col, "__sub", k=k, iters=iters).select(
+            F.col(id_col), F.col("cluster").alias(f"code_{s}")
+        )
+        out = a if out is None else out.join(a, id_col)
+    return out
