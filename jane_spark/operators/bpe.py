@@ -452,19 +452,18 @@ def encode_words_udf(
     return words.withColumn("tokens", _enc(F.col(word_col)))
 
 
-def seed_unigram_vocab(
+def seed_vocab_frames(
     docs: DataFrame,
     max_piece_len: int = 4,
     seed_size: int = 64,
     text_col: str = "text",
-) -> list[tuple[str, int]]:
-    """Unigram training seed (Kudo 2018 §3.2 setup): all word
-    substrings up to ``max_piece_len`` ranked by corpus frequency; the
-    top ``seed_size`` multi-char pieces plus EVERY single character
-    (the alphabet can never be pruned, or the model loses totality).
-    One corpus shuffle (word types) + one vocabulary-sized substring
-    shuffle; the returned list is vocabulary-bounded (driver-safe
-    collect, the train_bpe/IVF-centroid precedent)."""
+) -> tuple[DataFrame, DataFrame]:
+    """The cluster-side halves of :func:`seed_unigram_vocab`:
+    (alphabet singles, top-``seed_size`` multis) as DataFrames, each
+    already ordered (cnt desc, piece asc) and — for the multis —
+    truncated via ``limit`` so Spark plans a TakeOrdered, never a
+    full-table collect. Exposed separately so plan guards can assert
+    the truncation stays cluster-side."""
     wc = word_counts(docs, text_col).localCheckpoint(eager=True)
     w = F.col("word")
     pieces = wc.select(
@@ -489,14 +488,35 @@ def seed_unigram_vocab(
         ).alias("piece"),
         "n",
     )
-    counts = (
-        pieces.groupBy("piece")
-        .agg(F.sum("n").alias("cnt"))
-        .orderBy(F.col("cnt").desc(), F.col("piece").asc())
+    counts = pieces.groupBy("piece").agg(F.sum("n").alias("cnt"))
+    order = [F.col("cnt").desc(), F.col("piece").asc()]
+    singles_df = counts.filter(F.length("piece") == 1).orderBy(*order)
+    multis_df = (
+        counts.filter(F.length("piece") > 1)
+        .orderBy(*order)
+        .limit(int(seed_size))
     )
-    rows = [(r["piece"], int(r["cnt"])) for r in counts.collect()]
-    singles = [(p, c) for p, c in rows if len(p) == 1]
-    multis = [(p, c) for p, c in rows if len(p) > 1][:seed_size]
+    return singles_df, multis_df
+
+
+def seed_unigram_vocab(
+    docs: DataFrame,
+    max_piece_len: int = 4,
+    seed_size: int = 64,
+    text_col: str = "text",
+) -> list[tuple[str, int]]:
+    """Unigram training seed (Kudo 2018 §3.2 setup): all word
+    substrings up to ``max_piece_len`` ranked by corpus frequency; the
+    top ``seed_size`` multi-char pieces plus EVERY single character
+    (the alphabet can never be pruned, or the model loses totality).
+    Collects only the bounded union from :func:`seed_vocab_frames`."""
+    singles_df, multis_df = seed_vocab_frames(
+        docs, max_piece_len, seed_size, text_col
+    )
+    singles = [
+        (r["piece"], int(r["cnt"])) for r in singles_df.collect()
+    ]
+    multis = [(r["piece"], int(r["cnt"])) for r in multis_df.collect()]
     return singles + multis
 
 
