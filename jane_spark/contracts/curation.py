@@ -961,6 +961,107 @@ def _pq_oracle_sql(
     )
 
 
+def _pq_adc_oracle_sql(
+    dim: int = 64,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    k_top: int = 5,
+    round_dp: int = 6,
+    query_mod: int = 100,
+) -> str:
+    """ADC-search twin: the m suffixed unrolled-Lloyd chains from the
+    PQ oracle (codebooks + per-vector codes), then the asymmetric
+    read path — per-query m×k distance table (9 dp-pre-rounded,
+    matching the Spark entries), per-item distance as the SAME
+    left-associated 4-term sum, rounded before ranking, row_number
+    top-k with the b_id tie-break."""
+    sub_d = dim // m
+    all_ctes: list[str] = []
+    for s in range(m):
+        lo, hi = s * sub_d + 1, (s + 1) * sub_d
+        vexpr = (
+            f"list_transform(embedding[{lo}:{hi}], "
+            "x -> CAST(x AS DOUBLE))"
+        )
+        ctes, dist = _kmeans_ctes(k, iters, suffix=f"_s{s}", vec_expr=vexpr)
+        all_ctes.extend(ctes)
+        all_ctes.append(
+            f"code_s{s} AS (SELECT id, CAST(cid AS INT) AS code FROM ("
+            f"SELECT v.id, c.cid, row_number() OVER ("
+            f"PARTITION BY v.id ORDER BY {dist}, c.cid) AS rn "
+            f"FROM v_s{s} v CROSS JOIN c{iters}_s{s} c) WHERE rn = 1)"
+        )
+    cb_union = " UNION ALL ".join(
+        f"SELECT {s} AS s, cid, cv FROM c{iters}_s{s}" for s in range(m)
+    )
+    all_ctes.append(f"cb AS ({cb_union})")
+    all_ctes.append(
+        "q AS (SELECT vec_id AS q_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv "
+        f"FROM embeddings WHERE vec_id % {query_mod} = 0)"
+    )
+    all_ctes.append(
+        "dt AS (SELECT q.q_id, cb.s, cb.cid, "
+        f"round(list_sum(list_transform(generate_series(1, {sub_d}), "
+        f"j -> (q.qv[cb.s * {sub_d} + j] - cb.cv[j]) * "
+        f"(q.qv[cb.s * {sub_d} + j] - cb.cv[j]))), 9) AS d "
+        "FROM q CROSS JOIN cb)"
+    )
+    code_joins = " ".join(f"JOIN code_s{s} USING (id)" for s in range(1, m))
+    code_cols = ", ".join(f"code_s{s}.code AS c{s}" for s in range(m))
+    all_ctes.append(
+        f"codes AS (SELECT id AS vec_id, {code_cols} "
+        f"FROM code_s0 {code_joins})"
+    )
+    dt_joins = " ".join(
+        f"JOIN dt dt{s} ON dt{s}.q_id = q.q_id AND dt{s}.s = {s} "
+        f"AND dt{s}.cid = codes.c{s}"
+        for s in range(m)
+    )
+    sum_expr = " + ".join(f"dt{s}.d" for s in range(m))
+    all_ctes.append(
+        f"adc AS (SELECT q.q_id, codes.vec_id AS b_id, "
+        f"round({sum_expr}, {round_dp}) AS adc "
+        f"FROM q CROSS JOIN codes {dt_joins})"
+    )
+    return (
+        "WITH " + ",\n".join(all_ctes) + f"""
+        SELECT q_id, b_id, adc FROM (
+            SELECT q_id, b_id, adc, row_number() OVER (
+                PARTITION BY q_id ORDER BY adc, b_id) AS rn FROM adc)
+        WHERE rn <= {k_top}
+    """
+    )
+
+
+@contract(
+    "q_k23_pq_adc",
+    oracle=_pq_adc_oracle_sql(),
+    survey_rows="K23,K3",
+    doc="asymmetric-distance (ADC) top-k search over the PQ codes "
+    "(Jégou et al. 2011 §4 — completes IVF-PQ as a SEARCH path, not "
+    "just a memory layout): 5 query vectors (vec_id % 100 = 0) keep "
+    "full precision and precompute a 4×4 table of 9 dp-rounded "
+    "squared-L2 distances to every codebook centroid; each corpus "
+    "item's distance is its 4 table lookups summed in fixed subvector "
+    "order, rounded 6 dp BEFORE the (adc, b_id) rank — "
+    "operators/vector.pq_adc_topk. The corpus's full-dim vectors are "
+    "never touched after encoding. Oracle reuses the four suffixed "
+    "unrolled-Lloyd chains and replays the same lookup-sum-rank "
+    "arithmetic",
+)
+def q_k23_adc(spark, sf_dir):
+    from jane_spark.operators.vector import pq_adc_topk
+
+    emb = Catalog(spark, sf_dir).embeddings
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    return pq_adc_topk(
+        emb, qs, "vec_id", "embedding", dim=64, m=4, k=4, iters=2,
+        k_top=5, round_dp=6,
+    )
+
+
 @contract(
     "q_k23_pq_codes",
     oracle=_pq_oracle_sql(),

@@ -736,19 +736,109 @@ def pq_encode(
     the m codebooks, then ONE projection computes every code against
     the broadcast codebook literals. Codes are integers end to end —
     no float boundary can flip a hash comparison."""
+    return pq_fit(vectors, id_col, vec_col, dim, m, k, iters)[0]
+
+
+def pq_fit(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+) -> "tuple[DataFrame, list[list[list[float]]]]":
+    """``pq_encode`` plus the fitted codebooks: returns
+    ``(codes_df, books)`` where ``books[s][c]`` is subvector ``s``'s
+    centroid ``c`` (each coordinate already 9 dp-rounded by the Lloyd
+    update). The codebooks are m×k×(dim/m) doubles — driver-sized at
+    any corpus scale — and are what ADC search looks distances up
+    against."""
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub_d = dim // m
-    from jane_spark.operators.semdedup import kmeans_assign
+    from jane_spark.operators.semdedup import kmeans_fit
 
     out = None
+    books: list[list[list[float]]] = []
     for s in range(m):
         sub = vectors.select(
             F.col(id_col),
             F.slice(F.col(vec_col), s * sub_d + 1, sub_d).alias("__sub"),
         )
-        a = kmeans_assign(sub, id_col, "__sub", k=k, iters=iters).select(
-            F.col(id_col), F.col("cluster").alias(f"code_{s}")
-        )
+        a, cents = kmeans_fit(sub, id_col, "__sub", k=k, iters=iters)
+        books.append(cents)
+        a = a.select(F.col(id_col), F.col("cluster").alias(f"code_{s}"))
         out = a if out is None else out.join(a, id_col)
-    return out
+    return out, books
+
+
+def pq_adc_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    k_top: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over PQ codes (Jégou,
+    Douze & Schmid 2011 §4 — the search path completing IVF-PQ): the
+    corpus exists only as its m-code tuples; each QUERY keeps its full
+    vector and precomputes an m×k table of squared-L2 distances to
+    every codebook centroid; a corpus item's approximate distance is
+    then m table lookups summed — never a d-dim float op per corpus
+    row.
+
+    Determinism discipline: each table entry is 9 dp-pre-rounded, the
+    m lookups are summed in FIXED subvector order (left-associated, so
+    any engine folding the same doubles lands on the same sum), and
+    the final distance is rounded ``round_dp`` BEFORE ranking (the
+    rank_round_dp / ulp-at-the-rank-boundary playbook).
+
+    Scale shape: codebooks are m×k×(d/m) doubles (driver/broadcast-
+    sized); the per-query table is m×k doubles, carried with the
+    broadcast query row; the corpus side is ONE projection over the
+    codes (a broadcast nested-loop against the bounded query set —
+    exactly the IVF-PQ posture, where the candidate set per query is
+    already list-pruned before ADC) + one q_id-keyed top-k shuffle.
+    The full-dim corpus vectors are never touched after encoding —
+    that is the 32× working-set cut PQ exists for."""
+    sub_d = dim // m
+    codes, books = pq_fit(vectors, id_col, vec_col, dim, m, k, iters)
+    qv = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+            "__qv"
+        ),
+    )
+    # per-query lookup table: entry [s*k + c] = round(||q_s - b_sc||², 9)
+    entries = []
+    for s in range(m):
+        sub = F.slice(F.col("__qv"), s * sub_d + 1, sub_d)
+        for c in range(k):
+            cent = F.array(*[F.lit(float(x)) for x in books[s][c]])
+            d = F.aggregate(
+                F.zip_with(sub, cent, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            entries.append(F.round(d, 9))
+    qt = qv.select("q_id", F.array(*entries).alias("__dt"))
+    scored = codes.crossJoin(F.broadcast(qt))
+    # fixed-order fold: ((d₀+d₁)+d₂)+d₃ — element [s*k + code_s]
+    adc = None
+    for s in range(m):
+        term = F.col("__dt")[F.lit(s * k) + F.col(f"code_{s}")]
+        adc = term if adc is None else adc + term
+    scored = scored.select(
+        "q_id",
+        F.col(id_col).alias("b_id"),
+        F.round(adc, round_dp).alias("adc"),
+    )
+    return top_k_per_group(
+        scored, ["q_id"], [F.col("adc").asc(), F.col("b_id").asc()], k_top
+    ).drop("rn")
