@@ -792,6 +792,94 @@ def q_k21(spark, sf_dir):
     )
 
 
+_PHASH_PORTABLE_ORACLE = """
+WITH m AS (
+  SELECT k, n, round((CASE WHEN k = 0 THEN 1.0/sqrt(2.0) ELSE 1.0 END)
+         * cos(pi() * (2*n+1) * k / 64.0) * sqrt(2.0/32.0), 9) AS m
+  FROM range(8) t1(k), range(32) t2(n)),
+pix AS (
+  SELECT doc_id AS item_id, r, c,
+         CAST((doc_id*37 + (r//2)*(r//2)*3 + (c//2)*(c//2)*5
+               + (r//2)*(c//2)*7 + (r//2)*16 + (c//2)) % 256
+              AS DOUBLE) AS v
+  FROM documents, range(32) t1(r), range(32) t2(c)
+  WHERE doc_id < 40),
+u AS (
+  SELECT item_id, m.k, pix.c, round(sum(m.m * pix.v), 6) AS u
+  FROM pix JOIN m ON m.n = pix.r GROUP BY item_id, m.k, pix.c),
+t AS (
+  SELECT item_id, u.k, m2.k AS l, round(sum(m2.m * u.u), 6) AS t
+  FROM u JOIN m m2 ON m2.n = u.c GROUP BY item_id, u.k, m2.k),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY item_id ORDER BY t, k, l) AS rn FROM t),
+med AS (SELECT item_id, avg(t) AS med FROM ranked
+        WHERE rn IN (32, 33) GROUP BY item_id)
+SELECT item_id, CAST(sum(CASE WHEN ranked.t > med.med THEN
+    CASE WHEN k*8 + l = 63
+         THEN CAST(-9223372036854775807 AS BIGINT) - CAST(1 AS BIGINT)
+         ELSE (CAST(1 AS BIGINT) << (k*8 + l)) END
+    ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS phash
+FROM ranked JOIN med USING (item_id) GROUP BY item_id
+"""
+
+
+@contract(
+    "q_k7_phash_portable",
+    oracle=_PHASH_PORTABLE_ORACLE,
+    survey_rows="K7,K2",
+    doc="ORACLE-BACKED pHash (r9, converting the weakest rows-only "
+    "evidence): on constructed images the whole 64-bit DCT pHash "
+    "chain is fixed linear algebra, so it runs as pure relational "
+    "ops (operators/imagehash.phash_relational) — separable DCT as "
+    "two broadcast-join aggregations against the 9 dp-rounded 8x32 "
+    "coefficient table (each sum rounded 6 dp), numpy's even-n "
+    "median via row_number 32/33, bits packed into a signed long "
+    "with the i=63 term negative. Pixels are synthesized "
+    "arithmetically per doc (a NONLINEAR quadratic formula mod 256 "
+    "— a linear ramp makes most DCT coefficients exactly zero and "
+    "the median a float-noise toss-up; the quadratic keeps every "
+    "low-frequency coefficient >=0.1 away from the median — as a "
+    "16x16 image pre-resized nearest-neighbor to 32x32); "
+    "the oracle replays the identical arithmetic in SQL, and a "
+    "pytest pins phash_relational == the numpy phash64 the real "
+    "codec path uses, welding this contract to q_k7_phash",
+)
+def q_k7_phash_portable(spark, sf_dir):
+    from jane_spark.operators.imagehash import phash_relational
+
+    docs = (
+        Catalog(spark, sf_dir)
+        .documents.select("doc_id")
+        .filter(F.col("doc_id") < 40)
+    )
+    r = spark.range(32).withColumnRenamed("id", "r")
+    c = spark.range(32).withColumnRenamed("id", "c")
+    pix = (
+        docs.crossJoin(r)
+        .crossJoin(c)
+        .select(
+            F.col("doc_id").alias("item_id"),
+            "r",
+            "c",
+            (
+                (
+                    F.col("doc_id") * 37
+                    + F.floor(F.col("r") / 2) * F.floor(F.col("r") / 2) * 3
+                    + F.floor(F.col("c") / 2) * F.floor(F.col("c") / 2) * 5
+                    + F.floor(F.col("r") / 2) * F.floor(F.col("c") / 2) * 7
+                    + F.floor(F.col("r") / 2) * 16
+                    + F.floor(F.col("c") / 2)
+                )
+                % 256
+            )
+            .cast("double")
+            .alias("v"),
+        )
+    )
+    return phash_relational(pix, "item_id", "r", "c", "v")
+
+
 @contract(
     "q_k7_phash",
     oracle=None,  # binary image payloads — rows-only check

@@ -25,7 +25,7 @@ Distributed shape:
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # 32x32 orthonormal DCT-II basis, built once: M[k, n] = c_k cos(pi (2n+1) k / 64)
@@ -101,6 +101,101 @@ def phash_images(
             yield pd.DataFrame({id_col: pdf[id_col], "phash": hashes})
 
     return df.mapInPandas(run, out_schema)
+
+
+def dct_coeff_df(spark, n: int = _N, k_max: int = 8) -> DataFrame:
+    """The low-frequency rows of the orthonormal DCT-II matrix as a
+    (k, n, m) DataFrame, every coefficient rounded 9 dp — the float-
+    boundary playbook: JVM Math.cos and any other engine's libm cos
+    agree long before the 9th decimal, so the rounded constants are
+    engine-identical."""
+    import math
+
+    k = F.col("k")
+    x = F.col("n")
+    rows = (
+        spark.range(k_max)
+        .withColumnRenamed("id", "k")
+        .crossJoin(spark.range(n).withColumnRenamed("id", "n"))
+    )
+    ck = F.when(k == 0, F.lit(1.0 / math.sqrt(2.0))).otherwise(F.lit(1.0))
+    m = (
+        ck
+        * F.cos(F.lit(math.pi) * (2 * x + 1) * k / F.lit(2.0 * n))
+        * F.lit(math.sqrt(2.0 / n))
+    )
+    return rows.select("k", "n", F.round(m, 9).alias("m"))
+
+
+def phash_relational(
+    pixels: DataFrame,
+    id_col: str = "item_id",
+    row_col: str = "r",
+    col_col: str = "c",
+    val_col: str = "v",
+) -> DataFrame:
+    """PORTABLE 64-bit DCT pHash over a long-form pixel table — the
+    JVM-side scale path beside the codec-decoding ``phash_images``
+    (the ivf_portable pattern: same algorithm, explicit determinism
+    discipline, zero Python in the plan).
+
+    Input: one row per (item, r, c) pixel of an already-32×32
+    grayscale image (decode/resize upstream). The chain is the fixed
+    linear algebra pHash is made of: separable DCT as TWO broadcast-
+    join aggregations against the 8×32 rounded coefficient table
+    (row pass then column pass, each sum rounded 6 dp — sub-ulp
+    shuffle-order wobble can't cross a 5e-7 boundary), the median of
+    the 64 low-frequency values via row_number 32/33 (numpy's even-n
+    definition, (k, l) tie-break), bits packed into a signed 64-bit
+    long with the i=63 term negative (two's complement without
+    overflow).
+
+    Scale shape: two aggregations keyed by (item, k|l) + one
+    item-keyed window + one item-keyed final sum — embarrassingly
+    parallel over items; the coefficient table is 256 rows,
+    broadcast."""
+    spark = pixels.sparkSession
+    M = dct_coeff_df(spark)
+    m1 = M.select(
+        F.col("k"), F.col("n").alias(row_col), F.col("m").alias("m1")
+    )
+    u = (
+        pixels.join(F.broadcast(m1), row_col)
+        .groupBy(id_col, "k", col_col)
+        .agg(F.round(F.sum(F.col("m1") * F.col(val_col)), 6).alias("u"))
+    )
+    m2 = M.select(
+        F.col("k").alias("l"), F.col("n").alias(col_col), F.col("m").alias("m2")
+    )
+    t = (
+        u.join(F.broadcast(m2), col_col)
+        .groupBy(id_col, "k", "l")
+        .agg(F.round(F.sum(F.col("m2") * F.col("u")), 6).alias("t"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("t").asc(), F.col("k").asc(), F.col("l").asc()
+    )
+    ranked = t.withColumn("rn", F.row_number().over(w))
+    med = (
+        ranked.filter(F.col("rn").isin(32, 33))
+        .groupBy(id_col)
+        .agg(F.avg("t").alias("med"))
+    )
+    bits = (
+        ranked.join(med, id_col)
+        .withColumn("i", (F.col("k") * 8 + F.col("l")).cast("int"))
+    )
+    term = F.when(
+        F.col("t") > F.col("med"),
+        F.expr(
+            "CASE WHEN i = 63 THEN CAST(-9223372036854775807 AS BIGINT)"
+            " - CAST(1 AS BIGINT)"
+            " ELSE shiftleft(CAST(1 AS BIGINT), i) END"
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    return bits.groupBy(id_col).agg(
+        F.sum(term).cast("long").alias("phash")
+    )
 
 
 def phash_near_pairs(

@@ -609,6 +609,42 @@ def test_phash_images_null_policy_and_parity(spark):
     assert got[3] is None and got[4] is None  # total: no task failure
 
 
+def test_phash_relational_matches_numpy_phash64(spark):
+    """Welds q_k7_phash_portable to the real-codec path: the pure-
+    relational pHash (separable rounded DCT + row_number median) must
+    produce the SAME 64-bit hash as the numpy phash64 reference on the
+    contract's constructed images — the rounding discipline (9 dp
+    coefficients, 6 dp partial sums) sits far below any bit-flip
+    boundary on these fixtures."""
+    import pandas as pd
+
+    from jane_spark.operators.imagehash import phash64, phash_relational
+
+    rr, cc = np.arange(16)[:, None], np.arange(16)[None, :]
+    imgs = {
+        i: (
+            (i * 37 + rr * rr * 3 + cc * cc * 5 + rr * cc * 7 + rr * 16 + cc)
+            % 256
+        ).astype(np.uint8)
+        for i in range(12)
+    }
+    rows = []
+    for i, a16 in imgs.items():
+        a32 = a16[np.arange(32) // 2][:, np.arange(32) // 2]
+        for r in range(32):
+            for c in range(32):
+                rows.append((i, r, c, float(a32[r, c])))
+    pix = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["item_id", "r", "c", "v"])
+    )
+    got = {
+        r["item_id"]: r["phash"]
+        for r in phash_relational(pix, "item_id", "r", "c", "v").collect()
+    }
+    want = {i: phash64(a) for i, a in imgs.items()}
+    assert got == want
+
+
 def test_phash_near_pairs_pigeonhole(spark):
     from jane_spark.operators.imagehash import phash_near_pairs
 
