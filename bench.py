@@ -116,6 +116,21 @@ BENCH_QUERIES = {
     # Unigram-LM tokenizer: the oracle runs the SAME Viterbi DP as a
     # recursive CTE — a genuine perf twin
     "unigram": "q_k26_unigram",
+    # round 9: the remaining r8 newcomers + the r9 additions. The two
+    # XML-parse rows are timed WITHOUT a baseline compare — their
+    # correctness oracles construct the expected rows arithmetically
+    # and parse no XML (the content_extract precedent); the rest have
+    # genuine twins (the keep_best oracle runs the same components
+    # fixpoint as a recursive CTE, pq/adc/phash replay the identical
+    # arithmetic).
+    "keep_best": "q_k10_keep_best",
+    "pq_codes": "q_k23_pq_codes",
+    "pq_adc": "q_k23_pq_adc",
+    "pack_boundaries": "q_p15_pack_boundaries",
+    "availability_params": "q_a8_availability_params",
+    "quakeml_parse": "q_a3_quakeml_parse",
+    "stationxml_parse": "q_a2_stationxml_parse",
+    "phash_portable": "q_k7_phash_portable",
 }
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
@@ -183,6 +198,14 @@ CALIBRATION = {
     "event_includeall": 0.3528,
     "station_params": 0.0854,
     "unigram": 0.2783,
+    # round-9 rows: DuckDB 1.x medians measured on this box at sf0.1
+    # (same session methodology as BASELINE.md)
+    "keep_best": 14.9348,
+    "pq_codes": 0.1736,
+    "pq_adc": 0.3444,
+    "pack_boundaries": 1.3249,
+    "availability_params": 0.0501,
+    "phash_portable": 0.0418,
 }
 
 
@@ -281,27 +304,44 @@ def main() -> None:
             baseline_recheck[bench_name] = _time_duckdb(con, REGISTRY[qname].oracle)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_median": medians,
-                "queries_spread": spreads,
-                "queries_loadavg1m": loadavgs,
-                "baseline_recheck_duckdb_sec": baseline_recheck,
-                "baseline_ref_sec": {
-                    k: v for k, v in CALIBRATION.items() if k in baseline_recheck
-                },
-                "loadavg_start": [round(x, 2) for x in load_start],
-                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
-                "runs": RUNS,
-                "sf": sf,
-            }
-        )
-    )
+    full = {
+        "metric": "headline_suite_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_median": medians,
+        "queries_spread": spreads,
+        "queries_loadavg1m": loadavgs,
+        "baseline_recheck_duckdb_sec": baseline_recheck,
+        "baseline_ref_sec": {
+            k: v for k, v in CALIBRATION.items() if k in baseline_recheck
+        },
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "runs": RUNS,
+        "sf": sf,
+    }
+    # Every BENCH_r0N.json since r6 came back `parsed: null`: the
+    # driver tail-captures stdout and the full artifact is one long
+    # line, so its FRONT (the part with "metric") gets cut. Ship the
+    # diagnostics to stderr + a file, and make the FINAL stdout line
+    # the compact spec shape — small enough to survive any tail
+    # window.
+    print(json.dumps(full), file=sys.stderr)
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "docs", "bench_last_full.json"),
+        "w",
+    ) as f:
+        json.dump(full, f)
+    compact = {
+        "metric": "headline_suite_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 
 
