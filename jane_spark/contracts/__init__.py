@@ -29,101 +29,84 @@ from jane_spark.contracts import rest  # noqa: F401  (§2.12 R REST front door, 
 
 VERIFY_FIRST: list[str] = [
     # =================================================================
-    # ROUND 8 ROTATION (VERDICT r7 next-steps #1/#2 + staleness audit).
+    # ROUND 9 ROTATION (VERDICT r8 next-steps #1 + staleness audit).
     # Window contents, in priority order:
-    #   (a) q_k22_bpe_pairs FIRST — r7's one red row; the oracle's
-    #       missing CAST(sum(n) AS BIGINT) is fixed this round
-    #       (DuckDB HUGEINT vs Spark int64 under the type-tagged
-    #       driver hash) and a registry-wide lint pytest now forbids
-    #       the class;
-    #   (b) 8 NEW r8 contracts, never driver-verified: the XML
-    #       upload-validation gate, the fdsnws-event eventid /
-    #       includeall* / includearrivals params, the fdsnws-station
-    #       updatedafter/includerestricted/includeavailability params,
-    #       the fdsnws-availability orderby/includerestricted/limit
-    #       params, and the Unigram-LM tokenizer encode + E-step;
-    #   (c) 7 whose checks strengthened or code changed in r8:
-    #       q_a7_dataselect_cut (rows-only → oracle-backed — the cut
-    #       resolution is pure relational algebra), q_k7_phash (JPEG
-    #       zigzag
-    #       dequant fix), q_a8_fm_xml + q_a8_station_xml (serializer
-    #       include-flag/DataAvailability edits), q_k3_ivf_portable
-    #       (pre-round ranking), q_k25_wordpiece (raw-length pos=1
-    #       probe), q_t22_urlnorm (single-pass parse);
-    #   (d) the 4 block-(b) members displaced from r7 (q_d6_gaps,
-    #       q_k7_multimodal, q_k7_audio, q_k7_resize — the k7 rows
-    #       doubly due after the JPEG codec fix);
-    #   (e) 31 slots of the 45-name r4 veteran block in registration
-    #       order, with q_k3_ivf promoted over q_j5_stateful_segments
-    #       (ivf_topk's ranking changed this round; j5's code did not).
-    # After r8 the only stale evidence is the 21-name r4 remainder
-    # (q_c7_asof, q_c8_cross, q_d1_count_group, q_d13_gapfill,
-    # q_d14_stats,
-    # q_i1_stream_ingest, q_i5_late_drop,
-    # q_i6_stream_dedup, q_i7_stream_upsert,
-    # q_i8_stream_quality_gate, q_j1_parse_files,
-    # q_j5_stateful_segments, q_k3_vector_topk, q_k3_lsh,
-    # q_k8_embed_neardup, q_k2_simhash, q_t2_langid, q_t3_fingerprint,
-    # q_k10_components, q_k14_fuzzy, q_k14_passjoin — FIRST into r9),
-    # then the r5 block
-    # (42 names, q_d2_extent … in registration order) as it ages.
+    #   (a) the 21-name r4 remainder — the oldest evidence in the repo
+    #       (5 rounds) and the block r8's VERDICT ordered FIRST;
+    #       shared helpers (vector ranking, URL parse, codegen
+    #       materialization) changed under several of them since r4;
+    #   (b) 2 whose code changed in r9: q_k23_pq_codes (pq_encode now
+    #       delegates to pq_fit, which also returns the codebooks) and
+    #       q_k26_unigram_train (the seed stage truncates cluster-side
+    #       now — the r8 weak mark);
+    #   (c) 2 NEW r9 contracts, never driver-verified: q_k23_pq_adc
+    #       (asymmetric-distance search completing IVF-PQ) and
+    #       q_k7_phash_portable (the pHash chain as pure relational
+    #       ops with a constructing oracle — converts the weakest
+    #       rows-only evidence);
+    #   (d) the first 25 of the 39-name r5 block in registration order
+    #       (q_d2_extent .. q_h1_ts_parse).
+    # After r9 the stale tail is the remaining 14 r5 names
+    # (q_h3_seedid, q_h4_regex, q_h8_array, q_h9_tojson,
+    # q_h10_null_epoch, q_g4_intersect_all, q_i2_tumbling,
+    # q_i3_sliding, q_i4_sessionize, q_j2_grouped_map, q_j3_udaf,
+    # q_k2_minhash, q_k2_jaccard, q_k4_tokens — FIRST into r10), then
+    # the 46-name r6 block in registration order as it ages.
     # =================================================================
-    # (a) the r7 red row, oracle-side cast fixed this round
-    "q_k22_bpe_pairs",
-    # (b) new r8 contracts, never driver-verified
-    "q_a3_validation_gate",
-    "q_a8_eventid",
-    "q_a8_event_includeall",
-    "q_a8_event_arrivals",
-    "q_a8_station_params",
-    "q_k26_unigram",
-    "q_k26_unigram_estep",
-    "q_a8_availability_params",
-    "q_a7_longest_only",
-    "q_k10_keep_best",
-    "q_a3_quakeml_parse",
-    "q_a2_stationxml_parse",
-    "q_k26_unigram_train",
-    "q_p15_pack_boundaries",
+    # (a) r4 remainder, registration order
+    "q_c7_asof",
+    "q_c8_cross",
+    "q_d1_count_group",
+    "q_d13_gapfill",
+    "q_d14_stats",
+    "q_i1_stream_ingest",
+    "q_i5_late_drop",
+    "q_i6_stream_dedup",
+    "q_i7_stream_upsert",
+    "q_j5_stateful_segments",
+    "q_i8_stream_quality_gate",
+    "q_j1_parse_files",
+    "q_k3_vector_topk",
+    "q_k3_lsh",
+    "q_k8_embed_neardup",
+    "q_k2_simhash",
+    "q_t2_langid",
+    "q_t3_fingerprint",
+    "q_k10_components",
+    "q_k14_fuzzy",
+    "q_k14_passjoin",
+    # (b) code changed in r9
     "q_k23_pq_codes",
-    # (c) code changed in r8
-    "q_k7_phash",
-    "q_a7_dataselect_cut",
-    "q_a8_fm_xml",
-    "q_a8_station_xml",
-    "q_k3_ivf_portable",
-    "q_k25_wordpiece",
-    "q_t22_urlnorm",
-    # (d) displaced block-(b) members from r7
-    "q_d6_gaps",
-    "q_k7_multimodal",
-    "q_k7_audio",
-    "q_k7_resize",
-    # (e) r4 veteran block, registration order (q_k3_ivf promoted —
-    # its ranking code changed this round)
-    "q_a1_scan_count",
-    "q_a2_explode",
-    "q_a4_sha_dedup",
-    "q_a6_binary_len",
-    "q_a9_delta_anti",
-    "q_b1_json_extract",
-    "q_b2_eq_filter",
-    "q_b3_range_filter",
-    "q_b4_wildcard",
-    "q_b5_isin",
-    "q_b6_not_in",
-    "q_b7_overlap",
-    "q_b8_bbox",
-    "q_b9_radial",
-    "q_b10_edges",
-    "q_b9_radial_wrap",
-    "q_c1_join2",
-    "q_c2_left_join",
-    "q_c3_join4",
-    "q_c4_range_join",
-    "q_c5_semi",
-    "q_c4_overlap",
-    "q_k3_ivf",
+    "q_k26_unigram_train",
+    # (c) new r9 contracts, never driver-verified
+    "q_k23_pq_adc",
+    "q_k7_phash_portable",
+    # (d) r5 block, registration order
+    "q_d2_extent",
+    "q_d3_distinct",
+    "q_d3_approx",
+    "q_d4_collect",
+    "q_d5_argmax",
+    "q_d7_bucket",
+    "q_d8_rollup",
+    "q_d9_hist",
+    "q_d10_percentile",
+    "q_d10_approx",
+    "q_d11_pivot",
+    "q_d12_unpivot",
+    "q_d8_cube",
+    "q_e3_cumsum",
+    "q_f1_order_limit",
+    "q_f2_page",
+    "q_f3_topk_group",
+    "q_f4_longest",
+    "q_f5_ntile",
+    "q_e5_rolling",
+    "q_d15_scd2",
+    "q_g1_union",
+    "q_g2_intersect",
+    "q_g3_except",
+    "q_h1_ts_parse",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 
