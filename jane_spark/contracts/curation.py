@@ -1123,6 +1123,124 @@ def _pq_adc_oracle_sql(
     )
 
 
+def _ivf_pq_oracle_sql(
+    dim: int = 64,
+    n_lists: int = 8,
+    n_probe: int = 3,
+    lloyd_iters: int = 5,
+    m: int = 4,
+    k: int = 4,
+    pq_iters: int = 2,
+    k_top: int = 5,
+    round_dp: int = 6,
+) -> str:
+    """Composed IVF-PQ twin: the coarse-quantizer Lloyd chain + probe
+    ranking from the portable-IVF oracle, the m suffixed PQ chains
+    from the ADC oracle, candidates equi-joined on the list id, and
+    the same lookup-sum-rank ADC arithmetic over the pruned set."""
+    sub_d = dim // m
+    coarse, _ = _kmeans_ctes(n_lists, lloyd_iters)
+    all_ctes = list(coarse)
+    all_ctes.append(
+        f"sims AS (SELECT vv.id, c.cid, "
+        f"round(list_cosine_similarity(vv.v, c.cv), 9) AS s "
+        f"FROM v vv CROSS JOIN c{lloyd_iters} c)"
+    )
+    all_ctes.append(
+        "rankedl AS (SELECT id, cid, row_number() OVER ("
+        "PARTITION BY id ORDER BY s DESC, cid ASC) AS rn FROM sims)"
+    )
+    all_ctes.append(
+        "corpus AS (SELECT id, cid AS list_id FROM rankedl WHERE rn = 1)"
+    )
+    all_ctes.append(
+        f"probes AS (SELECT id, cid AS list_id FROM rankedl "
+        f"WHERE rn <= {n_probe})"
+    )
+    for s in range(m):
+        lo, hi = s * sub_d + 1, (s + 1) * sub_d
+        vexpr = (
+            f"list_transform(embedding[{lo}:{hi}], "
+            "x -> CAST(x AS DOUBLE))"
+        )
+        ctes, dist = _kmeans_ctes(
+            k, pq_iters, suffix=f"_s{s}", vec_expr=vexpr
+        )
+        all_ctes.extend(ctes)
+        all_ctes.append(
+            f"code_s{s} AS (SELECT id, CAST(cid AS INT) AS code FROM ("
+            f"SELECT v.id, c.cid, row_number() OVER ("
+            f"PARTITION BY v.id ORDER BY {dist}, c.cid) AS rn "
+            f"FROM v_s{s} v CROSS JOIN c{pq_iters}_s{s} c) WHERE rn = 1)"
+        )
+    cb_union = " UNION ALL ".join(
+        f"SELECT {s} AS s, cid, cv FROM c{pq_iters}_s{s}"
+        for s in range(m)
+    )
+    all_ctes.append(f"cb AS ({cb_union})")
+    all_ctes.append(
+        "dt AS (SELECT q.id AS q_id, cb.s, cb.cid, "
+        f"round(list_sum(list_transform(generate_series(1, {sub_d}), "
+        f"j -> (q.v[cb.s * {sub_d} + j] - cb.cv[j]) * "
+        f"(q.v[cb.s * {sub_d} + j] - cb.cv[j]))), 9) AS d "
+        "FROM v q CROSS JOIN cb)"
+    )
+    code_joins = " ".join(f"JOIN code_s{s} USING (id)" for s in range(1, m))
+    code_cols = ", ".join(f"code_s{s}.code AS c{s}" for s in range(m))
+    all_ctes.append(
+        f"codes AS (SELECT id, {code_cols} FROM code_s0 {code_joins})"
+    )
+    all_ctes.append(
+        "cand AS (SELECT p.id AS a_id, c.id AS b_id "
+        "FROM probes p JOIN corpus c USING (list_id) "
+        "WHERE p.id <> c.id)"
+    )
+    dt_joins = " ".join(
+        f"JOIN dt dt{s} ON dt{s}.q_id = cand.a_id AND dt{s}.s = {s} "
+        f"AND dt{s}.cid = codes.c{s}"
+        for s in range(m)
+    )
+    sum_expr = " + ".join(f"dt{s}.d" for s in range(m))
+    all_ctes.append(
+        f"adc AS (SELECT cand.a_id, cand.b_id, "
+        f"round({sum_expr}, {round_dp}) AS adc "
+        f"FROM cand JOIN codes ON codes.id = cand.b_id {dt_joins})"
+    )
+    return (
+        "WITH " + ",\n".join(all_ctes) + f"""
+        SELECT a_id, b_id, adc FROM (
+            SELECT a_id, b_id, adc, row_number() OVER (
+                PARTITION BY a_id ORDER BY adc, b_id) AS rn FROM adc)
+        WHERE rn <= {k_top}
+    """
+    )
+
+
+@contract(
+    "q_k23_ivf_pq",
+    oracle=_ivf_pq_oracle_sql(),
+    survey_rows="K23,K3",
+    doc="the COMPOSED IVF-PQ search (Jégou et al. 2011 — the "
+    "billion-vector architecture, closing the family): every vector "
+    "self-queries, the coarse quantizer (the q_k3_ivf_portable Lloyd "
+    "chain, 9 dp-pre-rounded cosine probe ranking) prunes candidates "
+    "to the 3 nearest of 8 inverted lists via an equi-join on the "
+    "list id, and the pruned set is ranked by ADC over the PQ codes "
+    "(the q_k23_pq_adc lookup-sum-rank arithmetic) — full-dim corpus "
+    "vectors touched by neither stage after training. "
+    "operators/vector.ivf_pq_topk; the oracle composes the two "
+    "proven CTE chains verbatim",
+)
+def q_k23_ivf_pq(spark, sf_dir):
+    from jane_spark.operators.vector import ivf_pq_topk
+
+    emb = Catalog(spark, sf_dir).embeddings
+    return ivf_pq_topk(
+        emb, "vec_id", "embedding", dim=64, n_lists=8, n_probe=3,
+        lloyd_iters=5, m=4, k=4, pq_iters=2, k_top=5,
+    )
+
+
 @contract(
     "q_k23_pq_adc",
     oracle=_pq_adc_oracle_sql(),

@@ -807,15 +807,39 @@ def pq_adc_topk(
     already list-pruned before ADC) + one q_id-keyed top-k shuffle.
     The full-dim corpus vectors are never touched after encoding —
     that is the 32× working-set cut PQ exists for."""
-    sub_d = dim // m
     codes, books = pq_fit(vectors, id_col, vec_col, dim, m, k, iters)
+    qt = _adc_tables(queries, id_col, vec_col, books, dim, m, k)
+    scored = codes.crossJoin(F.broadcast(qt))
+    scored = scored.select(
+        "q_id",
+        F.col(id_col).alias("b_id"),
+        F.round(_adc_fold(m, k), round_dp).alias("adc"),
+    )
+    return top_k_per_group(
+        scored, ["q_id"], [F.col("adc").asc(), F.col("b_id").asc()], k_top
+    ).drop("rn")
+
+
+def _adc_tables(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    books: "list[list[list[float]]]",
+    dim: int,
+    m: int,
+    k: int,
+) -> DataFrame:
+    """Per-query ADC lookup table ``(q_id, __dt)``: entry
+    ``[s*k + c]`` = round(||q_s - books[s][c]||², 9) — the 9 dp
+    pre-round makes every entry engine-identical before any sum or
+    rank touches it."""
+    sub_d = dim // m
     qv = queries.select(
         F.col(id_col).alias("q_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
             "__qv"
         ),
     )
-    # per-query lookup table: entry [s*k + c] = round(||q_s - b_sc||², 9)
     entries = []
     for s in range(m):
         sub = F.slice(F.col("__qv"), s * sub_d + 1, sub_d)
@@ -827,18 +851,87 @@ def pq_adc_topk(
                 lambda acc, x: acc + x,
             )
             entries.append(F.round(d, 9))
-    qt = qv.select("q_id", F.array(*entries).alias("__dt"))
-    scored = codes.crossJoin(F.broadcast(qt))
-    # fixed-order fold: ((d₀+d₁)+d₂)+d₃ — element [s*k + code_s]
+    return qv.select("q_id", F.array(*entries).alias("__dt"))
+
+
+def _adc_fold(m: int, k: int):
+    """Fixed-order ADC sum ((d₀+d₁)+d₂)+d₃ over ``__dt`` lookups at
+    ``[s*k + code_s]`` — left-associated so any engine folding the
+    same doubles lands on the same sum."""
     adc = None
     for s in range(m):
         term = F.col("__dt")[F.lit(s * k) + F.col(f"code_{s}")]
         adc = term if adc is None else adc + term
-    scored = scored.select(
-        "q_id",
-        F.col(id_col).alias("b_id"),
-        F.round(adc, round_dp).alias("adc"),
+    return adc
+
+
+def ivf_pq_topk(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_lists: int = 8,
+    n_probe: int = 3,
+    lloyd_iters: int = 5,
+    m: int = 4,
+    k: int = 4,
+    pq_iters: int = 2,
+    k_top: int = 5,
+    probe_round_dp: int = 9,
+    round_dp: int = 6,
+    centroids: "np.ndarray | None" = None,
+) -> DataFrame:
+    """The COMPOSED IVF-PQ search (Jégou et al. 2011 — the billion-
+    vector architecture): the coarse quantizer prunes each query's
+    candidate set to its ``n_probe`` nearest inverted lists, and the
+    pruned candidates are ranked by ADC over their PQ codes — the
+    full-dim corpus vectors are touched by NEITHER stage after
+    training. This is the memory story end to end: corpus state =
+    one small int (list id) + m code bytes per vector.
+
+    Deterministic/portable variant (the q_k3_ivf_portable discipline):
+    coarse centroids from the SQL-derivable Lloyd loop, list
+    assignment and probing rank 9 dp-pre-rounded cosines with ties to
+    the smaller list id, ADC entries 9 dp-pre-rounded, distances
+    summed in fixed subvector order and rounded before the final
+    (adc, b_id) rank.
+
+    Scale shape: candidate generation is an equi-join on ``list_id``
+    (the IVF posture — no broadcast nested loop over the corpus);
+    each query row carries its m×k lookup table; one a_id-keyed
+    top-k shuffle finishes. Self-query here (every vector searches);
+    an external query set just swaps the probe side."""
+    from jane_spark.operators.semdedup import kmeans_fit
+
+    if centroids is None:
+        _assign, cents = kmeans_fit(
+            vectors, id_col, vec_col, k=n_lists, iters=lloyd_iters
+        )
+        centroids = np.array(cents, dtype=np.float64)
+    corpus = _assign_lists(
+        vectors, id_col, vec_col, centroids, n_probe=1,
+        probe_round_dp=probe_round_dp,
+    ).select(F.col(id_col).alias("b_id"), "list_id")
+    probes = _assign_lists(
+        vectors, id_col, vec_col, centroids, n_probe=n_probe,
+        probe_round_dp=probe_round_dp,
+    ).select(F.col(id_col).alias("a_id"), "list_id")
+    codes, books = pq_fit(vectors, id_col, vec_col, dim, m, k, pq_iters)
+    qt = _adc_tables(vectors, id_col, vec_col, books, dim, m, k)
+    cand = (
+        probes.join(corpus, on="list_id")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id")
+    )
+    scored = (
+        cand.join(codes.withColumnRenamed(id_col, "b_id"), "b_id")
+        .join(qt.withColumnRenamed("q_id", "a_id"), "a_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(_adc_fold(m, k), round_dp).alias("adc"),
+        )
     )
     return top_k_per_group(
-        scored, ["q_id"], [F.col("adc").asc(), F.col("b_id").asc()], k_top
+        scored, ["a_id"], [F.col("adc").asc(), F.col("b_id").asc()], k_top
     ).drop("rn")

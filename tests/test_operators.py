@@ -389,6 +389,41 @@ def test_pq_adc_recall_ladder(spark, sf_dir):
     )
 
 
+def test_ivf_pq_all_probes_degrades_to_brute_adc(spark, sf_dir):
+    """Composed IVF-PQ semantic pin: probing every inverted list must
+    make the list-pruning a no-op — the result equals brute-force ADC
+    ranking over the whole corpus (self excluded, re-capped per
+    query). Note recall is NOT monotone in n_probe for raw ADC (more
+    candidates means more quantization-noise competitors in the
+    top-k), which is exactly why the degradation equivalence — not a
+    recall ladder — is the correct property here."""
+    from jane_spark.engine.catalog import Catalog
+    from jane_spark.operators.vector import ivf_pq_topk, pq_adc_topk
+
+    emb = Catalog(spark, sf_dir).embeddings.limit(200)
+    pruned = {
+        (r["a_id"], r["b_id"], r["adc"])
+        for r in ivf_pq_topk(
+            emb, "vec_id", "embedding", dim=64, n_lists=4, n_probe=4,
+            lloyd_iters=2, m=4, k=4, pq_iters=2, k_top=3,
+        ).collect()
+    }
+    # brute ADC: ask for k_top+1, drop self matches, re-cap to 3
+    brute_rows = pq_adc_topk(
+        emb, emb, "vec_id", "embedding", dim=64, m=4, k=4, iters=2,
+        k_top=4,
+    ).collect()
+    per_q: dict = {}
+    for r in sorted(brute_rows, key=lambda r: (r["q_id"], r["adc"], r["b_id"])):
+        if r["q_id"] == r["b_id"]:
+            continue
+        per_q.setdefault(r["q_id"], [])
+        if len(per_q[r["q_id"]]) < 3:
+            per_q[r["q_id"]].append((r["q_id"], r["b_id"], r["adc"]))
+    brute = {t for lst in per_q.values() for t in lst}
+    assert pruned == brute
+
+
 def test_ivf_recall_reasonable(spark, sf_dir):
     """IVF probing n_probe of n_lists must recover most of the exact
     top-3; n_probe = n_lists degrades to exact search (recall 1.0)."""
