@@ -880,6 +880,98 @@ def q_k7_phash_portable(spark, sf_dir):
     return phash_relational(pix, "item_id", "r", "c", "v")
 
 
+_AUDIO_PORTABLE_ORACLE = """
+WITH smp AS (
+  SELECT doc_id AS item_id, t // 64 AS seg, t % 64 AS n,
+         CAST((doc_id*31 + t*t*7 + t*13) % 97 AS DOUBLE)/97.0 - 0.5 AS v
+  FROM documents, range(512) tt(t) WHERE doc_id < 20),
+four AS (
+  SELECT f, n, round(cos(2*pi()*f*n/64.0), 9) AS cosv,
+               round(sin(2*pi()*f*n/64.0), 9) AS sinv
+  FROM range(33) t1(f), range(64) t2(n)),
+bandmap AS (
+  SELECT f, b AS band FROM range(33) t1(f), range(8) t2(b)
+  WHERE 200.0*pow(512.0/200.0, b/8.0) <= f*16.0
+    AND f*16.0 < 200.0*pow(512.0/200.0, (b+1)/8.0)),
+dft AS (
+  SELECT item_id, seg, four.f,
+         round(sum(v*cosv), 6) AS re, round(sum(v*sinv), 6) AS im
+  FROM smp JOIN four ON four.n = smp.n GROUP BY item_id, seg, four.f),
+mag AS (SELECT item_id, seg, f,
+               round(sqrt(re*re + im*im), 6) AS mag FROM dft),
+en AS (
+  SELECT item_id, seg, band, round(sum(mag), 6) AS e
+  FROM mag JOIN bandmap USING (f) GROUP BY item_id, seg, band),
+frame AS (
+  SELECT ids.item_id, s AS seg, b AS band
+  FROM (SELECT DISTINCT item_id FROM smp) ids,
+       range(8) t1(s), range(8) t2(b)),
+grid AS (
+  SELECT frame.item_id, frame.seg, frame.band,
+         round(ln(1.0 + coalesce(en.e, 0.0)), 6) AS g
+  FROM frame LEFT JOIN en
+    ON en.item_id = frame.item_id AND en.seg = frame.seg
+   AND en.band = frame.band),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY item_id ORDER BY g, seg, band) AS rn FROM grid),
+med AS (SELECT item_id, avg(g) AS med FROM ranked
+        WHERE rn IN (32, 33) GROUP BY item_id)
+SELECT item_id, CAST(sum(CASE WHEN ranked.g > med.med THEN
+    CASE WHEN seg*8 + band = 63
+         THEN CAST(-9223372036854775807 AS BIGINT) - CAST(1 AS BIGINT)
+         ELSE (CAST(1 AS BIGINT) << CAST(seg*8 + band AS INT)) END
+    ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS afp
+FROM ranked JOIN med USING (item_id) GROUP BY item_id
+"""
+
+
+@contract(
+    "q_k7_audio_portable",
+    oracle=_AUDIO_PORTABLE_ORACLE,
+    survey_rows="K20,K2",
+    doc="ORACLE-BACKED audio fingerprint (r9 — the sound twin of "
+    "q_k7_phash_portable, completing the multimodal-hash pair): on "
+    "constructed clips the Haitsma-Kalker-style 64-bit spectral "
+    "fingerprint is fixed linear algebra, run as pure relational ops "
+    "(operators/imagehash.audio_fp_relational) — direct DFT per "
+    "8-segment via a broadcast join against the 9 dp-rounded cos/sin "
+    "table (re/im sums and magnitudes rounded 6 dp), log-spaced band "
+    "energies ln(1+x)-compressed at 6 dp, row_number-32/33 median, "
+    "signed bit packing. Samples are synthesized arithmetically "
+    "(quadratic mod-97 noise, 512 samples @ 1024 Hz per doc); the "
+    "oracle derives the band layout from the same log-spaced edge "
+    "formula and replays the identical arithmetic; a pytest welds "
+    "audio_fp_relational to the numpy audio_fp64 the real-codec "
+    "path uses",
+)
+def q_k7_audio_portable(spark, sf_dir):
+    from jane_spark.operators.imagehash import audio_fp_relational
+
+    docs = (
+        Catalog(spark, sf_dir)
+        .documents.select("doc_id")
+        .filter(F.col("doc_id") < 20)
+    )
+    t = spark.range(512).withColumnRenamed("id", "t")
+    smp = docs.crossJoin(t).select(
+        F.col("doc_id").alias("item_id"),
+        F.floor(F.col("t") / 64).cast("long").alias("seg"),
+        (F.col("t") % 64).alias("n"),
+        (
+            (
+                (F.col("doc_id") * 31 + F.col("t") * F.col("t") * 7
+                 + F.col("t") * 13) % 97
+            ).cast("double")
+            / F.lit(97.0)
+            - F.lit(0.5)
+        ).alias("v"),
+    )
+    return audio_fp_relational(
+        smp, "item_id", "seg", "n", "v", rate=1024, seg_len=64
+    )
+
+
 @contract(
     "q_k7_phash",
     oracle=None,  # binary image payloads — rows-only check

@@ -267,6 +267,133 @@ def audio_fp64(samples: np.ndarray, rate: int) -> int:
     return v
 
 
+def audio_fp_relational(
+    samples: DataFrame,
+    id_col: str = "item_id",
+    seg_col: str = "seg",
+    n_col: str = "n",
+    val_col: str = "v",
+    rate: int = 1024,
+    seg_len: int = 64,
+) -> DataFrame:
+    """PORTABLE 64-bit audio fingerprint over a long-form sample
+    table — the relational twin of ``audio_fp64`` (the
+    phash_relational pattern applied to sound): the fingerprint is
+    fixed linear algebra, so it runs as pure DataFrame ops with an
+    explicit rounding discipline and zero Python in the plan.
+
+    Input: one row per (item, segment 0..7, n 0..seg_len-1) sample of
+    an already-segmented mono clip. Chain: direct DFT per segment as
+    a broadcast join against the 9 dp-rounded (f, n) cos/sin table
+    (re/im sums rounded 6 dp), magnitude sqrt(re²+im²) rounded 6 dp,
+    log-spaced band energies (band map precomputed from
+    ``audio_fp64``'s edge layout — every rfft bin maps to at most one
+    band) summed and ``ln(1+x)``-compressed at 6 dp, the 64-value
+    grid median via row_number 32/33, bits packed into a signed long
+    with the i=63 term negative.
+
+    Scale shape: one (item, seg, f)-keyed aggregation (the DFT), one
+    (item, seg, band)-keyed aggregation, one item-keyed window + sum
+    — embarrassingly parallel over clips; the Fourier table is
+    (seg_len/2+1)×seg_len rows, broadcast."""
+    import math
+
+    spark = samples.sparkSession
+    n_bins = seg_len // 2 + 1
+    f_df = (
+        spark.range(n_bins)
+        .withColumnRenamed("id", "f")
+        .crossJoin(spark.range(seg_len).withColumnRenamed("id", n_col))
+    )
+    ang = (
+        F.lit(2.0 * math.pi) * F.col("f") * F.col(n_col) / F.lit(float(seg_len))
+    )
+    fourier = f_df.select(
+        "f",
+        n_col,
+        F.round(F.cos(ang), 9).alias("cosv"),
+        F.round(F.sin(ang), 9).alias("sinv"),
+    )
+    # band map from audio_fp64's log-spaced edge layout
+    lo, hi = min(200.0, rate / 4.0), rate / 2.0
+    edges = [lo * (hi / lo) ** (b / float(_N_BAND)) for b in range(_N_BAND + 1)]
+    band_rows = []
+    for f in range(n_bins):
+        freq = f * rate / float(seg_len)
+        for b in range(_N_BAND):
+            if edges[b] <= freq < edges[b + 1]:
+                band_rows.append((f, b))
+    band_df = spark.createDataFrame(band_rows, "f long, band int")
+    df = (
+        samples.join(F.broadcast(fourier), n_col)
+        .groupBy(id_col, seg_col, "f")
+        .agg(
+            F.round(F.sum(F.col(val_col) * F.col("cosv")), 6).alias("re"),
+            F.round(F.sum(F.col(val_col) * F.col("sinv")), 6).alias("im"),
+        )
+        .select(
+            id_col,
+            seg_col,
+            "f",
+            F.round(
+                F.sqrt(F.col("re") * F.col("re") + F.col("im") * F.col("im")),
+                6,
+            ).alias("mag"),
+        )
+    )
+    energies = (
+        df.join(F.broadcast(band_df), "f")
+        .groupBy(id_col, seg_col, "band")
+        .agg(F.round(F.sum("mag"), 6).alias("e"))
+    )
+    # full 8×8 grid: bands with no rfft bin carry 0.0 (the numpy
+    # reference's `else 0.0` leg)
+    frame = (
+        samples.select(id_col)
+        .distinct()
+        .crossJoin(
+            spark.range(_N_SEG).withColumnRenamed("id", seg_col)
+        )
+        .crossJoin(
+            spark.range(_N_BAND).select(F.col("id").cast("int").alias("band"))
+        )
+    )
+    grid = (
+        frame.join(energies, [id_col, seg_col, "band"], "left")
+        .select(
+            id_col,
+            seg_col,
+            "band",
+            F.round(F.log1p(F.coalesce(F.col("e"), F.lit(0.0))), 6).alias(
+                "g"
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("g").asc(), F.col(seg_col).asc(), F.col("band").asc()
+    )
+    ranked = grid.withColumn("rn", F.row_number().over(w))
+    med = (
+        ranked.filter(F.col("rn").isin(32, 33))
+        .groupBy(id_col)
+        .agg(F.avg("g").alias("med"))
+    )
+    bits = ranked.join(med, id_col).withColumn(
+        "i", (F.col(seg_col) * 8 + F.col("band")).cast("int")
+    )
+    term = F.when(
+        F.col("g") > F.col("med"),
+        F.expr(
+            "CASE WHEN i = 63 THEN CAST(-9223372036854775807 AS BIGINT)"
+            " - CAST(1 AS BIGINT)"
+            " ELSE shiftleft(CAST(1 AS BIGINT), i) END"
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    return bits.groupBy(id_col).agg(
+        F.sum(term).cast("long").alias("afp")
+    )
+
+
 def audio_fingerprints(
     df: DataFrame,
     id_col: str,

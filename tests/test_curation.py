@@ -645,6 +645,39 @@ def test_phash_relational_matches_numpy_phash64(spark):
     assert got == want
 
 
+def test_audio_fp_relational_matches_numpy_audio_fp64(spark):
+    """Welds q_k7_audio_portable to the real-codec path: the pure-
+    relational spectral fingerprint (direct rounded DFT + band sums +
+    row_number median) must produce the SAME 64-bit fingerprint as
+    the numpy audio_fp64 reference on the contract's constructed
+    clips (min |grid - median| separation ~1.9e-4 on this fixture,
+    far above the 6 dp rounding boundary)."""
+    import pandas as pd
+
+    from jane_spark.operators.imagehash import (
+        audio_fp64,
+        audio_fp_relational,
+    )
+
+    rows, want = [], {}
+    for item in range(8):
+        t = np.arange(512)
+        s = ((item * 31 + t * t * 7 + t * 13) % 97) / 97.0 - 0.5
+        want[item] = audio_fp64(s, 1024)
+        for tt in range(512):
+            rows.append((item, tt // 64, tt % 64, float(s[tt])))
+    smp = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["item_id", "seg", "n", "v"])
+    )
+    got = {
+        r["item_id"]: r["afp"]
+        for r in audio_fp_relational(
+            smp, "item_id", "seg", "n", "v", rate=1024, seg_len=64
+        ).collect()
+    }
+    assert got == want
+
+
 def test_phash_near_pairs_pigeonhole(spark):
     from jane_spark.operators.imagehash import phash_near_pairs
 
