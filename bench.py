@@ -126,6 +126,8 @@ BENCH_QUERIES = {
     "keep_best": "q_k10_keep_best",
     "pq_codes": "q_k23_pq_codes",
     "pq_adc": "q_k23_pq_adc",
+    "ivf_pq": "q_k23_ivf_pq",
+    "audio_portable": "q_k7_audio_portable",
     "pack_boundaries": "q_p15_pack_boundaries",
     "availability_params": "q_a8_availability_params",
     "quakeml_parse": "q_a3_quakeml_parse",
@@ -203,6 +205,8 @@ CALIBRATION = {
     "keep_best": 14.9348,
     "pq_codes": 0.1736,
     "pq_adc": 0.3444,
+    "ivf_pq": 3.0879,
+    "audio_portable": 0.0497,
     "pack_boundaries": 1.3249,
     "availability_params": 0.0501,
     "phash_portable": 0.0418,
