@@ -39,22 +39,24 @@ VERIFY_FIRST: list[str] = [
     #       delegates to pq_fit, which also returns the codebooks) and
     #       q_k26_unigram_train (the seed stage truncates cluster-side
     #       now — the r8 weak mark);
-    #   (c) 4 NEW r9 contracts, never driver-verified: q_k23_pq_adc
+    #   (c) 5 NEW r9 contracts, never driver-verified: q_k23_pq_adc
     #       (asymmetric-distance search), q_k23_ivf_pq (the composed
     #       list-pruned ADC search completing IVF-PQ),
-    #       q_k7_phash_portable (the pHash chain as pure relational
-    #       ops with a constructing oracle — converts the weakest
-    #       rows-only evidence), and q_k7_audio_portable (the sound
-    #       twin: relational DFT fingerprint, same discipline);
-    #   (d) the first 23 of the 39-name r5 block in registration order
-    #       (q_d2_extent .. q_g2_intersect).
-    # After r9 the stale tail is the remaining 16 r5 names
-    # (q_g3_except, q_h1_ts_parse, q_h3_seedid, q_h4_regex,
-    # q_h8_array, q_h9_tojson, q_h10_null_epoch, q_g4_intersect_all,
-    # q_i2_tumbling, q_i3_sliding, q_i4_sessionize, q_j2_grouped_map,
-    # q_j3_udaf, q_k2_minhash, q_k2_jaccard, q_k4_tokens — FIRST into
-    # r10), then the 46-name r6 block in registration order as it
-    # ages.
+    #       q_k23_adc_rerank (ADC shortlist + exact re-rank — the
+    #       IVFADC+R recall recovery), q_k7_phash_portable (the pHash
+    #       chain as pure relational ops with a constructing oracle —
+    #       converts the weakest rows-only evidence), and
+    #       q_k7_audio_portable (the sound twin: relational DFT
+    #       fingerprint, same discipline);
+    #   (d) the first 22 of the 39-name r5 block in registration order
+    #       (q_d2_extent .. q_g1_union).
+    # After r9 the stale tail is the remaining 17 r5 names
+    # (q_g2_intersect, q_g3_except, q_h1_ts_parse, q_h3_seedid,
+    # q_h4_regex, q_h8_array, q_h9_tojson, q_h10_null_epoch,
+    # q_g4_intersect_all, q_i2_tumbling, q_i3_sliding,
+    # q_i4_sessionize, q_j2_grouped_map, q_j3_udaf, q_k2_minhash,
+    # q_k2_jaccard, q_k4_tokens — FIRST into r10), then the 46-name
+    # r6 block in registration order as it ages.
     # =================================================================
     # (a) r4 remainder, registration order
     "q_c7_asof",
@@ -84,6 +86,7 @@ VERIFY_FIRST: list[str] = [
     # (c) new r9 contracts, never driver-verified
     "q_k23_pq_adc",
     "q_k23_ivf_pq",
+    "q_k23_adc_rerank",
     "q_k7_phash_portable",
     "q_k7_audio_portable",
     # (d) r5 block, registration order
@@ -109,7 +112,6 @@ VERIFY_FIRST: list[str] = [
     "q_e5_rolling",
     "q_d15_scd2",
     "q_g1_union",
-    "q_g2_intersect",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

@@ -1141,21 +1141,18 @@ def _pq_oracle_sql(
     )
 
 
-def _pq_adc_oracle_sql(
+def _pq_adc_ctes(
     dim: int = 64,
     m: int = 4,
     k: int = 4,
     iters: int = 2,
-    k_top: int = 5,
     round_dp: int = 6,
     query_mod: int = 100,
-) -> str:
-    """ADC-search twin: the m suffixed unrolled-Lloyd chains from the
-    PQ oracle (codebooks + per-vector codes), then the asymmetric
-    read path — per-query m×k distance table (9 dp-pre-rounded,
-    matching the Spark entries), per-item distance as the SAME
-    left-associated 4-term sum, rounded before ranking, row_number
-    top-k with the b_id tie-break."""
+) -> list[str]:
+    """The shared CTE chain of the ADC oracles, ending in ``adc``
+    (q_id, b_id, adc): m suffixed unrolled-Lloyd chains, codebook
+    union, per-query 9 dp-rounded distance table, codes join, and the
+    left-associated lookup sum rounded before any rank."""
     sub_d = dim // m
     all_ctes: list[str] = []
     for s in range(m):
@@ -1205,11 +1202,74 @@ def _pq_adc_oracle_sql(
         f"round({sum_expr}, {round_dp}) AS adc "
         f"FROM q CROSS JOIN codes {dt_joins})"
     )
+    return all_ctes
+
+
+def _pq_adc_oracle_sql(
+    dim: int = 64,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    k_top: int = 5,
+    round_dp: int = 6,
+    query_mod: int = 100,
+) -> str:
+    """ADC-search twin: the m suffixed unrolled-Lloyd chains from the
+    PQ oracle (codebooks + per-vector codes), then the asymmetric
+    read path — per-query m×k distance table (9 dp-pre-rounded,
+    matching the Spark entries), per-item distance as the SAME
+    left-associated 4-term sum, rounded before ranking, row_number
+    top-k with the b_id tie-break."""
+    all_ctes = _pq_adc_ctes(dim, m, k, iters, round_dp, query_mod)
     return (
         "WITH " + ",\n".join(all_ctes) + f"""
         SELECT q_id, b_id, adc FROM (
             SELECT q_id, b_id, adc, row_number() OVER (
                 PARTITION BY q_id ORDER BY adc, b_id) AS rn FROM adc)
+        WHERE rn <= {k_top}
+    """
+    )
+
+
+def _pq_adc_rerank_oracle_sql(
+    dim: int = 64,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    candidates: int = 20,
+    k_top: int = 5,
+    round_dp: int = 6,
+    query_mod: int = 100,
+) -> str:
+    """ADC+R twin (Jégou et al. 2011 §5.2): the shared ADC chain
+    shortlists ``candidates`` per query, then only the shortlist is
+    re-ranked by exact squared-L2 over the full-dim vectors — the
+    same 6 dp pre-round before the (dist, b_id) rank."""
+    all_ctes = _pq_adc_ctes(dim, m, k, iters, round_dp, query_mod)
+    all_ctes.append(
+        "vall AS (SELECT vec_id AS id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+        "FROM embeddings)"
+    )
+    all_ctes.append(
+        f"short AS (SELECT q_id, b_id FROM ("
+        f"SELECT q_id, b_id, row_number() OVER ("
+        f"PARTITION BY q_id ORDER BY adc, b_id) AS rn FROM adc) "
+        f"WHERE rn <= {candidates})"
+    )
+    all_ctes.append(
+        "ex AS (SELECT s.q_id, s.b_id, "
+        f"round(list_sum(list_transform(generate_series(1, {dim}), "
+        "j -> (vq.v[j] - vb.v[j]) * (vq.v[j] - vb.v[j]))), "
+        f"{round_dp}) AS dist "
+        "FROM short s JOIN vall vq ON vq.id = s.q_id "
+        "JOIN vall vb ON vb.id = s.b_id)"
+    )
+    return (
+        "WITH " + ",\n".join(all_ctes) + f"""
+        SELECT q_id, b_id, dist FROM (
+            SELECT q_id, b_id, dist, row_number() OVER (
+                PARTITION BY q_id ORDER BY dist, b_id) AS rn FROM ex)
         WHERE rn <= {k_top}
     """
     )
@@ -1357,6 +1417,32 @@ def q_k23_adc(spark, sf_dir):
     return pq_adc_topk(
         emb, qs, "vec_id", "embedding", dim=64, m=4, k=4, iters=2,
         k_top=5, round_dp=6,
+    )
+
+
+@contract(
+    "q_k23_adc_rerank",
+    oracle=_pq_adc_rerank_oracle_sql(),
+    survey_rows="K23,K3",
+    doc="ADC with EXACT re-rank (Jégou et al. 2011 §5.2, 'IVFADC+R' — "
+    "the standard recall recovery): the ADC chain shortlists 20 "
+    "candidates per query from the codes alone, then ONLY the "
+    "shortlist's full-dim vectors are fetched and re-ranked by exact "
+    "squared-L2 (6 dp pre-round before the (dist, b_id) rank) — "
+    "d-dim arithmetic on 20 rows per query instead of the corpus. "
+    "operators/vector.pq_adc_rerank_topk; oracle = the shared ADC "
+    "CTE chain + an exact-distance re-rank over the shortlist. The "
+    "recall-recovery pytest pins rerank recall strictly above raw "
+    "ADC recall on the m=4 fixture",
+)
+def q_k23_adc_rerank(spark, sf_dir):
+    from jane_spark.operators.vector import pq_adc_rerank_topk
+
+    emb = Catalog(spark, sf_dir).embeddings
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    return pq_adc_rerank_topk(
+        emb, qs, "vec_id", "embedding", dim=64, m=4, k=4, iters=2,
+        candidates=20, k_top=5, round_dp=6,
     )
 
 

@@ -865,6 +865,72 @@ def _adc_fold(m: int, k: int):
     return adc
 
 
+def pq_adc_rerank_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    candidates: int = 20,
+    k_top: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """ADC search with EXACT re-rank (Jégou et al. 2011 §5.2 — the
+    standard IVFADC+R recall recovery): ADC over the PQ codes shortlists
+    ``candidates`` items per query (cheap — m lookups per item), then
+    only the shortlist's full-dim vectors are fetched and re-ranked by
+    exact squared-L2. The expensive d-dim arithmetic runs on
+    ``candidates`` rows per query instead of the corpus — the
+    two_stage_topk shape with PQ as stage 1.
+
+    Determinism: stage 1 is pq_adc_topk's rounded-lookup rank; stage 2
+    rounds the exact distance ``round_dp`` BEFORE the (dist, b_id)
+    rank. Scale: the shortlist join on ``b_id`` touches ``Q ×
+    candidates`` rows — broadcast-sized for any bounded query set."""
+    shortlist = pq_adc_topk(
+        vectors, queries, id_col, vec_col, dim, m, k, iters,
+        k_top=candidates, round_dp=round_dp,
+    ).select("q_id", "b_id")
+    full_b = vectors.select(
+        F.col(id_col).alias("b_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+            "__vb"
+        ),
+    )
+    full_q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+            "__vq"
+        ),
+    )
+    exact = (
+        shortlist.join(full_b, "b_id")
+        .join(F.broadcast(full_q), "q_id")
+        .select(
+            "q_id",
+            "b_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("__vq"),
+                        F.col("__vb"),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                round_dp,
+            ).alias("dist"),
+        )
+    )
+    return top_k_per_group(
+        exact, ["q_id"], [F.col("dist").asc(), F.col("b_id").asc()], k_top
+    ).drop("rn")
+
+
 def ivf_pq_topk(
     vectors: DataFrame,
     id_col: str,

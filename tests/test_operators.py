@@ -387,6 +387,26 @@ def test_pq_adc_recall_ladder(spark, sf_dir):
     assert ladder == sorted(ladder) and len(set(ladder)) == 3, (
         f"ADC recall not strictly climbing with m: {ladder}"
     )
+    # exact re-rank of a 20-candidate ADC shortlist must recover most
+    # of what raw m=4 ADC loses (Jégou §5.2's whole point)
+    from jane_spark.operators.vector import pq_adc_rerank_topk
+
+    rerank = {
+        (r["q_id"], r["b_id"])
+        for r in pq_adc_rerank_topk(
+            emb, qs, "vec_id", "embedding", dim=64, m=4, k=4, iters=2,
+            candidates=20, k_top=3,
+        ).collect()
+    }
+    rerank_rec = len(exact & rerank) / len(exact)
+    assert rerank_rec > ladder[1], (
+        f"re-rank {rerank_rec:.2f} did not beat raw ADC {ladder[1]:.2f}"
+    )
+    # measured 0.44 on this fixture (deterministic): the 20-candidate
+    # shortlist bound, not the re-rank — recall here equals
+    # |true top-3 ∩ shortlist|/3 exactly, since exact re-rank always
+    # surfaces any true neighbor the shortlist contains
+    assert rerank_rec >= 0.35, f"re-rank recall too low: {rerank_rec:.2f}"
 
 
 def test_ivf_pq_all_probes_degrades_to_brute_adc(spark, sf_dir):
