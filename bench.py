@@ -133,6 +133,7 @@ BENCH_QUERIES = {
     "quakeml_parse": "q_a3_quakeml_parse",
     "stationxml_parse": "q_a2_stationxml_parse",
     "phash_portable": "q_k7_phash_portable",
+    "bloom_dedup": "q_k15_bloom_dedup",
 }
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
@@ -210,6 +211,7 @@ CALIBRATION = {
     "pack_boundaries": 1.3249,
     "availability_params": 0.0501,
     "phash_portable": 0.0418,
+    "bloom_dedup": 0.0198,
 }
 
 

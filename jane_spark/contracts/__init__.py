@@ -47,16 +47,18 @@ VERIFY_FIRST: list[str] = [
     #       chain as pure relational ops with a constructing oracle —
     #       converts the weakest rows-only evidence), and
     #       q_k7_audio_portable (the sound twin: relational DFT
-    #       fingerprint, same discipline);
-    #   (d) the first 22 of the 39-name r5 block in registration order
-    #       (q_d2_extent .. q_g1_union).
-    # After r9 the stale tail is the remaining 17 r5 names
-    # (q_g2_intersect, q_g3_except, q_h1_ts_parse, q_h3_seedid,
-    # q_h4_regex, q_h8_array, q_h9_tojson, q_h10_null_epoch,
-    # q_g4_intersect_all, q_i2_tumbling, q_i3_sliding,
-    # q_i4_sessionize, q_j2_grouped_map, q_j3_udaf, q_k2_minhash,
-    # q_k2_jaccard, q_k4_tokens — FIRST into r10), then the 46-name
-    # r6 block in registration order as it ages.
+    #       fingerprint, same discipline), and q_k15_bloom_dedup
+    #       (Bloom-prefiltered incremental dedup — no false negatives,
+    #       oracle = the plain anti-join);
+    #   (d) the first 21 of the 39-name r5 block in registration order
+    #       (q_d2_extent .. q_d15_scd2).
+    # After r9 the stale tail is the remaining 18 r5 names
+    # (q_g1_union, q_g2_intersect, q_g3_except, q_h1_ts_parse,
+    # q_h3_seedid, q_h4_regex, q_h8_array, q_h9_tojson,
+    # q_h10_null_epoch, q_g4_intersect_all, q_i2_tumbling,
+    # q_i3_sliding, q_i4_sessionize, q_j2_grouped_map, q_j3_udaf,
+    # q_k2_minhash, q_k2_jaccard, q_k4_tokens — FIRST into r10), then
+    # the 46-name r6 block in registration order as it ages.
     # =================================================================
     # (a) r4 remainder, registration order
     "q_c7_asof",
@@ -89,6 +91,7 @@ VERIFY_FIRST: list[str] = [
     "q_k23_adc_rerank",
     "q_k7_phash_portable",
     "q_k7_audio_portable",
+    "q_k15_bloom_dedup",
     # (d) r5 block, registration order
     "q_d2_extent",
     "q_d3_distinct",
@@ -111,7 +114,6 @@ VERIFY_FIRST: list[str] = [
     "q_f5_ntile",
     "q_e5_rolling",
     "q_d15_scd2",
-    "q_g1_union",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

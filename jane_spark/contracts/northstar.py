@@ -1449,6 +1449,44 @@ def q_k15(spark, sf_dir):
 
 
 @contract(
+    "q_k15_bloom_dedup",
+    oracle="""
+        WITH old AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+             new AS (SELECT * FROM documents WHERE doc_id % 2 = 1)
+        SELECT n.doc_id, md5(n.text) AS fp
+        FROM new n
+        WHERE NOT EXISTS (SELECT 1 FROM old o
+                          WHERE md5(o.text) = md5(n.text))
+    """,
+    survey_rows="K15,K1,A9",
+    doc="Bloom-prefiltered incremental dedup (r9 — the 100 TB shape "
+    "of the K15 anti-join): the store's fingerprints build a "
+    "2^15-bit Bloom bitmap cluster-side (one word-keyed bit_or "
+    "shuffle, filter-sized collect — the same design Spark's "
+    "InjectRuntimeFilter ships as a plan literal), the new batch "
+    "probes it as a pure projection, and ONLY the maybe rows reach "
+    "the exact left-anti join. No false negatives means the output "
+    "is byte-identical to the plain anti-join — which IS the oracle; "
+    "an equivalence pytest pins it across sizings and a selectivity "
+    "pytest proves the filter actually prunes "
+    "(operators/dedup.bloom_prefilter_anti_join)",
+)
+def q_k15_bloom(spark, sf_dir):
+    from jane_spark.operators.dedup import bloom_prefilter_anti_join
+
+    docs = Catalog(spark, sf_dir).documents
+    old = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+    )
+    new = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    return bloom_prefilter_anti_join(new, old, "fp")
+
+
+@contract(
     "q_k23_quantize",
     oracle="""
         WITH v AS (SELECT vec_id,

@@ -580,3 +580,90 @@ def fuzzy_pairs(
         F.levenshtein(F.col("a.__ov"), F.col("b.__ov")).alias("dist"),
     )
     return cand.filter(F.col("dist") <= max_dist).dropDuplicates(["id_a", "id_b"])
+
+
+def bloom_bitmap(
+    store: DataFrame,
+    key_col: str,
+    n_bits_log2: int = 15,
+    n_hashes: int = 4,
+) -> list[int]:
+    """Distributed Bloom-filter build over a key column: each key sets
+    ``n_hashes`` bit positions (xxhash64 with per-probe seeds mod
+    2^n_bits_log2); positions aggregate CLUSTER-SIDE into 64-bit words
+    via one bit_or shuffle keyed by word index, and only the
+    2^n_bits_log2 / 64 words reach the driver — the collect is bounded
+    by the FILTER's sizing, never the store's cardinality (the
+    IVF-centroid bounded-collect contract).
+
+    This is the same design Spark's own InjectRuntimeFilter uses for
+    shuffle pruning (BloomFilterAggregate → filter bytes shipped into
+    the probe side's plan as a literal); that aggregate isn't in the
+    public FunctionRegistry, so the build here is plain DataFrame ops.
+    """
+    nb = 1 << n_bits_log2
+    pos_cols = [
+        F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(nb))
+        for i in range(n_hashes)
+    ]
+    words = (
+        store.select(F.explode(F.array(*pos_cols)).alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("int").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    wmap = {r["w"]: r["word"] for r in words}
+    return [wmap.get(i, 0) for i in range(nb // 64)]
+
+
+def bloom_prefilter_anti_join(
+    new: DataFrame,
+    store: DataFrame,
+    key_col: str,
+    n_bits_log2: int = 15,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """EXACT anti-join with a Bloom prefilter — the 100 TB shape of
+    incremental-ingest dedup (K15): rows of ``new`` whose key the
+    filter rejects are DEFINITELY absent from the store (a Bloom
+    filter has no false negatives) and skip the join entirely; only
+    the "maybe" rows — true duplicates plus the fpp sliver — are
+    verified by the exact left-anti join. Output is byte-identical to
+    the plain anti-join for every sizing, which is exactly what the
+    oracle and the equivalence pytest check.
+
+    Scale shape: build = one word-keyed bit_or shuffle + a
+    filter-sized collect; probe = a pure projection against the
+    bitmap literal (n_hashes xxhash64 + array lookups per row, zero
+    shuffles); the residual anti-join runs on the maybe-fraction of
+    the batch instead of all of it — at a 0.5% fpp that is the
+    duplicate rate plus noise. Filter bytes ride in the plan exactly
+    like Spark's runtime bloom filters; beyond literal-friendly sizes
+    (~2^27 bits) the store shards the filter by key prefix and each
+    shard prunes its own partition."""
+    nb = 1 << n_bits_log2
+    bitmap = bloom_bitmap(store, key_col, n_bits_log2, n_hashes)
+    arr = F.array(*[F.lit(int(wd)).cast("long") for wd in bitmap])
+    maybe = None
+    for i in range(n_hashes):
+        p = F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(nb))
+        word = F.element_at(arr, (p / 64).cast("int") + 1)
+        bit = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(xxhash64({key_col},"
+            f" {i}), {nb}) % 64 AS INT))"
+        )
+        hit = word.bitwiseAND(bit) != 0
+        maybe = hit if maybe is None else (maybe & hit)
+    flagged = new.withColumn("__maybe", maybe)
+    definite = flagged.filter(~F.col("__maybe")).drop("__maybe")
+    suspects = flagged.filter(F.col("__maybe")).drop("__maybe")
+    verified = suspects.join(
+        store.select(key_col).distinct(), key_col, "left_anti"
+    )
+    return definite.unionByName(verified)

@@ -2318,3 +2318,70 @@ def test_ffd_oracle_agrees_on_oversize_and_ties(spark):
     )
     assert sp == dk, (sp, dk)
     assert sp[0][1] >= 2  # the oversize branch actually fired
+
+
+def test_bloom_prefilter_anti_join_exact_and_selective(spark, sf_dir):
+    """The Bloom prefilter must be INVISIBLE in the result (no false
+    negatives → byte-identical to the plain left-anti join, across
+    sizings including a deliberately saturated filter) and actually
+    selective at the contract sizing: rows the filter clears never
+    reach the join, and with a ~3% fill the maybe set is the true
+    duplicates plus a vanishing fpp sliver."""
+    from jane_spark.engine.catalog import Catalog
+    from jane_spark.operators.dedup import (
+        bloom_bitmap,
+        bloom_prefilter_anti_join,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    old = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+    )
+    # make some REAL duplicates: a third of the new batch reuses an
+    # old row's text, so the anti-join has work to do
+    new = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.md5(F.concat(F.lit(""), F.col("text"))),
+        )
+        .otherwise(F.md5("text"))
+        .alias("fp"),
+    )
+    dup_fp = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5("text").alias("fp"))
+        .limit(1)
+    )
+    new = new.unionByName(
+        dup_fp.crossJoin(spark.range(5).select((F.col("id") + 900000).alias("doc_id")))
+        .select("doc_id", "fp")
+    )
+    plain = {
+        (r["doc_id"], r["fp"])
+        for r in new.join(old, "fp", "left_anti").collect()
+    }
+    # equivalence across sizings — including 2^6 bits, which saturates
+    # and degrades to the plain join
+    for bits, hashes in [(15, 4), (10, 2), (6, 4)]:
+        got = {
+            (r["doc_id"], r["fp"])
+            for r in bloom_prefilter_anti_join(
+                new, old, "fp", n_bits_log2=bits, n_hashes=hashes
+            ).collect()
+        }
+        assert got == plain, (bits, hashes)
+    # selectivity: the contract sizing clears almost every true-new row
+    bm = bloom_bitmap(old, "fp", 15, 4)
+    fill = sum(bin(w & ((1 << 64) - 1)).count("1") for w in bm) / (
+        64 * len(bm)
+    )
+    assert fill < 0.25, fill
+    # a saturated filter is all-ones: fill == 1.0 at 2^6 bits
+    bm_sat = bloom_bitmap(old, "fp", 6, 4)
+    sat_fill = sum(
+        bin(w & ((1 << 64) - 1)).count("1") for w in bm_sat
+    ) / (64 * len(bm_sat))
+    assert sat_fill == 1.0
