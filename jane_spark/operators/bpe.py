@@ -409,6 +409,89 @@ def unigram_piece_counts(
     )
 
 
+def unigram_encode_udf(
+    words: DataFrame,
+    vocab: dict[str, int],
+    word_col: str = "word",
+    unk_score: int = -1000,
+) -> DataFrame:
+    """Production-scale Unigram-LM encode (the documented scale path
+    for ``unigram_encode``, docs/SCALE.md): the expression DP carries
+    the score map as a ``create_map`` literal — O(1) plan NODES but
+    O(vocab) literals inside the projection, so a 32k-piece
+    production vocabulary pays analyzer/codegen cost per query. This
+    path runs the SAME integer Viterbi (max over (score, -len), UNK
+    per char, ties to the shorter final piece) in ONE Arrow-batched
+    stage with the vocabulary held once in the worker closure — plan
+    size independent of the vocabulary, per-row work identical.
+    Parity-pinned against unigram_encode and the Python twin."""
+    if not vocab:
+        raise ValueError("empty vocabulary")
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    v = {p: int(s) for p, s in vocab.items()}
+    max_l = max(len(p) for p in v)
+    unk = int(unk_score)
+
+    def _enc_one(word: str):
+        n = len(word)
+        if n == 0:
+            return (0, 0, [])
+        best = [(0, 0)] + [None] * n
+        bp = [0] * (n + 1)
+        for i in range(1, n + 1):
+            cands = []
+            for l in range(1, min(max_l, i) + 1):
+                s = v.get(word[i - l:i])
+                if s is None and l == 1:
+                    s = unk
+                if s is None:
+                    continue
+                cands.append((best[i - l][0] + s, -l))
+            sc, negl = max(cands)
+            bp[i] = -negl
+            best[i] = (sc, best[i + negl][1] + 1)
+        toks, pos = [], n
+        while pos > 0:
+            toks.append(word[pos - bp[pos]:pos])
+            pos -= bp[pos]
+        return (best[n][1], best[n][0], list(reversed(toks)))
+
+    out_t = StructType(
+        [
+            StructField("n_tokens", IntegerType()),
+            StructField("score", LongType()),
+            StructField("tokens", ArrayType(StringType())),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def _enc(col: pd.Series) -> pd.DataFrame:
+        trips = col.map(_enc_one)
+        return pd.DataFrame(
+            {
+                "n_tokens": trips.map(lambda t: t[0]),
+                "score": trips.map(lambda t: t[1]),
+                "tokens": trips.map(lambda t: t[2]),
+            }
+        )
+
+    out = words.withColumn("__u", _enc(F.col(word_col)))
+    return out.select(
+        "*",
+        F.col("__u.n_tokens").alias("n_tokens"),
+        F.col("__u.score").alias("score"),
+        F.col("__u.tokens").alias("tokens"),
+    ).drop("__u")
+
+
 def encode_words_udf(
     words: DataFrame,
     merges: list[tuple[str, str, int]],

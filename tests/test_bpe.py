@@ -446,3 +446,34 @@ def test_train_unigram_on_fixture_corpus(spark, sf_dir):
     got = train_unigram(docs, n_iters=2, seed_size=40)
     want = _py_train_unigram(texts, n_iters=2, seed_size=40)
     assert got == want
+
+
+def test_unigram_encode_udf_parity_and_plan(spark):
+    """The Arrow scale path must segment byte-identically to the
+    expression DP (scores, counts, tokens) over real corpus words,
+    and its plan must be ONE Arrow stage whose size is independent of
+    the vocabulary (the encode_words_udf contract, applied to
+    Unigram)."""
+    from jane_spark.contracts.curation import UNIGRAM_VOCAB
+    from jane_spark.operators.bpe import unigram_encode, unigram_encode_udf
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    words = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "").distinct()
+    expr_out = {
+        r["word"]: (r["score"], r["n_tokens"], tuple(r["tokens"]))
+        for r in unigram_encode(words, UNIGRAM_VOCAB).collect()
+    }
+    udf_out = {
+        r["word"]: (r["score"], r["n_tokens"], tuple(r["tokens"]))
+        for r in unigram_encode_udf(words, UNIGRAM_VOCAB).collect()
+    }
+    assert udf_out == expr_out and len(udf_out) >= 25
+    # plan: one Arrow stage; node count unchanged by a 100x vocabulary
+    big_vocab = {**UNIGRAM_VOCAB,
+                 **{f"zz{i:04d}": -500 - i for i in range(3000)}}
+    p_small = unigram_encode_udf(words, UNIGRAM_VOCAB)._jdf.queryExecution().executedPlan().toString()
+    p_big = unigram_encode_udf(words, big_vocab)._jdf.queryExecution().executedPlan().toString()
+    assert p_big.count("ArrowEvalPython") == 1
+    assert len(p_small.splitlines()) == len(p_big.splitlines())
