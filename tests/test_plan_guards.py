@@ -407,6 +407,10 @@ _PANDAS_ALLOWED = {
     "q_p14_warc_pipeline",
     # portable IVF quantizes via the same Arrow GEMM stage as q_k3_ivf
     "q_k3_ivf_portable",
+    # composed IVF-PQ's coarse list assignment runs the same Arrow
+    # GEMM stage (r9); the ADC read path itself is pure JVM — the
+    # pq_adc/adc_rerank contracts prove that, they are NOT allowlisted
+    "q_k23_ivf_pq",
     # XML validation has no JVM expression — the ElementTree pandas
     # UDF IS the operator under test (r8 ingest gate)
     "q_a3_validation_gate",
