@@ -169,6 +169,12 @@ def q_a3_quakeml_parse(spark, sf_dir):
             ).alias("data")
         )
     )
+    # AQE coalesces the small post-groupBy shuffle to a handful of
+    # partitions, which would run the Python parse stage on a few
+    # cores; an explicit numbered repartition (not coalesced by AQE)
+    # spreads the per-document ElementTree work across the executor —
+    # the standard balance move before any Python-bound mapInPandas
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return parse_quakeml_events(docs)
 
 
@@ -241,6 +247,10 @@ def q_a2_stationxml_parse(spark, sf_dir):
             ).alias("data")
         )
     )
+    # NO extra repartition here (unlike the QuakeML contract): the
+    # catalog is 5 region documents, so the parse stage is already
+    # doc-bounded and a round-robin shuffle only adds overhead
+    # (measured 0.15 s → 0.30 s)
     return parse_stationxml_channels(docs)
 
 
