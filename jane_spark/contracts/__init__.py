@@ -52,13 +52,16 @@ VERIFY_FIRST: list[str] = [
     #       oracle = the plain anti-join);
     #   (d) the first 21 of the 39-name r5 block in registration order
     #       (q_d2_extent .. q_d15_scd2).
-    # After r9 the stale tail is the remaining 18 r5 names
+    # Into r10 FIRST: q_a3_quakeml_parse (its Spark fn gained a
+    # balance repartition AFTER this window was frozen — parity
+    # re-proven in a driver-style session, but the changed-code rule
+    # says re-verify), then the stale tail of 18 r5 names
     # (q_g1_union, q_g2_intersect, q_g3_except, q_h1_ts_parse,
     # q_h3_seedid, q_h4_regex, q_h8_array, q_h9_tojson,
     # q_h10_null_epoch, q_g4_intersect_all, q_i2_tumbling,
     # q_i3_sliding, q_i4_sessionize, q_j2_grouped_map, q_j3_udaf,
-    # q_k2_minhash, q_k2_jaccard, q_k4_tokens — FIRST into r10), then
-    # the 46-name r6 block in registration order as it ages.
+    # q_k2_minhash, q_k2_jaccard, q_k4_tokens), then the 46-name r6
+    # block in registration order as it ages.
     # =================================================================
     # (a) r4 remainder, registration order
     "q_c7_asof",
