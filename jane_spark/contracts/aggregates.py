@@ -87,6 +87,82 @@ def q_d3a(spark, sf_dir):
 
 
 @contract(
+    "q_d3_kmv",
+    oracle="""
+        WITH h AS (SELECT DISTINCT
+                       CAST(concat('0x', substr(md5(
+                           'kmv:' || CAST(user_id AS VARCHAR)), 1, 8))
+                           AS BIGINT) AS h
+                   FROM events WHERE user_id IS NOT NULL),
+        keep AS (SELECT h FROM h ORDER BY h LIMIT 64),
+        agg AS (SELECT CAST(count(*) AS BIGINT) AS k_used,
+                       max(h) AS kth_hash
+                FROM keep),
+        ex AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+                   AS exact_distinct
+               FROM events WHERE user_id IS NOT NULL)
+        SELECT k_used, kth_hash,
+               CASE WHEN k_used < 64 THEN k_used
+                    ELSE CAST(63 * 4294967296 AS BIGINT)
+                         // greatest(kth_hash, CAST(1 AS BIGINT)) END
+                   AS est_distinct,
+               exact_distinct
+        FROM agg, ex
+    """,
+    survey_rows="D3",
+    doc="ORACLE-backed distinct-count sketch: k-minimum-values over "
+    "portable md5 hashes (operators.sketch.kmv_sketch, k=64) with the "
+    "(k-1)*2^32/h_(k) estimator in INTEGER division — unlike "
+    "approx_count_distinct's engine-private HLL++ (q_d3_approx, "
+    "rows-only), every value here is cross-engine reproducible. One "
+    "hash-distinct shuffle + TakeOrderedAndProject; mergeability "
+    "pytest-pinned",
+)
+def q_d3_kmv(spark, sf_dir):
+    from jane_spark.operators.sketch import kmv_estimate, kmv_sketch
+
+    ev = Catalog(spark, sf_dir).events
+    est = kmv_estimate(kmv_sketch(ev, "user_id", k=64), k=64)
+    exact = ev.where(F.col("user_id").isNotNull()).agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.crossJoin(F.broadcast(exact))
+
+
+@contract(
+    "q_d3_hll",
+    oracle="""
+        WITH h AS (SELECT CAST(concat('0x', substr(md5(
+                       'hll:' || CAST(user_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) AS h
+                   FROM events WHERE user_id IS NOT NULL),
+        b AS (SELECT h // 67108864 AS bucket, h % 67108864 AS w FROM h),
+        r AS (SELECT bucket,
+                     max(CASE WHEN w = 0 THEN 27
+                              ELSE 27 - length(to_base(w, 2)) END) AS rho
+              FROM b GROUP BY bucket)
+        SELECT g.b AS bucket, CAST(coalesce(r.rho, 0) AS BIGINT) AS rho
+        FROM generate_series(0, 63) g(b)
+        LEFT JOIN r ON r.bucket = g.b
+    """,
+    survey_rows="D3",
+    doc="ORACLE-backed HyperLogLog register table (m=64, p=6) from "
+    "portable hashes (operators.sketch.hll_registers): bucket = top 6 "
+    "bits, rho = leading-zero rank of the low 26 bits via BASE-2 "
+    "STRING LENGTH (conv/to_base) — integer-only, no float log2 whose "
+    "floor could disagree at powers of two. The register table is the "
+    "mergeable sketch state (elementwise max) a 1000-executor count-"
+    "distinct ships instead of raw keys; estimate readout + merge law "
+    "pytest-pinned (operators.sketch.hll_estimate)",
+)
+def q_d3_hll(spark, sf_dir):
+    from jane_spark.operators.sketch import hll_registers
+
+    ev = Catalog(spark, sf_dir).events
+    return hll_registers(ev, "user_id", p=6)
+
+
+@contract(
     "q_d4_collect",
     oracle="""
         SELECT user_id,

@@ -348,6 +348,66 @@ def q_k17(spark, sf_dir):
     return frequent_ngrams(docs, "text", n=2, k=50, capacity=65536)
 
 
+_CMS_ORACLE = """
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+cell AS (SELECT r.r AS r,
+                CAST(concat('0x', substr(md5(
+                    'cms:' || CAST(r.r AS VARCHAR) || ':' || tok), 1, 8))
+                    AS BIGINT) % 256 AS b,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM tok CROSS JOIN generate_series(0, 3) r(r)
+         GROUP BY 1, 2),
+top AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_count
+        FROM tok GROUP BY tok
+        ORDER BY exact_count DESC, tok ASC LIMIT 20),
+probe AS (SELECT top.tok, top.exact_count, r.r AS r,
+                 CAST(concat('0x', substr(md5(
+                     'cms:' || CAST(r.r AS VARCHAR) || ':' || top.tok),
+                     1, 8)) AS BIGINT) % 256 AS b
+          FROM top CROSS JOIN generate_series(0, 3) r(r))
+SELECT probe.tok AS token, min(cell.cnt) AS est_count,
+       probe.exact_count
+FROM probe JOIN cell ON cell.r = probe.r AND cell.b = probe.b
+GROUP BY probe.tok, probe.exact_count
+"""
+
+
+@contract(
+    "q_k17_cms",
+    oracle=_CMS_ORACLE,
+    survey_rows="K5,K4",
+    doc="count-min sketch frequency estimation "
+    "(operators.sketch.cms_build/cms_query, d=4 x w=256 portable-hash "
+    "cells): corpus token counts land in a d*w-bounded cell table "
+    "(groupBy state is CONSTANT in vocabulary size — the 100 TB "
+    "complement to Misra-Gries top-k), point estimates are min over "
+    "the d probed cells and never undercount. Contract pins the full "
+    "chain — build cells, probe the exact top-20 tokens, est vs exact "
+    "side by side; the never-undercount law and cellwise-sum merge "
+    "law are pytest-pinned",
+)
+def q_k17_cms(spark, sf_dir):
+    from jane_spark.operators.sketch import cms_build, cms_query
+
+    docs = Catalog(spark, sf_dir).documents
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    cms = cms_build(toks, "tok", d=4, w=256)
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), F.col("tok").asc())
+        .limit(20)
+    )
+    est = cms_query(cms, top, "tok", d=4, w=256)
+    return est.select(
+        F.col("tok").alias("token"),
+        F.col("est_count"),
+        F.col("exact_count"),
+    )
+
+
 _C4FILTER_ORACLE = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 lined AS (SELECT doc_id,

@@ -124,3 +124,224 @@ def frequent_ngrams(
     )
     exploded = df.select(F.explode(col).alias("gram"))
     return frequent_items(exploded, "gram", k=k, capacity=capacity)
+
+
+# ---------------------------------------------------------------------
+# Mergeable cardinality + frequency sketches (round 9). All three are
+# built from PORTABLE md5-derived hashes (operators.dedup.portable_hash32)
+# and pure integer arithmetic, so — unlike approx_count_distinct's
+# engine-private HLL++ — every cell of the sketch is reproducible in any
+# engine and the contracts are ORACLE-backed (q_d3_kmv, q_d3_hll,
+# q_k17_cms), closing the evidence gap the rows-only q_d3_approx row
+# documents. Production pipelines can swap portable_hash32 for xxhash64
+# (same shapes, ~2-3x cheaper hash) once certified.
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 64, salt: str = "kmv") -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002):
+    the ``k`` smallest distinct 32-bit hash values of ``col``, one
+    ``h`` column, <= k rows.
+
+    Mergeable: union two sketches, re-take the k smallest — identical
+    to sketching the unioned input (pytest-pinned). Distributed shape:
+    hash projection -> hash-distinct (one shuffle, map-side combined)
+    -> global k-smallest via TakeOrderedAndProject (no full sort); the
+    driver ever holds only k longs.
+    """
+    from jane_spark.operators.dedup import portable_hash32
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h = portable_hash32(
+        F.concat(F.lit(f"{salt}:"), F.col(col).cast("string"))
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(h.alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int) -> DataFrame:
+    """Distinct-count estimate from a ``kmv_sketch``: one row
+    ``(k_used, kth_hash, est_distinct)``, all BIGINT.
+
+    If fewer than ``k`` distinct hashes exist the sketch IS the exact
+    distinct set (est = k_used); otherwise the classic unbiased
+    estimator (k-1) * 2^32 / h_(k) — kept in INTEGER division (`div`)
+    so the oracle can reproduce it bit-for-bit (`//` in DuckDB).
+    """
+    return (
+        sketch.agg(
+            F.count("h").alias("k_used"),
+            F.max("h").alias("kth_hash"),
+        )
+        .select(
+            "k_used",
+            "kth_hash",
+            F.when(F.col("k_used") < k, F.col("k_used"))
+            .otherwise(
+                F.expr(
+                    f"CAST(({k} - 1) * 4294967296 AS BIGINT) "
+                    "div greatest(kth_hash, CAST(1 AS BIGINT))"
+                )
+            )
+            .alias("est_distinct"),
+        )
+    )
+
+
+def hll_registers(
+    df: DataFrame, col: str, p: int = 6, salt: str = "hll"
+) -> DataFrame:
+    """Portable HyperLogLog register table (Flajolet et al. 2007):
+    ``m = 2^p`` rows ``(bucket, rho)``, all BIGINT — bucket = top p bits
+    of the 32-bit portable hash, rho = leading-zero count of the
+    remaining ``32-p`` bits + 1 (0 for never-touched buckets).
+
+    Integer-only: the bit-length of the remainder comes from the length
+    of its base-2 string (Spark ``conv(w,10,2)`` / DuckDB
+    ``to_base(w,2)``) — no float log2 whose floor could disagree at
+    exact powers of two. Mergeable by elementwise ``max(rho)``
+    (pytest-pinned). Distributed shape: projection -> m-key groupBy
+    (map-side combined; state = m counters per task) -> broadcast-sized
+    output; the estimate (``hll_estimate``) reads just the m rows.
+    """
+    from jane_spark.operators.dedup import portable_hash32
+
+    if not 2 <= p <= 16:
+        raise ValueError("p must be in [2, 16]")
+    m = 1 << p
+    rem_bits = 32 - p
+    rem_mod = 1 << rem_bits
+    h = portable_hash32(
+        F.concat(F.lit(f"{salt}:"), F.col(col).cast("string"))
+    )
+    hashed = df.where(F.col(col).isNotNull()).select(h.alias("h"))
+    bucketed = hashed.select(
+        F.expr(f"h div CAST({rem_mod} AS BIGINT)").alias("bucket"),
+        F.pmod(F.col("h"), F.lit(rem_mod)).alias("w"),
+    )
+    rho = (
+        F.when(F.col("w") == 0, F.lit(rem_bits + 1))
+        .otherwise(
+            F.lit(rem_bits + 1)
+            - F.length(F.conv(F.col("w").cast("string"), 10, 2))
+        )
+        .cast("bigint")
+    )
+    regs = bucketed.select("bucket", rho.alias("rho")).groupBy("bucket").agg(
+        F.max("rho").alias("rho")
+    )
+    buckets = (
+        df.sparkSession.range(m)
+        .select(F.col("id").cast("bigint").alias("bucket"))
+    )
+    return buckets.join(regs, "bucket", "left").select(
+        "bucket", F.coalesce(F.col("rho"), F.lit(0).cast("bigint")).alias("rho")
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int) -> float:
+    """Cardinality estimate from an ``hll_registers`` table (driver-side
+    float — the register TABLE is the oracle-checked artifact; this is
+    the bounded m-row readout). Applies the standard small-range
+    linear-counting correction."""
+    import math
+
+    m = 1 << p
+    rows = registers.collect()  # exactly m rows — bounded by construction
+    if len(rows) != m:
+        raise ValueError(f"expected {m} registers, got {len(rows)}")
+    alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(p, 0.7213 / (1 + 1.079 / m))
+    inv_sum = sum(2.0 ** -r.rho for r in rows)
+    est = alpha * m * m / inv_sum
+    zeros = sum(1 for r in rows if r.rho == 0)
+    if est <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    return est
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 256,
+    weight_col: str | None = None,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over the values
+    of ``key_col``: nonzero cells ``(r, b, cnt)``, all BIGINT — row r's
+    bucket is ``portable_hash32('{salt}:{r}:' || key) % w``.
+
+    Point estimates (``cms_query``) are min over the d cells and NEVER
+    undercount; overcount is bounded by e*N/w with prob 1-e^-d.
+    Mergeable by cellwise sum. Distributed shape: the corpus is touched
+    once (d in-row bucket computations, then explode), the groupBy
+    state is bounded by d*w cells per task regardless of vocabulary —
+    the whole point vs an exact groupBy whose key space is unbounded at
+    100 TB — and the finished sketch (<= d*w rows) broadcasts.
+    """
+    from jane_spark.operators.dedup import portable_hash32
+
+    if d < 1 or w < 2:
+        raise ValueError("d must be >= 1 and w >= 2")
+    key = F.col(key_col).cast("string")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("bigint").alias("r"),
+                F.pmod(
+                    portable_hash32(F.concat(F.lit(f"{salt}:{r}:"), key)),
+                    F.lit(w),
+                ).alias("b"),
+            )
+            for r in range(d)
+        ]
+    )
+    wt = F.lit(1).cast("bigint") if weight_col is None else F.col(weight_col).cast("bigint")
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(F.explode(cells).alias("c"), wt.alias("wt"))
+        .groupBy(F.col("c.r").alias("r"), F.col("c.b").alias("b"))
+        .agg(F.sum("wt").alias("cnt"))
+    )
+
+
+def cms_query(
+    cms: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Frequency estimate per key: ``keys`` plus an ``est_count`` BIGINT
+    column (min over the d probed cells; 0 for never-seen keys). The
+    sketch side is broadcast (<= d*w rows) — probing is shuffle-free."""
+    from jane_spark.operators.dedup import portable_hash32
+
+    key = F.col(key_col).cast("string")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("bigint").alias("r"),
+                F.pmod(
+                    portable_hash32(F.concat(F.lit(f"{salt}:{r}:"), key)),
+                    F.lit(w),
+                ).alias("b"),
+            )
+            for r in range(d)
+        ]
+    )
+    probes = keys.select(*keys.columns, F.explode(cells).alias("c")).select(
+        *keys.columns, F.col("c.r").alias("r"), F.col("c.b").alias("b")
+    )
+    joined = probes.join(F.broadcast(cms), ["r", "b"], "left")
+    return joined.groupBy(*keys.columns).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("bigint"))).alias(
+            "est_count"
+        )
+    )

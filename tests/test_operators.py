@@ -2385,3 +2385,119 @@ def test_bloom_prefilter_anti_join_exact_and_selective(spark, sf_dir):
         bin(w & ((1 << 64) - 1)).count("1") for w in bm_sat
     ) / (64 * len(bm_sat))
     assert sat_fill == 1.0
+
+
+# ------------------------------------------- portable cardinality sketches
+
+
+def _kmv_merge(spark, a, b, k):
+    return a.unionByName(b).distinct().orderBy("h").limit(k)
+
+
+def test_kmv_merge_law_and_accuracy(spark):
+    """KMV mergeability: sketch(A ∪ B) == min-k(sketch(A) ∪ sketch(B));
+    estimator within the ~1/sqrt(k-2) error regime on 2000 distinct."""
+    from jane_spark.operators.sketch import kmv_estimate, kmv_sketch
+
+    vals = spark.range(2000).select(
+        "id", F.concat(F.lit("u"), F.col("id")).alias("v")
+    )
+    whole = kmv_sketch(vals, "v", k=64)
+    half_a = kmv_sketch(vals.where(F.col("id") % 2 == 0), "v", k=64)
+    half_b = kmv_sketch(vals.where(F.col("id") % 2 == 1), "v", k=64)
+    merged = _kmv_merge(spark, half_a, half_b, 64)
+    assert sorted(r.h for r in whole.collect()) == sorted(
+        r.h for r in merged.collect()
+    )
+
+    est = kmv_estimate(whole, 64).collect()[0]
+    assert est.k_used == 64
+    assert 0.6 * 2000 < est.est_distinct < 1.4 * 2000, est.est_distinct
+
+    # below-k regime: the sketch IS the exact distinct set
+    small = spark.range(10).select(F.concat(F.lit("s"), F.col("id")).alias("v"))
+    est_s = kmv_estimate(kmv_sketch(small, "v", k=64), 64).collect()[0]
+    assert est_s.k_used == 10 and est_s.est_distinct == 10
+
+
+def test_kmv_plans_take_ordered(spark):
+    """k-smallest must plan as TakeOrderedAndProject, not a global sort."""
+    from jane_spark.operators.sketch import kmv_sketch
+
+    vals = spark.range(100).select(F.col("id").cast("string").alias("v"))
+    plan = (
+        kmv_sketch(vals, "v", k=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan[:500]
+
+
+def test_hll_merge_law_and_estimate(spark):
+    """HLL registers merge by elementwise max; readout (with the
+    linear-counting small-range correction) lands within 40% on 2000
+    distinct at m=64 (theoretical sigma ~13%)."""
+    from jane_spark.operators.sketch import hll_estimate, hll_registers
+
+    vals = spark.range(2000).select(
+        "id", F.concat(F.lit("u"), F.col("id")).alias("v")
+    )
+    whole = {r.bucket: r.rho for r in hll_registers(vals, "v", p=6).collect()}
+    ra = {
+        r.bucket: r.rho
+        for r in hll_registers(
+            vals.where(F.col("id") % 2 == 0), "v", p=6
+        ).collect()
+    }
+    rb = {
+        r.bucket: r.rho
+        for r in hll_registers(
+            vals.where(F.col("id") % 2 == 1), "v", p=6
+        ).collect()
+    }
+    assert whole == {b: max(ra[b], rb[b]) for b in whole}
+
+    est = hll_estimate(hll_registers(vals, "v", p=6), p=6)
+    assert 0.6 * 2000 < est < 1.4 * 2000, est
+
+    # small-range regime: linear counting keeps tiny counts honest
+    small = spark.range(30).select(F.concat(F.lit("s"), F.col("id")).alias("v"))
+    est_s = hll_estimate(hll_registers(small, "v", p=6), p=6)
+    assert 15 <= est_s <= 60, est_s
+
+
+def test_cms_never_undercounts_and_merges(spark):
+    """CMS law: est >= exact for EVERY key (min over d cells can only
+    overcount); sketches merge by cellwise sum."""
+    from jane_spark.operators.sketch import cms_build, cms_query
+
+    # zipf-ish: key i appears (40 - i) times
+    rows = [(f"k{i}",) for i in range(40) for _ in range(40 - i)]
+    df = spark.createDataFrame(rows, "key string")
+    cms = cms_build(df, "key", d=4, w=64)
+    keys = df.groupBy("key").agg(F.count(F.lit(1)).alias("exact"))
+    est = {
+        r.key: (r.est_count, r.exact)
+        for r in cms_query(cms, keys, "key", d=4, w=64).collect()
+    }
+    assert len(est) == 40
+    for k, (e, x) in est.items():
+        assert e >= x, (k, e, x)
+
+    # merge law: cells of (A) + cells of (B) == cells of (A ∪ B)
+    half_a = df.limit(300)
+    half_b = df.exceptAll(half_a)
+    ca = {(r.r, r.b): r.cnt for r in cms_build(half_a, "key", d=4, w=64).collect()}
+    cb = {(r.r, r.b): r.cnt for r in cms_build(half_b, "key", d=4, w=64).collect()}
+    merged: dict = {}
+    for cells in (ca, cb):
+        for rb, c in cells.items():
+            merged[rb] = merged.get(rb, 0) + c
+    whole = {(r.r, r.b): r.cnt for r in cms_build(df, "key", d=4, w=64).collect()}
+    assert whole == merged
+
+    # never-seen keys probe to 0
+    ghost = spark.createDataFrame([("ghost",)], "key string")
+    g = cms_query(cms, ghost, "key", d=4, w=64).collect()
+    assert g[0].est_count >= 0
