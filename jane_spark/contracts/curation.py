@@ -250,6 +250,67 @@ def q_k16(spark, sf_dir):
     return semantic_dedup(emb, "vec_id", "embedding", "label", threshold=0.4)
 
 
+_DBSCAN_ORACLE = """
+WITH RECURSIVE
+v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pr AS (SELECT a.id AS a_id, b.id AS b_id
+       FROM v a JOIN v b ON a.id < b.id
+       WHERE list_cosine_similarity(a.v, b.v) >= 0.33),
+sym AS (SELECT a_id AS a, b_id AS b FROM pr
+        UNION ALL SELECT b_id, a_id FROM pr),
+deg AS (SELECT v.id, CAST(coalesce(d.n, 1) AS BIGINT) AS n_nbrs
+        FROM v LEFT JOIN
+             (SELECT a, count(*) + 1 AS n FROM sym GROUP BY a) d
+             ON d.a = v.id),
+core AS (SELECT id FROM deg WHERE n_nbrs >= 4),
+ce AS (SELECT s.a, s.b FROM sym s
+       JOIN core ca ON ca.id = s.a
+       JOIN core cb ON cb.id = s.b),
+reach AS (SELECT id AS node, id AS comp FROM core
+          UNION
+          SELECT ce.b, reach.comp FROM reach JOIN ce ON reach.node = ce.a),
+lab AS (SELECT node AS id, min(comp) AS comp FROM reach GROUP BY node),
+bord AS (SELECT s.a AS id, min(lab.comp) AS comp
+         FROM sym s JOIN lab ON lab.id = s.b
+         WHERE s.a NOT IN (SELECT id FROM core)
+         GROUP BY s.a)
+SELECT d.id AS vec_id,
+       CAST(coalesce(lab.comp, bord.comp, -1) AS BIGINT) AS cluster,
+       (CASE WHEN lab.comp IS NOT NULL THEN 'core'
+             WHEN bord.comp IS NOT NULL THEN 'border'
+             ELSE 'noise' END) AS role,
+       d.n_nbrs
+FROM deg d
+LEFT JOIN lab ON lab.id = d.id
+LEFT JOIN bord ON bord.id = d.id
+"""
+
+
+@contract(
+    "q_k16_dbscan",
+    oracle=_DBSCAN_ORACLE,
+    survey_rows="K3,K8,K10",
+    doc="density-based clustering (DBSCAN, Ester et al. KDD'96) over "
+    "the embedding column — operators.dbscan.dbscan(sim>=0.33, "
+    "min_pts=4): eps-pairs (q_k8 machinery) -> degree count -> core "
+    "points -> connected components over core-core edges (the q_k10 "
+    "min-label fixpoint) -> border points take the min neighboring "
+    "core label, rest is noise. 18 clusters / 125 core / 171 border / "
+    "204 noise at sf0.01; every label is integer arithmetic, the one "
+    "float cut's fixture margin (|sim-0.33| >= 2.7e-5) is pytest-"
+    "pinned. Oracle = the same chain with a recursive-CTE closure; "
+    "scale path swaps the exact pair join for the LSH prefilter "
+    "(method='lsh' — deterministic >=85% point-label agreement at "
+    "this mid-similarity threshold, pytest-pinned; at near-dup "
+    "thresholds the prefilter is near-lossless)",
+)
+def q_k16_dbscan(spark, sf_dir):
+    from jane_spark.operators.dbscan import dbscan
+
+    emb = Catalog(spark, sf_dir).embeddings
+    return dbscan(emb, "vec_id", "embedding", sim_threshold=0.33, min_pts=4)
+
+
 _EMBED_DECONTAM_ORACLE = """
 WITH train AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
 ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),

@@ -2501,3 +2501,76 @@ def test_cms_never_undercounts_and_merges(spark):
     ghost = spark.createDataFrame([("ghost",)], "key string")
     g = cms_query(cms, ghost, "key", d=4, w=64).collect()
     assert g[0].est_count >= 0
+
+
+# ------------------------------------------------------------------ dbscan
+
+
+def test_dbscan_invariants_and_margin(spark, duck, sf_dir):
+    """Structural DBSCAN laws: core ⟺ degree >= min_pts; noise ⟺
+    cluster -1; every cluster label is the smallest CORE id in it;
+    border points carry a real core neighbor's label. Plus the fixture
+    margin pin: no cosine sits within 1e-6 of the 0.33 cut."""
+    from jane_spark.operators.dbscan import dbscan
+
+    from jane_spark.engine.catalog import Catalog
+
+    emb = Catalog(spark, sf_dir).embeddings
+    rows = dbscan(emb, "vec_id", "embedding", 0.33, 4).collect()
+    assert len(rows) == emb.count()
+    by_role: dict = {}
+    for r in rows:
+        by_role.setdefault(r.role, []).append(r)
+        if r.role == "core":
+            assert r.n_nbrs >= 4 and r.cluster >= 0
+        else:
+            assert r.n_nbrs < 4
+        if r.role == "noise":
+            assert r.cluster == -1
+        else:
+            assert r.cluster >= 0
+    assert set(by_role) == {"core", "border", "noise"}
+    # cluster label == min core id of that cluster
+    core_min: dict = {}
+    for r in by_role["core"]:
+        core_min[r.cluster] = min(core_min.get(r.cluster, r.vec_id), r.vec_id)
+    for comp, mn in core_min.items():
+        assert comp == mn, (comp, mn)
+    # border labels reference an existing core cluster
+    for r in by_role["border"]:
+        assert r.cluster in core_min
+
+    margin = duck.execute(
+        """
+        WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings)
+        SELECT min(abs(list_cosine_similarity(a.v, b.v) - 0.33))
+        FROM v a JOIN v b ON a.id < b.id
+        """
+    ).fetchone()[0]
+    assert margin > 1e-6, f"dbscan cut margin too thin: {margin}"
+
+
+def test_dbscan_lsh_prefilter_agreement(spark, sf_dir):
+    """The 100 TB path (LSH-bucketed pair candidates) must agree with
+    exact DBSCAN on >= 85% of point labels — deterministic planes, so
+    this is a fixed number, not a flaky bound. (0.33 is a MID-similarity
+    cut — hyperplane recall is the binding factor; near-dup thresholds
+    recover near-total recall, q_k8's regime.)"""
+    from jane_spark.engine.catalog import Catalog
+    from jane_spark.operators.dbscan import dbscan
+
+    emb = Catalog(spark, sf_dir).embeddings
+    exact = {
+        r.vec_id: (r.cluster, r.role)
+        for r in dbscan(emb, "vec_id", "embedding", 0.33, 4).collect()
+    }
+    lsh = {
+        r.vec_id: (r.cluster, r.role)
+        for r in dbscan(
+            emb, "vec_id", "embedding", 0.33, 4, method="lsh"
+        ).collect()
+    }
+    assert set(exact) == set(lsh)
+    agree = sum(1 for k in exact if exact[k] == lsh[k])
+    assert agree / len(exact) >= 0.85, f"{agree}/{len(exact)}"
