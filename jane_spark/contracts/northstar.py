@@ -1204,6 +1204,76 @@ def q_k10_keep_best(spark, sf_dir):
     )
 
 
+def _pagerank_oracle(iters: int = 5, num: int = 85, den: int = 100) -> str:
+    """Unrolled integer PageRank twin (the suffixed-CTE-chain
+    discipline from the Lloyd/PQ oracles): iteration i's CTEs are
+    c{i}/d{i}/r{i}, every value BIGINT, every division integer."""
+    scale = 10**9
+    parts = [
+        f"""
+WITH tr AS (SELECT user_id,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS src,
+                   event_type AS dst
+            FROM events),
+ed AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+       FROM tr WHERE src IS NOT NULL GROUP BY src, dst),
+nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM ed GROUP BY src),
+r0 AS (SELECT node, CAST({scale} AS BIGINT) // (SELECT n FROM nn) AS r
+       FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f""",
+c{i} AS (SELECT ed.dst AS node,
+               CAST(sum((r{p}.r * ed.w) // outw.ow) AS BIGINT) AS inflow
+        FROM ed JOIN r{p} ON r{p}.node = ed.src
+                JOIN outw ON outw.src = ed.src
+        GROUP BY ed.dst),
+d{i} AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT)
+                // (SELECT n FROM nn) AS share
+        FROM r{p} WHERE node NOT IN (SELECT src FROM outw)),
+r{i} AS (SELECT n0.node,
+               (({den - num} * CAST({scale} AS BIGINT))
+                // ({den} * (SELECT n FROM nn)))
+               + ({num} * (coalesce(c{i}.inflow, CAST(0 AS BIGINT))
+                           + (SELECT share FROM d{i}))) // {den} AS r
+        FROM nodes n0 LEFT JOIN c{i} ON c{i}.node = n0.node)"""
+        )
+    parts.append(
+        f"""
+SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r{iters}"""
+    )
+    return "".join(parts)
+
+
+@contract(
+    "q_k27_pagerank",
+    oracle=_pagerank_oracle(),
+    survey_rows="K27,K10",
+    doc="weighted PageRank in EXACT integer arithmetic "
+    "(operators.pagerank, damping 85/100, 5 fixed iterations, ranks "
+    "scaled by 1e9) over the per-user event-type transition graph "
+    "(lag window -> edge counts — the clickstream Markov chain; the "
+    "production use is domain-authority ranking for corpus sampling). "
+    "Float PageRank is not cross-engine reproducible (order-dependent "
+    "group-by sums); integer contributions (rank*w div out_w) make "
+    "every step associative, so the oracle's unrolled CTE chain "
+    "reproduces the ranks bit-for-bit, dangling mass redistributed "
+    "each round. Per iteration: one src-join (rank table broadcast at "
+    "dimension-sized node sets) + one dst-groupBy; the edge table is "
+    "checkpointed once and reused",
+)
+def q_k27_pagerank(spark, sf_dir):
+    from jane_spark.operators.pagerank import event_transition_edges, pagerank
+
+    ev = Catalog(spark, sf_dir).events
+    return pagerank(event_transition_edges(ev), weight="w")
+
+
 @contract(
     "q_t8_entropy",
     oracle="""

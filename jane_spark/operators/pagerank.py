@@ -1,0 +1,130 @@
+"""Weighted PageRank in exact integer arithmetic (round 9).
+
+Web-corpus curation ranks DOMAINS by link authority before sampling
+(the CommonCrawl/Gopher lineage weights hosts by graph centrality);
+clickstream analytics ranks event states by stationary visit mass.
+Both are PageRank over an edge table — and both belong in the engine,
+not a sidecar graph system, when the edges already live in a
+DataFrame.
+
+Determinism design: the classic float iteration is NOT cross-engine
+reproducible (group-by float sums are order-dependent). Here every
+rank is a BIGINT scaled by 1e9 and every step is integer arithmetic —
+``contrib = (rank * w) div out_w``, damping applied as ``(num * x)
+div den`` — so addition is associative, iteration order is
+irrelevant, and a SQL engine reproduces the ranks BIT-FOR-BIT
+(the q_k16_kmeans "unrolled deterministic iteration" precedent,
+applied to graphs). Integer-division dust (< 1 unit per edge per
+round, i.e. < 1e-9 of mass) leaks out of the total instead of
+accumulating into any rank.
+
+Scale shape per iteration: one equi-join of edges against the rank
+table on ``src`` (broadcast when the node set is dimension-sized —
+domains, event types; shuffle-on-src otherwise, and the edge table's
+partitioning is REUSED across iterations since it never changes) plus
+one groupBy ``dst`` (map-side combined). The dangling-mass term is a
+scalar aggregate per round, same as the components fixpoint's
+convergence probe. 5 fixed iterations — rank ordering stabilizes in
+3-4 rounds on power-law graphs; fixed count keeps the plan static and
+the oracle unrollable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**9
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    damping: tuple[int, int] = (85, 100),
+    iters: int = 5,
+) -> DataFrame:
+    """Integer-scaled weighted PageRank: ``(node, rank_scaled)`` with
+    ``rank_scaled`` summing to ~1e9 (minus deterministic integer-
+    division dust). ``damping`` is an exact rational (num, den) —
+    (85, 100) is the classic 0.85."""
+    num, den = damping
+    if not (0 < num < den):
+        raise ValueError("damping must be a proper fraction (num, den)")
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+
+    w = (F.lit(1) if weight is None else F.col(weight)).cast("bigint")
+    e = (
+        edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    ew = e.join(outw, "src").localCheckpoint(eager=True)
+
+    base = ((den - num) * SCALE) // (den * n)
+    ranks = nodes.select(
+        "node", F.lit(SCALE // n).cast("bigint").alias("r")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(iters):
+        inflow = (
+            ew.join(ranks, ew.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(r * w) div ow").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        dang = (
+            ranks.join(outw, ranks.node == outw.src, "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)))
+            .first()[0]
+        )
+        dang_share = dang // n
+        ranks = (
+            nodes.join(inflow, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({num} * (coalesce(inflow, CAST(0 AS BIGINT))"
+                        f" + CAST({dang_share} AS BIGINT))) div {den}"
+                    )
+                )
+                .cast("bigint")
+                .alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.col("r").alias("rank_scaled"))
+
+
+def event_transition_edges(events: DataFrame) -> DataFrame:
+    """Per-user event-type transition graph from an event log: edge
+    (prev_type -> type) with weight = transition count, ordered by
+    (ts, event_id) within user. The clickstream Markov chain whose
+    PageRank is the stationary visit mass."""
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = events.select(
+        F.lag("event_type").over(win).alias("src"),
+        F.col("event_type").alias("dst"),
+    ).where(F.col("src").isNotNull())
+    return tr.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("w")
+    )

@@ -2574,3 +2574,69 @@ def test_dbscan_lsh_prefilter_agreement(spark, sf_dir):
     assert set(exact) == set(lsh)
     agree = sum(1 for k in exact if exact[k] == lsh[k])
     assert agree / len(exact) >= 0.85, f"{agree}/{len(exact)}"
+
+
+# ---------------------------------------------------------------- pagerank
+
+
+def test_pagerank_symmetric_and_float_reference(spark):
+    """On a symmetric 2-cycle both nodes tie exactly; on a graph with a
+    dangling sink the integer ranks track a float PageRank reference
+    within the integer-dust bound and mass is conserved to ~1e-6."""
+    from jane_spark.operators.pagerank import SCALE, pagerank
+
+    sym = spark.createDataFrame(
+        [("a", "b", 1), ("b", "a", 1)], "src string, dst string, w long"
+    )
+    r = {x.node: x.rank_scaled for x in pagerank(sym, weight="w").collect()}
+    assert r["a"] == r["b"]
+    assert abs(r["a"] + r["b"] - SCALE) <= 10
+
+    # a -> b, a -> c, b -> a; c is a dangling sink
+    g = spark.createDataFrame(
+        [("a", "b", 1), ("a", "c", 1), ("b", "a", 1)],
+        "src string, dst string, w long",
+    )
+    got = {x.node: x.rank_scaled for x in pagerank(g, weight="w").collect()}
+    assert abs(sum(got.values()) - SCALE) <= 100  # division dust only
+
+    # float reference, same 5 iterations + dangling redistribution
+    nodes = ["a", "b", "c"]
+    out = {"a": [("b", 1), ("c", 1)], "b": [("a", 1)]}
+    rank = {v: 1 / 3 for v in nodes}
+    for _ in range(5):
+        nxt = {v: 0.15 / 3 for v in nodes}
+        dang = sum(rank[v] for v in nodes if v not in out)
+        for v in nodes:
+            nxt[v] += 0.85 * dang / 3
+        for u, outs in out.items():
+            ow = sum(w for _, w in outs)
+            for v, w in outs:
+                nxt[v] += 0.85 * rank[u] * w / ow
+        rank = nxt
+    for v in nodes:
+        assert abs(got[v] / 1e9 - rank[v]) < 1e-6, (v, got[v], rank[v])
+    # a is the hub; b and c each receive exactly half of a's mass, so
+    # they tie EXACTLY (same integer inflow) — outflow never affects
+    # a node's own rank
+    assert got["a"] > got["b"] == got["c"]
+
+
+def test_pagerank_weighted_edges_and_validation(spark):
+    """Edge weights steer mass: with a -> b (weight 9) and a -> c
+    (weight 1), b outranks c. Degenerate damping fractions refuse."""
+    import pytest as _pytest
+
+    from jane_spark.operators.pagerank import pagerank
+
+    g = spark.createDataFrame(
+        [("a", "b", 9), ("a", "c", 1), ("b", "a", 1), ("c", "a", 1)],
+        "src string, dst string, w long",
+    )
+    got = {x.node: x.rank_scaled for x in pagerank(g, weight="w").collect()}
+    assert got["b"] > got["c"]
+
+    with _pytest.raises(ValueError):
+        pagerank(g, weight="w", damping=(100, 100))
+    with _pytest.raises(ValueError):
+        pagerank(g, weight="w", iters=0)
