@@ -163,6 +163,56 @@ def q_d3_hll(spark, sf_dir):
 
 
 @contract(
+    "q_d16_rollup_cascade",
+    oracle="""
+        WITH c AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)
+                       AS bucket, event_type,
+                          CAST(round(value * 100) AS BIGINT) AS cents
+                   FROM events)
+        SELECT bucket, event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS sum_cents,
+               min(cents) AS min_cents, max(cents) AS max_cents,
+               CAST((sum(cents) * 100) // count(*) AS BIGINT) AS avg_e4
+        FROM c GROUP BY bucket, event_type
+    """,
+    survey_rows="D1,D2,D6,D7",
+    doc="hypertable-style continuous-aggregate cascade "
+    "(operators.rolling.time_rollup/rollup_cascade): raw events roll "
+    "up ONCE to hourly (n, sum, min, max in integer cents — a "
+    "commutative monoid), daily derives from the HOURLY ROLLUP by the "
+    "monoid merge, avg at read time as sum/n (never avg-of-avgs). The "
+    "oracle aggregates raw events directly at daily grain — parity IS "
+    "the cascade law. Integer cents make the two-level re-aggregation "
+    "bit-reproducible (float partial sums in a different merge order "
+    "are not); at scale the daily query touches <= 24 rollup rows per "
+    "key instead of a day of raw events, and an appended hour "
+    "incrementally maintains every coarser level. avg is emitted as "
+    "FIXED-POINT 1e-4 units ((sum*100) div n): the float form hit a "
+    "genuine half-boundary double-rounding divergence between the "
+    "engines' round() implementations at sf0.01",
+)
+def q_d16_rollup_cascade(spark, sf_dir):
+    from jane_spark.operators.rolling import rollup_cascade, time_rollup
+
+    ev = Catalog(spark, sf_dir).events
+    hourly = time_rollup(
+        ev, "ts", "hour", ["event_type"], F.round(F.col("value") * 100, 0)
+    )
+    daily = rollup_cascade(hourly, "day", ["event_type"])
+    return daily.select(
+        # day-grain bucket as TIMESTAMP on both engines (DuckDB's
+        # date_trunc('day') yields DATE — a type-tag hash mismatch)
+        F.col("bucket").cast("timestamp_ntz").alias("bucket"),
+        "event_type",
+        "n",
+        "sum_cents",
+        "min_cents",
+        "max_cents",
+        F.expr("(sum_cents * 100) div n").alias("avg_e4"),
+    )
+
+
+@contract(
     "q_d4_collect",
     oracle="""
         SELECT user_id,

@@ -158,6 +158,49 @@ def q_k8(spark, sf_dir):
 
 
 @contract(
+    "q_k2_containment",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, source,
+                   list_distinct(string_split(text, ' ')) AS toks
+            FROM documents),
+        e AS (
+            SELECT doc_id, source, len(toks) AS n_toks, unnest(toks) AS tok
+            FROM t),
+        p AS (
+            SELECT a.doc_id AS inner_id, b.doc_id AS outer_id,
+                   a.n_toks AS n_inner, CAST(count(*) AS BIGINT) AS common
+            FROM e a
+            JOIN e b ON a.source = b.source AND a.tok = b.tok
+                    AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2, 3)
+        SELECT inner_id, outer_id, common,
+               CAST(n_inner AS BIGINT) AS n_inner,
+               CAST((10000 * common) // n_inner AS BIGINT)
+                   AS containment_e4
+        FROM p
+        WHERE 100 * common >= 90 * n_inner
+    """,
+    survey_rows="K2,K14,K1",
+    doc="asymmetric containment near-dup (|A∩B|/|A| >= 90% of the "
+    "INNER doc's distinct tokens — operators.dedup.containment_pairs): "
+    "catches quote-inclusion, boilerplate supersets, and truncated "
+    "re-crawls that symmetric Jaccard dilutes below threshold when "
+    "|B| >> |A|. Decision and emitted score are pure integer "
+    "(100*common >= 90*|A|; fixed-point 1e-4) — no float boundary. "
+    "Same inverted-index equi-join shape as q_k2_jaccard, source-"
+    "blocked, never all-pairs",
+)
+def q_k2_containment(spark, sf_dir):
+    from jane_spark.operators.dedup import containment_pairs
+
+    docs = Catalog(spark, sf_dir).documents
+    return containment_pairs(
+        docs, "doc_id", "text", "source", threshold_pct=90
+    )
+
+
+@contract(
     "q_k2_minhash",
     oracle=None,  # LSH banding candidates — rows-only check
     survey_rows="K2",

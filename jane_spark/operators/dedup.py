@@ -667,3 +667,64 @@ def bloom_prefilter_anti_join(
         store.select(key_col).distinct(), key_col, "left_anti"
     )
     return definite.unionByName(verified)
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    threshold_pct: int = 90,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: (inner, outer) pairs where
+    >= ``threshold_pct``% of the inner doc's DISTINCT tokens appear in
+    the outer doc — Jaccard CONTAINMENT |A∩B|/|A|, the measure that
+    catches quote-inclusion, boilerplate-supersets, and truncated
+    re-crawls, all of which symmetric Jaccard dilutes below any usable
+    threshold when |B| >> |A|.
+
+    Decision is pure integer (100*common >= pct*|A|): no float
+    boundary can flip a pair. Same inverted-index shape as the exact-
+    Jaccard path — explode distinct tokens, equi-join on
+    (block, token), count — never an all-pairs scan; ``block_col``
+    bounds candidates (source/domain/shard). Emitted containment is
+    fixed-point 1e-4 ((10000*common) div |A|). At 100 TB swap the
+    exact index for the K14 prefix-filter (ssjoin) candidates; the
+    skew knob is dropping top-DF tokens from the index side, which
+    only lowers recall of the CANDIDATE stage, never flips the final
+    integer test."""
+    t = df.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("block"),
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("toks"),
+    )
+    e = t.select(
+        "id", "block", F.size("toks").alias("n_toks"),
+        F.explode("toks").alias("tok"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("inner_id"),
+            F.col("b.id").alias("outer_id"),
+            F.col("a.n_toks").alias("n_inner"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return pairs.where(
+        F.lit(100) * F.col("common") >= F.lit(threshold_pct) * F.col("n_inner")
+    ).select(
+        "inner_id",
+        "outer_id",
+        F.col("common").cast("bigint").alias("common"),
+        F.col("n_inner").cast("bigint").alias("n_inner"),
+        F.expr("CAST(10000 * common AS BIGINT) div n_inner").alias(
+            "containment_e4"
+        ),
+    )

@@ -64,3 +64,66 @@ def trailing_window_agg(
     for name, agg in aggs.items():
         out = out.withColumn(name, agg.over(w))
     return out
+
+
+# ---------------------------------------------------------------------
+# Hierarchical time rollups (round 9) — the hypertable "continuous
+# aggregate" pattern: pre-aggregate raw events once at fine
+# granularity, then derive every coarser level FROM THE ROLLUP, never
+# re-reading raw rows. Sound because the state (n, sum, min, max) is a
+# commutative monoid — re-aggregation is the monoid merge. avg is NOT
+# in the state (avg of avgs is wrong); it's derived at read time as
+# sum/n. At 100 TB this is the difference between a daily dashboard
+# query scanning 24 hourly rows per key and re-scanning a day of raw
+# events: the rollup is incrementally maintainable (append a new
+# hour's partial, coarser levels recompute from <= 24/7/30 rows).
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    bucket: str,
+    keys: list[str],
+    cents: Column,
+) -> DataFrame:
+    """Level-1 continuous aggregate of an integer measure at ``bucket``
+    granularity ('hour', 'day', ...): (bucket, *keys, n, sum_cents,
+    min_cents, max_cents) — all BIGINT, so every later merge is exact
+    integer arithmetic (float sums re-aggregated in a different order
+    are not reproducible; integer cents are)."""
+    c = cents.cast("bigint")
+    return (
+        df.select(
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
+            *[F.col(k) for k in keys],
+            c.alias("__c"),
+        )
+        .groupBy("bucket", *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__c").alias("sum_cents"),
+            F.min("__c").alias("min_cents"),
+            F.max("__c").alias("max_cents"),
+        )
+    )
+
+
+def rollup_cascade(
+    rollup: DataFrame, bucket: str, keys: list[str]
+) -> DataFrame:
+    """Coarser rollup derived from a finer one by the monoid merge:
+    counts and sums add, min/max fold — identical to aggregating the
+    raw rows directly (the cascade law; oracle-pinned by
+    q_d16_rollup_cascade). Input partitions by the fine bucket merge
+    map-side; the shuffle carries only rollup rows, never raw data."""
+    return (
+        rollup.groupBy(
+            F.date_trunc(bucket, F.col("bucket")).alias("bucket"), *keys
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_cents").alias("sum_cents"),
+            F.min("min_cents").alias("min_cents"),
+            F.max("max_cents").alias("max_cents"),
+        )
+    )

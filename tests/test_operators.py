@@ -2640,3 +2640,59 @@ def test_pagerank_weighted_edges_and_validation(spark):
         pagerank(g, weight="w", damping=(100, 100))
     with _pytest.raises(ValueError):
         pagerank(g, weight="w", iters=0)
+
+
+# ------------------------------------------------------------- containment
+
+
+def test_containment_catches_subsets_jaccard_misses(spark):
+    """A 10-token doc fully inside a 100-token doc: containment 100%
+    but Jaccard ~0.1 — the asymmetric measure must flag it, and the
+    integer threshold is INCLUSIVE at exactly 90%."""
+    from jane_spark.operators.dedup import containment_pairs
+
+    big = " ".join(f"w{i}" for i in range(100))
+    small = " ".join(f"w{i}" for i in range(10))
+    # 9 of 10 tokens shared -> exactly 90%
+    edge = " ".join([f"w{i}" for i in range(9)] + ["zzz"])
+    docs = spark.createDataFrame(
+        [(1, big, "s"), (2, small, "s"), (3, edge, "s")],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r.inner_id, r.outer_id): (r.common, r.n_inner, r.containment_e4)
+        for r in containment_pairs(
+            docs, "doc_id", "text", "source", threshold_pct=90
+        ).collect()
+    }
+    assert got[(2, 1)] == (10, 10, 10000)  # full containment
+    assert got[(3, 1)] == (9, 10, 9000)  # inclusive at the 90% edge
+    assert got[(3, 2)] == (9, 10, 9000)  # small-in-small also ≥ 90%
+    assert (1, 2) not in got  # big doc is NOT contained in the small one
+    # symmetric Jaccard of the (2,1) pair: 10 / 100 = 0.1 — far below
+    # any dedup threshold; containment is the only measure that fires
+
+
+# ---------------------------------------------------------------- rollups
+
+
+def test_rollup_cascade_law_all_levels(spark, sf_dir):
+    """The continuous-aggregate law at every level: weekly derived from
+    daily derived from hourly == weekly computed directly from raw
+    events — counts, sums, min/max all exact (integer cents)."""
+    from jane_spark.engine.catalog import Catalog
+    from jane_spark.operators.rolling import rollup_cascade, time_rollup
+
+    ev = Catalog(spark, sf_dir).events
+    cents = F.round(F.col("value") * 100, 0)
+    hourly = time_rollup(ev, "ts", "hour", ["event_type"], cents)
+    daily = rollup_cascade(hourly, "day", ["event_type"])
+    weekly_cascaded = rollup_cascade(daily, "week", ["event_type"])
+    weekly_direct = time_rollup(ev, "ts", "week", ["event_type"], cents)
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert canon(weekly_cascaded) == canon(weekly_direct)
+    # and the monoid state really is bounded: daily rows <= hourly rows
+    assert daily.count() <= hourly.count()
