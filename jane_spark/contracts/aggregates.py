@@ -163,6 +163,45 @@ def q_d3_hll(spark, sf_dir):
 
 
 @contract(
+    "q_d3_hll_groups",
+    oracle="""
+        WITH h AS (SELECT event_type,
+                          CAST(concat('0x', substr(md5(
+                              'hll:' || CAST(user_id AS VARCHAR)), 1, 8))
+                              AS BIGINT) AS h
+                   FROM events WHERE user_id IS NOT NULL),
+        b AS (SELECT event_type, h // 67108864 AS bucket,
+                     h % 67108864 AS w
+              FROM h),
+        r AS (SELECT event_type, bucket,
+                     max(CASE WHEN w = 0 THEN 27
+                              ELSE 27 - length(to_base(w, 2)) END) AS rho
+              FROM b GROUP BY event_type, bucket),
+        grid AS (SELECT et.event_type, g.b AS bucket
+                 FROM (SELECT DISTINCT event_type FROM events) et
+                 CROSS JOIN generate_series(0, 63) g(b))
+        SELECT grid.event_type, grid.bucket,
+               CAST(coalesce(r.rho, 0) AS BIGINT) AS rho
+        FROM grid LEFT JOIN r
+            ON r.event_type = grid.event_type AND r.bucket = grid.bucket
+    """,
+    survey_rows="D3,D1",
+    doc="GROUPED distinct-count sketch — q_d3_hll per event_type "
+    "(operators.sketch.hll_registers(group_cols=...)): the 100 TB "
+    "'distinct users per segment' dashboard shape. One (group x 64)-"
+    "key groupBy whose state is 64 counters per group per task "
+    "regardless of user cardinality; the full group x bucket grid is "
+    "emitted so register tables from different runs align row-for-row "
+    "for the elementwise-max merge",
+)
+def q_d3_hll_groups(spark, sf_dir):
+    from jane_spark.operators.sketch import hll_registers
+
+    ev = Catalog(spark, sf_dir).events
+    return hll_registers(ev, "user_id", p=6, group_cols=["event_type"])
+
+
+@contract(
     "q_d16_rollup_cascade",
     oracle="""
         WITH c AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)

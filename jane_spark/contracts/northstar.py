@@ -1741,3 +1741,60 @@ def q_k24(spark, sf_dir):
     return two_stage_topk(
         emb, "vec_id", "embedding", k=5, candidates=50, prefix_d=16
     )
+
+
+@contract(
+    "q_k24_jl",
+    oracle="""
+        WITH v AS (SELECT vec_id AS id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE))
+                              AS v
+                   FROM embeddings),
+        pl AS (SELECT j.j, d.d,
+                      CASE WHEN CAST(concat('0x', substr(md5(
+                               'jl:' || CAST(j.j AS VARCHAR) || ':'
+                               || CAST(d.d AS VARCHAR)), 1, 8)) AS BIGINT)
+                               % 2 = 0
+                           THEN 1.0 ELSE -1.0 END AS s
+               FROM generate_series(0, 15) j(j),
+                    generate_series(0, 63) d(d)),
+        proj AS (SELECT e.id, pl.j,
+                        round(sum(e.v[pl.d + 1] * pl.s), 9) AS pv
+                 FROM v e CROSS JOIN pl GROUP BY e.id, pl.j),
+        pv AS (SELECT id, list(pv ORDER BY j) AS p FROM proj GROUP BY id),
+        s1 AS (SELECT a.id AS a_id, b.id AS b_id,
+                      round(list_cosine_similarity(a.p, b.p), 6) AS ps
+               FROM pv a JOIN pv b ON a.id <> b.id),
+        cand AS (SELECT a_id, b_id FROM (
+                     SELECT *, row_number() OVER (
+                         PARTITION BY a_id ORDER BY ps DESC, b_id) AS rn
+                     FROM s1)
+                 WHERE rn <= 50),
+        ex AS (SELECT c.a_id, c.b_id,
+                      round(list_cosine_similarity(va.v, vb.v), 6) AS sim
+               FROM cand c
+               JOIN v va ON va.id = c.a_id
+               JOIN v vb ON vb.id = c.b_id)
+        SELECT a_id, b_id, sim FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY a_id ORDER BY sim DESC, b_id) AS rn
+            FROM ex)
+        WHERE rn <= 5
+    """,
+    survey_rows="K24,K3,K23",
+    doc="coarse-to-fine ANN over a PORTABLE Johnson-Lindenstrauss sign "
+    "projection (operators/vector.jl_project/jl_topk, Achlioptas 2003 "
+    "±1 matrix from md5 parity — regenerable by any engine from the "
+    "salt, no stored model, no RNG): 64d -> 16d projection with "
+    "9dp-rounded sums, 50 candidates ranked in projected space (sims "
+    "rounded before the rank cut), exact full-dim top-5 of the "
+    "candidate set. The model-free counterpart to q_k24_two_stage's "
+    "trained Matryoshka prefixes; recall vs exhaustive pytest-pinned",
+)
+def q_k24_jl(spark, sf_dir):
+    from jane_spark.operators.vector import jl_topk
+
+    emb = Catalog(spark, sf_dir).embeddings
+    return jl_topk(
+        emb, "vec_id", "embedding", k=5, candidates=50, out_dim=16, dim=64
+    )

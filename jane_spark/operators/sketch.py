@@ -194,33 +194,44 @@ def kmv_estimate(sketch: DataFrame, k: int) -> DataFrame:
 
 
 def hll_registers(
-    df: DataFrame, col: str, p: int = 6, salt: str = "hll"
+    df: DataFrame,
+    col: str,
+    p: int = 6,
+    salt: str = "hll",
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Portable HyperLogLog register table (Flajolet et al. 2007):
-    ``m = 2^p`` rows ``(bucket, rho)``, all BIGINT — bucket = top p bits
-    of the 32-bit portable hash, rho = leading-zero count of the
-    remaining ``32-p`` bits + 1 (0 for never-touched buckets).
+    ``m = 2^p`` rows ``(bucket, rho)`` per group, all BIGINT — bucket =
+    top p bits of the 32-bit portable hash, rho = leading-zero count of
+    the remaining ``32-p`` bits + 1 (0 for never-touched buckets).
+    With ``group_cols`` this IS "approx count distinct ... GROUP BY"
+    as a first-class relational artifact: the full (group x m) grid is
+    emitted (absent buckets as rho 0) so two runs' registers align
+    row-for-row for merging.
 
     Integer-only: the bit-length of the remainder comes from the length
     of its base-2 string (Spark ``conv(w,10,2)`` / DuckDB
     ``to_base(w,2)``) — no float log2 whose floor could disagree at
     exact powers of two. Mergeable by elementwise ``max(rho)``
-    (pytest-pinned). Distributed shape: projection -> m-key groupBy
-    (map-side combined; state = m counters per task) -> broadcast-sized
-    output; the estimate (``hll_estimate``) reads just the m rows.
+    (pytest-pinned). Distributed shape: projection -> (group x m)-key
+    groupBy (map-side combined; state = m counters per group per
+    task) -> group-count x m output rows; the estimate
+    (``hll_estimate``) reads just those.
     """
     from jane_spark.operators.dedup import portable_hash32
 
     if not 2 <= p <= 16:
         raise ValueError("p must be in [2, 16]")
+    groups = list(group_cols or [])
     m = 1 << p
     rem_bits = 32 - p
     rem_mod = 1 << rem_bits
     h = portable_hash32(
         F.concat(F.lit(f"{salt}:"), F.col(col).cast("string"))
     )
-    hashed = df.where(F.col(col).isNotNull()).select(h.alias("h"))
+    hashed = df.where(F.col(col).isNotNull()).select(*groups, h.alias("h"))
     bucketed = hashed.select(
+        *groups,
         F.expr(f"h div CAST({rem_mod} AS BIGINT)").alias("bucket"),
         F.pmod(F.col("h"), F.lit(rem_mod)).alias("w"),
     )
@@ -232,15 +243,23 @@ def hll_registers(
         )
         .cast("bigint")
     )
-    regs = bucketed.select("bucket", rho.alias("rho")).groupBy("bucket").agg(
-        F.max("rho").alias("rho")
+    regs = (
+        bucketed.select(*groups, "bucket", rho.alias("rho"))
+        .groupBy(*groups, "bucket")
+        .agg(F.max("rho").alias("rho"))
     )
     buckets = (
         df.sparkSession.range(m)
         .select(F.col("id").cast("bigint").alias("bucket"))
     )
-    return buckets.join(regs, "bucket", "left").select(
-        "bucket", F.coalesce(F.col("rho"), F.lit(0).cast("bigint")).alias("rho")
+    if groups:
+        grid = df.select(*groups).distinct().crossJoin(buckets)
+    else:
+        grid = buckets
+    return grid.join(regs, [*groups, "bucket"], "left").select(
+        *groups,
+        "bucket",
+        F.coalesce(F.col("rho"), F.lit(0).cast("bigint")).alias("rho"),
     )
 
 

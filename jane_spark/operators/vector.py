@@ -1001,3 +1001,136 @@ def ivf_pq_topk(
     return top_k_per_group(
         scored, ["a_id"], [F.col("adc").asc(), F.col("b_id").asc()], k_top
     ).drop("rn")
+
+
+def jl_project(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_dim: int,
+    dim: int,
+    round_dp: int = 9,
+    salt: str = "jl",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a PORTABLE
+    sign matrix (Achlioptas 2003's database-friendly ±1 variant): every
+    entry s(j,d) is +1/-1 by md5 parity of its coordinates, so any
+    engine regenerates the same matrix from the salt alone — no stored
+    model, no RNG (the portable-planes discipline from LSH applied to
+    projection). Returns (id, proj) with ``proj`` = array<double> of
+    ``out_dim`` 9dp-rounded entries, j-ordered.
+
+    The unscaled ±1 sum preserves cosine up to the JL distortion
+    (cosine is scale-invariant — the 1/sqrt(out_dim) factor cancels).
+    Distributed shape: melt rows -> broadcast the (out_dim x dim) sign
+    table -> one (id, j) partial-sum shuffle -> per-id array fold.
+    Rounding the sums to 9dp BEFORE any consumer makes downstream
+    ranking engine-agnostic (the lsh_portable precedent)."""
+    from jane_spark.operators.dedup import portable_hash32
+
+    if out_dim < 1 or dim < 1:
+        raise ValueError("out_dim and dim must be >= 1")
+    spark = vectors.sparkSession
+    planes = (
+        spark.range(out_dim)
+        .select(F.col("id").cast("int").alias("j"))
+        .crossJoin(
+            spark.range(dim).select(F.col("id").cast("int").alias("d"))
+        )
+        .select(
+            "j",
+            "d",
+            F.when(
+                F.pmod(
+                    portable_hash32(
+                        F.concat(
+                            F.lit(f"{salt}:"),
+                            F.col("j").cast("string"),
+                            F.lit(":"),
+                            F.col("d").cast("string"),
+                        )
+                    ),
+                    F.lit(2),
+                )
+                == 0,
+                F.lit(1.0),
+            )
+            .otherwise(F.lit(-1.0))
+            .alias("s"),
+        )
+    )
+    melted = vectors.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.posexplode(F.col(vec_col)).alias("d", "val"),
+    ).select("id", "d", F.col("val").cast("double").alias("val"))
+    proj = (
+        melted.join(F.broadcast(planes), "d")
+        .groupBy("id", "j")
+        .agg(F.round(F.sum(F.col("val") * F.col("s")), round_dp).alias("pv"))
+    )
+    return proj.groupBy("id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("j", "pv"))),
+            lambda s: s.pv,
+        ).alias("proj")
+    )
+
+
+def jl_topk(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    candidates: int = 50,
+    out_dim: int = 16,
+    dim: int = 64,
+    round_dp: int | None = 6,
+    stage1_round_dp: int | None = 6,
+) -> DataFrame:
+    """Coarse-to-fine ANN over a JL sign projection: stage 1 ranks
+    cosine in the ``out_dim``-d projected space (out_dim/dim of the
+    FLOPs; grid-GEMM, sims rounded before the candidate rank — the
+    two_stage_topk discipline), stage 2 re-scores only the candidate
+    pairs at full dimension and keeps the exact top-k of that set.
+    two_stage_topk needs Matryoshka-TRAINED prefixes to rank well;
+    the JL projection is the model-free alternative with a provable
+    distortion bound — this is the pair every production stack picks
+    between."""
+    from jane_spark.functions.arrays import cosine
+
+    proj = jl_project(vectors, id_col, vec_col, out_dim, dim).select(
+        F.col("id").alias("__tid"), F.col("proj").alias("__t")
+    )
+    cand = block_topk(
+        proj,
+        "__tid",
+        "__t",
+        k=candidates,
+        round_dp=None,
+        rank_round_dp=stage1_round_dp,
+    ).select("a_id", "b_id")
+    full_a = vectors.select(
+        F.col(id_col).cast("long").alias("a_id"), F.col(vec_col).alias("__va")
+    )
+    full_b = vectors.select(
+        F.col(id_col).cast("long").alias("b_id"), F.col(vec_col).alias("__vb")
+    )
+
+    def to_d(c):
+        return F.transform(c, lambda x: x.cast("double"))
+
+    exact = (
+        cand.join(full_a, "a_id")
+        .join(full_b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            cosine(to_d(F.col("__va")), to_d(F.col("__vb"))).alias("sim"),
+        )
+    )
+    out = top_k_per_group(
+        exact, ["a_id"], [F.col("sim").desc(), F.col("b_id").asc()], k
+    ).drop("rn")
+    if round_dp is not None:
+        out = out.withColumn("sim", F.round(F.col("sim"), round_dp))
+    return out
