@@ -50,14 +50,24 @@ VERIFY_FIRST: list[str] = [
     #       fingerprint, same discipline), and q_k15_bloom_dedup
     #       (Bloom-prefiltered incremental dedup — no false negatives,
     #       oracle = the plain anti-join);
-    #   (d) the first 21 of the 39-name r5 block in registration order
-    #       (q_d2_extent .. q_d15_scd2).
+    #   (c2) 9 MORE new r9 contracts from the continuation session —
+    #       never driver-verified, so they outrank (d)'s re-verifies:
+    #       the portable cardinality/frequency sketches (q_d3_kmv,
+    #       q_d3_hll, q_d3_hll_groups, q_k17_cms), DBSCAN
+    #       (q_k16_dbscan), integer PageRank (q_k27_pagerank), the
+    #       rollup cascade (q_d16_rollup_cascade), containment
+    #       near-dup (q_k2_containment), and the JL projection search
+    #       (q_k24_jl);
+    #   (d) the first 12 of the 39-name r5 block in registration order
+    #       (q_d2_extent .. q_d12_unpivot).
     # Into r10 FIRST: q_a3_quakeml_parse (its Spark fn gained a
     # balance repartition AFTER this window was frozen — parity
     # re-proven in a driver-style session, but the changed-code rule
-    # says re-verify), then the stale tail of 18 r5 names
-    # (q_g1_union, q_g2_intersect, q_g3_except, q_h1_ts_parse,
-    # q_h3_seedid, q_h4_regex, q_h8_array, q_h9_tojson,
+    # says re-verify), then the stale tail of 27 r5 names
+    # (q_d8_cube, q_e3_cumsum, q_f1_order_limit, q_f2_page,
+    # q_f3_topk_group, q_f4_longest, q_f5_ntile, q_e5_rolling,
+    # q_d15_scd2, q_g1_union, q_g2_intersect, q_g3_except,
+    # q_h1_ts_parse, q_h3_seedid, q_h4_regex, q_h8_array, q_h9_tojson,
     # q_h10_null_epoch, q_g4_intersect_all, q_i2_tumbling,
     # q_i3_sliding, q_i4_sessionize, q_j2_grouped_map, q_j3_udaf,
     # q_k2_minhash, q_k2_jaccard, q_k4_tokens), then the 46-name r6
@@ -95,7 +105,17 @@ VERIFY_FIRST: list[str] = [
     "q_k7_phash_portable",
     "q_k7_audio_portable",
     "q_k15_bloom_dedup",
-    # (d) r5 block, registration order
+    # (c2) new r9 contracts from the continuation session
+    "q_d3_kmv",
+    "q_d3_hll",
+    "q_d3_hll_groups",
+    "q_k17_cms",
+    "q_k16_dbscan",
+    "q_k27_pagerank",
+    "q_d16_rollup_cascade",
+    "q_k2_containment",
+    "q_k24_jl",
+    # (d) first 12 of the r5 block, registration order
     "q_d2_extent",
     "q_d3_distinct",
     "q_d3_approx",
@@ -108,15 +128,6 @@ VERIFY_FIRST: list[str] = [
     "q_d10_approx",
     "q_d11_pivot",
     "q_d12_unpivot",
-    "q_d8_cube",
-    "q_e3_cumsum",
-    "q_f1_order_limit",
-    "q_f2_page",
-    "q_f3_topk_group",
-    "q_f4_longest",
-    "q_f5_ntile",
-    "q_e5_rolling",
-    "q_d15_scd2",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 
