@@ -202,6 +202,87 @@ def q_d3_hll_groups(spark, sf_dir):
 
 
 @contract(
+    "q_d3_kmv_ops",
+    oracle="""
+        WITH ka AS (SELECT DISTINCT CAST(user_id AS VARCHAR) || '@' ||
+                        CAST(CAST(ts AS DATE) AS VARCHAR) AS key
+                    FROM events
+                    WHERE event_type = 'click' AND user_id IS NOT NULL),
+        kb AS (SELECT DISTINCT CAST(user_id AS VARCHAR) || '@' ||
+                   CAST(CAST(ts AS DATE) AS VARCHAR) AS key
+               FROM events
+               WHERE event_type = 'view' AND user_id IS NOT NULL),
+        sa AS (SELECT DISTINCT CAST(concat('0x', substr(md5(
+                   'kmv:' || key), 1, 8)) AS BIGINT) AS h
+               FROM ka ORDER BY h LIMIT 64),
+        sb AS (SELECT DISTINCT CAST(concat('0x', substr(md5(
+                   'kmv:' || key), 1, 8)) AS BIGINT) AS h
+               FROM kb ORDER BY h LIMIT 64),
+        u AS (SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+              ORDER BY h LIMIT 64),
+        agg AS (SELECT CAST(count(*) AS BIGINT) AS k_used,
+                       max(h) AS theta
+                FROM u),
+        rho AS (SELECT CAST(count(*) AS BIGINT) AS rho
+                FROM u
+                WHERE h IN (SELECT h FROM sa)
+                  AND h IN (SELECT h FROM sb)),
+        est AS (SELECT k_used, theta, rho,
+                       CASE WHEN k_used < 64 THEN k_used
+                            ELSE CAST(63 * 4294967296 AS BIGINT)
+                                 // greatest(theta, CAST(1 AS BIGINT))
+                            END AS union_est
+                FROM agg, rho),
+        ex AS (SELECT
+                   CAST((SELECT count(*) FROM
+                        (SELECT key FROM ka UNION SELECT key FROM kb))
+                       AS BIGINT) AS exact_union,
+                   CAST((SELECT count(*) FROM
+                        (SELECT key FROM ka
+                         INTERSECT SELECT key FROM kb))
+                       AS BIGINT) AS exact_inter)
+        SELECT k_used, theta, union_est, rho,
+               (rho * 10000) // k_used AS jaccard_e4,
+               (rho * union_est) // k_used AS inter_est,
+               exact_union, exact_inter
+        FROM est, ex
+    """,
+    survey_rows="D3,G2,G1",
+    doc="mergeable-sketch SET ALGEBRA (operators.sketch.kmv_set_ops, "
+    "theta-sketch style per Beyer et al. 2007): overlap of two "
+    "user-day audiences ('click' vs 'view') estimated entirely from "
+    "their 64-hash KMV sketches — union via the kth-smallest "
+    "threshold, intersection/Jaccard via the rho overlap count inside "
+    "the union sketch, all in integer fixed-point so the oracle "
+    "replays every cell bit-for-bit. The 100 TB story: each audience "
+    "ships <= 64 longs, so ANY pair of sets (shards, days, corpora) "
+    "yields overlap without re-touching raw data; exact_union/"
+    "exact_inter columns ground the estimates in the same query",
+)
+def q_d3_kmv_ops(spark, sf_dir):
+    from jane_spark.operators.sketch import kmv_set_ops, kmv_sketch
+
+    ev = Catalog(spark, sf_dir).events.where(F.col("user_id").isNotNull())
+    key = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit("@"),
+        F.col("ts").cast("date").cast("string"),
+    ).alias("key")
+    ka = ev.where(F.col("event_type") == "click").select(key)
+    kb = ev.where(F.col("event_type") == "view").select(key)
+    ops = kmv_set_ops(
+        kmv_sketch(ka, "key", k=64), kmv_sketch(kb, "key", k=64), k=64
+    )
+    ua, ub = ka.distinct(), kb.distinct()
+    exact = ua.union(ub).distinct().agg(
+        F.count(F.lit(1)).alias("exact_union")
+    ).crossJoin(
+        ua.intersect(ub).agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    return ops.crossJoin(F.broadcast(exact))
+
+
+@contract(
     "q_d16_rollup_cascade",
     oracle="""
         WITH c AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)

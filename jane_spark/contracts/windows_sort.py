@@ -199,6 +199,61 @@ def q_e5(spark, sf_dir):
 
 
 @contract(
+    "q_e8_m4",
+    oracle="""
+        WITH base AS (SELECT event_type,
+                             CAST(epoch_us(ts) AS BIGINT) AS e,
+                             event_id AS id,
+                             CAST(round(value * 100) AS BIGINT) AS c
+                      FROM events),
+        ext AS (SELECT min(e) AS lo, max(e) AS hi FROM base),
+        bk AS (SELECT event_type, e, id, c,
+                      least(((e - lo) * 48) // (hi - lo + 1),
+                            CAST(47 AS BIGINT)) AS bucket
+               FROM base, ext),
+        rn AS (SELECT *,
+                      row_number() OVER (PARTITION BY event_type, bucket
+                                         ORDER BY e, id) AS rf,
+                      row_number() OVER (PARTITION BY event_type, bucket
+                                         ORDER BY e DESC, id DESC) AS rl
+               FROM bk)
+        SELECT event_type, bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               min(c) AS min_cents, max(c) AS max_cents,
+               max(CASE WHEN rf = 1 THEN e END) AS first_us,
+               max(CASE WHEN rf = 1 THEN c END) AS first_cents,
+               max(CASE WHEN rl = 1 THEN e END) AS last_us,
+               max(CASE WHEN rl = 1 THEN c END) AS last_cents
+        FROM rn GROUP BY event_type, bucket
+    """,
+    survey_rows="E5,F4,A7",
+    doc="M4 visualization downsampling (Jugel et al., VLDB 2014 — "
+    "operators.rolling.m4_downsample): per event_type and 48 "
+    "equal-width time buckets, the min/max/first/last integer-cent "
+    "points a pixel-column line rendering needs, ties broken by "
+    "(ts, event_id). This is the waveform-browser decimation path "
+    "(jane serves preview plots over day-scale waveform windows) and "
+    "the dashboard viewport downsample: output is |keys| x 48 rows "
+    "REGARDLESS of input size — one broadcast extent agg + one "
+    "(key, bucket) shuffle with map-side partial min/max, no sort. "
+    "Spark picks first/last via lexicographic min/max over a packed "
+    "(ts, id, cents) struct; the oracle replays it with row_number",
+)
+def q_e8_m4(spark, sf_dir):
+    from jane_spark.operators.rolling import m4_downsample
+
+    ev = Catalog(spark, sf_dir).events
+    return m4_downsample(
+        ev,
+        "ts",
+        "event_id",
+        ["event_type"],
+        F.round(F.col("value") * 100, 0),
+        n_buckets=48,
+    )
+
+
+@contract(
     "q_d15_scd2",
     oracle="""
         SELECT o_custkey, o_orderkey,

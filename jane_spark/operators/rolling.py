@@ -108,6 +108,101 @@ def time_rollup(
     )
 
 
+def m4_downsample(
+    df: DataFrame,
+    ts_col: str,
+    id_col: str,
+    keys: list[str],
+    cents: Column,
+    n_buckets: int,
+) -> DataFrame:
+    """M4 visualization-oriented downsampling (Jugel et al., VLDB 2014):
+    per series key and equal-width time bucket, keep the FOUR extreme
+    points a pixel-column line rendering needs — min-value, max-value,
+    first (earliest ts), last — plus the row count. With ``n_buckets``
+    = display width in pixels the decimated series renders the exact
+    same polyline as the raw data; this is the waveform-browser
+    decimation path (jane's spectrogram/preview images imply exactly
+    this reduction) and the standard dashboard "downsample to the
+    viewport" op.
+
+    Determinism: the measure is integer cents; first/last resolve ties
+    by (ts, id) via lexicographic MIN/MAX over a packed struct, so the
+    output is reproducible and oracle-expressible (row_number twin).
+    The bucket index uses the GLOBAL [lo, hi] extent — two broadcast
+    longs — and pure integer arithmetic:
+    ``least((e - lo) * n div (hi - lo + 1), n - 1)``.
+
+    Plan shape: one tiny extent agg (broadcast back), then ONE shuffle
+    on (keys, bucket) with map-side partial min/max/count — output is
+    |keys| x n_buckets rows regardless of input size, so a 100 TB
+    channel-year decimates to a constant-size frame without a sort.
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    e = ntz_epoch_us(F.col(ts_col))
+    ext = df.agg(
+        F.min(e).cast("long").alias("__lo"),
+        F.max(e).cast("long").alias("__hi"),
+    )
+    base = df.select(
+        *[F.col(k) for k in keys],
+        e.cast("long").alias("__e"),
+        F.col(id_col).cast("long").alias("__id"),
+        cents.cast("bigint").alias("__c"),
+    )
+    bucketed = base.crossJoin(F.broadcast(ext)).withColumn(
+        "bucket",
+        F.least(
+            F.expr(f"((__e - __lo) * {n_buckets}) div (__hi - __lo + 1)"),
+            F.lit(n_buckets - 1).cast("long"),
+        ),
+    )
+    # The paper's own join-back formulation, kept hash-aggregable: any
+    # min/max or min_by/max_by whose buffer holds a STRUCT degrades the
+    # whole groupBy to SortAggregate + per-partition sort, so the edge
+    # POINTS are recovered by joining the (tiny, keys x n_buckets)
+    # aggregate back against the bucketed rows — a broadcast join — and
+    # tie-breaking on the LONG id with a primitive-buffer min_by.
+    agg = bucketed.groupBy(*keys, "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("__c").alias("min_cents"),
+        F.max("__c").alias("max_cents"),
+        F.min("__e").alias("first_us"),
+        F.max("__e").alias("last_us"),
+    )
+    edges = (
+        bucketed.join(
+            F.broadcast(agg.select(*keys, "bucket", "first_us", "last_us")),
+            [*keys, "bucket"],
+        )
+        .where(
+            (F.col("__e") == F.col("first_us"))
+            | (F.col("__e") == F.col("last_us"))
+        )
+        .groupBy(*keys, "bucket")
+        .agg(
+            F.expr(
+                "min_by(__c, CASE WHEN __e = first_us THEN __id END)"
+            ).alias("first_cents"),
+            F.expr(
+                "max_by(__c, CASE WHEN __e = last_us THEN __id END)"
+            ).alias("last_cents"),
+        )
+    )
+    return agg.join(edges, [*keys, "bucket"]).select(
+        *keys,
+        "bucket",
+        "n",
+        "min_cents",
+        "max_cents",
+        "first_us",
+        "first_cents",
+        "last_us",
+        "last_cents",
+    )
+
+
 def rollup_cascade(
     rollup: DataFrame, bucket: str, keys: list[str]
 ) -> DataFrame:

@@ -193,6 +193,71 @@ def kmv_estimate(sketch: DataFrame, k: int) -> DataFrame:
     )
 
 
+def kmv_set_ops(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
+    """Theta-sketch-style set algebra over two ``kmv_sketch`` outputs
+    built with the SAME ``k`` and salt (Beyer et al. 2007, "On synopses
+    for distinct-value estimation under multiset operations").
+
+    One row, all BIGINT::
+
+        k_used     rows in the union sketch (k smallest of A ∪ B)
+        theta      its largest hash h_(k) — the sampling threshold
+        union_est  (k-1) * 2^32 div theta  (exact k_used when < k)
+        rho        union-sketch hashes present in BOTH input sketches
+        jaccard_e4 (rho * 10000) div k_used  — fixed-point 1e-4
+        inter_est  (rho * union_est) div k_used
+
+    The union sketch of two KMV sketches IS the KMV sketch of the
+    unioned input (merge law, pytest-pinned on ``kmv_sketch``), so the
+    estimates compose across shards: 1000 executors each ship <= k
+    longs per set, and ANY pair of sets — shards, days, corpora —
+    yields overlap/Jaccard without re-touching raw data. When the true
+    union has < k distinct keys every value is exact (union_est =
+    k_used, inter_est = rho). All integer division, so an engine
+    replaying the same md5-derived hashes reproduces every cell
+    bit-for-bit.
+
+    Plan shape: the inputs are <= k rows each, so everything below is
+    broadcast-joined driver-light work; the heavy lifting (hash +
+    distinct + TakeOrdered) already happened inside ``kmv_sketch``.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    u = a.unionByName(b).distinct().orderBy("h").limit(k)
+    both = a.join(F.broadcast(b), "h").select("h")
+    rho = u.join(F.broadcast(both), "h").agg(
+        F.count("h").cast("long").alias("rho")
+    )
+    agg = u.agg(
+        F.count("h").alias("k_used"),
+        F.max("h").alias("theta"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(rho))
+        .select(
+            "k_used",
+            "theta",
+            F.when(F.col("k_used") < k, F.col("k_used"))
+            .otherwise(
+                F.expr(
+                    f"CAST(({k} - 1) * 4294967296 AS BIGINT) "
+                    "div greatest(theta, CAST(1 AS BIGINT))"
+                )
+            )
+            .alias("union_est"),
+            "rho",
+        )
+        .select(
+            "k_used",
+            "theta",
+            "union_est",
+            "rho",
+            F.expr("(rho * 10000) div k_used").alias("jaccard_e4"),
+            F.expr("(rho * union_est) div k_used").alias("inter_est"),
+        )
+    )
+
+
 def hll_registers(
     df: DataFrame,
     col: str,

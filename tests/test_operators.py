@@ -2420,6 +2420,49 @@ def test_kmv_merge_law_and_accuracy(spark):
     assert est_s.k_used == 10 and est_s.est_distinct == 10
 
 
+def test_kmv_set_ops_laws(spark):
+    """Theta-style set algebra identities: self-overlap is Jaccard 1
+    with inter_est == union_est; disjoint sets give rho 0; and in the
+    below-k regime every column is exact."""
+    from jane_spark.operators.sketch import kmv_set_ops, kmv_sketch
+
+    vals = spark.range(2000).select(
+        "id", F.concat(F.lit("u"), F.col("id")).alias("v")
+    )
+    a = kmv_sketch(vals, "v", k=64)
+    self_row = kmv_set_ops(a, a, k=64).collect()[0]
+    assert self_row.rho == self_row.k_used == 64
+    assert self_row.jaccard_e4 == 10000
+    assert self_row.inter_est == self_row.union_est
+
+    b = kmv_sketch(
+        vals.select(F.concat(F.lit("w"), F.col("id")).alias("v")), "v", k=64
+    )
+    disj = kmv_set_ops(a, b, k=64).collect()[0]
+    assert disj.rho == 0 and disj.jaccard_e4 == 0 and disj.inter_est == 0
+
+    # below-k: A = {0..29}, B = {20..49} -> union 50, inter 10, exact
+    small = spark.range(50).select(
+        "id", F.concat(F.lit("s"), F.col("id")).alias("v")
+    )
+    sa = kmv_sketch(small.where(F.col("id") < 30), "v", k=64)
+    sb = kmv_sketch(small.where(F.col("id") >= 20), "v", k=64)
+    row = kmv_set_ops(sa, sb, k=64).collect()[0]
+    assert row.k_used == 50 and row.union_est == 50
+    assert row.rho == 10 and row.inter_est == 10
+    assert row.jaccard_e4 == 2000  # 10/50 in 1e-4 fixed point
+
+    # half-overlap estimate regime: A = {0..999}, B = {500..1499}
+    ha = kmv_sketch(vals.where(F.col("id") < 1000), "v", k=64)
+    hb = kmv_sketch(vals.where(F.col("id") >= 500), "v", k=64)
+    est = kmv_set_ops(ha, hb, k=64).collect()[0]
+    assert 0.5 * 1500 < est.union_est < 1.5 * 1500, est
+    # Jaccard true = 500/1500 = .333; sigma at k=64 is wide, so bound
+    # loosely — the law being pinned is "estimates track the truth",
+    # the tight identities above pin the arithmetic
+    assert 0 < est.jaccard_e4 < 8000, est
+
+
 def test_kmv_plans_take_ordered(spark):
     """k-smallest must plan as TakeOrderedAndProject, not a global sort."""
     from jane_spark.operators.sketch import kmv_sketch
@@ -2696,6 +2739,61 @@ def test_rollup_cascade_law_all_levels(spark, sf_dir):
     assert canon(weekly_cascaded) == canon(weekly_direct)
     # and the monoid state really is bounded: daily rows <= hourly rows
     assert daily.count() <= hourly.count()
+
+
+def test_m4_rendering_fidelity_and_plan(spark):
+    """M4's guarantee: every bucket's emitted min/max/first/last match
+    a Python replay; global extremes survive decimation; counts sum to
+    the input size; output size is keys x n_buckets regardless of
+    input; the plan never global-sorts."""
+    from jane_spark.operators.rolling import m4_downsample
+
+    # spiky deterministic series: two keys, 1000 points each, a huge
+    # spike mid-bucket that naive striding would miss
+    rows = spark.range(2000).select(
+        F.when(F.col("id") % 2 == 0, "ka").otherwise("kb").alias("k"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("id") * 1_000_000
+        ).cast("timestamp_ntz").alias("ts"),
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") == 777, F.lit(99999))
+        .otherwise((F.col("id") * 37) % 500)
+        .alias("cents"),
+    )
+    out = m4_downsample(rows, "ts", "event_id", ["k"], F.col("cents"), 16)
+    got = {(r.k, r.bucket): r for r in out.collect()}
+    assert len(got) == 32  # 2 keys x 16 buckets, all populated
+
+    # Python replay
+    import collections
+
+    raw = rows.collect()
+    lo = min(r.ts for r in raw)
+    es = [
+        (int((r.ts - lo).total_seconds() * 1_000_000), r.k, r.event_id, r.cents)
+        for r in raw
+    ]
+    span = max(e for e, *_ in es) + 1
+    groups = collections.defaultdict(list)
+    for e, k, i, c in es:
+        groups[(k, min(e * 16 // span, 15))].append((e, i, c))
+    assert set(groups) == set(got)
+    for key, pts in groups.items():
+        r = got[key]
+        assert r.n == len(pts)
+        assert r.min_cents == min(c for *_, c in pts)
+        assert r.max_cents == max(c for *_, c in pts)
+        first = min(pts)
+        last = max(pts)
+        assert (r.first_cents, r.last_cents) == (first[2], last[2])
+    # the spike is preserved
+    assert max(r.max_cents for r in got.values()) == 99999
+    assert sum(r.n for r in got.values()) == 2000
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # hash-based aggregation, never sort-based; no range partitioning
+    assert "SortAggregate" not in plan, plan[:800]
+    assert "rangepartitioning" not in plan, plan[:800]
 
 
 def test_hll_grouped_estimates_track_exact(spark, sf_dir):

@@ -411,6 +411,10 @@ _PANDAS_ALLOWED = {
     # GEMM stage (r9); the ADC read path itself is pure JVM — the
     # pq_adc/adc_rerank contracts prove that, they are NOT allowlisted
     "q_k23_ivf_pq",
+    # JL coarse-to-fine: stage-1 candidate ranking in the projected
+    # space is the same Arrow block-GEMM; the full-dim re-score and
+    # the projection itself are pure JVM (r9)
+    "q_k24_jl",
     # XML validation has no JVM expression — the ElementTree pandas
     # UDF IS the operator under test (r8 ingest gate)
     "q_a3_validation_gate",
