@@ -585,6 +585,48 @@ def q_p7(spark, sf_dir):
     )
 
 
+@contract(
+    "q_p16_sys_sample",
+    oracle="""
+        WITH base AS (SELECT doc_id, n_chars AS w
+                      FROM documents WHERE n_chars > 0),
+        tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM base),
+        cum AS (SELECT doc_id, w,
+                       CAST(sum(w) OVER (ORDER BY doc_id) AS BIGINT) AS hi
+                FROM base),
+        sel AS (SELECT doc_id, w, hi, hi - w AS lo FROM cum)
+        SELECT doc_id, CAST(w AS BIGINT) AS weight,
+               CAST(((400 * hi + tw - 1) // (2 * tw))
+                    - ((400 * lo + tw - 1) // (2 * tw)) AS BIGINT)
+                   AS n_copies
+        FROM sel, tot
+        WHERE ((400 * hi + tw - 1) // (2 * tw))
+              - ((400 * lo + tw - 1) // (2 * tw)) > 0
+    """,
+    survey_rows="P2,P7,P3",
+    doc="deterministic weighted sampling by SYSTEMATIC resampling "
+    "(functions.sampling.systematic_weighted_sample): 200 equally "
+    "spaced probes over the cumulative n_chars line give each doc "
+    "n·w/W expected copies with sub-multinomial variance, zero RNG "
+    "state, and pure-integer probe arithmetic (every numerator kept "
+    "non-negative so Spark's truncating div == the oracle's flooring "
+    "//). Long docs may draw several copies (upsampling); "
+    "sum(n_copies) == 200 exactly (the probe grid telescopes; pytest-"
+    "pinned). Scale: the global prefix sum is TWO-LEVEL — per-4096-id-"
+    "bucket totals cumsummed in a tiny window, then a within-bucket "
+    "window + broadcast offset — so no single-partition pass ever "
+    "touches row-scale data, unlike the naive ORDER BY cumsum the "
+    "oracle runs",
+)
+def q_p16_sys_sample(spark, sf_dir):
+    from jane_spark.functions.sampling import systematic_weighted_sample
+
+    docs = Catalog(spark, sf_dir).documents
+    return systematic_weighted_sample(
+        docs, "doc_id", "n_chars", n=200, bucket_width=64
+    )
+
+
 _HTML_PRE = (
     '<html><body><h1>Doc</h1><script type="text/javascript">var x = 1 < 2;'
     "</script><p>"

@@ -1318,6 +1318,68 @@ def q_k27_pagerank(spark, sf_dir):
 
 
 @contract(
+    "q_k28_triangles",
+    oracle="""
+        WITH t AS (SELECT doc_id AS doc, string_split(text, ' ') AS w
+                   FROM documents),
+        toks AS (SELECT DISTINCT doc,
+                     unnest(list_transform(
+                         generate_series(1, len(w) - 2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                     AS tok
+                 FROM t WHERE len(w) >= 3),
+        rare AS (SELECT tok FROM toks
+                 GROUP BY tok HAVING count(*) BETWEEN 2 AND 5),
+        bl AS (SELECT doc, tok FROM toks JOIN rare USING (tok)),
+        edges AS (SELECT DISTINCT least(x.doc, y.doc) AS lo,
+                         greatest(x.doc, y.doc) AS hi
+                  FROM bl x JOIN bl y USING (tok)
+                  WHERE x.doc <> y.doc),
+        tris AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+                 FROM edges e1
+                 JOIN edges e2 ON e1.hi = e2.lo
+                 JOIN edges e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+        pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+               FROM (SELECT unnest([a, b, c]) AS node FROM tris)
+               GROUP BY node),
+        deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+                FROM (SELECT unnest([lo, hi]) AS node FROM edges)
+                GROUP BY node)
+        SELECT deg.node AS doc_id, degree,
+               CAST(coalesce(n_tri, 0) AS BIGINT) AS n_tri,
+               CAST(CASE WHEN degree >= 2
+                         THEN (2 * coalesce(n_tri, 0) * 10000)
+                              // (degree * (degree - 1))
+                         ELSE 0 END AS BIGINT) AS cc_e4
+        FROM deg LEFT JOIN pn USING (node)
+    """,
+    survey_rows="K10,K2",
+    doc="near-dup-graph TRIANGLE diagnostics (operators.triangles): "
+    "over the rare-shingle blocking graph (docs linked by a word "
+    "TRIGRAM appearing in 2..5 documents — the fan-out cap bounds "
+    "each shingle's pairs at C(5,2)), count per-doc triangles by the "
+    "ordered-edge join enumeration (each {a<b<c} exactly once; Suri & "
+    "Vassilvitskii's node-iterator shape) and emit the local "
+    "clustering coefficient in 1e-4 fixed point. High degree + low "
+    "coefficient flags boilerplate hub nodes that chain unrelated "
+    "docs into one dedup cluster — cut them before components. "
+    "Shuffles are keyed on single node columns and scale with the "
+    "wedge count, never |V|^2",
+)
+def q_k28_triangles(spark, sf_dir):
+    from jane_spark.operators.triangles import (
+        rare_shingle_edges,
+        triangle_stats,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    edges = rare_shingle_edges(
+        docs, "doc_id", "text", ngram=3, min_docs=2, max_docs=5
+    )
+    return triangle_stats(edges).withColumnRenamed("node", "doc_id")
+
+
+@contract(
     "q_t8_entropy",
     oracle="""
         WITH c AS (

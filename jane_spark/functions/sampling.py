@@ -147,6 +147,91 @@ def mixture_sample(
     )
 
 
+def systematic_weighted_sample(
+    df,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    bucket_width: int = 4096,
+):
+    """Deterministic weighted sampling by SYSTEMATIC resampling (the
+    particle-filter / stratified-mixture classic): lay all rows on the
+    cumulative-weight line in ``id_col`` order, drop ``n`` equally
+    spaced probes at positions (2j+1)·W/(2n), and give each row one
+    copy per probe landing in its [lo, hi) interval. Expected copies
+    are exactly n·w/W with variance strictly below multinomial
+    sampling, zero RNG state, and — because every formula is integer —
+    bit-identical output on any engine and any cluster size. Rows with
+    weight > W/n receive multiple copies (upsampling), rows with
+    non-positive weight are excluded.
+
+    Returns ``(id_col, weight, n_copies)`` for rows with at least one
+    copy; ``sum(n_copies) == n`` always (the probe grid telescopes).
+
+    Scale shape — NO single-partition pass over the data: the global
+    prefix sum is two-level. Level 1 groups ids into
+    ``bucket_width``-wide ranges and cumsums the per-bucket totals (a
+    window over rows/bucket_width rows — tiny); level 2 cumsums within
+    each bucket (window PARTITIONED by bucket), then adds the
+    broadcast bucket offset. Probe-count arithmetic keeps every
+    numerator non-negative so Spark's truncating ``div`` and the
+    oracle's flooring ``//`` agree.
+    """
+    from pyspark.sql import Window
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if bucket_width < 1:
+        raise ValueError("bucket_width must be >= 1")
+    base = (
+        df.select(
+            F.col(id_col).cast("long").alias("__id"),
+            F.col(weight_col).cast("long").alias("__w"),
+        )
+        .where(F.col("__w") > 0)
+        .withColumn("__b", F.expr(f"__id div {bucket_width}"))
+    )
+    bsum = base.groupBy("__b").agg(F.sum("__w").alias("__bw"))
+    wb = (
+        Window.orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = bsum.select(
+        "__b",
+        F.coalesce(F.sum("__bw").over(wb), F.lit(0)).alias("__off"),
+    )
+    total = base.agg(F.sum("__w").alias("__W"))
+    wrow = (
+        Window.partitionBy("__b")
+        .orderBy("__id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # rename before crossing with `total`: in Spark 4 an Aggregate's
+    # child attributes stay resolvable as hidden output, so a shared-
+    # lineage crossJoin makes bare `__id`/`__w` references ambiguous
+    cum = (
+        base.join(F.broadcast(offs), "__b")
+        .withColumn("__hi", F.col("__off") + F.sum("__w").over(wrow))
+        .select(
+            F.col("__id").alias("__sid"),
+            F.col("__w").alias("__swt"),
+            F.col("__hi").alias("__shi"),
+            (F.col("__hi") - F.col("__w")).alias("__slo"),
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    j_lo = F.expr(f"(2 * {n} * __slo + __W - 1) div (2 * __W)")
+    j_hi = F.expr(f"(2 * {n} * __shi + __W - 1) div (2 * __W)")
+    return (
+        cum.select(
+            F.col("__sid").alias(id_col),
+            F.col("__swt").alias("weight"),
+            (j_hi - j_lo).alias("n_copies"),
+        )
+        .where(F.col("n_copies") > 0)
+    )
+
+
 def corpus_shuffle(
     df, id_col: str, n_shards: int, salt: str = "shuffle:"
 ):

@@ -560,6 +560,52 @@ def test_mixture_sample_budget_and_determinism(spark):
     assert {r["id"] for r in kept3} != {r["id"] for r in kept}
 
 
+def test_systematic_weighted_sample_properties(spark):
+    """Systematic resampling guarantees: sum(n_copies) == n exactly;
+    every count is floor or ceil of its expectation n*w/W (the
+    sub-multinomial variance property); non-positive weights excluded;
+    heavy rows upsample; partition-layout independent."""
+    from jane_spark.functions.sampling import systematic_weighted_sample
+
+    # skewed: doc 7 carries half the mass; doc 3 is zero-weight
+    rows = [(i, 1000 if i == 7 else (0 if i == 3 else 10)) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    out = systematic_weighted_sample(df, "doc_id", "w", n=50, bucket_width=16)
+    got = {r.doc_id: r.n_copies for r in out.collect()}
+    W = 1000 + 98 * 10
+    assert sum(got.values()) == 50
+    assert 3 not in got  # zero weight excluded
+    assert got[7] >= 2  # heavy row multi-copied
+    import math
+
+    for i, w in rows:
+        if w <= 0:
+            continue
+        e = 50 * w / W
+        c = got.get(i, 0)
+        assert c in (math.floor(e), math.ceil(e)), (i, c, e)
+
+    # layout independence: same result from a different partitioning
+    got2 = {
+        r.doc_id: r.n_copies
+        for r in systematic_weighted_sample(
+            df.repartition(13, "w"), "doc_id", "w", n=50, bucket_width=16
+        ).collect()
+    }
+    assert got2 == got
+
+    # plan: no single-partition window over ROW-scale data — the only
+    # unpartitioned window runs over the bucket table (count <= rows/
+    # bucket_width); the row-scale window is partitioned by bucket
+    plan = (
+        systematic_weighted_sample(df, "doc_id", "w", n=50, bucket_width=16)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("Window") == 2, plan[:900]
+
+
 # ----------------------------------------------------- image perceptual hash
 
 

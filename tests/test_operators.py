@@ -2818,6 +2818,31 @@ def test_hll_grouped_estimates_track_exact(spark, sf_dir):
         assert 0.6 * exact[et] < est < 1.4 * exact[et], (et, est, exact[et])
 
 
+def test_triangle_stats_known_topologies(spark):
+    """K4 clique: every node deg 3, 3 triangles, coefficient 1.0;
+    star: center deg 3 with 0 triangles, coefficient 0; undirect_edges
+    canonicalizes duplicates/orientations and drops self-loops."""
+    from jane_spark.operators.triangles import triangle_stats, undirect_edges
+
+    # K4 on nodes 1-4 given as MESSY pairs (dupes, reversed, self-loop)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (3, 3),
+         (4, 3),
+         # star: center 10, leaves 11-13
+         (10, 11), (12, 10), (10, 13)],
+        ["a", "b"],
+    )
+    edges = undirect_edges(pairs, "a", "b")
+    assert edges.count() == 6 + 3  # C(4,2) + 3 star edges
+    got = {r.node: (r.degree, r.n_tri, r.cc_e4) for r in
+           triangle_stats(edges).collect()}
+    for v in (1, 2, 3, 4):
+        assert got[v] == (3, 3, 10000), (v, got[v])
+    assert got[10] == (3, 0, 0)
+    for leaf in (11, 12, 13):
+        assert got[leaf] == (1, 0, 0)
+
+
 # ------------------------------------------------------------ jl projection
 
 
