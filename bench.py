@@ -134,6 +134,26 @@ BENCH_QUERIES = {
     "stationxml_parse": "q_a2_stationxml_parse",
     "phash_portable": "q_k7_phash_portable",
     "bloom_dedup": "q_k15_bloom_dedup",
+    # round-9 continuation: portable sketches + their set algebra,
+    # graph diagnostics (DBSCAN/PageRank/triangles run on constructed
+    # fixtures whose oracles unroll the same iterations as recursive
+    # CTEs — genuine twins), the rollup cascade, M4 downsampling,
+    # systematic sampling, PMI collocations, one-pass profiling
+    "kmv": "q_d3_kmv",
+    "kmv_ops": "q_d3_kmv_ops",
+    "hll": "q_d3_hll",
+    "hll_groups": "q_d3_hll_groups",
+    "cms": "q_k17_cms",
+    "dbscan": "q_k16_dbscan",
+    "pagerank": "q_k27_pagerank",
+    "rollup_cascade": "q_d16_rollup_cascade",
+    "containment": "q_k2_containment",
+    "jl_topk": "q_k24_jl",
+    "m4_downsample": "q_e8_m4",
+    "sys_sample": "q_p16_sys_sample",
+    "triangles": "q_k28_triangles",
+    "pmi": "q_k29_pmi",
+    "profile": "q_d17_profile",
 }
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
@@ -212,6 +232,26 @@ CALIBRATION = {
     "availability_params": 0.0501,
     "phash_portable": 0.0418,
     "bloom_dedup": 0.0198,
+    # round-9 continuation rows: DuckDB 1.x medians measured on this
+    # box at sf0.1, idle (load < 1), 5-run median per the CALIBRATION
+    # protocol. dbscan/pagerank oracles unroll the Spark side's exact
+    # fixture iterations as recursive/chained CTEs — the fair twin of
+    # the iterative operator (the keep_best precedent)
+    "kmv": 0.0378,
+    "kmv_ops": 0.0377,
+    "hll": 0.0538,
+    "hll_groups": 0.0622,
+    "cms": 0.4174,
+    "dbscan": 6.6979,
+    "pagerank": 12.1364,
+    "rollup_cascade": 0.0215,
+    "containment": 4.0471,
+    "jl_topk": 0.8199,
+    "m4_downsample": 0.0635,
+    "sys_sample": 0.0064,
+    "triangles": 0.3365,
+    "pmi": 0.0738,
+    "profile": 0.0138,
 }
 
 

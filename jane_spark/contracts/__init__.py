@@ -60,10 +60,16 @@ VERIFY_FIRST: list[str] = [
     #       (q_k24_jl);
     #   (d) the first 12 of the 39-name r5 block in registration order
     #       (q_d2_extent .. q_d12_unpivot).
-    # Into r10 FIRST: q_a3_quakeml_parse (its Spark fn gained a
-    # balance repartition AFTER this window was frozen — parity
-    # re-proven in a driver-style session, but the changed-code rule
-    # says re-verify), then the stale tail of 27 r5 names
+    # Into r10 FIRST: the 6 late-r9 contracts registered AFTER this
+    # window was frozen, never driver-verified (q_d3_kmv_ops, q_e8_m4,
+    # q_p16_sys_sample, q_k28_triangles, q_k29_pmi, q_d17_profile —
+    # each parity-proven in a driver-style session at sf0.01), then
+    # the 2 whose code changed after their last driver check:
+    # q_k24_two_stage (stage-2 norms hoisted out of the per-pair
+    # cosine — bit-identical sims, parity re-proven at sf0.01) and
+    # q_a3_quakeml_parse (balance repartition added after the r9
+    # window froze — parity re-proven), then the stale tail of 27 r5
+    # names
     # (q_d8_cube, q_e3_cumsum, q_f1_order_limit, q_f2_page,
     # q_f3_topk_group, q_f4_longest, q_f5_ntile, q_e5_rolling,
     # q_d15_scd2, q_g1_union, q_g2_intersect, q_g3_except,

@@ -333,6 +333,62 @@ def q_d16_rollup_cascade(spark, sf_dir):
 
 
 @contract(
+    "q_d17_profile",
+    oracle="""
+        WITH src AS (SELECT event_id, user_id, event_type,
+                            CAST(round(value * 100) AS BIGINT) AS cents
+                     FROM events)
+        SELECT 'event_id' AS col_name, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) - count(event_id) AS BIGINT) AS n_null,
+               CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+               CAST(min(event_id) AS VARCHAR) AS min_val,
+               CAST(max(event_id) AS VARCHAR) AS max_val
+        FROM src
+        UNION ALL
+        SELECT 'user_id', CAST(count(*) AS BIGINT),
+               CAST(count(*) - count(user_id) AS BIGINT),
+               CAST(count(DISTINCT user_id) AS BIGINT),
+               CAST(min(user_id) AS VARCHAR),
+               CAST(max(user_id) AS VARCHAR)
+        FROM src
+        UNION ALL
+        SELECT 'event_type', CAST(count(*) AS BIGINT),
+               CAST(count(*) - count(event_type) AS BIGINT),
+               CAST(count(DISTINCT event_type) AS BIGINT),
+               min(event_type), max(event_type)
+        FROM src
+        UNION ALL
+        SELECT 'cents', CAST(count(*) AS BIGINT),
+               CAST(count(*) - count(cents) AS BIGINT),
+               CAST(count(DISTINCT cents) AS BIGINT),
+               CAST(min(cents) AS VARCHAR),
+               CAST(max(cents) AS VARCHAR)
+        FROM src
+    """,
+    survey_rows="D1,D3,D14",
+    doc="ONE-PASS column profiling (operators.profile — the deequ/"
+    "dbt-test ingestion report): per-column row/null/distinct counts "
+    "and native-type extents for four events columns in a single "
+    "scan. Spark compiles the multi-count(DISTINCT) into one Expand + "
+    "one shuffle (data duplicated once per profiled column — the "
+    "standard trade, vs the per-column re-scan loop the oracle's "
+    "UNION ALL literally performs); the wide single row unpivots via "
+    "stack. Doubles profile through an integer-cents pre-projection "
+    "because float->string forms differ across engines",
+)
+def q_d17_profile(spark, sf_dir):
+    from jane_spark.operators.profile import profile
+
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    return profile(ev, ["event_id", "user_id", "event_type", "cents"])
+
+
+@contract(
     "q_d4_collect",
     oracle="""
         SELECT user_id,

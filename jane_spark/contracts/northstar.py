@@ -1407,6 +1407,49 @@ def q_t8(spark, sf_dir):
     return token_entropy(docs, "doc_id", "text")
 
 
+@contract(
+    "q_k29_pmi",
+    oracle="""
+        WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+        uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+                FROM toks GROUP BY tok),
+        nu AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM toks),
+        t AS (SELECT string_split(text, ' ') AS w FROM documents),
+        bg AS (SELECT unnest(list_transform(
+                   generate_series(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i+1])) AS gram
+               FROM t WHERE len(w) >= 2),
+        nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM bg),
+        bi AS (SELECT split_part(gram, ' ', 1) AS w1,
+                      split_part(gram, ' ', 2) AS w2,
+                      CAST(count(*) AS BIGINT) AS n_pair
+               FROM bg GROUP BY gram HAVING count(*) >= 10)
+        SELECT w1, w2, n_pair,
+               round(log2(n_pair) + 2 * log2(nu) - log2(nb)
+                     - log2(u1.c) - log2(u2.c), 4) AS pmi
+        FROM bi
+        JOIN uni u1 ON u1.tok = w1
+        JOIN uni u2 ON u2.tok = w2, nu, nb
+    """,
+    survey_rows="K9,K5",
+    doc="PMI collocation mining (Church & Hanks 1990 — functions.text."
+    "pmi_collocations): every adjacent token pair with corpus count "
+    ">= 10 scored log2(p(xy)/(p(x)p(y))), decomposed into five log2 "
+    "calls over INTEGER counts in a fixed left-to-right order so the "
+    "oracle replays the float arithmetic exactly (the token_entropy "
+    "discipline). High-PMI pairs are multiword expressions; a top-PMI "
+    "table full of template boilerplate is the cheapest corpus-wide "
+    "dedup smoke alarm. Two map-side-combinable count shuffles + two "
+    "broadcast scalars + vocabulary-keyed marginal joins",
+)
+def q_k29_pmi(spark, sf_dir):
+    from jane_spark.functions.text import pmi_collocations
+
+    docs = Catalog(spark, sf_dir).documents
+    return pmi_collocations(docs, "text", min_count=10)
+
+
 _SCORECARD_ORACLE = """
 WITH t AS (SELECT doc_id, length(text) AS nc, string_split(text, ' ') AS toks
            FROM documents),

@@ -279,6 +279,64 @@ def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agg.select(F.col(id_col), F.round(ent, 4).alias("token_entropy"))
 
 
+def pmi_collocations(
+    df: DataFrame, text_col: str, min_count: int = 10
+) -> DataFrame:
+    """Pointwise-mutual-information collocation mining (Church & Hanks
+    1990): for every adjacent token pair seen at least ``min_count``
+    times corpus-wide, ``pmi = log2(p(xy) / (p(x) p(y)))`` computed as
+
+        log2(n_pair) + 2*log2(N_uni) - log2(N_bi) - log2(c1) - log2(c2)
+
+    — the decomposition keeps every aggregate an integer count, so the
+    only float ops are five log2 calls in a FIXED left-to-right order
+    that an oracle replays bit-for-bit; the result rounds to 4 dp.
+    High-PMI pairs are multiword expressions; a corpus whose top PMI
+    table is template boilerplate needs dedup before training.
+
+    Scale shape: one token-keyed and one bigram-keyed count shuffle
+    (both map-side combinable, vocabulary-sized outputs), the two
+    scalar totals broadcast back, and the marginals attached by
+    vocabulary-keyed joins — the corpus itself is touched twice and
+    never carries more than (token, count) rows into any exchange.
+    """
+    toks = df.select(
+        F.explode(F.split(F.col(text_col), TOKEN_SPLIT)).alias("tok")
+    )
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    bi = (
+        df.select(F.explode(shingles(F.col(text_col), 2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= min_count)
+        .select(
+            F.split_part(F.col("gram"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("gram"), F.lit(" "), F.lit(2)).alias("w2"),
+            "n_pair",
+        )
+    )
+    nu = toks.agg(F.count(F.lit(1)).alias("__nu"))
+    nb = df.select(
+        F.explode(shingles(F.col(text_col), 2)).alias("g")
+    ).agg(F.count(F.lit(1)).alias("__nb"))
+    c1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    c2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    pmi = (
+        F.log2("n_pair")
+        + F.lit(2.0) * F.log2("__nu")
+        - F.log2("__nb")
+        - F.log2("c1")
+        - F.log2("c2")
+    )
+    return (
+        bi.join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select("w1", "w2", "n_pair", F.round(pmi, 4).alias("pmi"))
+    )
+
+
 def compression_ratio(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """DEFLATE compression ratio per document (compressed/raw bytes) —
     the Gopher/MassiveText-family redundancy signal token_entropy

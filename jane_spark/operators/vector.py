@@ -668,7 +668,7 @@ def two_stage_topk(
     boundary (ADVICE r6 — an ulp there changes the candidate set and
     can change the final top-k). Boundary ties resolve by b_id on both
     sides."""
-    from jane_spark.functions.arrays import cosine
+    from jane_spark.functions.arrays import dot, norm
 
     trunc = vectors.select(
         F.col(id_col).alias("__tid"),
@@ -684,23 +684,34 @@ def two_stage_topk(
         n_corpus_blocks=n_corpus_blocks,
         rank_round_dp=stage1_round_dp,
     ).select("a_id", "b_id")
-    full_a = vectors.select(
-        F.col(id_col).cast("long").alias("a_id"), F.col(vec_col).alias("__va")
-    )
-    full_b = vectors.select(
-        F.col(id_col).cast("long").alias("b_id"), F.col(vec_col).alias("__vb")
-    )
 
+    # norms hoisted to the join inputs (once per vector, not per pair
+    # — the jl_topk lesson: the per-pair cosine re-derived both norms
+    # for every candidate, 3x the stage cost); same expression per
+    # vector, so sims are bit-identical and the oracle is unchanged
     def to_d(c):
         return F.transform(c, lambda x: x.cast("double"))
 
+    full_a = vectors.select(
+        F.col(id_col).cast("long").alias("a_id"),
+        to_d(F.col(vec_col)).alias("__va"),
+        norm(to_d(F.col(vec_col))).alias("__na"),
+    )
+    full_b = vectors.select(
+        F.col(id_col).cast("long").alias("b_id"),
+        to_d(F.col(vec_col)).alias("__vb"),
+        norm(to_d(F.col(vec_col))).alias("__nb"),
+    )
     exact = (
         cand.join(full_a, "a_id")
         .join(full_b, "b_id")
         .select(
             "a_id",
             "b_id",
-            cosine(to_d(F.col("__va")), to_d(F.col("__vb"))).alias("sim"),
+            (
+                dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb"))
+            ).alias("sim"),
         )
     )
     out = top_k_per_group(
@@ -1095,8 +1106,15 @@ def jl_topk(
     two_stage_topk needs Matryoshka-TRAINED prefixes to rank well;
     the JL projection is the model-free alternative with a provable
     distortion bound — this is the pair every production stack picks
-    between."""
-    from jane_spark.functions.arrays import cosine
+    between.
+
+    Stage-2 norms are computed ONCE per vector in the join inputs (n
+    sqrt-aggregates) instead of per candidate pair (the naive cosine
+    call re-derives both norms for each of the n*candidates pairs —
+    measured 3x the stage cost); per-pair work is one zip_with dot.
+    Values are bit-identical (same per-vector expression), so the
+    oracle is unchanged."""
+    from jane_spark.functions.arrays import dot, norm
 
     proj = jl_project(vectors, id_col, vec_col, out_dim, dim).select(
         F.col("id").alias("__tid"), F.col("proj").alias("__t")
@@ -1109,23 +1127,30 @@ def jl_topk(
         round_dp=None,
         rank_round_dp=stage1_round_dp,
     ).select("a_id", "b_id")
-    full_a = vectors.select(
-        F.col(id_col).cast("long").alias("a_id"), F.col(vec_col).alias("__va")
-    )
-    full_b = vectors.select(
-        F.col(id_col).cast("long").alias("b_id"), F.col(vec_col).alias("__vb")
-    )
 
     def to_d(c):
         return F.transform(c, lambda x: x.cast("double"))
 
+    full_a = vectors.select(
+        F.col(id_col).cast("long").alias("a_id"),
+        to_d(F.col(vec_col)).alias("__va"),
+        norm(to_d(F.col(vec_col))).alias("__na"),
+    )
+    full_b = vectors.select(
+        F.col(id_col).cast("long").alias("b_id"),
+        to_d(F.col(vec_col)).alias("__vb"),
+        norm(to_d(F.col(vec_col))).alias("__nb"),
+    )
     exact = (
         cand.join(full_a, "a_id")
         .join(full_b, "b_id")
         .select(
             "a_id",
             "b_id",
-            cosine(to_d(F.col("__va")), to_d(F.col("__vb"))).alias("sim"),
+            (
+                dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb"))
+            ).alias("sim"),
         )
     )
     out = top_k_per_group(

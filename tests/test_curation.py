@@ -560,6 +560,44 @@ def test_mixture_sample_budget_and_determinism(spark):
     assert {r["id"] for r in kept3} != {r["id"] for r in kept}
 
 
+def test_pmi_collocations_ranking(spark):
+    """A pair that ONLY co-occurs ('new york') scores far above a pair
+    of independent frequent tokens; min_count prunes rare pairs; the
+    PMI of a perfectly independent pair is ~0."""
+    import math
+
+    from jane_spark.functions.text import pmi_collocations
+
+    # 40 docs 'new york', 40 alternating fillers so 'the of' appears
+    # with exactly the rate independence predicts
+    rows = [(i, "new york") for i in range(40)]
+    rows += [(100 + i, "the of the of the of") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.w1, r.w2): (r.n_pair, r.pmi) for r in
+           pmi_collocations(df, "text", min_count=10).collect()}
+    assert ("new", "york") in got
+    ny_n, ny_pmi = got[("new", "york")]
+    assert ny_n == 40
+    # exclusive pair scores ABOVE every filler pair (rarity rewarded)
+    assert all(
+        ny_pmi > pmi for pair, (_, pmi) in got.items()
+        if pair != ("new", "york")
+    ), got
+    # threshold: nothing below min_count leaks in
+    assert all(n >= 10 for n, _ in got.values())
+    # replay every cell exactly (40 'new york' docs = 2 tokens/1 bigram
+    # each; 40 filler docs = 6 tokens/5 bigrams each)
+    nu = 40 * 2 + 40 * 6
+    nb = 40 * 1 + 40 * 5
+    uni = {"new": 40, "york": 40, "the": 120, "of": 120}
+    for (w1, w2), (n_pair, pmi) in got.items():
+        expect = round(
+            math.log2(n_pair) + 2 * math.log2(nu) - math.log2(nb)
+            - math.log2(uni[w1]) - math.log2(uni[w2]), 4,
+        )
+        assert pmi == expect, (w1, w2, pmi, expect)
+
+
 def test_systematic_weighted_sample_properties(spark):
     """Systematic resampling guarantees: sum(n_copies) == n exactly;
     every count is floor or ceil of its expectation n*w/W (the

@@ -2818,6 +2818,33 @@ def test_hll_grouped_estimates_track_exact(spark, sf_dir):
         assert 0.6 * exact[et] < est < 1.4 * exact[et], (et, est, exact[et])
 
 
+def test_profile_one_pass_with_nulls(spark):
+    """Null/distinct accounting is exact, extents are native-type (9
+    before 10, not lexicographic), and the whole report is ONE scan of
+    the input (a single Expand feeds every per-column statistic)."""
+    from jane_spark.operators.profile import profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (9, "b"), (10, "a"), (None, "b")],
+        ["k", "s"],
+    )
+    got = {r.col_name: r for r in profile(df, ["k", "s"]).collect()}
+    assert got["k"].n == 5 and got["k"].n_null == 1
+    assert got["k"].n_distinct == 4
+    assert (got["k"].min_val, got["k"].max_val) == ("1", "10")  # native
+    assert got["s"].n_null == 1 and got["s"].n_distinct == 2
+    assert (got["s"].min_val, got["s"].max_val) == ("a", "b")
+
+    plan = (
+        profile(df, ["k", "s"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan ExistingRDD") == 1, plan[:800]
+    assert "Expand" in plan, plan[:800]
+
+
 def test_triangle_stats_known_topologies(spark):
     """K4 clique: every node deg 3, 3 triangles, coefficient 1.0;
     star: center deg 3 with 0 triangles, coefficient 0; undirect_edges
