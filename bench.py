@@ -154,6 +154,8 @@ BENCH_QUERIES = {
     "triangles": "q_k28_triangles",
     "pmi": "q_k29_pmi",
     "profile": "q_d17_profile",
+    "lttb": "q_e9_lttb",
+    "mad": "q_d18_mad",
 }
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
@@ -252,6 +254,8 @@ CALIBRATION = {
     "triangles": 0.3365,
     "pmi": 0.0738,
     "profile": 0.0138,
+    "lttb": 0.0880,
+    "mad": 0.0754,
 }
 
 

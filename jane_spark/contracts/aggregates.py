@@ -389,6 +389,52 @@ def q_d17_profile(spark, sf_dir):
 
 
 @contract(
+    "q_d18_mad",
+    oracle="""
+        WITH src AS (SELECT event_type,
+                            CAST(round(value * 100) AS BIGINT) AS v
+                     FROM events),
+        r1 AS (SELECT event_type, v,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY v) AS rn,
+                      count(*) OVER (PARTITION BY event_type) AS n
+               FROM src),
+        med AS (SELECT event_type, CAST(n AS BIGINT) AS n,
+                       v AS median_val
+                FROM r1 WHERE rn = (n + 1) // 2),
+        r2 AS (SELECT s.event_type, med.n, med.median_val,
+                      abs(s.v - med.median_val) AS d
+               FROM src s JOIN med USING (event_type)),
+        r3 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                            ORDER BY d) AS rn
+               FROM r2)
+        SELECT event_type, n, median_val, d AS mad_val
+        FROM r3 WHERE rn = (n + 1) // 2
+    """,
+    survey_rows="D14,D10",
+    doc="robust per-group location/scale (operators.profile."
+    "grouped_median_mad): discrete lower median + median absolute "
+    "deviation of integer cents per event_type — the outlier pair a "
+    "mean/stddev report (q_d14_stats) cannot provide (one corrupt "
+    "1e12 reading moves a mean arbitrarily, a median by one rank). "
+    "The DISCRETE median (value at rank ceil(n/2)) is deliberate: a "
+    "value from the data, integer-exact, identical in any engine — "
+    "no float interpolation to disagree over. Two group-keyed window "
+    "ranks + a groups-sized broadcast join; the rank-k value of a "
+    "multiset is deterministic even though row_number among ties is "
+    "not",
+)
+def q_d18_mad(spark, sf_dir):
+    from jane_spark.operators.profile import grouped_median_mad
+
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    return grouped_median_mad(ev, ["event_type"], "cents")
+
+
+@contract(
     "q_d4_collect",
     oracle="""
         SELECT user_id,

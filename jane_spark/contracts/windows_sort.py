@@ -254,6 +254,76 @@ def q_e8_m4(spark, sf_dir):
 
 
 @contract(
+    "q_e9_lttb",
+    oracle="""
+        WITH base AS (SELECT event_type,
+                             CAST(epoch_us(ts) AS BIGINT) AS e,
+                             event_id AS id,
+                             CAST(round(value * 100) AS BIGINT) AS c
+                      FROM events),
+        ext AS (SELECT min(e) AS lo, max(e) AS hi FROM base),
+        bk AS (SELECT event_type, e, id, c, e - lo AS x,
+                      least(((e - lo) * 48) // (hi - lo + 1),
+                            CAST(47 AS BIGINT)) AS bucket
+               FROM base, ext),
+        ag AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n,
+                      sum(x) AS sx, sum(c) AS sy
+               FROM bk GROUP BY event_type, bucket),
+        an AS (SELECT event_type, bucket, n,
+                      lag(sx) OVER w / lag(n) OVER w AS ax,
+                      lag(sy) OVER w / lag(n) OVER w AS ay,
+                      lead(sx) OVER w / lead(n) OVER w AS cx,
+                      lead(sy) OVER w / lead(n) OVER w AS cy
+               FROM ag
+               WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+        j AS (SELECT bk.event_type, bk.bucket, an.n, bk.e, bk.id, bk.c,
+                     CAST(bk.x AS DOUBLE) AS px,
+                     CAST(bk.c AS DOUBLE) AS py,
+                     ax, ay, cx, cy
+              FROM bk JOIN an USING (event_type, bucket)),
+        s AS (SELECT *,
+                     CASE WHEN ax IS NULL THEN -px
+                          WHEN cx IS NULL THEN px
+                          ELSE round(abs((ax - px) * (cy - py)
+                                         - (ay - py) * (cx - px)), 6)
+                     END AS score
+              FROM j),
+        r AS (SELECT *, row_number() OVER (
+                  PARTITION BY event_type, bucket
+                  ORDER BY score DESC, e ASC, id ASC) AS rn
+              FROM s)
+        SELECT event_type, bucket, n, e AS sel_us, c AS sel_cents
+        FROM r WHERE rn = 1
+    """,
+    survey_rows="E5,F4",
+    doc="LTTB downsampling (Steinarsson 2013, parallel-anchor variant "
+    "— operators.rolling.lttb_downsample): per event_type and 48 "
+    "buckets keep the ONE point forming the largest triangle with the "
+    "neighboring buckets' average points (first/last bucket keep the "
+    "series endpoints). The shape-preserving 1-point-per-pixel "
+    "companion to q_e8_m4's exact 4-point rendering. x is epoch "
+    "micros rebased to the global lo (exact in doubles), y integer "
+    "cents; the triangle area is one fixed-shape double expression "
+    "rounded to 6 dp BEFORE the rank with (ts, id) tie-breaks — the "
+    "pq_adc float discipline. One tiny anchor aggregate + lag/lead "
+    "over it + one (key, bucket) row_number; no global sort, output "
+    "one row per non-empty bucket at any input size",
+)
+def q_e9_lttb(spark, sf_dir):
+    from jane_spark.operators.rolling import lttb_downsample
+
+    ev = Catalog(spark, sf_dir).events
+    return lttb_downsample(
+        ev,
+        "ts",
+        "event_id",
+        ["event_type"],
+        F.round(F.col("value") * 100, 0),
+        n_buckets=48,
+    )
+
+
+@contract(
     "q_d15_scd2",
     oracle="""
         SELECT o_custkey, o_orderkey,

@@ -13,7 +13,7 @@ trade), and the wide single-row result unpivots to the report via
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -51,3 +51,76 @@ def profile(df: DataFrame, cols: list[str]) -> DataFrame:
         ),
         F.col("__n").alias("n"),
     ).select("col_name", "n", "n_null", "n_distinct", "min_val", "max_val")
+
+
+def grouped_median_mad(
+    df: DataFrame, keys: list[str], value: str
+) -> DataFrame:
+    """Robust per-group location/scale: the LOWER (discrete) median and
+    the median absolute deviation, both exact and integer when the
+    input is integer — the outlier-detection pair that survives the
+    exact data quality a mean/stddev report dies on (one corrupt 1e12
+    reading shifts a mean arbitrarily; it moves a median by at most
+    one rank). ``(keys..., n, median_val, mad_val)``.
+
+    The discrete lower median (value at rank ceil(n/2) under
+    (value, tie) order) is chosen over the interpolated median
+    deliberately: it is a value FROM the data, integer-exact, and
+    identically defined in any engine — no float interpolation to
+    disagree over.
+
+    Plan shape — the WEIGHTED-median formulation: rows hit exactly ONE
+    (keys, value) groupBy; every rank thereafter (cumulative counts,
+    median pick, deviation re-rank) runs over the distinct-value
+    table, never row-scale data. The rank-k value of a multiset equals
+    the smallest value whose cumulative count reaches ceil(n/2), so
+    this is value-identical to a per-row row_number formulation (the
+    oracle runs that one) while shuffling O(distinct values) instead
+    of O(rows) through the windows — the same windows-never-touch-rows
+    discipline as systematic_weighted_sample.
+    """
+    counts = (
+        df.select(*[F.col(k) for k in keys], F.col(value).alias("__v"))
+        .groupBy(*keys, "__v")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    wv = (
+        Window.partitionBy(*keys)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = counts.withColumn("__cum", F.sum("__cnt").over(wv)).withColumn(
+        "__n", F.sum("__cnt").over(Window.partitionBy(*keys))
+    )
+    med = (
+        cum.where(F.col("__cum") >= F.expr("(__n + 1) div 2"))
+        .groupBy(*keys)
+        .agg(
+            F.min("__v").alias("median_val"),
+            F.max("__n").alias("n"),
+        )
+    )
+    dagg = (
+        counts.join(F.broadcast(med), keys)
+        .select(
+            *keys,
+            "n",
+            "median_val",
+            F.abs(F.col("__v") - F.col("median_val")).alias("__d"),
+            "__cnt",
+        )
+        .groupBy(*keys, "n", "median_val", "__d")
+        .agg(F.sum("__cnt").alias("__dc"))
+    )
+    wd = (
+        Window.partitionBy(*keys)
+        .orderBy("__d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        dagg.withColumn("__cum", F.sum("__dc").over(wd))
+        .where(F.col("__cum") >= F.expr("(n + 1) div 2"))
+        .groupBy(*keys, "n", "median_val")
+        .agg(F.min("__d").alias("mad_val"))
+        .select(*keys, "n", "median_val", "mad_val")
+    )

@@ -203,6 +203,111 @@ def m4_downsample(
     )
 
 
+def lttb_downsample(
+    df: DataFrame,
+    ts_col: str,
+    id_col: str,
+    keys: list[str],
+    cents: Column,
+    n_buckets: int,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013),
+    parallel-anchor variant: per series key and equal-width bucket,
+    keep the ONE point forming the largest triangle with the AVERAGE
+    points of the neighboring (nearest non-empty) buckets. Classic
+    LTTB anchors on the previously *selected* point — inherently
+    sequential; anchoring both sides on bucket averages is the
+    standard parallel approximation (visually indistinguishable, and
+    exactly one point per bucket either way). First/last non-empty
+    buckets keep the series' first/last point, per the original
+    algorithm.
+
+    Where M4 keeps 4 extreme points per bucket (pixel-exact line
+    rendering), LTTB keeps 1 perceptually-chosen point — half the
+    output for dashboards that want shape, not exactness; ship both,
+    like the hypertable ecosystems do.
+
+    Determinism: x = epoch micros minus the global lo (exact in
+    doubles), y = integer cents; the triangle area is one fixed-shape
+    double expression rounded to 6 dp BEFORE the rank (the pq_adc
+    discipline), ties by (ts, id). Oracle-expressible: the area
+    replays bit-for-bit, the pick is a row_number.
+
+    Plan shape: one (key, bucket) hash aggregate for the anchor
+    table (|keys| x n_buckets rows), lag/lead over that tiny table,
+    broadcast back onto the rows, one row_number window per (key,
+    bucket) — no global sort, output exactly one row per non-empty
+    bucket regardless of input size.
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    e = ntz_epoch_us(F.col(ts_col))
+    ext = df.agg(
+        F.min(e).cast("long").alias("__lo"),
+        F.max(e).cast("long").alias("__hi"),
+    )
+    base = df.select(
+        *[F.col(k) for k in keys],
+        e.cast("long").alias("__e"),
+        F.col(id_col).cast("long").alias("__id"),
+        cents.cast("bigint").alias("__c"),
+    )
+    bucketed = (
+        base.crossJoin(F.broadcast(ext))
+        .withColumn("__x", F.col("__e") - F.col("__lo"))
+        .withColumn(
+            "bucket",
+            F.least(
+                F.expr(f"(__x * {n_buckets}) div (__hi - __lo + 1)"),
+                F.lit(n_buckets - 1).cast("long"),
+            ),
+        )
+    )
+    agg = bucketed.groupBy(*keys, "bucket").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__c").alias("__sy"),
+    )
+    wk = Window.partitionBy(*keys).orderBy("bucket")
+    anchors = agg.select(
+        *keys,
+        "bucket",
+        F.col("__n").alias("n"),
+        (F.lag("__sx").over(wk) / F.lag("__n").over(wk)).alias("__ax"),
+        (F.lag("__sy").over(wk) / F.lag("__n").over(wk)).alias("__ay"),
+        (F.lead("__sx").over(wk) / F.lead("__n").over(wk)).alias("__cx"),
+        (F.lead("__sy").over(wk) / F.lead("__n").over(wk)).alias("__cy"),
+    )
+    joined = bucketed.join(F.broadcast(anchors), [*keys, "bucket"])
+    px = F.col("__x").cast("double")
+    py = F.col("__c").cast("double")
+    area = F.abs(
+        (F.col("__ax") - px) * (F.col("__cy") - py)
+        - (F.col("__ay") - py) * (F.col("__cx") - px)
+    )
+    # endpoints (or a missing neighbor anchor) degrade to first/last
+    score = (
+        F.when(F.col("__ax").isNull(), -px)
+        .when(F.col("__cx").isNull(), px)
+        .otherwise(F.round(area, 6))
+    )
+    wr = Window.partitionBy(*keys, "bucket").orderBy(
+        F.desc("__score"), F.asc("__e"), F.asc("__id")
+    )
+    return (
+        joined.withColumn("__score", score)
+        .withColumn("__rn", F.row_number().over(wr))
+        .where(F.col("__rn") == 1)
+        .select(
+            *keys,
+            "bucket",
+            "n",
+            F.col("__e").alias("sel_us"),
+            F.col("__c").alias("sel_cents"),
+        )
+    )
+
+
 def rollup_cascade(
     rollup: DataFrame, bucket: str, keys: list[str]
 ) -> DataFrame:

@@ -2796,6 +2796,73 @@ def test_m4_rendering_fidelity_and_plan(spark):
     assert "rangepartitioning" not in plan, plan[:800]
 
 
+def test_lttb_selection_properties(spark):
+    """One point per non-empty bucket; series endpoints kept; a huge
+    mid-bucket spike wins its bucket's triangle; full Python replay of
+    the parallel-anchor selection matches."""
+    from jane_spark.operators.rolling import lttb_downsample
+
+    rows = spark.range(1600).select(
+        F.lit("k").alias("k"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("id") * 1_000_000
+        ).cast("timestamp_ntz").alias("ts"),
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") == 407, F.lit(50000))
+        .otherwise((F.col("id") * 13) % 300)
+        .alias("cents"),
+    )
+    out = lttb_downsample(rows, "ts", "event_id", ["k"], F.col("cents"), 16)
+    got = {r.bucket: r for r in out.collect()}
+    assert len(got) == 16
+    assert all(r.n == 100 for r in got.values())
+    # endpoints: bucket 0 keeps the first point, bucket 15 the last
+    assert got[0].sel_cents == 0 and got[0].sel_us % 1_000_000 == 0
+    assert got[15].sel_us == 1_700_000_000_000_000 + 1599 * 1_000_000
+    # the spike (id 407, bucket 4) dominates every triangle in its bucket
+    assert got[4].sel_cents == 50000
+
+    # Python replay
+    import collections
+
+    raw = [(i, 50000 if i == 407 else (i * 13) % 300) for i in range(1600)]
+    buckets = collections.defaultdict(list)
+    for i, c in raw:
+        buckets[min(i * 1_000_000 * 16 // (1599 * 1_000_000 + 1), 15)].append(
+            (i * 1_000_000, i, c)
+        )
+    anchors = {
+        b: (
+            sum(x for x, _, _ in pts) / len(pts),
+            sum(c for _, _, c in pts) / len(pts),
+        )
+        for b, pts in buckets.items()
+    }
+    for b, pts in buckets.items():
+        if b == 0:
+            pick = min(pts)
+        elif b == 15:
+            pick = max(pts)
+        else:
+            ax, ay = anchors[b - 1]
+            cx, cy = anchors[b + 1]
+            pick = max(
+                pts,
+                key=lambda p: (
+                    round(
+                        abs((ax - p[0]) * (cy - p[2]) - (ay - p[2]) * (cx - p[0])),
+                        6,
+                    ),
+                    -p[0],
+                    -p[1],
+                ),
+            )
+        assert (got[b].sel_us, got[b].sel_cents) == (
+            1_700_000_000_000_000 + pick[0],
+            pick[2],
+        ), (b, pick, got[b])
+
+
 def test_hll_grouped_estimates_track_exact(spark, sf_dir):
     """Per-group register readout lands within 40% of each group's
     exact distinct count (m=64, sigma ~13%)."""
@@ -2843,6 +2910,24 @@ def test_profile_one_pass_with_nulls(spark):
     )
     assert plan.count("Scan ExistingRDD") == 1, plan[:800]
     assert "Expand" in plan, plan[:800]
+
+
+def test_grouped_median_mad_robust_to_outlier(spark):
+    """[1,2,3,4,1000]: median 3, MAD 1 — the corrupt reading that drags
+    the mean to 202 moves neither; even-count group takes the LOWER
+    median; ties in value don't affect the rank-k value."""
+    from jane_spark.operators.profile import grouped_median_mad
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("a", 4), ("a", 1000),
+         ("b", 10), ("b", 10), ("b", 20), ("b", 30)],
+        ["g", "v"],
+    )
+    got = {r.g: r for r in grouped_median_mad(df, ["g"], "v").collect()}
+    assert (got["a"].n, got["a"].median_val, got["a"].mad_val) == (5, 3, 1)
+    # b even count: lower median = rank 2 of [10,10,20,30] = 10;
+    # deviations [0,0,10,20] -> MAD = rank 2 = 0
+    assert (got["b"].n, got["b"].median_val, got["b"].mad_val) == (4, 10, 0)
 
 
 def test_triangle_stats_known_topologies(spark):
