@@ -156,6 +156,8 @@ BENCH_QUERIES = {
     "profile": "q_d17_profile",
     "lttb": "q_e9_lttb",
     "mad": "q_d18_mad",
+    "quantiles": "q_d19_quantiles",
+    "decay": "q_d20_decay",
 }
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
@@ -256,6 +258,8 @@ CALIBRATION = {
     "profile": 0.0138,
     "lttb": 0.0880,
     "mad": 0.0754,
+    "quantiles": 0.0638,
+    "decay": 0.0231,
 }
 
 

@@ -389,6 +389,93 @@ def q_d17_profile(spark, sf_dir):
 
 
 @contract(
+    "q_d20_decay",
+    oracle="""
+        WITH base AS (SELECT event_type,
+                             CAST(epoch_us(ts) AS BIGINT) AS e,
+                             CAST(round(value * 100) AS BIGINT) AS c
+                      FROM events),
+        nw AS (SELECT max(e) AS now FROM base),
+        wt AS (SELECT event_type, c,
+                      CAST(1048576 AS BIGINT)
+                      // (1 << least(((now - e) // 86400000000) // 7,
+                                     CAST(21 AS BIGINT))) AS w
+               FROM base, nw)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS raw_cents,
+               CAST(sum(c * w) AS BIGINT) AS decayed_e20
+        FROM wt GROUP BY event_type
+    """,
+    survey_rows="D1,D7,E5",
+    doc="exponential-time-decay trending score (operators.rolling."
+    "decayed_sum, half-life 7 days): age quantizes to whole half-life "
+    "periods and the weight is the exact binary 2^(20-k), so the "
+    "score is a plain BIGINT sum — bit-reproducible under any "
+    "partition merge order and incrementally maintainable (a monoid, "
+    "like the rollup cascade), where a float pow(0.5, age/h) varies "
+    "by libm ulps and addition order. One broadcast max-ts scalar + "
+    "one map-side-combined groupBy",
+)
+def q_d20_decay(spark, sf_dir):
+    from jane_spark.operators.rolling import decayed_sum
+
+    ev = Catalog(spark, sf_dir).events
+    return decayed_sum(
+        ev, "ts", ["event_type"], F.round(F.col("value") * 100, 0), 7
+    )
+
+
+@contract(
+    "q_d19_quantiles",
+    oracle="""
+        WITH src AS (SELECT event_type,
+                            CAST(date_trunc('day', ts) AS TIMESTAMP)
+                                AS day,
+                            CAST(round(value * 100) AS BIGINT) AS v
+                     FROM events),
+        c AS (SELECT event_type, day, v,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM src GROUP BY event_type, day, v),
+        cum AS (SELECT event_type, day, v,
+                       sum(cnt) OVER (PARTITION BY event_type, day
+                                      ORDER BY v) AS cum,
+                       sum(cnt) OVER (PARTITION BY event_type, day)
+                           AS n
+                FROM c)
+        SELECT event_type, day, CAST(max(n) AS BIGINT) AS n,
+               min(CASE WHEN cum >= (50 * n + 99) // 100 THEN v END)
+                   AS p50,
+               min(CASE WHEN cum >= (95 * n + 99) // 100 THEN v END)
+                   AS p95,
+               min(CASE WHEN cum >= (99 * n + 99) // 100 THEN v END)
+                   AS p99
+        FROM cum GROUP BY event_type, day
+    """,
+    survey_rows="D10,D14,D7",
+    doc="per-group discrete quantile bands (operators.profile."
+    "grouped_quantiles): p50/p95/p99 of integer cents per "
+    "(event_type, day) — the latency/SLO dashboard row. Quantile p = "
+    "smallest value whose cumulative count reaches ceil(p*n/100): a "
+    "value FROM the data, integer-exact, no interpolation for "
+    "engines to disagree over (unlike q_d10's float percentile). "
+    "Rows hit ONE (keys, value) groupBy; the cumulative window and a "
+    "single conditional-min readout per percent run over the "
+    "distinct-value table — the windows-never-touch-rows discipline",
+)
+def q_d19_quantiles(spark, sf_dir):
+    from jane_spark.operators.profile import grouped_quantiles
+
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("day"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    return grouped_quantiles(
+        ev, ["event_type", "day"], "cents", [50, 95, 99]
+    )
+
+
+@contract(
     "q_d18_mad",
     oracle="""
         WITH src AS (SELECT event_type,

@@ -124,3 +124,47 @@ def grouped_median_mad(
         .agg(F.min("__d").alias("mad_val"))
         .select(*keys, "n", "median_val", "mad_val")
     )
+
+
+def grouped_quantiles(
+    df: DataFrame, keys: list[str], value: str, percents: list[int]
+) -> DataFrame:
+    """Discrete per-group quantiles — the p50/p95/p99 latency-dashboard
+    row, one column per requested integer percent. Quantile p = the
+    smallest value whose cumulative count reaches ceil(p*n/100) (the
+    same rank-k definition as ``grouped_median_mad``; values FROM the
+    data, integer-exact, no interpolation for engines to disagree
+    over).
+
+    Same weighted formulation: rows hit ONE (keys, value) groupBy;
+    the cumulative window and the conditional-min readout (one
+    ``min(CASE cum >= k_p THEN v)`` per percent — a single pass, not
+    one rank per quantile) run over the distinct-value table.
+    """
+    if not percents or any(p < 1 or p > 100 for p in percents):
+        raise ValueError("percents must be ints in [1, 100]")
+    counts = (
+        df.select(*[F.col(k) for k in keys], F.col(value).alias("__v"))
+        .groupBy(*keys, "__v")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    wv = (
+        Window.partitionBy(*keys)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = counts.withColumn("__cum", F.sum("__cnt").over(wv)).withColumn(
+        "__n", F.sum("__cnt").over(Window.partitionBy(*keys))
+    )
+    return cum.groupBy(*keys).agg(
+        F.max("__n").alias("n"),
+        *[
+            F.min(
+                F.when(
+                    F.col("__cum") >= F.expr(f"({p} * __n + 99) div 100"),
+                    F.col("__v"),
+                )
+            ).alias(f"p{p}")
+            for p in percents
+        ],
+    )

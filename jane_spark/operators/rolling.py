@@ -308,6 +308,58 @@ def lttb_downsample(
     )
 
 
+def decayed_sum(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    cents: Column,
+    halflife_days: int,
+) -> DataFrame:
+    """Exponential-time-decay mass per key — the trending/recency score
+    (recent activity counts full, week-old counts half, ...), in a
+    STAIRCASE formulation that stays integer-exact: age quantizes to
+    whole half-life periods k = age_days div halflife, the weight is
+    the exact binary 2^(20-k) (0 beyond 20 periods ~ a 1e-6 floor),
+    and the score is sum(cents * weight) — a plain BIGINT sum, so the
+    result is bit-reproducible on any engine and any partition merge
+    order. A float pow(0.5, age/h) score differs in the last ulp
+    between libm implementations AND under re-ordered float addition;
+    the staircase is the version you can oracle-check and
+    incrementally maintain (it is a monoid, like the rollup cascade).
+
+    "Now" is the global max timestamp (deterministic from the data;
+    production pins it to the query time). Output: (keys..., n,
+    raw_cents, decayed_e20) where decayed_e20 is in cents * 2^20 units
+    at age 0. ONE broadcast scalar + one keys-keyed map-side-combined
+    groupBy; at 100 TB the score merges across shards exactly.
+    """
+    if halflife_days < 1:
+        raise ValueError("halflife_days must be >= 1")
+    e = ntz_epoch_us(F.col(ts_col))
+    now = df.agg(F.max(e).cast("long").alias("__now"))
+    day_us = 86_400_000_000
+    base = df.select(
+        *[F.col(k) for k in keys],
+        e.cast("long").alias("__e"),
+        cents.cast("bigint").alias("__c"),
+    ).crossJoin(F.broadcast(now))
+    k = F.expr(f"((__now - __e) div {day_us}) div {halflife_days}")
+    w = F.expr(
+        "CAST(1048576 AS BIGINT) div shiftleft(CAST(1 AS BIGINT), "
+        "CAST(least(__k, CAST(21 AS BIGINT)) AS INT))"
+    )
+    return (
+        base.withColumn("__k", k)
+        .withColumn("__w", w)
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__c").alias("raw_cents"),
+            F.sum(F.col("__c") * F.col("__w")).alias("decayed_e20"),
+        )
+    )
+
+
 def rollup_cascade(
     rollup: DataFrame, bucket: str, keys: list[str]
 ) -> DataFrame:

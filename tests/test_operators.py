@@ -2930,6 +2930,46 @@ def test_grouped_median_mad_robust_to_outlier(spark):
     assert (got["b"].n, got["b"].median_val, got["b"].mad_val) == (4, 10, 0)
 
 
+def test_grouped_quantiles_known_ranks(spark):
+    """Values 1..100: p50/p95/p99 are exactly 50/95/99 (rank-k, no
+    interpolation); duplicates weight the cumulative correctly."""
+    from jane_spark.operators.profile import grouped_quantiles
+
+    rows = [("a", v) for v in range(1, 101)]
+    rows += [("b", 10)] * 98 + [("b", 500), ("b", 900)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {r.g: r for r in
+           grouped_quantiles(df, ["g"], "v", [50, 95, 99]).collect()}
+    assert (got["a"].n, got["a"].p50, got["a"].p95, got["a"].p99) == (
+        100, 50, 95, 99)
+    # b: 98x10 then 500, 900 -> p50 = 10, p95 = 10, p99 = 500
+    assert (got["b"].p50, got["b"].p95, got["b"].p99) == (10, 10, 500)
+
+
+def test_decayed_sum_staircase_weights(spark):
+    """Weights are exact powers of two per half-life period; ages past
+    21 periods contribute zero; the score is a plain integer sum."""
+    from jane_spark.operators.rolling import decayed_sum
+
+    day = 86_400_000_000
+    t0 = 1_700_000_000_000_000
+    # now = newest event; ages chosen to hit k = 0, 1, 3, 22
+    rows = [
+        ("a", t0 + 200 * day, 100),   # age 0  -> k=0  -> w=2^20
+        ("a", t0 + 193 * day, 100),   # age 7  -> k=1  -> w=2^19
+        ("a", t0 + 175 * day, 100),   # age 25 -> k=3  -> w=2^17
+        ("a", t0 + 0 * day, 100),     # age 200 -> k=28 -> w=0
+    ]
+    df = spark.createDataFrame(rows, ["g", "us", "c"]).select(
+        "g",
+        F.timestamp_micros(F.col("us")).cast("timestamp_ntz").alias("ts"),
+        "c",
+    )
+    r = decayed_sum(df, "ts", ["g"], F.col("c"), 7).collect()[0]
+    assert r.n == 4 and r.raw_cents == 400
+    assert r.decayed_e20 == 100 * (2**20 + 2**19 + 2**17)
+
+
 def test_triangle_stats_known_topologies(spark):
     """K4 clique: every node deg 3, 3 triangles, coefficient 1.0;
     star: center deg 3 with 0 triangles, coefficient 0; undirect_edges
