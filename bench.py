@@ -158,6 +158,8 @@ BENCH_QUERIES = {
     "mad": "q_d18_mad",
     "quantiles": "q_d19_quantiles",
     "decay": "q_d20_decay",
+    "phrase": "q_k30_phrase",
+    "cohort": "q_d21_cohort",
 }
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
@@ -260,6 +262,8 @@ CALIBRATION = {
     "mad": 0.0754,
     "quantiles": 0.0638,
     "decay": 0.0231,
+    "phrase": 0.0664,
+    "cohort": 0.0327,
 }
 
 

@@ -389,6 +389,46 @@ def q_d17_profile(spark, sf_dir):
 
 
 @contract(
+    "q_d21_cohort",
+    oracle="""
+        WITH acts AS (SELECT DISTINCT user_id AS u,
+                          CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+                      FROM events WHERE user_id IS NOT NULL),
+        f AS (SELECT u, min(d) AS cohort FROM acts GROUP BY u),
+        off AS (SELECT cohort AS cohort_day,
+                       CAST(date_diff('day', CAST(cohort AS DATE),
+                                      CAST(d AS DATE)) AS BIGINT)
+                           AS offset_days,
+                       u
+                FROM acts JOIN f USING (u)),
+        cells AS (SELECT cohort_day, offset_days,
+                         CAST(count(DISTINCT u) AS BIGINT) AS n_users
+                  FROM off GROUP BY cohort_day, offset_days)
+        SELECT cohort_day, offset_days, n_users,
+               CAST((n_users * 10000) //
+                    max(CASE WHEN offset_days = 0 THEN n_users END)
+                        OVER (PARTITION BY cohort_day) AS BIGINT)
+                   AS pct_e4
+        FROM cells
+    """,
+    survey_rows="D1,D3,E6",
+    doc="cohort retention matrix (operators.rolling.cohort_retention): "
+    "cohort = each user's first active day, cell = distinct users of "
+    "that cohort active at each day offset, plus the retention rate "
+    "vs the cohort's own offset-0 size in 1e-4 fixed point. One "
+    "(user, day) distinct + one user-keyed min + a user-keyed join + "
+    "a (cohort, offset) count-distinct — every shuffle keyed, the "
+    "normalization window runs over the days x offsets matrix, never "
+    "rows",
+)
+def q_d21_cohort(spark, sf_dir):
+    from jane_spark.operators.rolling import cohort_retention
+
+    ev = Catalog(spark, sf_dir).events
+    return cohort_retention(ev, "ts", "user_id")
+
+
+@contract(
     "q_d20_decay",
     oracle="""
         WITH base AS (SELECT event_type,

@@ -350,6 +350,39 @@ def q_k5(spark, sf_dir):
 
 
 @contract(
+    "q_k30_phrase",
+    oracle="""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents),
+        h AS (SELECT doc_id,
+                     CAST(len(list_filter(
+                         generate_series(1, len(w) - 2),
+                         i -> w[i] = 'slow' AND w[i+1] = 'hash'
+                              AND w[i+2] = 'batch')) AS BIGINT)
+                         AS n_hits
+              FROM t WHERE len(w) >= 3)
+        SELECT doc_id, n_hits FROM h WHERE n_hits > 0
+    """,
+    survey_rows="K5,B4",
+    doc="exact PHRASE search ('slow hash batch') via positional "
+    "postings intersection (operators.retrieval.phrase_search): "
+    "tokenize once with positions, then per phrase token an equi-join "
+    "on (doc, pos - i), each side pre-filtered to one token — the "
+    "selective predicate pushes into a real postings table's scan, "
+    "and no substring pass ever touches the corpus. Counts ALL "
+    "token-aligned occurrences incl. overlapping. The oracle runs the "
+    "OTHER obvious algorithm (per-document token-array window "
+    "comparison), so parity cross-checks two independent "
+    "constructions instead of replaying one",
+)
+def q_k30_phrase(spark, sf_dir):
+    from jane_spark.operators.retrieval import phrase_search
+
+    docs = Catalog(spark, sf_dir).documents
+    return phrase_search(docs, "doc_id", "text", "slow hash batch")
+
+
+@contract(
     "q_k5_bm25",
     oracle="""
         WITH toks AS (

@@ -141,3 +141,42 @@ def rrf_fuse(
         .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
         .limit(topk)
     )
+
+
+def phrase_search(
+    docs: DataFrame, id_col: str, text_col: str, phrase: str
+) -> DataFrame:
+    """Exact token-phrase search over a positional inverted index:
+    ``(doc_id, n_hits)`` for every document containing the phrase's
+    tokens consecutively, counting ALL (including overlapping)
+    token-aligned occurrences.
+
+    The distributed shape is the classic positional-postings
+    intersection: tokenize once with positions, take the first
+    token's postings, and for token i equi-join postings shifted by
+    -i on (doc, pos) — each join is keyed, each side pre-filtered to
+    ONE token (a selective predicate that pushes into the scan of a
+    real postings table), never a substring scan over the corpus.
+    The oracle deliberately implements the OTHER obvious algorithm
+    (per-document token-array window comparison), so parity checks
+    two independent constructions against each other rather than a
+    replay.
+    """
+    toks = phrase.split()
+    if not toks:
+        raise ValueError("phrase must contain at least one token")
+    postings = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    )
+    hits = postings.where(F.col("tok") == toks[0]).select("doc", "pos")
+    for i, t in enumerate(toks[1:], start=1):
+        nxt = postings.where(F.col("tok") == t).select(
+            "doc", (F.col("pos") - i).alias("pos")
+        )
+        hits = hits.join(nxt, ["doc", "pos"])
+    return (
+        hits.groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(F.col("doc").alias(id_col), "n_hits")
+    )

@@ -379,3 +379,53 @@ def rollup_cascade(
             F.max("max_cents").alias("max_cents"),
         )
     )
+
+
+def cohort_retention(
+    df: DataFrame, ts_col: str, user_col: str
+) -> DataFrame:
+    """Cohort retention matrix — the product-analytics staple: cohort =
+    each user's FIRST active day, offset = days since it, cell =
+    distinct users of that cohort active at that offset, plus the
+    retention rate in 1e-4 fixed point against the cohort's own
+    offset-0 size. ``(cohort_day, offset_days, n_users, pct_e4)``.
+
+    Scale shape: one (user, day) distinct + one user-keyed min
+    aggregate, joined on user (both shuffles keyed on user_id — the
+    raw event table never carries anything wider), then a
+    (cohort, offset) count-distinct. The matrix itself is
+    days x offsets — tiny — so the offset-0 normalization is a window
+    over it, not over data.
+    """
+    day = F.date_trunc("day", F.col(ts_col)).cast("timestamp_ntz")
+    acts = (
+        df.where(F.col(user_col).isNotNull())
+        .select(F.col(user_col).alias("__u"), day.alias("__d"))
+        .distinct()
+    )
+    firsts = acts.groupBy("__u").agg(F.min("__d").alias("__cohort"))
+    cells = (
+        acts.join(firsts, "__u")
+        .select(
+            "__u",
+            "__cohort",
+            F.datediff(F.col("__d").cast("date"), F.col("__cohort").cast("date"))
+            .cast("bigint")
+            .alias("offset_days"),
+        )
+        .groupBy(F.col("__cohort").alias("cohort_day"), "offset_days")
+        .agg(F.countDistinct("__u").alias("n_users"))
+    )
+    w0 = Window.partitionBy("cohort_day")
+    size0 = F.max(
+        F.when(F.col("offset_days") == 0, F.col("n_users"))
+    ).over(w0)
+    return (
+        cells.withColumn("__s0", size0)
+        .select(
+            "cohort_day",
+            "offset_days",
+            "n_users",
+            F.expr("(n_users * 10000) div __s0").alias("pct_e4"),
+        )
+    )

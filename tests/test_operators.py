@@ -2930,6 +2930,54 @@ def test_grouped_median_mad_robust_to_outlier(spark):
     assert (got["b"].n, got["b"].median_val, got["b"].mad_val) == (4, 10, 0)
 
 
+def test_cohort_retention_two_cohorts(spark):
+    """Two cohorts with known comebacks: per-cohort offsets, distinct
+    user counts, and offset-0-normalized rates."""
+    from jane_spark.operators.rolling import cohort_retention
+
+    day = 86_400_000_000
+    t0 = 1_700_000_000_000_000
+    rows = []
+    # cohort day0: users 1,2,3,4; day1: users 1,2 return; day3: user 1
+    for u, offs in [(1, [0, 1, 3]), (2, [0, 1]), (3, [0]), (4, [0, 0])]:
+        rows += [(u, t0 + o * day) for o in offs]
+    # cohort day2: users 10, 11; user 10 returns day 5 (offset 3)
+    rows += [(10, t0 + 2 * day), (11, t0 + 2 * day), (10, t0 + 5 * day)]
+    df = spark.createDataFrame(rows, ["user_id", "us"]).select(
+        "user_id",
+        F.timestamp_micros(F.col("us")).cast("timestamp_ntz").alias("ts"),
+    )
+    got = {(r.cohort_day.day, r.offset_days): (r.n_users, r.pct_e4)
+           for r in cohort_retention(df, "ts", "user_id").collect()}
+    base_day = next(d for d, o in got if o == 0 and got[(d, 0)][0] == 4)
+    assert got[(base_day, 0)] == (4, 10000)
+    assert got[(base_day, 1)] == (2, 5000)
+    assert got[(base_day, 3)] == (1, 2500)
+    assert (base_day, 2) not in got  # nobody active that day
+    c2 = next(d for d, o in got if o == 0 and got[(d, 0)][0] == 2)
+    assert got[(c2, 0)] == (2, 10000)
+    assert got[(c2, 3)] == (1, 5000)
+
+
+def test_phrase_search_overlaps_and_edges(spark):
+    """Overlapping occurrences all count ('a a a' contains 'a a'
+    twice); single-token phrases degrade to term counts; absent
+    phrases yield no row."""
+    from jane_spark.operators.retrieval import phrase_search
+
+    df = spark.createDataFrame(
+        [(1, "a a a"), (2, "b a a b"), (3, "b b b"), (4, "a b a")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.n_hits for r in
+           phrase_search(df, "doc_id", "text", "a a").collect()}
+    assert got == {1: 2, 2: 1}
+    single = {r.doc_id: r.n_hits for r in
+              phrase_search(df, "doc_id", "text", "a").collect()}
+    assert single == {1: 3, 2: 2, 4: 2}
+    assert phrase_search(df, "doc_id", "text", "a a a a").count() == 0
+
+
 def test_grouped_quantiles_known_ranks(spark):
     """Values 1..100: p50/p95/p99 are exactly 50/95/99 (rank-k, no
     interpolation); duplicates weight the cumulative correctly."""
