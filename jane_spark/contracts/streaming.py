@@ -78,6 +78,77 @@ def q_i1(spark, sf_dir):
 
 
 @contract(
+    "q_i10_stream_rollup",
+    oracle="""
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents,
+               min(CAST(round(value * 100) AS BIGINT)) AS min_cents,
+               max(CAST(round(value * 100) AS BIGINT)) AS max_cents
+        FROM events
+        GROUP BY date_trunc('hour', ts), event_type
+    """,
+    survey_rows="I2,I1,D16",
+    doc="STREAMING continuous aggregate — the rollup cascade's "
+    "(q_d16) level-1 hourly monoid built by real Structured "
+    "Streaming: readStream file-arrival source + event-time watermark "
+    "+ 1 h tumbling window + integer-cent (n, sum, min, max) state, "
+    "availableNow trigger into a memory sink. Unlike the other I-row "
+    "streaming executions this one carries a TRUE ORACLE: with "
+    "availableNow + complete mode the emitted windows equal the batch "
+    "group-by exactly, so the hash check pins streaming==batch "
+    "semantics end-to-end (SURVEY §5.2.5), not just execution. At "
+    "scale the same query with an append watermark is the hypertable "
+    "ingest path: bounded state per open window, coarser levels "
+    "derive from this rollup by the q_d16 monoid merge",
+)
+def q_i10_stream_rollup(spark, sf_dir):
+    _self_configure(spark, sf_dir)
+    import shutil
+    import tempfile
+
+    from jane_spark.streaming.ingest import run_available_now, stream_parquet_dir
+
+    arrival = tempfile.mkdtemp(prefix="jane_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{arrival}/events.parquet")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = stream_parquet_dir(spark, arrival, batch.schema)
+
+    def transform(df):
+        # watermarks require TIMESTAMP (not NTZ); the session is pinned
+        # to UTC (engine.session.configure), so the cast is
+        # value-preserving and the emitted window starts cast back to
+        # NTZ land on the same instants the oracle's date_trunc hits
+        d = _ts_ntz(df).withColumn("ts", F.col("ts").cast("timestamp"))
+        cents = F.round(F.col("value") * 100, 0).cast("bigint")
+        return (
+            d.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(cents).alias("sum_cents"),
+                F.min(cents).alias("min_cents"),
+                F.max(cents).alias("max_cents"),
+            )
+            .select(
+                F.col("w.start").cast("timestamp_ntz").alias("bucket"),
+                "event_type",
+                "n",
+                "sum_cents",
+                "min_cents",
+                "max_cents",
+            )
+        )
+
+    try:
+        return run_available_now(stream, transform, "q_i10_sink")
+    finally:
+        shutil.rmtree(arrival, ignore_errors=True)
+
+
+@contract(
     "q_i2_tumbling",
     oracle="""
         SELECT date_trunc('hour', ts) AS window_start,
