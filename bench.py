@@ -160,6 +160,7 @@ BENCH_QUERIES = {
     "decay": "q_d20_decay",
     "phrase": "q_k30_phrase",
     "cohort": "q_d21_cohort",
+    "gridjoin": "q_b13_gridjoin",
 }
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
@@ -264,6 +265,7 @@ CALIBRATION = {
     "decay": 0.0231,
     "phrase": 0.0664,
     "cohort": 0.0327,
+    "gridjoin": 2.8190,
 }
 
 

@@ -333,3 +333,52 @@ def q_b9w(spark, sf_dir):
             6,
         ).alias("dist_deg"),
     )
+
+
+@contract(
+    "q_b13_gridjoin",
+    oracle="""
+        WITH p AS (SELECT c_custkey AS id,
+                          CAST((c_custkey * 7919) % 4000 AS DOUBLE)
+                              / 100.0 - 20.0 AS lat,
+                          CAST((c_custkey * 104729) % 4000 AS DOUBLE)
+                              / 100.0 - 20.0 AS lon
+                   FROM customer)
+        SELECT a.id AS a_id, b.id AS b_id,
+               round((a.lat - b.lat) * (a.lat - b.lat)
+                     + (a.lon - b.lon) * (a.lon - b.lon), 9) AS d2
+        FROM p a JOIN p b
+          ON a.id < b.id
+         AND abs(a.lat - b.lat) <= 0.5
+         AND abs(a.lon - b.lon) <= 0.5
+        WHERE (a.lat - b.lat) * (a.lat - b.lat)
+              + (a.lon - b.lon) * (a.lon - b.lon) <= 0.25
+    """,
+    survey_rows="B9,C4,K2",
+    doc="grid-blocked proximity PAIR JOIN (operators.geogrid."
+    "grid_pair_join): all pairs within 0.5 degrees (euclidean "
+    "lat/lon over a dense 40x40-degree synthetic region — the global "
+    "b9 lattice has no close pairs), found by snapping points to "
+    "radius-sized cells, "
+    "replicating the probe side into its 3x3 neighborhood, and "
+    "equi-joining on the cell key — candidates scale with local "
+    "density, never |V|^2, no false negatives by floor monotonicity. "
+    "The oracle runs the direct inequality join (DuckDB's IEJoin) — "
+    "an independent algorithm, so parity cross-checks blocking "
+    "against exhaustive search. Squared distance kept (no sqrt), "
+    "rounded 9 dp for the hash",
+)
+def q_b13_gridjoin(spark, sf_dir):
+    from jane_spark.operators.geogrid import grid_pair_join
+
+    cust = Catalog(spark, sf_dir).customer
+    pts = cust.select(
+        "c_custkey",
+        F.expr(
+            "CAST((c_custkey * 7919) % 4000 AS DOUBLE) / 100.0 - 20.0"
+        ).alias("lat"),
+        F.expr(
+            "CAST((c_custkey * 104729) % 4000 AS DOUBLE) / 100.0 - 20.0"
+        ).alias("lon"),
+    )
+    return grid_pair_join(pts, "c_custkey", "lat", "lon", 0.5)

@@ -2930,6 +2930,40 @@ def test_grouped_median_mad_robust_to_outlier(spark):
     assert (got["b"].n, got["b"].median_val, got["b"].mad_val) == (4, 10, 0)
 
 
+def test_grid_pair_join_matches_bruteforce(spark):
+    """Blocking never loses a pair: grid join == brute-force cross join
+    on a fixture with boundary-straddling points; the plan carries no
+    CartesianProduct; pairs are canonical (a < b, once each)."""
+    from jane_spark.operators.geogrid import grid_pair_join
+
+    # cluster near a cell corner + isolated far points
+    pts = [(1, 0.99, 0.99), (2, 1.01, 1.01), (3, 1.01, 0.99),
+           (4, 0.5, 0.5), (5, 10.0, 10.0), (6, 10.4, 10.0),
+           (7, -89.9, -179.9), (8, -89.6, -179.6)]
+    df = spark.createDataFrame(pts, ["id", "lat", "lon"])
+    out = grid_pair_join(df, "id", "lat", "lon", 0.5)
+    got = {(r.a_id, r.b_id) for r in out.collect()}
+
+    import math
+
+    brute = {
+        (a[0], b[0])
+        for i, a in enumerate(pts)
+        for b in pts[i + 1:]
+        if (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 <= 0.25
+    }
+    assert got == brute, (got, brute)
+    assert (1, 2) in got and (5, 6) in got and (7, 8) in got
+    assert all(a < b for a, b in got)
+    # exactly-once: collect again with counts
+    rows = out.collect()
+    assert len(rows) == len({(r.a_id, r.b_id) for r in rows})
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:500]
+    assert "BroadcastNestedLoop" not in plan, plan[:500]
+
+
 def test_cohort_retention_two_cohorts(spark):
     """Two cohorts with known comebacks: per-cohort offsets, distinct
     user counts, and offset-0-normalized rates."""
