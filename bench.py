@@ -161,6 +161,7 @@ BENCH_QUERIES = {
     "phrase": "q_k30_phrase",
     "cohort": "q_d21_cohort",
     "gridjoin": "q_b13_gridjoin",
+    "asof_nearest": "q_c9_asof_nearest",
 }
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
@@ -266,6 +267,7 @@ CALIBRATION = {
     "phrase": 0.0664,
     "cohort": 0.0327,
     "gridjoin": 2.8190,
+    "asof_nearest": 0.0510,
 }
 
 

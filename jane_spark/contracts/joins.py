@@ -175,6 +175,65 @@ def q_c7(spark, sf_dir):
 
 
 @contract(
+    "q_c9_asof_nearest",
+    oracle="""
+        WITH p AS (SELECT event_id AS click_id, user_id,
+                          CAST(epoch_us(ts) AS BIGINT) AS pus
+                   FROM events WHERE event_type = 'click'),
+        r AS (SELECT event_id, user_id,
+                     CAST(epoch_us(ts) AS BIGINT) AS rus
+              FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT p.click_id, p.user_id,
+                     r.event_id AS purchase_id,
+                     r.rus - p.pus AS dt_us,
+                     row_number() OVER (PARTITION BY p.click_id
+                         ORDER BY abs(r.rus - p.pus) ASC,
+                                  CASE WHEN r.rus <= p.pus
+                                       THEN 0 ELSE 1 END ASC,
+                                  r.event_id DESC) AS rn
+              FROM p JOIN r ON r.user_id = p.user_id
+               AND abs(r.rus - p.pus) <= 7200000000)
+        SELECT click_id, user_id, purchase_id,
+               CAST(dt_us AS BIGINT) AS dt_us
+        FROM c WHERE rn = 1
+    """,
+    survey_rows="C7,C4",
+    doc="NEAREST-direction as-of join (operators.asof."
+    "asof_join_nearest — pandas merge_asof direction='nearest'; the "
+    "seismology pick-to-event matcher): each click attaches the "
+    "purchase minimizing |dt| within a 2 h tolerance, backward "
+    "preferred on exact ties, max event_id at equal reference ts. "
+    "Built as two sort-based as-of passes (forward = backward under "
+    "time reversal, negated epoch) + a row-local pick — one keyed "
+    "shuffle per pass, no pair explosion; the oracle runs the direct "
+    "tolerance join + rank, an independent algorithm",
+)
+def q_c9_asof_nearest(spark, sf_dir):
+    from jane_spark.operators.asof import asof_join_nearest
+
+    ev = Catalog(spark, sf_dir).events
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join_nearest(
+        clicks,
+        purchases,
+        key="user_id",
+        ts="ts",
+        ref_cols=["event_id"],
+        tolerance_us=7_200_000_000,
+        ref_tiebreak="event_id",
+    )
+    return out.where(F.col("event_id_ref").isNotNull()).select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("event_id_ref").alias("purchase_id"),
+        F.col("dt_us_ref").alias("dt_us"),
+    )
+
+
+@contract(
     "q_c8_cross",
     oracle="""
         SELECT r_name, o_orderstatus

@@ -80,3 +80,108 @@ def asof_join(
     for c in ref_cols:
         out = out.withColumn(f"{c}{suffix}", F.col("__ref").getField(c))
     return out.drop("__tag", "__ref")
+
+
+def asof_join_nearest(
+    probe: DataFrame,
+    reference: DataFrame,
+    key: str,
+    ts: str,
+    ref_cols: list[str],
+    tolerance_us: int | None = None,
+    ref_tiebreak: str | None = None,
+    suffix: str = "_ref",
+) -> DataFrame:
+    """Nearest-direction as-of join (pandas ``merge_asof
+    direction='nearest'``; the seismology pick-to-event matcher): each
+    probe row attaches the reference row minimizing |Δt| within
+    ``tolerance_us`` (unbounded when None), preferring the BACKWARD
+    candidate on exact |Δt| ties; at equal reference ts the
+    ``ref_tiebreak`` maximum wins (``asof_join``'s rule). Adds
+    ``dt_us{suffix}`` — signed reference-minus-probe microseconds.
+    Probe rows with no candidate in tolerance keep NULLs.
+
+    ONE sorted pass over the key-partitioned union: references are
+    first deduped to the max-tiebreak row per (key, ts) — the only row
+    either direction could ever pick — then the backward candidate is
+    ``last(ref) IGNORE NULLS`` over (unbounded, current) and the
+    forward candidate ``first(ref)`` over (current, unbounded), both
+    frames sharing one sort. A same-ts reference lands only in the
+    backward frame, which is harmless: its Δt is 0 and backward wins
+    all ties. No pair explosion, no second shuffle of the union (the
+    dedup window runs over the reference side alone).
+    """
+    from jane_spark.functions.time import ntz_epoch_us
+
+    p0 = probe.withColumn("__us", ntz_epoch_us(F.col(ts)).cast("long"))
+    r0 = reference.withColumn("__us", ntz_epoch_us(F.col(ts)).cast("long"))
+    if ref_tiebreak is not None:
+        if ref_tiebreak not in ref_cols:
+            raise ValueError("ref_tiebreak must be one of ref_cols")
+        tie_desc = [F.col(ref_tiebreak).desc()]
+    else:
+        tie_desc = [F.struct(*[F.col(c) for c in ref_cols]).desc()]
+    wded = Window.partitionBy(key, "__us").orderBy(*tie_desc)
+    r = (
+        r0.withColumn("__rn", F.row_number().over(wded))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    dtypes = dict(r.dtypes)
+    fields = ["__us"] + [c for c in ref_cols if c != "__us"]
+    struct_ddl = "struct<" + ",".join(f"{c}:{dtypes[c]}" for c in fields) + ">"
+    # ref tag 0 sorts before probe tag 1 at equal ts -> the backward
+    # frame (non-strict) sees same-ts references
+    p = p0.withColumn("__tag", F.lit(1)).withColumn(
+        "__ref", F.lit(None).cast(struct_ddl)
+    )
+    rr = r.select(
+        F.col(key),
+        F.col("__us"),
+        F.lit(0).alias("__tag"),
+        F.struct(*[F.col(c) for c in fields]).alias("__ref"),
+    )
+    unioned = p.unionByName(rr, allowMissingColumns=True)
+    order = [F.col("__us").asc(), F.col("__tag").asc()]
+    wb = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = (
+        unioned.withColumn(
+            "__b", F.last(F.col("__ref"), ignorenulls=True).over(wb)
+        )
+        .withColumn("__f", F.first(F.col("__ref"), ignorenulls=True).over(wf))
+        .filter(F.col("__tag") == 1)
+    )
+
+    dt_b = F.col("__us") - F.col("__b.__us")
+    dt_f = F.col("__f.__us") - F.col("__us")
+    if tolerance_us is not None:
+        ok_b = F.col("__b").isNotNull() & (dt_b <= tolerance_us)
+        ok_f = F.col("__f").isNotNull() & (dt_f <= tolerance_us)
+    else:
+        ok_b = F.col("__b").isNotNull()
+        ok_f = F.col("__f").isNotNull()
+    take_back = ok_b & (~ok_f | (dt_b <= dt_f))
+    take_fwd = ok_f & ~take_back
+
+    out = filled
+    for c in ref_cols:
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.when(take_back, F.col(f"__b.{c}"))
+            .when(take_fwd, F.col(f"__f.{c}")),
+        )
+    out = out.withColumn(
+        f"dt_us{suffix}",
+        F.when(take_back, -dt_b).when(take_fwd, dt_f),
+    )
+    return out.drop("__us", "__tag", "__ref", "__b", "__f")

@@ -2930,6 +2930,39 @@ def test_grouped_median_mad_robust_to_outlier(spark):
     assert (got["b"].n, got["b"].median_val, got["b"].mad_val) == (4, 10, 0)
 
 
+def test_asof_nearest_direction_and_tolerance(spark):
+    """Nearest wins over direction; exact |dt| ties prefer backward;
+    tolerance excludes; equal-ts reference ties take max tiebreak;
+    unmatched probes keep NULLs."""
+    from jane_spark.operators.asof import asof_join_nearest
+
+    us = 1_000_000
+    probe = spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 500), (4, 900)], ["pid", "sec"]
+    ).select("pid", F.timestamp_micros(F.col("sec") * us)
+             .cast("timestamp_ntz").alias("ts"), F.lit("k").alias("k"))
+    # refs: 90 (id 10), 103 (id 11), 197&197 (ids 12,13), 203 (id 14)
+    ref = spark.createDataFrame(
+        [(10, 90), (11, 103), (12, 197), (13, 197), (14, 203)],
+        ["rid", "sec"],
+    ).select("rid", F.timestamp_micros(F.col("sec") * us)
+             .cast("timestamp_ntz").alias("ts"), F.lit("k").alias("k"))
+    out = asof_join_nearest(
+        probe, ref, key="k", ts="ts", ref_cols=["rid"],
+        tolerance_us=60 * us, ref_tiebreak="rid",
+    )
+    got = {r.pid: (r.rid_ref, r.dt_us_ref) for r in out.collect()}
+    # probe 100: back 90 (dt -10) vs fwd 103 (dt +3) -> nearest fwd
+    assert got[1] == (11, 3 * us)
+    # probe 200: back 197 (dt -3, max rid 13) vs fwd 203 (dt +3) -> tie
+    # prefers backward; equal-ts refs 12/13 -> max rid 13
+    assert got[2] == (13, -3 * us)
+    # probe 500: nearest is 203 at dt 297 s > 60 s tolerance -> NULL
+    assert got[3] == (None, None)
+    # probe 900: nothing within tolerance either
+    assert got[4] == (None, None)
+
+
 def test_grid_pair_join_matches_bruteforce(spark):
     """Blocking never loses a pair: grid join == brute-force cross join
     on a fixture with boundary-straddling points; the plan carries no
