@@ -162,6 +162,7 @@ BENCH_QUERIES = {
     "cohort": "q_d21_cohort",
     "gridjoin": "q_b13_gridjoin",
     "asof_nearest": "q_c9_asof_nearest",
+    "embstats": "q_k31_embstats",
 }
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
@@ -266,8 +267,9 @@ CALIBRATION = {
     "decay": 0.0231,
     "phrase": 0.0664,
     "cohort": 0.0327,
-    "gridjoin": 2.8190,
+    "gridjoin": 2.0628,
     "asof_nearest": 0.0510,
+    "embstats": 0.0122,
 }
 
 

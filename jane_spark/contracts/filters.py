@@ -339,26 +339,31 @@ def q_b9w(spark, sf_dir):
     "q_b13_gridjoin",
     oracle="""
         WITH p AS (SELECT c_custkey AS id,
-                          CAST((c_custkey * 7919) % 4000 AS DOUBLE)
-                              / 100.0 - 20.0 AS lat,
-                          CAST((c_custkey * 104729) % 4000 AS DOUBLE)
-                              / 100.0 - 20.0 AS lon
+                          CAST(CAST(concat('0x', substr(md5('glat:' ||
+                              CAST(c_custkey AS VARCHAR)), 1, 8))
+                              AS BIGINT) % 2000 AS DOUBLE)
+                              / 100.0 - 10.0 AS lat,
+                          CAST(CAST(concat('0x', substr(md5('glon:' ||
+                              CAST(c_custkey AS VARCHAR)), 1, 8))
+                              AS BIGINT) % 2000 AS DOUBLE)
+                              / 100.0 - 10.0 AS lon
                    FROM customer)
         SELECT a.id AS a_id, b.id AS b_id,
                round((a.lat - b.lat) * (a.lat - b.lat)
                      + (a.lon - b.lon) * (a.lon - b.lon), 9) AS d2
         FROM p a JOIN p b
           ON a.id < b.id
-         AND abs(a.lat - b.lat) <= 0.5
-         AND abs(a.lon - b.lon) <= 0.5
+         AND abs(a.lat - b.lat) <= 0.3
+         AND abs(a.lon - b.lon) <= 0.3
         WHERE (a.lat - b.lat) * (a.lat - b.lat)
-              + (a.lon - b.lon) * (a.lon - b.lon) <= 0.25
+              + (a.lon - b.lon) * (a.lon - b.lon) <= 0.09
     """,
     survey_rows="B9,C4,K2",
     doc="grid-blocked proximity PAIR JOIN (operators.geogrid."
-    "grid_pair_join): all pairs within 0.5 degrees (euclidean "
-    "lat/lon over a dense 40x40-degree synthetic region — the global "
-    "b9 lattice has no close pairs), found by snapping points to "
+    "grid_pair_join): all pairs within 0.3 degrees (euclidean lat/lon "
+    "over a dense md5-scattered 20x20-degree region — the global b9 "
+    "MULTIPLICATIVE lattice maximizes point spacing and has zero "
+    "close pairs at small sf), found by snapping points to "
     "radius-sized cells, "
     "replicating the probe side into its 3x3 neighborhood, and "
     "equi-joining on the cell key — candidates scale with local "
@@ -372,13 +377,14 @@ def q_b13_gridjoin(spark, sf_dir):
     from jane_spark.operators.geogrid import grid_pair_join
 
     cust = Catalog(spark, sf_dir).customer
+    coord = (
+        "CAST(CAST(conv(substring(md5(concat('{salt}:', "
+        "CAST(c_custkey AS STRING))), 1, 8), 16, 10) AS BIGINT) "
+        "% 2000 AS DOUBLE) / 100.0 - 10.0"
+    )
     pts = cust.select(
         "c_custkey",
-        F.expr(
-            "CAST((c_custkey * 7919) % 4000 AS DOUBLE) / 100.0 - 20.0"
-        ).alias("lat"),
-        F.expr(
-            "CAST((c_custkey * 104729) % 4000 AS DOUBLE) / 100.0 - 20.0"
-        ).alias("lon"),
+        F.expr(coord.format(salt="glat")).alias("lat"),
+        F.expr(coord.format(salt="glon")).alias("lon"),
     )
-    return grid_pair_join(pts, "c_custkey", "lat", "lon", 0.5)
+    return grid_pair_join(pts, "c_custkey", "lat", "lon", 0.3)

@@ -350,6 +350,42 @@ def q_k5(spark, sf_dir):
 
 
 @contract(
+    "q_k31_embstats",
+    oracle="""
+        WITH x AS (SELECT label, i AS dim,
+                          CAST(round(CAST(embedding[i] AS DOUBLE)
+                                     * 1000000) AS BIGINT) AS q
+                   FROM embeddings, generate_series(1, 64) g(i)),
+        m AS (SELECT label, dim,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(q) AS BIGINT) AS sum_e6,
+                     CAST(sum(q * q) AS BIGINT) AS sumsq_e12
+              FROM x GROUP BY label, dim)
+        SELECT label, dim, n, sum_e6, sumsq_e12,
+               sum_e6 // n AS mean_e6,
+               sumsq_e12 // n - (sum_e6 // n) * (sum_e6 // n)
+                   AS var_e12
+        FROM m
+    """,
+    survey_rows="K16,D14,K3",
+    doc="embedding distribution monitor (operators.profile."
+    "embedding_moments): per (label, dimension) moments with "
+    "components quantized to 1e-6 units BEFORE aggregation — the sums "
+    "are plain BIGINTs, bit-reproducible under any partition merge "
+    "order where a float sum is not, and a mergeable monoid (shards "
+    "ship (n, sum, sumsq); drift vs yesterday is a subtraction). The "
+    "report every embedding pipeline fronts re-embedding/retraining "
+    "decisions with. One posexplode + one map-side-combined (label, "
+    "dim) groupBy; output |labels| x 64 rows at any corpus size",
+)
+def q_k31_embstats(spark, sf_dir):
+    from jane_spark.operators.profile import embedding_moments
+
+    emb = Catalog(spark, sf_dir).embeddings
+    return embedding_moments(emb, ["label"], "embedding", dim=64)
+
+
+@contract(
     "q_k30_phrase",
     oracle="""
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
@@ -357,14 +393,14 @@ def q_k5(spark, sf_dir):
         h AS (SELECT doc_id,
                      CAST(len(list_filter(
                          generate_series(1, len(w) - 2),
-                         i -> w[i] = 'slow' AND w[i+1] = 'hash'
-                              AND w[i+2] = 'batch')) AS BIGINT)
+                         i -> w[i] = 'big' AND w[i+1] = 'order'
+                              AND w[i+2] = 'scan')) AS BIGINT)
                          AS n_hits
               FROM t WHERE len(w) >= 3)
         SELECT doc_id, n_hits FROM h WHERE n_hits > 0
     """,
     survey_rows="K5,B4",
-    doc="exact PHRASE search ('slow hash batch') via positional "
+    doc="exact PHRASE search ('big order scan') via positional "
     "postings intersection (operators.retrieval.phrase_search): "
     "tokenize once with positions, then per phrase token an equi-join "
     "on (doc, pos - i), each side pre-filtered to one token — the "
@@ -379,7 +415,7 @@ def q_k30_phrase(spark, sf_dir):
     from jane_spark.operators.retrieval import phrase_search
 
     docs = Catalog(spark, sf_dir).documents
-    return phrase_search(docs, "doc_id", "text", "slow hash batch")
+    return phrase_search(docs, "doc_id", "text", "big order scan")
 
 
 @contract(

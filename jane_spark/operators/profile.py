@@ -168,3 +168,52 @@ def grouped_quantiles(
             for p in percents
         ],
     )
+
+
+def embedding_moments(
+    df: DataFrame, keys: list[str], vec_col: str, dim: int
+) -> DataFrame:
+    """Per-group per-dimension embedding distribution moments — the
+    drift monitor every embedding pipeline fronts retraining with:
+    ``(keys..., dim, n, sum_e6, sumsq_e12, mean_e6, var_e12)`` where
+    components are quantized to 1e-6 units BEFORE aggregation, so the
+    sums are plain BIGINTs — bit-reproducible under any partition
+    merge order (a float sum is not) and a mergeable monoid: shards
+    ship (n, sum, sumsq) triples, a coordinator adds them, and
+    yesterday-vs-today drift is a subtraction. mean/var derive by
+    integer division (floor semantics, documented); ``dim`` is
+    1-based.
+
+    One posexplode projection + one (keys, dim) map-side-combined
+    groupBy — output is |groups| x dim rows regardless of corpus size.
+    """
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    q = F.round(F.col("__x").cast("double") * 1_000_000, 0).cast("bigint")
+    exploded = df.select(
+        *[F.col(k) for k in keys],
+        F.posexplode(F.col(vec_col)).alias("__p", "__x"),
+    ).select(
+        *[F.col(k) for k in keys],
+        (F.col("__p") + 1).cast("bigint").alias("dim"),
+        q.alias("__q"),
+    )
+    return (
+        exploded.groupBy(*keys, "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__q").alias("sum_e6"),
+            F.sum(F.col("__q") * F.col("__q")).alias("sumsq_e12"),
+        )
+        .select(
+            *keys,
+            "dim",
+            "n",
+            "sum_e6",
+            "sumsq_e12",
+            F.expr("sum_e6 div n").alias("mean_e6"),
+            F.expr(
+                "sumsq_e12 div n - (sum_e6 div n) * (sum_e6 div n)"
+            ).alias("var_e12"),
+        )
+    )

@@ -2930,6 +2930,34 @@ def test_grouped_median_mad_robust_to_outlier(spark):
     assert (got["b"].n, got["b"].median_val, got["b"].mad_val) == (4, 10, 0)
 
 
+def test_embedding_moments_exact_and_mergeable(spark):
+    """Known vectors give exact quantized moments; shard moments add
+    up to whole-corpus moments (the monoid law a float sum breaks)."""
+    from jane_spark.operators.profile import embedding_moments
+
+    rows = [("a", [0.5, -1.0]), ("a", [1.5, 3.0]), ("b", [0.25, 0.0])]
+    df = spark.createDataFrame(rows, ["label", "embedding"])
+    got = {(r.label, r.dim): r for r in
+           embedding_moments(df, ["label"], "embedding", 2).collect()}
+    a1 = got[("a", 1)]
+    assert (a1.n, a1.sum_e6, a1.sumsq_e12) == (
+        2, 2_000_000, 500_000**2 + 1_500_000**2)
+    assert a1.mean_e6 == 1_000_000
+    assert got[("b", 2)].sum_e6 == 0 and got[("b", 2)].var_e12 == 0
+
+    whole = {(r.label, r.dim): (r.n, r.sum_e6, r.sumsq_e12) for r in
+             embedding_moments(df, ["label"], "embedding", 2).collect()}
+    h1 = embedding_moments(df.limit(2), ["label"], "embedding", 2).collect()
+    h2 = embedding_moments(
+        df.subtract(df.limit(2)), ["label"], "embedding", 2).collect()
+    merged = {}
+    for r in list(h1) + list(h2):
+        k = (r.label, r.dim)
+        n, s, q = merged.get(k, (0, 0, 0))
+        merged[k] = (n + r.n, s + r.sum_e6, q + r.sumsq_e12)
+    assert merged == whole
+
+
 def test_asof_nearest_direction_and_tolerance(spark):
     """Nearest wins over direction; exact |dt| ties prefer backward;
     tolerance excludes; equal-ts reference ties take max tiebreak;
