@@ -163,6 +163,7 @@ BENCH_QUERIES = {
     "gridjoin": "q_b13_gridjoin",
     "asof_nearest": "q_c9_asof_nearest",
     "embstats": "q_k31_embstats",
+    "stalta": "q_e10_stalta",
 }
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
@@ -270,6 +271,7 @@ CALIBRATION = {
     "gridjoin": 2.0628,
     "asof_nearest": 0.0510,
     "embstats": 0.0122,
+    "stalta": 0.0470,
 }
 
 

@@ -254,6 +254,61 @@ def q_e8_m4(spark, sf_dir):
 
 
 @contract(
+    "q_e10_stalta",
+    oracle="""
+        WITH base AS (SELECT event_type,
+                             CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                             event_id AS id,
+                             CAST(round(value * 100) AS BIGINT) AS c
+                      FROM events),
+        w AS (SELECT event_type, ts_us, id,
+                     sum(c) OVER (PARTITION BY event_type
+                                  ORDER BY ts_us, id
+                                  ROWS BETWEEN 4 PRECEDING
+                                           AND CURRENT ROW) AS sta,
+                     sum(c) OVER (PARTITION BY event_type
+                                  ORDER BY ts_us, id
+                                  ROWS BETWEEN 49 PRECEDING
+                                           AND CURRENT ROW) AS lta,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY ts_us, id) AS rn
+              FROM base),
+        r AS (SELECT event_type, id, ts_us,
+                     CAST((sta * 50 * 10000) // (lta * 5) AS BIGINT)
+                         AS ratio_e4
+              FROM w WHERE rn >= 50 AND lta > 0)
+        SELECT event_type, id, ts_us, ratio_e4
+        FROM r WHERE ratio_e4 > 15000
+    """,
+    survey_rows="E5,E2,I4",
+    doc="STA/LTA trigger detection (Allen 1978; ObsPy's "
+    "classic_sta_lta — operators.rolling.sta_lta_triggers): per "
+    "event_type, rows where the 5-sample short-term mean exceeds 1.5x "
+    "the 50-sample long-term mean — the standard seismic onset "
+    "detector and the metrics-pipeline spike alarm. The ratio is "
+    "integer 1e-4 fixed point ((sta*lta_n*10000) div (lta*sta_n)); "
+    "warm-up rows before one full LTA window are suppressed, matching "
+    "reference implementations. One keyed shuffle; both trailing sums "
+    "share a single sorted window pass with sliding-frame (linear) "
+    "evaluation",
+)
+def q_e10_stalta(spark, sf_dir):
+    from jane_spark.operators.rolling import sta_lta_triggers
+
+    ev = Catalog(spark, sf_dir).events
+    return sta_lta_triggers(
+        ev,
+        "ts",
+        "event_id",
+        ["event_type"],
+        F.round(F.col("value") * 100, 0),
+        sta_n=5,
+        lta_n=50,
+        threshold_e4=15000,
+    )
+
+
+@contract(
     "q_e9_lttb",
     oracle="""
         WITH base AS (SELECT event_type,

@@ -429,3 +429,70 @@ def cohort_retention(
             F.expr("(n_users * 10000) div __s0").alias("pct_e4"),
         )
     )
+
+
+def sta_lta_triggers(
+    df: DataFrame,
+    ts_col: str,
+    id_col: str,
+    keys: list[str],
+    cents: Column,
+    sta_n: int,
+    lta_n: int,
+    threshold_e4: int,
+) -> DataFrame:
+    """Classic STA/LTA trigger detection (Allen 1978; the ObsPy
+    ``classic_sta_lta`` staple): per series key, the ratio of the
+    short-term to the long-term trailing mean of an amplitude measure,
+    flagged where it exceeds a threshold — the standard seismic
+    event-onset detector, and the same spike detector a metrics
+    pipeline runs on request rates. Emits only triggered rows:
+    ``(keys..., id, ts_us, ratio_e4)``.
+
+    Integer-exact: with integer-cent amplitudes the ratio is
+    ``(sta_sum * lta_n * 10000) div (lta_sum * sta_n)`` — 1e-4 fixed
+    point, no float division for engines to disagree over. Rows
+    earlier than one full LTA window are suppressed (the warm-up
+    region, matching the reference implementations).
+
+    ONE shuffle on the key; both trailing sums share the single sorted
+    window pass (same partition/order, ROWS frames of different
+    lengths). 100 TB note: the frame scan is linear per key (sliding
+    sums), and a per-channel day of samples is window-sized state.
+    """
+    if not (0 < sta_n < lta_n):
+        raise ValueError("need 0 < sta_n < lta_n")
+    e = ntz_epoch_us(F.col(ts_col))
+    base = df.select(
+        *[F.col(k) for k in keys],
+        e.cast("long").alias("ts_us"),
+        F.col(id_col).cast("long").alias("id"),
+        cents.cast("bigint").alias("__c"),
+    )
+    order = [F.col("ts_us").asc(), F.col("id").asc()]
+    wsta = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(-(sta_n - 1), 0)
+    )
+    wlta = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(-(lta_n - 1), 0)
+    )
+    # warm-up guard via count over the SAME frame as the LTA sum — one
+    # frame processor instead of an extra growing row_number frame
+    scored = (
+        base.withColumn("__sta", F.sum("__c").over(wsta))
+        .withColumn("__lta", F.sum("__c").over(wlta))
+        .withColumn("__nl", F.count(F.lit(1)).over(wlta))
+        .where(F.col("__nl") == lta_n)
+        .where(F.col("__lta") > 0)
+        .withColumn(
+            "ratio_e4",
+            F.expr(f"(__sta * {lta_n} * 10000) div (__lta * {sta_n})"),
+        )
+    )
+    return scored.where(F.col("ratio_e4") > threshold_e4).select(
+        *keys, "id", "ts_us", "ratio_e4"
+    )

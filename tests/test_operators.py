@@ -2930,6 +2930,42 @@ def test_grouped_median_mad_robust_to_outlier(spark):
     assert (got["b"].n, got["b"].median_val, got["b"].mad_val) == (4, 10, 0)
 
 
+def test_sta_lta_detects_onset_and_suppresses_warmup(spark):
+    """Flat background never triggers; a step onset triggers exactly
+    when the short window fills with the high amplitude; rows before
+    one full LTA window are suppressed even if loud."""
+    from jane_spark.operators.rolling import sta_lta_triggers
+
+    us = 1_000_000
+    # 100 samples at amplitude 10, then 20 samples at 100 (the event)
+    rows = [("k", i, 10 if i < 100 else 100) for i in range(120)]
+    df = spark.createDataFrame(rows, ["k", "i", "c"]).select(
+        "k",
+        F.timestamp_micros(F.lit(1_700_000_000_000_000) + F.col("i") * us)
+        .cast("timestamp_ntz").alias("ts"),
+        F.col("i").alias("event_id"),
+        "c",
+    )
+    out = sta_lta_triggers(
+        df, "ts", "event_id", ["k"], F.col("c"),
+        sta_n=5, lta_n=50, threshold_e4=20000,
+    ).collect()
+    trig_ids = sorted(r.id for r in out)
+    # background: sta/lta = 1.0 -> silent. Onset at i=100: sta fills
+    # with 100s by i=104 while lta still mostly 10s -> ratio >> 2.
+    assert trig_ids and min(trig_ids) >= 100
+    assert 104 in trig_ids
+    # all triggers occur during the event
+    assert all(100 <= i < 120 for i in trig_ids)
+
+    # warm-up: a series SHORTER than lta_n never triggers at all
+    short = df.where(F.col("event_id") < 40)
+    assert sta_lta_triggers(
+        short, "ts", "event_id", ["k"], F.col("c"),
+        sta_n=5, lta_n=50, threshold_e4=0,
+    ).count() == 0
+
+
 def test_embedding_moments_exact_and_mergeable(spark):
     """Known vectors give exact quantized moments; shard moments add
     up to whole-corpus moments (the monoid law a float sum breaks)."""
