@@ -164,6 +164,8 @@ BENCH_QUERIES = {
     "asof_nearest": "q_c9_asof_nearest",
     "embstats": "q_k31_embstats",
     "stalta": "q_e10_stalta",
+    "temporal_dedup": "q_k15_temporal",
+    "vocab_growth": "q_k32_vocab",
 }
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
@@ -272,6 +274,8 @@ CALIBRATION = {
     "asof_nearest": 0.0510,
     "embstats": 0.0122,
     "stalta": 0.0470,
+    "temporal_dedup": 0.0973,
+    "vocab_growth": 0.0611,
 }
 
 

@@ -350,6 +350,43 @@ def q_k5(spark, sf_dir):
 
 
 @contract(
+    "q_k32_vocab",
+    oracle="""
+        WITH t AS (SELECT doc_id // 50 AS b,
+                          string_split(text, ' ') AS w
+                   FROM documents),
+        toks AS (SELECT b,
+                     unnest(list_transform(
+                         generate_series(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1])) AS tok
+                 FROM t WHERE len(w) >= 2),
+        fs AS (SELECT tok, min(b) AS batch FROM toks GROUP BY tok),
+        pb AS (SELECT batch, CAST(count(*) AS BIGINT) AS n_new
+               FROM fs GROUP BY batch)
+        SELECT CAST(batch AS BIGINT) AS batch, n_new,
+               CAST(sum(n_new) OVER (ORDER BY batch) AS BIGINT)
+                   AS vocab_cum
+        FROM pb
+    """,
+    survey_rows="K4,K6,D3",
+    doc="vocabulary growth curve over ingestion order (functions.text."
+    "vocab_growth, 50-doc batches, word BIGRAM types — the synthetic "
+    "corpus's 31-token unigram vocab saturates in batch 0): per batch "
+    "the NEVER-seen-before type count and cumulative vocabulary — the Heaps'-law corpus "
+    "freshness signal (a flattening curve = crawl saturation/"
+    "duplication; a jump = domain shift to inspect before training). "
+    "One token-keyed min-batch aggregate (map-side combinable), one "
+    "tiny per-batch count, cumulative window over the batch table "
+    "only",
+)
+def q_k32_vocab(spark, sf_dir):
+    from jane_spark.functions.text import vocab_growth
+
+    docs = Catalog(spark, sf_dir).documents
+    return vocab_growth(docs, "doc_id", "text", batch_width=50, ngram=2)
+
+
+@contract(
     "q_k31_embstats",
     oracle="""
         WITH x AS (SELECT label, i AS dim,
@@ -1733,6 +1770,59 @@ def q_k15(spark, sf_dir):
     survivors = new.join(old, on="fp", how="left_anti")
     kept = argmax(survivors, ["fp"], [F.col("doc_id").asc()])
     return kept.select("doc_id", "fp")
+
+
+@contract(
+    "q_k15_temporal",
+    oracle="""
+        WITH b AS (SELECT event_id, user_id, event_type,
+                          CAST(epoch_us(ts) AS BIGINT) AS us
+                   FROM events),
+        g AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                              OR us - lag(us) OVER w > 600000000
+                             THEN 1 ELSE 0 END AS nb
+              FROM b
+              WINDOW w AS (PARTITION BY user_id, event_type
+                           ORDER BY us, event_id)),
+        br AS (SELECT *, sum(nb) OVER (PARTITION BY user_id, event_type
+                                       ORDER BY us, event_id) AS burst
+               FROM g),
+        s AS (SELECT *, first_value(us) OVER (
+                  PARTITION BY user_id, event_type, burst
+                  ORDER BY us, event_id) AS b0
+              FROM br),
+        sl AS (SELECT event_id, user_id, event_type, us, burst,
+                      (us - b0) // 600000000 AS slot
+               FROM s),
+        rn AS (SELECT *, row_number() OVER (
+                   PARTITION BY user_id, event_type, burst, slot
+                   ORDER BY us, event_id) AS rnum
+               FROM sl)
+        SELECT event_id, user_id, event_type FROM rn WHERE rnum = 1
+    """,
+    survey_rows="K15,K1,E4",
+    doc="TEMPORAL dedup (operators.dedup.temporal_dedup): suppress "
+    "repeats of (user, event_type) within a trailing 10-minute "
+    "window — the retry/bounce/double-click deduper. Rows group into "
+    "gap-separated bursts (the sessionize trick), one survivor per "
+    "window-wide slot from the burst start, so a steady sub-window "
+    "drizzle collapses to one row per window; equivalent to the "
+    "sequential anchor-on-last-survivor rule when intra-burst gaps "
+    "stay below the window, and unlike it, oracle-expressible. ONE "
+    "keyed shuffle + bounded window passes",
+)
+def q_k15_temporal(spark, sf_dir):
+    from jane_spark.operators.dedup import temporal_dedup
+
+    ev = Catalog(spark, sf_dir).events
+    out = temporal_dedup(
+        ev,
+        ["user_id", "event_type"],
+        "ts",
+        "event_id",
+        window_us=600_000_000,
+    )
+    return out.select("event_id", "user_id", "event_type")
 
 
 @contract(

@@ -719,3 +719,51 @@ def chunk_tokens(
             "array<struct<chunk_idx:int,chunk:string,n_tokens:int>>"
         )
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    batch_width: int,
+    ngram: int = 1,
+) -> DataFrame:
+    """Vocabulary growth curve over ingestion order — the Heaps'-law
+    corpus freshness signal: per ``batch_width``-document ingest
+    batch, how many NEVER-SEEN-BEFORE tokens appear and the cumulative
+    vocabulary size (``ngram`` > 1 tracks n-gram-type growth — the
+    signal that keeps moving after a small unigram vocab saturates).
+    A growth curve that flattens says new data is
+    recombining old vocabulary (crawl saturation / duplication); a
+    jump flags a domain shift worth inspecting before training.
+    ``(batch, n_new, vocab_cum)``.
+
+    One (token)-keyed min-batch aggregate (map-side combinable — the
+    corpus never shuffles more than (token, batch) pairs), one tiny
+    per-batch count, and a cumulative window over the batch table
+    (rows = corpus/batch_width, never token- or row-scale).
+    """
+    from pyspark.sql import Window
+
+    if batch_width < 1:
+        raise ValueError("batch_width must be >= 1")
+    unit = (
+        F.split(F.col(text_col), TOKEN_SPLIT)
+        if ngram == 1
+        else shingles(F.col(text_col), ngram)
+    )
+    toks = df.select(
+        F.expr(f"CAST({id_col} AS BIGINT) div {batch_width}").alias("__b"),
+        F.explode(unit).alias("tok"),
+    )
+    first_seen = toks.groupBy("tok").agg(F.min("__b").alias("batch"))
+    per_batch = first_seen.groupBy("batch").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = (
+        Window.orderBy("batch")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per_batch.select(
+        "batch", "n_new", F.sum("n_new").over(w).alias("vocab_cum")
+    )

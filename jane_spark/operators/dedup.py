@@ -728,3 +728,63 @@ def containment_pairs(
             "containment_e4"
         ),
     )
+
+
+def temporal_dedup(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    id_col: str,
+    window_us: int,
+) -> DataFrame:
+    """Suppress repeats within a trailing time window per key — the
+    retry/bounce/double-click deduper. Rows group into gap-separated
+    BURSTS (a new burst starts when the gap from the previous row
+    exceeds the window — the sessionize trick); within a burst one row
+    survives per ``window_us``-wide slot measured from the burst's
+    first row, so a steady sub-window drizzle collapses to one row per
+    window instead of surviving whole or vanishing after its first
+    row. Equivalent to the sequential anchor-on-last-survivor rule
+    whenever intra-burst gaps stay below the window (the drizzle case
+    this operator exists for) — and unlike that sequential rule it is
+    oracle-expressible and evaluated in parallel window passes.
+
+    Deterministic: ordering (ts, id), slot ties keep the smallest id.
+    ONE shuffle on the key; the burst id is a cumulative sum over gap
+    flags, slot selection one more bounded window pass.
+    """
+    from pyspark.sql import Window
+
+    from jane_spark.functions.time import ntz_epoch_us
+
+    if window_us < 1:
+        raise ValueError("window_us must be >= 1")
+    base = df.withColumn("__us", ntz_epoch_us(F.col(ts_col)).cast("long"))
+    order = [F.col("__us").asc(), F.col(id_col).asc()]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    # ONE partitioning serves everything: the burst flag via lag, the
+    # burst START carried forward by an ignore-nulls last over the
+    # cumulative frame (no (keys, burst)-partitioned second exchange),
+    # the slot by integer division, and the survivor test by comparing
+    # each row's slot to the previous row's (a slot can only repeat
+    # within a burst, and a new burst always survives)
+    flagged = base.withColumn(
+        "__nb",
+        F.coalesce(
+            F.col("__us") - F.lag("__us").over(w) > window_us, F.lit(True)
+        ),
+    )
+    slotted = flagged.withColumn(
+        "__b0",
+        F.last(F.when(F.col("__nb"), F.col("__us")), ignorenulls=True).over(
+            wcum
+        ),
+    ).withColumn("__slot", F.expr(f"(__us - __b0) div {window_us}"))
+    survived = slotted.withColumn(
+        "__keep",
+        F.col("__nb") | (F.col("__slot") != F.lag("__slot").over(w)),
+    )
+    return survived.where(F.col("__keep")).drop(
+        "__us", "__nb", "__b0", "__slot", "__keep"
+    )

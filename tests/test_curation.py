@@ -560,6 +560,32 @@ def test_mixture_sample_budget_and_determinism(spark):
     assert {r["id"] for r in kept3} != {r["id"] for r in kept}
 
 
+def test_vocab_growth_first_seen_accounting(spark):
+    """New-type counts attribute each type to its FIRST batch; the
+    cumulative column telescopes; batches introducing nothing new emit
+    no row (sparse curve); ngram=2 counts bigram types."""
+    from jane_spark.functions.text import vocab_growth
+
+    rows = [
+        (0, "a b c"),        # batch 0: types a,b,c
+        (1, "a b"),          # batch 0 still
+        (2, "c d"),          # batch 1: +d
+        (3, "a b c d"),      # batch 1: nothing new
+        (4, "a d"),          # batch 2: nothing new -> no row
+        (6, "e"),            # batch 3: +e
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.batch: (r.n_new, r.vocab_cum) for r in
+           vocab_growth(df, "doc_id", "text", batch_width=2).collect()}
+    assert got == {0: (3, 3), 1: (1, 4), 3: (1, 5)}, got
+
+    bi = {r.batch: r.n_new for r in
+          vocab_growth(df, "doc_id", "text", 2, ngram=2).collect()}
+    # batch 0 bigrams: {a b, b c}; batch 1 adds {c d, b c->seen, a b
+    # ->seen}: 'c d' new; batch 2 'a d' new; batch 3: 'e' too short
+    assert bi == {0: 2, 1: 1, 2: 1}, bi
+
+
 def test_pmi_collocations_ranking(spark):
     """A pair that ONLY co-occurs ('new york') scores far above a pair
     of independent frequent tokens; min_count prunes rare pairs; the

@@ -2930,6 +2930,36 @@ def test_grouped_median_mad_robust_to_outlier(spark):
     assert (got["b"].n, got["b"].median_val, got["b"].mad_val) == (4, 10, 0)
 
 
+def test_temporal_dedup_drizzle_and_bursts(spark):
+    """A steady sub-window drizzle collapses to one survivor per
+    window; isolated rows all survive; a gap exactly equal to the
+    window stays in the same burst (strictly-greater starts a new
+    one); ties keep the smallest id."""
+    from jane_spark.operators.dedup import temporal_dedup
+
+    w = 10_000_000  # 10 s
+    t0 = 1_700_000_000_000_000
+    rows = []
+    # drizzle every 0.6w for 5 rows (ids 0-4): survivors at slots 0,1,2
+    rows += [(i, "k", t0 + int(i * 0.6 * w)) for i in range(5)]
+    # isolated rows far apart (ids 10, 11)
+    rows += [(10, "k", t0 + 100 * w), (11, "k", t0 + 200 * w)]
+    # exact-window gap: id 20 then id 21 at +w exactly -> same burst,
+    # slot (w div w)=1 -> BOTH survive (slot change), id 22 at +w+1
+    # -> slot 1 too -> suppressed
+    rows += [(20, "k", t0 + 300 * w), (21, "k", t0 + 301 * w),
+             (22, "k", t0 + 301 * w + 1)]
+    # tie at identical ts: ids 30 < 31 -> 30 survives
+    rows += [(30, "k", t0 + 400 * w), (31, "k", t0 + 400 * w)]
+    df = spark.createDataFrame(rows, ["event_id", "k", "us"]).select(
+        "event_id", "k",
+        F.timestamp_micros(F.col("us")).cast("timestamp_ntz").alias("ts"),
+    )
+    out = temporal_dedup(df, ["k"], "ts", "event_id", window_us=w)
+    got = sorted(r.event_id for r in out.collect())
+    assert got == [0, 2, 4, 10, 11, 20, 21, 30], got
+
+
 def test_sta_lta_detects_onset_and_suppresses_warmup(spark):
     """Flat background never triggers; a step onset triggers exactly
     when the short window fills with the high amplitude; rows before
