@@ -166,6 +166,8 @@ BENCH_QUERIES = {
     "stalta": "q_e10_stalta",
     "temporal_dedup": "q_k15_temporal",
     "vocab_growth": "q_k32_vocab",
+    "score_calib": "q_t34_score_calib",
+    "splits": "q_p17_splits",
 }
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
@@ -276,6 +278,8 @@ CALIBRATION = {
     "stalta": 0.0470,
     "temporal_dedup": 0.0973,
     "vocab_growth": 0.0611,
+    "score_calib": 0.0092,
+    "splits": 0.0448,
 }
 
 

@@ -60,13 +60,14 @@ VERIFY_FIRST: list[str] = [
     #       (q_k24_jl);
     #   (d) the first 12 of the 39-name r5 block in registration order
     #       (q_d2_extent .. q_d12_unpivot).
-    # Into r10 FIRST: the 19 late-r9 contracts registered AFTER this
+    # Into r10 FIRST: the 21 late-r9 contracts registered AFTER this
     # window was frozen, never driver-verified (q_d3_kmv_ops, q_e8_m4,
     # q_p16_sys_sample, q_k28_triangles, q_k29_pmi, q_d17_profile,
     # q_e9_lttb, q_d18_mad, q_d19_quantiles, q_d20_decay,
     # q_k30_phrase, q_d21_cohort, q_i10_stream_rollup,
     # q_b13_gridjoin, q_c9_asof_nearest, q_k31_embstats,
-    # q_e10_stalta, q_k15_temporal, q_k32_vocab — each
+    # q_e10_stalta, q_k15_temporal, q_k32_vocab, q_t34_score_calib,
+    # q_p17_splits — each
     # parity-proven in a driver-style session at sf0.01), then
     # the 2 whose code changed after their last driver check:
     # q_k24_two_stage (stage-2 norms hoisted out of the per-pair

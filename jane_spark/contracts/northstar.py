@@ -1603,6 +1603,76 @@ JOIN ent ON base.doc_id = ent.doc_id
 
 
 @contract(
+    "q_t34_score_calib",
+    oracle="""
+        WITH s AS (SELECT doc_id, source, n_chars AS score
+                   FROM documents),
+        r AS (SELECT *, row_number() OVER (PARTITION BY source
+                                           ORDER BY score, doc_id) AS rk,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM s)
+        SELECT doc_id, source,
+               CAST(CASE WHEN n > 1
+                         THEN ((rk - 1) * 10000) // (n - 1)
+                         ELSE 0 END AS BIGINT) AS pctl_e4
+        FROM r
+    """,
+    survey_rows="T18,T9,F5",
+    doc="cross-source score CALIBRATION (operators.profile."
+    "percentile_calibrate): each doc's raw quality score becomes its "
+    "integer percentile rank WITHIN its source — scores from "
+    "different sources/classifiers live on incomparable scales, and "
+    "'keep the top 30% of each source' only means one thing after "
+    "per-source percentile normalization (the CCNet-bucket idea "
+    "generalized to any score). Ties break by doc_id so a threshold "
+    "cuts a precise fraction. ONE group-keyed shuffle; rank + count "
+    "share the sorted pass",
+)
+def q_t34_score_calib(spark, sf_dir):
+    from jane_spark.operators.profile import percentile_calibrate
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", "source", F.col("n_chars").alias("score")
+    )
+    out = percentile_calibrate(docs, ["source"], "score", "doc_id")
+    return out.select("doc_id", "source", "pctl_e4")
+
+
+@contract(
+    "q_p17_splits",
+    oracle="""
+        WITH v AS (SELECT CAST(round(value * 100) AS BIGINT) AS v
+                   FROM events),
+        r AS (SELECT v, row_number() OVER (ORDER BY v) AS rk,
+                     count(*) OVER () AS n
+              FROM v),
+        g AS (SELECT unnest(generate_series(1, 7)) AS i)
+        SELECT CAST(i AS BIGINT) AS split_idx,
+               min(CASE WHEN rk >= (i * n + 7) // 8 THEN v END)
+                   AS boundary
+        FROM r, g GROUP BY i
+    """,
+    survey_rows="P1,D10,F5",
+    doc="deterministic EQUI-DEPTH split points (operators.profile."
+    "equi_depth_splits): the 7 interior boundaries dividing the cents "
+    "distribution into 8 equal-count ranges — what repartitionByRange "
+    "ESTIMATES by sampling, computed exactly and reproducibly (plan a "
+    "stable layout once; sampled boundaries change run-to-run and "
+    "break file-level diffing). Weighted-quantile machinery: one "
+    "(value) groupBy, cumulative window over the distinct-value "
+    "table, one conditional-min per split; the oracle ranks raw rows "
+    "— an independent formulation of the same rank-k values",
+)
+def q_p17_splits(spark, sf_dir):
+    from jane_spark.operators.profile import equi_depth_splits
+
+    ev = Catalog(spark, sf_dir).events.select(
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents")
+    )
+    return equi_depth_splits(ev, "cents", n_splits=7)
+
+
+@contract(
     "q_t9_scorecard",
     oracle=_SCORECARD_ORACLE,
     survey_rows="K6,K9,K11",

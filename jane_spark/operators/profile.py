@@ -217,3 +217,90 @@ def embedding_moments(
             ).alias("var_e12"),
         )
     )
+
+
+def percentile_calibrate(
+    df: DataFrame, keys: list[str], score: str, id_col: str
+) -> DataFrame:
+    """Cross-group score calibration: replace each row's raw score with
+    its integer percentile rank WITHIN its group —
+    ``pctl_e4 = ((rank - 1) * 10000) div (n - 1)`` (0 for singleton
+    groups). The mixing prerequisite: quality scores from different
+    sources/classifiers live on incomparable scales, and "keep the top
+    30% of each source" only means one thing after per-source
+    percentile normalization (the CCNet-bucket idea generalized to any
+    score). Rank ties break by ``id_col``, so equal scores get
+    adjacent (deterministic) percentiles rather than equal ones —
+    exactly what a downstream threshold needs to cut a precise
+    fraction.
+
+    ONE shuffle on the group key; rank + count share the sorted pass.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(score).asc(), F.col(id_col).asc()
+    )
+    wn = Window.partitionBy(*keys)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+        .withColumn(
+            "pctl_e4",
+            F.when(F.col("__n") > 1,
+                   F.expr("((__rk - 1) * 10000) div (__n - 1)"))
+            .otherwise(F.lit(0))
+            .cast("bigint"),
+        )
+        .drop("__rk", "__n")
+    )
+
+
+def equi_depth_splits(
+    df: DataFrame, value: str, n_splits: int
+) -> DataFrame:
+    """Deterministic equi-depth split points for range partitioning:
+    the ``n_splits`` interior boundaries that divide the value
+    distribution into ``n_splits + 1`` equal-count ranges — what
+    ``repartitionByRange`` ESTIMATES by sampling, computed exactly and
+    reproducibly (plan a stable layout once, reuse it across runs;
+    sampled boundaries change layout run-to-run and break file-level
+    diffing). ``(split_idx, boundary)`` with boundary = the discrete
+    quantile at rank ceil(i*n/(n_splits+1)).
+
+    Same weighted machinery as ``grouped_quantiles``: one (value)
+    groupBy, cumulative window over the distinct-value table, one
+    conditional-min readout per split.
+    """
+    from pyspark.sql import Window
+
+    if n_splits < 1:
+        raise ValueError("n_splits must be >= 1")
+    counts = (
+        df.select(F.col(value).alias("__v"))
+        .groupBy("__v")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    wv = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.withColumn("__cum", F.sum("__cnt").over(wv)).withColumn(
+        "__n", F.sum("__cnt").over(Window.partitionBy())
+    )
+    parts = n_splits + 1
+    agg = cum.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("__cum")
+                    >= F.expr(f"({i} * __n + {parts} - 1) div {parts}"),
+                    F.col("__v"),
+                )
+            ).alias(f"__s{i}")
+            for i in range(1, parts)
+        ]
+    )
+    stack = ", ".join(f"{i}, __s{i}" for i in range(1, parts))
+    return agg.select(
+        F.expr(
+            f"stack({n_splits}, {stack}) AS (split_idx, boundary)"
+        )
+    ).select(F.col("split_idx").cast("bigint").alias("split_idx"), "boundary")

@@ -2930,6 +2930,46 @@ def test_grouped_median_mad_robust_to_outlier(spark):
     assert (got["b"].n, got["b"].median_val, got["b"].mad_val) == (4, 10, 0)
 
 
+def test_percentile_calibrate_threshold_cuts_exact_fraction(spark):
+    """pctl_e4 spans 0..10000 per group; a >=7000 cut keeps exactly
+    the top 30% of EACH group regardless of raw scales; ties split
+    deterministically by id; singleton groups get 0."""
+    from jane_spark.operators.profile import percentile_calibrate
+
+    rows = [("a", i, float(i)) for i in range(10)]          # scale 0-9
+    rows += [("b", 100 + i, 1e6 + i * 1e5) for i in range(10)]  # huge scale
+    rows += [("c", 200, 5.0)]                                # singleton
+    df = spark.createDataFrame(rows, ["source", "doc_id", "score"])
+    got = {r.doc_id: r.pctl_e4 for r in
+           percentile_calibrate(df, ["source"], "score", "doc_id").collect()}
+    for g, base in (("a", 0), ("b", 100)):
+        vals = [got[base + i] for i in range(10)]
+        assert vals == [i * 10000 // 9 for i in range(10)], (g, vals)
+    assert got[200] == 0
+    kept = [d for d, p in got.items() if p >= 7000]
+    # top 30% of each 10-doc group = 3 docs each; singleton excluded
+    assert len(kept) == 6 and {d // 100 for d in kept} == {0, 1}
+
+
+def test_equi_depth_splits_balance(spark):
+    """Boundaries divide the distribution into near-equal-count ranges
+    and are reproducible values FROM the data (1..800 with 8 splits ->
+    exact multiples of 100... of 89 for 7 splits of 1..800? compute)."""
+    from jane_spark.operators.profile import equi_depth_splits
+
+    df = spark.range(1, 801).select(F.col("id").alias("v"))
+    got = {r.split_idx: r.boundary for r in
+           equi_depth_splits(df, "v", n_splits=7).collect()}
+    assert got == {i: i * 100 for i in range(1, 8)}, got
+    # heavy duplication: value 5 dominates -> several boundaries land on 5
+    dup = spark.createDataFrame(
+        [(5,)] * 90 + [(1,), (2,), (3,)], ["v"]
+    )
+    got2 = {r.split_idx: r.boundary for r in
+            equi_depth_splits(dup, "v", n_splits=2).collect()}
+    assert got2 == {1: 5, 2: 5}, got2
+
+
 def test_temporal_dedup_drizzle_and_bursts(spark):
     """A steady sub-window drizzle collapses to one survivor per
     window; isolated rows all survive; a gap exactly equal to the
