@@ -29,116 +29,80 @@ from jane_spark.contracts import rest  # noqa: F401  (§2.12 R REST front door, 
 
 VERIFY_FIRST: list[str] = [
     # =================================================================
-    # ROUND 9 ROTATION (VERDICT r8 next-steps #1 + staleness audit).
-    # Window contents, in priority order:
-    #   (a) the 21-name r4 remainder — the oldest evidence in the repo
-    #       (5 rounds) and the block r8's VERDICT ordered FIRST;
-    #       shared helpers (vector ranking, URL parse, codegen
-    #       materialization) changed under several of them since r4;
-    #   (b) 2 whose code changed in r9: q_k23_pq_codes (pq_encode now
-    #       delegates to pq_fit, which also returns the codebooks) and
-    #       q_k26_unigram_train (the seed stage truncates cluster-side
-    #       now — the r8 weak mark);
-    #   (c) 5 NEW r9 contracts, never driver-verified: q_k23_pq_adc
-    #       (asymmetric-distance search), q_k23_ivf_pq (the composed
-    #       list-pruned ADC search completing IVF-PQ),
-    #       q_k23_adc_rerank (ADC shortlist + exact re-rank — the
-    #       IVFADC+R recall recovery), q_k7_phash_portable (the pHash
-    #       chain as pure relational ops with a constructing oracle —
-    #       converts the weakest rows-only evidence), and
-    #       q_k7_audio_portable (the sound twin: relational DFT
-    #       fingerprint, same discipline), and q_k15_bloom_dedup
-    #       (Bloom-prefiltered incremental dedup — no false negatives,
-    #       oracle = the plain anti-join);
-    #   (c2) 9 MORE new r9 contracts from the continuation session —
-    #       never driver-verified, so they outrank (d)'s re-verifies:
-    #       the portable cardinality/frequency sketches (q_d3_kmv,
-    #       q_d3_hll, q_d3_hll_groups, q_k17_cms), DBSCAN
-    #       (q_k16_dbscan), integer PageRank (q_k27_pagerank), the
-    #       rollup cascade (q_d16_rollup_cascade), containment
-    #       near-dup (q_k2_containment), and the JL projection search
-    #       (q_k24_jl);
-    #   (d) the first 12 of the 39-name r5 block in registration order
-    #       (q_d2_extent .. q_d12_unpivot).
-    # Into r10 FIRST: the 21 late-r9 contracts registered AFTER this
-    # window was frozen, never driver-verified (q_d3_kmv_ops, q_e8_m4,
-    # q_p16_sys_sample, q_k28_triangles, q_k29_pmi, q_d17_profile,
-    # q_e9_lttb, q_d18_mad, q_d19_quantiles, q_d20_decay,
-    # q_k30_phrase, q_d21_cohort, q_i10_stream_rollup,
-    # q_b13_gridjoin, q_c9_asof_nearest, q_k31_embstats,
-    # q_e10_stalta, q_k15_temporal, q_k32_vocab, q_t34_score_calib,
-    # q_p17_splits — each
-    # parity-proven in a driver-style session at sf0.01), then
-    # the 2 whose code changed after their last driver check:
-    # q_k24_two_stage (stage-2 norms hoisted out of the per-pair
-    # cosine — bit-identical sims, parity re-proven at sf0.01) and
-    # q_a3_quakeml_parse (balance repartition added after the r9
-    # window froze — parity re-proven), then the stale tail of 27 r5
-    # names
-    # (q_d8_cube, q_e3_cumsum, q_f1_order_limit, q_f2_page,
-    # q_f3_topk_group, q_f4_longest, q_f5_ntile, q_e5_rolling,
-    # q_d15_scd2, q_g1_union, q_g2_intersect, q_g3_except,
-    # q_h1_ts_parse, q_h3_seedid, q_h4_regex, q_h8_array, q_h9_tojson,
-    # q_h10_null_epoch, q_g4_intersect_all, q_i2_tumbling,
-    # q_i3_sliding, q_i4_sessionize, q_j2_grouped_map, q_j3_udaf,
-    # q_k2_minhash, q_k2_jaccard, q_k4_tokens), then the 46-name r6
-    # block in registration order as it ages.
+    # ROUND 10 ROTATION (VERDICT r9 next-steps #1). Window contents,
+    # in priority order:
+    #   (a) the 21 contracts registered after the r9 window froze —
+    #       never driver-verified (each judge-replicated green at
+    #       sf0.01 in a driver-style parity session);
+    #   (b) the 2 whose code changed after their last driver check:
+    #       q_k24_two_stage (stage-2 norms hoisted out of the per-pair
+    #       cosine — bit-identical sims) and q_a3_quakeml_parse
+    #       (balance repartition added after the r9 window froze);
+    #   (c) contracts converted from rows-only to oracle-backed this
+    #       round, or added this round — never hash-verified, so they
+    #       outrank stale re-verifies (appended as the round
+    #       progresses, displacing (d) from its end);
+    #   (d) the stale r5 tail (last driver evidence 5 rounds old),
+    #       registration order, filling to exactly 50.
+    # Into r11 FIRST: whatever of (d) was displaced by (c)
+    # (q_g1_union .. q_k4_tokens — see git history of this list), then
+    # the 46-name r6 block in registration order as it ages.
     # =================================================================
-    # (a) r4 remainder, registration order
-    "q_c7_asof",
-    "q_c8_cross",
-    "q_d1_count_group",
-    "q_d13_gapfill",
-    "q_d14_stats",
-    "q_i1_stream_ingest",
-    "q_i5_late_drop",
-    "q_i6_stream_dedup",
-    "q_i7_stream_upsert",
-    "q_j5_stateful_segments",
-    "q_i8_stream_quality_gate",
-    "q_j1_parse_files",
-    "q_k3_vector_topk",
-    "q_k3_lsh",
-    "q_k8_embed_neardup",
-    "q_k2_simhash",
-    "q_t2_langid",
-    "q_t3_fingerprint",
-    "q_k10_components",
-    "q_k14_fuzzy",
-    "q_k14_passjoin",
-    # (b) code changed in r9
-    "q_k23_pq_codes",
-    "q_k26_unigram_train",
-    # (c) new r9 contracts, never driver-verified
-    "q_k23_pq_adc",
-    "q_k23_ivf_pq",
-    "q_k23_adc_rerank",
-    "q_k7_phash_portable",
-    "q_k7_audio_portable",
-    "q_k15_bloom_dedup",
-    # (c2) new r9 contracts from the continuation session
-    "q_d3_kmv",
-    "q_d3_hll",
-    "q_d3_hll_groups",
-    "q_k17_cms",
-    "q_k16_dbscan",
-    "q_k27_pagerank",
-    "q_d16_rollup_cascade",
-    "q_k2_containment",
-    "q_k24_jl",
-    # (d) first 12 of the r5 block, registration order
-    "q_d2_extent",
-    "q_d3_distinct",
-    "q_d3_approx",
-    "q_d4_collect",
-    "q_d5_argmax",
-    "q_d7_bucket",
-    "q_d8_rollup",
-    "q_d9_hist",
-    "q_d10_percentile",
-    "q_d10_approx",
-    "q_d11_pivot",
-    "q_d12_unpivot",
+    # (a) late-r9 contracts, never driver-verified
+    "q_d3_kmv_ops",
+    "q_e8_m4",
+    "q_p16_sys_sample",
+    "q_k28_triangles",
+    "q_k29_pmi",
+    "q_d17_profile",
+    "q_e9_lttb",
+    "q_d18_mad",
+    "q_d19_quantiles",
+    "q_d20_decay",
+    "q_k30_phrase",
+    "q_d21_cohort",
+    "q_i10_stream_rollup",
+    "q_b13_gridjoin",
+    "q_c9_asof_nearest",
+    "q_k31_embstats",
+    "q_e10_stalta",
+    "q_k15_temporal",
+    "q_k32_vocab",
+    "q_t34_score_calib",
+    "q_p17_splits",
+    # (b) code changed after last driver check
+    "q_k24_two_stage",
+    "q_a3_quakeml_parse",
+    # (c) converted/added this round — placeholder, filled in as work
+    #     lands (see commits)
+    # (d) stale r5 tail, registration order
+    "q_d8_cube",
+    "q_e3_cumsum",
+    "q_f1_order_limit",
+    "q_f2_page",
+    "q_f3_topk_group",
+    "q_f4_longest",
+    "q_f5_ntile",
+    "q_e5_rolling",
+    "q_d15_scd2",
+    "q_g1_union",
+    "q_g2_intersect",
+    "q_g3_except",
+    "q_h1_ts_parse",
+    "q_h3_seedid",
+    "q_h4_regex",
+    "q_h8_array",
+    "q_h9_tojson",
+    "q_h10_null_epoch",
+    "q_g4_intersect_all",
+    "q_i2_tumbling",
+    "q_i3_sliding",
+    "q_i4_sessionize",
+    "q_j2_grouped_map",
+    "q_j3_udaf",
+    "q_k2_minhash",
+    "q_k2_jaccard",
+    "q_k4_tokens",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 
