@@ -654,9 +654,11 @@ def bloom_prefilter_anti_join(
     for i in range(n_hashes):
         p = F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(nb))
         word = F.element_at(arr, (p / 64).cast("int") + 1)
-        bit = F.expr(
-            f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(xxhash64({key_col},"
-            f" {i}), {nb}) % 64 AS INT))"
+        # column-API (not string SQL) so key_col names that need
+        # backquoting — spaces, dots, hyphens — still parse;
+        # call_function because F.shiftleft only takes a literal int
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
         )
         hit = word.bitwiseAND(bit) != 0
         maybe = hit if maybe is None else (maybe & hit)

@@ -70,6 +70,8 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    if n == 0:
+        raise ValueError("edge table is empty: no nodes to rank")
     outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
     ew = e.join(outw, "src").localCheckpoint(eager=True)
 

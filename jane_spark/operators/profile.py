@@ -32,17 +32,22 @@ def profile(df: DataFrame, cols: list[str]) -> DataFrame:
     """
     if not cols:
         raise ValueError("cols must be non-empty")
+    # index-based internal aliases + escaped name literals: a column
+    # named with quotes/spaces/dots must not break the stack() SQL
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
+    for i, c in enumerate(cols):
         aggs += [
-            (F.count(F.lit(1)) - F.count(c)).alias(f"__null_{c}"),
-            F.countDistinct(c).alias(f"__nd_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"__null_{i}"),
+            F.countDistinct(c).alias(f"__nd_{i}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{i}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{i}"),
         ]
     wide = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', __null_{c}, __nd_{c}, __min_{c}, __max_{c}" for c in cols
+        "'{lit}', __null_{i}, __nd_{i}, __min_{i}, __max_{i}".format(
+            lit=c.replace("\\", "\\\\").replace("'", "\\'"), i=i
+        )
+        for i, c in enumerate(cols)
     )
     return wide.select(
         F.expr(

@@ -252,8 +252,13 @@ def kmv_set_ops(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
             "theta",
             "union_est",
             "rho",
-            F.expr("(rho * 10000) div k_used").alias("jaccard_e4"),
-            F.expr("(rho * union_est) div k_used").alias("inter_est"),
+            # greatest(...,1) guard: two empty input sketches give
+            # k_used=0 (rho is 0 there too, so the guarded result is a
+            # clean 0 instead of NULL / ANSI divide-by-zero)
+            F.expr("(rho * 10000) div greatest(k_used, 1)")
+            .alias("jaccard_e4"),
+            F.expr("(rho * union_est) div greatest(k_used, 1)")
+            .alias("inter_est"),
         )
     )
 
@@ -318,12 +323,25 @@ def hll_registers(
         .select(F.col("id").cast("bigint").alias("bucket"))
     )
     if groups:
+        # null-safe equality on the group keys: a group whose key is
+        # NULL exists in the grid and must still match its computed
+        # registers (a plain equi-join would silently zero it out)
         grid = df.select(*groups).distinct().crossJoin(buckets)
+        regs_r = regs.select(
+            *[F.col(g).alias(f"_r_{g}") for g in groups],
+            F.col("bucket").alias("_r_bucket"),
+            "rho",
+        )
+        cond = grid["bucket"] == regs_r["_r_bucket"]
+        for g in groups:
+            cond = cond & grid[g].eqNullSafe(regs_r[f"_r_{g}"])
+        joined = grid.join(regs_r, cond, "left")
     else:
         grid = buckets
-    return grid.join(regs, [*groups, "bucket"], "left").select(
-        *groups,
-        "bucket",
+        joined = grid.join(regs, ["bucket"], "left")
+    return joined.select(
+        *[grid[g] for g in groups],
+        grid["bucket"],
         F.coalesce(F.col("rho"), F.lit(0).cast("bigint")).alias("rho"),
     )
 

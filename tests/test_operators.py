@@ -3283,3 +3283,58 @@ def test_jl_recall_ladder_and_determinism(spark, sf_dir):
     )
     assert p1 == p2
     assert all(len(v) == 16 for _, v in p1)
+
+
+def test_advice_edge_cases_r10(spark):
+    """Round-10 hardening: empty-input and hostile-identifier edges.
+
+    - kmv_set_ops on two EMPTY sketches: k_used=0 must yield 0 (not
+      NULL / ANSI divide error) for jaccard_e4 and inter_est.
+    - pagerank on an empty edge table: explicit ValueError, not an
+      opaque ZeroDivisionError after the count job.
+    - hll_registers with a NULL group key: the NULL group's registers
+      must match (null-safe grid join), not be silently zeroed.
+    - bloom_prefilter_anti_join and profile with column names that
+      need quoting (space / quote) still work.
+    """
+    from jane_spark.operators.dedup import bloom_prefilter_anti_join
+    from jane_spark.operators.pagerank import pagerank
+    from jane_spark.operators.profile import profile
+    from jane_spark.operators.sketch import (
+        hll_registers,
+        kmv_set_ops,
+        kmv_sketch,
+    )
+
+    # empty kmv sketches → clean zeros
+    empty = spark.createDataFrame([], "v string")
+    e = kmv_sketch(empty, "v", k=16)
+    row = kmv_set_ops(e, e, k=16).collect()[0]
+    assert row.jaccard_e4 == 0 and row.inter_est == 0
+
+    # empty edge table → explicit error
+    edges = spark.createDataFrame([], "src string, dst string")
+    with pytest.raises(ValueError, match="empty"):
+        pagerank(edges, "src", "dst", iters=1)
+
+    # NULL group key participates in its own registers
+    df = spark.createDataFrame(
+        [(None, "a"), (None, "b"), ("g", "a")], ["grp", "v"]
+    )
+    regs = hll_registers(df, "v", p=4, group_cols=["grp"]).collect()
+    null_rho = sum(r.rho for r in regs if r.grp is None)
+    g_rho = sum(r.rho for r in regs if r.grp == "g")
+    assert null_rho >= g_rho > 0  # NULL group saw 2 values, g saw 1
+
+    # hostile identifiers survive the bloom bit expression and stack()
+    store = spark.createDataFrame([("x",), ("y",)], ["key col"])
+    new = spark.createDataFrame([("x",), ("z",)], ["key col"])
+    out = bloom_prefilter_anti_join(
+        new, store, "key col", n_bits_log2=10, n_hashes=3
+    )
+    assert [r["key col"] for r in out.collect()] == ["z"]
+    prof = {
+        r.col_name: r
+        for r in profile(store, ["key col"]).collect()
+    }
+    assert prof["key col"].n_distinct == 2
