@@ -73,8 +73,14 @@ VERIFY_FIRST: list[str] = [
     # (b) code changed after last driver check
     "q_k24_two_stage",
     "q_a3_quakeml_parse",
-    # (c) converted/added this round — placeholder, filled in as work
-    #     lands (see commits)
+    # (c) converted from rows-only to oracle-backed this round — their
+    #     oracles have never been driver-hash-checked
+    "q_k2_simhash",
+    "q_k3_lsh",
+    "q_t2_langid",
+    "q_t3_fingerprint",
+    "q_i6_stream_dedup",
+    "q_i7_stream_upsert",
     # (d) stale r5 tail, registration order
     "q_d8_cube",
     "q_e3_cumsum",
@@ -97,12 +103,6 @@ VERIFY_FIRST: list[str] = [
     "q_g4_intersect_all",
     "q_i2_tumbling",
     "q_i3_sliding",
-    "q_i4_sessionize",
-    "q_j2_grouped_map",
-    "q_j3_udaf",
-    "q_k2_minhash",
-    "q_k2_jaccard",
-    "q_k4_tokens",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

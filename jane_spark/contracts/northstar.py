@@ -47,16 +47,59 @@ def q_k3(spark, sf_dir):
 
 @contract(
     "q_k3_lsh",
-    oracle=None,  # approximate candidate set — rows-only check
+    oracle="""
+        WITH v AS (SELECT vec_id AS id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE))
+                              AS v
+                   FROM embeddings),
+        pl AS (SELECT t.t, p.p, d.d,
+                      (CAST(concat('0x', substr(md5(
+                           'lshplane:' || CAST(t.t AS VARCHAR) || ':'
+                           || CAST(p.p AS VARCHAR) || ':'
+                           || CAST(d.d AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 2001 - 1000) / 1000.0 AS w
+               FROM generate_series(0, 2) t(t),
+                    generate_series(0, 5) p(p),
+                    generate_series(0, 63) d(d)),
+        dot AS (SELECT e.id, pl.t, pl.p,
+                       round(sum(e.v[pl.d + 1] * pl.w), 9) AS dt
+                FROM v e CROSS JOIN pl GROUP BY e.id, pl.t, pl.p),
+        bkt AS (SELECT id, t,
+                       sum(CASE WHEN dt >= 0
+                                THEN CAST(1 AS BIGINT) << p ELSE 0 END)
+                           AS bkt
+                FROM dot GROUP BY id, t),
+        cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id
+                 FROM bkt a JOIN bkt b USING (t, bkt)
+                 WHERE a.id <> b.id),
+        sc AS (SELECT c.a_id, c.b_id,
+                      round(list_cosine_similarity(va.v, vb.v), 6) AS sim
+               FROM cand c
+               JOIN v va ON va.id = c.a_id
+               JOIN v vb ON vb.id = c.b_id)
+        SELECT a_id, b_id, sim FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY a_id ORDER BY sim DESC, b_id ASC) AS rn
+            FROM sc) WHERE rn <= 5
+    """,
     survey_rows="K3",
     doc="the 100 TB similarity path: random-hyperplane LSH buckets → "
-    "equi-join candidates → exact re-rank (no cross product)",
+    "equi-join candidates → exact re-rank (no cross product) — now in "
+    "portable-plane mode so the WHOLE chain hash-checks against "
+    "DuckDB, at a coarser operating point than q_k3_lsh_portable "
+    "(6 planes x 3 tables = 64-bucket tables vs 4x2): together the "
+    "two driver rows pin the bucketing math at two recall/candidate "
+    "trade-offs. The xxhash64 plane path remains available "
+    "(planes='spark', unit-tested for recall in tests/test_operators)",
 )
 def q_k3_lsh(spark, sf_dir):
     from jane_spark.operators.vector import lsh_bucketed_topk
 
     emb = Catalog(spark, sf_dir).embeddings
-    return lsh_bucketed_topk(emb, "vec_id", "embedding", k=5, dim=64)
+    return lsh_bucketed_topk(
+        emb, "vec_id", "embedding", k=5, n_planes=6, n_tables=3,
+        dim=64, planes="portable",
+    )
 
 
 @contract(
@@ -277,20 +320,63 @@ def q_k2j(spark, sf_dir):
     )
 
 
+# DuckDB twin of operators.dedup.portable_hash32 (md5 hex prefix → int)
+_DUCK_H32 = "CAST(concat('0x', substr(md5({s}), 1, 8)) AS BIGINT)"
+
+_SIMHASH_PAIRS_ORACLE = (
+    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok\n"
+    "             FROM documents),\n"
+    "h AS (SELECT doc_id, " + _DUCK_H32.format(s="tok") + " AS h FROM tok),\n"
+    "v AS (SELECT doc_id,\n"
+    + ",\n".join(
+        f"  sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(32)
+    )
+    + "\n  FROM h GROUP BY doc_id),\n"
+    "sig AS (SELECT doc_id,\n  "
+    + "\n  + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32)
+    )
+    + " AS s FROM v),\n"
+    "b AS (SELECT doc_id, s, "
+    + ", ".join(f"(s >> {8 * blk}) & 255 AS blk{blk}" for blk in range(4))
+    + " FROM sig),\n"
+    "cand AS (\n"
+    + "\n  UNION\n".join(
+        f"  SELECT a.doc_id AS id_a, c.doc_id AS id_b,\n"
+        f"         bit_count(CAST(xor(a.s, c.s) AS BIT)) AS hamming\n"
+        f"  FROM b a JOIN b c ON a.blk{blk} = c.blk{blk}"
+        f" AND a.doc_id < c.doc_id"
+        for blk in range(4)
+    )
+    + ")\n"
+    "SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming\n"
+    "FROM cand WHERE hamming <= 3"
+)
+
+
 @contract(
     "q_k2_simhash",
-    oracle=None,  # hash-function-specific — rows-only check
+    oracle=_SIMHASH_PAIRS_ORACLE,
     survey_rows="K2",
-    doc="SimHash near-dup: 64-bit signature + 4-block pigeonhole banding",
+    doc="SimHash near-dup END TO END in portable-hash mode: 32-bit "
+    "signature (operators.dedup.simhash32_portable) + 4x8-bit "
+    "pigeonhole banding + exact bit_count(xor) residual <= 3 "
+    "(operators.dedup.banded_hamming_pairs) — the banded CANDIDATE "
+    "JOIN itself is hash-checked against DuckDB, not just the "
+    "signatures (which q_k2_simhash_portable already pins). The "
+    "64-bit xxhash64 signature remains the production scale path "
+    "(operators.dedup.simhash, unit-tested); banding semantics are "
+    "identical",
 )
 def q_k2s(spark, sf_dir):
-    from jane_spark.operators.dedup import simhash, simhash_near_pairs
+    from jane_spark.operators.dedup import banded_hamming_pairs, simhash32_portable
 
     docs = Catalog(spark, sf_dir).documents
-    sig = simhash(docs, "doc_id", "text")
-    return simhash_near_pairs(sig, "doc_id", max_hamming=3).agg(
-        F.count(F.lit(1)).alias("n_near_pairs")
-    )
+    sig = simhash32_portable(docs, "doc_id", "text")
+    return banded_hamming_pairs(
+        sig, "doc_id", "simhash32", n_blocks=4, block_bits=8, max_hamming=3
+    ).select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
 
 
 # ------------------------------------------------------------------- text
@@ -724,11 +810,49 @@ def q_t1(spark, sf_dir):
     )
 
 
+# independent SQL re-implementation of the documented marker-word-argmax
+# + CJK-scan heuristic; shared with q_t2_langid_sql (pipeline.py), which
+# runs the pure-Column twin of the same spec
+LANGID_ORACLE = """
+    WITH t AS (
+        SELECT text,
+               list_distinct((string_split(lower(text), ' '))[1:200])
+                   AS toks
+        FROM documents),
+    h AS (
+        SELECT text,
+               len(list_intersect(toks, ['the','and','of','to','is']))
+                   AS h_en,
+               len(list_intersect(toks, ['le','la','et','les','des']))
+                   AS h_fr,
+               len(list_intersect(toks, ['el','de','la','los','que']))
+                   AS h_es,
+               len(list_intersect(toks, ['der','die','und','das','ist']))
+                   AS h_de
+        FROM t),
+    p AS (
+        SELECT CASE
+            WHEN regexp_matches(substr(text, 1, 200), '[一-鿿]') THEN 'zh'
+            WHEN greatest(h_en, h_fr, h_es, h_de) <= 0 THEN 'und'
+            WHEN h_en = greatest(h_en, h_fr, h_es, h_de) THEN 'en'
+            WHEN h_fr = greatest(h_en, h_fr, h_es, h_de) THEN 'fr'
+            WHEN h_es = greatest(h_en, h_fr, h_es, h_de) THEN 'es'
+            ELSE 'de' END AS lang_pred
+        FROM h)
+    SELECT lang_pred, count(*) AS n FROM p GROUP BY lang_pred
+"""
+
+
 @contract(
     "q_t2_langid",
-    oracle=None,  # heuristic classifier — rows-only check
+    oracle=LANGID_ORACLE,
     survey_rows="K6",
-    doc="language-ID heuristic (pandas UDF, functions.text)",
+    doc="language-ID heuristic via Arrow-batched pandas UDF "
+    "(functions.text.detect_language_udf). Oracle = the marker-word "
+    "argmax spec re-implemented in SQL (same oracle as the pure-Column "
+    "twin q_t2_langid_sql): the UDF and the codegen expression are "
+    "required to land on identical per-language counts, which is also "
+    "parity-asserted row-level in tests/test_operators.py",
 )
 def q_t2(spark, sf_dir):
     from jane_spark.functions.text import detect_language_udf
@@ -744,9 +868,23 @@ def q_t2(spark, sf_dir):
 
 @contract(
     "q_t3_fingerprint",
-    oracle=None,  # xxhash64 is Spark-specific — rows-only check
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT md5(array_to_string(
+                   string_split(lower(text), ' '), ' '))) AS BIGINT)
+                   AS n_distinct_fp
+        FROM documents
+    """,
     survey_rows="K1,K4",
-    doc="64-bit document fingerprint over the normalized token stream",
+    doc="64-bit xxhash64 document fingerprint over the normalized token "
+    "stream (functions.text.fingerprint64). The hash VALUES are "
+    "Spark-specific, but a fingerprint's contract is its partition of "
+    "the corpus into identity classes — and that partition is "
+    "hash-independent, so the oracle counts distinct md5 fingerprints "
+    "of the SAME normalized stream. Collision caveat: the check is "
+    "exact unless xxhash64 collides where md5 does not (~1e-12 at "
+    "this corpus size, and deterministic per fixture). Per-doc md5 "
+    "byte-equality is pinned separately by q_t3_fingerprint_md5",
 )
 def q_t3(spark, sf_dir):
     from jane_spark.functions.text import fingerprint64
@@ -1138,8 +1276,6 @@ def q_t4(spark, sf_dir):
 
 
 # ---------------------- portable-hash near-dup signatures (cross-engine)
-
-_DUCK_H32 = "CAST(concat('0x', substr(md5({s}), 1, 8)) AS BIGINT)"
 
 _MINHASH_ORACLE = (
     "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),\n"

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from jane_spark.contracts.northstar import LANGID_ORACLE
 from jane_spark.contracts.registry import contract
 from jane_spark.engine.catalog import Catalog
 
@@ -368,34 +369,7 @@ def q_t6(spark, sf_dir):
 
 @contract(
     "q_t2_langid_sql",
-    oracle="""
-        WITH t AS (
-            SELECT text,
-                   list_distinct((string_split(lower(text), ' '))[1:200])
-                       AS toks
-            FROM documents),
-        h AS (
-            SELECT text,
-                   len(list_intersect(toks, ['the','and','of','to','is']))
-                       AS h_en,
-                   len(list_intersect(toks, ['le','la','et','les','des']))
-                       AS h_fr,
-                   len(list_intersect(toks, ['el','de','la','los','que']))
-                       AS h_es,
-                   len(list_intersect(toks, ['der','die','und','das','ist']))
-                       AS h_de
-            FROM t),
-        p AS (
-            SELECT CASE
-                WHEN regexp_matches(substr(text, 1, 200), '[一-鿿]') THEN 'zh'
-                WHEN greatest(h_en, h_fr, h_es, h_de) <= 0 THEN 'und'
-                WHEN h_en = greatest(h_en, h_fr, h_es, h_de) THEN 'en'
-                WHEN h_fr = greatest(h_en, h_fr, h_es, h_de) THEN 'fr'
-                WHEN h_es = greatest(h_en, h_fr, h_es, h_de) THEN 'es'
-                ELSE 'de' END AS lang_pred
-            FROM h)
-        SELECT lang_pred, count(*) AS n FROM p GROUP BY lang_pred
-    """,
+    oracle=LANGID_ORACLE,
     survey_rows="K6",
     doc="language-ID as a pure codegen expression (marker-word argmax + "
     "CJK codepoint scan, functions.text.detect_language_expr) — the "

@@ -295,11 +295,19 @@ def q_i5(spark, sf_dir):
 
 @contract(
     "q_i6_stream_dedup",
-    oracle=None,  # streaming state semantics — rows-only check
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
     survey_rows="I6",
     doc="idempotent re-ingest: dropDuplicatesWithinWatermark over a real "
     "file stream (streaming/windows.dedup_within_watermark); batch twin "
-    "is q_a4_sha_dedup",
+    "is q_a4_sha_dedup. TRUE ORACLE via the q_i10 pattern: with "
+    "availableNow over a single-file arrival the whole input is ONE "
+    "microbatch, the watermark only advances BETWEEN batches, so no "
+    "dedup state can expire mid-run and the emitted set is exactly "
+    "DISTINCT(keys) — streaming dedup ≡ batch dedup, hash-checked. "
+    "(i5 late-drop and j5 stateful segments can NOT follow: their "
+    "semantics are defined by cross-batch watermark movement and "
+    "custom state timeouts, which no single-batch run exercises and "
+    "no batch SQL reproduces)",
 )
 def q_i6(spark, sf_dir):
     import shutil
@@ -328,12 +336,25 @@ def q_i6(spark, sf_dir):
 
 @contract(
     "q_i7_stream_upsert",
-    oracle=None,  # foreachBatch sink — rows-only check
+    oracle="""
+        WITH d AS (SELECT doc_id, lang AS network, n_chars
+                   FROM documents ORDER BY doc_id LIMIT 200)
+        SELECT doc_id, network,
+               CASE WHEN doc_id IN (SELECT doc_id FROM d
+                                    ORDER BY doc_id LIMIT 50)
+                    THEN CAST(-1 AS BIGINT) ELSE n_chars END AS n_chars
+        FROM d
+    """,
     survey_rows="I7",
     doc="per-document index upsert: foreachBatch + per-doc partition "
     "overwrite (streaming/upsert.start_index_upsert_stream); the second "
     "arrival of doc_id replaces its rows, matching jane's reindex "
-    "delete-then-insert transaction",
+    "delete-then-insert transaction. TRUE ORACLE via the q_i10 "
+    "pattern: the upsert law (last write per doc wins) is "
+    "batch-expressible, so the final store content is hash-checked — "
+    "the 200 lowest doc_ids with the re-arrived 50 carrying their "
+    "updated n_chars = -1. The ingest subsets are orderBy(doc_id)-"
+    "deterministic so both engines pick identical rows",
 )
 def q_i7(spark, sf_dir):
     import tempfile
@@ -347,7 +368,7 @@ def q_i7(spark, sf_dir):
     docs = Catalog(spark, sf_dir).documents.select(
         "doc_id", F.col("lang").alias("network"), "n_chars"
     )
-    docs.limit(200).write.parquet(src)
+    docs.orderBy("doc_id").limit(200).write.parquet(src)
     store = IndexStore(spark, f"{root}/store")
     schema = spark.read.parquet(src).schema
     q = start_index_upsert_stream(
@@ -355,7 +376,9 @@ def q_i7(spark, sf_dir):
     )
     q.awaitTermination()
     # re-arrival of the first docs with updated rows -> upsert replaces
-    docs.limit(50).withColumn("n_chars", F.lit(-1)).write.mode("append").parquet(src)
+    docs.orderBy("doc_id").limit(50).withColumn(
+        "n_chars", F.lit(-1).cast("bigint")
+    ).write.mode("append").parquet(src)
     q = start_index_upsert_stream(
         stream_parquet_dir(spark, src, schema), store, "doc", f"{root}/ckpt"
     )
