@@ -280,6 +280,17 @@ CALIBRATION = {
     "vocab_growth": 0.0611,
     "score_calib": 0.0092,
     "splits": 0.0448,
+    # round 10: the previously-unbaselined rows with DuckDB-expressible
+    # oracles (audio_fp / image_phash stay no-twin: codec-dependent
+    # xxhash fingerprints; their *_portable twins are baselined above)
+    "bpe_train": 0.0718,
+    "bulk_select": 0.0478,
+    "content_extract": 0.0634,
+    "dataselect_cut": 0.0931,
+    "quakeml_parse": 0.1382,
+    "stationxml_parse": 0.0021,
+    "validation_gate": 0.0067,
+    "warc_roundtrip": 0.0111,
 }
 
 

@@ -81,6 +81,7 @@ VERIFY_FIRST: list[str] = [
     "q_t3_fingerprint",
     "q_i6_stream_dedup",
     "q_i7_stream_upsert",
+    "q_k26_unigram_train",
     # (d) stale r5 tail, registration order
     "q_d8_cube",
     "q_e3_cumsum",
@@ -102,7 +103,6 @@ VERIFY_FIRST: list[str] = [
     "q_h10_null_epoch",
     "q_g4_intersect_all",
     "q_i2_tumbling",
-    "q_i3_sliding",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

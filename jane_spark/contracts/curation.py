@@ -2273,12 +2273,128 @@ def q_k26_estep(spark, sf_dir):
     return unigram_piece_counts(docs, UNIGRAM_VOCAB)
 
 
+def _unigram_dp_iter(idx: int, vm: str, max_l: int = 4) -> str:
+    """One Viterbi-DP + backpointer-walk + piece-count round against
+    the score map CTE ``vm`` (the table-driven twin of
+    _unigram_dp_cte's literal CASE)."""
+    look = (
+        f"{vm}.m[substr(word, CAST(pos + 2 - l AS INTEGER), "
+        f"CAST(l AS INTEGER))][1]"
+    )
+    cand = (
+        f"CASE WHEN pos + 1 >= l AND {look} IS NOT NULL THEN "
+        f"(scores[CAST(pos + 2 - l AS INTEGER)] + {look}) * 64 "
+        f"+ ({max_l} - l) END"
+    )
+    return f"""
+        r{idx}(word, pos, scores, bps) AS (
+            SELECT word, 0, [CAST(0 AS BIGINT)], [0] FROM wc
+            UNION ALL
+            SELECT word, pos + 1,
+                   list_append(scores, (best - pm) // 64),
+                   list_append(bps, CAST({max_l} - pm AS INTEGER))
+            FROM (
+                SELECT word, pos, scores, bps, best,
+                       (best % 64 + 64) % 64 AS pm
+                FROM (
+                    SELECT word, pos, scores, bps,
+                           list_aggregate(
+                               list_filter(
+                                   list_transform(range(1, {max_l + 1}),
+                                                  l -> {cand}),
+                                   x -> x IS NOT NULL),
+                               'max') AS best
+                    FROM r{idx}, {vm} WHERE pos < length(word)))),
+        walk{idx}(word, pos, bps, toks) AS (
+            SELECT word, length(word), bps, CAST([] AS VARCHAR[])
+            FROM r{idx} WHERE pos = length(word)
+            UNION ALL
+            SELECT word, pos - l, bps,
+                   list_prepend(
+                       substr(word, pos - l + 1, CAST(l AS INTEGER)), toks)
+            FROM (SELECT word, pos, bps, toks,
+                         bps[CAST(pos + 1 AS INTEGER)] AS l
+                  FROM walk{idx} WHERE pos > 0)),
+        counts{idx} AS (
+            SELECT piece, CAST(sum(n) AS BIGINT) AS cnt FROM (
+                SELECT word, unnest(toks) AS piece
+                FROM walk{idx} WHERE pos = 0) t
+            JOIN wc USING (word) GROUP BY piece),
+        m{idx} AS (
+            SELECT piece, cnt,
+                   row_number() OVER (ORDER BY cnt ASC, piece ASC) AS rn,
+                   count(*) OVER () AS n_multis
+            FROM counts{idx} WHERE length(piece) > 1),
+        vc{idx} AS (
+            SELECT piece, cnt FROM counts{idx} WHERE length(piece) = 1
+            UNION ALL
+            SELECT piece, cnt FROM m{idx}
+            WHERE rn > CAST(floor(n_multis * 0.2) AS BIGINT)
+            UNION ALL
+            SELECT s.piece, CAST(0 AS BIGINT) FROM singles s
+            WHERE s.piece NOT IN (SELECT piece FROM counts{idx}
+                                  WHERE length(piece) = 1))"""
+
+
+def _unigram_score_map(idx: int, src: str, clamp: bool) -> str:
+    c = "greatest(cnt, 1)" if clamp else "cnt"
+    return f"""
+        v{idx} AS (
+            SELECT piece,
+                   CAST(round(round(100.0 * ln(
+                       CAST({c} AS DOUBLE) /
+                       (SELECT CAST(sum({c}) AS DOUBLE) FROM {src})),
+                       9)) AS BIGINT) AS score
+            FROM {src}),
+        vm{idx} AS (
+            SELECT map(list(piece ORDER BY piece),
+                       list(score ORDER BY piece)) AS m
+            FROM v{idx})"""
+
+
+def _unigram_train_oracle(seed_size: int = 40, max_piece_len: int = 4) -> str:
+    return f"""
+        WITH RECURSIVE
+        wc AS MATERIALIZED (
+            SELECT word, count(*) AS n FROM (
+                SELECT unnest(string_split(text, ' ')) AS word
+                FROM documents)
+            WHERE word <> '' GROUP BY word),
+        pieces AS (
+            SELECT unnest(list_filter(flatten(list_transform(
+                       range(1, length(word) + 1),
+                       i -> list_transform(range(1, {max_piece_len} + 1),
+                            l -> CASE WHEN i + l - 1 <= length(word)
+                                 THEN substr(word, CAST(i AS INTEGER),
+                                             CAST(l AS INTEGER)) END))),
+                   x -> x IS NOT NULL)) AS piece, n
+            FROM wc),
+        pc AS (SELECT piece, CAST(sum(n) AS BIGINT) AS cnt
+               FROM pieces GROUP BY piece),
+        singles AS (SELECT piece, cnt FROM pc WHERE length(piece) = 1),
+        seed AS (
+            SELECT piece, cnt FROM singles
+            UNION ALL
+            SELECT piece, cnt FROM (
+                SELECT piece, cnt FROM pc WHERE length(piece) > 1
+                ORDER BY cnt DESC, piece ASC LIMIT {seed_size})),
+        {_unigram_score_map(0, "seed", clamp=False)},
+        {_unigram_dp_iter(1, "vm0", max_piece_len)},
+        {_unigram_score_map(1, "vc1", clamp=True)},
+        {_unigram_dp_iter(2, "vm1", max_piece_len)}
+        SELECT vc2.piece,
+               CAST(round(round(100.0 * ln(
+                   CAST(greatest(vc2.cnt, 1) AS DOUBLE) /
+                   (SELECT CAST(sum(greatest(cnt, 1)) AS DOUBLE)
+                    FROM vc2)), 9)) AS INTEGER) AS score,
+               CAST(vc2.cnt AS BIGINT) AS cnt
+        FROM vc2
+    """
+
+
 @contract(
     "q_k26_unigram_train",
-    oracle=None,  # iterative (driver loop over ln-rescored vocab):
-    # the E-step it runs each round IS oracle-backed
-    # (q_k26_unigram_estep); the full loop is pinned against an
-    # independent pure-Python twin (tests/test_bpe.py)
+    oracle=_unigram_train_oracle(seed_size=40),
     survey_rows="K26,K22",
     doc="full Unigram-LM tokenizer training (Kudo 2018, hard-EM): "
     "substring-frequency seed vocabulary (top-N multi-char pieces + "
@@ -2288,7 +2404,14 @@ def q_k26_estep(spark, sf_dir):
     "prune the weakest fraction, and re-score (M-step, 9 dp "
     "pre-rounded ln — the float-boundary playbook). Corpus touched "
     "once; every iteration is vocabulary-sized with a bounded collect "
-    "(the train_bpe loop contract)",
+    "(the train_bpe loop contract). ORACLE-BACKED since r10 (the "
+    "Lloyd/PQ unrolling precedent): both EM rounds unroll into "
+    "recursive-CTE Viterbi DPs whose piece scores come from DERIVED "
+    "score-map tables (seed substring frequencies -> counts -> prune "
+    "-> centi-nat re-score), so the full training loop — not just one "
+    "E-step — hash-checks against DuckDB. The UNK fallback can never "
+    "fire here (the alphabet is never pruned and covers every word "
+    "char), so the oracle's join-only candidate set is faithful",
 )
 def q_k26_train(spark, sf_dir):
     from jane_spark.operators.bpe import train_unigram
