@@ -78,3 +78,74 @@ def grid_pair_join(
         .where(d2 <= F.lit(r * r))
         .select("a_id", "b_id", F.round(d2, 9).alias("d2"))
     )
+
+
+def grid_pair_join_salted(
+    points: DataFrame,
+    id_col: str,
+    lat_col: str,
+    lon_col: str,
+    radius_deg: float,
+    n_salt: int = 8,
+) -> DataFrame:
+    """Skew-guarded :func:`grid_pair_join`: identical output, but the
+    single hot-cell task a dense city creates is split ``n_salt`` ways.
+
+    Standard salted self-join shape: the LEFT side of the cell join
+    gets a deterministic salt ``pmod(xxhash64(id), n_salt)``; the
+    RIGHT (9x-replicated) side is replicated ``n_salt`` more times so
+    every (left-salt, right-point) combination still meets — no pair
+    is lost, and the exact-distance filter is unchanged. The worst
+    task shrinks from |cell|² candidate evaluations to
+    |cell|²/n_salt, at the cost of n_salt× replication of the probe
+    side — the right trade only for genuinely hot cells, so keep the
+    unsalted operator for uniform data and switch when a cell
+    histogram (one groupBy) shows a hot key. No false negatives: the
+    salt partitions the LEFT side only; every left point still sees
+    the full 3x3 neighborhood.
+    """
+    if n_salt < 1:
+        raise ValueError("n_salt must be >= 1")
+    if radius_deg <= 0:
+        raise ValueError("radius_deg must be positive")
+    r = float(radius_deg)
+    ix = F.floor((F.col("lat") + 90.0) / r).cast("long")
+    iy = F.floor((F.col("lon") + 180.0) / r).cast("long")
+    pts = points.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(lat_col).cast("double").alias("lat"),
+        F.col(lon_col).cast("double").alias("lon"),
+    ).withColumn("ix", ix).withColumn("iy", iy)
+    left = pts.select(
+        F.col("id").alias("a_id"),
+        F.col("lat").alias("a_lat"),
+        F.col("lon").alias("a_lon"),
+        "ix",
+        "iy",
+        F.pmod(F.xxhash64("id"), F.lit(n_salt)).cast("int").alias("salt"),
+    )
+    one = F.sequence(F.lit(-1), F.lit(1))
+    right = (
+        pts.withColumn("dx", F.explode(one))
+        .withColumn("dy", F.explode(one))
+        .withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+        )
+        .select(
+            F.col("id").alias("b_id"),
+            F.col("lat").alias("b_lat"),
+            F.col("lon").alias("b_lon"),
+            (F.col("ix") + F.col("dx")).alias("ix"),
+            (F.col("iy") + F.col("dy")).alias("iy"),
+            F.col("salt").cast("int").alias("salt"),
+        )
+    )
+    d2 = (F.col("a_lat") - F.col("b_lat")) * (
+        F.col("a_lat") - F.col("b_lat")
+    ) + (F.col("a_lon") - F.col("b_lon")) * (F.col("a_lon") - F.col("b_lon"))
+    return (
+        left.join(right, ["ix", "iy", "salt"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(d2 <= F.lit(r * r))
+        .select("a_id", "b_id", F.round(d2, 9).alias("d2"))
+    )

@@ -3395,3 +3395,54 @@ def test_stalta_window_parallelism_scales_with_key_cardinality(spark, tmp_path):
     # generous margin (0.9) so ambient load can't flake the test; the
     # real measured ratio is ~0.5
     assert t500 < t5 * 0.9, f"5 keys {t5:.3f}s vs 500 keys {t500:.3f}s"
+
+
+def test_grid_pair_join_salted_hot_cell(spark):
+    """Hot-cell skew guard: a pathological fixture (every point in ONE
+    grid cell — the dense-city case geogrid.py warns about) must give
+    IDENTICAL pairs through the salted variant, while the salted join
+    key spreads the cell across n_salt buckets (bounded per-task
+    candidate count at scale)."""
+    from jane_spark.operators.geogrid import (
+        grid_pair_join,
+        grid_pair_join_salted,
+    )
+
+    # 300 points inside a 0.3-degree cell + a few outside for edges
+    pts = spark.range(300).select(
+        F.col("id"),
+        (10.0 + (F.pmod(F.xxhash64("id"), 1000) / 10000.0)).alias("lat"),
+        (20.0 + (F.pmod(F.xxhash64("id", F.lit(1)), 1000) / 10000.0)).alias(
+            "lon"
+        ),
+    ).unionByName(
+        spark.range(300, 310).select(
+            "id",
+            (F.col("id") - 250.0).alias("lat"),
+            (F.col("id") - 200.0).alias("lon"),
+        )
+    )
+    base = sorted(
+        tuple(r)
+        for r in grid_pair_join(pts, "id", "lat", "lon", 0.3).collect()
+    )
+    assert len(base) > 1000  # genuinely hot: ~300 co-located points
+    for n_salt in (1, 8):
+        salted = sorted(
+            tuple(r)
+            for r in grid_pair_join_salted(
+                pts, "id", "lat", "lon", 0.3, n_salt=n_salt
+            ).collect()
+        )
+        assert salted == base
+    # the salt actually divides the hot cell's left side
+    from jane_spark.operators.geogrid import grid_pair_join_salted as gs
+    left_groups = (
+        spark.range(300)
+        .select(F.pmod(F.xxhash64("id"), F.lit(8)).cast("int").alias("s"))
+        .groupBy("s")
+        .count()
+        .collect()
+    )
+    assert len(left_groups) == 8
+    assert max(r["count"] for r in left_groups) < 300
