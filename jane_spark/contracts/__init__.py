@@ -82,6 +82,8 @@ VERIFY_FIRST: list[str] = [
     "q_i6_stream_dedup",
     "q_i7_stream_upsert",
     "q_k26_unigram_train",
+    # (c) new contracts this round
+    "q_b13_gridjoin_salted",
     # (d) stale r5 tail, registration order
     "q_d8_cube",
     "q_e3_cumsum",
@@ -102,7 +104,6 @@ VERIFY_FIRST: list[str] = [
     "q_h9_tojson",
     "q_h10_null_epoch",
     "q_g4_intersect_all",
-    "q_i2_tumbling",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from jane_spark.contracts.registry import contract
+from jane_spark.contracts.registry import REGISTRY, contract
 from jane_spark.engine.catalog import Catalog
 from jane_spark.functions.geo import great_circle_degrees
 from jane_spark.plans.predicates import search
@@ -388,3 +388,33 @@ def q_b13_gridjoin(spark, sf_dir):
         F.expr(coord.format(salt="glon")).alias("lon"),
     )
     return grid_pair_join(pts, "c_custkey", "lat", "lon", 0.3)
+
+
+@contract(
+    "q_b13_gridjoin_salted",
+    oracle=REGISTRY["q_b13_gridjoin"].oracle,
+    survey_rows="B13,B9",
+    doc="hot-cell SKEW GUARD for the grid pair join "
+    "(operators.geogrid.grid_pair_join_salted): the left side of the "
+    "cell equi-join is split into 8 deterministic xxhash salt "
+    "buckets, the 3x3-replicated probe side replicates 8x more, so a "
+    "pathological dense cell's task shrinks 8x with IDENTICAL output "
+    "— the same IEJoin oracle as q_b13_gridjoin certifies "
+    "salted == unsalted == exhaustive on real data (the pathological "
+    "single-cell fixture is pytest-pinned in tests/test_operators)",
+)
+def q_b13_gridjoin_salted(spark, sf_dir):
+    from jane_spark.operators.geogrid import grid_pair_join_salted
+
+    cust = Catalog(spark, sf_dir).customer
+    coord = (
+        "CAST(CAST(conv(substring(md5(concat('{salt}:', "
+        "CAST(c_custkey AS STRING))), 1, 8), 16, 10) AS BIGINT) "
+        "% 2000 AS DOUBLE) / 100.0 - 10.0"
+    )
+    pts = cust.select(
+        "c_custkey",
+        F.expr(coord.format(salt="glat")).alias("lat"),
+        F.expr(coord.format(salt="glon")).alias("lon"),
+    )
+    return grid_pair_join_salted(pts, "c_custkey", "lat", "lon", 0.3, n_salt=8)
