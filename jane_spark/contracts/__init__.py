@@ -84,6 +84,8 @@ VERIFY_FIRST: list[str] = [
     "q_k26_unigram_train",
     # (c) new contracts this round
     "q_b13_gridjoin_salted",
+    "q_k33_mmr",
+    "q_p18_zorder",
     # (d) stale r5 tail, registration order
     "q_d8_cube",
     "q_e3_cumsum",
@@ -102,8 +104,6 @@ VERIFY_FIRST: list[str] = [
     "q_h4_regex",
     "q_h8_array",
     "q_h9_tojson",
-    "q_h10_null_epoch",
-    "q_g4_intersect_all",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

@@ -159,6 +159,71 @@ def q_k3_lsh_portable(spark, sf_dir):
     )
 
 
+def _mmr_oracle(k: int = 8, lam: int = 7000, dim: int = 64) -> str:
+    """Unrolled greedy MMR twin (the Lloyd/PQ/unigram-EM unrolling
+    precedent): k fixed stages of argmax + maxsim fold, every score a
+    1e6-scaled integer, ties on id asc."""
+    h32 = "CAST(concat('0x', substr(md5('mmrq:' || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT)"
+    stages = []
+    for i in range(1, k + 1):
+        prev = "ms0" if i == 1 else f"ms{i - 1}"
+        stages.append(f"""
+        sel{i} AS (
+            SELECT id, v, rel, ms,
+                   CAST({lam} * rel - {10000 - lam} * ms AS BIGINT) AS mmr
+            FROM {prev} ORDER BY mmr DESC, id ASC LIMIT 1),
+        ms{i} AS (
+            SELECT r.id, r.v, r.rel,
+                   greatest(r.ms,
+                            CAST(round(list_cosine_similarity(r.v, s.v)
+                                       * 1000000, 0) AS BIGINT)) AS ms
+            FROM {prev} r, sel{i} s WHERE r.id <> s.id)""")
+    unions = "\n            UNION ALL".join(
+        f"""
+            SELECT {i} AS rank, id AS vec_id, rel AS rel_e6,
+                   ms AS maxsim_e6, mmr FROM sel{i}"""
+        for i in range(1, k + 1)
+    )
+    return f"""
+        WITH qv AS (
+            SELECT list_transform(range(0, {dim}),
+                   d -> ({h32} % 2001 - 1000) / 1000.0) AS q),
+        ms0 AS (
+            SELECT vec_id AS id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                   CAST(round(list_cosine_similarity(
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                       qv.q) * 1000000, 0) AS BIGINT) AS rel,
+                   CAST(-1000000 AS BIGINT) AS ms
+            FROM embeddings, qv),
+        {",".join(stages)}
+        SELECT CAST(rank AS INTEGER) AS rank, vec_id, rel_e6, maxsim_e6,
+               CAST(mmr AS BIGINT) AS mmr
+        FROM ({unions})
+    """
+
+
+@contract(
+    "q_k33_mmr",
+    oracle=_mmr_oracle(k=8, lam=7000),
+    survey_rows="K33,K3,K16",
+    doc="maximal-marginal-relevance diverse top-k "
+    "(operators.vector.mmr_select): greedy "
+    "lambda*rel - (1-lambda)*max_sim_to_selected selection over a "
+    "deterministic md5-derived query vector — the diversity-aware "
+    "subset selection a training-data mix needs after dedup (pick "
+    "informative AND non-redundant). Pure BIGINT objective (1e6 "
+    "cosine fixed point, 1e4 lambda), id-asc ties; k bounded driver "
+    "rounds of one TakeOrdered(1) each. Oracle = the greedy unrolled "
+    "into k SQL stages, the Lloyd/PQ/unigram-EM precedent",
+)
+def q_k33(spark, sf_dir):
+    from jane_spark.operators.vector import mmr_select
+
+    emb = Catalog(spark, sf_dir).embeddings
+    return mmr_select(emb, "vec_id", "embedding", k=8, lambda_e4=7000)
+
+
 @contract(
     "q_k3_ivf",
     oracle=None,  # approximate candidate set — rows-only check;

@@ -367,6 +367,62 @@ def q_t6(spark, sf_dir):
     )
 
 
+def _zorder_oracle(bits: int = 16, n_buckets: int = 32) -> str:
+    """Morton-interleave twin: same integer min-max normalization,
+    same shift/mask fold, generated term by term."""
+    top = (1 << bits) - 1
+    width = max((1 << (2 * bits)) // n_buckets, 1)
+    terms = " | ".join(
+        f"(((n{i} >> {b}) & 1) << {b * 2 + i})"
+        for b in range(bits)
+        for i in range(2)
+    )
+    return f"""
+        WITH b AS (SELECT min(l_partkey) AS mn0, max(l_partkey) AS mx0,
+                          min(l_suppkey) AS mn1, max(l_suppkey) AS mx1
+                   FROM lineitem),
+        n AS (SELECT ((l_partkey - b.mn0) * {top})
+                         // greatest(b.mx0 - b.mn0, 1) AS n0,
+                     ((l_suppkey - b.mn1) * {top})
+                         // greatest(b.mx1 - b.mn1, 1) AS n1
+              FROM lineitem, b),
+        z AS (SELECT CAST({terms} AS BIGINT) AS zkey FROM n)
+        SELECT CAST(zkey // {width} AS BIGINT) AS zbucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(min(zkey) AS BIGINT) AS min_zkey,
+               CAST(max(zkey) AS BIGINT) AS max_zkey
+        FROM z GROUP BY 1
+    """
+
+
+@contract(
+    "q_p18_zorder",
+    oracle=_zorder_oracle(),
+    survey_rows="P18,P8,P17",
+    doc="Z-ORDER (Morton-curve) layout keys (operators.zorder): "
+    "lakehouse-style multi-dimensional clustering — interleave the "
+    "bits of integer-min-max-normalized (l_partkey, l_suppkey) so a "
+    "bucketed/partitioned write serves range predicates on EITHER "
+    "column with bounded bucket overlap. Pure-BIGINT normalization + "
+    "fixed shift/mask fold (codegen, engine-portable); per-bucket "
+    "count and zkey extent returned. Partition-pruning on the bucket "
+    "column is plan-guard-tested in tests/test_operators.py",
+)
+def q_p18(spark, sf_dir):
+    from jane_spark.operators.zorder import zorder_buckets
+
+    li = Catalog(spark, sf_dir).lineitem
+    return (
+        zorder_buckets(li, ["l_partkey", "l_suppkey"], n_buckets=32)
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("zkey").alias("min_zkey"),
+            F.max("zkey").alias("max_zkey"),
+        )
+    )
+
+
 @contract(
     "q_t2_langid_sql",
     oracle=LANGID_ORACLE,

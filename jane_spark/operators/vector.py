@@ -1159,3 +1159,87 @@ def jl_topk(
     if round_dp is not None:
         out = out.withColumn("sim", F.round(F.col("sim"), round_dp))
     return out
+
+
+def mmr_query_weight(d: int) -> float:
+    """Deterministic md5-derived query-vector weight in [-1, 1]
+    (the portable_plane_weight idiom, salt 'mmrq') — both engines
+    derive the SAME query vector, so MMR is fully cross-checkable."""
+    import hashlib
+
+    h = int(hashlib.md5(f"mmrq:{d}".encode()).hexdigest()[:8], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
+def mmr_select(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    lambda_e4: int = 7000,
+    dim: int = 64,
+) -> DataFrame:
+    """Maximal-marginal-relevance diverse top-k (Carbonell & Goldstein
+    1998): greedily pick the candidate maximizing
+    ``λ·relevance − (1−λ)·max_sim_to_already_selected`` — the standard
+    diversity-aware selection for dedup-adjacent training-data
+    curation (pick informative AND non-redundant examples) and for
+    retrieval result diversification.
+
+    Integer-exact: relevance and similarities are cosine rounded to
+    6 dp then scaled to 1e6 ints; the MMR objective is pure BIGINT
+    arithmetic (``lambda_e4`` in 1e4 fixed point), ties break on id
+    asc — no float boundary can flip a pick. ``max_sim`` starts at
+    −1e6 (cos ≥ −1), so the first pick is the pure-relevance argmax
+    with the standard constant offset.
+
+    Scale shape: the greedy loop is k rounds of (one scan + one
+    TakeOrdered(1) + ONE collected row) — the bounded-driver-loop
+    contract (BPE/IVF precedent). Each round folds the newly selected
+    vector into the maxsim expression as literals: no join, no
+    cross product; k is a selection size (8–100), not data-sized.
+    The candidate relevance column prunes cheaply: at 100 TB run MMR
+    over a relevance top-N shortlist (N ~ 100k) from the ANN paths
+    above, never the full corpus.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not 0 <= lambda_e4 <= 10000:
+        raise ValueError("lambda_e4 must be in [0, 10000]")
+    from jane_spark.functions.arrays import cosine
+
+    spark = vectors.sparkSession
+    q = F.array(*[F.lit(mmr_query_weight(d)) for d in range(dim)])
+    base = vectors.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    cand = base.select(
+        "id",
+        "v",
+        F.round(cosine(F.col("v"), q) * 1e6, 0).cast("bigint").alias("rel"),
+        F.lit(-1000000).cast("bigint").alias("ms"),
+    ).localCheckpoint(eager=True)
+    lam = int(lambda_e4)
+    picked = []
+    for rank in range(1, k + 1):
+        mmr = (F.lit(lam) * F.col("rel")
+               - F.lit(10000 - lam) * F.col("ms")).alias("mmr")
+        row = (
+            cand.select("id", "v", "rel", "ms", mmr)
+            .orderBy(F.col("mmr").desc(), F.col("id").asc())
+            .first()
+        )
+        if row is None:
+            break
+        picked.append((rank, row.id, row.rel, row.ms, row.mmr))
+        sel_v = F.array(*[F.lit(float(x)) for x in row.v])
+        sim = F.round(cosine(F.col("v"), sel_v) * 1e6, 0).cast("bigint")
+        cand = (
+            cand.filter(F.col("id") != int(row.id))
+            .withColumn("ms", F.greatest(F.col("ms"), sim))
+        )
+    return spark.createDataFrame(
+        picked,
+        "rank int, vec_id long, rel_e6 long, maxsim_e6 long, mmr long",
+    )

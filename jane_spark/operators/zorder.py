@@ -1,0 +1,100 @@
+"""Z-order (Morton-curve) layout keys — multi-dimensional data
+clustering for scan pruning (round 10).
+
+The lakehouse staple (Delta/Iceberg `ZORDER BY`): interleave the bits
+of several normalized columns so rows close in EVERY dimension land
+close on the curve; files/buckets written in z-key ranges then serve
+range predicates on ANY of the dimensions with bounded file overlap —
+the multi-column generalization of sorting by one column, which prunes
+perfectly on that column and not at all on the others.
+
+Everything here is integer-exact: values min-max-normalize to a fixed
+bit width with integer arithmetic, the interleave is a fixed fold of
+shift/mask terms (whole-stage codegen), so an independent engine
+replays keys bit-for-bit. The min/max normalization bounds come from
+one tiny aggregate broadcast back into the projection — at 100 TB
+that's a two-pass scan (bounds, then keys), the same shape every
+stats-based layout job has; bounds can also be supplied from catalog
+statistics to make it one pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def interleave_bits(cols: list[Column], bits: int = 16) -> Column:
+    """Morton interleave of ``len(cols)`` already-normalized integer
+    columns (each in [0, 2^bits)): bit b of column i lands at output
+    bit ``b * n + i``. Fixed expression fold — n*bits shift/mask terms,
+    all codegen; n * bits must fit a BIGINT (<= 63)."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("need >= 2 columns to interleave")
+    if n * bits > 63:
+        raise ValueError(f"{n} cols x {bits} bits exceeds BIGINT")
+    out = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        x = c.cast("long")
+        for b in range(bits):
+            out = out.bitwiseOR(
+                F.shiftleft(
+                    F.shiftrightunsigned(x, b).bitwiseAND(F.lit(1)),
+                    b * n + i,
+                )
+            )
+    return out
+
+
+def zorder_keys(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+) -> DataFrame:
+    """Append ``zkey``: the Morton key over ``cols`` after integer
+    min-max normalization of each column to [0, 2^bits). Normalization
+    is ``((v - min) * (2^bits - 1)) div max(max - min, 1)`` — pure
+    BIGINT, so keys are engine-portable. Constant columns normalize to
+    0 (div guard). Two jobs: one bounds aggregate (a handful of longs,
+    broadcast as literals via collect — the IVF-centroid bounded-
+    collect contract), one projection."""
+    top = (1 << bits) - 1
+    bounds = df.agg(
+        *[F.min(F.col(c).cast("long")).alias(f"mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("long")).alias(f"mx_{i}") for i, c in enumerate(cols)],
+    ).first()
+    norm = []
+    for i, c in enumerate(cols):
+        mn = int(bounds[f"mn_{i}"])
+        rng = max(int(bounds[f"mx_{i}"]) - mn, 1)
+        norm.append(
+            F.expr(
+                f"(({'`' + c + '`'} - CAST({mn} AS BIGINT)) * {top}) "
+                f"div CAST({rng} AS BIGINT)"
+            )
+        )
+    return df.withColumn("zkey", interleave_bits(norm, bits))
+
+
+def zorder_buckets(
+    df: DataFrame,
+    cols: list[str],
+    n_buckets: int,
+    bits: int = 16,
+) -> DataFrame:
+    """Bucket assignment for a z-ordered layout: equal-width slices of
+    the key space (``zbucket = zkey div (keyspace / n_buckets)``).
+    Write with ``.repartition('zbucket').write.partitionBy('zbucket')``
+    and range predicates on ANY participating column prune buckets via
+    partition filters (plan-guard pytest). Equal-width (not
+    equi-depth) keeps the bucket function data-independent so
+    incremental ingest lands in stable buckets; combine with P17's
+    equi-depth splits when balance matters more than stability."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    n = len(cols)
+    width = max((1 << (n * bits)) // n_buckets, 1)
+    return zorder_keys(df, cols, bits).withColumn(
+        "zbucket", F.expr(f"zkey div CAST({width} AS BIGINT)")
+    )
