@@ -86,6 +86,10 @@ VERIFY_FIRST: list[str] = [
     "q_b13_gridjoin_salted",
     "q_k33_mmr",
     "q_p18_zorder",
+    "q_k34_textrank",
+    "q_k35_zipf",
+    "q_d22_bottomk",
+    "q_a11_jsonl",
     # (d) stale r5 tail, registration order
     "q_d8_cube",
     "q_e3_cumsum",
@@ -100,10 +104,6 @@ VERIFY_FIRST: list[str] = [
     "q_g2_intersect",
     "q_g3_except",
     "q_h1_ts_parse",
-    "q_h3_seedid",
-    "q_h4_regex",
-    "q_h8_array",
-    "q_h9_tojson",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

@@ -1004,3 +1004,34 @@ def q_d14(spark, sf_dir):
         F.round(F.stddev_samp("l_discount"), 6).alias("sd_disc"),
         F.round(F.var_pop("l_quantity"), 4).alias("var_qty"),
     )
+
+
+@contract(
+    "q_d22_bottomk",
+    oracle="""
+        WITH h AS (SELECT lang, doc_id,
+                          CAST(concat('0x', substr(md5(concat('bk:',
+                              CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                              AS hv
+                   FROM documents)
+        SELECT lang, doc_id,
+               CAST(row_number() OVER (PARTITION BY lang
+                                       ORDER BY hv ASC, doc_id ASC)
+                    AS BIGINT) AS rk
+        FROM h
+        QUALIFY rk <= 5
+    """,
+    survey_rows="D22,K1,P2",
+    doc="deterministic per-group bottom-k sample "
+    "(functions.sampling.bottom_k_sample): the 5 rows with smallest "
+    "salted md5 hash per language — the MERGEABLE alternative to "
+    "reservoir sampling (bottom-k sets compose under union, so "
+    "shard-local samples merge into the exact global sample and "
+    "re-runs reproduce it byte-for-byte; KMV's keep-the-rows twin). "
+    "One hash projection + one per-group rank window",
+)
+def q_d22(spark, sf_dir):
+    from jane_spark.functions.sampling import bottom_k_sample
+
+    docs = Catalog(spark, sf_dir).documents
+    return bottom_k_sample(docs, ["lang"], "doc_id", k=5)

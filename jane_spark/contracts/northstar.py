@@ -1554,20 +1554,31 @@ def q_k10_keep_best(spark, sf_dir):
     )
 
 
-def _pagerank_oracle(iters: int = 5, num: int = 85, den: int = 100) -> str:
-    """Unrolled integer PageRank twin (the suffixed-CTE-chain
-    discipline from the Lloyd/PQ oracles): iteration i's CTEs are
-    c{i}/d{i}/r{i}, every value BIGINT, every division integer."""
-    scale = 10**9
-    parts = [
-        f"""
-WITH tr AS (SELECT user_id,
+_EVENT_EDGES_SQL = """tr AS (SELECT user_id,
                    lag(event_type) OVER (PARTITION BY user_id
                                          ORDER BY ts, event_id) AS src,
                    event_type AS dst
             FROM events),
 ed AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
-       FROM tr WHERE src IS NOT NULL GROUP BY src, dst),
+       FROM tr WHERE src IS NOT NULL GROUP BY src, dst)"""
+
+
+def _pagerank_oracle(
+    iters: int = 5,
+    num: int = 85,
+    den: int = 100,
+    edges_sql: str | None = None,
+    final_sql: str | None = None,
+) -> str:
+    """Unrolled integer PageRank twin (the suffixed-CTE-chain
+    discipline from the Lloyd/PQ oracles): iteration i's CTEs are
+    c{i}/d{i}/r{i}, every value BIGINT, every division integer.
+    ``edges_sql`` supplies the graph (CTEs ending in ``ed(src, dst,
+    w)``); ``final_sql`` overrides the rank readout."""
+    scale = 10**9
+    parts = [
+        f"""
+WITH {edges_sql or _EVENT_EDGES_SQL},
 nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
 nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
 outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM ed GROUP BY src),
@@ -1594,7 +1605,8 @@ r{i} AS (SELECT n0.node,
         FROM nodes n0 LEFT JOIN c{i} ON c{i}.node = n0.node)"""
         )
     parts.append(
-        f"""
+        final_sql
+        or f"""
 SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r{iters}"""
     )
     return "".join(parts)
@@ -1622,6 +1634,94 @@ def q_k27_pagerank(spark, sf_dir):
 
     ev = Catalog(spark, sf_dir).events
     return pagerank(event_transition_edges(ev), weight="w")
+
+
+@contract(
+    "q_k35_zipf",
+    oracle="""
+        WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok
+                     FROM documents),
+        vocab AS (SELECT tok, count(*) AS cnt FROM tok
+                  WHERE tok <> '' GROUP BY tok),
+        pts AS (SELECT ln(CAST(row_number() OVER (
+                            ORDER BY cnt DESC, tok ASC) AS DOUBLE)) AS x,
+                       ln(CAST(cnt AS DOUBLE)) AS y,
+                       cnt
+                FROM vocab),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(x * y) AS sxy, sum(x * x) AS sxx
+              FROM pts)
+        SELECT n AS n_types, n_tokens,
+               CAST(round((n * sxy - sx * sy)
+                          / (n * sxx - sx * sx) * 1000000, 0) AS BIGINT)
+                   AS slope_e6,
+               CAST(round((sy - (n * sxy - sx * sy)
+                                / (n * sxx - sx * sx) * sx)
+                          / n * 1000000, 0) AS BIGINT) AS intercept_e6
+        FROM a
+    """,
+    survey_rows="K35,K4,K32",
+    doc="Zipf's-law rank-frequency fit (functions.text.zipf_fit): OLS "
+    "slope/intercept of ln(freq) vs ln(rank) over the vocabulary — "
+    "the one-row corpus-health metric (natural text ~ slope -1; "
+    "template/duplication flattens the head, OCR noise fattens the "
+    "tail, crawl-to-crawl drift flags distribution shift). One vocab "
+    "shuffle + one vocab-sized sort + one scalar agg; 1e6 fixed-point "
+    "output absorbs float accumulation-order noise",
+)
+def q_k35(spark, sf_dir):
+    from jane_spark.functions.text import zipf_fit
+
+    docs = Catalog(spark, sf_dir).documents
+    return zipf_fit(docs)
+
+
+_WORD_EDGES_SQL = """t AS (SELECT string_split(text, ' ') AS w FROM documents),
+bg AS (SELECT unnest(list_filter(
+           list_transform(range(1, greatest(len(w) - 1, 1) + 1),
+                          i -> struct_pack(a := w[i], b := w[i + 1])),
+           s -> s.a <> '' AND s.b IS NOT NULL AND s.b <> ''
+                AND s.a <> s.b)) AS p
+       FROM t),
+cnt AS (SELECT p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS w
+        FROM bg GROUP BY 1, 2),
+ed AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
+           SELECT a AS src, b AS dst, w FROM cnt
+           UNION ALL SELECT b, a, w FROM cnt)
+       GROUP BY src, dst)"""
+
+
+@contract(
+    "q_k34_textrank",
+    oracle=_pagerank_oracle(
+        edges_sql=_WORD_EDGES_SQL,
+        final_sql="""
+SELECT node AS word, CAST(r AS BIGINT) AS rank_scaled FROM r5
+ORDER BY r DESC, node ASC LIMIT 20""",
+    ),
+    survey_rows="K34,K27,K29",
+    doc="TextRank keyword extraction (Mihalcea & Tarau 2004): "
+    "integer-exact PageRank (operators.pagerank, the q_k27 engine) "
+    "over the symmetric adjacent-word co-occurrence graph "
+    "(operators.pagerank.word_adjacency_edges), top-20 by "
+    "(rank desc, word asc) — graph-centrality keywords beat raw "
+    "frequency because hub words that CONNECT topics outrank merely "
+    "repeated ones. Same unrolled-CTE oracle machinery as q_k27 with "
+    "the graph swapped: the composition is what's new, both halves "
+    "stay bit-exact",
+)
+def q_k34(spark, sf_dir):
+    from jane_spark.operators.pagerank import pagerank, word_adjacency_edges
+
+    docs = Catalog(spark, sf_dir).documents
+    ranks = pagerank(word_adjacency_edges(docs), weight="w")
+    return (
+        ranks.orderBy(F.col("rank_scaled").desc(), F.col("node").asc())
+        .limit(20)
+        .select(F.col("node").alias("word"), "rank_scaled")
+    )
 
 
 @contract(

@@ -1457,6 +1457,67 @@ def q_a7_bytes(spark, sf_dir):
 
 
 @contract(
+    "q_a11_jsonl",
+    oracle="""
+        WITH g AS (SELECT lang, n_chars, doc_id % 7 <> 0 AS ok
+                   FROM documents)
+        SELECT CASE WHEN ok THEN lang ELSE '_corrupt' END AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN ok THEN n_chars ELSE 0 END) AS BIGINT)
+                   AS sum_chars
+        FROM g GROUP BY 1
+    """,
+    survey_rows="A11,A4,I6",
+    doc="JSONL source with corrupt-record QUARANTINE "
+    "(sources/jsonl.read_jsonl_quarantine): documents serialize to "
+    "one-object-per-line JSON files, every 7th line is truncated "
+    "mid-object, and the PERMISSIVE + columnNameOfCorruptRecord read "
+    "recovers typed rows while quarantining the broken raw lines — "
+    "never silently dropping, never failing the batch (the 100 TB "
+    "posture for hand-rolled upstream containers). Goes through REAL "
+    "files and spark.read.json; the oracle derives the good/corrupt "
+    "partition arithmetically (doc_id % 7), so a single mis-parsed "
+    "or mis-quarantined line hash-mismatches",
+)
+def q_a11(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from jane_spark.sources.jsonl import read_jsonl_quarantine
+
+    docs = Catalog(spark, sf_dir).documents
+    line = F.concat(
+        F.lit('{"doc_id":'), F.col("doc_id").cast("string"),
+        F.lit(',"lang":"'), F.col("lang"),
+        F.lit('","n_chars":'), F.col("n_chars").cast("string"),
+        F.lit("}"),
+    )
+    broken = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.substring(line, 1, F.length(line).cast("int") - 5),
+    ).otherwise(line)
+    root = tempfile.mkdtemp(prefix="jane_jsonl_")
+    try:
+        docs.select(broken.alias("value")).write.mode("overwrite").text(root)
+        good, quarantine = read_jsonl_quarantine(
+            spark, root, "doc_id long, lang string, n_chars long"
+        )
+        g = good.groupBy(F.col("lang").alias("bucket")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        q = quarantine.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.lit(0).cast("bigint").alias("sum_chars"),
+        ).select(F.lit("_corrupt").alias("bucket"), "n", "sum_chars")
+        out = g.unionByName(q)
+        out = out.localCheckpoint(eager=True)  # materialize before rmtree
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@contract(
     "q_a10_warc",
     oracle="""
         SELECT doc_id,

@@ -261,3 +261,44 @@ def corpus_shuffle(
         .withColumn("pos", (F.row_number().over(w) - F.lit(1)).cast("bigint"))
         .drop("__h")
     )
+
+
+def bottom_k_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    k: int,
+    salt: str = "bk:",
+) -> DataFrame:
+    """Deterministic per-group k-sample: the k rows whose salted md5
+    hash is smallest within each group — the MERGEABLE alternative to
+    reservoir sampling. Bottom-k sets compose under union (min-k of
+    mins), so shard-local samples merge into the exact global sample,
+    re-runs and re-partitions reproduce it byte-for-byte, and a new
+    ingest batch updates it incrementally (KMV's sample-side twin —
+    same idea, keeps the ROWS instead of the hash sketch). The per-
+    group inspection sample every 100 TB curation pipeline keeps.
+
+    One hash projection + one per-group TOP-K window (rank, not full
+    sort output); ties broken by id. Emits (group_cols..., id, rk).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("__h").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(*group_cols, F.col(id_col), h.alias("__h"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .drop("__h")
+    )

@@ -767,3 +767,51 @@ def vocab_growth(
     return per_batch.select(
         "batch", "n_new", F.sum("n_new").over(w).alias("vocab_cum")
     )
+
+
+def zipf_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Zipf's-law fit over the corpus rank-frequency curve: OLS slope
+    and intercept of ln(freq) against ln(rank) — the one-row corpus
+    health metric (natural text sits near slope −1; templated/
+    duplicated corpora flatten the head, OCR noise fattens the tail;
+    drift between crawls flags distribution shift before any model
+    sees the data).
+
+    One token groupBy (the vocabulary shuffle every corpus stat
+    shares), one row_number sort over the VOCAB table (types, not
+    tokens), one scalar aggregate. Double sums over vocab-sized
+    inputs round to 6 dp in 1e6 fixed point — accumulation-order
+    noise (~1e-12 relative) is far below the rounding grain, so the
+    result is engine-portable (the lsh/mmr cosine precedent).
+    Returns ``(n_types, n_tokens, slope_e6, intercept_e6)``.
+    """
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    pts = vocab.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+        "cnt",
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return agg.select(
+        F.col("n").alias("n_types"),
+        "n_tokens",
+        F.round(slope * 1e6, 0).cast("bigint").alias("slope_e6"),
+        F.round(intercept * 1e6, 0).cast("bigint").alias("intercept_e6"),
+    )

@@ -130,3 +130,47 @@ def event_transition_edges(events: DataFrame) -> DataFrame:
     return tr.groupBy("src", "dst").agg(
         F.count(F.lit(1)).cast("bigint").alias("w")
     )
+
+
+def word_adjacency_edges(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Symmetric word co-occurrence graph from adjacent-token pairs
+    (TextRank's window-2 graph, Mihalcea & Tarau 2004): edge weight =
+    corpus-wide adjacency count, emitted in BOTH directions so the
+    directed PageRank walks an undirected graph; self-loops (repeated
+    words) dropped. One explode + one groupBy — corpus-sized shuffle
+    only on the bigram table, which the vocabulary bounds."""
+    toks = F.split(F.col(text_col), " ")
+    pairs = docs.select(
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.size(toks) - 1, F.lit(1)),
+                    ),
+                    # try_element_at: a 1-token doc generates i=1 with
+                    # no i+1 — NULL (filtered below), not an ANSI
+                    # out-of-bounds error
+                    lambda i: F.struct(
+                        F.try_element_at(toks, i).alias("a"),
+                        F.try_element_at(toks, i + 1).alias("b"),
+                    ),
+                ),
+                lambda s: (s["a"] != "")
+                & (s["b"] != "")
+                & s["b"].isNotNull()
+                & (s["a"] != s["b"]),
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    cnt = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("w")
+    )
+    sym = cnt.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).unionByName(
+        cnt.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+    )
+    return sym.groupBy("src", "dst").agg(F.sum("w").alias("w"))

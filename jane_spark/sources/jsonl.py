@@ -1,0 +1,48 @@
+"""JSONL ingest with corrupt-record quarantine (round 10, A11).
+
+The other ubiquitous corpus container besides WARC/parquet: one JSON
+object per line, usually hand-rolled by upstream producers and
+therefore routinely broken — truncated lines, bad escapes, trailing
+garbage. jane's analogue is its upload path rejecting invalid
+documents into an error state [ref: src/jane/documents — validation on
+PUT, conf=M; SURVEY.md §0 caveat]; the Spark-native translation is
+PERMISSIVE-mode parsing with ``columnNameOfCorruptRecord``: good rows
+flow typed, broken rows are QUARANTINED with their raw bytes intact
+for re-processing — never dropped silently, never failing the batch
+(the 100 TB posture: one bad shard must not kill a 10k-file read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession, path: str, schema: str
+) -> tuple[DataFrame, DataFrame]:
+    """Read JSONL at ``path`` with the given DDL ``schema``; return
+    ``(good, quarantine)``. ``good`` carries the typed columns;
+    ``quarantine`` carries the raw line of every record that failed to
+    parse. PERMISSIVE + corrupt-column is the documented Spark recipe;
+    the quarantine filter requires the corrupt column to be part of
+    the user schema (Spark drops it otherwise)."""
+    full = f"{schema}, {CORRUPT_COL} string"
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+        # Spark refuses corrupt-column-only queries against the raw
+        # source (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — caching the
+        # parsed frame is the documented recipe, and the quarantine
+        # split reads the parse once instead of twice anyway
+        .cache()
+    )
+    good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    quarantine = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw")
+    )
+    return good, quarantine

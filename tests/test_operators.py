@@ -3520,3 +3520,84 @@ def test_zorder_keys_and_partition_pruning(spark, tmp_path):
         .count()
     )
     assert touched <= 4
+
+
+def test_word_adjacency_edges_symmetric(spark):
+    """TextRank graph: symmetric weights, no self-loops, no empties."""
+    from jane_spark.operators.pagerank import word_adjacency_edges
+
+    docs = spark.createDataFrame(
+        [("a b a b", ), ("b c c", ), ("solo", )], ["text"]
+    )
+    edges = {(r.src, r.dst): r.w for r in word_adjacency_edges(docs).collect()}
+    assert edges[("a", "b")] == edges[("b", "a")] == 3
+    assert edges[("b", "c")] == edges[("c", "b")] == 1
+    assert ("c", "c") not in edges  # self-loop dropped
+    assert all(s and d for s, d in edges)
+
+
+def test_zipf_fit_recovers_planted_slope(spark):
+    """A synthetic corpus with exact Zipf counts (freq = N/rank) must
+    fit slope ~ -1 and be deterministic."""
+    from jane_spark.functions.text import zipf_fit
+
+    words = [
+        w
+        for rank in range(1, 51)
+        for w in [f"w{rank:02d}"] * (1200 // rank)
+    ]
+    docs = spark.createDataFrame([(" ".join(words),)], ["text"])
+    row = zipf_fit(docs).collect()[0]
+    assert row.n_types == 50
+    assert -1_100_000 < row.slope_e6 < -900_000  # ~ -1 in 1e6 fixed pt
+    again = zipf_fit(docs).collect()[0]
+    assert tuple(row) == tuple(again)
+
+
+def test_bottom_k_sample_mergeable(spark):
+    """Bottom-k sampling law: the bottom-k of a union equals the
+    bottom-k of the per-shard bottom-k union (mergeability), and
+    re-partitioning never changes the sample."""
+    from jane_spark.functions.sampling import bottom_k_sample
+
+    df = spark.range(1000).select(
+        (F.col("id") % 4).cast("string").alias("g"), F.col("id")
+    )
+    full = {
+        (r.g, r.id)
+        for r in bottom_k_sample(df, ["g"], "id", k=7).collect()
+    }
+    shard_a = df.filter(F.col("id") < 500)
+    shard_b = df.filter(F.col("id") >= 500)
+    pre = bottom_k_sample(shard_a, ["g"], "id", k=7).unionByName(
+        bottom_k_sample(shard_b, ["g"], "id", k=7)
+    ).select("g", "id")
+    merged = {
+        (r.g, r.id)
+        for r in bottom_k_sample(pre, ["g"], "id", k=7).collect()
+    }
+    assert merged == full
+    repart = {
+        (r.g, r.id)
+        for r in bottom_k_sample(df.repartition(13), ["g"], "id", k=7).collect()
+    }
+    assert repart == full
+
+
+def test_read_jsonl_quarantine(spark, tmp_path):
+    """Good lines parse typed; broken lines land in quarantine with
+    their raw bytes intact; nothing is dropped."""
+    from jane_spark.sources.jsonl import read_jsonl_quarantine
+
+    lines = [
+        '{"a": 1, "b": "x"}',
+        '{"a": 2, "b": "y"}',
+        '{"a": 3, "b": ',  # truncated
+        "not json at all",
+    ]
+    p = tmp_path / "in.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    good, quar = read_jsonl_quarantine(spark, str(p), "a long, b string")
+    assert sorted((r.a, r.b) for r in good.collect()) == [(1, "x"), (2, "y")]
+    raws = sorted(r.raw for r in quar.collect())
+    assert raws == sorted(['{"a": 3, "b": ', "not json at all"])
