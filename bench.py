@@ -168,6 +168,19 @@ BENCH_QUERIES = {
     "vocab_growth": "q_k32_vocab",
     "score_calib": "q_t34_score_calib",
     "splits": "q_p17_splits",
+    # round 10
+    "mmr": "q_k33_mmr",
+    "zorder": "q_p18_zorder",
+    "textrank": "q_k34_textrank",
+    "zipf": "q_k35_zipf",
+    "bottomk": "q_d22_bottomk",
+    "jsonl_quarantine": "q_a11_jsonl",
+    "simhash_pairs": "q_k2_simhash",
+    "lsh_6x3": "q_k3_lsh",
+    "langid_udf": "q_t2_langid",
+    "fingerprint64": "q_t3_fingerprint",
+    "unigram_train": "q_k26_unigram_train",
+    "gridjoin_salted": "q_b13_gridjoin_salted",
 }
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
@@ -176,7 +189,25 @@ RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 # iteration with bounded collects — BPE training): the build must sit
 # INSIDE the timed region or the row would time only the final tiny
 # materialization.
-REBUILD_PER_RUN = {"bpe_train"}
+# r10 audit: every operator whose training/fixpoint/bitmap work runs
+# at build (driver loops with bounded collects) was being timed as its
+# final checkpoint read only — 0.02 s rows hiding multi-second builds.
+# All of them now rebuild inside the timed region, per this file's own
+# documented rule. (Pure-lazy plans like semdedup stay prepared-once:
+# their re-runs reuse shuffle outputs, which is ordinary warm-session
+# Spark behavior, not hidden build work.)
+REBUILD_PER_RUN = {
+    "bpe_train",
+    "unigram_train",
+    "pagerank",
+    "textrank",
+    "dbscan",
+    "keep_best",
+    "ivf_pq",
+    "bloom_dedup",
+    "mmr",
+    "jsonl_quarantine",
+}
 
 # Ambient-drift calibration (VERDICT r4 "bench hygiene"): re-measure a
 # few DuckDB baseline rows in the SAME session, interleaved with the
@@ -289,6 +320,18 @@ CALIBRATION = {
     "dataselect_cut": 0.0931,
     "quakeml_parse": 0.1382,
     "stationxml_parse": 0.0021,
+    "mmr": 1.0027,
+    "zorder": 0.1994,
+    "textrank": 5.9166,
+    "zipf": 0.0426,
+    "bottomk": 0.0070,
+    "jsonl_quarantine": 0.0026,
+    "simhash_pairs": 0.6832,
+    "lsh_6x3": 0.3574,
+    "langid_udf": 0.5714,
+    "fingerprint64": 0.0214,
+    "unigram_train": 3.0350,
+    "gridjoin_salted": 2.0814,
     "validation_gate": 0.0067,
     "warc_roundtrip": 0.0111,
 }

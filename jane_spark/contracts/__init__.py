@@ -73,6 +73,11 @@ VERIFY_FIRST: list[str] = [
     # (b) code changed after last driver check
     "q_k24_two_stage",
     "q_a3_quakeml_parse",
+    # (b) r10 perf fixes changed these operators' code (results
+    #     parity-reproven): pagerank edge-table checkpointing,
+    #     dbscan GEMM pair stage
+    "q_k27_pagerank",
+    "q_k16_dbscan",
     # (c) converted from rows-only to oracle-backed this round — their
     #     oracles have never been driver-hash-checked
     "q_k2_simhash",
@@ -102,8 +107,6 @@ VERIFY_FIRST: list[str] = [
     "q_d15_scd2",
     "q_g1_union",
     "q_g2_intersect",
-    "q_g3_except",
-    "q_h1_ts_parse",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

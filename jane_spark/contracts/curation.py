@@ -308,7 +308,10 @@ def q_k16_dbscan(spark, sf_dir):
     from jane_spark.operators.dbscan import dbscan
 
     emb = Catalog(spark, sf_dir).embeddings
-    return dbscan(emb, "vec_id", "embedding", sim_threshold=0.33, min_pts=4)
+    return dbscan(
+        emb, "vec_id", "embedding", sim_threshold=0.33, min_pts=4,
+        method="gemm",
+    )
 
 
 _EMBED_DECONTAM_ORACLE = """

@@ -49,24 +49,37 @@ def dbscan(
     the cosine cut, whose fixture margin is pytest-pinned.
     """
     from jane_spark.operators.components import connected_components
-    from jane_spark.operators.vector import embedding_near_pairs
+    from jane_spark.operators.vector import embedding_near_pairs, gemm_near_pairs
 
     if min_pts < 1:
         raise ValueError("min_pts must be >= 1")
-    pairs = embedding_near_pairs(
-        vectors,
-        id_col,
-        vec_col,
-        threshold=sim_threshold,
-        method=method,
-        n_planes=n_planes,
-        n_tables=n_tables,
-    ).select("a_id", "b_id")
+    if method == "gemm":
+        # same exact pair set as method='exact', vectorized: the
+        # expression-cosine crossJoin evaluates three interpreted
+        # array folds PER PAIR and was measured 10-40x slower (r10)
+        pairs = gemm_near_pairs(
+            vectors, id_col, vec_col, threshold=sim_threshold
+        ).select("a_id", "b_id")
+    else:
+        pairs = embedding_near_pairs(
+            vectors,
+            id_col,
+            vec_col,
+            threshold=sim_threshold,
+            method=method,
+            n_planes=n_planes,
+            n_tables=n_tables,
+        ).select("a_id", "b_id")
     sym = pairs.unionByName(
         pairs.select(
             F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id")
         )
-    )
+        # the symmetric pair table feeds THREE consumers (degree
+        # count, core-core edges, border assignment) and the
+        # components fixpoint below — materialize once instead of
+        # re-running the pair search per consumer (r10: this plus the
+        # GEMM path took the sf0.1 DBSCAN from 124 s to seconds)
+    ).localCheckpoint(eager=True)
     ids = vectors.select(F.col(id_col).cast("long").alias("id"))
     deg = (
         ids.join(

@@ -62,6 +62,12 @@ def pagerank(
         )
         .groupBy("src", "dst")
         .agg(F.sum("w").alias("w"))
+        # checkpoint the aggregated edge table FIRST: everything below
+        # (nodes, outw, the per-iteration dangling probe) derives from
+        # it, and an unchecked lineage re-runs the upstream corpus-
+        # sized edge build once per materialization — measured 7x the
+        # whole-graph cost on the TextRank word graph (r10)
+        .localCheckpoint(eager=True)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -72,7 +78,9 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         raise ValueError("edge table is empty: no nodes to rank")
-    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    outw = e.groupBy("src").agg(F.sum("w").alias("ow")).localCheckpoint(
+        eager=True
+    )
     ew = e.join(outw, "src").localCheckpoint(eager=True)
 
     base = ((den - num) * SCALE) // (den * n)

@@ -1243,3 +1243,88 @@ def mmr_select(
         picked,
         "rank int, vec_id long, rel_e6 long, maxsim_e6 long, mmr long",
     )
+
+
+def gemm_near_pairs(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    round_dp: int | None = 6,
+    n_query_blocks: int = 4,
+    n_corpus_blocks: int = 4,
+) -> DataFrame:
+    """Exact threshold pairs (a_id < b_id, cosine >= threshold) via the
+    block_topk grid-GEMM machinery — the vectorized twin of
+    ``embedding_near_pairs(method='exact')``, whose per-pair
+    higher-order-function cosine is interpreted row-at-a-time and
+    ~10-40x slower (the dbscan lesson, r10). Each (a, b) pair lands in
+    exactly ONE grid cell, so the union of cell outputs is the exact
+    pair set — no dedup stage. Same scale posture as block_topk: one
+    shuffle per side keyed by grid cell, peak task memory one query
+    block + one corpus block, no driver materialization, no broadcast.
+    """
+    n_q, n_c = int(n_query_blocks), int(n_corpus_blocks)
+    if n_q < 1 or n_c < 1:
+        raise ValueError("block counts must be >= 1")
+    thr = float(threshold)
+    base = vectors.select(
+        F.col(id_col).cast("long").alias("__id"), F.col(vec_col).alias("__vec")
+    )
+    qb = F.pmod(F.xxhash64(F.col("__id")), F.lit(n_q)).cast("int")
+    cb = F.pmod(F.xxhash64(F.col("__id")), F.lit(n_c)).cast("int")
+    queries = base.select(
+        "__id",
+        "__vec",
+        qb.alias("__qb"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_c - 1))).alias("__cb"),
+        F.lit(True).alias("__is_q"),
+    )
+    corpus = base.select(
+        "__id",
+        "__vec",
+        F.explode(F.sequence(F.lit(0), F.lit(n_q - 1))).alias("__qb"),
+        cb.alias("__cb"),
+        F.lit(False).alias("__is_q"),
+    )
+    out_schema = "a_id long, b_id long, sim double"
+    empty = pd.DataFrame(
+        {
+            "a_id": pd.Series(dtype="int64"),
+            "b_id": pd.Series(dtype="int64"),
+            "sim": pd.Series(dtype="float64"),
+        }
+    )
+
+    def cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = pdf[pdf["__is_q"]]
+        c = pdf[~pdf["__is_q"]]
+        if q.empty or c.empty:
+            return empty
+        q_ids = q["__id"].to_numpy(dtype=np.int64)
+        qm = np.array(q["__vec"].tolist(), dtype=np.float64)
+        b_ids = c["__id"].to_numpy(dtype=np.int64)
+        bm = np.array(c["__vec"].tolist(), dtype=np.float64)
+        sims = (qm @ bm.T) / (
+            np.sqrt((qm * qm).sum(axis=1))[:, None]
+            * np.sqrt((bm * bm).sum(axis=1))[None, :]
+        )
+        ai, bi = np.nonzero(
+            (sims >= thr) & (q_ids[:, None] < b_ids[None, :])
+        )
+        return pd.DataFrame(
+            {
+                "a_id": q_ids[ai],
+                "b_id": b_ids[bi],
+                "sim": sims[ai, bi],
+            }
+        )
+
+    out = (
+        queries.unionByName(corpus)
+        .groupBy("__qb", "__cb")
+        .applyInPandas(cell, schema=out_schema)
+    )
+    if round_dp is not None:
+        out = out.withColumn("sim", F.round(F.col("sim"), round_dp))
+    return out

@@ -3601,3 +3601,30 @@ def test_read_jsonl_quarantine(spark, tmp_path):
     assert sorted((r.a, r.b) for r in good.collect()) == [(1, "x"), (2, "y")]
     raws = sorted(r.raw for r in quar.collect())
     assert raws == sorted(['{"a": 3, "b": ', "not json at all"])
+
+
+def test_gemm_near_pairs_matches_exact(spark, sf_dir):
+    """The grid-GEMM threshold-pair path must produce the exact pair
+    set and (rounded) sims of the expression-cosine exact path, for
+    any block grid."""
+    from jane_spark.operators.vector import (
+        embedding_near_pairs,
+        gemm_near_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = sorted(
+        tuple(r)
+        for r in embedding_near_pairs(
+            emb, "vec_id", "embedding", threshold=0.33, method="exact"
+        ).collect()
+    )
+    for nq, nc in ((1, 1), (4, 4), (3, 5)):
+        g = sorted(
+            tuple(r)
+            for r in gemm_near_pairs(
+                emb, "vec_id", "embedding", threshold=0.33,
+                n_query_blocks=nq, n_corpus_blocks=nc,
+            ).collect()
+        )
+        assert g == exact, (nq, nc)
