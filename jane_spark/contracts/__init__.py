@@ -87,6 +87,8 @@ VERIFY_FIRST: list[str] = [
     "q_i6_stream_dedup",
     "q_i7_stream_upsert",
     "q_k26_unigram_train",
+    "q_i1_stream_ingest",
+    "q_i8_stream_quality_gate",
     # (c) new contracts this round
     "q_b13_gridjoin_salted",
     "q_k33_mmr",
@@ -105,8 +107,6 @@ VERIFY_FIRST: list[str] = [
     "q_f5_ntile",
     "q_e5_rolling",
     "q_d15_scd2",
-    "q_g1_union",
-    "q_g2_intersect",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

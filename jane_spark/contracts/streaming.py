@@ -48,10 +48,17 @@ def _self_configure(spark, sf_dir):
 
 @contract(
     "q_i1_stream_ingest",
-    oracle=None,  # streaming execution — rows-only smoke via memory sink
+    oracle="""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+    """,
     survey_rows="I1",
     doc="continuous file-arrival ingest: real readStream + availableNow "
-    "trigger + memory sink (streaming/ingest.py)",
+    "trigger + memory sink (streaming/ingest.py). TRUE ORACLE since "
+    "r10 (the q_i10 pattern): availableNow + complete mode over a "
+    "single-file arrival emits exactly the batch group-by, so the "
+    "ingest path itself — schema application, file listing, trigger, "
+    "sink — is hash-checked, not just smoke-run",
 )
 def q_i1(spark, sf_dir):
     _self_configure(spark, sf_dir)
@@ -419,13 +426,33 @@ def q_j5(spark, sf_dir):
 
 @contract(
     "q_i8_stream_quality_gate",
-    oracle=None,  # streaming execution — batch equivalence asserted in
-    # tests/test_streaming.py (the batch twin shares q_p5's oracle logic)
+    oracle="""
+        WITH f AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tok,
+                   len(list_filter(string_split(text, ' '),
+                       t -> list_contains(['data','table','row','value'], t)))
+                       / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                       AS stop_ratio,
+                   CAST(concat('0x', substr(md5(concat('split:',
+                       CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000
+                       AS bucket
+            FROM documents)
+        SELECT CASE WHEN bucket < 8000 THEN 'train'
+                    WHEN bucket < 9000 THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM f WHERE n_tok >= 30 AND stop_ratio <= 0.25
+        GROUP BY 1
+    """,
     survey_rows="I1,P1,K6",
     doc="the training-pipeline quality gate as a STREAM: file-arrival "
     "ingest -> row-local quality features + deterministic hash split "
     "(pure projections, stateless until the final agg) -> per-split "
-    "survivor counts under an availableNow trigger",
+    "survivor counts under an availableNow trigger. TRUE ORACLE since "
+    "r10 (the q_i10 pattern): complete-mode availableNow over one "
+    "file equals the batch gate, whose logic is the q_p5 oracle's "
+    "filter + the q_p1 salted-bucket split — end-to-end hash-checked",
 )
 def q_i8(spark, sf_dir):
     import shutil
