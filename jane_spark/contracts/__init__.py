@@ -97,6 +97,8 @@ VERIFY_FIRST: list[str] = [
     "q_k35_zipf",
     "q_d22_bottomk",
     "q_a11_jsonl",
+    "q_e12_cusum",
+    "q_t36_novelty",
     # (d) stale r5 tail, registration order
     "q_d8_cube",
     "q_e3_cumsum",
@@ -105,8 +107,6 @@ VERIFY_FIRST: list[str] = [
     "q_f3_topk_group",
     "q_f4_longest",
     "q_f5_ntile",
-    "q_e5_rolling",
-    "q_d15_scd2",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

@@ -3071,3 +3071,44 @@ def q_p13(spark, sf_dir):
         ).alias("fp"),
     )
     return corpus_diff_summary(old, new, "doc_id", "fp")
+
+
+@contract(
+    "q_t36_novelty",
+    oracle="""
+        WITH g AS (
+            SELECT DISTINCT doc_id AS id,
+                   unnest(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 2),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1] || ' ' ||
+                            string_split(text, ' ')[i+2])) AS gram
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 3),
+        dfc AS (SELECT gram, count(DISTINCT id) AS df FROM g GROUP BY gram),
+        pd AS (SELECT g.id,
+                      CAST(count(*) AS BIGINT) AS n_grams,
+                      CAST(sum(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS novel
+               FROM g JOIN dfc USING (gram) GROUP BY g.id)
+        SELECT d.doc_id AS id,
+               CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST((10000 * coalesce(pd.novel, 0))
+                    // greatest(coalesce(pd.n_grams, 0), 1) AS BIGINT)
+                   AS novel_e4
+        FROM documents d LEFT JOIN pd ON pd.id = d.doc_id
+    """,
+    survey_rows="T36,T12,T5",
+    doc="per-document n-gram NOVELTY (functions.text.ngram_novelty): "
+    "the fraction of a doc's distinct word trigrams appearing in NO "
+    "other document — high marks fresh content, low marks boilerplate "
+    "/ template spam / memorization-prone near-duplication that "
+    "survives exact dedup (the leave-one-out complement of the "
+    "T12 duplication-coverage signal). One distinct-gram explode + "
+    "one gram-keyed df count + one doc-keyed ratio, 1e4 fixed point",
+)
+def q_t36(spark, sf_dir):
+    from jane_spark.functions.text import ngram_novelty
+
+    docs = Catalog(spark, sf_dir).documents
+    return ngram_novelty(docs, "doc_id", "text", n=3)

@@ -469,3 +469,53 @@ def q_e7(spark, sf_dir):
         ev, "user_id", "ts", "event_type", "event_id",
         ["click", "view", "purchase"],
     )
+
+
+@contract(
+    "q_e12_cusum",
+    oracle="""
+        WITH base AS (SELECT event_type,
+                             CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                             event_id AS id,
+                             CAST(round(value * 100) AS BIGINT) AS c
+                      FROM events),
+        t AS (SELECT *,
+                     sum(c) OVER (PARTITION BY event_type) //
+                         count(*) OVER (PARTITION BY event_type) AS target
+              FROM base),
+        p AS (SELECT event_type, ts_us, id,
+                     sum(c - target) OVER (PARTITION BY event_type
+                                           ORDER BY ts_us, id
+                                           ROWS UNBOUNDED PRECEDING) AS ps
+              FROM t),
+        s AS (SELECT event_type, ts_us,
+                     ps - min(ps) OVER (PARTITION BY event_type
+                                        ORDER BY ts_us, id
+                                        ROWS UNBOUNDED PRECEDING) AS s
+              FROM p),
+        pk AS (SELECT event_type, max(s) AS peak_s FROM s
+               GROUP BY event_type)
+        SELECT s.event_type,
+               CAST(pk.peak_s AS BIGINT) AS peak_s,
+               CAST(min(s.ts_us) AS BIGINT) AS peak_ts_us
+        FROM s JOIN pk ON s.event_type = pk.event_type
+                      AND s.s = pk.peak_s
+        GROUP BY s.event_type, pk.peak_s
+    """,
+    survey_rows="E12,E3,E10",
+    doc="one-sided CUSUM change-point statistic per event_type (Page "
+    "1954, operators.rolling.cusum_drift): the classic upward-drift "
+    "detector, computed via the closed window form s_i = p_i - "
+    "min_{j<=i} p_j over integer-cent deviations from the per-key "
+    "integer mean — ONE sorted-window pass per key (the stalta "
+    "discipline), no sequential recursion. Emits each key's peak "
+    "statistic and its earliest timestamp",
+)
+def q_e12(spark, sf_dir):
+    from jane_spark.operators.rolling import cusum_drift
+
+    ev = Catalog(spark, sf_dir).events
+    return cusum_drift(
+        ev, ["event_type"], "ts", "event_id",
+        F.round(F.col("value") * 100, 0),
+    )

@@ -815,3 +815,60 @@ def zipf_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(slope * 1e6, 0).cast("bigint").alias("slope_e6"),
         F.round(intercept * 1e6, 0).cast("bigint").alias("intercept_e6"),
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    DISTINCT word n-grams that appear in NO other document (df == 1)
+    — high novelty marks genuinely fresh content; low novelty marks
+    boilerplate, template spam, or memorization-prone duplication that
+    survived exact dedup. The leave-one-out complement of the T5/T12
+    duplication signals.
+
+    One n-gram explode (distinct per doc) + one gram-keyed df count +
+    one doc-keyed ratio — the standard inverted-index shuffle pair,
+    vocabulary-bounded on the gram side. Integer 1e4 fixed-point
+    output: ``(id, n_grams, novel_e4)``; docs shorter than n words
+    emit n_grams = 0, novel_e4 = 0 (div guard).
+    """
+    toks = F.split(F.col(text_col), " ")
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            # guard: sequence(1, 0) DESCENDS in Spark — short docs must
+            # yield no grams, not bogus ones
+            F.when(
+                F.size(toks) >= n,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+                    )
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    df_counts = grams.groupBy("gram").agg(
+        F.countDistinct("id").alias("df")
+    )
+    per_doc = (
+        grams.join(df_counts, "gram")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum((F.col("df") == 1).cast("bigint")).alias("novel"),
+        )
+    )
+    ids = docs.select(F.col(id_col).alias("id"))
+    return ids.join(per_doc, "id", "left").select(
+        "id",
+        F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint").alias("n_grams"),
+        F.expr(
+            "(10000 * coalesce(novel, 0)) div greatest(coalesce(n_grams, 0), 1)"
+        ).cast("bigint").alias("novel_e4"),
+    )

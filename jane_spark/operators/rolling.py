@@ -496,3 +496,62 @@ def sta_lta_triggers(
     return scored.where(F.col("ratio_e4") > threshold_e4).select(
         *keys, "id", "ts_us", "ratio_e4"
     )
+
+
+def cusum_drift(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    id_col: str,
+    cents: Column,
+) -> DataFrame:
+    """One-sided CUSUM change-point statistic per series key (Page
+    1954): the classic upward-drift detector over an amplitude/metric
+    stream — flags when a series' level shifts above its own baseline
+    (sensor drift, traffic regime change, corpus-quality drift over
+    ingest order).
+
+    The textbook recursion ``s_i = max(0, s_{i-1} + (x_i - target))``
+    looks inherently sequential, but it has a closed window form:
+    ``s_i = p_i - min_{j<=i} p_j`` with ``p`` the running sum of
+    deviations — so ONE sorted-window pass per key computes the whole
+    statistic (cumsum and running-min share the frame, the stalta
+    discipline). Integer-exact: target = per-key integer mean
+    (``sum div count``), every value BIGINT. Emits one row per key:
+    the peak statistic and its earliest timestamp —
+    ``(keys..., peak_s, peak_ts_us)``.
+    """
+    e = ntz_epoch_us(F.col(ts_col))
+    base = df.select(
+        *[F.col(k) for k in keys],
+        e.cast("long").alias("ts_us"),
+        F.col(id_col).cast("long").alias("id"),
+        cents.cast("bigint").alias("__c"),
+    )
+    kw = Window.partitionBy(*keys)
+    # integer target (sum div count) — floor-exact BIGINT, no float
+    with_t = base.withColumn("__sum", F.sum("__c").over(kw)).withColumn(
+        "__n", F.count(F.lit(1)).over(kw)
+    ).withColumn(
+        "__target", F.expr("__sum div __n").cast("bigint")
+    ).drop("__sum", "__n")
+    ow = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("ts_us").asc(), F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dev = F.col("__c") - F.col("__target")
+    p = F.sum(dev).over(ow)
+    s = (p - F.min(p).over(ow)).alias("s")
+    scored = with_t.select(*keys, "ts_us", F.col("__c"), s)
+    peak = scored.groupBy(*keys).agg(F.max("s").alias("peak_s"))
+    first_peak = (
+        scored.join(peak, keys)
+        .filter(F.col("s") == F.col("peak_s"))
+        .groupBy(*keys)
+        .agg(
+            F.max("s").cast("bigint").alias("peak_s"),
+            F.min("ts_us").cast("bigint").alias("peak_ts_us"),
+        )
+    )
+    return first_peak

@@ -3628,3 +3628,53 @@ def test_gemm_near_pairs_matches_exact(spark, sf_dir):
             ).collect()
         )
         assert g == exact, (nq, nc)
+
+
+def test_cusum_drift_detects_planted_shift(spark):
+    """A series flat at 100 that jumps to 200 halfway must peak at the
+    end with statistic ~ (shift/2)*n/2; a flat series peaks near 0."""
+    from jane_spark.operators.rolling import cusum_drift
+
+    rows = []
+    for i in range(100):
+        rows.append(("shift", 1_700_000_000 + i, i, 100 if i < 50 else 200))
+        rows.append(("flat", 1_700_000_000 + i, i, 150))
+    df = spark.createDataFrame(
+        rows, ["k", "sec", "eid", "cents"]
+    ).select(
+        "k",
+        F.timestamp_seconds(F.col("sec")).cast("timestamp_ntz").alias("ts"),
+        "eid",
+        "cents",
+    )
+    got = {
+        r.k: r
+        for r in cusum_drift(
+            df, ["k"], "ts", "eid", F.col("cents")
+        ).collect()
+    }
+    assert got["flat"].peak_s == 0
+    # target = 150; second half accumulates +50/step for 50 steps
+    assert got["shift"].peak_s == 50 * 50
+    # the peak lands on the last timestamp of the drift
+    assert got["shift"].peak_ts_us == (1_700_000_000 + 99) * 1_000_000
+
+
+def test_ngram_novelty_boilerplate_vs_fresh(spark):
+    """A doc duplicated verbatim has novelty 0; a unique doc has
+    novelty 10000; short docs emit 0 grams without erroring."""
+    from jane_spark.functions.text import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the same boilerplate text again and again"),
+            (2, "the same boilerplate text again and again"),
+            (3, "completely fresh unique content never repeated anywhere"),
+            (4, "too short"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.id: r for r in ngram_novelty(docs, "doc_id", "text").collect()}
+    assert got[1].novel_e4 == 0 and got[2].novel_e4 == 0
+    assert got[3].novel_e4 == 10000
+    assert got[4].n_grams == 0 and got[4].novel_e4 == 0
