@@ -99,6 +99,7 @@ VERIFY_FIRST: list[str] = [
     "q_a11_jsonl",
     "q_e12_cusum",
     "q_t36_novelty",
+    "q_k36_hardneg",
     # (d) stale r5 tail, registration order
     "q_d8_cube",
     "q_e3_cumsum",
@@ -106,7 +107,6 @@ VERIFY_FIRST: list[str] = [
     "q_f2_page",
     "q_f3_topk_group",
     "q_f4_longest",
-    "q_f5_ntile",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

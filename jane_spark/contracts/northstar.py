@@ -1678,6 +1678,44 @@ def q_k35(spark, sf_dir):
     return zipf_fit(docs)
 
 
+@contract(
+    "q_k36_hardneg",
+    oracle="""
+        WITH v AS (SELECT vec_id AS id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE))
+                              AS v
+                   FROM embeddings),
+        pr AS (SELECT a.id AS a_id, b.id AS b_id,
+                      round(list_cosine_similarity(a.v, b.v), 6) AS sim
+               FROM v a JOIN v b ON a.id <> b.id
+               WHERE list_cosine_similarity(a.v, b.v) >= 0.3),
+        band AS (SELECT * FROM pr WHERE sim < 0.85),
+        rk AS (SELECT *, CAST(row_number() OVER (
+                   PARTITION BY a_id ORDER BY sim DESC, b_id ASC)
+                   AS INTEGER) AS rank
+               FROM band)
+        SELECT a_id, b_id, sim, rank FROM rk WHERE rank <= 5
+    """,
+    survey_rows="K36,K3,K8",
+    doc="HARD-NEGATIVE mining for retrieval/embedding training "
+    "(operators.vector.hard_negative_topk): per vector, the top-5 "
+    "neighbors with cosine in the hard band [0.3, 0.85) — similar "
+    "enough to teach the contrastive margin, below the near-dup cut "
+    "(a near-duplicate used as a negative is a FALSE negative and "
+    "poisons the loss). Candidates via the grid-GEMM pair search "
+    "(one pass, symmetric); band + ranking on 6 dp-rounded sims "
+    "(engine-stable), neighbor-id ties. The oracle runs the direct "
+    "all-pairs band query — an independent formulation",
+)
+def q_k36(spark, sf_dir):
+    from jane_spark.operators.vector import hard_negative_topk
+
+    emb = Catalog(spark, sf_dir).embeddings
+    return hard_negative_topk(
+        emb, "vec_id", "embedding", k=5, low=0.3, dup_threshold=0.85
+    )
+
+
 _WORD_EDGES_SQL = """t AS (SELECT string_split(text, ' ') AS w FROM documents),
 bg AS (SELECT unnest(list_filter(
            list_transform(range(1, greatest(len(w) - 1, 1) + 1),

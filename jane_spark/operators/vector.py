@@ -1328,3 +1328,47 @@ def gemm_near_pairs(
     if round_dp is not None:
         out = out.withColumn("sim", F.round(F.col("sim"), round_dp))
     return out
+
+
+def hard_negative_topk(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    low: float = 0.3,
+    dup_threshold: float = 0.85,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training: for each
+    vector, the top-k neighbors whose cosine lies in the HARD BAND
+    [low, dup_threshold) — similar enough to teach the margin,
+    below the near-duplicate cut (a near-dup used as a negative is a
+    FALSE negative and poisons the contrastive loss; cf. the dense
+    retrieval literature on BM25/ANN-mined negatives).
+
+    Candidates come from the grid-GEMM pair search (one pass, both
+    directions by symmetry); the band test and ranking run on sims
+    ROUNDED to ``round_dp`` first (the embed_decontam discipline), so
+    the selected set is engine-stable; ties break on neighbor id.
+    Emits ``(a_id, b_id, sim, rank)`` — one row per kept negative.
+    """
+    if not 0.0 <= low < dup_threshold:
+        raise ValueError("need 0 <= low < dup_threshold")
+    pairs = gemm_near_pairs(
+        vectors, id_col, vec_col, threshold=low, round_dp=round_dp
+    )
+    both = pairs.unionByName(
+        pairs.select(
+            F.col("b_id").alias("a_id"),
+            F.col("a_id").alias("b_id"),
+            "sim",
+        )
+    )
+    band = both.filter(F.col("sim") < dup_threshold)
+    w = Window.partitionBy("a_id").orderBy(
+        F.col("sim").desc(), F.col("b_id").asc()
+    )
+    return (
+        band.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -3678,3 +3678,25 @@ def test_ngram_novelty_boilerplate_vs_fresh(spark):
     assert got[1].novel_e4 == 0 and got[2].novel_e4 == 0
     assert got[3].novel_e4 == 10000
     assert got[4].n_grams == 0 and got[4].novel_e4 == 0
+
+
+def test_hard_negative_topk_band_semantics(spark, sf_dir):
+    """Every mined negative sits inside [low, dup_threshold); nothing
+    above the dup cut leaks in; ranks are dense per query; and the
+    selection is symmetric-pair derived (a appears as b's negative
+    when both pass the band)."""
+    from jane_spark.operators.vector import hard_negative_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = hard_negative_topk(
+        emb, "vec_id", "embedding", k=5, low=0.3, dup_threshold=0.85
+    ).collect()
+    assert out
+    for r in out:
+        assert 0.3 - 1e-6 <= r.sim < 0.85
+        assert 1 <= r.rank <= 5
+    by_a = {}
+    for r in out:
+        by_a.setdefault(r.a_id, []).append(r.rank)
+    for ranks in by_a.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
