@@ -181,6 +181,9 @@ BENCH_QUERIES = {
     "fingerprint64": "q_t3_fingerprint",
     "unigram_train": "q_k26_unigram_train",
     "gridjoin_salted": "q_b13_gridjoin_salted",
+    "cusum": "q_e12_cusum",
+    "novelty": "q_t36_novelty",
+    "hardneg": "q_k36_hardneg",
 }
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
@@ -334,6 +337,9 @@ CALIBRATION = {
     "gridjoin_salted": 2.0814,
     "validation_gate": 0.0067,
     "warc_roundtrip": 0.0111,
+    "cusum": 0.1719,
+    "novelty": 1.2245,
+    "hardneg": 0.3693,
 }
 
 
