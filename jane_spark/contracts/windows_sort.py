@@ -305,6 +305,9 @@ def q_e10_stalta(spark, sf_dir):
         sta_n=5,
         lta_n=50,
         threshold_e4=15000,
+        # the fixture has FIVE keys: an 8-partition key layout removes
+        # the 27 empty window tasks (see the operator's hint note)
+        n_partitions=8,
     )
 
 

@@ -440,6 +440,7 @@ def sta_lta_triggers(
     sta_n: int,
     lta_n: int,
     threshold_e4: int,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Classic STA/LTA trigger detection (Allen 1978; the ObsPy
     ``classic_sta_lta`` staple): per series key, the ratio of the
@@ -469,6 +470,15 @@ def sta_lta_triggers(
         F.col(id_col).cast("long").alias("id"),
         cents.cast("bigint").alias("__c"),
     )
+    if n_partitions is not None:
+        # low-key-cardinality hint: an explicit k-partition hash layout
+        # satisfies the window's ClusteredDistribution (which accepts
+        # ANY partition count), so the window stage runs k full tasks
+        # instead of shuffle.partitions tasks that are mostly EMPTY —
+        # measured 0.24 s → 0.15 s on the 5-key sf0.1 fixture (r10).
+        # Leave None at scale: with thousands of keys the default
+        # shuffle + AQE coalescing is the right layout.
+        base = base.repartition(n_partitions, *keys)
     order = [F.col("ts_us").asc(), F.col("id").asc()]
     wsta = (
         Window.partitionBy(*keys)
