@@ -75,9 +75,11 @@ VERIFY_FIRST: list[str] = [
     "q_a3_quakeml_parse",
     # (b) r10 perf fixes changed these operators' code (results
     #     parity-reproven): pagerank edge-table checkpointing,
-    #     dbscan GEMM pair stage
+    #     dbscan GEMM pair stage, bloom bit-expression column-API
+    #     rewrite
     "q_k27_pagerank",
     "q_k16_dbscan",
+    "q_k15_bloom_dedup",
     # (c) converted from rows-only to oracle-backed this round — their
     #     oracles have never been driver-hash-checked
     "q_k2_simhash",
@@ -106,7 +108,6 @@ VERIFY_FIRST: list[str] = [
     "q_f1_order_limit",
     "q_f2_page",
     "q_f3_topk_group",
-    "q_f4_longest",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 
