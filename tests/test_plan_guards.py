@@ -415,6 +415,12 @@ _PANDAS_ALLOWED = {
     # space is the same Arrow block-GEMM; the full-dim re-score and
     # the projection itself are pure JVM (r9)
     "q_k24_jl",
+    # hard-negative mining scores candidates through the same Arrow
+    # grid-GEMM stage as block_topk (r10; q_k16_dbscan uses the same
+    # stage but checkpoints the pair table, so its final plan no
+    # longer shows the Python marker — the stage is the same one this
+    # row keeps visible)
+    "q_k36_hardneg",
     # XML validation has no JVM expression — the ElementTree pandas
     # UDF IS the operator under test (r8 ingest gate)
     "q_a3_validation_gate",
