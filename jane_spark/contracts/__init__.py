@@ -102,12 +102,12 @@ VERIFY_FIRST: list[str] = [
     "q_e12_cusum",
     "q_t36_novelty",
     "q_k36_hardneg",
+    "q_k37_overlap_matrix",
     # (d) stale r5 tail, registration order
     "q_d8_cube",
     "q_e3_cumsum",
     "q_f1_order_limit",
     "q_f2_page",
-    "q_f3_topk_group",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

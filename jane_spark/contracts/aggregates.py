@@ -1035,3 +1035,71 @@ def q_d22(spark, sf_dir):
 
     docs = Catalog(spark, sf_dir).documents
     return bottom_k_sample(docs, ["lang"], "doc_id", k=5)
+
+
+@contract(
+    "q_k37_overlap_matrix",
+    oracle="""
+        WITH t AS (SELECT source AS g,
+                          unnest(list_distinct(list_transform(
+                              generate_series(1,
+                                  len(string_split(text, ' ')) - 2),
+                              i -> string_split(text, ' ')[i] || ' ' ||
+                                   string_split(text, ' ')[i+1] || ' ' ||
+                                   string_split(text, ' ')[i+2]))) AS item
+                   FROM documents
+                   WHERE len(string_split(text, ' ')) >= 3),
+        base AS (SELECT DISTINCT g,
+                        CAST(concat('0x', substr(md5('kmv:' || item), 1, 8))
+                            AS BIGINT) AS h
+                 FROM t),
+        sk AS (SELECT g, h FROM (
+                   SELECT g, h, row_number() OVER (
+                       PARTITION BY g ORDER BY h ASC) AS rk
+                   FROM base) WHERE rk <= 32),
+        pairs AS (SELECT a.g AS g_a, b.g AS g_b
+                  FROM (SELECT DISTINCT g FROM sk) a,
+                       (SELECT DISTINCT g FROM sk) b
+                  WHERE a.g < b.g),
+        u AS (SELECT p.g_a, p.g_b, s.h, 1 AS ia, 0 AS ib
+              FROM pairs p JOIN sk s ON s.g = p.g_a
+              UNION ALL
+              SELECT p.g_a, p.g_b, s.h, 0, 1
+              FROM pairs p JOIN sk s ON s.g = p.g_b),
+        m AS (SELECT g_a, g_b, h, max(ia) AS ia, max(ib) AS ib
+              FROM u GROUP BY g_a, g_b, h),
+        kept AS (SELECT * FROM (
+                     SELECT *, row_number() OVER (
+                         PARTITION BY g_a, g_b ORDER BY h ASC) AS rk
+                     FROM m) WHERE rk <= 32)
+        SELECT g_a, g_b,
+               CAST(count(*) AS BIGINT) AS k_used,
+               CAST(max(h) AS BIGINT) AS theta,
+               CAST(sum(ia * ib) AS BIGINT) AS rho,
+               CAST((sum(ia * ib) * 10000) // greatest(count(*), 1)
+                    AS BIGINT) AS jaccard_e4
+        FROM kept GROUP BY g_a, g_b
+    """,
+    survey_rows="K37,D3,T5",
+    doc="cross-source OVERLAP MATRIX from per-group KMV sketches "
+    "(operators.sketch.kmv_overlap_matrix): pairwise theta-sketch "
+    "Jaccard estimates over every source pair's distinct-trigram "
+    "sets — 'which sources copy from each other', the corpus-"
+    "governance statistic behind mixture dedup and license auditing, "
+    "in ONE bounded pass (|groups|×k sketch rows, two equi-joins, "
+    "one (pair, h) re-rank — no driver loop over pairs, no all-pairs "
+    "document scan). Same integer arithmetic as q_d3_kmv_ops, "
+    "generalized from one pair to the matrix",
+)
+def q_k37(spark, sf_dir):
+    from jane_spark.functions.text import shingles
+    from jane_spark.operators.sketch import kmv_overlap_matrix
+
+    docs = Catalog(spark, sf_dir).documents
+    items = docs.select(
+        F.col("source"),
+        F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias(
+            "item"
+        ),
+    )
+    return kmv_overlap_matrix(items, "source", "item", k=32)

@@ -27,7 +27,7 @@ from collections import Counter
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -446,4 +446,77 @@ def cms_query(
         F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("bigint"))).alias(
             "est_count"
         )
+    )
+
+
+def kmv_overlap_matrix(
+    items: DataFrame,
+    group_col: str,
+    item_col: str,
+    k: int = 32,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Pairwise corpus-overlap matrix from per-group KMV sketches —
+    'which sources copy from each other' in ONE bounded pass: for
+    every unordered group pair, the theta-sketch Jaccard estimate over
+    the groups' bottom-k hash sets (kmv_set_ops generalized from one
+    pair to the full matrix, without a driver loop over pairs).
+
+    Relational shape: one grouped bottom-k rank window builds ALL the
+    sketches (|groups| × k rows — dimension-sized); the pair table is
+    |groups|² / 2 rows of group ids; each side attaches by one
+    equi-join (never an OR-join / nested loop); the union-sketch
+    re-rank and rho count share one (pair, h) groupBy + rank window.
+    Every value BIGINT, identical arithmetic to kmv_set_ops. Emits
+    ``(g_a, g_b, k_used, theta, rho, jaccard_e4)`` per pair a < b.
+    """
+    from jane_spark.operators.dedup import portable_hash32
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h = portable_hash32(
+        F.concat(F.lit(f"{salt}:"), F.col(item_col).cast("string"))
+    )
+    base = (
+        items.where(F.col(item_col).isNotNull())
+        .select(F.col(group_col).alias("g"), h.alias("h"))
+        .distinct()
+    )
+    wk = Window.partitionBy("g").orderBy(F.col("h").asc())
+    sk = (
+        base.withColumn("__rk", F.row_number().over(wk))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+    groups = sk.select("g").distinct()
+    pairs = (
+        groups.select(F.col("g").alias("g_a"))
+        .join(groups.select(F.col("g").alias("g_b")))
+        .where(F.col("g_a") < F.col("g_b"))
+    )
+    ua = pairs.join(sk.withColumnRenamed("g", "g_a"), "g_a").select(
+        "g_a", "g_b", "h",
+        F.lit(1).alias("ia"), F.lit(0).alias("ib"),
+    )
+    ub = pairs.join(sk.withColumnRenamed("g", "g_b"), "g_b").select(
+        "g_a", "g_b", "h",
+        F.lit(0).alias("ia"), F.lit(1).alias("ib"),
+    )
+    merged = (
+        ua.unionByName(ub)
+        .groupBy("g_a", "g_b", "h")
+        .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
+    )
+    wp = Window.partitionBy("g_a", "g_b").orderBy(F.col("h").asc())
+    kept = merged.withColumn("__rk", F.row_number().over(wp)).where(
+        F.col("__rk") <= k
+    )
+    return kept.groupBy("g_a", "g_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_used"),
+        F.max("h").cast("bigint").alias("theta"),
+        F.sum(F.col("ia") * F.col("ib")).cast("bigint").alias("rho"),
+        F.expr(
+            "CAST((sum(ia * ib) * 10000) div greatest(count(1), 1)"
+            " AS BIGINT)"
+        ).alias("jaccard_e4"),
     )

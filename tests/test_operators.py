@@ -3700,3 +3700,25 @@ def test_hard_negative_topk_band_semantics(spark, sf_dir):
         by_a.setdefault(r.a_id, []).append(r.rank)
     for ranks in by_a.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_kmv_overlap_matrix_laws(spark):
+    """Theta-overlap laws: identical groups estimate Jaccard 1 (rho ==
+    k_used); disjoint groups estimate 0; the matrix is a-ordered with
+    one row per unordered pair."""
+    from jane_spark.operators.sketch import kmv_overlap_matrix
+
+    rows = (
+        [("a", f"x{i}") for i in range(200)]
+        + [("b", f"x{i}") for i in range(200)]      # b == a
+        + [("c", f"y{i}") for i in range(200)]      # c disjoint
+    )
+    df = spark.createDataFrame(rows, ["g", "item"])
+    out = {
+        (r.g_a, r.g_b): r
+        for r in kmv_overlap_matrix(df, "g", "item", k=16).collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = out[("a", "b")]
+    assert ab.rho == ab.k_used == 16 and ab.jaccard_e4 == 10000
+    assert out[("a", "c")].rho == 0 and out[("a", "c")].jaccard_e4 == 0
