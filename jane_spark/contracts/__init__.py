@@ -103,11 +103,11 @@ VERIFY_FIRST: list[str] = [
     "q_t36_novelty",
     "q_k36_hardneg",
     "q_k37_overlap_matrix",
+    "q_p19_manifest",
     # (d) stale r5 tail, registration order
     "q_d8_cube",
     "q_e3_cumsum",
     "q_f1_order_limit",
-    "q_f2_page",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

@@ -424,6 +424,52 @@ def q_p18(spark, sf_dir):
 
 
 @contract(
+    "q_p19_manifest",
+    oracle=f"""
+        WITH b AS (
+            SELECT CASE
+                WHEN {_DUCK_BUCKET.format(salt="split:", key="doc_id",
+                                          n=10000)} < 8000 THEN 'train'
+                WHEN {_DUCK_BUCKET.format(salt="split:", key="doc_id",
+                                          n=10000)} < 9000 THEN 'val'
+                ELSE 'test' END AS bucket,
+                doc_id, text
+            FROM documents)
+        SELECT bucket,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                   AS n_tokens,
+               CAST(min(doc_id) AS BIGINT) AS min_id,
+               CAST(max(doc_id) AS BIGINT) AS max_id,
+               CAST(bit_xor(CAST(concat('0x', substr(md5(
+                   'mf:' || CAST(doc_id AS VARCHAR) || ':' || md5(text)),
+                   1, 15)) AS BIGINT)) AS BIGINT) AS fp_xor
+        FROM b GROUP BY bucket
+    """,
+    survey_rows="P19,P1,P7",
+    doc="corpus-release MANIFEST per split bucket "
+    "(functions.sampling.release_manifest): row/token counts, id "
+    "extent, and an ORDER-INDEPENDENT bit_xor content fingerprint of "
+    "salted per-row hashes — two independently-produced releases "
+    "compare shard-by-shard with no sorting (equal xor + equal count "
+    "== identical content set); the release-diff complement of "
+    "q_p13_corpus_diff. One map-side-combinable groupBy",
+)
+def q_p19(spark, sf_dir):
+    from jane_spark.functions.sampling import release_manifest, split_assign
+
+    docs = Catalog(spark, sf_dir).documents
+    b = docs.withColumn(
+        "bucket",
+        split_assign(
+            F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1},
+            salt="split:",
+        ),
+    )
+    return release_manifest(b, "bucket", "doc_id", "text")
+
+
+@contract(
     "q_t2_langid_sql",
     oracle=LANGID_ORACLE,
     survey_rows="K6",

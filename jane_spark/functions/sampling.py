@@ -302,3 +302,53 @@ def bottom_k_sample(
         .filter(F.col("rk") <= k)
         .drop("__h")
     )
+
+
+def release_manifest(
+    df: DataFrame,
+    bucket_col: str,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-bucket release manifest — the audit artifact a corpus
+    release ships next to its shards: row count, token count, id
+    extent, and an ORDER-INDEPENDENT content fingerprint (bit_xor of
+    each row's salted content hash), so two independently-produced
+    releases compare shard-by-shard without sorting anything: equal
+    fingerprints == identical content sets, any single changed /
+    dropped / duplicated-an-even-number-of-times row flips or hides
+    in the xor, which is why the row COUNT rides alongside (count +
+    xor together catch duplication). One groupBy, all map-side
+    combinable; xor never overflows.
+    Emits ``(bucket, n_rows, n_tokens, min_id, max_id, fp_xor)``.
+    """
+    from jane_spark.functions.text import token_count
+
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("mf:"),
+                    F.col(id_col).cast("string"),
+                    F.lit(":"),
+                    F.md5(F.col(text_col)),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        df.groupBy(F.col(bucket_col).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(token_count(F.col(text_col)))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.min(F.col(id_col)).cast("bigint").alias("min_id"),
+            F.max(F.col(id_col)).cast("bigint").alias("max_id"),
+            F.bit_xor(h).alias("fp_xor"),
+        )
+    )

@@ -3722,3 +3722,28 @@ def test_kmv_overlap_matrix_laws(spark):
     ab = out[("a", "b")]
     assert ab.rho == ab.k_used == 16 and ab.jaccard_e4 == 10000
     assert out[("a", "c")].rho == 0 and out[("a", "c")].jaccard_e4 == 0
+
+
+def test_release_manifest_order_independence(spark):
+    """The manifest fingerprint must be invariant to row order and
+    partitioning, and flip on any single-row content change."""
+    from jane_spark.functions.sampling import release_manifest
+
+    rows = [(i, "b0" if i % 2 == 0 else "b1", f"text {i} words here") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "bucket", "text"])
+    m1 = {r.bucket: tuple(r) for r in release_manifest(df, "bucket", "doc_id", "text").collect()}
+    m2 = {
+        r.bucket: tuple(r)
+        for r in release_manifest(
+            df.orderBy(F.col("doc_id").desc()).repartition(7),
+            "bucket", "doc_id", "text",
+        ).collect()
+    }
+    assert m1 == m2
+    changed = df.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 42, F.lit("tampered")).otherwise(F.col("text")),
+    )
+    m3 = {r.bucket: r for r in release_manifest(changed, "bucket", "doc_id", "text").collect()}
+    assert m3["b0"].fp_xor != m1["b0"][5]
+    assert m3["b1"].fp_xor == m1["b1"][5]
