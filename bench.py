@@ -184,6 +184,8 @@ BENCH_QUERIES = {
     "cusum": "q_e12_cusum",
     "novelty": "q_t36_novelty",
     "hardneg": "q_k36_hardneg",
+    "overlap_matrix": "q_k37_overlap_matrix",
+    "manifest": "q_p19_manifest",
 }
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
@@ -340,6 +342,8 @@ CALIBRATION = {
     "cusum": 0.1719,
     "novelty": 1.2245,
     "hardneg": 0.3693,
+    "overlap_matrix": 1.7200,
+    "manifest": 0.0235,
 }
 
 
