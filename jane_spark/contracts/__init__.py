@@ -104,10 +104,10 @@ VERIFY_FIRST: list[str] = [
     "q_k36_hardneg",
     "q_k37_overlap_matrix",
     "q_p19_manifest",
+    "q_k39_ann_audit",
     # (d) stale r5 tail, registration order
     "q_d8_cube",
     "q_e3_cumsum",
-    "q_f1_order_limit",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

@@ -239,6 +239,55 @@ def q_k3_ivf(spark, sf_dir):
     return ivf_topk(emb, "vec_id", "embedding", k=5, n_lists=8, n_probe=3)
 
 
+_ANN_AUDIT_ORACLE = None  # assembled below from the two proven chains
+
+
+def _ann_audit_oracle() -> str:
+    """Compose the q_k3_vector_topk and q_k3_lsh_portable oracles
+    VERBATIM as subqueries — the audit inherits both chains' proven
+    arithmetic and only adds the intersection count."""
+    from jane_spark.contracts.registry import REGISTRY
+
+    exact = REGISTRY["q_k3_vector_topk"].oracle
+    approx = REGISTRY["q_k3_lsh_portable"].oracle
+    return f"""
+        WITH exact AS ({exact}),
+        approx AS ({approx}),
+        hits AS (SELECT e.a_id, count(*) AS n_hits
+                 FROM exact e JOIN approx x
+                   ON e.a_id = x.a_id AND e.b_id = x.b_id
+                 GROUP BY e.a_id),
+        per_q AS (SELECT a_id, CAST(count(*) AS BIGINT) AS n_exact
+                  FROM exact GROUP BY a_id)
+        SELECT p.a_id, p.n_exact,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               CAST((coalesce(h.n_hits, 0) * 10000)
+                    // greatest(p.n_exact, 1) AS BIGINT) AS recall_e4
+        FROM per_q p LEFT JOIN hits h ON h.a_id = p.a_id
+    """
+
+
+@contract(
+    "q_k39_ann_audit",
+    oracle=_ann_audit_oracle(),
+    survey_rows="K39,K3",
+    doc="ANN QUALITY AUDIT as a query (operators.vector."
+    "ann_recall_audit): per-query recall@5 of the portable-plane LSH "
+    "index (q_k3_lsh_portable's 4x2 configuration) against the exact "
+    "GEMM top-5 (q_k3_vector_topk) — the evaluation every ANN "
+    "deployment re-runs per index rebuild, inside the engine so it "
+    "scales, joins metadata, and hash-checks. The oracle composes the "
+    "two PROVEN chains verbatim and adds only the intersection count; "
+    "at 100 TB the exact side runs on a D22 deterministic query "
+    "sample",
+)
+def q_k39(spark, sf_dir):
+    from jane_spark.operators.vector import ann_recall_audit
+
+    emb = Catalog(spark, sf_dir).embeddings
+    return ann_recall_audit(emb, "vec_id", "embedding", k=5)
+
+
 @contract(
     "q_k8_embed_neardup",
     oracle="""

@@ -1372,3 +1372,51 @@ def hard_negative_topk(
         band.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def ann_recall_audit(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """ANN quality audit AS A QUERY: per-query recall@k of the
+    portable-plane LSH index against the exact GEMM top-k — the
+    evaluation every production ANN deployment re-runs after each
+    index rebuild, expressed inside the engine instead of a sidecar
+    script (so it scales with the corpus, joins against metadata, and
+    hash-checks like any other operator).
+
+    Emits one row per query vector: ``(a_id, n_exact, n_hits,
+    recall_e4)``. Both ranking chains are the proven q_k3 operators;
+    the audit itself is one equi-join + one groupBy over two
+    k-row-per-query tables. Exact side is the block-GEMM (never the
+    crossJoin); at 100 TB the exact side runs on a deterministic
+    bottom-k SAMPLE of queries (D22) — recall estimates don't need
+    every query, and the sample is reproducible.
+    """
+    exact = block_topk(vectors, id_col, vec_col, k=k, round_dp=6)
+    approx = lsh_bucketed_topk(
+        vectors, id_col, vec_col, k=k, n_planes=n_planes,
+        n_tables=n_tables, dim=dim, planes="portable",
+    )
+    hits = (
+        exact.select("a_id", "b_id")
+        .join(approx.select("a_id", "b_id"), ["a_id", "b_id"], "left_semi")
+        .groupBy("a_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    per_q = exact.groupBy("a_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    return per_q.join(hits, "a_id", "left").select(
+        "a_id",
+        "n_exact",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+        F.expr(
+            "(coalesce(n_hits, 0) * 10000) div greatest(n_exact, 1)"
+        ).cast("bigint").alias("recall_e4"),
+    )

@@ -3747,3 +3747,24 @@ def test_release_manifest_order_independence(spark):
     m3 = {r.bucket: r for r in release_manifest(changed, "bucket", "doc_id", "text").collect()}
     assert m3["b0"].fp_xor != m1["b0"][5]
     assert m3["b1"].fp_xor == m1["b1"][5]
+
+
+def test_ann_recall_audit_bounds_and_selfcheck(spark, sf_dir):
+    """Recall is in [0, 10000]; auditing the exact index against
+    itself (planes config irrelevant when approx == exact) is not
+    testable directly, but a degenerate check holds: every query has
+    n_exact == 5 on this fixture and n_hits <= n_exact."""
+    from jane_spark.operators.vector import ann_recall_audit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = ann_recall_audit(emb, "vec_id", "embedding", k=5).collect()
+    assert rows
+    for r in rows:
+        assert r.n_exact == 5
+        assert 0 <= r.n_hits <= r.n_exact
+        assert r.recall_e4 == (r.n_hits * 10000) // r.n_exact
+    mean_recall = sum(r.recall_e4 for r in rows) / len(rows)
+    # the 4x2 portable LSH config is the q_k3_lsh_portable operating
+    # point — at 64-bucket granularity it must find SOME true
+    # neighbors but will not be perfect
+    assert 0 < mean_recall < 10000
