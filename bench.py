@@ -186,6 +186,7 @@ BENCH_QUERIES = {
     "hardneg": "q_k36_hardneg",
     "overlap_matrix": "q_k37_overlap_matrix",
     "manifest": "q_p19_manifest",
+    "ann_audit": "q_k39_ann_audit",
 }
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
@@ -344,6 +345,7 @@ CALIBRATION = {
     "hardneg": 0.3693,
     "overlap_matrix": 1.7200,
     "manifest": 0.0235,
+    "ann_audit": 2.5559,
 }
 
 
