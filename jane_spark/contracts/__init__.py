@@ -105,9 +105,9 @@ VERIFY_FIRST: list[str] = [
     "q_k37_overlap_matrix",
     "q_p19_manifest",
     "q_k39_ann_audit",
+    "q_d23_log2_hist",
+    "q_a12_schema_merge",
     # (d) stale r5 tail, registration order
-    "q_d8_cube",
-    "q_e3_cumsum",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

@@ -1103,3 +1103,40 @@ def q_k37(spark, sf_dir):
         ),
     )
     return kmv_overlap_matrix(items, "source", "item", k=32)
+
+
+@contract(
+    "q_d23_log2_hist",
+    oracle="""
+        WITH b AS (SELECT event_type,
+                          CAST(floor(log2(greatest(
+                              CAST(round(value * 100) AS BIGINT), 1)))
+                              AS BIGINT) AS bucket,
+                          CAST(round(value * 100) AS BIGINT) AS c
+                   FROM events)
+        SELECT event_type, bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               min(c) AS min_cents, max(c) AS max_cents
+        FROM b GROUP BY event_type, bucket
+    """,
+    survey_rows="D23,D9",
+    doc="LOG-SCALE (HDR-style) histogram per event_type: bucket = "
+    "floor(log2(cents)) — constant relative resolution across five "
+    "orders of magnitude where the linear q_d9 histogram wastes its "
+    "buckets on the head (the latency-histogram standard). One "
+    "map-side-combinable groupBy; log2 of positive integers is "
+    "boundary-exact at powers of two in both engines",
+)
+def q_d23(spark, sf_dir):
+    ev = Catalog(spark, sf_dir).events
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    bucket = F.floor(F.log2(F.greatest(cents, F.lit(1)))).cast("bigint")
+    return (
+        ev.select("event_type", bucket.alias("bucket"), cents.alias("c"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c").alias("min_cents"),
+            F.max("c").alias("max_cents"),
+        )
+    )

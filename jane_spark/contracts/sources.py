@@ -1457,6 +1457,56 @@ def q_a7_bytes(spark, sf_dir):
 
 
 @contract(
+    "q_a12_schema_merge",
+    oracle="""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_with_chars,
+               CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END)
+                    AS BIGINT) AS sum_chars
+        FROM documents GROUP BY lang
+    """,
+    survey_rows="A12,A4,A9",
+    doc="SCHEMA-EVOLUTION parquet union (the mergeSchema read): an old "
+    "generation written WITHOUT n_chars and a new generation WITH it "
+    "read as ONE table — old rows surface NULL for the added column, "
+    "nothing is rewritten (the additive-column migration every "
+    "long-lived 100 TB corpus store performs; Spark resolves the "
+    "union by FOOTER schema merge, not by rewriting history). Real "
+    "files both generations; the oracle derives the per-generation "
+    "split arithmetically (doc_id parity), so a row landing in the "
+    "wrong generation or a mis-merged column hash-mismatches",
+)
+def q_a12(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    docs = Catalog(spark, sf_dir).documents
+    root = tempfile.mkdtemp(prefix="jane_a12_")
+    try:
+        docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "lang"
+        ).write.parquet(f"{root}/gen=1")
+        docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "lang", "n_chars"
+        ).write.parquet(f"{root}/gen=2")
+        merged = spark.read.option("mergeSchema", "true").parquet(root)
+        out = merged.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("n_chars").isNotNull().cast("bigint")).alias(
+                "n_with_chars"
+            ),
+            F.coalesce(F.sum("n_chars"), F.lit(0))
+            .cast("bigint")
+            .alias("sum_chars"),
+        )
+        return out.localCheckpoint(eager=True)  # materialize pre-rmtree
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@contract(
     "q_a11_jsonl",
     oracle="""
         WITH g AS (SELECT lang, n_chars, doc_id % 7 <> 0 AS ok
