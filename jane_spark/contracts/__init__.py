@@ -42,11 +42,17 @@ VERIFY_FIRST: list[str] = [
     #       round, or added this round — never hash-verified, so they
     #       outrank stale re-verifies (appended as the round
     #       progresses, displacing (d) from its end);
-    #   (d) the stale r5 tail (last driver evidence 5 rounds old),
-    #       registration order, filling to exactly 50.
-    # Into r11 FIRST: whatever of (d) was displaced by (c)
-    # (q_g1_union .. q_k4_tokens — see git history of this list), then
-    # the 46-name r6 block in registration order as it ages.
+    #   (d) the stale r5 tail — fully displaced by (c) this round:
+    #       every slot below is new/converted/changed evidence.
+    # Into r11 FIRST: the whole 27-name r5 tail, registration order
+    # (q_d8_cube, q_e3_cumsum, q_f1_order_limit, q_f2_page,
+    # q_f3_topk_group, q_f4_longest, q_f5_ntile, q_e5_rolling,
+    # q_d15_scd2, q_g1_union, q_g2_intersect, q_g3_except,
+    # q_h1_ts_parse, q_h3_seedid, q_h4_regex, q_h8_array, q_h9_tojson,
+    # q_h10_null_epoch, q_g4_intersect_all, q_i2_tumbling,
+    # q_i3_sliding, q_i4_sessionize, q_j2_grouped_map, q_j3_udaf,
+    # q_k2_minhash, q_k2_jaccard, q_k4_tokens), then the 46-name r6
+    # block in registration order as it ages.
     # =================================================================
     # (a) late-r9 contracts, never driver-verified
     "q_d3_kmv_ops",
