@@ -421,6 +421,9 @@ _PANDAS_ALLOWED = {
     # longer shows the Python marker — the stage is the same one this
     # row keeps visible)
     "q_k36_hardneg",
+    # the ANN recall audit's exact leg IS the q_k3_vector_topk Arrow
+    # block-GEMM (r10) — the audit adds only JVM joins on top
+    "q_k39_ann_audit",
     # XML validation has no JVM expression — the ElementTree pandas
     # UDF IS the operator under test (r8 ingest gate)
     "q_a3_validation_gate",
