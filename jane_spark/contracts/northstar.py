@@ -2027,6 +2027,56 @@ def q_t34_score_calib(spark, sf_dir):
 
 
 @contract(
+    "q_p20_curriculum",
+    oracle="""
+        WITH s AS (SELECT doc_id, source, n_chars AS score,
+                          len(string_split(text, ' ')) AS n_tok
+                   FROM documents),
+        r AS (SELECT *, row_number() OVER (PARTITION BY source
+                                           ORDER BY score, doc_id) AS rk,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM s),
+        c AS (SELECT doc_id, source, n_tok,
+                     CAST(CASE WHEN n > 1
+                               THEN ((rk - 1) * 10000) // (n - 1)
+                               ELSE 0 END AS BIGINT) AS pctl_e4
+              FROM r),
+        ph AS (SELECT * FROM (VALUES (0, 7000), (1, 4000), (2, 0))
+                   t(phase, floor_e4))
+        SELECT ph.phase, c.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(c.n_tok) AS BIGINT) AS n_tokens
+        FROM c JOIN ph ON c.pctl_e4 >= ph.floor_e4
+        GROUP BY ph.phase, c.source
+    """,
+    survey_rows="P20,T34,P9",
+    doc="quality-CURRICULUM data schedule (operators.profile."
+    "curriculum_phases): phase p admits every doc whose per-source "
+    "calibrated percentile (q_t34 machinery) clears that phase's "
+    "floor (70% / 40% / 0% here — the annealed-mixture idea: later "
+    "phases admit progressively lower-quality data), emitting the "
+    "per-(phase, source) doc/token quota table a training loader "
+    "consumes — derived deterministically from the corpus, not "
+    "hand-maintained configs. Non-increasing floors make phases "
+    "SUPERSETS of their predecessors (validated), so re-runs never "
+    "drop an early-admitted doc. One calibration shuffle + one "
+    "(phase x group) aggregate",
+)
+def q_p20(spark, sf_dir):
+    from jane_spark.functions.text import token_count
+    from jane_spark.operators.profile import curriculum_phases
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", "source", F.col("n_chars").alias("score"),
+        token_count(F.col("text")).cast("bigint").alias("n_tok"),
+    )
+    return curriculum_phases(
+        docs, ["source"], "score", "doc_id", "n_tok",
+        phase_floors_e4=[7000, 4000, 0],
+    )
+
+
+@contract(
     "q_p17_splits",
     oracle="""
         WITH v AS (SELECT CAST(round(value * 100) AS BIGINT) AS v

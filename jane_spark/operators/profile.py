@@ -309,3 +309,56 @@ def equi_depth_splits(
             f"stack({n_splits}, {stack}) AS (split_idx, boundary)"
         )
     ).select(F.col("split_idx").cast("bigint").alias("split_idx"), "boundary")
+
+
+def curriculum_phases(
+    df: DataFrame,
+    keys: list[str],
+    score: str,
+    id_col: str,
+    token_col: str,
+    phase_floors_e4: list[int],
+) -> DataFrame:
+    """Quality-curriculum data schedule (the annealed-mixture idea:
+    later training phases admit progressively lower-quality data):
+    phase ``p`` admits every row whose per-group calibrated percentile
+    (``percentile_calibrate``) is >= ``phase_floors_e4[p]``, and the
+    schedule reports per (phase, group) admitted doc/token quotas —
+    the table a training loader consumes, derived deterministically
+    from the corpus instead of hand-maintained configs.
+
+    Floors must be non-increasing so phases are SUPERSETS of their
+    predecessors (a doc admitted early never disappears later — the
+    property that keeps data order curricula stable across re-runs).
+    One calibration shuffle + one (phase x group) aggregate over an
+    exploded phase membership (rows replicate only into phases that
+    admit them, <= len(phases) each).
+    Emits ``(phase, keys..., n_docs, n_tokens)``.
+    """
+    if not phase_floors_e4:
+        raise ValueError("need at least one phase floor")
+    if any(
+        a < b for a, b in zip(phase_floors_e4, phase_floors_e4[1:])
+    ):
+        raise ValueError("phase floors must be non-increasing")
+    cal = percentile_calibrate(df, keys, score, id_col)
+    floors = F.array(
+        *[F.lit(int(x)).cast("bigint") for x in phase_floors_e4]
+    )
+    phases = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(len(phase_floors_e4) - 1)),
+            lambda p: F.when(
+                F.col("pctl_e4") >= F.element_at(floors, p + 1), p
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        cal.withColumn("phase", F.explode(phases))
+        .groupBy("phase", *keys)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col(token_col)).cast("bigint").alias("n_tokens"),
+        )
+    )

@@ -3768,3 +3768,38 @@ def test_ann_recall_audit_bounds_and_selfcheck(spark, sf_dir):
     # point — at 64-bucket granularity it must find SOME true
     # neighbors but will not be perfect
     assert 0 < mean_recall < 10000
+
+
+def test_curriculum_phases_superset_law(spark, sf_dir):
+    """Later phases are supersets: per source, n_docs and n_tokens are
+    non-decreasing across phases; the last (floor 0) phase admits the
+    whole source; increasing floors are rejected."""
+    import pytest as _pytest
+
+    from jane_spark.functions.text import token_count
+    from jane_spark.operators.profile import curriculum_phases
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", F.col("n_chars").alias("score"),
+        token_count(F.col("text")).cast("bigint").alias("n_tok"),
+    )
+    out = curriculum_phases(
+        docs, ["source"], "score", "doc_id", "n_tok",
+        phase_floors_e4=[7000, 4000, 0],
+    ).collect()
+    per_src = {}
+    for r in out:
+        per_src.setdefault(r.source, {})[r.phase] = (r.n_docs, r.n_tokens)
+    totals = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for src_name, phases in per_src.items():
+        seq = [phases[p] for p in sorted(phases)]
+        assert seq == sorted(seq), src_name  # non-decreasing
+        assert phases[2][0] == totals[src_name]  # floor 0 admits all
+    with _pytest.raises(ValueError, match="non-increasing"):
+        curriculum_phases(
+            docs, ["source"], "score", "doc_id", "n_tok",
+            phase_floors_e4=[4000, 7000],
+        )
