@@ -358,6 +358,54 @@ def q_k2_containment(spark, sf_dir):
 
 
 @contract(
+    "q_k40_increment_dedup",
+    oracle="""
+        WITH d AS (SELECT doc_id, source,
+                          list_distinct(string_split(text, ' ')) AS toks
+                   FROM documents),
+        newd AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+        old AS (SELECT * FROM d WHERE doc_id % 5 <> 0),
+        en AS (SELECT doc_id, source, len(toks) AS n, unnest(toks) AS tok
+               FROM newd),
+        eo AS (SELECT doc_id, source, unnest(toks) AS tok FROM old),
+        ov AS (SELECT a.doc_id AS id, a.n, b.doc_id AS old_id,
+                      count(*) AS common
+               FROM en a JOIN eo b
+                 ON a.source = b.source AND a.tok = b.tok
+               GROUP BY 1, 2, 3),
+        best AS (SELECT id, n, max(common) AS best_common
+                 FROM ov GROUP BY id, n)
+        SELECT d.doc_id AS id,
+               CAST(len(d.toks) AS BIGINT) AS n_toks,
+               CAST(coalesce(b.best_common, 0) AS BIGINT) AS best_common,
+               100 * coalesce(b.best_common, 0) >= 90 * len(d.toks)
+                   AS is_dup
+        FROM newd d LEFT JOIN best b ON b.id = d.doc_id
+    """,
+    survey_rows="K40,K2,K15",
+    doc="incremental-crawl NEAR-dup gate "
+    "(operators.dedup.containment_dedup_increment) — the fuzzy "
+    "sibling of q_k15's exact Bloom anti-join: a new-batch doc "
+    "(doc_id % 5 here) is dropped when >= 90% of its distinct tokens "
+    "are contained in some EXISTING same-source doc — truncated "
+    "re-crawls / reposts / boilerplate re-skins of stored content "
+    "that exact hashing misses. Cross-table inverted-index equi-join "
+    "on (block, token), candidates bounded by block co-occurrence, "
+    "pure-integer verdict; every new doc emitted with its best "
+    "overlap so the gate is auditable",
+)
+def q_k40(spark, sf_dir):
+    from jane_spark.operators.dedup import containment_dedup_increment
+
+    docs = Catalog(spark, sf_dir).documents
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return containment_dedup_increment(
+        new, corpus, "doc_id", "text", "source", threshold_pct=90
+    )
+
+
+@contract(
     "q_k2_minhash",
     oracle=None,  # LSH banding candidates — rows-only check
     survey_rows="K2",

@@ -790,3 +790,66 @@ def temporal_dedup(
     return survived.where(F.col("__keep")).drop(
         "__us", "__nb", "__b0", "__slot", "__keep"
     )
+
+
+def containment_dedup_increment(
+    new: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    threshold_pct: int = 90,
+) -> DataFrame:
+    """Incremental-crawl NEAR-dup gate, the fuzzy sibling of the K15
+    exact anti-join: a NEW document is dropped when >=
+    ``threshold_pct``% of its distinct tokens are contained in some
+    EXISTING corpus document (same block) — truncated re-crawls,
+    quote-wrapped reposts and boilerplate re-skins of content the
+    store already has, which exact hashing misses entirely.
+
+    Same inverted-index shape as ``containment_pairs`` but CROSS-
+    table: the new batch's token index equi-joins the corpus index on
+    (block, token); candidates are bounded by block co-occurrence,
+    never |new| x |corpus|. Pure-integer verdict. Emits every new doc:
+    ``(id, n_toks, best_common, is_dup)`` — best_common = the largest
+    overlap any single corpus doc achieves (0 when no candidate).
+    """
+    def _index(df: DataFrame, side: str) -> DataFrame:
+        t = df.select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.col(block_col).alias("block"),
+            F.array_distinct(F.split(F.col(text_col), " ")).alias("toks"),
+        )
+        return t.select(
+            f"{side}_id",
+            "block",
+            F.size("toks").alias(f"{side}_n"),
+            F.explode("toks").alias("tok"),
+        )
+
+    a = _index(new, "new")
+    b = _index(corpus, "old")
+    overlap = (
+        a.join(b, ["block", "tok"])
+        .groupBy("new_id", "new_n", "old_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .groupBy("new_id", "new_n")
+        .agg(F.max("common").alias("best_common"))
+    )
+    ids = new.select(
+        F.col(id_col).alias("new_id"),
+        F.size(F.array_distinct(F.split(F.col(text_col), " "))).alias(
+            "new_n"
+        ),
+    )
+    return ids.join(overlap, ["new_id", "new_n"], "left").select(
+        F.col("new_id").alias("id"),
+        F.col("new_n").cast("bigint").alias("n_toks"),
+        F.coalesce(F.col("best_common"), F.lit(0))
+        .cast("bigint")
+        .alias("best_common"),
+        (
+            100 * F.coalesce(F.col("best_common"), F.lit(0))
+            >= threshold_pct * F.col("new_n")
+        ).alias("is_dup"),
+    )

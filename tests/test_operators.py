@@ -3803,3 +3803,33 @@ def test_curriculum_phases_superset_law(spark, sf_dir):
             docs, ["source"], "score", "doc_id", "n_tok",
             phase_floors_e4=[4000, 7000],
         )
+
+
+def test_containment_dedup_increment(spark):
+    """A truncated re-crawl of a stored doc is dropped; fresh content
+    survives; overlap below threshold survives."""
+    from jane_spark.operators.dedup import containment_dedup_increment
+
+    corpus = spark.createDataFrame(
+        [(1, "s", "alpha beta gamma delta epsilon zeta eta theta")],
+        ["doc_id", "source", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "s", "alpha beta gamma delta epsilon"),  # 5/5 contained
+            (11, "s", "totally fresh words nobody stored"),
+            (12, "s", "alpha beta new new2 new3 new4 new5 new6 new7 new8"),
+            (13, "other", "alpha beta gamma delta epsilon"),  # other block
+        ],
+        ["doc_id", "source", "text"],
+    )
+    got = {
+        r.id: r
+        for r in containment_dedup_increment(
+            new, corpus, "doc_id", "text", "source", threshold_pct=90
+        ).collect()
+    }
+    assert got[10].is_dup and got[10].best_common == 5
+    assert not got[11].is_dup and got[11].best_common == 0
+    assert not got[12].is_dup  # 2/10 contained
+    assert not got[13].is_dup  # block mismatch: no candidates
