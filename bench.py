@@ -187,6 +187,8 @@ BENCH_QUERIES = {
     "overlap_matrix": "q_k37_overlap_matrix",
     "manifest": "q_p19_manifest",
     "ann_audit": "q_k39_ann_audit",
+    "curriculum": "q_p20_curriculum",
+    "increment_dedup": "q_k40_increment_dedup",
 }
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
@@ -346,6 +348,8 @@ CALIBRATION = {
     "overlap_matrix": 1.7200,
     "manifest": 0.0235,
     "ann_audit": 2.5559,
+    "curriculum": 0.0209,
+    "increment_dedup": 0.1083,
 }
 
 

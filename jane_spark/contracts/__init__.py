@@ -44,7 +44,11 @@ VERIFY_FIRST: list[str] = [
     #       progresses, displacing (d) from its end);
     #   (d) the stale r5 tail — fully displaced by (c) this round:
     #       every slot below is new/converted/changed evidence.
-    # Into r11 FIRST: the whole 27-name r5 tail, registration order
+    # Into r11 FIRST: the late-r10 contracts registered AFTER this
+    # window filled, never driver-verified (q_p20_curriculum,
+    # q_k40_increment_dedup — both parity-proven at sf0.01 in a
+    # driver-style session), then the whole 27-name r5 tail,
+    # registration order
     # (q_d8_cube, q_e3_cumsum, q_f1_order_limit, q_f2_page,
     # q_f3_topk_group, q_f4_longest, q_f5_ntile, q_e5_rolling,
     # q_d15_scd2, q_g1_union, q_g2_intersect, q_g3_except,
