@@ -29,95 +29,80 @@ from jane_spark.contracts import rest  # noqa: F401  (§2.12 R REST front door, 
 
 VERIFY_FIRST: list[str] = [
     # =================================================================
-    # ROUND 10 ROTATION (VERDICT r9 next-steps #1). Window contents,
+    # ROUND 11 ROTATION (VERDICT r10 next-steps #2). Window contents,
     # in priority order:
-    #   (a) the 21 contracts registered after the r9 window froze —
-    #       never driver-verified (each judge-replicated green at
-    #       sf0.01 in a driver-style parity session);
-    #   (b) the 2 whose code changed after their last driver check:
-    #       q_k24_two_stage (stage-2 norms hoisted out of the per-pair
-    #       cosine — bit-identical sims) and q_a3_quakeml_parse
-    #       (balance repartition added after the r9 window froze);
-    #   (c) contracts converted from rows-only to oracle-backed this
-    #       round, or added this round — never hash-verified, so they
-    #       outrank stale re-verifies (appended as the round
-    #       progresses, displacing (d) from its end);
-    #   (d) the stale r5 tail — fully displaced by (c) this round:
-    #       every slot below is new/converted/changed evidence.
-    # Into r11 FIRST: the late-r10 contracts registered AFTER this
-    # window filled, never driver-verified (q_p20_curriculum,
-    # q_k40_increment_dedup — both parity-proven at sf0.01 in a
-    # driver-style session), then the whole 27-name r5 tail,
-    # registration order
-    # (q_d8_cube, q_e3_cumsum, q_f1_order_limit, q_f2_page,
-    # q_f3_topk_group, q_f4_longest, q_f5_ntile, q_e5_rolling,
-    # q_d15_scd2, q_g1_union, q_g2_intersect, q_g3_except,
-    # q_h1_ts_parse, q_h3_seedid, q_h4_regex, q_h8_array, q_h9_tojson,
-    # q_h10_null_epoch, q_g4_intersect_all, q_i2_tumbling,
-    # q_i3_sliding, q_i4_sessionize, q_j2_grouped_map, q_j3_udaf,
-    # q_k2_minhash, q_k2_jaccard, q_k4_tokens), then the 46-name r6
-    # block in registration order as it ages.
+    #   (a) the 2 late-r10 contracts registered AFTER the r10 window
+    #       froze — never driver-verified (both judge-replicated green
+    #       at sf0.1 in a driver-style parity session);
+    #   (b) contracts whose CODE changed this round and so need a
+    #       fresh driver hash: q_k29_pmi (the r10 red — hashed surface
+    #       re-shaped to the BIGINT count tuple (w1,w2,n_pair,c1,c2,
+    #       nu,nb); the float PMI left the hash entirely) and
+    #       q_e12_cusum (ADVICE fix: the closed form gains the p_0=0
+    #       baseline, s = p - least(0, min(p)), impl + oracle; more
+    #       appended here as the round changes contracts, displacing
+    #       (d) from its end);
+    #   (c) the full 27-name stale-r5 tail, registration order —
+    #       displaced from the r10 window by that round's conversions;
+    #   (d) the head of the 46-name r6 block, registration order.
+    # Into r12: the rest of the r6 block (q_k2_simhash_portable ..
+    # q_t19_normalize, registration order), then the r7 block as it
+    # ages.
     # =================================================================
-    # (a) late-r9 contracts, never driver-verified
-    "q_d3_kmv_ops",
-    "q_e8_m4",
-    "q_p16_sys_sample",
-    "q_k28_triangles",
+    # (a) late-r10 contracts, never driver-verified
+    "q_p20_curriculum",
+    "q_k40_increment_dedup",
+    # (b) code changed this round
     "q_k29_pmi",
-    "q_d17_profile",
-    "q_e9_lttb",
-    "q_d18_mad",
-    "q_d19_quantiles",
-    "q_d20_decay",
-    "q_k30_phrase",
-    "q_d21_cohort",
-    "q_i10_stream_rollup",
-    "q_b13_gridjoin",
-    "q_c9_asof_nearest",
-    "q_k31_embstats",
-    "q_e10_stalta",
-    "q_k15_temporal",
-    "q_k32_vocab",
-    "q_t34_score_calib",
-    "q_p17_splits",
-    # (b) code changed after last driver check
-    "q_k24_two_stage",
-    "q_a3_quakeml_parse",
-    # (b) r10 perf fixes changed these operators' code (results
-    #     parity-reproven): pagerank edge-table checkpointing,
-    #     dbscan GEMM pair stage, bloom bit-expression column-API
-    #     rewrite
-    "q_k27_pagerank",
-    "q_k16_dbscan",
-    "q_k15_bloom_dedup",
-    # (c) converted from rows-only to oracle-backed this round — their
-    #     oracles have never been driver-hash-checked
-    "q_k2_simhash",
-    "q_k3_lsh",
-    "q_t2_langid",
-    "q_t3_fingerprint",
-    "q_i6_stream_dedup",
-    "q_i7_stream_upsert",
-    "q_k26_unigram_train",
-    "q_i1_stream_ingest",
-    "q_i8_stream_quality_gate",
-    # (c) new contracts this round
-    "q_b13_gridjoin_salted",
-    "q_k33_mmr",
-    "q_p18_zorder",
-    "q_k34_textrank",
-    "q_k35_zipf",
-    "q_d22_bottomk",
-    "q_a11_jsonl",
     "q_e12_cusum",
-    "q_t36_novelty",
-    "q_k36_hardneg",
-    "q_k37_overlap_matrix",
-    "q_p19_manifest",
-    "q_k39_ann_audit",
-    "q_d23_log2_hist",
-    "q_a12_schema_merge",
-    # (d) stale r5 tail, registration order
+    # (c) stale r5 tail, registration order
+    "q_d8_cube",
+    "q_e3_cumsum",
+    "q_f1_order_limit",
+    "q_f2_page",
+    "q_f3_topk_group",
+    "q_f4_longest",
+    "q_f5_ntile",
+    "q_e5_rolling",
+    "q_d15_scd2",
+    "q_g1_union",
+    "q_g2_intersect",
+    "q_g3_except",
+    "q_h1_ts_parse",
+    "q_h3_seedid",
+    "q_h4_regex",
+    "q_h8_array",
+    "q_h9_tojson",
+    "q_h10_null_epoch",
+    "q_g4_intersect_all",
+    "q_i2_tumbling",
+    "q_i3_sliding",
+    "q_i4_sessionize",
+    "q_j2_grouped_map",
+    "q_j3_udaf",
+    "q_k2_minhash",
+    "q_k2_jaccard",
+    "q_k4_tokens",
+    # (d) r6 block head, registration order
+    "q_a8_geojson",
+    "q_a7_bulk_select",
+    "q_a8_station_bulk",
+    "q_d6_availability",
+    "q_d6_percent",
+    "q_j4_udtf",
+    "q_k5_df",
+    "q_k5_bm25",
+    "q_k19_hybrid",
+    "q_k7_audiofp",
+    "q_k14_ssjoin",
+    "q_k6_lang",
+    "q_t1_quality",
+    "q_k7_spectral",
+    "q_k7_frames",
+    "q_k5_tfidf",
+    "q_t4_bpe_tokens",
+    "q_t7_repetition",
+    "q_k2_minhash_portable",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

@@ -1968,8 +1968,7 @@ def q_t8(spark, sf_dir):
                       CAST(count(*) AS BIGINT) AS n_pair
                FROM bg GROUP BY gram HAVING count(*) >= 10)
         SELECT w1, w2, n_pair,
-               round(log2(n_pair) + 2 * log2(nu) - log2(nb)
-                     - log2(u1.c) - log2(u2.c), 4) AS pmi
+               u1.c AS c1, u2.c AS c2, nu.nu AS nu, nb.nb AS nb
         FROM bi
         JOIN uni u1 ON u1.tok = w1
         JOIN uni u2 ON u2.tok = w2, nu, nb
@@ -1977,19 +1976,22 @@ def q_t8(spark, sf_dir):
     survey_rows="K9,K5",
     doc="PMI collocation mining (Church & Hanks 1990 — functions.text."
     "pmi_collocations): every adjacent token pair with corpus count "
-    ">= 10 scored log2(p(xy)/(p(x)p(y))), decomposed into five log2 "
-    "calls over INTEGER counts in a fixed left-to-right order so the "
-    "oracle replays the float arithmetic exactly (the token_entropy "
-    "discipline). High-PMI pairs are multiword expressions; a top-PMI "
-    "table full of template boilerplate is the cheapest corpus-wide "
-    "dedup smoke alarm. Two map-side-combinable count shuffles + two "
-    "broadcast scalars + vocabulary-keyed marginal joins",
+    ">= 10. The HASHED surface is the BIGINT count tuple (w1, w2, "
+    "n_pair, c1, c2, nu, nb) — the PMI log2(p(xy)/(p(x)p(y))) is a "
+    "deterministic function of it, but Spark's log2 (Math.log/ln2) "
+    "and DuckDB's libm log2 differ at ULP level and round(pmi, 4) "
+    "flips on round-half ties (the r10 red), so the float stays out "
+    "of the hash and is asserted with tolerance in pytest. High-PMI "
+    "pairs are multiword expressions; a top-PMI table full of "
+    "template boilerplate is the cheapest corpus-wide dedup smoke "
+    "alarm. Two map-side-combinable count shuffles + two broadcast "
+    "scalars + vocabulary-keyed marginal joins",
 )
 def q_k29_pmi(spark, sf_dir):
     from jane_spark.functions.text import pmi_collocations
 
     docs = Catalog(spark, sf_dir).documents
-    return pmi_collocations(docs, "text", min_count=10)
+    return pmi_collocations(docs, "text", min_count=10).drop("pmi")
 
 
 _SCORECARD_ORACLE = """

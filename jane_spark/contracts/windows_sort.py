@@ -492,9 +492,10 @@ def q_e7(spark, sf_dir):
                                            ROWS UNBOUNDED PRECEDING) AS ps
               FROM t),
         s AS (SELECT event_type, ts_us,
-                     ps - min(ps) OVER (PARTITION BY event_type
-                                        ORDER BY ts_us, id
-                                        ROWS UNBOUNDED PRECEDING) AS s
+                     ps - least(0, min(ps) OVER (PARTITION BY event_type
+                                                 ORDER BY ts_us, id
+                                                 ROWS UNBOUNDED PRECEDING))
+                         AS s
               FROM p),
         pk AS (SELECT event_type, max(s) AS peak_s FROM s
                GROUP BY event_type)

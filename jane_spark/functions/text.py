@@ -288,11 +288,15 @@ def pmi_collocations(
 
         log2(n_pair) + 2*log2(N_uni) - log2(N_bi) - log2(c1) - log2(c2)
 
-    — the decomposition keeps every aggregate an integer count, so the
-    only float ops are five log2 calls in a FIXED left-to-right order
-    that an oracle replays bit-for-bit; the result rounds to 4 dp.
-    High-PMI pairs are multiword expressions; a corpus whose top PMI
-    table is template boilerplate needs dedup before training.
+    — the decomposition keeps every aggregate an integer count. The
+    output carries BOTH the full BIGINT count tuple ``(n_pair, c1,
+    c2, nu, nb)`` — the exact, engine-portable surface (the PMI is a
+    deterministic function of it; no two libms promise bit-equal
+    log2, so ``round(pmi, 4)`` can flip a ±1-ULP difference into
+    ±1e-4 on a round-half tie — the r10 lesson) — and the float
+    ``pmi`` rounded to 4 dp for human ranking / pytest-with-tolerance
+    use. High-PMI pairs are multiword expressions; a corpus whose top
+    PMI table is template boilerplate needs dedup before training.
 
     Scale shape: one token-keyed and one bigram-keyed count shuffle
     (both map-side combinable, vocabulary-sized outputs), the two
@@ -333,7 +337,16 @@ def pmi_collocations(
         .join(c2, "w2")
         .crossJoin(F.broadcast(nu))
         .crossJoin(F.broadcast(nb))
-        .select("w1", "w2", "n_pair", F.round(pmi, 4).alias("pmi"))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+            F.col("c1").cast("bigint").alias("c1"),
+            F.col("c2").cast("bigint").alias("c2"),
+            F.col("__nu").cast("bigint").alias("nu"),
+            F.col("__nb").cast("bigint").alias("nb"),
+            F.round(pmi, 4).alias("pmi"),
+        )
     )
 
 

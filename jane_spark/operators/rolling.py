@@ -523,8 +523,11 @@ def cusum_drift(
 
     The textbook recursion ``s_i = max(0, s_{i-1} + (x_i - target))``
     looks inherently sequential, but it has a closed window form:
-    ``s_i = p_i - min_{j<=i} p_j`` with ``p`` the running sum of
-    deviations — so ONE sorted-window pass per key computes the whole
+    ``s_i = p_i - min(0, min_{j<=i} p_j)`` with ``p`` the running sum
+    of deviations (the 0 is the implicit p_0 baseline: when prefix
+    sums stay positive — a series that starts ABOVE its mean — the
+    running min must not eat the head of the drift)
+    — so ONE sorted-window pass per key computes the whole
     statistic (cumsum and running-min share the frame, the stalta
     discipline). Integer-exact: target = per-key integer mean
     (``sum div count``), every value BIGINT. Emits one row per key:
@@ -552,7 +555,7 @@ def cusum_drift(
     )
     dev = F.col("__c") - F.col("__target")
     p = F.sum(dev).over(ow)
-    s = (p - F.min(p).over(ow)).alias("s")
+    s = (p - F.least(F.lit(0).cast("bigint"), F.min(p).over(ow))).alias("s")
     scored = with_t.select(*keys, "ts_us", F.col("__c"), s)
     peak = scored.groupBy(*keys).agg(F.max("s").alias("peak_s"))
     first_peak = (

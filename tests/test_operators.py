@@ -3639,6 +3639,10 @@ def test_cusum_drift_detects_planted_shift(spark):
     for i in range(100):
         rows.append(("shift", 1_700_000_000 + i, i, 100 if i < 50 else 200))
         rows.append(("flat", 1_700_000_000 + i, i, 150))
+        # downward shift: series STARTS above its own mean, so prefix
+        # deviation sums stay positive — exercises the p_0 = 0
+        # baseline in s = p - min(0, running_min(p))
+        rows.append(("drop", 1_700_000_000 + i, i, 200 if i < 50 else 100))
     df = spark.createDataFrame(
         rows, ["k", "sec", "eid", "cents"]
     ).select(
@@ -3658,6 +3662,10 @@ def test_cusum_drift_detects_planted_shift(spark):
     assert got["shift"].peak_s == 50 * 50
     # the peak lands on the last timestamp of the drift
     assert got["shift"].peak_ts_us == (1_700_000_000 + 99) * 1_000_000
+    # downward shift: devs are +50 for 50 steps then -50; the Page
+    # recursion peaks at 50*50 at the last above-mean step (i=49)
+    assert got["drop"].peak_s == 50 * 50
+    assert got["drop"].peak_ts_us == (1_700_000_000 + 49) * 1_000_000
 
 
 def test_ngram_novelty_boilerplate_vs_fresh(spark):
