@@ -55,6 +55,10 @@ VERIFY_FIRST: list[str] = [
     # (b) code changed this round
     "q_k29_pmi",
     "q_e12_cusum",
+    # (b) mmr rebuilt as the one-task applyInPandas reranker shape
+    #     (bench weak fix) — picks re-proven identical, but the
+    #     maxsim/mmr columns now come from numpy GEMM, so re-hash
+    "q_k33_mmr",
     # (c) stale r5 tail, registration order
     "q_d8_cube",
     "q_e3_cumsum",
@@ -102,7 +106,6 @@ VERIFY_FIRST: list[str] = [
     "q_k5_tfidf",
     "q_t4_bpe_tokens",
     "q_t7_repetition",
-    "q_k2_minhash_portable",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

@@ -31,6 +31,8 @@ bucket-pruned candidate set. See docs/SCALE.md §6 for the ladder.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -1186,21 +1188,22 @@ def mmr_select(
     curation (pick informative AND non-redundant examples) and for
     retrieval result diversification.
 
-    Integer-exact: relevance and similarities are cosine rounded to
-    6 dp then scaled to 1e6 ints; the MMR objective is pure BIGINT
-    arithmetic (``lambda_e4`` in 1e4 fixed point), ties break on id
-    asc — no float boundary can flip a pick. ``max_sim`` starts at
-    −1e6 (cos ≥ −1), so the first pick is the pure-relevance argmax
-    with the standard constant offset.
+    Integer-exact objective: relevance and similarities are cosine
+    rounded to 6 dp then scaled to 1e6 ints; the MMR score is pure
+    int64 arithmetic (``lambda_e4`` in 1e4 fixed point), ties break on
+    id asc. ``max_sim`` starts at −1e6 (cos ≥ −1), so the first pick
+    is the pure-relevance argmax with the standard constant offset.
 
-    Scale shape: the greedy loop is k rounds of (one scan + one
-    TakeOrdered(1) + ONE collected row) — the bounded-driver-loop
-    contract (BPE/IVF precedent). Each round folds the newly selected
-    vector into the maxsim expression as literals: no join, no
-    cross product; k is a selection size (8–100), not data-sized.
-    The candidate relevance column prunes cheaply: at 100 TB run MMR
-    over a relevance top-N shortlist (N ~ 100k) from the ANN paths
-    above, never the full corpus.
+    Scale shape — the reranker pattern: relevance is a distributed
+    column expression, then the inherently-SEQUENTIAL greedy runs in
+    ONE Arrow-batched executor task (``applyInPandas`` over a single
+    group, numpy GEMM per round) — one Spark job total, instead of k
+    scheduler round-trips of TakeOrdered(1) (measured: the per-round
+    job+planning floor alone was ~2 s for k=8 at local[32]; this shape
+    is ~0.3 s). The single task holds the candidate set, which is why
+    MMR must run over a relevance top-N SHORTLIST (N ~ 100k, from the
+    ANN paths above), never the full corpus — exactly how production
+    rerankers execute. k is a selection size (8–100), not data-sized.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -1208,46 +1211,63 @@ def mmr_select(
         raise ValueError("lambda_e4 must be in [0, 10000]")
     from jane_spark.functions.arrays import cosine
 
-    spark = vectors.sparkSession
     q = F.array(*[F.lit(mmr_query_weight(d)) for d in range(dim)])
-    base = vectors.select(
+    cand = vectors.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), q) * 1e6, 0)
+        .cast("bigint")
+        .alias("rel"),
     )
-    cand = base.select(
-        "id",
-        "v",
-        F.round(cosine(F.col("v"), q) * 1e6, 0).cast("bigint").alias("rel"),
-        F.lit(-1000000).cast("bigint").alias("ms"),
-    ).localCheckpoint(eager=True)
     lam = int(lambda_e4)
-    picked = []
-    for rank in range(1, k + 1):
-        mmr = (F.lit(lam) * F.col("rel")
-               - F.lit(10000 - lam) * F.col("ms")).alias("mmr")
-        row = (
-            cand.select("id", "v", "rel", "ms", mmr)
-            .orderBy(F.col("mmr").desc(), F.col("id").asc())
-            .first()
+    kk = int(k)
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame(
+                columns=["rank", "vec_id", "rel_e6", "maxsim_e6", "mmr"]
+            )
+        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+        ids = pdf["id"].to_numpy()[order]
+        rel = pdf["rel"].to_numpy()[order].astype(np.int64)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])[
+            order
+        ]
+        nv = np.sqrt(np.einsum("ij,ij->i", V, V))
+        ms = np.full(n, -1000000, dtype=np.int64)
+        alive = np.ones(n, dtype=bool)
+        out = []
+        for rank in range(1, kk + 1):
+            if not alive.any():
+                break
+            score = lam * rel - (10000 - lam) * ms
+            # argmax over alive, ties -> smallest id (ids sorted asc,
+            # argmax returns the FIRST max)
+            masked = np.where(alive, score, np.iinfo(np.int64).min)
+            j = int(np.argmax(masked))
+            out.append(
+                (rank, int(ids[j]), int(rel[j]), int(ms[j]), int(masked[j]))
+            )
+            alive[j] = False
+            sims = (V @ V[j]) / (nv * nv[j]) * 1e6
+            # Spark round() semantics: HALF_UP away from zero (numpy
+            # rounds half-to-even)
+            sims_i = np.where(
+                sims >= 0, np.floor(sims + 0.5), np.ceil(sims - 0.5)
+            ).astype(np.int64)
+            ms = np.maximum(ms, sims_i)
+        return pd.DataFrame(
+            out, columns=["rank", "vec_id", "rel_e6", "maxsim_e6", "mmr"]
         )
-        if row is None:
-            break
-        picked.append((rank, row.id, row.rel, row.ms, row.mmr))
-        sel_v = F.array(*[F.lit(float(x)) for x in row.v])
-        sim = F.round(cosine(F.col("v"), sel_v) * 1e6, 0).cast("bigint")
-        cand = (
-            cand.filter(F.col("id") != int(row.id))
-            .withColumn("ms", F.greatest(F.col("ms"), sim))
+
+    return (
+        cand.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(
+            greedy,
+            "rank int, vec_id long, rel_e6 long, maxsim_e6 long, mmr long",
         )
-        # flatten the growing greatest(cosine-fold) chain every other
-        # round: without this, round r re-evaluates ALL r prior sims
-        # per candidate (O(k²) fold passes total) — measured 2.09 s →
-        # 1.69 s at sf0.1, picks bit-identical (r10)
-        if rank % 2 == 0:
-            cand = cand.localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        picked,
-        "rank int, vec_id long, rel_e6 long, maxsim_e6 long, mmr long",
     )
 
 
