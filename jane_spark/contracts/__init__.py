@@ -45,9 +45,9 @@ VERIFY_FIRST: list[str] = [
     #   (c) the full 27-name stale-r5 tail, registration order —
     #       displaced from the r10 window by that round's conversions;
     #   (d) the head of the 46-name r6 block, registration order.
-    # Into r12: the rest of the r6 block (q_k2_simhash_portable ..
-    # q_t19_normalize, registration order), then the r7 block as it
-    # ages.
+    # Into r12: the rest of the r6 block (q_t7_repetition,
+    # q_k2_minhash_portable, q_k2_simhash_portable .. q_t19_normalize,
+    # registration order), then the r7 block as it ages.
     # =================================================================
     # (a) late-r10 contracts, never driver-verified
     "q_p20_curriculum",
@@ -59,6 +59,9 @@ VERIFY_FIRST: list[str] = [
     #     (bench weak fix) — picks re-proven identical, but the
     #     maxsim/mmr columns now come from numpy GEMM, so re-hash
     "q_k33_mmr",
+    # (b) hardneg band edges now BOTH test the rounded sim (ADVICE
+    #     r10) + candidates param; oracle reformulated to match
+    "q_k36_hardneg",
     # (c) stale r5 tail, registration order
     "q_d8_cube",
     "q_e3_cumsum",
@@ -105,7 +108,6 @@ VERIFY_FIRST: list[str] = [
     "q_k7_frames",
     "q_k5_tfidf",
     "q_t4_bpe_tokens",
-    "q_t7_repetition",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

@@ -1784,9 +1784,8 @@ def q_k35(spark, sf_dir):
                    FROM embeddings),
         pr AS (SELECT a.id AS a_id, b.id AS b_id,
                       round(list_cosine_similarity(a.v, b.v), 6) AS sim
-               FROM v a JOIN v b ON a.id <> b.id
-               WHERE list_cosine_similarity(a.v, b.v) >= 0.3),
-        band AS (SELECT * FROM pr WHERE sim < 0.85),
+               FROM v a JOIN v b ON a.id <> b.id),
+        band AS (SELECT * FROM pr WHERE sim >= 0.3 AND sim < 0.85),
         rk AS (SELECT *, CAST(row_number() OVER (
                    PARTITION BY a_id ORDER BY sim DESC, b_id ASC)
                    AS INTEGER) AS rank
@@ -1800,9 +1799,11 @@ def q_k35(spark, sf_dir):
     "enough to teach the contrastive margin, below the near-dup cut "
     "(a near-duplicate used as a negative is a FALSE negative and "
     "poisons the loss). Candidates via the grid-GEMM pair search "
-    "(one pass, symmetric); band + ranking on 6 dp-rounded sims "
-    "(engine-stable), neighbor-id ties. The oracle runs the direct "
-    "all-pairs band query — an independent formulation",
+    "(one pass, symmetric; raw cut one rounding-ulp below low so "
+    "BOTH band edges test the 6 dp-ROUNDED sim — engine-stable), "
+    "neighbor-id ties; production path feeds LSH/IVF candidates for "
+    "an exact band rerank. The oracle runs the direct all-pairs "
+    "rounded-band query — an independent formulation",
 )
 def q_k36(spark, sf_dir):
     from jane_spark.operators.vector import hard_negative_topk

@@ -1364,6 +1364,7 @@ def hard_negative_topk(
     low: float = 0.3,
     dup_threshold: float = 0.85,
     round_dp: int = 6,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Hard-negative mining for retrieval/embedding training: for each
     vector, the top-k neighbors whose cosine lies in the HARD BAND
@@ -1372,17 +1373,34 @@ def hard_negative_topk(
     FALSE negative and poisons the contrastive loss; cf. the dense
     retrieval literature on BM25/ANN-mined negatives).
 
-    Candidates come from the grid-GEMM pair search (one pass, both
-    directions by symmetry); the band test and ranking run on sims
-    ROUNDED to ``round_dp`` first (the embed_decontam discipline), so
-    the selected set is engine-stable; ties break on neighbor id.
+    BOTH band edges test the sim ROUNDED to ``round_dp`` (the
+    embed_decontam discipline): the exact-mode candidate search runs
+    with a raw threshold one ulp-of-rounding lower (``low −
+    10^-round_dp``) so a raw 0.2999996 — whose rounded value 0.3 is
+    in-band — is admitted, then the rounded band filter decides.
+    Ranking on rounded sims, ties on neighbor id: engine-stable.
     Emits ``(a_id, b_id, sim, rank)`` — one row per kept negative.
+
+    ``candidates``: pre-computed candidate pairs ``(a_id, b_id, sim)``
+    — one row per unordered pair, ``a_id < b_id``, raw (unrounded)
+    cosine. Default is the exact grid-GEMM pair search, which is
+    O(n²) COMPUTE — fine for shortlist-sized inputs, not a corpus. The
+    production path at 100 TB composes the proven ANN chains: feed
+    LSH/IVF bucket candidates (e.g. ``embedding_near_pairs(...,
+    method="lsh")``) and this function becomes the exact band rerank
+    over that pruned set, the same posture note as mmr_select.
     """
     if not 0.0 <= low < dup_threshold:
         raise ValueError("need 0 <= low < dup_threshold")
-    pairs = gemm_near_pairs(
-        vectors, id_col, vec_col, threshold=low, round_dp=round_dp
-    )
+    if candidates is None:
+        candidates = gemm_near_pairs(
+            vectors,
+            id_col,
+            vec_col,
+            threshold=low - 10.0 ** (-round_dp),
+            round_dp=None,
+        )
+    pairs = candidates.withColumn("sim", F.round(F.col("sim"), round_dp))
     both = pairs.unionByName(
         pairs.select(
             F.col("b_id").alias("a_id"),
@@ -1390,7 +1408,9 @@ def hard_negative_topk(
             "sim",
         )
     )
-    band = both.filter(F.col("sim") < dup_threshold)
+    band = both.filter(
+        (F.col("sim") >= low) & (F.col("sim") < dup_threshold)
+    )
     w = Window.partitionBy("a_id").orderBy(
         F.col("sim").desc(), F.col("b_id").asc()
     )

@@ -64,10 +64,22 @@ def zorder_keys(
         *[F.min(F.col(c).cast("long")).alias(f"mn_{i}") for i, c in enumerate(cols)],
         *[F.max(F.col(c).cast("long")).alias(f"mx_{i}") for i, c in enumerate(cols)],
     ).first()
+    if any(bounds[f"mn_{i}"] is None for i in range(len(cols))):
+        raise ValueError(
+            "empty input: no min/max bounds to normalize against "
+            "(zorder_keys needs at least one non-null row per column)"
+        )
     norm = []
     for i, c in enumerate(cols):
         mn = int(bounds[f"mn_{i}"])
         rng = max(int(bounds[f"mx_{i}"]) - mn, 1)
+        # (v - mn) * top is evaluated in BIGINT: a column range wider
+        # than ~2^47 with the default bits=16 would silently wrap
+        if rng > (1 << 62) // max(top, 1):
+            raise ValueError(
+                f"column {c!r} range {rng} x {top} overflows BIGINT; "
+                f"lower bits or pre-scale the column"
+            )
         norm.append(
             F.expr(
                 f"(({'`' + c + '`'} - CAST({mn} AS BIGINT)) * {top}) "

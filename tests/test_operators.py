@@ -3340,6 +3340,12 @@ def test_advice_edge_cases_r10(spark):
     assert prof["key col"].n_distinct == 2
 
 
+@pytest.mark.skipif(
+    (__import__("os").cpu_count() or 0) < 16,
+    reason="wall-clock ratio needs cores >> the 5-key layout: with "
+    "<=5 usable cores min(keys, cores) makes both layouts equivalent "
+    "and the assertion flakes (ADVICE r10)",
+)
 def test_stalta_window_parallelism_scales_with_key_cardinality(spark, tmp_path):
     """The events fixture has FIVE distinct keys, so q_e10_stalta's
     window stage runs at 5-task parallelism no matter how many cores
@@ -3481,7 +3487,21 @@ def test_zorder_keys_and_partition_pruning(spark, tmp_path):
     zbucket-partitioned write serves a zbucket range predicate through
     PARTITION pruning (the layout's whole point), and z-locality
     bounds the buckets a 2-d range predicate touches vs a 1-d sort."""
-    from jane_spark.operators.zorder import interleave_bits, zorder_buckets
+    from jane_spark.operators.zorder import (
+        interleave_bits,
+        zorder_buckets,
+        zorder_keys,
+    )
+
+    # input hardening (ADVICE r10): empty input and BIGINT-wrapping
+    # ranges fail loudly instead of an opaque TypeError / wrapped keys
+    with pytest.raises(ValueError, match="empty input"):
+        zorder_keys(spark.createDataFrame([], "a long, b long"), ["a", "b"])
+    with pytest.raises(ValueError, match="overflows BIGINT"):
+        zorder_keys(
+            spark.createDataFrame([(0, 0), (1 << 50, 1)], "a long, b long"),
+            ["a", "b"],
+        )
 
     df = spark.createDataFrame([(0, 0), (1, 0), (0, 1), (3, 5)], ["x", "y"])
     got = {
@@ -3701,13 +3721,47 @@ def test_hard_negative_topk_band_semantics(spark, sf_dir):
     ).collect()
     assert out
     for r in out:
-        assert 0.3 - 1e-6 <= r.sim < 0.85
+        # band edges test the ROUNDED sim (ADVICE r10): a raw
+        # 0.2999996 whose 6 dp value is 0.300000 is in-band
+        assert 0.3 <= r.sim < 0.85
         assert 1 <= r.rank <= 5
     by_a = {}
     for r in out:
         by_a.setdefault(r.a_id, []).append(r.rank)
     for ranks in by_a.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_hard_negative_topk_ann_candidates_identity(spark, sf_dir):
+    """The production composition — LSH bucket candidates fed through
+    the `candidates` param for an exact band rerank — yields the exact
+    same mined-negative table as the default grid-GEMM search on this
+    fixture (enough tables that no in-band pair is missed), proving
+    the rerank is candidate-source-agnostic."""
+    from jane_spark.operators.vector import (
+        embedding_near_pairs,
+        hard_negative_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = sorted(
+        tuple(r)
+        for r in hard_negative_topk(
+            emb, "vec_id", "embedding", k=5, low=0.3, dup_threshold=0.85
+        ).collect()
+    )
+    cand = embedding_near_pairs(
+        emb, "vec_id", "embedding", threshold=0.3 - 1e-6,
+        method="lsh", round_dp=None, n_planes=1, n_tables=24,
+    )
+    via_lsh = sorted(
+        tuple(r)
+        for r in hard_negative_topk(
+            emb, "vec_id", "embedding", k=5, low=0.3,
+            dup_threshold=0.85, candidates=cand,
+        ).collect()
+    )
+    assert via_lsh == exact
 
 
 def test_kmv_overlap_matrix_laws(spark):
