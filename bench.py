@@ -279,7 +279,7 @@ CALIBRATION = {
     "keep_best": 14.9348,
     "pq_codes": 0.1736,
     "pq_adc": 0.3444,
-    "ivf_pq": 3.0879,
+    "ivf_pq": 3.8763,  # r11 idle 5-run re-median (r9 number was a single lucky run; REBUILD-shaped oracle, spread 3.4-5.8)
     "audio_portable": 0.0497,
     "pack_boundaries": 1.3249,
     "availability_params": 0.0501,
@@ -303,7 +303,7 @@ CALIBRATION = {
     "m4_downsample": 0.0635,
     "sys_sample": 0.0064,
     "triangles": 0.3365,
-    "pmi": 0.0738,
+    "pmi": 0.0676,  # r11: oracle re-shaped to the BIGINT count tuple (no log2)
     "profile": 0.0138,
     "lttb": 0.0880,
     "mad": 0.0754,
@@ -328,9 +328,9 @@ CALIBRATION = {
     "dataselect_cut": 0.0931,
     "quakeml_parse": 0.1382,
     "stationxml_parse": 0.0021,
-    "mmr": 1.0027,
+    "mmr": 1.6164,  # r11 idle 5-run re-median per CALIBRATION (r10 was measured once)
     "zorder": 0.1994,
-    "textrank": 5.9166,
+    "textrank": 6.6037,  # r11 idle 5-run re-median per CALIBRATION
     "zipf": 0.0426,
     "bottomk": 0.0070,
     "jsonl_quarantine": 0.0026,
@@ -342,9 +342,9 @@ CALIBRATION = {
     "gridjoin_salted": 2.0814,
     "validation_gate": 0.0067,
     "warc_roundtrip": 0.0111,
-    "cusum": 0.1719,
+    "cusum": 0.1290,  # r11: oracle gained the p_0=0 baseline (least(0, min))
     "novelty": 1.2245,
-    "hardneg": 0.3693,
+    "hardneg": 0.4106,  # r11: oracle reformulated to the rounded band (rounds all pairs)
     "overlap_matrix": 1.7200,
     "manifest": 0.0235,
     "ann_audit": 2.5559,

@@ -45,7 +45,7 @@ VERIFY_FIRST: list[str] = [
     #   (c) the full 27-name stale-r5 tail, registration order —
     #       displaced from the r10 window by that round's conversions;
     #   (d) the head of the 46-name r6 block, registration order.
-    # Into r12: the rest of the r6 block (q_t7_repetition,
+    # Into r12: the rest of the r6 block (q_t4_bpe_tokens, q_t7_repetition,
     # q_k2_minhash_portable, q_k2_simhash_portable .. q_t19_normalize,
     # registration order), then the r7 block as it ages.
     # =================================================================
@@ -62,6 +62,10 @@ VERIFY_FIRST: list[str] = [
     # (b) hardneg band edges now BOTH test the rounded sim (ADVICE
     #     r10) + candidates param; oracle reformulated to match
     "q_k36_hardneg",
+    # (b) i5 converted rows-only -> TRUE ORACLE (VERDICT r10 stretch:
+    #     the q_i10 pattern — append emission set derivable in closed
+    #     form from the 3-batch construction); never hash-checked
+    "q_i5_late_drop",
     # (c) stale r5 tail, registration order
     "q_d8_cube",
     "q_e3_cumsum",
@@ -107,7 +111,6 @@ VERIFY_FIRST: list[str] = [
     "q_k7_spectral",
     "q_k7_frames",
     "q_k5_tfidf",
-    "q_t4_bpe_tokens",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

@@ -235,10 +235,25 @@ def q_i4(spark, sf_dir):
 
 @contract(
     "q_i5_late_drop",
-    oracle=None,  # watermark drop semantics exist only on a stream —
-    # rows-only here; the drop-vs-keep assertion lives in
-    # tests/test_streaming.py::test_i5_late_rows_dropped (batch twin
-    # keeps the late rows, stream discards them)
+    # TRUE ORACLE (r11, the q_i10 pattern + VERDICT r10 stretch): the
+    # three-batch construction makes the append-mode emission set
+    # derivable in closed form. Accepted rows = batch 0 (full history)
+    # + the batch-1 filler (a clone of the LATEST row, whose tail
+    # window can never finalize: window_end = trunc(max)+1h > max-1h);
+    # the batch-2 late clones are dropped by the watermark filter and
+    # never touch state. Append emits exactly the windows with
+    # window_end <= final watermark = max(ts) - 1h. So emitted ==
+    # batch hourly stats over the original events, cut at that bound —
+    # no streaming-only value remains in the hashed surface.
+    oracle="""
+        WITH m AS (SELECT max(ts) AS mx FROM events)
+        SELECT date_trunc('hour', ts) AS window_start,
+               count(*) AS n, round(sum(value), 3) AS sum_value
+        FROM events, m
+        GROUP BY date_trunc('hour', ts), mx
+        HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
+                   <= mx - INTERVAL 1 HOUR
+    """,
     survey_rows="I5,I2",
     doc="late-data watermark contract: three micro-batches "
     "(maxFilesPerTrigger=1); batch 0 is the full history, batch 1 an "
@@ -250,7 +265,8 @@ def q_i4(spark, sf_dir):
     "history is still accepted; one batch later it is dropped. Append "
     "mode: each finalized window is emitted exactly once with its "
     "on-time count (jane's mtime-based late-reindex with an explicit "
-    "lateness bound, SURVEY.md §2.9 I5)",
+    "lateness bound, SURVEY.md §2.9 I5). The drop-vs-keep assertion "
+    "also lives in tests/test_streaming.py::test_i5_late_rows_dropped",
 )
 def q_i5(spark, sf_dir):
     _self_configure(spark, sf_dir)
