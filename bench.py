@@ -189,6 +189,13 @@ BENCH_QUERIES = {
     "ann_audit": "q_k39_ann_audit",
     "curriculum": "q_p20_curriculum",
     "increment_dedup": "q_k40_increment_dedup",
+    # round-11 rows
+    "outliers": "q_d24_outliers",
+    "fertility": "q_t37_fertility",
+    "dsir": "q_p21_dsir",
+    # (q_i5_late_drop stays un-benched like every streaming execution:
+    # the stream runs at plan-build into a memory sink and its oracle
+    # is the batch twin — a construct-only compare)
 }
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
@@ -349,6 +356,10 @@ CALIBRATION = {
     "manifest": 0.0235,
     "ann_audit": 2.5559,
     "curriculum": 0.0209,
+    # round-11 rows: DuckDB 1.x idle 5-run medians at sf0.1
+    "outliers": 0.1621,
+    "fertility": 0.6594,
+    "dsir": 0.3698,
     "increment_dedup": 0.1083,
 }
 

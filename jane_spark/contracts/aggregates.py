@@ -1140,3 +1140,59 @@ def q_d23(spark, sf_dir):
             F.max("c").alias("max_cents"),
         )
     )
+
+
+@contract(
+    "q_d24_outliers",
+    oracle="""
+        WITH src AS (SELECT event_type, event_id,
+                            CAST(round(value * 100) AS BIGINT) AS v
+                     FROM events),
+        r1 AS (SELECT event_type, v,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY v) AS rn,
+                      count(*) OVER (PARTITION BY event_type) AS n
+               FROM src),
+        med AS (SELECT event_type, v AS median_val
+                FROM r1 WHERE rn = (n + 1) // 2),
+        r2 AS (SELECT s.event_type, s.v,
+                      abs(s.v - med.median_val) AS d
+               FROM src s JOIN med USING (event_type)),
+        r3 AS (SELECT event_type, d,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY d) AS rn,
+                      count(*) OVER (PARTITION BY event_type) AS n
+               FROM r2),
+        mad AS (SELECT r3.event_type, med.median_val, r3.d AS mad_val
+                FROM r3 JOIN med USING (event_type)
+                WHERE rn = (n + 1) // 2)
+        SELECT s.event_type,
+               CAST(s.event_id AS BIGINT) AS id,
+               s.v,
+               CAST(abs(s.v - m.median_val) AS BIGINT) AS dev,
+               m.median_val,
+               m.mad_val
+        FROM src s JOIN mad m USING (event_type)
+        WHERE 100 * abs(s.v - m.median_val) > 300 * m.mad_val
+    """,
+    survey_rows="D24,D18,D14",
+    doc="robust MAD z-score outlier flags per event_type (Hampel "
+    "identifier, Leys et al. 2013 — operators.profile.mad_outliers): "
+    "every reading whose integer-cent deviation from the group's "
+    "discrete median exceeds 3x MAD, the data-quality gate a "
+    "mean±k*sigma rule fails on (one corrupt reading moves the mean "
+    "arbitrarily, the median by one rank). Pure integer test "
+    "100*|v-median| > 300*mad — engine-portable flagged set. Stats "
+    "via the weighted-median formulation (one (key, value) count "
+    "shuffle, windows over distinct values), broadcast back onto one "
+    "row scan",
+)
+def q_d24(spark, sf_dir):
+    from jane_spark.operators.profile import mad_outliers
+
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    return mad_outliers(ev, ["event_type"], "event_id", "cents", k_e2=300)

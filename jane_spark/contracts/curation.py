@@ -3112,3 +3112,90 @@ def q_t36(spark, sf_dir):
 
     docs = Catalog(spark, sf_dir).documents
     return ngram_novelty(docs, "doc_id", "text", n=3)
+
+
+@contract(
+    "q_t37_fertility",
+    oracle="""
+        WITH t AS (
+            SELECT text,
+                   list_distinct((string_split(lower(text), ' '))[1:200])
+                       AS toks
+            FROM documents),
+        h AS (
+            SELECT text,
+                   len(list_intersect(toks, ['the','and','of','to','is']))
+                       AS h_en,
+                   len(list_intersect(toks, ['le','la','et','les','des']))
+                       AS h_fr,
+                   len(list_intersect(toks, ['el','de','la','los','que']))
+                       AS h_es,
+                   len(list_intersect(toks, ['der','die','und','das','ist']))
+                       AS h_de
+            FROM t),
+        p AS (
+            SELECT text,
+                   CASE
+                WHEN regexp_matches(substr(text, 1, 200), '[一-鿿]')
+                    THEN 'zh'
+                WHEN greatest(h_en, h_fr, h_es, h_de) <= 0 THEN 'und'
+                WHEN h_en = greatest(h_en, h_fr, h_es, h_de) THEN 'en'
+                WHEN h_fr = greatest(h_en, h_fr, h_es, h_de) THEN 'fr'
+                WHEN h_es = greatest(h_en, h_fr, h_es, h_de) THEN 'es'
+                ELSE 'de' END AS lang_pred
+            FROM h),
+        s AS (SELECT lang_pred,
+                     CAST(length(text) AS BIGINT) AS nc,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+              FROM p)
+        SELECT lang_pred,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS tok_total,
+               CAST(sum(nc) AS BIGINT) AS char_total,
+               CAST((CAST(sum(nc) AS BIGINT) * 10000)
+                    // CAST(sum(nt) AS BIGINT) AS BIGINT)
+                   AS chars_per_tok_e4,
+               CAST((CAST(sum(nt) AS BIGINT) * 100)
+                    // CAST(count(*) AS BIGINT) AS BIGINT)
+                   AS toks_per_doc_e2
+        FROM s GROUP BY lang_pred
+    """,
+    survey_rows="T37,K6,K4",
+    doc="tokenizer-fertility profile per predicted language (the "
+    "pre-training corpus report Rust et al. 2021 / Acs 2019 run "
+    "before committing a tokenizer: chars-per-token and tokens-per-"
+    "doc by language expose scripts the tokenizer will shred into "
+    "byte fallbacks). Language from the proven marker-word argmax "
+    "expression (q_t2 chain), whitespace tokens, integer e4/e2 fixed-"
+    "point ratios (sum*10000 div sum — no float). One scan, one "
+    "|langs|-group aggregate, all map-side combinable",
+)
+def q_t37(spark, sf_dir):
+    from jane_spark.functions.text import detect_language_expr
+
+    docs = Catalog(spark, sf_dir).documents
+    s = docs.select(
+        detect_language_expr(F.col("text")).alias("lang_pred"),
+        F.length("text").cast("bigint").alias("nc"),
+        F.size(F.split(F.col("text"), " ", -1)).cast("bigint").alias("nt"),
+    )
+    return (
+        s.groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("tok_total"),
+            F.sum("nc").alias("char_total"),
+        )
+        .select(
+            "lang_pred",
+            "n_docs",
+            "tok_total",
+            "char_total",
+            F.expr("(char_total * 10000) div tok_total")
+            .cast("bigint")
+            .alias("chars_per_tok_e4"),
+            F.expr("(tok_total * 100) div n_docs")
+            .cast("bigint")
+            .alias("toks_per_doc_e2"),
+        )
+    )

@@ -993,3 +993,58 @@ def _install_p14_oracle() -> None:
 
 
 _install_p14_oracle()
+
+
+@contract(
+    "q_p21_dsir",
+    oracle="""
+        WITH raw AS (SELECT doc_id, text FROM documents),
+        tgt AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+        rtok AS (SELECT doc_id,
+                        CAST(concat('0x', substr(md5('dsir:' || tok), 1, 8))
+                             AS BIGINT) % 1024 AS b
+                 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                       FROM raw)),
+        ttok AS (SELECT CAST(concat('0x', substr(md5('dsir:' || tok), 1, 8))
+                             AS BIGINT) % 1024 AS b
+                 FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                       FROM tgt)),
+        rb AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM rtok GROUP BY b),
+        tb AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM ttok GROUP BY b),
+        tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ttok) AS tot_t,
+                       (SELECT CAST(count(*) AS BIGINT) FROM rtok) AS tot_r),
+        sc AS (SELECT coalesce(rb.b, tb.b) AS b,
+                      CAST(round(100.0 * ln(
+                          (CAST(coalesce(ct, 0) + 1 AS DOUBLE)
+                               / (tot_t + 1024))
+                          * (CAST(tot_r + 1024 AS DOUBLE)
+                               / (coalesce(cr, 0) + 1)))) AS BIGINT)
+                          AS score_c
+               FROM rb FULL OUTER JOIN tb ON rb.b = tb.b, tot),
+        w AS (SELECT doc_id AS id,
+                     CAST(count(*) AS BIGINT) AS n_tok,
+                     CAST(sum(score_c) AS BIGINT) AS weight_c
+              FROM rtok JOIN sc USING (b) GROUP BY doc_id)
+        SELECT CAST(id AS BIGINT) AS id, n_tok, weight_c,
+               CAST(row_number() OVER (ORDER BY weight_c DESC, id ASC)
+                    AS INTEGER) AS rank
+        FROM w ORDER BY weight_c DESC, id ASC LIMIT 200
+    """,
+    survey_rows="P21,K6,P1",
+    doc="DSIR importance resampling (Xie et al. 2023, NeurIPS — "
+    "functions.sampling.dsir_select): hashed-unigram bucket LMs over "
+    "a TARGET domain (here the deterministic doc_id%7 slice) and the "
+    "raw corpus; every raw doc weighted by the sum of its tokens' "
+    "add-1-smoothed centi-log importance ratios round(100*ln((ct+1)/"
+    "(Ct+B) * (Cr+B)/(cr+1))); top-200 kept (weight desc, id asc). "
+    "The per-bucket ln cannot tie on a round-half (ln of a rational "
+    "!= 1 is irrational — Lindemann), so the integer weights are "
+    "engine-portable. Portable salted-md5 buckets; two combinable "
+    "count shuffles + a B-row broadcast score join + one TakeOrdered",
+)
+def q_p21(spark, sf_dir):
+    from jane_spark.functions.sampling import dsir_select
+
+    docs = Catalog(spark, sf_dir).documents
+    target = docs.where(F.col("doc_id") % 7 == 0)
+    return dsir_select(docs, target, "doc_id", "text", n=200, n_buckets=1024)

@@ -352,3 +352,112 @@ def release_manifest(
             F.bit_xor(h).alias("fp_xor"),
         )
     )
+
+
+def dsir_select(
+    raw,
+    target,
+    id_col: str,
+    text_col: str,
+    n: int,
+    n_buckets: int = 1024,
+    salt: str = "dsir:",
+):
+    """Data Selection with Importance Resampling (Xie et al. 2023,
+    NeurIPS — the DoReMi-adjacent standard for matching a raw web
+    corpus to a target domain): fit hashed unigram bucket LMs over the
+    TARGET and the RAW corpus, weight every raw document by its
+    importance log-ratio, and keep the top ``n``.
+
+    Per-bucket score (add-1 smoothed, centi-log integer):
+
+        score(b) = round(100 · ln( (ct_b+1)/(Ct+B) · (Cr+B)/(cr_b+1) ))
+
+    A document's weight is the SUM of its tokens' bucket scores — pure
+    BIGINT once the ≤ B bucket scores are fixed, so the selected set
+    is engine-portable. The single float op per bucket (one ln, one
+    round) cannot land on an exact half: ln of a positive rational ≠ 1
+    is irrational (Lindemann–Weierstrass), so 100·ln(ratio) is never
+    exactly k+0.5 — the tie the r10 pmi red taught us to fear is
+    mathematically impossible here; cross-libm ulp differences would
+    need a near-tie within ~1e-13, margin-probed in pytest. Bucket
+    hash is the portable salted-md5 (`hash_bucket`), replayable in any
+    engine.
+
+    Emits the selected docs: ``(id, n_tok, weight_c, rank)`` — rank by
+    (weight desc, id asc).
+
+    Scale shape: two token-bucket count shuffles (map-side combinable,
+    ≤ B rows out), the two scalar totals broadcast, the B-row score
+    table broadcast-joined onto ONE raw-corpus token pass, then one
+    doc-keyed sum and one top-n (TakeOrdered — no global sort).
+    ``n_buckets`` bounds every broadcast; the corpus is scanned twice
+    (once for raw counts, once for scoring) and shuffled only by
+    doc id.
+    """
+    from pyspark.sql import Window
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    B = int(n_buckets)
+
+    def bucket_counts(df):
+        return (
+            df.select(
+                F.explode(F.split(F.col(text_col), " ", -1)).alias("tok")
+            )
+            .select(hash_bucket(F.col("tok"), B, salt).alias("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    tb = bucket_counts(target).withColumnRenamed("c", "ct")
+    rb = bucket_counts(raw).withColumnRenamed("c", "cr")
+    # totals named tot_t/tot_r: Spark resolution is case-insensitive,
+    # so Ct would collide with the per-bucket ct
+    tt = target.select(
+        F.explode(F.split(F.col(text_col), " ", -1)).alias("t")
+    ).agg(F.count(F.lit(1)).alias("tot_t"))
+    rt = raw.select(
+        F.explode(F.split(F.col(text_col), " ", -1)).alias("t")
+    ).agg(F.count(F.lit(1)).alias("tot_r"))
+    scores = (
+        rb.join(tb, "b", "full_outer")
+        .select(
+            "b",
+            F.coalesce(F.col("ct"), F.lit(0)).alias("ct"),
+            F.coalesce(F.col("cr"), F.lit(0)).alias("cr"),
+        )
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(rt))
+        .select(
+            "b",
+            F.round(
+                F.lit(100.0)
+                * F.log(
+                    ((F.col("ct") + 1).cast("double") / (F.col("tot_t") + B))
+                    * ((F.col("tot_r") + B).cast("double") / (F.col("cr") + 1))
+                ),
+                0,
+            )
+            .cast("bigint")
+            .alias("score_c"),
+        )
+    )
+    doc_toks = raw.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(F.split(F.col(text_col), " ", -1)).alias("tok"),
+    ).select("id", hash_bucket(F.col("tok"), B, salt).alias("b"))
+    weights = (
+        doc_toks.join(F.broadcast(scores), "b")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            F.sum("score_c").cast("bigint").alias("weight_c"),
+        )
+    )
+    # TakeOrdered (orderBy+limit), never a global row_number window —
+    # the rank is then a window over the n-row selection only
+    sel = weights.orderBy(F.col("weight_c").desc(), F.col("id").asc()).limit(n)
+    w = Window.orderBy(F.col("weight_c").desc(), F.col("id").asc())
+    return sel.withColumn("rank", F.row_number().over(w).cast("int"))

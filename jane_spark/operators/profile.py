@@ -131,6 +131,53 @@ def grouped_median_mad(
     )
 
 
+def mad_outliers(
+    df: DataFrame,
+    keys: list[str],
+    id_col: str,
+    value: str,
+    k_e2: int = 300,
+) -> DataFrame:
+    """Robust per-group outlier FLAGS — the standard MAD z-score rule
+    (Hampel identifier; Leys et al. 2013 recommend it over mean±k·σ
+    because one corrupt reading moves a mean arbitrarily but a median
+    by one rank): emit every row whose absolute deviation from its
+    group's discrete median exceeds ``k_e2/100 × MAD``. Pure integer
+    test — ``100·|v − median| > k_e2·mad`` — so the flagged set is
+    engine-portable (no float z-scores to disagree over). Groups with
+    MAD 0 (>= half the mass on one value) flag ANY deviation: in a
+    constant series every departure is anomalous, the documented
+    Hampel degenerate case. Returns ``(keys..., id, v, dev,
+    median_val, mad_val)``.
+
+    Scale shape: the median/MAD pair comes from grouped_median_mad
+    (rows hit ONE (keys, value) groupBy; windows run over distinct
+    values), then the |keys|-sized stats table broadcasts back onto
+    the rows — one scan, one count shuffle, zero row-scale windows.
+    """
+    stats = grouped_median_mad(
+        df.select(*[F.col(k) for k in keys], F.col(value)), keys, value
+    )
+    base = df.select(
+        *[F.col(k) for k in keys],
+        F.col(id_col).cast("long").alias("id"),
+        F.col(value).cast("bigint").alias("__v"),
+    )
+    dev = F.abs(F.col("__v") - F.col("median_val"))
+    return (
+        base.join(F.broadcast(stats), keys)
+        .where(dev * 100 > F.lit(int(k_e2)) * F.col("mad_val"))
+        .select(
+            *keys,
+            "id",
+            F.col("__v").alias("v"),
+            dev.cast("bigint").alias("dev"),
+            "median_val",
+            "mad_val",
+        )
+    )
+
+
 def grouped_quantiles(
     df: DataFrame, keys: list[str], value: str, percents: list[int]
 ) -> DataFrame:

@@ -258,7 +258,12 @@ FLOAT_TIE_ALLOWLIST = {
     "q_k26_unigram_train": "EM scores are round(100*ln(ratio)) centi-"
     "logs re-rounded once; two full driver-green hashes (r10) and the "
     "score MAP keys are exact strings — a tie would need 100*ln of a "
-    "count ratio exactly on a half integer",
+    "count ratio exactly on a half integer, impossible (ln of a "
+    "rational != 1 is irrational, Lindemann-Weierstrass)",
+    "q_p21_dsir": "per-bucket round(100*ln(count ratio)) centi-log: an "
+    "exact half-integer tie would need ln of a rational to be "
+    "rational, impossible (Lindemann-Weierstrass); cross-libm ulp "
+    "near-ties would need margin < ~1e-13 on a single ln call",
     # fixed-basis constructs: both engines evaluate identical
     # deterministic basis constants (DCT/mel/hyperplane tables), not
     # data-dependent transcendentals of counts

@@ -3895,3 +3895,63 @@ def test_containment_dedup_increment(spark):
     assert not got[11].is_dup and got[11].best_common == 0
     assert not got[12].is_dup  # 2/10 contained
     assert not got[13].is_dup  # block mismatch: no candidates
+
+
+def test_mad_outliers_planted_and_degenerate(spark):
+    """A planted 100x reading is flagged with exact integer stats; a
+    clean tight series flags nothing; a CONSTANT series (MAD 0) flags
+    any deviation — the documented Hampel degenerate case."""
+    from jane_spark.operators.profile import mad_outliers
+
+    rows = []
+    # tight: values 100..109 repeating, one corrupt 10_000
+    for i in range(100):
+        rows.append(("tight", i, 100 + i % 10))
+    rows.append(("tight", 999, 10_000))
+    # constant: all 500, one reading at 501
+    for i in range(50):
+        rows.append(("const", i, 500))
+    rows.append(("const", 999, 501))
+    df = spark.createDataFrame(rows, ["k", "eid", "cents"])
+    got = mad_outliers(df, ["k"], "eid", "cents", k_e2=300).collect()
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r.k, []).append(r)
+    # tight: median 104 or 105, MAD ~2-3 -> only the corrupt row flags
+    assert [r.id for r in by_key["tight"]] == [999]
+    t = by_key["tight"][0]
+    assert t.v == 10_000 and t.dev == 10_000 - t.median_val
+    assert 100 * t.dev > 300 * t.mad_val
+    # constant: MAD 0 -> the single deviating row flags
+    assert [r.id for r in by_key["const"]] == [999]
+    assert by_key["const"][0].mad_val == 0
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """DSIR sanity: raw docs sharing the target's vocabulary outrank
+    raw docs from a disjoint vocabulary; weights are integers; ranks
+    are dense in (weight desc, id asc) order."""
+    from jane_spark.functions.sampling import dsir_select
+
+    target = spark.createDataFrame(
+        [(1000 + i, "science physics theory experiment data")
+         for i in range(20)],
+        ["doc_id", "text"],
+    )
+    raw = spark.createDataFrame(
+        [(i, "science physics theory result") for i in range(10)]
+        + [(100 + i, "celebrity gossip fashion scandal") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    got = dsir_select(raw, target, "doc_id", "text", n=10).collect()
+    assert len(got) == 10
+    assert [r.rank for r in sorted(got, key=lambda r: r.rank)] == list(
+        range(1, 11)
+    )
+    # the science docs fill the entire top-10
+    assert {r.id for r in got} == set(range(10))
+    ws = sorted(got, key=lambda r: r.rank)
+    assert all(
+        a.weight_c > b.weight_c or (a.weight_c == b.weight_c and a.id < b.id)
+        for a, b in zip(ws, ws[1:])
+    )
