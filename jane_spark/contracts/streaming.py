@@ -550,3 +550,89 @@ def q_i9(spark, sf_dir):
     return joined.select(
         "purchase_id", "click_id", F.col("p_user").alias("user_id")
     )
+
+
+@contract(
+    "q_i11_stream_join",
+    # TRUE ORACLE (the q_i10 argument, join edition): with availableNow
+    # over one arrival file, both sides see ALL data in a single
+    # micro-batch, no row is ever late vs the watermark, and an
+    # append-mode INNER stream-stream join emits each qualifying pair
+    # exactly once — so the emitted set equals the batch interval join.
+    oracle="""
+        SELECT c.user_id,
+               CAST(c.event_id AS BIGINT) AS click_id,
+               CAST(p.event_id AS BIGINT) AS purchase_id,
+               CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us
+        FROM events c
+        JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click'
+         AND p.event_type = 'purchase'
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+    survey_rows="I11,I4,C4",
+    doc="STREAM-STREAM event-time interval join (click->purchase "
+    "attribution within 1 h, per user): two watermarked sides of one "
+    "readStream source self-joined on user_id + an event-time range — "
+    "Structured Streaming's buffered two-sided state join, the "
+    "real-time attribution/sessionization primitive. Both sides carry "
+    "1 h watermarks, so at steady state each side buffers only rows "
+    "younger than watermark+range (bounded state); availableNow + "
+    "append makes the emitted pairs equal the batch interval join "
+    "(the q_i10 batch-equivalence argument), giving a true oracle",
+)
+def q_i11(spark, sf_dir):
+    _self_configure(spark, sf_dir)
+    import shutil
+    import tempfile
+
+    from jane_spark.streaming.ingest import run_available_now, stream_parquet_dir
+
+    arrival = tempfile.mkdtemp(prefix="jane_i11_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{arrival}/events.parquet")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = stream_parquet_dir(spark, arrival, batch.schema)
+
+    def transform(df):
+        d = _ts_ntz(df).withColumn("ts", F.col("ts").cast("timestamp"))
+        clicks = (
+            d.where(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("event_id").cast("long").alias("click_id"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+        purchases = (
+            d.where(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").cast("long").alias("purchase_id"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        return clicks.join(
+            purchases,
+            F.expr(
+                "c_user = p_user AND p_ts >= c_ts "
+                "AND p_ts <= c_ts + INTERVAL 1 HOUR"
+            ),
+        ).select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            (
+                F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("c_ts"))
+            ).cast("bigint").alias("lag_us"),
+        )
+
+    try:
+        return run_available_now(
+            stream, transform, "q_i11_sink", output_mode="append"
+        )
+    finally:
+        shutil.rmtree(arrival, ignore_errors=True)
