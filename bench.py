@@ -193,6 +193,7 @@ BENCH_QUERIES = {
     "outliers": "q_d24_outliers",
     "fertility": "q_t37_fertility",
     "dsir": "q_p21_dsir",
+    "sq_topk": "q_k42_sq",
     # (q_i5_late_drop stays un-benched like every streaming execution:
     # the stream runs at plan-build into a memory sink and its oracle
     # is the batch twin — a construct-only compare)
@@ -213,6 +214,7 @@ RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 # Spark behavior, not hidden build work.)
 REBUILD_PER_RUN = {
     "bpe_train",
+    "sq_topk",
     "unigram_train",
     "pagerank",
     "textrank",
@@ -360,6 +362,7 @@ CALIBRATION = {
     "outliers": 0.1621,
     "fertility": 0.6594,
     "dsir": 0.3698,
+    "sq_topk": 0.0272,
     "increment_dedup": 0.1083,
 }
 

@@ -2621,3 +2621,56 @@ def q_k24_jl(spark, sf_dir):
     return jl_topk(
         emb, "vec_id", "embedding", k=5, candidates=50, out_dim=16, dim=64
     )
+
+
+@contract(
+    "q_k42_sq",
+    oracle="""
+        WITH v AS (SELECT vec_id AS id,
+                          list_transform(embedding,
+                              x -> CAST(round(CAST(x AS DOUBLE) * 1000000)
+                                        AS BIGINT)) AS ve
+                   FROM embeddings),
+        d AS (SELECT unnest(range(1, 65)) AS di),
+        b AS (SELECT di,
+                     min(ve[di]) AS mn,
+                     greatest(max(ve[di]) - min(ve[di]), 1) AS rng
+              FROM v, d GROUP BY di),
+        q AS (SELECT di, mn, rng,
+                     ((CAST(concat('0x', substr(md5('sqq:' ||
+                           CAST(di - 1 AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 2001 - 1000) * 1000) AS q_e6
+              FROM b),
+        qc AS (SELECT di, mn, rng,
+                      ((q_e6 - mn) * 255) // rng AS qcode
+               FROM q),
+        dist AS (SELECT v.id AS vec_id,
+                        CAST(sum(
+                            (((ve[qc.di] - qc.mn) * 255) // qc.rng
+                             - qc.qcode)
+                            * (((ve[qc.di] - qc.mn) * 255) // qc.rng
+                               - qc.qcode)) AS BIGINT) AS dist2
+                 FROM v, qc GROUP BY v.id)
+        SELECT vec_id, dist2,
+               CAST(row_number() OVER (ORDER BY dist2 ASC, vec_id ASC)
+                    AS INTEGER) AS rank
+        FROM dist ORDER BY dist2 ASC, vec_id ASC LIMIT 20
+    """,
+    survey_rows="K42,K3,K23",
+    doc="scalar-quantization (SQ-int8) nearest neighbors (FAISS SQ8 / "
+    "Lucene scalar quantizer — operators.vector.sq_topk): per-"
+    "dimension min-max corpus bounds compress each float to one byte; "
+    "integer L2 in code space ranks top-20 against the portable "
+    "md5-derived query, quantized through the SAME bounds. Integer-"
+    "exact end to end: 1e6 fixed point (one IEEE multiply + round — "
+    "no transcendental), then pure-BIGINT floor division (numerators "
+    "non-negative so div == //). One 2*dim bounds collect broadcast "
+    "as literals + one codegen projection + TakeOrdered; the corpus "
+    "never shuffles. Oracle = the same construction via an unnest "
+    "dimension table",
+)
+def q_k42(spark, sf_dir):
+    from jane_spark.operators.vector import sq_topk
+
+    emb = Catalog(spark, sf_dir).embeddings
+    return sq_topk(emb, "vec_id", "embedding", k=20, dim=64)

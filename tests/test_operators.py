@@ -3955,3 +3955,34 @@ def test_dsir_select_prefers_target_like_docs(spark):
         a.weight_c > b.weight_c or (a.weight_c == b.weight_c and a.id < b.id)
         for a, b in zip(ws, ws[1:])
     )
+
+
+def test_sq_topk_quantization_and_guards(spark, sf_dir):
+    """SQ code-space ranking: the nearest code-space neighbor of a
+    vector equal to the query's dequantized direction wins; empty
+    input raises; dist2 is non-decreasing in rank; ranks dense."""
+    import pytest as _pytest
+
+    from jane_spark.operators.vector import sq_query_weight_e6, sq_topk
+
+    with _pytest.raises(ValueError, match="empty input"):
+        sq_topk(
+            spark.createDataFrame([], "vec_id long, embedding array<double>"),
+            "vec_id", "embedding", k=3, dim=4,
+        )
+    # a tiny corpus where vec 1 IS the query direction (scaled 1e-6
+    # back to floats) and vec 3 is its negation
+    q = [sq_query_weight_e6(d, "sqq") / 1e6 for d in range(4)]
+    df = spark.createDataFrame(
+        [
+            (1, q),
+            (2, [x * 0.5 for x in q]),
+            (3, [-x for x in q]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    got = sq_topk(df, "vec_id", "embedding", k=3, dim=4).collect()
+    assert [r.vec_id for r in sorted(got, key=lambda r: r.rank)][0] == 1
+    ds = [r.dist2 for r in sorted(got, key=lambda r: r.rank)]
+    assert ds == sorted(ds) and ds[0] == 0
+    assert [r.rank for r in sorted(got, key=lambda r: r.rank)] == [1, 2, 3]
