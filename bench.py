@@ -194,6 +194,7 @@ BENCH_QUERIES = {
     "fertility": "q_t37_fertility",
     "dsir": "q_p21_dsir",
     "sq_topk": "q_k42_sq",
+    "cascade": "q_p22_cascade",
     # (q_i5_late_drop stays un-benched like every streaming execution:
     # the stream runs at plan-build into a memory sink and its oracle
     # is the batch twin — a construct-only compare)
@@ -215,6 +216,7 @@ RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 REBUILD_PER_RUN = {
     "bpe_train",
     "sq_topk",
+    "cascade",
     "unigram_train",
     "pagerank",
     "textrank",
@@ -363,6 +365,7 @@ CALIBRATION = {
     "fertility": 0.6594,
     "dsir": 0.3698,
     "sq_topk": 0.0272,
+    "cascade": 23.3565,
     "increment_dedup": 0.1083,
 }
 

@@ -2674,3 +2674,101 @@ def q_k42(spark, sf_dir):
 
     emb = Catalog(spark, sf_dir).embeddings
     return sq_topk(emb, "vec_id", "embedding", k=20, dim=64)
+
+
+_CASCADE_ORACLE = (
+    _KEEP_BEST_ORACLE.rsplit("SELECT comp, doc_id AS keep_id", 1)[0]
+    + """, keep AS (SELECT doc_id, n_tok FROM j WHERE rn = 1),
+g AS (SELECT k.doc_id, k.n_tok,
+             list_filter(string_split(d.text, ' '), x -> x <> '') AS toks,
+             string_split(d.text, chr(10)) AS lines,
+             d.text AS t
+      FROM keep k JOIN documents d USING (doc_id)),
+gate AS (SELECT doc_id, n_tok FROM g
+         WHERE len(toks) BETWEEN 50 AND 100000
+           AND (list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                / CAST(greatest(len(toks), 1) AS DOUBLE))
+               BETWEEN 3.0 AND 10.0
+           AND ((length(t) - length(replace(t, '#', ''))
+                 + (length(t) - length(replace(t, '...', ''))) / 3)
+                / CAST(greatest(len(toks), 1) AS DOUBLE)) < 0.1
+           AND (len(list_filter(lines, l -> left(l, 1) IN ('-', '*', '•')))
+                / CAST(greatest(len(lines), 1) AS DOUBLE)) < 0.9
+           AND (len(list_filter(lines, l -> right(l, 3) = '...'))
+                / CAST(greatest(len(lines), 1) AS DOUBLE)) < 0.3
+           AND (len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                / CAST(greatest(len(toks), 1) AS DOUBLE)) >= 0.8),
+sp AS (SELECT n_tok,
+              CASE WHEN CAST(concat('0x', substr(md5(concat('split:',
+                       CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                       % 10000 < 8000 THEN 'train'
+                   WHEN CAST(concat('0x', substr(md5(concat('split:',
+                       CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                       % 10000 < 9000 THEN 'val'
+                   ELSE 'test' END AS split
+       FROM gate)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM sp GROUP BY split
+"""
+)
+
+
+@contract(
+    "q_p22_cascade",
+    oracle=_CASCADE_ORACLE,
+    survey_rows="P22,K10,T32,P1",
+    doc="the FineWeb-shaped END-TO-END curation cascade as ONE lazy "
+    "plan: exact-Jaccard near-dup pairs -> connected components -> "
+    "keep-best survivor per cluster (integer quality key) -> Gopher "
+    "quality gate (six of the seven q_t32 rules; the stopword rule is "
+    "omitted because the synthetic corpus has no English stopwords — "
+    "a real deployment keeps it) -> deterministic 80/10/10 hash split "
+    "-> per-split doc/token budget. Proves the proven stages COMPOSE: "
+    "the oracle is the verbatim q_k10_keep_best fixpoint CTE + the "
+    "q_t32 rule SQL + the q_p1 split expression chained. Shuffle "
+    "count: the components fixpoint + one window on comp + one split "
+    "aggregate — the gate and split are pure projections that fuse "
+    "into the survivor scan",
+)
+def q_p22(spark, sf_dir):
+    from jane_spark.functions.sampling import split_assign
+    from jane_spark.functions.text import gopher_quality_flags
+    from jane_spark.operators.components import connected_components
+    from jane_spark.operators.topk import argmax
+
+    docs = Catalog(spark, sf_dir).documents
+    pairs = q_k2j(spark, sf_dir)
+    labels = connected_components(
+        pairs, "id_a", "id_b", nodes=docs.select("doc_id")
+    ).select(F.col("id").alias("doc_id"), "comp")
+    stats = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    best = argmax(
+        labels.join(stats, "doc_id"),
+        ["comp"],
+        [F.col("n_tok").desc(), F.col("doc_id").asc()],
+    ).select("doc_id", "n_tok")
+    g = gopher_quality_flags(F.col("text"))
+    gated = (
+        best.join(docs.select("doc_id", "text"), "doc_id")
+        .where(
+            g["words_ok"] & g["word_len_ok"] & g["symbol_ok"]
+            & g["bullet_ok"] & g["ellipsis_ok"] & g["alpha_ok"]
+        )
+        .select("doc_id", "n_tok")
+    )
+    split = split_assign(
+        F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="split:",
+    )
+    return (
+        gated.select(split.alias("split"), "n_tok")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )
