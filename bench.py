@@ -195,6 +195,9 @@ BENCH_QUERIES = {
     "dsir": "q_p21_dsir",
     "sq_topk": "q_k42_sq",
     "cascade": "q_p22_cascade",
+    "hdr_quantiles": "q_d25_hdr_quantiles",
+    "seasonal_residual": "q_e13_seasonal_residual",
+    "csv_quarantine": "q_a14_csv",
     # (q_i5_late_drop stays un-benched like every streaming execution:
     # the stream runs at plan-build into a memory sink and its oracle
     # is the batch twin — a construct-only compare)
@@ -217,6 +220,7 @@ REBUILD_PER_RUN = {
     "bpe_train",
     "sq_topk",
     "cascade",
+    "csv_quarantine",
     "unigram_train",
     "pagerank",
     "textrank",
@@ -366,6 +370,11 @@ CALIBRATION = {
     "dsir": 0.3698,
     "sq_topk": 0.0272,
     "cascade": 23.3565,
+    "hdr_quantiles": 0.0208,
+    "seasonal_residual": 0.0349,
+    # csv_quarantine: construct-only oracle (no file/CSV-parse work —
+    # the jsonl_quarantine adjudication shape)
+    "csv_quarantine": 0.0025,
     "increment_dedup": 0.1083,
 }
 

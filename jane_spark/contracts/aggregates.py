@@ -1196,3 +1196,74 @@ def q_d24(spark, sf_dir):
         F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
     )
     return mad_outliers(ev, ["event_type"], "event_id", "cents", k_e2=300)
+
+
+@contract(
+    "q_d25_hdr_quantiles",
+    oracle="""
+        WITH src AS (SELECT event_type,
+                            CAST(round(value * 100) AS BIGINT) AS c
+                     FROM events),
+        b AS (SELECT event_type,
+                     CAST(floor(log2(greatest(c, 1))) AS BIGINT) AS bucket,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM src GROUP BY 1, 2),
+        w AS (SELECT event_type, bucket, n,
+                     sum(n) OVER (PARTITION BY event_type
+                                  ORDER BY bucket
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                     sum(n) OVER (PARTITION BY event_type) AS total
+              FROM b)
+        SELECT event_type,
+               CAST(max(total) AS BIGINT) AS n,
+               CAST(min(CASE WHEN cum >= (50 * total + 99) // 100
+                             THEN 1 << bucket END) AS BIGINT) AS p50_lb,
+               CAST(min(CASE WHEN cum >= (95 * total + 99) // 100
+                             THEN 1 << bucket END) AS BIGINT) AS p95_lb,
+               CAST(min(CASE WHEN cum >= (99 * total + 99) // 100
+                             THEN 1 << bucket END) AS BIGINT) AS p99_lb
+        FROM w GROUP BY event_type
+    """,
+    survey_rows="D25,D23,D19",
+    doc="MERGEABLE approximate quantiles from the D23 log-scale "
+    "histogram (the HdrHistogram/latency-SLO readout): per key, "
+    "p50/p95/p99 reported as the power-of-two LOWER BOUND of the "
+    "first bucket whose cumulative count reaches ceil(p*n/100) — "
+    "constant relative error by construction, and the underlying "
+    "buckets are plain integer counts, so shards/days/sources merge "
+    "by addition and a 1000-executor tree-agg reproduces the exact "
+    "same readout (the D19 exact quantiles need the value-level "
+    "shuffle this avoids). Integer-exact: ceil via (p*n+99) div 100, "
+    "bound via shiftleft. One map-side-combinable (key, bucket) "
+    "groupBy + windows over <= 64 buckets per key",
+)
+def q_d25(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    bucket = F.floor(F.log2(F.greatest(cents, F.lit(1)))).cast("bigint")
+    b = (
+        ev.select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    kw = Window.partitionBy("event_type")
+    ow = kw.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    w = b.withColumn("cum", F.sum("n").over(ow)).withColumn(
+        "total", F.sum("n").over(kw)
+    )
+    # F.shiftleft takes a literal int only — column shift goes through
+    # the SQL function (the r10 bloom lesson)
+    lb = F.expr("shiftleft(cast(1 as bigint), cast(bucket as int))")
+
+    def pick(p: int):
+        thr = F.expr(f"({p} * total + 99) div 100")
+        return F.min(F.when(F.col("cum") >= thr, lb)).cast("bigint")
+
+    return w.groupBy("event_type").agg(
+        F.max("total").cast("bigint").alias("n"),
+        pick(50).alias("p50_lb"),
+        pick(95).alias("p95_lb"),
+        pick(99).alias("p99_lb"),
+    )

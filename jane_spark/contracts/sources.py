@@ -1646,3 +1646,64 @@ def q_a10(spark, sf_dir):
         "doc_id long, uri string, wtype string, status int, "
         "body_bytes long, body_md5 string",
     )
+
+
+@contract(
+    "q_a14_csv",
+    oracle="""
+        WITH g AS (SELECT lang, n_chars, doc_id % 7 <> 0 AS ok
+                   FROM documents)
+        SELECT CASE WHEN ok THEN lang ELSE '_corrupt' END AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN ok THEN n_chars ELSE 0 END) AS BIGINT)
+                   AS sum_chars
+        FROM g GROUP BY 1
+    """,
+    survey_rows="A14,A11,A4",
+    doc="CSV source with corrupt-record QUARANTINE "
+    "(sources/jsonl.read_csv_quarantine — the q_a11 recipe through "
+    "spark.read.csv): documents serialize to headerless CSV, every "
+    "7th row's numeric field is replaced by garbage, and PERMISSIVE "
+    "+ columnNameOfCorruptRecord recovers typed rows while "
+    "quarantining the malformed raw lines — the same never-drop/"
+    "never-fail contract as the JSON path, so pipelines can swap "
+    "containers without changing error handling. REAL files + real "
+    "csv reader; the oracle derives the partition arithmetically",
+)
+def q_a14(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from jane_spark.sources.jsonl import read_csv_quarantine
+
+    docs = Catalog(spark, sf_dir).documents
+    line = F.concat(
+        F.col("doc_id").cast("string"), F.lit(","),
+        F.col("lang"), F.lit(","),
+        F.col("n_chars").cast("string"),
+    )
+    broken = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit(","),
+            F.col("lang"), F.lit(",oops"),
+        ),
+    ).otherwise(line)
+    root = tempfile.mkdtemp(prefix="jane_csv_")
+    try:
+        docs.select(broken.alias("value")).write.mode("overwrite").text(root)
+        good, quarantine = read_csv_quarantine(
+            spark, root, "doc_id long, lang string, n_chars long"
+        )
+        g = good.groupBy(F.col("lang").alias("bucket")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        q = quarantine.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.lit(0).cast("bigint").alias("sum_chars"),
+        ).select(F.lit("_corrupt").alias("bucket"), "n", "sum_chars")
+        out = g.unionByName(q).localCheckpoint(eager=True)
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -523,3 +523,56 @@ def q_e12(spark, sf_dir):
         ev, ["event_type"], "ts", "event_id",
         F.round(F.col("value") * 100, 0),
     )
+
+
+@contract(
+    "q_e13_seasonal_residual",
+    oracle="""
+        WITH src AS (SELECT event_type, event_id,
+                            CAST(hour(ts) AS BIGINT) AS hod,
+                            CAST(round(value * 100) AS BIGINT) AS c
+                     FROM events),
+        base AS (SELECT event_type, hod,
+                        CAST(sum(c) AS BIGINT) // CAST(count(*) AS BIGINT)
+                            AS baseline
+                 FROM src GROUP BY 1, 2)
+        SELECT s.event_type,
+               CAST(s.event_id AS BIGINT) AS id,
+               s.c AS v,
+               b.baseline,
+               CAST(s.c - b.baseline AS BIGINT) AS residual
+        FROM src s JOIN base b USING (event_type, hod)
+        ORDER BY abs(s.c - b.baseline) DESC, s.event_id ASC
+        LIMIT 20
+    """,
+    survey_rows="E13,D24,E10",
+    doc="seasonal-NAIVE anomaly readout (the ops-metrics classic: "
+    "compare each reading to its own (series, hour-of-day) baseline, "
+    "so a daily rhythm is not flagged as drift the way a global "
+    "median rule would): integer baseline = sum div count per "
+    "(event_type, hour), residual = cents - baseline, top-20 by "
+    "|residual| (event_id ties). One map-side-combinable (type, hour) "
+    "aggregate (<= 24*|types| rows) broadcast back onto the scan + "
+    "one TakeOrdered — no window, no row-scale shuffle",
+)
+def q_e13(spark, sf_dir):
+    ev = Catalog(spark, sf_dir).events
+    src = ev.select(
+        "event_type",
+        F.col("event_id").cast("long").alias("id"),
+        F.hour("ts").cast("bigint").alias("hod"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+    )
+    base = src.groupBy("event_type", "hod").agg(
+        F.expr("sum(c) div count(*)").cast("bigint").alias("baseline")
+    )
+    j = src.join(F.broadcast(base), ["event_type", "hod"]).select(
+        "event_type",
+        "id",
+        F.col("c").alias("v"),
+        "baseline",
+        (F.col("c") - F.col("baseline")).cast("bigint").alias("residual"),
+    )
+    return j.orderBy(
+        F.abs(F.col("residual")).desc(), F.col("id").asc()
+    ).limit(20)

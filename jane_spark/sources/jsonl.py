@@ -46,3 +46,30 @@ def read_jsonl_quarantine(
         F.col(CORRUPT_COL).alias("raw")
     )
     return good, quarantine
+
+
+def read_csv_quarantine(
+    spark: SparkSession, path: str, schema: str
+) -> tuple[DataFrame, DataFrame]:
+    """CSV twin of ``read_jsonl_quarantine`` — same PERMISSIVE +
+    corrupt-column recipe through ``spark.read.csv``: malformed rows
+    (wrong token count, uncastable values) land raw in the quarantine
+    frame instead of silently nulling or failing the batch. CSV is
+    the other container hand-rolled upstream exporters actually emit;
+    the quarantine split must behave identically to the JSON path so
+    a pipeline can swap containers without changing its error
+    handling. Same cache requirement (corrupt-column-only queries are
+    refused against the raw source)."""
+    full = f"{schema}, {CORRUPT_COL} string"
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .csv(path)
+        .cache()
+    )
+    good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    quarantine = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw")
+    )
+    return good, quarantine
