@@ -198,6 +198,7 @@ BENCH_QUERIES = {
     "hdr_quantiles": "q_d25_hdr_quantiles",
     "seasonal_residual": "q_e13_seasonal_residual",
     "csv_quarantine": "q_a14_csv",
+    "hll_timeline": "q_d27_hll_timeline",
     # (q_i5_late_drop stays un-benched like every streaming execution:
     # the stream runs at plan-build into a memory sink and its oracle
     # is the batch twin — a construct-only compare)
@@ -375,6 +376,7 @@ CALIBRATION = {
     # csv_quarantine: construct-only oracle (no file/CSV-parse work —
     # the jsonl_quarantine adjudication shape)
     "csv_quarantine": 0.0025,
+    "hll_timeline": 0.0892,
     "increment_dedup": 0.1083,
 }
 

@@ -1267,3 +1267,54 @@ def q_d25(spark, sf_dir):
         pick(95).alias("p95_lb"),
         pick(99).alias("p99_lb"),
     )
+
+
+@contract(
+    "q_d27_hll_timeline",
+    oracle="""
+        WITH h AS (SELECT CAST(ts AS DATE) AS day,
+                          CAST(concat('0x', substr(md5(
+                              'hll:' || CAST(user_id AS VARCHAR)), 1, 8))
+                              AS BIGINT) AS h
+                   FROM events WHERE user_id IS NOT NULL),
+        b AS (SELECT day, h // 67108864 AS bucket, h % 67108864 AS w
+              FROM h),
+        r AS (SELECT day, bucket,
+                     max(CASE WHEN w = 0 THEN 27
+                              ELSE 27 - length(to_base(w, 2)) END) AS rho
+              FROM b GROUP BY day, bucket),
+        grid AS (SELECT d.day, g.b AS bucket
+                 FROM (SELECT DISTINCT day FROM h) d
+                 CROSS JOIN generate_series(0, 63) g(b)),
+        f AS (SELECT grid.day, grid.bucket,
+                     coalesce(r.rho, 0) AS rho
+              FROM grid LEFT JOIN r
+                  ON r.day = grid.day AND r.bucket = grid.bucket),
+        cum AS (SELECT day, bucket,
+                       max(rho) OVER (PARTITION BY bucket ORDER BY day
+                                      ROWS UNBOUNDED PRECEDING) AS crho
+                FROM f)
+        SELECT CAST(day AS TIMESTAMP) AS day,
+               CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(CASE WHEN crho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS zeros,
+               CAST(sum(CAST(1 AS BIGINT) << (32 - CAST(crho AS INTEGER)))
+                   AS BIGINT) AS inv_scaled
+        FROM cum GROUP BY day
+    """,
+    survey_rows="D27,D3,D16",
+    doc="cumulative distinct-cardinality TIMELINE via the HLL merge "
+    "law (operators.sketch.hll_cumulative_timeline): day d's sketch "
+    "= elementwise max of days 1..d's register tables, so 'unique "
+    "users to date' never re-scans history — the incremental readout "
+    "exact distinct cannot give. Hashed surface is the INTEGER sketch "
+    "state per day (m, zero-register count, 2^32-scaled harmonic "
+    "denominator sum(2^(32-rho))); the float estimate is a driver "
+    "formula over those integers. One (day x 64) groupBy + one window "
+    "over the days axis per bucket + one per-day readout",
+)
+def q_d27(spark, sf_dir):
+    from jane_spark.operators.sketch import hll_cumulative_timeline
+
+    ev = Catalog(spark, sf_dir).events
+    return hll_cumulative_timeline(ev, "ts", "user_id", p=6)

@@ -520,3 +520,59 @@ def kmv_overlap_matrix(
             " AS BIGINT)"
         ).alias("jaccard_e4"),
     )
+
+
+def hll_cumulative_timeline(
+    df: DataFrame,
+    ts_col: str,
+    col: str,
+    p: int = 6,
+    salt: str = "hll",
+) -> DataFrame:
+    """Cumulative distinct-cardinality TIMELINE from mergeable HLL
+    registers — the "unique users to date, per day" dashboard series
+    that exact distinct cannot produce incrementally: day d's sketch
+    is the elementwise max of days 1..d's register tables (the HLL
+    merge law), so yesterday's line never re-scans history and a
+    backfill is one register-table union.
+
+    Emits one row per day with the INTEGER sketch readout:
+    ``(day, m, zeros, inv_scaled)`` where ``inv_scaled =
+    sum(2^(32 - rho))`` over the cumulative registers — i.e.
+    ``2^32 * sum(2^-rho)``, the harmonic denominator of the HLL
+    estimate as an exact BIGINT (the float alpha*m^2/inv_sum readout
+    and the linear-counting correction are a driver-side formula over
+    these three integers — `hll_estimate` shape). No float in the
+    hashed surface.
+
+    Scale shape: one (day x m)-key groupBy (map-side combined, state
+    = m counters per day per task), one window over the DAYS axis per
+    bucket (rows = |days| x m, never data-scale), one per-day
+    m-row aggregate.
+    """
+    days = df.select(
+        F.col(ts_col).cast("date").alias("day"), F.col(col).alias("__k")
+    )
+    regs = hll_registers(days, "__k", p=p, salt=salt, group_cols=["day"])
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = regs.withColumn("crho", F.max("rho").over(w))
+    return cum.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum(F.when(F.col("crho") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("zeros"),
+        F.sum(
+            F.expr("shiftleft(cast(1 as bigint), 32 - cast(crho as int))")
+        )
+        .cast("bigint")
+        .alias("inv_scaled"),
+    ).select(
+        F.col("day").cast("timestamp_ntz").alias("day"),
+        "m",
+        "zeros",
+        "inv_scaled",
+    )

@@ -3986,3 +3986,32 @@ def test_sq_topk_quantization_and_guards(spark, sf_dir):
     ds = [r.dist2 for r in sorted(got, key=lambda r: r.rank)]
     assert ds == sorted(ds) and ds[0] == 0
     assert [r.rank for r in sorted(got, key=lambda r: r.rank)] == [1, 2, 3]
+
+
+def test_hll_timeline_cumulative_merge_law(spark, sf_dir):
+    """The cumulative timeline's last day must equal the all-time
+    register readout (merge law), and inv_scaled must be
+    non-increasing day over day (registers only grow, 2^-rho only
+    shrinks) while zeros never increase."""
+    from jane_spark.operators.sketch import (
+        hll_cumulative_timeline,
+        hll_registers,
+    )
+    import pyspark.sql.functions as SF
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tl = sorted(
+        hll_cumulative_timeline(ev, "ts", "user_id", p=6).collect(),
+        key=lambda r: r.day,
+    )
+    assert tl
+    inv = [r.inv_scaled for r in tl]
+    zs = [r.zeros for r in tl]
+    assert all(a >= b for a, b in zip(inv, inv[1:]))
+    assert all(a >= b for a, b in zip(zs, zs[1:]))
+    assert all(r.m == 64 for r in tl)
+    # merge law: final day == all-time registers
+    allr = hll_registers(ev, "user_id", p=6).collect()
+    exp_inv = sum(1 << (32 - r.rho) for r in allr)
+    exp_zeros = sum(1 for r in allr if r.rho == 0)
+    assert tl[-1].inv_scaled == exp_inv and tl[-1].zeros == exp_zeros
