@@ -199,6 +199,7 @@ BENCH_QUERIES = {
     "seasonal_residual": "q_e13_seasonal_residual",
     "csv_quarantine": "q_a14_csv",
     "hll_timeline": "q_d27_hll_timeline",
+    "leakage": "q_t40_leakage",
     # (q_i5_late_drop stays un-benched like every streaming execution:
     # the stream runs at plan-build into a memory sink and its oracle
     # is the batch twin — a construct-only compare)
@@ -377,6 +378,7 @@ CALIBRATION = {
     # the jsonl_quarantine adjudication shape)
     "csv_quarantine": 0.0025,
     "hll_timeline": 0.0892,
+    "leakage": 3.5269,
     "increment_dedup": 0.1083,
 }
 

@@ -3199,3 +3199,73 @@ def q_t37(spark, sf_dir):
             .alias("toks_per_doc_e2"),
         )
     )
+
+
+@contract(
+    "q_t40_leakage",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, source,
+                   list_distinct(string_split(text, ' ')) AS toks
+            FROM documents),
+        e AS (
+            SELECT doc_id, source, len(toks) AS n_toks, unnest(toks) AS tok
+            FROM t),
+        p AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.n_toks AS na, b.n_toks AS nb, count(*) AS common
+            FROM e a
+            JOIN e b ON a.source = b.source AND a.tok = b.tok
+                    AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4),
+        nd AS (SELECT id_a, id_b FROM p
+               WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.9),
+        sp AS (SELECT id_a, id_b,
+                      CASE WHEN CAST(concat('0x', substr(md5(concat(
+                               'split:', CAST(id_a AS VARCHAR))), 1, 8))
+                               AS BIGINT) % 10000 < 8000 THEN 'train'
+                           WHEN CAST(concat('0x', substr(md5(concat(
+                               'split:', CAST(id_a AS VARCHAR))), 1, 8))
+                               AS BIGINT) % 10000 < 9000 THEN 'val'
+                           ELSE 'test' END AS split_a,
+                      CASE WHEN CAST(concat('0x', substr(md5(concat(
+                               'split:', CAST(id_b AS VARCHAR))), 1, 8))
+                               AS BIGINT) % 10000 < 8000 THEN 'train'
+                           WHEN CAST(concat('0x', substr(md5(concat(
+                               'split:', CAST(id_b AS VARCHAR))), 1, 8))
+                               AS BIGINT) % 10000 < 9000 THEN 'val'
+                           ELSE 'test' END AS split_b
+               FROM nd)
+        SELECT split_a, split_b,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               split_a <> split_b AS leaks
+        FROM sp GROUP BY split_a, split_b
+    """,
+    survey_rows="T40,K2,P1,T5",
+    doc="train/test LEAKAGE audit — the post-split check every "
+    "FineWeb/Dolma-style release runs: near-duplicate pairs (the "
+    "proven q_k2_jaccard >= 0.9 chain) whose members land in "
+    "DIFFERENT hash splits are eval contamination that survived "
+    "dedup; emitted as the (split_a, split_b) pair-count matrix with "
+    "a leaks verdict per cell. Deterministic end to end (md5 split "
+    "buckets, integer counts). Same inverted-index join + one split "
+    "projection + one tiny groupBy — the audit costs one extra "
+    "aggregate over the pair table a dedup pipeline already built",
+)
+def q_t40(spark, sf_dir):
+    from jane_spark.contracts.northstar import q_k2j
+    from jane_spark.functions.sampling import split_assign
+
+    pairs = q_k2j(spark, sf_dir).select("id_a", "id_b")
+    sa = split_assign(
+        F.col("id_a"), {"train": 0.8, "val": 0.1, "test": 0.1}, salt="split:"
+    )
+    sb = split_assign(
+        F.col("id_b"), {"train": 0.8, "val": 0.1, "test": 0.1}, salt="split:"
+    )
+    return (
+        pairs.select(sa.alias("split_a"), sb.alias("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("leaks", F.col("split_a") != F.col("split_b"))
+    )
