@@ -4015,3 +4015,55 @@ def test_hll_timeline_cumulative_merge_law(spark, sf_dir):
     exp_inv = sum(1 << (32 - r.rho) for r in allr)
     exp_zeros = sum(1 for r in allr if r.rho == 0)
     assert tl[-1].inv_scaled == exp_inv and tl[-1].zeros == exp_zeros
+
+
+def test_cusum_drift_matches_page_recursion_property(spark):
+    """Property test (hypothesis): the closed window form
+    s_i = p_i - min(0, min_{j<=i} p_j) must equal the textbook Page
+    recursion s_i = max(0, s_{i-1} + dev_i) on arbitrary integer
+    series — the exact identity the r10 ADVICE found broken (the
+    missing p_0 = 0 baseline only bites when prefix sums stay
+    positive, which random series exercise both ways)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from jane_spark.operators.rolling import cusum_drift
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-1000, max_value=1000),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def check(vals):
+        rows = [
+            ("k", 1_700_000_000 + i, i, int(v)) for i, v in enumerate(vals)
+        ]
+        df = spark.createDataFrame(
+            rows, ["k", "sec", "eid", "cents"]
+        ).select(
+            "k",
+            F.timestamp_seconds(F.col("sec"))
+            .cast("timestamp_ntz")
+            .alias("ts"),
+            "eid",
+            "cents",
+        )
+        got = cusum_drift(df, ["k"], "ts", "eid", F.col("cents")).collect()
+        # reference: integer target (sum div count, truncating like
+        # Spark's div) then the Page recursion
+        n = len(vals)
+        tot = sum(vals)
+        target = abs(tot) // n * (1 if tot >= 0 else -1)
+        s, peak, peak_i = 0, None, None
+        for i, v in enumerate(vals):
+            s = max(0, s + (v - target))
+            if peak is None or s > peak:
+                peak, peak_i = s, i
+        assert len(got) == 1
+        assert got[0].peak_s == peak, (vals, got[0].peak_s, peak)
+        assert got[0].peak_ts_us == (1_700_000_000 + peak_i) * 1_000_000
+
+    check()
