@@ -403,6 +403,10 @@ _PANDAS_ALLOWED = {
     "q_a10_warc",
     # zlib has no JVM expression — the pandas UDF is the operator (r7)
     "q_t31_compress",
+    # mmr's greedy is inherently sequential: ONE applyInPandas task is
+    # the reranker shape (r11 — replaced k TakeOrdered(1) driver
+    # rounds whose scheduler/planning floor dominated)
+    "q_k33_mmr",
     # the WARC end-to-end pipeline's one Python stage is its subject
     "q_p14_warc_pipeline",
     # portable IVF quantizes via the same Arrow GEMM stage as q_k3_ivf
