@@ -200,6 +200,7 @@ BENCH_QUERIES = {
     "csv_quarantine": "q_a14_csv",
     "hll_timeline": "q_d27_hll_timeline",
     "leakage": "q_t40_leakage",
+    "drift": "q_t41_drift",
     # (q_i5_late_drop stays un-benched like every streaming execution:
     # the stream runs at plan-build into a memory sink and its oracle
     # is the batch twin — a construct-only compare)
@@ -379,6 +380,7 @@ CALIBRATION = {
     "csv_quarantine": 0.0025,
     "hll_timeline": 0.0892,
     "leakage": 3.5269,
+    "drift": 0.2656,
     "increment_dedup": 0.1083,
 }
 

@@ -3269,3 +3269,51 @@ def q_t40(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .withColumn("leaks", F.col("split_a") != F.col("split_b"))
     )
+
+
+@contract(
+    "q_t41_drift",
+    oracle="""
+        WITH c AS (SELECT source AS src,
+                          CAST(concat('0x', substr(md5('drift:' || tok),
+                               1, 8)) AS BIGINT) % 1024 AS b,
+                          CAST(count(*) AS BIGINT) AS c
+                   FROM (SELECT source,
+                                unnest(string_split(text, ' ')) AS tok
+                         FROM documents)
+                   GROUP BY 1, 2),
+        t AS (SELECT src, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY src),
+        grid AS (SELECT a.src AS src_a, bb.src AS src_b, k.b
+                 FROM (SELECT DISTINCT src FROM c) a
+                 JOIN (SELECT DISTINCT src FROM c) bb ON a.src < bb.src
+                 CROSS JOIN (SELECT DISTINCT b FROM c) k),
+        j AS (SELECT g.src_a, g.src_b, ta.n AS n_a, tb.n AS n_b,
+                     abs(coalesce(ca.c, 0) * tb.n
+                         - coalesce(cb.c, 0) * ta.n) AS term
+              FROM grid g
+              LEFT JOIN c ca ON ca.src = g.src_a AND ca.b = g.b
+              LEFT JOIN c cb ON cb.src = g.src_b AND cb.b = g.b
+              JOIN t ta ON ta.src = g.src_a
+              JOIN t tb ON tb.src = g.src_b)
+        SELECT src_a, src_b, n_a, n_b,
+               CAST(sum(term) AS BIGINT) AS l1_num,
+               CAST((CAST(sum(term) AS BIGINT) * 10000)
+                    // (2 * n_a * n_b) AS BIGINT) AS tv_e4
+        FROM j GROUP BY src_a, src_b, n_a, n_b
+    """,
+    survey_rows="T41,K37,K6",
+    doc="pairwise corpus-DRIFT matrix (functions.text."
+    "source_drift_matrix): total-variation distance between every two "
+    "sources' hashed-unigram distributions — the snapshot-shift alarm "
+    "a pipeline runs between crawls (the distributional twin of the "
+    "K37 KMV overlap matrix, which only sees set membership). Pure "
+    "integer surface: l1_num = sum |c_a*N_b - c_b*N_a| and tv_e4 = "
+    "(l1_num*10000) div (2*N_a*N_b) — no float anywhere. One token "
+    "pass, one (source, bucket) combinable count shuffle; the matrix "
+    "runs on an S^2 x B sketch grid, never data",
+)
+def q_t41(spark, sf_dir):
+    from jane_spark.functions.text import source_drift_matrix
+
+    docs = Catalog(spark, sf_dir).documents
+    return source_drift_matrix(docs, "source", "text", n_buckets=1024)

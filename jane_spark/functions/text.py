@@ -885,3 +885,97 @@ def ngram_novelty(
             "(10000 * coalesce(novel, 0)) div greatest(coalesce(n_grams, 0), 1)"
         ).cast("bigint").alias("novel_e4"),
     )
+
+
+def source_drift_matrix(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    n_buckets: int = 1024,
+    salt: str = "drift:",
+) -> DataFrame:
+    """Pairwise corpus-DRIFT matrix: total-variation distance between
+    every two sources' hashed-unigram distributions — the monitoring
+    statistic a pipeline alarms on when a new crawl snapshot's token
+    mix shifts against the previous one (the distribution-shift twin
+    of the KMV overlap matrix, which only sees set membership).
+
+    Pure integer (the pmi discipline): with bucket counts ``c_a``,
+    ``c_b`` and totals ``N_a``, ``N_b``,
+
+        l1_num = sum_b |c_a[b]*N_b - c_b[b]*N_a|
+        TV     = l1_num / (2*N_a*N_b)      (in [0, 1])
+
+    so the hashed surface is ``(src_a, src_b, n_a, n_b, l1_num,
+    tv_e4)`` — every value BIGINT, ``tv_e4 = (l1_num*10000) div
+    (2*n_a*n_b)`` exact in any engine. Buckets are the portable
+    salted-md5 hash, so the statistic replays outside Spark.
+
+    Scale shape: ONE token pass -> one (source, bucket)-keyed count
+    shuffle (map-side combinable, <= |sources|*B rows out); the
+    matrix is computed on an explicit (pair x union-bucket) grid —
+    S^2*B rows of SKETCH, never data (the kmv_overlap_matrix
+    posture). B bounds memory; raw text is touched once.
+    """
+    from jane_spark.functions.sampling import hash_bucket
+
+    B = int(n_buckets)
+    counts = (
+        df.select(
+            F.col(source_col).alias("src"),
+            F.explode(F.split(F.col(text_col), TOKEN_SPLIT, -1)).alias(
+                "tok"
+            ),
+        )
+        .select("src", hash_bucket(F.col("tok"), B, salt).alias("b"))
+        .groupBy("src", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    srcs = counts.select("src").distinct()
+    buckets = counts.select("b").distinct()
+    grid = (
+        srcs.select(F.col("src").alias("src_a"))
+        .crossJoin(srcs.select(F.col("src").alias("src_b")))
+        .where(F.col("src_a") < F.col("src_b"))
+        .crossJoin(buckets)
+    )
+    ca = counts.select(
+        F.col("src").alias("src_a"), "b", F.col("c").alias("ca")
+    )
+    cb = counts.select(
+        F.col("src").alias("src_b"), "b", F.col("c").alias("cb")
+    )
+    totals = counts.groupBy("src").agg(F.sum("c").alias("n"))
+    ta = totals.select(F.col("src").alias("src_a"), F.col("n").alias("n_a"))
+    tb = totals.select(F.col("src").alias("src_b"), F.col("n").alias("n_b"))
+    scored = (
+        grid.join(ca, ["src_a", "b"], "left")
+        .join(cb, ["src_b", "b"], "left")
+        .join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            F.abs(
+                F.coalesce(F.col("ca"), F.lit(0)) * F.col("n_b")
+                - F.coalesce(F.col("cb"), F.lit(0)) * F.col("n_a")
+            ).alias("term"),
+        )
+    )
+    return (
+        scored.groupBy("src_a", "src_b", "n_a", "n_b")
+        .agg(F.sum("term").cast("bigint").alias("l1_num"))
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            "l1_num",
+            F.expr("(l1_num * 10000) div (2 * n_a * n_b)")
+            .cast("bigint")
+            .alias("tv_e4"),
+        )
+    )

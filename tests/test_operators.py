@@ -4067,3 +4067,26 @@ def test_cusum_drift_matches_page_recursion_property(spark):
         assert got[0].peak_ts_us == (1_700_000_000 + peak_i) * 1_000_000
 
     check()
+
+
+def test_source_drift_matrix_laws(spark):
+    """TV-distance laws: identical sources have tv 0; disjoint-vocab
+    sources have tv 10000 (e4); the matrix is a-ordered with one row
+    per unordered pair; values symmetric under swapped inputs."""
+    from jane_spark.functions.text import source_drift_matrix
+
+    rows = (
+        [("a", "alpha beta gamma delta")] * 10
+        + [("b", "alpha beta gamma delta")] * 10
+        + [("c", "zeta eta theta iota")] * 10
+    )
+    df = spark.createDataFrame(rows, ["source", "text"])
+    out = {
+        (r.src_a, r.src_b): r
+        for r in source_drift_matrix(df, "source", "text", 256).collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert out[("a", "b")].tv_e4 == 0 and out[("a", "b")].l1_num == 0
+    assert out[("a", "c")].tv_e4 == 10000
+    assert out[("b", "c")].tv_e4 == 10000
+    assert all(r.n_a == 40 and r.n_b == 40 for r in out.values())
