@@ -1500,20 +1500,24 @@ def sq_topk(
 
         code[d] = ((v_e6[d] - mn[d]) * levels) div max(mx[d] - mn[d], 1)
 
-    is pure BIGINT against the per-dimension corpus bounds (numerator
-    non-negative, so truncating div == floor div in every engine). The
-    query quantizes through the SAME bounds (unclamped — a query
+    is pure BIGINT against the per-dimension corpus bounds (truncating
+    div on BOTH engines — Spark `div` and DuckDB `//` truncate toward
+    zero, which matters for the query's possibly-negative numerators).
+    The query quantizes through the SAME bounds (unclamped — a query
     outside the corpus envelope gets out-of-range codes, which
-    preserves ordering and exactness; clamping is a recall tweak, not
-    a correctness one). ``dist2 = sum (code-qcode)^2`` ranks top-k
-    (asc, id ties). Emits ``(vec_id, dist2, rank)``.
+    preserves ordering and exactness). ``dist2 = sum (code-qcode)^2``
+    ranks top-k (asc, id ties). Emits ``(vec_id, dist2, rank)``.
+    Empty input yields an empty frame.
 
-    Scale shape: one 2*dim-long bounds aggregate collected once (the
-    IVF-centroid bounded-collect contract) and broadcast as literals,
-    one codegen projection per row, one TakeOrdered — the corpus never
-    shuffles. At 100 TB the codes are what you STORE (4x smaller scan
-    for every downstream search); re-ranking survivors against raw
-    floats composes exactly like ivf_pq's ADC->exact rerank.
+    Scale shape — ONE lazy plan, zero driver collects: per-dimension
+    bounds come from a posexplode + (pos)-keyed min/max agg (map-side
+    combinable, 2*dim longs) folded into ONE broadcast row of
+    mn/rng/qcode ARRAYS that crossJoins the scan; because the arrays
+    arrive through a JOIN, CollapseProject cannot re-inline their
+    derivation into the per-element accesses (the re-inlining that
+    made the first cut 64x slower). One projection + one TakeOrdered;
+    the corpus never shuffles. At 100 TB the codes are what you STORE
+    (4x smaller scans); rerank composes like ivf_pq's ADC->exact.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -1523,56 +1527,51 @@ def sq_topk(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    # per-dimension bounds via posexplode + ONE map-side-combinable
-    # (pos)-keyed min/max agg — 2*dim longs out. (The 2*dim-column
-    # single-row agg alternative costs seconds in analysis/codegen of
-    # 128 aggregate expressions; this is one tiny shuffle instead.)
     ve = F.transform(F.col("v"), lambda x: F.round(x * 1e6, 0).cast("bigint"))
-    bounds = {
-        int(r.pos): (int(r.mn), int(r.mx))
-        for r in base.select(F.posexplode(ve).alias("pos", "x"))
+    bounds = (
+        base.select(F.posexplode(ve).alias("pos", "x"))
         .groupBy("pos")
         .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
-        .collect()
-    }
-    if len(bounds) < dim:
-        raise ValueError(
-            "empty input: no per-dimension bounds"
-            if not bounds
-            else f"vectors shorter than dim={dim}: bounds for {len(bounds)}"
+    )
+    q_sql = ",".join(str(sq_query_weight_e6(d)) for d in range(dim))
+    # ONE broadcast row holding the three aligned arrays; the query
+    # codes compute Spark-side with the same truncating div
+    barr = (
+        bounds.agg(
+            F.sort_array(
+                F.collect_list(F.struct("pos", "mn", "mx"))
+            ).alias("s")
         )
-    mn = [bounds[d][0] for d in range(dim)]
-    rng = [max(bounds[d][1] - mn[d], 1) for d in range(dim)]
-    # TRUNCATING division (Spark `div` / DuckDB `//` both truncate
-    # toward zero; Python // floors — they differ exactly where the
-    # query sits below a dimension's corpus min and the numerator
-    # goes negative)
-    def _tdiv(a: int, b: int) -> int:
-        return -((-a) // b) if a < 0 else a // b
-
-    qc = [
-        _tdiv((sq_query_weight_e6(d) - mn[d]) * levels, rng[d])
-        for d in range(dim)
-    ]
-    mn_sql = ",".join(str(x) for x in mn)
-    rng_sql = ",".join(str(x) for x in rng)
-    qc_sql = ",".join(str(x) for x in qc)
-    # codes built from the RAW embedding in ONE transform — a separate
-    # materialized `ve` column gets re-INLINED by CollapseProject into
-    # every element access (the url_host lesson: projection barriers
-    # do not survive the optimizer), turning dim element reads into
-    # dim full-array transforms per row (measured 64x: 2.7 s -> 40 ms)
-    scored = base.select(
-        F.col("id").alias("vec_id"),
-        F.expr(
-            f"aggregate(zip_with("
-            f"transform(sequence(1, {dim}), i -> "
-            f"((cast(round(element_at(v, i) * 1000000.0, 0) as bigint)"
-            f" - element_at(array({mn_sql}), i)) * {int(levels)})"
-            f" div element_at(array({rng_sql}), i)), "
-            f"array({qc_sql}), "
-            "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
-        ).cast("bigint").alias("dist2"),
+        .select(
+            F.expr("transform(s, e -> e.mn)").alias("mn_arr"),
+            F.expr(
+                "transform(s, e -> greatest(e.mx - e.mn, CAST(1 AS BIGINT)))"
+            ).alias("rng_arr"),
+        )
+        .select(
+            "mn_arr",
+            "rng_arr",
+            F.expr(
+                f"zip_with(zip_with(array({q_sql}), mn_arr, "
+                f"(q, m) -> (q - m) * {int(levels)}), rng_arr, "
+                "(num, r) -> num div r)"
+            ).alias("qc_arr"),
+        )
+    )
+    scored = (
+        base.crossJoin(F.broadcast(barr))
+        .select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                f"aggregate(zip_with("
+                f"transform(sequence(1, {dim}), i -> "
+                f"((cast(round(element_at(v, i) * 1000000.0, 0) as bigint)"
+                f" - element_at(mn_arr, i)) * {int(levels)})"
+                f" div element_at(rng_arr, i)), "
+                f"qc_arr, "
+                "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+            ).cast("bigint").alias("dist2"),
+        )
     )
     sel = scored.orderBy(F.col("dist2").asc(), F.col("vec_id").asc()).limit(k)
     w = Window.orderBy(F.col("dist2").asc(), F.col("vec_id").asc())
