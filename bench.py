@@ -201,6 +201,7 @@ BENCH_QUERIES = {
     "hll_timeline": "q_d27_hll_timeline",
     "leakage": "q_t40_leakage",
     "drift": "q_t41_drift",
+    "lang_confusion": "q_t42_lang_confusion",
     # (q_i5_late_drop stays un-benched like every streaming execution:
     # the stream runs at plan-build into a memory sink and its oracle
     # is the batch twin — a construct-only compare)
@@ -381,6 +382,7 @@ CALIBRATION = {
     "hll_timeline": 0.0892,
     "leakage": 3.5269,
     "drift": 0.2656,
+    "lang_confusion": 0.8057,
     "increment_dedup": 0.1083,
 }
 

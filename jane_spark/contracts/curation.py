@@ -3317,3 +3317,63 @@ def q_t41(spark, sf_dir):
 
     docs = Catalog(spark, sf_dir).documents
     return source_drift_matrix(docs, "source", "text", n_buckets=1024)
+
+
+@contract(
+    "q_t42_lang_confusion",
+    oracle="""
+        WITH t AS (
+            SELECT lang,
+                   list_distinct((string_split(lower(text), ' '))[1:200])
+                       AS toks,
+                   text
+            FROM documents),
+        h AS (
+            SELECT lang, text,
+                   len(list_intersect(toks, ['the','and','of','to','is']))
+                       AS h_en,
+                   len(list_intersect(toks, ['le','la','et','les','des']))
+                       AS h_fr,
+                   len(list_intersect(toks, ['el','de','la','los','que']))
+                       AS h_es,
+                   len(list_intersect(toks, ['der','die','und','das','ist']))
+                       AS h_de
+            FROM t),
+        p AS (
+            SELECT lang,
+                   CASE
+                WHEN regexp_matches(substr(text, 1, 200), '[一-鿿]')
+                    THEN 'zh'
+                WHEN greatest(h_en, h_fr, h_es, h_de) <= 0 THEN 'und'
+                WHEN h_en = greatest(h_en, h_fr, h_es, h_de) THEN 'en'
+                WHEN h_fr = greatest(h_en, h_fr, h_es, h_de) THEN 'fr'
+                WHEN h_es = greatest(h_en, h_fr, h_es, h_de) THEN 'es'
+                ELSE 'de' END AS lang_pred
+            FROM h)
+        SELECT lang, lang_pred,
+               CAST(count(*) AS BIGINT) AS n,
+               lang = lang_pred AS correct
+        FROM p GROUP BY lang, lang_pred
+    """,
+    survey_rows="T42,K6,T37",
+    doc="language-ID CONFUSION MATRIX against the corpus's own lang "
+    "labels — the classifier-quality audit every curation pipeline "
+    "runs before trusting a lang gate (per-(label, prediction) "
+    "counts + a correct flag; precision/recall are driver formulas "
+    "over these integers). Prediction from the proven K6 marker-word "
+    "argmax expression; one scan + one |langs|^2-group map-side-"
+    "combinable aggregate",
+)
+def q_t42(spark, sf_dir):
+    from jane_spark.functions.text import detect_language_expr
+
+    docs = Catalog(spark, sf_dir).documents
+    return (
+        docs.select(
+            "lang",
+            detect_language_expr(F.col("text")).alias("lang_pred"),
+        )
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("correct", F.col("lang") == F.col("lang_pred"))
+    )
