@@ -202,6 +202,7 @@ BENCH_QUERIES = {
     "leakage": "q_t40_leakage",
     "drift": "q_t41_drift",
     "lang_confusion": "q_t42_lang_confusion",
+    "waterfill": "q_p24_waterfill",
     # (q_i5_late_drop stays un-benched like every streaming execution:
     # the stream runs at plan-build into a memory sink and its oracle
     # is the batch twin — a construct-only compare)
@@ -225,6 +226,7 @@ REBUILD_PER_RUN = {
     "sq_topk",
     "cascade",
     "csv_quarantine",
+    "waterfill",
     "unigram_train",
     "pagerank",
     "textrank",
@@ -383,6 +385,7 @@ CALIBRATION = {
     "leakage": 3.5269,
     "drift": 0.2656,
     "lang_confusion": 0.8057,
+    "waterfill": 0.1911,
     "increment_dedup": 0.1083,
 }
 

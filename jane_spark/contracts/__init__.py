@@ -45,7 +45,7 @@ VERIFY_FIRST: list[str] = [
     #   (c) the full 27-name stale-r5 tail, registration order —
     #       displaced from the r10 window by that round's conversions;
     #   (d) the head of the 46-name r6 block, registration order.
-    # Into r12: the rest of the r6 block (q_d6_availability, q_d6_percent, q_j4_udtf, q_k5_df, q_k7_audiofp, q_k19_hybrid, q_k5_bm25, q_k14_ssjoin, q_k6_lang, q_t1_quality, q_k7_spectral, q_k7_frames,
+    # Into r12: the rest of the r6 block (q_a8_station_bulk, q_d6_availability, q_d6_percent, q_j4_udtf, q_k5_df, q_k7_audiofp, q_k19_hybrid, q_k5_bm25, q_k14_ssjoin, q_k6_lang, q_t1_quality, q_k7_spectral, q_k7_frames,
     # q_k5_tfidf, q_t4_bpe_tokens, q_t7_repetition,
     # q_k2_minhash_portable, q_k2_simhash_portable .. q_t19_normalize,
     # registration order), then the r7 block as it ages.
@@ -82,6 +82,7 @@ VERIFY_FIRST: list[str] = [
     "q_t40_leakage",
     "q_t41_drift",
     "q_t42_lang_confusion",
+    "q_p24_waterfill",
     # (c) stale r5 tail, registration order
     "q_d8_cube",
     "q_e3_cumsum",
@@ -113,7 +114,6 @@ VERIFY_FIRST: list[str] = [
     # (d) r6 block head, registration order
     "q_a8_geojson",
     "q_a7_bulk_select",
-    "q_a8_station_bulk",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

@@ -1048,3 +1048,100 @@ def q_p21(spark, sf_dir):
     docs = Catalog(spark, sf_dir).documents
     target = docs.where(F.col("doc_id") % 7 == 0)
     return dsir_select(docs, target, "doc_id", "text", n=200, n_buckets=1024)
+
+
+def _waterfill_oracle(rounds: int = 22) -> str:
+    """Unrolled water-filling rounds (the Lloyd/PQ/unigram/mmr
+    unrolling precedent): round i saturates active sources whose floor
+    share meets availability, a scalar CTE carries the remaining
+    budget, and the terminal select pays floor shares to survivors."""
+    parts = ["""base AS MATERIALIZED (
+        SELECT source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+               CAST((CAST(substr(source, 4) AS BIGINT) % 5 + 1) * 1000
+                   AS BIGINT) AS w
+        FROM documents),
+    src AS MATERIALIZED (
+        SELECT source, CAST(sum(nt) AS BIGINT) AS avail, max(w) AS w
+        FROM base GROUP BY source),
+    bud AS (SELECT CAST((sum(avail) * 6) // 10 AS BIGINT) AS b FROM src),
+    st0 AS MATERIALIZED (
+        SELECT source, avail, w, CAST(NULL AS BIGINT) AS alloc
+        FROM src),
+    rem0 AS MATERIALIZED (SELECT b AS rem FROM bud)"""]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f"""tot{i} AS MATERIALIZED (
+        SELECT CAST(sum(w) AS BIGINT) AS W FROM st{p} WHERE alloc IS NULL),
+    st{i} AS MATERIALIZED (
+        SELECT s.source, s.avail, s.w,
+               CASE WHEN s.alloc IS NOT NULL THEN s.alloc
+                    WHEN t.W IS NOT NULL AND r.rem > 0
+                         AND (r.rem * s.w) // t.W >= s.avail
+                        THEN s.avail
+                    ELSE NULL END AS alloc
+        FROM st{p} s, rem{p} r, tot{i} t),
+    rem{i} AS MATERIALIZED (
+        SELECT r.rem - coalesce(
+            (SELECT CAST(sum(s2.avail) AS BIGINT)
+             FROM st{p} s2, rem{p} r2, tot{i} t2
+             WHERE s2.alloc IS NULL AND t2.W IS NOT NULL AND r2.rem > 0
+               AND (r2.rem * s2.w) // t2.W >= s2.avail),
+            CAST(0 AS BIGINT)) AS rem
+        FROM rem{p} r)""")
+    k = rounds
+    return (
+        "WITH " + ",\n    ".join(parts) + f""",
+    totf AS (SELECT CAST(sum(w) AS BIGINT) AS W FROM st{k}
+             WHERE alloc IS NULL)
+    SELECT s.source, s.avail, s.w AS weight_e4,
+           CAST(CASE WHEN s.alloc IS NOT NULL THEN s.alloc
+                     WHEN r.rem <= 0 THEN 0
+                     ELSE (r.rem * s.w) // t.W END AS BIGINT) AS alloc
+    FROM st{k} s, rem{k} r, totf t
+    """
+    )
+
+
+@contract(
+    "q_p24_waterfill",
+    oracle=_waterfill_oracle(22),
+    survey_rows="P24,P9,P7",
+    doc="token-budget WATER-FILLING allocation across sources "
+    "(functions.sampling.waterfill_allocation): each source gets its "
+    "weight-proportional share of the remaining budget unless that "
+    "share exceeds its availability, in which case it contributes "
+    "everything and the excess re-distributes over the unsaturated "
+    "rest — the 'mixture weights subject to corpus size' allocation "
+    "the GPT-3/LLaMA-style mix reports describe, which the plain "
+    "per-source keep-fraction (P9 mixture_sample) cannot express. "
+    "Synchronous integer rounds (<= |sources|+1), every division "
+    "non-negative so floor == trunc in any engine; budget = 60% of "
+    "corpus tokens, weights the deterministic (srcN%5+1)*1000 table. "
+    "Oracle = the rounds unrolled as saturation CTEs with a scalar "
+    "remaining-budget chain (the Lloyd/unigram/mmr precedent). The "
+    "per-source avail aggregate runs distributed; the loop itself is "
+    "a bounded |sources|-row driver computation",
+)
+def q_p24(spark, sf_dir):
+    from jane_spark.functions.sampling import waterfill_allocation
+
+    docs = Catalog(spark, sf_dir).documents
+    src = (
+        docs.select(
+            "source",
+            F.size(F.split(F.col("text"), " ", -1))
+            .cast("long")
+            .alias("nt"),
+            (
+                (F.substring(F.col("source"), 4, 10).cast("long") % 5 + 1)
+                * 1000
+            ).alias("w"),
+        )
+        .groupBy("source")
+        .agg(F.sum("nt").alias("avail"), F.max("w").alias("w"))
+    )
+    budget = src.agg(
+        F.expr("(sum(avail) * 6) div 10").cast("long").alias("b")
+    ).first()["b"]
+    return waterfill_allocation(src, "source", "avail", "w", int(budget))

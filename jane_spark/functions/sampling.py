@@ -461,3 +461,74 @@ def dsir_select(
     sel = weights.orderBy(F.col("weight_c").desc(), F.col("id").asc()).limit(n)
     w = Window.orderBy(F.col("weight_c").desc(), F.col("id").asc())
     return sel.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def waterfill_allocation(
+    sources,
+    source_col: str,
+    avail_col: str,
+    weight_col: str,
+    budget: int,
+    max_rounds: int = 22,
+):
+    """Token-budget WATER-FILLING across sources — the data-mixture
+    allocator every training run needs once weights meet reality: a
+    source gets its weight-proportional share of the remaining budget
+    UNLESS that share exceeds what it has (availability cap), in which
+    case it contributes everything and the excess re-distributes over
+    the still-unsaturated sources (the classic water-filling /
+    progressive-filling allocation; the GPT-3/LLaMA mixture reports
+    describe exactly this "weights subject to corpus size" shape).
+
+    Synchronous integer rounds: with remaining budget ``rem`` and
+    active weight mass ``W``, round r saturates every active source
+    whose floor share ``(rem*w) div W`` meets its availability, pays
+    them their full ``avail``, and recurses on the rest; terminal
+    round pays floor shares (the ≤|sources|-token floor residue stays
+    unallocated — documented, deterministic). All quantities BIGINT,
+    every division has non-negative operands (floor == trunc in any
+    engine). At most |sources|+1 rounds.
+
+    ``sources`` is the per-source frame (one row per source) —
+    collected to the driver for the loop, which is the bounded-collect
+    contract (source counts are dozens, not data-scale; the expensive
+    part, computing ``avail`` per source, happens distributed BEFORE
+    this). Returns a DataFrame ``(source, avail, weight_e4, alloc)``.
+    """
+    spark = sources.sparkSession
+    rows = sources.select(
+        F.col(source_col).alias("source"),
+        F.col(avail_col).cast("long").alias("avail"),
+        F.col(weight_col).cast("long").alias("w"),
+    ).collect()
+    avail = {r.source: int(r.avail) for r in rows}
+    w = {r.source: int(r.w) for r in rows}
+    if any(v < 0 for v in avail.values()) or any(v <= 0 for v in w.values()):
+        raise ValueError("avail must be >= 0 and weights > 0")
+    alloc: dict = {}
+    active = sorted(avail)
+    rem = int(budget)
+    for _ in range(int(max_rounds)):
+        if not active or rem <= 0:
+            for s in active:
+                alloc[s] = 0
+            break
+        W = sum(w[s] for s in active)
+        sat = [s for s in active if (rem * w[s]) // W >= avail[s]]
+        if not sat:
+            for s in active:
+                alloc[s] = (rem * w[s]) // W
+            break
+        for s in sat:
+            alloc[s] = avail[s]
+            rem -= avail[s]
+        active = [s for s in active if s not in sat]
+    else:
+        for s in active:
+            alloc[s] = (rem * w[s]) // sum(w[s2] for s2 in active)
+    out = [
+        (s, avail[s], w[s], int(alloc.get(s, 0))) for s in sorted(avail)
+    ]
+    return spark.createDataFrame(
+        out, "source string, avail long, weight_e4 long, alloc long"
+    )

@@ -4092,3 +4092,37 @@ def test_source_drift_matrix_laws(spark):
     assert out[("a", "c")].tv_e4 == 10000
     assert out[("b", "c")].tv_e4 == 10000
     assert all(r.n_a == 40 and r.n_b == 40 for r in out.values())
+
+
+def test_waterfill_allocation_laws(spark):
+    """Water-filling laws: no source exceeds its availability; a
+    saturated high-weight source's excess flows to the rest; total
+    allocation == budget minus the <|sources| floor residue; budget >=
+    total availability pays everyone in full; zero budget pays 0."""
+    from jane_spark.functions.sampling import waterfill_allocation
+
+    src = spark.createDataFrame(
+        [("a", 100, 5000), ("b", 10_000, 1000), ("c", 10_000, 1000)],
+        ["source", "avail", "w"],
+    )
+    got = {
+        r.source: r
+        for r in waterfill_allocation(
+            src, "source", "avail", "w", budget=7_000
+        ).collect()
+    }
+    # a saturates at 100 (its share of 7000*5/7 = 5000 >> 100); the
+    # remaining 6900 splits evenly between b and c
+    assert got["a"].alloc == 100
+    assert got["b"].alloc == got["c"].alloc == 3450
+    assert all(r.alloc <= r.avail for r in got.values())
+    # budget >= availability: everyone full
+    full = {
+        r.source: r.alloc
+        for r in waterfill_allocation(
+            src, "source", "avail", "w", budget=10_000_000
+        ).collect()
+    }
+    assert full == {"a": 100, "b": 10_000, "c": 10_000}
+    zero = waterfill_allocation(src, "source", "avail", "w", 0).collect()
+    assert all(r.alloc == 0 for r in zero)
