@@ -45,10 +45,13 @@ VERIFY_FIRST: list[str] = [
     #   (c) the full 27-name stale-r5 tail, registration order —
     #       displaced from the r10 window by that round's conversions;
     #   (d) the head of the 46-name r6 block, registration order.
-    # Into r12: the rest of the r6 block (q_a8_station_bulk, q_d6_availability, q_d6_percent, q_j4_udtf, q_k5_df, q_k7_audiofp, q_k19_hybrid, q_k5_bm25, q_k14_ssjoin, q_k6_lang, q_t1_quality, q_k7_spectral, q_k7_frames,
-    # q_k5_tfidf, q_t4_bpe_tokens, q_t7_repetition,
-    # q_k2_minhash_portable, q_k2_simhash_portable .. q_t19_normalize,
-    # registration order), then the r7 block as it ages.
+    # Into r12: the rest of the r6 block in REGISTRATION order
+    # (q_a8_station_bulk, q_d6_availability, q_d6_percent, q_j4_udtf,
+    # q_k5_df, q_k5_bm25, q_k19_hybrid, q_k7_audiofp, q_k14_ssjoin,
+    # q_k6_lang, q_t1_quality, q_k7_spectral, q_k7_frames, q_k5_tfidf,
+    # q_t4_bpe_tokens, q_t7_repetition, q_k2_minhash_portable,
+    # q_k2_simhash_portable .. q_t19_normalize), then the r7 block as
+    # it ages.
     # =================================================================
     # (a) late-r10 contracts, never driver-verified
     "q_p20_curriculum",
