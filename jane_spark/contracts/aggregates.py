@@ -1217,11 +1217,11 @@ def q_d24(spark, sf_dir):
         SELECT event_type,
                CAST(max(total) AS BIGINT) AS n,
                CAST(min(CASE WHEN cum >= (50 * total + 99) // 100
-                             THEN 1 << bucket END) AS BIGINT) AS p50_lb,
+                             THEN CAST(1 AS BIGINT) << bucket END) AS BIGINT) AS p50_lb,
                CAST(min(CASE WHEN cum >= (95 * total + 99) // 100
-                             THEN 1 << bucket END) AS BIGINT) AS p95_lb,
+                             THEN CAST(1 AS BIGINT) << bucket END) AS BIGINT) AS p95_lb,
                CAST(min(CASE WHEN cum >= (99 * total + 99) // 100
-                             THEN 1 << bucket END) AS BIGINT) AS p99_lb
+                             THEN CAST(1 AS BIGINT) << bucket END) AS BIGINT) AS p99_lb
         FROM w GROUP BY event_type
     """,
     survey_rows="D25,D23,D19",

@@ -508,7 +508,13 @@ def waterfill_allocation(
     alloc: dict = {}
     active = sorted(avail)
     rem = int(budget)
-    for _ in range(int(max_rounds)):
+    # At most |sources| saturation rounds can occur (each removes >= 1
+    # source) before a no-saturation round breaks, so |sources|+1 rounds
+    # always suffice — derive the bound from the data rather than trust
+    # the caller's max_rounds (which, if too small, would reach the
+    # terminal else with still-active capped sources).
+    rounds = max(int(max_rounds), len(rows) + 1)
+    for _ in range(rounds):
         if not active or rem <= 0:
             for s in active:
                 alloc[s] = 0
@@ -524,8 +530,14 @@ def waterfill_allocation(
             rem -= avail[s]
         active = [s for s in active if s not in sat]
     else:
+        # Unreachable with rounds >= |sources|+1 (see above), kept as a
+        # defensive terminal payout: cap each floor share at the
+        # source's availability so the cap invariant alloc <= avail
+        # holds even here (the uncapped share could exceed avail when
+        # saturation rounds were cut short).
+        W = sum(w[s2] for s2 in active)
         for s in active:
-            alloc[s] = (rem * w[s]) // sum(w[s2] for s2 in active)
+            alloc[s] = min((rem * w[s]) // W, avail[s])
     out = [
         (s, avail[s], w[s], int(alloc.get(s, 0))) for s in sorted(avail)
     ]

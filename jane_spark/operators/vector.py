@@ -1209,16 +1209,21 @@ def mmr_select(
         raise ValueError("k must be >= 1")
     if not 0 <= lambda_e4 <= 10000:
         raise ValueError("lambda_e4 must be in [0, 10000]")
-    from jane_spark.functions.arrays import cosine
+    from jane_spark.functions.arrays import dot, norm
 
     q = F.array(*[F.lit(mmr_query_weight(d)) for d in range(dim)])
+    v = F.col(vec_col).cast("array<double>")
+    # try_divide, not /: under ANSI (Spark 4 default) a zero-norm
+    # vector's cosine would THROW DIVIDE_BY_ZERO; try_divide yields
+    # null, and the isNotNull filter excludes the row up front rather
+    # than letting the null reach the executor-side int64 cast
+    # (ADVICE r11)
+    rel = F.try_divide(dot(v, q), norm(v) * norm(q))
     cand = vectors.select(
         F.col(id_col).cast("long").alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-        F.round(cosine(F.col(vec_col).cast("array<double>"), q) * 1e6, 0)
-        .cast("bigint")
-        .alias("rel"),
-    )
+        v.alias("v"),
+        F.round(rel * 1e6, 0).cast("bigint").alias("rel"),
+    ).where(F.col("rel").isNotNull())
     lam = int(lambda_e4)
     kk = int(k)
 
@@ -1235,6 +1240,10 @@ def mmr_select(
             order
         ]
         nv = np.sqrt(np.einsum("ij,ij->i", V, V))
+        # rel-null rows were filtered in the plan, but guard anyway:
+        # a zero norm would make sims NaN and the int64 cast below
+        # undefined — pin the divisor to 1 (sims become 0, harmless)
+        nv = np.where(nv == 0.0, 1.0, nv)
         ms = np.full(n, -1000000, dtype=np.int64)
         alive = np.ones(n, dtype=bool)
         out = []
@@ -1251,6 +1260,9 @@ def mmr_select(
             )
             alive[j] = False
             sims = (V @ V[j]) / (nv * nv[j]) * 1e6
+            # NaN (null vector elements) -> sentinel below any real
+            # cosine, so such rows never win a maxsim update
+            sims = np.nan_to_num(sims, nan=-1e6)
             # Spark round() semantics: HALF_UP away from zero (numpy
             # rounds half-to-even)
             sims_i = np.where(
@@ -1526,6 +1538,17 @@ def sq_topk(
     base = vectors.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
+    ).select(
+        "id",
+        # Fail LOUDLY on a dim mismatch (ADVICE r11): a short vector
+        # would otherwise null out element_at -> dist2 and silently
+        # vanish from the top-k; a long one would pollute the bounds
+        # aggregate while its tail dims are ignored in search.
+        F.expr(
+            f"CASE WHEN size(v) = {int(dim)} THEN v ELSE raise_error("
+            f"concat('sq_topk: vector has ', cast(size(v) as string), "
+            f"' dims, expected {int(dim)}')) END"
+        ).alias("v"),
     )
     ve = F.transform(F.col("v"), lambda x: F.round(x * 1e6, 0).cast("bigint"))
     bounds = (

@@ -3480,6 +3480,19 @@ def test_mmr_select_diversity_and_determinism(spark, sf_dir):
     # bound sanity: monotone non-decreasing is NOT required, but the
     # first pick always carries the -1e6 sentinel
     assert div_rows[0].maxsim_e6 == -1000000
+    # zero-norm vectors (ADVICE r11): null relevance rows are dropped
+    # in the plan instead of crashing the executor-side int64 cast
+    dim = len(div_rows and emb.select("embedding").first().embedding)
+    weird = spark.createDataFrame(
+        [
+            (1, [0.0] * dim),
+            (2, [1.0] + [0.0] * (dim - 1)),
+            (3, [0.5] + [0.0] * (dim - 1)),
+        ],
+        ["vec_id", "embedding"],
+    )
+    picked = mmr_select(weird, "vec_id", "embedding", k=3, lambda_e4=7000)
+    assert sorted(r.vec_id for r in picked.collect()) == [2, 3]
 
 
 def test_zorder_keys_and_partition_pruning(spark, tmp_path):
@@ -3988,6 +4001,15 @@ def test_sq_topk_quantization_and_guards(spark, sf_dir):
     ds = [r.dist2 for r in sorted(got, key=lambda r: r.rank)]
     assert ds == sorted(ds) and ds[0] == 0
     assert [r.rank for r in sorted(got, key=lambda r: r.rank)] == [1, 2, 3]
+    # dim-mismatch vectors fail LOUDLY (ADVICE r11) instead of silently
+    # nulling out of the top-k / polluting the bounds aggregate
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [(1, q), (2, q[:3])], ["vec_id", "embedding"]
+    )
+    with _pytest.raises(Exception, match="sq_topk: vector has 3 dims"):
+        sq_topk(bad, "vec_id", "embedding", k=2, dim=4).collect()
 
 
 def test_hll_timeline_cumulative_merge_law(spark, sf_dir):
@@ -4126,3 +4148,25 @@ def test_waterfill_allocation_laws(spark):
     assert full == {"a": 100, "b": 10_000, "c": 10_000}
     zero = waterfill_allocation(src, "source", "avail", "w", 0).collect()
     assert all(r.alloc == 0 for r in zero)
+
+
+def test_waterfill_cap_holds_beyond_max_rounds(spark):
+    """More sources than max_rounds (ADVICE r11): the round bound is
+    derived from |sources|, so saturation still completes and no source
+    is ever paid past its availability — the old for-else fallback paid
+    uncapped floor shares when max_rounds rounds were exhausted."""
+    from jane_spark.functions.sampling import waterfill_allocation
+
+    # 30 sources, each tiny avail and equal weight, huge budget: every
+    # round saturates exactly the sources whose share >= avail, and with
+    # max_rounds=3 << 31 the old code fell into the else branch.
+    src = spark.createDataFrame(
+        [(f"s{i:02d}", 10 + i, 1000) for i in range(30)],
+        ["source", "avail", "w"],
+    )
+    got = waterfill_allocation(
+        src, "source", "avail", "w", budget=10_000_000, max_rounds=3
+    ).collect()
+    assert all(r.alloc <= r.avail for r in got)
+    # budget >> total avail: everyone is paid in full
+    assert all(r.alloc == r.avail for r in got)
