@@ -190,6 +190,13 @@ BENCH_QUERIES = {
     "curriculum": "q_p20_curriculum",
     "increment_dedup": "q_k40_increment_dedup",
     # round-11 rows
+    # round-12 rows: DuckDB 1.x medians measured on this box at sf0.1,
+    # idle 5-run (xml/orc oracles are construct-only / no-container-work
+    # — the jsonl_quarantine adjudication applies)
+    "binary_topk": 0.0355,
+    "xml_quarantine": 0.0039,
+    "orc_roundtrip": 0.0062,
+    "capped_semdedup": 0.1763,
     "outliers": "q_d24_outliers",
     "fertility": "q_t37_fertility",
     "dsir": "q_p21_dsir",
@@ -203,6 +210,12 @@ BENCH_QUERIES = {
     "drift": "q_t41_drift",
     "lang_confusion": "q_t42_lang_confusion",
     "waterfill": "q_p24_waterfill",
+    # round-12 ops: the binary rung of the quantization ladder, the
+    # third+fourth ingest containers, and the capped SemDeDup mix guard
+    "binary_topk": "q_k43_binary",
+    "xml_quarantine": "q_a15_xml",
+    "orc_roundtrip": "q_a16_orc",
+    "capped_semdedup": "q_k16_capped",
     # (q_i5_late_drop stays un-benched like every streaming execution:
     # the stream runs at plan-build into a memory sink and its oracle
     # is the batch twin — a construct-only compare)
@@ -222,6 +235,8 @@ RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 # their re-runs reuse shuffle outputs, which is ordinary warm-session
 # Spark behavior, not hidden build work.)
 REBUILD_PER_RUN = {
+    "xml_quarantine",
+    "orc_roundtrip",
     "bpe_train",
     "sq_topk",
     "cascade",

@@ -29,94 +29,88 @@ from jane_spark.contracts import rest  # noqa: F401  (§2.12 R REST front door, 
 
 VERIFY_FIRST: list[str] = [
     # =================================================================
-    # ROUND 11 ROTATION (VERDICT r10 next-steps #2). Window contents,
-    # in priority order:
-    #   (a) the 2 late-r10 contracts registered AFTER the r10 window
-    #       froze — never driver-verified (both judge-replicated green
-    #       at sf0.1 in a driver-style parity session);
-    #   (b) contracts whose CODE changed this round and so need a
-    #       fresh driver hash: q_k29_pmi (the r10 red — hashed surface
-    #       re-shaped to the BIGINT count tuple (w1,w2,n_pair,c1,c2,
-    #       nu,nb); the float PMI left the hash entirely) and
-    #       q_e12_cusum (ADVICE fix: the closed form gains the p_0=0
-    #       baseline, s = p - least(0, min(p)), impl + oracle; more
-    #       appended here as the round changes contracts, displacing
-    #       (d) from its end);
-    #   (c) the full 27-name stale-r5 tail, registration order —
-    #       displaced from the r10 window by that round's conversions;
-    #   (d) the head of the 46-name r6 block, registration order.
-    # Into r12: the rest of the r6 block in REGISTRATION order
-    # (q_a8_station_bulk, q_d6_availability, q_d6_percent, q_j4_udtf,
-    # q_k5_df, q_k5_bm25, q_k19_hybrid, q_k7_audiofp, q_k14_ssjoin,
-    # q_k6_lang, q_t1_quality, q_k7_spectral, q_k7_frames, q_k5_tfidf,
-    # q_t4_bpe_tokens, q_t7_repetition, q_k2_minhash_portable,
-    # q_k2_simhash_portable .. q_t19_normalize), then the r7 block as
-    # it ages.
+    # ROUND 12 ROTATION (VERDICT r11 next-steps #1: the displaced r6
+    # block is the only remaining evidence debt). Window contents, in
+    # priority order:
+    #   (a) contracts NEW this round — never hash-checked, so they
+    #       outrank stale re-verifies (standing policy): the binary-
+    #       quantization ANN, the XML quarantine source, the ORC
+    #       roundtrip, the cluster-capped SemDeDup;
+    #   (b) contracts whose CODE or ORACLE changed this round (ADVICE
+    #       r11 hardening) and so need a fresh driver hash: q_k33_mmr
+    #       (try_divide + null-rel filter; judge asked it stay in
+    #       VERIFY_FIRST), q_k42_sq (loud dim guard in the scan
+    #       projection), q_d25_hdr_quantiles (oracle shift operand
+    #       widened to BIGINT), q_p24_waterfill (round bound now
+    #       derived from |sources|);
+    #   (c) the stale-r6 block in REGISTRATION order, exactly as the
+    #       Into-r12 note documented last round — 42 of its 44 names
+    #       fit this window.
+    # Into r13: the r6 tail (q_t18_ccnet_buckets, q_t19_normalize),
+    # then the r7 block in registration order (q_a6_beachball,
+    # q_a8_text_format, q_a8_event_xml, q_a1_seismic_formats,
+    # q_a1_waveform_source, q_a7_cut_bytes, q_a10_warc, q_b12_semi_acl,
+    # q_e6_transitions, q_e7_funnel, q_s1_sql_door, q_i9_stream_join,
+    # q_k3_lsh_portable, q_k23_quantize, q_k23_matryoshka,
+    # q_p10_wds_shards, q_p11_webpipeline, q_t21_dupremove,
+    # q_t20_clf_score, q_k21_quality_clf, q_k16_kmeans, q_t23_domaincap,
+    # q_t27_psl_domain, q_k22_bpe_train, q_k22_bpe_encode,
+    # q_t24_stupid_backoff, q_t33_kneser_ney, q_t32_gopher,
+    # q_t31_compress, q_t30_sentences, q_t29_extract, ...) as it ages.
     # =================================================================
-    # (a) late-r10 contracts, never driver-verified
-    "q_p20_curriculum",
-    "q_k40_increment_dedup",
-    # (b) code changed this round
-    "q_k29_pmi",
-    "q_e12_cusum",
-    # (b) mmr rebuilt as the one-task applyInPandas reranker shape
-    #     (bench weak fix) — picks re-proven identical, but the
-    #     maxsim/mmr columns now come from numpy GEMM, so re-hash
+    # (a) new contracts this round
+    "q_k43_binary",
+    "q_a15_xml",
+    "q_a16_orc",
+    "q_k16_capped",
+    # (b) code/oracle changed this round
     "q_k33_mmr",
-    # (b) hardneg band edges now BOTH test the rounded sim (ADVICE
-    #     r10) + candidates param; oracle reformulated to match
-    "q_k36_hardneg",
-    # (b) i5 converted rows-only -> TRUE ORACLE (VERDICT r10 stretch:
-    #     the q_i10 pattern — append emission set derivable in closed
-    #     form from the 3-batch construction); never hash-checked
-    "q_i5_late_drop",
-    # (b2) NEW contracts this round — never hash-checked, so they
-    #      outrank stale re-verifies (the standing policy)
-    "q_d24_outliers",
-    "q_t37_fertility",
-    "q_p21_dsir",
-    "q_i11_stream_join",
     "q_k42_sq",
-    "q_p22_cascade",
     "q_d25_hdr_quantiles",
-    "q_e13_seasonal_residual",
-    "q_a14_csv",
-    "q_d27_hll_timeline",
-    "q_t40_leakage",
-    "q_t41_drift",
-    "q_t42_lang_confusion",
     "q_p24_waterfill",
-    # (c) stale r5 tail, registration order
-    "q_d8_cube",
-    "q_e3_cumsum",
-    "q_f1_order_limit",
-    "q_f2_page",
-    "q_f3_topk_group",
-    "q_f4_longest",
-    "q_f5_ntile",
-    "q_e5_rolling",
-    "q_d15_scd2",
-    "q_g1_union",
-    "q_g2_intersect",
-    "q_g3_except",
-    "q_h1_ts_parse",
-    "q_h3_seedid",
-    "q_h4_regex",
-    "q_h8_array",
-    "q_h9_tojson",
-    "q_h10_null_epoch",
-    "q_g4_intersect_all",
-    "q_i2_tumbling",
-    "q_i3_sliding",
-    "q_i4_sessionize",
-    "q_j2_grouped_map",
-    "q_j3_udaf",
-    "q_k2_minhash",
-    "q_k2_jaccard",
-    "q_k4_tokens",
-    # (d) r6 block head, registration order
-    "q_a8_geojson",
-    "q_a7_bulk_select",
+    # (c) stale-r6 block, registration order
+    "q_a8_station_bulk",
+    "q_d6_availability",
+    "q_d6_percent",
+    "q_j4_udtf",
+    "q_k5_df",
+    "q_k5_bm25",
+    "q_k19_hybrid",
+    "q_k7_audiofp",
+    "q_k14_ssjoin",
+    "q_k6_lang",
+    "q_t1_quality",
+    "q_k7_spectral",
+    "q_k7_frames",
+    "q_k5_tfidf",
+    "q_t4_bpe_tokens",
+    "q_t7_repetition",
+    "q_k2_minhash_portable",
+    "q_k2_simhash_portable",
+    "q_t8_entropy",
+    "q_t9_scorecard",
+    "q_t10_winnow",
+    "q_k15_incr_dedup",
+    "q_p1_hash_split",
+    "q_p2_stratified_sample",
+    "q_p3_upsample",
+    "q_p4_pack",
+    "q_p5_pipeline",
+    "q_t5_decontam",
+    "q_t6_redact",
+    "q_t2_langid_sql",
+    "q_t3_fingerprint_md5",
+    "q_t15_pii",
+    "q_t11_linededup",
+    "q_t12_dupspan",
+    "q_t13_lm_score",
+    "q_k16_semdedup",
+    "q_t14_embed_decontam",
+    "q_p6_shuffle",
+    "q_k17_heavyhitters",
+    "q_t16_c4filter",
+    "q_p7_mixture",
+    "q_t17_htmlstrip",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

@@ -250,6 +250,50 @@ def q_k16(spark, sf_dir):
     return semantic_dedup(emb, "vec_id", "embedding", "label", threshold=0.4)
 
 
+_CAPPED_SEMDEDUP_ORACLE = """
+WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+p AS (SELECT DISTINCT b.vec_id AS dup_id
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 6)
+            >= 0.4),
+s AS (SELECT e.vec_id, CAST(e.label AS INT) AS cluster
+      FROM e LEFT JOIN p ON e.vec_id = p.dup_id
+      WHERE p.dup_id IS NULL),
+w AS (SELECT vec_id, cluster,
+             CAST(row_number() OVER (PARTITION BY cluster
+                                     ORDER BY vec_id) AS INT) AS rk,
+             CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT)
+                 AS n_survivors
+      FROM s)
+SELECT vec_id, cluster, rk, n_survivors FROM w WHERE rk <= 3
+"""
+
+
+@contract(
+    "q_k16_capped",
+    oracle=_CAPPED_SEMDEDUP_ORACLE,
+    survey_rows="K44,K16,T23",
+    doc="cluster-size-CAPPED SemDeDup (operators.semdedup."
+    "capped_survivors): after the q_k16 within-cluster near-dup "
+    "removal, keep at most 3 survivors per cluster (deterministic "
+    "id-asc rank) — the output-mix guard SemDeDup itself lacks: "
+    "dedup removes redundancy but not imbalance, so one "
+    "over-represented semantic region would still dominate the "
+    "deduped corpus (the per-domain-cap q_t23 policy in embedding "
+    "space). Pre-cap survivor counts stay in the hashed surface so "
+    "the cap is auditable per cluster. One window over the survivor "
+    "table on top of q_k16 plan-for-plan — no new pair work",
+)
+def q_k16_capped(spark, sf_dir):
+    from jane_spark.operators.semdedup import capped_survivors
+
+    emb = Catalog(spark, sf_dir).embeddings
+    return capped_survivors(
+        emb, "vec_id", "embedding", "label", threshold=0.4, cap=3
+    )
+
+
 _DBSCAN_ORACLE = """
 WITH RECURSIVE
 v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

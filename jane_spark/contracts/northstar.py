@@ -2676,6 +2676,71 @@ def q_k42(spark, sf_dir):
     return sq_topk(emb, "vec_id", "embedding", k=20, dim=64)
 
 
+@contract(
+    "q_k43_binary",
+    oracle="""
+        WITH v AS (SELECT vec_id AS id,
+                          list_transform(embedding,
+                              x -> CAST(round(CAST(x AS DOUBLE) * 1000000)
+                                        AS BIGINT)) AS ve
+                   FROM embeddings),
+        d AS (SELECT unnest(range(1, 65)) AS di),
+        st AS (SELECT di, CAST(sum(ve[di]) AS BIGINT) AS s,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM v, d GROUP BY di),
+        q AS (SELECT di, s, n,
+                     ((CAST(concat('0x', substr(md5('binq:' ||
+                           CAST(di - 1 AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 2001 - 1000) * 1000) AS q_e6
+              FROM st),
+        bits AS (SELECT v.id, q.di,
+                        CASE WHEN ve[q.di] * q.n > q.s
+                             THEN 1 ELSE 0 END AS vb,
+                        CASE WHEN q.q_e6 * q.n > q.s
+                             THEN 1 ELSE 0 END AS qb,
+                        ve[q.di] - q.q_e6 AS diff
+                 FROM v, q),
+        words AS (SELECT id,
+                         CAST(sum(CASE WHEN di <= 32 AND vb = 1
+                                  THEN (CAST(1 AS BIGINT) << (di - 1))
+                                  ELSE 0 END) AS BIGINT) AS w0,
+                         CAST(sum(CASE WHEN di > 32 AND vb = 1
+                                  THEN (CAST(1 AS BIGINT) << (di - 33))
+                                  ELSE 0 END) AS BIGINT) AS w1,
+                         CAST(sum(CASE WHEN vb <> qb THEN 1 ELSE 0 END)
+                              AS INTEGER) AS hamming,
+                         CAST(sum(diff * diff) AS BIGINT) AS dist2
+                  FROM bits GROUP BY id),
+        coarse AS (SELECT * FROM words
+                   ORDER BY hamming ASC, id ASC LIMIT 100)
+        SELECT id AS vec_id, w0, w1, hamming, dist2,
+               CAST(row_number() OVER (ORDER BY dist2 ASC, id ASC)
+                    AS INTEGER) AS rank
+        FROM coarse ORDER BY dist2 ASC, id ASC LIMIT 20
+    """,
+    survey_rows="K43,K42,K23,K3",
+    doc="binary (1-bit) quantization ANN (the RaBitQ/binary-sketch "
+    "family — operators.vector.binary_topk): sign bit per dimension "
+    "vs the per-dimension corpus MEAN, tested as the division-free "
+    "BIGINT comparison v_e6*n > sum_e6 (no rounding, no tie class); "
+    "bits pack into two 32-bit words (bit 63 never touches the "
+    "BIGINT sign position in either engine), Hamming = "
+    "bit_count(w0^qw0)+bit_count(w1^qw1) ranks a 100-candidate "
+    "shortlist, exact integer-L2 rerank picks the top-20. Completes "
+    "the compression ladder PQ (q_k23) -> SQ-int8 (q_k42) -> binary: "
+    "8 B/vector, a 32x scan cut. The packed words are IN the hashed "
+    "surface so the code layout itself is cross-checked. One lazy "
+    "plan, zero driver collects: per-dim sums fold into one "
+    "broadcast row, coarse stage is TakeOrdered, rerank touches 100 "
+    "rows",
+)
+def q_k43(spark, sf_dir):
+    from jane_spark.operators.vector import binary_topk
+
+    emb = Catalog(spark, sf_dir).embeddings
+    return binary_topk(emb, "vec_id", "embedding", k=20, shortlist=100)
+
+
 _CASCADE_ORACLE = (
     _KEEP_BEST_ORACLE.rsplit("SELECT comp, doc_id AS keep_id", 1)[0]
     + """, keep AS (SELECT doc_id, n_tok FROM j WHERE rn = 1),

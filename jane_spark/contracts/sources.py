@@ -1649,6 +1649,116 @@ def q_a10(spark, sf_dir):
 
 
 @contract(
+    "q_a15_xml",
+    oracle="""
+        WITH g AS (SELECT lang, n_chars, doc_id % 7 <> 0 AS ok
+                   FROM documents)
+        SELECT CASE WHEN ok THEN lang ELSE '_corrupt' END AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN ok THEN n_chars ELSE 0 END) AS BIGINT)
+                   AS sum_chars
+        FROM g GROUP BY 1
+    """,
+    survey_rows="A15,A14,A11,A4",
+    doc="XML source with corrupt-record QUARANTINE — the q_a11/q_a14 "
+    "recipe through the THIRD container (sources/jsonl."
+    "read_xml_quarantine): documents serialize to one <doc> element "
+    "per line, every 7th record structurally broken (missing close "
+    "tag), and per-record from_xml PERMISSIVE parsing recovers typed "
+    "rows while quarantining the malformed raw lines. NOTE the "
+    "whole-file XML reader quarantines at FILE granularity (one bad "
+    "record poisons the file's remainder — measured r12), so the "
+    "line-shaped export uses from_xml per record; same never-drop/"
+    "never-fail contract as JSON and CSV. REAL files + real XML "
+    "parse; the oracle derives the partition arithmetically",
+)
+def q_a15(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from jane_spark.sources.jsonl import read_xml_quarantine
+
+    docs = Catalog(spark, sf_dir).documents
+    line = F.concat(
+        F.lit("<doc><doc_id>"), F.col("doc_id").cast("string"),
+        F.lit("</doc_id><lang>"), F.col("lang"),
+        F.lit("</lang><n_chars>"), F.col("n_chars").cast("string"),
+        F.lit("</n_chars></doc>"),
+    )
+    broken = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.lit("<doc><doc_id>"), F.col("doc_id").cast("string"),
+            F.lit("</doc_id><lang>"), F.col("lang"),
+            F.lit("</lang><n_chars>"), F.col("n_chars").cast("string"),
+            F.lit("</n_chars>"),  # missing </doc> -> structural break
+        ),
+    ).otherwise(line)
+    root = tempfile.mkdtemp(prefix="jane_xml_")
+    try:
+        docs.select(broken.alias("value")).write.mode("overwrite").text(root)
+        good, quarantine = read_xml_quarantine(
+            spark, root, "doc_id long, lang string, n_chars long"
+        )
+        g = good.groupBy(F.col("lang").alias("bucket")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        q = quarantine.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.lit(0).cast("bigint").alias("sum_chars"),
+        ).select(F.lit("_corrupt").alias("bucket"), "n", "sum_chars")
+        out = g.unionByName(q).localCheckpoint(eager=True)
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@contract(
+    "q_a16_orc",
+    oracle="""
+        SELECT lang, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        FROM documents WHERE doc_id % 3 = 0 GROUP BY lang
+    """,
+    survey_rows="A16,A12,P7",
+    doc="ORC container roundtrip — the OTHER columnar format a lake "
+    "actually serves (Hive/Trino default): a documents subset writes "
+    "to REAL ORC files (snappy, Spark's built-in vectorized ORC "
+    "writer) and reads back through the vectorized ORC scan into the "
+    "same typed aggregate; the oracle computes the aggregate from "
+    "the parquet source, so the hash check pins write+read "
+    "LOSSLESSNESS of the container, not just execution. At 100 TB "
+    "this is the format-interop seam: predicate pushdown and column "
+    "pruning work on ORC exactly as on parquet (same DataSource v2 "
+    "scan contract)",
+)
+def q_a16(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    docs = Catalog(spark, sf_dir).documents
+    root = tempfile.mkdtemp(prefix="jane_orc_")
+    try:
+        docs.filter(F.col("doc_id") % 3 == 0).select(
+            "doc_id", "lang", "source", "n_chars"
+        ).write.mode("overwrite").orc(root)
+        back = spark.read.orc(root)
+        return (
+            back.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_chars").alias("sum_chars"),
+                F.countDistinct("source").cast("bigint").alias("n_sources"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@contract(
     "q_a14_csv",
     oracle="""
         WITH g AS (SELECT lang, n_chars, doc_id % 7 <> 0 AS ok

@@ -189,3 +189,46 @@ def semantic_dedup(
             F.col("__dup_id").isNotNull().alias("is_dup"),
         )
     )
+
+
+def capped_survivors(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cluster_col: str,
+    threshold: float = 0.95,
+    cap: int = 3,
+) -> DataFrame:
+    """Cluster-size-CAPPED SemDeDup — the output-mix guard on top of
+    ``semantic_dedup``: after within-cluster near-dup removal, keep at
+    most ``cap`` survivors per cluster (deterministic id-asc rank), so
+    one over-represented semantic region cannot dominate the deduped
+    corpus (SemDeDup removes REDUNDANCY but not IMBALANCE — a cluster
+    with 10k distinct-but-same-topic docs still emits 10k survivors;
+    the cap is the standard mix-control knob layered on it, the
+    per-domain-cap q_t23 idea in embedding space).
+
+    Emits ``(id, cluster, rk, n_survivors)`` for kept rows —
+    ``n_survivors`` (pre-cap survivor count) stays in the surface so
+    the cap's effect is auditable per cluster. One window over the
+    survivor table (partitioned by cluster — per-task work is bounded
+    by the largest cluster's survivor count, which ``cap``'s upstream
+    k-means k already bounds); no new pair work beyond semantic_dedup.
+    """
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    from pyspark.sql import Window
+
+    verdicts = semantic_dedup(df, id_col, vec_col, cluster_col, threshold)
+    surv = verdicts.filter(~F.col("is_dup")).select(id_col, "cluster")
+    w = Window.partitionBy("cluster").orderBy(F.col(id_col).asc())
+    return (
+        surv.withColumn("rk", F.row_number().over(w).cast("int"))
+        .withColumn(
+            "n_survivors",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster")).cast(
+                "bigint"
+            ),
+        )
+        .filter(F.col("rk") <= int(cap))
+    )

@@ -1599,3 +1599,183 @@ def sq_topk(
     sel = scored.orderBy(F.col("dist2").asc(), F.col("vec_id").asc()).limit(k)
     w = Window.orderBy(F.col("dist2").asc(), F.col("vec_id").asc())
     return sel.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def binary_topk(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 20,
+    shortlist: int = 100,
+    dim: int = 64,
+) -> DataFrame:
+    """Binary (1-bit) quantization nearest neighbors — the last rung of
+    the vector-compression ladder below PQ (q_k23) and SQ-int8
+    (q_k42): each dimension compresses to ONE sign bit relative to the
+    per-dimension corpus mean (the RaBitQ / binary-sketch family;
+    8 B/vector at dim 64 vs 256 B raw — a 32x scan cut), candidates
+    rank by Hamming distance in code space, and the top-``shortlist``
+    rerank EXACTLY in 1e6 fixed point (the standard coarse-to-fine
+    contract: binary codes give recall, the rerank gives precision).
+
+    Integer-exact end to end: vectors land in 1e6 fixed point
+    (``round(v*1e6)`` — one IEEE multiply + round, bit-identical in
+    any engine), then
+
+        bit[d] = 1  iff  v_e6[d] * n > sum_e6[d]
+
+    compares BIGINTs (strictly-above-mean without a division — no
+    rounding, no tie class). Bits pack into TWO 32-bit words stored as
+    BIGINT (bits 0-31 / 32-63; two words, not one, so bit 63 never
+    touches the BIGINT sign position in either engine), the portable
+    md5-derived query (``sq_query_weight_e6`` salt 'binq') quantizes
+    through the SAME mean, and
+
+        hamming = bit_count(w0 XOR qw0) + bit_count(w1 XOR qw1)
+
+    ranks the coarse stage (ties id asc). The ``shortlist`` survivors
+    rerank by exact integer L2 ``sum (v_e6-q_e6)^2``; top-k by
+    (dist2, id). Emits ``(vec_id, w0, w1, hamming, dist2, rank)`` —
+    the packed words are in the hashed surface so the code layout
+    itself is cross-checked, not just the ranking.
+
+    Scale shape — ONE lazy plan, zero driver collects (the q_k42
+    posture): per-dimension sums come from a posexplode + pos-keyed
+    combinable agg folded into ONE broadcast row of (s_arr, n); codes
+    and Hamming compute in the scan projection; the coarse stage is a
+    TakeOrdered(shortlist) so the corpus never shuffles; the exact
+    rerank touches only ``shortlist`` rows that carry their vector
+    through the TakeOrdered. At 100 TB the 8-byte codes are the
+    stored/scanned representation and the rerank fetches ``shortlist``
+    raw vectors — exactly the production binary-ANN read path.
+    """
+    if k < 1 or shortlist < k:
+        raise ValueError("need k >= 1 and shortlist >= k")
+    from pyspark.sql import Window
+
+    base = vectors.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).select(
+        "id",
+        # loud dim guard (the sq_topk hardening, ADVICE r11)
+        F.expr(
+            f"CASE WHEN size(v) = {int(dim)} THEN v ELSE raise_error("
+            f"concat('binary_topk: vector has ', cast(size(v) as string),"
+            f" ' dims, expected {int(dim)}')) END"
+        ).alias("v"),
+    )
+    ve = F.transform(F.col("v"), lambda x: F.round(x * 1e6, 0).cast("bigint"))
+    sums = (
+        base.select(F.posexplode(ve).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.sum("x").cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    q_sql = ",".join(
+        str(sq_query_weight_e6(d, "binq")) for d in range(dim)
+    )
+    # ONE broadcast row: per-dim sums, corpus count, and the query's
+    # packed words derived through the SAME above-mean rule. The
+    # arrays arrive via a join so CollapseProject cannot re-inline
+    # their derivation per element access (the q_k42 lesson).
+    def pack(bit_at: str, lo: int) -> str:
+        # sum of bit<<j over j in [0, min(32, dim-lo)) where bit tests
+        # dim lo+j; an empty word (dim <= lo) is the 0 literal
+        n_bits = min(32, int(dim) - lo)
+        if n_bits <= 0:
+            return "cast(0 as bigint)"
+        return (
+            f"aggregate(sequence(0, {n_bits - 1}), cast(0 as bigint), "
+            f"(acc, j) -> acc + IF({bit_at}, "
+            f"shiftleft(cast(1 as bigint), j), cast(0 as bigint)))"
+        )
+
+    barr = (
+        sums.agg(
+            F.sort_array(
+                F.collect_list(F.struct("pos", "s", "n"))
+            ).alias("t")
+        )
+        .select(
+            F.expr("transform(t, e -> e.s)").alias("s_arr"),
+            # get(), not t[0]: ANSI throws on indexing the empty
+            # collect_list of an EMPTY corpus; null n_corpus is fine
+            # (there are no candidate rows to score anyway)
+            F.expr("get(t, 0).n").alias("n_corpus"),
+        )
+        .select(
+            "s_arr",
+            "n_corpus",
+            F.expr(
+                pack(
+                    f"element_at(array({q_sql}), j + {0} + 1) * n_corpus "
+                    f"> element_at(s_arr, j + {0} + 1)",
+                    0,
+                )
+            ).alias("qw0"),
+            F.expr(
+                pack(
+                    f"element_at(array({q_sql}), j + {32} + 1) * n_corpus"
+                    f" > element_at(s_arr, j + {32} + 1)",
+                    32,
+                )
+            ).alias("qw1"),
+        )
+    )
+    ve_at = (
+        "cast(round(element_at(v, j + {lo} + 1) * 1000000.0, 0) as bigint)"
+    )
+    scored = base.crossJoin(F.broadcast(barr)).select(
+        F.col("id").alias("vec_id"),
+        "v",
+        F.expr(
+            pack(
+                ve_at.format(lo=0)
+                + " * n_corpus > element_at(s_arr, j + 0 + 1)",
+                0,
+            )
+        ).alias("w0"),
+        F.expr(
+            pack(
+                ve_at.format(lo=32)
+                + " * n_corpus > element_at(s_arr, j + 32 + 1)",
+                32,
+            )
+        ).alias("w1"),
+        F.col("qw0"),
+        F.col("qw1"),
+    )
+    coarse = (
+        scored.withColumn(
+            "hamming",
+            (
+                F.bit_count(F.expr("w0 ^ qw0"))
+                + F.bit_count(F.expr("w1 ^ qw1"))
+            ).cast("int"),
+        )
+        .orderBy(F.col("hamming").asc(), F.col("vec_id").asc())
+        .limit(int(shortlist))
+    )
+    rerank = coarse.select(
+        "vec_id",
+        "w0",
+        "w1",
+        "hamming",
+        F.expr(
+            f"aggregate(zip_with("
+            f"transform(sequence(1, {dim}), i -> "
+            f"cast(round(element_at(v, i) * 1000000.0, 0) as bigint)), "
+            f"array({q_sql}), (a, b) -> (a - b) * (a - b)), "
+            "cast(0 as bigint), (acc, x) -> acc + x)"
+        )
+        .cast("bigint")
+        .alias("dist2"),
+    )
+    sel = rerank.orderBy(F.col("dist2").asc(), F.col("vec_id").asc()).limit(
+        int(k)
+    )
+    w = Window.orderBy(F.col("dist2").asc(), F.col("vec_id").asc())
+    return sel.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -73,3 +73,37 @@ def read_csv_quarantine(
         F.col(CORRUPT_COL).alias("raw")
     )
     return good, quarantine
+
+
+def read_xml_quarantine(
+    spark: SparkSession, path: str, schema: str, row_tag: str = "doc"
+) -> tuple[DataFrame, DataFrame]:
+    """XML twin of ``read_jsonl_quarantine`` — the THIRD container
+    through the same PERMISSIVE + corrupt-column contract. One XML
+    record per line (the newline-delimited export shape upstream
+    producers hand-roll, like JSONL): lines read as text, parsed with
+    ``from_xml`` per record. The whole-file ``spark.read.format("xml")``
+    reader is deliberately NOT used here: a single malformed record
+    poisons the remainder of its FILE into one corrupt blob (measured
+    r12 — file-granularity quarantine), while ``from_xml`` over lines
+    quarantines exactly the broken record. PERMISSIVE keeps whatever
+    fields still parsed; quarantine membership is corrupt-col IS NOT
+    NULL, identical to the JSON/CSV paths, so pipelines swap
+    containers without changing error handling."""
+    full = f"{schema}, {CORRUPT_COL} string"
+    parsed = spark.read.text(path).select(
+        F.from_xml(
+            "value",
+            full,
+            {
+                "mode": "PERMISSIVE",
+                "columnNameOfCorruptRecord": CORRUPT_COL,
+                "rowTag": row_tag,
+            },
+        ).alias("r")
+    ).select("r.*")
+    good = parsed.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    quarantine = parsed.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw")
+    )
+    return good, quarantine

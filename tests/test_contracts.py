@@ -235,6 +235,7 @@ FLOAT_TIE_ALLOWLIST = {
     # sf0.01 is 1.6e-6 (test below), ~1e3x the accumulated dim-64
     # GEMM ulp error. 9 rounds of green driver hashes.
     "q_k16_semdedup": "cosine e6 rounding, margin probed below",
+    "q_k16_capped": "same q_k16 cosine e6 cut (capped view), same probe",
     "q_k19_hybrid": "cosine e6 rounding, margin probed below",
     "q_k23_ivf_pq": "cosine e6 rounding, margin probed below",
     "q_k24_jl": "cosine e6 rounding, margin probed below",
