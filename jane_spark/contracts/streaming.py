@@ -411,11 +411,50 @@ def q_i7(spark, sf_dir):
 
 @contract(
     "q_j5_stateful_segments",
-    oracle=None,  # custom stateful operator — rows-only check
+    oracle="""
+        WITH f AS (SELECT user_id AS key, ts FROM events
+                   WHERE user_id % 10 = 0),
+        o AS (SELECT key, ts,
+                     CASE WHEN lag(ts) OVER (PARTITION BY key
+                                             ORDER BY ts) IS NULL
+                          OR epoch_us(ts)
+                             - epoch_us(lag(ts) OVER (PARTITION BY key
+                                                      ORDER BY ts))
+                             > 1800000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM f),
+        s AS (SELECT key, ts,
+                     sum(brk) OVER (PARTITION BY key ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS seg
+              FROM o),
+        g AS (SELECT key, seg,
+                     CAST(epoch_us(min(ts)) AS BIGINT) AS seg_start_us,
+                     CAST(epoch_us(max(ts)) AS BIGINT) AS seg_end_us,
+                     CAST(count(*) AS BIGINT) AS n_events
+              FROM s GROUP BY key, seg)
+        SELECT CAST(key AS BIGINT) AS key, seg_start_us, seg_end_us,
+               n_events,
+               seg <> max(seg) OVER (PARTITION BY key) AS closed
+        FROM g
+    """,
     survey_rows="J5,I4",
     doc="applyInPandasWithState open-segment tracking per key over a "
     "real stream (streaming/state.open_segments_stream) — jane's "
-    "waveform-monitor open-segment bookkeeping",
+    "waveform-monitor open-segment bookkeeping. TRUE ORACLE since "
+    "r12 (the q_i6 single-batch argument): the single-file "
+    "availableNow arrival is ONE microbatch and the tracker runs "
+    "NoTimeout, so per key the emission is exactly the sorted-pass "
+    "gap sessionization — every gap-closed segment with closed=true "
+    "plus the final open segment with closed=false, all derivable as "
+    "batch SQL (lag-break + running sum + per-segment agg; the LAST "
+    "segment per key is the open one). Timestamps hash as epoch "
+    "MICROSECOND BIGINTs (unix_micros vs epoch_us — the session tz "
+    "is pinned UTC by engine.session.configure, making the NTZ->LTZ "
+    "cast the identity), so no tz/precision ambiguity reaches the "
+    "hashed surface. Cross-batch watermark movement and state "
+    "TIMEOUTS remain pytest-only territory (tests/test_streaming.py) "
+    "— this oracle pins the single-batch law, which is what the "
+    "driver can replay",
 )
 def q_j5(spark, sf_dir):
     import shutil
@@ -435,7 +474,18 @@ def q_j5(spark, sf_dir):
         return open_segments_stream(df, "user_id", "ts", gap_seconds=1800)
 
     try:
-        return run_available_now(stream, transform, "q_j5_sink")
+        out = run_available_now(stream, transform, "q_j5_sink")
+        return out.select(
+            F.col("key").cast("bigint").alias("key"),
+            F.expr("cast(unix_micros(segment_start) as bigint)").alias(
+                "seg_start_us"
+            ),
+            F.expr("cast(unix_micros(segment_end) as bigint)").alias(
+                "seg_end_us"
+            ),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            "closed",
+        )
     finally:
         shutil.rmtree(arrival, ignore_errors=True)
 
