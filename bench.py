@@ -191,6 +191,8 @@ BENCH_QUERIES = {
     "increment_dedup": "q_k40_increment_dedup",
     # round-11 rows
     # round-12 rows: DuckDB 1.x medians measured on this box at sf0.1,
+    "ks_drift": 0.0444,
+    "hrw_reshard": 0.0402,
     # idle 5-run (xml/orc oracles are construct-only / no-container-work
     # — the jsonl_quarantine adjudication applies)
     "binary_topk": 0.0355,
@@ -216,6 +218,8 @@ BENCH_QUERIES = {
     "xml_quarantine": "q_a15_xml",
     "orc_roundtrip": "q_a16_orc",
     "capped_semdedup": "q_k16_capped",
+    "ks_drift": "q_t43_ks_drift",
+    "hrw_reshard": "q_p25_hrw",
     # (q_i5_late_drop stays un-benched like every streaming execution:
     # the stream runs at plan-build into a memory sink and its oracle
     # is the batch twin — a construct-only compare)

@@ -3316,6 +3316,54 @@ def q_t40(spark, sf_dir):
 
 
 @contract(
+    "q_t43_ks_drift",
+    oracle="""
+        WITH c AS (SELECT source AS src, CAST(n_chars AS BIGINT) AS x,
+                          CAST(count(*) AS BIGINT) AS c
+                   FROM documents GROUP BY 1, 2),
+        srcs AS (SELECT DISTINCT src FROM c),
+        sup AS (SELECT DISTINCT x FROM c),
+        cum AS (SELECT g.src, g.x,
+                       CAST(sum(coalesce(c.c, 0)) OVER (
+                           PARTITION BY g.src ORDER BY g.x
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                FROM (SELECT src, x FROM srcs, sup) g
+                LEFT JOIN c ON c.src = g.src AND c.x = g.x),
+        tot AS (SELECT src, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+        ks AS (SELECT a.src AS src_a, b.src AS src_b,
+                      ta.n AS n_a, tb.n AS n_b,
+                      CAST(max(abs(a.cum * tb.n - b.cum * ta.n))
+                           AS BIGINT) AS ks_num
+               FROM cum a JOIN cum b ON a.x = b.x AND a.src < b.src
+               JOIN tot ta ON ta.src = a.src
+               JOIN tot tb ON tb.src = b.src
+               GROUP BY 1, 2, 3, 4)
+        SELECT src_a, src_b, n_a, n_b, ks_num,
+               CAST((ks_num * 10000) // (n_a * n_b) AS BIGINT) AS ks_e4
+        FROM ks
+    """,
+    survey_rows="T43,T41,K37",
+    doc="pairwise Kolmogorov-Smirnov DRIFT matrix over the per-doc "
+    "quality score (operators.profile.ks_drift_matrix): "
+    "sup_x |F_a - F_b| between every two sources' empirical score "
+    "CDFs — the order-sensitive complement of q_t41's token-mix TV "
+    "distance (a snapshot whose vocabulary holds steady can still "
+    "slide its QUALITY distribution; KS is the alarm for that). "
+    "Division-free integer surface by cross-multiplication: ks_num = "
+    "max |cum_a*n_b - cum_b*n_a| on the union support, ks_e4 = "
+    "(ks_num*10000) div (n_a*n_b) — every value BIGINT. One "
+    "combinable (source, value) count shuffle out of the scan; CDFs "
+    "and the pair max run on S x V / S^2 x V sketch grids, never "
+    "data (the t41 posture)",
+)
+def q_t43(spark, sf_dir):
+    from jane_spark.operators.profile import ks_drift_matrix
+
+    docs = Catalog(spark, sf_dir).documents
+    return ks_drift_matrix(docs, "source", "n_chars")
+
+
+@contract(
     "q_t41_drift",
     oracle="""
         WITH c AS (SELECT source AS src,

@@ -424,6 +424,64 @@ def q_p18(spark, sf_dir):
 
 
 @contract(
+    "q_p25_hrw",
+    oracle="""
+        WITH k AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS ks
+                   FROM documents),
+        h8 AS (SELECT doc_id, t.s,
+                      CAST(concat('0x', substr(md5(concat('hrw:', ks, ':',
+                          CAST(t.s AS VARCHAR))), 1, 15)) AS BIGINT) AS hv
+               FROM k, (SELECT unnest(range(0, 8)) AS s) t),
+        a8 AS (SELECT doc_id, s AS s8 FROM (
+                   SELECT doc_id, s, row_number() OVER (
+                       PARTITION BY doc_id ORDER BY hv DESC, s ASC) AS rn
+                   FROM h8) WHERE rn = 1),
+        h9 AS (SELECT doc_id, t.s,
+                      CAST(concat('0x', substr(md5(concat('hrw:', ks, ':',
+                          CAST(t.s AS VARCHAR))), 1, 15)) AS BIGINT) AS hv
+               FROM k, (SELECT unnest(range(0, 9)) AS s) t),
+        a9 AS (SELECT doc_id, s AS s9 FROM (
+                   SELECT doc_id, s, row_number() OVER (
+                       PARTITION BY doc_id ORDER BY hv DESC, s ASC) AS rn
+                   FROM h9) WHERE rn = 1)
+        SELECT CAST(s8 AS INT) AS shard8, CAST(s9 AS INT) AS shard9,
+               CAST(count(*) AS BIGINT) AS n
+        FROM a8 JOIN a9 USING (doc_id) GROUP BY 1, 2
+    """,
+    survey_rows="P25,P8,P1",
+    doc="rendezvous-hash (HRW) shard placement + the RESHARD movement "
+    "matrix (functions/sampling.hrw_shard — Thaler & Ravishankar "
+    "1996): shard = argmax over shards of a salted 60-bit md5 hash "
+    "per (key, shard). The contract assigns every document at S=8 "
+    "AND S=9 and emits the (shard8, shard9, n) transition matrix — "
+    "the HRW law (a grown ring moves ~1/(S+1) of keys, every one of "
+    "them TO the new shard; no old->old movement) is visible in the "
+    "hashed surface itself: off-diagonal mass exists only in the "
+    "shard9=8 column. The operational point at 100 TB: growing a "
+    "shard map re-placements 1/(S+1) of the corpus instead of "
+    "mod-hashing's (S-1)/S. One column-expression fold per "
+    "assignment (no explode, no window, no shuffle before the final "
+    "|S8 x S9|-row aggregate); the oracle replays the argmax as a "
+    "per-key rank over an unnested shard dimension",
+)
+def q_p25(spark, sf_dir):
+    from jane_spark.functions.sampling import hrw_assignments
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+    a8 = hrw_assignments(docs, "doc_id", 8).withColumnRenamed(
+        "shard", "shard8"
+    )
+    a9 = hrw_assignments(docs, "doc_id", 9).withColumnRenamed(
+        "shard", "shard9"
+    )
+    return (
+        a8.join(a9, "doc_id")
+        .groupBy("shard8", "shard9")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+@contract(
     "q_p19_manifest",
     oracle=f"""
         WITH b AS (

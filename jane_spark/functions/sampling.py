@@ -544,3 +544,59 @@ def waterfill_allocation(
     return spark.createDataFrame(
         out, "source string, avail long, weight_e4 long, alloc long"
     )
+
+
+def hrw_shard(key_expr_sql: str, n_shards: int, salt: str = "hrw:"):
+    """Rendezvous (highest-random-weight) shard assignment (Thaler &
+    Ravishankar 1996 — the consistent-placement scheme behind cache
+    rings and shard maps): ``shard(k) = argmax_s h(k, s)`` over a
+    salted per-(key, shard) hash. THE property mod-hashing lacks:
+    growing S -> S+1 moves ONLY the keys whose new-shard hash wins
+    (~1/(S+1) of them, each moving TO the new shard) — every other
+    assignment is untouched, so a reshard re-shuffles 1/(S+1) of a
+    100 TB corpus instead of (S-1)/S of it.
+
+    Portable and integer-exact: h = first 15 md5 hex chars (60 bits,
+    always a positive BIGINT) of ``salt || key || ':' || shard``; the
+    argmax folds over a literal shard sequence in ONE column
+    expression (no explode, no window), ties — unobservable at 60
+    bits but pinned anyway — break to the SMALLER shard id (strict >
+    in the fold keeps the earlier/smaller winner).
+
+    ``key_expr_sql`` is the SQL text of a STRING key expression (a
+    column name after a cast — see :func:`hrw_assignments`).
+
+    DuckDB twin fragment (per shard s, then argmax by (h DESC, s))::
+
+        CAST(concat('0x', substr(md5(concat('<salt>',
+            CAST(k AS VARCHAR), ':', CAST(s AS VARCHAR))), 1, 15))
+            AS BIGINT)
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    hv = (
+        f"cast(conv(substring(md5(concat('{salt}', {key_expr_sql}, ':', "
+        "cast(i as string))), 1, 15), 16, 10) as bigint)"
+    )
+    return F.expr(
+        f"aggregate(sequence(0, {int(n_shards) - 1}), "
+        "struct(cast(-1 as bigint) as hv, -1 as s), "
+        f"(acc, i) -> IF({hv} > acc.hv, struct({hv} as hv, i as s), acc), "
+        "acc -> acc.s)"
+    )
+
+
+def hrw_assignments(
+    df,
+    id_col: str,
+    n_shards: int,
+    salt: str = "hrw:",
+):
+    """Frame-level wrapper for :func:`hrw_shard`: returns ``df`` plus a
+    ``shard`` column in ``[0, n_shards)`` (the key string is
+    materialized under an internal name so the fold body references a
+    plain column)."""
+    out = df.withColumn("__hrw_key", F.col(id_col).cast("string"))
+    return out.withColumn(
+        "shard", hrw_shard("__hrw_key", n_shards, salt).cast("int")
+    ).drop("__hrw_key")

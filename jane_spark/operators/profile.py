@@ -409,3 +409,95 @@ def curriculum_phases(
             F.sum(F.col(token_col)).cast("bigint").alias("n_tokens"),
         )
     )
+
+
+def ks_drift_matrix(
+    df: DataFrame,
+    source_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Pairwise Kolmogorov–Smirnov drift matrix over a per-document
+    SCORE column: for every two sources, the KS statistic
+    ``sup_x |F_a(x) - F_b(x)|`` between their empirical score CDFs —
+    the ORDER-sensitive complement of the q_t41 total-variation
+    matrix (TV over hashed unigrams sees token-mix shift; KS over a
+    quality score sees DISTRIBUTIONAL shift of the score itself, the
+    statistic a curation pipeline alarms on when a new snapshot's
+    quality profile slides even though its vocabulary doesn't).
+
+    Pure integer (the pmi discipline), division-free by
+    cross-multiplication: with cumulative counts ``c_a(x)``, ``c_b(x)``
+    and totals ``n_a``, ``n_b``,
+
+        ks_num = max_x |c_a(x)*n_b - c_b(x)*n_a|
+        KS     = ks_num / (n_a*n_b)         (in [0, 1])
+
+    so the hashed surface is ``(src_a, src_b, n_a, n_b, ks_num,
+    ks_e4)`` — every value BIGINT, ``ks_e4 = (ks_num*10000) div
+    (n_a*n_b)`` exact in any engine. The max is evaluated on the
+    UNION support (every distinct score value), which is where the
+    sup of a pair of step functions is attained.
+
+    Scale shape (the source_drift_matrix posture): one combinable
+    (source, value) count shuffle out of the data scan; CDFs are one
+    windowed pass over the S×V grid (V = distinct score values —
+    quantize the score upstream if its support is unbounded, exactly
+    as a production KS monitor buckets to ~1e4 cut points); the pair
+    stage runs on an S²×V/2 grid of SKETCH rows, never data.
+    """
+    counts = (
+        df.select(
+            F.col(source_col).alias("src"),
+            F.col(value_col).cast("bigint").alias("x"),
+        )
+        .groupBy("src", "x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    srcs = counts.select("src").distinct()
+    support = counts.select("x").distinct()
+    grid = srcs.crossJoin(support)
+    cum = (
+        grid.join(counts, ["src", "x"], "left")
+        .select("src", "x", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+        .withColumn(
+            "cum",
+            F.sum("c")
+            .over(
+                Window.partitionBy("src")
+                .orderBy("x")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            .cast("bigint"),
+        )
+    )
+    totals = counts.groupBy("src").agg(F.sum("c").cast("bigint").alias("n"))
+    a = cum.select(
+        F.col("src").alias("src_a"), "x", F.col("cum").alias("cum_a")
+    )
+    b = cum.select(
+        F.col("src").alias("src_b"), "x", F.col("cum").alias("cum_b")
+    )
+    ta = totals.select(F.col("src").alias("src_a"), F.col("n").alias("n_a"))
+    tb = totals.select(F.col("src").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        a.join(b, "x")
+        .where(F.col("src_a") < F.col("src_b"))
+        .join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .groupBy("src_a", "src_b", "n_a", "n_b")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_a") * F.col("n_b")
+                    - F.col("cum_b") * F.col("n_a")
+                )
+            )
+            .cast("bigint")
+            .alias("ks_num")
+        )
+        .withColumn(
+            "ks_e4",
+            F.expr("(ks_num * 10000) div (n_a * n_b)").cast("bigint"),
+        )
+    )

@@ -4293,3 +4293,75 @@ def test_capped_survivors_laws(spark, sf_dir):
         assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
         assert [r.vec_id for r in rows] == all_surv[: len(rows)]
         assert all(r.n_survivors == len(all_surv) for r in rows)
+
+
+def test_ks_drift_matrix_laws(spark, sf_dir):
+    """KS laws: ks_num(a,a-clone) == 0; identical-vs-shifted
+    distributions give the maximal statistic; ks_e4 in [0, 10000];
+    the matrix is upper-triangular (src_a < src_b) over all source
+    pairs; cross-multiplied integers match a pandas ECDF replay."""
+    import itertools
+
+    from jane_spark.operators.profile import ks_drift_matrix
+
+    df = spark.createDataFrame(
+        [("a", v) for v in [1, 2, 3, 4, 5]]
+        + [("b", v) for v in [1, 2, 3, 4, 5]]
+        + [("c", v) for v in [101, 102, 103, 104, 105]],
+        ["source", "score"],
+    )
+    got = {
+        (r.src_a, r.src_b): r
+        for r in ks_drift_matrix(df, "source", "score").collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert got[("a", "b")].ks_num == 0
+    # disjoint supports: KS == 1 -> ks_num == n_a*n_b, ks_e4 == 10000
+    assert got[("a", "c")].ks_num == 25 and got[("a", "c")].ks_e4 == 10000
+    assert got[("b", "c")].ks_e4 == 10000
+    # fixture replay vs pandas ECDF on the real table
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = {
+        (r.src_a, r.src_b): r
+        for r in ks_drift_matrix(docs, "source", "n_chars").collect()
+    }
+    pdf = docs.select("source", "n_chars").toPandas()
+    srcs = sorted(pdf["source"].unique())
+    assert len(out) == len(srcs) * (len(srcs) - 1) // 2
+    import numpy as np
+
+    support = np.sort(pdf["n_chars"].unique())
+    for a, b in itertools.islice(itertools.combinations(srcs, 2), 5):
+        xa = np.sort(pdf[pdf.source == a]["n_chars"].to_numpy())
+        xb = np.sort(pdf[pdf.source == b]["n_chars"].to_numpy())
+        ca = np.searchsorted(xa, support, side="right")
+        cb = np.searchsorted(xb, support, side="right")
+        ks_num = int(np.max(np.abs(ca * len(xb) - cb * len(xa))))
+        assert out[(a, b)].ks_num == ks_num, (a, b)
+
+
+def test_hrw_reshard_movement_law(spark):
+    """Rendezvous hashing: growing S=8 -> 9 moves ~1/9 of keys and
+    EVERY moved key lands on the new shard (no old->old movement) —
+    the property mod-hashing lacks (which moves ~8/9). Shards cover
+    [0, S); assignment is deterministic across invocations."""
+    from jane_spark.functions.sampling import hrw_assignments
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a8 = hrw_assignments(df, "doc_id", 8).withColumnRenamed("shard", "s8")
+    a9 = hrw_assignments(df, "doc_id", 9).withColumnRenamed("shard", "s9")
+    j = a8.join(a9, "doc_id").collect()
+    assert {r.s8 for r in j} == set(range(8))
+    assert {r.s9 for r in j} == set(range(9))
+    moved = [r for r in j if r.s8 != r.s9]
+    # expectation 2000/9 ~ 222; generous band
+    assert 130 <= len(moved) <= 330
+    assert all(r.s9 == 8 for r in moved)
+    # mod-hashing on the same keys moves the vast majority
+    mod_moved = sum(1 for r in j if r.doc_id % 8 != r.doc_id % 9)
+    assert mod_moved > 4 * len(moved)
+    again = {
+        r.doc_id: r.shard
+        for r in hrw_assignments(df, "doc_id", 8).collect()
+    }
+    assert all(again[r.doc_id] == r.s8 for r in j)
