@@ -218,6 +218,7 @@ BENCH_QUERIES = {
     "xml_quarantine": "q_a15_xml",
     "orc_roundtrip": "q_a16_orc",
     "capped_semdedup": "q_k16_capped",
+    "clf_auc": "q_k45_auc",
     "ks_drift": "q_t43_ks_drift",
     "hrw_reshard": "q_p25_hrw",
     # (q_i5_late_drop stays un-benched like every streaming execution:

@@ -46,8 +46,9 @@ VERIFY_FIRST: list[str] = [
     #   (c) the stale-r6 block in REGISTRATION order, exactly as the
     #       Into-r12 note documented last round — 42 of its 44 names
     #       fit this window.
-    # Into r13: the r6 tail (q_t16_c4filter, q_p7_mixture,
-    # q_t17_htmlstrip, q_t18_ccnet_buckets, q_t19_normalize),
+    # Into r13: the r6 tail (q_k17_heavyhitters, q_t16_c4filter,
+    # q_p7_mixture, q_t17_htmlstrip, q_t18_ccnet_buckets,
+    # q_t19_normalize),
     # then the r7 block in registration order (q_a6_beachball,
     # q_a8_text_format, q_a8_event_xml, q_a1_seismic_formats,
     # q_a1_waveform_source, q_a7_cut_bytes, q_a10_warc, q_b12_semi_acl,
@@ -75,6 +76,7 @@ VERIFY_FIRST: list[str] = [
     "q_j5_stateful_segments",
     "q_t43_ks_drift",
     "q_p25_hrw",
+    "q_k45_auc",
     # (c) stale-r6 block, registration order
     "q_a8_station_bulk",
     "q_d6_availability",
@@ -114,7 +116,6 @@ VERIFY_FIRST: list[str] = [
     "q_k16_semdedup",
     "q_t14_embed_decontam",
     "q_p6_shuffle",
-    "q_k17_heavyhitters",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

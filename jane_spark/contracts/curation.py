@@ -868,6 +868,110 @@ SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS prob FROM s
 """
 
 
+_AUC_ORACLE = """
+WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS ltoks
+           FROM documents),
+e AS (SELECT doc_id, len(ltoks) AS n, unnest(ltoks) AS tok FROM t),
+f AS (SELECT doc_id,
+             CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 256
+                 AS bucket,
+             count(*) / CAST(min(n) AS DOUBLE) AS x
+      FROM e GROUP BY doc_id, bucket),
+z AS (SELECT doc_id,
+             CAST(round(round(-0.5 + sum((((bucket * 37) % 21) - 10)
+                                         / 10.0 * x), 6) * 1000000)
+                  AS BIGINT) AS s
+      FROM f GROUP BY doc_id),
+lab AS (SELECT doc_id,
+               CAST((len(toks) BETWEEN 50 AND 100000)
+                AND ((list_aggregate(list_transform(toks,
+                         x -> length(x)), 'sum')
+                      / CAST(greatest(len(toks), 1) AS DOUBLE))
+                     BETWEEN 3.0 AND 10.0)
+                AND (((length(tx) - length(replace(tx, '#', ''))
+                       + (length(tx) - length(replace(tx, '...', ''))) / 3)
+                      / CAST(greatest(len(toks), 1) AS DOUBLE)) < 0.1)
+                AND ((len(list_filter(lines,
+                          l -> left(l, 1) IN ('-', '*', '•')))
+                      / CAST(greatest(len(lines), 1) AS DOUBLE)) < 0.9)
+                AND ((len(list_filter(lines, l -> right(l, 3) = '...'))
+                      / CAST(greatest(len(lines), 1) AS DOUBLE)) < 0.3)
+                AND ((len(list_filter(toks,
+                          x -> regexp_matches(x, '[A-Za-z]')))
+                      / CAST(greatest(len(toks), 1) AS DOUBLE)) >= 0.8)
+               AS INT) AS y
+        FROM (SELECT doc_id, text AS tx,
+                     list_filter(string_split(text, ' '),
+                                 x -> x <> '') AS toks,
+                     string_split(text, chr(10)) AS lines
+              FROM t)),
+g AS (SELECT z.s, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(lab.y) AS BIGINT) AS pos
+      FROM z JOIN lab USING (doc_id) GROUP BY z.s),
+r AS (SELECT s, cnt, pos,
+             CAST(coalesce(sum(cnt) OVER (ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum_prev
+      FROM g),
+a AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+             CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_neg,
+             CAST(sum(pos * (2 * cum_prev + cnt + 1))
+                  - sum(pos) * (sum(pos) + 1) AS BIGINT) AS u2
+      FROM r)
+SELECT n_pos, n_neg, u2,
+       CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+            ELSE CAST((u2 * 10000) // (2 * n_pos * n_neg) AS BIGINT)
+       END AS auc_e4
+FROM a
+"""
+
+
+@contract(
+    "q_k45_auc",
+    oracle=_AUC_ORACLE,
+    survey_rows="K45,K21,T32",
+    doc="classifier-vs-gate AGREEMENT as Mann-Whitney AUC "
+    "(operators.classifier.rank_auc): does the cheap hashed-LR score "
+    "(the q_t20 fixed model) rank documents the way the expensive "
+    "6-rule Gopher gate (q_t32 minus the stop rule — the q_p22 "
+    "fixture variant) decides them? The DCLM/GPT-3 production "
+    "question: a fast classifier stands in for heavy quality rules, "
+    "and AUC is the agreement audit run before trusting it. Integer-"
+    "exact end to end: the score is the 6dp LR MARGIN (sigmoid is "
+    "monotone, so AUC is identical — and the margin is rational "
+    "arithmetic, NO transcendental, dodging the cross-libm tie class "
+    "the prob surface would carry) in 1e6 fixed point; doubled "
+    "average ranks make tie handling pure BIGINT (u2 = 2U); auc_e4 = "
+    "(u2*10000) div (2*n_pos*n_neg). One (score,label) count "
+    "aggregate + one windowed pass over <= V distinct-score rows + "
+    "one scalar agg",
+)
+def q_k45(spark, sf_dir):
+    from jane_spark.functions.text import gopher_quality_flags
+    from jane_spark.operators.classifier import rank_auc, score_logreg
+
+    docs = Catalog(spark, sf_dir).documents
+    weights = {b: (((b * 37) % 21) - 10) / 10.0 for b in range(256)}
+    scores = score_logreg(
+        docs, "doc_id", "text", weights, -0.5, dim=256, margin=True
+    )
+    labels = docs.select(
+        "doc_id",
+        gopher_quality_flags(F.col("text")).alias("g"),
+    ).select(
+        "doc_id",
+        (
+            F.col("g.words_ok")
+            & F.col("g.word_len_ok")
+            & F.col("g.symbol_ok")
+            & F.col("g.bullet_ok")
+            & F.col("g.ellipsis_ok")
+            & F.col("g.alpha_ok")
+        ).alias("y"),
+    )
+    return rank_auc(scores.join(labels, "doc_id"), "z6", "y")
+
+
 @contract(
     "q_t20_clf_score",
     oracle=_CLF_SCORE_ORACLE,

@@ -135,12 +135,15 @@ def score_logreg(
     bias: float,
     dim: int = 1024,
     binary: bool = False,
+    margin: bool = False,
 ) -> DataFrame:
     """``(id, prob)`` — sigmoid quality score of every document under a
     trained (or fixed) weight table. The weight table is dim-bounded →
     broadcast; the margin is one doc-keyed aggregate over the hashed
     features; the corpus never shuffles on anything else. ``prob`` is
-    rounded to 6 decimals (contract convention)."""
+    rounded to 6 decimals (contract convention). ``margin=True``
+    returns ``(id, z6)`` — the raw 6dp-rounded margin instead (rank-
+    equivalent, transcendental-free)."""
     spark = df.sparkSession
     wdf = spark.createDataFrame(
         [(int(k), float(v)) for k, v in weights.items()],
@@ -158,6 +161,11 @@ def score_logreg(
             ).alias("z")
         )
     )
+    if margin:
+        # rank-equivalent raw margin (sigmoid is monotone), rounded to
+        # the same 6 dp — rational arithmetic only, no transcendental,
+        # so rankers built on it (AUC) avoid the cross-libm tie class
+        return z.select(F.col(id_col), F.round(F.col("z"), 6).alias("z6"))
     return z.select(
         F.col(id_col),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6).alias(
@@ -206,3 +214,75 @@ def logreg_reference(
             w[k] = round(w.get(k, 0.0) - lr * g / n, 9)
         b = round(b - lr * gb / n, 9)
     return w, b
+
+
+def rank_auc(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Mann–Whitney AUC of a score against a boolean label, computed
+    rank-wise and INTEGER-EXACT — the evaluation a pipeline runs to
+    ask "does the cheap classifier agree with the expensive gate?"
+    (the DCLM/GPT-3 pattern: a fast LR score stands in for a heavy
+    quality rule-set; AUC is the agreement metric).
+
+    With average ranks for ties, ``U = R_pos − n_pos(n_pos+1)/2`` and
+    ``AUC = U/(n_pos·n_neg)``. Everything doubles to stay integral:
+    per distinct score value (ascending, with ``cum_prev`` rows below
+    and ``cnt`` rows at the value) each member's doubled average rank
+    is ``2·cum_prev + cnt + 1``, so
+
+        u2 = Σ_groups pos·(2·cum_prev + cnt + 1) − n_pos·(n_pos+1)
+        auc_e4 = (u2 · 10000) div (2·n_pos·n_neg)
+
+    — one row out, every value BIGINT. Scores land in 1e6 fixed point
+    first (one multiply + round; feed a transcendental-free score
+    like the LR margin to stay out of the cross-libm tie class).
+
+    Scale shape: one combinable (score, label) count aggregate out of
+    the scan (≤ V distinct-score rows), one windowed pass over those V
+    rows, one scalar aggregate. V is the sketch knob — at corpus scale
+    quantize the score coarser upstream exactly as a production AUC
+    monitor buckets its ROC sweep.
+    """
+    from pyspark.sql import Window
+
+    s = F.round(F.col(score_col) * 1e6, 0).cast("bigint")
+    g = (
+        scored.select(
+            s.alias("s"), F.col(label_col).cast("int").alias("y")
+        )
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum("y").cast("bigint").alias("pos"),
+        )
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.withColumn(
+        "cum_prev", F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("bigint")
+    )
+    return (
+        r.agg(
+            F.sum("pos").cast("bigint").alias("n_pos"),
+            (F.sum("cnt") - F.sum("pos")).cast("bigint").alias("n_neg"),
+            F.sum(
+                F.col("pos")
+                * (F.lit(2) * F.col("cum_prev") + F.col("cnt") + F.lit(1))
+            )
+            .cast("bigint")
+            .alias("r2_pos"),
+        )
+        .select(
+            "n_pos",
+            "n_neg",
+            (F.col("r2_pos") - F.col("n_pos") * (F.col("n_pos") + 1))
+            .cast("bigint")
+            .alias("u2"),
+        )
+        .withColumn(
+            "auc_e4",
+            F.expr("(u2 * 10000) div (2 * n_pos * n_neg)").cast("bigint"),
+        )
+    )

@@ -4365,3 +4365,36 @@ def test_hrw_reshard_movement_law(spark):
         for r in hrw_assignments(df, "doc_id", 8).collect()
     }
     assert all(again[r.doc_id] == r.s8 for r in j)
+
+
+def test_rank_auc_known_values(spark):
+    """AUC ground truths: perfect separation -> 10000; anti-separation
+    -> 0; all-tied scores -> 5000 (u2 = n_pos*n_neg); hand-computed
+    tied mix matches sklearn-style average-rank AUC."""
+    from jane_spark.operators.classifier import rank_auc
+
+    perfect = spark.createDataFrame(
+        [(1.0, True), (2.0, True), (-1.0, False), (-2.0, False)],
+        ["score", "y"],
+    )
+    r = rank_auc(perfect, "score", "y").collect()[0]
+    assert (r.n_pos, r.n_neg, r.auc_e4) == (2, 2, 10000)
+    inverted = spark.createDataFrame(
+        [(-1.0, True), (-2.0, True), (1.0, False), (2.0, False)],
+        ["score", "y"],
+    )
+    assert rank_auc(inverted, "score", "y").collect()[0].auc_e4 == 0
+    tied = spark.createDataFrame(
+        [(0.5, True), (0.5, False), (0.5, True), (0.5, False)],
+        ["score", "y"],
+    )
+    t = rank_auc(tied, "score", "y").collect()[0]
+    # all-tied: U = n_pos*n_neg/2, so u2 (=2U) == n_pos*n_neg
+    assert t.u2 == t.n_pos * t.n_neg and t.auc_e4 == 5000
+    # mixed with a tie: scores [1,1,2] labels [T,F,T]
+    # ranks(avg): 1.5,1.5,3 -> R_pos=4.5, U=4.5-3=1.5, AUC=1.5/2=0.75
+    mix = spark.createDataFrame(
+        [(1.0, True), (1.0, False), (2.0, True)], ["score", "y"]
+    )
+    m = rank_auc(mix, "score", "y").collect()[0]
+    assert (m.u2, m.auc_e4) == (3, 7500)
