@@ -191,8 +191,9 @@ BENCH_QUERIES = {
     "increment_dedup": "q_k40_increment_dedup",
     # round-11 rows
     # round-12 rows: DuckDB 1.x medians measured on this box at sf0.1,
-    "ks_drift": 0.0444,
-    "hrw_reshard": 0.0402,
+    "ks_drift": 0.0391,
+    "hrw_reshard": 0.0365,
+    "clf_auc": 0.2225,
     # idle 5-run (xml/orc oracles are construct-only / no-container-work
     # — the jsonl_quarantine adjudication applies)
     "binary_topk": 0.0355,
