@@ -584,3 +584,60 @@ def test_unigram_seed_truncates_cluster_side(spark, sf_dir):
     _singles, multis = seed_vocab_frames(docs, seed_size=64)
     plan = _executed_plan(multis)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_binary_topk_corpus_never_shuffles(spark, sf_dir):
+    """K43 posture: the corpus feeds a TakeOrdered coarse stage — the
+    only hash exchanges belong to the dimension-bounded per-dim sums
+    aggregate; the bounds row arrives via a 1-row broadcast cross (the
+    sq_topk shape), and nothing evaluates in Python."""
+    from jane_spark.contracts import REGISTRY
+
+    plan = _executed_plan(REGISTRY["q_k43_binary"].spark_fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert not any(m in plan for m in _PY_MARKERS)
+    # per-dim sums agg: one partial->final exchange pair keyed on pos
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:2000]
+
+
+def test_hrw_assignment_is_pure_projection(spark, sf_dir):
+    """P25 posture: shard assignment is a column-expression fold — no
+    explode (Generate), no window, no Python; the only shuffles belong
+    to the |S x S'|-row transition aggregate and the id join."""
+    from jane_spark.contracts import REGISTRY
+
+    plan = _executed_plan(REGISTRY["q_p25_hrw"].spark_fn(spark, sf_dir))
+    assert "Generate" not in plan
+    assert "Window" not in plan
+    assert not any(m in plan for m in _PY_MARKERS)
+
+
+def test_ks_and_auc_no_python_no_data_cartesian(spark, sf_dir):
+    """T43/K45 posture: both reduce the corpus to a (key, value) count
+    sketch in one combinable aggregate; the only cross joins in KS are
+    the S x V / S^2 grids of SKETCH rows (counts table is checkpointed
+    first, so no cross touches a corpus-lineage side); AUC has no
+    cross at all."""
+    from jane_spark.contracts import REGISTRY
+
+    ks = _executed_plan(REGISTRY["q_t43_ks_drift"].spark_fn(spark, sf_dir))
+    assert not any(m in ks for m in _PY_MARKERS)
+    # the sketch grid reads the checkpointed counts (ExistingRDD), not
+    # a re-derived corpus lineage
+    assert "Scan ExistingRDD" in ks
+    auc = _executed_plan(REGISTRY["q_k45_auc"].spark_fn(spark, sf_dir))
+    assert not any(m in auc for m in _PY_MARKERS)
+    assert "CartesianProduct" not in auc
+    assert "BroadcastNestedLoopJoin" not in auc
+
+
+def test_capped_semdedup_is_cluster_equi_join(spark, sf_dir):
+    """K44 posture: the pair search stays a cluster-keyed equi-join
+    (never a corpus cross product); the cap adds one window over the
+    survivor table only."""
+    from jane_spark.contracts import REGISTRY
+
+    plan = _executed_plan(REGISTRY["q_k16_capped"].spark_fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not any(m in plan for m in _PY_MARKERS)
