@@ -1779,3 +1779,72 @@ def binary_topk(
     )
     w = Window.orderBy(F.col("dist2").asc(), F.col("vec_id").asc())
     return sel.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def binary_codes(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int = 64,
+) -> DataFrame:
+    """The STORED-representation half of :func:`binary_topk`: compute
+    each vector's packed sign-bit words ``(id, w0, w1)`` with the same
+    division-free above-mean rule and word layout — this is what a
+    production deployment writes once and scans on every query (two
+    BIGINTs = 16 B/row raw, ~8 B compressed, vs 64 float64s ≈ 512 B:
+    the 32x coarse-scan cut binary_topk's docstring claims, pinned by
+    tests/test_operators.py::test_binary_codes_storage_cut). A search
+    over stored codes recomputes NOTHING per query except the query's
+    own words; the exact rerank point-fetches raw vectors for the
+    shortlist only."""
+    base = vectors.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).select(
+        "id",
+        F.expr(
+            f"CASE WHEN size(v) = {int(dim)} THEN v ELSE raise_error("
+            f"concat('binary_codes: vector has ', cast(size(v) as string),"
+            f" ' dims, expected {int(dim)}')) END"
+        ).alias("v"),
+    )
+    ve = F.transform(F.col("v"), lambda x: F.round(x * 1e6, 0).cast("bigint"))
+    sums = (
+        base.select(F.posexplode(ve).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.sum("x").cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    barr = (
+        sums.agg(
+            F.sort_array(F.collect_list(F.struct("pos", "s", "n"))).alias(
+                "t"
+            )
+        )
+        .select(
+            F.expr("transform(t, e -> e.s)").alias("s_arr"),
+            F.expr("get(t, 0).n").alias("n_corpus"),
+        )
+    )
+
+    def pack(lo: int) -> str:
+        n_bits = min(32, int(dim) - lo)
+        if n_bits <= 0:
+            return "cast(0 as bigint)"
+        bit = (
+            f"cast(round(element_at(v, j + {lo} + 1) * 1000000.0, 0) "
+            f"as bigint) * n_corpus > element_at(s_arr, j + {lo} + 1)"
+        )
+        return (
+            f"aggregate(sequence(0, {n_bits - 1}), cast(0 as bigint), "
+            f"(acc, j) -> acc + IF({bit}, "
+            f"shiftleft(cast(1 as bigint), j), cast(0 as bigint)))"
+        )
+
+    return base.crossJoin(F.broadcast(barr)).select(
+        F.col("id").alias("vec_id"),
+        F.expr(pack(0)).alias("w0"),
+        F.expr(pack(32)).alias("w1"),
+    )

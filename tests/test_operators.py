@@ -4398,3 +4398,34 @@ def test_rank_auc_known_values(spark):
     )
     m = rank_auc(mix, "score", "y").collect()[0]
     assert (m.u2, m.auc_e4) == (3, 7500)
+
+
+def test_binary_codes_storage_cut(spark, sf_dir, tmp_path):
+    """The binary-ANN storage claim, pinned: (1) stored codes replay
+    binary_topk's internal words exactly (same bit rule, same layout),
+    so a deployment can write codes once and search them; (2) the
+    codes parquet is at least 8x smaller than the raw-vector parquet
+    (the coarse-scan cut — raw is 64 float64s/row, codes two BIGINTs)."""
+    import os
+
+    from jane_spark.operators.vector import binary_codes, binary_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    codes = binary_codes(emb, "vec_id", "embedding")
+    top = binary_topk(emb, "vec_id", "embedding", k=20, shortlist=100)
+    cmap = {r.vec_id: (r.w0, r.w1) for r in codes.collect()}
+    for r in top.collect():
+        assert cmap[r.vec_id] == (r.w0, r.w1)
+    raw_dir, code_dir = str(tmp_path / "raw"), str(tmp_path / "codes")
+    emb.select("vec_id", "embedding").coalesce(1).write.parquet(raw_dir)
+    codes.coalesce(1).write.parquet(code_dir)
+
+    def psize(d):
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    raw_b, code_b = psize(raw_dir), psize(code_dir)
+    assert raw_b >= 8 * code_b, (raw_b, code_b)
