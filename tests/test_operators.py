@@ -4429,3 +4429,49 @@ def test_binary_codes_storage_cut(spark, sf_dir, tmp_path):
 
     raw_b, code_b = psize(raw_dir), psize(code_dir)
     assert raw_b >= 8 * code_b, (raw_b, code_b)
+
+
+def test_binary_topk_recall_vs_exact(spark, sf_dir):
+    """Coarse-to-fine recall audit (the q_k39 discipline for the
+    binary rung): against the exact integer-L2 top-20, the reranked
+    binary top-20 keeps >= 70% recall at shortlist=100 on the fixture
+    (near-uniform embeddings — the WORST case for sign-bit sketches;
+    clustered real corpora do better), and recall is monotone in the
+    shortlist size, reaching >= 85% at 200."""
+    import pyspark.sql.functions as SF
+
+    from jane_spark.operators.vector import binary_topk, sq_query_weight_e6
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [sq_query_weight_e6(d, "binq") for d in range(64)]
+    ve = SF.transform(
+        SF.col("embedding").cast("array<double>"),
+        lambda x: SF.round(x * 1e6, 0).cast("bigint"),
+    )
+    exact = (
+        emb.select("vec_id", ve.alias("ve"))
+        .withColumn("qa", SF.array(*[SF.lit(x).cast("bigint") for x in q]))
+        .select(
+            "vec_id",
+            SF.expr(
+                "aggregate(zip_with(ve, qa, (a, b) -> (a-b)*(a-b)), "
+                "cast(0 as bigint), (acc, x) -> acc + x)"
+            ).alias("d2"),
+        )
+        .orderBy("d2", "vec_id")
+        .limit(20)
+        .collect()
+    )
+    exact_ids = {r.vec_id for r in exact}
+    recalls = {}
+    for sl in (50, 100, 200):
+        got = {
+            r.vec_id
+            for r in binary_topk(
+                emb, "vec_id", "embedding", k=20, shortlist=sl
+            ).collect()
+        }
+        recalls[sl] = len(got & exact_ids) / 20
+    assert recalls[100] >= 0.70, recalls
+    assert recalls[50] <= recalls[100] <= recalls[200], recalls
+    assert recalls[200] >= 0.85, recalls
