@@ -190,16 +190,6 @@ BENCH_QUERIES = {
     "curriculum": "q_p20_curriculum",
     "increment_dedup": "q_k40_increment_dedup",
     # round-11 rows
-    # round-12 rows: DuckDB 1.x medians measured on this box at sf0.1,
-    "ks_drift": 0.0391,
-    "hrw_reshard": 0.0365,
-    "clf_auc": 0.2225,
-    # idle 5-run (xml/orc oracles are construct-only / no-container-work
-    # — the jsonl_quarantine adjudication applies)
-    "binary_topk": 0.0355,
-    "xml_quarantine": 0.0039,
-    "orc_roundtrip": 0.0062,
-    "capped_semdedup": 0.1763,
     "outliers": "q_d24_outliers",
     "fertility": "q_t37_fertility",
     "dsir": "q_p21_dsir",
@@ -222,6 +212,13 @@ BENCH_QUERIES = {
     "clf_auc": "q_k45_auc",
     "ks_drift": "q_t43_ks_drift",
     "hrw_reshard": "q_p25_hrw",
+    # round-12 second batch: zone-map skipping, Gram/covariance, F-S
+    # record linkage, Cohen's kappa, the partial-aggregate merge law
+    "zonemaps": "q_p26_zonemaps",
+    "gram": "q_k47_gram",
+    "linkage": "q_k46_linkage",
+    "kappa": "q_t44_kappa",
+    "merge_rollup": "q_d28_merge_rollup",
     # (q_i5_late_drop stays un-benched like every streaming execution:
     # the stream runs at plan-build into a memory sink and its oracle
     # is the batch twin — a construct-only compare)
@@ -408,6 +405,22 @@ CALIBRATION = {
     "lang_confusion": 0.8057,
     "waterfill": 0.1911,
     "increment_dedup": 0.1083,
+    # round-12 rows: DuckDB 1.x medians measured on this box at sf0.1,
+    # idle 5-run (xml/orc oracles are construct-only / no-container-work
+    # — the jsonl_quarantine adjudication applies)
+    "ks_drift": 0.0391,
+    "hrw_reshard": 0.0365,
+    "clf_auc": 0.2225,
+    "binary_topk": 0.0355,
+    "xml_quarantine": 0.0039,
+    "orc_roundtrip": 0.0062,
+    "capped_semdedup": 0.1763,
+    # round-12 second batch, same idle 5-run methodology
+    "zonemaps": 0.1775,
+    "gram": 0.0229,
+    "linkage": 0.1836,
+    "kappa": 0.4777,
+    "merge_rollup": 0.046,
 }
 
 

@@ -44,9 +44,13 @@ VERIFY_FIRST: list[str] = [
     #       widened to BIGINT), q_p24_waterfill (round bound now
     #       derived from |sources|);
     #   (c) the stale-r6 block in REGISTRATION order, exactly as the
-    #       Into-r12 note documented last round — 42 of its 44 names
-    #       fit this window.
-    # Into r13: the r6 tail (q_k17_heavyhitters, q_t16_c4filter,
+    #       Into-r12 note documented last round — 37 of its 44 names
+    #       fit this window after the second new-operator batch
+    #       (zonemaps/gram/linkage/kappa/merge_rollup) claimed five
+    #       more slots under the same new-outranks-stale policy.
+    # Into r13: the r6 tail (q_t12_dupspan, q_t13_lm_score,
+    # q_k16_semdedup, q_t14_embed_decontam, q_p6_shuffle,
+    # q_k17_heavyhitters, q_t16_c4filter,
     # q_p7_mixture, q_t17_htmlstrip, q_t18_ccnet_buckets,
     # q_t19_normalize),
     # then the r7 block in registration order (q_a6_beachball,
@@ -65,6 +69,12 @@ VERIFY_FIRST: list[str] = [
     "q_a15_xml",
     "q_a16_orc",
     "q_k16_capped",
+    # (a2) second new-operator batch this round
+    "q_p26_zonemaps",
+    "q_k47_gram",
+    "q_k46_linkage",
+    "q_t44_kappa",
+    "q_d28_merge_rollup",
     # (b) code/oracle changed this round
     "q_k33_mmr",
     "q_k42_sq",
@@ -111,11 +121,6 @@ VERIFY_FIRST: list[str] = [
     "q_t3_fingerprint_md5",
     "q_t15_pii",
     "q_t11_linededup",
-    "q_t12_dupspan",
-    "q_t13_lm_score",
-    "q_k16_semdedup",
-    "q_t14_embed_decontam",
-    "q_p6_shuffle",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

@@ -1318,3 +1318,69 @@ def q_d27(spark, sf_dir):
 
     ev = Catalog(spark, sf_dir).events
     return hll_cumulative_timeline(ev, "ts", "user_id", p=6)
+
+
+@contract(
+    "q_d28_merge_rollup",
+    oracle="""
+        WITH e AS (SELECT date_trunc('day', ts) AS bucket, event_type,
+                          CAST(round(value * 100) AS BIGINT) AS c,
+                          CAST(concat('0x', substr(md5(concat('shard:',
+                              CAST(event_id AS VARCHAR))), 1, 8))
+                              AS BIGINT) % 2 AS h
+                   FROM events)
+        SELECT CAST(bucket AS TIMESTAMP) AS bucket, event_type,
+               CAST(count(DISTINCT h) AS BIGINT) AS n_parts,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS sum_cents,
+               CAST(min(c) AS BIGINT) AS min_cents,
+               CAST(max(c) AS BIGINT) AS max_cents,
+               CAST(sum(c) // count(*) AS BIGINT) AS avg_cents
+        FROM e GROUP BY 1, 2
+    """,
+    survey_rows="D28,D16,D2",
+    doc="partial-aggregate MERGE law as a hashed contract "
+    "(operators/rolling.py merge_rollups): the events table splits "
+    "into two disjoint hash shards, each shard computes its own "
+    "level-1 (day, event_type) rollup (time_rollup — integer cents, "
+    "so partial sums are exact under ANY merge order), and the merge "
+    "re-aggregates the partials (sum of n/sum, min of min, max of "
+    "max). The ORACLE computes the rollup DIRECTLY from the raw "
+    "table in one scan — hash equality IS the algebraic rebalance "
+    "law that two-phase aggregation, AQE partial combines, and "
+    "incremental view maintenance (yesterday's rollup + today's "
+    "delta, |rollup|-sized work, never re-scanning history) all rest "
+    "on. n_parts stays in the surface (oracle twin: distinct shards "
+    "per group) so the merge is auditable; avg derives by integer "
+    "division of exact sums. Plan: two map-side-combined shard "
+    "rollups + one |groups| x 2-row merge aggregate",
+)
+def q_d28(spark, sf_dir):
+    from jane_spark.functions.sampling import hash_bucket
+    from jane_spark.operators.rolling import merge_rollups, time_rollup
+
+    ev = Catalog(spark, sf_dir).events.withColumn(
+        "__h", hash_bucket(F.col("event_id"), 2, salt="shard:")
+    )
+    cents = F.round(F.col("value") * 100, 0)
+    parts = [
+        time_rollup(
+            ev.filter(F.col("__h") == i),
+            "ts",
+            "day",
+            ["event_type"],
+            cents,
+        )
+        for i in (0, 1)
+    ]
+    merged = merge_rollups(*parts)
+    return merged.select(
+        "bucket",
+        "event_type",
+        "n_parts",
+        "n",
+        "sum_cents",
+        "min_cents",
+        "max_cents",
+        F.expr("sum_cents div n").cast("bigint").alias("avg_cents"),
+    )

@@ -3573,3 +3573,84 @@ def q_t42(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("correct", F.col("lang") == F.col("lang_pred"))
     )
+
+
+@contract(
+    "q_t44_kappa",
+    oracle="""
+        WITH t AS (
+            SELECT lang,
+                   list_distinct((string_split(lower(text), ' '))[1:200])
+                       AS toks,
+                   text
+            FROM documents),
+        h AS (
+            SELECT lang, text,
+                   len(list_intersect(toks, ['the','and','of','to','is']))
+                       AS h_en,
+                   len(list_intersect(toks, ['le','la','et','les','des']))
+                       AS h_fr,
+                   len(list_intersect(toks, ['el','de','la','los','que']))
+                       AS h_es,
+                   len(list_intersect(toks, ['der','die','und','das','ist']))
+                       AS h_de
+            FROM t),
+        p AS (
+            SELECT lang,
+                   CASE
+                WHEN regexp_matches(substr(text, 1, 200), '[一-鿿]')
+                    THEN 'zh'
+                WHEN greatest(h_en, h_fr, h_es, h_de) <= 0 THEN 'und'
+                WHEN h_en = greatest(h_en, h_fr, h_es, h_de) THEN 'en'
+                WHEN h_fr = greatest(h_en, h_fr, h_es, h_de) THEN 'fr'
+                WHEN h_es = greatest(h_en, h_fr, h_es, h_de) THEN 'es'
+                ELSE 'de' END AS lang_pred
+            FROM h),
+        cells AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+                  FROM p GROUP BY 1, 2),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                       CAST(sum(CASE WHEN lang = lang_pred THEN n
+                                     ELSE 0 END) AS BIGINT) AS agree
+                FROM cells),
+        rm AS (SELECT lang AS k, CAST(sum(n) AS BIGINT) AS rn
+               FROM cells GROUP BY 1),
+        cm AS (SELECT lang_pred AS k, CAST(sum(n) AS BIGINT) AS cn
+               FROM cells GROUP BY 1),
+        e AS (SELECT CAST(sum(COALESCE(rn, 0) * COALESCE(cn, 0))
+                          AS BIGINT) AS exp_num
+              FROM rm FULL JOIN cm USING (k))
+        SELECT nn AS n, agree, exp_num,
+               CAST(nn * agree - exp_num AS BIGINT) AS kappa_num,
+               CAST(nn * nn - exp_num AS BIGINT) AS kappa_den,
+               CAST(CASE WHEN nn * nn - exp_num = 0 THEN NULL
+                    WHEN nn * agree - exp_num >= 0
+                        THEN ((nn * agree - exp_num) * 10000)
+                             // (nn * nn - exp_num)
+                    ELSE -(((exp_num - nn * agree) * 10000)
+                           // (nn * nn - exp_num))
+               END AS BIGINT) AS kappa_e4
+        FROM tot, e
+    """,
+    survey_rows="T44,T42,K6",
+    doc="Cohen's KAPPA for the lang-ID gate (operators/profile.py "
+    "chance_corrected_agreement) — the chance-corrected summary T42's "
+    "raw confusion matrix needs before anyone trusts its accuracy "
+    "number: a gate predicting the majority language everywhere "
+    "scores high accuracy on a skewed corpus and kappa ~ 0 (Cohen "
+    "1960). Kappa travels as the EXACT integer rational kappa_num / "
+    "kappa_den (cross-multiplying (p_o - p_e)/(1 - p_e) clears every "
+    "division; exp_num = sum_k row_k * col_k over the marginals) plus "
+    "a sign-split 1e4 fixed-point readout (floor == trunc on both "
+    "engines for the non-negative split) — the pmi integer-surface "
+    "discipline, no transcendental anywhere. One |langs|^2 cell "
+    "aggregate + |langs|-bounded marginal join + two 1-row folds",
+)
+def q_t44(spark, sf_dir):
+    from jane_spark.functions.text import detect_language_expr
+    from jane_spark.operators.profile import chance_corrected_agreement
+
+    docs = Catalog(spark, sf_dir).documents
+    labeled = docs.select(
+        "lang", detect_language_expr(F.col("text")).alias("lang_pred")
+    )
+    return chance_corrected_agreement(labeled, "lang", "lang_pred")

@@ -671,6 +671,49 @@ def q_k31_embstats(spark, sf_dir):
 
 
 @contract(
+    "q_k47_gram",
+    oracle="""
+        WITH x AS (SELECT vec_id, label, i,
+                          CAST(round(CAST(embedding[i] AS DOUBLE)
+                                     * 1000000) AS BIGINT) AS q
+                   FROM embeddings, generate_series(1, 16) g(i)),
+        p AS (SELECT a.label, CAST(a.i AS INT) AS i, CAST(b.i AS INT) AS j,
+                     a.q AS qa, b.q AS qb
+              FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i)
+        SELECT label, i, j,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(qa) AS BIGINT) AS sx_e6,
+               CAST(sum(qb) AS BIGINT) AS sy_e6,
+               CAST(sum(qa * qb) AS BIGINT) AS sxy_e12,
+               CAST(count(*) * sum(qa * qb) - sum(qa) * sum(qb) AS BIGINT)
+                   AS cov_num_e12
+        FROM p GROUP BY 1, 2, 3
+    """,
+    survey_rows="K47,K31,K16",
+    doc="per-label fixed-point GRAM / covariance matrix over the first "
+    "16 embedding dimensions (operators/profile.py gram_matrix) — the "
+    "sufficient statistic PCA / whitening / Mahalanobis-distance "
+    "pipelines aggregate before a bounded d x d driver-side "
+    "eigendecomposition (OPQ rotations and SemDeDup whitening start "
+    "exactly here). Components quantize to 1e-6 BIGINT units BEFORE "
+    "summation (the K31 discipline), so sums are bit-reproducible "
+    "under any partition merge order and MERGEABLE: shards ship "
+    "(n, sx, sy, sxy), covariance numerator = n*sxy - sx*sy by "
+    "integer arithmetic. Spark plan: ONE scan + ONE map-side-"
+    "combinable groupBy with d(d+1)/2 generated product-sum "
+    "expressions (codegen; no explode, no self-join, no Python) + a "
+    "stack() unpivot off the 1-row-per-label wide result; the oracle "
+    "replays it as the quadratic dimension self-join, proving the "
+    "expression fold loses nothing",
+)
+def q_k47(spark, sf_dir):
+    from jane_spark.operators.profile import gram_matrix
+
+    emb = Catalog(spark, sf_dir).embeddings
+    return gram_matrix(emb, ["label"], "embedding", dim=16)
+
+
+@contract(
     "q_k30_phrase",
     oracle="""
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
@@ -2289,6 +2332,89 @@ def q_k14_passjoin(spark, sf_dir):
 
     cust = Catalog(spark, sf_dir).customer
     return passjoin_pairs(cust, "c_custkey", "c_name", max_dist=2)
+
+
+@contract(
+    "q_k46_linkage",
+    oracle="""
+        WITH c AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+                          CAST(substr(c_name, 10) AS BIGINT) AS num,
+                          CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                   FROM customer),
+        p AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                     CAST(CASE WHEN abs(a.num - b.num) <= 2 THEN 250
+                               WHEN abs(a.num - b.num) <= 10 THEN 100
+                               ELSE -150 END AS BIGINT) AS w_name,
+                     CAST(CASE WHEN abs(a.cents - b.cents) <= 10000
+                               THEN 120 ELSE -80 END AS BIGINT) AS w_bal,
+                     CAST(CASE WHEN a.c_mktsegment = b.c_mktsegment
+                               THEN 50 ELSE -60 END AS BIGINT) AS w_seg
+              FROM c a JOIN c b
+                ON a.c_nationkey = b.c_nationkey
+               AND a.c_custkey < b.c_custkey)
+        SELECT id_a, id_b, w_name, w_bal, w_seg,
+               w_name + w_bal + w_seg AS w_total
+        FROM p WHERE w_name + w_bal + w_seg >= 170
+    """,
+    survey_rows="K46,K14,K10",
+    doc="probabilistic record linkage — the Fellegi-Sunter (JASA 1969) "
+    "decision model with blocking (operators/linkage.py): candidate "
+    "pairs BLOCK on c_nationkey (equi-join, sum of per-block C(n,2) "
+    "candidates, never N^2 — the K14 pigeonhole discipline), then "
+    "each field contributes a precomputed integer log-odds weight in "
+    "CENTIBITS (agreement earns log2(m/u) > 0, disagreement pays "
+    "log2((1-m)/(1-u)) < 0): name-number proximity at two agreement "
+    "levels (+250 / +100 / -150), account-balance band (+120 / -80), "
+    "market segment (+50 / -60); pairs totalling >= 170 cb are "
+    "matches. The per-field weights stay in the hashed surface so the "
+    "decision is auditable (the Splink/dedupe.io production shape); "
+    "match pairs feed K10 connected components for cluster "
+    "resolution. Block shuffle + one codegen score/filter stage, no "
+    "float anywhere",
+)
+def q_k46(spark, sf_dir):
+    from jane_spark.operators.linkage import linkage_pairs
+
+    cust = Catalog(spark, sf_dir).customer.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.substring("c_name", 10, 9).cast("bigint").alias("num"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("cents"),
+    )
+
+    def _band(col: str, bound: int, w_in: int, w_out: int):
+        def fn(pa: str, pb: str):
+            d = F.abs(F.col(f"{pa}{col}") - F.col(f"{pb}{col}"))
+            return F.when(d <= bound, w_in).otherwise(w_out)
+
+        return fn
+
+    def _name_w(pa: str, pb: str):
+        d = F.abs(F.col(f"{pa}num") - F.col(f"{pb}num"))
+        return (
+            F.when(d <= 2, 250).when(d <= 10, 100).otherwise(-150)
+        )
+
+    def _seg_w(pa: str, pb: str):
+        return F.when(
+            F.col(f"{pa}c_mktsegment") == F.col(f"{pb}c_mktsegment"), 50
+        ).otherwise(-60)
+
+    return linkage_pairs(
+        cust,
+        id_col="c_custkey",
+        block_cols=["c_nationkey"],
+        fields=[
+            ("name", _name_w),
+            ("bal", _band("cents", 10000, 120, -80)),
+            ("seg", _seg_w),
+        ],
+        threshold_cb=170,
+        # local fixture parquet is one row group -> one probe task;
+        # spread the broadcast-join probe (see linkage_pairs docstring)
+        probe_partitions=32,
+    )
 
 
 @contract(

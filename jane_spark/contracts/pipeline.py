@@ -481,6 +481,123 @@ def q_p25(spark, sf_dir):
     )
 
 
+def _zonemap_oracle(bits: int = 16, n_buckets: int = 32) -> str:
+    """Zone-map pruning-audit twin: replays the natural (orderkey
+    equal-width) and z-order layouts, the per-file min/max stats, and
+    the interval-overlap skip rule, all in integer SQL."""
+    top = (1 << bits) - 1
+    width = max((1 << (2 * bits)) // n_buckets, 1)
+    terms = " | ".join(
+        f"(((n{i} >> {b}) & 1) << {b * 2 + i})"
+        for b in range(bits)
+        for i in range(2)
+    )
+    scan = "p0 <= 299 AND p1 >= 100 AND s0 <= 39 AND s1 >= 10"
+    stats = """
+        SELECT file_id, count(*) AS n, sum(m) AS nm,
+               min(l_partkey) AS p0, max(l_partkey) AS p1,
+               min(l_suppkey) AS s0, max(l_suppkey) AS s1
+        FROM {src} GROUP BY 1"""
+    audit = f"""
+        SELECT '{{name}}' AS layout,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(CASE WHEN {scan} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS files_scanned,
+               CAST(sum(n) AS BIGINT) AS rows_total,
+               CAST(sum(CASE WHEN {scan} THEN n ELSE 0 END) AS BIGINT)
+                   AS rows_scanned,
+               CAST(sum(nm) AS BIGINT) AS rows_matching
+        FROM {{src}}"""
+    return f"""
+        WITH b AS (SELECT min(l_orderkey) AS omn, max(l_orderkey) AS omx,
+                          min(l_partkey) AS mn0, max(l_partkey) AS mx0,
+                          min(l_suppkey) AS mn1, max(l_suppkey) AS mx1
+                   FROM lineitem),
+        base AS (SELECT l_orderkey, l_partkey, l_suppkey,
+                        CASE WHEN l_partkey BETWEEN 100 AND 299
+                              AND l_suppkey BETWEEN 10 AND 39
+                             THEN 1 ELSE 0 END AS m
+                 FROM lineitem),
+        nat AS (SELECT ((l_orderkey - b.omn) * 31)
+                           // greatest(b.omx - b.omn, 1) AS file_id,
+                       l_partkey, l_suppkey, m
+                FROM base, b),
+        zn AS (SELECT ((l_partkey - b.mn0) * {top})
+                          // greatest(b.mx0 - b.mn0, 1) AS n0,
+                      ((l_suppkey - b.mn1) * {top})
+                          // greatest(b.mx1 - b.mn1, 1) AS n1,
+                      l_partkey, l_suppkey, m
+               FROM base, b),
+        zf AS (SELECT CAST({terms} AS BIGINT) // {width} AS file_id,
+                      l_partkey, l_suppkey, m
+               FROM zn),
+        sn AS ({stats.format(src="nat")}),
+        sz AS ({stats.format(src="zf")})
+        {audit.format(name="natural", src="sn")}
+        UNION ALL
+        {audit.format(name="zorder", src="sz")}
+    """
+
+
+@contract(
+    "q_p26_zonemaps",
+    oracle=_zonemap_oracle(),
+    survey_rows="P26,P18,P8",
+    doc="zone-map FILE-SKIPPING audit (operators/zonemaps.py): per-file "
+    "min/max statistics (the parquet-footer / lakehouse-manifest "
+    "shape) + the interval-overlap pruning rule, measured against the "
+    "SAME 2-D range predicate under two physical layouts — natural "
+    "(orderkey equal-width, i.e. insertion/time order) vs Z-ORDER "
+    "over (l_partkey, l_suppkey) (P18's operator). The hashed surface "
+    "is the audit itself: files scanned, rows scanned, rows matching "
+    "per layout — the natural layout scans ~every file for a "
+    "partkey x suppkey box while z-order skips most, which is the "
+    "entire case for multi-dimensional clustering at 100 TB. Pruning "
+    "losslessness (every matching row lives in a scanned file) is "
+    "visible as rows_matching <= rows_scanned and equal rows_matching "
+    "across layouts. Integer arithmetic end to end; two map-side-"
+    "combinable aggregates per layout (|files| then 1 row); the "
+    "orderkey/zorder bounds passes are the documented two-pass "
+    "stats-layout shape (bounds collect, then keys)",
+)
+def q_p26(spark, sf_dir):
+    from jane_spark.operators.zonemaps import zonemap_prune_audit
+    from jane_spark.operators.zorder import zorder_buckets
+
+    li = Catalog(spark, sf_dir).lineitem
+    b = li.agg(
+        F.min("l_orderkey").alias("omn"), F.max("l_orderkey").alias("omx")
+    ).first()
+    omn = int(b["omn"])
+    rng = max(int(b["omx"]) - omn, 1)
+    nat = li.withColumn(
+        "file_id",
+        F.expr(
+            f"((l_orderkey - CAST({omn} AS BIGINT)) * 31) "
+            f"div CAST({rng} AS BIGINT)"
+        ),
+    )
+    zor = zorder_buckets(li, ["l_partkey", "l_suppkey"], 32).withColumnRenamed(
+        "zbucket", "file_id"
+    )
+    ranges = {"l_partkey": (100, 299), "l_suppkey": (10, 39)}
+    cols = [
+        "layout",
+        "n_files",
+        "files_scanned",
+        "rows_total",
+        "rows_scanned",
+        "rows_matching",
+    ]
+    a = zonemap_prune_audit(nat, "file_id", ranges).withColumn(
+        "layout", F.lit("natural")
+    )
+    z = zonemap_prune_audit(zor, "file_id", ranges).withColumn(
+        "layout", F.lit("zorder")
+    )
+    return a.select(*cols).unionByName(z.select(*cols))
+
+
 @contract(
     "q_p19_manifest",
     oracle=f"""

@@ -33,6 +33,12 @@ RUNTIME_CONFS: dict[str, str] = {
     # parquet scan parallelism at local scale; on a real cluster this is
     # left at default (128 MB) — see bench notes.
     "spark.sql.parquet.filterPushdown": "true",
+    # wide GENERATED aggregates are a first-class pattern here (one-pass
+    # column profiling D17, the d(d+1)/2-expression Gram fold K47): the
+    # 100-field default silently drops whole-stage codegen exactly on
+    # those plans (measured 1.8x on q_k47_gram at sf0.1). 256 keeps the
+    # generated method well under JIT limits.
+    "spark.sql.codegen.maxFields": "256",
     # NOT pinned: spark.sql.parquet.aggregatePushdown — inert on the
     # default V1 parquet path (verified: no PushedAggregation in plans);
     # runtime bloom-filter join pruning + DPP are default-on in Spark 4.

@@ -271,6 +271,162 @@ def embedding_moments(
     )
 
 
+def gram_matrix(
+    df: DataFrame, keys: list[str], vec_col: str, dim: int
+) -> DataFrame:
+    """Per-group fixed-point GRAM / covariance accumulator over the
+    first ``dim`` embedding dimensions — the sufficient statistic for
+    PCA / whitening / Mahalanobis on a corpus of embeddings: one row
+    per ``(keys..., i, j)`` with ``i <= j`` (upper triangle) carrying
+
+    ``(n, sx_e6, sy_e6, sxy_e12, cov_num_e12)``
+
+    where components are quantized to 1e-6 units BEFORE any sum (the
+    K31 embedding_moments discipline), so every statistic is a plain
+    BIGINT: bit-reproducible under any partition merge order, and a
+    mergeable monoid — shards ship (n, sx, sy, sxy) tuples, a
+    coordinator adds them, and the covariance numerator derives as
+    ``n * sxy - sx * sy`` (the eigendecomposition itself is a
+    driver-side numpy call over the d x d result, exactly the
+    IVF-centroid bounded-collect contract).
+
+    Plan shape: ONE scan, ONE map-side-combinable groupBy — the
+    d(d+1)/2 product sums are generated column expressions (whole-
+    stage codegen; no explode, no self-join, no Python). Output is
+    |groups| x d(d+1)/2 rows at any corpus size. Overflow bound:
+    |q| <= 2e6 (components in [-2, 2]) gives n * sxy < 2^63 up to
+    n ~ 5e5 rows per group at e6 scaling — rescale to e4 beyond that.
+    Rows whose vector is shorter than ``dim`` fail LOUDLY
+    (raise_error in the scan projection, the sq_topk precedent) rather
+    than vanishing as nulls.
+    """
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    if dim > 64:
+        raise ValueError("dim > 64: d(d+1)/2 expression count is the "
+                         "practical ceiling; project the vector first")
+    guarded = F.expr(
+        f"CASE WHEN size({vec_col}) >= {int(dim)} THEN {vec_col} "
+        f"ELSE raise_error(concat('gram_matrix: vector has ', "
+        f"cast(size({vec_col}) as string), ' dims, need {int(dim)}')) "
+        "END"
+    )
+
+    # quantize each component ONCE in a projection (d expressions),
+    # so the d(d+1)/2 aggregate inputs are plain column products —
+    # not d^2 re-evaluations of element_at/round per row
+    base = df.select(
+        *[F.col(k) for k in keys], guarded.alias("__v")
+    ).select(
+        *[F.col(k) for k in keys],
+        *[
+            F.round(
+                F.element_at(F.col("__v"), i).cast("double") * 1_000_000, 0
+            )
+            .cast("bigint")
+            .alias(f"__q_{i}")
+            for i in range(1, dim + 1)
+        ],
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [F.sum(f"__q_{i}").alias(f"__s_{i}") for i in range(1, dim + 1)]
+    aggs += [
+        F.sum(F.col(f"__q_{i}") * F.col(f"__q_{j}")).alias(f"__p_{i}_{j}")
+        for i in range(1, dim + 1)
+        for j in range(i, dim + 1)
+    ]
+    wide = base.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+    pairs = [(i, j) for i in range(1, dim + 1) for j in range(i, dim + 1)]
+    branches = ", ".join(
+        f"{i}, {j}, __s_{i}, __s_{j}, __p_{i}_{j}" for i, j in pairs
+    )
+    return wide.select(
+        *keys,
+        "n",
+        F.expr(
+            f"stack({len(pairs)}, {branches}) "
+            "AS (i, j, sx_e6, sy_e6, sxy_e12)"
+        ),
+    ).select(
+        *keys,
+        "i",
+        "j",
+        "n",
+        "sx_e6",
+        "sy_e6",
+        "sxy_e12",
+        (
+            F.col("n") * F.col("sxy_e12") - F.col("sx_e6") * F.col("sy_e6")
+        ).alias("cov_num_e12"),
+    )
+
+
+def chance_corrected_agreement(
+    df: DataFrame, label_col: str, pred_col: str
+) -> DataFrame:
+    """Cohen's kappa (Cohen 1960) as ONE-row integer arithmetic — the
+    chance-corrected upgrade of T42's raw confusion matrix: accuracy
+    alone flatters a classifier whose majority class dominates (a
+    lang-ID gate predicting 'en' everywhere scores high accuracy on an
+    English-heavy corpus and kappa ~ 0). Returns
+
+    ``(n, agree, exp_num, kappa_num, kappa_den, kappa_e4)``
+
+    where ``exp_num = sum_k row_k * col_k`` (the chance-agreement
+    numerator over the marginals), and kappa is carried as the EXACT
+    integer rational ``kappa_num / kappa_den`` with
+    ``kappa_num = n * agree - exp_num``, ``kappa_den = n^2 - exp_num``
+    (cross-multiplying kappa = (p_o - p_e) / (1 - p_e) clears every
+    division) plus a 1e4 fixed-point readout whose integer division is
+    sign-split so floor == trunc on both engines. ``kappa_e4`` is NULL
+    when the marginals are fully concentrated (kappa undefined).
+
+    Plan: one |classes|^2 map-side-combinable cell aggregate, then
+    marginal sums + one full-outer marginal join and two 1-row folds —
+    everything after the first shuffle is |classes|-bounded.
+    """
+    cells = df.groupBy(
+        F.col(label_col).alias("__l"), F.col(pred_col).alias("__p")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    tot = cells.agg(
+        F.sum("__n").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("__l") == F.col("__p"), F.col("__n")).otherwise(0))
+        .cast("bigint")
+        .alias("agree"),
+    )
+    rm = cells.groupBy(F.col("__l").alias("k")).agg(
+        F.sum("__n").cast("bigint").alias("rn")
+    )
+    cm = cells.groupBy(F.col("__p").alias("k")).agg(
+        F.sum("__n").cast("bigint").alias("cn")
+    )
+    e = (
+        rm.join(cm, "k", "full")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("rn"), F.lit(0))
+                * F.coalesce(F.col("cn"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("exp_num")
+        )
+    )
+    return (
+        tot.crossJoin(e)
+        .withColumn("kappa_num", F.col("n") * F.col("agree") - F.col("exp_num"))
+        .withColumn("kappa_den", F.col("n") * F.col("n") - F.col("exp_num"))
+        .withColumn(
+            "kappa_e4",
+            F.expr(
+                "CASE WHEN kappa_den = 0 THEN NULL "
+                "WHEN kappa_num >= 0 "
+                "THEN (kappa_num * 10000) div kappa_den "
+                "ELSE -(((-kappa_num) * 10000) div kappa_den) END"
+            ).cast("bigint"),
+        )
+    )
+
+
 def percentile_calibrate(
     df: DataFrame, keys: list[str], score: str, id_col: str
 ) -> DataFrame:

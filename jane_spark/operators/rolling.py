@@ -108,6 +108,38 @@ def time_rollup(
     )
 
 
+def merge_rollups(*parts: DataFrame) -> DataFrame:
+    """Merge level-1 rollups (time_rollup outputs) by the algebraic
+    partial-aggregate law: union the partial tables and re-aggregate —
+    ``n = sum(n)``, ``sum = sum(sum)``, ``min = min(min)``,
+    ``max = max(max)`` — plus ``n_parts`` (how many partials fed each
+    group) so the merge itself stays auditable. This is THE primitive
+    distributed aggregation rests on (map-side combine is exactly this
+    law applied per partition) and the incremental-view-maintenance
+    move at 100 TB: yesterday's materialized rollup + today's delta
+    rollup merge in |rollup| work, never re-scanning history. Exact by
+    construction because time_rollup's measures are integer cents —
+    a float sum re-added in a different order would not be.
+
+    One union (no shuffle) + one map-side-combinable groupBy over
+    |groups| x |parts| rows — never data-scale.
+    """
+    if not parts:
+        raise ValueError("need at least one rollup to merge")
+    measure_cols = {"n", "sum_cents", "min_cents", "max_cents"}
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    keys = [c for c in u.columns if c not in measure_cols]
+    return u.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("sum_cents").cast("bigint").alias("sum_cents"),
+        F.min("min_cents").cast("bigint").alias("min_cents"),
+        F.max("max_cents").cast("bigint").alias("max_cents"),
+    )
+
+
 def m4_downsample(
     df: DataFrame,
     ts_col: str,

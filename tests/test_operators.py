@@ -4475,3 +4475,266 @@ def test_binary_topk_recall_vs_exact(spark, sf_dir):
     assert recalls[100] >= 0.70, recalls
     assert recalls[50] <= recalls[100] <= recalls[200], recalls
     assert recalls[200] >= 0.85, recalls
+
+
+def test_zonemap_prune_audit_laws(spark, sf_dir):
+    """Zone-map pruning: (1) LOSSLESS — rows_matching equals the direct
+    predicate count and every matching row lives in a scanned file
+    (rows_matching <= rows_scanned); (2) the layout story — z-order
+    scans strictly fewer files than the orderkey-natural layout for a
+    2-D box predicate; (3) totality — empty input audits to zeros;
+    (4) empty ranges raise."""
+    import pytest as _pytest
+
+    from jane_spark.operators.zonemaps import zonemap_prune_audit
+    from jane_spark.operators.zorder import zorder_buckets
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # bounds sized for the sf0.001 fixture (partkey 0..199, suppkey 0..9)
+    ranges = {"l_partkey": (20, 59), "l_suppkey": (2, 4)}
+    direct = li.filter(
+        F.col("l_partkey").between(20, 59)
+        & F.col("l_suppkey").between(2, 4)
+    ).count()
+    assert direct > 0
+    nat = li.withColumn("file_id", F.col("l_orderkey") % 32)
+    zor = zorder_buckets(li, ["l_partkey", "l_suppkey"], 32)
+    a_nat = zonemap_prune_audit(nat, "file_id", ranges).collect()[0]
+    a_zor = zonemap_prune_audit(zor, "zbucket", ranges).collect()[0]
+    for a in (a_nat, a_zor):
+        assert a.rows_matching == direct
+        assert a.rows_matching <= a.rows_scanned <= a.rows_total
+        assert a.files_scanned <= a.n_files
+    # round-robin natural layout cannot prune; z-order must
+    assert a_nat.files_scanned == a_nat.n_files
+    assert a_zor.files_scanned < a_nat.files_scanned
+    # losslessness, checked directly: no matching row in a pruned file
+    stats = zor.groupBy("zbucket").agg(
+        F.min("l_partkey").alias("p0"), F.max("l_partkey").alias("p1"),
+        F.min("l_suppkey").alias("s0"), F.max("l_suppkey").alias("s1"),
+    )
+    pruned = stats.filter(
+        ~((F.col("p0") <= 59) & (F.col("p1") >= 20)
+          & (F.col("s0") <= 4) & (F.col("s1") >= 2))
+    ).select("zbucket")
+    in_pruned = (
+        zor.join(pruned, "zbucket")
+        .filter(
+            F.col("l_partkey").between(20, 59)
+            & F.col("l_suppkey").between(2, 4)
+        )
+        .count()
+    )
+    assert in_pruned == 0
+    empty = zonemap_prune_audit(
+        nat.filter(F.lit(False)), "file_id", ranges
+    ).collect()[0]
+    assert (
+        empty.n_files, empty.files_scanned, empty.rows_total,
+        empty.rows_scanned, empty.rows_matching,
+    ) == (0, 0, 0, 0, 0)
+    with _pytest.raises(ValueError):
+        zonemap_prune_audit(nat, "file_id", {})
+
+
+def test_gram_matrix_laws(spark):
+    """Gram accumulator: (1) matches a numpy int64 replay of the same
+    e6 quantization on hand vectors; (2) diagonal (i==i) sxy equals
+    embedding_moments' sumsq; (3) MERGEABLE — component sums over two
+    disjoint halves add to the full-table sums; (4) short vectors fail
+    loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from jane_spark.operators.profile import embedding_moments, gram_matrix
+
+    rows = [
+        (i, g, [float(x) for x in vec])
+        for i, (g, vec) in enumerate(
+            [
+                ("a", [0.5, -0.25, 0.125]),
+                ("a", [-0.1, 0.2, -0.3]),
+                ("a", [0.01, 0.02, 0.03]),
+                ("b", [1.0, -1.0, 0.5]),
+                ("b", [-0.5, 0.25, -0.125]),
+            ]
+        )
+    ]
+    df = spark.createDataFrame(rows, ["vid", "g", "v"])
+    out = {
+        (r.g, r.i, r.j): r
+        for r in gram_matrix(df, ["g"], "v", dim=3).collect()
+    }
+    assert len(out) == 2 * 6  # two groups x d(d+1)/2
+    for g in ("a", "b"):
+        X = np.array(
+            [
+                np.round(np.array(vec) * 1_000_000).astype(np.int64)
+                for _, gg, vec in rows
+                if gg == g
+            ]
+        )
+        n = X.shape[0]
+        G = X.T @ X
+        s = X.sum(axis=0)
+        for i in range(3):
+            for j in range(i, 3):
+                r = out[(g, i + 1, j + 1)]
+                assert (r.n, r.sx_e6, r.sy_e6) == (n, s[i], s[j])
+                assert r.sxy_e12 == G[i, j]
+                assert r.cov_num_e12 == n * G[i, j] - s[i] * s[j]
+    moments = {
+        (r.g, r.dim): r.sumsq_e12
+        for r in embedding_moments(df, ["g"], "v", dim=3).collect()
+    }
+    for (g, i, j), r in out.items():
+        if i == j:
+            assert r.sxy_e12 == moments[(g, i)]
+    # merge law: halves' component sums add to the full sums
+    h0 = gram_matrix(df.filter("vid % 2 = 0"), ["g"], "v", 3).collect()
+    h1 = gram_matrix(df.filter("vid % 2 = 1"), ["g"], "v", 3).collect()
+    acc: dict = {}
+    for r in list(h0) + list(h1):
+        k = (r.g, r.i, r.j)
+        n0, sx0, sy0, sxy0 = acc.get(k, (0, 0, 0, 0))
+        acc[k] = (n0 + r.n, sx0 + r.sx_e6, sy0 + r.sy_e6, sxy0 + r.sxy_e12)
+    for k, r in out.items():
+        assert acc[k] == (r.n, r.sx_e6, r.sy_e6, r.sxy_e12)
+    short = spark.createDataFrame([(1, "a", [0.1, 0.2])], ["vid", "g", "v"])
+    with _pytest.raises(Exception, match="gram_matrix"):
+        gram_matrix(short, ["g"], "v", dim=3).collect()
+    with _pytest.raises(ValueError):
+        gram_matrix(df, ["g"], "v", dim=0)
+
+
+def test_linkage_pairs_laws(spark):
+    """Fellegi-Sunter linkage: hand-built records with known per-field
+    weights; blocking excludes cross-block pairs no matter how well
+    fields agree; ids ordered; guards raise."""
+    import pytest as _pytest
+
+    from jane_spark.operators.linkage import linkage_pairs
+
+    df = spark.createDataFrame(
+        [
+            # (id, block, num, seg): 1&2 agree everywhere; 1&3 agree on
+            # nothing but the block; 4 matches 1 perfectly but lives in
+            # another block so must never pair with it
+            (1, 10, 100, "A"),
+            (2, 10, 101, "A"),
+            (3, 10, 900, "B"),
+            (4, 20, 100, "A"),
+        ],
+        ["rid", "blk", "num", "seg"],
+    )
+
+    def w_num(pa, pb):
+        d = F.abs(F.col(f"{pa}num") - F.col(f"{pb}num"))
+        return F.when(d <= 2, 200).otherwise(-100)
+
+    def w_seg(pa, pb):
+        return F.when(
+            F.col(f"{pa}seg") == F.col(f"{pb}seg"), 50
+        ).otherwise(-50)
+
+    fields = [("num", w_num), ("seg", w_seg)]
+    got = linkage_pairs(df, "rid", ["blk"], fields, threshold_cb=150)
+    rows = {(r.id_a, r.id_b): r for r in got.collect()}
+    assert set(rows) == {(1, 2)}
+    r = rows[(1, 2)]
+    assert (r.w_num, r.w_seg, r.w_total) == (200, 50, 250)
+    # sub-threshold pairs exist in the block but are filtered
+    all_pairs = linkage_pairs(df, "rid", ["blk"], fields, threshold_cb=-10_000)
+    keys = {(r.id_a, r.id_b) for r in all_pairs.collect()}
+    assert keys == {(1, 2), (1, 3), (2, 3)}  # never (x, 4): other block
+    assert all(a < b for a, b in keys)
+    with _pytest.raises(ValueError):
+        linkage_pairs(df, "rid", [], fields, 0)
+    with _pytest.raises(ValueError):
+        linkage_pairs(df, "rid", ["blk"], [], 0)
+
+
+def test_chance_corrected_agreement_known_values(spark):
+    """Cohen's kappa ground truths: perfect agreement -> 10000; a
+    constant predictor -> 0 (the accuracy-flattery case kappa exists
+    to expose); both-constant-same -> undefined (NULL, den=0);
+    hand-computed 2x2 example matches the textbook value."""
+    from jane_spark.operators.profile import chance_corrected_agreement
+
+    perfect = spark.createDataFrame(
+        [("en", "en"), ("fr", "fr"), ("en", "en")], ["y", "p"]
+    )
+    r = chance_corrected_agreement(perfect, "y", "p").collect()[0]
+    assert (r.kappa_e4, r.agree) == (10000, 3)
+    constant = spark.createDataFrame(
+        [("en", "en"), ("fr", "en"), ("en", "en"), ("de", "en")],
+        ["y", "p"],
+    )
+    c = chance_corrected_agreement(constant, "y", "p").collect()[0]
+    assert c.kappa_num == 0 and c.kappa_e4 == 0
+    degenerate = spark.createDataFrame(
+        [("en", "en"), ("en", "en")], ["y", "p"]
+    )
+    d = chance_corrected_agreement(degenerate, "y", "p").collect()[0]
+    assert d.kappa_den == 0 and d.kappa_e4 is None
+    # textbook 2x2: labels 30 yes/20 no; cells yy=20, yn=10, ny=5, nn=15
+    # p_o=0.7, p_e=(25*30 + 25*20)/2500=0.5 -> kappa=0.4
+    rows = (
+        [("y", "y")] * 20 + [("y", "n")] * 10
+        + [("n", "y")] * 5 + [("n", "n")] * 15
+    )
+    t = chance_corrected_agreement(
+        spark.createDataFrame(rows, ["y", "p"]), "y", "p"
+    ).collect()[0]
+    assert (t.n, t.agree) == (50, 35)
+    assert t.kappa_e4 == 4000
+
+
+def test_merge_rollups_laws(spark):
+    """Partial-aggregate merge law on hand data: merging shard rollups
+    reproduces the direct rollup exactly (counts, sums, extrema);
+    n_parts counts contributing shards per group; single-part merge is
+    the identity on measures; zero parts raise."""
+    import pytest as _pytest
+
+    from jane_spark.operators.rolling import merge_rollups, time_rollup
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 3), "a", 1.00),
+        (2, dt.datetime(2024, 1, 1, 9), "a", 2.50),
+        (3, dt.datetime(2024, 1, 1, 12), "b", 7.25),
+        (4, dt.datetime(2024, 1, 2, 1), "a", -0.75),
+    ]
+    ev = spark.createDataFrame(rows, ["eid", "ts", "typ", "val"])
+    cents = F.round(F.col("val") * 100, 0)
+    direct = {
+        (r.bucket, r.typ): r
+        for r in time_rollup(ev, "ts", "day", ["typ"], cents).collect()
+    }
+    parts = [
+        time_rollup(ev.filter(f"eid % 2 = {i}"), "ts", "day", ["typ"], cents)
+        for i in (0, 1)
+    ]
+    merged = {
+        (r.bucket, r.typ): r for r in merge_rollups(*parts).collect()
+    }
+    assert set(merged) == set(direct)
+    for k, m in merged.items():
+        d = direct[k]
+        assert (m.n, m.sum_cents, m.min_cents, m.max_cents) == (
+            d.n, d.sum_cents, d.min_cents, d.max_cents,
+        )
+    # day1/a has one event in each half; day1/b and day2/a one part each
+    assert merged[(dt.datetime(2024, 1, 1), "a")].n_parts == 2
+    assert merged[(dt.datetime(2024, 1, 1), "b")].n_parts == 1
+    one = {
+        (r.bucket, r.typ): r
+        for r in merge_rollups(
+            time_rollup(ev, "ts", "day", ["typ"], cents)
+        ).collect()
+    }
+    for k, m in one.items():
+        d = direct[k]
+        assert (m.n_parts, m.n, m.sum_cents) == (1, d.n, d.sum_cents)
+    with _pytest.raises(ValueError):
+        merge_rollups()
