@@ -219,6 +219,11 @@ BENCH_QUERIES = {
     "linkage": "q_k46_linkage",
     "kappa": "q_t44_kappa",
     "merge_rollup": "q_d28_merge_rollup",
+    # round-12 third batch: graph-expansion ANN, shard-balance Gini,
+    # per-series OLS trend
+    "graph_ann": "q_k48_graph",
+    "shard_balance": "q_p27_shard_balance",
+    "trend": "q_e14_trend",
     # (q_i5_late_drop stays un-benched like every streaming execution:
     # the stream runs at plan-build into a memory sink and its oracle
     # is the batch twin — a construct-only compare)
@@ -421,6 +426,9 @@ CALIBRATION = {
     "linkage": 0.1836,
     "kappa": 0.4777,
     "merge_rollup": 0.046,
+    "shard_balance": 0.0491,
+    "trend": 0.014,
+    "graph_ann": 1.1041,
 }
 
 

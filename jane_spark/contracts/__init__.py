@@ -44,11 +44,13 @@ VERIFY_FIRST: list[str] = [
     #       widened to BIGINT), q_p24_waterfill (round bound now
     #       derived from |sources|);
     #   (c) the stale-r6 block in REGISTRATION order, exactly as the
-    #       Into-r12 note documented last round — 37 of its 44 names
-    #       fit this window after the second new-operator batch
-    #       (zonemaps/gram/linkage/kappa/merge_rollup) claimed five
-    #       more slots under the same new-outranks-stale policy.
-    # Into r13: the r6 tail (q_t12_dupspan, q_t13_lm_score,
+    #       Into-r12 note documented last round — 34 of its 44 names
+    #       fit this window after the second and third new-operator
+    #       batches (zonemaps/gram/linkage/kappa/merge_rollup, then
+    #       graph-ANN/shard-balance/trend) claimed eight more slots
+    #       under the same new-outranks-stale policy.
+    # Into r13: the r6 tail (q_t3_fingerprint_md5, q_t15_pii,
+    # q_t11_linededup, q_t12_dupspan, q_t13_lm_score,
     # q_k16_semdedup, q_t14_embed_decontam, q_p6_shuffle,
     # q_k17_heavyhitters, q_t16_c4filter,
     # q_p7_mixture, q_t17_htmlstrip, q_t18_ccnet_buckets,
@@ -75,6 +77,10 @@ VERIFY_FIRST: list[str] = [
     "q_k46_linkage",
     "q_t44_kappa",
     "q_d28_merge_rollup",
+    # (a3) third new-operator batch this round
+    "q_k48_graph",
+    "q_p27_shard_balance",
+    "q_e14_trend",
     # (b) code/oracle changed this round
     "q_k33_mmr",
     "q_k42_sq",
@@ -118,9 +124,6 @@ VERIFY_FIRST: list[str] = [
     "q_t5_decontam",
     "q_t6_redact",
     "q_t2_langid_sql",
-    "q_t3_fingerprint_md5",
-    "q_t15_pii",
-    "q_t11_linededup",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

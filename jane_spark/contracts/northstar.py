@@ -2867,6 +2867,86 @@ def q_k43(spark, sf_dir):
     return binary_topk(emb, "vec_id", "embedding", k=20, shortlist=100)
 
 
+@contract(
+    "q_k48_graph",
+    oracle="""
+        WITH v AS (SELECT vec_id AS id,
+                          list_transform(embedding,
+                              x -> CAST(x AS DOUBLE)) AS vv,
+                          list_transform(embedding,
+                              x -> CAST(round(CAST(x AS DOUBLE) * 1000000)
+                                        AS BIGINT)) AS ve
+                   FROM embeddings),
+        d AS (SELECT unnest(range(1, 65)) AS di),
+        st AS (SELECT di, CAST(sum(ve[di]) AS BIGINT) AS s,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM v, d GROUP BY di),
+        bits AS (SELECT v.id, st.di,
+                        CASE WHEN ve[st.di] * st.n > st.s
+                             THEN 1 ELSE 0 END AS vb
+                 FROM v, st),
+        ham AS (SELECT a.id AS qid, b.id AS cid,
+                       CAST(sum(CASE WHEN a.vb <> b.vb THEN 1 ELSE 0 END)
+                            AS INTEGER) AS h
+                FROM bits a JOIN bits b ON a.di = b.di
+                WHERE a.id % 10 = 0 AND b.id % 10 <> 0
+                GROUP BY 1, 2),
+        seeds AS (SELECT qid, cid FROM (
+                      SELECT qid, cid, row_number() OVER (
+                          PARTITION BY qid ORDER BY h ASC, cid ASC) AS rn
+                      FROM ham) WHERE rn <= 16),
+        cpairs AS (SELECT a.id AS a_id, b.id AS b_id,
+                          round(list_cosine_similarity(a.vv, b.vv), 6) AS s
+                   FROM v a JOIN v b
+                     ON a.id <> b.id
+                    AND a.id % 10 <> 0 AND b.id % 10 <> 0),
+        edges AS (SELECT a_id, b_id FROM (
+                      SELECT a_id, b_id, row_number() OVER (
+                          PARTITION BY a_id ORDER BY s DESC, b_id ASC)
+                          AS rn
+                      FROM cpairs) WHERE rn <= 8),
+        cand AS (SELECT qid, cid FROM seeds
+                 UNION
+                 SELECT s.qid, e.b_id AS cid
+                 FROM seeds s JOIN edges e ON s.cid = e.a_id),
+        rr AS (SELECT c.qid, c.cid,
+                      round(list_cosine_similarity(q.vv, t.vv), 6) AS sim
+               FROM cand c
+               JOIN v q ON q.id = c.qid
+               JOIN v t ON t.id = c.cid)
+        SELECT qid, cid AS vec_id, sim, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT qid, cid, sim, row_number() OVER (
+                  PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rn
+              FROM rr)
+        WHERE rn <= 10
+    """,
+    survey_rows="K48,K43,K3,K24",
+    doc="graph-expansion ANN (operators/vector.graph_expand_topk) — "
+    "the batch-relational member of the graph-index family "
+    "(HNSW/NSG/DiskANN), completing the ANN ladder next to brute "
+    "GEMM, LSH, IVF, PQ, SQ-int8 and binary codes: held-out queries "
+    "(id % 10 = 0) seed from the K43 binary-code Hamming scan "
+    "(integer, 16 seeds), expand ONE hop through a precomputed exact "
+    "top-8 neighbor graph over the corpus (grid-GEMM block_topk, "
+    "sims rounded 6 dp BEFORE ranking — the platform-stable edge "
+    "set), and rerank candidates exactly (cosine, round-then-rank, "
+    "ties id asc, top-10). Joins instead of graph walks: where HNSW "
+    "pointer-chases per query, the engine shape is seeds UNION "
+    "(seeds x edges) DISTINCT -> equi-join rerank — no per-query "
+    "state, no driver loop; the graph is the stored index. Recall "
+    "vs seeds-only pinned in tests; the oracle replays every stage "
+    "as SQL including the quadratic graph build",
+)
+def q_k48(spark, sf_dir):
+    from jane_spark.operators.vector import graph_expand_topk
+
+    emb = Catalog(spark, sf_dir).embeddings
+    return graph_expand_topk(
+        emb, "vec_id", "embedding", k=10, n_seeds=16, degree=8,
+        query_mod=10, dim=64,
+    )
+
+
 _CASCADE_ORACLE = (
     _KEEP_BEST_ORACLE.rsplit("SELECT comp, doc_id AS keep_id", 1)[0]
     + """, keep AS (SELECT doc_id, n_tok FROM j WHERE rn = 1),

@@ -481,6 +481,64 @@ def q_p25(spark, sf_dir):
     )
 
 
+@contract(
+    "q_p27_shard_balance",
+    oracle="""
+        WITH k AS (SELECT doc_id, n_chars,
+                          CAST(doc_id AS VARCHAR) AS ks
+                   FROM documents),
+        h AS (SELECT doc_id, n_chars, t.s,
+                     CAST(concat('0x', substr(md5(concat('hrw:', ks, ':',
+                         CAST(t.s AS VARCHAR))), 1, 15)) AS BIGINT) AS hv
+              FROM k, (SELECT unnest(range(0, 16)) AS s) t),
+        a AS (SELECT doc_id, n_chars, s FROM (
+                  SELECT doc_id, n_chars, s, row_number() OVER (
+                      PARTITION BY doc_id ORDER BY hv DESC, s ASC) AS rn
+                  FROM h) WHERE rn = 1),
+        per AS (SELECT s, CAST(sum(n_chars) AS BIGINT) AS w
+                FROM a GROUP BY s),
+        r AS (SELECT w, row_number() OVER (ORDER BY w ASC, s ASC) AS i
+              FROM per),
+        g AS (SELECT CAST(count(*) AS BIGINT) AS n_shards,
+                     CAST(sum(w) AS BIGINT) AS total_w,
+                     CAST(min(w) AS BIGINT) AS min_w,
+                     CAST(max(w) AS BIGINT) AS max_w,
+                     CAST(sum(i * w) AS BIGINT) AS s_iw
+              FROM r)
+        SELECT n_shards, total_w, min_w, max_w,
+               CAST(2 * s_iw - (n_shards + 1) * total_w AS BIGINT)
+                   AS gini_num,
+               CAST(n_shards * total_w AS BIGINT) AS gini_den,
+               CAST(CASE WHEN n_shards * total_w = 0 THEN NULL
+                    ELSE ((2 * s_iw - (n_shards + 1) * total_w) * 10000)
+                         // (n_shards * total_w) END AS BIGINT) AS gini_e4,
+               CAST(CASE WHEN total_w = 0 THEN NULL
+                    ELSE (max_w * n_shards * 10000) // total_w
+               END AS BIGINT) AS skew_e4
+        FROM g
+    """,
+    survey_rows="P27,P25,P19",
+    doc="shard-BALANCE audit (operators/zonemaps.py "
+    "shard_balance_audit) over P25's rendezvous-hash placement at "
+    "S=16, weighted by document chars — the skew alarm every "
+    "partitioned write publishes next to its P19 manifest: straggler "
+    "tasks and hot files start as weight imbalance. Gini travels as "
+    "the exact integer rational gini_num/gini_den via the rank "
+    "identity sum_i (2i-n-1)w_i = 2*sum(i*w) - (n+1)*sum(w) "
+    "(ascending order, shard-id tie-break — deterministic), plus "
+    "skew_e4 = max*n*1e4 div total (the straggler ratio). One "
+    "|shards|-row aggregate out of the scan, one |shards|-row "
+    "window, one fold — nothing data-sized after the first shuffle",
+)
+def q_p27(spark, sf_dir):
+    from jane_spark.functions.sampling import hrw_assignments
+    from jane_spark.operators.zonemaps import shard_balance_audit
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "n_chars")
+    assigned = hrw_assignments(docs, "doc_id", 16)
+    return shard_balance_audit(assigned, "shard", "n_chars")
+
+
 def _zonemap_oracle(bits: int = 16, n_buckets: int = 32) -> str:
     """Zone-map pruning-audit twin: replays the natural (orderkey
     equal-width) and z-order layouts, the per-file min/max stats, and

@@ -576,3 +576,51 @@ def q_e13(spark, sf_dir):
     return j.orderBy(
         F.abs(F.col("residual")).desc(), F.col("id").asc()
     ).limit(20)
+
+
+@contract(
+    "q_e14_trend",
+    oracle="""
+        WITH e AS (SELECT event_type,
+                          (epoch_us(ts) - epoch_us(TIMESTAMP
+                              '2024-01-01 00:00:00')) // 60000000 AS x,
+                          CAST(round(value * 100) AS BIGINT) AS y
+                   FROM events),
+        a AS (SELECT event_type,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx
+              FROM e GROUP BY 1)
+        SELECT event_type, n, sx, sy, sxy, sxx,
+               CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+               CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+        FROM a
+    """,
+    survey_rows="E14,E13,D14",
+    doc="per-series least-squares TREND (operators/profile.py "
+    "series_trend) — the is-this-metric-drifting readout E13's "
+    "seasonal residuals cannot give (a residual flags points; the "
+    "slope names the direction): x = whole minutes since a fixed "
+    "origin by integer epoch-us division, y = integer cents, and the "
+    "OLS slope travels as the EXACT rational slope_num/slope_den "
+    "(n*Sxy - Sx*Sy over n*Sxx - Sx^2 — cross-multiplying the normal "
+    "equation clears the division; the float slope is a pytest "
+    "formula). The five sufficient statistics are plain BIGINT sums: "
+    "mergeable across shards and bit-reproducible under any partition "
+    "order (the D14/K47 discipline). ONE scan + ONE map-side-"
+    "combinable groupBy; |series| rows out",
+)
+def q_e14(spark, sf_dir):
+    from jane_spark.operators.profile import series_trend
+
+    ev = Catalog(spark, sf_dir).events
+    return series_trend(
+        ev,
+        ["event_type"],
+        "ts",
+        F.round(F.col("value") * 100, 0),
+        t0="2024-01-01 00:00:00",
+        unit_seconds=60,
+    )

@@ -361,6 +361,73 @@ def gram_matrix(
     )
 
 
+def series_trend(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_cents,
+    t0: str,
+    unit_seconds: int = 60,
+) -> DataFrame:
+    """Per-series least-squares TREND as exact integer sufficient
+    statistics — the monitoring primitive behind "is this metric
+    drifting": one row per series with
+
+    ``(keys..., n, sx, sy, sxy, sxx, slope_num, slope_den)``
+
+    where x = whole ``unit_seconds`` intervals since the fixed origin
+    ``t0`` (integer division of epoch-µs — identical in any engine),
+    y = the integer-cents measure, and the OLS slope is carried as the
+    EXACT rational ``slope_num / slope_den`` with
+    ``slope_num = n·Σxy − Σx·Σy``, ``slope_den = n·Σx² − (Σx)²``
+    (cross-multiplying the normal equation clears the division; the
+    float slope is a driver/pytest formula). Every statistic is a
+    plain BIGINT sum — mergeable (shards add the tuples) and
+    bit-reproducible under any partition order, the D14/K47
+    discipline. ``slope_den = 0`` marks a degenerate series (all
+    observations in one time unit).
+
+    Overflow bound: n·Σxy < 2^63 needs n·x·y ≲ 9e18/n — with minutes
+    over a 30-day window (x ≤ 43k) and y ≤ 5e4 cents that holds to
+    ~2e5 rows per series; widen ``unit_seconds`` (hours: x ≤ 720)
+    for longer windows or bigger series.
+
+    Plan: ONE scan + ONE map-side-combinable groupBy; output is
+    |series| rows at any corpus size.
+    """
+    # cast covers TIMESTAMP_NTZ sources (the events.ts nanos-parquet
+    # path); the session timezone is pinned UTC so NTZ->TZ is identity
+    x = F.expr(
+        f"(unix_micros(cast({ts_col} as timestamp)) "
+        f"- unix_micros(timestamp'{t0}')) "
+        f"div {int(unit_seconds) * 1_000_000}"
+    ).cast("bigint")
+    y = value_cents.cast("bigint")
+    agg = df.select(
+        *[F.col(k) for k in keys], x.alias("__x"), y.alias("__y")
+    ).groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__x").cast("bigint").alias("sx"),
+        F.sum("__y").cast("bigint").alias("sy"),
+        F.sum(F.col("__x") * F.col("__y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("__x") * F.col("__x")).cast("bigint").alias("sxx"),
+    )
+    return agg.select(
+        *keys,
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("bigint")
+        .alias("slope_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("bigint")
+        .alias("slope_den"),
+    )
+
+
 def chance_corrected_agreement(
     df: DataFrame, label_col: str, pred_col: str
 ) -> DataFrame:

@@ -1848,3 +1848,128 @@ def binary_codes(
         F.expr(pack(0)).alias("w0"),
         F.expr(pack(32)).alias("w1"),
     )
+
+
+def graph_expand_topk(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_seeds: int = 8,
+    degree: int = 8,
+    query_mod: int = 10,
+    dim: int = 64,
+) -> DataFrame:
+    """Graph-expansion ANN — the batch-relational member of the
+    graph-index family (HNSW / NSG / DiskANN), completing the ANN
+    ladder next to brute GEMM (K3), LSH (K3), IVF (K3), PQ (K23),
+    SQ-int8 (K42) and binary codes (K43): a precomputed k-NN neighbor
+    graph turns a cheap coarse candidate into its whole semantic
+    neighborhood before the exact rerank. Where HNSW walks the graph
+    sequentially per query (greedy best-first — inherently a
+    pointer-chase), the engine answer is the DiskANN-style BATCH
+    shape: every query expands its seed set by ONE graph hop as an
+    equi-join, then reranks exactly — joins instead of walks, no
+    per-query state, no driver loop.
+
+    Stages (each a plain relational op):
+
+    1. split: ids with ``id % query_mod == 0`` are the query set, the
+       rest the corpus (the held-out audit framing of q_k39);
+    2. seeds: K43 binary codes over the full table (one shared
+       above-mean bit rule), per-query top-``n_seeds`` corpus ids by
+       Hamming distance (integer, ties id asc) — the 8-byte coarse
+       scan of the production read path;
+    3. graph: per-corpus-node exact top-``degree`` neighbors via the
+       grid-GEMM block_topk with rank-rounding (sims rounded to 6 dp
+       BEFORE ranking, ties id asc — the platform-stable edge set);
+       built ONCE, reused by every query (the index);
+    4. expand: candidates = seeds UNION seeds joined one hop through
+       the edge table, distinct — ≤ n_seeds * (degree + 1) per query;
+    5. rerank: exact cosine on candidates only, rounded to 6 dp
+       before ranking, top-``k`` per query by (sim desc, id asc).
+
+    Emits ``(qid, vec_id, sim, rank)``. Recall beats the seeds-only
+    coarse stage because near neighbors cluster in the graph (pinned
+    in tests). Scale shape: the graph build is the block_topk grid
+    (bounded cells, one shuffle per side); the Hamming stage scans
+    stored 16 B codes against a broadcast query-code table and
+    windows per query; expansion + rerank touch only candidate rows.
+    At 100 TB the graph is the stored index (|corpus| * degree edge
+    rows), seeds come off the binary-code scan, and the only
+    data-scale work is the one coarse scan — exactly the DiskANN
+    read path with the beam replaced by a fixed one-hop frontier.
+    """
+    if k < 1 or n_seeds < 1 or degree < 1 or query_mod < 2:
+        raise ValueError(
+            "need k, n_seeds, degree >= 1 and query_mod >= 2"
+        )
+    base = vectors.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+    )
+    queries = base.filter(F.col("id") % query_mod == 0)
+    corpus = base.filter(F.col("id") % query_mod != 0)
+
+    codes = binary_codes(vectors, id_col, vec_col, dim=dim)
+    qc = codes.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    cc = codes.filter(F.col("vec_id") % query_mod != 0)
+    ham = cc.crossJoin(F.broadcast(qc)).select(
+        "qid",
+        "vec_id",
+        (
+            F.bit_count(F.expr("w0 ^ qw0")) + F.bit_count(F.expr("w1 ^ qw1"))
+        ).cast("int").alias("hamming"),
+    )
+    seeds = top_k_per_group(
+        ham,
+        ["qid"],
+        [F.col("hamming").asc(), F.col("vec_id").asc()],
+        n_seeds,
+    ).select("qid", F.col("vec_id").alias("cid"))
+
+    edges = block_topk(
+        corpus, "id", "v", k=degree, rank_round_dp=6
+    ).select("a_id", "b_id")
+
+    cand = (
+        seeds.unionByName(
+            seeds.join(edges, seeds["cid"] == edges["a_id"]).select(
+                "qid", F.col("b_id").alias("cid")
+            )
+        )
+        .distinct()
+    )
+    rer = (
+        cand.join(
+            corpus.select(
+                F.col("id").alias("cid"), F.col("v").alias("cv")
+            ),
+            "cid",
+        )
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col("id").alias("qid"), F.col("v").alias("qv")
+                )
+            ),
+            "qid",
+        )
+        .select(
+            "qid",
+            "cid",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    top = top_k_per_group(
+        rer, ["qid"], [F.col("sim").desc(), F.col("cid").asc()], k
+    )
+    return top.select(
+        "qid",
+        F.col("cid").alias("vec_id"),
+        "sim",
+        F.col("rn").cast("int").alias("rank"),
+    )

@@ -41,6 +41,89 @@ def zonemap_stats(
     return df.groupBy(file_col).agg(*aggs)
 
 
+def shard_balance_audit(
+    df: DataFrame, shard_col: str, weight_col: str
+) -> DataFrame:
+    """One-row balance audit of a shard layout — the skew alarm every
+    partitioned write should publish next to its manifest: straggler
+    tasks, hot-spot files, and lopsided splits all start as weight
+    imbalance across shards. Returns
+
+    ``(n_shards, total_w, min_w, max_w, gini_num, gini_den, gini_e4,
+    skew_e4)``
+
+    where the Gini coefficient travels as the exact integer rational
+    ``gini_num / gini_den`` with ``gini_num = sum_i (2i - n - 1) w_i``
+    over the ascending weight order (i 1-based, ties broken by shard
+    id — deterministic) and ``gini_den = n * total_w``; 0 = perfectly
+    even, -> 1 = all mass on one shard. ``skew_e4 = max_w * n * 1e4
+    div total_w`` is the straggler ratio (10000 = even; the slowest
+    task runs skew_e4/1e4 x the average). Integer arithmetic end to
+    end; gini_num >= 0 by construction so floor == trunc.
+
+    Plan: one map-side-combinable per-shard aggregate (|shards| rows
+    out of the scan), one |shards|-row window, one fold to a single
+    row — nothing data-sized after the first aggregate.
+    """
+    from pyspark.sql import Window
+
+    per = df.groupBy(F.col(shard_col).alias("__s")).agg(
+        F.sum(F.col(weight_col).cast("long")).alias("__w")
+    )
+    w = Window.orderBy(F.col("__w").asc(), F.col("__s").asc())
+    ranked = per.select(
+        "__w", F.row_number().over(w).alias("__i")
+    )
+    # gini_num = sum_i (2i - n - 1) w_i  ==  2*sum(i*w) - (n+1)*sum(w):
+    # the n-dependence folds out of the per-row term, so one aggregate
+    # suffices (no window-inside-aggregate)
+    return (
+        ranked.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+            F.sum("__w").cast("bigint").alias("total_w"),
+            F.min("__w").cast("bigint").alias("min_w"),
+            F.max("__w").cast("bigint").alias("max_w"),
+            F.sum(F.col("__i").cast("long") * F.col("__w"))
+            .cast("bigint")
+            .alias("__s_iw"),
+        )
+        .withColumn(
+            "gini_num",
+            (
+                2 * F.col("__s_iw")
+                - (F.col("n_shards") + 1) * F.col("total_w")
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "gini_den", (F.col("n_shards") * F.col("total_w")).cast("bigint")
+        )
+        .withColumn(
+            "gini_e4",
+            F.expr(
+                "CASE WHEN gini_den = 0 THEN NULL "
+                "ELSE (gini_num * 10000) div gini_den END"
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "skew_e4",
+            F.expr(
+                "CASE WHEN total_w = 0 THEN NULL "
+                "ELSE (max_w * n_shards * 10000) div total_w END"
+            ).cast("bigint"),
+        )
+        .select(
+            "n_shards",
+            "total_w",
+            "min_w",
+            "max_w",
+            "gini_num",
+            "gini_den",
+            "gini_e4",
+            "skew_e4",
+        )
+    )
+
+
 def zonemap_prune_audit(
     df: DataFrame,
     file_col: str,

@@ -4738,3 +4738,135 @@ def test_merge_rollups_laws(spark):
         assert (m.n_parts, m.n, m.sum_cents) == (1, d.n, d.sum_cents)
     with _pytest.raises(ValueError):
         merge_rollups()
+
+
+def test_shard_balance_audit_laws(spark):
+    """Gini/skew audit ground truths: even weights -> gini 0 and skew
+    10000; fully concentrated -> gini (n-1)/n; hand-computed mixed
+    case; empty input -> den 0 / NULL readouts."""
+    from jane_spark.operators.zonemaps import shard_balance_audit
+
+    even = spark.createDataFrame(
+        [(s, 10) for s in range(4)], ["shard", "w"]
+    )
+    r = shard_balance_audit(even, "shard", "w").collect()[0]
+    assert (r.n_shards, r.total_w, r.gini_num, r.gini_e4) == (4, 40, 0, 0)
+    assert r.skew_e4 == 10000
+    conc = spark.createDataFrame(
+        [(0, 100), (1, 0), (2, 0), (3, 0)], ["shard", "w"]
+    )
+    c = shard_balance_audit(conc, "shard", "w").collect()[0]
+    # gini = (n-1)/n = 0.75
+    assert c.gini_e4 == 7500 and c.skew_e4 == 40000
+    # hand case: weights 1,2,3,4 ascending -> num = sum((2i-5)w_i)
+    # = (-3*1) + (-1*2) + (1*3) + (3*4) = 10; den = 4*10 = 40
+    hand = spark.createDataFrame(
+        [(0, 4), (1, 2), (2, 1), (3, 3)], ["shard", "w"]
+    )
+    h = shard_balance_audit(hand, "shard", "w").collect()[0]
+    assert (h.gini_num, h.gini_den, h.gini_e4) == (10, 40, 2500)
+    empty = shard_balance_audit(
+        even.filter("w < 0"), "shard", "w"
+    ).collect()[0]
+    assert empty.n_shards == 0 and empty.gini_e4 is None
+    assert empty.skew_e4 is None
+
+
+def test_series_trend_known_values(spark):
+    """OLS sufficient statistics: hand-computed slope on exact points;
+    merge law (halves' statistics add to the full table's); degenerate
+    single-time-unit series -> slope_den 0."""
+    from jane_spark.operators.profile import series_trend
+
+    t0 = "2024-01-01 00:00:00"
+    # series 'a': y = 100 + 50x cents at minutes x = 0,1,2,3 (exact
+    # fit); series 'b': all points in minute 0 (degenerate)
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, 0, 0, 10), 1.00),
+        ("a", dt.datetime(2024, 1, 1, 0, 1, 20), 1.50),
+        ("a", dt.datetime(2024, 1, 1, 0, 2, 30), 2.00),
+        ("a", dt.datetime(2024, 1, 1, 0, 3, 40), 2.50),
+        ("b", dt.datetime(2024, 1, 1, 0, 0, 5), 3.00),
+        ("b", dt.datetime(2024, 1, 1, 0, 0, 55), 4.00),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "val"])
+    out = {
+        r.k: r
+        for r in series_trend(
+            df, ["k"], "ts", F.round(F.col("val") * 100, 0), t0
+        ).collect()
+    }
+    a = out["a"]
+    assert (a.n, a.sx, a.sy) == (4, 6, 700)
+    # slope = 50 cents/min exactly: num/den == 50
+    assert a.slope_num == 50 * a.slope_den and a.slope_den > 0
+    b = out["b"]
+    assert b.slope_den == 0 and b.slope_num == 0
+    # merge law: statistics from two halves add to the full table's
+    h0 = series_trend(
+        df.filter("second(ts) < 30"), ["k"], "ts",
+        F.round(F.col("val") * 100, 0), t0,
+    ).collect()
+    h1 = series_trend(
+        df.filter("second(ts) >= 30"), ["k"], "ts",
+        F.round(F.col("val") * 100, 0), t0,
+    ).collect()
+    acc: dict = {}
+    for r in list(h0) + list(h1):
+        n0, sx0, sy0, sxy0, sxx0 = acc.get(r.k, (0, 0, 0, 0, 0))
+        acc[r.k] = (
+            n0 + r.n, sx0 + r.sx, sy0 + r.sy, sxy0 + r.sxy, sxx0 + r.sxx,
+        )
+    for k, r in out.items():
+        assert acc[k] == (r.n, r.sx, r.sy, r.sxy, r.sxx)
+
+
+def test_graph_expand_topk_recall(spark, sf_dir):
+    """Graph-expansion ANN: (1) well-formed per-query top-k (ranks
+    dense from 1, ids from the corpus split only); (2) recall@10 vs
+    the exact ranking clears a floor; (3) the one-hop expansion
+    STRICTLY beats the seeds-only candidate set on mean recall — the
+    reason the graph index exists."""
+    import numpy as np
+
+    from jane_spark.operators.vector import graph_expand_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    qm = ids % 10 == 0
+    qi, ci = np.where(qm)[0], np.where(~qm)[0]
+    sims = Xn[qi] @ Xn[ci].T
+    exact = {}
+    for r, qidx in enumerate(qi):
+        order = np.lexsort((ids[ci], -np.round(sims[r], 6)))
+        exact[ids[qidx]] = set(ids[ci][order][:10])
+    out = graph_expand_topk(
+        emb, "vec_id", "embedding", k=10, n_seeds=16, degree=8
+    ).collect()
+    got: dict = {}
+    ranks: dict = {}
+    corpus_ids = set(ids[ci].tolist())
+    for r in out:
+        got.setdefault(r.qid, set()).add(r.vec_id)
+        ranks.setdefault(r.qid, []).append(r.rank)
+        assert r.vec_id in corpus_ids and r.qid % 10 == 0
+    for q, rk in ranks.items():
+        assert sorted(rk) == list(range(1, len(rk) + 1))
+        assert len(rk) == 10
+    recs = [len(got.get(q, set()) & e) / 10 for q, e in exact.items()]
+    assert np.mean(recs) >= 0.55, np.mean(recs)
+    # seeds-only baseline: numpy replay of the binary-Hamming stage
+    ve = np.round(X * 1e6).astype(np.int64)
+    bits = ve * len(ids) > ve.sum(axis=0)
+    seed_recs = []
+    for r, qidx in enumerate(qi):
+        h = (bits[qidx] != bits[ci]).sum(axis=1)
+        order = np.lexsort((ids[ci], h))
+        seeds = set(ids[ci][order][:16])
+        seed_recs.append(len(seeds & exact[ids[qidx]]) / 10)
+    assert np.mean(recs) > np.mean(seed_recs), (
+        np.mean(recs), np.mean(seed_recs),
+    )

@@ -438,6 +438,10 @@ _PANDAS_ALLOWED = {
     # packed-example materialization runs on pack_ffd's grouped-map
     # assignment (same justification as q_p12)
     "q_p15_pack_boundaries",
+    # graph-expansion ANN builds its neighbor-graph index through the
+    # same Arrow block-GEMM stage as q_k3_vector_topk (r12); seeds,
+    # expansion and rerank are pure JVM joins on top
+    "q_k48_graph",
 }
 # "Python" catches every Arrow*/Batch* Python node (EvalPython,
 # ArrowAggregatePython, PythonUDF…); "InPandas" the map/grouped forms
