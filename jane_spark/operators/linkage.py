@@ -58,6 +58,14 @@ def linkage_pairs(
     All weights integer CASE expressions -> the join + score + filter
     is one codegen stage after the block shuffle.
 
+    NULL semantics: a NULL in any compared field makes that field's
+    weight NULL, hence ``w_total`` NULL, hence the pair FAILS the
+    threshold filter (SQL three-valued logic) — a pair with missing
+    evidence is never declared a match. Give a field an explicit
+    missing-level weight (``coalesce`` in its weight fn) to score
+    missingness instead of excluding it; rows with a NULL block key
+    never enter the candidate set at all (equi-join).
+
     ``probe_partitions``: optional round-robin repartition of the
     PROBE side before the join. Local fixture parquet is a single row
     group, so the broadcast-join probe runs as ONE task and the pair

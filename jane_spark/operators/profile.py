@@ -403,8 +403,12 @@ def series_trend(
         f"div {int(unit_seconds) * 1_000_000}"
     ).cast("bigint")
     y = value_cents.cast("bigint")
+    # drop null observations BEFORE aggregating: sum() skips nulls but
+    # count(1) would not, silently skewing every derived statistic
     agg = df.select(
         *[F.col(k) for k in keys], x.alias("__x"), y.alias("__y")
+    ).filter(
+        F.col("__x").isNotNull() & F.col("__y").isNotNull()
     ).groupBy(*[F.col(k) for k in keys]).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("__x").cast("bigint").alias("sx"),

@@ -73,6 +73,36 @@ def test_oracle_no_hugeint_columns(duck):
     )
 
 
+def test_oracle_no_date_columns(duck):
+    """Registry-wide lint for the r12 q_d28 failure class: DuckDB
+    ``date_trunc('day', ts)`` returns DATE while Spark's returns
+    TIMESTAMP — values agree, the driver's TYPE-TAGGED hash does not
+    (pytest's pandas comparison silently coerces date -> datetime64
+    and misses it; the driver-style sorted-tuple check caught it).
+    Repo convention (registry docstring): time buckets stay
+    TIMESTAMP — every oracle must ``CAST(... AS TIMESTAMP)`` its
+    bucket columns (the q_d27 pattern). Structural like the hugeint
+    lint: bind, no execution. A future contract that genuinely emits
+    DateType on the Spark side gets an allowlist entry here."""
+    date_ok: set[str] = set()  # contracts whose Spark side emits DateType
+    bad = {}
+    for name, cq in REGISTRY.items():
+        if cq.oracle is None or name in date_ok:
+            continue
+        rel = duck.sql(cq.oracle)
+        dates = [
+            c
+            for c, t in zip(rel.columns, rel.types)
+            if str(t).upper() == "DATE"
+        ]
+        if dates:
+            bad[name] = dates
+    assert not bad, (
+        "oracles returning DATE columns where Spark emits TIMESTAMP "
+        f"(type-tagged driver hash mismatch — CAST AS TIMESTAMP): {bad}"
+    )
+
+
 def test_verify_first_window_invariants():
     """The driver checks only the first 50 queries() entries: the front
     list must be exactly 50 known names, dense in oracle-backed queries,

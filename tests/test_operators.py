@@ -4819,6 +4819,18 @@ def test_series_trend_known_values(spark):
         )
     for k, r in out.items():
         assert acc[k] == (r.n, r.sx, r.sy, r.sxy, r.sxx)
+    # null observations drop entirely (n must not count them)
+    withnull = spark.createDataFrame(
+        rows + [("a", None, 9.99), ("a", dt.datetime(2024, 1, 1), None)],
+        df.schema,
+    )
+    wn = {
+        r.k: r
+        for r in series_trend(
+            withnull, ["k"], "ts", F.round(F.col("val") * 100, 0), t0
+        ).collect()
+    }
+    assert (wn["a"].n, wn["a"].sx, wn["a"].sy) == (a.n, a.sx, a.sy)
 
 
 def test_graph_expand_topk_recall(spark, sf_dir):
