@@ -428,6 +428,8 @@ CALIBRATION = {
     "merge_rollup": 0.046,
     "shard_balance": 0.0491,
     "trend": 0.014,
+    # graph_ann: idle 3-run median (its quadratic oracle runs ~1.1 s;
+    # 3 runs keep the interleaved recheck affordable — BASELINE.md)
     "graph_ann": 1.1041,
 }
 

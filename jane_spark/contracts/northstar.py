@@ -2920,7 +2920,7 @@ def q_k43(spark, sf_dir):
               FROM rr)
         WHERE rn <= 10
     """,
-    survey_rows="K48,K43,K3,K24",
+    survey_rows="K48,K43,K3",
     doc="graph-expansion ANN (operators/vector.graph_expand_topk) — "
     "the batch-relational member of the graph-index family "
     "(HNSW/NSG/DiskANN), completing the ANN ladder next to brute "

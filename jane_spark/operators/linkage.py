@@ -68,11 +68,15 @@ def linkage_pairs(
 
     ``probe_partitions``: optional round-robin repartition of the
     PROBE side before the join. Local fixture parquet is a single row
-    group, so the broadcast-join probe runs as ONE task and the pair
-    scoring serializes (measured 6x at sf0.1); a cluster-scale scan is
-    already thousands of tasks, where this exchange would be pure
-    waste — leave it None there. The build side is broadcast either
-    way, so placement does not affect correctness.
+    group, so when Catalyst picks a broadcast join the probe runs as
+    ONE task and the pair scoring serializes (measured 6x at sf0.1);
+    a cluster-scale scan is already thousands of tasks, where this
+    exchange would be pure waste — leave it None there. No broadcast
+    HINT is forced: Catalyst broadcasts the build side while it fits
+    the threshold and falls back to a shuffle join beyond it — in the
+    shuffle-join regime the join itself re-shuffles the probe (the
+    repartition becomes redundant but harmless). Placement never
+    affects correctness.
     """
     if not block_cols:
         raise ValueError("block_cols must be non-empty (the quadratic "

@@ -272,7 +272,11 @@ def embedding_moments(
 
 
 def gram_matrix(
-    df: DataFrame, keys: list[str], vec_col: str, dim: int
+    df: DataFrame,
+    keys: list[str],
+    vec_col: str,
+    dim: int,
+    max_component: float = 2.0,
 ) -> DataFrame:
     """Per-group fixed-point GRAM / covariance accumulator over the
     first ``dim`` embedding dimensions — the sufficient statistic for
@@ -293,15 +297,25 @@ def gram_matrix(
     Plan shape: ONE scan, ONE map-side-combinable groupBy — the
     d(d+1)/2 product sums are generated column expressions (whole-
     stage codegen; no explode, no self-join, no Python). Output is
-    |groups| x d(d+1)/2 rows at any corpus size. Overflow bound:
-    |q| <= 2e6 (components in [-2, 2]) gives n * sxy < 2^63 up to
-    n ~ 5e5 rows per group at e6 scaling — rescale to e4 beyond that.
-    Rows whose vector is shorter than ``dim`` fail LOUDLY
-    (raise_error in the scan projection, the sq_topk precedent) rather
-    than vanishing as nulls.
+    |groups| x d(d+1)/2 rows at any corpus size.
+
+    Overflow envelope (exact, not hand-waved): with |component| <=
+    ``max_component`` the worst case is |cov_num| <= 2 * n^2 *
+    (max_component * 1e6)^2, which stays under 2^63 only up to
+    ``n <= 2^31 / (max_component * 1e6)`` rows per group — ~1073 at
+    the default max_component=2.0, ~2147 for unit-norm components.
+    That is SMALL: beyond it, rescale components upstream (e4 scaling
+    buys 100x: ~1e5 rows/group) — so the operator guards the bound at
+    runtime and fails LOUDLY (raise_error) instead of letting int64
+    silently wrap into garbage covariances. Rows whose vector is
+    shorter than ``dim`` fail loudly the same way (the sq_topk
+    precedent) rather than vanishing as nulls.
     """
     if dim < 1:
         raise ValueError("dim must be >= 1")
+    if max_component <= 0:
+        raise ValueError("max_component must be > 0")
+    n_safe = int((float(2**62) ** 0.5) / (max_component * 1_000_000))
     if dim > 64:
         raise ValueError("dim > 64: d(d+1)/2 expression count is the "
                          "practical ceiling; project the vector first")
@@ -340,9 +354,17 @@ def gram_matrix(
     branches = ", ".join(
         f"{i}, {j}, __s_{i}, __s_{j}, __p_{i}_{j}" for i, j in pairs
     )
+    # loud overflow guard: past n_safe the cov_num arithmetic can wrap
+    # int64 silently — refuse instead (rescale upstream, docstring)
+    guarded_n = F.expr(
+        f"CASE WHEN n <= {n_safe} THEN n ELSE raise_error(concat("
+        f"'gram_matrix: group of ', cast(n as string), ' rows exceeds "
+        f"the int64-safe bound {n_safe} at e6 scaling "
+        f"(max_component={max_component}); rescale components')) END"
+    )
     return wide.select(
         *keys,
-        "n",
+        guarded_n.alias("n"),
         F.expr(
             f"stack({len(pairs)}, {branches}) "
             "AS (i, j, sx_e6, sy_e6, sxy_e12)"
@@ -387,10 +409,12 @@ def series_trend(
     discipline. ``slope_den = 0`` marks a degenerate series (all
     observations in one time unit).
 
-    Overflow bound: n·Σxy < 2^63 needs n·x·y ≲ 9e18/n — with minutes
-    over a 30-day window (x ≤ 43k) and y ≤ 5e4 cents that holds to
-    ~2e5 rows per series; widen ``unit_seconds`` (hours: x ≤ 720)
-    for longer windows or bigger series.
+    Overflow envelope (exact): |slope_num| <= 2 * n^2 * x_max * y_max,
+    so int64 holds while n <= sqrt(2^62 / (x_max * y_max)) — with
+    minutes over a 30-day window (x <= 43,200) and y <= 5e4 cents
+    that is ~4.6e4 rows per series; hours (x <= 720) stretch it to
+    ~3.6e5. Widen ``unit_seconds`` (or pre-aggregate per unit) for
+    longer windows or denser series.
 
     Plan: ONE scan + ONE map-side-combinable groupBy; output is
     |series| rows at any corpus size.

@@ -121,18 +121,30 @@ def merge_rollups(*parts: DataFrame) -> DataFrame:
     construction because time_rollup's measures are integer cents —
     a float sum re-added in a different order would not be.
 
+    The output is itself MERGEABLE: a level-1 rollup (no ``n_parts``
+    column) counts as one partial, a previously-merged rollup carries
+    its ``n_parts`` forward, and merging mixes of both re-aggregates
+    correctly — so "yesterday's merged rollup + today's level-1
+    delta" composes without special-casing (``n_parts`` always counts
+    ORIGINAL level-1 partials).
+
     One union (no shuffle) + one map-side-combinable groupBy over
     |groups| x |parts| rows — never data-scale.
     """
     if not parts:
         raise ValueError("need at least one rollup to merge")
-    measure_cols = {"n", "sum_cents", "min_cents", "max_cents"}
-    u = parts[0]
-    for p in parts[1:]:
+    measure_cols = {"n_parts", "n", "sum_cents", "min_cents", "max_cents"}
+    normed = [
+        p if "n_parts" in p.columns
+        else p.withColumn("n_parts", F.lit(1).cast("bigint"))
+        for p in parts
+    ]
+    u = normed[0]
+    for p in normed[1:]:
         u = u.unionByName(p)
     keys = [c for c in u.columns if c not in measure_cols]
     return u.groupBy(*[F.col(k) for k in keys]).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum("n_parts").cast("bigint").alias("n_parts"),
         F.sum("n").cast("bigint").alias("n"),
         F.sum("sum_cents").cast("bigint").alias("sum_cents"),
         F.min("min_cents").cast("bigint").alias("min_cents"),

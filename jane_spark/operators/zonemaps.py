@@ -25,24 +25,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def zonemap_stats(
-    df: DataFrame, file_col: str, cols: list[str]
-) -> DataFrame:
-    """Per-file zone maps: ``(file_col, n, min_<c>, max_<c> ...)`` —
-    the statistics a parquet footer / lakehouse manifest stores per
-    file. One map-side-combinable groupBy; output is |files| rows
-    regardless of table size."""
-    if not cols:
-        raise ValueError("cols must be non-empty")
-    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
-    for c in cols:
-        aggs.append(F.min(F.col(c).cast("long")).alias(f"min_{c}"))
-        aggs.append(F.max(F.col(c).cast("long")).alias(f"max_{c}"))
-    return df.groupBy(file_col).agg(*aggs)
-
-
 def shard_balance_audit(
-    df: DataFrame, shard_col: str, weight_col: str
+    df: DataFrame,
+    shard_col: str,
+    weight_col: str,
+    n_shards_expected: int | None = None,
 ) -> DataFrame:
     """One-row balance audit of a shard layout — the skew alarm every
     partitioned write should publish next to its manifest: straggler
@@ -61,6 +48,13 @@ def shard_balance_audit(
     task runs skew_e4/1e4 x the average). Integer arithmetic end to
     end; gini_num >= 0 by construction so floor == trunc.
 
+    ``n_shards_expected``: a groupBy only sees shards that RECEIVED
+    rows, so a completely starved shard — the worst imbalance the
+    audit exists to flag — would otherwise vanish from the
+    statistics. Pass the layout's shard count (integer shard ids
+    0..S-1) and empty shards enter as weight-0 rows, dragging min_w
+    to 0 and gini/skew up where they belong.
+
     Plan: one map-side-combinable per-shard aggregate (|shards| rows
     out of the scan), one |shards|-row window, one fold to a single
     row — nothing data-sized after the first aggregate.
@@ -70,6 +64,13 @@ def shard_balance_audit(
     per = df.groupBy(F.col(shard_col).alias("__s")).agg(
         F.sum(F.col(weight_col).cast("long")).alias("__w")
     )
+    if n_shards_expected is not None:
+        universe = df.sparkSession.range(int(n_shards_expected)).select(
+            F.col("id").cast(per.schema["__s"].dataType).alias("__s")
+        )
+        per = universe.join(per, "__s", "left").select(
+            "__s", F.coalesce(F.col("__w"), F.lit(0)).alias("__w")
+        )
     w = Window.orderBy(F.col("__w").asc(), F.col("__s").asc())
     ranked = per.select(
         "__w", F.row_number().over(w).alias("__i")

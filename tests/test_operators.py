@@ -4882,3 +4882,62 @@ def test_graph_expand_topk_recall(spark, sf_dir):
     assert np.mean(recs) > np.mean(seed_recs), (
         np.mean(recs), np.mean(seed_recs),
     )
+
+
+def test_merge_rollups_remerge_and_gram_guard(spark):
+    """Review follow-ups: (1) merge_rollups output is itself mergeable
+    (yesterday's merged rollup + today's level-1 delta — the IVM move
+    its docstring advertises), n_parts counting ORIGINAL level-1
+    partials; (2) gram_matrix refuses groups past its exact int64
+    envelope instead of wrapping; (3) shard_balance_audit surfaces
+    starved shards when told the expected shard count."""
+    import pytest as _pytest
+
+    from jane_spark.operators.profile import gram_matrix
+    from jane_spark.operators.rolling import merge_rollups, time_rollup
+    from jane_spark.operators.zonemaps import shard_balance_audit
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 3), "a", 1.00),
+        (2, dt.datetime(2024, 1, 1, 9), "a", 2.50),
+        (3, dt.datetime(2024, 1, 2, 1), "a", -0.75),
+    ]
+    ev = spark.createDataFrame(rows, ["eid", "ts", "typ", "val"])
+    cents = F.round(F.col("val") * 100, 0)
+    day1 = time_rollup(ev.filter("eid <= 2"), "ts", "day", ["typ"], cents)
+    delta = time_rollup(ev.filter("eid = 3"), "ts", "day", ["typ"], cents)
+    merged_once = merge_rollups(day1)
+    remerged = {
+        (r.bucket, r.typ): r
+        for r in merge_rollups(merged_once, delta).collect()
+    }
+    direct = {
+        (r.bucket, r.typ): r
+        for r in time_rollup(ev, "ts", "day", ["typ"], cents).collect()
+    }
+    assert set(remerged) == set(direct)
+    for k, m in remerged.items():
+        d = direct[k]
+        assert (m.n, m.sum_cents, m.min_cents, m.max_cents) == (
+            d.n, d.sum_cents, d.min_cents, d.max_cents,
+        )
+    # day1 came through one original partial, day2 through the delta
+    assert remerged[(dt.datetime(2024, 1, 1), "a")].n_parts == 1
+    assert remerged[(dt.datetime(2024, 1, 2), "a")].n_parts == 1
+
+    # gram guard: n=1200 unit-ish vectors exceed the mc=2.0 bound 1073
+    big = spark.range(1200).select(
+        F.lit("g").alias("g"), F.array(F.lit(0.5), F.lit(0.25)).alias("v")
+    )
+    with _pytest.raises(Exception, match="int64-safe bound"):
+        gram_matrix(big, ["g"], "v", dim=2).collect()
+
+    # starved shard becomes visible with n_shards_expected
+    w = spark.createDataFrame([(0, 10), (1, 10)], ["shard", "w"])
+    blind = shard_balance_audit(w, "shard", "w").collect()[0]
+    seen = shard_balance_audit(
+        w, "shard", "w", n_shards_expected=4
+    ).collect()[0]
+    assert blind.n_shards == 2 and blind.gini_e4 == 0
+    assert (seen.n_shards, seen.min_w) == (4, 0)
+    assert seen.gini_e4 > 0 and seen.skew_e4 == 20000
