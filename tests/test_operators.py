@@ -4941,3 +4941,67 @@ def test_merge_rollups_remerge_and_gram_guard(spark):
     assert blind.n_shards == 2 and blind.gini_e4 == 0
     assert (seen.n_shards, seen.min_w) == (4, 0)
     assert seen.gini_e4 > 0 and seen.skew_e4 == 20000
+
+
+def test_round12_integer_surface_invariances(spark):
+    """Invariance laws of the round-12 integer surfaces: (1) Gini is
+    scale-invariant (weights x7 -> same gini_e4/skew_e4) and
+    shard-label-permutation-invariant; (2) kappa is invariant under
+    renaming the class labels; (3) the OLS slope rational
+    (slope_num, slope_den) is invariant under shifting the time
+    origin by whole units (covariance shift invariance, exact in
+    integer arithmetic even though sx/sxx change)."""
+    from jane_spark.operators.profile import (
+        chance_corrected_agreement,
+        series_trend,
+    )
+    from jane_spark.operators.zonemaps import shard_balance_audit
+
+    w = [(0, 4), (1, 2), (2, 9), (3, 3), (4, 9)]
+    base = shard_balance_audit(
+        spark.createDataFrame(w, ["s", "w"]), "s", "w"
+    ).collect()[0]
+    scaled = shard_balance_audit(
+        spark.createDataFrame([(s, x * 7) for s, x in w], ["s", "w"]),
+        "s", "w",
+    ).collect()[0]
+    permuted = shard_balance_audit(
+        spark.createDataFrame(
+            [((s + 2) % 5, x) for s, x in w], ["s", "w"]
+        ),
+        "s", "w",
+    ).collect()[0]
+    assert (base.gini_e4, base.skew_e4) == (scaled.gini_e4, scaled.skew_e4)
+    assert (base.gini_e4, base.skew_e4) == (
+        permuted.gini_e4, permuted.skew_e4,
+    )
+
+    pairs = [("en", "en")] * 20 + [("en", "fr")] * 10 + \
+            [("fr", "en")] * 5 + [("fr", "fr")] * 15
+    k1 = chance_corrected_agreement(
+        spark.createDataFrame(pairs, ["y", "p"]), "y", "p"
+    ).collect()[0]
+    ren = {"en": "zz_1", "fr": "zz_2"}
+    k2 = chance_corrected_agreement(
+        spark.createDataFrame(
+            [(ren[a], ren[b]) for a, b in pairs], ["y", "p"]
+        ),
+        "y", "p",
+    ).collect()[0]
+    assert (k1.n, k1.agree, k1.exp_num, k1.kappa_e4) == (
+        k2.n, k2.agree, k2.exp_num, k2.kappa_e4,
+    )
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 2, 0, 0), 1.00),
+        ("a", dt.datetime(2024, 1, 2, 0, 7), 3.25),
+        ("a", dt.datetime(2024, 1, 2, 1, 30), 2.10),
+        ("a", dt.datetime(2024, 1, 2, 9, 1), 8.00),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "val"])
+    cents = F.round(F.col("val") * 100, 0)
+    t_a = series_trend(df, ["k"], "ts", cents, "2024-01-01 00:00:00")
+    t_b = series_trend(df, ["k"], "ts", cents, "2024-01-02 00:00:00")
+    a, b = t_a.collect()[0], t_b.collect()[0]
+    assert a.sx != b.sx  # the origin genuinely moved
+    assert (a.slope_num, a.slope_den) == (b.slope_num, b.slope_den)
