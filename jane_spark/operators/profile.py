@@ -752,3 +752,87 @@ def ks_drift_matrix(
             F.expr("(ks_num * 10000) div (n_a * n_b)").cast("bigint"),
         )
     )
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    k: int,
+    max_component: float = 2.0,
+):
+    """PCA over an embedding column, completing the K47 story: the
+    cluster aggregates the EXACT fixed-point Gram statistics
+    (:func:`gram_matrix` with no grouping keys — one combinable
+    shuffle of d(d+1)/2 BIGINT cells), the driver reconstructs the
+    d x d covariance from those integers and eigendecomposes it —
+    a bounded numpy call on a d x d matrix, the IVF-centroid
+    bounded-collect contract; the corpus is never collected.
+
+    Returns ``(means, components, explained_var)``: per-dimension
+    means (length d, float), the top-``k`` principal axes as a
+    (k, d) row matrix (orthonormal, descending eigenvalue order,
+    sign fixed so each axis' largest-|entry| coordinate is positive —
+    deterministic across LAPACK builds), and their eigenvalues.
+
+    Feed ``(means, components)`` to :func:`pca_project` for the
+    whitening/dim-reduction projection, or use the axes directly for
+    OPQ-style rotations ahead of PQ (q_k23) — exactly what the K47
+    docstring promises the Gram statistics are FOR.
+    """
+    import numpy as np
+
+    if not 1 <= k <= dim:
+        raise ValueError("need 1 <= k <= dim")
+    rows = gram_matrix(
+        df, [], vec_col, dim=dim, max_component=max_component
+    ).collect()
+    if not rows:
+        raise ValueError("pca_fit: empty input")
+    n = rows[0]["n"]
+    C = np.zeros((dim, dim))
+    S = np.zeros(dim)
+    for r in rows:
+        i, j = r["i"] - 1, r["j"] - 1
+        # exact integer numerator -> float covariance (divide LAST)
+        C[i, j] = C[j, i] = r["cov_num_e12"] / (n * n * 1e12)
+        S[i] = r["sx_e6"]
+        S[j] = r["sy_e6"]
+    means = S / (n * 1e6)
+    evals, evecs = np.linalg.eigh(C)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # (k, d)
+    for row in comps:
+        if row[np.argmax(np.abs(row))] < 0:
+            row *= -1.0
+    return means, comps, evals[order]
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str,
+    means,
+    components,
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project ``vec_col`` onto the axes from :func:`pca_fit`:
+    appends ``out_col`` = array of k scores, each
+    ``sum_i (v_i - mean_i) * W_ji``. The (k x d) weights inline as
+    literal expression terms — whole-stage codegen, zero shuffle,
+    zero Python: the projection is a pure scan-side map at any corpus
+    size (the jl_project posture, but with LEARNED axes)."""
+    k, d = len(components), len(components[0])
+    comps = []
+    for j in range(k):
+        terms = None
+        for i in range(d):
+            w = float(components[j][i])
+            if w == 0.0:
+                continue
+            t = (
+                F.element_at(F.col(vec_col), i + 1).cast("double")
+                - float(means[i])
+            ) * w
+            terms = t if terms is None else terms + t
+        comps.append(terms if terms is not None else F.lit(0.0))
+    return df.withColumn(out_col, F.array(*comps))

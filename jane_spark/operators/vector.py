@@ -1859,6 +1859,7 @@ def graph_expand_topk(
     degree: int = 8,
     query_mod: int = 10,
     dim: int = 64,
+    hops: int = 1,
 ) -> DataFrame:
     """Graph-expansion ANN — the batch-relational member of the
     graph-index family (HNSW / NSG / DiskANN), completing the ANN
@@ -1884,8 +1885,12 @@ def graph_expand_topk(
        grid-GEMM block_topk with rank-rounding (sims rounded to 6 dp
        BEFORE ranking, ties id asc — the platform-stable edge set);
        built ONCE, reused by every query (the index);
-    4. expand: candidates = seeds UNION seeds joined one hop through
-       the edge table, distinct — ≤ n_seeds * (degree + 1) per query;
+    4. expand: candidates = seeds UNION the frontier advanced
+       ``hops`` times through the edge table (each hop one equi-join
+       + distinct — the flattened relational beam), bounded by
+       n_seeds * (degree + 1)^hops per query; recall is MONOTONE in
+       hops (a superset of candidates reranked by the same exact
+       score can only move the top-k closer to the true top-k);
     5. rerank: exact cosine on candidates only, rounded to 6 dp
        before ranking, top-``k`` per query by (sim desc, id asc).
 
@@ -1900,9 +1905,9 @@ def graph_expand_topk(
     data-scale work is the one coarse scan — exactly the DiskANN
     read path with the beam replaced by a fixed one-hop frontier.
     """
-    if k < 1 or n_seeds < 1 or degree < 1 or query_mod < 2:
+    if k < 1 or n_seeds < 1 or degree < 1 or query_mod < 2 or hops < 1:
         raise ValueError(
-            "need k, n_seeds, degree >= 1 and query_mod >= 2"
+            "need k, n_seeds, degree, hops >= 1 and query_mod >= 2"
         )
     base = vectors.select(
         F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
@@ -1935,14 +1940,16 @@ def graph_expand_topk(
         corpus, "id", "v", k=degree, rank_round_dp=6
     ).select("a_id", "b_id")
 
-    cand = (
-        seeds.unionByName(
-            seeds.join(edges, seeds["cid"] == edges["a_id"]).select(
-                "qid", F.col("b_id").alias("cid")
-            )
+    cand = seeds
+    frontier = seeds
+    for _ in range(int(hops)):
+        frontier = (
+            frontier.join(edges, frontier["cid"] == edges["a_id"])
+            .select("qid", F.col("b_id").alias("cid"))
+            .distinct()
         )
-        .distinct()
-    )
+        cand = cand.unionByName(frontier)
+    cand = cand.distinct()
     rer = (
         cand.join(
             corpus.select(

@@ -4882,6 +4882,17 @@ def test_graph_expand_topk_recall(spark, sf_dir):
     assert np.mean(recs) > np.mean(seed_recs), (
         np.mean(recs), np.mean(seed_recs),
     )
+    # hop ladder: a second hop's candidate superset can only improve
+    # the exact-reranked top-k (monotone), and on this fixture it
+    # lifts mean recall decisively (measured 0.62 -> 0.95)
+    got2: dict = {}
+    for r in graph_expand_topk(
+        emb, "vec_id", "embedding", k=10, n_seeds=16, degree=8, hops=2
+    ).collect():
+        got2.setdefault(r.qid, set()).add(r.vec_id)
+    recs2 = [len(got2.get(q, set()) & e) / 10 for q, e in exact.items()]
+    assert np.mean(recs2) >= np.mean(recs)
+    assert np.mean(recs2) >= 0.85, np.mean(recs2)
 
 
 def test_merge_rollups_remerge_and_gram_guard(spark):
@@ -5005,3 +5016,47 @@ def test_round12_integer_surface_invariances(spark):
     a, b = t_a.collect()[0], t_b.collect()[0]
     assert a.sx != b.sx  # the origin genuinely moved
     assert (a.slope_num, a.slope_den) == (b.slope_num, b.slope_den)
+
+
+def test_pca_fit_project_matches_numpy(spark, sf_dir):
+    """pca_fit reproduces a direct numpy eigendecomposition of the SAME
+    fixed-point covariance (tight tolerance), returns orthonormal axes
+    in descending-eigenvalue order with the deterministic sign fix,
+    and pca_project's codegen expression equals (X - mean) @ W.T."""
+    import numpy as np
+
+    from jane_spark.operators.profile import pca_fit, pca_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim, k = 16, 4
+    means, comps, evals = pca_fit(emb, "embedding", dim=dim, k=k)
+    rows = emb.select("vec_id", "embedding").collect()
+    X = np.array([r.embedding[:dim] for r in rows], dtype=np.float64)
+    Xq = np.round(X * 1e6).astype(np.int64)
+    n = len(rows)
+    G = Xq.T @ Xq
+    s = Xq.sum(axis=0)
+    C = (n * G - np.outer(s, s)) / (n * n * 1e12)
+    ev, W = np.linalg.eigh(C)
+    order = np.argsort(ev)[::-1][:k]
+    ref = W[:, order].T
+    for r in ref:
+        if r[np.argmax(np.abs(r))] < 0:
+            r *= -1.0
+    assert np.allclose(means, s / (n * 1e6), atol=1e-12)
+    assert np.allclose(np.abs(comps), np.abs(ref), atol=1e-8)
+    assert np.allclose(comps, ref, atol=1e-8)  # sign fix agrees too
+    assert np.allclose(comps @ comps.T, np.eye(k), atol=1e-9)
+    assert all(evals[i] >= evals[i + 1] - 1e-12 for i in range(k - 1))
+    proj = {
+        r.vec_id: np.array(r.pca)
+        for r in pca_project(
+            emb, "embedding", means, comps
+        ).select("vec_id", "pca").collect()
+    }
+    direct = (X - means) @ comps.T
+    for i, r in enumerate(rows):
+        assert np.allclose(proj[r.vec_id], direct[i], atol=1e-9)
+    # projected variance along axis 0 ~ top eigenvalue (quantization
+    # of the fit vs raw floats costs < 1e-6)
+    assert abs(direct[:, 0].var() - evals[0]) < 1e-4
