@@ -259,6 +259,11 @@ REBUILD_PER_RUN = {
     "bloom_dedup",
     "mmr",
     "jsonl_quarantine",
+    # drift matrices eagerly localCheckpoint their (source, value)
+    # count table at plan-BUILD — rebuild per run or the timed region
+    # excludes the only data-sized stage (r12 review)
+    "drift",
+    "ks_drift",
 }
 
 # Ambient-drift calibration (VERDICT r4 "bench hygiene"): re-measure a

@@ -578,10 +578,16 @@ def hrw_shard(key_expr_sql: str, n_shards: int, salt: str = "hrw:"):
         f"cast(conv(substring(md5(concat('{salt}', {key_expr_sql}, ':', "
         "cast(i as string))), 1, 15), 16, 10) as bigint)"
     )
+    # transform materializes each (hv, s) ONCE, then the fold compares
+    # structs — lambda bodies get no common-subexpression elimination,
+    # so an IF({hv} > acc.hv, struct({hv}...)) fold would evaluate
+    # every md5 twice (2S instead of S hashes/row on the scan-rate-
+    # bound assignment path; r12 review)
     return F.expr(
-        f"aggregate(sequence(0, {int(n_shards) - 1}), "
+        f"aggregate(transform(sequence(0, {int(n_shards) - 1}), "
+        f"i -> struct({hv} as hv, i as s)), "
         "struct(cast(-1 as bigint) as hv, -1 as s), "
-        f"(acc, i) -> IF({hv} > acc.hv, struct({hv} as hv, i as s), acc), "
+        "(acc, e) -> IF(e.hv > acc.hv, e, acc), "
         "acc -> acc.s)"
     )
 

@@ -245,6 +245,14 @@ def rank_auc(
     rows, one scalar aggregate. V is the sketch knob — at corpus scale
     quantize the score coarser upstream exactly as a production AUC
     monitor buckets its ROC sweep.
+
+    Count-overflow envelope: ``u2`` peaks near ``2·n_pos·n`` and the
+    readout multiplies by 10^4, so int64 holds while total row count
+    stays under ~1e7; beyond that, compute AUC on a deterministic row
+    sample (D22 bottom-k) — it is a rank statistic, a sample estimates
+    it — or drop the 1e4 readout and carry the exact (u2, n_pos,
+    n_neg) rational. One-class inputs yield auc_e4 NULL (undefined),
+    never a divide-by-zero.
     """
     from pyspark.sql import Window
 
@@ -283,6 +291,12 @@ def rank_auc(
         )
         .withColumn(
             "auc_e4",
-            F.expr("(u2 * 10000) div (2 * n_pos * n_neg)").cast("bigint"),
+            # one-class inputs (gate passes/fails everything) make AUC
+            # undefined: NULL, matching the q_k45 oracle's CASE guard —
+            # not an ANSI DIVIDE_BY_ZERO crash
+            F.expr(
+                "CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL "
+                "ELSE (u2 * 10000) div (2 * n_pos * n_neg) END"
+            ).cast("bigint"),
         )
     )

@@ -695,6 +695,13 @@ def ks_drift_matrix(
     quantize the score upstream if its support is unbounded, exactly
     as a production KS monitor buckets to ~1e4 cut points); the pair
     stage runs on an S²×V/2 grid of SKETCH rows, never data.
+
+    Count-overflow envelope: the cross-multiplied terms peak at
+    ``cum_a * n_b`` (~n²) and ``ks_num * 10^4``, so int64 holds while
+    per-source row counts stay under ~1e7; at corpus scale compute
+    the CDFs over a DETERMINISTIC row sample per source (D22
+    bottom-k) — a KS monitor needs distributional shape, not a
+    census — or rescale the 1e4 readout.
     """
     counts = (
         df.select(

@@ -1601,6 +1601,79 @@ def sq_topk(
     return sel.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
+
+# the e6-quantized component j+lo+1 of the row vector, as SQL text —
+# the ONE place the binary-code bit rule's left operand is written
+_BINARY_VE_AT = (
+    "cast(round(element_at(v, j + {lo} + 1) * 1000000.0, 0) as bigint)"
+)
+
+
+def _binary_guarded_base(
+    vectors: DataFrame, id_col: str, vec_col: str, dim: int, opname: str
+) -> DataFrame:
+    """(id, v) projection with the loud dim guard — shared by
+    binary_topk and binary_codes so the stored-code layout cannot
+    drift from the search path (r12 review dedup)."""
+    return vectors.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).select(
+        "id",
+        F.expr(
+            f"CASE WHEN size(v) = {int(dim)} THEN v ELSE raise_error("
+            f"concat('{opname}: vector has ', cast(size(v) as string),"
+            f" ' dims, expected {int(dim)}')) END"
+        ).alias("v"),
+    )
+
+
+def _binary_sums_row(base: DataFrame) -> DataFrame:
+    """ONE broadcastable row (s_arr, n_corpus): per-dimension e6
+    component sums + corpus count — the above-mean bit rule's right
+    operand. Arrives via a join so CollapseProject cannot re-inline
+    the derivation per element access (the q_k42 lesson)."""
+    ve = F.transform(
+        F.col("v"), lambda x: F.round(x * 1e6, 0).cast("bigint")
+    )
+    sums = (
+        base.select(F.posexplode(ve).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.sum("x").cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    return (
+        sums.agg(
+            F.sort_array(F.collect_list(F.struct("pos", "s", "n"))).alias(
+                "t"
+            )
+        )
+        .select(
+            F.expr("transform(t, e -> e.s)").alias("s_arr"),
+            # get(), not t[0]: ANSI throws on indexing the empty
+            # collect_list of an EMPTY corpus; null n_corpus is fine
+            # (there are no candidate rows to score anyway)
+            F.expr("get(t, 0).n").alias("n_corpus"),
+        )
+    )
+
+
+def _binary_pack(bit_at: str, lo: int, dim: int) -> str:
+    """SQL folding bits lo..min(lo+32, dim) of the sign-bit rule
+    ``bit_at`` into one 32-bit word (sum of bit<<j); an empty word
+    (dim <= lo) is the 0 literal."""
+    n_bits = min(32, int(dim) - lo)
+    if n_bits <= 0:
+        return "cast(0 as bigint)"
+    return (
+        f"aggregate(sequence(0, {n_bits - 1}), cast(0 as bigint), "
+        f"(acc, j) -> acc + IF({bit_at}, "
+        f"shiftleft(cast(1 as bigint), j), cast(0 as bigint)))"
+    )
+
+
 def binary_topk(
     vectors: DataFrame,
     id_col: str,
@@ -1653,96 +1726,49 @@ def binary_topk(
         raise ValueError("need k >= 1 and shortlist >= k")
     from pyspark.sql import Window
 
-    base = vectors.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).select(
-        "id",
-        # loud dim guard (the sq_topk hardening, ADVICE r11)
-        F.expr(
-            f"CASE WHEN size(v) = {int(dim)} THEN v ELSE raise_error("
-            f"concat('binary_topk: vector has ', cast(size(v) as string),"
-            f" ' dims, expected {int(dim)}')) END"
-        ).alias("v"),
-    )
-    ve = F.transform(F.col("v"), lambda x: F.round(x * 1e6, 0).cast("bigint"))
-    sums = (
-        base.select(F.posexplode(ve).alias("pos", "x"))
-        .groupBy("pos")
-        .agg(
-            F.sum("x").cast("bigint").alias("s"),
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-        )
-    )
+    base = _binary_guarded_base(vectors, id_col, vec_col, dim, "binary_topk")
     q_sql = ",".join(
         str(sq_query_weight_e6(d, "binq")) for d in range(dim)
     )
     # ONE broadcast row: per-dim sums, corpus count, and the query's
-    # packed words derived through the SAME above-mean rule. The
-    # arrays arrive via a join so CollapseProject cannot re-inline
-    # their derivation per element access (the q_k42 lesson).
-    def pack(bit_at: str, lo: int) -> str:
-        # sum of bit<<j over j in [0, min(32, dim-lo)) where bit tests
-        # dim lo+j; an empty word (dim <= lo) is the 0 literal
-        n_bits = min(32, int(dim) - lo)
-        if n_bits <= 0:
-            return "cast(0 as bigint)"
-        return (
-            f"aggregate(sequence(0, {n_bits - 1}), cast(0 as bigint), "
-            f"(acc, j) -> acc + IF({bit_at}, "
-            f"shiftleft(cast(1 as bigint), j), cast(0 as bigint)))"
-        )
-
-    barr = (
-        sums.agg(
-            F.sort_array(
-                F.collect_list(F.struct("pos", "s", "n"))
-            ).alias("t")
-        )
-        .select(
-            F.expr("transform(t, e -> e.s)").alias("s_arr"),
-            # get(), not t[0]: ANSI throws on indexing the empty
-            # collect_list of an EMPTY corpus; null n_corpus is fine
-            # (there are no candidate rows to score anyway)
-            F.expr("get(t, 0).n").alias("n_corpus"),
-        )
-        .select(
-            "s_arr",
-            "n_corpus",
-            F.expr(
-                pack(
-                    f"element_at(array({q_sql}), j + {0} + 1) * n_corpus "
-                    f"> element_at(s_arr, j + {0} + 1)",
-                    0,
-                )
-            ).alias("qw0"),
-            F.expr(
-                pack(
-                    f"element_at(array({q_sql}), j + {32} + 1) * n_corpus"
-                    f" > element_at(s_arr, j + {32} + 1)",
-                    32,
-                )
-            ).alias("qw1"),
-        )
-    )
-    ve_at = (
-        "cast(round(element_at(v, j + {lo} + 1) * 1000000.0, 0) as bigint)"
+    # packed words derived through the SAME above-mean rule
+    barr = _binary_sums_row(base).select(
+        "s_arr",
+        "n_corpus",
+        F.expr(
+            _binary_pack(
+                f"element_at(array({q_sql}), j + {0} + 1) * n_corpus "
+                f"> element_at(s_arr, j + {0} + 1)",
+                0,
+                dim,
+            )
+        ).alias("qw0"),
+        F.expr(
+            _binary_pack(
+                f"element_at(array({q_sql}), j + {32} + 1) * n_corpus"
+                f" > element_at(s_arr, j + {32} + 1)",
+                32,
+                dim,
+            )
+        ).alias("qw1"),
     )
     scored = base.crossJoin(F.broadcast(barr)).select(
         F.col("id").alias("vec_id"),
         "v",
         F.expr(
-            pack(
-                ve_at.format(lo=0)
+            _binary_pack(
+                _BINARY_VE_AT.format(lo=0)
                 + " * n_corpus > element_at(s_arr, j + 0 + 1)",
                 0,
+                dim,
             )
         ).alias("w0"),
         F.expr(
-            pack(
-                ve_at.format(lo=32)
+            _binary_pack(
+                _BINARY_VE_AT.format(lo=32)
                 + " * n_corpus > element_at(s_arr, j + 32 + 1)",
                 32,
+                dim,
             )
         ).alias("w1"),
         F.col("qw0"),
@@ -1796,57 +1822,28 @@ def binary_codes(
     tests/test_operators.py::test_binary_codes_storage_cut). A search
     over stored codes recomputes NOTHING per query except the query's
     own words; the exact rerank point-fetches raw vectors for the
-    shortlist only."""
-    base = vectors.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).select(
-        "id",
-        F.expr(
-            f"CASE WHEN size(v) = {int(dim)} THEN v ELSE raise_error("
-            f"concat('binary_codes: vector has ', cast(size(v) as string),"
-            f" ' dims, expected {int(dim)}')) END"
-        ).alias("v"),
-    )
-    ve = F.transform(F.col("v"), lambda x: F.round(x * 1e6, 0).cast("bigint"))
-    sums = (
-        base.select(F.posexplode(ve).alias("pos", "x"))
-        .groupBy("pos")
-        .agg(
-            F.sum("x").cast("bigint").alias("s"),
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-        )
-    )
-    barr = (
-        sums.agg(
-            F.sort_array(F.collect_list(F.struct("pos", "s", "n"))).alias(
-                "t"
-            )
-        )
-        .select(
-            F.expr("transform(t, e -> e.s)").alias("s_arr"),
-            F.expr("get(t, 0).n").alias("n_corpus"),
-        )
-    )
+    shortlist only.
 
-    def pack(lo: int) -> str:
-        n_bits = min(32, int(dim) - lo)
-        if n_bits <= 0:
-            return "cast(0 as bigint)"
-        bit = (
-            f"cast(round(element_at(v, j + {lo} + 1) * 1000000.0, 0) "
-            f"as bigint) * n_corpus > element_at(s_arr, j + {lo} + 1)"
-        )
+    Built on the SAME helpers as binary_topk (_binary_guarded_base /
+    _binary_sums_row / _binary_pack + _BINARY_VE_AT), so the bit rule
+    and word layout literally cannot drift between the stored and
+    search paths (r12 review; equality also pinned by
+    test_binary_codes_storage_cut)."""
+    base = _binary_guarded_base(
+        vectors, id_col, vec_col, dim, "binary_codes"
+    )
+    barr = _binary_sums_row(base)
+
+    def bit(lo: int) -> str:
         return (
-            f"aggregate(sequence(0, {n_bits - 1}), cast(0 as bigint), "
-            f"(acc, j) -> acc + IF({bit}, "
-            f"shiftleft(cast(1 as bigint), j), cast(0 as bigint)))"
+            _BINARY_VE_AT.format(lo=lo)
+            + f" * n_corpus > element_at(s_arr, j + {lo} + 1)"
         )
 
     return base.crossJoin(F.broadcast(barr)).select(
         F.col("id").alias("vec_id"),
-        F.expr(pack(0)).alias("w0"),
-        F.expr(pack(32)).alias("w1"),
+        F.expr(_binary_pack(bit(0), 0, dim)).alias("w0"),
+        F.expr(_binary_pack(bit(32), 32, dim)).alias("w1"),
     )
 
 

@@ -4208,8 +4208,9 @@ def test_binary_topk_codes_and_rerank(spark, sf_dir):
     assert [r.rank for r in got] == [1, 2, 3, 4]
     # packed words live in [0, 2^32): bit 31 of each half-word is a
     # plain value bit, never a BIGINT sign bit
-    assert all(0 <= r.w0 < (1 << 32) and 0 <= r.w1 < (1 << 32)
-               for r in got) or True  # dim=4 fixture: trivially small
+    assert all(
+        0 <= r.w0 < (1 << 32) and 0 <= r.w1 < (1 << 32) for r in got
+    )
     import pytest as _pytest
 
     bad = spark.createDataFrame([(1, q), (2, q[:3])], ["vec_id", "embedding"])
@@ -4398,6 +4399,13 @@ def test_rank_auc_known_values(spark):
     )
     m = rank_auc(mix, "score", "y").collect()[0]
     assert (m.u2, m.auc_e4) == (3, 7500)
+    # one-class input: AUC undefined -> NULL (the oracle's CASE guard),
+    # never an ANSI divide-by-zero (r12 review)
+    one = spark.createDataFrame(
+        [(1.0, True), (2.0, True)], ["score", "y"]
+    )
+    o = rank_auc(one, "score", "y").collect()[0]
+    assert o.n_neg == 0 and o.auc_e4 is None
 
 
 def test_binary_codes_storage_cut(spark, sf_dir, tmp_path):
