@@ -309,7 +309,12 @@ def gram_matrix(
     runtime and fails LOUDLY (raise_error) instead of letting int64
     silently wrap into garbage covariances. Rows whose vector is
     shorter than ``dim`` fail loudly the same way (the sq_topk
-    precedent) rather than vanishing as nulls.
+    precedent) rather than vanishing as nulls, and BOTH halves of the
+    envelope are enforced: a component with |c| > max_component (the
+    assumption n_safe rests on) or a NULL component inside a
+    long-enough vector (sum() would skip it while n counts the row,
+    silently skewing cov_num — the series_trend pre-filter rationale)
+    raise_error in the quantized projection (ADVICE r12).
     """
     if dim < 1:
         raise ValueError("dim must be >= 1")
@@ -328,17 +333,29 @@ def gram_matrix(
 
     # quantize each component ONCE in a projection (d expressions),
     # so the d(d+1)/2 aggregate inputs are plain column products —
-    # not d^2 re-evaluations of element_at/round per row
+    # not d^2 re-evaluations of element_at/round per row.
+    # Each quantized component is range-guarded: the n_safe overflow
+    # envelope assumes |component| <= max_component, so a component
+    # past that bound (or a NULL inside a long-enough vector, which
+    # sum() would silently skip while n still counts the row) must
+    # fail LOUDLY instead of skewing the e12 product sums (ADVICE r12)
+    q_max = int(round(max_component * 1_000_000))
     base = df.select(
         *[F.col(k) for k in keys], guarded.alias("__v")
     ).select(
         *[F.col(k) for k in keys],
         *[
-            F.round(
-                F.element_at(F.col("__v"), i).cast("double") * 1_000_000, 0
-            )
-            .cast("bigint")
-            .alias(f"__q_{i}")
+            F.expr(
+                f"CASE WHEN abs(cast(round(cast(element_at(__v, {i}) "
+                f"as double) * 1000000, 0) as bigint)) <= {q_max} "
+                f"THEN cast(round(cast(element_at(__v, {i}) as double) "
+                f"* 1000000, 0) as bigint) "
+                f"ELSE raise_error(concat('gram_matrix: component {i} "
+                f"= ', coalesce(cast(element_at(__v, {i}) as string), "
+                f"'NULL'), ' outside [-{max_component}, "
+                f"{max_component}] (null or overflow-unsafe; rescale "
+                f"upstream or raise max_component)')) END"
+            ).alias(f"__q_{i}")
             for i in range(1, dim + 1)
         ],
     )
@@ -794,7 +811,10 @@ def pca_fit(
     rows = gram_matrix(
         df, [], vec_col, dim=dim, max_component=max_component
     ).collect()
-    if not rows:
+    # keys=[] makes gram_matrix a GLOBAL aggregate, which yields one
+    # row (n=0, NULL sums) even on an empty frame — so the empty-input
+    # check must inspect n, not row count (ADVICE r12)
+    if not rows or rows[0]["n"] == 0:
         raise ValueError("pca_fit: empty input")
     n = rows[0]["n"]
     C = np.zeros((dim, dim))

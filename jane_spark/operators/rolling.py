@@ -134,6 +134,28 @@ def merge_rollups(*parts: DataFrame) -> DataFrame:
     if not parts:
         raise ValueError("need at least one rollup to merge")
     measure_cols = {"n_parts", "n", "sum_cents", "min_cents", "max_cents"}
+    # grouping keys are inferred as "columns that are not measures",
+    # so a part carrying any extra derived column (a re-fed avg, a
+    # user key literally named 'n') would silently become — or collide
+    # with — a group key and the merge would emit wrong-grain rows.
+    # Validate the shape instead of guessing (ADVICE r12): every part
+    # must be exactly keys + (n, sum_cents, min_cents, max_cents)
+    # with n_parts optional, and all parts must agree on the keys.
+    required = {"n", "sum_cents", "min_cents", "max_cents"}
+    keys0 = [c for c in parts[0].columns if c not in measure_cols]
+    for idx, p in enumerate(parts):
+        cols = set(p.columns)
+        missing = (required | set(keys0)) - cols
+        extras = cols - required - {"n_parts"} - set(keys0)
+        if missing or extras:
+            raise ValueError(
+                f"merge_rollups: part {idx} columns {sorted(p.columns)} "
+                f"do not match keys {sorted(keys0)} + measures "
+                f"{sorted(required)} (+ optional n_parts): "
+                f"missing={sorted(missing)} extras={sorted(extras)} — "
+                "drop derived columns before merging; a rollup part "
+                "must be a raw time_rollup (or prior merge) output"
+            )
     normed = [
         p if "n_parts" in p.columns
         else p.withColumn("n_parts", F.lit(1).cast("bigint"))

@@ -53,7 +53,10 @@ def shard_balance_audit(
     audit exists to flag — would otherwise vanish from the
     statistics. Pass the layout's shard count (integer shard ids
     0..S-1) and empty shards enter as weight-0 rows, dragging min_w
-    to 0 and gini/skew up where they belong.
+    to 0 and gini/skew up where they belong. A shard id outside
+    [0, S) (or NULL) fails LOUDLY: the old LEFT join from the 0..S-1
+    universe silently dropped such rows, understating exactly the
+    imbalance the audit exists to flag (ADVICE r12).
 
     Plan: one map-side-combinable per-shard aggregate (|shards| rows
     out of the scan), one |shards|-row window, one fold to a single
@@ -65,6 +68,19 @@ def shard_balance_audit(
         F.sum(F.col(weight_col).cast("long")).alias("__w")
     )
     if n_shards_expected is not None:
+        s = int(n_shards_expected)
+        # fail-loud range check BEFORE the universe join: a NULL or
+        # out-of-[0,S) shard id would otherwise be dropped by the LEFT
+        # join and vanish from the very statistics meant to flag it
+        per = per.withColumn(
+            "__s",
+            F.expr(
+                f"CASE WHEN __s >= 0 AND __s < {s} THEN __s "
+                f"ELSE raise_error(concat('shard_balance_audit: shard "
+                f"id ', coalesce(cast(__s as string), 'NULL'), "
+                f"' outside [0, {s})')) END"
+            ),
+        )
         universe = df.sparkSession.range(int(n_shards_expected)).select(
             F.col("id").cast(per.schema["__s"].dataType).alias("__s")
         )

@@ -5068,3 +5068,76 @@ def test_pca_fit_project_matches_numpy(spark, sf_dir):
     # projected variance along axis 0 ~ top eigenvalue (quantization
     # of the fit vs raw floats costs < 1e-6)
     assert abs(direct[:, 0].var() - evals[0]) < 1e-4
+
+
+def test_r12_advice_fail_loud_guards(spark):
+    """ADVICE r12 hardening, pinned: (1) shard_balance_audit with
+    n_shards_expected raises on a shard id outside [0, S) instead of
+    silently dropping it from the very skew statistics the audit
+    exists to produce; (2) gram_matrix raises on a component past
+    max_component (the bound its int64 envelope assumes) and on a
+    NULL component inside a long-enough vector (sum() would skip it
+    while n counts the row, skewing cov_num); (3) pca_fit on an EMPTY
+    frame raises its intended message (gram_matrix with keys=[] is a
+    global aggregate, so it yields one n=0 row, not zero rows);
+    (4) merge_rollups refuses a part carrying an extra derived column
+    (which would silently become a grouping key and change the
+    merge grain)."""
+    import pytest as _pytest
+
+    from jane_spark.operators.profile import gram_matrix, pca_fit
+    from jane_spark.operators.rolling import merge_rollups, time_rollup
+    from jane_spark.operators.zonemaps import shard_balance_audit
+
+    # (1) out-of-range and NULL shard ids fail loudly
+    w = spark.createDataFrame([(0, 10), (7, 10)], ["shard", "w"])
+    with _pytest.raises(Exception, match="outside \\[0, 4\\)"):
+        shard_balance_audit(w, "shard", "w", n_shards_expected=4).collect()
+    wn = spark.createDataFrame(
+        [(0, 10), (None, 10)], "shard int, w int"
+    )
+    with _pytest.raises(Exception, match="outside \\[0, 4\\)"):
+        shard_balance_audit(wn, "shard", "w", n_shards_expected=4).collect()
+    # in-range still fine (and the starved shard still shows up)
+    ok = shard_balance_audit(
+        w.filter("shard = 0"), "shard", "w", n_shards_expected=4
+    ).collect()[0]
+    assert (ok.n_shards, ok.min_w) == (4, 0)
+
+    # (2) component past max_component / NULL component fail loudly
+    big = spark.createDataFrame(
+        [("g", [0.5, 9.75])], ["g", "v"]
+    )
+    with _pytest.raises(Exception, match="component 2"):
+        gram_matrix(big, ["g"], "v", dim=2).collect()
+    nul = spark.createDataFrame(
+        [("g", [0.5, None]), ("g", [0.25, 0.25])],
+        "g string, v array<double>",
+    )
+    with _pytest.raises(Exception, match="component 2"):
+        gram_matrix(nul, ["g"], "v", dim=2).collect()
+    # boundary component == max_component passes
+    edge = spark.createDataFrame([("g", [2.0, -2.0])], ["g", "v"])
+    got = {(r.i, r.j): r for r in
+           gram_matrix(edge, ["g"], "v", dim=2).collect()}
+    assert got[(1, 1)].sx_e6 == 2_000_000
+
+    # (3) pca_fit empty input raises the intended message
+    empty = spark.createDataFrame([], "v array<double>")
+    with _pytest.raises(ValueError, match="empty input"):
+        pca_fit(empty, "v", dim=2, k=1)
+
+    # (4) merge_rollups refuses extra derived columns
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 3), "a", 1.00)],
+        ["eid", "ts", "typ", "val"],
+    )
+    cents = F.round(F.col("val") * 100, 0)
+    r1 = time_rollup(ev, "ts", "day", ["typ"], cents)
+    poisoned = r1.withColumn(
+        "avg_cents", F.col("sum_cents") / F.col("n")
+    )
+    with _pytest.raises(ValueError, match="extras=\\['avg_cents'\\]"):
+        merge_rollups(r1, poisoned)
+    with _pytest.raises(ValueError, match="missing="):
+        merge_rollups(r1, r1.drop("min_cents"))
