@@ -29,101 +29,82 @@ from jane_spark.contracts import rest  # noqa: F401  (§2.12 R REST front door, 
 
 VERIFY_FIRST: list[str] = [
     # =================================================================
-    # ROUND 12 ROTATION (VERDICT r11 next-steps #1: the displaced r6
-    # block is the only remaining evidence debt). Window contents, in
+    # ROUND 13 ROTATION (VERDICT r12 next-steps #3: retire the r6-era
+    # evidence debt, then start on the r7 block). Window contents, in
     # priority order:
     #   (a) contracts NEW this round — never hash-checked, so they
-    #       outrank stale re-verifies (standing policy): the binary-
-    #       quantization ANN, the XML quarantine source, the ORC
-    #       roundtrip, the cluster-capped SemDeDup;
-    #   (b) contracts whose CODE or ORACLE changed this round (ADVICE
-    #       r11 hardening) and so need a fresh driver hash: q_k33_mmr
-    #       (try_divide + null-rel filter; judge asked it stay in
-    #       VERIFY_FIRST), q_k42_sq (loud dim guard in the scan
-    #       projection), q_d25_hdr_quantiles (oracle shift operand
-    #       widened to BIGINT), q_p24_waterfill (round bound now
-    #       derived from |sources|);
-    #   (c) the stale-r6 block in REGISTRATION order, exactly as the
-    #       Into-r12 note documented last round — 34 of its 44 names
-    #       fit this window after the second and third new-operator
-    #       batches (zonemaps/gram/linkage/kappa/merge_rollup, then
-    #       graph-ANN/shard-balance/trend) claimed eight more slots
-    #       under the same new-outranks-stale policy.
-    # Into r13: the r6 tail (q_t3_fingerprint_md5, q_t15_pii,
-    # q_t11_linededup, q_t12_dupspan, q_t13_lm_score,
-    # q_k16_semdedup, q_t14_embed_decontam, q_p6_shuffle,
-    # q_k17_heavyhitters, q_t16_c4filter,
-    # q_p7_mixture, q_t17_htmlstrip, q_t18_ccnet_buckets,
-    # q_t19_normalize),
-    # then the r7 block in registration order (q_a6_beachball,
-    # q_a8_text_format, q_a8_event_xml, q_a1_seismic_formats,
-    # q_a1_waveform_source, q_a7_cut_bytes, q_a10_warc, q_b12_semi_acl,
-    # q_e6_transitions, q_e7_funnel, q_s1_sql_door, q_i9_stream_join,
-    # q_k3_lsh_portable, q_k23_quantize, q_k23_matryoshka,
-    # q_p10_wds_shards, q_p11_webpipeline, q_t21_dupremove,
-    # q_t20_clf_score, q_k21_quality_clf, q_k16_kmeans, q_t23_domaincap,
-    # q_t27_psl_domain, q_k22_bpe_train, q_k22_bpe_encode,
-    # q_t24_stupid_backoff, q_t33_kneser_ney, q_t32_gopher,
-    # q_t31_compress, q_t30_sentences, q_t29_extract, ...) as it ages.
+    #       outrank stale re-verifies (standing policy). Added as the
+    #       round's operators land; each addition displaces one name
+    #       from the r7 tail below.
+    #   (b) contracts whose CODE changed this round (ADVICE r12
+    #       hardening) and so need a fresh driver hash: q_k47_gram
+    #       (per-component range/null raise_error in the quantized
+    #       projection), q_p27_shard_balance (fail-loud shard-id range
+    #       check ahead of the universe join), q_d28_merge_rollup
+    #       (part-shape validation before key inference);
+    #   (c) the 14-name r6 tail in REGISTRATION order — after this
+    #       window, r6-era evidence debt is ZERO;
+    #   (d) the r7 block in registration order, as many as fit.
+    # Into r14: the r7 remainder (q_t25_chunking, q_p13_corpus_diff, q_p12_ffd_pack,
+    # q_t26_contam_report, q_p14_warc_pipeline, q_r1_rest_search,
+    # q_r2_rest_doc_list, q_r3_rest_serialize, q_r4_rest_xml, plus any
+    # names the round-13 new-operator batch displaces), then the r8
+    # block as it ages.
     # =================================================================
     # (a) new contracts this round
-    "q_k43_binary",
-    "q_a15_xml",
-    "q_a16_orc",
-    "q_k16_capped",
-    # (a2) second new-operator batch this round
-    "q_p26_zonemaps",
+    "q_d29_weighted_reservoir",
+    # (b) code changed this round
     "q_k47_gram",
-    "q_k46_linkage",
-    "q_t44_kappa",
-    "q_d28_merge_rollup",
-    # (a3) third new-operator batch this round
-    "q_k48_graph",
     "q_p27_shard_balance",
-    "q_e14_trend",
-    # (b) code/oracle changed this round
-    "q_k33_mmr",
-    "q_k42_sq",
-    "q_d25_hdr_quantiles",
-    "q_p24_waterfill",
-    # (b2) q_j5 converted rows-only -> TRUE ORACLE this round (the
-    #      q_i6 single-batch argument; epoch-us BIGINT surface) —
-    #      never hash-checked, so it outranks stale re-verifies
-    "q_j5_stateful_segments",
-    "q_t43_ks_drift",
-    "q_p25_hrw",
-    "q_k45_auc",
-    # (c) stale-r6 block, registration order
-    "q_a8_station_bulk",
-    "q_d6_availability",
-    "q_d6_percent",
-    "q_j4_udtf",
-    "q_k5_df",
-    "q_k5_bm25",
-    "q_k19_hybrid",
-    "q_k7_audiofp",
-    "q_k14_ssjoin",
-    "q_k6_lang",
-    "q_t1_quality",
-    "q_k7_spectral",
-    "q_k7_frames",
-    "q_k5_tfidf",
-    "q_t4_bpe_tokens",
-    "q_t7_repetition",
-    "q_k2_minhash_portable",
-    "q_k2_simhash_portable",
-    "q_t8_entropy",
-    "q_t9_scorecard",
-    "q_t10_winnow",
-    "q_k15_incr_dedup",
-    "q_p1_hash_split",
-    "q_p2_stratified_sample",
-    "q_p3_upsample",
-    "q_p4_pack",
-    "q_p5_pipeline",
-    "q_t5_decontam",
-    "q_t6_redact",
-    "q_t2_langid_sql",
+    "q_d28_merge_rollup",
+    # (c) stale-r6 tail, registration order — retires r6 debt
+    "q_t3_fingerprint_md5",
+    "q_t15_pii",
+    "q_t11_linededup",
+    "q_t12_dupspan",
+    "q_t13_lm_score",
+    "q_k16_semdedup",
+    "q_t14_embed_decontam",
+    "q_p6_shuffle",
+    "q_k17_heavyhitters",
+    "q_t16_c4filter",
+    "q_p7_mixture",
+    "q_t17_htmlstrip",
+    "q_t18_ccnet_buckets",
+    "q_t19_normalize",
+    # (d) r7 block, registration order
+    "q_a6_beachball",
+    "q_a8_text_format",
+    "q_a8_event_xml",
+    "q_a1_seismic_formats",
+    "q_a1_waveform_source",
+    "q_a7_cut_bytes",
+    "q_a10_warc",
+    "q_b12_semi_acl",
+    "q_e6_transitions",
+    "q_e7_funnel",
+    "q_s1_sql_door",
+    "q_i9_stream_join",
+    "q_k3_lsh_portable",
+    "q_k23_quantize",
+    "q_k23_matryoshka",
+    "q_p10_wds_shards",
+    "q_p11_webpipeline",
+    "q_t21_dupremove",
+    "q_t20_clf_score",
+    "q_k21_quality_clf",
+    "q_k16_kmeans",
+    "q_t23_domaincap",
+    "q_t27_psl_domain",
+    "q_k22_bpe_train",
+    "q_k22_bpe_encode",
+    "q_t24_stupid_backoff",
+    "q_t33_kneser_ney",
+    "q_t32_gopher",
+    "q_t31_compress",
+    "q_t30_sentences",
+    "q_t29_extract",
+    "q_t28_trigram_backoff",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

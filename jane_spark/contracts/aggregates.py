@@ -1038,6 +1038,45 @@ def q_d22(spark, sf_dir):
 
 
 @contract(
+    "q_d29_weighted_reservoir",
+    oracle="""
+        WITH h AS (SELECT lang, doc_id,
+                          CAST(n_chars AS BIGINT) AS weight,
+                          CAST(concat('0x', substr(md5(concat('wrs:',
+                              CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                              AS hv
+                   FROM documents WHERE n_chars > 0)
+        SELECT lang, doc_id, weight,
+               CAST(row_number() OVER (PARTITION BY lang
+                   ORDER BY -ln((hv + 1) / 4294967296.0) / weight ASC,
+                            doc_id ASC) AS BIGINT) AS rk
+        FROM h
+        QUALIFY rk <= 5
+    """,
+    survey_rows="D29,D22,P2",
+    doc="deterministic per-group WEIGHTED k-sample without "
+    "replacement — A-Res (Efraimidis & Spirakis 2006) with hash-"
+    "derived randomness (functions.sampling.weighted_reservoir_"
+    "sample): u = (md5-word + 1)/2^32 per doc, rank by the "
+    "exponential key -ln(u)/n_chars ascending, keep 5 per language — "
+    "probability-proportional-to-size, the mergeable weighted twin "
+    "of q_d22_bottomk (bottom-k key sets compose under union, so "
+    "shard samples merge into the exact global sample; what A-ExpJ "
+    "does for a stream, the bottom-k form does relationally). The "
+    "float key is ORDER-only (hashed surface is integers); adjacent-"
+    "key margins probed by pytest at ~1e13 x libm ulp. One hash "
+    "projection + one per-group rank window",
+)
+def q_d29(spark, sf_dir):
+    from jane_spark.functions.sampling import weighted_reservoir_sample
+
+    docs = Catalog(spark, sf_dir).documents
+    return weighted_reservoir_sample(
+        docs, ["lang"], "doc_id", "n_chars", k=5
+    )
+
+
+@contract(
     "q_k37_overlap_matrix",
     oracle="""
         WITH t AS (SELECT source AS g,

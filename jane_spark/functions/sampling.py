@@ -304,6 +304,71 @@ def bottom_k_sample(
     )
 
 
+def weighted_reservoir_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wrs:",
+) -> DataFrame:
+    """Deterministic per-group WEIGHTED k-sample without replacement —
+    the A-Res scheme of Efraimidis & Spirakis (IPL 2006): each row
+    draws ``u = (h + 1) / 2^32`` from the salted md5 of its id
+    (u ∈ (0, 1], layout-independent, cross-engine identical) and is
+    ranked by the exponential key ``e = -ln(u) / w`` ascending — the
+    order statistic of Exp(rate=w) — so the k SMALLEST keys per group
+    are a probability-proportional-to-size sample without replacement
+    (equivalently the classic ``u^(1/w)`` descending). The mergeable
+    weighted twin of :func:`bottom_k_sample`: bottom-k key sets
+    compose under union (min-k of mins), so shard-local samples merge
+    into the exact global sample, re-runs and re-partitions reproduce
+    it byte-for-byte, and a new ingest batch updates it incrementally
+    — what A-ExpJ's jump skipping does for a sequential stream, the
+    bottom-k formulation does relationally. Rows with non-positive
+    weight are excluded (their inclusion probability is 0).
+
+    Emits ``(group_cols..., id, weight, rk)`` — weight as BIGINT, rk
+    the 1-based rank. The float key is ORDER-only, never emitted:
+    the hashed surface stays integer. Ties (same hash AND same
+    weight give bit-equal keys in any IEEE engine) break by id; the
+    cross-engine ulp margin of the ln is probed by pytest on the
+    fixture (adjacent-key gaps ~1e-3, ~1e13 × libm ulp).
+
+    One hash projection + one per-group TOP-K rank window — no
+    shuffle beyond the window's, no driver state, no RNG. 100 TB
+    shape: identical to D22 (rank window over |group| rows).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    base = df.select(
+        *group_cols,
+        F.col(id_col),
+        F.col(weight_col).cast("bigint").alias("weight"),
+        h.alias("__h"),
+    ).where(F.col("weight") > 0)
+    key = -F.log((F.col("__h") + F.lit(1)) / F.lit(4294967296.0)) / F.col(
+        "weight"
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        key.asc(), F.col(id_col).asc()
+    )
+    return (
+        base.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .drop("__h")
+    )
+
+
 def release_manifest(
     df: DataFrame,
     bucket_col: str,

@@ -5141,3 +5141,92 @@ def test_r12_advice_fail_loud_guards(spark):
         merge_rollups(r1, poisoned)
     with _pytest.raises(ValueError, match="missing="):
         merge_rollups(r1, r1.drop("min_cents"))
+
+
+def test_weighted_reservoir_sample_laws(spark, sf_dir):
+    """A-Res weighted reservoir (Efraimidis-Spirakis 2006), pinned:
+    (1) NumPy parity — the per-group sample equals a direct
+    computation of bottom-k by -ln((h+1)/2^32)/w over the same md5
+    words; (2) mergeability — per-shard samples re-sampled equal the
+    global sample, and repartitioning never changes it; (3) PPS law —
+    across many salts, a row with 50x the weight is sampled far more
+    often than a peer (and w<=0 rows never); (4) float-margin probe —
+    the smallest adjacent-key gap within any group at sf0.01 dwarfs
+    cross-libm ulp error, so the ORDER (the only place the float
+    lives) cannot flip between engines."""
+    import hashlib
+    import math
+
+    from jane_spark.functions.sampling import weighted_reservoir_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = weighted_reservoir_sample(
+        docs, ["lang"], "doc_id", "n_chars", k=5
+    ).collect()
+    assert all(r.rk >= 1 and r.rk <= 5 for r in got)
+
+    def key(doc_id, w, salt="wrs:"):
+        h = int(hashlib.md5(f"{salt}{doc_id}".encode()).hexdigest()[:8], 16)
+        return -math.log((h + 1) / 4294967296.0) / w
+
+    rows = docs.select("lang", "doc_id", "n_chars").collect()
+    by_lang: dict = {}
+    for r in rows:
+        if r.n_chars > 0:
+            by_lang.setdefault(r.lang, []).append(
+                (key(r.doc_id, r.n_chars), r.doc_id, r.n_chars)
+            )
+    expect = set()
+    min_gap = float("inf")
+    for lang, ks in by_lang.items():
+        ks.sort()
+        for rk, (kv, did, w) in enumerate(ks[:5], start=1):
+            expect.add((lang, did, w, rk))
+        gaps = [b[0] - a[0] for a, b in zip(ks, ks[1:]) if b[0] != a[0]]
+        if gaps:
+            min_gap = min(min_gap, min(gaps))
+    assert {(r.lang, r.doc_id, r.weight, r.rk) for r in got} == expect
+    # libm implementations agree to ~1e-16 relative on one ln; any
+    # margin above 1e-9 makes a cross-engine order flip impossible
+    assert min_gap > 1e-9, f"adjacent-key margin too thin: {min_gap}"
+
+    # mergeability + layout independence
+    mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+    shard_a = docs.filter(F.col("doc_id") <= mid)
+    shard_b = docs.filter(F.col("doc_id") > mid)
+    pre = weighted_reservoir_sample(
+        shard_a, ["lang"], "doc_id", "n_chars", k=5
+    ).unionByName(
+        weighted_reservoir_sample(shard_b, ["lang"], "doc_id", "n_chars", k=5)
+    ).select("lang", "doc_id", F.col("weight").alias("n_chars"))
+    merged = {
+        (r.lang, r.doc_id, r.weight, r.rk)
+        for r in weighted_reservoir_sample(
+            pre, ["lang"], "doc_id", "n_chars", k=5
+        ).collect()
+    }
+    assert merged == expect
+    repart = {
+        (r.lang, r.doc_id, r.weight, r.rk)
+        for r in weighted_reservoir_sample(
+            docs.repartition(13), ["lang"], "doc_id", "n_chars", k=5
+        ).collect()
+    }
+    assert repart == expect
+
+    # PPS: heavy row beats light row across salts; w<=0 excluded
+    small = spark.createDataFrame(
+        [("g", i, 500 if i == 0 else 10) for i in range(40)]
+        + [("g", 99, 0), ("g", 98, -5)],
+        ["g", "id", "w"],
+    )
+    heavy = light = 0
+    for s in range(25):
+        sample = weighted_reservoir_sample(
+            small, ["g"], "id", "w", k=5, salt=f"s{s}:"
+        ).collect()
+        ids = {r.id for r in sample}
+        assert 99 not in ids and 98 not in ids
+        heavy += 0 in ids
+        light += 1 in ids
+    assert heavy >= light + 10, (heavy, light)
