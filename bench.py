@@ -226,6 +226,10 @@ BENCH_QUERIES = {
     "trend": "q_e14_trend",
     # round 13: weighted reservoir sampling (A-Res), D22's weighted twin
     "wrs": "q_d29_weighted_reservoir",
+    # hive-partitioned corpus-export roundtrip (P7 -> registry contract);
+    # its oracle aggregates the source table and does NO file work --
+    # the orc_roundtrip adjudication
+    "export_roundtrip": "q_p7_export",
     # (q_i5_late_drop stays un-benched like every streaming execution:
     # the stream runs at plan-build into a memory sink and its oracle
     # is the batch twin — a construct-only compare)
@@ -266,6 +270,9 @@ REBUILD_PER_RUN = {
     # excludes the only data-sized stage (r12 review)
     "drift",
     "ks_drift",
+    # hive-export roundtrip writes its files at plan build (the
+    # orc_roundtrip shape)
+    "export_roundtrip",
 }
 
 # Ambient-drift calibration (VERDICT r4 "bench hygiene"): re-measure a
@@ -439,8 +446,11 @@ CALIBRATION = {
     # 3 runs keep the interleaved recheck affordable — BASELINE.md)
     "graph_ann": 1.1041,
     # round-13 rows: DuckDB 1.x medians measured on this box at sf0.1,
-    # idle 5-run (load1m < 1.6 at measure time)
+    # idle 5-run (load1m < 1.6 at measure time). export_roundtrip's
+    # oracle is construct-only (no file work) — the orc_roundtrip
+    # adjudication applies
     "wrs": 0.0137,
+    "export_roundtrip": 0.0089,
 }
 
 

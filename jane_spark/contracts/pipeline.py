@@ -1378,3 +1378,87 @@ def q_p24(spark, sf_dir):
         F.expr("(sum(avail) * 6) div 10").cast("long").alias("b")
     ).first()["b"]
     return waterfill_allocation(src, "source", "avail", "w", int(budget))
+
+
+@contract(
+    "q_p7_export",
+    oracle=f"""
+        WITH b AS (
+            SELECT lang, n_chars,
+                   {_DUCK_BUCKET.format(salt="split:", key="doc_id",
+                                        n=10000)} AS bucket
+            FROM documents)
+        SELECT CASE WHEN bucket < 8000 THEN 'train'
+                    WHEN bucket < 9000 THEN 'val'
+                    ELSE 'test' END AS split,
+               lang,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               TRUE AS files_ok
+        FROM b GROUP BY split, lang
+    """,
+    survey_rows="P7,P1,A16",
+    doc="hive-partitioned corpus-export sink ROUNDTRIP "
+    "(sources/corpus_export.export_corpus — converts P7 from "
+    "write-side/pytest-only to a registry contract, the q_a16 ORC "
+    "losslessness pattern): documents get the deterministic 80/10/10 "
+    "hash split, export as REAL hive-partitioned parquet "
+    "(partitionBy split/lang, 2 hash shards via repartition-before-"
+    "partitionBy — the small-files discipline), read BACK through "
+    "partition discovery into a per-(split, lang) typed aggregate. "
+    "The oracle computes the same aggregate + split arithmetic "
+    "straight from the source table, so hash equality pins BOTH "
+    "write+read losslessness of the hive layout AND the split "
+    "determinism; files_ok carries the FILE-COUNT LAW in the hashed "
+    "surface (per-partition file count within [1, shards] — exact "
+    "counts are task-placement-dependent under AQE, so the law is "
+    "the bound the repartition guarantees; exact counts stay pinned "
+    "in tests/test_index_store.py). The oracle does no file work "
+    "(the orc_roundtrip adjudication)",
+)
+def q_p7_export(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from jane_spark.functions.sampling import split_assign
+    from jane_spark.sources.corpus_export import export_corpus
+
+    docs = Catalog(spark, sf_dir).documents
+    split = split_assign(
+        F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="split:",
+    )
+    root = tempfile.mkdtemp(prefix="jane_export_")
+    try:
+        export_corpus(
+            docs.select(
+                "doc_id", "n_chars", split.alias("split"), "lang"
+            ),
+            root,
+            partition_cols=("split", "lang"),
+            shards=2,
+            shard_key="doc_id",
+        )
+        back = spark.read.parquet(root).withColumn(
+            "_f", F.input_file_name()
+        )
+        out = (
+            back.groupBy("split", "lang")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_chars").cast("bigint").alias("sum_chars"),
+                F.countDistinct("_f").alias("nf"),
+            )
+            .select(
+                "split",
+                "lang",
+                "n",
+                "sum_chars",
+                ((F.col("nf") >= 1) & (F.col("nf") <= 2)).alias(
+                    "files_ok"
+                ),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
