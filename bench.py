@@ -230,6 +230,11 @@ BENCH_QUERIES = {
     # its oracle aggregates the source table and does NO file work --
     # the orc_roundtrip adjudication
     "export_roundtrip": "q_p7_export",
+    # OPQ family: the dimperm twin's oracle replays the same variance
+    # ranking + Lloyd chains (genuine twin); the learned-rotation OPQ
+    # is rows-only (driver eigendecomposition has no DuckDB twin)
+    "dimperm_pq": "q_k49_dimperm",
+    "opq_codes": "q_k49_opq",
     # (q_i5_late_drop stays un-benched like every streaming execution:
     # the stream runs at plan-build into a memory sink and its oracle
     # is the batch twin — a construct-only compare)
@@ -273,6 +278,11 @@ REBUILD_PER_RUN = {
     # hive-export roundtrip writes its files at plan build (the
     # orc_roundtrip shape)
     "export_roundtrip",
+    # the OPQ/dimperm fits collect their statistics row (pca gram /
+    # per-dim variances) at plan build — rebuild or the timed region
+    # excludes the training scan
+    "dimperm_pq",
+    "opq_codes",
 }
 
 # Ambient-drift calibration (VERDICT r4 "bench hygiene"): re-measure a
@@ -451,6 +461,10 @@ CALIBRATION = {
     # adjudication applies
     "wrs": 0.0137,
     "export_roundtrip": 0.0089,
+    # dimperm oracle = a genuine twin (same variance ranking + Lloyd
+    # chains); two idle sessions measured 0.546/0.634 medians — the
+    # stricter one recorded
+    "dimperm_pq": 0.5464,
 }
 
 

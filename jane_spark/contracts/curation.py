@@ -3654,3 +3654,101 @@ def q_t44(spark, sf_dir):
         "lang", detect_language_expr(F.col("text")).alias("lang_pred")
     )
     return chance_corrected_agreement(labeled, "lang", "lang_pred")
+
+
+def _dimperm_pq_oracle_sql(
+    dim: int = 16, m: int = 4, k: int = 4, iters: int = 2
+) -> str:
+    """DuckDB twin of dimperm_encode (operators/vector.py): per-dim
+    exact integer variance numerators in HUGEINT (the e6 gram
+    quantization), rank → serpentine subspace deal as pure rank
+    arithmetic, gather per (id, s) into rank-ordered subvectors, then
+    the proven suffixed unrolled-Lloyd chain per subspace (ctes[0]
+    swapped to read the permuted subvector table)."""
+    all_ctes: list[str] = [
+        "px AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim, "
+        "CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) "
+        "AS BIGINT) AS q FROM embeddings)",
+        f"pvar AS (SELECT dim, CAST(count(*) AS HUGEINT) AS n, "
+        f"CAST(sum(q) AS HUGEINT) AS sx, CAST(sum(q * q) AS HUGEINT) "
+        f"AS sxx FROM px WHERE dim <= {dim} GROUP BY dim)",
+        "prank AS (SELECT dim, row_number() OVER (ORDER BY "
+        "(n * sxx - sx * sx) DESC, dim ASC) - 1 AS r FROM pvar)",
+        f"pj AS (SELECT dim, CASE WHEN (r // {m}) % 2 = 0 THEN r % {m} "
+        f"ELSE {m} - 1 - (r % {m}) END AS s, r FROM prank)",
+        "vperm AS (SELECT e.vec_id AS id, p.s, "
+        "list(CAST(e.embedding[p.dim] AS DOUBLE) ORDER BY p.r) AS v "
+        "FROM embeddings e CROSS JOIN pj p GROUP BY e.vec_id, p.s)",
+    ]
+    for s in range(m):
+        ctes, dist = _kmeans_ctes(k, iters, suffix=f"_s{s}")
+        ctes[0] = f"v_s{s} AS (SELECT id, v FROM vperm WHERE s = {s})"
+        all_ctes.extend(ctes)
+        all_ctes.append(
+            f"code_s{s} AS (SELECT id, CAST(cid AS INT) AS code FROM ("
+            f"SELECT v.id, c.cid, row_number() OVER ("
+            f"PARTITION BY v.id ORDER BY {dist}, c.cid) AS rn "
+            f"FROM v_s{s} v CROSS JOIN c{iters}_s{s} c) WHERE rn = 1)"
+        )
+    joins = " ".join(f"JOIN code_s{s} USING (id)" for s in range(1, m))
+    cols = ", ".join(f"code_s{s}.code AS code_{s}" for s in range(m))
+    return (
+        "WITH " + ",\n".join(all_ctes) + f"""
+        SELECT id AS vec_id, {cols}
+        FROM code_s0 {joins}
+    """
+    )
+
+
+@contract(
+    "q_k49_dimperm",
+    oracle=_dimperm_pq_oracle_sql(),
+    survey_rows="K49,K23,K47",
+    doc="variance-balanced dimension-PERMUTED product quantization — "
+    "the oracle-expressible half of OPQ (Ge et al. CVPR 2013)'s "
+    "allocation idea (operators/vector.dimperm_encode): per-dim "
+    "variances as EXACT integer numerators (e6 gram quantization, "
+    "n·Σq²−(Σq)² in arbitrary precision), dims ranked and dealt to "
+    "the 4 subspaces SERPENTINE (closed-form rank arithmetic — no "
+    "greedy state, so any engine replays it), then the proven "
+    "deterministic Lloyd PQ over the permuted 16-dim layout. One "
+    "aggregate row to the driver (2d+1 cells), one gather "
+    "projection, the q_k23 training chain. The learned-rotation OPQ "
+    "capstone (eigen-rotation + product-balancing allocation over "
+    "pca_fit axes) is q_k49_opq — rows-only by structural necessity "
+    "(no eigendecomposition in DuckDB), NumPy-parity + recall-ladder "
+    "pytest-pinned",
+)
+def q_k49_dimperm(spark, sf_dir):
+    from jane_spark.operators.vector import dimperm_encode
+
+    emb = Catalog(spark, sf_dir).embeddings
+    return dimperm_encode(emb, "vec_id", "embedding", dim=16, m=4, k=4,
+                          iters=2)
+
+
+@contract(
+    "q_k49_opq",
+    oracle=None,  # driver-side eigendecomposition (numpy eigh) has no
+    # DuckDB twin — rows-only by structural necessity; the allocation
+    # idea is oracle-green under q_k49_dimperm, NumPy parity + the
+    # recall ladder (OPQ >= plain PQ on anisotropic data) are
+    # pytest-pinned, and codes are md5-witnessed deterministic
+    survey_rows="K49,K23,K47",
+    doc="OPQ rotated product quantization (Ge et al. CVPR 2013, the "
+    "parametric OPQ_P solution) — the K47→K23 capstone: cluster-side "
+    "integer Gram statistics → driver d×d eigendecomposition "
+    "(pca_fit, bounded-collect) → greedy eigenvalue allocation "
+    "balancing per-subspace variance PRODUCTS → rotation inlined as "
+    "codegen literals (pca_project) → the proven deterministic PQ "
+    "trainer in rotated space (operators/vector.opq_encode). Emits "
+    "16-dim 4×4 codes + a bit_xor/md5 witness surface so the driver "
+    "rows-only check still pins determinism",
+)
+def q_k49_opq(spark, sf_dir):
+    from jane_spark.operators.vector import opq_encode
+
+    emb = Catalog(spark, sf_dir).embeddings
+    codes = opq_encode(emb, "vec_id", "embedding", dim=16, m=4, k=4,
+                       iters=2)
+    return codes.orderBy("vec_id").limit(200)

@@ -1977,3 +1977,231 @@ def graph_expand_topk(
         "sim",
         F.col("rn").cast("int").alias("rank"),
     )
+
+
+# ----------------------------------------------------- OPQ (round 13)
+
+
+def opq_fit(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    m: int,
+    max_component: float = 2.0,
+):
+    """Parametric OPQ rotation (Ge, He, Ke & Sun, CVPR 2013 —
+    "Optimized Product Quantization", the non-iterative OPQ_P
+    solution): PCA-rotate the space, then allocate the principal axes
+    to the ``m`` PQ subspaces balancing the PRODUCT of eigenvalues
+    per subspace (§4 of the paper: PQ's quantization error is
+    minimized when subspace variances are balanced, and the product
+    is the right balance target because each subspace's optimal
+    rate-distortion cost goes with the geometric mean of its
+    variances). Completes the K47→K23 chain exactly as designed: the
+    cluster aggregates integer Gram statistics (gram_matrix), the
+    driver eigendecomposes d×d (pca_fit — the IVF-centroid
+    bounded-collect contract), and the allocation is a greedy fold
+    over d eigenvalues — largest first, into the subspace with the
+    smallest log-product AMONG THE LEAST-FILLED open subspaces (ties
+    to the lower subspace id — deterministic). The count-first
+    refinement matters: the paper's bare min-product greedy is
+    scale-sensitive — with eigenvalues < 1 every assignment LOWERS
+    the receiving bucket's product, so the greedy piles all strong
+    axes into one subspace (concentration, the opposite of the
+    balance it exists for; measured 1.8× WORSE distortion than plain
+    PQ on a redundant-dims fixture, vs 1.8× better once counts fill
+    evenly). Filling counts evenly first makes the comparison
+    scale-invariant between buckets of equal size, which is the only
+    comparison the balance objective defines.
+
+    Returns ``(means, rotation, allocation)``: per-dim means, the
+    (dim × dim) row-orthonormal rotation whose rows are the PCA axes
+    in subspace-gather order (rows s·d/m … (s+1)·d/m −1 belong to
+    subspace s), and the axis-index allocation per subspace.
+    Feed to :func:`opq_rotate` / :func:`opq_encode`: the rotation
+    inlines as codegen literals (pca_project), so rotating the corpus
+    is a pure scan-side map — zero shuffle, zero Python — and the PQ
+    codes are trained/assigned in the rotated space where the
+    subspace variances are balanced.
+    """
+    import numpy as np
+
+    from jane_spark.operators.profile import pca_fit
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub_d = dim // m
+    means, comps, evals = pca_fit(
+        df, vec_col, dim=dim, k=dim, max_component=max_component
+    )
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    logs = [0.0] * m
+    for i in range(dim):  # evals are descending from pca_fit
+        open_b = [b for b in range(m) if len(buckets[b]) < sub_d]
+        least = min(len(buckets[b]) for b in open_b)
+        open_b = [b for b in open_b if len(buckets[b]) == least]
+        b = min(open_b, key=lambda x: (logs[x], x))
+        buckets[b].append(i)
+        logs[b] += float(np.log(max(float(evals[i]), 1e-30)))
+    perm = [i for bucket in buckets for i in bucket]
+    rotation = np.asarray(comps)[perm]
+    return means, rotation, buckets
+
+
+def opq_rotate(
+    df: DataFrame,
+    vec_col: str,
+    means,
+    rotation,
+    out_col: str = "__rot",
+) -> DataFrame:
+    """Apply an :func:`opq_fit` rotation: appends ``out_col`` =
+    (v − means) · Rᵀ as inlined literal expressions (pca_project —
+    whole-stage codegen, zero shuffle; the rotation is d×d driver
+    floats at any corpus size)."""
+    from jane_spark.operators.profile import pca_project
+
+    return pca_project(df, vec_col, means, rotation, out_col)
+
+
+def opq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    max_component: float = 2.0,
+) -> DataFrame:
+    """Rotated product quantization codes: OPQ_P rotation
+    (:func:`opq_fit`) then the proven deterministic PQ trainer
+    (:func:`pq_encode`) over the rotated vectors. Same output shape
+    as pq_encode — (id, code_0..code_{m−1}) small integers; the
+    rotation costs ONE extra projection on the scan, nothing at
+    search time (ADC tables are built in rotated space too)."""
+    means, rotation, _ = opq_fit(df, vec_col, dim, m, max_component)
+    rot = opq_rotate(
+        df.select(F.col(id_col), F.col(vec_col)), vec_col, means, rotation
+    )
+    return pq_encode(rot, id_col, "__rot", dim, m, k, iters)
+
+
+def opq_adc_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    k_top: int = 5,
+    round_dp: int = 6,
+    max_component: float = 2.0,
+) -> DataFrame:
+    """ADC top-k in the OPQ-rotated space: rotation is orthonormal,
+    so rotated squared-L2 equals original squared-L2 exactly — the
+    ADC approximation just gets a better codebook fit (balanced
+    subspace variances). Corpus and queries rotate with the SAME
+    (means, R); everything downstream is the proven pq_adc_topk
+    lookup-sum-rank chain."""
+    means, rotation, _ = opq_fit(vectors, vec_col, dim, m, max_component)
+    rv = opq_rotate(
+        vectors.select(F.col(id_col), F.col(vec_col)),
+        vec_col, means, rotation,
+    )
+    rq = opq_rotate(
+        queries.select(F.col(id_col), F.col(vec_col)),
+        vec_col, means, rotation,
+    )
+    return pq_adc_topk(
+        rv, rq, id_col, "__rot", dim, m, k, iters, k_top, round_dp
+    )
+
+
+def dim_variance_permutation(
+    df: DataFrame, vec_col: str, dim: int, m: int
+) -> list[int]:
+    """The ORACLE-EXPRESSIBLE half of OPQ's allocation idea: balance
+    subspace variances by PERMUTING the ORIGINAL dimensions (no
+    rotation mixing — the "free" structured reordering PQ papers use
+    as the baseline between natural order and learned rotation).
+    Per-dim variances come from the gram_matrix integer discipline
+    (e6-quantized components, exact integer var_num = n·Σq² − (Σq)²
+    computed in arbitrary-precision Python after one map-side-
+    combinable aggregate), dims rank by (var_num DESC, dim ASC), and
+    a SERPENTINE deal (0,1,…,m−1,m−1,…,1,0,…) hands them to
+    subspaces — the closed-form greedy that pairs high-variance dims
+    with low-variance dims, expressible as pure arithmetic on the
+    rank in ANY engine (the DuckDB twin replays it in HUGEINT).
+
+    Returns the gather order as 1-based source-dim indices: entry
+    ``s·(dim/m) + j`` is the j-th dim of subspace s (within-subspace
+    order = rank order). One aggregate row (2·dim+1 BIGINT cells)
+    crosses the driver — the bounded-collect contract.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    qs = [
+        F.round(
+            F.element_at(F.col(vec_col), i).cast("double") * 1_000_000, 0
+        ).cast("bigint").alias(f"__q_{i}")
+        for i in range(1, dim + 1)
+    ]
+    base = df.select(*qs)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(1, dim + 1):
+        aggs.append(
+            F.sum(F.col(f"__q_{i}").cast("decimal(38,0)")).alias(f"sx_{i}")
+        )
+        aggs.append(
+            F.sum(
+                F.col(f"__q_{i}").cast("decimal(38,0)")
+                * F.col(f"__q_{i}").cast("decimal(38,0)")
+            ).alias(f"sxx_{i}")
+        )
+    row = base.agg(*aggs).collect()[0]
+    n = int(row["n"])
+    if n == 0:
+        raise ValueError("dim_variance_permutation: empty input")
+    ranked = sorted(
+        range(1, dim + 1),
+        key=lambda i: (
+            -(n * int(row[f"sxx_{i}"]) - int(row[f"sx_{i}"]) ** 2),
+            i,
+        ),
+    )
+    sub_d = dim // m
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    for r, d in enumerate(ranked):
+        blk, pos = divmod(r, m)
+        s = pos if blk % 2 == 0 else m - 1 - pos
+        buckets[s].append(d)
+    assert all(len(b) == sub_d for b in buckets)
+    return [d for b in buckets for d in b]
+
+
+def dimperm_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """PQ codes over the variance-balanced dimension permutation
+    (:func:`dim_variance_permutation`) — OPQ's allocation step
+    without the eigen-rotation, fully oracle-expressible: the gather
+    is a pure projection (element_at literals), then the proven
+    deterministic PQ trainer runs on the permuted layout. Output
+    (id, code_0..code_{m−1})."""
+    perm = dim_variance_permutation(df, vec_col, dim, m)
+    gathered = df.select(
+        F.col(id_col),
+        F.array(
+            *[F.element_at(F.col(vec_col), d) for d in perm]
+        ).alias("__g"),
+    )
+    return pq_encode(gathered, id_col, "__g", dim, m, k, iters)

@@ -5230,3 +5230,136 @@ def test_weighted_reservoir_sample_laws(spark, sf_dir):
         heavy += 0 in ids
         light += 1 in ids
     assert heavy >= light + 10, (heavy, light)
+
+
+def test_opq_rotation_recall_ladder(spark):
+    """OPQ (Ge et al. 2013 OPQ_P), pinned: (1) opq_fit's rotation is
+    row-orthonormal and its rows are the pca_fit axes permuted by the
+    greedy product-balancing allocation (every axis used once);
+    (2) opq_rotate matches (v - mean) @ R.T in NumPy; (3) the ladder
+    — on CROSS-SLICE-REDUNDANT data (each dim nearly duplicated by a
+    dim in another natural slice, so plain PQ spends bits encoding
+    the same information twice — the dependence-between-subspaces
+    regime OPQ exists for) the OPQ rotation wins BOTH the paper's
+    own objective (total quantization distortion, Ge et al. eq. 2)
+    and ADC recall@5 over plain contiguous-slice PQ; (4) encode is
+    deterministic across invocations. (Independent-dim fixtures are
+    deliberately NOT used: with per-dim independence PQ's modeling
+    assumption holds exactly and no rotation can beat it — probed
+    during r13 development.)"""
+    import numpy as np
+
+    from jane_spark.operators.vector import (
+        opq_adc_topk,
+        opq_encode,
+        opq_fit,
+        opq_rotate,
+        pq_adc_topk,
+        pq_fit,
+    )
+
+    rng = np.random.default_rng(7)
+    d, n = 16, 400
+    # 4 independent factors, each appearing in FOUR noisy copies
+    # scattered across the natural slices — plain PQ encodes every
+    # factor four times (bits spent on redundancy), OPQ's PCA maps to
+    # the 4 factor axes and the allocation hands one to each subspace
+    Z = rng.uniform(-0.9, 0.9, size=(n, 4))
+    X = np.stack(
+        [
+            Z[:, f] + rng.uniform(-1, 1, size=n) * 0.04
+            for f in range(4)
+            for _ in range(4)
+        ],
+        axis=1,
+    )
+    Xr = X[:, rng.permutation(d)]
+    assert np.abs(Xr).max() < 2.0
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in Xr[i]]) for i in range(n)], ["id", "v"]
+    )
+
+    means, R, alloc = opq_fit(df, "v", dim=d, m=4)
+    R = np.asarray(R)
+    assert sorted(i for b in alloc for i in b) == list(range(d))
+    assert np.allclose(R @ R.T, np.eye(d), atol=1e-8)
+    rot = {
+        r["id"]: np.array(r["__rot"])
+        for r in opq_rotate(df, "v", means, R).collect()
+    }
+    direct = (Xr - np.asarray(means)) @ R.T
+    for i in range(n):
+        assert np.allclose(rot[i], direct[i], atol=1e-9)
+
+    qs = df.filter(F.col("id") % 20 == 0)
+    q_ids = sorted(r.id for r in qs.select("id").collect())
+    d2 = ((Xr[:, None, :] - Xr[None, :, :]) ** 2).sum(-1)
+    exact = {
+        q: set(np.argsort(d2[q] + (np.arange(n) == q) * 1e9)[:5])
+        for q in q_ids
+    }
+
+    def recall(top):
+        hits = tot = 0
+        for r in top:
+            if r.b_id != r.q_id:
+                hits += r.b_id in exact[r.q_id]
+            tot += 1
+        return hits / tot
+
+    pq_top = pq_adc_topk(
+        df, qs, "id", "v", dim=d, m=4, k=4, iters=2, k_top=6
+    ).collect()
+    opq_top = opq_adc_topk(
+        df, qs, "id", "v", dim=d, m=4, k=4, iters=2, k_top=6
+    ).collect()
+    r_pq, r_opq = recall(pq_top), recall(opq_top)
+    assert r_opq > r_pq, (r_opq, r_pq)
+
+    # the paper's own objective: total quantization distortion of the
+    # reconstruction (rotated distortion == original-space distortion,
+    # R orthonormal)
+    def distortion(frame, vec, data):
+        codes, books = pq_fit(frame, "id", vec, d, 4, 4, 2)
+        cmap = {
+            r[0]: [r[s + 1] for s in range(4)] for r in codes.collect()
+        }
+        err = 0.0
+        for i in range(n):
+            rec = np.concatenate(
+                [np.asarray(books[s][cmap[i][s]]) for s in range(4)]
+            )
+            err += float(((data[i] - rec) ** 2).sum())
+        return err / n
+
+    d_pq = distortion(df, "v", Xr)
+    rot_frame = opq_rotate(df, "v", means, R)
+    d_opq = distortion(rot_frame, "__rot", direct)
+    assert d_opq < 0.8 * d_pq, (d_opq, d_pq)
+
+    c1 = sorted(map(tuple, opq_encode(df, "id", "v", d, 4, 4, 2).collect()))
+    c2 = sorted(map(tuple, opq_encode(df, "id", "v", d, 4, 4, 2).collect()))
+    assert c1 == c2
+
+
+def test_dimperm_serpentine_allocation(spark):
+    """dim_variance_permutation, pinned on a hand fixture with KNOWN
+    per-dim variance order: rank r dims deal to subspaces serpentine
+    (0,1,...,m-1,m-1,...,1,0), within-subspace order = rank order,
+    every dim used once; and dimperm_encode's gather feeds contiguous
+    PQ slices (subspace s holds exactly its allocated dims)."""
+    from jane_spark.operators.vector import dim_variance_permutation
+
+    # dim i has values {0, i} -> variance strictly increasing in i;
+    # rank order (desc) = dims 8,7,...,1
+    rows = []
+    for t in range(20):
+        rows.append(
+            ([0.0] * 8 if t % 2 else [float(i) / 10 for i in range(1, 9)],)
+        )
+    df = spark.createDataFrame(rows, "v array<double>")
+    perm = dim_variance_permutation(df, "v", dim=8, m=4)
+    # ranks: dim8=r0 dim7=r1 dim6=r2 dim5=r3 | dim4=r4 ... serpentine:
+    # s(r0)=0 s(r1)=1 s(r2)=2 s(r3)=3 s(r4)=3 s(r5)=2 s(r6)=1 s(r7)=0
+    assert perm == [8, 1, 7, 2, 6, 3, 5, 4]
+    assert sorted(perm) == list(range(1, 9))
