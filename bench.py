@@ -235,6 +235,11 @@ BENCH_QUERIES = {
     # is rows-only (driver eigendecomposition has no DuckDB twin)
     "dimperm_pq": "q_k49_dimperm",
     "opq_codes": "q_k49_opq",
+    # IVF incremental maintenance: frozen-quantizer batch assignment
+    # (genuine twin: the oracle trains the same corpus-only Lloyd
+    # chain) + the integer moment-drift retrain trigger (lazy plan)
+    "ivf_incr": "q_k50_ivf_incr",
+    "drift_trigger": "q_k50_drift_trigger",
     # (q_i5_late_drop stays un-benched like every streaming execution:
     # the stream runs at plan-build into a memory sink and its oracle
     # is the batch twin — a construct-only compare)
@@ -283,6 +288,9 @@ REBUILD_PER_RUN = {
     # excludes the training scan
     "dimperm_pq",
     "opq_codes",
+    # incremental-IVF trains its frozen quantizer (kmeans_fit collect)
+    # at plan build
+    "ivf_incr",
 }
 
 # Ambient-drift calibration (VERDICT r4 "bench hygiene"): re-measure a
@@ -465,6 +473,8 @@ CALIBRATION = {
     # chains); two idle sessions measured 0.546/0.634 medians — the
     # stricter one recorded
     "dimperm_pq": 0.5464,
+    "ivf_incr": 0.8191,
+    "drift_trigger": 0.0150,
 }
 
 

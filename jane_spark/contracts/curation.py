@@ -3752,3 +3752,123 @@ def q_k49_opq(spark, sf_dir):
     codes = opq_encode(emb, "vec_id", "embedding", dim=16, m=4, k=4,
                        iters=2)
     return codes.orderBy("vec_id").limit(200)
+
+
+def _ivf_incr_oracle_sql(n_lists: int = 8, iters: int = 5) -> str:
+    """Incremental-IVF twin: the Lloyd chain trains on the STORED
+    corpus only (vec_id % 10 <> 0 — ctes[0] swapped), the new batch
+    is assigned against the frozen centroids by the same
+    9-dp-rounded-cosine argmax the portable-IVF oracle proved."""
+    ctes, _ = _kmeans_ctes(n_lists, iters)
+    ctes[0] = (
+        "v AS (SELECT vec_id AS id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings "
+        "WHERE vec_id % 10 <> 0)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+        nb AS (SELECT vec_id AS id, list_transform(embedding,
+                   x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings WHERE vec_id % 10 = 0),
+        sims AS (SELECT nb.id, c.cid,
+                        round(list_cosine_similarity(nb.v, c.cv), 9) AS s
+                 FROM nb CROSS JOIN c{iters} c)
+        SELECT id AS vec_id, CAST(cid AS INT) AS list_id FROM (
+            SELECT id, cid, row_number() OVER (
+                PARTITION BY id ORDER BY s DESC, cid ASC) AS rn
+            FROM sims) WHERE rn = 1
+    """
+    )
+
+
+@contract(
+    "q_k50_ivf_incr",
+    oracle=_ivf_incr_oracle_sql(),
+    survey_rows="K50,K3,I6",
+    doc="IVF INCREMENTAL maintenance — assign a new ingest batch to "
+    "the EXISTING coarse quantizer without retraining "
+    "(operators/vector.ivf_assign_batch): the stored corpus "
+    "(vec_id % 10 <> 0) trains the 8-list Lloyd quantizer (the "
+    "proven q_k3_ivf_portable chain), the new batch (vec_id % 10 "
+    "= 0) is argmax-assigned against the FROZEN centroids — one "
+    "broadcast-literal projection per batch row, no full-corpus "
+    "re-scan, lists stay exactly consistent with the stored "
+    "assignment. The operational half of ANN at 100 TB (daily "
+    "ingest); whether the frozen quantizer still fits is "
+    "q_k50_drift_trigger's measured answer",
+)
+def q_k50_ivf_incr(spark, sf_dir):
+    import numpy as np
+
+    from jane_spark.operators.semdedup import kmeans_fit
+    from jane_spark.operators.vector import ivf_assign_batch
+
+    emb = Catalog(spark, sf_dir).embeddings
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    _a, cents = kmeans_fit(corpus, "vec_id", "embedding", k=8, iters=5)
+    return ivf_assign_batch(
+        batch, "vec_id", "embedding",
+        np.array(cents, dtype=np.float64), probe_round_dp=9,
+    )
+
+
+@contract(
+    "q_k50_drift_trigger",
+    oracle="""
+        WITH po AS (SELECT generate_subscripts(embedding, 1) AS dim,
+                           CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                               * 1000000, 0) AS BIGINT) AS q
+                    FROM embeddings WHERE vec_id % 10 <> 0),
+        so AS (SELECT dim, CAST(count(*) AS HUGEINT) AS n_old,
+                      CAST(sum(q) AS HUGEINT) AS sx_old,
+                      CAST(sum(q * q) AS HUGEINT) AS sxx_old
+               FROM po WHERE dim <= 16 GROUP BY dim),
+        pn0 AS (SELECT generate_subscripts(embedding, 1) AS dim,
+                       CAST(unnest(embedding) AS DOUBLE) AS val
+                FROM embeddings WHERE vec_id % 10 = 0),
+        pn AS (SELECT dim, CAST(round((val + CASE WHEN dim <= 3
+                   THEN 0.5 ELSE 0 END) * 1000000, 0) AS BIGINT) AS q
+               FROM pn0 WHERE dim <= 16),
+        sn AS (SELECT dim, CAST(count(*) AS HUGEINT) AS n_new,
+                      CAST(sum(q) AS HUGEINT) AS sx_new
+               FROM pn GROUP BY dim)
+        SELECT CAST(so.dim AS INT) AS dim,
+               CAST(n_old AS BIGINT) AS n_old,
+               CAST(n_new AS BIGINT) AS n_new,
+               (4 * (sx_new * n_old - sx_old * n_new)
+                  * (sx_new * n_old - sx_old * n_new))
+               > (n_new * n_new * (n_old * sxx_old - sx_old * sx_old))
+                   AS drifted
+        FROM so JOIN sn ON so.dim = sn.dim
+    """,
+    survey_rows="K50,K31,T41",
+    doc="quantizer-DRIFT trigger — the measured retrain decision for "
+    "the frozen IVF/PQ coarse quantizer (operators/vector."
+    "moment_drift_trigger, tau = 1/2): per-dimension e6-quantized "
+    "integer moments of stored corpus vs new batch (the K31 "
+    "discipline), drift iff tau_den^2*(Sq_new*n_old - Sq_old*n_new)^2 "
+    "> tau_num^2*n_new^2*(n_old*Sq2_old - Sq_old^2) — division-free, "
+    "DECIMAL(38,0)/HUGEINT exact, so the retrain DECISION itself "
+    "hash-checks across engines. Fixture: the batch is the held-out "
+    "tenth with dims 1-3 shifted +0.5 (0.5 is a binary power — the "
+    "shift is float-exact in any engine), so exactly those dims must "
+    "trip. Two 1-row aggregates + a |dim|-row join — the decision "
+    "costs less than one assignment pass",
+)
+def q_k50_drift(spark, sf_dir):
+    from jane_spark.operators.vector import moment_drift_trigger
+
+    emb = Catalog(spark, sf_dir).embeddings
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "embedding",
+        F.expr(
+            "transform(embedding, (x, i) -> CASE WHEN i < 3 "
+            "THEN CAST(x AS DOUBLE) + 0.5D "
+            "ELSE CAST(x AS DOUBLE) END)"
+        ),
+    )
+    return moment_drift_trigger(
+        corpus, batch, "embedding", dim=16, tau_num=1, tau_den=2
+    )

@@ -2205,3 +2205,123 @@ def dimperm_encode(
         ).alias("__g"),
     )
     return pq_encode(gathered, id_col, "__g", dim, m, k, iters)
+
+
+# ---------------------------------- IVF incremental maintenance (r13)
+
+
+def ivf_assign_batch(
+    batch: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: np.ndarray,
+    probe_round_dp: int | None = None,
+) -> DataFrame:
+    """Assign a NEW ingest batch to EXISTING IVF centroids WITHOUT
+    retraining — the operational half of IVF at 100 TB: the coarse
+    quantizer trains once (train_ivf_centroids / kmeans_fit), new
+    data streams in daily, and re-running Lloyd over the full corpus
+    per batch would re-scan history for nothing. Assignment is the
+    same broadcast-centroid argmax the trained path uses (ONE
+    projection per batch row against n_lists × d literal floats, no
+    shuffle, no driver state), so incremental lists stay EXACTLY
+    consistent with the stored corpus lists — a batch row lands where
+    a full re-assignment would put it. Whether the frozen quantizer
+    is still FIT for the incoming distribution is a separate,
+    measured question: :func:`moment_drift_trigger`."""
+    return _assign_lists(
+        batch, id_col, vec_col, centroids, n_probe=1,
+        probe_round_dp=probe_round_dp,
+    ).select(F.col(id_col), F.col("list_id").cast("int").alias("list_id"))
+
+
+def moment_drift_trigger(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    vec_col: str,
+    dim: int,
+    tau_num: int = 1,
+    tau_den: int = 2,
+) -> DataFrame:
+    """Per-dimension MEAN-SHIFT drift test deciding when the frozen
+    IVF/PQ quantizer needs retraining — the K31 embedding-moments
+    idea turned into a decision rule, exact-integer end to end: a
+    dimension has drifted when |mean_new − mean_old| > τ·σ_old with
+    τ = tau_num/tau_den. Components are e6-quantized BEFORE any sum
+    (the gram_matrix/K31 discipline) so each side's per-dim
+    (n, Σq, Σq²) are plain BIGINTs from ONE map-side-combinable
+    aggregate per frame (2·dim+1 cells — never data-sized), and the
+    test cross-multiplies to clear every division::
+
+        tau_den² · (Σq_new·n_old − Σq_old·n_new)²
+            > tau_num² · n_new² · (n_old·Σq²_old − (Σq_old)²)
+
+    evaluated in DECIMAL(38,0) (the squared term reaches ~1e26 at
+    fixture scale; int64 would wrap) — bit-identical in any engine,
+    so the retrain decision itself is hash-checkable. Emits one row
+    per dimension: ``(dim, n_old, n_new, drifted)``; the caller's
+    retrain signal is ``any(drifted)``. Overflow envelope: Σq² stays
+    int64 while n ≤ 2^63 / (max|component|·1e6)² per side (~2.3e6
+    rows at |c| ≤ 2 — rescale to e3 upstream for bigger batches, the
+    gram_matrix note).
+
+    Plan: two scans (old, new), two 1-row aggregates, one stack to
+    |dim| rows, one broadcast-sized join — the decision costs less
+    than one list assignment pass.
+    """
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    if tau_num < 0 or tau_den <= 0:
+        raise ValueError("tau must be a non-negative rational")
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        qs = [
+            F.round(
+                F.element_at(F.col(vec_col), i).cast("double") * 1_000_000,
+                0,
+            ).cast("bigint").alias(f"__q_{i}")
+            for i in range(1, dim + 1)
+        ]
+        aggs = [F.count(F.lit(1)).alias("n")]
+        for i in range(1, dim + 1):
+            aggs.append(F.sum(f"__q_{i}").alias(f"sx_{i}"))
+            aggs.append(
+                F.sum(F.col(f"__q_{i}") * F.col(f"__q_{i}")).alias(
+                    f"sxx_{i}"
+                )
+            )
+        wide = df.select(*qs).agg(*aggs)
+        branches = ", ".join(
+            f"{i}, sx_{i}, sxx_{i}" for i in range(1, dim + 1)
+        )
+        return wide.select(
+            F.col("n").alias(f"n_{tag}"),
+            F.expr(
+                f"stack({dim}, {branches}) AS "
+                f"(dim, sx_{tag}, sxx_{tag})"
+            ),
+        )
+
+    o = side(old_df, "old")
+    nw = side(new_df, "new")
+    j = o.join(nw, "dim")
+    dec = "decimal(38,0)"
+    diff = (
+        F.col("sx_new").cast(dec) * F.col("n_old").cast(dec)
+        - F.col("sx_old").cast(dec) * F.col("n_new").cast(dec)
+    )
+    var_num = (
+        F.col("n_old").cast(dec) * F.col("sxx_old").cast(dec)
+        - F.col("sx_old").cast(dec) * F.col("sx_old").cast(dec)
+    )
+    drifted = (
+        F.lit(tau_den * tau_den).cast(dec) * diff * diff
+        > F.lit(tau_num * tau_num).cast(dec)
+        * F.col("n_new").cast(dec) * F.col("n_new").cast(dec) * var_num
+    )
+    return j.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("n_old").cast("bigint").alias("n_old"),
+        F.col("n_new").cast("bigint").alias("n_new"),
+        drifted.alias("drifted"),
+    )

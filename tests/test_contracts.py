@@ -275,6 +275,8 @@ FLOAT_TIE_ALLOWLIST = {
     "q_k39_ann_audit": "recall ratio of integer hit counts; sims only "
     "SELECT candidates (cosine e6 margin probed below)",
     "q_k3_ivf_portable": "cosine e6 rounding, margin probed below",
+    "q_k50_ivf_incr": "same rounded-cosine argmax as q_k3_ivf_portable "
+    "(frozen-centroid assignment leg), same all-pairs margin probe",
     "q_k3_lsh": "cosine e6 rounding, margin probed below",
     "q_k3_lsh_portable": "cosine e6 rounding, margin probed below",
     "q_k8_embed_neardup": "cosine e6 rounding, margin probed below",

@@ -5363,3 +5363,84 @@ def test_dimperm_serpentine_allocation(spark):
     # s(r0)=0 s(r1)=1 s(r2)=2 s(r3)=3 s(r4)=3 s(r5)=2 s(r6)=1 s(r7)=0
     assert perm == [8, 1, 7, 2, 6, 3, 5, 4]
     assert sorted(perm) == list(range(1, 9))
+
+
+def test_ivf_incremental_and_drift_trigger(spark, sf_dir):
+    """IVF incremental maintenance, pinned: (1) CONSISTENCY — against
+    frozen centroids, assigning two disjoint batches separately and
+    unioning equals assigning their union (so daily ingest composes),
+    and batch rows land exactly where a full re-assignment puts them;
+    (2) the drift trigger fires on NOTHING when the batch is an
+    unshifted split of the same corpus, fires on exactly the shifted
+    dims otherwise, and a larger tau can only shrink the drifted
+    set; (3) NumPy parity of the integer inequality on the real
+    embeddings."""
+    import numpy as np
+
+    from jane_spark.operators.semdedup import kmeans_fit
+    from jane_spark.operators.vector import (
+        ivf_assign_batch,
+        moment_drift_trigger,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    b1 = emb.filter(F.col("vec_id") % 10 == 0)
+    b2 = emb.filter(F.col("vec_id") % 10 == 5)
+    _a, cents = kmeans_fit(corpus, "vec_id", "embedding", k=8, iters=3)
+    C = np.array(cents, dtype=np.float64)
+
+    def asg(df):
+        return {
+            (r.vec_id, r.list_id)
+            for r in ivf_assign_batch(
+                df, "vec_id", "embedding", C, probe_round_dp=9
+            ).collect()
+        }
+
+    both = asg(b1.unionByName(b2))
+    assert asg(b1) | asg(b2) == both
+    assert asg(b1.unionByName(b2).repartition(13)) == both
+    # frozen-centroid assignment of corpus rows == where a full
+    # re-assignment against the same centroids puts them (subset law)
+    sub = corpus.filter(F.col("vec_id") < 50)
+    assert asg(sub) <= asg(corpus)
+
+    # (2) drift laws
+    calm = moment_drift_trigger(
+        corpus, b1, "embedding", dim=16, tau_num=1, tau_den=2
+    ).collect()
+    assert all(not r.drifted for r in calm)
+    shifted = b1.withColumn(
+        "embedding",
+        F.expr(
+            "transform(embedding, (x, i) -> CASE WHEN i < 3 "
+            "THEN CAST(x AS DOUBLE) + 0.5D ELSE CAST(x AS DOUBLE) END)"
+        ),
+    )
+    hot = moment_drift_trigger(
+        corpus, shifted, "embedding", dim=16, tau_num=1, tau_den=2
+    ).collect()
+    assert sorted(r.dim for r in hot if r.drifted) == [1, 2, 3]
+    cold = moment_drift_trigger(
+        corpus, shifted, "embedding", dim=16, tau_num=50, tau_den=1
+    ).collect()
+    assert {r.dim for r in cold if r.drifted} <= {1, 2, 3}
+
+    # (3) numpy parity of the inequality
+    Xo = np.array(
+        [r.embedding[:16] for r in corpus.collect()], dtype=np.float64
+    )
+    Xn = np.array(
+        [r.embedding[:16] for r in b1.collect()], dtype=np.float64
+    )
+    Xn[:, :3] += 0.5
+    qo = np.round(Xo * 1e6).astype(object)
+    qn = np.round(Xn * 1e6).astype(object)
+    for j, r in enumerate(sorted(hot, key=lambda r: r.dim)):
+        no, nn = len(qo), len(qn)
+        sxo, sxxo = int(qo[:, j].sum()), int((qo[:, j] ** 2).sum())
+        sxn = int(qn[:, j].sum())
+        lhs = 4 * (sxn * no - sxo * nn) ** 2
+        rhs = 1 * nn * nn * (no * sxxo - sxo * sxo)
+        assert r.drifted == (lhs > rhs), (r.dim, lhs, rhs)
