@@ -686,3 +686,158 @@ def q_i11(spark, sf_dir):
         )
     finally:
         shutil.rmtree(arrival, ignore_errors=True)
+
+
+@contract(
+    "q_j5_two_batch",
+    oracle="""
+        WITH f AS (SELECT user_id AS key, ts FROM events
+                   WHERE user_id % 10 = 0),
+        a AS (SELECT * FROM f
+              WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+        o1 AS (SELECT key, ts,
+                      CASE WHEN lag(ts) OVER (PARTITION BY key
+                                              ORDER BY ts) IS NULL
+                           OR epoch_us(ts)
+                              - epoch_us(lag(ts) OVER (PARTITION BY key
+                                                       ORDER BY ts))
+                              > 1800000000
+                           THEN 1 ELSE 0 END AS brk
+               FROM a),
+        s1 AS (SELECT key, ts,
+                      sum(brk) OVER (PARTITION BY key ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS seg
+               FROM o1),
+        g1 AS (SELECT key, seg,
+                      CAST(epoch_us(min(ts)) AS BIGINT) AS seg_start_us,
+                      CAST(epoch_us(max(ts)) AS BIGINT) AS seg_end_us,
+                      CAST(count(*) AS BIGINT) AS n_events
+               FROM s1 GROUP BY key, seg),
+        b1 AS (SELECT key, seg_start_us, seg_end_us, n_events,
+                      seg <> max(seg) OVER (PARTITION BY key) AS closed
+               FROM g1),
+        o2 AS (SELECT key, ts,
+                      CASE WHEN lag(ts) OVER (PARTITION BY key
+                                              ORDER BY ts) IS NULL
+                           OR epoch_us(ts)
+                              - epoch_us(lag(ts) OVER (PARTITION BY key
+                                                       ORDER BY ts))
+                              > 1800000000
+                           THEN 1 ELSE 0 END AS brk
+               FROM f),
+        s2 AS (SELECT key, ts,
+                      sum(brk) OVER (PARTITION BY key ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS seg
+               FROM o2),
+        g2 AS (SELECT key, seg,
+                      CAST(epoch_us(min(ts)) AS BIGINT) AS seg_start_us,
+                      CAST(epoch_us(max(ts)) AS BIGINT) AS seg_end_us,
+                      CAST(count(*) AS BIGINT) AS n_events
+               FROM s2 GROUP BY key, seg),
+        g2c AS (SELECT key, seg, seg_start_us, seg_end_us, n_events,
+                       seg <> max(seg) OVER (PARTITION BY key) AS closed
+                FROM g2),
+        keys_b AS (SELECT DISTINCT key FROM f
+                   WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+        open_a AS (SELECT key, seg_start_us AS oa_start
+                   FROM b1 WHERE NOT closed),
+        b2 AS (SELECT g2c.key, g2c.seg_start_us, g2c.seg_end_us,
+                      g2c.n_events, g2c.closed
+               FROM g2c
+               JOIN keys_b ON g2c.key = keys_b.key
+               LEFT JOIN open_a ON g2c.key = open_a.key
+               WHERE open_a.key IS NULL
+                  OR g2c.seg_start_us >= open_a.oa_start)
+        SELECT CAST(key AS BIGINT) AS key, seg_start_us, seg_end_us,
+               n_events, closed
+        FROM b1
+        UNION ALL
+        SELECT CAST(key AS BIGINT) AS key, seg_start_us, seg_end_us,
+               n_events, closed
+        FROM b2
+    """,
+    survey_rows="J5,I5,I7",
+    doc="CROSS-BATCH stateful segment tracking as a TRUE ORACLE "
+    "(VERDICT r12 #7 — the q_i5/q_i7 two-file availableNow "
+    "construction): events split at a fixed timestamp into file A "
+    "then file B, TWO availableNow runs share one checkpoint, so "
+    "run 2 recovers the per-key open-segment STATE from run 1's "
+    "checkpoint and processes only file B — checkpointed state "
+    "recovery, not single-batch folding. The emission multiset is "
+    "closed-form: batch 1 = sessionize(A) (open tail closed=false); "
+    "batch 2, per key with B rows = the FULL-timeline segments "
+    "whose start >= that key's batch-1 open-segment start (the open "
+    "segment re-emitted extended or closed, plus every later "
+    "segment), keys new in B = their full segments. The oracle "
+    "derives both batches as lag-break sessionizations + one "
+    "segment-start inequality join — hash equality pins the "
+    "tracker's cross-batch STATE SEMANTICS (what survives the "
+    "checkpoint, what re-emits, what closes) against batch SQL. "
+    "Timeout-based idle flushes (ProcessingTimeTimeout) remain "
+    "pytest-only: wall-clock timeouts are nondeterministic by "
+    "construction (tests/test_streaming.py pins them)",
+)
+def q_j5_two_batch(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    _self_configure(spark, sf_dir)
+    from jane_spark.streaming.ingest import stream_parquet_dir
+    from jane_spark.streaming.state import open_segments_stream
+
+    root = tempfile.mkdtemp(prefix="jane_j5b_")
+    arrival = os.path.join(root, "arrival")
+    os.makedirs(arrival)
+    ckpt = os.path.join(root, "ckpt")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    ev = _ts_ntz(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).select("user_id", "ts")
+
+    def transform(df):
+        d = _ts_ntz(df).filter(F.col("user_id") % 10 == 0)
+        return open_segments_stream(d, "user_id", "ts", gap_seconds=1800)
+
+    sink = os.path.join(root, "sink")
+
+    def to_sink(batch_df, _batch_id):
+        # the memory sink cannot RECOVER from a checkpoint (exactly the
+        # property this contract exercises), so emissions land in a
+        # parquet sink via foreachBatch — the q_i7 store pattern; both
+        # runs append to the same directory
+        batch_df.write.mode("append").parquet(sink)
+
+    try:
+        parts = [ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut)]
+        for i, part in enumerate(parts):
+            part.coalesce(1).write.mode("append").parquet(arrival)
+            schema = spark.read.parquet(arrival).schema
+            stream = stream_parquet_dir(spark, arrival, schema)
+            q = (
+                transform(stream)
+                .writeStream.foreachBatch(to_sink)
+                .queryName(f"q_j5b_run_{i}")
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return (
+            spark.read.parquet(sink)
+            .select(
+                F.col("key").cast("bigint").alias("key"),
+                F.expr("cast(unix_micros(segment_start) as bigint)").alias(
+                    "seg_start_us"
+                ),
+                F.expr("cast(unix_micros(segment_end) as bigint)").alias(
+                    "seg_end_us"
+                ),
+                F.col("n_events").cast("bigint").alias("n_events"),
+                "closed",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
