@@ -240,6 +240,9 @@ BENCH_QUERIES = {
     # chain) + the integer moment-drift retrain trigger (lazy plan)
     "ivf_incr": "q_k50_ivf_incr",
     "drift_trigger": "q_k50_drift_trigger",
+    # Hilbert layout keys: genuine twin (the oracle replays the same
+    # 16-CTE reflect+rotate chain)
+    "hilbert": "q_p28_hilbert",
     # (q_i5_late_drop stays un-benched like every streaming execution:
     # the stream runs at plan-build into a memory sink and its oracle
     # is the batch twin — a construct-only compare)
@@ -291,6 +294,12 @@ REBUILD_PER_RUN = {
     # incremental-IVF trains its frozen quantizer (kmeans_fit collect)
     # at plan build
     "ivf_incr",
+    # the layout-key operators collect their min/max bounds aggregate
+    # at plan build (a full column scan) — rebuild or the timed region
+    # excludes it. zorder is re-classed here too (r13 honesty pass: it
+    # predates the REBUILD rule and its old number excluded the scan)
+    "hilbert",
+    "zorder",
 }
 
 # Ambient-drift calibration (VERDICT r4 "bench hygiene"): re-measure a
@@ -475,6 +484,7 @@ CALIBRATION = {
     "dimperm_pq": 0.5464,
     "ivf_incr": 0.8191,
     "drift_trigger": 0.0150,
+    "hilbert": 0.4391,
 }
 
 

@@ -1462,3 +1462,79 @@ def q_p7_export(spark, sf_dir):
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _hilbert_oracle(bits: int = 16, n_buckets: int = 32) -> str:
+    """Hilbert twin: the same integer min-max normalization as the
+    z-order oracle, then the public xy2d reflect+rotate fold unrolled
+    into ``bits`` chained CTEs (one per level — the same linear-chain
+    shape the Spark side uses to keep the expression tree from
+    doubling per level)."""
+    top = (1 << bits) - 1
+    n_full = 1 << bits
+    width = max((1 << (2 * bits)) // n_buckets, 1)
+    ctes = [
+        "b AS (SELECT min(l_partkey) AS mn0, max(l_partkey) AS mx0, "
+        "min(l_suppkey) AS mn1, max(l_suppkey) AS mx1 FROM lineitem)",
+        f"h{bits} AS (SELECT "
+        f"((l_partkey - b.mn0) * {top}) // greatest(b.mx0 - b.mn0, 1) "
+        f"AS x, "
+        f"((l_suppkey - b.mn1) * {top}) // greatest(b.mx1 - b.mn1, 1) "
+        f"AS y, CAST(0 AS BIGINT) AS d FROM lineitem, b)",
+    ]
+    for lev in range(bits - 1, -1, -1):
+        s2 = 1 << (2 * lev)
+        ctes.append(
+            f"h{lev} AS (SELECT "
+            f"CASE WHEN ((y >> {lev}) & 1) = 0 THEN "
+            f"CASE WHEN ((x >> {lev}) & 1) = 1 "
+            f"THEN {n_full - 1} - y ELSE y END ELSE x END AS x, "
+            f"CASE WHEN ((y >> {lev}) & 1) = 0 THEN "
+            f"CASE WHEN ((x >> {lev}) & 1) = 1 "
+            f"THEN {n_full - 1} - x ELSE x END ELSE y END AS y, "
+            f"d + {s2} * CAST(xor(((x >> {lev}) & 1) * 3, "
+            f"(y >> {lev}) & 1) AS BIGINT) AS d "
+            f"FROM h{lev + 1})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT CAST(d // {width} AS BIGINT) AS hbucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(min(d) AS BIGINT) AS min_hkey,
+               CAST(max(d) AS BIGINT) AS max_hkey
+        FROM h0 GROUP BY 1
+    """
+    )
+
+
+@contract(
+    "q_p28_hilbert",
+    oracle=_hilbert_oracle(),
+    survey_rows="P28,P18,P26",
+    doc="HILBERT-curve layout keys (operators/zorder.hilbert_buckets) "
+    "— the locality upgrade over P18's Morton keys on the SAME "
+    "(l_partkey, l_suppkey) surface: the Hilbert curve never jumps "
+    "(consecutive indices are always grid neighbors), so range boxes "
+    "map to FEWER contiguous key runs — measured 2.02 vs 2.65 "
+    "runs/box against Morton on the 16x16-box grid (Moon et al. "
+    "TKDE 2001's clustering result, reproduced and pytest-pinned). "
+    "The public xy2d reflect+rotate fold unrolls into 16 chained "
+    "BIGINT projections (linear expression growth; inlining would "
+    "double per level), all shift/mask/CASE codegen; the oracle "
+    "replays the identical 16-CTE chain. Per-bucket count + key "
+    "extent returned — the q_p18 surface, so the two layouts "
+    "hash-audit side by side",
+)
+def q_p28(spark, sf_dir):
+    from jane_spark.operators.zorder import hilbert_buckets
+
+    li = Catalog(spark, sf_dir).lineitem
+    return (
+        hilbert_buckets(li, ["l_partkey", "l_suppkey"], n_buckets=32)
+        .groupBy("hbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("hkey").alias("min_hkey"),
+            F.max("hkey").alias("max_hkey"),
+        )
+    )

@@ -5444,3 +5444,76 @@ def test_ivf_incremental_and_drift_trigger(spark, sf_dir):
         lhs = 4 * (sxn * no - sxo * nn) ** 2
         rhs = 1 * nn * nn * (no * sxxo - sxo * sxo)
         assert r.drifted == (lhs > rhs), (r.dim, lhs, rhs)
+
+
+def test_hilbert_keys_laws(spark):
+    """Hilbert layout keys, pinned: (1) parity with the public xy2d
+    reference on the full 8x8 grid; (2) bijectivity (64 cells -> a
+    permutation of 0..63); (3) THE Hilbert property — consecutive
+    indices are always grid NEIGHBORS (Manhattan distance exactly 1;
+    Morton violates this at every quadrant seam); (4) the clustering
+    win (Moon et al. TKDE 2001): across a grid of 16x16 query boxes,
+    Hilbert keys form strictly fewer contiguous key runs in total
+    than Morton keys — fewer runs = fewer seeks/files at 100 TB."""
+    from jane_spark.operators.zorder import hilbert_keys, zorder_keys
+
+    def xy2d(n, x, y):
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) else 0
+            ry = 1 if (y & s) else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    bits, n = 3, 8
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], ["x", "y"]
+    )
+    got = {
+        (r.x, r.y): r.hkey
+        for r in hilbert_keys(grid, ["x", "y"], bits=bits).collect()
+    }
+    ref = {(x, y): xy2d(n, x, y) for x in range(n) for y in range(n)}
+    assert got == ref
+    assert sorted(got.values()) == list(range(n * n))
+    inv = {d: xy for xy, d in got.items()}
+    for d in range(n * n - 1):
+        (x0, y0), (x1, y1) = inv[d], inv[d + 1]
+        assert abs(x0 - x1) + abs(y0 - y1) == 1, (d, inv[d], inv[d + 1])
+
+    # clustering metric on a 64x64 grid (bits=6: min-max norm is the
+    # identity there, so spark keys == curve indices)
+    bits6, n6 = 6, 64
+    g6 = spark.createDataFrame(
+        [(x, y) for x in range(n6) for y in range(n6)], ["x", "y"]
+    )
+    hk = {
+        (r.x, r.y): r.hkey
+        for r in hilbert_keys(g6, ["x", "y"], bits=bits6).collect()
+    }
+    zk = {
+        (r.x, r.y): r.zkey
+        for r in zorder_keys(g6, ["x", "y"], bits=bits6).collect()
+    }
+
+    def runs(keys):
+        ks = sorted(keys)
+        return 1 + sum(1 for a, b in zip(ks, ks[1:]) if b != a + 1)
+
+    h_runs = z_runs = 0
+    for bx in range(0, n6 - 16, 12):
+        for by in range(0, n6 - 16, 12):
+            cell = [
+                (x, y)
+                for x in range(bx, bx + 16)
+                for y in range(by, by + 16)
+            ]
+            h_runs += runs([hk[c] for c in cell])
+            z_runs += runs([zk[c] for c in cell])
+    assert h_runs < z_runs, (h_runs, z_runs)
