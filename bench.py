@@ -243,6 +243,8 @@ BENCH_QUERIES = {
     # Hilbert layout keys: genuine twin (the oracle replays the same
     # 16-CTE reflect+rotate chain)
     "hilbert": "q_p28_hilbert",
+    # Poisson-bootstrap replicate sums (fully lazy plan; genuine twin)
+    "bootstrap": "q_d30_bootstrap",
     # (q_i5_late_drop stays un-benched like every streaming execution:
     # the stream runs at plan-build into a memory sink and its oracle
     # is the batch twin — a construct-only compare)
@@ -485,6 +487,7 @@ CALIBRATION = {
     "ivf_incr": 0.8191,
     "drift_trigger": 0.0150,
     "hilbert": 0.4391,
+    "bootstrap": 0.0380,
 }
 
 

@@ -1423,3 +1423,50 @@ def q_d28(spark, sf_dir):
         "max_cents",
         F.expr("sum_cents div n").cast("bigint").alias("avg_cents"),
     )
+
+
+@contract(
+    "q_d30_bootstrap",
+    oracle="""
+        WITH reps AS (SELECT unnest(range(0, 16)) AS rep),
+        h AS (SELECT d.lang, d.n_chars, r.rep,
+                     (CAST(concat('0x', substr(md5(concat('boot:',
+                          CAST(r.rep AS VARCHAR), ':',
+                          CAST(d.doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                      + 1) / 4294967296.0 AS u
+              FROM documents d CROSS JOIN reps r),
+        w AS (SELECT lang, rep, n_chars,
+                     CASE WHEN u < 0.36787944117144233 THEN 0
+                  WHEN u < 0.7357588823428847 THEN 1
+                  WHEN u < 0.9196986029286058 THEN 2
+                  WHEN u < 0.9810118431238462 THEN 3
+                  WHEN u < 0.9963401531726563 THEN 4
+                  WHEN u < 0.9994058151824183 THEN 5
+                  WHEN u < 0.9999167588507119 THEN 6
+                          ELSE 7 END AS w
+              FROM h)
+        SELECT lang, CAST(rep AS INT) AS rep,
+               CAST(sum(w) AS BIGINT) AS n_rep,
+               CAST(sum(w * n_chars) AS BIGINT) AS sum_rep
+        FROM w GROUP BY lang, rep
+""",
+    survey_rows="D30,D14,P19",
+    doc="deterministic POISSON BOOTSTRAP replicate sums per language "
+    "(operators/bootstrap.bootstrap_replicates — the Chamandy et al. "
+    "2012 large-scale bootstrap): every corpus statistic ships with "
+    "an error bar computed in the SAME single pass — replicate "
+    "weight w_r(doc) ~ Poisson(1) via the inverse CDF over "
+    "u = (md5(rep:doc)+1)/2^32 against FIXED literal thresholds "
+    "(both engines evaluate the identical rational u against the "
+    "identical literals — no libm, engine-exact by construction), "
+    "16 replicates as a generated stack, ONE combinable groupBy to "
+    "|langs| x 16 BIGINT rows. Var(S_r) = sum(x_i^2) exactly under "
+    "Poisson(1) — the SE law the pytest pins",
+)
+def q_d30(spark, sf_dir):
+    from jane_spark.operators.bootstrap import bootstrap_replicates
+
+    docs = Catalog(spark, sf_dir).documents
+    return bootstrap_replicates(
+        docs, ["lang"], "doc_id", "n_chars", n_replicates=16
+    )

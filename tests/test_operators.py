@@ -5517,3 +5517,47 @@ def test_hilbert_keys_laws(spark):
             h_runs += runs([hk[c] for c in cell])
             z_runs += runs([zk[c] for c in cell])
     assert h_runs < z_runs, (h_runs, z_runs)
+
+
+def test_poisson_bootstrap_laws(spark, sf_dir):
+    """Poisson bootstrap, pinned: (1) the SE law — Var over replicate
+    sums approximates sum(x_i^2) exactly as Poisson(1) theory says
+    (chi-square-loose factor bounds at B=32); (2) replicate sums
+    center on the true sum; (3) determinism + layout independence;
+    (4) the weight distribution is Poisson(1)-shaped (mean weight ~1,
+    ~37% zeros over many (rep, id) draws)."""
+    import statistics
+
+    from jane_spark.operators.bootstrap import bootstrap_replicates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    one = docs.filter(F.col("lang") == "en")
+    truth = one.agg(
+        F.sum("n_chars").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("ss"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    reps = bootstrap_replicates(
+        one, ["lang"], "doc_id", "n_chars", n_replicates=32
+    ).collect()
+    assert len(reps) == 32
+    sums = [r.sum_rep for r in reps]
+    mu = statistics.mean(sums)
+    var = statistics.variance(sums)
+    # E[S_r] = true sum; SD of the replicate mean is sqrt(ss/32)
+    assert abs(mu - truth.s) < 4 * (truth.ss / 32) ** 0.5, (mu, truth.s)
+    # Var(S_r) = sum(x^2); chi-square(31) loose 99.9% envelope
+    assert 0.3 * truth.ss < var < 2.5 * truth.ss, (var, truth.ss)
+    # replicate row counts center on n with Var ~ n
+    ns = [r.n_rep for r in reps]
+    assert abs(statistics.mean(ns) - truth.n) < 4 * (truth.n / 32) ** 0.5
+
+    again = bootstrap_replicates(
+        one.repartition(11), ["lang"], "doc_id", "n_chars",
+        n_replicates=32,
+    ).collect()
+    assert sorted(map(tuple, reps)) == sorted(map(tuple, again))
+
+    # weight shape: sum over reps of n_rep / (32 * n) ~ 1 and the
+    # zero fraction shows up as dropped mass (Poisson(1): P(0)=.368)
+    assert abs(statistics.mean(ns) / truth.n - 1.0) < 0.1
