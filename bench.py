@@ -245,6 +245,9 @@ BENCH_QUERIES = {
     "hilbert": "q_p28_hilbert",
     # Poisson-bootstrap replicate sums (fully lazy plan; genuine twin)
     "bootstrap": "q_d30_bootstrap",
+    # Mann-Kendall + Theil-Sen robust trend (lazy plan; genuine twin:
+    # the oracle runs the same bounded pair join + rank)
+    "robust_trend": "q_e15_robust_trend",
     # (q_i5_late_drop stays un-benched like every streaming execution:
     # the stream runs at plan-build into a memory sink and its oracle
     # is the batch twin — a construct-only compare)
@@ -488,6 +491,8 @@ CALIBRATION = {
     "drift_trigger": 0.0150,
     "hilbert": 0.4391,
     "bootstrap": 0.0380,
+    # two sessions measured 0.251/0.389 medians — stricter recorded
+    "robust_trend": 0.2508,
 }
 
 

@@ -624,3 +624,79 @@ def q_e14(spark, sf_dir):
         t0="2024-01-01 00:00:00",
         unit_seconds=60,
     )
+
+
+@contract(
+    "q_e15_robust_trend",
+    oracle="""
+        WITH e AS (SELECT event_type,
+                          (epoch_us(ts) - epoch_us(TIMESTAMP
+                              '2024-01-01 00:00:00')) // 3600000000 AS x,
+                          CAST(round(value * 100) AS BIGINT) AS y0
+                   FROM events),
+        ser AS (SELECT event_type, x, CAST(sum(y0) AS BIGINT) AS y
+                FROM e GROUP BY 1, 2),
+        n_t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                FROM ser GROUP BY 1),
+        tie AS (SELECT event_type,
+                       CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+                            AS BIGINT) AS tie_term
+                FROM (SELECT event_type, y,
+                             CAST(count(*) AS BIGINT) AS t
+                      FROM ser GROUP BY 1, 2)
+                GROUP BY 1),
+        p AS (SELECT a.event_type, b.y - a.y AS dy, b.x - a.x AS dx,
+                     a.x AS xa
+              FROM ser a JOIN ser b
+                ON a.event_type = b.event_type AND a.x < b.x),
+        mk AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m_pairs,
+                      CAST(sum(sign(dy)) AS BIGINT) AS s_mk
+               FROM p GROUP BY 1),
+        rk AS (SELECT event_type, dy, dx,
+                      row_number() OVER (PARTITION BY event_type
+                          ORDER BY CAST(dy AS DOUBLE)
+                                   / CAST(dx AS DOUBLE) ASC,
+                                   dy ASC, dx ASC, xa ASC) AS rn
+               FROM p),
+        med AS (SELECT rk.event_type, CAST(dy AS BIGINT) AS ts_dy,
+                       CAST(dx AS BIGINT) AS ts_dx
+                FROM rk JOIN mk ON rk.event_type = mk.event_type
+                WHERE rk.rn = (mk.m_pairs + 1) // 2)
+        SELECT n_t.event_type, n, m_pairs, s_mk,
+               CAST(n * (n - 1) * (2 * n + 5) - tie_term AS BIGINT)
+                   AS var18,
+               ts_dy, ts_dx
+        FROM n_t
+        JOIN tie USING (event_type)
+        JOIN mk USING (event_type)
+        LEFT JOIN med USING (event_type)
+    """,
+    survey_rows="E15,E14,D18",
+    doc="per-series ROBUST trend (operators/profile.robust_trend): "
+    "the Mann-Kendall monotonic-trend statistic (Mann 1945; Kendall "
+    "1975) with exact tie-corrected 18*Var(S), plus the Theil-Sen "
+    "median slope (Sen 1968, ~29% breakdown vs OLS's zero) carried "
+    "as the EXACT rational (ts_dy, ts_dx) at the discrete lower-"
+    "median pair rank — the outlier-proof companion of q_e14_trend "
+    "(one corrupt hour follows OLS's slope_num anywhere; it moves a "
+    "median-of-slopes by one rank). Series regularize to hourly "
+    "integer-cents totals first (distinct x -> dx > 0 always; ties "
+    "only in y), so the per-series pair join is BOUNDED (<= 720 "
+    "hourly points -> <= 259k pairs) — an equi-join on the series "
+    "key, never corpus x corpus. The ratio ORDER uses one IEEE "
+    "double division — exact-rounded, bit-identical cross-engine "
+    "(no libm); equal rationals tie-break by (dy, dx, x). Hashed "
+    "surface: all BIGINT",
+)
+def q_e15(spark, sf_dir):
+    from jane_spark.operators.profile import robust_trend
+
+    ev = Catalog(spark, sf_dir).events
+    return robust_trend(
+        ev,
+        ["event_type"],
+        "ts",
+        F.round(F.col("value") * 100, 0),
+        t0="2024-01-01 00:00:00",
+        unit_seconds=3600,
+    )

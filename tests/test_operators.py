@@ -5561,3 +5561,83 @@ def test_poisson_bootstrap_laws(spark, sf_dir):
     # weight shape: sum over reps of n_rep / (32 * n) ~ 1 and the
     # zero fraction shows up as dropped mass (Poisson(1): P(0)=.368)
     assert abs(statistics.mean(ns) / truth.n - 1.0) < 0.1
+
+
+def test_robust_trend_laws(spark):
+    """Mann-Kendall + Theil-Sen, pinned on hand data: (1) a clean
+    monotone series -> S = m_pairs, Theil-Sen slope == the exact
+    common slope; (2) ONE corrupted point leaves the Theil-Sen
+    median slope unchanged while OLS's slope_num moves (the
+    robustness claim, demonstrated not asserted rhetorically);
+    (3) tie correction: a constant series has S=0 and var18=0;
+    (4) NumPy/pure-python parity of S, var18 and the median-rank
+    pair on a noisy series."""
+    import itertools
+
+    from jane_spark.operators.profile import robust_trend, series_trend
+
+    def mk_df(vals, key="a"):
+        rows = [
+            (key, dt.datetime(2024, 1, 1) + dt.timedelta(hours=h), v)
+            for h, v in enumerate(vals)
+        ]
+        return spark.createDataFrame(rows, ["k", "ts", "val"])
+
+    cents = F.round(F.col("val") * 100, 0)
+
+    # (1) exact line: y = 3.5h -> slope 350 cents/hour
+    line = [3.5 * h for h in range(10)]
+    r = robust_trend(
+        mk_df(line), ["k"], "ts", cents, "2024-01-01 00:00:00"
+    ).collect()[0]
+    assert r.m_pairs == 45 and r.s_mk == 45
+    assert r.ts_dy * 1 == 350 * r.ts_dx  # exact rational == 350
+    assert r.var18 == 10 * 9 * 25  # no ties
+
+    # (2) robustness: corrupt one reading by 1000x
+    spiked = list(line)
+    spiked[4] = 99999.0
+    rs = robust_trend(
+        mk_df(spiked), ["k"], "ts", cents, "2024-01-01 00:00:00"
+    ).collect()[0]
+    assert rs.ts_dy * 1 == 350 * rs.ts_dx  # Theil-Sen unmoved
+    ols_clean = series_trend(
+        mk_df(line), ["k"], "ts", cents, "2024-01-01 00:00:00", 3600
+    ).collect()[0]
+    ols_spiked = series_trend(
+        mk_df(spiked), ["k"], "ts", cents, "2024-01-01 00:00:00", 3600
+    ).collect()[0]
+    assert (
+        ols_spiked.slope_num * ols_clean.slope_den
+        != ols_clean.slope_num * ols_spiked.slope_den
+    )  # OLS followed the outlier
+
+    # (3) constant series: all y tied
+    rc = robust_trend(
+        mk_df([7.0] * 8), ["k"], "ts", cents, "2024-01-01 00:00:00"
+    ).collect()[0]
+    assert rc.s_mk == 0
+    assert rc.var18 == 8 * 7 * 21 - 8 * 7 * 21  # tie term cancels fully
+
+    # (4) python parity on a noisy series
+    noisy = [((h * 37) % 11) * 1.25 + 0.5 * h for h in range(12)]
+    rn = robust_trend(
+        mk_df(noisy), ["k"], "ts", cents, "2024-01-01 00:00:00"
+    ).collect()[0]
+    ys = [round(v * 100) for v in noisy]
+    pairs = [
+        (ys[j] - ys[i], j - i, i)
+        for i, j in itertools.combinations(range(len(ys)), 2)
+    ]
+    s_ref = sum((dy > 0) - (dy < 0) for dy, _, _ in pairs)
+    n = len(ys)
+    from collections import Counter
+
+    tt = sum(
+        t * (t - 1) * (2 * t + 5) for t in Counter(ys).values()
+    )
+    assert rn.s_mk == s_ref
+    assert rn.var18 == n * (n - 1) * (2 * n + 5) - tt
+    ordered = sorted(pairs, key=lambda p: (p[0] / p[1], p[0], p[1], p[2]))
+    mdy, mdx, _ = ordered[(len(pairs) + 1) // 2 - 1]
+    assert (rn.ts_dy, rn.ts_dx) == (mdy, mdx)
