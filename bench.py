@@ -248,6 +248,8 @@ BENCH_QUERIES = {
     # Mann-Kendall + Theil-Sen robust trend (lazy plan; genuine twin:
     # the oracle runs the same bounded pair join + rank)
     "robust_trend": "q_e15_robust_trend",
+    # two-layout bloom file-skipping audit (lazy plan; genuine twin)
+    "bloom_skip": "q_p29_bloom_skip",
     # (q_i5_late_drop stays un-benched like every streaming execution:
     # the stream runs at plan-build into a memory sink and its oracle
     # is the batch twin — a construct-only compare)

@@ -1538,3 +1538,118 @@ def q_p28(spark, sf_dir):
             F.max("hkey").alias("max_hkey"),
         )
     )
+
+
+def _bloom_skip_oracle(
+    probes: tuple = ("src0", "src7", "src19"),
+    n_bits_log2: int = 12,
+    n_hashes: int = 3,
+) -> str:
+    """DuckDB twin of the two-layout bloom file-skipping audit: per
+    (file, word) bit_or bloom words from the same md5 positions, probe
+    requirements inlined as constants (query literals — hashlib.md5
+    at contract-definition time equals both engines' md5)."""
+    from jane_spark.operators.zonemaps import bloom_probe_positions
+
+    nb = 1 << n_bits_log2
+    layouts = {
+        "rowhash": (
+            "CAST(concat('0x', substr(md5(concat('rowshard:', "
+            "CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 8"
+        ),
+        "clustered": (
+            "CAST(concat('0x', substr(md5(concat('shard:', source)), "
+            "1, 8)) AS BIGINT) % 8"
+        ),
+    }
+    ctes, selects = [], []
+    for tag, fexpr in layouts.items():
+        pos_union = " UNION ALL ".join(
+            f"SELECT f, CAST(concat('0x', substr(md5(concat('bf{i}:', "
+            f"source)), 1, 8)) AS BIGINT) % {nb} AS pos FROM b_{tag}"
+            for i in range(n_hashes)
+        )
+        ctes.append(
+            f"b_{tag} AS (SELECT {fexpr} AS f, source FROM documents)"
+        )
+        ctes.append(f"p_{tag} AS ({pos_union})")
+        ctes.append(
+            f"w_{tag} AS (SELECT f, pos // 62 AS w, "
+            f"bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS word "
+            f"FROM p_{tag} GROUP BY 1, 2)"
+        )
+        flag_exprs = []
+        for j, p in enumerate(probes):
+            req = bloom_probe_positions(p, n_bits_log2, n_hashes)
+            conj = " AND ".join(
+                f"(coalesce(max(CASE WHEN w = {w} THEN word END), 0) "
+                f"& {bit}) <> 0"
+                for w, bit in req
+            )
+            flag_exprs.append(f"({conj}) AS scan_{j}")
+        ctes.append(
+            f"fl_{tag} AS (SELECT f, {', '.join(flag_exprs)} "
+            f"FROM w_{tag} GROUP BY f)"
+        )
+        m_exprs = ", ".join(
+            f"CAST(sum(CASE WHEN source = '{p}' THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS m_{j}"
+            for j, p in enumerate(probes)
+        )
+        ctes.append(
+            f"mt_{tag} AS (SELECT {fexpr} AS f, {m_exprs} "
+            f"FROM documents GROUP BY 1)"
+        )
+        ctes.append(
+            f"j_{tag} AS (SELECT * FROM fl_{tag} JOIN mt_{tag} USING (f))"
+        )
+        for j, p in enumerate(probes):
+            selects.append(
+                f"SELECT '{tag}' AS layout, '{p}' AS probe, "
+                f"CAST(count(*) AS BIGINT) AS n_files, "
+                f"CAST(sum(CASE WHEN scan_{j} THEN 1 ELSE 0 END) "
+                f"AS BIGINT) AS files_scanned, "
+                f"CAST(sum(CASE WHEN m_{j} > 0 THEN 1 ELSE 0 END) "
+                f"AS BIGINT) AS files_matching, "
+                f"CAST(sum(m_{j}) AS BIGINT) AS rows_matching "
+                f"FROM j_{tag}"
+            )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@contract(
+    "q_p29_bloom_skip",
+    oracle=_bloom_skip_oracle(),
+    survey_rows="P29,P26,K15",
+    doc="per-file BLOOM-filter file-skipping audit "
+    "(operators/zonemaps.bloom_skip_audit) — the EQUALITY-predicate "
+    "complement of P26's min/max zone maps (useless for key = v on a "
+    "high-cardinality column; parquet column bloom filters exist for "
+    "exactly this). Two layouts audit side by side: a row-hash "
+    "layout (md5 of doc_id -> 8 files; every source smeared "
+    "everywhere, bloom admits ~all files) vs a source-clustered "
+    "layout (md5 of source -> 8 files; each probe concentrates in "
+    "ONE file, bloom prunes the other 7) — the measured difference "
+    "IS the layout decision at 100 TB. Per-file bloom words build "
+    "cluster-side via a (file, word)-keyed bit_or (62-bit words: "
+    "DuckDB raises on 1<<63 where Spark wraps); probe bit positions "
+    "are query constants inlined in both engines; no false "
+    "negatives, so files_matching <= files_scanned is a law of the "
+    "hashed surface itself",
+)
+def q_p29(spark, sf_dir):
+    from jane_spark.functions.sampling import hash_bucket
+    from jane_spark.operators.zonemaps import bloom_skip_audit
+
+    docs = Catalog(spark, sf_dir).documents
+    probes = ["src0", "src7", "src19"]
+    out = None
+    for tag, fcol in (
+        ("rowhash", hash_bucket(F.col("doc_id"), 8, "rowshard:")),
+        ("clustered", hash_bucket(F.col("source"), 8, "shard:")),
+    ):
+        part = bloom_skip_audit(
+            docs.withColumn("__file", fcol), "__file", "source", probes
+        ).select(F.lit(tag).alias("layout"), "*")
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -201,3 +201,142 @@ def zonemap_prune_audit(
         .cast("bigint")
         .alias("rows_matching"),
     )
+
+
+def bloom_probe_positions(
+    value: str, n_bits_log2: int = 12, n_hashes: int = 3,
+    salt: str = "bf",
+) -> list[tuple[int, int]]:
+    """(word, bit) requirements of an equality probe against the
+    md5-derived per-file bloom words of :func:`bloom_skip_audit` —
+    computed driver-side (probe values are query CONSTANTS, so their
+    positions inline as literals in both the Spark plan and the
+    DuckDB twin; hashlib.md5 == both engines' md5 by definition).
+    Words are 62 bits wide: DuckDB raises on ``1 << 63`` where Spark
+    wraps, so the shared word layout stays inside both envelopes."""
+    import hashlib
+
+    nb = 1 << n_bits_log2
+    out = []
+    for i in range(n_hashes):
+        h = int(
+            hashlib.md5(f"{salt}{i}:{value}".encode()).hexdigest()[:8], 16
+        ) % nb
+        out.append((h // 62, 1 << (h % 62)))
+    return out
+
+
+def bloom_skip_audit(
+    df: DataFrame,
+    file_col: str,
+    key_col: str,
+    probes: list[str],
+    n_bits_log2: int = 12,
+    n_hashes: int = 3,
+    salt: str = "bf",
+) -> DataFrame:
+    """Per-file BLOOM-filter file-skipping audit — the EQUALITY-
+    predicate complement of :func:`zonemap_prune_audit`: min/max zone
+    maps prune range predicates but are useless for ``key = v`` on a
+    high-cardinality column scattered through the key range; parquet
+    column bloom filters (and Delta/Iceberg equivalents) exist for
+    exactly that, and whether they WORK is again a property of the
+    layout — a key-clustered layout concentrates each key in few
+    files (bloom prunes the rest), a row-hash layout smears every key
+    everywhere (bloom admits all files). This audit measures it: per
+    equality probe,
+
+    ``(probe, n_files, files_scanned, files_matching, rows_matching)``
+
+    where a file is *scanned* iff ALL ``n_hashes`` of the probe's bit
+    positions are set in that file's bloom words (no false negatives
+    — ``files_matching <= files_scanned`` always, the lossless law in
+    the hashed surface; false positives are the deterministic md5
+    sliver both engines reproduce bit-for-bit).
+
+    Plan: one position-explode (n_hashes rows per input row) into a
+    (file, word)-keyed bit_or — map-side-combinable, |files| × words
+    rows out; one per-file match aggregate; one |files|-row fold per
+    probe. Nothing data-sized past the first aggregates.
+    """
+    if not probes:
+        raise ValueError("probes must be non-empty")
+    nb = 1 << n_bits_log2
+
+    def pos(i: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{salt}{i}:"),
+                            F.col(key_col).cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % nb
+        )
+
+    fw = (
+        df.select(
+            F.col(file_col).alias("__f"),
+            F.explode(
+                F.array(*[pos(i) for i in range(n_hashes)])
+            ).alias("__pos"),
+        )
+        .select(
+            "__f",
+            F.expr("__pos div 62").alias("__w"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                (F.col("__pos") % 62).cast("int"),
+            ).alias("__bit"),
+        )
+        .groupBy("__f", "__w")
+        .agg(F.bit_or("__bit").alias("__word"))
+    )
+    flag_cols = []
+    for p in probes:
+        req = bloom_probe_positions(p, n_bits_log2, n_hashes, salt)
+        hit = None
+        for w, bit in req:
+            h = (
+                F.coalesce(
+                    F.max(F.when(F.col("__w") == w, F.col("__word"))),
+                    F.lit(0).cast("long"),
+                ).bitwiseAND(F.lit(bit).cast("long"))
+                != 0
+            )
+            hit = h if hit is None else (hit & h)
+        flag_cols.append(hit.alias(f"__scan_{probes.index(p)}"))
+    flags = fw.groupBy("__f").agg(*flag_cols)
+    matches = df.groupBy(F.col(file_col).alias("__f")).agg(
+        *[
+            F.sum(
+                F.when(F.col(key_col).cast("string") == p, 1).otherwise(0)
+            ).cast("bigint").alias(f"__m_{j}")
+            for j, p in enumerate(probes)
+        ]
+    )
+    joined = flags.join(matches, "__f")
+    out = None
+    for j, p in enumerate(probes):
+        row = joined.agg(
+            F.lit(p).alias("probe"),
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum(F.when(F.col(f"__scan_{j}"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("files_scanned"),
+            F.sum(F.when(F.col(f"__m_{j}") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("files_matching"),
+            F.sum(F.col(f"__m_{j}")).cast("bigint").alias("rows_matching"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -5641,3 +5641,45 @@ def test_robust_trend_laws(spark):
     ordered = sorted(pairs, key=lambda p: (p[0] / p[1], p[0], p[1], p[2]))
     mdy, mdx, _ = ordered[(len(pairs) + 1) // 2 - 1]
     assert (rn.ts_dy, rn.ts_dx) == (mdy, mdx)
+
+
+def test_bloom_skip_audit_laws(spark, sf_dir):
+    """Bloom file-skipping audit, pinned: (1) NO FALSE NEGATIVES —
+    every file containing the probed key is scanned, on both
+    layouts; (2) the layout story — the source-clustered layout
+    scans strictly fewer files in total than the row-hash layout;
+    (3) an absent probe value matches zero rows/files (anything
+    scanned for it is the deterministic md5 false-positive sliver);
+    (4) layout (partitioning) independence of the whole audit."""
+    from jane_spark.functions.sampling import hash_bucket
+    from jane_spark.operators.zonemaps import bloom_skip_audit
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    probes = ["src0", "src7", "src19", "no_such_source"]
+    row_l = docs.withColumn(
+        "__file", hash_bucket(F.col("doc_id"), 8, "rowshard:")
+    )
+    clu_l = docs.withColumn(
+        "__file", hash_bucket(F.col("source"), 8, "shard:")
+    )
+    a_row = bloom_skip_audit(row_l, "__file", "source", probes).collect()
+    a_clu = bloom_skip_audit(clu_l, "__file", "source", probes).collect()
+    for r in a_row + a_clu:
+        assert r.files_matching <= r.files_scanned, r
+        if r.rows_matching > 0:
+            assert r.files_matching >= 1
+    absent_rows = [r for r in a_row + a_clu if r.probe == "no_such_source"]
+    assert all(
+        r.rows_matching == 0 and r.files_matching == 0
+        for r in absent_rows
+    )
+    present = lambda rows: sum(
+        r.files_scanned for r in rows if r.probe != "no_such_source"
+    )
+    assert present(a_clu) < present(a_row), (
+        present(a_clu), present(a_row),
+    )
+    again = bloom_skip_audit(
+        row_l.repartition(13), "__file", "source", probes
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, a_row))
