@@ -250,6 +250,9 @@ BENCH_QUERIES = {
     "robust_trend": "q_e15_robust_trend",
     # two-layout bloom file-skipping audit (lazy plan; genuine twin)
     "bloom_skip": "q_p29_bloom_skip",
+    # b-bit minhash packed-signature retrieval (lazy plan; twin replays
+    # the portable minhash chain + slot compares)
+    "bbit_minhash": "q_k51_bbit_minhash",
     # (q_i5_late_drop stays un-benched like every streaming execution:
     # the stream runs at plan-build into a memory sink and its oracle
     # is the batch twin — a construct-only compare)
@@ -495,6 +498,8 @@ CALIBRATION = {
     "bootstrap": 0.0380,
     # two sessions measured 0.251/0.389 medians — stricter recorded
     "robust_trend": 0.2508,
+    "bloom_skip": 0.0611,
+    "bbit_minhash": 1.6926,
 }
 
 

@@ -3043,3 +3043,63 @@ def q_p22(spark, sf_dir):
             F.sum("n_tok").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+_BBIT_ORACLE = (
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+    "FROM documents),\n"
+    "s AS (SELECT doc_id, list_transform(\n"
+    "        generate_series(0, greatest(len(toks) - 2, 1) - 1),\n"
+    "        i -> array_to_string(toks[i+1:i+3], ' ')) AS sh FROM t),\n"
+    "msig AS (SELECT doc_id,\n"
+    + ",\n".join(
+        "  list_min(list_transform(sh, x -> "
+        + _DUCK_H32.format(s=f"concat('{seed}:', x)")
+        + f")) AS mh_{seed}"
+        for seed in range(16)
+    )
+    + "\nFROM s),\n"
+    "pr AS (SELECT * FROM msig WHERE doc_id % 100 = 0),\n"
+    "pair AS (SELECT p.doc_id AS a_id, m.doc_id AS b_id,\n"
+    + " + ".join(
+        f"(CASE WHEN (p.mh_{i} & 3) = (m.mh_{i} & 3) THEN 1 ELSE 0 END)"
+        for i in range(16)
+    )
+    + " AS matched\n"
+    "FROM pr p JOIN msig m ON m.doc_id <> p.doc_id),\n"
+    "est AS (SELECT a_id, b_id, CAST(matched AS BIGINT) AS matched,\n"
+    "        CAST((greatest(matched * 4 - 16, 0) * 10000) // 48\n"
+    "             AS BIGINT) AS jac_e4 FROM pair)\n"
+    "SELECT a_id, b_id, matched, jac_e4, CAST(rn AS BIGINT) AS rk\n"
+    "FROM (SELECT *, row_number() OVER (PARTITION BY a_id\n"
+    "          ORDER BY matched DESC, b_id ASC) AS rn FROM est)\n"
+    "WHERE rn <= 10"
+)
+
+
+@contract(
+    "q_k51_bbit_minhash",
+    oracle=_BBIT_ORACLE,
+    survey_rows="K51,K2,K23",
+    doc="b-BIT MinHash near-dup retrieval (Li & Konig, WWW 2010 — "
+    "operators/dedup.bbit_minhash/bbit_jaccard_topk): the lowest 2 "
+    "bits of each of 16 portable minhashes PACK into one 32-bit "
+    "BIGINT per document (16x smaller than the full signature — the "
+    "storage-codec move of K23's quantizers applied to K2's "
+    "sketches), and top-10 neighbors per probe doc resolve from ONE "
+    "XOR + 16 masked zero-tests on the packed words, with the "
+    "collision-corrected Jaccard estimate as the exact integer "
+    "rational max(matched*4-16,0)*1e4 div 48 (C = 1/2^b correction "
+    "— the paper's unbiasing, division-free). The oracle replays "
+    "the proven q_k2 portable-minhash chain plus per-slot "
+    "comparisons; estimator-vs-true-Jaccard accuracy is pytest-"
+    "pinned on constructed overlap pairs",
+)
+def q_k51(spark, sf_dir):
+    from jane_spark.operators.dedup import bbit_jaccard_topk
+
+    docs = Catalog(spark, sf_dir).documents
+    return bbit_jaccard_topk(
+        docs, "doc_id", "text", n_hashes=16, b=2, shingle=3,
+        probe_mod=100, k_top=10,
+    )

@@ -853,3 +853,109 @@ def containment_dedup_increment(
             >= threshold_pct * F.col("new_n")
         ).alias("is_dup"),
     )
+
+
+def bbit_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    b: int = 2,
+    shingle: int = 3,
+) -> DataFrame:
+    """b-BIT MinHash (Li & König, WWW 2010 — "b-Bit Minwise
+    Hashing"): keep only the lowest ``b`` bits of each of the k
+    minhash values and PACK the signature into one BIGINT — here
+    16 hashes × 2 bits = 32 bits per document instead of 16 × 32 =
+    512 (a 16× storage/bandwidth cut, the paper's point: at b=2 you
+    re-spend a little variance for an order-of-magnitude smaller
+    sketch, and the loss is a CLOSED-FORM collision rate you correct
+    for, not a bias). Emits ``(id, bsig)``; feed pairs to
+    :func:`bbit_jaccard_topk` for the corrected estimate.
+
+    Pure projection over the portable minhash columns — no shuffle,
+    no Python; k·b must fit a BIGINT (≤ 63)."""
+    if b < 1 or n_hashes * b > 63:
+        raise ValueError("need 1 <= b and n_hashes*b <= 63")
+    sigs = minhash_signatures_portable(
+        df, id_col, text_col, n_hashes, shingle
+    )
+    mask = (1 << b) - 1
+    packed = None
+    for seed in range(n_hashes):
+        piece = F.shiftleft(
+            F.col(f"mh_{seed}").bitwiseAND(F.lit(mask)).cast("long"),
+            seed * b,
+        )
+        packed = piece if packed is None else packed.bitwiseOR(piece)
+    return sigs.select(F.col(id_col), packed.alias("bsig"))
+
+
+def bbit_jaccard_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    b: int = 2,
+    shingle: int = 3,
+    probe_mod: int = 100,
+    k_top: int = 10,
+) -> DataFrame:
+    """Top-k near-duplicates per probe document from b-bit signatures
+    alone: matched slot count via ONE XOR + k masked zero-tests on
+    the packed BIGINTs (never touching text or full signatures), and
+    the Li-König collision-corrected Jaccard estimate as the exact
+    integer rational
+
+        jac_e4 = max(matched·2^b − k, 0) · 10^4  div  k·(2^b − 1)
+
+    (from (m̂ − C)/(1 − C) with C = 1/2^b — the expected collision
+    rate of unequal minhashes' low bits). Probes = ids ≡ 0 mod
+    ``probe_mod``; output (a_id, b_id, matched, jac_e4, rk) bounded
+    to k_top per probe. Scale shape: the probe side broadcasts (it
+    is 1/probe_mod of the corpus); production pushes the same XOR
+    arithmetic through an LSH-banded equi-join instead — this
+    surface certifies the ESTIMATOR."""
+    from jane_spark.operators.topk import top_k_per_group
+
+    sigs = bbit_minhash(df, id_col, text_col, n_hashes, b, shingle)
+    mask = (1 << b) - 1
+    a = sigs.filter((F.col(id_col) % probe_mod) == 0).select(
+        F.col(id_col).alias("a_id"), F.col("bsig").alias("a_sig")
+    )
+    bb = sigs.select(
+        F.col(id_col).alias("b_id"), F.col("bsig").alias("b_sig")
+    )
+    x = F.col("a_sig").bitwiseXOR(F.col("b_sig"))
+    matched = None
+    for i in range(n_hashes):
+        t = F.when(
+            F.shiftrightunsigned(x, i * b).bitwiseAND(F.lit(mask)) == 0, 1
+        ).otherwise(0)
+        matched = t if matched is None else matched + t
+    k, twob = n_hashes, 1 << b
+    est = (
+        F.broadcast(a)
+        .crossJoin(bb)
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            matched.cast("bigint").alias("matched"),
+        )
+        .withColumn(
+            "jac_e4",
+            F.expr(
+                f"(greatest(matched * {twob} - {k}, 0) * 10000) "
+                f"div {k * (twob - 1)}"
+            ).cast("bigint"),
+        )
+    )
+    return top_k_per_group(
+        est,
+        ["a_id"],
+        [F.col("matched").desc(), F.col("b_id").asc()],
+        k_top,
+    ).withColumnRenamed("rn", "rk").withColumn(
+        "rk", F.col("rk").cast("bigint")
+    )

@@ -5683,3 +5683,44 @@ def test_bloom_skip_audit_laws(spark, sf_dir):
         row_l.repartition(13), "__file", "source", probes
     ).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, a_row))
+
+
+def test_bbit_minhash_estimator(spark):
+    """b-bit MinHash (Li-Konig 2010), pinned: (1) the corrected
+    estimator tracks TRUE Jaccard on constructed overlap pairs
+    (identical docs -> matched=16, jac_e4=10000; ~half-overlap docs
+    -> estimate within a wide-but-real band; disjoint docs ->
+    estimate near 0); (2) the packed signature really is 32 bits
+    (fits an int, 16x smaller than 16 full 32-bit hashes);
+    (3) determinism under repartitioning."""
+    from jane_spark.operators.dedup import bbit_jaccard_topk, bbit_minhash
+
+    words = [f"w{i}" for i in range(120)]
+    full = " ".join(words)
+    half = " ".join(words[:60] + [f"z{i}" for i in range(60)])
+    other = " ".join(f"q{i}" for i in range(120))
+    rows = [(0, full), (100, full), (200, half), (300, other)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    sigs = {r.doc_id: r.bsig for r in
+            bbit_minhash(df, "doc_id", "text").collect()}
+    assert all(0 <= s < (1 << 32) for s in sigs.values())
+    assert sigs[0] == sigs[100]
+
+    top = bbit_jaccard_topk(
+        df, "doc_id", "text", probe_mod=100, k_top=3
+    ).collect()
+    by = {(r.a_id, r.b_id): r for r in top}
+    assert by[(0, 100)].matched == 16 and by[(0, 100)].jac_e4 == 10000
+    # half-overlap: 3-shingle Jaccard ~ (58 shared)/(178 total) ~ 0.33;
+    # at k=16, b=2 the estimator is coarse — accept a wide honest band
+    est_half = by[(0, 200)].jac_e4
+    assert 800 <= est_half <= 7000, est_half
+    est_none = by[(0, 300)].jac_e4
+    assert est_none <= 2500, est_none
+    assert est_half > est_none
+
+    again = bbit_jaccard_topk(
+        df.repartition(5), "doc_id", "text", probe_mod=100, k_top=3
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, top))

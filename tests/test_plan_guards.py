@@ -411,6 +411,10 @@ _PANDAS_ALLOWED = {
     "q_p14_warc_pipeline",
     # portable IVF quantizes via the same Arrow GEMM stage as q_k3_ivf
     "q_k3_ivf_portable",
+    # incremental-IVF's frozen-centroid batch assignment runs the same
+    # Arrow GEMM stage (r13); the drift trigger is pure JVM — its
+    # contract proves that and is NOT allowlisted
+    "q_k50_ivf_incr",
     # composed IVF-PQ's coarse list assignment runs the same Arrow
     # GEMM stage (r9); the ADC read path itself is pure JVM — the
     # pq_adc/adc_rerank contracts prove that, they are NOT allowlisted
