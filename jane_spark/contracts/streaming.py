@@ -841,3 +841,176 @@ def q_j5_two_batch(spark, sf_dir):
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@contract(
+    "q_j5_event_timeout",
+    oracle="""
+        WITH f AS (SELECT user_id AS key, ts FROM events
+                   WHERE user_id % 10 = 0),
+        a AS (SELECT * FROM f
+              WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+        bnew AS (SELECT * FROM f
+                 WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+                   AND key % 20 = 0),
+        fall AS (SELECT * FROM a UNION ALL SELECT * FROM bnew),
+        o1 AS (SELECT key, ts,
+                      CASE WHEN lag(ts) OVER (PARTITION BY key
+                                              ORDER BY ts) IS NULL
+                           OR epoch_us(ts)
+                              - epoch_us(lag(ts) OVER (PARTITION BY key
+                                                       ORDER BY ts))
+                              > 1800000000
+                           THEN 1 ELSE 0 END AS brk
+               FROM a),
+        s1 AS (SELECT key, ts,
+                      sum(brk) OVER (PARTITION BY key ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS seg
+               FROM o1),
+        g1 AS (SELECT key, seg,
+                      CAST(epoch_us(min(ts)) AS BIGINT) AS seg_start_us,
+                      CAST(epoch_us(max(ts)) AS BIGINT) AS seg_end_us,
+                      CAST(count(*) AS BIGINT) AS n_events
+               FROM s1 GROUP BY key, seg),
+        b1 AS (SELECT key, seg_start_us, seg_end_us, n_events,
+                      seg <> max(seg) OVER (PARTITION BY key) AS closed
+               FROM g1),
+        o2 AS (SELECT key, ts,
+                      CASE WHEN lag(ts) OVER (PARTITION BY key
+                                              ORDER BY ts) IS NULL
+                           OR epoch_us(ts)
+                              - epoch_us(lag(ts) OVER (PARTITION BY key
+                                                       ORDER BY ts))
+                              > 1800000000
+                           THEN 1 ELSE 0 END AS brk
+               FROM fall),
+        s2 AS (SELECT key, ts,
+                      sum(brk) OVER (PARTITION BY key ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS seg
+               FROM o2),
+        g2 AS (SELECT key, seg,
+                      CAST(epoch_us(min(ts)) AS BIGINT) AS seg_start_us,
+                      CAST(epoch_us(max(ts)) AS BIGINT) AS seg_end_us,
+                      CAST(count(*) AS BIGINT) AS n_events
+               FROM s2 GROUP BY key, seg),
+        g2c AS (SELECT key, seg, seg_start_us, seg_end_us, n_events,
+                       seg <> max(seg) OVER (PARTITION BY key) AS closed
+                FROM g2),
+        keys_b AS (SELECT DISTINCT key FROM bnew),
+        open_a AS (SELECT key, seg_start_us AS oa_start,
+                          seg_end_us AS oa_end, n_events AS oa_n
+                   FROM b1 WHERE NOT closed),
+        b2_data AS (SELECT g2c.key, g2c.seg_start_us, g2c.seg_end_us,
+                           g2c.n_events, g2c.closed
+                    FROM g2c
+                    JOIN keys_b ON g2c.key = keys_b.key
+                    LEFT JOIN open_a ON g2c.key = open_a.key
+                    WHERE open_a.key IS NULL
+                       OR g2c.seg_start_us >= open_a.oa_start),
+        wmf AS (SELECT CAST(max(epoch_us(ts)) AS BIGINT) AS maxf_us
+                FROM fall),
+        b2_flush AS (SELECT g2c.key, g2c.seg_start_us, g2c.seg_end_us,
+                            g2c.n_events, TRUE AS closed
+                     FROM g2c CROSS JOIN wmf
+                     WHERE NOT g2c.closed
+                       AND (g2c.seg_end_us + 1800000000) // 1000
+                           <= wmf.maxf_us // 1000)
+        SELECT CAST(key AS BIGINT) AS key, seg_start_us, seg_end_us,
+               n_events, closed
+        FROM b1
+        UNION ALL
+        SELECT CAST(key AS BIGINT), seg_start_us, seg_end_us,
+               n_events, closed FROM b2_data
+        UNION ALL
+        SELECT CAST(key AS BIGINT), seg_start_us, seg_end_us,
+               n_events, closed FROM b2_flush
+    """,
+    survey_rows="J5,I5,I2",
+    doc="EVENT-TIME TIMEOUT state flush as a TRUE ORACLE — completes "
+    "the J5 family: wall-clock (ProcessingTime) timeouts are "
+    "nondeterministic by construction, but EventTimeTimeout flushes "
+    "by WATERMARK, which advances with the DATA — so the flush set "
+    "is closed-form. Construction: file A = pre-cut events, file B = "
+    "post-cut events of HALF the keys (key % 20 = 0), two "
+    "availableNow runs on one checkpoint with the tracker's timeout "
+    "timestamp set to seg_end + gap. Each availableNow run ends with "
+    "a no-data sweep batch at the advanced watermark (discovered "
+    "empirically against the first-draft oracle, r13), so the flush "
+    "law lands simply: EVERY key's final open segment emits exactly "
+    "one closed=true flush iff its gap horizon (seg_end + 1800 s, "
+    "floored to ms — Spark watermarks are ms) <= the final watermark "
+    "(max event time over both files); keys with B data also emit "
+    "the ordinary cross-batch data law, and a key whose A-open "
+    "segment flushed in run 1's sweep re-sessionizes its B rows "
+    "from empty state — the gap rule makes the emitted segments "
+    "identical either way, which is WHY the multiset is closed-form. "
+    "Hash equality pins the TIMEOUT semantics — which keys flush, "
+    "with exactly what state — against batch SQL",
+)
+def q_j5_event_timeout(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    _self_configure(spark, sf_dir)
+    from jane_spark.streaming.ingest import stream_parquet_dir
+    from jane_spark.streaming.state import open_segments_stream
+
+    root = tempfile.mkdtemp(prefix="jane_j5t_")
+    arrival = os.path.join(root, "arrival")
+    os.makedirs(arrival)
+    ckpt = os.path.join(root, "ckpt")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    ev = _ts_ntz(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).select("user_id", "ts")
+    sink = os.path.join(root, "sink")
+
+    def to_sink(batch_df, _batch_id):
+        batch_df.write.mode("append").parquet(sink)
+
+    def transform(df):
+        d = _ts_ntz(df).filter(F.col("user_id") % 10 == 0)
+        return open_segments_stream(
+            d, "user_id", "ts", gap_seconds=1800,
+            event_time_timeout=True,
+        )
+
+    try:
+        parts = [
+            ev.filter(F.col("ts") < cut),
+            ev.filter(
+                (F.col("ts") >= cut) & (F.col("user_id") % 20 == 0)
+            ),
+        ]
+        for i, part in enumerate(parts):
+            part.coalesce(1).write.mode("append").parquet(arrival)
+            schema = spark.read.parquet(arrival).schema
+            stream = stream_parquet_dir(spark, arrival, schema)
+            q = (
+                transform(stream)
+                .writeStream.foreachBatch(to_sink)
+                .queryName(f"q_j5t_run_{i}")
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return (
+            spark.read.parquet(sink)
+            .select(
+                F.col("key").cast("bigint").alias("key"),
+                F.expr("cast(unix_micros(segment_start) as bigint)").alias(
+                    "seg_start_us"
+                ),
+                F.expr("cast(unix_micros(segment_end) as bigint)").alias(
+                    "seg_end_us"
+                ),
+                F.col("n_events").cast("bigint").alias("n_events"),
+                "closed",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

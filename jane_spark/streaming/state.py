@@ -37,14 +37,27 @@ STATE_SCHEMA = T.StructType(
 )
 
 
-def make_segment_tracker(gap_seconds: float, idle_timeout_ms: int | None = None):
+def make_segment_tracker(
+    gap_seconds: float,
+    idle_timeout_ms: int | None = None,
+    event_time_timeout: bool = False,
+):
     """Returns the applyInPandasWithState function tracking open
     segments per key with the given gap tolerance.
 
     ``idle_timeout_ms`` flushes idle keys on a long-running stream; leave
     None under availableNow/batch-equivalence harnesses — a pending
     processing-time timeout keeps scheduling no-data micro-batches, so
-    an availableNow query would never terminate."""
+    an availableNow query would never terminate.
+
+    ``event_time_timeout`` flushes by WATERMARK instead of wall clock:
+    after each update the key's timeout is set to ``seg_end + gap``
+    (event time), so once the stream's watermark passes the point
+    where the gap rule would have closed the segment anyway, the idle
+    key flushes — deterministically, because watermarks advance with
+    the DATA, not the clock. This is the flush mode whose semantics a
+    batch oracle can replay (q_j5_event_timeout); wall-clock timeouts
+    cannot be (pytest-only by construction)."""
     gap_us = int(gap_seconds * 1_000_000)
 
     def track(
@@ -91,7 +104,12 @@ def make_segment_tracker(gap_seconds: float, idle_timeout_ms: int | None = None)
                 seg_start, seg_end, n = epoch, epoch, 1
 
         state.update((int(seg_start), int(seg_end), int(n)))
-        if idle_timeout_ms is not None:
+        if event_time_timeout:
+            # flush when the watermark passes the gap horizon — the
+            # moment the gap rule would close this segment no matter
+            # what arrives later (timeout timestamps are epoch ms)
+            state.setTimeoutTimestamp((int(seg_end) + gap_us) // 1000)
+        elif idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)
         rows = closed_rows + [(seg_start, seg_end, n, False)]
         yield pd.DataFrame(
@@ -117,25 +135,33 @@ def open_segments_stream(
     ts: str,
     gap_seconds: float,
     idle_timeout_ms: int | None = None,
+    event_time_timeout: bool = False,
 ) -> DataFrame:
     """J5 entry point: per-key open-segment tracking over a stream.
     Emits every touched segment per micro-batch (closed=True when a gap
     ended it; the final open segment rides along with closed=False).
-    Pass ``idle_timeout_ms`` on continuous streams to flush idle keys."""
-    tracker = make_segment_tracker(gap_seconds, idle_timeout_ms)
-    timeout = (
-        GroupStateTimeout.ProcessingTimeTimeout
-        if idle_timeout_ms is not None
-        else GroupStateTimeout.NoTimeout
+    Pass ``idle_timeout_ms`` on continuous streams to flush idle keys
+    by wall clock, or ``event_time_timeout=True`` to flush them by
+    WATERMARK (deterministic — the oracle-checkable mode; attaches a
+    0-second watermark to the event-time column)."""
+    tracker = make_segment_tracker(
+        gap_seconds, idle_timeout_ms, event_time_timeout
     )
-    return (
-        events.selectExpr(f"{key} AS key", f"cast({ts} as timestamp) AS ts")
-        .groupBy("key")
-        .applyInPandasWithState(
-            tracker,
-            outputStructType=OUTPUT_SCHEMA,
-            stateStructType=STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=timeout,
-        )
+    if event_time_timeout:
+        timeout = GroupStateTimeout.EventTimeTimeout
+    elif idle_timeout_ms is not None:
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
+    else:
+        timeout = GroupStateTimeout.NoTimeout
+    src = events.selectExpr(
+        f"{key} AS key", f"cast({ts} as timestamp) AS ts"
+    )
+    if event_time_timeout:
+        src = src.withWatermark("ts", "0 seconds")
+    return src.groupBy("key").applyInPandasWithState(
+        tracker,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
     )

@@ -464,3 +464,46 @@ def test_two_batch_checkpoint_state_recovery(spark, sf_dir):
     # and the final open segment per key lives in post-cut time
     finals = [r for r in out if not r.closed and r.seg_end_us >= cut_us]
     assert finals
+
+
+def test_event_time_timeout_flush(spark, sf_dir):
+    """q_j5_event_timeout's core claims, pinned directly: (1) idle
+    keys (no post-cut data) get their open segment flushed
+    closed=true by the WATERMARK — there is no data emission that
+    could have closed it; (2) every flush row's gap horizon is <=
+    the final watermark (ms floor); (3) at stream end, a key's
+    final open segment appears closed=false from the data batch AND
+    closed=true from the sweep when eligible — the re-emission pair
+    the law predicts."""
+    from jane_spark.contracts.registry import REGISTRY
+
+    out = REGISTRY["q_j5_event_timeout"].spark_fn(spark, sf_dir).collect()
+    cut_us = 1705363200000000
+    gap_us = 1800 * 1_000_000
+    max_us = max(r.seg_end_us for r in out)
+    # keys with no post-cut rows: every one of their closed=true rows
+    # whose end precedes the cut must obey the horizon rule
+    flushes = [r for r in out if r.closed and r.seg_end_us < cut_us]
+    assert flushes
+    for r in flushes:
+        assert (r.seg_end_us + gap_us) // 1000 <= max_us // 1000, r
+    # idle-key witness: a pre-cut OPEN emission (closed=false) whose
+    # exact values re-appear closed=true — watermark did that, data
+    # could not (idle keys have no batch-2 data)
+    opens = {
+        (r.key, r.seg_start_us, r.seg_end_us, r.n_events)
+        for r in out
+        if not r.closed and r.seg_end_us < cut_us
+    }
+    closed = {
+        (r.key, r.seg_start_us, r.seg_end_us, r.n_events)
+        for r in out
+        if r.closed and r.seg_end_us < cut_us
+    }
+    assert opens & closed
+    # keys % 20 == 10 never appear in post-cut data emissions
+    post_data = [
+        r for r in out
+        if not r.closed and r.seg_end_us >= cut_us and r.key % 20 == 10
+    ]
+    assert not post_data
