@@ -253,6 +253,8 @@ BENCH_QUERIES = {
     # b-bit minhash packed-signature retrieval (lazy plan; twin replays
     # the portable minhash chain + slot compares)
     "bbit_minhash": "q_k51_bbit_minhash",
+    # synchronous LPA communities (lazy 4-round plan; unrolled-CTE twin)
+    "lpa": "q_k52_lpa",
     # (q_i5_late_drop stays un-benched like every streaming execution:
     # the stream runs at plan-build into a memory sink and its oracle
     # is the batch twin — a construct-only compare)
@@ -500,6 +502,8 @@ CALIBRATION = {
     "robust_trend": 0.2508,
     "bloom_skip": 0.0611,
     "bbit_minhash": 1.6926,
+    # two sessions measured 2.52 (load 6)/2.15 (load 2.1) — idle one
+    "lpa": 2.1535,
 }
 
 

@@ -45,7 +45,7 @@ VERIFY_FIRST: list[str] = [
     #   (c) the 14-name r6 tail in REGISTRATION order — after this
     #       window, r6-era evidence debt is ZERO;
     #   (d) the r7 block in registration order, as many as fit.
-    # Into r14: the r7 remainder (q_k16_kmeans, q_t23_domaincap,
+    # Into r14: the r7 remainder (q_k21_quality_clf, q_k16_kmeans, q_t23_domaincap,
     # q_t27_psl_domain, q_k22_bpe_train, q_k22_bpe_encode, q_t24_stupid_backoff,
     # q_t33_kneser_ney, q_t32_gopher, q_t31_compress,
     # q_t30_sentences, q_t29_extract,
@@ -69,6 +69,7 @@ VERIFY_FIRST: list[str] = [
     "q_p29_bloom_skip",
     "q_k51_bbit_minhash",
     "q_j5_event_timeout",
+    "q_k52_lpa",
     # (b) code changed this round
     "q_k47_gram",
     "q_p27_shard_balance",
@@ -108,7 +109,6 @@ VERIFY_FIRST: list[str] = [
     "q_p11_webpipeline",
     "q_t21_dupremove",
     "q_t20_clf_score",
-    "q_k21_quality_clf",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

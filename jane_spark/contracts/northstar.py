@@ -3103,3 +3103,78 @@ def q_k51(spark, sf_dir):
         docs, "doc_id", "text", n_hashes=16, b=2, shingle=3,
         probe_mod=100, k_top=10,
     )
+
+
+def _lpa_oracle(iters: int = 4) -> str:
+    """Unrolled synchronous-LPA twin over the q_k28 rare-shingle
+    blocking graph: the shared edge CTEs, then one
+    (count, argmax) CTE pair per round — fixed rounds make the loop
+    one-shot-expressible, the q_k16_kmeans precedent."""
+    ctes = [
+        "t AS (SELECT doc_id AS doc, string_split(text, ' ') AS w "
+        "FROM documents)",
+        "toks AS (SELECT DISTINCT doc, unnest(list_transform("
+        "generate_series(1, len(w) - 2), "
+        "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tok "
+        "FROM t WHERE len(w) >= 3)",
+        "rare AS (SELECT tok FROM toks GROUP BY tok "
+        "HAVING count(*) BETWEEN 2 AND 5)",
+        "bl AS (SELECT doc, tok FROM toks JOIN rare USING (tok))",
+        "edges AS (SELECT DISTINCT least(x.doc, y.doc) AS lo, "
+        "greatest(x.doc, y.doc) AS hi FROM bl x JOIN bl y USING (tok) "
+        "WHERE x.doc <> y.doc)",
+        "sym0 AS (SELECT lo AS v, hi AS u FROM edges "
+        "UNION ALL SELECT hi, lo FROM edges)",
+        # self-vote: one self-loop per node (mirrors the operator's
+        # oscillation damping)
+        "sym AS (SELECT v, u FROM sym0 "
+        "UNION ALL SELECT DISTINCT v, v FROM sym0)",
+        "l0 AS (SELECT DISTINCT v AS node, v AS label FROM sym0)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"n{t} AS (SELECT s.v, l.label, count(*) AS c FROM sym s "
+            f"JOIN l{t - 1} l ON s.u = l.node GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"l{t} AS (SELECT v AS node, label FROM ("
+            f"SELECT v, label, row_number() OVER (PARTITION BY v "
+            f"ORDER BY c DESC, label ASC) AS rn FROM n{t}) "
+            f"WHERE rn = 1)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(label AS BIGINT) AS community
+        FROM l{iters}
+    """
+    )
+
+
+@contract(
+    "q_k52_lpa",
+    oracle=_lpa_oracle(),
+    survey_rows="K52,K10,K28",
+    doc="deterministic synchronous LABEL PROPAGATION communities "
+    "(Raghavan, Albert & Kumara 2007 — "
+    "operators/components.label_propagation) over the q_k28 "
+    "rare-shingle near-dup graph: 4 fixed synchronous rounds, each "
+    "node adopting its neighbors' most frequent label with ties to "
+    "the smallest (determinism the original's random tie-break "
+    "lacks). The community grain K10's connected components cannot "
+    "give: one boilerplate bridge chains two unrelated dup-clusters "
+    "into a single component, while LPA keeps densely-linked cores "
+    "apart (barbell pytest) — the right grain for one-canonical-doc "
+    "selection. Per round: one |E|-keyed join + one (node, label) "
+    "count + one argmax window, built as ONE lazy plan; the oracle "
+    "unrolls the same rounds as CTEs (the kmeans/pagerank precedent)",
+)
+def q_k52(spark, sf_dir):
+    from jane_spark.operators.components import label_propagation
+    from jane_spark.operators.triangles import rare_shingle_edges
+
+    docs = Catalog(spark, sf_dir).documents
+    edges = rare_shingle_edges(
+        docs, "doc_id", "text", ngram=3, min_docs=2, max_docs=5
+    )
+    return label_propagation(edges, "lo", "hi", iters=4)

@@ -25,7 +25,7 @@ propagation round is cheaper than a star round.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -158,3 +158,64 @@ def cluster_canonical(labels: DataFrame) -> DataFrame:
     """Collapse a component labeling to one row per cluster:
     (comp, n_members) — the keep-list is ``id == comp`` rows."""
     return labels.groupBy("comp").agg(F.count(F.lit(1)).alias("n_members"))
+
+
+def label_propagation(
+    edges: DataFrame, lo: str = "lo", hi: str = "hi", iters: int = 4
+) -> DataFrame:
+    """Deterministic SYNCHRONOUS label propagation (Raghavan, Albert &
+    Kumara 2007 — the near-linear community detector): every node
+    starts labeled with its own id; each round, every node adopts the
+    most frequent label among its NEIGHBORS PLUS ITSELF (the
+    self-vote damps the period-2 oscillation synchronous updates
+    suffer on symmetric structures — without it an isolated pair
+    swaps labels forever and the smallest dup-cluster never forms;
+    ties to the smallest label — the determinism the original's
+    random tie-break lacks; synchronous update so the result is
+    independent of visit order), for a FIXED ``iters`` rounds. Communities refine connected
+    components: K10's components merge everything reachable — one
+    boilerplate bridge chains two unrelated dup-clusters into one
+    canonical group — while LPA keeps densely-linked cores apart
+    (the barbell pytest pins exactly that), which is the right grain
+    for choose-one-canonical-doc dedup.
+
+    Plan shape: per round ONE join of the symmetric edge list against
+    the |V|-row label table + ONE (node, label) count + ONE argmax
+    window — shuffles scale with |E|, never |V|². The loop builds a
+    LAZY plan (fixed rounds, no driver data, no action at build), so
+    the whole detector is one job; the oracle unrolls the same
+    rounds as CTEs.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    both = edges.select(
+        F.col(lo).alias("v"), F.col(hi).alias("u")
+    ).unionByName(
+        edges.select(F.col(hi).alias("v"), F.col(lo).alias("u"))
+    )
+    nodes = both.select(F.col("v")).distinct()
+    # self-vote = a self-loop per node (see docstring)
+    sym = both.unionByName(nodes.withColumn("u", F.col("v")))
+    labels = nodes.select(F.col("v").alias("node")).withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(iters):
+        counts = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("u"), F.col("label")
+                ),
+                "u",
+            )
+            .groupBy("v", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("v").orderBy(
+            F.col("c").desc(), F.col("label").asc()
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("v").alias("node"), "label")
+        )
+    return labels.select("node", F.col("label").alias("community"))

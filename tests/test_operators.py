@@ -5724,3 +5724,65 @@ def test_bbit_minhash_estimator(spark):
         df.repartition(5), "doc_id", "text", probe_mod=100, k_top=3
     ).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, top))
+
+
+def test_label_propagation_laws(spark, sf_dir):
+    """Synchronous LPA, pinned: (1) the barbell discriminator — two
+    4-cliques joined by one bridge edge form ONE connected component
+    but TWO LPA communities (the grain components cannot give);
+    (2) refinement law on the real near-dup graph — every LPA
+    community is a subset of a connected component; (3) determinism
+    under repartitioning; (4) an isolated edge pair converges to one
+    community labeled by its smaller id."""
+    import itertools
+
+    from jane_spark.operators.components import (
+        connected_components,
+        label_propagation,
+    )
+    from jane_spark.operators.triangles import rare_shingle_edges
+
+    e = [(a, b) for a, b in itertools.combinations(range(4), 2)]
+    e += [(a, b) for a, b in itertools.combinations(range(10, 14), 2)]
+    e += [(3, 10)]
+    bar = spark.createDataFrame(e, ["lo", "hi"])
+    got = {
+        r.node: r.community
+        for r in label_propagation(bar, iters=4).collect()
+    }
+    assert {got[n] for n in range(4)} == {0}
+    assert {got[n] for n in range(10, 14)} == {10}
+
+    pair = spark.createDataFrame([(7, 9)], ["lo", "hi"])
+    pg = {r.node: r.community
+          for r in label_propagation(pair, iters=4).collect()}
+    assert set(pg.values()) == {7}
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = rare_shingle_edges(
+        docs, "doc_id", "text", ngram=3, min_docs=2, max_docs=5
+    ).localCheckpoint(eager=True)
+    lpa = {
+        r.node: r.community
+        for r in label_propagation(edges, iters=4).collect()
+    }
+    comp = {
+        r["id"]: r["comp"]
+        for r in connected_components(
+            edges, "lo", "hi"
+        ).collect()
+    }
+    # refinement: two nodes sharing an LPA community share a component
+    by_comm: dict = {}
+    for n, c in lpa.items():
+        by_comm.setdefault(c, []).append(n)
+    for members in by_comm.values():
+        assert len({comp[m] for m in members}) == 1
+
+    again = {
+        r.node: r.community
+        for r in label_propagation(
+            edges.repartition(9), iters=4
+        ).collect()
+    }
+    assert again == lpa
