@@ -277,6 +277,7 @@ def gram_matrix(
     vec_col: str,
     dim: int,
     max_component: float = 2.0,
+    scale_log10: int = 6,
 ) -> DataFrame:
     """Per-group fixed-point GRAM / covariance accumulator over the
     first ``dim`` embedding dimensions — the sufficient statistic for
@@ -320,7 +321,14 @@ def gram_matrix(
         raise ValueError("dim must be >= 1")
     if max_component <= 0:
         raise ValueError("max_component must be > 0")
-    n_safe = int((float(2**62) ** 0.5) / (max_component * 1_000_000))
+    if not 1 <= scale_log10 <= 6:
+        raise ValueError("scale_log10 must be in [1, 6]")
+    # quantization unit = 10^-scale_log10; the int64 envelope scales
+    # inversely with the unit (e6 -> ~1073 rows/group at mc=2.0, e4 ->
+    # ~107k) — callers with bigger groups trade precision for headroom
+    # (pca_fit/opq_fit auto-select; ADVICE r12's loud guard stays)
+    q_unit = 10 ** scale_log10
+    n_safe = int((float(2**62) ** 0.5) / (max_component * q_unit))
     if dim > 64:
         raise ValueError("dim > 64: d(d+1)/2 expression count is the "
                          "practical ceiling; project the vector first")
@@ -339,7 +347,7 @@ def gram_matrix(
     # past that bound (or a NULL inside a long-enough vector, which
     # sum() would silently skip while n still counts the row) must
     # fail LOUDLY instead of skewing the e12 product sums (ADVICE r12)
-    q_max = int(round(max_component * 1_000_000))
+    q_max = int(round(max_component * q_unit))
     base = df.select(
         *[F.col(k) for k in keys], guarded.alias("__v")
     ).select(
@@ -347,9 +355,9 @@ def gram_matrix(
         *[
             F.expr(
                 f"CASE WHEN abs(cast(round(cast(element_at(__v, {i}) "
-                f"as double) * 1000000, 0) as bigint)) <= {q_max} "
+                f"as double) * {q_unit}, 0) as bigint)) <= {q_max} "
                 f"THEN cast(round(cast(element_at(__v, {i}) as double) "
-                f"* 1000000, 0) as bigint) "
+                f"* {q_unit}, 0) as bigint) "
                 f"ELSE raise_error(concat('gram_matrix: component {i} "
                 f"= ', coalesce(cast(element_at(__v, {i}) as string), "
                 f"'NULL'), ' outside [-{max_component}, "
@@ -376,8 +384,9 @@ def gram_matrix(
     guarded_n = F.expr(
         f"CASE WHEN n <= {n_safe} THEN n ELSE raise_error(concat("
         f"'gram_matrix: group of ', cast(n as string), ' rows exceeds "
-        f"the int64-safe bound {n_safe} at e6 scaling "
-        f"(max_component={max_component}); rescale components')) END"
+        f"the int64-safe bound {n_safe} at e{scale_log10} scaling "
+        f"(max_component={max_component}); lower scale_log10 or "
+        f"rescale components')) END"
     )
     return wide.select(
         *keys,
@@ -784,6 +793,7 @@ def pca_fit(
     dim: int,
     k: int,
     max_component: float = 2.0,
+    scale_log10: int | None = None,
 ):
     """PCA over an embedding column, completing the K47 story: the
     cluster aggregates the EXACT fixed-point Gram statistics
@@ -808,8 +818,19 @@ def pca_fit(
 
     if not 1 <= k <= dim:
         raise ValueError("need 1 <= k <= dim")
+    if scale_log10 is None:
+        # auto-select the finest quantization whose int64 envelope
+        # covers the corpus (one cheap count; the r13 opq lesson —
+        # the fixed e6 guard fired on a 2000-row corpus at sf0.1)
+        n_rows = df.count()
+        scale_log10 = 6
+        while scale_log10 > 1 and n_rows > int(
+            (float(2**62) ** 0.5) / (max_component * 10 ** scale_log10)
+        ):
+            scale_log10 -= 1
     rows = gram_matrix(
-        df, [], vec_col, dim=dim, max_component=max_component
+        df, [], vec_col, dim=dim, max_component=max_component,
+        scale_log10=scale_log10,
     ).collect()
     # keys=[] makes gram_matrix a GLOBAL aggregate, which yields one
     # row (n=0, NULL sums) even on an empty frame — so the empty-input
@@ -817,15 +838,16 @@ def pca_fit(
     if not rows or rows[0]["n"] == 0:
         raise ValueError("pca_fit: empty input")
     n = rows[0]["n"]
+    unit2 = float(10 ** (2 * scale_log10))
     C = np.zeros((dim, dim))
     S = np.zeros(dim)
     for r in rows:
         i, j = r["i"] - 1, r["j"] - 1
         # exact integer numerator -> float covariance (divide LAST)
-        C[i, j] = C[j, i] = r["cov_num_e12"] / (n * n * 1e12)
+        C[i, j] = C[j, i] = r["cov_num_e12"] / (n * n * unit2)
         S[i] = r["sx_e6"]
         S[j] = r["sy_e6"]
-    means = S / (n * 1e6)
+    means = S / (n * float(10 ** scale_log10))
     evals, evecs = np.linalg.eigh(C)  # ascending
     order = np.argsort(evals)[::-1][:k]
     comps = evecs[:, order].T  # (k, d)

@@ -2032,7 +2032,8 @@ def opq_fit(
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub_d = dim // m
     means, comps, evals = pca_fit(
-        df, vec_col, dim=dim, k=dim, max_component=max_component
+        df, vec_col, dim=dim, k=dim, max_component=max_component,
+        scale_log10=None,  # auto-select for the corpus size (r13)
     )
     buckets: list[list[int]] = [[] for _ in range(m)]
     logs = [0.0] * m
