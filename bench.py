@@ -527,12 +527,18 @@ _NCPU = os.cpu_count() or 1
 AMBIENT_GATE_CORES = float(os.environ.get("SPARK_GRAFT_AMBIENT_GATE", "1.5"))
 
 
-def _proc_stat() -> tuple[int, int]:
-    """(total_jiffies, idle_jiffies) across all cpus from /proc/stat."""
+def _proc_stat() -> tuple[int, int, int]:
+    """(total, idle, steal) jiffies across all cpus from /proc/stat.
+    STEAL matters on this box: it runs inside a VM, and host-side
+    contention shows as steal time — CPU that belongs to NO visible
+    process, so a process-tree residual alone would miss exactly the
+    contention class that corrupted event_includeall in r12."""
     with open("/proc/stat") as f:
         parts = f.readline().split()
     vals = [int(x) for x in parts[1:]]
-    return sum(vals), vals[3] + vals[4]  # idle + iowait
+    idle = vals[3] + vals[4]  # idle + iowait
+    steal = vals[7] if len(vals) > 7 else 0
+    return sum(vals), idle, steal
 
 
 def _tree_jiffies() -> int:
@@ -576,25 +582,27 @@ def _tree_jiffies() -> int:
     return sum(j for pid, (_, j) in procs.items() if pid in tree)
 
 
-def _ambient_start() -> tuple[float, int, int, int]:
-    total, idle = _proc_stat()
-    return (time.monotonic(), total, idle, _tree_jiffies())
+def _ambient_start() -> tuple[float, int, int, int, int]:
+    total, idle, steal = _proc_stat()
+    return (time.monotonic(), total, idle, steal, _tree_jiffies())
 
 
-def _ambient_cores(start: tuple[float, int, int, int],
-                   min_window: float = 0.3) -> float:
-    """Cores of NON-bench CPU burned since ``start``. Windows shorter
-    than ``min_window`` are padded with a sleep (jiffy resolution is
-    10 ms; a 25 ms window would alias one stray tick into a core)."""
-    t0, total0, idle0, tree0 = start
+def _ambient_cores(start: tuple[float, int, int, int, int],
+                   min_window: float = 0.3) -> tuple[float, float]:
+    """(other_process_cores, steal_cores) of NON-bench CPU burned
+    since ``start``. Windows shorter than ``min_window`` are padded
+    with a sleep (jiffy resolution is 10 ms; a 25 ms window would
+    alias one stray tick into a core)."""
+    t0, total0, idle0, steal0, tree0 = start
     dt = time.monotonic() - t0
     if dt < min_window:
         time.sleep(min_window - dt)
-    total1, idle1 = _proc_stat()
+    total1, idle1, steal1 = _proc_stat()
     d_total = total1 - total0
     if d_total <= 0:
-        return 0.0
-    busy = d_total - (idle1 - idle0)
+        return 0.0, 0.0
+    d_steal = max(0, steal1 - steal0)
+    busy = d_total - (idle1 - idle0) - d_steal
     other = max(0, busy - (_tree_jiffies() - tree0))
     # clamp to the physical core count: when one of OUR processes
     # exits mid-window (pyspark python workers do), its jiffies vanish
@@ -602,7 +610,10 @@ def _ambient_cores(start: tuple[float, int, int, int],
     # observed as a 104-core reading on a 32-core box. The overcount
     # can only cause a spurious retry (never a missed one), and the
     # clamp keeps the recorded per-row number physically meaningful.
-    return min(other * _NCPU / d_total, float(_NCPU))
+    return (
+        min(other * _NCPU / d_total, float(_NCPU)),
+        min(d_steal * _NCPU / d_total, float(_NCPU)),
+    )
 
 
 def _wait_for_ambient_clear(gate: float, max_wait: float = 20.0) -> bool:
@@ -611,7 +622,7 @@ def _wait_for_ambient_clear(gate: float, max_wait: float = 20.0) -> bool:
         probe = _ambient_start()
         time.sleep(0.5)
         waited += 0.5
-        if _ambient_cores(probe, min_window=0.5) <= gate:
+        if sum(_ambient_cores(probe, min_window=0.5)) <= gate:
             return True
     return False
 
@@ -686,17 +697,22 @@ def main() -> None:
     spreads: dict[str, float] = {}
     loadavgs: dict[str, float] = {}
     ambients: dict[str, float] = {}
+    steals: dict[str, float] = {}
     ambient_flagged: list[str] = []
     baseline_recheck: dict[str, float] = {}
     # suite-wide retry budget: a persistently-contended box (e.g. the
     # driver's own run, loadavg >5) should degrade to one flagged pass,
-    # not loop forever waiting for quiet that never comes
+    # not loop forever waiting for quiet that never comes. The PER-ROW
+    # cap exists because chronic host STEAL (~1 core for hours, r13)
+    # would otherwise burn the whole budget on one short row.
     retry_budget = int(os.environ.get("SPARK_GRAFT_AMBIENT_RETRIES", "30"))
+    row_retry_cap = int(os.environ.get("SPARK_GRAFT_ROW_RETRIES", "3"))
     for bench_name, qname in BENCH_QUERIES.items():
         rebuild = bench_name in REBUILD_PER_RUN
         df = REGISTRY[qname].spark_fn(spark, sf_dir)  # prepared plan
         df.toPandas()  # untimed warm-up: codegen compile, broadcasts
         all_samples: list[float] = []
+        row_tries = 0
         while True:
             amb_t0 = _ambient_start()
             samples = []
@@ -707,20 +723,29 @@ def main() -> None:
                 else:
                     df.toPandas()
                 samples.append(time.perf_counter() - t0)
-            amb = _ambient_cores(amb_t0)
+            amb_user, amb_steal = _ambient_cores(amb_t0)
+            amb = amb_user + amb_steal
             all_samples.extend(samples)
-            if amb <= AMBIENT_GATE_CORES or retry_budget <= 0:
+            row_tries += 1
+            if (
+                amb <= AMBIENT_GATE_CORES
+                or retry_budget <= 0
+                or row_tries > row_retry_cap
+            ):
                 break
-            # someone else was eating the box during this row's window:
+            # someone else was eating the box during this row's window
+            # (another process, or the HOST stealing our vCPUs):
             # wait for them to clear, then re-measure the whole row
             retry_budget -= 1
             print(
-                f"[bench] {bench_name}: ambient {amb:.2f} cores > "
+                f"[bench] {bench_name}: ambient {amb_user:.2f}+"
+                f"{amb_steal:.2f} steal cores > "
                 f"{AMBIENT_GATE_CORES} gate — re-measuring",
                 file=sys.stderr,
             )
             _wait_for_ambient_clear(AMBIENT_GATE_CORES)
-        ambients[bench_name] = round(amb, 2)
+        ambients[bench_name] = round(amb_user, 2)
+        steals[bench_name] = round(amb_steal, 2)
         if amb > AMBIENT_GATE_CORES:
             ambient_flagged.append(bench_name)
         loadavgs[bench_name] = round(os.getloadavg()[0], 2)
@@ -749,6 +774,7 @@ def main() -> None:
         "queries_spread": spreads,
         "queries_loadavg1m": loadavgs,
         "queries_ambient_cores": ambients,
+        "queries_steal_cores": steals,
         "ambient_gate_cores": AMBIENT_GATE_CORES,
         "queries_ambient": ambient_flagged,
         "baseline_recheck_duckdb_sec": baseline_recheck,
