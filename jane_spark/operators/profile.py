@@ -931,10 +931,22 @@ def robust_trend(
     """
     if unit_seconds < 1:
         raise ValueError("unit_seconds must be >= 1")
-    x = F.expr(
+    # fail-loud on ts < t0: Spark `div` truncates toward zero while a
+    # SQL oracle's `//` floors, so a negative epoch delta lands in a
+    # DIFFERENT bucket per engine — a driver-hash mismatch invisible
+    # to pytest parity (ADVICE r13). Rejecting the row loudly keeps
+    # the bucket law single-semantics instead of silently skewed.
+    delta = (
         f"(unix_micros(cast({ts_col} as timestamp)) "
-        f"- unix_micros(timestamp'{t0}')) "
-        f"div {int(unit_seconds) * 1_000_000}"
+        f"- unix_micros(timestamp'{t0}'))"
+    )
+    x = F.expr(
+        f"CASE WHEN {delta} IS NULL THEN NULL "
+        f"WHEN {delta} >= 0 THEN {delta} "
+        f"div {int(unit_seconds) * 1_000_000} "
+        f"ELSE raise_error(concat('robust_trend: ts ', "
+        f"cast({ts_col} as string), ' precedes t0 {t0}; trunc-vs-"
+        f"floor bucket semantics diverge across engines')) END"
     ).cast("bigint")
     y = value_cents.cast("bigint")
     ser = (

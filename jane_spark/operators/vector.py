@@ -2249,10 +2249,14 @@ def moment_drift_trigger(
     idea turned into a decision rule, exact-integer end to end: a
     dimension has drifted when |mean_new − mean_old| > τ·σ_old with
     τ = tau_num/tau_den. Components are e6-quantized BEFORE any sum
-    (the gram_matrix/K31 discipline) so each side's per-dim
-    (n, Σq, Σq²) are plain BIGINTs from ONE map-side-combinable
-    aggregate per frame (2·dim+1 cells — never data-sized), and the
-    test cross-multiplies to clear every division::
+    (the gram_matrix/K31 discipline) and each side's per-dim
+    (Σq, Σq²) ACCUMULATE IN DECIMAL(38,0) from ONE
+    map-side-combinable aggregate per frame (2·dim+1 cells — never
+    data-sized): a plain BIGINT sum would silently wrap past ~2.3e6
+    rows per side at e6 quantization and flip the retrain verdict
+    without an error (ADVICE r13 — the same fix
+    dim_variance_permutation already carries). The test
+    cross-multiplies to clear every division::
 
         tau_den² · (Σq_new·n_old − Σq_old·n_new)²
             > tau_num² · n_new² · (n_old·Σq²_old − (Σq_old)²)
@@ -2261,10 +2265,7 @@ def moment_drift_trigger(
     fixture scale; int64 would wrap) — bit-identical in any engine,
     so the retrain decision itself is hash-checkable. Emits one row
     per dimension: ``(dim, n_old, n_new, drifted)``; the caller's
-    retrain signal is ``any(drifted)``. Overflow envelope: Σq² stays
-    int64 while n ≤ 2^63 / (max|component|·1e6)² per side (~2.3e6
-    rows at |c| ≤ 2 — rescale to e3 upstream for bigger batches, the
-    gram_matrix note).
+    retrain signal is ``any(drifted)``.
 
     Plan: two scans (old, new), two 1-row aggregates, one stack to
     |dim| rows, one broadcast-sized join — the decision costs less
@@ -2284,12 +2285,18 @@ def moment_drift_trigger(
             for i in range(1, dim + 1)
         ]
         aggs = [F.count(F.lit(1)).alias("n")]
+        dec_in = "decimal(38,0)"
         for i in range(1, dim + 1):
-            aggs.append(F.sum(f"__q_{i}").alias(f"sx_{i}"))
+            # accumulate in DECIMAL(38,0): BIGINT sums wrap silently
+            # (non-ANSI Spark) past ~2.3e6 rows/side at e6 scale
             aggs.append(
-                F.sum(F.col(f"__q_{i}") * F.col(f"__q_{i}")).alias(
-                    f"sxx_{i}"
-                )
+                F.sum(F.col(f"__q_{i}").cast(dec_in)).alias(f"sx_{i}")
+            )
+            aggs.append(
+                F.sum(
+                    F.col(f"__q_{i}").cast(dec_in)
+                    * F.col(f"__q_{i}").cast(dec_in)
+                ).alias(f"sxx_{i}")
             )
         wide = df.select(*qs).agg(*aggs)
         branches = ", ".join(

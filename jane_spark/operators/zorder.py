@@ -173,6 +173,17 @@ def hilbert_keys(
     """
     if len(cols) != 2:
         raise ValueError("hilbert_keys is the 2-D curve: pass 2 cols")
+    # the level fold re-selects every input column alongside the
+    # working columns, so a frame that ALREADY carries one of these
+    # names (e.g. re-keying hilbert_keys output) would hit a runtime
+    # ambiguous-column AnalysisException mid-plan — reject up front
+    # (ADVICE r13; the other layout operators' guard style)
+    clash = [c for c in df.columns if c in ("__hx", "__hy", "__hd", "hkey")]
+    if clash:
+        raise ValueError(
+            f"hilbert_keys: input already carries reserved column(s) "
+            f"{clash}; drop or rename them first"
+        )
     norm = _minmax_norm(df, cols, bits)
     n_full = 1 << bits
     out = df.withColumn("__hx", norm[0].cast("long")).withColumn(

@@ -107,8 +107,19 @@ def make_segment_tracker(
         if event_time_timeout:
             # flush when the watermark passes the gap horizon — the
             # moment the gap rule would close this segment no matter
-            # what arrives later (timeout timestamps are epoch ms)
-            state.setTimeoutTimestamp((int(seg_end) + gap_us) // 1000)
+            # what arrives later (timeout timestamps are epoch ms).
+            # Clamp to watermark+1: a straggler key fed events more
+            # than gap behind the current watermark would otherwise
+            # compute a horizon at/below it, and GroupState raises
+            # ('Timeout timestamp cannot be earlier than the current
+            # watermark') — killing the whole query, not just the key
+            # (ADVICE r13). At watermark+1 the very next watermark
+            # advance (or the end-of-run no-data sweep) flushes it —
+            # the same emission the unclamped horizon would produce.
+            horizon_ms = (int(seg_end) + gap_us) // 1000
+            state.setTimeoutTimestamp(
+                max(horizon_ms, state.getCurrentWatermarkMs() + 1)
+            )
         elif idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)
         rows = closed_rows + [(seg_start, seg_end, n, False)]

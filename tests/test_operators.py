@@ -5446,6 +5446,40 @@ def test_ivf_incremental_and_drift_trigger(spark, sf_dir):
         assert r.drifted == (lhs > rhs), (r.dim, lhs, rhs)
 
 
+def test_moment_drift_decimal_sums(spark):
+    """ADVICE r13: Σq/Σq² accumulate in DECIMAL(38,0), not BIGINT —
+    components whose e6-quantized square exceeds int64 must still
+    produce the exact integer verdict (a wrapped Σq² made rhs
+    negative and flipped calm batches to drifted=True). q = 4e9 →
+    q² = 1.6e19 > 2^63, so any int64 leg in the sum wraps."""
+    from jane_spark.operators.vector import moment_drift_trigger
+
+    big = 4.0e3  # q = round(4e3 * 1e6) = 4e9
+    old = spark.createDataFrame(
+        [([big],), ([big],), ([-big],), ([-big],)],
+        "embedding array<double>",
+    )
+    calm = spark.createDataFrame(
+        [([big],), ([-big],)], "embedding array<double>"
+    )
+    shifted = spark.createDataFrame(
+        [([big],), ([big],)], "embedding array<double>"
+    )
+    r0 = moment_drift_trigger(
+        old, calm, "embedding", dim=1, tau_num=1, tau_den=2
+    ).collect()[0]
+    # exact law: diff = 0 → lhs = 0; rhs = 4·(4·4q²) > 0 → calm.
+    # (pre-fix, Σq² wrapped negative → rhs < 0 → 0 > rhs → "drifted")
+    assert not r0.drifted, r0
+    r1 = moment_drift_trigger(
+        old, shifted, "embedding", dim=1, tau_num=1, tau_den=2
+    ).collect()[0]
+    q = round(big * 1e6)
+    lhs = 4 * (2 * q * 4 - 0 * 2) ** 2
+    rhs = 1 * 2 * 2 * (4 * (4 * q * q) - 0)
+    assert r1.drifted == (lhs > rhs) == True  # noqa: E712
+
+
 def test_hilbert_keys_laws(spark):
     """Hilbert layout keys, pinned: (1) parity with the public xy2d
     reference on the full 8x8 grid; (2) bijectivity (64 cells -> a
@@ -5517,6 +5551,18 @@ def test_hilbert_keys_laws(spark):
             h_runs += runs([hk[c] for c in cell])
             z_runs += runs([zk[c] for c in cell])
     assert h_runs < z_runs, (h_runs, z_runs)
+
+    # (5) reserved-name guard (ADVICE r13): re-keying a frame that
+    # already carries hkey/working columns fails LOUDLY up front
+    # instead of an ambiguous-column AnalysisException mid-plan
+    keyed = hilbert_keys(grid, ["x", "y"], bits=bits)
+    with pytest.raises(ValueError, match="reserved column"):
+        hilbert_keys(keyed, ["x", "y"], bits=bits)
+    with pytest.raises(ValueError, match="reserved column"):
+        hilbert_keys(grid.withColumn("__hd", F.lit(1)), ["x", "y"])
+    # and dropping the key first re-keys cleanly
+    rekeyed = hilbert_keys(keyed.drop("hkey"), ["x", "y"], bits=bits)
+    assert rekeyed.count() == n * n
 
 
 def test_poisson_bootstrap_laws(spark, sf_dir):
@@ -5641,6 +5687,24 @@ def test_robust_trend_laws(spark):
     ordered = sorted(pairs, key=lambda p: (p[0] / p[1], p[0], p[1], p[2]))
     mdy, mdx, _ = ordered[(len(pairs) + 1) // 2 - 1]
     assert (rn.ts_dy, rn.ts_dx) == (mdy, mdx)
+
+    # (5) fail-loud on ts < t0 (ADVICE r13): Spark `div` truncates
+    # toward zero, SQL `//` floors — a negative epoch delta would
+    # bucket differently per engine, so it must raise, not skew
+    with pytest.raises(Exception, match="precedes t0"):
+        robust_trend(
+            mk_df(line), ["k"], "ts", cents, "2024-06-01 00:00:00"
+        ).collect()
+    # NULL ts still passes through to the isNotNull filter, no raise
+    with_null = mk_df(line).unionByName(
+        spark.createDataFrame(
+            [("a", None, 1.0)], mk_df(line).schema
+        )
+    )
+    rz = robust_trend(
+        with_null, ["k"], "ts", cents, "2024-01-01 00:00:00"
+    ).collect()[0]
+    assert rz.m_pairs == 45  # the NULL row dropped, nothing else moved
 
 
 def test_bloom_skip_audit_laws(spark, sf_dir):

@@ -507,3 +507,115 @@ def test_event_time_timeout_flush(spark, sf_dir):
         if not r.closed and r.seg_end_us >= cut_us and r.key % 20 == 10
     ]
     assert not post_data
+
+
+def test_event_time_timeout_watermark_clamp():
+    """ADVICE r13: a key whose gap horizon (seg_end + gap) falls at or
+    below the current watermark must have its timeout CLAMPED to
+    watermark+1 — an unclamped setTimeoutTimestamp raises 'Timeout
+    timestamp cannot be earlier than the current watermark' inside
+    GroupState and kills the whole query, not just the key. Pinned at
+    the tracker-function level with a recording GroupState double
+    (the engine path is pinned separately below: Spark 4.1.2 filters
+    late input rows before applyInPandasWithState, so the horizon
+    normally clears the watermark — the clamp guards the recovered-
+    state / equal-boundary edges)."""
+    import pandas as pd
+
+    from jane_spark.streaming.state import make_segment_tracker
+
+    class FakeState:
+        hasTimedOut = False
+
+        def __init__(self, wm_ms):
+            self._wm = wm_ms
+            self.exists = False
+            self.timeout_ms = None
+
+        def update(self, v):
+            self.exists = True
+            self._v = v
+
+        @property
+        def get(self):
+            return self._v
+
+        def setTimeoutTimestamp(self, ms):
+            # the real GroupState raises here when ms <= watermark —
+            # replicate the engine contract so a regression fails loudly
+            assert ms > self._wm, (ms, self._wm)
+            self.timeout_ms = ms
+
+        def getCurrentWatermarkMs(self):
+            return self._wm
+
+    track = make_segment_tracker(1800.0, event_time_timeout=True)
+    pdf = pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-01-10 00:00:00"], utc=True)}
+    )
+    seg_end_ms = 1704844800000  # 2024-01-10 epoch ms
+    # watermark 10 days ahead of the straggler's horizon
+    wm = seg_end_ms + 10 * 86_400_000
+    st = FakeState(wm)
+    out = list(track((2,), iter([pdf]), st))
+    assert st.timeout_ms == wm + 1  # clamped, not seg_end+gap
+    assert len(out) == 1 and not out[0]["closed"].iloc[0]
+    # and when the horizon clears the watermark it is used verbatim
+    st2 = FakeState(seg_end_ms - 86_400_000)
+    list(track((3,), iter([pdf]), st2))
+    assert st2.timeout_ms == seg_end_ms + 1800 * 1000
+
+
+def test_event_time_timeout_late_rows_dropped(spark, tmp_path):
+    """Engine-semantics pin for the clamp's context: with a 0 s
+    watermark, input rows that fall behind the recovered watermark
+    are FILTERED before applyInPandasWithState (Spark 4.1.2), so a
+    straggler key fed only late rows produces no state and no
+    emission — and critically the query COMPLETES rather than
+    crashing on a timeout-below-watermark."""
+    import os
+
+    from jane_spark.streaming.ingest import stream_parquet_dir
+    from jane_spark.streaming.state import open_segments_stream
+
+    arrival = str(tmp_path / "arrival")
+    os.makedirs(arrival)
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def rows(key, ts_list):
+        return spark.createDataFrame(
+            [(key, t) for t in ts_list], "user_id bigint, ts string"
+        ).select(
+            "user_id", F.col("ts").cast("timestamp_ntz").alias("ts")
+        )
+
+    batches = [
+        rows(1, ["2024-01-20 00:00:00", "2024-01-20 00:10:00"]),
+        # straggler key: 10 days behind the recovered watermark
+        rows(2, ["2024-01-10 00:00:00"]),
+    ]
+
+    def to_sink(batch_df, _batch_id):
+        batch_df.write.mode("append").parquet(sink)
+
+    for part in batches:
+        part.coalesce(1).write.mode("append").parquet(arrival)
+        schema = spark.read.parquet(arrival).schema
+        stream = stream_parquet_dir(spark, arrival, schema)
+        q = (
+            open_segments_stream(
+                stream, "user_id", "ts", gap_seconds=1800,
+                event_time_timeout=True,
+            )
+            .writeStream.foreachBatch(to_sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    out = spark.read.parquet(sink).collect()
+    assert not [r for r in out if r.key == 2]  # late rows filtered
+    assert any(r.key == 1 for r in out)
