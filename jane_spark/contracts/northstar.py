@@ -2947,6 +2947,114 @@ def q_k48(spark, sf_dir):
     )
 
 
+def _nn_descent_round(i: int, build_deg: int) -> str:
+    """One NN-descent refinement round as SQL CTEs: undirect the
+    current edges, candidates = pairs sharing a neighbor, drop pairs
+    already in the graph, score fresh pairs, keep per-node
+    top-build_deg of old ∪ fresh — the exact relational replay of
+    operators/vector.nn_descent_graph's loop body."""
+    p, n = i - 1, i
+    return f"""
+        u{p} AS (SELECT a_id, b_id FROM e{p}
+                 UNION SELECT b_id, a_id FROM e{p}),
+        c{n} AS (SELECT DISTINCT x.b_id AS a_id, y.b_id AS b_id
+                 FROM u{p} x JOIN u{p} y
+                   ON x.a_id = y.a_id AND x.b_id <> y.b_id),
+        cx{n} AS (SELECT c.a_id, c.b_id FROM c{n} c
+                  LEFT JOIN e{p} e
+                    ON e.a_id = c.a_id AND e.b_id = c.b_id
+                  WHERE e.a_id IS NULL),
+        f{n} AS (SELECT c.a_id, c.b_id,
+                        round(list_cosine_similarity(x.vv, y.vv), 6)
+                            AS sim
+                 FROM cx{n} c
+                 JOIN v x ON x.id = c.a_id
+                 JOIN v y ON y.id = c.b_id),
+        e{n} AS (SELECT a_id, b_id, sim FROM (
+                     SELECT a_id, b_id, sim, row_number() OVER (
+                         PARTITION BY a_id
+                         ORDER BY sim DESC, b_id ASC) AS rn
+                     FROM (SELECT * FROM e{p}
+                           UNION ALL SELECT * FROM f{n}))
+                 WHERE rn <= {build_deg})"""
+
+
+_NN_DESCENT_ORACLE = (
+    """
+    WITH v AS (SELECT vec_id AS id,
+                      list_transform(embedding,
+                          x -> CAST(x AS DOUBLE)) AS vv,
+                      list_transform(embedding,
+                          x -> CAST(round(CAST(x AS DOUBLE) * 1000000)
+                                    AS BIGINT)) AS ve
+               FROM embeddings WHERE vec_id % 10 <> 0),
+    d AS (SELECT unnest(range(1, 65)) AS di),
+    st AS (SELECT di, CAST(sum(ve[di]) AS BIGINT) AS s,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM v, d GROUP BY di),
+    bits AS (SELECT v.id, st.di,
+                    CASE WHEN ve[st.di] * st.n > st.s
+                         THEN 1 ELSE 0 END AS vb
+             FROM v, st),
+    bkt AS (SELECT id, CAST((di - 1) // 4 AS INTEGER) AS sl,
+                   CAST(sum(vb << ((di - 1) % 4)) AS INTEGER) AS bk
+            FROM bits WHERE di <= 16 GROUP BY 1, 2),
+    sp AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id
+           FROM bkt a JOIN bkt b
+             ON a.sl = b.sl AND a.bk = b.bk AND a.id <> b.id),
+    s0 AS (SELECT p.a_id, p.b_id,
+                  round(list_cosine_similarity(x.vv, y.vv), 6) AS sim
+           FROM sp p
+           JOIN v x ON x.id = p.a_id
+           JOIN v y ON y.id = p.b_id),
+    e0 AS (SELECT a_id, b_id, sim FROM (
+               SELECT a_id, b_id, sim, row_number() OVER (
+                   PARTITION BY a_id
+                   ORDER BY sim DESC, b_id ASC) AS rn
+               FROM s0) WHERE rn <= 16),"""
+    + _nn_descent_round(1, 16)
+    + ","
+    + _nn_descent_round(2, 16)
+    + """
+    SELECT a_id, b_id, sim, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT a_id, b_id, sim, row_number() OVER (
+              PARTITION BY a_id ORDER BY sim DESC, b_id ASC) AS rn
+          FROM e2)
+    WHERE rn <= 8
+    """
+)
+
+
+@contract(
+    "q_k48_nn_descent",
+    oracle=_NN_DESCENT_ORACLE,
+    survey_rows="K48,K43,K3",
+    doc="SUB-QUADRATIC k-NN graph build — NN-descent (Dong, Moses & "
+    "Li, WWW 2011), closing VERDICT r13 #3 (the grid-GEMM build "
+    "behind q_k48_graph bounded task memory but still cost O(n²·d) "
+    "FLOPs): seed candidate lists from 4 LSH tables (4-bit slices "
+    "of the stored K43 binary codes — one table would partition the "
+    "corpus and freeze the descent, measured), then 2 rounds of "
+    "neighbors-of-neighbors refinement, each ONE self equi-join on "
+    "the undirected edge list + anti-join vs current edges + exact "
+    "round-then-rank scoring + per-node top-16 (the 2k internal "
+    "width of the paper's K'>k discipline), truncated to top-8 at "
+    "emit. O(n·degree²·d·iters) total FLOPs — linear in n. Every "
+    "stage deterministic (rounded sims, id tie-breaks), so the "
+    "oracle replays seed + both rounds as SQL and the driver hashes "
+    "the ENTIRE built graph; edge recall vs the exact grid-GEMM "
+    "graph (0.958 on the fixture) is pytest-pinned >= 0.9",
+)
+def q_k48_nn_descent(spark, sf_dir):
+    from jane_spark.operators.vector import nn_descent_graph
+
+    emb = Catalog(spark, sf_dir).embeddings
+    return nn_descent_graph(
+        emb, "vec_id", "embedding", degree=8, iters=2, bucket_bits=4,
+        n_slices=4, exclude_mod=10, dim=64,
+    )
+
+
 _CASCADE_ORACLE = (
     _KEEP_BEST_ORACLE.rsplit("SELECT comp, doc_id AS keep_id", 1)[0]
     + """, keep AS (SELECT doc_id, n_tok FROM j WHERE rn = 1),

@@ -1979,6 +1979,191 @@ def graph_expand_topk(
     )
 
 
+def nn_descent_graph(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    degree: int = 8,
+    iters: int = 2,
+    bucket_bits: int = 4,
+    n_slices: int = 4,
+    build_degree: int | None = None,
+    dim: int = 64,
+    exclude_mod: int | None = None,
+    rank_round_dp: int = 6,
+) -> DataFrame:
+    """SUB-QUADRATIC k-NN graph construction — NN-descent (Dong,
+    Moses & Li, WWW 2011: "Efficient k-nearest neighbor graph
+    construction for generic similarity measures"), replacing the one
+    remaining quadratic-compute build in the ANN family (VERDICT r13
+    #3): :func:`graph_expand_topk`'s edge table came from the
+    grid-GEMM :func:`block_topk`, whose cells bound task MEMORY but
+    still cost O(n²·d) FLOPs at corpus scale.
+
+    The paper's observation: *a neighbor of a neighbor is likely a
+    neighbor*. Start from a cheap approximate neighbor list and
+    repeatedly compare each node against its neighbors' neighbors —
+    the graph self-improves toward the exact k-NN graph in a handful
+    of rounds (the paper measures ~90%+ recall in 4-5 iterations on
+    a million points; our fixture pin is ≥0.9 edge recall at 2).
+
+    Engine formulation — every stage a relational op, no per-node
+    state, no driver loop beyond ``iters`` fixed rounds (the LPA /
+    PageRank plan discipline: localCheckpoint per round keeps the
+    lineage flat):
+
+    1. seed: ``n_slices`` LSH "tables" — table s buckets nodes on
+       bit-slice s (``bucket_bits`` wide) of their K43 binary code
+       (the stored sign-bit representation — the same one-scan
+       artifact the coarse search path reads); candidate pairs =
+       the UNION of within-bucket self-joins across tables. ONE
+       table would partition the corpus, making the seed graph
+       bucket-closed — neighbors-of-neighbors could never leave a
+       bucket and the descent would be a fixed point (measured:
+       recall froze at the seed's 0.12 on the fixture). Distinct
+       slices give each node candidates from ``n_slices`` DIFFERENT
+       partitions, which is what the iteration propagates across.
+    2. iterate ``iters`` times: undirect the current edge list
+       (forward ∪ reverse — the paper's B[v] ∪ R[v]), generate
+       candidate pairs (u, w) sharing a neighbor v as ONE self
+       equi-join on v, drop pairs already in the graph (left_anti),
+       score the fresh pairs exactly (round-then-rank), and keep
+       per-node top-``build_degree`` of old ∪ fresh — monotone: a
+       kept edge is only ever displaced by a strictly better one,
+       so per-round recall is non-decreasing. ``build_degree``
+       defaults to 2·``degree``: descending with the WIDER internal
+       list and truncating at the end is the paper's K′>k discipline
+       — the extra slots carry "almost right" neighbors between
+       rounds that the final cut discards (measured on the fixture:
+       0.77 recall@3 iters building at k, 0.96 recall@2 iters
+       building at 2k).
+    3. emit per-node top-``degree``: ``(a_id, b_id, sim, rank)``.
+
+    Every ranking is round-before-rank with id tie-breaks, so the
+    built graph is deterministic and ENGINE-PORTABLE — the contract
+    oracle replays seed + both rounds as SQL and the driver hashes
+    the whole edge table (q_k48_nn_descent).
+
+    Scale shape: per-round candidate count is bounded by
+    Σ_v deg_und(v)² ≤ n·(2·build_degree)² — LINEAR in n for fixed
+    degree — and each round is two equi-joins + one window; total
+    build compute is O(n·degree²·d·iters) FLOPs vs the grid's
+    O(n²·d). ``bucket_bits`` scales as log2(n/target_bucket_size) so
+    the seed join stays near-linear too; at 100 TB the buckets come
+    off the stored binary codes (one scan), and degree/iters — not
+    corpus size — set the round cost. ``exclude_mod`` carves out the
+    held-out query ids (the q_k48 audit framing) so the graph is
+    built over the corpus only.
+    """
+    if degree < 1 or iters < 0:
+        raise ValueError("need degree >= 1 and iters >= 0")
+    if build_degree is None:
+        build_degree = 2 * degree
+    if build_degree < degree:
+        raise ValueError("build_degree must be >= degree")
+    if not (1 <= int(bucket_bits) <= 16):
+        raise ValueError("bucket_bits must be in [1, 16]")
+    if not (1 <= int(n_slices) * int(bucket_bits) <= 64):
+        raise ValueError("n_slices * bucket_bits must fit the 64 code bits")
+    base = vectors.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+    )
+    if exclude_mod is not None:
+        base = base.filter(F.col("id") % int(exclude_mod) != 0)
+
+    va = base.select(F.col("id").alias("a_id"), F.col("v").alias("av"))
+    vb = base.select(F.col("id").alias("b_id"), F.col("v").alias("bv"))
+
+    # seed tables from the stored binary codes: word w0 packs dims
+    # 1..32 (bit j-1 = above-mean sign of dim j), w1 packs 33..64 —
+    # slice s keys bits [s*b, s*b+b), i.e. dims s*b+1 .. s*b+b
+    b = int(bucket_bits)
+    mask = (1 << b) - 1
+    codes = binary_codes(base, "id", "v", dim=dim).select(
+        F.col("vec_id").alias("id"), "w0", "w1"
+    )
+    seed_pairs = None
+    for s in range(int(n_slices)):
+        word, off = ("w0", s * b) if s * b < 32 else ("w1", s * b - 32)
+        bk = codes.select(
+            "id",
+            (F.shiftright(F.col(word), off).bitwiseAND(F.lit(mask)))
+            .cast("int")
+            .alias("bkt"),
+        )
+        p = (
+            bk.select("bkt", F.col("id").alias("a_id"))
+            .join(bk.select("bkt", F.col("id").alias("b_id")), "bkt")
+            .filter(F.col("a_id") != F.col("b_id"))
+            .select("a_id", "b_id")
+        )
+        seed_pairs = p if seed_pairs is None else seed_pairs.unionByName(p)
+    seed = (
+        seed_pairs.distinct()
+        .join(va, "a_id")
+        .join(vb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                cosine(F.col("av"), F.col("bv")), rank_round_dp
+            ).alias("sim"),
+        )
+    )
+    edges = top_k_per_group(
+        seed,
+        ["a_id"],
+        [F.col("sim").desc(), F.col("b_id").asc()],
+        build_degree,
+    ).drop("rn").localCheckpoint(eager=True)
+
+    for _ in range(int(iters)):
+        und = edges.select("a_id", "b_id").unionByName(
+            edges.select(
+                F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id")
+            )
+        ).distinct()
+        cand = (
+            und.select(F.col("a_id").alias("via"), F.col("b_id").alias("u"))
+            .join(
+                und.select(
+                    F.col("a_id").alias("via"), F.col("b_id").alias("w")
+                ),
+                "via",
+            )
+            .filter(F.col("u") != F.col("w"))
+            .select(F.col("u").alias("a_id"), F.col("w").alias("b_id"))
+            .distinct()
+            .join(edges.select("a_id", "b_id"), ["a_id", "b_id"], "left_anti")
+        )
+        fresh = (
+            cand.join(va, "a_id")
+            .join(vb, "b_id")
+            .select(
+                "a_id",
+                "b_id",
+                F.round(
+                    cosine(F.col("av"), F.col("bv")), rank_round_dp
+                ).alias("sim"),
+            )
+        )
+        edges = top_k_per_group(
+            edges.unionByName(fresh),
+            ["a_id"],
+            [F.col("sim").desc(), F.col("b_id").asc()],
+            build_degree,
+        ).drop("rn").localCheckpoint(eager=True)
+
+    # final cut: wide internal lists truncate to the requested degree
+    return top_k_per_group(
+        edges,
+        ["a_id"],
+        [F.col("sim").desc(), F.col("b_id").asc()],
+        degree,
+        rank_col="rank",
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
 # ----------------------------------------------------- OPQ (round 13)
 
 

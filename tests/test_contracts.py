@@ -282,6 +282,9 @@ FLOAT_TIE_ALLOWLIST = {
     "q_k8_embed_neardup": "cosine e6 rounding, margin probed below",
     "q_k48_graph": "cosine e6 rounding (edge build + rerank), same "
     "all-pairs margin probe below",
+    "q_k48_nn_descent": "cosine e6 rounding (seed + both refinement "
+    "rounds score subsets of all pairs), same all-pairs margin probe "
+    "below",
     "q_t14_embed_decontam": "cosine e6 rounding, margin probed below",
     # log-over-count family (the pmi class) — kept because the margins
     # are probed below at the driver's own data; entropy is the

@@ -4903,6 +4903,56 @@ def test_graph_expand_topk_recall(spark, sf_dir):
     assert np.mean(recs2) >= 0.85, np.mean(recs2)
 
 
+def test_nn_descent_graph_recall(spark, sf_dir):
+    """NN-descent k-NN graph build (VERDICT r13 #3 — the sub-quadratic
+    replacement for the grid-GEMM edge build), pinned: (1) edge recall
+    vs the EXACT block_topk graph >= 0.9 at the contract config
+    (4 slices x 4 bits seed, 2 rounds, internal width 2k); (2) per-node
+    lists are well-formed (<= degree, dense ranks, no self-loops, no
+    excluded query ids); (3) recall is MONOTONE in iterations and the
+    iterations genuinely add edges over the seed (the descent works);
+    (4) determinism: repartitioned input builds the identical graph."""
+    from jane_spark.operators.vector import block_topk, nn_descent_graph
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    exact = {
+        (r.a_id, r.b_id)
+        for r in block_topk(
+            corpus, "vec_id", "embedding", k=8, rank_round_dp=6
+        ).select("a_id", "b_id").collect()
+    }
+
+    def build(iters, src=emb):
+        return nn_descent_graph(
+            src, "vec_id", "embedding", degree=8, iters=iters,
+            bucket_bits=4, n_slices=4, exclude_mod=10,
+        )
+
+    rows = build(2).collect()
+    got = {(r.a_id, r.b_id) for r in rows}
+    recall2 = len(got & exact) / len(exact)
+    assert recall2 >= 0.9, recall2  # measured 0.9581 on this fixture
+
+    per: dict = {}
+    for r in rows:
+        per.setdefault(r.a_id, []).append(r)
+        assert r.a_id != r.b_id
+        assert r.a_id % 10 != 0 and r.b_id % 10 != 0
+    for a, rs in per.items():
+        assert len(rs) <= 8
+        assert sorted(x.rank for x in rs) == list(range(1, len(rs) + 1))
+
+    got0 = {(r.a_id, r.b_id) for r in build(0).collect()}
+    got1 = {(r.a_id, r.b_id) for r in build(1).collect()}
+    r0 = len(got0 & exact) / len(exact)
+    r1 = len(got1 & exact) / len(exact)
+    assert r0 < r1 <= recall2, (r0, r1, recall2)
+
+    again = build(2, src=emb.repartition(13)).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
 def test_merge_rollups_remerge_and_gram_guard(spark):
     """Review follow-ups: (1) merge_rollups output is itself mergeable
     (yesterday's merged rollup + today's level-1 delta — the IVM move
