@@ -861,6 +861,62 @@ def q_p10(spark, sf_dir):
 
 
 @contract(
+    "q_p10_roundtrip",
+    oracle="""
+        WITH s AS (SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS key,
+                          text, source
+                   FROM documents),
+        a AS (SELECT key,
+                     CAST(CAST(concat('0x',
+                         substr(md5(concat('wds:', key)), 1, 8))
+                         AS BIGINT) % 8 AS INTEGER) AS shard_id,
+                     text, source
+              FROM s)
+        SELECT shard_id, concat(key, '.src') AS name,
+               CAST(strlen(source) AS BIGINT) AS size,
+               md5(source) AS content_md5
+        FROM a
+        UNION ALL
+        SELECT shard_id, concat(key, '.txt') AS name,
+               CAST(strlen(text) AS BIGINT) AS size,
+               md5(text) AS content_md5
+        FROM a
+    """,
+    survey_rows="P10,K7",
+    doc="WebDataset shard ROUND TRIP as a true oracle (VERDICT r13 "
+    "#4, the q_a10_warc constructing-oracle pattern): Spark packs "
+    "documents into real USTAR tar shards (portable md5 hash-bucket "
+    "assignment — sources/corpus_export.webdataset_shards "
+    "assign='md5'), then a real tar parser re-reads the BYTES it "
+    "wrote (webdataset_members) and emits per-member (shard_id, "
+    "name, size, content_md5); the oracle never touches a tar — it "
+    "CONSTRUCTS the expected member table arithmetically from "
+    "documents (lpad key, md5-bucket shard, strlen sizes, md5 "
+    "contents), so hash equality proves the container round-trips "
+    "losslessly: every sample in its assigned shard, correct member "
+    "naming, byte-exact contents. The xxhash leg (q_p10_wds_shards) "
+    "stays rows-only for the archive-level byte-identity law",
+)
+def q_p10_roundtrip(spark, sf_dir):
+    from jane_spark.sources.corpus_export import (
+        webdataset_members,
+        webdataset_shards,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    src = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("key"),
+        "text",
+        "source",
+    )
+    shards = webdataset_shards(
+        src, "key", {"txt": "text", "src": "source"}, n_shards=8,
+        assign="md5",
+    )
+    return webdataset_members(shards)
+
+
+@contract(
     "q_p11_webpipeline",
     oracle=None,  # assembled below after the curation module defines the
     # shared URL-parts SQL (set post-definition to avoid import-order

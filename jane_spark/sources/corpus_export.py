@@ -81,6 +81,7 @@ def webdataset_shards(
     key_col: str,
     members: dict[str, str],
     n_shards: int,
+    assign: str = "xxhash",
 ) -> DataFrame:
     """Pack samples into WebDataset-style tar shards (the standard
     sequential-read format for multimodal training loaders: each sample
@@ -95,6 +96,12 @@ def webdataset_shards(
     byte-identical archives (tar metadata is zeroed: mtime/uid/gid
     fixed, USTAR format).
 
+    ``assign``: ``"xxhash"`` (default — the fast JVM hash) or
+    ``"md5"`` (functions/sampling.hash_bucket, salt ``"wds:"``) — the
+    ENGINE-PORTABLE assignment an external oracle can reconstruct,
+    which is what lets q_p10_roundtrip hash-check the whole shard
+    layout against constructed SQL (VERDICT r13 #4).
+
     Returns one row per shard: (shard_id, n_samples, tar). ONE shuffle
     (the shard groupBy); each tar is built in one task's memory, so
     size shards via ``n_shards`` to the loader's shard budget (the
@@ -106,11 +113,20 @@ def webdataset_shards(
 
     import pandas as pd
 
+    if assign == "xxhash":
+        shard = F.pmod(
+            F.xxhash64(F.col(key_col).cast("string")), F.lit(n_shards)
+        )
+    elif assign == "md5":
+        from jane_spark.functions.sampling import hash_bucket
+
+        shard = hash_bucket(F.col(key_col), n_shards, salt="wds:")
+    else:
+        raise ValueError(f"unknown assign mode {assign!r}")
+
     ext_cols = list(members.items())
     src = df.select(
-        F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_shards))
-        .cast("int")
-        .alias("shard_id"),
+        shard.cast("int").alias("shard_id"),
         F.col(key_col).cast("string").alias("__key"),
         *[F.col(c).alias(f"__m_{e}") for e, c in ext_cols],
     )
@@ -245,3 +261,45 @@ def read_webdataset(
         .load(path)
     )
     return binary.select("content").mapInPandas(untar, schema)
+
+
+def webdataset_members(shards: DataFrame) -> DataFrame:
+    """Audit twin of :func:`read_webdataset` over IN-PLAN shard rows:
+    parse each ``(shard_id, tar)`` row's raw USTAR bytes back into one
+    row per member — ``(shard_id, name, size, content_md5)``. This is
+    the byte-level ROUND TRIP that q_p10_roundtrip hash-checks: the
+    tar container Spark wrote is re-read by a real tar parser and the
+    recovered membership must equal the table an oracle CONSTRUCTS
+    arithmetically from the source rows (the q_a10_warc
+    constructing-oracle pattern — the writer cannot pass by luck,
+    because the oracle never touches the bytes). Scale shape: one
+    mapInPandas over |shards| rows; each tar parses in the task that
+    holds it, nothing returns to the driver."""
+    import hashlib
+    import io
+    import tarfile
+
+    import pandas as pd
+
+    def scan(batches):
+        for pdf in batches:
+            out = {
+                "shard_id": [], "name": [], "size": [], "content_md5": []
+            }
+            for sid, payload in zip(pdf["shard_id"], pdf["tar"]):
+                with tarfile.open(fileobj=io.BytesIO(bytes(payload))) as tf:
+                    for info in tf:
+                        if not info.isfile():
+                            continue
+                        data = tf.extractfile(info).read()
+                        out["shard_id"].append(int(sid))
+                        out["name"].append(info.name)
+                        out["size"].append(len(data))
+                        out["content_md5"].append(
+                            hashlib.md5(data).hexdigest()
+                        )
+            yield pd.DataFrame(out)
+
+    return shards.select("shard_id", "tar").mapInPandas(
+        scan, "shard_id int, name string, size bigint, content_md5 string"
+    )

@@ -401,6 +401,9 @@ _PANDAS_ALLOWED = {
     # WARC ingest round-trips real archive bytes through the encode/
     # parse twins — that Python path IS the row's subject (r7)
     "q_a10_warc",
+    # tar pack + tar re-parse ARE the row's subject (the P10 oracle
+    # round trip, r14) — both sides are tarfile pandas stages
+    "q_p10_roundtrip",
     # zlib has no JVM expression — the pandas UDF is the operator (r7)
     "q_t31_compress",
     # mmr's greedy is inherently sequential: ONE applyInPandas task is
