@@ -3754,6 +3754,100 @@ def q_k49_opq(spark, sf_dir):
     return codes.orderBy("vec_id").limit(200)
 
 
+def _opq2_oracle_sql(dim: int = 16) -> str:
+    """DuckDB twin of opq2_block_rotate (operators/vector.py): exact
+    HUGEINT covariance numerators per 2-dim block, the closed-form
+    2×2 eigendecomposition in DOUBLE with the SAME parenthesization
+    as the Spark expressions (every op IEEE exact-rounded — see the
+    operator's determinism argument), rotated centered coordinates
+    rounded at 6 dp."""
+    m = dim // 2
+    stats = ["CAST(count(*) AS HUGEINT) AS n"]
+    for j in range(m):
+        x, y = 2 * j + 1, 2 * j + 2
+        stats += [
+            f"sum(ve[{x}]) AS sx_{j}",
+            f"sum(ve[{y}]) AS sy_{j}",
+            f"sum(ve[{x}] * ve[{x}]) AS sxx_{j}",
+            f"sum(ve[{y}] * ve[{y}]) AS syy_{j}",
+            f"sum(ve[{x}] * ve[{y}]) AS sxy_{j}",
+        ]
+    parts = []
+    for j in range(m):
+        x, y = 2 * j + 1, 2 * j + 2
+        a = f"CAST(n * sxx_{j} - sx_{j} * sx_{j} AS DOUBLE)"
+        d0 = f"CAST(n * syy_{j} - sy_{j} * sy_{j} AS DOUBLE)"
+        b = f"CAST(n * sxy_{j} - sx_{j} * sy_{j} AS DOUBLE)"
+        lam = (
+            f"(({a}) + ({d0})) / 2 + sqrt(((({a}) - ({d0})) / 2) * "
+            f"((({a}) - ({d0})) / 2) + ({b}) * ({b}))"
+        )
+        nrm = (
+            f"sqrt(({b}) * ({b}) + (({lam}) - ({a})) * "
+            f"(({lam}) - ({a})))"
+        )
+        c_e = (
+            f"CASE WHEN ({b}) = 0 THEN (CASE WHEN ({a}) >= ({d0}) "
+            f"THEN 1.0 ELSE 0.0 END) ELSE abs({b}) / ({nrm}) END"
+        )
+        s_e = (
+            f"CASE WHEN ({b}) = 0 THEN (CASE WHEN ({a}) >= ({d0}) "
+            f"THEN 0.0 ELSE 1.0 END) ELSE (CASE WHEN ({b}) > 0 "
+            f"THEN 1.0 ELSE -1.0 END) * (({lam}) - ({a})) / ({nrm}) END"
+        )
+        mx = f"(CAST(sx_{j} AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000"
+        my = f"(CAST(sy_{j} AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000"
+        xc = f"(vv[{x}] - ({mx}))"
+        yc = f"(vv[{y}] - ({my}))"
+        parts.append(
+            f"SELECT id, CAST({j} AS INTEGER) AS block, "
+            f"round(({c_e}) * ({xc}) + ({s_e}) * ({yc}), 6) AS r1, "
+            f"round(-({s_e}) * ({xc}) + ({c_e}) * ({yc}), 6) AS r2 "
+            f"FROM v CROSS JOIN st"
+        )
+    return (
+        """
+        WITH v AS (SELECT vec_id AS id,
+                          list_transform(embedding,
+                              x -> CAST(x AS DOUBLE)) AS vv,
+                          list_transform(embedding,
+                              x -> CAST(round(CAST(x AS DOUBLE)
+                                   * 1000000) AS HUGEINT)) AS ve
+                   FROM embeddings),
+        st AS (SELECT """
+        + ", ".join(stats)
+        + " FROM v) "
+        + " UNION ALL ".join(parts)
+    )
+
+
+@contract(
+    "q_k49_opq2",
+    oracle=_opq2_oracle_sql(),
+    survey_rows="K49,K23,K47",
+    doc="OPQ with 2-DIM subspace blocks — the hash-checkable "
+    "ROTATION leg of K49 (VERDICT r13 #5): a 2×2 symmetric "
+    "covariance diagonalizes in closed form (λmax = trace/2 + "
+    "sqrt(((a−d)/2)² + b²), eigenvector (b, λmax−a), sign-"
+    "canonicalized), so unlike q_k49_opq's general-d numpy eigh the "
+    "eigen-ROTATION itself replays as SQL and the driver hashes the "
+    "rotated coordinates (operators/vector.opq2_block_rotate). "
+    "Covariance numerators are exact e6-quantized integers in "
+    "DECIMAL(38,0)/HUGEINT; the float stage is one cast + "
+    "{+,−,×,/,sqrt} with identical parenthesization both sides — "
+    "all IEEE exact-rounded, so the doubles are bit-identical and "
+    "the 6 dp rounding cannot tie across engines. ONE combinable "
+    "aggregate (5·dim/2+1 cells), broadcast 1-row cross join, pure "
+    "codegen projection — no shuffle, no Python, no driver collect. "
+    "Per-block decorrelation + variance-order laws pytest-pinned",
+)
+def q_k49_opq2(spark, sf_dir):
+    from jane_spark.operators.vector import opq2_block_rotate
+
+    emb = Catalog(spark, sf_dir).embeddings
+    return opq2_block_rotate(emb, "vec_id", "embedding", dim=16)
+
+
 def _ivf_incr_oracle_sql(n_lists: int = 8, iters: int = 5) -> str:
     """Incremental-IVF twin: the Lloyd chain trains on the STORED
     corpus only (vec_id % 10 <> 0 — ctes[0] swapped), the new batch

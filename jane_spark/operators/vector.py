@@ -2234,6 +2234,128 @@ def opq_fit(
     return means, rotation, buckets
 
 
+def opq2_block_rotate(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    max_component: float = 2.0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """OPQ with 2-DIMENSIONAL subspace blocks — the member of the
+    K49 family whose EIGENDECOMPOSITION is closed-form and therefore
+    hash-checkable end to end (VERDICT r13 #5): general-d OPQ
+    (q_k49_opq) needs a driver-side numpy eigh with no SQL twin, but
+    a 2×2 symmetric covariance [[a, b], [b, d]] diagonalizes by
+    trace/determinant arithmetic alone::
+
+        λmax = (a + d)/2 + sqrt(((a − d)/2)² + b²)
+        vmax ∝ (b, λmax − a)            (b ≠ 0)
+
+    so the ROTATION ITSELF — not just the dimension permutation —
+    carries a driver hash.
+
+    Per consecutive dim pair (2j+1, 2j+2): covariance numerators are
+    EXACT integers from e6-quantized components (a = n·Σx² − (Σx)²,
+    b = n·Σxy − Σx·Σy — the gram_matrix/K31 discipline, accumulated
+    in DECIMAL(38,0)); each block's principal axis comes from the
+    closed form, sign-canonicalized (first component |b| ≥ 0; for
+    b = 0 the axes are already uncorrelated and the rotation is the
+    identity or the swap by variance order); centered coordinates
+    rotate into (r1, r2) with r1 the max-variance axis — the energy
+    compaction PQ wants, per block.
+
+    DETERMINISM ARGUMENT (why the hashed surface is safe where
+    general transcendentals are not): every input to the float stage
+    is an exact integer cast ONCE to double (round-to-nearest, both
+    engines identical), and every subsequent op — +, −, ×, /, sqrt —
+    is IEEE-754 EXACT-ROUNDED (sqrt is, unlike exp/log/trig which
+    are libm-approximated). With the same parenthesization on both
+    sides, the doubles are BIT-IDENTICAL across engines, so the
+    6-dp rounding cannot land on a cross-engine tie by construction.
+
+    Emits ``(id, block, r1, r2)``. Plan: ONE map-side-combinable
+    aggregate (5·dim/2 + 1 cells — never data-sized), broadcast back
+    as a single-row cross join, then a pure codegen projection — no
+    shuffle of data rows, no Python, no driver collect.
+    """
+    if dim < 2 or dim % 2 != 0:
+        raise ValueError("opq2_block_rotate needs an even dim >= 2")
+    m = dim // 2
+    mc = float(max_component)
+
+    def q(i: int) -> str:
+        # guarded e6 quantization (the gram_matrix discipline):
+        # NULL / out-of-range components fail loudly, not skew
+        return (
+            f"CASE WHEN element_at({vec_col}, {i}) IS NULL "
+            f"OR abs(cast(element_at({vec_col}, {i}) as double)) > {mc} "
+            f"THEN raise_error(concat('opq2_block_rotate: component "
+            f"{i} NULL or outside [-{mc}, {mc}] for id ', "
+            f"cast({id_col} as string))) "
+            f"ELSE cast(round(cast(element_at({vec_col}, {i}) "
+            f"as double) * 1000000, 0) as decimal(38,0)) END"
+        )
+
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
+    for j in range(m):
+        x, y = 2 * j + 1, 2 * j + 2
+        aggs += [
+            F.sum(F.expr(q(x))).alias(f"sx_{j}"),
+            F.sum(F.expr(q(y))).alias(f"sy_{j}"),
+            F.sum(F.expr(f"({q(x)}) * ({q(x)})")).alias(f"sxx_{j}"),
+            F.sum(F.expr(f"({q(y)}) * ({q(y)})")).alias(f"syy_{j}"),
+            F.sum(F.expr(f"({q(x)}) * ({q(y)})")).alias(f"sxy_{j}"),
+        ]
+    stats = df.agg(*aggs)
+
+    rows = []
+    for j in range(m):
+        x, y = 2 * j + 1, 2 * j + 2
+        # exact-integer covariance numerators, then ONE cast to double
+        a = f"cast(n * sxx_{j} - sx_{j} * sx_{j} as double)"
+        d0 = f"cast(n * syy_{j} - sy_{j} * sy_{j} as double)"
+        b = f"cast(n * sxy_{j} - sx_{j} * sy_{j} as double)"
+        lam = f"(({a}) + ({d0})) / 2 + sqrt(((({a}) - ({d0})) / 2) * ((({a}) - ({d0})) / 2) + ({b}) * ({b}))"
+        nrm = f"sqrt(({b}) * ({b}) + (({lam}) - ({a})) * (({lam}) - ({a})))"
+        c_e = (
+            f"CASE WHEN ({b}) = 0 THEN "
+            f"(CASE WHEN ({a}) >= ({d0}) THEN 1.0D ELSE 0.0D END) "
+            f"ELSE abs({b}) / ({nrm}) END"
+        )
+        s_e = (
+            f"CASE WHEN ({b}) = 0 THEN "
+            f"(CASE WHEN ({a}) >= ({d0}) THEN 0.0D ELSE 1.0D END) "
+            f"ELSE (CASE WHEN ({b}) > 0 THEN 1.0D ELSE -1.0D END) "
+            f"* (({lam}) - ({a})) / ({nrm}) END"
+        )
+        mx = f"(cast(sx_{j} as double) / cast(n as double)) / 1000000"
+        my = f"(cast(sy_{j} as double) / cast(n as double)) / 1000000"
+        xc = f"(cast(element_at({vec_col}, {x}) as double) - ({mx}))"
+        yc = f"(cast(element_at({vec_col}, {y}) as double) - ({my}))"
+        rows.append(
+            f"{j}, round(({c_e}) * ({xc}) + ({s_e}) * ({yc}), "
+            f"{round_dp}), round(-({s_e}) * ({xc}) + ({c_e}) * ({yc}), "
+            f"{round_dp})"
+        )
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("id"),
+            F.expr(
+                f"stack({m}, " + ", ".join(rows) + ") AS (block, r1, r2)"
+            ),
+        )
+        .select(
+            F.col("id"),
+            F.col("block").cast("int").alias("block"),
+            F.col("r1").cast("double").alias("r1"),
+            F.col("r2").cast("double").alias("r2"),
+        )
+    )
+
+
 def opq_rotate(
     df: DataFrame,
     vec_col: str,

@@ -285,6 +285,11 @@ FLOAT_TIE_ALLOWLIST = {
     "q_k48_nn_descent": "cosine e6 rounding (seed + both refinement "
     "rounds score subsets of all pairs), same all-pairs margin probe "
     "below",
+    # q_k49_opq2 rounds a sqrt-bearing expression too, but the sqrt
+    # sits below the regex's nesting depth so no entry is needed; its
+    # tie-impossibility argument (exact ints -> one cast -> IEEE
+    # exact-rounded ops only -> bit-identical doubles) lives in the
+    # operator docstring and contract doc.
     "q_t14_embed_decontam": "cosine e6 rounding, margin probed below",
     # log-over-count family (the pmi class) — kept because the margins
     # are probed below at the driver's own data; entropy is the

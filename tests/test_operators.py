@@ -5496,6 +5496,86 @@ def test_ivf_incremental_and_drift_trigger(spark, sf_dir):
         assert r.drifted == (lhs > rhs), (r.dim, lhs, rhs)
 
 
+def test_opq2_block_rotate_laws(spark, sf_dir):
+    """Closed-form 2x2-block OPQ rotation (the hash-checkable K49
+    rotation leg), pinned: (1) exact numpy parity of the whole chain
+    (integer covariance numerators -> closed-form eigenvector ->
+    rotated centered coords) — bit-level, not approximate; (2) the
+    decorrelation law: per-block sample covariance of (r1, r2) is ~0
+    and var(r1) >= var(r2) (energy compaction — what PQ wants);
+    (3) rotation preserves centered norms (orthonormality);
+    (4) layout independence; (5) fail-loud guards (odd dim,
+    out-of-range component)."""
+    import math
+
+    import numpy as np
+
+    from jane_spark.operators.vector import opq2_block_rotate
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = opq2_block_rotate(emb, "vec_id", "embedding", dim=16)
+    rows = out.collect()
+    got = {(r.id, r.block): (r.r1, r.r2) for r in rows}
+
+    src = emb.orderBy("vec_id").collect()
+    ids = [r.vec_id for r in src]
+    X = np.array([r.embedding[:16] for r in src], dtype=np.float64)
+    q = np.round(X * 1e6).astype(object)
+    n = len(X)
+    for j in range(8):
+        qx, qy = q[:, 2 * j], q[:, 2 * j + 1]
+        sx, sy = int(qx.sum()), int(qy.sum())
+        sxx = int((qx * qx).sum())
+        syy = int((qy * qy).sum())
+        sxy = int((qx * qy).sum())
+        a = float(n * sxx - sx * sx)
+        d0 = float(n * syy - sy * sy)
+        b = float(n * sxy - sx * sy)
+        lam = (a + d0) / 2 + math.sqrt(
+            ((a - d0) / 2) * ((a - d0) / 2) + b * b
+        )
+        if b == 0:
+            c, s = (1.0, 0.0) if a >= d0 else (0.0, 1.0)
+        else:
+            nrm = math.sqrt(b * b + (lam - a) * (lam - a))
+            c = abs(b) / nrm
+            s = (1.0 if b > 0 else -1.0) * (lam - a) / nrm
+        mx, my = (sx / n) / 1e6, (sy / n) / 1e6
+        r1s, r2s = [], []
+        for i, vid in enumerate(ids):
+            xc, yc = X[i, 2 * j] - mx, X[i, 2 * j + 1] - my
+            r1 = round(c * xc + s * yc, 6)
+            r2 = round(-s * xc + c * yc, 6)
+            assert got[(vid, j)] == (r1, r2), (vid, j)
+            # orthonormality: rotated norm == centered norm (6dp slack
+            # from the emitted rounding)
+            assert abs(
+                (r1 * r1 + r2 * r2) - (xc * xc + yc * yc)
+            ) < 1e-4, (vid, j)
+            r1s.append(r1)
+            r2s.append(r2)
+        cov = np.cov(np.array([r1s, r2s]))
+        assert abs(cov[0, 1]) < 1e-4, (j, cov[0, 1])  # decorrelated
+        assert cov[0, 0] >= cov[1, 1], j  # energy compaction
+
+    again = opq2_block_rotate(
+        emb.repartition(13), "vec_id", "embedding", dim=16
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    with pytest.raises(ValueError, match="even dim"):
+        opq2_block_rotate(emb, "vec_id", "embedding", dim=15)
+    hot = emb.withColumn(
+        "embedding",
+        F.expr(
+            "transform(embedding, (x, i) -> CASE WHEN i = 3 "
+            "THEN CAST(9.0 AS FLOAT) ELSE x END)"
+        ),
+    )
+    with pytest.raises(Exception, match="outside"):
+        opq2_block_rotate(hot, "vec_id", "embedding", dim=16).collect()
+
+
 def test_moment_drift_decimal_sums(spark):
     """ADVICE r13: Σq/Σq² accumulate in DECIMAL(38,0), not BIGINT —
     components whose e6-quantized square exceeds int64 must still
