@@ -3213,6 +3213,96 @@ def q_k51(spark, sf_dir):
     )
 
 
+def _icws_u(i: int) -> str:
+    """One md5-derived uniform for the ICWS oracle — same draw string
+    as operators/dedup.icws_signatures: 'icws:<hash>:<i>:<token>'."""
+    return (
+        "((CAST(concat('0x', substr(md5(concat('icws:', "
+        f"CAST(hash_idx AS VARCHAR), ':{i}:', token)), 1, 8)) "
+        "AS BIGINT) + 1) / 4294967296.0)"
+    )
+
+
+_ICWS_ORACLE = f"""
+    WITH tf AS (SELECT id, token, CAST(count(*) AS BIGINT) AS w
+                FROM (SELECT doc_id AS id,
+                             unnest(list_filter(string_split(text, ' '),
+                                    x -> x <> '')) AS token
+                      FROM documents)
+                GROUP BY 1, 2),
+    ex AS (SELECT id, token, w, CAST(unnest(range(0, 8)) AS INTEGER)
+                  AS hash_idx
+           FROM tf),
+    par AS (SELECT id, token, w, hash_idx,
+                   -ln({_icws_u(1)} * {_icws_u(2)}) AS r,
+                   -ln({_icws_u(3)} * {_icws_u(4)}) AS c,
+                   {_icws_u(5)} AS beta
+            FROM ex),
+    lv AS (SELECT id, token, w, hash_idx, r, c, beta,
+                  floor(ln(CAST(w AS DOUBLE)) / r + beta) AS tkd
+           FROM par),
+    sc AS (SELECT id, hash_idx, token,
+                  CAST(tkd AS BIGINT) AS tk,
+                  ln(c) - r * (tkd - beta) - r AS lna
+           FROM lv),
+    sig AS (SELECT id, hash_idx, token, tk FROM (
+                SELECT id, hash_idx, token, tk, row_number() OVER (
+                    PARTITION BY id, hash_idx
+                    ORDER BY lna ASC, token ASC) AS rn
+                FROM sc) WHERE rn = 1),
+    cand AS (SELECT a.id AS a_id, b.id AS b_id,
+                    CAST(count(*) AS INTEGER) AS n_coll
+             FROM sig a JOIN sig b
+               ON a.hash_idx = b.hash_idx AND a.token = b.token
+              AND a.tk = b.tk AND a.id < b.id
+             GROUP BY 1, 2
+             HAVING count(*) >= 6),
+    com AS (SELECT c.a_id, c.b_id,
+                   CAST(sum(least(ta.w, tb.w)) AS BIGINT) AS jw_num
+            FROM cand c
+            JOIN tf ta ON ta.id = c.a_id
+            JOIN tf tb ON tb.id = c.b_id AND tb.token = ta.token
+            GROUP BY 1, 2),
+    tot AS (SELECT id, CAST(sum(w) AS BIGINT) AS wt FROM tf GROUP BY id)
+    SELECT c.a_id, c.b_id, c.n_coll,
+           CAST(coalesce(com.jw_num, 0) AS BIGINT) AS jw_num,
+           CAST(wa.wt + wb.wt - coalesce(com.jw_num, 0) AS BIGINT)
+               AS jw_den
+    FROM cand c
+    LEFT JOIN com ON com.a_id = c.a_id AND com.b_id = c.b_id
+    JOIN tot wa ON wa.id = c.a_id
+    JOIN tot wb ON wb.id = c.b_id
+"""
+
+
+@contract(
+    "q_k53_icws",
+    oracle=_ICWS_ORACLE,
+    survey_rows="K53,K2,K51",
+    doc="ICWS weighted MinHash near-dup (Ioffe, ICDM 2010 — "
+    "operators/dedup.icws_signatures/icws_weighted_neardup): the "
+    "tf-WEIGHTED member of the K2/K51 sketch family — plain MinHash "
+    "sees sets, ICWS samples each token with probability tf/Σtf "
+    "CONSISTENTLY across documents, so slot-collision probability "
+    "IS the weighted Jaccard. Gamma(2,1)/uniform draws are "
+    "md5-derived per (token, hash) — the D29 A-Res portability "
+    "discipline — and the float stage stays ORDER-only (log-domain "
+    "argmin; margins pytest-probed): the emitted surface is the "
+    "discrete sample (token, level) per slot, candidates are an "
+    "equi-join on it (>= 6/8 collisions), and each pair carries its "
+    "EXACT weighted Jaccard as the integer rational "
+    "Σmin(tf)/ (W_a + W_b − Σmin). E[n_coll/8] = Jw is "
+    "pytest-pinned at 64 hashes; per-doc sampling ∝ tf at 512",
+)
+def q_k53_icws(spark, sf_dir):
+    from jane_spark.operators.dedup import icws_weighted_neardup
+
+    docs = Catalog(spark, sf_dir).documents
+    return icws_weighted_neardup(
+        docs, "doc_id", "text", n_hashes=8, min_collisions=6,
+    )
+
+
 def _lpa_oracle(iters: int = 4) -> str:
     """Unrolled synchronous-LPA twin over the q_k28 rare-shingle
     blocking graph: the shared edge CTEs, then one

@@ -959,3 +959,190 @@ def bbit_jaccard_topk(
     ).withColumnRenamed("rn", "rk").withColumn(
         "rk", F.col("rk").cast("bigint")
     )
+
+
+# ------------------------------------------ near-dup: WEIGHTED minhash
+
+
+def icws_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    salt: str = "icws:",
+) -> DataFrame:
+    """ICWS weighted MinHash (Ioffe, ICDM 2010 — "Improved Consistent
+    Sampling, Weighted Minhash and L1 Sketching"): the tf-WEIGHTED
+    member of the K2/K51 sketch family. Plain MinHash treats a
+    document as a SET, so "the the the spam spam" and one "the spam"
+    collide identically; ICWS samples token k with probability
+    w_k / Σw (its term frequency share) while staying CONSISTENT —
+    the same (token, level) sample is drawn for the same token
+    whatever document it appears in — so
+
+        P[sig_A(t) == sig_B(t)]  =  Σ_k min(a_k, b_k) / Σ_k max(a_k, b_k)
+
+    the WEIGHTED Jaccard similarity, per hash slot.
+
+    The sampling replays Ioffe's closed form per (token, hash):
+    r, c ~ Gamma(2,1), β ~ U(0,1), all md5-derived from
+    (salt, hash, draw, token) — the D29/A-Res portability discipline
+    (Gamma(2,1) = −ln(u·u′) of two independent uniforms). Then with
+    integer tf w ≥ 1::
+
+        t_k  = ⌊ ln(w)/r + β ⌋                (the quantized level)
+        ln a = ln(c) − r·(t_k − β) − r        (log-domain: no exp)
+
+    and the slot's sample is the argmin_k of ln a (ties by token —
+    unreachable: bit-equal ln a needs equal md5 draws). The EMITTED
+    surface is discrete — ``(id, hash_idx, token, t_k)`` — the float
+    key is ORDER-only (the D29 rule); the cross-engine ulp margin of
+    the ln chain is probed by pytest on the fixture.
+
+    Plan: one tf aggregate (the only data shuffle), one
+    hash-explode projection, one per-(id, hash) rank window. 100 TB
+    shape: parameters are pure expressions of (token, hash) — no
+    parameter table, no join, no RNG state; sketch size = n_hashes
+    rows per document."""
+    if n_hashes < 1:
+        raise ValueError("n_hashes must be >= 1")
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    ex = tf.withColumn(
+        "hash_idx",
+        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))),
+    )
+
+    def u(i: int) -> Column:
+        h = portable_hash32(
+            F.concat(
+                F.lit(salt),
+                F.col("hash_idx").cast("string"),
+                F.lit(f":{i}:"),
+                F.col("token"),
+            )
+        )
+        return (h + F.lit(1)) / F.lit(4294967296.0)
+
+    r = -F.log(u(1) * u(2))
+    c = -F.log(u(3) * u(4))
+    beta = u(5)
+    tk = F.floor(F.log(F.col("w").cast("double")) / r + beta)
+    ln_a = F.log(c) - r * (tk.cast("double") - beta) - r
+    scored = ex.select(
+        "id",
+        "hash_idx",
+        "token",
+        tk.cast("bigint").alias("tk"),
+        ln_a.alias("__lna"),
+    )
+    w = Window.partitionBy("id", "hash_idx").orderBy(
+        F.col("__lna").asc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("id", "hash_idx", "token", "tk")
+    )
+
+
+def icws_weighted_neardup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    min_collisions: int = 2,
+    salt: str = "icws:",
+) -> DataFrame:
+    """Weighted near-duplicate candidates from ICWS sketches, each
+    pair carrying its EXACT weighted Jaccard as an integer rational:
+    candidates = pairs whose signatures collide in >=
+    ``min_collisions`` of ``n_hashes`` slots (ONE equi-join on the
+    discrete sample (hash_idx, token, t_k) — the LSH-band shape, no
+    cross product); verification = Σ_k min(tf_a, tf_b) over an
+    equi-join on token for candidate pairs only, with
+    Σ max = W_a + W_b − Σ min from per-doc totals (no second join).
+    Emits ``(a_id, b_id, n_coll, jw_num, jw_den)`` — all integers,
+    E[n_coll / n_hashes] = jw_num / jw_den (Ioffe's theorem; pinned
+    by pytest at higher n_hashes).
+
+    Scale: the candidate join keys on the sketch sample — collision
+    lists are the buckets; the verify join touches candidate pairs'
+    tokens only. The quadratic all-pairs path exists nowhere."""
+    sigs = icws_signatures(df, id_col, text_col, n_hashes, salt)
+    cand = (
+        sigs.alias("sa")
+        .join(
+            sigs.alias("sb"),
+            ["hash_idx", "token", "tk"],
+        )
+        .filter(F.col("sa.id") < F.col("sb.id"))
+        .select(
+            F.col("sa.id").alias("a_id"), F.col("sb.id").alias("b_id")
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_coll"))
+        .filter(F.col("n_coll") >= min_collisions)
+    )
+    tf = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    totals = tf.groupBy("id").agg(F.sum("w").alias("wt"))
+    common = (
+        cand.join(
+            tf.select(
+                F.col("id").alias("a_id"),
+                "token",
+                F.col("w").alias("wa"),
+            ),
+            "a_id",
+        )
+        .join(
+            tf.select(
+                F.col("id").alias("b_id"),
+                "token",
+                F.col("w").alias("wb"),
+            ),
+            ["b_id", "token"],
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.sum(F.least("wa", "wb")).cast("bigint").alias("jw_num"))
+    )
+    return (
+        cand.join(common, ["a_id", "b_id"], "left")
+        .join(
+            totals.select(F.col("id").alias("a_id"), F.col("wt").alias("wta")),
+            "a_id",
+        )
+        .join(
+            totals.select(F.col("id").alias("b_id"), F.col("wt").alias("wtb")),
+            "b_id",
+        )
+        .select(
+            "a_id",
+            "b_id",
+            "n_coll",
+            F.coalesce(F.col("jw_num"), F.lit(0)).cast("bigint").alias(
+                "jw_num"
+            ),
+            (
+                F.col("wta") + F.col("wtb")
+                - F.coalesce(F.col("jw_num"), F.lit(0))
+            ).cast("bigint").alias("jw_den"),
+        )
+    )

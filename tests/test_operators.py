@@ -5879,6 +5879,133 @@ def test_bloom_skip_audit_laws(spark, sf_dir):
     assert sorted(map(tuple, again)) == sorted(map(tuple, a_row))
 
 
+def test_icws_weighted_minhash_laws(spark, sf_dir):
+    """ICWS weighted MinHash (Ioffe 2010), pinned: (1) CONSISTENCY —
+    identical texts produce identical signatures, so every slot
+    collides and exact weighted Jaccard is 1; (2) the sampling law —
+    over many hashes, a single doc's sampled-token frequency tracks
+    its tf share; (3) the estimator law — E[n_coll/T] = exact
+    weighted Jaccard (mean abs error at T=64 within the binomial
+    envelope); (4) exact-rational verify: jw_num/jw_den equal the
+    hand-computed Σmin/Σmax of the tf vectors; (5) the D29 margin
+    probe — per (doc, slot) the gap between the two smallest ln-keys
+    dwarfs cross-libm ulp error; (6) layout independence."""
+    import collections
+    import statistics
+
+    from jane_spark.operators.dedup import (
+        icws_signatures,
+        icws_weighted_neardup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # (1) consistency: a doc and its verbatim copy collide everywhere
+    two = spark.createDataFrame(
+        [(1, "a a a b c"), (2, "a a a b c"), (3, "x y z")],
+        ["doc_id", "text"],
+    )
+    nd = icws_weighted_neardup(
+        two, "doc_id", "text", n_hashes=16, min_collisions=1
+    ).collect()
+    dup = [r for r in nd if (r.a_id, r.b_id) == (1, 2)][0]
+    assert dup.n_coll == 16 and dup.jw_num == dup.jw_den == 5
+
+    # (4) exact rational on a constructed pair:
+    # tf_a = {a:3,b:1,c:1}, tf_b = {a:1,b:2,x:1} -> min 1+1=2, max 3+2+1+1=7
+    pair = spark.createDataFrame(
+        [(1, "a a a b c"), (2, "a b b x")], ["doc_id", "text"]
+    )
+    r = icws_weighted_neardup(
+        pair, "doc_id", "text", n_hashes=16, min_collisions=1
+    ).collect()
+    if r:  # collides in >=1 slot with Jw = 2/7 (may rarely miss)
+        assert (r[0].jw_num, r[0].jw_den) == (2, 7)
+
+    # (2) sampling ∝ tf on one fixture doc, 512 hashes
+    one = docs.filter(F.col("doc_id") == 1)
+    sigs = icws_signatures(one, "doc_id", "text", n_hashes=512).collect()
+    freq = collections.Counter(s.token for s in sigs)
+    tf = collections.Counter(
+        t for t in one.collect()[0].text.split(" ") if t
+    )
+    tot = sum(tf.values())
+    for tok, cnt in freq.most_common(3):
+        p = tf[tok] / tot
+        se = (p * (1 - p) / 512) ** 0.5
+        assert abs(cnt / 512 - p) < 5 * se, (tok, cnt / 512, p)
+
+    # (3) estimator law at T=64 on a doc subset
+    sub = docs.filter(F.col("doc_id") < 60)
+    nd64 = icws_weighted_neardup(
+        sub, "doc_id", "text", n_hashes=64, min_collisions=1
+    ).collect()
+    errs = [abs(x.n_coll / 64 - x.jw_num / x.jw_den) for x in nd64]
+    assert statistics.mean(errs) < 0.06, statistics.mean(errs)
+
+    # (5) float-margin probe (the D29/A-Res discipline): smallest gap
+    # between the winning and runner-up ln-key per (doc, slot) must
+    # dwarf the ~1e-15 relative cross-libm ulp of the ln chain
+    from pyspark.sql import Window as W
+
+    from jane_spark.operators.dedup import portable_hash32
+
+    tfd = (
+        docs.filter(F.col("doc_id") < 100)
+        .select(
+            F.col("doc_id").alias("id"),
+            F.explode(F.split(F.col("text"), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .withColumn(
+            "hash_idx", F.explode(F.sequence(F.lit(0), F.lit(7)))
+        )
+    )
+
+    def u(i):
+        return (
+            portable_hash32(
+                F.concat(
+                    F.lit("icws:"),
+                    F.col("hash_idx").cast("string"),
+                    F.lit(f":{i}:"),
+                    F.col("token"),
+                )
+            )
+            + F.lit(1)
+        ) / F.lit(4294967296.0)
+
+    rr = -F.log(u(1) * u(2))
+    cc = -F.log(u(3) * u(4))
+    beta = u(5)
+    tk = F.floor(F.log(F.col("w").cast("double")) / rr + beta)
+    lna = F.log(cc) - rr * (tk.cast("double") - beta) - rr
+    w2 = W.partitionBy("id", "hash_idx").orderBy(F.col("lna").asc())
+    gaps = (
+        tfd.select("id", "hash_idx", lna.alias("lna"))
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= 2)
+        .groupBy("id", "hash_idx")
+        .agg((F.max("lna") - F.min("lna")).alias("gap"))
+        .agg(F.min("gap"))
+        .collect()[0][0]
+    )
+    assert gaps > 1e-9, f"icws argmin margin too thin: {gaps}"
+
+    # (6) layout independence
+    a = icws_weighted_neardup(
+        docs, "doc_id", "text", n_hashes=8, min_collisions=6
+    ).collect()
+    b = icws_weighted_neardup(
+        docs.repartition(13), "doc_id", "text", n_hashes=8,
+        min_collisions=6,
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) > 100  # the fixture genuinely exercises the surface
+
+
 def test_bbit_minhash_estimator(spark):
     """b-bit MinHash (Li-Konig 2010), pinned: (1) the corrected
     estimator tracks TRUE Jaccard on constructed overlap pairs
