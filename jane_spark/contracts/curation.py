@@ -117,6 +117,69 @@ def q_t12(spark, sf_dir):
     return dup_span_coverage(docs, "doc_id", "text", k=30)
 
 
+_EXACT_SPANS_ORACLE = """
+WITH t AS (SELECT doc_id, text FROM documents),
+g0 AS (SELECT doc_id,
+              unnest(generate_series(1, greatest(length(text) - 29, 0)))
+                  AS pos,
+              text
+       FROM t),
+g AS (SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+             CAST('0x' || substr(md5(substr(text, pos, 30)), 1, 15)
+                  AS BIGINT) AS gk
+      FROM g0),
+d AS (SELECT gk FROM g GROUP BY gk HAVING count(*) >= 2),
+an AS (SELECT g.doc_id, g.pos, g.gk FROM g JOIN d USING (gk)),
+p AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.pos AS a_pos, a.pos - b.pos AS diag
+      FROM an a JOIN an b ON a.gk = b.gk
+      WHERE a.doc_id < b.doc_id
+         OR (a.doc_id = b.doc_id AND a.pos < b.pos)),
+m AS (SELECT a_id, b_id, diag, a_pos,
+             CASE WHEN lag(a_pos) OVER w IS NULL
+                    OR a_pos - lag(a_pos) OVER w > 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM p
+      WINDOW w AS (PARTITION BY a_id, b_id, diag ORDER BY a_pos)),
+s AS (SELECT a_id, b_id, diag, a_pos,
+             sum(brk) OVER (PARTITION BY a_id, b_id, diag ORDER BY a_pos
+                            ROWS UNBOUNDED PRECEDING) AS run
+      FROM m),
+r AS (SELECT a_id, b_id, diag, min(a_pos) AS a_start,
+             max(a_pos) - min(a_pos) + 30 AS span_len
+      FROM s GROUP BY a_id, b_id, diag, run)
+SELECT r.a_id, r.b_id, CAST(r.a_start AS INTEGER) AS a_start,
+       CAST(r.a_start - r.diag AS INTEGER) AS b_start,
+       CAST(r.span_len AS INTEGER) AS span_len,
+       md5(substr(t.text, r.a_start, r.span_len)) AS span_md5
+FROM r JOIN t ON t.doc_id = r.a_id
+"""
+
+
+@contract(
+    "q_t45_exact_spans",
+    oracle=_EXACT_SPANS_ORACLE,
+    survey_rows="T45,T12,T21",
+    doc="MAXIMAL exact duplicated substrings at SPAN granularity — "
+    "the true Lee et al. 2022 criterion T12/T21 approximate with "
+    "per-position coverage (operators/curation.exact_dup_spans): "
+    "anchor k-gram matches on one (doc-pair, diagonal) are EXACTLY "
+    "the consecutive-position runs of a maximal common substring, "
+    "so one lag-break sessionization per diagonal (the D6/I4 "
+    "coalescer) recovers the precise span — both documents, both "
+    "offsets, exact length, md5 content witness — with no suffix "
+    "array and no character extension loop. Pair fan-out is "
+    "C(count,2) per duplicated gram (fixture counts are 2-3; the "
+    "max_gram_count cap is the K28 blocking move at boilerplate "
+    "scale). Maximality + b-side-equality laws pytest-pinned",
+)
+def q_t45(spark, sf_dir):
+    from jane_spark.operators.curation import exact_dup_spans
+
+    docs = Catalog(spark, sf_dir).documents
+    return exact_dup_spans(docs, "doc_id", "text", k=30)
+
+
 _DUPREMOVE_ORACLE = """
 WITH t AS (SELECT doc_id, text, length(text) AS n_chars FROM documents),
 g0 AS (SELECT doc_id,

@@ -271,6 +271,137 @@ def dup_span_coverage(
     )
 
 
+def exact_dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 30,
+    min_len: int | None = None,
+    max_gram_count: int | None = None,
+) -> DataFrame:
+    """MAXIMAL exact duplicated substrings at SPAN granularity — the
+    TRUE Lee et al. 2022 criterion that :func:`dup_span_coverage` /
+    :func:`dup_span_removal` approximate with per-position k-gram
+    coverage: for every pair of text locations sharing a duplicated
+    run, emit the maximal common substring itself — (both documents,
+    both offsets, exact length, content witness) — not just "this
+    position is covered".
+
+    The suffix-array step of the paper becomes a DIAGONAL-RUN
+    argument, fully relational: anchor every position's k-gram
+    (portable 60-bit key, the T12 scan), equi-join duplicated keys
+    into matching position pairs, and observe that within one
+    (doc_a, doc_b, diagonal = pos_a − pos_b) group, a maximal common
+    substring of length L ≥ k is EXACTLY a run of consecutive
+    anchors (positions s … s+L−k): every interior position anchors,
+    and an anchor at s−1 or s+L−k+1 would contradict maximality. So
+    sessionize anchors per diagonal (the D6/I4 lag-break coalescer)
+    and each run [s, e] IS the maximal span [s, e+k−1] — no
+    character-by-character extension, no suffix array, exact spans.
+
+    Emits ``(a_id, b_id, a_start, b_start, span_len, span_md5)`` per
+    maximal duplicated span pair with span_len >= ``min_len``
+    (default k); same-document repeats pair (id, id) with
+    a_start < b_start. ``span_md5`` hashes the a-side substring —
+    the b-side hashes identically (pytest-pinned law; a 60-bit
+    anchor-key collision inside a run is the same negligible
+    acceptance T12 documents).
+
+    Scale shape: gram scan + ONE count groupBy (map-side partials);
+    the pair join fans out C(cnt, 2) per duplicated key — bounded by
+    ``max_gram_count`` when set (the K28 rare-shingle blocking move;
+    grams above the cap are EXCLUDED and their spans unreported —
+    set it deliberately at boilerplate-heavy corpora, or run T12
+    coverage first to find them); one lag-break window per
+    (doc_a, doc_b, diagonal); one join back for the witness. No
+    quadratic stage, no Python.
+    """
+    if min_len is None:
+        min_len = k
+    if min_len < k:
+        raise ValueError(f"min_len {min_len} < k {k}: sub-anchor spans "
+                         "cannot be detected — lower k instead")
+    t = F.col(text_col)
+    arr = F.when(
+        F.length(t) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - F.lit(k - 1)),
+            lambda i: F.struct(
+                i.alias("pos"), _gram_key(F.substr(t, i, F.lit(k))).alias("gk")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,gk:bigint>>"))
+    grams = df.select(
+        F.col(id_col).alias("__id"), F.explode(arr).alias("g")
+    ).select("__id", F.col("g.pos").alias("pos"), F.col("g.gk").alias("gk"))
+    cnt = grams.groupBy("gk").agg(F.count(F.lit(1)).alias("cnt"))
+    keep = cnt.filter(F.col("cnt") >= 2)
+    if max_gram_count is not None:
+        keep = keep.filter(F.col("cnt") <= max_gram_count)
+    anchors = grams.join(keep.select("gk"), "gk", "left_semi")
+    a = anchors.select(
+        F.col("gk"),
+        F.col("__id").alias("a_id"),
+        F.col("pos").alias("a_pos"),
+    )
+    b = anchors.select(
+        F.col("gk"),
+        F.col("__id").alias("b_id"),
+        F.col("pos").alias("b_pos"),
+    )
+    pairs = a.join(b, "gk").filter(
+        (F.col("a_id") < F.col("b_id"))
+        | ((F.col("a_id") == F.col("b_id")) & (F.col("a_pos") < F.col("b_pos")))
+    ).select(
+        "a_id", "b_id", "a_pos",
+        (F.col("a_pos") - F.col("b_pos")).alias("diag"),
+    ).distinct()
+    w = Window.partitionBy("a_id", "b_id", "diag").orderBy("a_pos")
+    runs = (
+        pairs.withColumn("__lag", F.lag("a_pos").over(w))
+        .withColumn(
+            "__brk",
+            F.when(
+                F.col("__lag").isNull()
+                | (F.col("a_pos") - F.col("__lag") > 1),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__run",
+            F.sum("__brk").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("a_id", "b_id", "diag", "__run")
+        .agg(F.min("a_pos").alias("a_start"), F.max("a_pos").alias("__e"))
+        .select(
+            "a_id",
+            "b_id",
+            F.col("a_start"),
+            (F.col("a_start") - F.col("diag")).alias("b_start"),
+            (F.col("__e") - F.col("a_start") + F.lit(k)).alias("span_len"),
+        )
+        .filter(F.col("span_len") >= min_len)
+    )
+    witness = df.select(
+        F.col(id_col).alias("a_id"), F.col(text_col).alias("__t")
+    )
+    return (
+        runs.join(witness, "a_id")
+        .select(
+            F.col("a_id").cast("long").alias("a_id"),
+            F.col("b_id").cast("long").alias("b_id"),
+            F.col("a_start").cast("int").alias("a_start"),
+            F.col("b_start").cast("int").alias("b_start"),
+            F.col("span_len").cast("int").alias("span_len"),
+            F.md5(
+                F.substr(F.col("__t"), F.col("a_start"), F.col("span_len"))
+            ).alias("span_md5"),
+        )
+    )
+
+
 def dup_span_removal(
     df: DataFrame,
     id_col: str,

@@ -106,6 +106,85 @@ def test_dup_span_no_duplicates_is_zero(spark):
     assert r["covered_chars"] == 0 and r["dup_frac"] == 0.0
 
 
+def test_exact_dup_spans_brute_force(spark):
+    """Maximal exact duplicated spans (the true Lee et al. span
+    criterion), pinned against a brute-force maximal-common-substring
+    scan on constructed docs: (1) the emitted (a_start, b_start,
+    span_len) set EQUALS the brute-force set of maximal common
+    substrings >= k across all doc pairs (incl. same-doc repeats);
+    (2) both sides' substrings are byte-equal and match span_md5;
+    (3) maximality — no span extends by one char on either side;
+    (4) a unique-content corpus emits nothing; (5) layout
+    independence."""
+    import hashlib
+    import random
+
+    rng = random.Random(7)
+    alph = "abcdefgh"
+    shared = "".join(rng.choice(alph) for _ in range(47))
+    docs = []
+    for i in range(10):
+        pre = "".join(rng.choice(alph) for _ in range(rng.randint(25, 60)))
+        post = "".join(rng.choice(alph) for _ in range(rng.randint(25, 60)))
+        body = pre + (shared if i % 3 == 0 else "") + post
+        # doc 9 repeats the shared block TWICE (same-doc pair)
+        if i == 9:
+            body = pre + shared + post + shared
+        docs.append((i, body))
+    k = 12
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    from jane_spark.operators.curation import exact_dup_spans
+
+    rows = exact_dup_spans(df, "doc_id", "text", k=k).collect()
+    got = {(r.a_id, r.b_id, r.a_start, r.b_start, r.span_len) for r in rows}
+
+    # brute force: for every (doc pair, diagonal), scan match runs
+    texts = dict(docs)
+    expect = set()
+    for a in range(10):
+        for b in range(a, 10):
+            ta, tb = texts[a], texts[b]
+            for diag in range(-len(tb), len(ta) + 1):
+                run = 0
+                for i in range(len(ta) + 1):
+                    j = i - diag
+                    match = (
+                        0 <= i < len(ta)
+                        and 0 <= j < len(tb)
+                        and ta[i] == tb[j]
+                        and not (a == b and i == j)
+                    )
+                    if match:
+                        run += 1
+                    else:
+                        if run >= k:
+                            s = i - run
+                            if not (a == b and s >= s - diag):
+                                expect.add((a, b, s + 1, s - diag + 1, run))
+                        run = 0
+    # same-doc pairs: operator emits a_pos < b_pos only (a_start < b_start)
+    assert got == expect, (
+        sorted(got - expect)[:5], sorted(expect - got)[:5]
+    )
+
+    for r in rows:
+        sa = texts[r.a_id][r.a_start - 1 : r.a_start - 1 + r.span_len]
+        sb = texts[r.b_id][r.b_start - 1 : r.b_start - 1 + r.span_len]
+        assert sa == sb
+        assert hashlib.md5(sa.encode()).hexdigest() == r.span_md5
+
+    uniq = spark.createDataFrame(
+        [(1, "abcdefghijklmnop"), (2, "qrstuvwxyz012345")],
+        ["doc_id", "text"],
+    )
+    assert exact_dup_spans(uniq, "doc_id", "text", k=12).count() == 0
+
+    again = exact_dup_spans(
+        df.repartition(7), "doc_id", "text", k=k
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
 # ---------------------------------------------------------- trigram LM
 
 
