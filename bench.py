@@ -255,6 +255,23 @@ BENCH_QUERIES = {
     "bbit_minhash": "q_k51_bbit_minhash",
     # synchronous LPA communities (lazy 4-round plan; unrolled-CTE twin)
     "lpa": "q_k52_lpa",
+    # round 14: NN-descent kNN-graph build (localCheckpoint per round
+    # at plan build -> REBUILD_PER_RUN); the oracle replays seed + both
+    # refinement rounds, so it is a genuine twin
+    "nn_descent": "q_k48_nn_descent",
+    # closed-form 2x2-block OPQ rotation (one lazy plan: aggregate +
+    # broadcast cross join + codegen projection; genuine twin)
+    "opq2_rotate": "q_k49_opq2",
+    # ICWS weighted-minhash near-dup (lazy plan; twin replays draws,
+    # argmin, collision join and the exact-Jaccard verify)
+    "icws": "q_k53_icws",
+    # exact maximal duplicated-substring spans (lazy plan; twin replays
+    # anchors + diagonal sessionization)
+    "exact_spans": "q_t45_exact_spans",
+    # WebDataset tar round trip (tar pack + re-parse in-plan; the
+    # oracle CONSTRUCTS the member table — construct-only class, like
+    # export_roundtrip/orc_roundtrip)
+    "wds_roundtrip": "q_p10_roundtrip",
     # (q_i5_late_drop stays un-benched like every streaming execution:
     # the stream runs at plan-build into a memory sink and its oracle
     # is the batch twin — a construct-only compare)
@@ -312,6 +329,11 @@ REBUILD_PER_RUN = {
     # predates the REBUILD rule and its old number excluded the scan)
     "hilbert",
     "zorder",
+    # NN-descent localCheckpoints its edge table per refinement round
+    # at plan build (the LPA loop discipline) — rebuild or the timed
+    # region excludes the whole construction (r14, the zorder lesson
+    # applied in the same commit per VERDICT r13 #8)
+    "nn_descent",
 }
 
 # Ambient-drift calibration (VERDICT r4 "bench hygiene"): re-measure a

@@ -29,86 +29,89 @@ from jane_spark.contracts import rest  # noqa: F401  (§2.12 R REST front door, 
 
 VERIFY_FIRST: list[str] = [
     # =================================================================
-    # ROUND 13 ROTATION (VERDICT r12 next-steps #3: retire the r6-era
-    # evidence debt, then start on the r7 block). Window contents, in
-    # priority order:
+    # ROUND 14 ROTATION (VERDICT r13 next-steps #1: retire ALL
+    # remaining pre-r8 evidence debt — the full 22-name r7 remainder
+    # fronts this window, so after it every contract's evidence is
+    # <= 6 rounds old). Window contents, in priority order:
     #   (a) contracts NEW this round — never hash-checked, so they
-    #       outrank stale re-verifies (standing policy). Added as the
-    #       round's operators land; each addition displaces one name
-    #       from the r7 tail below.
-    #   (b) contracts whose CODE changed this round (ADVICE r12
-    #       hardening) and so need a fresh driver hash: q_k47_gram
-    #       (per-component range/null raise_error in the quantized
-    #       projection), q_p27_shard_balance (fail-loud shard-id range
-    #       check ahead of the universe join), q_d28_merge_rollup
-    #       (part-shape validation before key inference);
-    #   (c) the 14-name r6 tail in REGISTRATION order — after this
-    #       window, r6-era evidence debt is ZERO;
-    #   (d) the r7 block in registration order, as many as fit.
-    # Into r14: the r7 remainder (q_k21_quality_clf, q_k16_kmeans, q_t23_domaincap,
-    # q_t27_psl_domain, q_k22_bpe_train, q_k22_bpe_encode, q_t24_stupid_backoff,
-    # q_t33_kneser_ney, q_t32_gopher, q_t31_compress,
-    # q_t30_sentences, q_t29_extract,
-    # q_t28_trigram_backoff, q_t25_chunking, q_p13_corpus_diff, q_p12_ffd_pack,
-    # q_t26_contam_report, q_p14_warc_pipeline, q_r1_rest_search,
-    # q_r2_rest_doc_list, q_r3_rest_serialize, q_r4_rest_xml, plus any
-    # names the round-13 new-operator batch displaces), then the r8
-    # block as it ages.
+    #       outrank stale re-verifies (standing policy): the
+    #       NN-descent graph build, the closed-form OPQ2 rotation,
+    #       the WebDataset round-trip oracle (P10 ◐→✅), ICWS
+    #       weighted minhash, exact duplicated-substring spans;
+    #   (b) contracts whose CODE changed this round (ADVICE r13
+    #       hardening) and so need a fresh driver hash:
+    #       q_e15_robust_trend (fail-loud pre-t0 bucket guard),
+    #       q_k50_drift_trigger (DECIMAL(38,0) moment sums),
+    #       q_p28_hilbert (reserved-column guard), q_j5_event_timeout
+    #       (watermark clamp on the timeout timestamp),
+    #       q_p10_wds_shards (webdataset_shards gained the assign
+    #       parameter — default path unchanged, re-attest anyway);
+    #   (c) the 22-name r7 remainder in REGISTRATION order — after
+    #       this window, pre-r8 evidence debt is ZERO;
+    #   (d) the head of the r8 block (47 names) in registration
+    #       order, as many as fit.
+    # Into r15: the r8 remainder (q_b3_range_filter onward — 29
+    # names: q_b3..q_b9_radial_wrap, q_c1..q_c4_overlap, q_d6_gaps,
+    # q_k3_ivf, q_k7_multimodal/resize/audio, q_k10_keep_best,
+    # q_k7_phash, q_t22_urlnorm, q_k22_bpe_pairs, q_k25_wordpiece,
+    # q_k26_unigram, q_k26_unigram_estep, q_k3_ivf_portable,
+    # q_p15_pack_boundaries), then the r9 block as it ages.
     # =================================================================
     # (a) new contracts this round
-    "q_d29_weighted_reservoir",
-    "q_p7_export",
-    "q_k49_dimperm",
-    "q_k49_opq",
-    "q_k50_ivf_incr",
-    "q_k50_drift_trigger",
-    "q_j5_two_batch",
-    "q_p28_hilbert",
-    "q_d30_bootstrap",
-    "q_e15_robust_trend",
-    "q_p29_bloom_skip",
-    "q_k51_bbit_minhash",
-    "q_j5_event_timeout",
-    "q_k52_lpa",
+    "q_k48_nn_descent",
+    "q_k49_opq2",
+    "q_p10_roundtrip",
+    "q_k53_icws",
+    "q_t45_exact_spans",
     # (b) code changed this round
-    "q_k47_gram",
-    "q_p27_shard_balance",
-    "q_d28_merge_rollup",
-    # (c) stale-r6 tail, registration order — retires r6 debt
-    "q_t3_fingerprint_md5",
-    "q_t15_pii",
-    "q_t11_linededup",
-    "q_t12_dupspan",
-    "q_t13_lm_score",
-    "q_k16_semdedup",
-    "q_t14_embed_decontam",
-    "q_p6_shuffle",
-    "q_k17_heavyhitters",
-    "q_t16_c4filter",
-    "q_p7_mixture",
-    "q_t17_htmlstrip",
-    "q_t18_ccnet_buckets",
-    "q_t19_normalize",
-    # (d) r7 block, registration order
-    "q_a6_beachball",
-    "q_a8_text_format",
-    "q_a8_event_xml",
-    "q_a1_seismic_formats",
-    "q_a1_waveform_source",
-    "q_a7_cut_bytes",
-    "q_a10_warc",
-    "q_b12_semi_acl",
-    "q_e6_transitions",
-    "q_e7_funnel",
-    "q_s1_sql_door",
-    "q_i9_stream_join",
-    "q_k3_lsh_portable",
-    "q_k23_quantize",
-    "q_k23_matryoshka",
+    "q_e15_robust_trend",
+    "q_k50_drift_trigger",
+    "q_p28_hilbert",
+    "q_j5_event_timeout",
     "q_p10_wds_shards",
-    "q_p11_webpipeline",
-    "q_t21_dupremove",
-    "q_t20_clf_score",
+    # (c) the full r7 remainder, registration order — retires ALL
+    # pre-r8 evidence debt
+    "q_k21_quality_clf",
+    "q_k16_kmeans",
+    "q_t23_domaincap",
+    "q_t27_psl_domain",
+    "q_k22_bpe_train",
+    "q_k22_bpe_encode",
+    "q_t24_stupid_backoff",
+    "q_t33_kneser_ney",
+    "q_t32_gopher",
+    "q_t31_compress",
+    "q_t30_sentences",
+    "q_t29_extract",
+    "q_t28_trigram_backoff",
+    "q_t25_chunking",
+    "q_p13_corpus_diff",
+    "q_p12_ffd_pack",
+    "q_t26_contam_report",
+    "q_p14_warc_pipeline",
+    "q_r1_rest_search",
+    "q_r2_rest_doc_list",
+    "q_r3_rest_serialize",
+    "q_r4_rest_xml",
+    # (d) head of the r8 block, registration order
+    "q_a1_scan_count",
+    "q_a2_explode",
+    "q_a3_validation_gate",
+    "q_a2_stationxml_parse",
+    "q_a4_sha_dedup",
+    "q_a6_binary_len",
+    "q_a8_station_xml",
+    "q_a8_fm_xml",
+    "q_a9_delta_anti",
+    "q_a7_dataselect_cut",
+    "q_a7_longest_only",
+    "q_a8_eventid",
+    "q_a8_event_includeall",
+    "q_a8_event_arrivals",
+    "q_a8_station_params",
+    "q_a8_availability_params",
+    "q_b1_json_extract",
+    "q_b2_eq_filter",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

@@ -1857,6 +1857,7 @@ def graph_expand_topk(
     query_mod: int = 10,
     dim: int = 64,
     hops: int = 1,
+    build: str = "exact",
 ) -> DataFrame:
     """Graph-expansion ANN — the batch-relational member of the
     graph-index family (HNSW / NSG / DiskANN), completing the ANN
@@ -1901,11 +1902,20 @@ def graph_expand_topk(
     rows), seeds come off the binary-code scan, and the only
     data-scale work is the one coarse scan — exactly the DiskANN
     read path with the beam replaced by a fixed one-hop frontier.
+
+    ``build`` selects the edge-table construction: ``"exact"`` (the
+    grid-GEMM block_topk — exact edges, O(n²·d) FLOPs, fixture/audit
+    use) or ``"nn_descent"`` (:func:`nn_descent_graph` — the
+    sub-quadratic production build, VERDICT r13 #3; end-to-end query
+    recall over the approximate graph is pytest-pinned within a few
+    points of the exact-graph path).
     """
     if k < 1 or n_seeds < 1 or degree < 1 or query_mod < 2 or hops < 1:
         raise ValueError(
             "need k, n_seeds, degree, hops >= 1 and query_mod >= 2"
         )
+    if build not in ("exact", "nn_descent"):
+        raise ValueError(f"unknown build mode {build!r}")
     base = vectors.select(
         F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
     )
@@ -1933,9 +1943,15 @@ def graph_expand_topk(
         n_seeds,
     ).select("qid", F.col("vec_id").alias("cid"))
 
-    edges = block_topk(
-        corpus, "id", "v", k=degree, rank_round_dp=6
-    ).select("a_id", "b_id")
+    if build == "nn_descent":
+        edges = nn_descent_graph(
+            vectors, id_col, vec_col, degree=degree, iters=2,
+            dim=dim, exclude_mod=query_mod,
+        ).select("a_id", "b_id")
+    else:
+        edges = block_topk(
+            corpus, "id", "v", k=degree, rank_round_dp=6
+        ).select("a_id", "b_id")
 
     cand = seeds
     frontier = seeds

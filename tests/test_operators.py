@@ -4952,6 +4952,31 @@ def test_nn_descent_graph_recall(spark, sf_dir):
     again = build(2, src=emb.repartition(13)).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
+    # end-to-end: graph_expand_topk over the NN-descent graph lands
+    # within a few recall points of the exact-graph query path (the
+    # production build=nn_descent wiring)
+    from jane_spark.operators.vector import graph_expand_topk
+
+    def query_results(build_mode):
+        out = graph_expand_topk(
+            emb, "vec_id", "embedding", k=10, n_seeds=16, degree=8,
+            hops=2, build=build_mode,
+        ).collect()
+        got_q: dict = {}
+        for r in out:
+            got_q.setdefault(r.qid, set()).add(r.vec_id)
+        return got_q
+
+    g_exact = query_results("exact")
+    g_nnd = query_results("nn_descent")
+    overlaps = [
+        len(g_nnd.get(q, set()) & s) / max(len(s), 1)
+        for q, s in g_exact.items()
+    ]
+    import statistics
+
+    assert statistics.mean(overlaps) >= 0.85, statistics.mean(overlaps)
+
 
 def test_merge_rollups_remerge_and_gram_guard(spark):
     """Review follow-ups: (1) merge_rollups output is itself mergeable
