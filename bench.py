@@ -526,6 +526,15 @@ CALIBRATION = {
     "bbit_minhash": 1.6926,
     # two sessions measured 2.52 (load 6)/2.15 (load 2.1) — idle one
     "lpa": 2.1535,
+    # round-14 rows: idle 5-run medians (steal 0.00 / busy 0.01 cores
+    # probed immediately before). nn_descent's oracle spread is
+    # 13.8-32.2 s (DuckDB hash-table sizing on the ~6M-pair seed
+    # join); wds_roundtrip is the construct-only class
+    "nn_descent": 24.2296,
+    "opq2_rotate": 0.9760,
+    "icws": 5.2453,
+    "exact_spans": 5.0546,
+    "wds_roundtrip": 0.0202,
 }
 
 

