@@ -50,8 +50,8 @@ VERIFY_FIRST: list[str] = [
     #       this window, pre-r8 evidence debt is ZERO;
     #   (d) the head of the r8 block (47 names) in registration
     #       order, as many as fit.
-    # Into r15: the r8 remainder (q_b3_range_filter onward — 29
-    # names: q_b3..q_b9_radial_wrap, q_c1..q_c4_overlap, q_d6_gaps,
+    # Into r15: the r8 remainder (q_b2_eq_filter onward — 30
+    # names: q_b2..q_b9_radial_wrap, q_c1..q_c4_overlap, q_d6_gaps,
     # q_k3_ivf, q_k7_multimodal/resize/audio, q_k10_keep_best,
     # q_k7_phash, q_t22_urlnorm, q_k22_bpe_pairs, q_k25_wordpiece,
     # q_k26_unigram, q_k26_unigram_estep, q_k3_ivf_portable,
@@ -59,6 +59,7 @@ VERIFY_FIRST: list[str] = [
     # =================================================================
     # (a) new contracts this round
     "q_k48_nn_descent",
+    "q_k48_incr",
     "q_k49_opq2",
     "q_p10_roundtrip",
     "q_k53_icws",
@@ -111,7 +112,6 @@ VERIFY_FIRST: list[str] = [
     "q_a8_station_params",
     "q_a8_availability_params",
     "q_b1_json_extract",
-    "q_b2_eq_filter",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

@@ -1847,6 +1847,43 @@ def binary_codes(
     )
 
 
+def binary_codes_frozen(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    ref: DataFrame,
+    dim: int = 64,
+) -> DataFrame:
+    """:func:`binary_codes` with the above-mean bit thresholds FROZEN
+    from ``ref``'s per-dimension sums — the K50 frozen-quantizer move
+    applied to the binary-code family: a new ingest batch codes
+    against the STORED corpus's thresholds, so its codes and buckets
+    stay bit-consistent with the stored code table WITHOUT re-scanning
+    or re-coding history (``ref`` contributes one bounded broadcast
+    row: d sums + a count). Same helpers as binary_codes, so the bit
+    rule cannot drift between the stored and incremental paths."""
+    base = _binary_guarded_base(
+        vectors, id_col, vec_col, dim, "binary_codes_frozen"
+    )
+    barr = _binary_sums_row(
+        _binary_guarded_base(
+            ref, id_col, vec_col, dim, "binary_codes_frozen(ref)"
+        )
+    )
+
+    def bit(lo: int) -> str:
+        return (
+            _BINARY_VE_AT.format(lo=lo)
+            + f" * n_corpus > element_at(s_arr, j + {lo} + 1)"
+        )
+
+    return base.crossJoin(F.broadcast(barr)).select(
+        F.col("id").alias("vec_id"),
+        F.expr(_binary_pack(bit(0), 0, dim)).alias("w0"),
+        F.expr(_binary_pack(bit(32), 32, dim)).alias("w1"),
+    )
+
+
 def graph_expand_topk(
     vectors: DataFrame,
     id_col: str,
@@ -2173,6 +2210,196 @@ def nn_descent_graph(
     # final cut: wide internal lists truncate to the requested degree
     return top_k_per_group(
         edges,
+        ["a_id"],
+        [F.col("sim").desc(), F.col("b_id").asc()],
+        degree,
+        rank_col="rank",
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
+def nn_descent_insert(
+    corpus: DataFrame,
+    batch: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    vec_col: str,
+    degree: int = 8,
+    bucket_bits: int = 4,
+    n_slices: int = 4,
+    build_degree: int | None = None,
+    dim: int = 64,
+    rank_round_dp: int = 6,
+) -> DataFrame:
+    """INCREMENTAL kNN-graph maintenance — the operational half of
+    K48, exactly what :func:`ivf_assign_batch` +
+    :func:`moment_drift_trigger` are to IVF (K50): a new ingest
+    batch joins the STORED NN-descent graph without a full rebuild
+    and without re-scanning history beyond the touched
+    neighborhoods.
+
+    Inputs: ``corpus`` (the stored vectors), ``batch`` (new rows —
+    ids MUST be disjoint from the corpus; pytest-pinned
+    precondition), ``edges`` = the stored graph over the corpus
+    (``(a_id, b_id, sim)`` — :func:`nn_descent_graph` output).
+
+    Steps, all relational:
+
+    1. code the batch with :func:`binary_codes_frozen` against the
+       CORPUS thresholds — buckets stay bit-consistent with the
+       stored code table, no history re-coding (the K50 frozen-
+       quantizer discipline);
+    2. seed: per bit-slice table, bucket-join the batch against
+       corpus ∪ batch; score; BOTH orientations enter (a new node
+       gets a list; its bucket partners get it as a CANDIDATE — the
+       reverse-edge half NN-descent needs);
+    3. merge: per-node top-``build_degree`` of stored ∪ seed edges;
+    4. ONE refinement round CLOSED OVER THE NEW INFORMATION:
+       candidate pairs (u, w) sharing a neighbor v where u, w or v
+       is new — old-old pairs first connected THROUGH a new via are
+       exactly the improvements a full rebuild would find this
+       round; pure old-via-old triples are already converged and
+       skipped (that is the whole cost story);
+    5. emit per-node top-``degree`` — ``(a_id, b_id, sim, rank)``
+       over corpus ∪ batch.
+
+    Monotone law (pytest-pinned): candidates only ADD, so every
+    node's sorted similarity list weakly dominates its stored list —
+    an insert can only improve the graph. Update-vs-rebuild edge
+    agreement on the fixture is pinned too.
+
+    Scale shape: batch-side bucket joins (|B|·bucket-size·slices
+    pairs), one window over touched nodes, one refinement round
+    bounded by the touched neighborhoods' deg² — cost scales with
+    |batch|·degree², NOT |corpus|: daily ingest never rebuilds.
+    """
+    if degree < 1:
+        raise ValueError("degree must be >= 1")
+    if build_degree is None:
+        build_degree = 2 * degree
+    if build_degree < degree:
+        raise ValueError("build_degree must be >= degree")
+    b = int(bucket_bits)
+    mask = (1 << b) - 1
+
+    c_base = corpus.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+    )
+    b_base = batch.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+    )
+    all_base = c_base.unionByName(b_base)
+    va = all_base.select(F.col("id").alias("a_id"), F.col("v").alias("av"))
+    vb = all_base.select(F.col("id").alias("b_id"), F.col("v").alias("bv"))
+
+    c_codes = binary_codes(c_base, "id", "v", dim=dim)
+    b_codes = binary_codes_frozen(b_base, "id", "v", c_base, dim=dim)
+    all_codes = c_codes.unionByName(b_codes).select(
+        F.col("vec_id").alias("id"), "w0", "w1"
+    )
+    new_codes = b_codes.select(F.col("vec_id").alias("id"), "w0", "w1")
+
+    seed_pairs = None
+    for s in range(int(n_slices)):
+        word, off = ("w0", s * b) if s * b < 32 else ("w1", s * b - 32)
+        bk = (F.shiftright(F.col(word), off).bitwiseAND(F.lit(mask))).cast(
+            "int"
+        )
+        nb = new_codes.select(bk.alias("bkt"), F.col("id").alias("a_id"))
+        ab = all_codes.select(bk.alias("bkt"), F.col("id").alias("b_id"))
+        p = (
+            nb.join(ab, "bkt")
+            .filter(F.col("a_id") != F.col("b_id"))
+            .select("a_id", "b_id")
+        )
+        seed_pairs = p if seed_pairs is None else seed_pairs.unionByName(p)
+    # both orientations: the new node's list AND its partners' lists
+    seed_pairs = seed_pairs.unionByName(
+        seed_pairs.select(
+            F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id")
+        )
+    ).distinct()
+    seeds = (
+        seed_pairs.join(va, "a_id")
+        .join(vb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                cosine(F.col("av"), F.col("bv")), rank_round_dp
+            ).alias("sim"),
+        )
+    )
+    g1 = top_k_per_group(
+        edges.select("a_id", "b_id", "sim").unionByName(seeds),
+        ["a_id"],
+        [F.col("sim").desc(), F.col("b_id").asc()],
+        build_degree,
+    ).drop("rn").localCheckpoint(eager=True)
+
+    new_ids = b_base.select(F.col("id"))
+    und = g1.select("a_id", "b_id").unionByName(
+        g1.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    ).distinct()
+    # tag newness once on the undirected list: a candidate pair needs
+    # u, w or the shared via to be new
+    und_t = (
+        und.join(
+            new_ids.select(F.col("id").alias("a_id")).withColumn(
+                "__via_new", F.lit(True)
+            ),
+            "a_id",
+            "left",
+        )
+        .join(
+            new_ids.select(F.col("id").alias("b_id")).withColumn(
+                "__end_new", F.lit(True)
+            ),
+            "b_id",
+            "left",
+        )
+        .select(
+            F.col("a_id").alias("via"),
+            F.col("b_id").alias("u"),
+            F.coalesce(F.col("__via_new"), F.lit(False)).alias("via_new"),
+            F.coalesce(F.col("__end_new"), F.lit(False)).alias("u_new"),
+        )
+    )
+    cand = (
+        und_t.join(
+            und_t.select(
+                F.col("via"),
+                F.col("u").alias("w"),
+                F.col("u_new").alias("w_new"),
+            ),
+            "via",
+        )
+        .filter(
+            (F.col("u") != F.col("w"))
+            & (F.col("u_new") | F.col("w_new") | F.col("via_new"))
+        )
+        .select(F.col("u").alias("a_id"), F.col("w").alias("b_id"))
+        .distinct()
+        .join(g1.select("a_id", "b_id"), ["a_id", "b_id"], "left_anti")
+    )
+    fresh = (
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                cosine(F.col("av"), F.col("bv")), rank_round_dp
+            ).alias("sim"),
+        )
+    )
+    g2 = top_k_per_group(
+        g1.unionByName(fresh),
+        ["a_id"],
+        [F.col("sim").desc(), F.col("b_id").asc()],
+        build_degree,
+    ).drop("rn")
+    return top_k_per_group(
+        g2,
         ["a_id"],
         [F.col("sim").desc(), F.col("b_id").asc()],
         degree,

