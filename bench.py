@@ -524,8 +524,9 @@ CALIBRATION = {
     "robust_trend": 0.2508,
     "bloom_skip": 0.0611,
     "bbit_minhash": 1.6926,
-    # two sessions measured 2.52 (load 6)/2.15 (load 2.1) — idle one
-    "lpa": 2.1535,
+    # three sessions measured 2.52 (load 6)/2.15 (load 2.1)/2.09
+    # (TRUE idle r14: busy 0.02, steal 0.00) — idle one recorded
+    "lpa": 2.0900,
     # round-14 rows: idle 5-run medians (steal 0.00 / busy 0.01 cores
     # probed immediately before). nn_descent's oracle spread is
     # 13.8-32.2 s (DuckDB hash-table sizing on the ~6M-pair seed
