@@ -527,15 +527,18 @@ CALIBRATION = {
     # three sessions measured 2.52 (load 6)/2.15 (load 2.1)/2.09
     # (TRUE idle r14: busy 0.02, steal 0.00) — idle one recorded
     "lpa": 2.0900,
-    # round-14 rows: idle 5-run medians (steal 0.00 / busy 0.01 cores
-    # probed immediately before). nn_descent's oracle spread is
-    # 13.8-32.2 s (DuckDB hash-table sizing on the ~6M-pair seed
-    # join); wds_roundtrip is the construct-only class
-    "nn_descent": 24.2296,
-    "opq2_rotate": 0.9760,
-    "icws": 5.2453,
-    "exact_spans": 5.0546,
-    "wds_roundtrip": 0.0202,
+    # round-14 rows: two readings each — a fresh-process idle 5-run
+    # median (nn_descent 24.23 / opq2 0.98 / icws 5.25 / exact_spans
+    # 5.05 / wds 0.0202; steal 0.00, busy 0.01 probed before) and the
+    # gate-clean artifact's same-session interleaved recheck, which
+    # came in FASTER (DuckDB warm-session effects); the STRICTER one
+    # is recorded (the dimperm/robust_trend convention).
+    # wds_roundtrip stays the construct-only class
+    "nn_descent": 11.9147,
+    "opq2_rotate": 0.3697,
+    "icws": 2.9366,
+    "exact_spans": 2.4835,
+    "wds_roundtrip": 0.0147,
 }
 
 
