@@ -316,6 +316,12 @@ def exact_dup_spans(
     (doc_a, doc_b, diagonal); one join back for the witness. No
     quadratic stage, no Python.
     """
+    if k < 2:
+        raise ValueError("k must be >= 2: single-char anchors make every "
+                         "repeated character a duplicated 'span'")
+    if max_gram_count is not None and max_gram_count < 2:
+        raise ValueError("max_gram_count < 2 excludes every duplicated "
+                         "gram — nothing could ever be reported")
     if min_len is None:
         min_len = k
     if min_len < k:

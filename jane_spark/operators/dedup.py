@@ -1078,6 +1078,12 @@ def icws_weighted_neardup(
     Scale: the candidate join keys on the sketch sample — collision
     lists are the buckets; the verify join touches candidate pairs'
     tokens only. The quadratic all-pairs path exists nowhere."""
+    if not (1 <= min_collisions <= n_hashes):
+        raise ValueError(
+            f"min_collisions must be in [1, n_hashes={n_hashes}]: below 1 "
+            "the threshold admits non-colliding pairs the candidate join "
+            "never produces; above n_hashes nothing can qualify"
+        )
     sigs = icws_signatures(df, id_col, text_col, n_hashes, salt)
     cand = (
         sigs.alias("sa")

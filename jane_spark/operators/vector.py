@@ -2287,7 +2287,23 @@ def nn_descent_insert(
     b_base = batch.select(
         F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
     )
-    all_base = c_base.unionByName(b_base)
+    # fail-loud disjointness guard: a batch id already in the corpus
+    # would silently produce two competing lists for one node (the
+    # zonemaps shard-id discipline — poison rows evaluate only when
+    # an overlap exists, so the plan stays lazy and overlap-free runs
+    # pay one cheap semi-join)
+    poison = (
+        b_base.join(c_base.select("id"), "id", "left_semi")
+        .select(
+            F.expr(
+                "raise_error(concat('nn_descent_insert: batch id ', "
+                "cast(id as string), ' already exists in the corpus — "
+                "inserts must be disjoint (dedup or re-key upstream)'))"
+            ).cast("long").alias("id"),
+            F.col("v"),
+        )
+    )
+    all_base = c_base.unionByName(b_base).unionByName(poison)
     va = all_base.select(F.col("id").alias("a_id"), F.col("v").alias("av"))
     vb = all_base.select(F.col("id").alias("b_id"), F.col("v").alias("bv"))
 

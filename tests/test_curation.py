@@ -179,6 +179,13 @@ def test_exact_dup_spans_brute_force(spark):
     )
     assert exact_dup_spans(uniq, "doc_id", "text", k=12).count() == 0
 
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be >= 2"):
+        exact_dup_spans(df, "doc_id", "text", k=1)
+    with pytest.raises(ValueError, match="max_gram_count"):
+        exact_dup_spans(df, "doc_id", "text", k=12, max_gram_count=1)
+
     again = exact_dup_spans(
         df.repartition(7), "doc_id", "text", k=k
     ).collect()

@@ -5062,6 +5062,14 @@ def test_nn_descent_insert_laws(spark, sf_dir):
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
+    # (6) fail-loud disjointness: a batch id already in the corpus
+    # must raise, not produce two competing lists for one node
+    overlap = corpus.limit(1).unionByName(batch.limit(1))
+    with pytest.raises(Exception, match="already exists in the corpus"):
+        nn_descent_insert(
+            corpus, overlap, stored, "vec_id", "embedding", degree=8
+        ).collect()
+
 
 def test_merge_rollups_remerge_and_gram_guard(spark):
     """Review follow-ups: (1) merge_rollups output is itself mergeable
@@ -6114,6 +6122,16 @@ def test_icws_weighted_minhash_laws(spark, sf_dir):
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert len(a) > 100  # the fixture genuinely exercises the surface
+
+    # (7) parameter guards fail loudly
+    with pytest.raises(ValueError, match="min_collisions"):
+        icws_weighted_neardup(
+            docs, "doc_id", "text", n_hashes=8, min_collisions=0
+        )
+    with pytest.raises(ValueError, match="min_collisions"):
+        icws_weighted_neardup(
+            docs, "doc_id", "text", n_hashes=8, min_collisions=9
+        )
 
 
 def test_bbit_minhash_estimator(spark):
