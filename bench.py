@@ -272,6 +272,8 @@ BENCH_QUERIES = {
     # oracle CONSTRUCTS the member table — construct-only class, like
     # export_roundtrip/orc_roundtrip)
     "wds_roundtrip": "q_p10_roundtrip",
+    # priority sampling (lazy plan; genuine twin — same md5 ratio rank)
+    "priority": "q_d31_priority",
     # (q_i5_late_drop stays un-benched like every streaming execution:
     # the stream runs at plan-build into a memory sink and its oracle
     # is the batch twin — a construct-only compare)
@@ -539,6 +541,8 @@ CALIBRATION = {
     "icws": 2.9366,
     "exact_spans": 2.4835,
     "wds_roundtrip": 0.0147,
+    # priority sampling (idle 5-run median, busy ~0 probed before)
+    "priority": 0.0206,
 }
 
 

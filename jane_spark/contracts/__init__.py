@@ -50,8 +50,8 @@ VERIFY_FIRST: list[str] = [
     #       this window, pre-r8 evidence debt is ZERO;
     #   (d) the head of the r8 block (47 names) in registration
     #       order, as many as fit.
-    # Into r15: the r8 remainder (q_b2_eq_filter onward — 30
-    # names: q_b2..q_b9_radial_wrap, q_c1..q_c4_overlap, q_d6_gaps,
+    # Into r15: the r8 remainder (q_b1_json_extract onward — 31
+    # names: q_b1..q_b9_radial_wrap, q_c1..q_c4_overlap, q_d6_gaps,
     # q_k3_ivf, q_k7_multimodal/resize/audio, q_k10_keep_best,
     # q_k7_phash, q_t22_urlnorm, q_k22_bpe_pairs, q_k25_wordpiece,
     # q_k26_unigram, q_k26_unigram_estep, q_k3_ivf_portable,
@@ -64,6 +64,7 @@ VERIFY_FIRST: list[str] = [
     "q_p10_roundtrip",
     "q_k53_icws",
     "q_t45_exact_spans",
+    "q_d31_priority",
     # (b) code changed this round
     "q_e15_robust_trend",
     "q_k50_drift_trigger",
@@ -111,7 +112,6 @@ VERIFY_FIRST: list[str] = [
     "q_a8_event_arrivals",
     "q_a8_station_params",
     "q_a8_availability_params",
-    "q_b1_json_extract",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

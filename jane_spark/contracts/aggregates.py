@@ -1077,6 +1077,52 @@ def q_d29(spark, sf_dir):
 
 
 @contract(
+    "q_d31_priority",
+    oracle="""
+        WITH h AS (SELECT lang, doc_id,
+                          CAST(n_chars AS BIGINT) AS weight,
+                          CAST(concat('0x', substr(md5(concat('pri:',
+                              CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                              + 1 AS h1
+                   FROM documents WHERE n_chars > 0),
+        r AS (SELECT lang, doc_id, weight, h1,
+                     CAST(row_number() OVER (PARTITION BY lang
+                         ORDER BY (CAST(weight AS DOUBLE) * 4294967296.0)
+                                  / CAST(h1 AS DOUBLE) DESC,
+                                  doc_id ASC) AS BIGINT) AS rk
+              FROM h),
+        tau AS (SELECT lang, weight AS tau_w, h1 AS tau_h1
+                FROM r WHERE rk = 6)
+        SELECT r.lang, r.doc_id, r.weight, r.rk,
+               CAST(coalesce(t.tau_w, 0) AS BIGINT) AS tau_w,
+               CAST(coalesce(t.tau_h1, 1) AS BIGINT) AS tau_h1
+        FROM r LEFT JOIN tau t ON t.lang = r.lang
+        WHERE r.rk <= 5
+    """,
+    survey_rows="D31,D29,D22",
+    doc="per-group PRIORITY sample — Duffield, Lund & Thorup (JACM "
+    "2007), the estimation-optimal member of the weighted-sampling "
+    "family (functions.sampling.priority_sample): priority = "
+    "w·2^32/(md5-word+1), keep the 5 largest per language, the 6th "
+    "priority becomes the group threshold τ carried as the EXACT "
+    "integer pair (tau_w, tau_h1), and Σ max(w_i, τ) over any "
+    "pre-fixed subset of the sample estimates that subset's weight "
+    "sum UNBIASEDLY (pytest-pinned over salts). Determinism is "
+    "stronger than D29's ln keys: the ordering ratio is exact-int → "
+    "double · 2^32 / exact-int → double — every op IEEE exact-"
+    "rounded, bit-identical in any engine, no libm anywhere. "
+    "Mergeable (top-(k+1)-by-priority composes under union — the "
+    "D22 law with a weighted key). One hash projection + one "
+    "per-group rank window",
+)
+def q_d31(spark, sf_dir):
+    from jane_spark.functions.sampling import priority_sample
+
+    docs = Catalog(spark, sf_dir).documents
+    return priority_sample(docs, ["lang"], "doc_id", "n_chars", k=5)
+
+
+@contract(
     "q_k37_overlap_matrix",
     oracle="""
         WITH t AS (SELECT source AS g,

@@ -369,6 +369,102 @@ def weighted_reservoir_sample(
     )
 
 
+def priority_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "pri:",
+) -> DataFrame:
+    """Per-group PRIORITY sample — Duffield, Lund & Thorup (JACM
+    2007, "Priority sampling for estimation of arbitrary subset
+    sums"): the estimation-optimal member of the weighted-sampling
+    family next to :func:`weighted_reservoir_sample` (A-Res answers
+    "give me a PPS sample"; priority sampling answers "let me
+    ESTIMATE any subset sum from k kept rows", with variance no
+    worse than the best possible k+1-row scheme — the paper's
+    headline theorem).
+
+    Each row draws ``u = (h + 1) / 2^32`` from the salted md5 of its
+    id and gets priority ``q = w / u = w · 2^32 / (h + 1)``; the k
+    LARGEST priorities per group are kept and the (k+1)-th priority
+    becomes the group's threshold τ, carried as the EXACT INTEGER
+    pair ``(tau_w, tau_h1)`` (τ = tau_w · 2^32 / tau_h1; groups with
+    ≤ k rows get (0, 1): every row kept, estimates exact). The
+    subset-sum estimator is ``Σ_{i ∈ sample ∩ S} max(w_i, τ)`` —
+    unbiased for ANY subset S fixed in advance (pytest-pinned).
+
+    Determinism is STRONGER than the A-Res ln keys: the ordering
+    ratio is (exact int → double) · 2^32 / (exact int → double) —
+    every op IEEE exact-rounded (2^32 multiply is a power of two),
+    so the priorities are BIT-IDENTICAL in any engine, no libm
+    anywhere, no margin argument needed. The emitted surface is all
+    integers. Mergeable: top-(k+1)-by-priority sets compose under
+    union exactly like bottom-k, so shard samples merge into the
+    global sample and a new ingest batch updates it incrementally.
+
+    Emits ``(group_cols..., id, weight, rk, tau_w, tau_h1)``, rk
+    1-based by (priority desc, id asc). One hash projection + one
+    per-group rank window — the D22/D29 plan, no extra shuffle.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    base = df.select(
+        *group_cols,
+        F.col(id_col),
+        F.col(weight_col).cast("bigint").alias("weight"),
+        (h + F.lit(1)).alias("__h1"),
+    ).where(F.col("weight") > 0)
+    pri = (
+        F.col("weight").cast("double") * F.lit(4294967296.0)
+    ) / F.col("__h1").cast("double")
+    w = Window.partitionBy(*group_cols).orderBy(
+        pri.desc(), F.col(id_col).asc()
+    )
+    ranked = base.withColumn("rk", F.row_number().over(w).cast("bigint"))
+    tau = (
+        ranked.filter(F.col("rk") == k + 1)
+        .select(
+            *group_cols,
+            F.col("weight").alias("tau_w"),
+            F.col("__h1").alias("tau_h1"),
+        )
+    )
+    kept = ranked.filter(F.col("rk") <= k).drop("__h1")
+    if group_cols:
+        joined = kept.join(tau, on=group_cols, how="left")
+    else:
+        # global sample: constant-key LEFT join (a crossJoin against
+        # an EMPTY tau — every row kept — would wipe the result)
+        joined = (
+            kept.withColumn("__g", F.lit(1))
+            .join(
+                F.broadcast(tau.withColumn("__g", F.lit(1))), "__g", "left"
+            )
+            .drop("__g")
+        )
+    return joined.select(
+        *group_cols,
+        F.col(id_col),
+        F.col("weight"),
+        F.col("rk"),
+        F.coalesce(F.col("tau_w"), F.lit(0)).cast("bigint").alias("tau_w"),
+        F.coalesce(F.col("tau_h1"), F.lit(1)).cast("bigint").alias(
+            "tau_h1"
+        ),
+    )
+
+
 def release_manifest(
     df: DataFrame,
     bucket_col: str,

@@ -5311,6 +5311,118 @@ def test_r12_advice_fail_loud_guards(spark):
         merge_rollups(r1, r1.drop("min_cents"))
 
 
+def test_priority_sample_laws(spark, sf_dir):
+    """Priority sampling (Duffield-Lund-Thorup JACM 2007), pinned:
+    (1) NumPy parity — the per-group sample and threshold equal a
+    direct top-(k+1)-by-priority computation over the same md5
+    words; (2) the UNBIASEDNESS theorem — over many salts, the
+    estimator Σ max(w_i, τ) over sampled members of a pre-fixed
+    subset averages to the subset's true weight sum; (3) a group
+    with <= k rows keeps every row with τ = 0/1 (estimates exact);
+    (4) mergeability — shard-wise top-(k+1) unions re-sample to the
+    global answer; (5) layout independence; (6) w <= 0 excluded."""
+    import hashlib
+    import statistics
+
+    from jane_spark.functions.sampling import priority_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = priority_sample(docs, ["lang"], "doc_id", "n_chars", k=5)
+    rows = out.collect()
+
+    # (1) python parity
+    src = docs.select("lang", "doc_id", "n_chars").collect()
+    groups: dict = {}
+    for r in src:
+        if r.n_chars > 0:
+            h = int(
+                hashlib.md5(f"pri:{r.doc_id}".encode()).hexdigest()[:8], 16
+            )
+            pri = float(r.n_chars) * 4294967296.0 / float(h + 1)
+            groups.setdefault(r.lang, []).append(
+                (pri, r.doc_id, r.n_chars, h + 1)
+            )
+    expect = {}
+    for lang, items in groups.items():
+        items.sort(key=lambda t: (-t[0], t[1]))
+        tau = (items[5][2], items[5][3]) if len(items) > 5 else (0, 1)
+        for rk, (_, did, w0, _h1) in enumerate(items[:5], 1):
+            expect[(lang, did)] = (w0, rk, tau[0], tau[1])
+    got = {
+        (r.lang, r.doc_id): (r.weight, r.rk, r.tau_w, r.tau_h1)
+        for r in rows
+    }
+    assert got == expect
+
+    # (2) unbiasedness of the subset-sum estimator: subset = odd ids
+    # in one group, estimated from the k-row sample across salts
+    one = docs.filter(F.col("lang") == "en").select(
+        "doc_id", "n_chars"
+    ).collect()
+    truth = sum(r.n_chars for r in one if r.doc_id % 2 == 1)
+    ests = []
+    for s in range(40):
+        samp = priority_sample(
+            docs.filter(F.col("lang") == "en"), [], "doc_id",
+            "n_chars", k=8, salt=f"pri{s}:",
+        ).collect()
+        tau = (
+            samp[0].tau_w * 4294967296.0 / samp[0].tau_h1
+            if samp and samp[0].tau_h1
+            else 0.0
+        )
+        ests.append(
+            sum(max(float(r.weight), tau) for r in samp
+                if r.doc_id % 2 == 1)
+        )
+    mu = statistics.mean(ests)
+    sd = statistics.stdev(ests) / (40 ** 0.5)
+    assert abs(mu - truth) < 4 * sd + 0.02 * truth, (mu, truth, sd)
+
+    # (3) small group: every row kept, tau = 0/1
+    small = spark.createDataFrame(
+        [("g", i, 10 * i) for i in range(1, 4)], ["g", "id", "w"]
+    )
+    sr = priority_sample(small, ["g"], "id", "w", k=5).collect()
+    assert len(sr) == 3
+    assert all((r.tau_w, r.tau_h1) == (0, 1) for r in sr)
+    assert sorted(r.rk for r in sr) == [1, 2, 3]
+
+    # (4) mergeability: shard-wise top-(k+1) union re-sampled == global
+    en = docs.filter(F.col("lang") == "en")
+    shard_keep = None
+    for m in range(3):
+        part = priority_sample(
+            en.filter(F.col("doc_id") % 3 == m), ["lang"], "doc_id",
+            "n_chars", k=6,
+        ).select("doc_id")
+        # keep k+1 per shard: rk <= 6 kept rows + the tau row id is
+        # not emitted, so re-sample from kept rows only works when
+        # shard keeps >= k+1; use k=6 shards -> global k=5
+        shard_keep = part if shard_keep is None else shard_keep.unionByName(part)
+    merged = priority_sample(
+        en.join(shard_keep, "doc_id", "left_semi"), ["lang"], "doc_id",
+        "n_chars", k=5,
+    ).collect()
+    direct = priority_sample(
+        en, ["lang"], "doc_id", "n_chars", k=5
+    ).collect()
+    assert sorted((r.doc_id, r.rk) for r in merged) == sorted(
+        (r.doc_id, r.rk) for r in direct
+    )
+
+    # (5) layout independence + (6) nonpositive weights excluded
+    again = priority_sample(
+        docs.repartition(13), ["lang"], "doc_id", "n_chars", k=5
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    zw = spark.createDataFrame(
+        [("g", 1, 0), ("g", 2, -5), ("g", 3, 7)], ["g", "id", "w"]
+    )
+    zr = priority_sample(zw, ["g"], "id", "w", k=5).collect()
+    assert [r.id for r in zr] == [3]
+
+
 def test_weighted_reservoir_sample_laws(spark, sf_dir):
     """A-Res weighted reservoir (Efraimidis-Spirakis 2006), pinned:
     (1) NumPy parity — the per-group sample equals a direct
