@@ -1096,7 +1096,7 @@ def q_d29(spark, sf_dir):
         SELECT r.lang, r.doc_id, r.weight, r.rk,
                CAST(coalesce(t.tau_w, 0) AS BIGINT) AS tau_w,
                CAST(coalesce(t.tau_h1, 1) AS BIGINT) AS tau_h1
-        FROM r LEFT JOIN tau t ON t.lang = r.lang
+        FROM r LEFT JOIN tau t ON t.lang IS NOT DISTINCT FROM r.lang
         WHERE r.rk <= 5
     """,
     survey_rows="D31,D29,D22",

@@ -171,7 +171,11 @@ FROM r JOIN t ON t.doc_id = r.a_id
     "array and no character extension loop. Pair fan-out is "
     "C(count,2) per duplicated gram (fixture counts are 2-3; the "
     "max_gram_count cap is the K28 blocking move at boilerplate "
-    "scale). Maximality + b-side-equality laws pytest-pinned",
+    "scale — capped runs touching an over-cap anchor are DROPPED so "
+    "emitted spans stay genuinely maximal, and with no cap a "
+    "fanout_guard raise_error fires past 1000 occurrences instead "
+    "of silently exploding, ADVICE/VERDICT r14). Maximality + "
+    "b-side-equality + cap-maximality laws pytest-pinned",
 )
 def q_t45(spark, sf_dir):
     from jane_spark.operators.curation import exact_dup_spans

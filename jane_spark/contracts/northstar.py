@@ -3406,9 +3406,15 @@ _ICWS_ORACLE = f"""
     "CONSISTENTLY across documents, so slot-collision probability "
     "IS the weighted Jaccard. Gamma(2,1)/uniform draws are "
     "md5-derived per (token, hash) — the D29 A-Res portability "
-    "discipline — and the float stage stays ORDER-only (log-domain "
-    "argmin; margins pytest-probed): the emitted surface is the "
-    "discrete sample (token, level) per slot, candidates are an "
+    "discipline. Float exposure (ADVICE r14, stated exactly): the "
+    "log-domain argmin key is ORDER-only, AND the emitted level "
+    "t_k = floor(ln(w)/r + beta) is itself a floor over libm — a "
+    "cross-libm ulp at a floor boundary would flip a hashed row, so "
+    "BOTH margins (floor-boundary distance over every (token, slot) "
+    "and the argmin winner gap) are pytest-probed on the fixture; "
+    "no integer-rational reformulation exists for a ln chain. The "
+    "emitted surface is the discrete sample (token, level) per "
+    "slot, candidates are an "
     "equi-join on it (>= 6/8 collisions), and each pair carries its "
     "EXACT weighted Jaccard as the integer rational "
     "Σmin(tf)/ (W_a + W_b − Σmin). E[n_coll/8] = Jw is "

@@ -875,12 +875,12 @@ def q_p10(spark, sf_dir):
         SELECT shard_id, concat(key, '.src') AS name,
                CAST(strlen(source) AS BIGINT) AS size,
                md5(source) AS content_md5
-        FROM a
+        FROM a WHERE source IS NOT NULL
         UNION ALL
         SELECT shard_id, concat(key, '.txt') AS name,
                CAST(strlen(text) AS BIGINT) AS size,
                md5(text) AS content_md5
-        FROM a
+        FROM a WHERE text IS NOT NULL
     """,
     survey_rows="P10,K7",
     doc="WebDataset shard ROUND TRIP as a true oracle (VERDICT r13 "
@@ -892,7 +892,9 @@ def q_p10(spark, sf_dir):
     "name, size, content_md5); the oracle never touches a tar — it "
     "CONSTRUCTS the expected member table arithmetically from "
     "documents (lpad key, md5-bucket shard, strlen sizes, md5 "
-    "contents), so hash equality proves the container round-trips "
+    "contents; NULL member columns are excluded on BOTH sides — the "
+    "packer's optional-member skip mirrored by IS NOT NULL arms, "
+    "ADVICE r14), so hash equality proves the container round-trips "
     "losslessly: every sample in its assigned shard, correct member "
     "naming, byte-exact contents. The xxhash leg (q_p10_wds_shards) "
     "stays rows-only for the archive-level byte-identity law",

@@ -406,7 +406,10 @@ def priority_sample(
 
     Emits ``(group_cols..., id, weight, rk, tau_w, tau_h1)``, rk
     1-based by (priority desc, id asc). One hash projection + one
-    per-group rank window — the D22/D29 plan, no extra shuffle.
+    per-group rank window — the D22/D29 plan, no extra shuffle. NULL
+    group keys form a regular group (window semantics): the threshold
+    join is NULL-SAFE, so a NULL-keyed group with > k rows gets its
+    true τ, not the ≤k-rows (0, 1) sentinel.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -442,7 +445,25 @@ def priority_sample(
     )
     kept = ranked.filter(F.col("rk") <= k).drop("__h1")
     if group_cols:
-        joined = kept.join(tau, on=group_cols, how="left")
+        # NULL-SAFE group join (ADVICE r14): the rank window's
+        # partitionBy treats NULL as a regular group, so a NULL-keyed
+        # group with > k rows HAS a tau row — a plain equality join
+        # would null-reject it and silently hand the group
+        # (tau_w, tau_h1) = (0, 1), breaking the unbiased-subset-sum
+        # law for exactly that group. eqNullSafe on every group col
+        # keeps the window and the join under the same grouping.
+        t = tau.select(
+            *[F.col(c).alias(f"__t_{c}") for c in group_cols],
+            "tau_w",
+            "tau_h1",
+        )
+        cond = None
+        for c in group_cols:
+            leg = F.col(c).eqNullSafe(F.col(f"__t_{c}"))
+            cond = leg if cond is None else (cond & leg)
+        joined = kept.join(t, on=cond, how="left").drop(
+            *[f"__t_{c}" for c in group_cols]
+        )
     else:
         # global sample: constant-key LEFT join (a crossJoin against
         # an EMPTY tau — every row kept — would wipe the result)

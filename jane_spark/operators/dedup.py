@@ -994,10 +994,22 @@ def icws_signatures(
         ln a = ln(c) − r·(t_k − β) − r        (log-domain: no exp)
 
     and the slot's sample is the argmin_k of ln a (ties by token —
-    unreachable: bit-equal ln a needs equal md5 draws). The EMITTED
-    surface is discrete — ``(id, hash_idx, token, t_k)`` — the float
-    key is ORDER-only (the D29 rule); the cross-engine ulp margin of
-    the ln chain is probed by pytest on the fixture.
+    unreachable: bit-equal ln a needs equal md5 draws). Float
+    exposure, stated exactly (ADVICE r14): the emitted surface is
+    discrete — ``(id, hash_idx, token, t_k)`` — but BOTH discrete
+    outputs sit on libm: the argmin over the ln-chain key is
+    ORDER-only (the D29 rule), and **t_k itself is a floor over a
+    libm expression**, so a JVM ``Math.log`` vs libm ulp difference
+    at a floor boundary would flip an emitted t_k, not just an
+    ordering. Neither admits an integer-rational reformulation (the
+    ln of a uniform has no exact rational twin), so the posture is
+    measured margins, pytest-probed on the fixture for BOTH
+    exposures: the floor-boundary distance of ln(w)/r + β over every
+    (token, slot), and the winner/runner-up argmin gap — each must
+    dwarf the ~1e-15 relative cross-libm ulp of the chain. Exact
+    ties in ln a are broken by the token string itself (identical in
+    any engine), so a bit-equal tie is a non-event, never a hash
+    risk.
 
     Plan: one tf aggregate (the only data shuffle), one
     hash-explode projection, one per-(id, hash) rank window. 100 TB

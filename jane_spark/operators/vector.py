@@ -2032,6 +2032,30 @@ def graph_expand_topk(
     )
 
 
+def _validate_slice_layout(n_slices: int, bucket_bits: int) -> None:
+    """Seed-bucket slice layout guard shared by nn_descent_graph /
+    nn_descent_insert (ADVICE r14): slice s keys code bits
+    [s·b, s·b+b), read with ONE shiftright on the 32-bit word holding
+    bit s·b — so a slice that straddles the w0/w1 boundary would
+    zero-fill its high bits (shiftright past the word end), silently
+    merging buckets and diverging from the documented "slice s keys
+    dims s·b+1..s·b+b". Require every slice to sit inside one packed
+    word, on top of the [1,16]-bit and 64-bit-total range checks."""
+    if not (1 <= int(bucket_bits) <= 16):
+        raise ValueError("bucket_bits must be in [1, 16]")
+    if not (1 <= int(n_slices) * int(bucket_bits) <= 64):
+        raise ValueError("n_slices * bucket_bits must fit the 64 code bits")
+    b = int(bucket_bits)
+    for s in range(int(n_slices)):
+        if (s * b) // 32 != (s * b + b - 1) // 32:
+            raise ValueError(
+                f"slice {s} (bits [{s * b}, {s * b + b})) straddles the "
+                "w0/w1 32-bit word boundary — shiftright would zero-fill "
+                "its high bits and merge buckets; pick bucket_bits with "
+                "32 % bucket_bits == 0, or fewer slices"
+            )
+
+
 def nn_descent_graph(
     vectors: DataFrame,
     id_col: str,
@@ -2114,10 +2138,7 @@ def nn_descent_graph(
         build_degree = 2 * degree
     if build_degree < degree:
         raise ValueError("build_degree must be >= degree")
-    if not (1 <= int(bucket_bits) <= 16):
-        raise ValueError("bucket_bits must be in [1, 16]")
-    if not (1 <= int(n_slices) * int(bucket_bits) <= 64):
-        raise ValueError("n_slices * bucket_bits must fit the 64 code bits")
+    _validate_slice_layout(n_slices, bucket_bits)
     base = vectors.select(
         F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
     )
@@ -2278,6 +2299,7 @@ def nn_descent_insert(
         build_degree = 2 * degree
     if build_degree < degree:
         raise ValueError("build_degree must be >= degree")
+    _validate_slice_layout(n_slices, bucket_bits)
     b = int(bucket_bits)
     mask = (1 << b) - 1
 

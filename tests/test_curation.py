@@ -192,6 +192,72 @@ def test_exact_dup_spans_brute_force(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
 
+def test_exact_dup_spans_cap_stays_maximal(spark):
+    """Cap semantics made exact (ADVICE r14): an over-cap gram
+    INTERIOR to a run must not fragment it into false 'maximal'
+    spans — runs whose boundaries touch an over-cap anchor are
+    dropped, so every emitted span is still genuinely maximal; and
+    with no cap set, the fanout_guard raises at execution instead of
+    silently fanning out C(cnt, 2) pairs."""
+    import random
+
+    import pytest
+
+    from jane_spark.operators.curation import exact_dup_spans
+
+    rng = random.Random(11)
+    alph = "abcdefgh"
+    boiler = "".join(rng.choice(alph) for _ in range(20))
+    a_flank = "".join(rng.choice(alph) for _ in range(30))
+    b_flank = "".join(rng.choice(alph) for _ in range(30))
+    body = a_flank + boiler + b_flank
+    docs = [(100, body), (101, body)]
+    # 9 more copies of the boilerplate push its interior 12-grams
+    # over the cap while the flank-straddling grams stay at count 2
+    for i in range(9):
+        pad = "".join(rng.choice(alph) for _ in range(25))
+        docs.append((102 + i, pad + boiler))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    # uncapped (guard disabled): the full 80-char span is emitted
+    full = exact_dup_spans(
+        df, "doc_id", "text", k=12, fanout_guard=None
+    ).collect()
+    assert any(
+        (r.a_id, r.b_id, r.span_len) == (100, 101, 80) for r in full
+    )
+
+    # capped at 8: interior boilerplate grams (count 11) are excluded;
+    # the two flank fragments of the (100, 101) run border over-cap
+    # anchors, so NOTHING fragmented is emitted for that pair — no
+    # false maximal spans, pinned by brute maximality on every row
+    capped = exact_dup_spans(
+        df, "doc_id", "text", k=12, max_gram_count=8
+    ).collect()
+    texts = dict(docs)
+    for r in capped:
+        ta, tb = texts[r.a_id], texts[r.b_id]
+        i, j, ln = r.a_start - 1, r.b_start - 1, r.span_len
+        assert ta[i : i + ln] == tb[j : j + ln]
+        left_ext = i > 0 and j > 0 and ta[i - 1] == tb[j - 1]
+        right_ext = (
+            i + ln < len(ta) and j + ln < len(tb)
+            and ta[i + ln] == tb[j + ln]
+        )
+        assert not left_ext and not right_ext, (r, "not maximal")
+    assert not any(
+        {r.a_id, r.b_id} == {100, 101} for r in capped
+    ), capped
+
+    # fanout guard: no cap + a gram over the guard -> loud failure
+    with pytest.raises(Exception, match="fanout_guard"):
+        exact_dup_spans(
+            df, "doc_id", "text", k=12, fanout_guard=5
+        ).collect()
+    with pytest.raises(ValueError, match="fanout_guard"):
+        exact_dup_spans(df, "doc_id", "text", k=12, fanout_guard=1)
+
+
 # ---------------------------------------------------------- trigram LM
 
 

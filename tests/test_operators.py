@@ -5070,6 +5070,24 @@ def test_nn_descent_insert_laws(spark, sf_dir):
             corpus, overlap, stored, "vec_id", "embedding", degree=8
         ).collect()
 
+    # (7) slice-layout guard (ADVICE r14): bucket_bits=6 puts slice 5
+    # at bits [30, 36) — straddling the w0/w1 word boundary, where
+    # shiftright would zero-fill the high bits and silently merge
+    # buckets; both entry points must refuse the layout up front
+    with pytest.raises(ValueError, match="straddles"):
+        nn_descent_graph(
+            emb, "vec_id", "embedding", bucket_bits=6, n_slices=6
+        )
+    with pytest.raises(ValueError, match="straddles"):
+        nn_descent_insert(
+            corpus, batch, stored, "vec_id", "embedding",
+            bucket_bits=6, n_slices=6,
+        )
+    # 32 % bucket_bits == 0 layouts (8 bits x 8 slices) stay legal
+    nn_descent_graph(
+        emb.limit(0), "vec_id", "embedding", bucket_bits=8, n_slices=8
+    )
+
 
 def test_merge_rollups_remerge_and_gram_guard(spark):
     """Review follow-ups: (1) merge_rollups output is itself mergeable
@@ -5421,6 +5439,28 @@ def test_priority_sample_laws(spark, sf_dir):
     )
     zr = priority_sample(zw, ["g"], "id", "w", k=5).collect()
     assert [r.id for r in zr] == [3]
+
+    # (7) NULL group key (ADVICE r14): the window partitions NULL as
+    # a regular group, so the threshold join must be NULL-SAFE — a
+    # NULL-keyed group with > k rows carries its true tau, never the
+    # <=k sentinel (0, 1)
+    ng = spark.createDataFrame(
+        [(None, i, 10 + i) for i in range(1, 9)]
+        + [("g", i, 10 + i) for i in range(100, 108)],
+        "g string, id int, w int",
+    )
+    nr = priority_sample(ng, ["g"], "id", "w", k=3).collect()
+    null_rows = [r for r in nr if r.g is None]
+    assert len(null_rows) == 3
+    assert all((r.tau_w, r.tau_h1) != (0, 1) for r in null_rows), null_rows
+    # and the NULL group's tau matches a direct computation with the
+    # NULLs re-keyed to a real group value (same ids -> same hashes)
+    rk = spark.createDataFrame(
+        [("z", i, 10 + i) for i in range(1, 9)], "g string, id int, w int"
+    )
+    rr = priority_sample(rk, ["g"], "id", "w", k=3).collect()
+    assert sorted((r.id, r.rk, r.tau_w, r.tau_h1) for r in null_rows) == \
+        sorted((r.id, r.rk, r.tau_w, r.tau_h1) for r in rr)
 
 
 def test_weighted_reservoir_sample_laws(spark, sf_dir):
@@ -6223,6 +6263,19 @@ def test_icws_weighted_minhash_laws(spark, sf_dir):
         .collect()[0][0]
     )
     assert gaps > 1e-9, f"icws argmin margin too thin: {gaps}"
+
+    # (5b) FLOOR-boundary margin (ADVICE r14): t_k = floor(ln(w)/r+β)
+    # is itself a libm-exposed discrete output — the distance of
+    # ln(w)/r + β to its nearest integer must dwarf cross-libm ulp
+    # for EVERY (token, slot) in the hashed domain, not just winners
+    tkv = F.log(F.col("w").cast("double")) / rr + beta
+    frac = tkv - F.floor(tkv)
+    fb = (
+        tfd.select(F.least(frac, F.lit(1.0) - frac).alias("m"))
+        .agg(F.min("m"))
+        .collect()[0][0]
+    )
+    assert fb > 1e-9, f"icws t_k floor margin too thin: {fb}"
 
     # (6) layout independence
     a = icws_weighted_neardup(
