@@ -184,6 +184,114 @@ def q_t45(spark, sf_dir):
     return exact_dup_spans(docs, "doc_id", "text", k=30)
 
 
+_SPAN_REMOVAL_ORACLE = """
+WITH t AS (SELECT doc_id, text FROM documents),
+g0 AS (SELECT doc_id,
+              unnest(generate_series(1, greatest(length(text) - 19, 0)))
+                  AS pos,
+              text
+       FROM t),
+g AS (SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+             CAST('0x' || substr(md5(substr(text, pos, 20)), 1, 15)
+                  AS BIGINT) AS gk
+      FROM g0),
+d AS (SELECT gk FROM g GROUP BY gk HAVING count(*) >= 2),
+an AS (SELECT g.doc_id, g.pos, g.gk FROM g JOIN d USING (gk)),
+p AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.pos AS a_pos, a.pos - b.pos AS diag
+      FROM an a JOIN an b ON a.gk = b.gk
+      WHERE a.doc_id < b.doc_id
+         OR (a.doc_id = b.doc_id AND a.pos < b.pos)),
+m AS (SELECT a_id, b_id, diag, a_pos,
+             CASE WHEN lag(a_pos) OVER w IS NULL
+                    OR a_pos - lag(a_pos) OVER w > 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM p
+      WINDOW w AS (PARTITION BY a_id, b_id, diag ORDER BY a_pos)),
+s AS (SELECT a_id, b_id, diag, a_pos,
+             sum(brk) OVER (PARTITION BY a_id, b_id, diag ORDER BY a_pos
+                            ROWS UNBOUNDED PRECEDING) AS run
+      FROM m),
+r AS (SELECT a_id, b_id, diag, min(a_pos) AS a_start,
+             max(a_pos) - min(a_pos) + 20 AS span_len
+      FROM s GROUP BY a_id, b_id, diag, run),
+rr AS (SELECT * FROM r WHERE span_len >= 40),
+occ AS (SELECT a_id AS id, a_start AS st, a_start + span_len - 1 AS en
+        FROM rr
+        UNION
+        SELECT b_id, a_start - diag, a_start - diag + span_len - 1
+        FROM rr),
+mk AS (SELECT id, st, en,
+             CASE WHEN max(en) OVER wp IS NULL
+                    OR st > max(en) OVER wp + 1
+                  THEN 1 ELSE 0 END AS brk
+       FROM occ
+       WINDOW wp AS (PARTITION BY id ORDER BY st, en
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+mrg AS (SELECT id, min(st) AS st, max(en) AS en FROM (
+            SELECT id, st, en,
+                   sum(brk) OVER (PARTITION BY id ORDER BY st, en
+                                  ROWS UNBOUNDED PRECEDING) AS run
+            FROM mk) GROUP BY id, run),
+seg AS (SELECT id,
+               coalesce(lag(en) OVER (PARTITION BY id ORDER BY st), 0) + 1
+                   AS ks,
+               st - 1 AS ke
+        FROM mrg
+        UNION ALL
+        SELECT id, max(en) + 1, NULL FROM mrg GROUP BY id),
+pieces AS (SELECT seg.id, seg.ks,
+                  substr(t.text, ks,
+                         coalesce(ke, length(t.text)) - ks + 1) AS piece
+           FROM seg JOIN t ON t.doc_id = seg.id
+           WHERE coalesce(ke, length(t.text)) >= ks),
+cleaned AS (SELECT mm.id,
+                   coalesce(string_agg(p.piece, '' ORDER BY p.ks), '')
+                       AS clean_text
+            FROM (SELECT DISTINCT id FROM mrg) mm
+            LEFT JOIN pieces p ON p.id = mm.id
+            GROUP BY mm.id),
+stats AS (SELECT id, CAST(count(*) AS BIGINT) AS n_spans,
+                 CAST(sum(en - st + 1) AS BIGINT) AS removed
+          FROM mrg GROUP BY id)
+SELECT t.doc_id AS doc_id,
+       coalesce(c.clean_text, t.text) AS clean_text,
+       CAST(length(coalesce(c.clean_text, t.text)) AS BIGINT)
+           AS n_chars_clean,
+       CAST(coalesce(st.removed, 0) AS BIGINT) AS removed_chars,
+       CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans
+FROM t LEFT JOIN cleaned c ON c.id = t.doc_id
+LEFT JOIN stats st ON st.id = t.doc_id
+"""
+
+
+@contract(
+    "q_t45_span_removal",
+    oracle=_SPAN_REMOVAL_ORACLE,
+    survey_rows="T45,T21,T12",
+    doc="Span-granularity duplicate REMOVAL — the Lee et al. 2022 "
+    "edit step completed at T45's exact maximal spans (VERDICT r14 "
+    "next-step #3; operators/curation.exact_span_removal): anchors "
+    "are 20-grams but the REMOVAL criterion is the paper's own "
+    "'duplicated substring >= 40 chars' — the detect-small/"
+    "remove-long decoupling T21's per-position coverage cannot "
+    "express. Every occurrence of every maximal span (both run "
+    "sides, same-doc repeats) becomes a removal interval; intervals "
+    "merge when overlapping or touching; each document is "
+    "reassembled from the text between them by one row-local "
+    "aggregate stitch. The oracle replays the WHOLE edit in SQL — "
+    "gram scan, diagonal runs, interval merge, string_agg "
+    "reassembly — so the driver hash pins clean_text BYTE-EXACTLY "
+    "on every document, not just counts. Brute-force byte equality "
+    "+ the min_len==k T21-coincidence law pytest-pinned",
+)
+def q_t45_removal(spark, sf_dir):
+    from jane_spark.operators.curation import exact_span_removal
+
+    docs = Catalog(spark, sf_dir).documents
+    return exact_span_removal(docs, "doc_id", "text", k=20, min_len=40)
+
+
 _DUPREMOVE_ORACLE = """
 WITH t AS (SELECT doc_id, text, length(text) AS n_chars FROM documents),
 g0 AS (SELECT doc_id,

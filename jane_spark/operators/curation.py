@@ -331,6 +331,39 @@ def exact_dup_spans(
     500k pairs for that one gram) — pass an explicit cap, or
     ``fanout_guard=None`` to deliberately accept uncapped C(cnt, 2).
     """
+    runs = _exact_span_runs(
+        df, id_col, text_col, k, min_len, max_gram_count, fanout_guard
+    )
+    witness = df.select(
+        F.col(id_col).alias("a_id"), F.col(text_col).alias("__t")
+    )
+    return (
+        runs.join(witness, "a_id")
+        .select(
+            F.col("a_id").cast("long").alias("a_id"),
+            F.col("b_id").cast("long").alias("b_id"),
+            F.col("a_start").cast("int").alias("a_start"),
+            F.col("b_start").cast("int").alias("b_start"),
+            F.col("span_len").cast("int").alias("span_len"),
+            F.md5(
+                F.substr(F.col("__t"), F.col("a_start"), F.col("span_len"))
+            ).alias("span_md5"),
+        )
+    )
+
+
+def _exact_span_runs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    min_len: int | None,
+    max_gram_count: int | None,
+    fanout_guard: int | None,
+) -> DataFrame:
+    """Shared core of :func:`exact_dup_spans` (adds the md5 witness) and
+    :func:`exact_span_removal` (cuts the spans): maximal duplicated-run
+    table ``(a_id, b_id, a_start, b_start, span_len)``, uncast."""
     if k < 2:
         raise ValueError("k must be >= 2: single-char anchors make every "
                          "repeated character a duplicated 'span'")
@@ -470,28 +503,125 @@ def exact_dup_spans(
         runs = runs.join(
             touching, ["a_id", "b_id", "diag", "a_start"], "left_anti"
         )
-    runs = runs.select(
+    return runs.select(
         "a_id",
         "b_id",
         F.col("a_start"),
         (F.col("a_start") - F.col("diag")).alias("b_start"),
         (F.col("__e") - F.col("a_start") + F.lit(k)).alias("span_len"),
     ).filter(F.col("span_len") >= min_len)
-    witness = df.select(
-        F.col(id_col).alias("a_id"), F.col(text_col).alias("__t")
+
+
+def exact_span_removal(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 15,
+    min_len: int | None = None,
+    max_gram_count: int | None = None,
+    fanout_guard: int | None = 1000,
+) -> DataFrame:
+    """CUT every maximal duplicated span from every document — the
+    edit step of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better", §3: remove substrings of length >=
+    threshold that occur more than once) at :func:`exact_dup_spans`'
+    SPAN granularity. :func:`dup_span_removal` (T21) cuts per-position
+    k-gram COVERAGE — its removal length threshold IS its anchor
+    size, so detecting with small robust anchors while only removing
+    LONG duplications is inexpressible there. Here the two are
+    decoupled: anchors are k-grams (small k survives near-boundary
+    noise), the removal criterion is ``min_len`` — exactly the
+    paper's "duplicated substring of >= 50 chars" with k << 50.
+
+    Every occurrence of every maximal span (BOTH sides of each run
+    pair, same-document repeats included) becomes a removal interval
+    on its document; intervals merge when overlapping or touching
+    (the T21 coalescing convention), and each document is reassembled
+    from the text between its merged intervals — no second gram scan,
+    one row-local ``aggregate`` stitch.
+
+    Emits one row per input document, total: ``(id, clean_text,
+    n_chars_clean, removed_chars, n_spans)`` — ``n_spans`` counts the
+    MERGED removal intervals. Laws (pytest-pinned): byte-exact
+    reconstruction against a brute-force maximal-common-substring
+    scan; with ``min_len == k`` the removed positions coincide with
+    :func:`dup_span_removal`'s per-position coverage, so
+    ``removed_chars`` agrees per document.
+
+    Scale shape: the `_exact_span_runs` core (gram scan + ONE count
+    groupBy + diagonal sessionization, C(cnt, 2) bounded by
+    ``max_gram_count`` / guarded by ``fanout_guard``) plus one
+    interval-merge window per document and the row-local stitch —
+    the same inventory T21 pays, one extra union projection.
+    """
+    runs = _exact_span_runs(
+        df, id_col, text_col, k, min_len, max_gram_count, fanout_guard
     )
-    return (
-        runs.join(witness, "a_id")
-        .select(
-            F.col("a_id").cast("long").alias("a_id"),
-            F.col("b_id").cast("long").alias("b_id"),
-            F.col("a_start").cast("int").alias("a_start"),
-            F.col("b_start").cast("int").alias("b_start"),
-            F.col("span_len").cast("int").alias("span_len"),
-            F.md5(
-                F.substr(F.col("__t"), F.col("a_start"), F.col("span_len"))
-            ).alias("span_md5"),
+    occ = (
+        runs.select(
+            F.col("a_id").alias("__id"),
+            F.col("a_start").alias("s"),
+            (F.col("a_start") + F.col("span_len") - 1).alias("e"),
         )
+        .unionByName(
+            runs.select(
+                F.col("b_id").alias("__id"),
+                F.col("b_start").alias("s"),
+                (F.col("b_start") + F.col("span_len") - 1).alias("e"),
+            )
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("__id").orderBy("s", "e")
+    marked = (
+        occ.withColumn(
+            "prev_cover",
+            F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .withColumn(
+            "new_span",
+            (
+                F.col("prev_cover").isNull()
+                | (F.col("s") > F.col("prev_cover") + 1)
+            ).cast("int"),
+        )
+        .withColumn("span_id", F.sum("new_span").over(w))
+    )
+    spans = marked.groupBy("__id", "span_id").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    per_doc = spans.groupBy("__id").agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("sp"),
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+    )
+    joined = df.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
+    ).join(per_doc, "__id", "left")
+    txt = F.col("__t")
+    stitched = F.aggregate(
+        F.col("sp"),
+        F.struct(F.lit("").alias("o"), F.lit(1).alias("c")),
+        lambda a, x: F.struct(
+            F.concat(a["o"], F.substr(txt, a["c"], x["s"] - a["c"])).alias(
+                "o"
+            ),
+            (x["e"] + F.lit(1)).alias("c"),
+        ),
+        lambda a: F.concat(
+            a["o"], F.substr(txt, a["c"], F.length(txt) - a["c"] + 1)
+        ),
+    )
+    clean = F.when(F.col("sp").isNull(), txt).otherwise(stitched)
+    return joined.select(
+        F.col("__id").alias(id_col),
+        clean.alias("clean_text"),
+        F.length(clean).cast("bigint").alias("n_chars_clean"),
+        (F.length(txt) - F.length(clean)).cast("bigint").alias(
+            "removed_chars"
+        ),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias(
+            "n_spans"
+        ),
     )
 
 

@@ -258,6 +258,117 @@ def test_exact_dup_spans_cap_stays_maximal(spark):
         exact_dup_spans(df, "doc_id", "text", k=12, fanout_guard=1)
 
 
+def test_exact_span_removal_brute_force(spark):
+    """Span-granularity duplicate REMOVAL (the Lee et al. 2022 edit
+    step on T45's exact maximal spans), pinned: (1) byte-exact
+    reconstruction — clean_text equals a brute-force removal of every
+    position covered by a maximal common substring >= min_len, with
+    anchors k << min_len (the decoupling T21 cannot express);
+    (2) removed_chars == covered positions, n_spans == merged
+    intervals; (3) with min_len == k the removal coincides with
+    dup_span_removal per document; (4) untouched and short docs pass
+    through byte-identical; (5) layout independence."""
+    import random
+
+    from jane_spark.operators.curation import (
+        dup_span_removal,
+        exact_span_removal,
+    )
+
+    rng = random.Random(13)
+    alph = "abcdefgh"
+    long_block = "".join(rng.choice(alph) for _ in range(55))
+    short_block = "".join(rng.choice(alph) for _ in range(20))
+    docs = []
+    for i in range(12):
+        pre = "".join(rng.choice(alph) for _ in range(rng.randint(20, 50)))
+        post = "".join(rng.choice(alph) for _ in range(rng.randint(20, 50)))
+        body = pre
+        if i % 3 == 0:
+            body += long_block  # >= min_len in 4 docs -> removed
+        if i % 4 == 0:
+            body += short_block  # >= k but < min_len -> kept
+        body += post
+        if i == 11:
+            body = pre + long_block + post + long_block  # same-doc repeat
+        docs.append((i, body))
+    docs.append((12, "tiny"))  # shorter than k
+    k, min_len = 12, 40
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in exact_span_removal(
+            df, "doc_id", "text", k=k, min_len=min_len
+        ).collect()
+    }
+    assert set(out) == {d for d, _ in docs}
+
+    # brute force: positions covered by any maximal common substring
+    # of length >= min_len across all doc pairs / same-doc repeats
+    texts = dict(docs)
+    covered = {d: set() for d in texts}
+    for a in texts:
+        for b in texts:
+            if a > b:
+                continue
+            ta, tb = texts[a], texts[b]
+            for diag in range(-len(tb), len(ta) + 1):
+                run = 0
+                for i in range(len(ta) + 1):
+                    j = i - diag
+                    match = (
+                        0 <= i < len(ta)
+                        and 0 <= j < len(tb)
+                        and ta[i] == tb[j]
+                        and not (a == b and i == j)
+                    )
+                    if match:
+                        run += 1
+                    else:
+                        if run >= min_len:
+                            covered[a].update(range(i - run, i))
+                            covered[b].update(range(i - run - diag, i - diag))
+                        run = 0
+    for d, txt in texts.items():
+        keep = "".join(
+            ch for p, ch in enumerate(txt) if p not in covered[d]
+        )
+        r = out[d]
+        assert r.clean_text == keep, (d, r.clean_text, keep)
+        assert r.removed_chars == len(covered[d])
+        assert r.n_chars_clean == len(keep)
+        # merged-interval count: breaks in the sorted covered set
+        ps = sorted(covered[d])
+        n_ivl = sum(
+            1
+            for x, p in enumerate(ps)
+            if x == 0 or p - ps[x - 1] > 1
+        )
+        assert r.n_spans == n_ivl, (d, r.n_spans, n_ivl)
+
+    # (3) min_len == k degenerates to T21 per-position coverage
+    a = {
+        r.doc_id: (r.clean_text, r.removed_chars)
+        for r in exact_span_removal(
+            df, "doc_id", "text", k=k, min_len=k
+        ).collect()
+    }
+    b = {
+        r.doc_id: (r.clean_text, r.removed_chars)
+        for r in dup_span_removal(df, "doc_id", "text", k=k).collect()
+    }
+    assert a == b
+
+    # (5) layout independence
+    again = {
+        r.doc_id: tuple(r)
+        for r in exact_span_removal(
+            df.repartition(7), "doc_id", "text", k=k, min_len=min_len
+        ).collect()
+    }
+    assert again == {d: tuple(out[d]) for d in out}
+
+
 # ---------------------------------------------------------- trigram LM
 
 
