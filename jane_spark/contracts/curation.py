@@ -1560,18 +1560,22 @@ def _kmeans_ctes(
     iters: int,
     suffix: str = "",
     vec_expr: str = "list_transform(embedding, x -> CAST(x AS DOUBLE))",
+    src: str = "embeddings",
+    id_expr: str = "vec_id",
 ) -> tuple[list[str], str]:
     """(CTE list, distance expression) for the unrolled Lloyd chain —
     shared by the k-means oracle, the portable-IVF oracle (which
-    consumes the fitted ``c{iters}`` centroid table) and the PQ oracle
-    (one suffixed chain per subvector over a sliced ``vec_expr``)."""
+    consumes the fitted ``c{iters}`` centroid table), the PQ oracle
+    (one suffixed chain per subvector over a sliced ``vec_expr``) and
+    the residual-PQ oracle (chains sourced from a residual CTE via
+    ``src``/``id_expr``)."""
     dist = (
         "list_sum(list_transform(generate_series(1, len(v.v)), "
         "j -> (v.v[j] - c.cv[j]) * (v.v[j] - c.cv[j])))"
     )
     S = suffix
     ctes = [
-        f"v{S} AS (SELECT vec_id AS id, {vec_expr} AS v FROM embeddings)",
+        f"v{S} AS (SELECT {id_expr} AS id, {vec_expr} AS v FROM {src})",
         f"c0{S} AS (SELECT (row_number() OVER (ORDER BY id)) - 1 AS cid, "
         f"v AS cv FROM v{S} ORDER BY id LIMIT {k})",
     ]
@@ -1877,6 +1881,148 @@ def q_k23_ivf_pq(spark, sf_dir):
 
     emb = Catalog(spark, sf_dir).embeddings
     return ivf_pq_topk(
+        emb, "vec_id", "embedding", dim=64, n_lists=8, n_probe=3,
+        lloyd_iters=5, m=4, k=4, pq_iters=2, k_top=5,
+    )
+
+
+def _ivf_pq_residual_oracle_sql(
+    dim: int = 64,
+    n_lists: int = 8,
+    n_probe: int = 3,
+    lloyd_iters: int = 5,
+    m: int = 4,
+    k: int = 4,
+    pq_iters: int = 2,
+    k_top: int = 5,
+    round_dp: int = 6,
+) -> str:
+    """TRUE-IVFADC twin: the coarse chain + probe ranking verbatim
+    from the IVF-PQ oracle, then a residual CTE (x − its list
+    centroid), the m suffixed PQ Lloyd chains SOURCED FROM the
+    residuals, per-(query, probed-list) ADC tables over the QUERY
+    residual (q − c_list), and the lookup-sum-rank arithmetic keyed
+    by (q_id, list_id)."""
+    sub_d = dim // m
+    coarse, _ = _kmeans_ctes(n_lists, lloyd_iters)
+    all_ctes = list(coarse)
+    all_ctes.append(
+        f"sims AS (SELECT vv.id, c.cid, "
+        f"round(list_cosine_similarity(vv.v, c.cv), 9) AS s "
+        f"FROM v vv CROSS JOIN c{lloyd_iters} c)"
+    )
+    all_ctes.append(
+        "rankedl AS (SELECT id, cid, row_number() OVER ("
+        "PARTITION BY id ORDER BY s DESC, cid ASC) AS rn FROM sims)"
+    )
+    all_ctes.append(
+        "corpus AS (SELECT id, cid AS list_id FROM rankedl WHERE rn = 1)"
+    )
+    all_ctes.append(
+        f"probes AS (SELECT id, cid AS list_id FROM rankedl "
+        f"WHERE rn <= {n_probe})"
+    )
+    all_ctes.append(
+        f"res AS (SELECT vv.id, "
+        f"list_transform(generate_series(1, {dim}), "
+        f"j -> vv.v[j] - cl.cv[j]) AS rv "
+        f"FROM v vv JOIN corpus co ON co.id = vv.id "
+        f"JOIN c{lloyd_iters} cl ON cl.cid = co.list_id)"
+    )
+    for s in range(m):
+        lo, hi = s * sub_d + 1, (s + 1) * sub_d
+        ctes, dist = _kmeans_ctes(
+            k, pq_iters, suffix=f"_s{s}", vec_expr=f"rv[{lo}:{hi}]",
+            src="res", id_expr="id",
+        )
+        all_ctes.extend(ctes)
+        all_ctes.append(
+            f"code_s{s} AS (SELECT id, CAST(cid AS INT) AS code FROM ("
+            f"SELECT v.id, c.cid, row_number() OVER ("
+            f"PARTITION BY v.id ORDER BY {dist}, c.cid) AS rn "
+            f"FROM v_s{s} v CROSS JOIN c{pq_iters}_s{s} c) WHERE rn = 1)"
+        )
+    cb_union = " UNION ALL ".join(
+        f"SELECT {s} AS s, cid, cv FROM c{pq_iters}_s{s}"
+        for s in range(m)
+    )
+    all_ctes.append(f"cb AS ({cb_union})")
+    all_ctes.append(
+        f"dt AS (SELECT p.id AS q_id, p.list_id, cb.s, cb.cid, "
+        f"round(list_sum(list_transform(generate_series(1, {sub_d}), "
+        f"j -> ((q.v[cb.s * {sub_d} + j] - cl.cv[cb.s * {sub_d} + j]) "
+        f"- cb.cv[j]) * "
+        f"((q.v[cb.s * {sub_d} + j] - cl.cv[cb.s * {sub_d} + j]) "
+        f"- cb.cv[j]))), 9) AS d "
+        f"FROM probes p JOIN v q ON q.id = p.id "
+        f"JOIN c{lloyd_iters} cl ON cl.cid = p.list_id "
+        f"CROSS JOIN cb)"
+    )
+    code_joins = " ".join(f"JOIN code_s{s} USING (id)" for s in range(1, m))
+    code_cols = ", ".join(f"code_s{s}.code AS c{s}" for s in range(m))
+    all_ctes.append(
+        f"codes AS (SELECT id, {code_cols} FROM code_s0 {code_joins})"
+    )
+    all_ctes.append(
+        "cand AS (SELECT p.id AS a_id, p.list_id, c.id AS b_id "
+        "FROM probes p JOIN corpus c USING (list_id) "
+        "WHERE p.id <> c.id)"
+    )
+    dt_joins = " ".join(
+        f"JOIN dt dt{s} ON dt{s}.q_id = cand.a_id "
+        f"AND dt{s}.list_id = cand.list_id AND dt{s}.s = {s} "
+        f"AND dt{s}.cid = codes.c{s}"
+        for s in range(m)
+    )
+    sum_expr = " + ".join(f"dt{s}.d" for s in range(m))
+    all_ctes.append(
+        f"adc AS (SELECT cand.a_id, cand.b_id, "
+        f"round({sum_expr}, {round_dp}) AS adc "
+        f"FROM cand JOIN codes ON codes.id = cand.b_id {dt_joins})"
+    )
+    # MATERIALIZE every CTE: DuckDB inlines CTEs by default, and the
+    # residual chains reference the res subtree (itself v + the full
+    # coarse chain) from four suffixed Lloyd chains — inlining blows
+    # the parquet scan count up exponentially (observed: fd
+    # exhaustion at 20k open files). Materialization is purely
+    # physical — results are identical — and makes each CTE compute
+    # exactly once.
+    all_ctes = [c.replace(" AS (", " AS MATERIALIZED (", 1) for c in all_ctes]
+    return (
+        "WITH " + ",\n".join(all_ctes) + f"""
+        SELECT a_id, b_id, adc FROM (
+            SELECT a_id, b_id, adc, row_number() OVER (
+                PARTITION BY a_id ORDER BY adc, b_id) AS rn FROM adc)
+        WHERE rn <= {k_top}
+    """
+    )
+
+
+@contract(
+    "q_k23_ivf_pq_residual",
+    oracle=_ivf_pq_residual_oracle_sql(),
+    survey_rows="K23,K3,K50",
+    doc="TRUE IVFADC — RESIDUAL product quantization (Jégou, Douze & "
+    "Schmid, TPAMI 2011 §IV: encode r(x) = x − c(list(x)), not x; "
+    "VERDICT r14 next-step #2): q_k23_ivf_pq spends code entropy "
+    "re-describing the region the coarse quantizer already paid "
+    "for — here the PQ codebooks are trained on the residuals, so "
+    "coarse and fine quantization compose multiplicatively at the "
+    "same code size (residual recall > raw recall at equal m is "
+    "pytest-pinned at m=2 AND m=4). The ADC table becomes "
+    "per-(query, probed list) — entries round(||(q − c_l)_s − "
+    "books[s][c]||², 9) — because a candidate's code is a residual "
+    "against ITS list = the probed list; the lookup sum stays "
+    "left-associated and 6 dp-rounded before the (adc, b_id) rank. "
+    "operators/vector.ivf_pq_residual_topk; the oracle reuses the "
+    "coarse Lloyd chain and sources the m PQ chains from a residual "
+    "CTE (exact IEEE double subtraction on both engines)",
+)
+def q_k23_ivf_pq_residual(spark, sf_dir):
+    from jane_spark.operators.vector import ivf_pq_residual_topk
+
+    emb = Catalog(spark, sf_dir).embeddings
+    return ivf_pq_residual_topk(
         emb, "vec_id", "embedding", dim=64, n_lists=8, n_probe=3,
         lloyd_iters=5, m=4, k=4, pq_iters=2, k_top=5,
     )
