@@ -3502,3 +3502,127 @@ def q_k52(spark, sf_dir):
         docs, "doc_id", "text", ngram=3, min_docs=2, max_docs=5
     )
     return label_propagation(edges, "lo", "hi", iters=4)
+
+
+def _lpa_incr_oracle(iters: int = 4) -> str:
+    """Incremental-LPA twin: the q_k52 edge chain over ALL documents,
+    split by endpoint (doc_id % 10) into the stored graph and the
+    arriving batch; the stored labels are the same unrolled rounds
+    over the OLD edges; then the operator's two steps — frozen-label
+    admission (new-edge neighbors + self, stored labels frozen) and
+    ONE refinement round over the touched nodes' full neighborhoods —
+    each one (count, argmax) CTE pair."""
+    ctes = [
+        "t AS (SELECT doc_id AS doc, string_split(text, ' ') AS w "
+        "FROM documents)",
+        "toks AS (SELECT DISTINCT doc, unnest(list_transform("
+        "generate_series(1, len(w) - 2), "
+        "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tok "
+        "FROM t WHERE len(w) >= 3)",
+        "rare AS (SELECT tok FROM toks GROUP BY tok "
+        "HAVING count(*) BETWEEN 2 AND 5)",
+        "bl AS (SELECT doc, tok FROM toks JOIN rare USING (tok))",
+        "edges AS (SELECT DISTINCT least(x.doc, y.doc) AS lo, "
+        "greatest(x.doc, y.doc) AS hi FROM bl x JOIN bl y USING (tok) "
+        "WHERE x.doc <> y.doc)",
+        "old_e AS (SELECT lo, hi FROM edges "
+        "WHERE lo % 10 <> 0 AND hi % 10 <> 0)",
+        "new_e AS (SELECT lo, hi FROM edges "
+        "WHERE lo % 10 = 0 OR hi % 10 = 0)",
+        "osym0 AS (SELECT lo AS v, hi AS u FROM old_e "
+        "UNION ALL SELECT hi, lo FROM old_e)",
+        "osym AS (SELECT v, u FROM osym0 "
+        "UNION ALL SELECT DISTINCT v, v FROM osym0)",
+        "l0 AS (SELECT DISTINCT v AS node, v AS label FROM osym0)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"n{t} AS (SELECT s.v, l.label, count(*) AS c FROM osym s "
+            f"JOIN l{t - 1} l ON s.u = l.node GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"l{t} AS (SELECT v AS node, label FROM ("
+            f"SELECT v, label, row_number() OVER (PARTITION BY v "
+            f"ORDER BY c DESC, label ASC) AS rn FROM n{t}) "
+            f"WHERE rn = 1)"
+        )
+    ctes += [
+        "nsym AS (SELECT lo AS v, hi AS u FROM new_e "
+        "UNION ALL SELECT hi, lo FROM new_e)",
+        "touched AS (SELECT DISTINCT v FROM nsym)",
+        f"admits AS (SELECT v FROM touched tc WHERE NOT EXISTS ("
+        f"SELECT 1 FROM l{iters} l WHERE l.node = tc.v))",
+        f"base AS (SELECT node, label FROM l{iters} "
+        f"UNION ALL SELECT v, v FROM admits)",
+        "adm_sym AS (SELECT s.v, s.u FROM nsym s "
+        "JOIN admits a ON a.v = s.v "
+        "UNION ALL SELECT v, v FROM admits)",
+        "admv AS (SELECT s.v, b.label, count(*) AS c FROM adm_sym s "
+        "JOIN base b ON b.node = s.u GROUP BY 1, 2)",
+        "adm AS (SELECT v AS node, label FROM ("
+        "SELECT v, label, row_number() OVER (PARTITION BY v "
+        "ORDER BY c DESC, label ASC) AS rn FROM admv) WHERE rn = 1)",
+        f"lx AS (SELECT node, label FROM l{iters} "
+        f"UNION ALL SELECT node, label FROM adm)",
+        "fsym AS (SELECT s.v, s.u FROM ("
+        "SELECT v, u FROM osym0 UNION ALL SELECT v, u FROM nsym) s "
+        "JOIN touched tc ON tc.v = s.v "
+        "UNION ALL SELECT v, v FROM touched)",
+        "refv AS (SELECT s.v, l.label, count(*) AS c FROM fsym s "
+        "JOIN lx l ON l.node = s.u GROUP BY 1, 2)",
+        "ref AS (SELECT v AS node, label FROM ("
+        "SELECT v, label, row_number() OVER (PARTITION BY v "
+        "ORDER BY c DESC, label ASC) AS rn FROM refv) WHERE rn = 1)",
+        "fin AS (SELECT l.node, l.label FROM lx l "
+        "WHERE NOT EXISTS (SELECT 1 FROM touched tc WHERE tc.v = l.node) "
+        "UNION ALL SELECT node, label FROM ref)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + """
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(label AS BIGINT) AS community
+        FROM fin
+    """
+    )
+
+
+@contract(
+    "q_k52_lpa_incr",
+    oracle=_lpa_incr_oracle(),
+    survey_rows="K52,K48,K50",
+    doc="INCREMENTAL label-propagation communities — the K48_incr/"
+    "K50 operational move applied to K52 (VERDICT r14 next-step #7; "
+    "operators/components.label_propagation_incr): each crawl's new "
+    "near-dup edges join the STORED community table without "
+    "re-scanning the accumulated graph. Frozen-label ADMISSION "
+    "(nodes incident to a new edge with no stored label vote over "
+    "their new-edge neighbors + self, neighbor labels frozen), then "
+    "ONE refinement round closed over the new information: touched "
+    "nodes revote over their FULL neighborhoods against stored ∪ "
+    "admitted labels; untouched nodes keep stored labels VERBATIM "
+    "(the frozen law, pytest-pinned exactly, plus empty-batch "
+    "identity and rebuild-agreement). Cost ∝ batch neighborhoods, "
+    "never |V|/|E|; stale stored labels poison the plan loudly. The "
+    "fixture splits the q_k28 graph by doc_id % 10; the oracle "
+    "extends the unrolled-CTE chain by the admission and refinement "
+    "(count, argmax) pairs",
+)
+def q_k52_incr(spark, sf_dir):
+    from jane_spark.operators.components import (
+        label_propagation,
+        label_propagation_incr,
+    )
+    from jane_spark.operators.triangles import rare_shingle_edges
+
+    docs = Catalog(spark, sf_dir).documents
+    edges = rare_shingle_edges(
+        docs, "doc_id", "text", ngram=3, min_docs=2, max_docs=5
+    )
+    old_e = edges.filter(
+        (F.col("lo") % 10 != 0) & (F.col("hi") % 10 != 0)
+    )
+    new_e = edges.filter(
+        (F.col("lo") % 10 == 0) | (F.col("hi") % 10 == 0)
+    )
+    stored = label_propagation(old_e, "lo", "hi", iters=4)
+    return label_propagation_incr(old_e, new_e, stored, "lo", "hi")

@@ -6476,3 +6476,102 @@ def test_label_propagation_laws(spark, sf_dir):
         ).collect()
     }
     assert again == lpa
+
+
+def test_label_propagation_incr_laws(spark, sf_dir):
+    """Incremental LPA (the K48_incr/K50 move for K52), pinned:
+    (1) FROZEN law — untouched nodes keep their stored community
+    VERBATIM; (2) empty-batch identity — no new edges returns the
+    stored table unchanged; (3) rebuild agreement — pairwise
+    same-community indicator vs a full 4-round rebuild over the
+    grown graph >= 0.95 on sampled pairs (measured 1.0 on the
+    fixture split); (4) admission — every node incident to a new
+    edge gets a label, batch-only pairs community together;
+    (5) fail-loud staleness — an old-graph node missing from the
+    stored labels raises at execution; (6) layout independence."""
+    import itertools
+
+    import pytest as _pytest
+
+    from jane_spark.operators.components import (
+        label_propagation,
+        label_propagation_incr,
+    )
+    from jane_spark.operators.triangles import rare_shingle_edges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = rare_shingle_edges(
+        docs, "doc_id", "text", ngram=3, min_docs=2, max_docs=5
+    )
+    old_e = edges.filter((F.col("lo") % 10 != 0) & (F.col("hi") % 10 != 0))
+    new_e = edges.filter((F.col("lo") % 10 == 0) | (F.col("hi") % 10 == 0))
+    stored_df = label_propagation(old_e, "lo", "hi", iters=4)
+    stored = {r.node: r.community for r in stored_df.collect()}
+    out_rows = label_propagation_incr(
+        old_e, new_e, stored_df, "lo", "hi"
+    ).collect()
+    incr = {r.node: r.community for r in out_rows}
+    touched = {r.lo for r in new_e.collect()} | {
+        r.hi for r in new_e.collect()
+    }
+
+    # (1) frozen law, exact
+    for n, c in stored.items():
+        if n not in touched:
+            assert incr[n] == c, (n, incr[n], c)
+    # (4) every touched node labeled
+    assert touched <= set(incr)
+
+    # (3) rebuild agreement on pairwise community structure
+    full = {
+        r.node: r.community
+        for r in label_propagation(edges, "lo", "hi", iters=4).collect()
+    }
+    assert set(incr) == set(full)
+    nodes = sorted(incr)[:300]
+    agree = total = 0
+    for a, b in itertools.combinations(nodes, 2):
+        total += 1
+        if (incr[a] == incr[b]) == (full[a] == full[b]):
+            agree += 1
+    assert agree / total >= 0.95, agree / total  # measured 1.0
+
+    # (2) empty batch == identity
+    empty = new_e.limit(0)
+    same = {
+        r.node: r.community
+        for r in label_propagation_incr(
+            old_e, empty, stored_df, "lo", "hi"
+        ).collect()
+    }
+    assert same == stored
+
+    # (4b) batch-only isolated pair communities together on admission
+    pair = spark.createDataFrame([(900001, 900002)], ["lo", "hi"])
+    tiny_old = spark.createDataFrame([(1, 2)], ["lo", "hi"])
+    tiny_lab = label_propagation(tiny_old, "lo", "hi", iters=2)
+    padd = {
+        r.node: r.community
+        for r in label_propagation_incr(
+            tiny_old, pair, tiny_lab, "lo", "hi"
+        ).collect()
+    }
+    assert padd[900001] == padd[900002] == 900001
+    assert padd[1] == padd[2]
+
+    # (5) stale stored labels fail loudly
+    stale = stored_df.filter(F.col("node") % 7 != 3)
+    with pytest.raises(Exception, match="has no stored label"):
+        label_propagation_incr(
+            old_e, new_e, stale, "lo", "hi"
+        ).collect()
+
+    # (6) layout independence
+    again = {
+        r.node: r.community
+        for r in label_propagation_incr(
+            old_e.repartition(9), new_e.repartition(5),
+            stored_df.repartition(3), "lo", "hi",
+        ).collect()
+    }
+    assert again == incr
