@@ -1817,3 +1817,99 @@ def q_a14(spark, sf_dir):
         return out
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@contract(
+    "q_a17_avro",
+    oracle="""
+        WITH g AS (SELECT lang, n_chars, doc_id % 7 <> 0 AS ok
+                   FROM documents)
+        SELECT CASE WHEN ok THEN lang ELSE '_corrupt' END AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN ok THEN n_chars ELSE 0 END) AS BIGINT)
+                   AS sum_chars
+        FROM g GROUP BY 1
+    """,
+    survey_rows="A17,A11,A4",
+    doc="Avro Object Container source with per-block QUARANTINE — "
+    "the fourth quarantine container (the Kafka-lake interchange "
+    "format) through the q_a11 never-drop recipe. No spark-avro jar "
+    "and no python avro package ship in this build (verified — the "
+    "a15 lesson), so sources/avro_container implements the PUBLIC "
+    "Apache Avro 1.12 spec from scratch (magic + metadata map + "
+    "sync-delimited blocks; null AND deflate codecs — both exercised "
+    "here, split by shard parity; primitives + nullable unions): "
+    "documents pack into 8 real container files, one record per "
+    "block, every 7th record's block truncated 5 bytes before "
+    "compression, and the reader recovers typed rows while "
+    "quarantining undecodable blocks with declared counts and raw "
+    "bytes intact. The oracle derives the good/corrupt partition "
+    "arithmetically (doc_id % 7), so one mis-parsed varint, union "
+    "index, or codec frame hash-mismatches. Round-trip, "
+    "never-drop, codec, and header-quarantine laws pytest-pinned",
+)
+def q_a17(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", "lang", "n_chars"
+    )
+    fields = [("doc_id", "long"), ("lang", "string"), ("n_chars", "long")]
+    root = tempfile.mkdtemp(prefix="jane_avro_")
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        from jane_spark.sources.avro_container import (
+            encode_block,
+            write_avro_bytes,
+        )
+
+        pdf = pdf.sort_values("doc_id")
+        sh = int(pdf["shard"].iloc[0])
+        blocks = []
+        for _, row in pdf.iterrows():
+            rec = {
+                "doc_id": int(row.doc_id),
+                "lang": str(row.lang),
+                "n_chars": int(row.n_chars),
+            }
+            data = encode_block([rec], fields)
+            if rec["doc_id"] % 7 == 0:
+                data = data[:-5]  # the q_a11 truncation, pre-compression
+            blocks.append((1, data))
+        payload = write_avro_bytes(
+            None, fields,
+            codec="deflate" if sh % 2 == 0 else "null",
+            raw_blocks=blocks,
+        )
+        with open(os.path.join(root, f"part-{sh:04d}.avro"), "wb") as f:
+            f.write(payload)
+        return pd.DataFrame({"shard": [sh]})
+
+    try:
+        from jane_spark.sources.avro_container import read_avro_quarantine
+
+        src = docs.withColumn("shard", (F.col("doc_id") % 8).cast("int"))
+        # force the container writes (plan-build-time construction —
+        # the REBUILD_PER_RUN bench class, like the other A-series
+        # fixture builders); executor-local writes need local/shared
+        # storage, the write_webdataset caveat
+        src.groupBy("shard").applyInPandas(build, "shard int").collect()
+        good, quarantine = read_avro_quarantine(
+            spark, f"{root}/*.avro", "doc_id long, lang string, n_chars long"
+        )
+        g = good.groupBy(F.col("lang").alias("bucket")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        q = quarantine.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.lit(0).cast("bigint").alias("sum_chars"),
+        ).select(F.lit("_corrupt").alias("bucket"), "n", "sum_chars")
+        out = g.unionByName(q).localCheckpoint(eager=True)
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
