@@ -12,6 +12,10 @@ turns the multimodal decode path from a stub into a real one:
 - **GIF** (GIF87a/89a: variable-width LZW, interlacing, 89a
   transparency/disposal compositing, multi-frame animations — the
   frame-sampling path's real decoder),
+- **JPEG** (ITU T.81: baseline sequential SOF0/1 with restart markers
+  and 4:4:4/4:2:2/4:2:0 sampling, AND progressive SOF2 per Annex G —
+  DC/AC first + refinement scans, EOB runs, spectral selection,
+  successive approximation — with an encoder twin for each),
 - **WAV** (RIFF, PCM 8/16/32-bit integer + IEEE float32).
 
 Each has an encoder twin so resize/re-encode and round-trip tests run
@@ -992,7 +996,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline sequential JPEG → uint8 (H,W) grey or (H,W,3) RGB.
     Reads DQT/DHT/DRI from the stream; component sampling factors 1-2
     (4:4:4 / 4:2:2 / 4:2:0, nearest-neighbor chroma upsample);
-    progressive (SOF2) and arithmetic coding are rejected."""
+    progressive (SOF2) streams delegate to
+    :func:`decode_jpeg_progressive`; the other SOFn (lossless,
+    arithmetic, hierarchical) are rejected loudly."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     off = 2
@@ -1046,8 +1052,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (h, w, comps)
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential JPEG supported")
+        elif m == 0xC2:  # SOF2: progressive DCT — the Annex G decoder
+            return decode_jpeg_progressive(data)
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "only baseline sequential and progressive JPEG supported"
+            )
         elif m == 0xDD:  # DRI
             restart = struct.unpack(">H", seg[:2])[0]
         elif m == 0xDA:  # SOS
@@ -1105,6 +1115,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                             coef[cs][my * cv + by, mx * ch + bx] = blk
     except _SegmentEnd:
         pass  # truncated-but-decodable streams: keep what we have
+    return _reconstruct_jpeg(coef, comps, qt, h, w, hmax, vmax)
+
+
+def _reconstruct_jpeg(
+    coef: dict, comps: list, qt: dict, h: int, w: int, hmax: int, vmax: int
+) -> np.ndarray:
+    """Shared tail of the sequential and progressive decoders:
+    dequantize the zigzag coefficient grids, inverse-DCT, upsample
+    subsampled chroma (nearest), crop, and convert YCbCr→RGB."""
+    planes = {}
     for cid, ch, cv, tq in comps:
         c = coef[cid]
         dq = np.zeros_like(c, dtype=np.float64)
@@ -1133,3 +1153,529 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     return np.clip(np.round(np.stack([r_, g_, b_], axis=-1)), 0, 255).astype(
         np.uint8
     )
+
+
+def decode_jpeg_progressive(data: bytes) -> np.ndarray:
+    """Progressive DCT JPEG (ITU T.81 Annex G, SOF2) → uint8 grey/RGB —
+    closes the registry's most-hit fallback (VERDICT r14 "what's
+    missing #1"): web corpora are heavy in progressive JPEG. All four
+    scan kinds of G.2 are implemented over the baseline decoder's
+    machinery (canonical Huffman, bit reader, matrix IDCT):
+
+    - DC first (Ah=0): interleaved or single-component diff decode at
+      point transform Al, coefficient stored ``pred << Al``;
+    - DC refinement (Ah>0): one raw bit per block ORed in at Al;
+    - AC first: single-component band [Ss, Se] with EOB-run coding —
+      ``EOBRUN = (1<<r) - 1 + ext`` skips that many later blocks;
+    - AC refinement: the correction-bit algorithm — runs count only
+      zero-history positions, already-nonzero coefficients consume a
+      correction bit wherever the scan passes, EOB runs
+      (``(1<<r) + ext``) still refine each block's remaining
+      nonzeros.
+
+    Restart markers reset predictors/EOB runs and byte-align, in both
+    interleaved (MCU-counted) and single-component (block-counted)
+    scans. Truncated entropy data keeps the coefficients decoded so
+    far (the baseline decoder's contract). Non-interleaved scans walk
+    the component's OWN ceil-dims block grid — not the padded MCU
+    grid — per A.2.2."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    off = 2
+    qt: dict = {}
+    huff_dc: dict = {}
+    huff_ac: dict = {}
+    frame = None
+    restart = 0
+    coef: dict = {}
+    dims: dict = {}
+    comp_by_id: dict = {}
+    hmax = vmax = 1
+    mcux = mcuy = 0
+    h = w = 0
+    comps: list = []
+
+    def _next_marker(p: int) -> int:
+        while p + 1 < len(data):
+            if data[p] == 0xFF and data[p + 1] not in (0x00,) and not (
+                0xD0 <= data[p + 1] <= 0xD7
+            ):
+                return p
+            p += 1
+        return len(data)
+
+    while off < len(data) - 1:
+        if data[off] != 0xFF:
+            raise ValueError("marker expected")
+        m = data[off + 1]
+        off += 2
+        if m == 0xD9:  # EOI
+            break
+        ln = struct.unpack(">H", data[off : off + 2])[0]
+        seg = data[off + 2 : off + ln]
+        if m == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                n = 64 * (2 if pq else 1)
+                raw = seg[p : p + n]
+                tbl = (
+                    np.frombuffer(raw, dtype=">u2").astype(np.int32)
+                    if pq
+                    else np.frombuffer(raw, dtype=np.uint8).astype(np.int32)
+                )
+                out = np.zeros(64, dtype=np.int32)
+                out[_ZIGZAG] = tbl
+                qt[tq] = out
+                p += n
+        elif m == 0xC4:  # DHT (tables may arrive between scans)
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nv])
+                (huff_dc if tc == 0 else huff_ac)[th] = _huff_decode_tables(
+                    bits, vals
+                )
+                p += 17 + nv
+        elif m == 0xC2:  # SOF2
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (h, w, comps)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for cid, ch, cv, tq in comps:
+                coef[cid] = np.zeros(
+                    (mcuy * cv, mcux * ch, 64), dtype=np.int32
+                )
+                # the component's OWN block dims (A.1.1): ceil of the
+                # scaled image dims — what non-interleaved scans walk
+                cw = -(-(w * ch) // hmax)
+                chh = -(-(h * cv) // vmax)
+                dims[cid] = (-(-chh // 8), -(-cw // 8))
+                comp_by_id[cid] = (ch, cv, tq)
+        elif m in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                   0xCD, 0xCE, 0xCF):
+            raise ValueError("mixed/unsupported SOF in progressive stream")
+        elif m == 0xDD:  # DRI
+            restart = struct.unpack(">H", seg[:2])[0]
+        elif m == 0xDA:  # SOS: one scan of the progression
+            if frame is None:
+                raise ValueError("SOS before SOF2")
+            ns = seg[0]
+            scan = []
+            for ci in range(ns):
+                cs, tt = seg[1 + 2 * ci], seg[2 + 2 * ci]
+                scan.append((cs, tt >> 4, tt & 0x0F))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            off += ln
+            r = _BitReader(data, off)
+            try:
+                if ss == 0:
+                    _scan_dc_prog(
+                        r, scan, coef, dims, comp_by_id, huff_dc,
+                        mcux, mcuy, ah, al, restart,
+                    )
+                else:
+                    if ns != 1:
+                        raise ValueError(
+                            "AC progressive scan must be single-component"
+                        )
+                    _scan_ac_prog(
+                        r, scan[0], coef, dims, comp_by_id, huff_ac,
+                        ss, se, ah, al, restart,
+                    )
+            except _SegmentEnd:
+                pass  # truncated scan: keep coefficients decoded so far
+            off = _next_marker(r.off)
+            continue
+        off += ln
+    if frame is None:
+        raise ValueError("missing SOF2")
+    return _reconstruct_jpeg(coef, comps, qt, h, w, hmax, vmax)
+
+
+def _refine_nonzero(r: "_BitReader", blk: np.ndarray, k: int, se: int,
+                    p1: int) -> None:
+    """AC-refinement correction bits for every already-nonzero
+    coefficient in blk[k..se] (G.2, the EOB-run tail)."""
+    while k <= se:
+        if blk[k] != 0 and r.bits(1):
+            if not (int(blk[k]) & p1):
+                blk[k] += p1 if blk[k] >= 0 else -p1
+        k += 1
+
+
+def _scan_dc_prog(r, scan, coef, dims, comp_by_id, huff_dc, mcux, mcuy,
+                  ah, al, restart) -> None:
+    preds = {cs: 0 for cs, _, _ in scan}
+    if len(scan) > 1:  # interleaved: MCU order over all components
+        mcu = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart and mcu and mcu % restart == 0:
+                    r.align_restart()
+                    preds = {cs: 0 for cs in preds}
+                mcu += 1
+                for cs, td, _ in scan:
+                    ch, cv, _ = comp_by_id[cs]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            blk = coef[cs][my * cv + by, mx * ch + bx]
+                            if ah == 0:
+                                t = _huff_read(r, huff_dc[td])
+                                diff = _extend(r.bits(t), t) if t else 0
+                                preds[cs] += diff
+                                blk[0] = preds[cs] << al
+                            else:
+                                if r.bits(1):
+                                    blk[0] = int(blk[0]) | (1 << al)
+        return
+    cs, td, _ = scan[0]
+    bh, bw = dims[cs]
+    n = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart and n and n % restart == 0:
+                r.align_restart()
+                preds[cs] = 0
+            n += 1
+            blk = coef[cs][by, bx]
+            if ah == 0:
+                t = _huff_read(r, huff_dc[td])
+                diff = _extend(r.bits(t), t) if t else 0
+                preds[cs] += diff
+                blk[0] = preds[cs] << al
+            else:
+                if r.bits(1):
+                    blk[0] = int(blk[0]) | (1 << al)
+
+
+def _scan_ac_prog(r, comp, coef, dims, comp_by_id, huff_ac, ss, se, ah,
+                  al, restart) -> None:
+    cs, _, ta = comp
+    bh, bw = dims[cs]
+    p1 = 1 << al
+    eobrun = 0
+    n = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart and n and n % restart == 0:
+                r.align_restart()
+                eobrun = 0
+            n += 1
+            blk = coef[cs][by, bx]
+            if ah == 0:  # first scan of this band
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _huff_read(r, huff_ac[ta])
+                    rr, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if rr < 15:
+                            eobrun = (1 << rr) - 1
+                            if rr:
+                                eobrun += r.bits(rr)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += rr
+                    if k > se:
+                        raise ValueError("AC coefficient past band end")
+                    blk[k] = _extend(r.bits(s), s) << al
+                    k += 1
+            else:  # refinement
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _huff_read(r, huff_ac[ta])
+                        rr, s = rs >> 4, rs & 0x0F
+                        newval = 0
+                        if s == 0:
+                            if rr < 15:
+                                eobrun = 1 << rr
+                                if rr:
+                                    eobrun += r.bits(rr)
+                                break
+                            # ZRL: rr stays 16... handled by run walk
+                            rr = 16
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "refinement magnitude must be 1"
+                                )
+                            newval = p1 if r.bits(1) else -p1
+                        # walk: skip rr zero-history slots, refining
+                        # nonzero-history ones along the way
+                        if s == 0:
+                            rr -= 1  # ZRL skips exactly 16 zero slots
+                        while k <= se:
+                            if blk[k] != 0:
+                                if r.bits(1) and not (int(blk[k]) & p1):
+                                    blk[k] += p1 if blk[k] >= 0 else -p1
+                            else:
+                                if rr == 0:
+                                    break
+                                rr -= 1
+                            k += 1
+                        if newval and k <= se:
+                            blk[k] = newval
+                        k += 1
+                if eobrun:
+                    _refine_nonzero(r, blk, k, se, p1)
+                    eobrun -= 1
+
+
+def _flat_huff_spec(n_symbols: int, length: int) -> tuple:
+    """A spec-valid 'flat' Huffman table: ``n_symbols`` symbols at code
+    ``length`` (canonical codes from 0, so the all-ones code is never
+    assigned, per T.81 C.2), spilling to ``length + 1`` past the DHT
+    255-per-length byte limit. Suboptimal by design — the progressive
+    encoder exists to produce valid streams for the decoder tests, not
+    small ones."""
+    first = min(n_symbols, 255)
+    rest = n_symbols - first
+    if first + rest * 2 >= (1 << length) * 2 - 1:
+        raise ValueError("too many symbols for the code length")
+    bits = [0] * 16
+    bits[length - 1] = first
+    if rest:
+        bits[length] = rest
+    return bits, list(range(n_symbols))
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 90
+) -> bytes:
+    """Progressive JFIF (SOF2, T.81 Annex G) encoder — the test twin
+    of :func:`decode_jpeg_progressive`, exercising every scan kind:
+    8-bit grey (H,W) or RGB (H,W,3), 4:4:4 only, Annex K quantization
+    at ``quality``, flat Huffman tables (includes the EOBn symbols the
+    Annex K tables lack, so multi-block EOB runs are really emitted).
+
+    Scan script (successive approximation Al=1 -> 0 on top of spectral
+    selection): DC first (all components, Al=1); per component AC
+    first bands [1,5] and [6,63] at Al=1; DC refinement; per component
+    AC refinement over [1,63]. Decoding this progression yields the
+    IDENTICAL coefficients to a baseline encode at the same quality —
+    the perturbed-twin recovery pytest pins decode(progressive) ==
+    decode(baseline) pixel-exactly."""
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    if gray:
+        planes = [a.astype(np.float64)]
+    else:
+        r, g, b = (a[..., i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    qts = [_scale_qt(_QT_LUMA, quality)] + (
+        [] if gray else [_scale_qt(_QT_CHROMA, quality)]
+    )
+    ncomp = 1 if gray else 3
+    grids = [
+        _plane_blocks(pl, qts[0] if ci == 0 else qts[1])
+        for ci, pl in enumerate(planes)
+    ]
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    for tid, qt in enumerate(qts):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
+        out += bytes(int(v) for v in qt[_ZIGZAG])
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for cid in range(ncomp):
+        out += struct.pack("BBB", cid + 1, 0x11, 0 if cid == 0 else 1)
+    dc_spec = _flat_huff_spec(16, 5)
+    ac_spec = _flat_huff_spec(256, 10)
+    for tc_th, (bits, vals) in ((0x00, dc_spec), (0x10, ac_spec)):
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), tc_th)
+        out += bytes(bits) + bytes(vals)
+    dc_tbl = _huff_codes(*dc_spec)
+    ac_tbl = _huff_codes(*ac_spec)
+
+    def sos(comps_scan, ss, se, ah, al) -> bytes:
+        s = struct.pack(">HB", 6 + 2 * len(comps_scan), len(comps_scan))
+        for cid in comps_scan:
+            s += struct.pack("BB", cid + 1, 0x00)
+        return b"\xff\xda" + s + struct.pack("BBB", ss, se, ah * 16 + al)
+
+    def pt_ac(v: int, al: int) -> int:
+        # AC point transform: magnitude shift, sign toward zero (G.1.2.2)
+        return (v >> al) if v >= 0 else -((-v) >> al)
+
+    # ---- scan 1: DC first, interleaved, Al=1
+    out += sos(list(range(ncomp)), 0, 0, 0, 1)
+    wtr = _BitWriter()
+    preds = [0] * ncomp
+    gh, gw = grids[0].shape[:2]
+    for by in range(gh):
+        for bx in range(gw):
+            for ci in range(ncomp):
+                dc = int(grids[ci][by, bx, 0]) >> 1
+                ssss, bits_v = _magnitude(dc - preds[ci])
+                preds[ci] = dc
+                c, ln = dc_tbl[ssss]
+                wtr.put(c, ln)
+                if ssss:
+                    wtr.put(bits_v, ssss)
+    out += wtr.flush()
+
+    # ---- per component: AC first scans, bands [1,5] and [6,63], Al=1
+    for ci in range(ncomp):
+        for ss, se in ((1, 5), (6, 63)):
+            out += sos([ci], ss, se, 0, 1)
+            wtr = _BitWriter()
+            eobrun = 0
+            for by in range(gh):
+                for bx in range(gw):
+                    blk = grids[ci][by, bx]
+                    vals = [pt_ac(int(blk[k]), 1) for k in range(ss, se + 1)]
+                    if not any(vals):
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            _emit_eobrun(wtr, ac_tbl, eobrun, [])
+                            eobrun = 0
+                        continue
+                    if eobrun:
+                        _emit_eobrun(wtr, ac_tbl, eobrun, [])
+                        eobrun = 0
+                    run = 0
+                    last_nz = max(i for i, v in enumerate(vals) if v)
+                    for i, v in enumerate(vals):
+                        if i > last_nz:
+                            break
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            c, ln = ac_tbl[0xF0]
+                            wtr.put(c, ln)
+                            run -= 16
+                        ssss, bits_v = _magnitude(v)
+                        c, ln = ac_tbl[run * 16 + ssss]
+                        wtr.put(c, ln)
+                        wtr.put(bits_v, ssss)
+                        run = 0
+                    if last_nz < len(vals) - 1:
+                        eobrun += 1
+            if eobrun:
+                _emit_eobrun(wtr, ac_tbl, eobrun, [])
+            out += wtr.flush()
+
+    # ---- DC refinement: one raw bit per block, Al=0
+    out += sos(list(range(ncomp)), 0, 0, 1, 0)
+    wtr = _BitWriter()
+    for by in range(gh):
+        for bx in range(gw):
+            for ci in range(ncomp):
+                wtr.put(int(grids[ci][by, bx, 0]) & 1, 1)
+    out += wtr.flush()
+
+    # ---- per component: AC refinement over [1,63], Ah=1 -> Al=0.
+    # The correction-bit windows must mirror the decoder's walk
+    # symbol-for-symbol: each ZRL covers exactly 16 zero-HISTORY slots
+    # and the correction bits of nonzero-history coefficients passed
+    # before its 16th zero; each (r,1) symbol is [sym][sign][corr];
+    # blocks with no new coefficient join the EOB run, contributing
+    # the correction bits of their whole band (G.1.2.3).
+    for ci in range(ncomp):
+        out += sos([ci], 1, 63, 1, 0)
+        wtr = _BitWriter()
+        eobrun = 0
+        br: list = []  # correction bits riding the pending EOB run
+        for by in range(gh):
+            for bx in range(gw):
+                blk = grids[ci][by, bx]
+                hist = [pt_ac(int(blk[k]), 1) for k in range(1, 64)]
+                now = [pt_ac(int(blk[k]), 0) for k in range(1, 64)]
+                newly = [
+                    i for i in range(63) if hist[i] == 0 and now[i] != 0
+                ]
+                last_new = newly[-1] if newly else -1
+                i = 0
+                symbols = []  # (zrl_corr_batches, run, pos) per symbol
+                while i <= last_new:
+                    run = 0
+                    corr: list = []
+                    batches: list = []
+                    j = i
+                    while True:
+                        if hist[j] != 0:
+                            corr.append(abs(now[j]) & 1)
+                            j += 1
+                            continue
+                        if now[j] != 0:
+                            break
+                        run += 1
+                        j += 1
+                        if run == 16:
+                            batches.append(corr)
+                            corr = []
+                            run = 0
+                    symbols.append((batches, run, corr, j))
+                    i = j + 1
+                if symbols:
+                    if eobrun:
+                        _emit_eobrun(wtr, ac_tbl, eobrun, br)
+                        eobrun, br = 0, []
+                    for batches, run, corr, j in symbols:
+                        for batch in batches:
+                            c, ln = ac_tbl[0xF0]
+                            wtr.put(c, ln)
+                            for bbit in batch:
+                                wtr.put(bbit, 1)
+                        c, ln = ac_tbl[run * 16 + 1]
+                        wtr.put(c, ln)
+                        wtr.put(1 if now[j] > 0 else 0, 1)
+                        for bbit in corr:
+                            wtr.put(bbit, 1)
+                # end of block: positions after the last new coefficient
+                tail = [
+                    abs(now[x]) & 1
+                    for x in range(last_new + 1, 63)
+                    if hist[x] != 0
+                ]
+                if last_new < 62:
+                    eobrun += 1
+                    br += tail
+                    if eobrun == 0x7FFF:
+                        _emit_eobrun(wtr, ac_tbl, eobrun, br)
+                        eobrun, br = 0, []
+        if eobrun:
+            _emit_eobrun(wtr, ac_tbl, eobrun, br)
+        out += wtr.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _emit_eobrun(wtr: "_BitWriter", ac_tbl: dict, eobrun: int,
+                 br: list) -> None:
+    """EOBn symbol (rr = floor(log2(eobrun)), rr extension bits) plus
+    the buffered correction bits of a refinement EOB run (G.1.2.3)."""
+    rr = eobrun.bit_length() - 1
+    c, ln = ac_tbl[rr * 16]
+    wtr.put(c, ln)
+    if rr:
+        wtr.put(eobrun - (1 << rr), rr)
+    for bbit in br:
+        wtr.put(bbit, 1)
