@@ -274,6 +274,24 @@ BENCH_QUERIES = {
     "wds_roundtrip": "q_p10_roundtrip",
     # priority sampling (lazy plan; genuine twin — same md5 ratio rank)
     "priority": "q_d31_priority",
+    # round 15: exact-span duplicate REMOVAL (lazy plan; genuine twin —
+    # the oracle replays anchors, diagonal runs, interval merge and
+    # the string_agg reassembly byte-for-byte)
+    "span_removal": "q_t45_span_removal",
+    # residual IVF-PQ / true IVFADC (coarse kmeans_fit + residual
+    # pq_fit collect at plan build -> REBUILD_PER_RUN, the ivf_pq
+    # class; genuine twin — residual-sourced unrolled-Lloyd chains)
+    "ivf_pq_residual": "q_k23_ivf_pq_residual",
+    # incremental LPA (lazy plan end to end — the stored 4-round
+    # fixpoint, admission and refinement are one plan; genuine twin)
+    "lpa_incr": "q_k52_lpa_incr",
+    # Avro container quarantine (container files written at plan
+    # build -> REBUILD_PER_RUN, the jsonl/csv/orc_roundtrip class;
+    # arithmetic good/corrupt twin)
+    "avro_quarantine": "q_a17_avro",
+    # content-defined chunking (lazy plan; genuine twin — the oracle
+    # replays fingerprint cuts, lead segmentation and chunk md5s)
+    "cdc_chunks": "q_t46_cdc_chunks",
     # (q_i5_late_drop stays un-benched like every streaming execution:
     # the stream runs at plan-build into a memory sink and its oracle
     # is the batch twin — a construct-only compare)
@@ -336,6 +354,13 @@ REBUILD_PER_RUN = {
     # region excludes the whole construction (r14, the zorder lesson
     # applied in the same commit per VERDICT r13 #8)
     "nn_descent",
+    # residual IVF-PQ trains coarse kmeans + residual PQ codebooks at
+    # plan build (collects) — the ivf_pq class, added in the same
+    # commit that introduced the operator (the r13 standing rule)
+    "ivf_pq_residual",
+    # the Avro fixture containers are written at plan build (the
+    # jsonl/csv/orc_roundtrip class)
+    "avro_quarantine",
 }
 
 # Ambient-drift calibration (VERDICT r4 "bench hygiene"): re-measure a
@@ -543,6 +568,21 @@ CALIBRATION = {
     "wds_roundtrip": 0.0147,
     # priority sampling (idle 5-run median, busy ~0 probed before)
     "priority": 0.0206,
+    # round-15 rows: fresh-process idle 5-run medians (steal 0.00
+    # probed before; interleaved rechecks follow the same
+    # stricter-recorded convention once the artifact lands).
+    # span_removal is a genuine whole-edit twin; ivf_pq_residual's
+    # and lpa_incr's oracles are fully MATERIALIZED CTE chains
+    # (DuckDB inlining re-expands the shared subtrees exponentially
+    # otherwise — the residual chain exhausted file descriptors, the
+    # incr chain spilled temp storage to disk-full at sf0.1);
+    # avro_quarantine is the arithmetic good/corrupt class like
+    # jsonl/csv/xml_quarantine
+    "span_removal": 4.6429,
+    "ivf_pq_residual": 1.9965,
+    "lpa_incr": 0.3068,
+    "avro_quarantine": 0.0055,
+    "cdc_chunks": 0.8025,
 }
 
 

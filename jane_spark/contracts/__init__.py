@@ -29,89 +29,85 @@ from jane_spark.contracts import rest  # noqa: F401  (§2.12 R REST front door, 
 
 VERIFY_FIRST: list[str] = [
     # =================================================================
-    # ROUND 14 ROTATION (VERDICT r13 next-steps #1: retire ALL
-    # remaining pre-r8 evidence debt — the full 22-name r7 remainder
-    # fronts this window, so after it every contract's evidence is
-    # <= 6 rounds old). Window contents, in priority order:
+    # ROUND 15 ROTATION (VERDICT r14 next-steps #1: rotate the full
+    # 31-name r8 remainder so the oldest evidence for any contract
+    # becomes r9, <= 6 rounds old — the standing maintenance loop).
+    # Window contents, in priority order:
     #   (a) contracts NEW this round — never hash-checked, so they
-    #       outrank stale re-verifies (standing policy): the
-    #       NN-descent graph build, the closed-form OPQ2 rotation,
-    #       the WebDataset round-trip oracle (P10 ◐→✅), ICWS
-    #       weighted minhash, exact duplicated-substring spans;
-    #   (b) contracts whose CODE changed this round (ADVICE r13
-    #       hardening) and so need a fresh driver hash:
-    #       q_e15_robust_trend (fail-loud pre-t0 bucket guard),
-    #       q_k50_drift_trigger (DECIMAL(38,0) moment sums),
-    #       q_p28_hilbert (reserved-column guard), q_j5_event_timeout
-    #       (watermark clamp on the timeout timestamp),
-    #       q_p10_wds_shards (webdataset_shards gained the assign
-    #       parameter — default path unchanged, re-attest anyway);
-    #   (c) the 22-name r7 remainder in REGISTRATION order — after
-    #       this window, pre-r8 evidence debt is ZERO;
-    #   (d) the head of the r8 block (47 names) in registration
-    #       order, as many as fit.
-    # Into r15: the r8 remainder (q_b1_json_extract onward — 31
-    # names: q_b1..q_b9_radial_wrap, q_c1..q_c4_overlap, q_d6_gaps,
-    # q_k3_ivf, q_k7_multimodal/resize/audio, q_k10_keep_best,
-    # q_k7_phash, q_t22_urlnorm, q_k22_bpe_pairs, q_k25_wordpiece,
-    # q_k26_unigram, q_k26_unigram_estep, q_k3_ivf_portable,
-    # q_p15_pack_boundaries), then the r9 block as it ages.
+    #       outrank stale re-verifies (standing policy): exact-span
+    #       duplicate REMOVAL (the Lee et al. edit step on T45's
+    #       spans), residual IVF-PQ (true IVFADC), incremental LPA,
+    #       and the from-spec Avro container quarantine;
+    #   (b) contracts whose CODE/ORACLE changed this round (ADVICE
+    #       r14 hardening) and so need a fresh driver hash:
+    #       q_d31_priority (null-safe threshold join, oracle
+    #       IS NOT DISTINCT FROM), q_k53_icws (doc/margin posture —
+    #       re-attest), q_t45_exact_spans (cap maximality repair +
+    #       fanout guard), q_p10_roundtrip (NULL-member oracle arms),
+    #       q_k48_nn_descent / q_k48_incr (slice-layout guard —
+    #       default path unchanged, re-attest anyway);
+    #   (c) the FULL 31-name r8 remainder in REGISTRATION order —
+    #       after this window, pre-r9 evidence debt is ZERO;
+    #   (d) the head of the r9 block (36 names) in registration
+    #       order, as many as fit (8).
+    # Into r16: the r9 remainder (q_d3_hll_groups onward — 28
+    # names), then the r10 block as it ages.
     # =================================================================
     # (a) new contracts this round
-    "q_k48_nn_descent",
-    "q_k48_incr",
-    "q_k49_opq2",
-    "q_p10_roundtrip",
+    "q_t45_span_removal",
+    "q_t46_cdc_chunks",
+    "q_k23_ivf_pq_residual",
+    "q_k52_lpa_incr",
+    "q_a17_avro",
+    # (b) code/oracle changed this round
+    "q_d31_priority",
     "q_k53_icws",
     "q_t45_exact_spans",
-    "q_d31_priority",
-    # (b) code changed this round
-    "q_e15_robust_trend",
-    "q_k50_drift_trigger",
-    "q_p28_hilbert",
-    "q_j5_event_timeout",
-    "q_p10_wds_shards",
-    # (c) the full r7 remainder, registration order — retires ALL
-    # pre-r8 evidence debt
-    "q_k21_quality_clf",
-    "q_k16_kmeans",
-    "q_t23_domaincap",
-    "q_t27_psl_domain",
-    "q_k22_bpe_train",
-    "q_k22_bpe_encode",
-    "q_t24_stupid_backoff",
-    "q_t33_kneser_ney",
-    "q_t32_gopher",
-    "q_t31_compress",
-    "q_t30_sentences",
-    "q_t29_extract",
-    "q_t28_trigram_backoff",
-    "q_t25_chunking",
-    "q_p13_corpus_diff",
-    "q_p12_ffd_pack",
-    "q_t26_contam_report",
-    "q_p14_warc_pipeline",
-    "q_r1_rest_search",
-    "q_r2_rest_doc_list",
-    "q_r3_rest_serialize",
-    "q_r4_rest_xml",
-    # (d) head of the r8 block, registration order
-    "q_a1_scan_count",
-    "q_a2_explode",
-    "q_a3_validation_gate",
-    "q_a2_stationxml_parse",
-    "q_a4_sha_dedup",
-    "q_a6_binary_len",
-    "q_a8_station_xml",
-    "q_a8_fm_xml",
-    "q_a9_delta_anti",
-    "q_a7_dataselect_cut",
-    "q_a7_longest_only",
-    "q_a8_eventid",
-    "q_a8_event_includeall",
-    "q_a8_event_arrivals",
-    "q_a8_station_params",
-    "q_a8_availability_params",
+    "q_p10_roundtrip",
+    "q_k48_nn_descent",
+    "q_k48_incr",
+    # (c) the full r8 remainder, registration order — retires ALL
+    # pre-r9 evidence debt
+    "q_b1_json_extract",
+    "q_b2_eq_filter",
+    "q_b3_range_filter",
+    "q_b4_wildcard",
+    "q_b5_isin",
+    "q_b6_not_in",
+    "q_b7_overlap",
+    "q_b8_bbox",
+    "q_b9_radial",
+    "q_b10_edges",
+    "q_b9_radial_wrap",
+    "q_c1_join2",
+    "q_c2_left_join",
+    "q_c3_join4",
+    "q_c4_range_join",
+    "q_c5_semi",
+    "q_c4_overlap",
+    "q_d6_gaps",
+    "q_k3_ivf",
+    "q_k7_multimodal",
+    "q_k7_resize",
+    "q_k7_audio",
+    "q_k10_keep_best",
+    "q_k7_phash",
+    "q_t22_urlnorm",
+    "q_k22_bpe_pairs",
+    "q_k25_wordpiece",
+    "q_k26_unigram",
+    "q_k26_unigram_estep",
+    "q_k3_ivf_portable",
+    "q_p15_pack_boundaries",
+    # (d) head of the r9 block, registration order
+    "q_c7_asof",
+    "q_c8_cross",
+    "q_d1_count_group",
+    "q_d2_extent",
+    "q_d3_distinct",
+    "q_d3_approx",
+    "q_d3_kmv",
+    "q_d3_hll",
 ]
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

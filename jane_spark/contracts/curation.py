@@ -4287,3 +4287,56 @@ def q_k50_drift(spark, sf_dir):
     return moment_drift_trigger(
         corpus, batch, "embedding", dim=16, tau_num=1, tau_den=2
     )
+
+
+_CDC_ORACLE = """
+WITH t AS (SELECT doc_id, text, length(text) AS len FROM documents),
+cuts0 AS (SELECT doc_id,
+                 unnest(generate_series(2, greatest(len - 15, 1))) AS pos,
+                 text
+          FROM t WHERE len >= 17),
+cuts AS (SELECT doc_id, CAST(pos AS INTEGER) AS start
+         FROM cuts0
+         WHERE CAST('0x' || substr(md5('cdc:' || substr(text, pos, 16)),
+                                   1, 15) AS BIGINT) % 64 = 0
+         UNION ALL
+         SELECT doc_id, 1 FROM t),
+ch AS (SELECT c.doc_id, c.start,
+              row_number() OVER w AS chunk_idx,
+              coalesce(lead(c.start) OVER w, t.len + 1) - c.start
+                  AS chunk_len
+       FROM cuts c JOIN t ON t.doc_id = c.doc_id
+       WINDOW w AS (PARTITION BY c.doc_id ORDER BY c.start))
+SELECT ch.doc_id,
+       CAST(ch.chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(ch.start AS INTEGER) AS start,
+       CAST(ch.chunk_len AS INTEGER) AS chunk_len,
+       md5(substr(t.text, ch.start, ch.chunk_len)) AS chunk_md5
+FROM ch JOIN t ON t.doc_id = ch.doc_id
+"""
+
+
+@contract(
+    "q_t46_cdc_chunks",
+    oracle=_CDC_ORACLE,
+    survey_rows="T46,T45,K1",
+    doc="CONTENT-DEFINED CHUNKING (LBFS, Muthitacharoen et al. SOSP "
+    "2001; FastCDC, Xia et al. ATC 2016 — "
+    "operators/curation.cdc_chunks): cut every document where the "
+    "16-gram window's portable 60-bit md5 fingerprint has 6 low zero "
+    "bits (expected 64-char chunks), so boundaries follow CONTENT "
+    "and a prefix insert re-aligns at the first surviving cut — "
+    "every later chunk hashes identically, the storage-dedup "
+    "property fixed-size chunking cannot give (shift-robustness vs "
+    "fixed chunking pytest-pinned, plus the Σ chunks == text "
+    "reconstruction law). The byte-level rung of the dedup ladder "
+    "below T45's span grain: crawl snapshots dedup at "
+    "distinct/total chunk cost. One row-local gram projection + one "
+    "per-doc lead window + one substring join; hashed surface is "
+    "integers + md5 strings",
+)
+def q_t46(spark, sf_dir):
+    from jane_spark.operators.curation import cdc_chunks
+
+    docs = Catalog(spark, sf_dir).documents
+    return cdc_chunks(docs, "doc_id", "text", w=16, mask_bits=6)

@@ -3577,6 +3577,12 @@ def _lpa_incr_oracle(iters: int = 4) -> str:
         "WHERE NOT EXISTS (SELECT 1 FROM touched tc WHERE tc.v = l.node) "
         "UNION ALL SELECT node, label FROM ref)",
     ]
+    # MATERIALIZE every CTE (the q_k23_ivf_pq_residual discipline):
+    # DuckDB inlines CTEs by default, and lx/base/fsym each re-expand
+    # the full l4 round tree (itself the whole edge chain per round) —
+    # observed to spill temp storage until the disk filled at sf0.1.
+    # Purely physical; identical rows.
+    ctes = [c.replace(" AS (", " AS MATERIALIZED (", 1) for c in ctes]
     return (
         "WITH " + ",\n".join(ctes) + """
         SELECT CAST(node AS BIGINT) AS node,

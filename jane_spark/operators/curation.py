@@ -1134,3 +1134,126 @@ def corpus_diff_summary(
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 16,
+    mask_bits: int = 6,
+    salt: str = "cdc:",
+) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING — the storage-dedup primitive of LBFS
+    (Muthitacharoen, Chen & Mazières, SOSP 2001) and the FastCDC
+    family (Xia et al., USENIX ATC 2016): cut each document at
+    positions where a rolling window's fingerprint satisfies
+    ``hash(window) % 2^mask_bits == 0``, so cut points are decided by
+    CONTENT, not offsets. The property fixed-size chunking cannot
+    give (pytest-pinned): inserting or deleting a prefix shifts every
+    fixed-size boundary and invalidates every chunk hash, while CDC
+    boundaries re-align at the first surviving cut point and every
+    later chunk hashes identically — which is why incremental backup,
+    artifact stores and dataset-versioning systems all chunk this
+    way. At 100 TB this is the byte-level rung of the dedup ladder,
+    below T45's span grain: two crawl snapshots of the same site
+    share most chunks, and a chunk-hash store dedups them at
+    ``distinct chunks / total chunks`` cost.
+
+    Window fingerprint = the portable 60-bit md5 gram key over the
+    ``w``-gram STARTING at the cut position (salted; deterministic,
+    no RNG state, identical in any engine — a production deployment
+    swaps in a gear/Rabin rolling hash, which changes constants, not
+    shape). A position i > 1 is a cut when its fingerprint's low
+    ``mask_bits`` bits are zero → expected chunk length 2^mask_bits.
+    This is the BASIC content-defined rule; FastCDC's min/max-length
+    normalization is a sequential suppression (each boundary depends
+    on the previous) deliberately left out to keep boundaries
+    position-independent — the exact property the shift-robustness
+    law tests.
+
+    Emits one row per chunk, every document total (short docs = one
+    whole-doc chunk): ``(id, chunk_idx, start, chunk_len,
+    chunk_md5)``, 1-based, concatenation law ``Σ chunks == text``
+    pytest-pinned. Plan: one row-local gram projection + one filter
+    (boundary predicate pushes into the scan projection), one
+    per-document lead window, one join back for the substring — no
+    data-scale driver work, no Python.
+    """
+    if w < 2:
+        raise ValueError("w must be >= 2: single-char windows cut on "
+                         "every repeated character")
+    if not (1 <= int(mask_bits) <= 30):
+        raise ValueError("mask_bits must be in [1, 30]")
+    t = F.col(text_col)
+    modulus = 1 << int(mask_bits)
+    arr = F.when(
+        # len >= w+1, not w: Spark's sequence(2, 1) DESCENDS — a
+        # doc of exactly w chars has no interior cut position at all
+        F.length(t) >= w + 1,
+        F.filter(
+            F.transform(
+                # cuts only at i in [2, len-w+1]: a cut before pos 1
+                # is a no-op, and windows past len-w+1 don't exist
+                F.sequence(F.lit(2), F.length(t) - F.lit(w - 1)),
+                lambda i: F.when(
+                    _gram_key(F.concat(F.lit(salt), F.substr(t, i, F.lit(w))))
+                    % modulus
+                    == 0,
+                    i,
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    cuts = df.select(
+        F.col(id_col).alias("__id"),
+        F.length(t).alias("__len"),
+        F.explode(
+            F.concat(F.array(F.lit(1)), arr)  # sentinel: chunk 1 starts at 1
+        ).alias("start"),
+    )
+    win = Window.partitionBy("__id").orderBy("start")
+    chunks = (
+        cuts.withColumn("chunk_idx", F.row_number().over(win))
+        .withColumn(
+            "chunk_len",
+            F.coalesce(F.lead("start").over(win), F.col("__len") + 1)
+            - F.col("start"),
+        )
+    )
+    witness = df.select(
+        F.col(id_col).alias("__id"), t.alias("__t")
+    )
+    return (
+        chunks.join(witness, "__id")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("start").cast("int").alias("start"),
+            F.col("chunk_len").cast("int").alias("chunk_len"),
+            F.md5(
+                F.substr(F.col("__t"), F.col("start"), F.col("chunk_len"))
+            ).alias("chunk_md5"),
+        )
+    )
+
+
+def cdc_dedup_stats(chunks: DataFrame, id_col: str) -> DataFrame:
+    """One-row corpus summary over a :func:`cdc_chunks` table — the
+    what-would-a-chunk-store-save readout: total vs distinct chunk
+    counts and chars (distinct chars = Σ chunk_len over one
+    representative per chunk_md5 — the stored bytes after dedup).
+    Two map-side-combinable aggregates; integers end to end."""
+    per_hash = chunks.groupBy("chunk_md5").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("chunk_len").alias("chunk_len"),
+    )
+    return per_hash.agg(
+        F.sum("n").cast("bigint").alias("total_chunks"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_chunks"),
+        F.sum(F.col("n") * F.col("chunk_len")).cast("bigint").alias(
+            "total_chars"
+        ),
+        F.sum("chunk_len").cast("bigint").alias("distinct_chars"),
+    )

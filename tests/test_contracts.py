@@ -268,6 +268,8 @@ FLOAT_TIE_ALLOWLIST = {
     "q_k16_capped": "same q_k16 cosine e6 cut (capped view), same probe",
     "q_k19_hybrid": "cosine e6 rounding, margin probed below",
     "q_k23_ivf_pq": "cosine e6 rounding, margin probed below",
+    "q_k23_ivf_pq_residual": "same coarse-probe cosine 9dp rounding as "
+    "q_k23_ivf_pq (shared CTE chain); margin probed below",
     "q_k24_jl": "cosine e6 rounding, margin probed below",
     "q_k24_two_stage": "cosine e6 rounding, margin probed below",
     "q_k33_mmr": "cosine e6 rounding, margin probed below",

@@ -1650,3 +1650,103 @@ def test_kneser_ney_python_twin(spark):
         lps = [math.log(p(w, ts[i - 1] if i else None)) for i, w in enumerate(ts)]
         want = (len(ts), round(-sum(lps) / len(lps), 4))
         assert got[doc_id] == want, (doc_id, got[doc_id], want)
+
+
+def test_cdc_chunks_laws(spark):
+    """Content-defined chunking (LBFS/FastCDC), pinned:
+    (1) reconstruction — chunks concatenate byte-exactly to every
+    document, md5 witnesses match, every doc total (short/empty docs
+    = one whole-doc chunk); (2) the SHIFT-ROBUSTNESS law CDC exists
+    for — after a prefix insertion, the overlap of chunk-hash sets
+    with the original is high (boundaries re-align at the first
+    surviving cut) while FIXED-size chunking at the same average
+    size shares almost nothing; (3) boundary positions are a pure
+    function of content: the shifted doc's chunk STARTS after the
+    first shared cut equal original starts + shift; (4) stats law —
+    cdc_dedup_stats totals match the chunk table; (5) layout
+    independence; (6) parameter guards."""
+    import hashlib
+    import random
+
+    import pytest
+
+    from jane_spark.operators.curation import cdc_chunks, cdc_dedup_stats
+
+    rng = random.Random(5)
+    alph = "abcdefghijklmnop"
+    docs = [
+        (i, "".join(rng.choice(alph) for _ in range(rng.randint(0, 500))))
+        for i in range(30)
+    ]
+    docs += [(100, ""), (101, "short")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    w, mb = 8, 4
+    rows = cdc_chunks(df, "doc_id", "text", w=w, mask_bits=mb).collect()
+    texts = dict(docs)
+    per: dict = {}
+    for r in rows:
+        per.setdefault(r.doc_id, []).append(r)
+    assert set(per) == set(texts)  # total
+    for d, t in texts.items():
+        ch = sorted(per[d], key=lambda r: r.chunk_idx)
+        assert [r.chunk_idx for r in ch] == list(range(1, len(ch) + 1))
+        recon = "".join(
+            t[r.start - 1 : r.start - 1 + r.chunk_len] for r in ch
+        )
+        assert recon == t, d
+        for r in ch:
+            piece = t[r.start - 1 : r.start - 1 + r.chunk_len]
+            assert hashlib.md5(piece.encode()).hexdigest() == r.chunk_md5
+
+    # (2) + (3) shift robustness vs fixed-size chunking
+    base = max(texts.values(), key=len)
+    shift = 13
+    shifted = "".join(rng.choice("XYZ") for _ in range(shift)) + base
+    two = spark.createDataFrame(
+        [(1, base), (2, shifted)], ["doc_id", "text"]
+    )
+    r2 = cdc_chunks(two, "doc_id", "text", w=w, mask_bits=mb).collect()
+    h1 = {r.chunk_md5 for r in r2 if r.doc_id == 1}
+    h2 = {r.chunk_md5 for r in r2 if r.doc_id == 2}
+    cdc_overlap = len(h1 & h2) / len(h1)
+    assert cdc_overlap >= 0.8, cdc_overlap
+    s1 = {r.start for r in r2 if r.doc_id == 1}
+    s2 = {r.start for r in r2 if r.doc_id == 2}
+    realigned = {s for s in s1 if s + shift in s2}
+    assert len(realigned) >= len(s1) - 2  # all but the head re-align
+    # fixed-size chunking at the same expected size shares ~nothing
+    # (the shift misaligns every boundary)
+    size = 1 << mb
+    fx1 = {
+        hashlib.md5(base[i : i + size].encode()).hexdigest()
+        for i in range(0, len(base), size)
+    }
+    fx2 = {
+        hashlib.md5(shifted[i : i + size].encode()).hexdigest()
+        for i in range(0, len(shifted), size)
+    }
+    assert len(fx1 & fx2) / len(fx1) < 0.2
+
+    # (4) stats law
+    st = cdc_dedup_stats(
+        cdc_chunks(two, "doc_id", "text", w=w, mask_bits=mb), "doc_id"
+    ).collect()[0]
+    assert st.total_chunks == len(r2)
+    assert st.distinct_chunks == len({r.chunk_md5 for r in r2})
+    assert st.total_chars == sum(r.chunk_len for r in r2)
+    seen: dict = {}
+    for r in r2:
+        seen.setdefault(r.chunk_md5, r.chunk_len)
+    assert st.distinct_chars == sum(seen.values())
+
+    # (5) layout independence
+    again = cdc_chunks(
+        df.repartition(7), "doc_id", "text", w=w, mask_bits=mb
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    # (6) guards
+    with pytest.raises(ValueError, match="w must be"):
+        cdc_chunks(df, "doc_id", "text", w=1)
+    with pytest.raises(ValueError, match="mask_bits"):
+        cdc_chunks(df, "doc_id", "text", mask_bits=0)
