@@ -1281,6 +1281,14 @@ def decode_jpeg_progressive(data: bytes) -> np.ndarray:
             ah, al = ahal >> 4, ahal & 0x0F
             off += ln
             r = _BitReader(data, off)
+            if ss == 0 and se != 0:
+                # T.81 G.1.1.1.1: a progressive DC scan has Se = 0 —
+                # a baseline-shaped 0..63 SOS inside SOF2 (e.g. a
+                # mangled marker) must be rejected, never mis-decoded
+                # as DC-only
+                raise ValueError(
+                    "invalid progressive scan: Ss=0 requires Se=0"
+                )
             try:
                 if ss == 0:
                     _scan_dc_prog(

@@ -12,7 +12,11 @@ progressive JPEG — ``decode_jpeg`` dispatches SOF2 to the Annex G
 decoder, closing the fallback web corpora hit most (VERDICT r14) —
 PCM WAV) register at import, so ``resize_images`` runs a REAL
 decode→resize→re-encode path for those types with zero third-party
-libraries. Types with no registered codec (MP4 — its codec libs are
+libraries, and ``sample_frames`` extracts REAL frames from animated
+GIF and Motion-JPEG MP4 (``mp4_container`` walks the ISO/IEC 14496-12
+sample tables from spec; each ``jpeg`` sample decodes through the T.81
+decoder). Payloads no registered decoder accepts (e.g. H.264 inside
+MP4 — the container walk resolves its byte ranges, the codec lib is
 absent here) fall back to a deterministic stand-in that exercises
 identical Spark plumbing — schema, Arrow batching, and UDF signature;
 register a PIL/av decoder pair in a real deployment and the same plan
@@ -138,12 +142,15 @@ def sample_frames(
 
     When ``media_type_col`` names a column and the row's media type has
     a registered multi-frame decoder (``FRAME_DECODERS`` — animated GIF
-    is built in), the REAL frames are decoded, every ``every_n_frames``
-    kept, and each re-encoded through the type's still-image encoder.
-    Rows without a frame decoder keep the deterministic byte-slice
-    stand-in (stride ``every_n_bytes``, width ``frame_size``) — an av
-    decoder drops into the registry without touching the Spark side
-    (same fan-out schema, same Arrow batching)."""
+    and Motion-JPEG MP4 are built in), the REAL frames are decoded,
+    every ``every_n_frames`` kept, and each re-encoded through the
+    type's still-image encoder. Rows without a frame decoder — or
+    whose payload the decoder REJECTS (corrupt container, unsupported
+    inner codec) — keep the deterministic byte-slice stand-in (stride
+    ``every_n_bytes``, width ``frame_size``): the operator is TOTAL,
+    one bad row never fails a task (the phash NULL-policy posture).
+    An av decoder drops into the registry without touching the Spark
+    side (same fan-out schema, same Arrow batching)."""
     out_schema = "item_id long, frame_no int, frame binary"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -157,13 +164,22 @@ def sample_frames(
             for item_id, data, mt in zip(pdf["item_id"], pdf[payload_col], mtypes):
                 b = bytes(data)
                 if mt in FRAME_DECODERS:
-                    encode = ENCODERS[mt]
-                    all_frames = FRAME_DECODERS[mt](b)
-                    for fn in range(0, len(all_frames), every_n_frames):
-                        ids.append(item_id)
-                        nos.append(fn)
-                        frames.append(encode(all_frames[fn]))
-                    continue
+                    try:
+                        all_frames = FRAME_DECODERS[mt](b)
+                        encoded = [
+                            ENCODERS[mt](all_frames[fn])
+                            for fn in range(
+                                0, len(all_frames), every_n_frames
+                            )
+                        ]
+                    except Exception:
+                        pass  # undecodable payload: stand-in below
+                    else:
+                        for i, fr in enumerate(encoded):
+                            ids.append(item_id)
+                            nos.append(i * every_n_frames)
+                            frames.append(fr)
+                        continue
                 for fn, off in enumerate(range(0, len(b), every_n_bytes)):
                     ids.append(item_id)
                     nos.append(fn)
@@ -429,6 +445,13 @@ def _register_builtin_codecs() -> None:
     AUDIO_CODECS["audio/wav"] = mc.decode_wav
     AUDIO_ENCODERS["audio/wav"] = mc.encode_wav
     FRAME_DECODERS["image/gif"] = mc.decode_gif_frames
+    # MP4 (ISO BMFF) Motion-JPEG: the container walk is from spec
+    # (ISO/IEC 14496-12 sample tables), the per-frame codec is this
+    # package's own T.81 decoder; kept frames re-encode as JPEG stills
+    from jane_spark.sources import mp4_container as m4
+
+    FRAME_DECODERS["video/mp4"] = m4.decode_mp4_frames
+    ENCODERS["video/mp4"] = mc.encode_jpeg
 
 
 _register_builtin_codecs()
