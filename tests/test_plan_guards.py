@@ -422,6 +422,10 @@ _PANDAS_ALLOWED = {
     # GEMM stage (r9); the ADC read path itself is pure JVM — the
     # pq_adc/adc_rerank contracts prove that, they are NOT allowlisted
     "q_k23_ivf_pq",
+    # residual IVFADC (r15): the SAME coarse _assign_lists Arrow GEMM
+    # stage; the residual projection, codes and ADC read path are
+    # pure JVM expressions
+    "q_k23_ivf_pq_residual",
     # JL coarse-to-fine: stage-1 candidate ranking in the projected
     # space is the same Arrow block-GEMM; the full-dim re-score and
     # the projection itself are pure JVM (r9)
