@@ -578,10 +578,14 @@ CALIBRATION = {
     # incr chain spilled temp storage to disk-full at sf0.1);
     # avro_quarantine is the arithmetic good/corrupt class like
     # jsonl/csv/xml_quarantine
+    # stricter of (fresh-process median / r15 gate-clean artifact's
+    # interleaved recheck): span_removal 4.64/6.59, ivf_pq_residual
+    # 2.00/1.89, lpa_incr 0.31/0.37, avro 0.0055/0.0040,
+    # cdc_chunks 0.80/1.14 — lower recorded per the r14 convention
     "span_removal": 4.6429,
-    "ivf_pq_residual": 1.9965,
+    "ivf_pq_residual": 1.8859,
     "lpa_incr": 0.3068,
-    "avro_quarantine": 0.0055,
+    "avro_quarantine": 0.0040,
     "cdc_chunks": 0.8025,
 }
 
