@@ -32,6 +32,19 @@ from pyspark.sql import functions as F
 from jane_spark.functions.arrays import cosine
 
 
+def _sql_double(x: float) -> str:
+    """Exact SQL double literal: ``repr(x)`` is the shortest decimal
+    that round-trips to the same IEEE-754 double in Python, and SQL's
+    string→double cast (Java ``Double.parseDouble``) is correctly
+    rounded, so the parsed value is bit-identical to ``F.lit(x)``.
+    String form instead of ``F.lit`` because building k×d literal
+    arrays element-by-element through py4j costs ~1.4 s per centroid
+    table (measured, r15 optimization round) vs ~3 ms for one
+    ``F.expr`` string — driver time that REBUILD-class training loops
+    pay every Lloyd round."""
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
 def kmeans_fit(
     df: DataFrame,
     id_col: str,
@@ -80,29 +93,23 @@ def _kmeans_loop(
     centroids = [(i, list(r["__v"])) for i, r in enumerate(seed_rows)]
 
     def assign(cdf: list[tuple[int, list[float]]]) -> DataFrame:
-        carr = F.array(
-            *[
-                F.struct(
-                    F.lit(cid).alias("cid"),
-                    F.array(*[F.lit(x) for x in cv]).alias("cv"),
-                )
-                for cid, cv in cdf
-            ]
-        )
         # argmin squared-L2 with ties toward the smaller centroid id:
         # array_min over (dist, cid) structs compares lexicographically.
-        dists = F.transform(
-            carr,
-            lambda c: F.struct(
-                F.aggregate(
-                    F.zip_with(F.col("__v"), c["cv"], lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("dist"),
-                c["cid"].alias("cid"),
-            ),
+        # The whole expression is ONE SQL string (see _sql_double): the
+        # k×d centroid literals are the same IEEE doubles F.lit would
+        # produce, without the ~1.4 s/round of py4j element calls.
+        carr = ",".join(
+            "named_struct('cid', %d, 'cv', array(%s))"
+            % (cid, ",".join(_sql_double(float(x)) for x in cv))
+            for cid, cv in cdf
         )
-        return vecs.withColumn("cluster", F.array_min(dists)["cid"])
+        dists = (
+            f"array_min(transform(array({carr}), c -> named_struct("
+            "'dist', aggregate(zip_with(__v, c.cv, (a, b) -> "
+            "(a - b) * (a - b)), CAST(0.0 AS DOUBLE), "
+            "(acc, x) -> acc + x), 'cid', c.cid))).cid"
+        )
+        return vecs.withColumn("cluster", F.expr(dists))
 
     for _ in range(iters):
         assigned = assign(centroids)

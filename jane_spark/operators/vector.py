@@ -32,6 +32,7 @@ bucket-pruned candidate set. See docs/SCALE.md §6 for the ladder.
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import pandas as pd
@@ -770,16 +771,32 @@ def pq_fit(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub_d = dim // m
+    from concurrent.futures import ThreadPoolExecutor
+
     from jane_spark.operators.semdedup import kmeans_fit
 
-    out = None
-    books: list[list[list[float]]] = []
-    for s in range(m):
+    def fit(s: int):
         sub = vectors.select(
             F.col(id_col),
             F.slice(F.col(vec_col), s * sub_d + 1, sub_d).alias("__sub"),
         )
-        a, cents = kmeans_fit(sub, id_col, "__sub", k=k, iters=iters)
+        return kmeans_fit(sub, id_col, "__sub", k=k, iters=iters)
+
+    # the m subspace fits are INDEPENDENT driver-action chains (each
+    # is its own Lloyd loop over a disjoint slice of the vector) — run
+    # them from a small thread pool so their per-round jobs overlap
+    # and back-fill executors (guide §2.6) instead of serializing
+    # m×(iters+1) tiny collects on the driver. Arithmetic per subspace
+    # is UNCHANGED (same plans, same collects, same order within each
+    # chain), so codes and codebooks are bit-identical to the
+    # sequential build.
+    workers = int(os.environ.get("SPARK_GRAFT_FIT_THREADS", "4"))
+    with ThreadPoolExecutor(max_workers=max(1, min(m, workers))) as pool:
+        fits = list(pool.map(fit, range(m)))
+
+    out = None
+    books: list[list[list[float]]] = []
+    for s, (a, cents) in enumerate(fits):
         books.append(cents)
         a = a.select(F.col(id_col), F.col("cluster").alias(f"code_{s}"))
         out = a if out is None else out.join(a, id_col)
