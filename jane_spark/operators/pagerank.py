@@ -78,10 +78,20 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         raise ValueError("edge table is empty: no nodes to rank")
-    outw = e.groupBy("src").agg(F.sum("w").alias("ow")).localCheckpoint(
-        eager=True
-    )
+    # outw is consumed exactly twice below (ew build, dangling set) and
+    # derives from the CHECKPOINTED e — recomputing that one groupBy
+    # inside each consumer is cheaper than an extra eager checkpoint
+    # action (r15 optimization round: every eager materialization is a
+    # blocking driver round-trip)
+    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
     ew = e.join(outw, "src").localCheckpoint(eager=True)
+    # the dangling-node set (no out-edges) is FIXED across iterations:
+    # derive it once instead of re-running the anti-join per round
+    dangling = (
+        nodes.join(outw, nodes.node == outw.src, "left_anti")
+        .select("node")
+        .localCheckpoint(eager=True)
+    )
 
     base = ((den - num) * SCALE) // (den * n)
     ranks = nodes.select(
@@ -98,21 +108,31 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
-        dang = (
-            ranks.join(outw, ranks.node == outw.src, "left_anti")
-            .agg(F.coalesce(F.sum("r"), F.lit(0)))
-            .first()[0]
+        # dangling mass IN-PLAN (one-row broadcast) instead of a
+        # blocking driver first() per round: the update expression is
+        # the same BIGINT arithmetic — sum(r) over the fixed dangling
+        # set, div n — evaluated by the engine instead of the driver,
+        # so each iteration costs ONE action (the checkpoint) and the
+        # driver never stalls on a scalar round-trip (guide §5: the
+        # driver should do almost no data work)
+        dang_row = (
+            ranks.join(dangling, "node", "left_semi")
+            .agg(
+                F.expr(
+                    f"coalesce(sum(r), CAST(0 AS BIGINT)) div {n}"
+                ).alias("__dshare")
+            )
         )
-        dang_share = dang // n
         ranks = (
             nodes.join(inflow, "node", "left")
+            .crossJoin(F.broadcast(dang_row))
             .select(
                 "node",
                 (
                     F.lit(base)
                     + F.expr(
                         f"({num} * (coalesce(inflow, CAST(0 AS BIGINT))"
-                        f" + CAST({dang_share} AS BIGINT))) div {den}"
+                        f" + __dshare)) div {den}"
                     )
                 )
                 .cast("bigint")

@@ -43,6 +43,34 @@ from jane_spark.functions.arrays import cosine
 from jane_spark.operators.topk import top_k_per_group
 
 
+def _sql_darr(vals) -> str:
+    """SQL double-array literal ``array(CAST('…' AS DOUBLE), …)`` —
+    ``repr`` round-trips each IEEE double exactly and the string cast
+    is correctly rounded, so the parsed array is bit-identical to the
+    ``F.array(*[F.lit(x) …])`` form it replaces, without the py4j
+    per-element round trips (~1.4 s per 8×64 table, measured r15)."""
+    return "array(%s)" % ",".join(
+        f"CAST('{float(x)!r}' AS DOUBLE)" for x in vals
+    )
+
+
+def _sql_adc_entries(res_col: str, books, m: int, k: int, sub_d: int) -> str:
+    """The m×k ADC lookup-table entries as ONE SQL array expression:
+    entry [s*k + c] = round(||res_s − books[s][c]||², 9), the same
+    slice/zip_with/aggregate/round chain the F-API built — one
+    ``F.expr`` instead of ~500 py4j calls."""
+    ent = []
+    for s in range(m):
+        sub = f"slice({res_col}, {s * sub_d + 1}, {sub_d})"
+        for c in range(k):
+            ent.append(
+                f"round(aggregate(zip_with({sub}, {_sql_darr(books[s][c])}, "
+                "(a, b) -> (a - b) * (a - b)), CAST(0.0 AS DOUBLE), "
+                "(acc, x) -> acc + x), 9)"
+            )
+    return "array(%s)" % ",".join(ent)
+
+
 def brute_force_topk(
     vectors: DataFrame, id_col: str, vec_col: str, k: int, round_dp: int | None = 6
 ) -> DataFrame:
@@ -292,14 +320,12 @@ def _melted_buckets(
         bits = []
         for p in range(n_planes):
             plane = planes[t, p]
-            d = F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.array(*[F.lit(float(x)) for x in plane]),
-                    lambda x, y: x.cast("double") * y,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+            # one SQL string per plane (see _sql_darr) — same dot
+            # product, none of the per-element py4j literal calls
+            d = F.expr(
+                f"aggregate(zip_with(`{vec_col}`, {_sql_darr(plane)}, "
+                "(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), "
+                "(acc, x) -> acc + x)"
             )
             if planes_source == "portable":
                 d = F.round(d, 9)
@@ -870,18 +896,10 @@ def _adc_tables(
             "__qv"
         ),
     )
-    entries = []
-    for s in range(m):
-        sub = F.slice(F.col("__qv"), s * sub_d + 1, sub_d)
-        for c in range(k):
-            cent = F.array(*[F.lit(float(x)) for x in books[s][c]])
-            d = F.aggregate(
-                F.zip_with(sub, cent, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            entries.append(F.round(d, 9))
-    return qv.select("q_id", F.array(*entries).alias("__dt"))
+    return qv.select(
+        "q_id",
+        F.expr(_sql_adc_entries("__qv", books, m, k, sub_d)).alias("__dt"),
+    )
 
 
 def _adc_fold(m: int, k: int):
@@ -1096,11 +1114,8 @@ def ivf_pq_residual_topk(
         vectors, id_col, vec_col, k=n_lists, iters=lloyd_iters
     )
     centroids = np.array(cents, dtype=np.float64)
-    cent_lit = F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in row])
-            for row in centroids
-        ]
+    cent_lit = F.expr(
+        "array(%s)" % ",".join(_sql_darr(row) for row in centroids.tolist())
     )
     corpus = _assign_lists(
         vectors, id_col, vec_col, centroids, n_probe=1,
@@ -1139,19 +1154,10 @@ def ivf_pq_residual_topk(
             lambda a, b: a - b,
         ).alias("__rq"),
     )
-    entries = []
-    for s in range(m):
-        sub = F.slice(F.col("__rq"), s * sub_d + 1, sub_d)
-        for c in range(k):
-            cent = F.array(*[F.lit(float(x)) for x in books[s][c]])
-            d = F.aggregate(
-                F.zip_with(sub, cent, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            entries.append(F.round(d, 9))
     qt = qres.select(
-        "a_id", "list_id", F.array(*entries).alias("__dt")
+        "a_id",
+        "list_id",
+        F.expr(_sql_adc_entries("__rq", books, m, k, sub_d)).alias("__dt"),
     )
     cand = (
         probes.join(
@@ -1370,7 +1376,7 @@ def mmr_select(
         raise ValueError("lambda_e4 must be in [0, 10000]")
     from jane_spark.functions.arrays import dot, norm
 
-    q = F.array(*[F.lit(mmr_query_weight(d)) for d in range(dim)])
+    q = F.expr(_sql_darr(mmr_query_weight(d) for d in range(dim)))
     v = F.col(vec_col).cast("array<double>")
     # try_divide, not /: under ANSI (Spark 4 default) a zero-norm
     # vector's cosine would THROW DIVIDE_BY_ZERO; try_divide yields
