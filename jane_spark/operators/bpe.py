@@ -124,7 +124,9 @@ def train_bpe(
     vocab = word_counts(docs, text_col).select(
         _initial_symbols(F.col("word")).alias("syms"), "n"
     )
-    vocab = vocab.localCheckpoint(eager=True)
+    # LAZY checkpoint (r15): the first argmax collect materializes it
+    # in the same job — one fewer blocking action, same lineage cut
+    vocab = vocab.localCheckpoint(eager=False)
     merges: list[tuple[str, str, int]] = []
     since_checkpoint = 0
     for _ in range(n_merges):
@@ -143,7 +145,7 @@ def train_bpe(
         vocab = vocab.select(_merge_pair(F.col("syms"), a, b).alias("syms"), "n")
         since_checkpoint += 1
         if since_checkpoint >= checkpoint_every:
-            vocab = vocab.localCheckpoint(eager=True)
+            vocab = vocab.localCheckpoint(eager=False)
             since_checkpoint = 0
     return merges
 
@@ -540,14 +542,18 @@ def seed_vocab_frames(
     max_piece_len: int = 4,
     seed_size: int = 64,
     text_col: str = "text",
+    wc: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The cluster-side halves of :func:`seed_unigram_vocab`:
     (alphabet singles, top-``seed_size`` multis) as DataFrames, each
     already ordered (cnt desc, piece asc) and — for the multis —
     truncated via ``limit`` so Spark plans a TakeOrdered, never a
     full-table collect. Exposed separately so plan guards can assert
-    the truncation stays cluster-side."""
-    wc = word_counts(docs, text_col).localCheckpoint(eager=True)
+    the truncation stays cluster-side. ``wc`` lets callers that
+    already hold the word-TYPE table (train_unigram) pass it in so the
+    corpus tokenize+count runs once, not twice (r15)."""
+    if wc is None:
+        wc = word_counts(docs, text_col).localCheckpoint(eager=False)
     w = F.col("word")
     pieces = wc.select(
         F.explode(
@@ -587,6 +593,7 @@ def seed_unigram_vocab(
     max_piece_len: int = 4,
     seed_size: int = 64,
     text_col: str = "text",
+    wc: DataFrame | None = None,
 ) -> list[tuple[str, int]]:
     """Unigram training seed (Kudo 2018 §3.2 setup): all word
     substrings up to ``max_piece_len`` ranked by corpus frequency; the
@@ -594,7 +601,7 @@ def seed_unigram_vocab(
     (the alphabet can never be pruned, or the model loses totality).
     Collects only the bounded union from :func:`seed_vocab_frames`."""
     singles_df, multis_df = seed_vocab_frames(
-        docs, max_piece_len, seed_size, text_col
+        docs, max_piece_len, seed_size, text_col, wc=wc
     )
     singles = [
         (r["piece"], int(r["cnt"])) for r in singles_df.collect()
@@ -640,8 +647,10 @@ def train_unigram(
     vocabulary-BOUNDED collect (train_bpe's loop contract: driver
     iteration is fine when each round's driver data is dimension-
     bounded). Pinned against a pure-Python twin in tests."""
-    wc = word_counts(docs, text_col).localCheckpoint(eager=True)
-    seed = seed_unigram_vocab(docs, max_piece_len, seed_size, text_col)
+    wc = word_counts(docs, text_col).localCheckpoint(eager=False)
+    seed = seed_unigram_vocab(
+        docs, max_piece_len, seed_size, text_col, wc=wc
+    )
     scores = _integer_scores(seed)
     counts: dict[str, int] = dict(seed)
     for _ in range(n_iters):

@@ -66,14 +66,16 @@ def pagerank(
         # (nodes, outw, the per-iteration dangling probe) derives from
         # it, and an unchecked lineage re-runs the upstream corpus-
         # sized edge build once per materialization — measured 7x the
-        # whole-graph cost on the TextRank word graph (r10)
-        .localCheckpoint(eager=True)
+        # whole-graph cost on the TextRank word graph (r10). LAZY mark
+        # (r15): the nodes.count() below materializes it in the same
+        # job instead of a dedicated blocking action (guide §5).
+        .localCheckpoint(eager=False)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()
     if n == 0:
@@ -84,19 +86,19 @@ def pagerank(
     # action (r15 optimization round: every eager materialization is a
     # blocking driver round-trip)
     outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
-    ew = e.join(outw, "src").localCheckpoint(eager=True)
+    ew = e.join(outw, "src").localCheckpoint(eager=False)
     # the dangling-node set (no out-edges) is FIXED across iterations:
     # derive it once instead of re-running the anti-join per round
     dangling = (
         nodes.join(outw, nodes.node == outw.src, "left_anti")
         .select("node")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     base = ((den - num) * SCALE) // (den * n)
     ranks = nodes.select(
         "node", F.lit(SCALE // n).cast("bigint").alias("r")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     for _ in range(iters):
         inflow = (
@@ -138,7 +140,9 @@ def pagerank(
                 .cast("bigint")
                 .alias("r"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the per-round lineage cut materializes inside the
+            # final action's DAG — zero blocking round-trips per round
+            .localCheckpoint(eager=False)
         )
     return ranks.select("node", F.col("r").alias("rank_scaled"))
 

@@ -71,6 +71,26 @@ def _sql_adc_entries(res_col: str, books, m: int, k: int, sub_d: int) -> str:
     return "array(%s)" % ",".join(ent)
 
 
+def _pq_code_sql(vec_col: str, book, s: int, sub_d: int) -> str:
+    """Subspace ``s``'s PQ code as ONE SQL expression: the kmeans
+    assignment argmin (array_min over (dist, cid) structs — squared-L2
+    left-fold, ties to the smaller centroid id) evaluated against the
+    trained codebook literals over ``slice(vec, s·sub_d+1, sub_d)``.
+    Byte-for-byte the Lloyd assign expression, so codes match the
+    per-subspace ``kmeans_assign`` output bit-for-bit."""
+    carr = ",".join(
+        "named_struct('cid', %d, 'cv', %s)" % (cid, _sql_darr(cv))
+        for cid, cv in enumerate(book)
+    )
+    return (
+        f"CAST(array_min(transform(array({carr}), c -> named_struct("
+        f"'dist', aggregate(zip_with(slice({vec_col}, {s * sub_d + 1}, "
+        f"{sub_d}), c.cv, (a, b) -> (a - b) * (a - b)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x), "
+        "'cid', c.cid))).cid AS INT)"
+    )
+
+
 def brute_force_topk(
     vectors: DataFrame, id_col: str, vec_col: str, k: int, round_dp: int | None = 6
 ) -> DataFrame:
@@ -356,17 +376,25 @@ def _assign_lists(
     centroids: np.ndarray,
     n_probe: int,
     probe_round_dp: int | None = None,
+    with_rank: bool = False,
 ) -> DataFrame:
     """(id, vec, list_id) — each vector's n_probe nearest centroids by
     cosine (n_probe=1 for corpus assignment). GEMM per Arrow batch
     against the broadcast centroid matrix. ``probe_round_dp`` rounds
     sims (half away from zero) BEFORE the probe rank — the
-    rank_round_dp treatment, so list choice is platform-independent."""
+    rank_round_dp treatment, so list choice is platform-independent.
+    ``with_rank`` appends ``probe_rank`` (0 = nearest list), so ONE
+    n_probe pass serves both the corpus assignment (rank 0 — the
+    n_probe=1 result by construction: the lexsort prefix) and the
+    probe set, instead of two GEMM passes over the corpus (guide
+    §1.2: one pass where one pass suffices; r15)."""
     spark = vectors.sparkSession
     norms = np.sqrt((centroids * centroids).sum(axis=1))
     norms[norms == 0.0] = 1.0
     bc = spark.sparkContext.broadcast((centroids, norms))
     out_schema = f"{id_col} long, {vec_col} array<float>, list_id int"
+    if with_rank:
+        out_schema += ", probe_rank int"
 
     def part(batches):
         cents, cnorms = bc.value
@@ -383,13 +411,16 @@ def _assign_lists(
                 (np.broadcast_to(np.arange(sims.shape[1]), sims.shape), -sims), axis=1
             )[:, :n_probe]
             n = len(pdf)
-            yield pd.DataFrame(
-                {
-                    id_col: np.repeat(pdf[id_col].to_numpy(), n_probe),
-                    vec_col: [v for v in pdf[vec_col] for _ in range(n_probe)],
-                    "list_id": order.astype(np.int32).ravel(),
-                }
-            )
+            cols = {
+                id_col: np.repeat(pdf[id_col].to_numpy(), n_probe),
+                vec_col: [v for v in pdf[vec_col] for _ in range(n_probe)],
+                "list_id": order.astype(np.int32).ravel(),
+            }
+            if with_rank:
+                cols["probe_rank"] = np.tile(
+                    np.arange(n_probe, dtype=np.int32), n
+                )
+            yield pd.DataFrame(cols)
 
     return vectors.select(id_col, vec_col).mapInPandas(part, schema=out_schema)
 
@@ -806,7 +837,7 @@ def pq_fit(
             F.col(id_col),
             F.slice(F.col(vec_col), s * sub_d + 1, sub_d).alias("__sub"),
         )
-        return kmeans_fit(sub, id_col, "__sub", k=k, iters=iters)
+        return kmeans_fit(sub, id_col, "__sub", k=k, iters=iters)[1]
 
     # the m subspace fits are INDEPENDENT driver-action chains (each
     # is its own Lloyd loop over a disjoint slice of the vector) — run
@@ -818,14 +849,31 @@ def pq_fit(
     # sequential build.
     workers = int(os.environ.get("SPARK_GRAFT_FIT_THREADS", "4"))
     with ThreadPoolExecutor(max_workers=max(1, min(m, workers))) as pool:
-        fits = list(pool.map(fit, range(m)))
+        books = list(pool.map(fit, range(m)))
 
-    out = None
-    books: list[list[list[float]]] = []
-    for s, (a, cents) in enumerate(fits):
-        books.append(cents)
-        a = a.select(F.col(id_col), F.col("cluster").alias(f"code_{s}"))
-        out = a if out is None else out.join(a, id_col)
+    # codes: ONE projection computing every subspace's argmin against
+    # the trained codebook literals — the at-scale shape the docstring
+    # promised (guide §2.4: the m−1 id-equi joins and their exchanges
+    # disappear; r15 optimization round). The argmin expression is the
+    # kmeans assign SQL verbatim (array_min over (dist, cid) structs,
+    # left-folded zip_with squared-L2, ties to the smaller cid) over
+    # slice(cast-to-double vec) — cast and slice commute elementwise,
+    # so every code is bit-identical to the per-subspace Lloyd
+    # assignment it replaces.
+    out = vectors.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+            "__pqd"
+        ),
+    ).select(
+        F.col(id_col),
+        *[
+            F.expr(
+                _pq_code_sql("__pqd", books[s], s, sub_d)
+            ).alias(f"code_{s}")
+            for s in range(m)
+        ],
+    )
     return out, books
 
 
@@ -1022,14 +1070,19 @@ def ivf_pq_topk(
             vectors, id_col, vec_col, k=n_lists, iters=lloyd_iters
         )
         centroids = np.array(cents, dtype=np.float64)
-    corpus = _assign_lists(
-        vectors, id_col, vec_col, centroids, n_probe=1,
-        probe_round_dp=probe_round_dp,
-    ).select(F.col(id_col).alias("b_id"), "list_id")
-    probes = _assign_lists(
+    # ONE ranked GEMM pass serves corpus (rank 0 ≡ the n_probe=1
+    # assignment) and probes; localCheckpoint so its four consumers
+    # (corpus/probes in cand + the residual-free chains) execute the
+    # mapInPandas once instead of re-running it per subtree (guide
+    # §5 localCheckpoint / §1.2 one-pass; r15).
+    assigned = _assign_lists(
         vectors, id_col, vec_col, centroids, n_probe=n_probe,
-        probe_round_dp=probe_round_dp,
-    ).select(F.col(id_col).alias("a_id"), "list_id")
+        probe_round_dp=probe_round_dp, with_rank=True,
+    ).localCheckpoint(eager=False)
+    corpus = assigned.filter(F.col("probe_rank") == 0).select(
+        F.col(id_col).alias("b_id"), "list_id"
+    )
+    probes = assigned.select(F.col(id_col).alias("a_id"), "list_id")
     codes, books = pq_fit(vectors, id_col, vec_col, dim, m, k, pq_iters)
     qt = _adc_tables(vectors, id_col, vec_col, books, dim, m, k)
     cand = (
@@ -1117,10 +1170,17 @@ def ivf_pq_residual_topk(
     cent_lit = F.expr(
         "array(%s)" % ",".join(_sql_darr(row) for row in centroids.tolist())
     )
-    corpus = _assign_lists(
-        vectors, id_col, vec_col, centroids, n_probe=1,
-        probe_round_dp=probe_round_dp,
-    ).select(F.col(id_col), "list_id")
+    # ONE ranked GEMM pass (rank 0 ≡ the n_probe=1 corpus assignment),
+    # checkpointed: corpus/probes feed residual training, the query
+    # residuals AND the candidate join — without the checkpoint each
+    # consumer re-runs the mapInPandas pass (guide §5/§1.2; r15).
+    assigned = _assign_lists(
+        vectors, id_col, vec_col, centroids, n_probe=n_probe,
+        probe_round_dp=probe_round_dp, with_rank=True,
+    ).localCheckpoint(eager=False)
+    corpus = assigned.filter(F.col("probe_rank") == 0).select(
+        F.col(id_col), "list_id"
+    )
     vd = vectors.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
@@ -1135,14 +1195,16 @@ def ivf_pq_residual_topk(
             lambda a, b: a - b,
         ).alias("__res"),
     )
+    # checkpoint the residuals: the m-subspace PQ trainer collects
+    # (seeds + per-iteration means) re-execute their input lineage per
+    # job — scan → GEMM assign → join — 12× without the cut (guide §5,
+    # localCheckpoint to truncate lineage; r15). Values unchanged.
+    residuals = residuals.localCheckpoint(eager=False)
     codes, books = pq_fit(
         residuals, id_col, "__res", dim, m, k, pq_iters
     )
     # per-(query, probed list) ADC tables over the QUERY residual
-    probes = _assign_lists(
-        vectors, id_col, vec_col, centroids, n_probe=n_probe,
-        probe_round_dp=probe_round_dp,
-    ).select(F.col(id_col).alias("a_id"), "list_id")
+    probes = assigned.select(F.col(id_col).alias("a_id"), "list_id")
     qres = probes.join(
         vd.select(F.col(id_col).alias("a_id"), "__vd"), "a_id"
     ).select(
@@ -2349,12 +2411,15 @@ def nn_descent_graph(
             ).alias("sim"),
         )
     )
+    # LAZY checkpoints (r15): same per-round lineage cut, but the
+    # materialization rides the final action's DAG instead of costing
+    # a blocking driver round-trip per round (guide §5)
     edges = top_k_per_group(
         seed,
         ["a_id"],
         [F.col("sim").desc(), F.col("b_id").asc()],
         build_degree,
-    ).drop("rn").localCheckpoint(eager=True)
+    ).drop("rn").localCheckpoint(eager=False)
 
     for _ in range(int(iters)):
         und = edges.select("a_id", "b_id").unionByName(
@@ -2391,7 +2456,7 @@ def nn_descent_graph(
             ["a_id"],
             [F.col("sim").desc(), F.col("b_id").asc()],
             build_degree,
-        ).drop("rn").localCheckpoint(eager=True)
+        ).drop("rn").localCheckpoint(eager=False)
 
     # final cut: wide internal lists truncate to the requested degree
     return top_k_per_group(
@@ -2537,7 +2602,7 @@ def nn_descent_insert(
         ["a_id"],
         [F.col("sim").desc(), F.col("b_id").asc()],
         build_degree,
-    ).drop("rn").localCheckpoint(eager=True)
+    ).drop("rn").localCheckpoint(eager=False)
 
     new_ids = b_base.select(F.col("id"))
     und = g1.select("a_id", "b_id").unionByName(
@@ -2860,7 +2925,13 @@ def opq_encode(
     rot = opq_rotate(
         df.select(F.col(id_col), F.col(vec_col)), vec_col, means, rotation
     )
-    return pq_encode(rot, id_col, "__rot", dim, m, k, iters)
+    # checkpoint the rotated vectors: the d×d literal rotation (d²
+    # multiply-adds per row AND a d²-term expression Catalyst
+    # re-analyzes per job) would otherwise re-run under every PQ
+    # training collect — 12× for m=4, iters=2 (guide §5; r15).
+    return pq_encode(
+        rot.localCheckpoint(eager=False), id_col, "__rot", dim, m, k, iters
+    )
 
 
 def opq_adc_topk(
@@ -2980,7 +3051,12 @@ def dimperm_encode(
             *[F.element_at(F.col(vec_col), d) for d in perm]
         ).alias("__g"),
     )
-    return pq_encode(gathered, id_col, "__g", dim, m, k, iters)
+    # checkpoint the gathered layout so the PQ training collects read
+    # it instead of re-projecting the scan per job (guide §5; r15)
+    return pq_encode(
+        gathered.localCheckpoint(eager=False), id_col, "__g", dim, m, k,
+        iters,
+    )
 
 
 # ---------------------------------- IVF incremental maintenance (r13)
