@@ -124,9 +124,7 @@ def train_bpe(
     vocab = word_counts(docs, text_col).select(
         _initial_symbols(F.col("word")).alias("syms"), "n"
     )
-    # LAZY checkpoint (r15): the first argmax collect materializes it
-    # in the same job — one fewer blocking action, same lineage cut
-    vocab = vocab.localCheckpoint(eager=False)
+    vocab = vocab.localCheckpoint(eager=True)
     merges: list[tuple[str, str, int]] = []
     since_checkpoint = 0
     for _ in range(n_merges):
@@ -145,7 +143,7 @@ def train_bpe(
         vocab = vocab.select(_merge_pair(F.col("syms"), a, b).alias("syms"), "n")
         since_checkpoint += 1
         if since_checkpoint >= checkpoint_every:
-            vocab = vocab.localCheckpoint(eager=False)
+            vocab = vocab.localCheckpoint(eager=True)
             since_checkpoint = 0
     return merges
 
@@ -553,7 +551,7 @@ def seed_vocab_frames(
     already hold the word-TYPE table (train_unigram) pass it in so the
     corpus tokenize+count runs once, not twice (r15)."""
     if wc is None:
-        wc = word_counts(docs, text_col).localCheckpoint(eager=False)
+        wc = word_counts(docs, text_col).localCheckpoint(eager=True)
     w = F.col("word")
     pieces = wc.select(
         F.explode(
@@ -647,7 +645,7 @@ def train_unigram(
     vocabulary-BOUNDED collect (train_bpe's loop contract: driver
     iteration is fine when each round's driver data is dimension-
     bounded). Pinned against a pure-Python twin in tests."""
-    wc = word_counts(docs, text_col).localCheckpoint(eager=False)
+    wc = word_counts(docs, text_col).localCheckpoint(eager=True)
     seed = seed_unigram_vocab(
         docs, max_piece_len, seed_size, text_col, wc=wc
     )

@@ -12,9 +12,8 @@ Scale shape: each round is one join + one min-aggregate — two shuffles
 on uniformly-hashed ids — and the round count is the largest cluster
 DIAMETER, not the corpus size. Near-dup clusters are dense and shallow
 (diameter ≲ 3 in practice), so this converges in a handful of rounds.
-A LAZY ``localCheckpoint`` truncates lineage each round (materialized
-as a side effect of the round's convergence aggregate — one action per
-round), keeping plans O(1) instead of O(rounds). For adversarial chain-shaped graphs
+``localCheckpoint(eager=True)`` truncates lineage each round, keeping
+plans O(1) instead of O(rounds). For adversarial chain-shaped graphs
 (diameter > ``max_iter``) the solver falls back to the two-phase
 large-star/small-star alternation (Kiveris et al., "Connected
 Components in MapReduce and Beyond", SoCC'14 — public algorithm),
@@ -51,19 +50,14 @@ def connected_components(
     """
     e = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    # LAZY checkpoints (r15 optimization round): an eager checkpoint
-    # is its own job, so each round used to cost TWO actions
-    # (materialize + convergence sum). A lazy mark persists the same
-    # partitions as a side effect of the convergence aggregate — one
-    # action per round, same lineage cut, same values (guide §5).
-    e = e.distinct().localCheckpoint(eager=False)
+    e = e.distinct().localCheckpoint(eager=True)
 
     if nodes is None:
         labels = e.select(F.col("src").alias("id")).distinct()
     else:
         labels = nodes.select(F.col(nodes.columns[0]).alias("id")).distinct()
     labels = labels.select("id", F.col("id").alias("comp")).localCheckpoint(
-        eager=False
+        eager=True
     )
     total = labels.agg(F.sum("comp")).first()[0]
 
@@ -76,7 +70,7 @@ def connected_components(
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
         new_total = new.agg(F.sum("comp")).first()[0]
         labels = new
@@ -131,7 +125,7 @@ def _star_components(e: DataFrame, node_ids: DataFrame) -> DataFrame:
             .filter(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("a"), F.col("m").alias("b"))
         )
-        s = _symmetrize(large).localCheckpoint(eager=False)
+        s = _symmetrize(large).localCheckpoint(eager=True)
         # small-star (directed larger -> smaller)
         d = s.filter(F.col("dst") < F.col("src"))
         dmins = d.groupBy("src").agg(F.min("dst").alias("m"))
@@ -142,7 +136,7 @@ def _star_components(e: DataFrame, node_ids: DataFrame) -> DataFrame:
                 dmins.select(F.col("src").alias("a"), F.col("m").alias("b"))
             )
         )
-        s = _symmetrize(small).localCheckpoint(eager=False)
+        s = _symmetrize(small).localCheckpoint(eager=True)
         cur = checksum(s)
         if cur == prev:
             break

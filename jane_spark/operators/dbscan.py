@@ -78,10 +78,8 @@ def dbscan(
         # count, core-core edges, border assignment) and the
         # components fixpoint below — materialize once instead of
         # re-running the pair search per consumer (r10: this plus the
-        # GEMM path took the sf0.1 DBSCAN from 124 s to seconds).
-        # LAZY mark (r15): the fixpoint's first convergence aggregate
-        # materializes it — one fewer blocking action, same cut.
-    ).localCheckpoint(eager=False)
+        # GEMM path took the sf0.1 DBSCAN from 124 s to seconds)
+    ).localCheckpoint(eager=True)
     ids = vectors.select(F.col(id_col).cast("long").alias("id"))
     deg = (
         ids.join(

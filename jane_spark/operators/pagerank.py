@@ -66,16 +66,14 @@ def pagerank(
         # (nodes, outw, the per-iteration dangling probe) derives from
         # it, and an unchecked lineage re-runs the upstream corpus-
         # sized edge build once per materialization — measured 7x the
-        # whole-graph cost on the TextRank word graph (r10). LAZY mark
-        # (r15): the nodes.count() below materializes it in the same
-        # job instead of a dedicated blocking action (guide §5).
-        .localCheckpoint(eager=False)
+        # whole-graph cost on the TextRank word graph (r10)
+        .localCheckpoint(eager=True)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     n = nodes.count()
     if n == 0:
@@ -86,19 +84,19 @@ def pagerank(
     # action (r15 optimization round: every eager materialization is a
     # blocking driver round-trip)
     outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
-    ew = e.join(outw, "src").localCheckpoint(eager=False)
+    ew = e.join(outw, "src").localCheckpoint(eager=True)
     # the dangling-node set (no out-edges) is FIXED across iterations:
     # derive it once instead of re-running the anti-join per round
     dangling = (
         nodes.join(outw, nodes.node == outw.src, "left_anti")
         .select("node")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
 
     base = ((den - num) * SCALE) // (den * n)
     ranks = nodes.select(
         "node", F.lit(SCALE // n).cast("bigint").alias("r")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
 
     for _ in range(iters):
         inflow = (
@@ -140,9 +138,7 @@ def pagerank(
                 .cast("bigint")
                 .alias("r"),
             )
-            # lazy: the per-round lineage cut materializes inside the
-            # final action's DAG — zero blocking round-trips per round
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.col("r").alias("rank_scaled"))
 

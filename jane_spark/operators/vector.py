@@ -2411,15 +2411,12 @@ def nn_descent_graph(
             ).alias("sim"),
         )
     )
-    # LAZY checkpoints (r15): same per-round lineage cut, but the
-    # materialization rides the final action's DAG instead of costing
-    # a blocking driver round-trip per round (guide §5)
     edges = top_k_per_group(
         seed,
         ["a_id"],
         [F.col("sim").desc(), F.col("b_id").asc()],
         build_degree,
-    ).drop("rn").localCheckpoint(eager=False)
+    ).drop("rn").localCheckpoint(eager=True)
 
     for _ in range(int(iters)):
         und = edges.select("a_id", "b_id").unionByName(
@@ -2456,7 +2453,7 @@ def nn_descent_graph(
             ["a_id"],
             [F.col("sim").desc(), F.col("b_id").asc()],
             build_degree,
-        ).drop("rn").localCheckpoint(eager=False)
+        ).drop("rn").localCheckpoint(eager=True)
 
     # final cut: wide internal lists truncate to the requested degree
     return top_k_per_group(
@@ -2602,7 +2599,7 @@ def nn_descent_insert(
         ["a_id"],
         [F.col("sim").desc(), F.col("b_id").asc()],
         build_degree,
-    ).drop("rn").localCheckpoint(eager=False)
+    ).drop("rn").localCheckpoint(eager=True)
 
     new_ids = b_base.select(F.col("id"))
     und = g1.select("a_id", "b_id").unionByName(

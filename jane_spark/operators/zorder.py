@@ -137,8 +137,10 @@ def _minmax_norm(df: DataFrame, cols: list[str], bits: int):
                 f"lower bits or pre-scale the column"
             )
         norm.append(
-            f"((`{c}` - CAST({mn} AS BIGINT)) * {top}) "
-            f"div CAST({rng} AS BIGINT)"
+            F.expr(
+                f"((`{c}` - CAST({mn} AS BIGINT)) * {top}) "
+                f"div CAST({rng} AS BIGINT)"
+            )
         )
     return norm
 
@@ -159,25 +161,23 @@ def hilbert_keys(
     cites).
 
     The classic per-level fold (reflect+rotate state machine, the
-    public xy2d algorithm) runs as ONE ``aggregate()`` higher-order
-    expression over ``sequence(bits−1, 0, −1)``: the (x, y, d)
-    accumulator struct carries the state between levels at RUNTIME,
-    so the expression tree stays CONSTANT in bits — per-level
-    arithmetic is the same BIGINT shift/mask/CASE the unrolled form
-    used, so ``hkey`` is value-identical. (r15 optimization round:
-    the previous ``bits`` chained projections cost a Catalyst
-    analysis pass per level at plan build — ~4 s of the REBUILD
-    row's 4.1 s against an 0.086 s warm execution — and the DuckDB
-    twin's 16 CTEs replay the same per-level arithmetic either way.)
+    public xy2d algorithm) unrolls into ``bits`` chained PROJECTIONS
+    — each level's (x, y, d) columns derive from the previous
+    level's, so the expression tree stays LINEAR in bits (inlining
+    the recurrence into one expression would double per level:
+    2^bits terms). Everything is BIGINT shift/mask/CASE — codegen,
+    engine-portable, and the DuckDB twin replays the same 16 CTEs.
 
     Scale shape: identical to zorder_keys — one bounds aggregate,
-    then one pure projection; no shuffle, no Python.
+    then a pure projection chain; no shuffle, no Python.
     """
     if len(cols) != 2:
         raise ValueError("hilbert_keys is the 2-D curve: pass 2 cols")
-    # reserved-name guard kept for API compatibility (ADVICE r13; the
-    # other layout operators' guard style) — the fold no longer
-    # creates working columns, so only ``hkey`` could truly clash
+    # the level fold re-selects every input column alongside the
+    # working columns, so a frame that ALREADY carries one of these
+    # names (e.g. re-keying hilbert_keys output) would hit a runtime
+    # ambiguous-column AnalysisException mid-plan — reject up front
+    # (ADVICE r13; the other layout operators' guard style)
     clash = [c for c in df.columns if c in ("__hx", "__hy", "__hd", "hkey")]
     if clash:
         raise ValueError(
@@ -186,30 +186,43 @@ def hilbert_keys(
         )
     norm = _minmax_norm(df, cols, bits)
     n_full = 1 << bits
-    top = n_full - 1
-    rx = "(shiftrightunsigned(acc.hx, lev) & CAST(1 AS BIGINT))"
-    ry = "(shiftrightunsigned(acc.hy, lev) & CAST(1 AS BIGINT))"
-    fold = (
-        f"aggregate(sequence({bits - 1}, 0, -1), "
-        f"named_struct("
-        f"'hx', CAST({norm[0]} AS BIGINT), "
-        f"'hy', CAST({norm[1]} AS BIGINT), "
-        f"'hd', CAST(0 AS BIGINT)), "
-        f"(acc, lev) -> named_struct("
-        # swap x/y when ry = 0, reflecting both when rx = 1 — the
-        # xy2d rotate step, verbatim per level
-        f"'hx', CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 "
-        f"THEN CAST({top} AS BIGINT) - acc.hy ELSE acc.hy END) "
-        f"ELSE acc.hx END, "
-        f"'hy', CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 "
-        f"THEN CAST({top} AS BIGINT) - acc.hx ELSE acc.hx END) "
-        f"ELSE acc.hy END, "
-        # quadrant contribution: d += 4^lev * ((rx*3) xor ry)
-        f"'hd', acc.hd + shiftleft(CAST(1 AS BIGINT), 2 * lev) * "
-        f"(({rx} * 3) ^ {ry})), "
-        f"acc -> acc.hd)"
-    )
-    return df.withColumn("hkey", F.expr(fold))
+    out = df.withColumn("__hx", norm[0].cast("long")).withColumn(
+        "__hy", norm[1].cast("long")
+    ).withColumn("__hd", F.lit(0).cast("long"))
+    base = [c for c in df.columns]
+    for lev in range(bits - 1, -1, -1):
+        rx = F.shiftrightunsigned(F.col("__hx"), lev).bitwiseAND(F.lit(1))
+        ry = F.shiftrightunsigned(F.col("__hy"), lev).bitwiseAND(F.lit(1))
+        quad = (rx * 3).bitwiseXOR(ry).cast("long")
+        d_new = F.col("__hd") + F.lit(1 << (2 * lev)).cast("long") * quad
+        x_new = (
+            F.when(
+                ry == 0,
+                F.when(
+                    rx == 1, F.lit(n_full - 1) - F.col("__hy")
+                ).otherwise(F.col("__hy")),
+            )
+            .otherwise(F.col("__hx"))
+        )
+        y_new = (
+            F.when(
+                ry == 0,
+                F.when(
+                    rx == 1, F.lit(n_full - 1) - F.col("__hx")
+                ).otherwise(F.col("__hx")),
+            )
+            .otherwise(F.col("__hy"))
+        )
+        # materialize each level as its own projection: the recurrence
+        # references __hx AND __hy on both outputs, so textual inlining
+        # would double the tree per level
+        out = out.select(
+            *base,
+            x_new.alias("__hx"),
+            y_new.alias("__hy"),
+            d_new.alias("__hd"),
+        )
+    return out.select(*base, F.col("__hd").alias("hkey"))
 
 
 def hilbert_buckets(
