@@ -39,6 +39,15 @@ RUNTIME_CONFS: dict[str, str] = {
     # those plans (measured 1.8x on q_k47_gram at sf0.1). 256 keeps the
     # generated method well under JIT limits.
     "spark.sql.codegen.maxFields": "256",
+    # the JVM never JIT-compiles a method over ~8000 bytecode bytes
+    # (HugeMethodLimit), so a whole-stage-fused method between 8 KB and
+    # Spark's 64 KB default fallback threshold runs in the BYTECODE
+    # INTERPRETER — measured 4.9 s vs 0.85 s on the 16-level Hilbert
+    # projection chain at sf0.1 (r15 optimization round). 8000 makes
+    # Spark fall back to per-operator codegen exactly where the JVM
+    # would refuse to JIT anyway; plans whose methods stay under 8 KB
+    # are untouched.
+    "spark.sql.codegen.hugeMethodLimit": "8000",
     # NOT pinned: spark.sql.parquet.aggregatePushdown — inert on the
     # default V1 parquet path (verified: no PushedAggregation in plans);
     # runtime bloom-filter join pruning + DPP are default-on in Spark 4.

@@ -38,6 +38,21 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """:func:`cosine` with the two ``norm()`` factors precomputed.
+
+    Higher-order-function expressions are interpreted (no whole-stage
+    codegen), so on a PAIR join :func:`cosine` pays three array folds
+    per pair — two of which (the norms) depend on one side only.
+    Computing ``norm(v)`` once per vector ROW before the join and
+    passing the doubles in makes the per-pair work a single fold
+    (guide §1.2 "don't compute things you throw away"). Bit-identical:
+    ``na``/``nb`` are the same ``norm`` expression evaluated on the
+    same values, and the final ``dot / (na * nb)`` performs the same
+    IEEE ops in the same order as :func:`cosine`."""
+    return dot(a, b) / (na * nb)
+
+
 def block_minmax(samples: Column, block: int) -> Column:
     """Per-block (min, max) pairs over a sample array — jane's preview
     downsampling (SURVEY.md D7: 60 s min/max preview per trace) without

@@ -1087,13 +1087,20 @@ def icws_signatures(
         tk.cast("bigint").alias("tk"),
         ln_a.alias("__lna"),
     )
-    w = Window.partitionBy("id", "hash_idx").orderBy(
-        F.col("__lna").asc(), F.col("token").asc()
-    )
+    # argmin as min(struct(lna, token, tk)) instead of a row_number
+    # window: struct ordering is field-lexicographic, so the winner is
+    # the same (lna asc, token asc) row the window picked — but a
+    # groupBy aggregate gets map-side PARTIAL aggregation (guide §2.3
+    # "aggregate before you shuffle"): the shuffle carries one
+    # candidate per (id, hash_idx) per map partition instead of every
+    # (id, token, hash) row into a full sort.
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("id", "hash_idx", "token", "tk")
+        scored.groupBy("id", "hash_idx")
+        .agg(F.min(F.struct("__lna", "token", "tk")).alias("__w"))
+        .select(
+            "id", "hash_idx", F.col("__w.token").alias("token"),
+            F.col("__w.tk").alias("tk"),
+        )
     )
 
 

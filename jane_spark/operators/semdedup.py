@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from jane_spark.functions.arrays import cosine
+from jane_spark.functions.arrays import cosine_from_norms, norm
 
 
 def _sql_double(x: float) -> str:
@@ -169,21 +169,30 @@ def semantic_dedup(
     are the known failure mode; mitigate upstream with larger k (the
     paper uses k ~ sqrt(n)) before reaching for pair-level salting.
     """
+    # norms once per row, not per within-cluster pair (cosine_from_norms)
     a = df.select(
         F.col(cluster_col).alias("__c"),
         F.col(id_col).alias("a_id"),
         F.col(vec_col).alias("a_vec"),
+        norm(F.col(vec_col)).alias("a_nrm"),
     )
     b = df.select(
         F.col(cluster_col).alias("__c"),
         F.col(id_col).alias("b_id"),
         F.col(vec_col).alias("b_vec"),
+        norm(F.col(vec_col)).alias("b_nrm"),
     )
     dup_ids = (
         a.join(b, "__c")
         .filter(F.col("a_id") < F.col("b_id"))
         .filter(
-            F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6) >= F.lit(threshold)
+            F.round(
+                cosine_from_norms(
+                    F.col("a_vec"), F.col("b_vec"), F.col("a_nrm"), F.col("b_nrm")
+                ),
+                6,
+            )
+            >= F.lit(threshold)
         )
         .select(F.col("b_id").alias("__dup_id"))
         .distinct()

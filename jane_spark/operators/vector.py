@@ -39,7 +39,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from jane_spark.functions.arrays import cosine
+from jane_spark.functions.arrays import cosine_from_norms, norm
 from jane_spark.operators.topk import top_k_per_group
 
 
@@ -99,11 +99,24 @@ def brute_force_topk(
     Result: (a_id, b_id, sim) — k nearest neighbors of each vector,
     ranked by similarity desc then neighbor id (deterministic).
     """
-    a = vectors.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
-    b = vectors.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    # norms once per vector row, not per pair (cosine_from_norms doc)
+    a = vectors.select(
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("a_vec"),
+        norm(F.col(vec_col)).alias("a_nrm"),
+    )
+    b = vectors.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("b_vec"),
+        norm(F.col(vec_col)).alias("b_nrm"),
+    )
     pairs = a.crossJoin(b).filter(F.col("a_id") != F.col("b_id"))
     scored = pairs.select(
-        "a_id", "b_id", cosine(F.col("a_vec"), F.col("b_vec")).alias("sim")
+        "a_id",
+        "b_id",
+        cosine_from_norms(
+            F.col("a_vec"), F.col("b_vec"), F.col("a_nrm"), F.col("b_nrm")
+        ).alias("sim"),
     )
     top = top_k_per_group(
         scored, ["a_id"], [F.col("sim").desc(), F.col("b_id").asc()], k
@@ -275,19 +288,34 @@ def lsh_bucketed_topk(
         vectors, id_col, vec_col, n_planes, n_tables, seed, dim, planes
     )
     a = melted.select(
-        F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"), "t", "bkt"
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("a_vec"),
+        norm(F.col(vec_col)).alias("a_nrm"),
+        "t",
+        "bkt",
     )
     b = melted.select(
-        F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"), "t", "bkt"
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("b_vec"),
+        norm(F.col(vec_col)).alias("b_nrm"),
+        "t",
+        "bkt",
     )
     cands = (
         a.join(b, on=["t", "bkt"])
         .filter(F.col("a_id") != F.col("b_id"))
-        .select("a_id", "b_id", "a_vec", "b_vec")
+        .select("a_id", "b_id", "a_vec", "b_vec", "a_nrm", "b_nrm")
         .dropDuplicates(["a_id", "b_id"])
     )
     scored = cands.select(
-        "a_id", "b_id", F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6).alias("sim")
+        "a_id",
+        "b_id",
+        F.round(
+            cosine_from_norms(
+                F.col("a_vec"), F.col("b_vec"), F.col("a_nrm"), F.col("b_nrm")
+            ),
+            6,
+        ).alias("sim"),
     )
     return top_k_per_group(
         scored, ["a_id"], [F.col("sim").desc(), F.col("b_id").asc()], k
@@ -493,21 +521,31 @@ def ivf_topk(
         vectors, id_col, vec_col, centroids, n_probe=1,
         probe_round_dp=probe_round_dp,
     ).select(
-        F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"), "list_id"
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("b_vec"),
+        norm(F.col(vec_col)).alias("b_nrm"),
+        "list_id",
     )
     queries = _assign_lists(
         vectors, id_col, vec_col, centroids, n_probe=n_probe,
         probe_round_dp=probe_round_dp,
     ).select(
-        F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"), "list_id"
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("a_vec"),
+        norm(F.col(vec_col)).alias("a_nrm"),
+        "list_id",
     )
     cands = (
         queries.join(corpus, on="list_id")
         .filter(F.col("a_id") != F.col("b_id"))
-        .select("a_id", "b_id", "a_vec", "b_vec")
+        .select("a_id", "b_id", "a_vec", "b_vec", "a_nrm", "b_nrm")
     )
     scored = cands.select(
-        "a_id", "b_id", cosine(F.col("a_vec"), F.col("b_vec")).alias("sim")
+        "a_id",
+        "b_id",
+        cosine_from_norms(
+            F.col("a_vec"), F.col("b_vec"), F.col("a_nrm"), F.col("b_nrm")
+        ).alias("sim"),
     )
     # round BEFORE ranking (lsh_bucketed_topk / block_topk rank_round_dp
     # treatment): raw sims that tie at round_dp could otherwise pick
@@ -538,8 +576,16 @@ def embedding_near_pairs(
     candidates through hyperplane buckets so only same-bucket pairs are
     scored — the 100 TB path (few planes: near-dup pairs have cosine
     near 1 and almost never split across a hyperplane)."""
-    a = vectors.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
-    b = vectors.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    a = vectors.select(
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("a_vec"),
+        norm(F.col(vec_col)).alias("a_nrm"),
+    )
+    b = vectors.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("b_vec"),
+        norm(F.col(vec_col)).alias("b_nrm"),
+    )
     if method == "exact":
         pairs = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
     elif method == "lsh":
@@ -547,21 +593,33 @@ def embedding_near_pairs(
             vectors, id_col, vec_col, n_planes, n_tables, seed, dim
         )
         am = melted.select(
-            F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"), "t", "bkt"
+            F.col(id_col).alias("a_id"),
+            F.col(vec_col).alias("a_vec"),
+            norm(F.col(vec_col)).alias("a_nrm"),
+            "t",
+            "bkt",
         )
         bm = melted.select(
-            F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"), "t", "bkt"
+            F.col(id_col).alias("b_id"),
+            F.col(vec_col).alias("b_vec"),
+            norm(F.col(vec_col)).alias("b_nrm"),
+            "t",
+            "bkt",
         )
         pairs = (
             am.join(bm, on=["t", "bkt"])
             .filter(F.col("a_id") < F.col("b_id"))
-            .select("a_id", "b_id", "a_vec", "b_vec")
+            .select("a_id", "b_id", "a_vec", "b_vec", "a_nrm", "b_nrm")
             .dropDuplicates(["a_id", "b_id"])
         )
     else:
         raise ValueError(f"unknown method: {method!r}")
     scored = pairs.select(
-        "a_id", "b_id", cosine(F.col("a_vec"), F.col("b_vec")).alias("sim")
+        "a_id",
+        "b_id",
+        cosine_from_norms(
+            F.col("a_vec"), F.col("b_vec"), F.col("a_nrm"), F.col("b_nrm")
+        ).alias("sim"),
     )
     out = scored.filter(F.col("sim") >= threshold)
     if round_dp is not None:
@@ -2230,14 +2288,18 @@ def graph_expand_topk(
     rer = (
         cand.join(
             corpus.select(
-                F.col("id").alias("cid"), F.col("v").alias("cv")
+                F.col("id").alias("cid"),
+                F.col("v").alias("cv"),
+                norm(F.col("v")).alias("cnrm"),
             ),
             "cid",
         )
         .join(
             F.broadcast(
                 queries.select(
-                    F.col("id").alias("qid"), F.col("v").alias("qv")
+                    F.col("id").alias("qid"),
+                    F.col("v").alias("qv"),
+                    norm(F.col("v")).alias("qnrm"),
                 )
             ),
             "qid",
@@ -2245,7 +2307,12 @@ def graph_expand_topk(
         .select(
             "qid",
             "cid",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+            F.round(
+                cosine_from_norms(
+                    F.col("qv"), F.col("cv"), F.col("qnrm"), F.col("cnrm")
+                ),
+                6,
+            ).alias("sim"),
         )
     )
     top = top_k_per_group(
@@ -2372,8 +2439,19 @@ def nn_descent_graph(
     if exclude_mod is not None:
         base = base.filter(F.col("id") % int(exclude_mod) != 0)
 
-    va = base.select(F.col("id").alias("a_id"), F.col("v").alias("av"))
-    vb = base.select(F.col("id").alias("b_id"), F.col("v").alias("bv"))
+    # norms once per vector row, not per candidate pair — the round's
+    # dominant per-pair compute is the interpreted HOF cosine fold
+    # (cosine_from_norms doc); values bit-identical
+    va = base.select(
+        F.col("id").alias("a_id"),
+        F.col("v").alias("av"),
+        norm(F.col("v")).alias("an"),
+    )
+    vb = base.select(
+        F.col("id").alias("b_id"),
+        F.col("v").alias("bv"),
+        norm(F.col("v")).alias("bn"),
+    )
 
     # seed tables from the stored binary codes: word w0 packs dims
     # 1..32 (bit j-1 = above-mean sign of dim j), w1 packs 33..64 —
@@ -2407,7 +2485,10 @@ def nn_descent_graph(
             "a_id",
             "b_id",
             F.round(
-                cosine(F.col("av"), F.col("bv")), rank_round_dp
+                cosine_from_norms(
+                    F.col("av"), F.col("bv"), F.col("an"), F.col("bn")
+                ),
+                rank_round_dp,
             ).alias("sim"),
         )
     )
@@ -2444,7 +2525,10 @@ def nn_descent_graph(
                 "a_id",
                 "b_id",
                 F.round(
-                    cosine(F.col("av"), F.col("bv")), rank_round_dp
+                    cosine_from_norms(
+                        F.col("av"), F.col("bv"), F.col("an"), F.col("bn")
+                    ),
+                    rank_round_dp,
                 ).alias("sim"),
             )
         )
@@ -2553,8 +2637,17 @@ def nn_descent_insert(
         )
     )
     all_base = c_base.unionByName(b_base).unionByName(poison)
-    va = all_base.select(F.col("id").alias("a_id"), F.col("v").alias("av"))
-    vb = all_base.select(F.col("id").alias("b_id"), F.col("v").alias("bv"))
+    # per-row norms, not per-pair (cosine_from_norms doc)
+    va = all_base.select(
+        F.col("id").alias("a_id"),
+        F.col("v").alias("av"),
+        norm(F.col("v")).alias("an"),
+    )
+    vb = all_base.select(
+        F.col("id").alias("b_id"),
+        F.col("v").alias("bv"),
+        norm(F.col("v")).alias("bn"),
+    )
 
     c_codes = binary_codes(c_base, "id", "v", dim=dim)
     b_codes = binary_codes_frozen(b_base, "id", "v", c_base, dim=dim)
@@ -2590,7 +2683,10 @@ def nn_descent_insert(
             "a_id",
             "b_id",
             F.round(
-                cosine(F.col("av"), F.col("bv")), rank_round_dp
+                cosine_from_norms(
+                    F.col("av"), F.col("bv"), F.col("an"), F.col("bn")
+                ),
+                rank_round_dp,
             ).alias("sim"),
         )
     )
@@ -2653,7 +2749,10 @@ def nn_descent_insert(
             "a_id",
             "b_id",
             F.round(
-                cosine(F.col("av"), F.col("bv")), rank_round_dp
+                cosine_from_norms(
+                    F.col("av"), F.col("bv"), F.col("an"), F.col("bn")
+                ),
+                rank_round_dp,
             ).alias("sim"),
         )
     )

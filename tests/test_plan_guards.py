@@ -418,14 +418,10 @@ _PANDAS_ALLOWED = {
     # Arrow GEMM stage (r13); the drift trigger is pure JVM — its
     # contract proves that and is NOT allowlisted
     "q_k50_ivf_incr",
-    # composed IVF-PQ's coarse list assignment runs the same Arrow
-    # GEMM stage (r9); the ADC read path itself is pure JVM — the
-    # pq_adc/adc_rerank contracts prove that, they are NOT allowlisted
-    "q_k23_ivf_pq",
-    # residual IVFADC (r15): the SAME coarse _assign_lists Arrow GEMM
-    # stage; the residual projection, codes and ADC read path are
-    # pure JVM expressions
-    "q_k23_ivf_pq_residual",
+    # NOT allowlisted (r15): q_k23_ivf_pq / q_k23_ivf_pq_residual —
+    # their coarse _assign_lists Arrow GEMM stage is now checkpointed
+    # once at plan build (shared with the probe set), so the FINAL
+    # plan is pure JVM — the dbscan precedent below.
     # JL coarse-to-fine: stage-1 candidate ranking in the projected
     # space is the same Arrow block-GEMM; the full-dim re-score and
     # the projection itself are pure JVM (r9)
