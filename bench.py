@@ -789,6 +789,20 @@ def main() -> None:
     con = _duckdb_connect(sf_dir)
     load_start = os.getloadavg()
 
+    # Between-row hygiene baseline: everything persisted from here on
+    # is a row's own scaffolding (localCheckpoint generations of
+    # REBUILD builds, materialize-before-rmtree sources). Dropping a
+    # finished row's leftovers keeps the block manager at its
+    # start-of-suite footprint, so row N's measurement doesn't pay
+    # row N-1's storage pressure (measured 3x warm-exec inflation on
+    # late-suite rows before this; the pinned catalog caches are
+    # materialized above and survive in the baseline set). This is
+    # hygiene between rows, not a timing-methodology change: every
+    # timed run still computes from the parquet inputs.
+    from jane_spark.engine.ckpt import persistent_rdd_ids, unpersist_ids
+
+    baseline_rdds = persistent_rdd_ids(spark)
+
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     spreads: dict[str, float] = {}
@@ -866,6 +880,8 @@ def main() -> None:
         # this box, so drift vs BASELINE.md is attributable
         if bench_name in CALIBRATION and REGISTRY[qname].oracle:
             baseline_recheck[bench_name] = _time_duckdb(con, REGISTRY[qname].oracle)
+        # drop this row's leaked checkpoints/caches (see baseline note)
+        unpersist_ids(spark, persistent_rdd_ids(spark) - baseline_rdds)
 
     total = round(sum(timings.values()), 4)
     full = {

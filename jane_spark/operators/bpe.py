@@ -121,10 +121,15 @@ def train_bpe(
     jobs: between cuts each argmax re-runs up to that many row-local
     merge folds over the vocabulary table — cheaper than materializing
     it every iteration (measured ~2× on the bench corpus)."""
+    from jane_spark.engine.ckpt import persistent_rdd_ids, unpersist_ids
+
+    spark = docs.sparkSession
     vocab = word_counts(docs, text_col).select(
         _initial_symbols(F.col("word")).alias("syms"), "n"
     )
+    pre = persistent_rdd_ids(spark)
     vocab = vocab.localCheckpoint(eager=True)
+    gen_ids = persistent_rdd_ids(spark) - pre
     merges: list[tuple[str, str, int]] = []
     since_checkpoint = 0
     for _ in range(n_merges):
@@ -143,8 +148,14 @@ def train_bpe(
         vocab = vocab.select(_merge_pair(F.col("syms"), a, b).alias("syms"), "n")
         since_checkpoint += 1
         if since_checkpoint >= checkpoint_every:
+            pre = persistent_rdd_ids(spark)
             vocab = vocab.localCheckpoint(eager=True)
+            new_ids = persistent_rdd_ids(spark) - pre
+            unpersist_ids(spark, gen_ids)  # the pre-cut generation is dead
+            gen_ids = new_ids
             since_checkpoint = 0
+    # the result is a plain driver list — every checkpoint is dead
+    unpersist_ids(spark, gen_ids)
     return merges
 
 
@@ -645,7 +656,12 @@ def train_unigram(
     vocabulary-BOUNDED collect (train_bpe's loop contract: driver
     iteration is fine when each round's driver data is dimension-
     bounded). Pinned against a pure-Python twin in tests."""
+    from jane_spark.engine.ckpt import persistent_rdd_ids, unpersist_ids
+
+    spark = docs.sparkSession
+    pre = persistent_rdd_ids(spark)
     wc = word_counts(docs, text_col).localCheckpoint(eager=True)
+    wc_ids = persistent_rdd_ids(spark) - pre
     seed = seed_unigram_vocab(
         docs, max_piece_len, seed_size, text_col, wc=wc
     )
@@ -675,6 +691,8 @@ def train_unigram(
         scores = _integer_scores(
             [(p, max(c, 1)) for p, c in counts.items()]
         )
+    # the result is a plain driver list — the word table is dead
+    unpersist_ids(spark, wc_ids)
     return sorted(
         ((p, scores[p], c) for p, c in counts.items()),
         key=lambda t: (-t[2], t[0]),

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from jane_spark.engine.ckpt import persistent_rdd_ids, unpersist_ids
+
 
 def connected_components(
     edges: DataFrame,
@@ -48,38 +50,63 @@ def connected_components(
     chains: diameter > max_iter), the large-star/small-star fallback
     finishes the job in O(log² n) rounds regardless of diameter.
     """
+    spark = edges.sparkSession
+    pre = persistent_rdd_ids(spark)
     e = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     e = e.distinct().localCheckpoint(eager=True)
+    e_ids = persistent_rdd_ids(spark) - pre
 
     if nodes is None:
         labels = e.select(F.col("src").alias("id")).distinct()
     else:
         labels = nodes.select(F.col(nodes.columns[0]).alias("id")).distinct()
+    # lazy mark + the convergence aggregate as its materializer: the
+    # agg's plan contains the mark exactly ONCE, so there is no
+    # concurrent-consumer duplication (the 6c40351 failure mode needs
+    # two not-yet-materialized consumers in one action); each round
+    # costs ONE driver action instead of checkpoint + probe (guide
+    # §5 localCheckpoint, §1.2 driver round-trips; r15). Generation
+    # r-1 is provably dead once generation r has materialized from it
+    # — unpersist it then (engine.ckpt doc), so the loop holds at most
+    # two generations instead of every round's table.
+    pre = persistent_rdd_ids(spark)
     labels = labels.select("id", F.col("id").alias("comp")).localCheckpoint(
-        eager=True
+        eager=False
     )
     total = labels.agg(F.sum("comp")).first()[0]
+    gen_ids = persistent_rdd_ids(spark) - pre
 
     converged = False
     for _ in range(max_iter):
         msgs = e.join(labels, e.src == labels.id).select(
             F.col("dst").alias("id"), "comp"
         )
+        pre = persistent_rdd_ids(spark)
         new = (
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_total = new.agg(F.sum("comp")).first()[0]
         labels = new
+        new_ids = persistent_rdd_ids(spark) - pre
+        unpersist_ids(spark, gen_ids)
+        gen_ids = new_ids
         if new_total == total:
             converged = True
             break
         total = new_total
     if not converged:
-        return _star_components(e, labels.select("id"))
+        out = _star_components(e, labels.select("id"))
+        # the star fixpoint's returned plan references its own final
+        # edge table and the last labels generation; e is dead
+        unpersist_ids(spark, e_ids)
+        return out
+    # converged: the returned plan is a scan of the last generation
+    # only — the symmetrized edge table is dead
+    unpersist_ids(spark, e_ids)
     return labels
 
 
@@ -104,7 +131,9 @@ def _star_components(e: DataFrame, node_ids: DataFrame) -> DataFrame:
     Each half-round is one groupBy + one equi-join on node id: the same
     two-shuffle shape as a propagation round, but diameter-independent.
     """
+    spark = e.sparkSession
     s = e  # symmetric, distinct, no self-loops (built by caller)
+    gen_ids: set[int] = set()  # the caller owns e's checkpoint
 
     def checksum(df: DataFrame) -> tuple:
         canon = df.filter(F.col("src") < F.col("dst"))
@@ -125,7 +154,10 @@ def _star_components(e: DataFrame, node_ids: DataFrame) -> DataFrame:
             .filter(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("a"), F.col("m").alias("b"))
         )
+        pre = persistent_rdd_ids(spark)
         s = _symmetrize(large).localCheckpoint(eager=True)
+        half_ids = persistent_rdd_ids(spark) - pre
+        unpersist_ids(spark, gen_ids)  # the pre-large generation is dead
         # small-star (directed larger -> smaller)
         d = s.filter(F.col("dst") < F.col("src"))
         dmins = d.groupBy("src").agg(F.min("dst").alias("m"))
@@ -136,7 +168,10 @@ def _star_components(e: DataFrame, node_ids: DataFrame) -> DataFrame:
                 dmins.select(F.col("src").alias("a"), F.col("m").alias("b"))
             )
         )
+        pre = persistent_rdd_ids(spark)
         s = _symmetrize(small).localCheckpoint(eager=True)
+        gen_ids = persistent_rdd_ids(spark) - pre
+        unpersist_ids(spark, half_ids)  # the large-star half is dead
         cur = checksum(s)
         if cur == prev:
             break

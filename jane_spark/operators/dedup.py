@@ -1029,19 +1029,21 @@ def icws_signatures(
         .groupBy("id", "token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
     )
+    ex = tf.withColumn(
+        "hash_idx",
+        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))),
+    )
 
-    # the (r, c, β) draws depend ONLY on (token, hash_idx) — that is
-    # Ioffe's CONSISTENCY property itself — so compute the 5 md5-
-    # derived uniforms once per VOCABULARY entry and broadcast-join
-    # them back to the (id, token) rows, instead of re-hashing per
-    # corpus row × hash slot (guide §2.3 "shuffle keys and metadata
-    # instead of payloads" applied to CPU: hash work scales with
-    # |vocab|·n_hashes, not |corpus tokens|·n_hashes; values are the
-    # SAME md5-derived doubles, joined on the exact (token, hash_idx)
-    # key, so every emitted row is bit-identical). At web scale the
-    # vocabulary is orders of magnitude smaller than the corpus'
-    # token occurrences; if it ever outgrew the broadcast cap the
-    # hint degrades to a shuffle equi-join, never a correctness risk.
+    # the (r, c, β) draws are pure expressions of (token, hash_idx) —
+    # Ioffe's CONSISTENCY property — computed inline per (id, token,
+    # hash) row. A vocabulary-table broadcast-join twin was A/B'd in
+    # the r15 optimization round and REVERTED: it added a distinct
+    # shuffle + a per-execution broadcast build, doubled the tf
+    # subtree under this function's self-join consumers (24 parquet
+    # scans vs 16 in q_k53's plan), measured no faster at sf0.1, and
+    # at 100 TB a corpus-wide vocabulary is not driver-broadcastable
+    # anyway — the md5 chain is embarrassingly parallel map work,
+    # which scales; a driver-sized parameter table does not.
     def u(i: int) -> Column:
         h = portable_hash32(
             F.concat(
@@ -1056,30 +1058,8 @@ def icws_signatures(
     r = -F.log(u(1) * u(2))
     c = -F.log(u(3) * u(4))
     beta = u(5)
-    draws = (
-        tf.select("token")
-        .distinct()
-        .withColumn(
-            "hash_idx",
-            F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))),
-        )
-        .select(
-            "token",
-            "hash_idx",
-            r.alias("__r"),
-            F.log(c).alias("__lnc"),
-            beta.alias("__beta"),
-        )
-    )
-    ex = tf.join(F.broadcast(draws), "token")
-    tk = F.floor(
-        F.log(F.col("w").cast("double")) / F.col("__r") + F.col("__beta")
-    )
-    ln_a = (
-        F.col("__lnc")
-        - F.col("__r") * (tk.cast("double") - F.col("__beta"))
-        - F.col("__r")
-    )
+    tk = F.floor(F.log(F.col("w").cast("double")) / r + beta)
+    ln_a = F.log(c) - r * (tk.cast("double") - beta) - r
     scored = ex.select(
         "id",
         "hash_idx",

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from jane_spark.engine.ckpt import persistent_rdd_ids, unpersist_ids
+
 SCALE = 10**9
 
 
@@ -55,6 +57,8 @@ def pagerank(
     if iters < 1:
         raise ValueError("iters must be >= 1")
 
+    spark = edges.sparkSession
+    scaffold_pre = persistent_rdd_ids(spark)
     w = (F.lit(1) if weight is None else F.col(weight)).cast("bigint")
     e = (
         edges.select(
@@ -94,9 +98,15 @@ def pagerank(
     )
 
     base = ((den - num) * SCALE) // (den * n)
+    # scaffolding (e, nodes, ew, dangling) is only needed until the
+    # final round's ranks materialize; the returned plan scans the last
+    # ranks checkpoint alone (engine.ckpt doc)
+    scaffold_ids = persistent_rdd_ids(spark) - scaffold_pre
+    pre = persistent_rdd_ids(spark)
     ranks = nodes.select(
         "node", F.lit(SCALE // n).cast("bigint").alias("r")
     ).localCheckpoint(eager=True)
+    gen_ids = persistent_rdd_ids(spark) - pre
 
     for _ in range(iters):
         inflow = (
@@ -123,6 +133,7 @@ def pagerank(
                 ).alias("__dshare")
             )
         )
+        pre = persistent_rdd_ids(spark)
         ranks = (
             nodes.join(inflow, "node", "left")
             .crossJoin(F.broadcast(dang_row))
@@ -140,6 +151,10 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+        new_ids = persistent_rdd_ids(spark) - pre
+        unpersist_ids(spark, gen_ids)  # round r-1's ranks are dead
+        gen_ids = new_ids
+    unpersist_ids(spark, scaffold_ids)
     return ranks.select("node", F.col("r").alias("rank_scaled"))
 
 

@@ -2461,22 +2461,32 @@ def nn_descent_graph(
     codes = binary_codes(base, "id", "v", dim=dim).select(
         F.col("vec_id").alias("id"), "w0", "w1"
     )
-    seed_pairs = None
+    # all n_slices bucket tables in ONE self-join keyed on (slice,
+    # bucket) instead of a UNION of per-slice self-joins: identical
+    # pair multiset (pairs within bucket v of slice s either way), but
+    # one join + one exchange pair where there were n_slices of each —
+    # guide §2.4 "remove shuffles outright" applied to the seed
+    # (r15 optimization round; the union form also quadrupled the
+    # plan's scan subtree under AQE).
+    slice_cols = []
     for s in range(int(n_slices)):
         word, off = ("w0", s * b) if s * b < 32 else ("w1", s * b - 32)
-        bk = codes.select(
-            "id",
+        slice_cols.append(
             (F.shiftright(F.col(word), off).bitwiseAND(F.lit(mask)))
             .cast("int")
-            .alias("bkt"),
         )
-        p = (
-            bk.select("bkt", F.col("id").alias("a_id"))
-            .join(bk.select("bkt", F.col("id").alias("b_id")), "bkt")
-            .filter(F.col("a_id") != F.col("b_id"))
-            .select("a_id", "b_id")
+    sliced = codes.select(
+        "id", F.posexplode(F.array(*slice_cols)).alias("s", "bkt")
+    )
+    seed_pairs = (
+        sliced.select("s", "bkt", F.col("id").alias("a_id"))
+        .join(
+            sliced.select("s", "bkt", F.col("id").alias("b_id")),
+            ["s", "bkt"],
         )
-        seed_pairs = p if seed_pairs is None else seed_pairs.unionByName(p)
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id")
+    )
     seed = (
         seed_pairs.distinct()
         .join(va, "a_id")
@@ -2492,12 +2502,17 @@ def nn_descent_graph(
             ).alias("sim"),
         )
     )
+    from jane_spark.engine.ckpt import persistent_rdd_ids, unpersist_ids
+
+    spark = vectors.sparkSession
+    pre = persistent_rdd_ids(spark)
     edges = top_k_per_group(
         seed,
         ["a_id"],
         [F.col("sim").desc(), F.col("b_id").asc()],
         build_degree,
     ).drop("rn").localCheckpoint(eager=True)
+    gen_ids = persistent_rdd_ids(spark) - pre
 
     for _ in range(int(iters)):
         und = edges.select("a_id", "b_id").unionByName(
@@ -2532,12 +2547,16 @@ def nn_descent_graph(
                 ).alias("sim"),
             )
         )
+        pre = persistent_rdd_ids(spark)
         edges = top_k_per_group(
             edges.unionByName(fresh),
             ["a_id"],
             [F.col("sim").desc(), F.col("b_id").asc()],
             build_degree,
         ).drop("rn").localCheckpoint(eager=True)
+        new_ids = persistent_rdd_ids(spark) - pre
+        unpersist_ids(spark, gen_ids)  # round r-1's graph is dead
+        gen_ids = new_ids
 
     # final cut: wide internal lists truncate to the requested degree
     return top_k_per_group(
@@ -2656,20 +2675,24 @@ def nn_descent_insert(
     )
     new_codes = b_codes.select(F.col("vec_id").alias("id"), "w0", "w1")
 
-    seed_pairs = None
+    # one batch-vs-all join keyed on (slice, bucket) instead of a
+    # per-slice union — the nn_descent_graph seed treatment (identical
+    # pair multiset, one exchange pair instead of n_slices)
+    slice_cols = []
     for s in range(int(n_slices)):
         word, off = ("w0", s * b) if s * b < 32 else ("w1", s * b - 32)
-        bk = (F.shiftright(F.col(word), off).bitwiseAND(F.lit(mask))).cast(
-            "int"
+        slice_cols.append(
+            (F.shiftright(F.col(word), off).bitwiseAND(F.lit(mask)))
+            .cast("int")
         )
-        nb = new_codes.select(bk.alias("bkt"), F.col("id").alias("a_id"))
-        ab = all_codes.select(bk.alias("bkt"), F.col("id").alias("b_id"))
-        p = (
-            nb.join(ab, "bkt")
-            .filter(F.col("a_id") != F.col("b_id"))
-            .select("a_id", "b_id")
-        )
-        seed_pairs = p if seed_pairs is None else seed_pairs.unionByName(p)
+    sl = F.posexplode(F.array(*slice_cols)).alias("s", "bkt")
+    nb = new_codes.select(F.col("id").alias("a_id"), sl)
+    ab = all_codes.select(F.col("id").alias("b_id"), sl)
+    seed_pairs = (
+        nb.join(ab, ["s", "bkt"])
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id")
+    )
     # both orientations: the new node's list AND its partners' lists
     seed_pairs = seed_pairs.unionByName(
         seed_pairs.select(

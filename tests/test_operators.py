@@ -1087,6 +1087,47 @@ def test_connected_components_star_fallback_deep_chain(spark):
     assert got == expect
 
 
+def test_iterative_builds_bound_persistent_footprint(spark):
+    """r15 hygiene: fixpoint/training loops must unpersist dead
+    checkpoint generations — repeated builds in one session may not
+    accumulate persistent RDDs (the bench/driver session pollution
+    that tripled late-suite warm execs), and the survivors' results
+    must stay readable AFTER the dead generations were dropped."""
+    from jane_spark.engine.ckpt import persistent_rdd_ids
+    from jane_spark.operators.components import connected_components
+    from jane_spark.operators.pagerank import pagerank
+    from jane_spark.operators.bpe import train_bpe
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 30)], ["id_a", "id_b"]
+    )
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new")],
+        ["doc_id", "text"],
+    )
+    base = persistent_rdd_ids(spark)
+    footprints = []
+    for _ in range(3):
+        cc = connected_components(edges)
+        assert {r["comp"] for r in cc.collect()} == {1}
+        pr = pagerank(
+            edges.select(
+                F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+            ),
+            iters=3,
+        )
+        assert pr.count() == 30
+        assert len(train_bpe(docs, n_merges=4)) == 4
+        footprints.append(len(persistent_rdd_ids(spark) - base))
+    # per build only the RETURNED generations may survive (CC's final
+    # labels, pagerank's final ranks; train_bpe returns a driver list
+    # and leaks nothing) — without the r15 cleanup each build left
+    # ~16 dead generations (every round's table + scaffolding)
+    assert footprints[0] <= 4, footprints
+    assert footprints[2] - footprints[1] <= 4, footprints
+    assert footprints[1] - footprints[0] <= 4, footprints
+
+
 def test_star_fallback_matches_propagation_random(spark):
     """Forcing the fallback (max_iter=1) on random graphs must produce
     the exact labeling propagation converges to."""

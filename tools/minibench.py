@@ -30,6 +30,9 @@ def main() -> None:
     cat.pin("events", cluster_by="user_id", partitions=8)
     cat.pin("orders", cluster_by="o_custkey", partitions=8)
     cat.pin("documents", cluster_by="doc_id", partitions=8)
+    from jane_spark.engine.ckpt import persistent_rdd_ids, unpersist_ids
+
+    baseline_rdds = persistent_rdd_ids(spark)
 
     timings = {}
     for name in rows:
@@ -46,6 +49,7 @@ def main() -> None:
                 df.toPandas()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(min(samples), 4)
+        unpersist_ids(spark, persistent_rdd_ids(spark) - baseline_rdds)
         print(f"{name:22s} min {min(samples):8.4f}  med "
               f"{sorted(samples)[len(samples)//2]:8.4f}  "
               f"max {max(samples):8.4f}", flush=True)

@@ -43,6 +43,9 @@ def main() -> None:
     else:
         rows = args
 
+    from jane_spark.engine.ckpt import persistent_rdd_ids
+
+    baseline_rdds = persistent_rdd_ids(spark)
     st = spark.sparkContext.statusTracker()
     out = {}
     for name in rows:
@@ -74,6 +77,8 @@ def main() -> None:
         print(f"{name:20s} build {t1-t0:7.3f}s ({j1-j0:3d} jobs)  "
               f"first {t2-t1:7.3f}s  warm {t3-t2:7.3f}s  "
               f"{'REBUILD' if rebuild else 'lazy'}", flush=True)
+        from jane_spark.engine.ckpt import persistent_rdd_ids, unpersist_ids
+        unpersist_ids(spark, persistent_rdd_ids(spark) - baseline_rdds)
     print(json.dumps(out, indent=1))
     spark.stop()
 
