@@ -458,6 +458,19 @@ def q_k2j(spark, sf_dir):
         "doc_id", "source", F.size("toks").cast("long").alias("n_toks"),
         F.explode("toks").alias("tok"),
     )
+    # EXPLOSIVE join guard (guide §2.5 input-vs-output skew): the
+    # token table is ~2 MB, so AQE coalesces the pre-join shuffle to
+    # ONE partition — and that single task then evaluates the ~20M
+    # joined rows serially (measured 10.6 s; 3.0 s after this). An
+    # explicit numbered repartition on the join key is respected by
+    # AQE and the self-join reuses the exchange, so the fan-out runs
+    # wide. Sized to the session (cores or configured shuffle
+    # partitions, whichever is larger), not a constant.
+    par = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
+    e = e.repartition(par, "source", "tok")
     a, b = e.alias("a"), e.alias("b")
     p = (
         a.join(

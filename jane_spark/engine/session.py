@@ -48,6 +48,17 @@ RUNTIME_CONFS: dict[str, str] = {
     # would refuse to JIT anyway; plans whose methods stay under 8 KB
     # are untouched.
     "spark.sql.codegen.hugeMethodLimit": "8000",
+    # AQE coalescing floors partitions at minPartitionSize (default
+    # 1 MB) BEFORE parallelismFirst can hold them at the cluster's
+    # parallelism — so any stage whose shuffle input compresses under
+    # ~1 MB collapses to ONE task, even when its downstream work is an
+    # explosive join or a hash-chain projection 10-40x the input
+    # (measured r15: 31 single-task stages in one ICWS execution;
+    # 64k → icws 6.6→4.2 s, nn_descent 9.3→6.7 s, cheap sub-0.1 s
+    # rows unchanged). 64k keeps tiny-but-compute-heavy stages wide;
+    # at production scale partitions dwarf both values, so this only
+    # governs the small-input regime everywhere.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     # NOT pinned: spark.sql.parquet.aggregatePushdown — inert on the
     # default V1 parquet path (verified: no PushedAggregation in plans);
     # runtime bloom-filter join pruning + DPP are default-on in Spark 4.
