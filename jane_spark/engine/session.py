@@ -48,17 +48,18 @@ RUNTIME_CONFS: dict[str, str] = {
     # would refuse to JIT anyway; plans whose methods stay under 8 KB
     # are untouched.
     "spark.sql.codegen.hugeMethodLimit": "8000",
-    # AQE coalescing floors partitions at minPartitionSize (default
-    # 1 MB) BEFORE parallelismFirst can hold them at the cluster's
-    # parallelism — so any stage whose shuffle input compresses under
-    # ~1 MB collapses to ONE task, even when its downstream work is an
-    # explosive join or a hash-chain projection 10-40x the input
-    # (measured r15: 31 single-task stages in one ICWS execution;
-    # 64k → icws 6.6→4.2 s, nn_descent 9.3→6.7 s, cheap sub-0.1 s
-    # rows unchanged). 64k keeps tiny-but-compute-heavy stages wide;
-    # at production scale partitions dwarf both values, so this only
-    # governs the small-input regime everywhere.
-    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
+    # NOT pinned: spark.sql.adaptive.coalescePartitions.minPartitionSize.
+    # A global 64k floor was tried (r15 optimization round) to keep
+    # tiny-input compute-heavy stages wide, but idle single-row A/B
+    # showed it a net LOSS: it un-coalesces every cheap stage too
+    # (icws 3.2→4.9 s, cascade 4.8→5.6 s, keep_best 3.6→4.1 s,
+    # textrank 4.4→4.6 s) and only the NN-descent explosive joins
+    # genuinely needed width (6.4 s with the floor vs 8.1 s without).
+    # The guide-§2.5 fix is surgical: the operators whose join
+    # OUTPUT is 10-40x their shuffle input (nn_descent seed/candidate
+    # self-joins, the q_k2j token self-join) carry an explicit keyed
+    # repartition sized to the session, and the default 1 MB floor
+    # stays for everything else.
     # NOT pinned: spark.sql.parquet.aggregatePushdown — inert on the
     # default V1 parquet path (verified: no PushedAggregation in plans);
     # runtime bloom-filter join pruning + DPP are default-on in Spark 4.

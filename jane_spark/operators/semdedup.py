@@ -116,22 +116,27 @@ def _kmeans_loop(
         # round the mean to 9 dp: double addition is order-dependent
         # under shuffle, and an unrounded ulp wobble in a centroid could
         # flip a near-tie assignment between runs/partitionings.
+        # Collect the (cluster, dim, m) cells directly — k x d rows,
+        # driver-sized — and assemble the arrays here instead of paying
+        # a SECOND shuffle per round just to collect_list them into
+        # arrays engine-side (the train_ivf_centroids collect shape;
+        # guide §2.4 remove shuffles outright — one stage fewer per
+        # Lloyd round, same avg + round arithmetic, values identical).
         means = (
             assigned.select("cluster", F.posexplode("__v").alias("dim", "val"))
             .groupBy("cluster", "dim")
             .agg(F.round(F.avg("val"), 9).alias("m"))
-            .groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
-                    lambda s: s["m"],
-                ).alias("cv")
-            )
             .collect()
         )
-        new = {r["cluster"]: list(r["cv"]) for r in means}
+        cells: dict[int, dict[int, float]] = {}
+        for r in means:
+            cells.setdefault(r["cluster"], {})[r["dim"]] = r["m"]
         # empty clusters keep their previous centroid (deterministic)
-        centroids = [(cid, new.get(cid, cv)) for cid, cv in centroids]
+        centroids = [
+            (cid, [cells[cid][d] for d in range(len(cv))])
+            if cid in cells else (cid, cv)
+            for cid, cv in centroids
+        ]
 
     assigned = assign(centroids).select(
         F.col("__id").alias(id_col), F.col("cluster").cast("int").alias("cluster")

@@ -2433,6 +2433,47 @@ def nn_descent_graph(
     if build_degree < degree:
         raise ValueError("build_degree must be >= degree")
     _validate_slice_layout(n_slices, bucket_bits)
+    # Stage-width guard, scoped to THIS operator's build actions
+    # (guide §2.5 input-vs-output skew): every NN-descent stage's
+    # shuffle INPUT (packed codes, id-pair edges) compresses far
+    # below AQE's 1 MB coalesce floor, but the downstream work per
+    # round — within-bucket pair fan-out and ~deg² shared-neighbor
+    # candidates, each paying an interpreted cosine fold — is 10-40x
+    # the input, so collapsed one-task stages serialize the whole
+    # round. A GLOBAL 64k floor was A/B'd and reverted (it widened
+    # every cheap stage in the suite too; icws/cascade/keep_best all
+    # regressed — see engine/session.py). Scoping it here hits only
+    # the three eager checkpoint actions this builder runs; the conf
+    # is restored before the (lazy) final plan is returned. Idle
+    # single-row A/B: 8.1 s (default floor) -> 6.0 s (scoped).
+    spark = vectors.sparkSession
+    _MPS = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    _mps_prev = spark.conf.get(_MPS)
+    spark.conf.set(_MPS, "64k")
+    try:
+        return _nn_descent_graph_build(
+            vectors, id_col, vec_col, degree, iters, bucket_bits,
+            n_slices, build_degree, dim, exclude_mod, rank_round_dp,
+        )
+    finally:
+        spark.conf.set(_MPS, _mps_prev)
+
+
+def _nn_descent_graph_build(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    degree: int,
+    iters: int,
+    bucket_bits: int,
+    n_slices: int,
+    build_degree: int,
+    dim: int,
+    exclude_mod: int | None,
+    rank_round_dp: int,
+) -> DataFrame:
+    """Body of :func:`nn_descent_graph` (docstring above); runs under
+    the scoped coalesce-floor conf set by the wrapper."""
     base = vectors.select(
         F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
     )
