@@ -73,11 +73,17 @@ def pagerank(
         # whole-graph cost on the TextRank word graph (r10)
         .localCheckpoint(eager=True)
     )
+    # lazy mark + the node count as its materializer (the
+    # connected_components single-consumer pattern): the count's plan
+    # contains the mark exactly once, so there is no concurrent-
+    # consumer duplication, and the scaffold costs one action fewer.
+    # Every later consumer (ranks init, dangling, per-round joins)
+    # reads the already-materialized blocks.
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()
     if n == 0:
@@ -88,13 +94,19 @@ def pagerank(
     # action (r15 optimization round: every eager materialization is a
     # blocking driver round-trip)
     outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
-    ew = e.join(outw, "src").localCheckpoint(eager=True)
+    # ew and dangling as lazy marks: each appears exactly ONCE in the
+    # first round's ranks-checkpoint action (inflow's plan holds ew
+    # once, dang_row's holds dangling once — disjoint subtrees), so
+    # both materialize there without the 6c40351 duplication mode and
+    # the scaffold saves two more blocking actions. Rounds 2+ read
+    # their materialized blocks.
+    ew = e.join(outw, "src").localCheckpoint(eager=False)
     # the dangling-node set (no out-edges) is FIXED across iterations:
     # derive it once instead of re-running the anti-join per round
     dangling = (
         nodes.join(outw, nodes.node == outw.src, "left_anti")
         .select("node")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     base = ((den - num) * SCALE) // (den * n)

@@ -1123,6 +1123,13 @@ def ivf_pq_topk(
     an external query set just swaps the probe side."""
     from jane_spark.operators.semdedup import kmeans_fit
 
+    # one lazy checkpoint feeds EVERY consumer (coarse Lloyd collects,
+    # the GEMM probe pass, the m-subspace PQ training collects, the
+    # per-query ADC tables): without it each of those ~15 jobs re-runs
+    # the scan+cast lineage — the same multi-consumer training-input
+    # rule the residual path applies (guide §5; the 6c40351 A/B class:
+    # 12+ amortizing consumers). First consumer action materializes it.
+    vectors = vectors.localCheckpoint(eager=False)
     if centroids is None:
         _assign, cents = kmeans_fit(
             vectors, id_col, vec_col, k=n_lists, iters=lloyd_iters
