@@ -649,19 +649,38 @@ def bloom_prefilter_anti_join(
     shard prunes its own partition."""
     nb = 1 << n_bits_log2
     bitmap = bloom_bitmap(store, key_col, n_bits_log2, n_hashes)
-    arr = F.array(*[F.lit(int(wd)).cast("long") for wd in bitmap])
-    maybe = None
-    for i in range(n_hashes):
-        p = F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(nb))
-        word = F.element_at(arr, (p / 64).cast("int") + 1)
-        # column-API (not string SQL) so key_col names that need
-        # backquoting — spaces, dots, hyphens — still parse;
-        # call_function because F.shiftleft only takes a literal int
-        bit = F.call_function(
-            "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+    # ONE SQL-string literal for the 2^n/64-word bitmap instead of
+    # per-element F.lit calls (the centroid-table treatment, guide
+    # §7.3 driver-side cost: ~512 py4j round-trips per build measured
+    # as the dominant REBUILD cost of this row, r16). String→BIGINT
+    # cast is exact for every int64, including the sign-bit words a
+    # bare ...L literal could not express.
+    arr = F.expr(
+        "array(%s)"
+        % ",".join(f"CAST('{int(wd)}' AS BIGINT)" for wd in bitmap)
+    )
+    # probe as ONE forall over the n_hashes positions so the bitmap
+    # array literal appears exactly ONCE in the plan (the per-hash
+    # loop embedded a copy per probe — 4×512 literal nodes for the
+    # analyzer to walk); same AND-of-bit-tests result. column-API
+    # (not string SQL) so key_col names that need backquoting —
+    # spaces, dots, hyphens — still parse; call_function because
+    # F.shiftleft only takes a literal int.
+    positions = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(nb))
+            for i in range(n_hashes)
+        ]
+    )
+    maybe = F.forall(
+        positions,
+        lambda p: F.element_at(arr, (p / 64).cast("int") + 1).bitwiseAND(
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+            )
         )
-        hit = word.bitwiseAND(bit) != 0
-        maybe = hit if maybe is None else (maybe & hit)
+        != 0,
+    )
     flagged = new.withColumn("__maybe", maybe)
     definite = flagged.filter(~F.col("__maybe")).drop("__maybe")
     suspects = flagged.filter(F.col("__maybe")).drop("__maybe")

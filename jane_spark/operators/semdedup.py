@@ -131,9 +131,13 @@ def _kmeans_loop(
         cells: dict[int, dict[int, float]] = {}
         for r in means:
             cells.setdefault(r["cluster"], {})[r["dim"]] = r["m"]
-        # empty clusters keep their previous centroid (deterministic)
+        # empty clusters keep their previous centroid (deterministic);
+        # a dim missing from a non-empty cluster's cells (ragged/short
+        # input vectors) keeps that coordinate too instead of raising
+        # (ADVICE r15 — fixed-dim inputs are unaffected: every cell is
+        # present and the .get never falls back)
         centroids = [
-            (cid, [cells[cid][d] for d in range(len(cv))])
+            (cid, [cells[cid].get(d, cv[d]) for d in range(len(cv))])
             if cid in cells else (cid, cv)
             for cid, cv in centroids
         ]

@@ -1123,13 +1123,21 @@ def ivf_pq_topk(
     an external query set just swaps the probe side."""
     from jane_spark.operators.semdedup import kmeans_fit
 
-    # one lazy checkpoint feeds EVERY consumer (coarse Lloyd collects,
-    # the GEMM probe pass, the m-subspace PQ training collects, the
+    # one checkpoint feeds EVERY consumer (coarse Lloyd collects, the
+    # GEMM probe pass, the m-subspace PQ training collects, the
     # per-query ADC tables): without it each of those ~15 jobs re-runs
     # the scan+cast lineage — the same multi-consumer training-input
     # rule the residual path applies (guide §5; the 6c40351 A/B class:
-    # 12+ amortizing consumers). First consumer action materializes it.
-    vectors = vectors.localCheckpoint(eager=False)
+    # 12+ amortizing consumers). Lazy when kmeans_fit runs first (its
+    # single-threaded seed collect materializes the mark); EAGER on
+    # the ``centroids=...`` path, where the first consumers are
+    # pq_fit's CONCURRENT subspace fits — lazy there would race
+    # threads into duplicated materialization (the 6c40351 mode;
+    # ADVICE r15). Retention: the returned plan references the
+    # ``assigned`` checkpoint derived from this one; both persist for
+    # the session unless the caller unpersists after materializing
+    # (bench.py's between-row hygiene does).
+    vectors = vectors.localCheckpoint(eager=centroids is not None)
     if centroids is None:
         _assign, cents = kmeans_fit(
             vectors, id_col, vec_col, k=n_lists, iters=lloyd_iters
@@ -1147,7 +1155,24 @@ def ivf_pq_topk(
     corpus = assigned.filter(F.col("probe_rank") == 0).select(
         F.col(id_col).alias("b_id"), "list_id"
     )
-    probes = assigned.select(F.col(id_col).alias("a_id"), "list_id")
+    # EXPLOSIVE-join width (guide §2.5 input-vs-output skew; the q_k2j
+    # treatment, r16): the probe side reads the checkpointed GEMM pass
+    # — at fixture scale 1-2 scan partitions — and the list join fans
+    # out to n_probe × avg-list-size rows per probe row (~37M at
+    # sf0.1), so the ADC scoring stage above a broadcast join ran on
+    # those 1-2 tasks, serial (measured: 3.9 s of the row's first
+    # exec). An explicit numbered round-robin repartition of the
+    # NARROW probe rows (two ints each) widens the fan-out to the
+    # session's parallelism; when the corpus side outgrows broadcast
+    # the join becomes a keyed shuffle anyway and this pass is one
+    # cheap extra exchange of the small side.
+    par = max(
+        vectors.sparkSession.sparkContext.defaultParallelism,
+        int(vectors.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+    )
+    probes = assigned.select(
+        F.col(id_col).alias("a_id"), "list_id"
+    ).repartition(par)
     codes, books = pq_fit(vectors, id_col, vec_col, dim, m, k, pq_iters)
     qt = _adc_tables(vectors, id_col, vec_col, books, dim, m, k)
     cand = (
@@ -1246,46 +1271,59 @@ def ivf_pq_residual_topk(
     corpus = assigned.filter(F.col("probe_rank") == 0).select(
         F.col(id_col), "list_id"
     )
-    vd = vectors.select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
-            "__vd"
-        ),
-    )
-    residuals = vd.join(corpus, id_col).select(
+    # the residual is a pure projection of the ranked GEMM pass — the
+    # assigned row already carries the vector AND its list id, so the
+    # old vd ⋈ corpus id-equi join inside the residuals-checkpoint
+    # materialization is gone (r16, guide §2.4); same IEEE
+    # subtractions, same rows.
+    residuals = assigned.filter(F.col("probe_rank") == 0).select(
         F.col(id_col),
         F.zip_with(
-            F.col("__vd"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
             F.element_at(cent_lit, F.col("list_id") + 1),
             lambda a, b: a - b,
         ).alias("__res"),
     )
     # checkpoint the residuals: the m-subspace PQ trainer collects
     # (seeds + per-iteration means) re-execute their input lineage per
-    # job — scan → GEMM assign → join — 12× without the cut (guide §5,
-    # localCheckpoint to truncate lineage; r15). Values unchanged.
+    # job — scan → GEMM assign → project — 12× without the cut (guide
+    # §5, localCheckpoint to truncate lineage; r15). Values unchanged.
     residuals = residuals.localCheckpoint(eager=False)
     codes, books = pq_fit(
         residuals, id_col, "__res", dim, m, k, pq_iters
     )
-    # per-(query, probed list) ADC tables over the QUERY residual
-    probes = assigned.select(F.col(id_col).alias("a_id"), "list_id")
-    qres = probes.join(
-        vd.select(F.col(id_col).alias("a_id"), "__vd"), "a_id"
-    ).select(
-        "a_id",
+    # per-(query, probed list) ADC tables over the QUERY residual —
+    # computed INLINE from the assigned row (it carries the vector),
+    # so the old probes ⋈ vd join inside the qt broadcast build is
+    # gone too (r16). qt stays a SEPARATE table attached to the
+    # candidate fan-out by a broadcast-hash join on (a_id, list_id):
+    # attaching the m×k table BEFORE the list join was A/B'd and
+    # REVERTED — it copies 16 doubles into every one of the ~37M
+    # fan-out rows instead of a per-row hash lookup against 30k
+    # broadcast entries (first exec 1.9 → 2.5 s).
+    qt = assigned.select(
+        F.col(id_col).alias("a_id"),
         "list_id",
         F.zip_with(
-            F.col("__vd"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
             F.element_at(cent_lit, F.col("list_id") + 1),
             lambda a, b: a - b,
         ).alias("__rq"),
-    )
-    qt = qres.select(
+    ).select(
         "a_id",
         "list_id",
         F.expr(_sql_adc_entries("__rq", books, m, k, sub_d)).alias("__dt"),
     )
+    # widen the explosive list-join fan-out (see ivf_pq_topk: the
+    # probe side reads the checkpoint's 1-2 scan partitions and the
+    # ADC scoring stage above the broadcast join would run serial)
+    par = max(
+        vectors.sparkSession.sparkContext.defaultParallelism,
+        int(vectors.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+    )
+    probes = assigned.select(
+        F.col(id_col).alias("a_id"), "list_id"
+    ).repartition(par)
     cand = (
         probes.join(
             corpus.select(F.col(id_col).alias("b_id"), "list_id"),
