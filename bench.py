@@ -914,30 +914,42 @@ def main() -> None:
     # the compact spec shape — small enough to survive any tail
     # window.
     print(json.dumps(full), file=sys.stderr)
+    docs_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "docs"
+    )
+    with open(os.path.join(docs_dir, "bench_last_full.json"), "w") as f:
+        json.dump(full, f)
+    # ALSO write a per-core-count dump: the driver runs the bench at
+    # two core counts and the second run used to clobber the first's
+    # full evidence (VERDICT r15 "what's wrong" #2)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "all")
     with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "docs", "bench_last_full.json"),
-        "w",
+        os.path.join(docs_dir, f"bench_last_full_c{cpus}.json"), "w"
     ) as f:
         json.dump(full, f)
-    # The driver tail-captures stdout; a 97-row queries dict (~2.5 KB)
-    # overruns its window and every BENCH_r0N.json since r6 came back
-    # `parsed: null`. Keep the spec shape but cap `queries` at the 5
-    # worst rows by ratio-vs-DuckDB-baseline (slowest absolute rows
-    # where no baseline exists) so the final line stays <300 bytes.
-    # Full per-row data: stderr + docs/bench_last_full.json.
+    # The driver tail-captures stdout; the FULL 168-row artifact (~6 KB
+    # with diagnostics) overruns its window and every BENCH_r0N.json
+    # since r6 came back `parsed: null`. Keep the spec shape but cap
+    # `queries`: the TOP 40 rows by seconds (ms precision) plus the 5
+    # worst by ratio-vs-DuckDB-baseline — ~1.3 KB, inside the driver's
+    # tail window, and wide enough that round-over-round stats stop
+    # being computed from 3 sub-second noise rows (VERDICT r15 #2).
+    # Names only ever ADD relative to the r15 compact line (the
+    # ratio-worst set is a superset of its selection rule).
     def _ratio(name: str) -> float:
         base = CALIBRATION.get(name)
         return timings[name] / base if base else 0.0
 
-    worst = sorted(timings, key=_ratio, reverse=True)[:5]
-    if not any(_ratio(n) for n in worst):
-        worst = sorted(timings, key=timings.get, reverse=True)[:5]
+    worst = set(sorted(timings, key=_ratio, reverse=True)[:5])
+    worst |= set(sorted(timings, key=timings.get, reverse=True)[:40])
     compact = {
         "metric": "headline_suite_total_sec",
         "value": total,
         "unit": "sec",
-        "queries": {n: timings[n] for n in worst},
+        "queries": {
+            n: round(timings[n], 3)
+            for n in sorted(worst, key=timings.get, reverse=True)
+        },
         "n_rows": len(timings),
         "sf": sf,
     }

@@ -2491,6 +2491,12 @@ def nn_descent_graph(
     # the three eager checkpoint actions this builder runs; the conf
     # is restored before the (lazy) final plan is returned. Idle
     # single-row A/B: 8.1 s (default floor) -> 6.0 s (scoped).
+    # CONSTRAINT (ADVICE r15, the engine/ckpt.py caveat): the
+    # set/restore mutates SESSION-global SQL conf for the build's
+    # duration — safe under this engine's single-threaded-driver
+    # assumption, but a query launched concurrently on the same
+    # session would inherit the 64k floor, and a concurrent setter
+    # would be clobbered by the finally-restore.
     spark = vectors.sparkSession
     _MPS = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
     _mps_prev = spark.conf.get(_MPS)
